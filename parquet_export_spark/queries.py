@@ -1,0 +1,368 @@
+"""Query registry: each entry pairs a Spark DataFrame plan with the
+equivalent ANSI/DuckDB oracle SQL (driver contract in __spark_entry__.py).
+
+Alignment rules (see functions/scalar.py):
+- every computed column aliased identically on both sides;
+- double SUM/AVG via exact-decimal accumulation (order-independent);
+- integer-typed results cast to the same width on both sides;
+- approximate operators (HLL, LSH) have no oracle -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_export_spark.functions.scalar import davg_sql, dsum_sql
+from parquet_export_spark.operators import relational as R
+from parquet_export_spark.sources.lake import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # None -> non-SQL-expressible / approximate
+
+
+def _rel(op: Callable[[dict[str, DataFrame]], DataFrame]) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(load_tables(spark, sf_dir))
+
+    return run
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+REGISTRY: dict[str, QuerySpec] = {
+    # ---------------- TPC-H-style pipelines ----------------
+    "q1_pricing_summary": QuerySpec(
+        _rel(R.q1_pricing_summary),
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_sql(_REV, scale=6)} AS sum_disc_price,
+               {dsum_sql(_REV + ' * (1 + l_tax)', scale=6)} AS sum_charge,
+               {davg_sql('l_quantity')} AS avg_qty,
+               {davg_sql('l_extendedprice')} AS avg_price,
+               {davg_sql('l_discount', scale=6)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    "q3_shipping_priority": QuerySpec(
+        _rel(R.q3_shipping_priority),
+        f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {dsum_sql(_REV, scale=6)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+    ),
+    "q5_revenue_by_nation": QuerySpec(
+        _rel(R.q5_revenue_by_nation),
+        f"""
+        SELECT n_name, {dsum_sql(_REV, scale=6)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+    ),
+    "q6_forecast_revenue": QuerySpec(
+        _rel(R.q6_forecast_revenue),
+        f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount', scale=6)} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+    ),
+    "q10_returned_items": QuerySpec(
+        _rel(R.q10_returned_items),
+        f"""
+        SELECT c_custkey, c_name, n_name,
+               {dsum_sql(_REV, scale=6)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    ),
+    # ---------------- basic blocks ----------------
+    "filter_project": QuerySpec(
+        _rel(R.filter_project),
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber
+        """,
+    ),
+    "join_inner": QuerySpec(
+        _rel(R.join_inner),
+        """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+        """,
+    ),
+    "join_left_nulls": QuerySpec(
+        _rel(R.join_left_nulls),
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+          ON c_custkey = o.o_custkey
+        ORDER BY c_custkey, o_orderkey NULLS FIRST
+        """,
+    ),
+    "join_semi": QuerySpec(
+        _rel(R.join_semi),
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+        """,
+    ),
+    "join_anti": QuerySpec(
+        _rel(R.join_anti),
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+        """,
+    ),
+    "join_range": QuerySpec(
+        _rel(R.join_range),
+        """
+        SELECT p_partkey, s_suppkey, p_retailprice, s_acctbal
+        FROM part JOIN supplier
+          ON p_size % 10 = s_suppkey % 10 AND p_retailprice > s_acctbal / 4
+        ORDER BY p_partkey, s_suppkey
+        """,
+    ),
+    "set_ops": QuerySpec(
+        _rel(R.set_ops),
+        """
+        WITH building AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        with_urgent AS (
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT')
+        SELECT c_custkey, 'union' AS set_op
+          FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM with_urgent)
+        UNION ALL
+        SELECT c_custkey, 'intersect' AS set_op
+          FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_urgent)
+        UNION ALL
+        SELECT c_custkey, 'except' AS set_op
+          FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM with_urgent)
+        ORDER BY set_op, c_custkey
+        """,
+    ),
+    "sort_limit_offset": QuerySpec(
+        _rel(R.sort_limit_offset),
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25 OFFSET 10
+        """,
+    ),
+    # ---------------- aggregation variants ----------------
+    "agg_distinct": QuerySpec(
+        _rel(R.agg_distinct),
+        f"""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS total_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    ),
+    "agg_rollup": QuerySpec(
+        _rel(R.agg_rollup),
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS total_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
+    ),
+    "agg_cube": QuerySpec(
+        _rel(R.agg_cube),
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+        """,
+    ),
+    "agg_stats": QuerySpec(
+        _rel(R.agg_stats),
+        f"""
+        SELECT l_returnflag,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+               {dsum_sql('CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END')}
+                   AS taxed_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ),
+    "agg_approx_distinct": QuerySpec(_rel(R.agg_approx_distinct), None),
+    # ---------------- windows ----------------
+    "window_topk_per_group": QuerySpec(
+        _rel(R.window_topk_per_group),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders)
+        WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+    ),
+    "window_running_sum": QuerySpec(
+        _rel(R.window_running_sum),
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+    ),
+    "window_lag_lead": QuerySpec(
+        _rel(R.window_lag_lead),
+        """
+        SELECT user_id, event_id, ts,
+               CAST(date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS BIGINT) AS gap_seconds
+        FROM events
+        ORDER BY user_id, ts, event_id
+        """,
+    ),
+    "window_rank_dense": QuerySpec(
+        _rel(R.window_rank_dense),
+        """
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(RANK() OVER w AS INTEGER) AS price_rank,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+               CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        ORDER BY p_brand, price_rank, p_partkey
+        """,
+    ),
+    # ---------------- scalar function families ----------------
+    "scalar_string_funcs": QuerySpec(
+        _rel(R.scalar_string_funcs),
+        """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+               SUBSTRING(c_mktsegment, 1, 4) AS seg_prefix,
+               c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
+               REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_masked
+        FROM customer ORDER BY c_custkey
+        """,
+    ),
+    "scalar_date_funcs": QuerySpec(
+        _rel(R.scalar_date_funcs),
+        """
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+               CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+               CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+               CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                    AS INTEGER) AS days_to_2002
+        FROM orders ORDER BY o_orderkey
+        """,
+    ),
+    "scalar_math_funcs": QuerySpec(
+        _rel(R.scalar_math_funcs),
+        """
+        SELECT p_partkey,
+               ROUND(p_retailprice * 2, 2) AS inflated,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+               ABS(p_size - 25) AS size_dev,
+               p_partkey % 7 AS key_mod,
+               ROUND(SQRT(p_retailprice), 6) AS price_sqrt
+        FROM part ORDER BY p_partkey
+        """,
+    ),
+    "scalar_json_funcs": QuerySpec(
+        _rel(R.scalar_json_funcs),
+        """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        ORDER BY event_id
+        """,
+    ),
+    "events_hourly_rollup": QuerySpec(
+        _rel(R.events_hourly_rollup),
+        f"""
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               {dsum_sql('value', scale=6)} AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY DATE_TRUNC('hour', ts), event_type
+        ORDER BY hour, event_type
+        """,
+    ),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,101 @@
+"""Parquet lake reader.
+
+The reference's output is a per-table prefix of parquet files
+(reference main.py:237); the query layer reads those back. Here the
+"lake" is any directory holding ``{table}.parquet`` files or
+``{table}/`` prefixes — e.g. the driver's /root/testdata/sf* dirs or
+our own exporter output.
+
+Scale note: ``spark.read.parquet`` gives vectorized columnar scans with
+predicate pushdown and column pruning via Catalyst; nothing custom
+needed. Declared-schema enforcement is available via ``schema=`` for
+VerA-shaped lakes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: The driver's star-schema + extension tables (TESTDATA.md).
+STAR_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table_path(lake_dir: str, name: str) -> str:
+    """Resolve ``{dir}/{name}.parquet`` (single file) or ``{dir}/{name}`` (prefix)."""
+    flat = os.path.join(lake_dir, f"{name}.parquet")
+    if os.path.exists(flat):
+        return flat
+    return os.path.join(lake_dir, name)
+
+
+def load_table(
+    spark: SparkSession,
+    lake_dir: str,
+    name: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    # The driver's parquet uses TIMESTAMP(NANOS); this conf makes Spark
+    # read them as timestamp_ntz (µs) instead of raising
+    # PARQUET_TYPE_ILLEGAL. Runtime-settable, so apply defensively —
+    # the driver's own SparkSession may not have it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(table_path(lake_dir, name))
+    if schema is None:
+        df = _restore_nanos_columns(df, name)
+    return df
+
+
+#: Columns stored as TIMESTAMP(NANOS) in the driver's testdata; under
+#: nanosAsLong they surface as BIGINT nanoseconds and are restored to
+#: timestamp_ntz here (µs truncation, matching DuckDB's ns->µs read).
+_NS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _restore_nanos_columns(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as Ty
+
+    for col in _NS_COLUMNS.get(name, ()):
+        field = next((f for f in df.schema.fields if f.name == col), None)
+        if field is not None and isinstance(field.dataType, Ty.LongType):
+            # timestampadd on an NTZ literal stays NTZ and is independent
+            # of the session time zone (no instant interpretation).
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{col}` div 1000, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, lake_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, lake_dir, n) for n in (names or STAR_TABLES)}
+
+
+def register_temp_views(
+    spark: SparkSession, lake_dir: str, names: list[str] | None = None
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` works on the lake."""
+    for name, df in load_tables(spark, lake_dir, names).items():
+        df.createOrReplaceTempView(name)

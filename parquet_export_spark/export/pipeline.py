@@ -1,0 +1,63 @@
+"""Export orchestration (reference main.py:266-282).
+
+``export_lake`` drives: per table — enforce declared schema, normalize,
+write size-bounded zstd parquet — then one manifest over the committed
+files. Tables are independent (reference ran them strictly
+sequentially; SURVEY.md §2A.14 notes they can be submitted
+concurrently — on a cluster, each table's write parallelizes across
+executors regardless, so the sequential driver loop is not a
+bottleneck).
+
+Debug affordances (reference main.py:27-28, 270-276): ``only_table``
+exports a single table (DEBUG_TABLE), ``limit`` bounds rows per table
+(DEBUG's one-file-per-table analog, but deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_export_spark.export.manifest import write_manifest
+from parquet_export_spark.export.normalize import enforce_schema, normalize_json_columns
+from parquet_export_spark.export.writer import write_table
+from parquet_export_spark.tables import TABLES, TableSpec
+
+
+def export_table(
+    df: DataFrame,
+    out_dir: str,
+    spec: TableSpec,
+    canonical_json: bool = False,
+) -> list[str]:
+    df = enforce_schema(df, spec)
+    df = normalize_json_columns(df, spec, canonical=canonical_json)
+    return write_table(df, out_dir, spec)
+
+
+def export_lake(
+    spark: SparkSession,
+    source: Callable[[SparkSession, TableSpec], DataFrame],
+    out_dir: str,
+    tables: dict[str, TableSpec] | None = None,
+    only_table: str | None = None,
+    limit: int | None = None,
+    canonical_json: bool = False,
+) -> dict[str, list[str]]:
+    """Export every table produced by ``source`` and write the manifest.
+
+    ``source`` maps (spark, spec) -> DataFrame — a JDBC read
+    (sources/jdbc.py), a parquet lake read, or a test fixture.
+    """
+    tables = tables if tables is not None else TABLES
+    if only_table is not None:
+        tables = {only_table: tables[only_table]}
+    files: dict[str, list[str]] = {}
+    for name, spec in tables.items():
+        df = source(spark, spec)
+        if limit is not None:
+            df = df.limit(limit)
+        files[name] = export_table(df, out_dir, spec, canonical_json=canonical_json)
+    write_manifest(out_dir, files)
+    return files

@@ -1,0 +1,131 @@
+"""Export-parity golden tests (SURVEY.md §5.3.2).
+
+Round-trip VerA-shaped fixtures through the export pipeline and assert:
+schema per SURVEY.md §1.3, rows-per-file bound, row-range naming,
+manifest shape (reference README.md:79-99), JSON semantic equality,
+timestamps naive-UTC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import types as T
+
+from parquet_export_spark.export.pipeline import export_lake
+from parquet_export_spark.tables import TABLES
+from tests.vera_fixtures import fixture_dataframes, make_fixture_rows
+
+N = 50
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("lake"))
+    dfs = fixture_dataframes(spark, N)
+    # Tight rows_per_file to force file rotation (the main.py:232 path)
+    # plus a final partial file (the main.py:252-263 path).
+    tables = {
+        name: __import__("dataclasses").replace(spec, rows_per_file=20)
+        for name, spec in TABLES.items()
+    }
+    files = export_lake(spark, lambda s, spec: dfs[spec.name], out_dir, tables=tables)
+    return out_dir, files, dfs
+
+
+def test_manifest_shape(exported):
+    out_dir, files, _ = exported
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert set(manifest) == {"timestamp", "dateStr", "files"}
+    assert isinstance(manifest["timestamp"], int)
+    assert set(manifest["files"]) == set(TABLES)
+    for table, objs in manifest["files"].items():
+        assert objs == [f"{table}/{n}" for n in files[table]]
+        # every listed object exists (committed-files-only guarantee)
+        for obj in objs:
+            assert os.path.exists(os.path.join(out_dir, obj))
+
+
+def test_row_range_naming_and_bound(exported):
+    out_dir, files, _ = exported
+    import pyarrow.parquet as pq
+
+    pat = re.compile(r"^(\w+)_(\d+)_(\d+)_zstd\.parquet$")
+    for table, names in files.items():
+        prev_end = 0
+        for name in names:
+            m = pat.match(name)
+            assert m, name
+            start, end = int(m.group(2)), int(m.group(3))
+            assert start == prev_end
+            meta = pq.read_metadata(os.path.join(out_dir, table, name))
+            # range reflects ACTUAL rows (fix of reference main.py:222)
+            assert end - start == meta.num_rows
+            assert meta.num_rows <= 20  # rows_per_file bound
+            prev_end = end
+        expected_rows = N // 2 if table == "sources" else N
+        assert prev_end == expected_rows
+
+
+def test_declared_schema(exported, spark):
+    out_dir, files, _ = exported
+    for table, spec in TABLES.items():
+        df = spark.read.parquet(os.path.join(out_dir, table))
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in spec.schema.fields}
+        assert got == want, table
+        # column order preserved
+        assert [f.name for f in df.schema.fields] == spec.columns
+
+
+def test_timestamps_naive_utc(exported, spark):
+    out_dir, _, _ = exported
+    df = spark.read.parquet(os.path.join(out_dir, "code"))
+    field = dict((f.name, f.dataType) for f in df.schema.fields)["created_at"]
+    assert isinstance(field, T.TimestampNTZType)
+    rows = {r["code_hash"]: r for r in df.collect()}
+    for src in make_fixture_rows(N)["code"]:
+        got = rows[src["code_hash"]]["created_at"]
+        assert got.tzinfo is None
+        # wall clock equals the UTC wall clock of the tz-aware input
+        assert got == src["created_at"].replace(tzinfo=None)
+
+
+def test_json_semantic_fidelity(exported, spark):
+    out_dir, _, _ = exported
+    df = spark.read.parquet(os.path.join(out_dir, "compiled_contracts"))
+    rows = {r["id"]: r for r in df.collect()}
+    for src in make_fixture_rows(N)["compiled_contracts"]:
+        got = rows[src["id"]]
+        for col in TABLES["compiled_contracts"].json_columns:
+            if src[col] is None:
+                assert got[col] is None
+            else:
+                assert json.loads(got[col]) == json.loads(src[col])
+
+
+def test_unknown_dtype_fails_fast():
+    from parquet_export_spark.tables import spark_type
+
+    with pytest.raises(ValueError, match="Type not supported"):
+        spark_type("complex128")
+
+
+def test_jdbc_plan_construction():
+    from parquet_export_spark.sources.jdbc import JdbcSource
+
+    src = JdbcSource(url="jdbc:postgresql://localhost:5432/vera", user="u", password="p")
+    spec = TABLES["compiled_contracts"]
+    opts = src.reader_options(spec)
+    assert '"compiler_settings"::text' in opts["dbtable"]  # verbatim jsonb pushdown
+    assert opts["fetchsize"] == "10000"
+    dep_opts = src.reader_options(TABLES["contract_deployments"])
+    assert dep_opts["partitionColumn"] == "block_number"
+    preds = src.predicates(TABLES["contracts"])
+    assert len(preds) == 16 and preds[0].endswith("= 0")
+    off = src.dbtable(TABLES["contract_deployments"], offset=100)
+    assert "ORDER BY" in off and "OFFSET 100" in off

@@ -1,0 +1,142 @@
+"""Multimodal (binary payload) column operators (SURVEY.md §2C).
+
+Treats image/audio/video as opaque ``binary`` columns with typed
+metadata. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partition behavior — is real and tested;
+the actual media decoding is stubbed (no image/audio libs in this
+container) behind ``register_decoder`` / a deterministic fake.
+
+Pattern at 100 TB: binary payloads ride in their own column so column
+pruning skips them unless a stage needs bytes; feature extraction is
+``mapInPandas`` over Arrow batches (one Python hop, vectorized), with
+``spark.sql.files.maxPartitionBytes`` sizing partitions by payload
+weight rather than row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Feature schema produced by extract_features.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("media_type", T.StringType()),
+    ]
+)
+
+#: Magic-number sniffing over the payload prefix (pure bytes logic —
+#: real, not stubbed).
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+]
+
+
+def sniff_media_type(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    for magic, mtype in _MAGIC:
+        if payload.startswith(magic):
+            return mtype
+    if all(32 <= b < 127 or b in (9, 10, 13) for b in payload[:64]):
+        return "text/plain"
+    return "application/octet-stream"
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real image decode requires PIL/cv2, not in this container.
+
+    The Spark plumbing calls decoders through ``register_decoder``;
+    tests install a deterministic fake.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library; register a decoder via "
+        "register_decoder('image/png', fn)"
+    )
+
+
+_DECODERS: dict[str, Callable[[bytes], object]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes], object]) -> None:
+    _DECODERS[media_type] = fn
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Adapter for the testdata lake: materialize a binary payload
+    column from text (the documents table has no media blobs). Real
+    deployments read a true ``binary`` column instead."""
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload) batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(lambda b: 0 if b is None else len(b)).astype(
+                        "int32"
+                    ),
+                    "first_byte": payload.map(
+                        lambda b: -1 if b is None or len(b) == 0 else b[0]
+                    ).astype("int32"),
+                    "media_type": payload.map(
+                        lambda b: sniff_media_type(None if b is None else bytes(b))
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Registry entry: binary plumbing end-to-end over the documents
+    table (encode -> mapInPandas -> typed features). Oracle-checkable
+    because every feature is reproducible in SQL over the text."""
+    return extract_features(with_binary_payload(t["documents"])).orderBy("doc_id")
+
+
+def decoded_features(payloads: DataFrame, media_type: str) -> DataFrame:
+    """Decode via a registered decoder inside mapInPandas; the decoder
+    output is reduced to a stable (doc_id, width, height) shape.
+
+    Raises at plan-build time if no decoder is registered — fail fast
+    like the reference's unknown-dtype path (main.py:149-150).
+    """
+    if media_type not in _DECODERS:
+        raise NotImplementedError(f"no decoder registered for {media_type!r}")
+    decoder = _DECODERS[media_type]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(lambda b: decoder(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda d: d["width"]).astype("int32"),
+                    "height": decoded.map(lambda d: d["height"]).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema)

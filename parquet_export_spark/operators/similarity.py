@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY.md §2C).
+
+- **Brute-force cosine top-k** (the correctness baseline): broadcast
+  the query vectors, compute cosine with JVM array expressions
+  (zip_with/aggregate — no Python in the loop), take top-k per query
+  with a window. Oracle-checkable: both engines evaluate the same
+  cast-to-double-then-multiply-accumulate expression left-to-right, so
+  the doubles are bit-identical.
+- **LSH-bucketed ANN** (the scale path): sign-random-projection
+  bucketing; only same-bucket pairs are compared. Hash-derived
+  projection vectors keep it deterministic without storing a model.
+  Approximate -> rows-only check.
+
+At 100 TB: brute force is O(n·q) per query batch — fine for small q
+with a broadcast; the LSH variant turns it into a bucket equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: cosine over float arrays, computed in double with explicit casts so
+#: any engine reproduces the exact IEEE result (see module docstring).
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _cosine(a: str, b: str):
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def cosine_topk(t: dict[str, DataFrame], n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Rounded to 9 decimals before ranking so rank boundaries are stable
+    across engines; ties broken by neighbor id.
+    """
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = F.round(_cosine("q_emb", "embedding"), 9)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-vector L2 norm + dimension — cheap full-scan vector op."""
+    norm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(norm, 9).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def label_centroid_sim(t: dict[str, DataFrame]) -> DataFrame:
+    """Average pairwise-ish structure: cosine of each vector against its
+    label centroid. Exercises groupBy over vector columns (per-dim
+    aggregation via posexplode) — all JVM.
+
+    Deterministic: centroid components are exact-decimal means.
+    """
+    emb = t["embeddings"]
+    exploded = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            # float -> double first: engines disagree on float->decimal
+            # directly; the double's exact binary expansion rounded at
+            # scale 20 is engine-independent (no dyadic half-way cases).
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,20)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    sim = F.round(_cosine("embedding", "centroid"), 9)
+    return (
+        joined.select("vec_id", "label", sim.alias("centroid_sim"))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH ANN (scale path; rows-only)
+# --------------------------------------------------------------------------
+
+N_PLANES = 12
+
+
+def ann_lsh_buckets(t: dict[str, DataFrame], n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-random-projection bucket id per vector.
+
+    Projection vectors are derived from xxhash64(plane, dim) mapped to
+    [-0.5, 0.5) — deterministic, no stored model, computed inside the
+    JVM per row. Bucket = packed sign bits.
+    """
+    emb = t["embeddings"]
+    dim = 64  # embeddings table dimension (TESTDATA.md fixture)
+    plane_exprs = []
+    for p in range(n_planes):
+        # dot(embedding, plane_p) with hash-derived weights
+        terms = (
+            f"aggregate(zip_with(embedding, sequence(0, {dim - 1}), "
+            f"(x, i) -> CAST(x AS DOUBLE) * ((CAST(xxhash64({p}, i) AS DOUBLE)"
+            f" / 9223372036854775807D) / 2D)), 0D, (acc, v) -> acc + v)"
+        )
+        plane_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = F.expr(" + ".join(plane_exprs)).cast("long")
+    return emb.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
+
+
+def ann_lsh_neighbors(
+    t: dict[str, DataFrame], threshold: float = 0.6, n_planes: int = 8
+) -> DataFrame:
+    """Approximate similar pairs: same LSH bucket AND cosine >= threshold.
+
+    The bucket equi-join caps the candidate set; exact cosine verifies.
+    """
+    b = ann_lsh_buckets(t, n_planes=n_planes).join(
+        t["embeddings"], "vec_id"
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    )
+    sim = F.round(_cosine("x.embedding", "y.embedding"), 9)
+    return (
+        pairs.select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,163 @@
+"""Text analysis operators (SURVEY.md §2C): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in JVM string/array expressions (no Python UDFs in
+any hot path) and every ratio is a single division of exact integers,
+so the DuckDB oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+
+def token_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Whitespace tokens + word-regex tokens + distinct-token ratio."""
+    docs = t["documents"]
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_words = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    return (
+        docs.select(
+            "doc_id",
+            n_toks.alias("n_tokens"),
+            n_words.alias("n_word_tokens"),
+            n_distinct.alias("n_distinct_tokens"),
+            (n_distinct.cast("double") / n_toks.cast("double")).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+
+def quality_scores(t: dict[str, DataFrame]) -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality gate.
+
+    The score is a deterministic integer-arithmetic combination; the
+    boolean keep/drop is the training-pipeline filter decision.
+    """
+    docs = t["documents"]
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    # occurrences of ' the ' counted by length difference (identical
+    # replace semantics in Spark and DuckDB)
+    the_count = (
+        (n_chars - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5
+    ).cast("int")
+    mean_word_len = (n_chars - n_toks + 1).cast("double") / n_toks.cast("double")
+    stop_ratio = the_count.cast("double") / n_toks.cast("double")
+    keep = (
+        (n_toks >= 15)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_chars.alias("n_chars_computed"),
+            n_toks.alias("n_tokens"),
+            F.round(mean_word_len, 9).alias("mean_word_len"),
+            F.round(stop_ratio, 9).alias("stopword_ratio"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker-token heuristic)
+# --------------------------------------------------------------------------
+
+#: Marker tokens per language. The synthetic corpus is English-ish word
+#: soup, so markers are demonstrative; the heuristic structure (argmax
+#:  of per-language marker counts with a deterministic tie order) is
+#: what a real n-gram lang-ID would scale to.
+_MARKERS = {
+    "en": ("the", "a"),
+    "de": ("der", "und"),
+    "es": ("el", "la"),
+    "fr": ("le", "et"),
+}
+
+
+def _count_token(tok: str):
+    # count occurrences of token surrounded by spaces in ' text '
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    needle = f" {tok} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def lang_id(t: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic language ID + agreement with the labeled lang column."""
+    docs = t["documents"]
+    counts = {lang: sum(_count_token(m) for m in ms) for lang, ms in _MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _MARKERS:  # dict order = deterministic tie-break
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            *[counts[lang].alias(f"n_{lang}") for lang in _MARKERS],
+            pred.alias("pred_lang"),
+        )
+        .withColumn("agrees", F.col("pred_lang") == F.col("lang"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+
+def fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact and canonical (order-insensitive) content fingerprints.
+
+    - content_md5: byte-exact fingerprint
+    - bag_md5: md5 over the sorted distinct token set — equal for
+      docs that are permutations of the same vocabulary (the cheap
+      "same bag of words" near-dup key; pairs with dedup.py)
+    """
+    docs = t["documents"]
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            F.md5(bag).alias("bag_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_quality_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus rollup: doc counts + mean length per (lang, source) —
+    the monitoring query a curation pipeline runs per batch."""
+    docs = t["documents"]
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_chars"),
+        )
+        .orderBy("lang", "source")
+    )

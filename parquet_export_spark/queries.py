@@ -16,7 +16,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_export_spark.functions.scalar import davg_sql, dsum_sql
+from parquet_export_spark.operators import dedup as D
+from parquet_export_spark.operators import multimodal as M
 from parquet_export_spark.operators import relational as R
+from parquet_export_spark.operators import similarity as S
+from parquet_export_spark.operators import text as X
 from parquet_export_spark.sources.lake import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -358,6 +362,230 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
 }
+
+#: DuckDB twin of similarity._DOT — same cast-to-double-then-
+#: multiply-accumulate, indexed 1-based over the 64-dim vectors.
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), i ->"
+    " CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})), 9)"
+    )
+
+
+_QUALITY_EXPRS = """
+    LENGTH(text) AS n_chars_c,
+    LEN(string_split(text, ' ')) AS n_toks,
+    (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS the_cnt
+"""
+
+REGISTRY.update(
+    {
+        # ---------------- dedup ----------------
+        "dedup_exact": QuerySpec(
+            _rel(D.dedup_exact),
+            """
+            SELECT md5(text) AS content_hash,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY content_hash
+            """,
+        ),
+        "dedup_exact_keep_first": QuerySpec(
+            _rel(D.dedup_exact_keep_first),
+            """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+            ORDER BY doc_id
+            """,
+        ),
+        "neardup_jaccard_blocked": QuerySpec(
+            _rel(D.neardup_jaccard_blocked),
+            """
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))
+                            AS DOUBLE) AS jaccard
+                FROM (SELECT doc_id, lang, source,
+                             list_distinct(string_split(text, ' ')) s
+                      FROM documents) a
+                JOIN (SELECT doc_id, lang, source,
+                             list_distinct(string_split(text, ' ')) s
+                      FROM documents) b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.8
+            ORDER BY doc_a, doc_b
+            """,
+        ),
+        "neardup_minhash_lsh": QuerySpec(_rel(D.neardup_minhash_lsh), None),
+        "neardup_simhash": QuerySpec(_rel(D.neardup_simhash), None),
+        # ---------------- similarity search ----------------
+        "cosine_topk": QuerySpec(
+            _rel(S.cosine_topk),
+            f"""
+            SELECT query_id, neighbor_id, sim, rank FROM (
+                SELECT query_id, neighbor_id, sim,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+                FROM (
+                    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                           {_cos_sql('q.embedding', 'e.embedding')} AS sim
+                    FROM embeddings e
+                    JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+                      ON e.vec_id != q.vec_id))
+            WHERE rank <= 10 ORDER BY query_id, rank
+            """,
+        ),
+        "embedding_norms": QuerySpec(
+            _rel(S.embedding_norms),
+            f"""
+            SELECT vec_id, label,
+                   CAST(LEN(embedding) AS INTEGER) AS dim,
+                   ROUND(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 9)
+                       AS l2_norm
+            FROM embeddings ORDER BY vec_id
+            """,
+        ),
+        "label_centroid_sim": QuerySpec(
+            _rel(S.label_centroid_sim),
+            f"""
+            WITH c AS (
+                SELECT label, pos,
+                       CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE)
+                                     AS DECIMAL(38,20))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS c
+                FROM embeddings, UNNEST(range(1, 65)) AS t(pos)
+                GROUP BY label, pos),
+            centroids AS (
+                SELECT label, list(c ORDER BY pos) AS centroid
+                FROM c GROUP BY label)
+            SELECT e.vec_id, e.label,
+                   {_cos_sql('e.embedding', 'centroids.centroid')} AS centroid_sim
+            FROM embeddings e JOIN centroids ON e.label = centroids.label
+            ORDER BY e.vec_id
+            """,
+        ),
+        "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
+        "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
+        # ---------------- text analysis ----------------
+        "token_stats": QuerySpec(
+            _rel(X.token_stats),
+            """
+            SELECT doc_id,
+                   CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(LEN(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER)
+                       AS n_word_tokens,
+                   CAST(LEN(list_distinct(string_split(text, ' '))) AS INTEGER)
+                       AS n_distinct_tokens,
+                   CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                   CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS ttr
+            FROM documents ORDER BY doc_id
+            """,
+        ),
+        "quality_scores": QuerySpec(
+            _rel(X.quality_scores),
+            f"""
+            SELECT doc_id,
+                   CAST(n_chars_c AS INTEGER) AS n_chars_computed,
+                   CAST(n_toks AS INTEGER) AS n_tokens,
+                   ROUND(CAST(n_chars_c - n_toks + 1 AS DOUBLE)
+                         / CAST(n_toks AS DOUBLE), 9) AS mean_word_len,
+                   ROUND(CAST(CAST(the_cnt AS INTEGER) AS DOUBLE)
+                         / CAST(n_toks AS DOUBLE), 9) AS stopword_ratio,
+                   (n_toks >= 15
+                    AND CAST(n_chars_c - n_toks + 1 AS DOUBLE)
+                        / CAST(n_toks AS DOUBLE) >= 3.0
+                    AND CAST(n_chars_c - n_toks + 1 AS DOUBLE)
+                        / CAST(n_toks AS DOUBLE) <= 10.0) AS keep
+            FROM (SELECT doc_id, {_QUALITY_EXPRS} FROM documents)
+            ORDER BY doc_id
+            """,
+        ),
+        "lang_id": QuerySpec(
+            _rel(X.lang_id),
+            """
+            SELECT doc_id, lang, n_en, n_de, n_es, n_fr,
+                   CASE WHEN GREATEST(n_en, n_de, n_es, n_fr) <= 0 THEN 'und'
+                        WHEN n_en = GREATEST(n_en, n_de, n_es, n_fr) THEN 'en'
+                        WHEN n_de = GREATEST(n_en, n_de, n_es, n_fr) THEN 'de'
+                        WHEN n_es = GREATEST(n_en, n_de, n_es, n_fr) THEN 'es'
+                        WHEN n_fr = GREATEST(n_en, n_de, n_es, n_fr) THEN 'fr'
+                   END AS pred_lang,
+                   (CASE WHEN GREATEST(n_en, n_de, n_es, n_fr) <= 0 THEN 'und'
+                         WHEN n_en = GREATEST(n_en, n_de, n_es, n_fr) THEN 'en'
+                         WHEN n_de = GREATEST(n_en, n_de, n_es, n_fr) THEN 'de'
+                         WHEN n_es = GREATEST(n_en, n_de, n_es, n_fr) THEN 'es'
+                         WHEN n_fr = GREATEST(n_en, n_de, n_es, n_fr) THEN 'fr'
+                    END) = lang AS agrees
+            FROM (
+                SELECT doc_id, lang,
+                       CAST((LENGTH(p) - LENGTH(REPLACE(p, ' the ', ''))) / 5
+                            AS INTEGER)
+                       + CAST((LENGTH(p) - LENGTH(REPLACE(p, ' a ', ''))) / 3
+                              AS INTEGER) AS n_en,
+                       CAST((LENGTH(p) - LENGTH(REPLACE(p, ' der ', ''))) / 5
+                            AS INTEGER)
+                       + CAST((LENGTH(p) - LENGTH(REPLACE(p, ' und ', ''))) / 5
+                              AS INTEGER) AS n_de,
+                       CAST((LENGTH(p) - LENGTH(REPLACE(p, ' el ', ''))) / 4
+                            AS INTEGER)
+                       + CAST((LENGTH(p) - LENGTH(REPLACE(p, ' la ', ''))) / 4
+                              AS INTEGER) AS n_es,
+                       CAST((LENGTH(p) - LENGTH(REPLACE(p, ' le ', ''))) / 4
+                            AS INTEGER)
+                       + CAST((LENGTH(p) - LENGTH(REPLACE(p, ' et ', ''))) / 4
+                              AS INTEGER) AS n_fr
+                FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p
+                      FROM documents))
+            ORDER BY doc_id
+            """,
+        ),
+        "fingerprints": QuerySpec(
+            _rel(X.fingerprints),
+            """
+            SELECT doc_id,
+                   md5(text) AS content_md5,
+                   md5(array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS bag_md5
+            FROM documents ORDER BY doc_id
+            """,
+        ),
+        "lang_quality_summary": QuerySpec(
+            _rel(X.lang_quality_summary),
+            """
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars,
+                   CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_chars
+            FROM documents GROUP BY lang, source ORDER BY lang, source
+            """,
+        ),
+        # ---------------- multimodal ----------------
+        "multimodal_features": QuerySpec(
+            _rel(M.multimodal_features),
+            """
+            SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+                   CAST(CASE WHEN LENGTH(text) = 0 THEN -1
+                             ELSE ASCII(SUBSTRING(text, 1, 1)) END
+                        AS INTEGER) AS first_byte,
+                   CASE WHEN LENGTH(text) = 0 THEN 'empty'
+                        ELSE 'text/plain' END AS media_type
+            FROM documents ORDER BY doc_id
+            """,
+        ),
+    }
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,116 @@
+"""Quality tests for the approximate/plumbing extension operators that
+have no SQL oracle (SURVEY.md §2C): MinHash-LSH recall, SimHash sanity,
+ANN bucket behavior, multimodal decoder plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import dedup as D
+from parquet_export_spark.operators import multimodal as M
+from parquet_export_spark.operators import similarity as S
+from parquet_export_spark.sources.lake import load_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def _exact_shingle_pairs(spark, tables, threshold):
+    """Ground truth: all-pairs shingle jaccard >= threshold."""
+    sh = D._shingles(tables["documents"])
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", (inter.cast("double") / union.cast("double")).alias("j")
+        )
+        .filter(F.col("j") >= threshold)
+    )
+
+
+def test_minhash_lsh_recall_and_precision(spark, tables):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.neardup_minhash_lsh(tables, threshold=0.5).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b): r.j
+        for r in _exact_shingle_pairs(spark, tables, 0.5).collect()
+    }
+    # Precision is exact by construction (candidates are verified with
+    # exact jaccard): every reported pair must be a true pair.
+    assert set(got) <= set(truth)
+    for pair, j in got.items():
+        assert abs(j - truth[pair]) < 1e-12
+    # Recall: 8 bands x 4 rows catches j>=0.7 with prob ~1-(1-j^4)^8.
+    high = {p for p, j in truth.items() if j >= 0.7}
+    if high:
+        found = len(high & set(got)) / len(high)
+        assert found >= 0.9, f"recall {found} over {len(high)} high-sim pairs"
+
+
+def test_minhash_signature_shape(spark, tables):
+    sig = D.minhash_signatures(tables["documents"].limit(20))
+    rows = sig.collect()
+    assert all(len(r.sig) == D.N_HASHES for r in rows)
+    # deterministic across runs
+    again = {r.doc_id: r.sig for r in D.minhash_signatures(tables["documents"].limit(20)).collect()}
+    assert {r.doc_id: r.sig for r in rows} == again
+
+
+def test_simhash_identical_docs_zero_distance(spark, tables):
+    docs = tables["documents"].limit(10)
+    # duplicate every doc under a shifted id -> each pair must surface
+    # with hamming 0
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").union(dup)
+    pairs = D.neardup_simhash({"documents": both}, max_hamming=0).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    for r in docs.collect():
+        assert (r.doc_id, r.doc_id + 1_000_000) in got
+
+
+def test_ann_buckets_deterministic_and_selective(spark, tables):
+    b1 = {r.vec_id: r.bucket for r in S.ann_lsh_buckets(tables).collect()}
+    b2 = {r.vec_id: r.bucket for r in S.ann_lsh_buckets(tables).collect()}
+    assert b1 == b2
+    n_buckets = len(set(b1.values()))
+    assert n_buckets > 10  # actually partitions the space
+
+
+def test_ann_neighbors_subset_of_bruteforce(spark, tables):
+    ann = S.ann_lsh_neighbors(tables, threshold=0.6)
+    rows = ann.collect()
+    for r in rows:
+        assert r.sim >= 0.6
+        assert r.vec_a < r.vec_b
+
+
+def test_multimodal_decoder_plumbing(spark, tables):
+    payloads = M.with_binary_payload(tables["documents"].limit(16))
+    M.register_decoder("text/plain", lambda b: {"width": len(b), "height": 1})
+    out = M.decoded_features(payloads, "text/plain").collect()
+    assert len(out) == 16
+    assert all(r.height == 1 and r.width > 0 for r in out)
+    with pytest.raises(NotImplementedError, match="no decoder registered"):
+        M.decoded_features(payloads, "image/png")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        M.decode_image(b"\x89PNG....")
+
+
+def test_sniff_media_type():
+    assert M.sniff_media_type(b"\x89PNG\r\n") == "image/png"
+    assert M.sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"
+    assert M.sniff_media_type(b"RIFF....WAVE") == "audio/wav"
+    assert M.sniff_media_type(b"ID3\x04") == "audio/mpeg"
+    assert M.sniff_media_type(b"hello world") == "text/plain"
+    assert M.sniff_media_type(b"\x00\x01\x02") == "application/octet-stream"
+    assert M.sniff_media_type(None) == "empty"
+    assert M.sniff_media_type(b"") == "empty"

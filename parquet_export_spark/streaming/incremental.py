@@ -1,0 +1,137 @@
+"""Structured Streaming layer (SURVEY.md §2B.9, build plan phase 5).
+
+The reference is pure batch: freshness = "rerun the job, consumers
+poll the latest manifest" (reference README.md:5). This module supplies
+the streaming upgrades a continuously-fed lake needs:
+
+- ``stream_events``: file-source stream over an events directory —
+  new parquet files are discovered per micro-batch (the natural
+  landing-zone pattern at scale).
+- ``hourly_rollup_stream``: watermarked tumbling-window aggregation —
+  the streaming twin of ``relational.events_hourly_rollup``; late rows
+  beyond the watermark are dropped deterministically.
+- ``sessionize_stream``: session windows per user via
+  ``F.session_window`` (gap-based).
+- ``incremental_export``: batch-delta export — the ``updated_at``-
+  watermark pattern for incrementally re-exporting only changed rows;
+  works against any snapshot source, no CDC feed required.
+
+Tests drive these with the per-batch ``foreachBatch``/memory sink on
+the driver testdata; on a cluster the same code runs against a landing
+bucket with checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_export_spark.functions.scalar import dsum
+
+#: events table schema (TESTDATA.md) — streams must declare schemas.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over parquet event files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    # nanos -> timestamp (instant) for event-time semantics; the
+    # testdata timestamps are wall-clock UTC.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (streaming twin of
+    relational.events_hourly_rollup).
+
+    Late data beyond the watermark is dropped; state for closed
+    windows is evicted — bounded memory at any input rate.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity (F.session_window merges overlapping gaps in state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Execute a streaming query over a bounded source to completion
+    (availableNow) into an in-memory table; returns the result."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Incremental export (batch-delta with updated_at watermark)
+# --------------------------------------------------------------------------
+
+
+def incremental_export(
+    snapshot: DataFrame,
+    last_export_watermark,
+    updated_col: str = "updated_at",
+) -> DataFrame:
+    """Rows changed since the last export: the ``updated_at`` delta
+    pattern (SURVEY.md §2B.9 — the reference re-exports everything).
+
+    The predicate pushes to the source scan (JDBC or parquet), so an
+    incremental run reads only the delta, not the table.
+    """
+    return snapshot.filter(F.col(updated_col) > F.lit(last_export_watermark))

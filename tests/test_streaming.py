@@ -1,0 +1,82 @@
+"""Streaming layer tests: file-source stream -> watermarked windows ->
+memory sink, checked against the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_export_spark.sources.lake import load_table, table_path
+from parquet_export_spark.streaming import incremental as I
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # file-source streams require a directory; stage the single-file
+    # table as a landing dir (what a real ingest bucket looks like)
+    d = tmp_path_factory.mktemp("events_landing")
+    (d / "events-000.parquet").symlink_to(table_path(sf_dir, "events"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_dir):
+    return I.stream_events(spark, events_dir)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir, events_stream):
+    got = I.run_to_memory(
+        I.hourly_rollup_stream(events_stream), "hourly_test", spark
+    )
+    batch_events = load_table(spark, sf_dir, "events")
+    want = (
+        batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+    )
+    g = {(str(r.hour), r.event_type): (r.n_events, r.total_value) for r in got.collect()}
+    w = {(str(r.hour), r.event_type): (r.n_events, r.total_value) for r in want.collect()}
+    # availableNow over a bounded source: nothing is late, so the
+    # watermarked stream must equal the batch rollup exactly.
+    assert g == w
+
+
+def test_sessionize_stream_runs(spark, events_stream):
+    got = I.run_to_memory(
+        I.sessionize_stream(events_stream, gap="30 minutes"), "sess_test", spark
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_incremental_export_delta(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    from datetime import datetime, timezone
+
+    wm = datetime.fromtimestamp(cutoff / 1e6, tz=timezone.utc).replace(tzinfo=None)
+    delta = I.incremental_export(events, wm, updated_col="ts")
+    n_delta = delta.count()
+    n_total = events.count()
+    assert 0 < n_delta < n_total
+
+
+def test_incremental_export_pushdown(spark, sf_dir):
+    """On a native timestamp column the delta predicate reaches the
+    parquet scan. (events.ts is restored from nanos via a projection,
+    so it can't push — that's inherent to the legacy-nanos read path;
+    native µs/ms lakes like our own exporter output push fine.)"""
+    from datetime import datetime
+
+    orders = load_table(spark, sf_dir, "orders")
+    delta = I.incremental_export(orders, datetime(1998, 1, 1), updated_col="o_orderdate")
+    assert 0 < delta.count() < orders.count()
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(o_orderdate" in plan

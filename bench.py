@@ -56,8 +56,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the timed region.
+    # Warmup outside the timed region: JVM/codegen JIT, parquet footer
+    # reads (table registration), zstd codec init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from parquet_export_spark.sources.lake import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -72,11 +72,23 @@ def neardup_jaccard_blocked(t: dict[str, DataFrame], threshold: float = 0.8) -> 
     token arrays. Jaccard is an exact ratio of ints -> deterministic
     double, so DuckDB hash-matches.
     """
-    toks = t["documents"].select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+    # Single-file scans arrive as one partition; spread the probe side
+    # across cores on the blocking key before the per-pair set math.
+    # At 100 TB this is the same shuffle a blocked join needs anyway.
+    # Tokens are hashed to longs up front: set intersection over int64
+    # is ~an order of magnitude cheaper than over strings, and Jaccard
+    # only needs set cardinalities (64-bit collisions are negligible).
+    toks = (
+        t["documents"]
+        .repartition("lang", "source")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"
+            ).alias("toks"),
+        )
     )
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
@@ -107,33 +119,53 @@ N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.7 with high prob.
 
 
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
-    """Word k-gram shingles per doc (JVM: transform over token index)."""
-    return df.select(
+    """Word k-gram shingles per doc, hashed to int64 (JVM expressions).
+
+    Repartitions by doc_id first: a single-file scan otherwise pins
+    the whole shingle/hash loop to one core. Hashing each shingle to a
+    long makes every downstream set op integer-wide.
+    """
+    df = df.repartition("doc_id")
+    # Two-step select: split once per row — referencing split() inside
+    # the shingle lambda would re-tokenize the text per shingle index.
+    return df.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                f"transform(sequence(0, greatest(size(split(text, ' ')) - {k}, 0)),"
-                f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k})))"
+                f"transform(sequence(0, greatest(size(toks) - {k}, 0)),"
+                f" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {k}))))"
             )
         ).alias("shingles"),
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id -> array of minhash values, one per hash function.
+#: Multiply-add hash family constants (odd multipliers), fixed seed.
+import random as _random
 
-    Hash family: xxhash64(shingle, seed=j). min() per seed is computed
-    in one pass over exploded shingles — a single groupBy(doc_id), all
-    JVM-side.
+_rng = _random.Random(0x5EED)
+_HASH_AB = [
+    ((_rng.getrandbits(62) | 1), _rng.getrandbits(62)) for _ in range(N_HASHES)
+]
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id -> minhash signature array (+ the shingle hashes).
+
+    Hash family: h_j(s) = a_j * s + b_j over the pre-hashed (int64)
+    shingles — natural 64-bit overflow, one multiply-add per element,
+    fully computable inside a projection. The trailing repartition
+    materializes an exchange so the (relatively) expensive signature
+    branch is REUSED (ReusedExchange) when callers self-join it,
+    instead of being recomputed per branch.
     """
-    sh = _shingles(docs).select("doc_id", F.explode("shingles").alias("sh"))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"h{j}") for j in range(n_hashes)
+        F.expr(f"array_min(transform(shingles, s -> {a}L * s + {b}L))").alias(f"h{j}")
+        for j, (a, b) in enumerate(_HASH_AB[:n_hashes])
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"h{j}" for j in range(n_hashes)]).alias("sig")
+    sig = _shingles(docs).select(
+        "doc_id", "shingles", F.array(*[m for m in mins]).alias("sig")
     )
+    return sig.repartition("doc_id")
 
 
 def neardup_minhash_lsh(
@@ -148,9 +180,12 @@ def neardup_minhash_lsh(
     candidate pairs only. Output columns match
     ``neardup_jaccard_blocked`` (doc_a, doc_b, jaccard).
     """
-    docs = t["documents"]
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(t["documents"])
     rows_per_band = N_HASHES // n_bands
+    # Slim (doc_id, band, bucket) rows for the bucket equi-join — the
+    # shingle arrays are NOT carried through the band explode (that
+    # would duplicate payload x n_bands); they're joined back only for
+    # the verified candidate pairs.
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -180,7 +215,7 @@ def neardup_minhash_lsh(
         )
         .distinct()
     )
-    sh = _shingles(docs)
+    sh = sig.select("doc_id", "shingles")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -203,31 +238,28 @@ def neardup_minhash_lsh(
 # --------------------------------------------------------------------------
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: sign of per-bit weighted sums of token
-    hashes. Entirely JVM expressions: explode tokens -> per-bit ±1
-    contributions -> groupBy sum -> pack bits."""
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.xxhash64("tok")
-    sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+def simhash_signatures(docs: DataFrame, bits: int = 63) -> DataFrame:
+    """63-bit SimHash per doc (bit 63 unused: keeps the long positive).
+
+    Bit i is set when more token hashes have bit i set than cleared
+    (token frequency weighting preserved — raw tokens, not the
+    distinct set). Computed as one per-row projection: no explode, no
+    shuffle; signature generation is embarrassingly parallel.
+    """
+    toksh = F.expr("transform(split(text, ' '), x -> xxhash64(x))")
+    packed = F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc +
+            IF(2 * size(filter(toksh, h -> (shiftright(h, i) & 1) = 1))
+                   > size(toksh),
+               shiftleft(1L, i), 0L))"""
     )
-    packed = sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
-                for i in range(bits - 1)  # bit 63 excluded: keep positive long
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    return (
+        docs.repartition("doc_id")
+        .select("doc_id", toksh.alias("toksh"))
+        .select("doc_id", packed.alias("simhash"))
+        # exchange boundary: self-joins reuse the computed signatures
+        .repartition("doc_id")
     )
-    return packed
 
 
 def neardup_simhash(t: dict[str, DataFrame], max_hamming: int = 8) -> DataFrame:

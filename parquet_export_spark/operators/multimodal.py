@@ -75,8 +75,14 @@ def register_decoder(media_type: str, fn: Callable[[bytes], object]) -> None:
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Adapter for the testdata lake: materialize a binary payload
     column from text (the documents table has no media blobs). Real
-    deployments read a true ``binary`` column instead."""
-    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    deployments read a true ``binary`` column instead.
+
+    Repartitioned so mapInPandas fans out across Python workers
+    instead of inheriting a single input split.
+    """
+    return docs.repartition("doc_id").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:

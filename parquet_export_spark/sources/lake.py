@@ -87,10 +87,23 @@ def _restore_nanos_columns(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+#: (session id, lake dir) -> table DataFrames. A DataFrame is a reusable
+#: logical plan; caching it avoids re-reading parquet footers (one
+#: schema-discovery job per table) on every query invocation.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, lake_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
-    return {n: load_table(spark, lake_dir, n) for n in (names or STAR_TABLES)}
+    key = (id(spark._jsparkSession), lake_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = _TABLE_CACHE[key] = {}
+    for n in names or STAR_TABLES:
+        if n not in cached:
+            cached[n] = load_table(spark, lake_dir, n)
+    return cached
 
 
 def register_temp_views(

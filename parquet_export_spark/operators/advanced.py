@@ -1,0 +1,323 @@
+"""Advanced relational patterns (SURVEY.md §2B continued): subquery
+shapes, as-of joins, sessionization, pivot/unpivot, grouping sets.
+
+Same contract as operators/relational.py: table-dict in, DataFrame
+out, aliases matched to the DuckDB oracles in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parquet_export_spark.functions.scalar import davg, dsum
+
+# --------------------------------------------------------------------------
+# Subquery shapes (rewritten as joins — how Catalyst executes them too)
+# --------------------------------------------------------------------------
+
+
+def q4_order_priority_exists(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg) ->
+    broadcast join against the aggregated subquery."""
+    li = t["lineitem"]
+    part = t["part"].filter(F.col("p_brand") == "Brand#11")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_orders_having(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q18 shape: groupBy + HAVING on the aggregate."""
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate; Catalyst extracts
+    the common p_partkey equi-condition and keeps the rest residual."""
+    li, part = t["lineitem"], t["part"]
+    cond = (li.l_partkey == part.p_partkey) & (
+        ((part.p_brand == "Brand#11") & (part.p_size <= 15) & (li.l_quantity >= 1) & (li.l_quantity <= 20))
+        | ((part.p_brand == "Brand#21") & (part.p_size <= 30) & (li.l_quantity >= 10) & (li.l_quantity <= 30))
+        | ((part.p_type == "PROMO") & (li.l_discount >= 0.05))
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_inactive_rich_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg) + anti join."""
+    cust, orders = t["customer"], t["orders"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q14_promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    part = t["part"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), scale=6)
+                / dsum(rev, scale=6)
+            ).alias("promo_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (no native Spark op — window + last_value composition)
+# --------------------------------------------------------------------------
+
+
+def asof_purchase_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """As-of join: each purchase event matched to the latest click by
+    the same user at-or-before the purchase time.
+
+    Spark has no native ASOF JOIN; the scalable composition is:
+    union both streams -> single window sort per user -> carry the
+    last click forward (last_value ignoring nulls) -> keep purchases.
+    One shuffle on user_id; no range join explosion.
+    """
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("eid"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("kind")
+    )
+    both = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts (kind asc) => a click at
+    # the same instant is attributable.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = both.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    ).withColumn(
+        "last_click_id",
+        F.last(F.when(F.col("kind") == 0, F.col("eid")), ignorenulls=True).over(w),
+    )
+    return (
+        attributed.filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            F.col("eid").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+            "last_click_ts",
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (batch)
+# --------------------------------------------------------------------------
+
+
+def sessionize_batch(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions: lag -> new-session flag -> running count as
+    session id -> per-session aggregate. Two window passes over one
+    user_id shuffle; the standard batch sessionization at any scale."""
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap on NTZ values: second-granularity diffs
+    # truncate/count-boundaries differently across engines.
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    flagged = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("_prev_ts").isNull() | (gap_us > gap_minutes * 60 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .drop("_prev_ts")
+    )
+    with_id = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot / grouping sets / null & array functions
+# --------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def pivot_segment_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Pivot: nation x market-segment customer counts (explicit value
+    list — required for a deterministic schema, and at scale avoids a
+    value-discovery pass)."""
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _SEGMENTS)
+        .orderBy("c_nationkey")
+    )
+
+
+def unpivot_segment_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Unpivot (melt) the pivoted table back to long form."""
+    wide = pivot_segment_counts(t)
+    return (
+        wide.unpivot(
+            "c_nationkey", _SEGMENTS, "segment", "n_customers"
+        )
+        .filter(F.col("n_customers") > 0)
+        .orderBy("c_nationkey", "segment")
+    )
+
+
+def grouping_sets_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL interface (also demonstrates
+    spark.sql over registered views)."""
+    li = t["lineitem"]
+    li.createOrReplaceTempView("_gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+def null_handling_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """coalesce / nullif / nvl2 / null-safe equality over the left-join
+    null surface."""
+    o = t["orders"].filter(F.col("o_totalprice") > 400_000)
+    c = t["customer"]
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return (
+        j.select(
+            "c_custkey",
+            F.coalesce("o_orderkey", F.lit(-1)).alias("orderkey_or_default"),
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_nullif_f"),
+            F.when(F.col("o_orderkey").isNull(), "none").otherwise("some").alias(
+                "has_big_order"
+            ),
+            F.col("o_orderkey").eqNullSafe(F.lit(None).cast("long")).alias(
+                "is_null_safe_eq"
+            ),
+        )
+        .orderBy("c_custkey", "orderkey_or_default")
+    )
+
+
+def array_collect_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """collect_list/set into arrays + array ops + map construction."""
+    li = t["lineitem"].filter(F.col("l_orderkey") < 100)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+            # keyed by 1-based position (l_linenumber can repeat in the
+            # synthetic data; map keys must be unique)
+            F.map_from_entries(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(l_linenumber, l_quantity))), (x, i) ->"
+                    " struct(i + 1 AS k, x.l_quantity AS v))"
+                )
+            ).alias("qty_by_line"),
+        )
+        .select(
+            "l_orderkey",
+            "line_numbers",
+            "flags",
+            F.size("line_numbers").alias("n_lines"),
+            F.element_at(F.col("line_numbers"), 1).alias("first_line"),
+            F.map_keys("qty_by_line").alias("map_keys_sorted"),
+        )
+        .orderBy("l_orderkey")
+    )

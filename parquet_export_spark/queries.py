@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_export_spark.functions.scalar import davg_sql, dsum_sql
+from parquet_export_spark.operators import advanced as A
 from parquet_export_spark.operators import dedup as D
 from parquet_export_spark.operators import multimodal as M
 from parquet_export_spark.operators import relational as R
@@ -568,6 +569,201 @@ REGISTRY.update(
                    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                        AS mean_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+            """,
+        ),
+        # ---------------- subquery shapes ----------------
+        "q4_order_priority_exists": QuerySpec(
+            _rel(A.q4_order_priority_exists),
+            """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+            """,
+        ),
+        "q17_small_quantity_revenue": QuerySpec(
+            _rel(A.q17_small_quantity_revenue),
+            f"""
+            SELECT {dsum_sql('l_extendedprice')} AS total_price,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN (SELECT l_partkey AS pk, {davg_sql('l_quantity')} AS avg_qty
+                  FROM lineitem GROUP BY l_partkey) a ON l_partkey = a.pk
+            WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * avg_qty
+            """,
+        ),
+        "q18_large_orders_having": QuerySpec(
+            _rel(A.q18_large_orders_having),
+            f"""
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+            FROM (SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING total_qty > 250) b
+            JOIN orders ON b.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey
+            """,
+        ),
+        "q19_disjunctive_predicates": QuerySpec(
+            _rel(A.q19_disjunctive_predicates),
+            f"""
+            SELECT {dsum_sql(_REV, scale=6)} AS revenue, COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size <= 15
+                   AND l_quantity >= 1 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#21' AND p_size <= 30
+                   AND l_quantity >= 10 AND l_quantity <= 30)
+               OR (p_type = 'PROMO' AND l_discount >= 0.05)
+            """,
+        ),
+        "q22_inactive_rich_customers": QuerySpec(
+            _rel(A.q22_inactive_rich_customers),
+            f"""
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   {dsum_sql('c_acctbal')} AS total_bal
+            FROM customer
+            WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+            """,
+        ),
+        "q14_promo_revenue_share": QuerySpec(
+            _rel(A.q14_promo_revenue_share),
+            f"""
+            SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' THEN " + _REV + " ELSE 0.0 END", scale=6)}
+                   / {dsum_sql(_REV, scale=6)} AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            """,
+        ),
+        # ---------------- as-of join / sessionization ----------------
+        "asof_purchase_attribution": QuerySpec(
+            _rel(A.asof_purchase_attribution),
+            """
+            WITH bo AS (
+                SELECT user_id, ts, event_id AS eid, 0 AS kind FROM events
+                WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, event_id, 1 FROM events
+                WHERE event_type = 'purchase')
+            SELECT user_id, eid AS purchase_id, ts AS purchase_ts,
+                   last_click_id, last_click_ts
+            FROM (
+                SELECT *,
+                       LAST_VALUE(CASE WHEN kind = 0 THEN eid END IGNORE NULLS)
+                           OVER w AS last_click_id,
+                       LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                           OVER w AS last_click_ts
+                FROM bo
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, eid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            WHERE kind = 1
+            ORDER BY user_id, purchase_ts, purchase_id
+            """,
+        ),
+        "sessionize_batch": QuerySpec(
+            _rel(A.sessionize_batch),
+            f"""
+            WITH flagged AS (
+                SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                    > 1800000000
+                               THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            with_id AS (
+                SELECT *, CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+                FROM flagged)
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   {dsum_sql('value', scale=6)} AS session_value
+            FROM with_id GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+            """,
+        ),
+        # ---------------- pivot / unpivot / grouping sets ----------------
+        "pivot_segment_counts": QuerySpec(
+            _rel(A.pivot_segment_counts),
+            """
+            SELECT c_nationkey,
+                   COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END)
+                       AS "AUTOMOBILE",
+                   COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+                       AS "BUILDING",
+                   COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END)
+                       AS "FURNITURE",
+                   COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END)
+                       AS "HOUSEHOLD",
+                   COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END)
+                       AS "MACHINERY"
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+            """,
+        ),
+        "unpivot_segment_counts": QuerySpec(
+            _rel(A.unpivot_segment_counts),
+            """
+            SELECT c_nationkey, c_mktsegment AS segment,
+                   COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+            HAVING COUNT(*) > 0
+            ORDER BY c_nationkey, segment
+            """,
+        ),
+        "grouping_sets_revenue": QuerySpec(
+            _rel(A.grouping_sets_revenue),
+            """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY gid, l_returnflag, l_linestatus
+            """,
+        ),
+        "null_handling_funcs": QuerySpec(
+            _rel(A.null_handling_funcs),
+            """
+            SELECT c_custkey,
+                   COALESCE(o_orderkey, -1) AS orderkey_or_default,
+                   NULLIF(o_orderstatus, 'F') AS status_nullif_f,
+                   CASE WHEN o_orderkey IS NULL THEN 'none' ELSE 'some' END
+                       AS has_big_order,
+                   o_orderkey IS NOT DISTINCT FROM NULL AS is_null_safe_eq
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+              ON c_custkey = o.o_custkey
+            ORDER BY c_custkey, orderkey_or_default
+            """,
+        ),
+        "array_collect_funcs": QuerySpec(
+            _rel(A.array_collect_funcs),
+            """
+            SELECT l_orderkey, line_numbers, flags,
+                   CAST(LEN(line_numbers) AS INTEGER) AS n_lines,
+                   line_numbers[1] AS first_line,
+                   list_transform(range(1, LEN(line_numbers) + 1),
+                                  i -> CAST(i AS INTEGER)) AS map_keys_sorted
+            FROM (
+                SELECT l_orderkey,
+                       list_sort(list(l_linenumber)) AS line_numbers,
+                       list_sort(list(DISTINCT l_returnflag)) AS flags
+                FROM lineitem WHERE l_orderkey < 100
+                GROUP BY l_orderkey)
+            ORDER BY l_orderkey
             """,
         ),
         # ---------------- multimodal ----------------

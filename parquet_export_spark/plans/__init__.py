@@ -1,0 +1,7 @@
+from parquet_export_spark.plans.inspect import (  # noqa: F401
+    count_broadcast_joins,
+    count_shuffles,
+    plan_string,
+    read_schemas,
+    pushed_filters,
+)

@@ -1,0 +1,100 @@
+"""Plan-shape tests: the 100 TB design rules as assertions.
+
+Pins, for each headline query family: predicate pushdown reaches the
+scan, column pruning holds (no reading 11 columns for a 3-column
+query), small dimensions broadcast, and the shuffle count is the
+expected minimum. A regression that silently de-optimizes a plan
+fails here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_export_spark.plans import inspect as P
+from parquet_export_spark.queries import REGISTRY
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    [schema] = P.read_schemas(df)
+    # 4 of lineitem's 11 columns — pruning is working
+    assert schema == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_filter_project_prunes(spark, sf_dir):
+    df = q("filter_project", spark, sf_dir)
+    [schema] = P.read_schemas(df)
+    assert schema == {"l_orderkey", "l_linenumber", "l_quantity", "l_discount"}
+    assert any("GreaterThan(l_quantity,45.0)" in f for f in P.pushed_filters(df))
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    df = q("q5_revenue_by_nation", spark, sf_dir)
+    # customer, supplier, nation, region broadcast; only the
+    # lineitem-orders join + final agg/sort shuffle.
+    assert P.count_broadcast_joins(df) >= 4
+    # orders-side date filter reaches its scan
+    assert any("o_orderdate,1996-01-01" in f for f in P.pushed_filters(df))
+    # every scan is pruned: no scan reads more than 4 columns
+    assert all(len(s) <= 4 for s in P.read_schemas(df))
+
+
+def test_q5_shuffle_budget(spark, sf_dir):
+    df = q("q5_revenue_by_nation", spark, sf_dir)
+    # SMJ(lineitem, orders): 2 exchanges; aggregate: 1; sort: 1.
+    assert P.count_shuffles(df) <= 4
+
+
+def test_dedup_exact_reads_minimum(spark, sf_dir):
+    df = q("dedup_exact", spark, sf_dir)
+    [schema] = P.read_schemas(df)
+    # digest groupBy needs only the key source and the kept id
+    assert schema == {"doc_id", "text"}
+
+
+def test_join_semi_broadcasts(spark, sf_dir):
+    df = q("join_semi", spark, sf_dir)
+    assert P.count_broadcast_joins(df) == 1
+    assert P.count_shuffles(df) <= 1  # sort only
+    assert any("EqualTo(o_orderpriority,1-URGENT)" in f for f in P.pushed_filters(df))
+
+
+def test_q1_single_agg_shuffle(spark, sf_dir):
+    df = q("q1_pricing_summary", spark, sf_dir)
+    # partial agg map-side, one exchange for final agg, one for sort
+    assert P.count_shuffles(df) <= 2
+    assert any("l_shipdate" in f for f in P.pushed_filters(df))
+
+
+def test_neardup_blocked_is_hash_join(spark, sf_dir):
+    df = q("neardup_jaccard_blocked", spark, sf_dir)
+    plan = P.plan_string(df)
+    # blocked on equality keys -> hash join, never nested-loop cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    df = q("cosine_topk", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the full-table side is never shuffled for the join itself
+    assert any("vec_id" in s and "embedding" in s for s in P.read_schemas(df))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q5_revenue_by_nation", "window_topk_per_group"],
+)
+def test_wholestage_codegen_present(spark, sf_dir, name):
+    # post-AQE executed plan: '*(n)' prefixes mark codegen'd stages
+    plan = P.executed_plan_string(q(name, spark, sf_dir))
+    assert "*(1)" in plan

@@ -50,10 +50,11 @@ def count_broadcast_joins(df: DataFrame) -> int:
 
 
 def executed_plan_string(df: DataFrame) -> str:
-    """Final (post-AQE) physical plan: executes the plan into the noop
-    sink first so AdaptiveSparkPlan is resolved. Codegen'd operators
-    carry the ``*(n)`` stage prefix here."""
-    df.write.format("noop").mode("overwrite").save()
+    """Final (post-AQE) physical plan: executes THIS DataFrame's own
+    QueryExecution (collect) so its AdaptiveSparkPlan resolves to the
+    final plan. Codegen'd operators carry the ``*(n)`` stage prefix.
+    Intended for tests at small scale (collect is driver-side)."""
+    df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -1,0 +1,264 @@
+"""Deeper TPC-H-shaped coverage (SURVEY.md §2B.3/4 continued).
+
+The driver's star schema has no partsupp table, so the part-supplier
+"supply" relation is derived from observed lineitem (l_partkey,
+l_suppkey) pairs; each query keeps the *operator shape* of its TPC-H
+counterpart (correlated mins, nation-pair volume, market share,
+profit rollup, top-supplier scalar subquery, double-correlated
+exists / not-exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parquet_export_spark.functions.scalar import davg, dsum
+
+
+def q2_min_balance_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q2 shape: correlated MIN subquery — for each part, the supplier
+    with the lowest account balance among its observed suppliers."""
+    supply = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    )
+    supp = t["supplier"]
+    joined = supply.join(
+        F.broadcast(supp), supply.l_suppkey == supp.s_suppkey
+    ).select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+    min_bal = joined.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        joined.join(
+            F.broadcast(min_bal),
+            (joined.l_partkey == min_bal.pk)
+            & (joined.s_acctbal == min_bal.min_bal),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def q7_nation_pair_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """Q7 shape: revenue between supplier-nation and customer-nation
+    pairs per year (both directions, nations distinct)."""
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    supp, nation = t["supplier"], t["nation"]
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "volume"
+            )
+        )
+        .filter(F.col("volume") > 50_000)
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Q8 shape: one nation's share of regional revenue per year
+    (conditional-aggregate ratio over a multi-join)."""
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    nation, region = t["nation"], t["region"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    europe = region.filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(europe), F.col("cn_region") == europe.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("cust_nation") == "NATION_13", rev).otherwise(0.0),
+                    scale=6,
+                )
+                / dsum(rev, scale=6)
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """Q9 shape: profit (revenue - synthetic cost) for pattern-matched
+    parts, rolled up by supplier nation and year."""
+    li, supp, nation, part = t["lineitem"], t["supplier"], t["nation"], t["part"]
+    widgets = part.filter(F.col("p_name").like("%widget%"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(profit, scale=6).alias("profit"))
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+def q13_order_count_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Q13 shape: two-level aggregation — orders per customer (left
+    join keeps zero-order customers), then customers per order count."""
+    cust, orders = t["customer"], t["orders"]
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q15 shape: per-supplier revenue vs the MAX over all suppliers
+    (scalar subquery on an aggregate)."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    supp = t["supplier"]
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("mr"))
+        .join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute group,
+    excluding suppliers via a NOT IN subquery."""
+    supply = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].filter(F.col("p_brand") != "Brand#11")
+    bad_suppliers = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_sk")
+    )
+    return (
+        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_suppliers),
+            supply.l_suppkey == F.col("bad_sk"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_heavy_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Q20 shape: semi-join on an aggregate threshold — suppliers whose
+    shipped widget quantity exceeds half their total shipped quantity."""
+    li, part, supp = t["lineitem"], t["part"], t["supplier"]
+    widgets = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    widget_qty = (
+        li.join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("wk"))
+        .agg(dsum("l_quantity").alias("widget_qty"))
+    )
+    total_qty = li.groupBy(F.col("l_suppkey").alias("tk")).agg(
+        dsum("l_quantity").alias("total_qty")
+    )
+    return (
+        widget_qty.join(total_qty, F.col("wk") == F.col("tk"))
+        .filter(F.col("widget_qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("wk") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "widget_qty", "total_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_exclusive_return_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Q21 shape: double-correlated EXISTS / NOT EXISTS, composed as
+    window counts over one shuffle — orders where exactly one supplier
+    had returned lines and others shipped clean."""
+    li = t["lineitem"]
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = per_os.withColumn(
+        "n_suppliers", F.count(F.lit(1)).over(w)
+    ).withColumn("n_with_r", F.sum("has_r").over(w))
+    culprits = marked.filter(
+        (F.col("n_suppliers") >= 2) & (F.col("n_with_r") == 1) & (F.col("has_r") == 1)
+    )
+    supp = t["supplier"]
+    return (
+        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+def funnel_signup_click_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Event funnel: users whose first signup precedes their first
+    click which precedes their first purchase (min-per-type pivot +
+    ordered comparison — the sequence-match staple)."""
+    ev = t["events"]
+    firsts = (
+        ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "first_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_purchase"
+            ),
+        )
+    )
+    return (
+        firsts.filter(
+            F.col("first_signup").isNotNull()
+            & F.col("first_click").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_signup") < F.col("first_click"))
+            & (F.col("first_click") < F.col("first_purchase"))
+        )
+        .select("user_id", "first_signup", "first_click", "first_purchase")
+        .orderBy("user_id")
+    )

@@ -22,6 +22,7 @@ from parquet_export_spark.operators import multimodal as M
 from parquet_export_spark.operators import relational as R
 from parquet_export_spark.operators import similarity as S
 from parquet_export_spark.operators import text as X
+from parquet_export_spark.operators import tpch_extra as TE
 from parquet_export_spark.sources.lake import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -569,6 +570,168 @@ REGISTRY.update(
                    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                        AS mean_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+            """,
+        ),
+        # ---------------- deeper TPC-H shapes ----------------
+        "q2_min_balance_supplier": QuerySpec(
+            _rel(TE.q2_min_balance_supplier),
+            """
+            WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            j AS (SELECT l_partkey, s_suppkey, s_name, s_acctbal
+                  FROM supply JOIN supplier ON l_suppkey = s_suppkey)
+            SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal
+            FROM j
+            WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM j j2
+                               WHERE j2.l_partkey = j.l_partkey)
+            ORDER BY p_partkey, s_suppkey
+            """,
+        ),
+        "q7_nation_pair_volume": QuerySpec(
+            _rel(TE.q7_nation_pair_volume),
+            f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+                   {dsum_sql(_REV, scale=6)} AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name != n2.n_name
+            GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+            HAVING {dsum_sql(_REV, scale=6)} > 50000
+            ORDER BY supp_nation, cust_nation, ship_year
+            """,
+        ),
+        "q8_market_share": QuerySpec(
+            _rel(TE.q8_market_share),
+            f"""
+            SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+                   {dsum_sql("CASE WHEN n_name = 'NATION_13' THEN " + _REV + " ELSE 0.0 END", scale=6)}
+                   / {dsum_sql(_REV, scale=6)} AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY YEAR(o_orderdate) ORDER BY order_year
+            """,
+        ),
+        "q9_product_profit": QuerySpec(
+            _rel(TE.q9_product_profit),
+            f"""
+            SELECT n_name AS supp_nation,
+                   CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+                   {dsum_sql(_REV + " - 0.4 * p_retailprice * l_quantity", scale=6)}
+                       AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, YEAR(l_shipdate)
+            ORDER BY supp_nation, ship_year
+            """,
+        ),
+        "q13_order_count_distribution": QuerySpec(
+            _rel(TE.q13_order_count_distribution),
+            """
+            SELECT n_orders, COUNT(*) AS n_customers
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY n_orders
+            ORDER BY n_customers DESC, n_orders DESC
+            """,
+        ),
+        "q15_top_supplier": QuerySpec(
+            _rel(TE.q15_top_supplier),
+            f"""
+            WITH rev AS (
+                SELECT l_suppkey AS sk, {dsum_sql(_REV, scale=6)} AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON sk = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+            """,
+        ),
+        "q16_supplier_counts": QuerySpec(
+            _rel(TE.q16_supplier_counts),
+            """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand != 'Brand#11'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+            """,
+        ),
+        "q20_heavy_suppliers": QuerySpec(
+            _rel(TE.q20_heavy_suppliers),
+            f"""
+            WITH wq AS (
+                SELECT l_suppkey AS wk, {dsum_sql('l_quantity')} AS widget_qty
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%widget%')
+                GROUP BY l_suppkey),
+            tq AS (
+                SELECT l_suppkey AS tk, {dsum_sql('l_quantity')} AS total_qty
+                FROM lineitem GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, widget_qty, total_qty
+            FROM wq JOIN tq ON wk = tk
+            JOIN supplier ON wk = s_suppkey
+            WHERE widget_qty > 0.5 * total_qty
+            ORDER BY s_suppkey
+            """,
+        ),
+        "q21_exclusive_return_suppliers": QuerySpec(
+            _rel(TE.q21_exclusive_return_suppliers),
+            """
+            WITH per_os AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+                FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            marked AS (
+                SELECT *,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+                       SUM(has_r) OVER (PARTITION BY l_orderkey) AS n_with_r
+                FROM per_os)
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM marked JOIN supplier ON l_suppkey = s_suppkey
+            WHERE n_suppliers >= 2 AND n_with_r = 1 AND has_r = 1
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey
+            """,
+        ),
+        "funnel_signup_click_purchase": QuerySpec(
+            _rel(TE.funnel_signup_click_purchase),
+            """
+            SELECT user_id, first_signup, first_click, first_purchase
+            FROM (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                           AS first_signup,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END)
+                           AS first_click,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS first_purchase
+                FROM events
+                WHERE event_type IN ('signup', 'click', 'purchase')
+                GROUP BY user_id)
+            WHERE first_signup IS NOT NULL AND first_click IS NOT NULL
+              AND first_purchase IS NOT NULL
+              AND first_signup < first_click AND first_click < first_purchase
+            ORDER BY user_id
             """,
         ),
         # ---------------- subquery shapes ----------------

@@ -1,0 +1,93 @@
+"""CLI: the reference's ``python main.py`` surface, Spark-first.
+
+    python -m parquet_export_spark export \
+        --source parquet:/path/to/source-lake \
+        --out /path/to/output-lake [--table code] [--limit 1000]
+
+Environment parity with the reference (main.py:27-28, 270-276,
+.env-template):
+
+- ``DEBUG_TABLE``   export exactly one table  (same name/semantics)
+- ``DEBUG_OFFSET``  skip rows (ordered on the partition column where
+  one exists — the reference's unordered OFFSET was nondeterministic)
+- ``DEBUG``         limit each table to one small file's worth of rows
+- Postgres sources: ``--source jdbc:postgresql://host:port/db`` with
+  ``DB_USER`` / ``DB_PASSWORD`` env vars (needs the JDBC driver jar on
+  the Spark classpath).
+
+Output: ``{out}/{table}/{table}_{start}_{end}_zstd.parquet`` files and
+``{out}/manifest.json`` — the reference's object layout
+(main.py:237, README.md:79-99). Writing to ``s3a://`` URIs works
+unchanged when the hadoop-aws jars + credentials are configured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from parquet_export_spark.export.pipeline import export_lake
+from parquet_export_spark.session import get_spark
+from parquet_export_spark.tables import TABLES
+
+
+def _make_source(source: str, offset: int | None):
+    if source.startswith("jdbc:"):
+        from parquet_export_spark.sources.jdbc import JdbcSource
+
+        js = JdbcSource(
+            url=source,
+            user=os.environ.get("DB_USER", ""),
+            password=os.environ.get("DB_PASSWORD", ""),
+            schema=os.environ.get("DB_SCHEMA", "public"),
+        )
+        return lambda spark, spec: js.read(spark, spec, offset=offset)
+    path = source.removeprefix("parquet:")
+
+    def read_parquet(spark, spec):
+        from parquet_export_spark.sources.lake import load_table
+
+        df = load_table(spark, path, spec.name)
+        if offset:
+            df = df.offset(offset)
+        return df
+
+    return read_parquet
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="parquet_export_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    exp = sub.add_parser("export", help="export tables to a parquet lake + manifest")
+    exp.add_argument("--source", required=True, help="parquet:<dir> or jdbc:<url>")
+    exp.add_argument("--out", required=True)
+    exp.add_argument("--table", default=os.environ.get("DEBUG_TABLE") or None)
+    exp.add_argument("--limit", type=int, default=None)
+    exp.add_argument("--canonical-json", action="store_true")
+    args = parser.parse_args(argv)
+
+    debug = os.environ.get("DEBUG", "").lower() in ("1", "true", "yes")
+    offset = int(os.environ["DEBUG_OFFSET"]) if os.environ.get("DEBUG_OFFSET") else None
+    limit = args.limit
+    if debug and limit is None:
+        limit = 1000  # one small file per table, like reference DEBUG mode
+
+    spark = get_spark(app_name="parquet-export")
+    files = export_lake(
+        spark,
+        _make_source(args.source, offset),
+        args.out,
+        tables=TABLES,
+        only_table=args.table,
+        limit=limit,
+        canonical_json=args.canonical_json,
+    )
+    for table, names in files.items():
+        print(f"{table}: {len(names)} files", file=sys.stderr)
+    print(os.path.join(args.out, "manifest.json"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""Statistical aggregates (SURVEY.md §2B.4 continued).
+
+Single-pass moment aggregates (stddev/var/corr) are order-dependent in
+every engine; for oracle-reproducible results the moments are
+accumulated as exact decimal sums (Σx, Σx², Σxy — order-independent)
+and the statistics derived in closed form with IEEE double arithmetic.
+Same trick as functions/scalar.py, generalized to second moments.
+
+Exact percentiles use Spark's ``percentile`` (exact interpolated),
+matching DuckDB's ``quantile_cont``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dsum2(col, scale: int = 8):
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def stats_moments(t: dict[str, DataFrame]) -> DataFrame:
+    """Mean / stddev (sample) / variance per group from exact decimal
+    moment sums — reproducible at any parallelism."""
+    li = t["lineitem"]
+    x = F.col("l_quantity")
+    n = F.count(F.lit(1)).cast("double")
+    sx = _dsum2(x)
+    sxx = _dsum2(x * x)
+    mean = sx / n
+    # sample variance: (Σx² - (Σx)²/n) / (n-1) — all double ops on
+    # exact inputs, so both engines produce identical bits.
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(mean, 9).alias("mean_qty"),
+            F.round(var, 9).alias("var_qty"),
+            F.round(F.sqrt(var), 9).alias("stddev_qty"),
+            n.cast("long").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
+    """Pearson correlation of price vs quantity per status, from
+    explicit decimal moments."""
+    li = t["lineitem"]
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = _dsum2(x), _dsum2(y)
+    sxx, syy = _dsum2(x * x), _dsum2(y * y, scale=4)
+    sxy = _dsum2(x * y, scale=4)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(F.round(corr, 9).alias("corr_qty_price"))
+        .orderBy("l_linestatus")
+    )
+
+
+def percentiles_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group."""
+    li = t["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 9).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 9).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 9).alias(
+                "median_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def histogram_bins(t: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-width histogram of order totals (width_bucket staple)."""
+    o = t["orders"]
+    bin_expr = F.floor(F.col("o_totalprice") / 50_000).cast("int")
+    return (
+        o.groupBy(bin_expr.alias("price_bin"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("price_bin")
+    )

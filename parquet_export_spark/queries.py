@@ -21,6 +21,7 @@ from parquet_export_spark.operators import dedup as D
 from parquet_export_spark.operators import multimodal as M
 from parquet_export_spark.operators import relational as R
 from parquet_export_spark.operators import similarity as S
+from parquet_export_spark.operators import stats as ST
 from parquet_export_spark.operators import text as X
 from parquet_export_spark.operators import tpch_extra as TE
 from parquet_export_spark.sources.lake import load_tables
@@ -388,6 +389,65 @@ _QUALITY_EXPRS = """
 
 REGISTRY.update(
     {
+        # ---------------- statistical aggregates ----------------
+        "stats_moments": QuerySpec(
+            _rel(ST.stats_moments),
+            """
+            SELECT l_returnflag,
+                   ROUND(sx / n, 9) AS mean_qty,
+                   ROUND((sxx - sx * sx / n) / (n - 1.0), 9) AS var_qty,
+                   ROUND(SQRT((sxx - sx * sx / n) / (n - 1.0)), 9) AS stddev_qty,
+                   CAST(n AS BIGINT) AS n_items
+            FROM (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+                            AS DOUBLE) AS sxx
+                FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag
+            """,
+        ),
+        "stats_correlation": QuerySpec(
+            _rel(ST.stats_correlation),
+            """
+            SELECT l_linestatus,
+                   ROUND((n * sxy - sx * sy) /
+                         (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9)
+                       AS corr_qty_price
+            FROM (
+                SELECT l_linestatus,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+                            AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                     AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(l_quantity * l_extendedprice
+                                     AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_linestatus)
+            ORDER BY l_linestatus
+            """,
+        ),
+        "percentiles_exact": QuerySpec(
+            _rel(ST.percentiles_exact),
+            """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
+                   ROUND(quantile_cont(l_quantity, 0.9), 9) AS p90_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS median_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+            """,
+        ),
+        "histogram_bins": QuerySpec(
+            _rel(ST.histogram_bins),
+            """
+            SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS price_bin,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY price_bin
+            """,
+        ),
         # ---------------- dedup ----------------
         "dedup_exact": QuerySpec(
             _rel(D.dedup_exact),

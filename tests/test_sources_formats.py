@@ -1,0 +1,66 @@
+"""CSV/JSON source round-trips and the UDTF surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_export_spark.functions.udtf import register_udtfs
+from parquet_export_spark.sources import formats as FM
+from parquet_export_spark.sources.lake import load_table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    FM.write_csv(nation, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = FM.read_csv(spark, path, schema=schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+    assert back.schema == schema
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_json")
+    FM.write_jsonl(region, path)
+    back = FM.read_jsonl(
+        spark,
+        path,
+        schema=T.StructType(
+            [
+                T.StructField("r_regionkey", T.IntegerType()),
+                T.StructField("r_name", T.StringType()),
+            ]
+        ),
+    )
+    assert {r.r_name for r in back.collect()} == {
+        r.r_name for r in region.collect()
+    }
+
+
+def test_ngram_udtf(spark):
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM ngrams('the quick brown fox', 2)"
+    ).collect()
+    assert [(r.ngram, r.pos) for r in rows] == [
+        ("the quick", 0),
+        ("quick brown", 1),
+        ("brown fox", 2),
+    ]
+    # lateral join over a table column
+    df = spark.createDataFrame([("a b c d",), (None,)], ["text"])
+    df.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT ngram FROM _udtf_docs, LATERAL ngrams(text, 3)"
+    ).collect()
+    assert [r.ngram for r in out] == ["a b c", "b c d"]

@@ -1,0 +1,75 @@
+"""Scale-pattern tests: salting equivalence + bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import scale as SC
+from parquet_export_spark.plans import inspect as P
+from parquet_export_spark.sources.lake import load_tables
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    salted = {r.user_id: (r.n_events, r.total_value) for r in SC.salted_agg_user_value(t).collect()}
+    plain = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    import shutil
+
+    for name in ("bkt_lineitem", "bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"/tmp/spark-graft-warehouse/{name}", ignore_errors=True)
+    t = load_tables(spark, sf_dir)
+    SC.write_bucketed(spark, t["lineitem"], "bkt_lineitem", "l_orderkey")
+    SC.write_bucketed(spark, t["orders"], "bkt_orders", "o_orderkey")
+    # force the non-broadcast path so the bucket guarantee is visible
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SC.bucketed_join_revenue(spark)
+        plan = P.plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    # the join inputs are bucket-aligned: no Exchange below the join
+    # (everything before the join node in the tree is scan+filter+sort)
+    join_inputs = plan.split("SortMergeJoin", 1)[-1]
+    pre_agg = join_inputs.split("HashAggregate", 1)[0]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    del pre_agg
+    df = SC.bucketed_join_revenue(spark)
+    # and the result is correct vs the unbucketed plan
+    want = {
+        (r.o_orderstatus, r.revenue)
+        for r in t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .collect()
+    }
+    got = {(r.o_orderstatus, r.revenue) for r in df.collect()}
+    assert got == want

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from parquet_export_spark.functions.scalar import davg_sql, dsum_sql
 from parquet_export_spark.operators import advanced as A
 from parquet_export_spark.operators import dedup as D
+from parquet_export_spark.operators import functions_extra as FE
 from parquet_export_spark.operators import multimodal as M
 from parquet_export_spark.operators import relational as R
 from parquet_export_spark.operators import similarity as S
@@ -389,6 +390,76 @@ _QUALITY_EXPRS = """
 
 REGISTRY.update(
     {
+        # ---------------- extended function families ----------------
+        "window_range_frame": QuerySpec(
+            _rel(FE.window_range_frame),
+            """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS nearby_total
+            FROM orders ORDER BY o_custkey, o_orderkey
+            """,
+        ),
+        "window_distribution_ranks": QuerySpec(
+            _rel(FE.window_distribution_ranks),
+            """
+            SELECT p_brand, p_partkey,
+                   ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 9) AS cume,
+                   FIRST_VALUE(p_partkey) OVER wf AS cheapest_key,
+                   LAST_VALUE(p_partkey) OVER wf AS priciest_key
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey),
+                   wf AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+            ORDER BY p_brand, p_partkey
+            """,
+        ),
+        "string_funcs_extra": QuerySpec(
+            _rel(FE.string_funcs_extra),
+            """
+            SELECT c_custkey,
+                   CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER)
+                       AS lev_building,
+                   split_part(c_name, '_', 1) AS name_head,
+                   translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+                   CAST(CASE WHEN POSITION('U' IN c_mktsegment) IS NULL THEN 0
+                             ELSE POSITION('U' IN c_mktsegment) END AS INTEGER)
+                       AS u_pos,
+                   reverse(c_mktsegment) AS seg_rev
+            FROM customer ORDER BY c_custkey
+            """,
+        ),
+        "date_funcs_extra": QuerySpec(
+            _rel(FE.date_funcs_extra),
+            """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                       AS plus_2_months,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                   CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+                   make_date(CAST(YEAR(o_orderdate) AS INTEGER),
+                             CAST(MONTH(o_orderdate) AS INTEGER), 1)
+                       AS month_start
+            FROM orders ORDER BY o_orderkey
+            """,
+        ),
+        "conditional_funcs": QuerySpec(
+            _rel(FE.conditional_funcs),
+            """
+            SELECT p_partkey,
+                   LEAST(p_size, 25) AS size_capped,
+                   GREATEST(p_size, 10) AS size_floored,
+                   CAST(SIGN(p_retailprice - 500) AS INTEGER) AS above_500,
+                   regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun
+            FROM part ORDER BY p_partkey
+            """,
+        ),
         # ---------------- statistical aggregates ----------------
         "stats_moments": QuerySpec(
             _rel(ST.stats_moments),

@@ -36,20 +36,35 @@ def write_table(
     out_dir: str,
     spec: TableSpec,
     rename_row_ranges: bool = True,
+    partition_by: list[str] | None = None,
 ) -> list[str]:
     """Write ``df`` under ``{out_dir}/{spec.name}/``; return file names.
 
     Files are bounded to ``spec.rows_per_file`` rows and compressed with
     ``spec.compression``. Returns the committed file names in range
     order (the manifest's object list, reference main.py:240-243).
+
+    ``partition_by`` writes a hive-partitioned layout instead — the
+    data-skipping upgrade the reference's flat prefixes lack (readers
+    prune whole partitions on the partition predicate). Row-range
+    naming doesn't apply there; the manifest lists relative paths.
     """
     table_dir = os.path.join(out_dir, spec.name)
-    (
+    writer = (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", spec.rows_per_file)
         .option("compression", spec.compression)
-        .parquet(table_dir)
     )
+    if partition_by:
+        writer.partitionBy(*partition_by).parquet(table_dir)
+        out = []
+        for root, _dirs, files in os.walk(table_dir):
+            rel = os.path.relpath(root, table_dir)
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.append(f if rel == "." else f"{rel}/{f}")
+        return sorted(out)
+    writer.parquet(table_dir)
     if rename_row_ranges:
         return _rename_to_row_ranges(table_dir, spec)
     return sorted(

@@ -116,6 +116,76 @@ def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
     return extract_features(with_binary_payload(t["documents"])).orderBy("doc_id")
 
 
+def resize_images(
+    payloads: DataFrame, width: int, height: int, media_type: str = "image/png"
+) -> DataFrame:
+    """Resize plumbing: decode -> resize -> re-encode inside one
+    mapInPandas pass. The resize kernel itself is the registered
+    decoder's concern (STUB here — no imaging libs); the Spark-side
+    batch shape, schema, and payload round-trip are real."""
+    if media_type not in _DECODERS:
+        raise NotImplementedError(f"no decoder registered for {media_type!r}")
+    decoder = _DECODERS[media_type]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(lambda b: decoder(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": decoded.map(
+                        lambda d: d.get("resized_bytes", b"")
+                    ),
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return payloads.mapInPandas(run, schema)
+
+
+def sample_frames(
+    payloads: DataFrame, every_n: int = 10, media_type: str = "video/mp4"
+) -> DataFrame:
+    """Frame-sampling plumbing: one input video row -> many frame rows
+    (fan-out inside mapInPandas; output cardinality > input is the
+    shape that matters). Frame extraction is decoder-provided (STUB)."""
+    if media_type not in _DECODERS:
+        raise NotImplementedError(f"no decoder registered for {media_type!r}")
+    decoder = _DECODERS[media_type]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decoder(bytes(payload)).get("frames", [])
+                for i, frame in enumerate(frames):
+                    if i % every_n == 0:
+                        out_ids.append(doc_id)
+                        out_idx.append(i)
+                        out_frames.append(frame)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_index": out_idx, "frame": out_frames}
+            ).astype({"frame_index": "int32"}, errors="ignore")
+
+    return payloads.mapInPandas(run, schema)
+
+
 def decoded_features(payloads: DataFrame, media_type: str) -> DataFrame:
     """Decode via a registered decoder inside mapInPandas; the decoder
     output is reduced to a stable (doc_id, width, height) shape.

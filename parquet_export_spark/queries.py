@@ -45,6 +45,12 @@ def _rel(op: Callable[[dict[str, DataFrame]], DataFrame]) -> QueryFn:
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
+
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_export_spark.operators.scale import salted_agg_user_value
+
+    return salted_agg_user_value(load_tables(spark, sf_dir))
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---------------- TPC-H-style pipelines ----------------
     "q1_pricing_summary": QuerySpec(
@@ -1058,6 +1064,15 @@ REGISTRY.update(
                 FROM lineitem WHERE l_orderkey < 100
                 GROUP BY l_orderkey)
             ORDER BY l_orderkey
+            """,
+        ),
+        # ---------------- scale patterns ----------------
+        "salted_agg_user_value": QuerySpec(
+            _salted_agg,
+            f"""
+            SELECT user_id, COUNT(*) AS n_events,
+                   {dsum_sql('value', scale=6)} AS total_value
+            FROM events GROUP BY user_id ORDER BY user_id
             """,
         ),
         # ---------------- multimodal ----------------

@@ -105,6 +105,27 @@ def test_multimodal_decoder_plumbing(spark, tables):
         M.decode_image(b"\x89PNG....")
 
 
+def test_resize_and_frame_sample_plumbing(spark, tables):
+    payloads = M.with_binary_payload(tables["documents"].limit(8))
+    M.register_decoder(
+        "image/png", lambda b: {"width": 1, "height": 1, "resized_bytes": b[:4]}
+    )
+    resized = M.resize_images(payloads, 64, 64, media_type="image/png").collect()
+    assert len(resized) == 8
+    assert all(r.width == 64 and r.height == 64 and len(r.payload) == 4 for r in resized)
+
+    # video decoder: 25 fake frames per payload; sample every 10th
+    M.register_decoder(
+        "video/mp4", lambda b: {"frames": [bytes([i]) + b[:2] for i in range(25)]}
+    )
+    frames = M.sample_frames(payloads, every_n=10, media_type="video/mp4").collect()
+    # 3 frames per doc (0, 10, 20) x 8 docs
+    assert len(frames) == 24
+    assert sorted({f.frame_index for f in frames}) == [0, 10, 20]
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(payloads, media_type="video/webm")
+
+
 def test_sniff_media_type():
     assert M.sniff_media_type(b"\x89PNG\r\n") == "image/png"
     assert M.sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"

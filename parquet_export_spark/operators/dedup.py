@@ -78,9 +78,9 @@ def neardup_jaccard_blocked(t: dict[str, DataFrame], threshold: float = 0.8) -> 
     # Tokens are hashed to longs up front: set intersection over int64
     # is ~an order of magnitude cheaper than over strings, and Jaccard
     # only needs set cardinalities (64-bit collisions are negligible).
+    docs = t["documents"]
     toks = (
-        t["documents"]
-        .repartition("lang", "source")
+        docs.repartition(_fanout_partitions(docs), "lang", "source")
         .select(
             "doc_id",
             "lang",
@@ -118,6 +118,14 @@ N_HASHES = 32
 N_BANDS = 8  # 8 bands x 4 rows: catches jaccard ~>= 0.7 with high prob.
 
 
+def _fanout_partitions(df: DataFrame) -> int:
+    """Partition count for compute-heavy per-doc stages: at least a
+    quarter of the cores (parallelize single-split scans), never fewer
+    than the input already has (don't shrink real datasets)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(df.rdd.getNumPartitions(), max(cores // 4, 2))
+
+
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     """Word k-gram shingles per doc, hashed to int64 (JVM expressions).
 
@@ -125,7 +133,7 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     the whole shingle/hash loop to one core. Hashing each shingle to a
     long makes every downstream set op integer-wide.
     """
-    df = df.repartition("doc_id")
+    df = df.repartition(_fanout_partitions(df), "doc_id")
     # Two-step select: split once per row — referencing split() inside
     # the shingle lambda would re-tokenize the text per shingle index.
     return df.select("doc_id", F.split("text", " ").alias("toks")).select(
@@ -162,10 +170,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
         F.expr(f"array_min(transform(shingles, s -> {a}L * s + {b}L))").alias(f"h{j}")
         for j, (a, b) in enumerate(_HASH_AB[:n_hashes])
     ]
-    sig = _shingles(docs).select(
-        "doc_id", "shingles", F.array(*[m for m in mins]).alias("sig")
-    )
-    return sig.repartition("doc_id")
+    sh = _shingles(docs)
+    sig = sh.select("doc_id", "shingles", F.array(*[m for m in mins]).alias("sig"))
+    return sig.repartition(_fanout_partitions(docs), "doc_id")
 
 
 def neardup_minhash_lsh(
@@ -253,12 +260,13 @@ def simhash_signatures(docs: DataFrame, bits: int = 63) -> DataFrame:
                    > size(toksh),
                shiftleft(1L, i), 0L))"""
     )
+    n = _fanout_partitions(docs)
     return (
-        docs.repartition("doc_id")
+        docs.repartition(n, "doc_id")
         .select("doc_id", toksh.alias("toksh"))
         .select("doc_id", packed.alias("simhash"))
         # exchange boundary: self-joins reuse the computed signatures
-        .repartition("doc_id")
+        .repartition(n, "doc_id")
     )
 
 

@@ -80,7 +80,9 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     Repartitioned so mapInPandas fans out across Python workers
     instead of inheriting a single input split.
     """
-    return docs.repartition("doc_id").select(
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
+    return docs.repartition(n, "doc_id").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 

@@ -245,6 +245,60 @@ def neardup_minhash_lsh(
 # --------------------------------------------------------------------------
 
 
+def neardup_clusters(
+    t: dict[str, DataFrame], threshold: float = 0.8, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc
+    labeled with its cluster id (= min doc_id reachable through
+    near-duplicate edges).
+
+    Iterative min-label propagation — the canonical Spark pattern for
+    small-diameter graphs: each round joins labels across edges and
+    keeps the minimum; AQE localCheckpoint truncates the growing plan.
+    Near-dup graphs have tiny diameters (dupes of a common source), so
+    convergence is a handful of rounds. Non-SQL-expressible (iterative)
+    -> rows-only driver check; correctness pinned by unit test.
+    """
+    pairs = neardup_jaccard_blocked(t, threshold=threshold).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        t["documents"].select("doc_id").withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("is_cluster_root", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 63) -> DataFrame:
     """63-bit SimHash per doc (bit 63 unused: keeps the long positive).
 

@@ -105,6 +105,62 @@ def label_centroid_sim(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ivf_topk(
+    t: dict[str, DataFrame],
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer -> probe the n_probe
+    nearest cells per query -> exact cosine within probed cells.
+
+    The scale path for ANN when LSH recall is insufficient: the index
+    is a cell assignment (one int per vector); a query touches
+    n_probe/n_cells of the corpus. KMeans seed fixed for determinism.
+    Approximate (cell boundaries) -> rows-only driver check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = t["embeddings"].withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(emb)
+    assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = emb.sparkSession
+    centers_df = spark.createDataFrame(centers, ["cell", "center"])
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # rank cells per query by centroid similarity, keep n_probe
+    qc = queries.crossJoin(F.broadcast(centers_df))
+    cell_sim = _cosine("q_emb", "center")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
+    probed = (
+        qc.select("query_id", "q_emb", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    # exact cosine within probed cells only
+    pairs = probed.join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(_cosine("q_emb", "embedding"), 9)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # LSH ANN (scale path; rows-only)
 # --------------------------------------------------------------------------

@@ -146,6 +146,42 @@ def fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count / doc token count; idf = ln((1+N)/(1+df)) + 1
+    (smoothed). One explode + three aggregations, all JVM; N and the
+    df table broadcast back onto the term rows. Scores rounded to 9dp
+    so rank boundaries are engine-stable; ties break on the term.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    score = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * (
+            F.log((1.0 + F.col("nd")) / (1.0 + F.col("df"))) + 1.0
+        ),
+        9,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(n_tok, "doc_id")
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def lang_quality_summary(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus rollup: doc counts + mean length per (lang, source) —
     the monitoring query a curation pipeline runs per batch."""

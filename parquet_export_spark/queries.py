@@ -565,6 +565,7 @@ REGISTRY.update(
         ),
         "neardup_minhash_lsh": QuerySpec(_rel(D.neardup_minhash_lsh), None),
         "neardup_simhash": QuerySpec(_rel(D.neardup_simhash), None),
+        "neardup_clusters": QuerySpec(_rel(D.neardup_clusters), None),
         # ---------------- similarity search ----------------
         "cosine_topk": QuerySpec(
             _rel(S.cosine_topk),
@@ -614,6 +615,7 @@ REGISTRY.update(
         ),
         "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
         "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
+        "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
         # ---------------- text analysis ----------------
         "token_stats": QuerySpec(
             _rel(X.token_stats),
@@ -696,6 +698,33 @@ REGISTRY.update(
                        list_sort(list_distinct(string_split(text, ' '))), ' '))
                        AS bag_md5
             FROM documents ORDER BY doc_id
+            """,
+        ),
+        "tfidf_top_terms": QuerySpec(
+            _rel(X.tfidf_top_terms),
+            """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            n_tok AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+                      GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS nd FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                             (LN((1.0 + nd) / (1.0 + df)) + 1.0), 9) AS score
+                FROM tf
+                JOIN n_tok USING (doc_id)
+                JOIN dfreq USING (term)
+                CROSS JOIN nd)
+            SELECT doc_id, term, score, rank FROM (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER)
+                    AS rank
+                FROM scored)
+            WHERE rank <= 3 ORDER BY doc_id, rank
             """,
         ),
         "lang_quality_summary": QuerySpec(

@@ -93,6 +93,41 @@ def test_ann_neighbors_subset_of_bruteforce(spark, tables):
         assert r.vec_a < r.vec_b
 
 
+def test_neardup_clusters_transitive(spark, tables):
+    """A-B and B-C near-dup edges must put A, B, C in ONE cluster even
+    if A-C itself is below threshold (transitivity via propagation)."""
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "s"),
+        (2, base + " lambda", "en", "s"),          # ~0.9 vs 1
+        (3, base + " lambda mu nu", "en", "s"),    # ~0.85 vs 2, ~0.77 vs 1
+        (10, "totally different words here now ok fine yes no maybe", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.neardup_clusters({"documents": docs}, threshold=0.8).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == 10
+    # sanity on the real corpus: every cluster_id is a member doc_id
+    real = D.neardup_clusters(tables, threshold=0.8)
+    ids = {r.doc_id for r in tables["documents"].select("doc_id").collect()}
+    assert all(r.cluster_id in ids for r in real.collect())
+
+
+def test_ivf_topk_quality(spark, tables):
+    """IVF results: valid ranks, sims in [-1,1], and decent overlap
+    with the exact brute-force top-k (same cells hold near vectors)."""
+    ivf = {(r.query_id, r.neighbor_id) for r in S.ivf_topk(tables).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(tables).collect()}
+    assert ivf, "ivf returned rows"
+    overlap = len(ivf & exact) / len(exact)
+    assert overlap >= 0.3, f"ivf/exact overlap {overlap}"
+
+
 def test_multimodal_decoder_plumbing(spark, tables):
     payloads = M.with_binary_payload(tables["documents"].limit(16))
     M.register_decoder("text/plain", lambda b: {"width": len(b), "height": 1})

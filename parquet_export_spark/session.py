@@ -37,6 +37,32 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def configure_s3(
+    spark: SparkSession,
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+) -> None:
+    """Point the s3a filesystem at an S3-compatible store (AWS, R2,
+    MinIO). After this, export output paths can be ``s3a://bucket/...``
+    — the writer and manifest code are path-scheme agnostic, which is
+    how the reference's upload step (main.py:155-176) becomes a direct
+    distributed write with committed-files semantics.
+    """
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.access.key", access_key)
+    conf.set("fs.s3a.secret.key", secret_key)
+    conf.set("fs.s3a.path.style.access", str(path_style).lower())
+    # object stores have no cheap rename: use the magic committer
+    conf.set("fs.s3a.committer.name", "magic")
+    conf.set(
+        "spark.sql.sources.commitProtocolClass",
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    )
+
+
 def get_spark(
     app_name: str = "parquet-export-spark",
     master: str | None = None,

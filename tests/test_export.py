@@ -115,6 +115,16 @@ def test_unknown_dtype_fails_fast():
         spark_type("complex128")
 
 
+def test_s3_conf_helper(spark):
+    from parquet_export_spark.session import configure_s3
+
+    configure_s3(spark, "http://localhost:9000", "ak", "sk")
+    conf = spark._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+    assert conf.get("fs.s3a.committer.name") == "magic"
+
+
 def test_jdbc_plan_construction():
     from parquet_export_spark.sources.jdbc import JdbcSource
 

@@ -56,6 +56,42 @@ def test_sessionize_stream_runs(spark, events_stream):
         assert r.n_events >= 1
 
 
+def test_stateful_running_totals(spark, events_dir, sf_dir):
+    """applyInPandasWithState lifetime totals equal the batch groupBy
+    when the bounded stream is drained in one availableNow run."""
+    from parquet_export_spark.streaming.stateful import running_user_totals
+
+    stream = I.stream_events(spark, events_dir)
+    # event-time col is TimestampNTZ from stream_events; state op needs
+    # pandas datetime64 — it arrives as such via Arrow.
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("state_test").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000
+            ).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_incremental_export_delta(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     cutoff = events.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]

@@ -80,6 +80,56 @@ def percentiles_exact(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def profile_columns(t: dict[str, DataFrame]) -> DataFrame:
+    """Long-form data profile of the orders table: per column — row
+    count, nulls, distinct count, min/max (rendered as strings).
+
+    The monitoring query a pipeline runs after every export; one pass
+    per column family, unioned. At scale: single scan per column via
+    column pruning, no collect.
+    """
+    o = t["orders"]
+
+    def prof(col: str):
+        c = F.col(col)
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    out = prof(cols[0])
+    for col in cols[1:]:
+        out = out.unionByName(prof(col))
+    return out.orderBy("column_name")
+
+
+def merge_upsert_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Oracle-checked MERGE demo: apply a change batch (urgent orders
+    re-priced +10%) onto the orders snapshot; changed rows win."""
+    from parquet_export_spark.export.maintenance import merge_upsert
+
+    orders = t["orders"]
+    changes = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(30,4)") * F.lit("1.1").cast("decimal(4,2)"))
+            .cast("double"),
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return (
+        merge_upsert(orders, changes, "o_orderkey", updated_col=None)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def histogram_bins(t: dict[str, DataFrame]) -> DataFrame:
     """Fixed-width histogram of order totals (width_bucket staple)."""
     o = t["orders"]

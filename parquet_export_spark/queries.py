@@ -517,6 +517,52 @@ REGISTRY.update(
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
             """,
         ),
+        "profile_columns": QuerySpec(
+            _rel(ST.profile_columns),
+            """
+            SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   COUNT(DISTINCT o_custkey) AS n_distinct,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', COUNT(*),
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT o_orderkey),
+                   CAST(MIN(o_orderkey) AS VARCHAR),
+                   CAST(MAX(o_orderkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT o_orderpriority),
+                   CAST(MIN(o_orderpriority) AS VARCHAR),
+                   CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(MIN(o_orderstatus) AS VARCHAR),
+                   CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            ORDER BY column_name
+            """,
+        ),
+        "merge_upsert_orders": QuerySpec(
+            _rel(ST.merge_upsert_orders),
+            """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(30,4))
+                                  * CAST('1.1' AS DECIMAL(4,2)) AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders ORDER BY o_orderkey
+            """,
+        ),
         "histogram_bins": QuerySpec(
             _rel(ST.histogram_bins),
             """

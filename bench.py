@@ -37,14 +37,24 @@ HEADLINE = [
     "set_ops",
     "scalar_json_funcs",
     "events_hourly_rollup",
+    "q13_order_count_distribution",
+    "q21_exclusive_return_suppliers",
+    "asof_purchase_attribution",
+    "sessionize_batch",
+    "window_range_frame",
+    "pivot_segment_counts",
+    "stats_moments",
+    "salted_agg_user_value",
     "dedup_exact",
     "neardup_jaccard_blocked",
     "neardup_minhash_lsh",
     "cosine_topk",
     "label_centroid_sim",
+    "ann_lsh_neighbors",
     "token_stats",
     "quality_scores",
     "fingerprints",
+    "tfidf_top_terms",
     "multimodal_features",
 ]
 

@@ -168,24 +168,31 @@ def ivf_topk(
 N_PLANES = 12
 
 
+import random as _random
+
+_DIM = 64  # embeddings table dimension (TESTDATA.md fixture)
+_plane_rng = _random.Random(0x9A17)
+_PLANES: list[list[float]] = [
+    [_plane_rng.uniform(-0.5, 0.5) for _ in range(_DIM)] for _ in range(16)
+]
+
+
 def ann_lsh_buckets(t: dict[str, DataFrame], n_planes: int = N_PLANES) -> DataFrame:
     """Sign-random-projection bucket id per vector.
 
-    Projection vectors are derived from xxhash64(plane, dim) mapped to
-    [-0.5, 0.5) — deterministic, no stored model, computed inside the
-    JVM per row. Bucket = packed sign bits.
+    Projection vectors are fixed pseudo-random constants (seeded) baked
+    into the plan as array literals — the per-element lambda is a bare
+    multiply, nothing recomputed per row. Bucket = packed sign bits.
     """
     emb = t["embeddings"]
-    dim = 64  # embeddings table dimension (TESTDATA.md fixture)
     plane_exprs = []
     for p in range(n_planes):
-        # dot(embedding, plane_p) with hash-derived weights
-        terms = (
-            f"aggregate(zip_with(embedding, sequence(0, {dim - 1}), "
-            f"(x, i) -> CAST(x AS DOUBLE) * ((CAST(xxhash64({p}, i) AS DOUBLE)"
-            f" / 9223372036854775807D) / 2D)), 0D, (acc, v) -> acc + v)"
+        weights = ", ".join(f"{w}D" for w in _PLANES[p])
+        dot = (
+            f"aggregate(zip_with(embedding, array({weights}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
         )
-        plane_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+        plane_exprs.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
     bucket = F.expr(" + ".join(plane_exprs)).cast("long")
     return emb.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
 

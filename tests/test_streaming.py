@@ -104,6 +104,47 @@ def test_incremental_export_delta(spark, sf_dir):
     assert 0 < n_delta < n_total
 
 
+def test_stream_to_parquet_sink(spark, events_dir, tmp_path):
+    """End-to-end streaming export: file source -> windowed agg ->
+    parquet sink with checkpoint (the continuous-lake landing path)."""
+    out = str(tmp_path / "rollup_lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = I.stream_events(spark, events_dir)
+    rollup = I.hourly_rollup_stream(stream)
+    q = (
+        rollup.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    # append mode emits only watermark-closed windows; with a bounded
+    # source every window except the trailing 2h closes
+    assert back.count() > 0
+    assert {f.name for f in back.schema.fields} == {
+        "hour",
+        "event_type",
+        "n_events",
+        "total_value",
+    }
+    # restart with same checkpoint: no duplicate output (exactly-once)
+    n_before = back.count()
+    q2 = (
+        I.hourly_rollup_stream(I.stream_events(spark, events_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_before
+
+
 def test_incremental_export_pushdown(spark, sf_dir):
     """On a native timestamp column the delta predicate reaches the
     parquet scan. (events.ts is restored from nanos via a projection,

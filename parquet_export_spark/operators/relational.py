@@ -227,6 +227,38 @@ def set_ops(t: dict[str, DataFrame]) -> DataFrame:
     return u.union(i).union(e).orderBy("set_op", "c_custkey")
 
 
+def set_ops_all(t: dict[str, DataFrame]) -> DataFrame:
+    """Multiset variants: UNION ALL / INTERSECT ALL / EXCEPT ALL over
+    duplicate-bearing projections (bag semantics preserved)."""
+    flags_r = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    flags_n = t["lineitem"].filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    u = flags_r.unionAll(flags_n).withColumn("set_op", F.lit("union_all"))
+    i = flags_r.intersectAll(flags_n).withColumn("set_op", F.lit("intersect_all"))
+    e = flags_r.exceptAll(flags_n).withColumn("set_op", F.lit("except_all"))
+    return (
+        u.union(i)
+        .union(e)
+        .groupBy("set_op")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.countDistinct("l_orderkey").alias("n_keys"))
+        .orderBy("set_op")
+    )
+
+
+def lateral_explode_items(t: dict[str, DataFrame]) -> DataFrame:
+    """Collect-then-explode round trip (LATERAL VIEW shape): per-order
+    quantity arrays exploded back to rows with position."""
+    li = t["lineitem"].filter(F.col("l_orderkey") < 50)
+    arrays = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return (
+        arrays.select(
+            "l_orderkey", F.posexplode("qtys").alias("pos", "qty")
+        )
+        .orderBy("l_orderkey", "pos")
+    )
+
+
 def sort_limit_offset(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic pagination: total order + offset + limit."""
     return (

@@ -206,6 +206,38 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY set_op, c_custkey
         """,
     ),
+    "set_ops_all": QuerySpec(
+        _rel(R.set_ops_all),
+        """
+        WITH fr AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        fn AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'),
+        tagged AS (
+            SELECT l_orderkey, 'union_all' AS set_op
+            FROM (SELECT l_orderkey FROM fr UNION ALL SELECT l_orderkey FROM fn)
+            UNION ALL
+            SELECT l_orderkey, 'intersect_all'
+            FROM (SELECT l_orderkey FROM fr INTERSECT ALL
+                  SELECT l_orderkey FROM fn)
+            UNION ALL
+            SELECT l_orderkey, 'except_all'
+            FROM (SELECT l_orderkey FROM fr EXCEPT ALL
+                  SELECT l_orderkey FROM fn))
+        SELECT set_op, COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_keys
+        FROM tagged GROUP BY set_op ORDER BY set_op
+        """,
+    ),
+    "lateral_explode_items": QuerySpec(
+        _rel(R.lateral_explode_items),
+        """
+        SELECT l_orderkey, CAST(i - 1 AS INTEGER) AS pos, qtys[i] AS qty
+        FROM (
+            SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+            FROM lineitem WHERE l_orderkey < 50 GROUP BY l_orderkey),
+            UNNEST(range(1, LEN(qtys) + 1)) AS t(i)
+        ORDER BY l_orderkey, pos
+        """,
+    ),
     "sort_limit_offset": QuerySpec(
         _rel(R.sort_limit_offset),
         """

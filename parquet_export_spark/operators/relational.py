@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parquet_export_spark.functions.scalar import davg, dsum
+from parquet_export_spark.operators.util import maybe_fanout
 
 # --------------------------------------------------------------------------
 # Aggregations / full TPC-H-style pipelines
@@ -37,7 +38,7 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
     Filter reaches the parquet scan (pushdown); aggregation is
     partial+final (map-side combine) via Catalyst.
     """
-    li = t["lineitem"]
+    li = maybe_fanout(t["lineitem"])
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -278,7 +279,7 @@ def sort_limit_offset(t: dict[str, DataFrame]) -> DataFrame:
 def agg_distinct(t: dict[str, DataFrame]) -> DataFrame:
     """COUNT(DISTINCT) + plain aggregates per group."""
     return (
-        t["orders"]
+        maybe_fanout(t["orders"])
         .groupBy("o_orderstatus")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
@@ -292,7 +293,7 @@ def agg_distinct(t: dict[str, DataFrame]) -> DataFrame:
 def agg_rollup(t: dict[str, DataFrame]) -> DataFrame:
     """ROLLUP (status, priority) with grouping_id to tag subtotal levels."""
     return (
-        t["orders"]
+        maybe_fanout(t["orders"])
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -306,7 +307,7 @@ def agg_rollup(t: dict[str, DataFrame]) -> DataFrame:
 def agg_cube(t: dict[str, DataFrame]) -> DataFrame:
     """CUBE (returnflag, linestatus)."""
     return (
-        t["lineitem"]
+        maybe_fanout(t["lineitem"])
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -320,7 +321,7 @@ def agg_cube(t: dict[str, DataFrame]) -> DataFrame:
 def agg_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Min/max/count + conditional aggregation (CASE WHEN inside agg)."""
     return (
-        t["lineitem"]
+        maybe_fanout(t["lineitem"])
         .groupBy("l_returnflag")
         .agg(
             F.min("l_quantity").alias("min_qty"),
@@ -492,7 +493,7 @@ def scalar_json_funcs(t: dict[str, DataFrame]) -> DataFrame:
 def events_hourly_rollup(t: dict[str, DataFrame]) -> DataFrame:
     """Batch tumbling-window aggregation (streaming twin in streaming/)."""
     return (
-        t["events"]
+        maybe_fanout(t["events"])
         .groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parquet_export_spark.operators.util import maybe_fanout
+
 
 def _dsum2(col, scale: int = 8):
     return F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
@@ -23,7 +25,7 @@ def _dsum2(col, scale: int = 8):
 def stats_moments(t: dict[str, DataFrame]) -> DataFrame:
     """Mean / stddev (sample) / variance per group from exact decimal
     moment sums — reproducible at any parallelism."""
-    li = t["lineitem"]
+    li = maybe_fanout(t["lineitem"])
     x = F.col("l_quantity")
     n = F.count(F.lit(1)).cast("double")
     sx = _dsum2(x)
@@ -47,7 +49,7 @@ def stats_moments(t: dict[str, DataFrame]) -> DataFrame:
 def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
     """Pearson correlation of price vs quantity per status, from
     explicit decimal moments."""
-    li = t["lineitem"]
+    li = maybe_fanout(t["lineitem"])
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     n = F.count(F.lit(1)).cast("double")
     sx, sy = _dsum2(x), _dsum2(y)
@@ -57,7 +59,7 @@ def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return (
-        t["lineitem"]
+        li
         .groupBy("l_linestatus")
         .agg(F.round(corr, 9).alias("corr_qty_price"))
         .orderBy("l_linestatus")
@@ -66,7 +68,7 @@ def stats_correlation(t: dict[str, DataFrame]) -> DataFrame:
 
 def percentiles_exact(t: dict[str, DataFrame]) -> DataFrame:
     """Exact interpolated percentiles (median, p90) per group."""
-    li = t["lineitem"]
+    li = maybe_fanout(t["lineitem"])
     return (
         li.groupBy("l_returnflag")
         .agg(

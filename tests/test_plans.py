@@ -69,8 +69,10 @@ def test_join_semi_broadcasts(spark, sf_dir):
 
 def test_q1_single_agg_shuffle(spark, sf_dir):
     df = q("q1_pricing_summary", spark, sf_dir)
-    # partial agg map-side, one exchange for final agg, one for sort
-    assert P.count_shuffles(df) <= 2
+    # partial agg map-side, one exchange for final agg, one for sort,
+    # plus (locally only) the maybe_fanout round-robin that spreads a
+    # single-split scan — absent on real multi-file lakes.
+    assert P.count_shuffles(df) <= 3
     assert any("l_shipdate" in f for f in P.pushed_filters(df))
 
 

@@ -271,6 +271,51 @@ def grouping_sets_revenue(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def gapfill_daily_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-series gap filling: a generated calendar spine left-joined
+    onto daily event revenue, missing days filled with zero.
+
+    The spine comes from ``sequence()`` + explode — generated on the
+    cluster, O(days), no driver loop.
+    """
+    ev = t["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum("value", scale=6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
+    """Quality-aware dedup: among docs with the same token bag, keep
+    the longest (ties -> lowest doc_id) — the curation-pipeline rule
+    "keep the best duplicate", as one window over the bag key."""
+    docs = t["documents"]
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    w = Window.partitionBy("bag_key").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("bag_key", bag)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "bag_key")
+        .orderBy("doc_id")
+    )
+
+
 def null_handling_funcs(t: dict[str, DataFrame]) -> DataFrame:
     """coalesce / nullif / nvl2 / null-safe equality over the left-join
     null surface."""

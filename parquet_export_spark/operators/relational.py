@@ -480,7 +480,7 @@ def scalar_json_funcs(t: dict[str, DataFrame]) -> DataFrame:
     (reference main.py:125-127): extraction must work post-export.
     """
     return (
-        t["events"]
+        maybe_fanout(t["events"])  # json parsing is the map-side cost
         .select(
             "event_id",
             F.get_json_object("props", "$.k").cast("long").alias("prop_k"),

@@ -1100,6 +1100,44 @@ REGISTRY.update(
             ORDER BY user_id, session_id
             """,
         ),
+        "gapfill_daily_revenue": QuerySpec(
+            _rel(A.gapfill_daily_revenue),
+            f"""
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       {dsum_sql('value', scale=6)} AS revenue,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY CAST(ts AS DATE)),
+            bounds AS (
+                SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+                FROM events),
+            spine AS (
+                SELECT CAST(UNNEST(generate_series(lo, hi,
+                                                   INTERVAL 1 DAY)) AS DATE)
+                    AS day
+                FROM bounds)
+            SELECT spine.day,
+                   COALESCE(revenue, 0.0) AS revenue,
+                   COALESCE(n_events, 0) AS n_events
+            FROM spine LEFT JOIN daily ON spine.day = daily.day
+            ORDER BY spine.day
+            """,
+        ),
+        "dedup_keep_best": QuerySpec(
+            _rel(A.dedup_keep_best),
+            """
+            SELECT doc_id, lang, source, n_chars, bag_key FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       md5(array_to_string(list_sort(list_distinct(
+                           string_split(text, ' '))), ' ')) AS bag_key,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(array_to_string(list_sort(
+                               list_distinct(string_split(text, ' '))), ' '))
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
+            """,
+        ),
         # ---------------- pivot / unpivot / grouping sets ----------------
         "pivot_segment_counts": QuerySpec(
             _rel(A.pivot_segment_counts),

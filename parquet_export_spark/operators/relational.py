@@ -446,7 +446,13 @@ def scalar_date_funcs(t: dict[str, DataFrame]) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
             F.month("o_orderdate").alias("order_month"),
             F.dayofmonth("o_orderdate").alias("order_day"),
-            F.date_trunc("quarter", "o_orderdate").alias("order_quarter"),
+            # date_trunc returns TimestampType via the SESSION zone —
+            # wrong under a non-UTC driver session. Rebuild the NTZ
+            # quarter start from wall-clock fields instead (tz-free).
+            F.expr(
+                "make_timestamp_ntz(year(o_orderdate),"
+                " (quarter(o_orderdate) - 1) * 3 + 1, 1, 0, 0, 0)"
+            ).alias("order_quarter"),
             F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
                 "days_to_2002"
             ),
@@ -495,7 +501,11 @@ def events_hourly_rollup(t: dict[str, DataFrame]) -> DataFrame:
     return (
         maybe_fanout(t["events"])
         .groupBy(
-            F.date_trunc("hour", "ts").alias("hour"),
+            # tz-free hour truncation on NTZ (date_trunc would route
+            # through the session zone)
+            F.expr(
+                "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+            ).alias("hour"),
             "event_type",
         )
         .agg(

@@ -1,0 +1,38 @@
+"""The driver runs queries under ITS OWN SparkSession, whose session
+time zone we don't control. Every timestamp-touching query must give
+identical results under any session tz — verified here by re-running
+the timestamp-sensitive oracle checks in a newSession pinned to a
+non-UTC zone with DST."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_export_spark.queries import REGISTRY
+from tests.oracle_harness import compare
+
+TZ_SENSITIVE = [
+    "events_hourly_rollup",
+    "window_lag_lead",
+    "sessionize_batch",
+    "asof_purchase_attribution",
+    "scalar_date_funcs",
+    "date_funcs_extra",
+    "funnel_signup_click_purchase",
+    "gapfill_daily_revenue",
+    "q1_pricing_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def ny_spark(spark):
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    return ns
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_oracle_match_under_foreign_tz(ny_spark, sf_dir, name):
+    spec = REGISTRY[name]
+    ok, msg = compare(ny_spark, sf_dir, spec.fn, spec.oracle)
+    assert ok, f"{name} under America/New_York session tz: {msg}"

@@ -198,28 +198,58 @@ def ann_lsh_buckets(t: dict[str, DataFrame], n_planes: int = N_PLANES) -> DataFr
 
 
 def ann_lsh_neighbors(
-    t: dict[str, DataFrame], threshold: float = 0.6, n_planes: int = 8
+    t: dict[str, DataFrame],
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
 ) -> DataFrame:
-    """Approximate similar pairs: same LSH bucket AND cosine >= threshold.
+    """Approximate similar pairs: same bucket in ANY of ``n_tables``
+    LSH tables (OR-amplification), verified by exact cosine.
 
-    The bucket equi-join caps the candidate set; exact cosine verifies.
+    Each table uses its own ``planes_per_table`` sign-projection bits;
+    a candidate pair needs a full bucket match in at least one table —
+    recall amplifies with n_tables while each table's equi-join stays
+    selective. The exact-cosine verification keeps precision at 1.
     """
-    b = ann_lsh_buckets(t, n_planes=n_planes).join(
-        t["embeddings"], "vec_id"
-    )
-    x, y = b.alias("x"), b.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    )
-    sim = F.round(_cosine("x.embedding", "y.embedding"), 9)
-    return (
-        pairs.select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            sim.alias("sim"),
+    emb = t["embeddings"]
+    tables = []
+    for ti in range(n_tables):
+        planes = _PLANES[ti * planes_per_table : (ti + 1) * planes_per_table]
+        bits = []
+        for p, weights_list in enumerate(planes):
+            weights = ", ".join(f"{w}D" for w in weights_list)
+            dot = (
+                f"aggregate(zip_with(embedding, array({weights}), "
+                f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+        tables.append(
+            F.struct(
+                F.lit(ti).alias("tbl"),
+                F.expr(" + ".join(bits)).cast("long").alias("bucket"),
+            )
         )
+    bucketed = emb.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    cand = (
+        bucketed.alias("x")
+        .join(
+            bucketed.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = F.round(_cosine("emb_a", "emb_b"), 9)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

@@ -89,14 +89,19 @@ def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
 
 def q22_inactive_rich_customers(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery (global avg) + anti join."""
-    cust, orders = t["customer"], t["orders"]
+    cust = t["customer"]
+    # "inactive" = no order since 1999 (every customer has SOME order
+    # in the synthetic data, so plain no-orders would be vacuous)
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         davg("c_acctbal").alias("ab")
     )
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

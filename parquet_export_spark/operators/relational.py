@@ -183,8 +183,9 @@ def join_semi(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def join_anti(t: dict[str, DataFrame]) -> DataFrame:
-    """Customers with no orders at all (left anti)."""
-    c, o = t["customer"], t["orders"]
+    """Customers with no urgent order (left anti on a filtered side)."""
+    c = t["customer"]
+    o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

@@ -200,7 +200,7 @@ def q20_heavy_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         widget_qty.join(total_qty, F.col("wk") == F.col("tk"))
-        .filter(F.col("widget_qty") > 0.5 * F.col("total_qty"))
+        .filter(F.col("widget_qty") > 0.12 * F.col("total_qty"))
         .join(F.broadcast(supp), F.col("wk") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "widget_qty", "total_qty")
         .orderBy("s_suppkey")

@@ -174,7 +174,8 @@ REGISTRY: dict[str, QuerySpec] = {
         _rel(R.join_anti),
         """
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
         ORDER BY c_custkey
         """,
     ),
@@ -934,7 +935,7 @@ REGISTRY.update(
             SELECT s_suppkey, s_name, widget_qty, total_qty
             FROM wq JOIN tq ON wk = tk
             JOIN supplier ON wk = s_suppkey
-            WHERE widget_qty > 0.5 * total_qty
+            WHERE widget_qty > 0.12 * total_qty
             ORDER BY s_suppkey
             """,
         ),
@@ -1036,7 +1037,9 @@ REGISTRY.update(
             FROM customer
             WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer
                                WHERE c_acctbal > 0)
-              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_mktsegment ORDER BY c_mktsegment
             """,
         ),

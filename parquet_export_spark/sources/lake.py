@@ -87,19 +87,23 @@ def _restore_nanos_columns(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
-#: (session id, lake dir) -> table DataFrames. A DataFrame is a reusable
+#: session -> {lake dir -> table DataFrames}. A DataFrame is a reusable
 #: logical plan; caching it avoids re-reading parquet footers (one
-#: schema-discovery job per table) on every query invocation.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+#: schema-discovery job per table) on every query invocation. Weakly
+#: keyed by the live SparkSession so a dead session's entries never
+#: alias a new one.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(
     spark: SparkSession, lake_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
-    key = (id(spark._jsparkSession), lake_dir)
-    cached = _TABLE_CACHE.get(key)
-    if cached is None:
-        cached = _TABLE_CACHE[key] = {}
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.setdefault(lake_dir, {})
     for n in names or STAR_TABLES:
         if n not in cached:
             cached[n] = load_table(spark, lake_dir, n)

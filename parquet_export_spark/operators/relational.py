@@ -152,6 +152,7 @@ def filter_project(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def join_inner(t: dict[str, DataFrame]) -> DataFrame:
+    """Plain equi inner join over the orders->customer FK edge."""
     o, c = t["orders"], t["customer"]
     return (
         o.join(c, o.o_custkey == c.c_custkey, "inner")
@@ -423,6 +424,7 @@ def window_rank_dense(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def scalar_string_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """String family: upper/length/substring/concat_ws/regexp_replace."""
     return (
         t["customer"]
         .select(
@@ -440,6 +442,7 @@ def scalar_string_funcs(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def scalar_date_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """Date family: year/month/day, tz-free quarter truncation, datediff."""
     return (
         t["orders"]
         .select(
@@ -463,6 +466,7 @@ def scalar_date_funcs(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def scalar_math_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """Math family: round/floor/ceil/abs/pmod/sqrt."""
     return (
         t["part"]
         .select(

@@ -84,6 +84,28 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Export throughput: the reference's own function — normalize +
+    # size-bounded zstd parquet + manifest over the largest tables.
+    import shutil
+    import tempfile
+
+    from parquet_export_spark.export.manifest import write_manifest
+    from parquet_export_spark.export.writer import write_table
+    from parquet_export_spark.tables import TableSpec
+
+    out_dir = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        t0 = time.perf_counter()
+        files = {}
+        for name, rpf in (("lineitem", 200_000), ("orders", 100_000), ("events", 100_000)):
+            spec = TableSpec(name=name, datatypes={}, rows_per_file=rpf)
+            df = load_tables(spark, sf_dir)[name]
+            files[name] = write_table(df, out_dir, spec)
+        write_manifest(out_dir, files)
+        timings["export_three_tables"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -118,6 +118,47 @@ def multimodal_features(t: dict[str, DataFrame]) -> DataFrame:
     return extract_features(with_binary_payload(t["documents"])).orderBy("doc_id")
 
 
+def byte_histograms(payloads: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-payload byte-value histogram via ``mapInArrow`` — the
+    zero-copy Arrow path for numeric kernels over binary columns
+    (opcode histograms over EVM bytecode are this exact shape against
+    the reference's ``code.code`` column, reference config.py:9).
+
+    Bins cover [0, 256) in ``n_bins`` equal ranges; counts are int64.
+    """
+    import pyarrow as pa
+
+    width = 256 // n_bins
+
+    def run(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("doc_id")
+            hists = []
+            for buf in batch.column("payload"):
+                b = buf.as_py()
+                if b is None or len(b) == 0:
+                    hists.append([0] * n_bins)
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    hists.append(
+                        np.bincount(arr // width, minlength=n_bins)[:n_bins].tolist()
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(hists, type=pa.list_(pa.int64()))],
+                names=["doc_id", "hist"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+        ]
+    )
+    return payloads.mapInArrow(run, schema)
+
+
 def resize_images(
     payloads: DataFrame, width: int, height: int, media_type: str = "image/png"
 ) -> DataFrame:

@@ -177,6 +177,22 @@ def test_resize_and_frame_sample_plumbing(spark, tables):
         M.sample_frames(payloads, media_type="video/webm")
 
 
+def test_byte_histograms_arrow(spark, tables):
+    payloads = M.with_binary_payload(tables["documents"].limit(12))
+    rows = M.byte_histograms(payloads, n_bins=16).collect()
+    assert len(rows) == 12
+    docs = {r.doc_id: r.text for r in tables["documents"].limit(12).collect()}
+    for r in rows:
+        assert len(r.hist) == 16
+        payload = docs[r.doc_id].encode()
+        assert sum(r.hist) == len(payload)
+        # lowercase ascii letters land in bins 6 (96-111) and 7 (112-127)
+        import string
+
+        n_alpha = sum(1 for c in payload if 96 <= c < 128)
+        assert r.hist[6] + r.hist[7] == n_alpha
+
+
 def test_sniff_media_type():
     assert M.sniff_media_type(b"\x89PNG\r\n") == "image/png"
     assert M.sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"

@@ -118,6 +118,55 @@ def run_to_memory(stream: DataFrame, name: str, spark: SparkSession) -> DataFram
     return spark.table(name)
 
 
+def purchase_click_join_stream(
+    events: DataFrame, window_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream join: purchases joined to clicks by the same user
+    within the preceding ``window_minutes``.
+
+    Both sides are watermarked; the time-range condition bounds the
+    join state Spark must keep (clicks older than the window + late
+    allowance are evicted). The canonical funnel/attribution join in
+    continuous form.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental export (batch-delta with updated_at watermark)
 # --------------------------------------------------------------------------

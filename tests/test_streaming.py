@@ -56,6 +56,44 @@ def test_sessionize_stream_runs(spark, events_stream):
         assert r.n_events >= 1
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir, sf_dir):
+    """Watermarked stream-stream purchase<-click join equals the batch
+    range join over the bounded source (events.ts is TimestampType in
+    the stream; compare on values)."""
+    stream = I.stream_events(spark, events_dir)
+    joined = I.purchase_click_join_stream(stream, window_minutes=30)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.table("ssj_test").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("ci"), F.col("ts").alias("ct")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pi"), F.col("ts").alias("pt")
+    )
+    want = {
+        (r.pu, r.pi, r.ci)
+        for r in purchases.join(
+            clicks,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("ct") <= F.col("pt"))
+            & (F.col("ct") >= F.col("pt") - F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_running_totals(spark, events_dir, sf_dir):
     """applyInPandasWithState lifetime totals equal the batch groupBy
     when the bounded stream is drained in one availableNow run."""

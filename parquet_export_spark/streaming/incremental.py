@@ -118,6 +118,57 @@ def run_to_memory(stream: DataFrame, name: str, spark: SparkSession) -> DataFram
     return spark.table(name)
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup by event_id within the watermark window.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes — bounded memory under duplicate-bearing
+    ingest (at-least-once sources, replayed landing files)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def merge_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+):
+    """foreachBatch upsert sink: each micro-batch MERGEs into the
+    target parquet prefix via export.maintenance.merge_upsert —
+    the continuous version of the reference's full-snapshot republish.
+    Returns the started StreamingQuery."""
+    from parquet_export_spark.export.maintenance import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            current = spark.read.parquet(target_dir)
+            merged = merge_upsert(current, batch_df, key, updated_col=None)
+        else:
+            merged = batch_df
+        # write to a staging dir then swap: the target stays readable
+        staging = target_dir.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(staging, target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def purchase_click_join_stream(
     events: DataFrame, window_minutes: int = 30, watermark: str = "1 hour"
 ) -> DataFrame:

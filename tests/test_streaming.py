@@ -142,6 +142,45 @@ def test_incremental_export_delta(spark, sf_dir):
     assert 0 < n_delta < n_total
 
 
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """Duplicate landing files (replayed ingest) -> dedup_stream emits
+    each event once."""
+    d = tmp_path / "dup_landing"
+    d.mkdir()
+    src = table_path(sf_dir, "events")
+    (d / "events-a.parquet").symlink_to(src)
+    (d / "events-b.parquet").symlink_to(src)  # full replay duplicate
+    stream = I.dedup_stream(I.stream_events(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = load_table(spark, sf_dir, "events").count()
+    got = spark.table("dedup_stream_test")
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_merge_sink_upsert(spark, events_dir, tmp_path):
+    """foreachBatch merge sink: second run with the same checkpoint
+    adds nothing; target holds exactly the distinct events."""
+    target = str(tmp_path / "events_lake")
+    ckpt = str(tmp_path / "ckpt")
+    q = I.merge_sink(I.stream_events(spark, events_dir), target, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(target)
+    n = back.count()
+    assert n == back.select("event_id").distinct().count() > 0
+    # replay with same checkpoint: no change
+    q2 = I.merge_sink(I.stream_events(spark, events_dir), target, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(target).count() == n
+
+
 def test_stream_to_parquet_sink(spark, events_dir, tmp_path):
     """End-to-end streaming export: file source -> windowed agg ->
     parquet sink with checkpoint (the continuous-lake landing path)."""

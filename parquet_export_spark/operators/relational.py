@@ -262,6 +262,22 @@ def lateral_explode_items(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def sample_fraction(t: dict[str, DataFrame], fraction: float = 0.1, seed: int = 42) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE over lineitem.
+
+    Deterministic for a fixed seed AND partitioning (per-partition RNG
+    streams), so it is rows-only checked — the sample composition is
+    partitioning-dependent by design. The scale-out path for 'train on
+    a 1% slice of 100 TB'.
+    """
+    return (
+        t["lineitem"]
+        .sample(withReplacement=False, fraction=fraction, seed=seed)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def sort_limit_offset(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic pagination: total order + offset + limit."""
     return (

@@ -239,6 +239,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY l_orderkey, pos
         """,
     ),
+    "sample_fraction": QuerySpec(_rel(R.sample_fraction), None),
     "sort_limit_offset": QuerySpec(
         _rel(R.sort_limit_offset),
         """

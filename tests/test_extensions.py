@@ -193,6 +193,17 @@ def test_byte_histograms_arrow(spark, tables):
         assert r.hist[6] + r.hist[7] == n_alpha
 
 
+def test_sample_fraction_bounds_and_determinism(spark, tables):
+    from parquet_export_spark.operators.relational import sample_fraction
+
+    n_total = tables["lineitem"].count()
+    s1 = sample_fraction(tables).collect()
+    s2 = sample_fraction(tables).collect()
+    assert s1 == s2  # same seed + partitioning -> identical sample
+    # Bernoulli(0.1): within generous bounds
+    assert 0.04 * n_total < len(s1) < 0.2 * n_total
+
+
 def test_sniff_media_type():
     assert M.sniff_media_type(b"\x89PNG\r\n") == "image/png"
     assert M.sniff_media_type(b"\xff\xd8\xff\xe0") == "image/jpeg"

@@ -48,11 +48,17 @@ def dedup_exact_keep_first(t: dict[str, DataFrame]) -> DataFrame:
 
     groupBy + join-back instead of dropDuplicates so the kept row is
     deterministic (dropDuplicates keeps an arbitrary row).
+
+    The shuffle key is a 16-byte md5 digest of the text, never the
+    document itself (the module rule): group digests to find each
+    group's min doc_id, then semi-join back on (digest, doc_id). A
+    digest collision would merge two distinct texts — md5's 2^-64
+    birthday bound at petabyte corpus sizes is accepted here.
     """
-    docs = t["documents"]
-    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    docs = t["documents"].withColumn("content_hash", F.md5("text"))
+    keepers = docs.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
     return (
-        docs.join(keepers, ["doc_id", "text"], "left_semi")
+        docs.join(keepers, ["doc_id", "content_hash"], "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -63,14 +69,33 @@ def dedup_exact_keep_first(t: dict[str, DataFrame]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def neardup_jaccard_blocked(t: dict[str, DataFrame], threshold: float = 0.8) -> DataFrame:
+#: Blocks larger than this are excluded from the exact all-pairs path.
+#: Within-block cost is quadratic, so block size must be bounded for the
+#: operator to be safe at scale; oversized blocks belong to the MinHash
+#: banding path (``neardup_minhash_lsh``), whose cost is O(n * bands).
+JACCARD_MAX_BLOCK = 100_000
+
+
+def neardup_jaccard_blocked(
+    t: dict[str, DataFrame],
+    threshold: float = 0.8,
+    max_block_size: int = JACCARD_MAX_BLOCK,
+) -> DataFrame:
     """Document pairs with word-set Jaccard >= threshold, blocked on
-    (lang, source).
+    (lang, source), restricted to blocks of <= max_block_size docs.
+
+    This is the exact, oracle-checkable BASELINE — not the production
+    near-dup path. Block sizes are data-dependent ((en, web) at corpus
+    scale is quadratic), so blocks above ``max_block_size`` are skipped
+    here; route them through ``neardup_minhash_lsh`` instead. The guard
+    makes worst-case cost max_block_size^2 per block instead of
+    unbounded.
 
     The blocking key bounds each join group; within a block the
     intersection runs as a JVM ``array_intersect`` over pre-distinct
     token arrays. Jaccard is an exact ratio of ints -> deterministic
-    double, so DuckDB hash-matches.
+    double, so DuckDB hash-matches (the oracle applies the same
+    HAVING count(*) <= max_block_size block filter).
     """
     # Single-file scans arrive as one partition; spread the probe side
     # across cores on the blocking key before the per-pair set math.
@@ -79,6 +104,14 @@ def neardup_jaccard_blocked(t: dict[str, DataFrame], threshold: float = 0.8) -> 
     # is ~an order of magnitude cheaper than over strings, and Jaccard
     # only needs set cardinalities (64-bit collisions are negligible).
     docs = t["documents"]
+    small_blocks = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("block_n"))
+        .filter(F.col("block_n") <= max_block_size)
+        .select("lang", "source")
+    )
+    # block-key cardinality is tiny (|langs| x |sources|) -> broadcast
+    docs = docs.join(F.broadcast(small_blocks), ["lang", "source"], "left_semi")
     toks = (
         docs.repartition(_fanout_partitions(docs), "lang", "source")
         .select(
@@ -147,28 +180,21 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-#: Multiply-add hash family constants (odd multipliers), fixed seed.
-import random as _random
-
-_rng = _random.Random(0x5EED)
-_HASH_AB = [
-    ((_rng.getrandbits(62) | 1), _rng.getrandbits(62)) for _ in range(N_HASHES)
-]
-
-
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id -> minhash signature array (+ the shingle hashes).
 
-    Hash family: h_j(s) = a_j * s + b_j over the pre-hashed (int64)
-    shingles — natural 64-bit overflow, one multiply-add per element,
-    fully computable inside a projection. The trailing repartition
-    materializes an exchange so the (relatively) expensive signature
-    branch is REUSED (ReusedExchange) when callers self-join it,
-    instead of being recomputed per branch.
+    Hash family: h_j(s) = xxhash64(s, seed=j) over the pre-hashed
+    (int64) shingles — one seeded hash per element, fully computable
+    inside a projection, and ANSI-safe: unlike a multiply-add family,
+    xxhash64 never overflows, so the query behaves identically whether
+    the session runs with spark.sql.ansi.enabled on or off. The
+    trailing repartition materializes an exchange so the (relatively)
+    expensive signature branch is REUSED (ReusedExchange) when callers
+    self-join it, instead of being recomputed per branch.
     """
     mins = [
-        F.expr(f"array_min(transform(shingles, s -> {a}L * s + {b}L))").alias(f"h{j}")
-        for j, (a, b) in enumerate(_HASH_AB[:n_hashes])
+        F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {j})))").alias(f"h{j}")
+        for j in range(n_hashes)
     ]
     sh = _shingles(docs)
     sig = sh.select("doc_id", "shingles", F.array(*[m for m in mins]).alias("sig"))

@@ -555,28 +555,28 @@ REGISTRY.update(
             _rel(ST.profile_columns),
             """
             SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                    COUNT(DISTINCT o_custkey) AS n_distinct,
                    CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
                    CAST(MAX(o_custkey) AS VARCHAR) AS max_value
             FROM orders
             UNION ALL
             SELECT 'o_orderkey', COUNT(*),
-                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT o_orderkey),
                    CAST(MIN(o_orderkey) AS VARCHAR),
                    CAST(MAX(o_orderkey) AS VARCHAR)
             FROM orders
             UNION ALL
             SELECT 'o_orderpriority', COUNT(*),
-                   SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT o_orderpriority),
                    CAST(MIN(o_orderpriority) AS VARCHAR),
                    CAST(MAX(o_orderpriority) AS VARCHAR)
             FROM orders
             UNION ALL
             SELECT 'o_orderstatus', COUNT(*),
-                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT o_orderstatus),
                    CAST(MIN(o_orderstatus) AS VARCHAR),
                    CAST(MAX(o_orderstatus) AS VARCHAR)
@@ -638,7 +638,11 @@ REGISTRY.update(
                              list_distinct(string_split(text, ' ')) s
                       FROM documents) b
                   ON a.lang = b.lang AND a.source = b.source
-                 AND a.doc_id < b.doc_id)
+                 AND a.doc_id < b.doc_id
+                JOIN (SELECT lang, source FROM documents
+                      GROUP BY lang, source
+                      HAVING COUNT(*) <= 100000) ok
+                  ON a.lang = ok.lang AND a.source = ok.source)
             WHERE jaccard >= 0.8
             ORDER BY doc_a, doc_b
             """,
@@ -1240,6 +1244,50 @@ REGISTRY.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver evaluates entries in registry order and may
+# cap how many it checks per round, so verdict-hungry entries go first:
+#   1. oracle-bearing queries with no CORRECTNESS_r01 verdict (registry tail
+#      last round — text analysis, multimodal, q2/q4/q7-q22, asof, pivot, ...);
+#   2. queries changed or crashed in round 1 that need fresh verdicts
+#      (profile_columns hash fix, neardup_minhash_lsh ANSI fix,
+#      neardup_jaccard_blocked block cap, dedup_exact_keep_first digest key);
+#   3. rows-only approximate ops that never ran (ann_lsh_*, ivf_topk);
+#   4. a sample of round-1 passes to re-confirm;
+#   5. everything else (r01-green) at the tail.
+# ---------------------------------------------------------------------------
+_VERDICT_PRIORITY = [
+    # 1: oracle-bearing, unverdicted in r01
+    "token_stats", "quality_scores", "lang_id", "fingerprints",
+    "tfidf_top_terms", "lang_quality_summary",
+    "q2_min_balance_supplier", "q7_nation_pair_volume", "q8_market_share",
+    "q9_product_profit", "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_counts", "q20_heavy_suppliers",
+    "q21_exclusive_return_suppliers", "funnel_signup_click_purchase",
+    "q4_order_priority_exists", "q17_small_quantity_revenue",
+    "q18_large_orders_having", "q19_disjunctive_predicates",
+    "q22_inactive_rich_customers", "q14_promo_revenue_share",
+    "asof_purchase_attribution", "sessionize_batch", "gapfill_daily_revenue",
+    "dedup_keep_best", "pivot_segment_counts", "unpivot_segment_counts",
+    "grouping_sets_revenue", "null_handling_funcs", "array_collect_funcs",
+    "salted_agg_user_value", "multimodal_features",
+    # 2: changed/crashed in r01 — need fresh verdicts
+    "profile_columns", "neardup_minhash_lsh", "neardup_jaccard_blocked",
+    "dedup_exact_keep_first",
+    # 3: rows-only ops that never ran
+    "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
+    # 4: r01-pass sample to re-confirm
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "q10_returned_items", "dedup_exact",
+    "cosine_topk", "events_hourly_rollup", "window_topk_per_group",
+    "merge_upsert_orders",
+]
+
+REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {
+    k: v for k, v in REGISTRY.items() if k not in _VERDICT_PRIORITY
+}
 
 
 def queries() -> dict[str, QueryFn]:

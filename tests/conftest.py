@@ -15,7 +15,14 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse"},
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
+            # Driver parity: the correctness harness runs its own session
+            # with ANSI enabled. Running the whole suite ANSI-on ensures no
+            # query silently depends on session.py's permissive default
+            # (round-1 lesson: minhash overflowed only under the driver).
+            "spark.sql.ansi.enabled": "true",
+        },
     )
     yield s
 

@@ -1,0 +1,121 @@
+"""Hadoop FileSystem shim: path-scheme-agnostic file operations.
+
+The export pipeline's post-commit steps (row-range rename, manifest
+write, staging swap) are driver-side metadata operations. Routing them
+through the Hadoop FileSystem API — instead of ``os.*`` — makes them
+work unchanged on any scheme Spark itself can write: ``file:``,
+``hdfs:``, ``s3a:`` (reference main.py:155-176 uploads to GCS/S3; here
+the committed files ARE the upload, and these helpers do the bookkeeping
+on the same store). Every helper is O(#files) metadata work, no data
+movement — on object stores "rename" is the store's server-side
+copy+delete, still bounded by file count, not bytes scanned.
+
+Row counts come from parquet footers via parquet-hadoop's
+``ParquetFileReader`` (on Spark's classpath), so no table data is
+re-read to name files by row range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    """The FileSystem owning ``path`` (scheme + authority resolved
+    against the session's Hadoop conf; plain paths -> default FS)."""
+    return _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    return _fs(spark, path).exists(_jpath(spark, path))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path), _jpath(spark, path)
+    return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+
+def list_names(spark: SparkSession, dir_path: str, recursive: bool = False) -> list[str]:
+    """Names (recursive: slash-joined relative paths) of non-hidden
+    files under ``dir_path``, sorted. Hidden = basename starting with
+    ``_`` or ``.`` (Spark markers, checksum sidecars)."""
+    fs = _fs(spark, dir_path)
+    base = _jpath(spark, dir_path)
+    base_uri = fs.getFileStatus(base).getPath().toUri().getPath()
+    out: list[str] = []
+
+    def walk(p) -> None:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                if recursive:
+                    walk(st.getPath())
+            else:
+                rel = st.getPath().toUri().getPath()[len(base_uri) :].lstrip("/")
+                out.append(rel)
+
+    walk(base)
+    return sorted(out)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs = _fs(spark, src)
+    if not fs.rename(_jpath(spark, src), _jpath(spark, dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    return _fs(spark, path).delete(_jpath(spark, path), recursive)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> str:
+    """Atomically-enough write of a small text file (create overwrites);
+    used for manifest.json on any scheme."""
+    out = _fs(spark, path).create(_jpath(spark, path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return path
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    stream = _fs(spark, path).open(_jpath(spark, path))
+    try:
+        # commons-io ships with Spark; py4j returns the String by value
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def parquet_row_count(spark: SparkSession, path: str) -> int:
+    """Row count from the parquet footer — metadata-only, no data read.
+
+    Uses parquet-hadoop (already on Spark's classpath) so footers on
+    object stores are readable without a Python-side S3 client.
+    """
+    jvm = spark._jvm
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        _jpath(spark, path), spark._jsc.hadoopConfiguration()
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        return int(reader.getRecordCount())
+    finally:
+        reader.close()
+
+
+def join(base: str, *parts: str) -> str:
+    """URI-safe path join (os.path.join mangles nothing here, but keep
+    one spot that documents the contract: forward slashes, no scheme
+    handling needed because the base carries it)."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out

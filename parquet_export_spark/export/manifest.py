@@ -33,8 +33,23 @@ def build_manifest(files_per_table: dict[str, list[str]], now_ms: int | None = N
     }
 
 
-def write_manifest(out_dir: str, files_per_table: dict[str, list[str]]) -> str:
+def write_manifest(
+    out_dir: str, files_per_table: dict[str, list[str]], spark=None
+) -> str:
+    """Write ``manifest.json`` under ``out_dir``.
+
+    With a ``spark`` session the write goes through the Hadoop
+    FileSystem API (export/fs.py) and works on any scheme the export
+    itself wrote to (file:/hdfs:/s3a: — the reference uploads the
+    manifest to the same bucket last, main.py:282). Without one, plain
+    local I/O (kept for driverless unit use).
+    """
+    text = json.dumps(build_manifest(files_per_table), indent=2)
+    if spark is not None:
+        from parquet_export_spark.export import fs
+
+        return fs.write_text(spark, fs.join(out_dir, "manifest.json"), text)
     path = os.path.join(out_dir, "manifest.json")
     with open(path, "w") as fh:
-        json.dump(build_manifest(files_per_table), fh, indent=2)
+        fh.write(text)
     return path

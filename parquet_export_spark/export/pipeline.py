@@ -59,5 +59,5 @@ def export_lake(
         if limit is not None:
             df = df.limit(limit)
         files[name] = export_table(df, out_dir, spec, canonical_json=canonical_json)
-    write_manifest(out_dir, files)
+    write_manifest(out_dir, files, spark=spark)
     return files

@@ -15,19 +15,23 @@ Re-expresses the reference's rotate-on-quota ParquetWriter loop
   range reflects its *actual* rows (the reference's final partial file
   overstates its range, main.py:222; deliberate fix, SURVEY.md §4.3).
 
+All post-commit bookkeeping goes through the Hadoop FileSystem API
+(export/fs.py), so ``out_dir`` may be a local path, ``file:``,
+``hdfs:``, or a configured ``s3a:`` bucket — the same committed-files
+semantics on every scheme (the reference's per-file upload loop,
+main.py:155-176, becomes the distributed write itself).
+
 At 100 TB: the write path is executor-parallel end-to-end; the only
 driver work is listing + renaming committed files (O(#files), no data
-movement — renames are metadata ops on object stores with manifests or
-HDFS/local).
+movement — renames are metadata ops on HDFS/local and server-side
+copies on object stores, still bounded by file count, not bytes).
 """
 
 from __future__ import annotations
 
-import os
-
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 
+from parquet_export_spark.export import fs
 from parquet_export_spark.tables import TableSpec
 
 
@@ -49,7 +53,8 @@ def write_table(
     prune whole partitions on the partition predicate). Row-range
     naming doesn't apply there; the manifest lists relative paths.
     """
-    table_dir = os.path.join(out_dir, spec.name)
+    spark = df.sparkSession
+    table_dir = fs.join(out_dir, spec.name)
     writer = (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", spec.rows_per_file)
@@ -57,49 +62,36 @@ def write_table(
     )
     if partition_by:
         writer.partitionBy(*partition_by).parquet(table_dir)
-        out = []
-        for root, _dirs, files in os.walk(table_dir):
-            rel = os.path.relpath(root, table_dir)
-            for f in files:
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                    out.append(f if rel == "." else f"{rel}/{f}")
-        return sorted(out)
+        return fs.list_names(spark, table_dir, recursive=True)
     writer.parquet(table_dir)
     if rename_row_ranges:
-        return _rename_to_row_ranges(table_dir, spec)
-    return sorted(
-        f for f in os.listdir(table_dir) if f.endswith(".parquet")
-    )
+        return _rename_to_row_ranges(spark, table_dir, spec)
+    return [n for n in fs.list_names(spark, table_dir) if n.endswith(".parquet")]
 
 
-def _rename_to_row_ranges(table_dir: str, spec: TableSpec) -> list[str]:
+def _rename_to_row_ranges(spark, table_dir: str, spec: TableSpec) -> list[str]:
     """part-NNNNN files -> ``{table}_{start}_{end}_{codec}.parquet``.
 
     Deterministic order: Spark's part numbering (task order), which is
     stable for a given plan. Ranges are cumulative actual row counts
-    read from the parquet footers (no data scan).
+    read from the parquet footers (no data scan — ParquetFileReader
+    metadata only, works on any Hadoop scheme).
     """
-    parts = sorted(
-        f
-        for f in os.listdir(table_dir)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    parts = [
+        n for n in fs.list_names(spark, table_dir) if n.endswith(".parquet")
+    ]
     names: list[str] = []
     start = 0
     for part in parts:
-        path = os.path.join(table_dir, part)
-        # Hadoop LocalFS checksum sidecars reference the pre-rename
-        # name; drop them (absent on object stores, orphaned here).
-        crc = os.path.join(table_dir, f".{part}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
-        n_rows = pq.read_metadata(path).num_rows
+        path = fs.join(table_dir, part)
+        n_rows = fs.parquet_row_count(spark, path)
         if n_rows == 0:
-            os.remove(path)
+            # Hadoop FS delete also removes local checksum sidecars.
+            fs.delete(spark, path)
             continue
         end = start + n_rows
         new_name = f"{spec.name}_{start}_{end}_{spec.compression}.parquet"
-        os.replace(path, os.path.join(table_dir, new_name))
+        fs.rename(spark, path, fs.join(table_dir, new_name))
         names.append(new_name)
         start = end
     return names

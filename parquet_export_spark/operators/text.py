@@ -160,6 +160,11 @@ def tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     n_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # No broadcast hint on the document-frequency side: its cardinality
+    # is the vocabulary, which at web scale exceeds broadcast limits.
+    # AQE + autoBroadcastJoinThreshold promote it to a broadcast join
+    # exactly when its runtime size allows; otherwise it's a shuffle
+    # join keyed on term, which is the correct plan for a huge vocab.
     df = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
     score = F.round(
@@ -172,8 +177,8 @@ def tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
         tf.join(n_tok, "doc_id")
-        .join(F.broadcast(df), "term")
-        .join(F.broadcast(n_docs))
+        .join(df, "term")
+        .join(F.broadcast(n_docs))  # 1 row — always broadcast-safe
         .select("doc_id", "term", score.alias("score"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

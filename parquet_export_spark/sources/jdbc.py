@@ -20,6 +20,15 @@ Key semantics carried over:
 
 This module only *builds* the read plan; it needs a live database +
 JDBC driver jar to execute, so tests cover option construction.
+
+Managed-Postgres (Cloud SQL-style) connectivity (reference
+main.py:43-92 builds a socket-factory connector when INSTANCE_NAME is
+set): the JDBC equivalent is configuration, not code — add the vendor's
+socket-factory jar to ``spark.jars`` and pass its properties through
+``url`` query params (e.g. ``?socketFactory=<factory-class>&
+cloudSqlInstance=<instance>``), or run the vendor's auth-proxy sidecar
+and point ``url`` at localhost. Either way `JdbcSource` is unchanged;
+credentials flow through the same url/user/password triple.
 """
 
 from __future__ import annotations
@@ -84,12 +93,16 @@ class JdbcSource:
         """Hash-modulus predicates for UUID-keyed tables (no numeric PK).
 
         Each predicate becomes one parallel partition scan:
-        ``hashtext(id::text) % N = i``. Complete and disjoint.
+        ``(hashtext(id::text)::bigint & 2147483647) % N = i``. Complete
+        and disjoint. The mask (not ``abs``) makes it wrap-safe:
+        Postgres ``abs(-2147483648)`` raises integer-out-of-range, so a
+        key hashing to INT_MIN would fail its whole partition's scan.
         """
         key = key or next(iter(spec.datatypes))
         n = self.num_partitions
         return [
-            f'abs(hashtext("{key}"::text)) % {n} = {i}' for i in range(n)
+            f'(hashtext("{key}"::text)::bigint & 2147483647) % {n} = {i}'
+            for i in range(n)
         ]
 
     def read(self, spark: SparkSession, spec: TableSpec, offset: int | None = None) -> DataFrame:

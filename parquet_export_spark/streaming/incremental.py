@@ -138,28 +138,40 @@ def merge_sink(
     """foreachBatch upsert sink: each micro-batch MERGEs into the
     target parquet prefix via export.maintenance.merge_upsert —
     the continuous version of the reference's full-snapshot republish.
-    Returns the started StreamingQuery."""
+    Returns the started StreamingQuery.
+
+    Crash-safe swap (no deletion window): the previous snapshot is
+    renamed to ``target.old`` *before* staging takes its place, and
+    removed only after; if a crash lands between the renames, the next
+    batch restores ``target.old`` first — the replayed micro-batch then
+    merges into the full prior snapshot, never an empty directory.
+    All moves go through the Hadoop FileSystem API, so the sink works
+    on the same schemes as the batch writer (file:/hdfs:/s3a:)."""
+    from parquet_export_spark.export import fs
     from parquet_export_spark.export.maintenance import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        import os
-
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
+        old = target_dir.rstrip("/") + ".old"
+        staging = target_dir.rstrip("/") + ".staging"
+        # crash recovery: swap died after target was moved aside
+        if fs.exists(spark, old) and not fs.exists(spark, target_dir):
+            fs.rename(spark, old, target_dir)
+        has_data = fs.is_dir(spark, target_dir) and any(
+            f.endswith(".parquet") for f in fs.list_names(spark, target_dir)
+        )
+        if has_data:
             current = spark.read.parquet(target_dir)
             merged = merge_upsert(current, batch_df, key, updated_col=None)
         else:
             merged = batch_df
-        # write to a staging dir then swap: the target stays readable
-        staging = target_dir.rstrip("/") + ".staging"
+        # stage the merged snapshot, then swap without a deletion window
         merged.write.mode("overwrite").parquet(staging)
-        import shutil
-
-        if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
-        os.replace(staging, target_dir)
+        fs.delete(spark, old, recursive=True)
+        if fs.exists(spark, target_dir):
+            fs.rename(spark, target_dir, old)
+        fs.rename(spark, staging, target_dir)
+        fs.delete(spark, old, recursive=True)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

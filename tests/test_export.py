@@ -139,3 +139,57 @@ def test_jdbc_plan_construction():
     assert len(preds) == 16 and preds[0].endswith("= 0")
     off = src.dbtable(TABLES["contract_deployments"], offset=100)
     assert "ORDER BY" in off and "OFFSET 100" in off
+
+
+def test_export_to_file_scheme_uri(spark, tmp_path):
+    """The committed-files path must work on explicit Hadoop URIs, not
+    just bare local paths — this drives list/rename/manifest through
+    the FileSystem API exactly as an s3a:// out_dir would."""
+    out_dir = f"file://{tmp_path}/lake"
+    dfs = fixture_dataframes(spark, 30)
+    tables = {
+        name: __import__("dataclasses").replace(spec, rows_per_file=10)
+        for name, spec in TABLES.items()
+    }
+    files = export_lake(spark, lambda s, spec: dfs[spec.name], out_dir, tables=tables)
+    local = str(tmp_path / "lake")
+    for table, names in files.items():
+        assert names, table
+        for n in names:
+            assert re.match(rf"^{table}_\d+_\d+_zstd\.parquet$", n)
+            assert os.path.exists(os.path.join(local, table, n))
+        # no leftover part- files; any checksum sidecar must match a
+        # live data file (Hadoop LocalFS renames move sidecars along —
+        # consistent ones are fine, orphans are not)
+        listing = os.listdir(os.path.join(local, table))
+        assert not [f for f in listing if f.startswith("part-")]
+        orphans = [
+            f
+            for f in listing
+            if f.startswith(".") and f.endswith(".crc")
+            and f[1:-4] not in listing
+        ]
+        assert orphans == [], orphans
+        back = spark.read.parquet(f"{out_dir}/{table}")
+        assert back.count() == dfs[table].count()
+    manifest = json.loads(
+        open(os.path.join(local, "manifest.json")).read()
+    )
+    assert set(manifest["files"]) == set(TABLES)
+
+
+def test_fs_shim_roundtrip(spark, tmp_path):
+    from parquet_export_spark.export import fs
+
+    base = f"file://{tmp_path}"
+    p = fs.join(base, "a", "b.txt")
+    assert p == f"file://{tmp_path}/a/b.txt"
+    fs.write_text(spark, p, '{"k": 1}')
+    assert fs.exists(spark, p)
+    assert fs.read_text(spark, p) == '{"k": 1}'
+    fs.rename(spark, p, fs.join(base, "a", "c.txt"))
+    assert not fs.exists(spark, p)
+    assert fs.list_names(spark, fs.join(base, "a")) == ["c.txt"]
+    assert fs.list_names(spark, base, recursive=True) == ["a/c.txt"]
+    assert fs.delete(spark, fs.join(base, "a"), recursive=True)
+    assert not fs.exists(spark, fs.join(base, "a"))

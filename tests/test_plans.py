@@ -100,3 +100,20 @@ def test_wholestage_codegen_present(spark, sf_dir, name):
     # post-AQE executed plan: '*(n)' prefixes mark codegen'd stages
     plan = P.executed_plan_string(q(name, spark, sf_dir))
     assert "*(1)" in plan
+
+
+def test_dedup_keep_first_shuffles_on_digest(spark, sf_dir):
+    """The group-by shuffle key must be the md5 digest of the text,
+    never the full document (wide-key shuffle is the 100 TB killer
+    this operator was re-keyed to avoid)."""
+    df = q("dedup_exact_keep_first", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "content_hash" in keys or "md5" in keys:
+            continue
+        # any other hash partitioning must not carry the raw text
+        assert "text" not in keys, keys
+    assert "md5" in plan or "content_hash" in plan

@@ -23,3 +23,45 @@ def test_oracle_match(spark, sf_dir, name, spec):
 def test_rows_only_runs(spark, sf_dir, name, spec):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_approx_distinct_within_rel_sd(spark, sf_dir):
+    """HLL has no DuckDB oracle, but it DOES have a quantitative bound:
+    approx_count_distinct(rsd=0.01) must land within a few rel-sd of
+    the exact distinct count per group (5x slack over the 1% rsd)."""
+    from parquet_export_spark.operators.relational import agg_approx_distinct
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in agg_approx_distinct(t).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"])
+             .countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(5, 0.05 * n), (flag, approx[flag], n)
+
+
+def test_sample_fraction_binomial_bound(spark, sf_dir):
+    """Bernoulli sample size is Binomial(n, p): assert the observed
+    size within 6 standard deviations of n*p (false-positive rate
+    ~1e-9, deterministic given the fixed seed anyway)."""
+    import math
+
+    from parquet_export_spark.operators.relational import sample_fraction
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    n = t["lineitem"].count()
+    p = 0.1
+    got = sample_fraction(t).count()
+    sd = math.sqrt(n * p * (1 - p))
+    assert abs(got - n * p) <= 6 * sd, (got, n * p, sd)

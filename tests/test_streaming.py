@@ -181,6 +181,34 @@ def test_merge_sink_upsert(spark, events_dir, tmp_path):
     assert spark.read.parquet(target).count() == n
 
 
+def test_merge_sink_crash_recovery(spark, events_dir, tmp_path):
+    """A crash between 'target -> target.old' and 'staging -> target'
+    must not lose the snapshot: the next batch restores target.old and
+    merges the replayed micro-batch into the FULL prior snapshot."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "events_lake")
+    q = I.merge_sink(
+        I.stream_events(spark, events_dir), target, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(target).count()
+    assert n > 0
+    # simulate the torn swap: snapshot moved aside, nothing in its place
+    os.replace(target, target + ".old")
+    assert not os.path.exists(target)
+    # fresh checkpoint -> the whole source replays as one micro-batch
+    q2 = I.merge_sink(
+        I.stream_events(spark, events_dir), target, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    back = spark.read.parquet(target)
+    assert back.count() == n
+    assert not os.path.exists(target + ".old")
+    assert not os.path.exists(target + ".staging")
+
+
 def test_stream_to_parquet_sink(spark, events_dir, tmp_path):
     """End-to-end streaming export: file source -> windowed agg ->
     parquet sink with checkpoint (the continuous-lake landing path)."""

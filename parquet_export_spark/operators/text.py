@@ -146,6 +146,55 @@ def fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    t: dict[str, DataFrame], k: int = 8, w: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: rolling k-gram hashes,
+    window-min selection.
+
+    Per document: hash every character k-gram with a Karp-Rabin
+    polynomial hash (Horner fold, base 257 mod 2^31-1 — modded every
+    step so the arithmetic is ANSI-overflow-free), slide a window of
+    ``w`` consecutive gram hashes, keep each window's minimum, distinct
+    the selections. Guarantees any substring match of length >= k+w-1
+    shares a fingerprint — the standard local-fingerprinting scheme for
+    plagiarism/near-dup detection at document granularity.
+
+    All JVM expression work (nested HOF lambdas), embarrassingly
+    parallel, no shuffle except the final sort. The polynomial hash is
+    engine-portable, so the full fingerprint arrays carry a DuckDB
+    oracle (arrays sorted on both sides). Docs shorter than k+w-1
+    chars have no full window and are excluded (mirrored in the
+    oracle's WHERE).
+    """
+    docs = t["documents"].filter(F.length("text") >= k + w - 1)
+    p, base = 2_147_483_647, 257
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}),"
+        f" i -> aggregate(sequence(0, {k - 1}), 0L,"
+        f"  (acc, j) -> (acc * {base} + ascii(substring(text, i + j, 1))) % {p}))"
+    )
+    windows_min = F.expr(
+        f"array_sort(array_distinct(transform("
+        f" sequence(1, size(kg) - {w - 1}), j -> array_min(slice(kg, j, {w})))))"
+    )
+    return (
+        docs.select("doc_id", kgram_hashes.alias("kg"))
+        .select(
+            "doc_id",
+            F.size("kg").alias("n_grams"),
+            windows_min.alias("fingerprints"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fingerprints").alias("n_fingerprints"),
+            "fingerprints",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document.
 

@@ -647,6 +647,34 @@ REGISTRY.update(
             ORDER BY doc_a, doc_b
             """,
         ),
+        "neardup_ngram_jaccard": QuerySpec(
+            _rel(D.neardup_ngram_jaccard),
+            """
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(LEN(list_intersect(a.g, b.g)) AS DOUBLE) /
+                       CAST(LEN(a.g) + LEN(b.g) - LEN(list_intersect(a.g, b.g))
+                            AS DOUBLE) AS jaccard
+                FROM (SELECT doc_id, lang, source,
+                             list_distinct([substring(text, i, 5)
+                                 for i in generate_series(
+                                     1, greatest(length(text) - 4, 1))]) g
+                      FROM documents) a
+                JOIN (SELECT doc_id, lang, source,
+                             list_distinct([substring(text, i, 5)
+                                 for i in generate_series(
+                                     1, greatest(length(text) - 4, 1))]) g
+                      FROM documents) b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+                JOIN (SELECT lang, source FROM documents
+                      GROUP BY lang, source
+                      HAVING COUNT(*) <= 100000) ok
+                  ON a.lang = ok.lang AND a.source = ok.source)
+            WHERE jaccard >= 0.55
+            ORDER BY doc_a, doc_b
+            """,
+        ),
         "neardup_minhash_lsh": QuerySpec(_rel(D.neardup_minhash_lsh), None),
         "neardup_simhash": QuerySpec(_rel(D.neardup_simhash), None),
         "neardup_clusters": QuerySpec(_rel(D.neardup_clusters), None),
@@ -695,6 +723,23 @@ REGISTRY.update(
                    {_cos_sql('e.embedding', 'centroids.centroid')} AS centroid_sim
             FROM embeddings e JOIN centroids ON e.label = centroids.label
             ORDER BY e.vec_id
+            """,
+        ),
+        "neardup_embedding": QuerySpec(
+            _rel(S.neardup_embedding),
+            f"""
+            SELECT vec_id, label, neighbor_id, cosine FROM (
+                SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+                       {_cos_sql('a.embedding', 'b.embedding')} AS cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql('a.embedding', 'b.embedding')}
+                                        DESC,
+                                    b.vec_id) AS rn
+                FROM embeddings a
+                JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id != b.vec_id)
+            WHERE rn = 1 ORDER BY vec_id
             """,
         ),
         "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
@@ -782,6 +827,30 @@ REGISTRY.update(
                        list_sort(list_distinct(string_split(text, ' '))), ' '))
                        AS bag_md5
             FROM documents ORDER BY doc_id
+            """,
+        ),
+        "winnowing_fingerprints": QuerySpec(
+            _rel(X.winnowing_fingerprints),
+            """
+            SELECT doc_id,
+                   CAST(LEN(kg) AS INTEGER) AS n_grams,
+                   CAST(LEN(fp) AS INTEGER) AS n_fingerprints,
+                   fp AS fingerprints
+            FROM (
+                SELECT doc_id, kg,
+                       list_sort(list_distinct(
+                           [list_min(list_slice(kg, j, j + 3))
+                            for j in generate_series(1, len(kg) - 3)])) AS fp
+                FROM (
+                    SELECT doc_id,
+                           [list_reduce(
+                                [CAST(unicode(substring(text, i + j, 1))
+                                      AS BIGINT)
+                                 for j in generate_series(0, 7)],
+                                (a, b) -> (a * 257 + b) % 2147483647)
+                            for i in generate_series(1, length(text) - 7)] AS kg
+                    FROM documents WHERE length(text) >= 11))
+            ORDER BY doc_id
             """,
         ),
         "tfidf_top_terms": QuerySpec(
@@ -1273,6 +1342,8 @@ _VERDICT_PRIORITY = [
     "dedup_keep_best", "pivot_segment_counts", "unpivot_segment_counts",
     "grouping_sets_revenue", "null_handling_funcs", "array_collect_funcs",
     "salted_agg_user_value", "multimodal_features",
+    # 1b: new this round — no verdict exists yet
+    "neardup_ngram_jaccard", "neardup_embedding", "winnowing_fingerprints",
     # 2: changed/crashed in r01 — need fresh verdicts
     "profile_columns", "neardup_minhash_lsh", "neardup_jaccard_blocked",
     "dedup_exact_keep_first",

@@ -47,13 +47,16 @@ HEADLINE = [
     "salted_agg_user_value",
     "dedup_exact",
     "neardup_jaccard_blocked",
+    "neardup_ngram_jaccard",
     "neardup_minhash_lsh",
+    "neardup_embedding",
     "cosine_topk",
     "label_centroid_sim",
     "ann_lsh_neighbors",
     "token_stats",
     "quality_scores",
     "fingerprints",
+    "winnowing_fingerprints",
     "tfidf_top_terms",
     "multimodal_features",
 ]

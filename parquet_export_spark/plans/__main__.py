@@ -1,0 +1,71 @@
+"""Regenerate PLANS.md: physical-plan evidence for headline queries.
+
+Usage: ``python -m parquet_export_spark.plans [out_path]``
+
+Documents, for each representative query, the plan properties the
+100 TB design depends on (pushed filters, pruned read schemas,
+broadcast joins, shuffle count) plus the formatted physical plan.
+Run after any plan-affecting change; tests/test_plans.py pins the same
+properties as assertions.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from parquet_export_spark.plans import inspect as P
+from parquet_export_spark.queries import REGISTRY
+from parquet_export_spark.session import get_spark
+
+#: One per plan family: scan+agg, broadcast star join, pushdown-only,
+#: blocked self-join, band-bucket join, digest dedup, vector math,
+#: HOF-projection pipeline.
+SHOWCASE = [
+    "q5_revenue_by_nation",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "neardup_jaccard_blocked",
+    "neardup_minhash_lsh",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "cosine_topk",
+    "neardup_embedding",
+    "winnowing_fingerprints",
+]
+
+HEADER = """\
+# PLANS — physical plans of representative queries
+
+Auto-generated (`python -m parquet_export_spark.plans`). The
+properties pinned by tests/test_plans.py are visible here:
+PushedFilters on every scan, pruned ReadSchema, broadcast dimensions,
+minimal shuffle counts. Regenerate after plan-affecting changes.
+"""
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
+    sf_dir = "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    sections = [HEADER]
+    for name in SHOWCASE:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        scans = [sorted(s) for s in P.read_schemas(df)]
+        filters = [f for f in P.pushed_filters(df) if f and f != "[]"]
+        plan = P.plan_string(df)
+        sections.append(
+            f"## {name}\n\n"
+            f"- broadcast joins: {P.count_broadcast_joins(df)},"
+            f" shuffle exchanges: {P.count_shuffles(df)}\n"
+            f"- scan column sets: {scans}\n"
+            f"- pushed filters: {filters[:3]}{' …' if len(filters) > 3 else ''}\n\n"
+            f"```\n{plan.strip()}\n```\n"
+        )
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(sections))
+    print(f"wrote {out_path} ({len(SHOWCASE)} queries)")
+
+
+if __name__ == "__main__":
+    main()

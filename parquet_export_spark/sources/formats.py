@@ -38,6 +38,43 @@ def read_jsonl(
     return reader.options(**options).json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC lake read — same columnar pushdown/pruning posture as
+    parquet (both are native vectorized scans with predicate pushdown
+    and column pruning in Catalyst)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file ingestion for the multimodal path: one row per file
+    with (path, modificationTime, length, content binary).
+
+    This is how image/audio/video blobs enter the lake before
+    operators.multimodal decodes/features them — content stays an
+    opaque binary column end-to-end. ``glob`` filters by pattern
+    (e.g. ``*.png``). Driver never touches the bytes; each file is
+    read by the executor that owns its split.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 

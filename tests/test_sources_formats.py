@@ -64,3 +64,27 @@ def test_ngram_udtf(spark):
         "SELECT ngram FROM _udtf_docs, LATERAL ngrams(text, 3)"
     ).collect()
     assert [r.ngram for r in out] == ["a b c", "b c d"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    FM.write_orc(orders, path)
+    back = FM.read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    # predicate pushdown reaches the ORC scan
+    q = back.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    plan = q._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_binary_files_source(spark, tmp_path):
+    blobs = {"a.png": b"\x89PNG fake", "b.png": b"\x89PNG other", "c.txt": b"not image"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = FM.read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {k: v for k, v in blobs.items() if k.endswith(".png")}
+    assert dict(df.dtypes)["content"] == "binary"
+    assert dict(df.dtypes)["length"] == "bigint"

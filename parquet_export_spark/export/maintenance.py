@@ -43,6 +43,80 @@ def merge_upsert(
     return survivors.unionByName(changes)
 
 
+def zorder_values(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Attach a ``_zvalue`` column: Morton (bit-interleaved) index over
+    the given numeric columns, each rank-scaled to ``bits`` bits.
+
+    Pure JVM bit arithmetic (shifts/or — ANSI-overflow-free). The one
+    driver-side step is a single min/max bounds row per column (same
+    pattern as JDBC partition bounds): scaling needs global extents.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} columns x {bits} bits exceeds a 63-bit Z-value; "
+            "lower bits or cluster fewer columns"
+        )
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"{c}_min") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"{c}_max") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[f"{c}_min"], bounds[f"{c}_max"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top).cast(
+                    "long"
+                ),
+            ).alias(f"_s{len(scaled)}")
+        )
+    df = df.select("*", *scaled)
+    n = len(cols)
+    terms = " | ".join(
+        f"shiftleft(shiftright(_s{i}, {b}) & 1, {b * n + i})"
+        for b in range(bits)
+        for i in range(n)
+    )
+    return df.withColumn("_zvalue", F.expr(terms)).drop(
+        *[f"_s{i}" for i in range(n)]
+    )
+
+
+def zorder_table(
+    spark,
+    df: DataFrame,
+    cols: list[str],
+    out_dir: str,
+    spec: TableSpec,
+    bits: int = 16,
+) -> list[str]:
+    """Rewrite a table clustered by Z-order over ``cols``.
+
+    Range-repartition + sort on the Morton index co-locates rows that
+    are close in EVERY listed dimension, so per-file parquet min/max
+    stats become selective on all of them at once — multi-column data
+    skipping, the layout optimization a single-column sort can't give.
+    One range shuffle (sampled boundaries), executor-parallel write;
+    at 100 TB this runs per partition-prefix like compaction.
+    """
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // spec.rows_per_file))
+    from pyspark.sql import functions as F
+
+    clustered = (
+        zorder_values(df, cols, bits=bits)
+        .repartitionByRange(n_files, F.col("_zvalue"))
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
+    )
+    return write_table(clustered, out_dir, spec)
+
+
 def compact_table(
     spark,
     table_dir: str,

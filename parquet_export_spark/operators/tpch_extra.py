@@ -142,6 +142,55 @@ def q13_order_count_distribution(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q11_important_parts(t: dict[str, DataFrame]) -> DataFrame:
+    """Q11 shape: per-group value vs a GLOBAL-fraction threshold
+    (aggregate subquery over the whole relation).
+
+    No partsupp in this schema, so "stock value" is derived from
+    observed lineitem flow: per part, sum(extendedprice * quantity);
+    keep parts whose value exceeds 0.1% of the total. Same plan shape
+    as TPC-H Q11: one grouped aggregate, one global aggregate of the
+    same input (broadcast scalar), filter, sort by value.
+    """
+    li = t["lineitem"]
+    value = dsum(F.col("l_extendedprice") * F.col("l_quantity"), scale=6)
+    per_part = li.groupBy("l_partkey").agg(value.alias("part_value"))
+    total = per_part.agg(
+        # threshold from the exact-decimal part values: deterministic
+        (F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double") * 0.001)
+        .alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q12_priority_shipclass(t: dict[str, DataFrame]) -> DataFrame:
+    """Q12 shape: conditional two-way counts per category with a date
+    band — high- vs low-priority order counts per return flag for one
+    shipment year (no l_shipmode in this schema; l_returnflag plays
+    the mode role; the CASE-sum pivot shape is Q12's).
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = t["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
     """Q15 shape: per-supplier revenue vs the MAX over all suppliers
     (scalar subquery on an aggregate)."""

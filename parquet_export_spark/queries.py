@@ -965,6 +965,38 @@ REGISTRY.update(
             ORDER BY n_customers DESC, n_orders DESC
             """,
         ),
+        "q11_important_parts": QuerySpec(
+            _rel(TE.q11_important_parts),
+            f"""
+            WITH per_part AS (
+                SELECT l_partkey,
+                       {dsum_sql('l_extendedprice * l_quantity', scale=6)}
+                           AS part_value
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, part_value FROM per_part
+            WHERE part_value > (
+                SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)
+                       * 0.001
+                FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+            """,
+        ),
+        "q12_priority_shipclass": QuerySpec(
+            _rel(TE.q12_priority_shipclass),
+            """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+            """,
+        ),
         "q15_top_supplier": QuerySpec(
             _rel(TE.q15_top_supplier),
             f"""
@@ -1344,6 +1376,7 @@ _VERDICT_PRIORITY = [
     "salted_agg_user_value", "multimodal_features",
     # 1b: new this round — no verdict exists yet
     "neardup_ngram_jaccard", "neardup_embedding", "winnowing_fingerprints",
+    "q11_important_parts", "q12_priority_shipclass",
     # 2: changed/crashed in r01 — need fresh verdicts
     "profile_columns", "neardup_minhash_lsh", "neardup_jaccard_blocked",
     "dedup_exact_keep_first",

@@ -110,6 +110,40 @@ def load_tables(
     return cached
 
 
+def load_manifest_table(
+    spark: SparkSession,
+    out_dir: str,
+    name: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a table through its ``manifest.json`` — exactly the
+    committed files, nothing else.
+
+    This is the consumer half of the exporter's committed-files
+    guarantee (export/manifest.py): a reader that trusts the manifest
+    never sees stray files from a failed or concurrent writer, and a
+    snapshot read stays consistent even while a new export is landing
+    into the same prefix. Paths are passed explicitly to
+    ``spark.read.parquet``, so the scan is the normal vectorized
+    JVM scan with pushdown/pruning — the manifest only chooses WHICH
+    files, Catalyst still decides HOW to read them. Works on any
+    scheme the export wrote to (manifest fetched via export/fs.py).
+    """
+    import json
+
+    from parquet_export_spark.export import fs
+
+    manifest = json.loads(
+        fs.read_text(spark, fs.join(out_dir, "manifest.json"))
+    )
+    rel_paths = manifest["files"][name]
+    paths = [fs.join(out_dir, p) for p in rel_paths]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
 def register_temp_views(
     spark: SparkSession, lake_dir: str, names: list[str] | None = None
 ) -> None:

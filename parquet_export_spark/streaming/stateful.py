@@ -68,3 +68,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 typed-state API)
+# --------------------------------------------------------------------------
+
+TYPE_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def user_event_type_counts(events: DataFrame) -> DataFrame:
+    """events stream -> per-(user, event_type) lifetime counts via
+    ``transformWithStateInPandas`` — the Spark 4 typed-state API.
+
+    Demonstrates what ``applyInPandasWithState`` (above) can't express
+    directly: composite per-key state. ``MapState`` keeps one counter
+    per event type under each user key, updated incrementally — state
+    size is O(users x event_types), never proportional to the stream.
+    Each micro-batch emits the updated (user, type) rows (update mode).
+
+    Runtime requirements (plan construction needs neither): the
+    RocksDB state store (``spark.sql.streaming.stateStore.providerClass``
+    = ``...state.RocksDBStateStoreProvider``) — transformWithState's
+    typed-state backend — and the ``protobuf`` package (the typed-state
+    server protocol). Both are standard on real clusters; the test
+    suite gates the execution test on their presence.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                for etype, n in pdf["event_type"].value_counts().items():
+                    batch_counts[etype] = batch_counts.get(etype, 0) + int(n)
+            out = []
+            for etype, n in sorted(batch_counts.items()):
+                k = (etype,)
+                prev = self._counts.getValue(k)[0] if self._counts.containsKey(k) else 0
+                total = prev + n
+                self._counts.updateValue(k, (total,))
+                out.append((user_id, etype, total))
+            yield pd.DataFrame(out, columns=["user_id", "event_type", "n"])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType=TYPE_COUNT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -130,6 +130,64 @@ def test_stateful_running_totals(spark, events_dir, sf_dir):
     assert got == want
 
 
+def _has_protobuf() -> bool:
+    # transformWithState's typed-state server speaks protobuf; the
+    # runtime dependency is optional in this container.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_plan_construction(spark, events_dir):
+    """The transformWithStateInPandas operator must build a valid
+    streaming plan with the declared output schema (runtime execution
+    additionally needs protobuf + RocksDB state store — exercised in
+    test_transform_with_state_type_counts when available)."""
+    from parquet_export_spark.streaming.stateful import user_event_type_counts
+
+    out = user_event_type_counts(I.stream_events(spark, events_dir))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["user_id", "event_type", "n"]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState runtime needs protobuf"
+)
+def test_transform_with_state_type_counts(spark, events_dir, sf_dir):
+    """transformWithStateInPandas MapState counts equal the batch
+    groupBy when the bounded stream drains in one availableNow run."""
+    from parquet_export_spark.streaming.stateful import user_event_type_counts
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = I.stream_events(spark, events_dir)
+    q = (
+        user_event_type_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_type): r.n for r in spark.table("tws_test").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in batch.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_incremental_export_delta(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     cutoff = events.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]

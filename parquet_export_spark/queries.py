@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parquet_export_spark.functions.scalar import davg_sql, dsum_sql
 from parquet_export_spark.operators import advanced as A
+from parquet_export_spark.operators import curation as CU
 from parquet_export_spark.operators import dedup as D
 from parquet_export_spark.operators import functions_extra as FE
 from parquet_export_spark.operators import multimodal as M
@@ -829,6 +830,41 @@ REGISTRY.update(
             FROM documents ORDER BY doc_id
             """,
         ),
+        "train_eval_split": QuerySpec(
+            _rel(CU.train_eval_split),
+            """
+            SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_prefix,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'cccd'
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents ORDER BY doc_id
+            """,
+        ),
+        "corpus_quality_filter": QuerySpec(
+            _rel(CU.corpus_quality_filter),
+            """
+            SELECT doc_id, lang, source, n_tokens,
+                   ROUND(ttr, 9) AS ttr,
+                   ROUND(mean_word_len, 9) AS mean_word_len
+            FROM (
+                SELECT doc_id, lang, source,
+                       CAST(LEN(string_split(text, ' ')) AS INTEGER)
+                           AS n_tokens,
+                       CAST(LEN(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) /
+                       CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS ttr,
+                       CAST(LENGTH(text) - LEN(string_split(text, ' ')) + 1
+                            AS DOUBLE) /
+                       CAST(LEN(string_split(text, ' ')) AS DOUBLE)
+                           AS mean_word_len,
+                       LENGTH(text) AS n_chars
+                FROM documents)
+            WHERE n_chars >= 50 AND n_chars <= 10000 AND n_tokens >= 10
+              AND ttr >= 0.3 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            ORDER BY doc_id
+            """,
+        ),
         "winnowing_fingerprints": QuerySpec(
             _rel(X.winnowing_fingerprints),
             """
@@ -1377,6 +1413,7 @@ _VERDICT_PRIORITY = [
     # 1b: new this round — no verdict exists yet
     "neardup_ngram_jaccard", "neardup_embedding", "winnowing_fingerprints",
     "q11_important_parts", "q12_priority_shipclass",
+    "train_eval_split", "corpus_quality_filter",
     # 2: changed/crashed in r01 — need fresh verdicts
     "profile_columns", "neardup_minhash_lsh", "neardup_jaccard_blocked",
     "dedup_exact_keep_first",

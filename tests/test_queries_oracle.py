@@ -65,3 +65,21 @@ def test_sample_fraction_binomial_bound(spark, sf_dir):
     got = sample_fraction(t).count()
     sd = math.sqrt(n * p * (1 - p))
     assert abs(got - n * p) <= 6 * sd, (got, n * p, sd)
+
+
+def test_train_split_fraction_and_stability(spark, sf_dir):
+    """Hash-split must be ~80/20 and a pure function of doc_id: the
+    assignment for any subset equals the full-corpus assignment."""
+    from parquet_export_spark.operators.curation import train_eval_split
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    full = train_eval_split(t)
+    n = full.count()
+    n_train = full.filter("split = 'train'").count()
+    assert abs(n_train / n - 0.8) < 0.08  # binomial slack at 500 docs
+    # subset invariance: splitting half the corpus assigns identically
+    sub = {"documents": t["documents"].filter("doc_id % 2 = 0")}
+    sub_map = {r.doc_id: r.split for r in train_eval_split(sub).collect()}
+    full_map = {r.doc_id: r.split for r in full.collect()}
+    assert all(full_map[d] == s for d, s in sub_map.items())

@@ -97,9 +97,19 @@ def read_text(spark: SparkSession, path: str) -> str:
 def parquet_row_count(spark: SparkSession, path: str) -> int:
     """Row count from the parquet footer — metadata-only, no data read.
 
-    Uses parquet-hadoop (already on Spark's classpath) so footers on
-    object stores are readable without a Python-side S3 client.
+    Local paths read the footer with pyarrow directly (one JVM
+    roundtrip per file saved — measurable when renaming many committed
+    files); remote schemes go through parquet-hadoop (on Spark's
+    classpath), so object-store footers are readable without a
+    Python-side S3 client.
     """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(parsed.path if parsed.scheme else path).num_rows
     jvm = spark._jvm
     infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         _jpath(spark, path), spark._jsc.hadoopConfiguration()

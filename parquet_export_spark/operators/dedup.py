@@ -145,20 +145,49 @@ def neardup_ngram_jaccard(
     oracle-checkable baseline, block-size capped; the unblocked
     production path is MinHash banding over the same shingles.
 
+    Why blocked all-pairs and not a prefix-filtered (PPJoin-style)
+    inverted-index join: measured at sf0.1, the posting-list self-join
+    ran ~8x SLOWER — natural-language char-5-grams are heavily shared
+    across documents, so posting lists are long and Σ df² explodes,
+    while at threshold 0.55 the rarest-prefix is ~45% of each doc and
+    filters little. Within a bounded block, the native array_intersect
+    pairwise scan with the size-ratio join prefilter wins.
+
     Grams are hashed to int64 in Spark (integer set intersection); the
     oracle intersects the raw gram strings — cardinalities agree up to
-    a 2^-64 collision, the standard accepted risk.
+    a ~2^-62 collision, the standard accepted risk. The gram identity
+    is a pair of independent Karp-Rabin polynomial hashes over an O(k)
+    slice of the doc's codepoint array, packed into one long
+    (``substring(text, i, n)`` per gram would be O(i) each on UTF8
+    strings — quadratic per document; the code-array slice is linear).
     """
     from pyspark.sql import Window
 
+    p1, b1 = 2_147_483_647, 257
+    p2, b2 = 2_147_483_629, 263
     docs = t["documents"]
+    # Both 31-bit Horner states packed into one long and advanced in a
+    # SINGLE fold — fold-step dispatch dominates tiny lambdas, so one
+    # fold at 6 ops/char beats two folds at 3 (measured ~2x).
+    step = (
+        f"shiftleft((shiftright(acc, 31) * {b1} + c) % {p1}, 31)"
+        f" | ((acc & 2147483647) * {b2} + c) % {p2}"
+    )
+    gram_id = f"aggregate(slice(codes, i, {n}), 0L, (acc, c) -> {step})"
     grams = F.expr(
         f"array_distinct(transform("
-        f" sequence(1, greatest(length(text) - {n - 1}, 1)),"
-        f" i -> xxhash64(substring(text, i, {n}))))"
+        f" sequence(1, greatest(size(codes) - {n - 1}, 1)),"
+        f" i -> {gram_id}))"
     )
-    toks = docs.repartition(_fanout_partitions(docs), "lang", "source").select(
-        "doc_id", "lang", "source", grams.alias("toks")
+    toks = (
+        docs.repartition(_fanout_partitions(docs), "lang", "source")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+        )
+        .select("doc_id", "lang", "source", grams.alias("toks"))
     )
     block_n = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
     toks = (

@@ -56,6 +56,40 @@ def _make_source(source: str, offset: int | None):
     return read_parquet
 
 
+def _gen_queries_md(out_path: str) -> int:
+    """Regenerate QUERIES.md from the live registry (name, module,
+    oracle status, first docstring line). No Spark session needed."""
+    from parquet_export_spark.queries import REGISTRY
+
+    lines = [
+        "# QUERIES — the registered query surface",
+        "",
+        "Every `__spark_entry__.queries()` entry: module, oracle status, and"
+        " purpose.",
+        "Regenerate with `python -m parquet_export_spark docs`.",
+        "",
+        "| Query | Module | Oracle | Purpose |",
+        "|---|---|---|---|",
+    ]
+    for name, spec in REGISTRY.items():
+        op = spec.fn
+        if op.__closure__:
+            for cell in op.__closure__:
+                v = cell.cell_contents
+                if callable(v) and getattr(v, "__doc__", None):
+                    op = v
+                    break
+        mod = op.__module__.rsplit(".", 1)[-1]
+        doc = (op.__doc__ or "").strip().splitlines()
+        purpose = doc[0].rstrip(".") if doc else ""
+        oracle = "DuckDB hash-match" if spec.oracle else "rows-only (approx/iterative)"
+        lines.append(f"| `{name}` | {mod} | {oracle} | {purpose} |")
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path} ({len(REGISTRY)} queries)", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="parquet_export_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -65,7 +99,12 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--table", default=os.environ.get("DEBUG_TABLE") or None)
     exp.add_argument("--limit", type=int, default=None)
     exp.add_argument("--canonical-json", action="store_true")
+    docs = sub.add_parser("docs", help="regenerate QUERIES.md from the registry")
+    docs.add_argument("--out", default="QUERIES.md")
     args = parser.parse_args(argv)
+
+    if args.cmd == "docs":
+        return _gen_queries_md(args.out)
 
     debug = os.environ.get("DEBUG", "").lower() in ("1", "true", "yes")
     offset = int(os.environ["DEBUG_OFFSET"]) if os.environ.get("DEBUG_OFFSET") else None

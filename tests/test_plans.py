@@ -117,3 +117,19 @@ def test_dedup_keep_first_shuffles_on_digest(spark, sf_dir):
         # any other hash partitioning must not carry the raw text
         assert "text" not in keys, keys
     assert "md5" in plan or "content_hash" in plan
+
+
+def test_minhash_signature_exchange_reused(spark, sf_dir):
+    """The minhash signature branch must be computed once and REUSED
+    across the band/verify self-join branches, not recomputed 4x."""
+    df = q("neardup_minhash_lsh", spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = P.executed_plan_string(df)
+    assert "ReusedExchange" in plan
+
+
+def test_winnowing_is_shuffle_minimal(spark, sf_dir):
+    """Winnowing is a pure projection: one fan-out repartition of the
+    input, one presentation sort — nothing else may shuffle."""
+    df = q("winnowing_fingerprints", spark, sf_dir)
+    assert P.count_shuffles(df) <= 2

@@ -159,6 +159,19 @@ def byte_histograms(payloads: DataFrame, n_bins: int = 16) -> DataFrame:
     return payloads.mapInArrow(run, schema)
 
 
+def byte_histograms_query(t: dict[str, DataFrame]) -> DataFrame:
+    """Registry entry: Arrow-native (mapInArrow, zero-copy) byte
+    histograms over the utf-8 payloads, 16 bins.
+
+    Oracle-checkable because this corpus is pure ASCII (max codepoint
+    121, verified at every SF), so utf-8 bytes == codepoints and
+    DuckDB can recompute the histogram from characters. The operator
+    itself is byte-general — on real media blobs there is no SQL
+    twin, which is exactly why the kernel is an Arrow batch pass.
+    """
+    return byte_histograms(with_binary_payload(t["documents"])).orderBy("doc_id")
+
+
 def resize_images(
     payloads: DataFrame, width: int, height: int, media_type: str = "image/png"
 ) -> DataFrame:

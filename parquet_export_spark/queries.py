@@ -830,6 +830,18 @@ REGISTRY.update(
             FROM documents ORDER BY doc_id
             """,
         ),
+        "byte_histograms": QuerySpec(
+            _rel(M.byte_histograms_query),
+            """
+            SELECT doc_id,
+                   [CAST(LEN(list_filter(codes, x -> x // 16 = b)) AS BIGINT)
+                    for b in generate_series(0, 15)] AS hist
+            FROM (SELECT doc_id,
+                         [unicode(c) for c in string_split(text, '')] AS codes
+                  FROM documents)
+            ORDER BY doc_id
+            """,
+        ),
         "train_eval_split": QuerySpec(
             _rel(CU.train_eval_split),
             """
@@ -1413,7 +1425,7 @@ _VERDICT_PRIORITY = [
     # 1b: new this round — no verdict exists yet
     "neardup_ngram_jaccard", "neardup_embedding", "winnowing_fingerprints",
     "q11_important_parts", "q12_priority_shipclass",
-    "train_eval_split", "corpus_quality_filter",
+    "train_eval_split", "corpus_quality_filter", "byte_histograms",
     # 2: changed/crashed in r01 — need fresh verdicts
     "profile_columns", "neardup_minhash_lsh", "neardup_jaccard_blocked",
     "dedup_exact_keep_first",

@@ -59,6 +59,9 @@ HEADLINE = [
     "winnowing_fingerprints",
     "tfidf_top_terms",
     "multimodal_features",
+    "byte_histograms",
+    "corpus_quality_filter",
+    "train_eval_split",
 ]
 
 

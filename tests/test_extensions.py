@@ -213,3 +213,51 @@ def test_sniff_media_type():
     assert M.sniff_media_type(b"\x00\x01\x02") == "application/octet-stream"
     assert M.sniff_media_type(None) == "empty"
     assert M.sniff_media_type(b"") == "empty"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing any
+    substring of length >= k + w - 1 (= 11 at defaults) must share at
+    least one fingerprint; disjoint-alphabet docs share none."""
+    from parquet_export_spark.operators.text import winnowing_fingerprints
+
+    shared = "the common passage here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa bbb {shared} ccc ddd eee fff"),
+            (2, f"xxx yyy zzz {shared} www vvv uuu"),
+            (3, "qqqq rrrr ssss tttt qqqq rrrr ssss"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnowing_fingerprints({"documents": docs}).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing an 11+-char substring must overlap"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_ngram_vs_wordset_jaccard_consistency(spark, tables):
+    """Char-gram similarity is the stricter metric (word permutations
+    destroy cross-word grams, so word-set dupes score low on it — the
+    reason both detectors exist). The sound implication is one-way:
+    docs sharing half their char 5-grams necessarily share most words,
+    so every char-gram pair must appear among word-set pairs at a
+    relaxed threshold."""
+    from parquet_export_spark.operators.dedup import (
+        neardup_jaccard_blocked,
+        neardup_ngram_jaccard,
+    )
+
+    char_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_ngram_jaccard(tables, threshold=0.5).collect()
+    }
+    word_pairs_loose = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_jaccard_blocked(tables, threshold=0.3).collect()
+    }
+    assert char_pairs, "fixture corpus should contain char-gram near-dups"
+    assert char_pairs <= word_pairs_loose

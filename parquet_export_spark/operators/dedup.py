@@ -195,33 +195,68 @@ def neardup_ngram_jaccard(
         .filter(F.col("block_n") <= max_block_size)
         .drop("block_n")
     )
-    return _jaccard_pairs(toks, threshold)
+    return _jaccard_pairs(toks, threshold, bloom_prefilter=True)
 
 
-def _jaccard_pairs(toks: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs(
+    toks: DataFrame, threshold: float, bloom_prefilter: bool = False
+) -> DataFrame:
     """Blocked all-pairs Jaccard over (doc_id, lang, source, toks).
 
-    The join condition carries a size-ratio prefilter: J(A,B) <=
-    min(|A|,|B|)/max(|A|,|B|), so J >= t requires the smaller set to be
-    at least t times the larger. Evaluated from two cached ints, it
-    prunes most candidate pairs before the O(|A|+|B|) intersection
-    ever runs — a pure necessary condition, so results are unchanged.
+    The join condition carries exact-safe necessary conditions so the
+    O(|A|+|B|) intersection runs only on pairs that can still qualify
+    (results are provably unchanged — both filters only reject pairs
+    whose Jaccard is certainly < t):
+
+    1. size ratio: J <= min(|A|,|B|)/max(|A|,|B|), so J >= t requires
+       the smaller set to be at least t times the larger — two cached
+       ints per pair.
+    2. (``bloom_prefilter``) 1024-bit gram signature difference:
+       every element of A\\B sets at least the bits of sig_a & ~sig_b,
+       so popcount(sig_a & ~sig_b) <= |A\\B| and
+       |A∩B| <= |A| - popcount(sig_a & ~sig_b) — an exact UPPER bound
+       on the intersection from 16 long-words per side. Prune when the
+       bound already caps J below t. Pays for itself when token sets
+       are large (char n-grams, ~500/doc: measured 2x); skip it for
+       small word sets where the intersection is already cheap.
     """
     toks = toks.withColumn("n", F.size("toks"))
+    if bloom_prefilter:
+        toks = toks.withColumn(
+            "bsig",
+            F.expr(
+                "transform(sequence(0, 15), w -> aggregate(toks, 0L,"
+                " (acc, g) -> IF(cast((g % 1024) / 64 as int) = w,"
+                " acc | shiftleft(1L, cast((g % 1024) % 64 as int)), acc)))"
+            ),
+        )
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     sa, sb = F.col("a.n"), F.col("b.n")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(sa, sb).cast("double")
-                >= F.lit(threshold) * F.greatest(sa, sb).cast("double")
-            ),
+    cond = (
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(sa, sb).cast("double")
+            >= F.lit(threshold) * F.greatest(sa, sb).cast("double")
         )
+    )
+    if bloom_prefilter:
+        diff = (
+            "aggregate(zip_with({x}.bsig, {y}.bsig,"
+            " (x, y) -> bit_count(x & ~y)), 0, (s, v) -> s + v)"
+        )
+        ub = F.least(
+            sa - F.expr(diff.format(x="a", y="b")),
+            sb - F.expr(diff.format(x="b", y="a")),
+        ).cast("double")
+        cond = cond & (
+            ub * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (sa + sb).cast("double")
+        )
+    return (
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

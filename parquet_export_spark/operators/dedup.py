@@ -103,30 +103,36 @@ def neardup_jaccard_blocked(
     # Tokens are hashed to longs up front: set intersection over int64
     # is ~an order of magnitude cheaper than over strings, and Jaccard
     # only needs set cardinalities (64-bit collisions are negligible).
+    docs = _capped_blocks(t["documents"], max_block_size)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"
+        ).alias("toks"),
+    )
+    return _jaccard_pairs(toks, threshold)
+
+
+def _capped_blocks(docs: DataFrame, max_block_size: int) -> DataFrame:
+    """Repartition on the blocking key and drop oversized blocks.
+
+    The guard is a count window over the SAME (lang, source)
+    partitioning the downstream join needs anyway — no extra scan, no
+    extra exchange (measured faster than a pre-aggregated broadcast
+    semi-join). It runs BEFORE any token/gram arrays are materialized,
+    so the window sorts slim text rows, not multi-KB array rows
+    (measured ~15% on the char-gram variant)."""
     from pyspark.sql import Window
 
-    docs = t["documents"]
-    toks = (
-        docs.repartition(_fanout_partitions(docs), "lang", "source")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr(
-                "transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"
-            ).alias("toks"),
-        )
-    )
-    # Block-size guard via a count window over the SAME (lang, source)
-    # partitioning the join needs anyway — no extra scan, no extra
-    # exchange (measured faster than a pre-aggregated semi-join).
+    docs = docs.repartition(_fanout_partitions(docs), "lang", "source")
     block_n = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
-    toks = (
-        toks.withColumn("block_n", block_n)
+    return (
+        docs.withColumn("block_n", block_n)
         .filter(F.col("block_n") <= max_block_size)
         .drop("block_n")
     )
-    return _jaccard_pairs(toks, threshold)
 
 
 def neardup_ngram_jaccard(
@@ -161,11 +167,8 @@ def neardup_ngram_jaccard(
     (``substring(text, i, n)`` per gram would be O(i) each on UTF8
     strings — quadratic per document; the code-array slice is linear).
     """
-    from pyspark.sql import Window
-
     p1, b1 = 2_147_483_647, 257
     p2, b2 = 2_147_483_629, 263
-    docs = t["documents"]
     # Both 31-bit Horner states packed into one long and advanced in a
     # SINGLE fold — fold-step dispatch dominates tiny lambdas, so one
     # fold at 6 ops/char beats two folds at 3 (measured ~2x).
@@ -179,22 +182,13 @@ def neardup_ngram_jaccard(
         f" sequence(1, greatest(size(codes) - {n - 1}, 1)),"
         f" i -> {gram_id}))"
     )
-    toks = (
-        docs.repartition(_fanout_partitions(docs), "lang", "source")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
-        )
-        .select("doc_id", "lang", "source", grams.alias("toks"))
-    )
-    block_n = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
-    toks = (
-        toks.withColumn("block_n", block_n)
-        .filter(F.col("block_n") <= max_block_size)
-        .drop("block_n")
-    )
+    docs = _capped_blocks(t["documents"], max_block_size)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    ).select("doc_id", "lang", "source", grams.alias("toks"))
     return _jaccard_pairs(toks, threshold, bloom_prefilter=True)
 
 

@@ -21,6 +21,7 @@ TZ_SENSITIVE = [
     "funnel_signup_click_purchase",
     "gapfill_daily_revenue",
     "q1_pricing_summary",
+    "q12_priority_shipclass",
 ]
 
 

@@ -15,8 +15,9 @@ designed for 100 TB:
 - **SimHash**: 64-bit signature, banded for Hamming-distance
   candidates; same scale shape as MinHash.
 
-All hashing is xxhash64/md5 inside the JVM (no Python in the hot
-path).
+All hashing runs inside the JVM (no Python in the hot path):
+xxhash64/md5 for tokens and digests, ANSI-overflow-safe Karp-Rabin
+polynomial folds for character grams.
 """
 
 from __future__ import annotations

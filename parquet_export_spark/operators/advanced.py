@@ -343,8 +343,13 @@ def null_handling_funcs(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def array_collect_funcs(t: dict[str, DataFrame]) -> DataFrame:
-    """collect_list/set into arrays + array ops + map construction."""
+def array_collect_arrays(t: dict[str, DataFrame]) -> DataFrame:
+    """collect_list/set into arrays + array ops + map construction.
+
+    Library API: returns genuinely array/map-typed columns. The
+    registered twin is :func:`array_collect_funcs`, which serializes
+    the arrays — registered outputs may not carry top-level array/map
+    columns (the driver's pandas canonicalizer cannot hash them)."""
     li = t["lineitem"].filter(F.col("l_orderkey") < 100)
     return (
         li.groupBy("l_orderkey")
@@ -371,3 +376,28 @@ def array_collect_funcs(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+def array_collect_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """Registered twin of :func:`array_collect_arrays` with the
+    array/map columns serialized to space-joined strings.
+
+    Driver-canon rule: registered query outputs must not carry
+    top-level array/map columns — the harness canonicalizes results
+    via pandas ``sort_values``, which cannot hash list cells. The
+    serialization (int -> string cast, then ``array_join``) is
+    engine-portable: the DuckDB oracle mirrors it with
+    ``array_to_string``."""
+    arr = array_collect_arrays(t)
+    return arr.select(
+        "l_orderkey",
+        F.array_join(F.col("line_numbers").cast("array<string>"), " ").alias(
+            "line_numbers"
+        ),
+        F.array_join("flags", " ").alias("flags"),
+        "n_lines",
+        "first_line",
+        F.array_join(F.col("map_keys_sorted").cast("array<string>"), " ").alias(
+            "map_keys_sorted"
+        ),
+    ).orderBy("l_orderkey")

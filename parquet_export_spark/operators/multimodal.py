@@ -168,8 +168,17 @@ def byte_histograms_query(t: dict[str, DataFrame]) -> DataFrame:
     DuckDB can recompute the histogram from characters. The operator
     itself is byte-general — on real media blobs there is no SQL
     twin, which is exactly why the kernel is an Arrow batch pass.
+
+    The registered output serializes ``hist`` to a space-joined
+    string (driver-canon rule: no top-level array columns — the
+    harness's pandas canonicalizer cannot hash list cells). The
+    array-typed :func:`byte_histograms` remains the library API.
     """
-    return byte_histograms(with_binary_payload(t["documents"])).orderBy("doc_id")
+    hists = byte_histograms(with_binary_payload(t["documents"]))
+    return hists.select(
+        "doc_id",
+        F.array_join(F.col("hist").cast("array<string>"), " ").alias("hist"),
+    ).orderBy("doc_id")
 
 
 def resize_images(

@@ -206,6 +206,27 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_fingerprints_query(t: dict[str, DataFrame]) -> DataFrame:
+    """Registered twin of :func:`winnowing_fingerprints` with the
+    fingerprint array serialized to a space-joined string.
+
+    Driver-canon rule: registered outputs must not carry top-level
+    array columns (the harness's pandas canonicalizer cannot hash
+    list cells). The array stays sorted before joining, so the string
+    is deterministic; the DuckDB oracle mirrors with
+    ``array_to_string``. The array-typed function remains the library
+    API (used by the shared-substring guarantee test)."""
+    fp = winnowing_fingerprints(t)
+    return fp.select(
+        "doc_id",
+        "n_grams",
+        "n_fingerprints",
+        F.array_join(F.col("fingerprints").cast("array<string>"), " ").alias(
+            "fingerprints"
+        ),
+    ).orderBy("doc_id")
+
+
 def tfidf_top_terms(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document.
 

@@ -834,8 +834,9 @@ REGISTRY.update(
             _rel(M.byte_histograms_query),
             """
             SELECT doc_id,
-                   [CAST(LEN(list_filter(codes, x -> x // 16 = b)) AS BIGINT)
-                    for b in generate_series(0, 15)] AS hist
+                   array_to_string(
+                       [CAST(LEN(list_filter(codes, x -> x // 16 = b)) AS BIGINT)
+                        for b in generate_series(0, 15)], ' ') AS hist
             FROM (SELECT doc_id,
                          [unicode(c) for c in string_split(text, '')] AS codes
                   FROM documents)
@@ -878,12 +879,12 @@ REGISTRY.update(
             """,
         ),
         "winnowing_fingerprints": QuerySpec(
-            _rel(X.winnowing_fingerprints),
+            _rel(X.winnowing_fingerprints_query),
             """
             SELECT doc_id,
                    CAST(LEN(kg) AS INTEGER) AS n_grams,
                    CAST(LEN(fp) AS INTEGER) AS n_fingerprints,
-                   fp AS fingerprints
+                   array_to_string(fp, ' ') AS fingerprints
             FROM (
                 SELECT doc_id, kg,
                        list_sort(list_distinct(
@@ -933,7 +934,7 @@ REGISTRY.update(
             """
             SELECT lang, source,
                    COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                        AS mean_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
@@ -1354,11 +1355,15 @@ REGISTRY.update(
         "array_collect_funcs": QuerySpec(
             _rel(A.array_collect_funcs),
             """
-            SELECT l_orderkey, line_numbers, flags,
+            SELECT l_orderkey,
+                   array_to_string(line_numbers, ' ') AS line_numbers,
+                   array_to_string(flags, ' ') AS flags,
                    CAST(LEN(line_numbers) AS INTEGER) AS n_lines,
                    line_numbers[1] AS first_line,
-                   list_transform(range(1, LEN(line_numbers) + 1),
-                                  i -> CAST(i AS INTEGER)) AS map_keys_sorted
+                   array_to_string(
+                       list_transform(range(1, LEN(line_numbers) + 1),
+                                      i -> CAST(i AS INTEGER)), ' ')
+                       AS map_keys_sorted
             FROM (
                 SELECT l_orderkey,
                        list_sort(list(l_linenumber)) AS line_numbers,
@@ -1396,46 +1401,47 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
-# Registry ordering. The driver evaluates entries in registry order and may
-# cap how many it checks per round, so verdict-hungry entries go first:
-#   1. oracle-bearing queries with no CORRECTNESS_r01 verdict (registry tail
-#      last round — text analysis, multimodal, q2/q4/q7-q22, asof, pivot, ...);
-#   2. queries changed or crashed in round 1 that need fresh verdicts
-#      (profile_columns hash fix, neardup_minhash_lsh ANSI fix,
-#      neardup_jaccard_blocked block cap, dedup_exact_keep_first digest key);
-#   3. rows-only approximate ops that never ran (ann_lsh_*, ivf_topk);
-#   4. a sample of round-1 passes to re-confirm;
-#   5. everything else (r01-green) at the tail.
+# Registry ordering. The driver evaluates entries in registry order and caps
+# each round at the first 50, so verdict-hungry entries go first. Round-3
+# window (the driver's r02 run covered the previous first 50):
+#   1. the four r02-red queries, now fixed (array outputs stringified per the
+#      driver-canon rule; lang_quality_summary oracle HUGEINT cast);
+#   2. queries whose implementation changed this round (embedding block cap,
+#      ngram-jaccard exchange reuse, q11 threshold made discriminating);
+#   3. the eight rows-only approximate ops (re-run each round — cheap, and
+#      their recall evidence lives in pytest);
+#   4. rotation: every query whose only verdict is round-1 (unchecked in r02),
+#      to refresh stale evidence — minus the five lowest-risk pure scalar-
+#      function queries, which fall outside the 50-cap this round;
+#   5. r02-green queries at the tail.
+# Registration rule (pinned by test_registry_no_array_outputs): no top-level
+# array/map columns in any registered output — the driver's pandas
+# canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
-    # 1: oracle-bearing, unverdicted in r01
-    "token_stats", "quality_scores", "lang_id", "fingerprints",
-    "tfidf_top_terms", "lang_quality_summary",
-    "q2_min_balance_supplier", "q7_nation_pair_volume", "q8_market_share",
-    "q9_product_profit", "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_counts", "q20_heavy_suppliers",
-    "q21_exclusive_return_suppliers", "funnel_signup_click_purchase",
-    "q4_order_priority_exists", "q17_small_quantity_revenue",
-    "q18_large_orders_having", "q19_disjunctive_predicates",
-    "q22_inactive_rich_customers", "q14_promo_revenue_share",
-    "asof_purchase_attribution", "sessionize_batch", "gapfill_daily_revenue",
-    "dedup_keep_best", "pivot_segment_counts", "unpivot_segment_counts",
-    "grouping_sets_revenue", "null_handling_funcs", "array_collect_funcs",
-    "salted_agg_user_value", "multimodal_features",
-    # 1b: new this round — no verdict exists yet
-    "neardup_ngram_jaccard", "neardup_embedding", "winnowing_fingerprints",
-    "q11_important_parts", "q12_priority_shipclass",
-    "train_eval_split", "corpus_quality_filter", "byte_histograms",
-    # 2: changed/crashed in r01 — need fresh verdicts
-    "profile_columns", "neardup_minhash_lsh", "neardup_jaccard_blocked",
-    "dedup_exact_keep_first",
-    # 3: rows-only ops that never ran
+    # 1: r02-red, fixed this round
+    "lang_quality_summary", "array_collect_funcs", "winnowing_fingerprints",
+    "byte_histograms",
+    # 2: implementation changed this round
+    "neardup_embedding", "neardup_ngram_jaccard", "q11_important_parts",
+    # 3: rows-only approximate ops
+    "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
-    # 4: r01-pass sample to re-confirm
-    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
-    "q6_forecast_revenue", "q10_returned_items", "dedup_exact",
-    "cosine_topk", "events_hourly_rollup", "window_topk_per_group",
-    "merge_upsert_orders",
+    "sample_fraction", "agg_approx_distinct",
+    # 4: r01-only evidence — rotate in for fresh verdicts (35 of 40; the five
+    # left out are scalar_string_funcs, scalar_date_funcs, scalar_math_funcs,
+    # string_funcs_extra, conditional_funcs — unchanged pure-function queries)
+    "q5_revenue_by_nation", "q6_forecast_revenue", "q10_returned_items",
+    "dedup_exact", "cosine_topk", "events_hourly_rollup",
+    "window_topk_per_group", "merge_upsert_orders", "filter_project",
+    "join_inner", "join_left_nulls", "join_semi", "join_anti", "join_range",
+    "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
+    "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
+    "window_running_sum", "window_lag_lead", "window_rank_dense",
+    "scalar_json_funcs", "window_range_frame", "window_distribution_ranks",
+    "date_funcs_extra", "stats_moments", "stats_correlation",
+    "percentiles_exact", "histogram_bins", "embedding_norms",
+    "label_centroid_sim",
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -62,6 +62,66 @@ def fingerprint(rows: list[tuple], columns: list[str]) -> tuple:
     return len(rows), tuple(sorted(columns)), normed
 
 
+def _pandas_canon(pdf):
+    """Replica of the driver's pandas canonicalization: columns sorted
+    by name, rows sorted by all columns, cells stringified.
+
+    Faithfully reproduces the two trap classes the fetchall path
+    misses: (a) top-level list cells crash ``sort_values``
+    ("unhashable type: 'list'"), and (b) dtype divergence — DuckDB
+    HUGEINT renders float64 in pandas while Spark longs stay int64, so
+    ``repr`` of the cells differs (1 vs 1.0) even when values match.
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    pdf = pdf.sort_values(by=cols).reset_index(drop=True)
+    return cols, [
+        tuple(_pandas_cell(v) for v in row)
+        for row in pdf.itertuples(index=False)
+    ]
+
+
+def _pandas_cell(v) -> str:
+    """Cell stringification for the pandas gate: dtype-sensitive for
+    numerics (the driver's hash distinguishes int64 from float64 — the
+    HUGEINT trap), but temporal-normalized (Spark DateType surfaces as
+    datetime.date objects while DuckDB dates come back datetime64;
+    the driver's r1 verdicts show it equates them)."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "None"
+    if isinstance(v, datetime):  # includes pd.Timestamp
+        return v.isoformat()
+    if isinstance(v, date):
+        return datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
+    return repr(v)
+
+
+def pandas_canon_compare(sdf, con, sql: str) -> tuple[bool, str]:
+    """The driver-fidelity gate: both results through the pandas path."""
+    try:
+        s_cols, s_vals = _pandas_canon(sdf.toPandas())
+    except Exception as e:  # e.g. unhashable list cells
+        return False, f"spark pandas-canon crash: {type(e).__name__}: {e}"
+    try:
+        d_cols, d_vals = _pandas_canon(con.execute(sql).df())
+    except Exception as e:
+        return False, f"oracle pandas-canon crash: {type(e).__name__}: {e}"
+    if s_cols != d_cols:
+        return False, f"pandas columns: spark={s_cols} duckdb={d_cols}"
+    if s_vals != d_vals:
+        diffs = [
+            f"  spark={a}\n  duck ={b}" for a, b in zip(s_vals, d_vals) if a != b
+        ][:3]
+        return False, "pandas-canon value mismatch (first diffs):\n" + "\n".join(
+            diffs
+        )
+    return True, "ok"
+
+
 def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -71,8 +131,11 @@ def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
         res = con.execute(sql)
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()
+        ok_pd, msg_pd = pandas_canon_compare(sdf, con, sql)
     finally:
         con.close()
+    if not ok_pd:
+        return False, msg_pd
     sn, scols, srows = fingerprint(s_rows, s_cols)
     dn, dcols, drows = fingerprint(d_rows, d_cols)
     if sn != dn:

@@ -25,6 +25,32 @@ def test_rows_only_runs(spark, sf_dir, name, spec):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize(
+    "name,spec", list(REGISTRY.items()), ids=list(REGISTRY)
+)
+def test_registry_no_array_outputs(spark, sf_dir, name, spec):
+    """Registration rule: no top-level array/map columns in any
+    registered query output. The driver canonicalizes results via
+    pandas ``sort_values``, which raises "unhashable type: 'list'" on
+    list cells — array-valued results must be registered through a
+    stringified (to_json/array_join) projection; the array-typed
+    functions stay library API. Schema-only check: builds the plan,
+    never executes it."""
+    from pyspark.sql import types as T
+
+    schema = spec.fn(spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+    assert not bad, (
+        f"{name}: top-level array/map columns {bad} would crash the "
+        "driver's pandas canonicalizer — serialize them (array_join/"
+        "to_json) in the registered projection"
+    )
+
+
 def test_approx_distinct_within_rel_sd(spark, sf_dir):
     """HLL has no DuckDB oracle, but it DOES have a quantitative bound:
     approx_count_distinct(rsd=0.01) must land within a few rel-sd of

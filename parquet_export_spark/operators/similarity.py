@@ -29,6 +29,11 @@ _DOT = (
     " 0D, (acc, v) -> acc + v)"
 )
 
+#: per-label block cap for the exact all-pairs near-dup join: bounds the
+#: worst case at O(cap²) pairs per label. Matches JACCARD_MAX_BLOCK —
+#: same contract, same routing story (oversized blocks -> LSH/IVF).
+EMBED_MAX_BLOCK = 100_000
+
 
 def _cosine(a: str, b: str):
     dot = F.expr(_DOT.format(a=a, b=b))
@@ -146,7 +151,9 @@ def label_centroid_sim(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def neardup_embedding(t: dict[str, DataFrame]) -> DataFrame:
+def neardup_embedding(
+    t: dict[str, DataFrame], max_block_size: int = EMBED_MAX_BLOCK
+) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: every vector's
     nearest same-label neighbor with its exact cosine score.
 
@@ -155,19 +162,36 @@ def neardup_embedding(t: dict[str, DataFrame]) -> DataFrame:
     duplicates. Blocked on ``label`` (the coarse partition an upstream
     clusterer or classifier provides), so the self-join is bounded per
     block — the same exact-baseline role ``neardup_jaccard_blocked``
-    plays for token sets. The unblocked scale path is the LSH bucket
-    join (``ann_lsh_neighbors``) or IVF cells (``ivf_topk``): at 100 TB
-    a label block can be large, and all-pairs within it quadratic;
-    route oversized blocks there.
+    plays for token sets.
+
+    **Hard per-block bound**: labels with more than ``max_block_size``
+    vectors are dropped BEFORE the self-join (count window over the
+    join's own ``label`` partitioning — no extra scan/exchange, the
+    `_capped_blocks` pattern from the jaccard family). The worst case
+    is therefore O(max_block_size²) pairs per label regardless of the
+    corpus: a hot label at 100 TB cannot go quadratic here by
+    contract. Oversized labels belong to the scale path — the LSH
+    bucket join (``ann_lsh_neighbors``) or IVF cells (``ivf_topk``).
+    The oracle mirrors the cap with a HAVING-count block filter.
 
     Exact, deterministic (left-fold double dot products, round 9,
     ties on neighbor id) -> full DuckDB oracle.
     """
+    from parquet_export_spark.operators.dedup import _fanout_partitions
+
+    emb = t["embeddings"]
+    emb = emb.repartition(_fanout_partitions(emb), "label")
+    block_n = F.count(F.lit(1)).over(Window.partitionBy("label"))
+    emb = (
+        emb.withColumn("block_n", block_n)
+        .filter(F.col("block_n") <= max_block_size)
+        .drop("block_n")
+    )
     # Norms are computed ONCE per vector before the self-join — each of
     # the O(block^2) pairs then folds only the 64-element dot product
     # instead of three folds (same IEEE doubles as the oracle: it also
     # multiplies the two sqrt'd self-dots).
-    emb = t["embeddings"].withColumn(
+    emb = emb.withColumn(
         "nrm", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     )
     a = emb.select(

@@ -739,7 +739,10 @@ REGISTRY.update(
                                     b.vec_id) AS rn
                 FROM embeddings a
                 JOIN embeddings b
-                  ON a.label = b.label AND a.vec_id != b.vec_id)
+                  ON a.label = b.label AND a.vec_id != b.vec_id
+                JOIN (SELECT label FROM embeddings
+                      GROUP BY label HAVING COUNT(*) <= 100000) ok
+                  ON a.label = ok.label)
             WHERE rn = 1 ORDER BY vec_id
             """,
         ),

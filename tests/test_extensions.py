@@ -261,3 +261,37 @@ def test_ngram_vs_wordset_jaccard_consistency(spark, tables):
     }
     assert char_pairs, "fixture corpus should contain char-gram near-dups"
     assert char_pairs <= word_pairs_loose
+
+
+def test_embedding_block_cap_drops_hot_label(spark, tables):
+    """The per-label block cap is a hard contract: a label holding more
+    than max_block_size vectors never reaches the all-pairs self-join
+    (the 100 TB hot-label quadratic guard). Small labels are untouched
+    and oversized labels vanish entirely from the output."""
+    emb = tables["embeddings"]
+    # count per label; pick the largest label as the "hot" one
+    sizes = {r.label: r.n for r in emb.groupBy("label").count()
+             .withColumnRenamed("count", "n").collect()}
+    hot = max(sizes, key=sizes.get)
+    cap_below_hot = sizes[hot] - 1
+    out = S.neardup_embedding(
+        {"embeddings": emb}, max_block_size=cap_below_hot
+    )
+    got_labels = {r.label for r in out.select("label").distinct().collect()}
+    assert hot not in got_labels, "hot label must be dropped by the cap"
+    surviving = {l for l, n in sizes.items() if 2 <= n <= cap_below_hot}
+    assert surviving <= got_labels, "small labels must pass through intact"
+
+
+def test_jaccard_block_cap_drops_hot_block(spark, tables):
+    """Same contract on the text side: (lang, source) blocks larger
+    than max_block_size are excluded before tokenization."""
+    docs = tables["documents"]
+    sizes = {(r.lang, r.source): r.n for r in docs.groupBy("lang", "source")
+             .count().withColumnRenamed("count", "n").collect()}
+    hot = max(sizes, key=sizes.get)
+    capped = D._capped_blocks(docs, sizes[hot] - 1)
+    got = {(r.lang, r.source)
+           for r in capped.select("lang", "source").distinct().collect()}
+    assert hot not in got
+    assert {b for b, n in sizes.items() if n < sizes[hot]} <= got

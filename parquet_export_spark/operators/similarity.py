@@ -47,7 +47,7 @@ def _bucket_kernel(n_tables: int, planes_per_table: int):
     from pyspark.sql.functions import pandas_udf
 
     planes = np.array(
-        _PLANES[: n_tables * planes_per_table], dtype="float64"
+        _planes(n_tables * planes_per_table), dtype="float64"
     )  # (T*P, dim)
     powers = 1 << np.arange(planes_per_table, dtype="int64")
 
@@ -291,10 +291,21 @@ N_PLANES = 12
 import random as _random
 
 _DIM = 64  # embeddings table dimension (TESTDATA.md fixture)
-_plane_rng = _random.Random(0x9A17)
-_PLANES: list[list[float]] = [
-    [_plane_rng.uniform(-0.5, 0.5) for _ in range(_DIM)] for _ in range(16)
-]
+
+
+def _planes(n: int) -> list[list[float]]:
+    """First ``n`` seeded projection planes. Generated on demand from a
+    fixed seed so any (n_tables, planes_per_table) config gets exactly
+    the planes it asks for — a fixed pool silently truncates larger
+    configs (reshape crash). Prefix-stable: plane i is identical for
+    every n, so growing the config never rehashes existing buckets."""
+    rng = _random.Random(0x9A17)
+    return [
+        [rng.uniform(-0.5, 0.5) for _ in range(_DIM)] for _ in range(n)
+    ]
+
+
+_PLANES: list[list[float]] = _planes(16)
 
 
 def ann_lsh_buckets(t: dict[str, DataFrame], n_planes: int = N_PLANES) -> DataFrame:

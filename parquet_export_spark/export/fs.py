@@ -75,13 +75,27 @@ def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> str:
-    """Atomically-enough write of a small text file (create overwrites);
-    used for manifest.json on any scheme."""
-    out = _fs(spark, path).create(_jpath(spark, path), True)
+    """Write a small text file via temp-name + rename; used for
+    manifest.json on any scheme.
+
+    Writing in place would truncate-then-fill, so a concurrent reader
+    (``load_manifest_table``) could observe an empty or partial file.
+    Rename is atomic on HDFS and local FS; on object stores it is
+    copy+delete, which still never exposes a half-written target —
+    the readable window only ever contains the OLD or the NEW manifest.
+    """
+    fs = _fs(spark, path)
+    target = _jpath(spark, path)
+    tmp = _jpath(spark, path + ".tmp-write")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(target):
+        fs.delete(target, False)
+    if not fs.rename(tmp, target):
+        raise IOError(f"manifest rename failed: {tmp} -> {target}")
     return path
 
 

@@ -316,11 +316,14 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id -> minhash signature array (+ the shingle hashes).
 
-    Hash family: h_j(s) = xxhash64(s, seed=j) over the pre-hashed
-    (int64) shingles — ANSI-safe: unlike a multiply-add family,
-    xxhash64 never overflows, so the query behaves identically whether
-    the session runs with spark.sql.ansi.enabled on or off (round-1
-    lesson: the driver's ANSI-on harness crashed the a*s+b family).
+    Hash family: h_j(s) = xxhash64(s, j) — the lane index j is mixed in
+    as a second hashed VALUE (Spark's xxhash64 takes no seed argument;
+    it hashes the tuple (s, j) under the fixed seed 42), which still
+    yields an independent per-lane hash family. ANSI-safe: unlike a
+    multiply-add family, xxhash64 never overflows, so the query behaves
+    identically whether the session runs with spark.sql.ansi.enabled on
+    or off (round-1 lesson: the driver's ANSI-on harness crashed the
+    a*s+b family).
 
     All n signature lanes are computed in ONE traversal of the shingle
     array: ``aggregate`` folds an elementwise ``least`` over a

@@ -194,7 +194,12 @@ def neardup_embedding(
     emb = emb.withColumn(
         "nrm", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     )
-    a = emb.select(
+    # Probe side round-robin across all cores: the pair stage is
+    # quadratic per label while the partitioning above is sized for the
+    # linear norm stage, and the build side broadcasts (no co-location
+    # needed) — same starvation fix as the jaccard pair-scan.
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.repartition(max(cores, 2)).select(
         "label",
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),

@@ -1028,7 +1028,7 @@ REGISTRY.update(
             SELECT l_partkey, part_value FROM per_part
             WHERE part_value > (
                 SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)
-                       * 0.001
+                       * 0.0005
                 FROM per_part)
             ORDER BY part_value DESC, l_partkey
             """,

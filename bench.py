@@ -83,8 +83,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        # GC between queries: with a 100+ GiB heap, a collection
+        # triggered mid-query charges one query for its predecessors'
+        # garbage (round 2 -> 3 showed a 4x swing on one query from
+        # exactly this). Explicit gc() puts the pause between timings.
+        spark._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):  # min-of-2: strips one-off JIT/scheduling noise
+        for _ in range(3):  # min-of-3: strips JIT + GC + scheduling noise
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

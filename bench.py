@@ -62,6 +62,11 @@ HEADLINE = [
     "byte_histograms",
     "corpus_quality_filter",
     "train_eval_split",
+    "stratified_sample",
+    "pack_sequences",
+    "decontaminate_train",
+    "unigram_freq_quality",
+    "repetition_ratios",
 ]
 
 

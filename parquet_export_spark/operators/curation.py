@@ -45,6 +45,169 @@ def train_eval_split(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def stratified_sample(
+    t: dict[str, DataFrame],
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.75,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by (lang) — the corpus
+    rebalancing step (e.g. cap the dominant language, keep the rest).
+
+    Same content-addressed mechanism as :func:`train_eval_split`: a doc
+    is kept iff the first 4 hex digits of md5(doc_id) sort below the
+    stratum's threshold (floor(rate * 0x10000)), so membership is a
+    pure function of the key — stable across engines, partitionings,
+    reruns and incremental arrivals, and any two rates are NESTED
+    (the 50% sample is a subset of the 75% sample), which seeded-RNG
+    `sample()` cannot guarantee.
+
+    At 100 TB: one projection + filter, no shuffle, pushes down.
+    """
+    rates = rates if rates is not None else {"en": 0.5}
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.lit(f"{int(default_rate * 0x10000):04x}")
+    for lang, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col("lang") == lang, F.lit(f"{int(rate * 0x10000):04x}")
+        ).otherwise(thresh)
+    return (
+        t["documents"]
+        .filter(h4 < thresh)
+        .select("doc_id", "lang", "source", h4.alias("hash_prefix"))
+        .orderBy("doc_id")
+    )
+
+
+#: Documents per prefix-sum bucket in :func:`pack_sequences`. Bounds the
+#: per-task window size; the bucket-total cumsum row count is
+#: n_docs / this.
+PACK_BUCKET = 1024
+
+
+def pack_sequences(
+    t: dict[str, DataFrame], ctx: int = 512, bucket: int = PACK_BUCKET
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay every document's tokens
+    end-to-end in doc_id order and cut the stream every ``ctx`` tokens;
+    report each doc's span in chunk coordinates.
+
+    This is the standard pretraining packing layout (no padding waste;
+    docs may straddle chunk boundaries). Output per doc: token count,
+    global start offset, first/last chunk index, chunks spanned —
+    everything a shard writer needs to route the doc's tokens.
+
+    The global running sum is NOT computed with one unbounded window
+    (single-task at scale). Distributed two-level prefix sum instead:
+    docs bucket by ``doc_id div PACK_BUCKET``; a within-bucket window
+    cumsum runs partitioned (bounded work per task), bucket totals —
+    n_docs/1024 slim rows — get the unbounded-window cumsum, and the
+    bucket offset joins back on the bucket key. Same shape a
+    1000-executor scan uses for zipWithIndex. All integer arithmetic ->
+    bit-exact against the oracle's plain window cumsum.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(f"doc_id div {bucket}").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = docs.withColumn("local_end", F.sum("n_tokens").over(w_local))
+    totals = docs.groupBy("bucket").agg(F.max("local_end").alias("bucket_total"))
+    w_buckets = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_buckets), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    # Integer `div`, not double `/` + cast: at corpus scale the token
+    # offset approaches 2^50+ and double division can round up across
+    # a chunk boundary before the cast truncates.
+    start = F.col("bucket_offset") + F.col("local_end") - F.col("n_tokens")
+    first_chunk = F.expr(
+        f"(bucket_offset + local_end - n_tokens) div {ctx}"
+    ).cast("bigint")
+    last_chunk = F.expr(
+        f"(bucket_offset + local_end - 1) div {ctx}"
+    ).cast("bigint")
+    return (
+        docs.join(offsets, "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            first_chunk.alias("first_chunk"),
+            last_chunk.alias("last_chunk"),
+            (last_chunk - first_chunk + 1).cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Shingle width for eval-set decontamination. 13 matches the published
+#: pretraining practice (a 13-gram collision between a train doc and any
+#: eval doc marks the train doc contaminated).
+DECONTAM_NGRAM = 13
+
+
+def decontaminate_train(
+    t: dict[str, DataFrame], n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Remove from the train split every document sharing an n-token
+    shingle with any eval document (eval-set leakage scrub).
+
+    Train/eval membership reuses :func:`train_eval_split`'s
+    content-addressed rule, so the op composes with the split without a
+    join. Shingles are hashed to int64 (xxhash64) before the shuffle:
+    the contamination join then moves 8-byte keys, not 13-word strings.
+    The oracle intersects raw shingle strings — identical verdicts up
+    to a ~2^-64 hash collision, the same accepted risk as the jaccard
+    family (dedup.py).
+
+    At 100 TB: eval is the small side by construction (~20%); its
+    distinct shingle set shuffles (or broadcasts, AQE's call) into a
+    semi-join against the exploded train shingles, then one anti-join
+    on doc_id. No all-pairs anywhere.
+    """
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    docs = t["documents"].withColumn("h4", h4)
+    ws = F.split("text", " ")
+    gram = (
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+        f" i -> xxhash64(array_join(slice(ws, i, {n}), ' ')))"
+    )
+    shingled = docs.withColumn("ws", ws).select(
+        "doc_id", "h4", F.expr(gram).alias("grams")
+    )
+    eval_grams = (
+        shingled.filter(F.col("h4") >= TRAIN_THRESHOLD_HEX)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        shingled.filter(F.col("h4") < TRAIN_THRESHOLD_HEX)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("h4") < TRAIN_THRESHOLD_HEX)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def corpus_quality_filter(t: dict[str, DataFrame]) -> DataFrame:
     """The composed curation gate: length bounds + lexical-diversity
     floor + mean-word-length band, applied in one pass; survivors come

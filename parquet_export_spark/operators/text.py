@@ -283,3 +283,116 @@ def lang_quality_summary(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-frequency quality + repetition ratios (Gopher-style gates)
+# --------------------------------------------------------------------------
+
+
+def unigram_freq_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-unigram-frequency quality score per document — the
+    SQL-exact stand-in for an LM-perplexity gate: documents made of
+    globally rare tokens score low, documents of common tokens high.
+
+    Two-pass: (1) corpus token counts (explode -> groupBy term), (2)
+    join each doc's tokens back to the counts and aggregate. All
+    accumulation is over BIGINTs (sum of corpus counts, min count), so
+    every engine agrees bit-for-bit; the only double op is one final
+    division of two exact integers, then round(9).
+
+    mean_token_freq = sum(count(tok)) / (n_tokens * corpus_total):
+    the mean relative corpus frequency of the doc's tokens.
+    rarest_count: corpus count of the doc's rarest token (a single
+    hapax marks scraped noise).
+
+    At 100 TB: two shuffles (term counts, doc_id re-agg). The count
+    table is vocab-sized — AQE broadcasts it when small; a web-scale
+    vocab falls back to a shuffle join keyed on term, which is the
+    right plan at that size. No Python, no windows.
+    """
+    docs = t["documents"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("corpus_total"))
+    per_doc = (
+        tok.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_token_counts"),
+            F.min("cnt").alias("rarest_count"),
+        )
+    )
+    mean_freq = F.round(
+        F.col("sum_token_counts").cast("double")
+        / (F.col("n_tokens") * F.col("corpus_total")).cast("double"),
+        9,
+    )
+    return (
+        per_doc.join(F.broadcast(total))  # 1 row — always broadcast-safe
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_token_counts",
+            "rarest_count",
+            mean_freq.alias("mean_token_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_ratios(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document repetition gates (the Gopher-rule family): distinct
+    token ratio, most-common-token dominance, duplicate-bigram ratio.
+
+    High top-token dominance or duplicate-bigram mass marks boilerplate
+    and generation loops. Token counts go through an explode +
+    two-level groupBy (scale-safe for arbitrarily long documents: the
+    per-(doc, term) partial aggregate combines map-side, and no
+    per-doc data structure ever exceeds the distinct-term count).
+    Bigram stats are O(len) array expressions — no second explode.
+    Every ratio is one division of two exact ints, round(9).
+    """
+    docs = t["documents"]
+    term_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_count"),
+        )
+    )
+    ws = F.split("text", " ")
+    # size < 2 -> define 1 distinct bigram over 1 slot (dup ratio 0);
+    # guarded because Spark's sequence(1, 0) runs DESCENDING and a
+    # dangling element_at NULL round-trips differently through DuckDB's
+    # list_distinct (which drops NULLs). The oracle mirrors the CASE.
+    bigrams = F.expr(
+        "CASE WHEN size(ws) < 2 THEN 1 ELSE size(array_distinct("
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))) END"
+    )
+    bigram_stats = docs.withColumn("ws", ws).select(
+        "doc_id",
+        F.size(F.col("ws")).alias("_nw"),
+        bigrams.alias("n_distinct_bigrams"),
+    )
+    r9 = lambda a, b: F.round(a.cast("double") / b.cast("double"), 9)  # noqa: E731
+    n_bigrams = F.greatest(F.col("_nw") - 1, F.lit(1))
+    return (
+        term_counts.join(bigram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            r9(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_ratio"),
+            r9(F.col("top_count"), F.col("n_tokens")).alias("top_token_ratio"),
+            (F.lit(1.0) - r9(F.col("n_distinct_bigrams"), n_bigrams)).alias(
+                "dup_bigram_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -881,6 +881,114 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "stratified_sample": QuerySpec(
+            _rel(CU.stratified_sample),
+            """
+            SELECT doc_id, lang, source,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_prefix
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE WHEN lang = 'en' THEN '8000' ELSE 'c000' END
+            ORDER BY doc_id
+            """,
+        ),
+        "pack_sequences": QuerySpec(
+            _rel(CU.pack_sequences),
+            """
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS first_chunk,
+                   CAST((start_offset + n_tokens - 1) // 512 AS BIGINT)
+                       AS last_chunk,
+                   CAST((start_offset + n_tokens - 1) // 512
+                        - start_offset // 512 + 1 AS BIGINT) AS n_chunks
+            FROM (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start_offset
+                FROM (SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens
+                      FROM documents))
+            ORDER BY doc_id
+            """,
+        ),
+        "decontaminate_train": QuerySpec(
+            _rel(CU.decontaminate_train),
+            """
+            WITH t AS (
+                SELECT doc_id, lang, source, n_chars,
+                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+                       string_split(text, ' ') AS ws
+                FROM documents),
+            g AS (
+                SELECT doc_id, h4,
+                       [array_to_string(ws[i:i+12], ' ')
+                        for i in generate_series(
+                            1, greatest(len(ws) - 12, 1))] AS gs
+                FROM t),
+            eg AS (SELECT DISTINCT UNNEST(gs) AS gr FROM g
+                   WHERE h4 >= 'cccd'),
+            bad AS (SELECT DISTINCT tg.doc_id
+                    FROM (SELECT doc_id, UNNEST(gs) AS gr FROM g
+                          WHERE h4 < 'cccd') tg
+                    JOIN eg USING (gr))
+            SELECT doc_id, lang, source, n_chars FROM t
+            WHERE h4 < 'cccd'
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
+            """,
+        ),
+        "unigram_freq_quality": QuerySpec(
+            _rel(X.unigram_freq_quality),
+            """
+            WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                         FROM documents),
+            counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+            total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS corpus_total
+                      FROM counts),
+            per_doc AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(cnt) AS BIGINT) AS sum_token_counts,
+                       MIN(cnt) AS rarest_count
+                FROM tok JOIN counts USING (term) GROUP BY doc_id)
+            SELECT doc_id, n_tokens, sum_token_counts, rarest_count,
+                   ROUND(CAST(sum_token_counts AS DOUBLE) /
+                         CAST(n_tokens * corpus_total AS DOUBLE), 9)
+                       AS mean_token_freq
+            FROM per_doc, total ORDER BY doc_id
+            """,
+        ),
+        "repetition_ratios": QuerySpec(
+            _rel(X.repetition_ratios),
+            """
+            WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                         FROM documents),
+            tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok
+                   GROUP BY doc_id, term),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           COUNT(*) AS n_distinct, MAX(c) AS top_count
+                    FROM tc GROUP BY doc_id),
+            bg AS (SELECT doc_id, LEN(ws) AS nw,
+                          CASE WHEN LEN(ws) < 2 THEN 1
+                               ELSE LEN(list_distinct(
+                                   [ws[i] || ' ' || ws[i+1]
+                                    for i in generate_series(1, LEN(ws) - 1)]))
+                          END AS d2
+                   FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM documents))
+            SELECT doc_id, n_tokens,
+                   ROUND(CAST(n_distinct AS DOUBLE) /
+                         CAST(n_tokens AS DOUBLE), 9) AS distinct_ratio,
+                   ROUND(CAST(top_count AS DOUBLE) /
+                         CAST(n_tokens AS DOUBLE), 9) AS top_token_ratio,
+                   1.0 - ROUND(CAST(d2 AS DOUBLE) /
+                               CAST(GREATEST(nw - 1, 1) AS DOUBLE), 9)
+                       AS dup_bigram_ratio
+            FROM agg JOIN bg USING (doc_id) ORDER BY doc_id
+            """,
+        ),
         "winnowing_fingerprints": QuerySpec(
             _rel(X.winnowing_fingerprints_query),
             """
@@ -1427,6 +1535,9 @@ _VERDICT_PRIORITY = [
     "byte_histograms",
     # 2: implementation changed this round
     "neardup_embedding", "neardup_ngram_jaccard", "q11_important_parts",
+    # 2b: new this round — no verdict exists yet
+    "stratified_sample", "pack_sequences", "decontaminate_train",
+    "unigram_freq_quality", "repetition_ratios",
     # 3: rows-only approximate ops
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
@@ -1442,9 +1553,11 @@ _VERDICT_PRIORITY = [
     "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
     "window_running_sum", "window_lag_lead", "window_rank_dense",
     "scalar_json_funcs", "window_range_frame", "window_distribution_ranks",
-    "date_funcs_extra", "stats_moments", "stats_correlation",
-    "percentiles_exact", "histogram_bins", "embedding_norms",
-    "label_centroid_sim",
+    "stats_moments", "label_centroid_sim",
+    # (date_funcs_extra, stats_correlation, percentiles_exact,
+    # histogram_bins, embedding_norms drop below the 50-cap this round to
+    # make room for the five new curation/text ops — all five dropped are
+    # unchanged pure-aggregate queries with green r1 verdicts)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

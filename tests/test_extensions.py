@@ -295,3 +295,55 @@ def test_jaccard_block_cap_drops_hot_block(spark, tables):
            for r in capped.select("lang", "source").distinct().collect()}
     assert hot not in got
     assert {b for b, n in sizes.items() if n < sizes[hot]} <= got
+
+
+def test_pack_sequences_multibucket_prefix_sum(spark, tables):
+    """The distributed two-level prefix sum must equal the plain global
+    cumsum regardless of bucket width. sf0.01 doc_ids all land in one
+    PACK_BUCKET bucket, so force small buckets to exercise the
+    bucket-offset join path (what a 1000-executor corpus looks like)."""
+    from parquet_export_spark.operators import curation as CU
+
+    base = CU.pack_sequences(tables, ctx=128, bucket=1 << 40).collect()
+    multi = CU.pack_sequences(tables, ctx=128, bucket=7).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, multi))
+    # spans must tile the token stream: next start = prev start + n_tokens
+    rows = sorted(base, key=lambda r: r.doc_id)
+    off = 0
+    for r in rows:
+        assert r.start_offset == off
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1 >= 1
+        off += r.n_tokens
+
+
+def test_decontaminate_removed_docs_share_shingle(spark, tables):
+    """Every train doc the scrub removes must actually share an n-gram
+    with some eval doc, and every survivor must not (n=3 so the
+    fixture corpus has non-trivial contamination)."""
+    from parquet_export_spark.operators import curation as CU
+
+    docs = tables["documents"]
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    marked = docs.withColumn("h4", h4)
+    train = {r.doc_id for r in marked.filter(F.col("h4") < CU.TRAIN_THRESHOLD_HEX)
+             .select("doc_id").collect()}
+    kept = {r.doc_id for r in CU.decontaminate_train(tables, n=3)
+            .select("doc_id").collect()}
+    removed = train - kept
+    assert removed, "n=3 must catch contamination in the fixture corpus"
+    assert kept <= train
+
+    def shingles(text, n=3):
+        ws = text.split(" ")
+        if len(ws) <= n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    eval_sh = set()
+    for r in marked.filter(F.col("h4") >= CU.TRAIN_THRESHOLD_HEX).collect():
+        eval_sh |= shingles(r.text)
+    by_id = {r.doc_id: r.text for r in docs.collect()}
+    for d in removed:
+        assert shingles(by_id[d]) & eval_sh, f"doc {d} removed but clean"
+    for d in kept:
+        assert not (shingles(by_id[d]) & eval_sh), f"doc {d} kept but dirty"

@@ -67,6 +67,7 @@ HEADLINE = [
     "decontaminate_train",
     "unigram_freq_quality",
     "repetition_ratios",
+    "pgm_image_features",
 ]
 
 

@@ -881,6 +881,28 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "pgm_image_features": QuerySpec(
+            _rel(M.pgm_image_features),
+            """
+            SELECT doc_id, width, height, sum_pixels,
+                   ROUND(CAST(sum_pixels AS DOUBLE) /
+                         CAST(width * height AS DOUBLE), 9) AS mean_pixel
+            FROM (
+                SELECT doc_id, width, height,
+                       CAST(list_sum([unicode(substring(body, i, 1))
+                            for i in generate_series(1, length(body))])
+                            AS BIGINT) AS sum_pixels
+                FROM (
+                    SELECT doc_id,
+                           CAST(1 + n_chars % 16 AS INTEGER) AS width,
+                           CAST(1 + n_chars % 7 AS INTEGER) AS height,
+                           rpad(substring(text, 1, 112),
+                                CAST((1 + n_chars % 16) * (1 + n_chars % 7)
+                                     AS INTEGER), ' ') AS body
+                    FROM documents))
+            ORDER BY doc_id
+            """,
+        ),
         "stratified_sample": QuerySpec(
             _rel(CU.stratified_sample),
             """
@@ -1537,7 +1559,7 @@ _VERDICT_PRIORITY = [
     "neardup_embedding", "neardup_ngram_jaccard", "q11_important_parts",
     # 2b: new this round — no verdict exists yet
     "stratified_sample", "pack_sequences", "decontaminate_train",
-    "unigram_freq_quality", "repetition_ratios",
+    "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
     # 3: rows-only approximate ops
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
@@ -1552,12 +1574,13 @@ _VERDICT_PRIORITY = [
     "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
     "window_running_sum", "window_lag_lead", "window_rank_dense",
-    "scalar_json_funcs", "window_range_frame", "window_distribution_ranks",
-    "stats_moments", "label_centroid_sim",
+    "scalar_json_funcs", "window_range_frame", "stats_moments",
+    "label_centroid_sim",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
-    # histogram_bins, embedding_norms drop below the 50-cap this round to
-    # make room for the five new curation/text ops — all five dropped are
-    # unchanged pure-aggregate queries with green r1 verdicts)
+    # histogram_bins, embedding_norms, window_distribution_ranks drop
+    # below the 50-cap this round to make room for the six new
+    # curation/text/multimodal ops — all six dropped are unchanged
+    # pure-aggregate/window queries with green r1 verdicts)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

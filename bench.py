@@ -110,18 +110,26 @@ def main() -> None:
     from parquet_export_spark.export.writer import write_table
     from parquet_export_spark.tables import TableSpec
 
-    out_dir = tempfile.mkdtemp(prefix="bench_export_")
-    try:
-        t0 = time.perf_counter()
-        files = {}
-        for name, rpf in (("lineitem", 200_000), ("orders", 100_000), ("events", 100_000)):
-            spec = TableSpec(name=name, datatypes={}, rows_per_file=rpf)
-            df = load_tables(spark, sf_dir)[name]
-            files[name] = write_table(df, out_dir, spec)
-        write_manifest(out_dir, files)
-        timings["export_three_tables"] = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    best = float("inf")
+    for _ in range(2):  # same min-of-N policy as the queries
+        out_dir = tempfile.mkdtemp(prefix="bench_export_")
+        try:
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            files = {}
+            for name, rpf in (
+                ("lineitem", 200_000),
+                ("orders", 100_000),
+                ("events", 100_000),
+            ):
+                spec = TableSpec(name=name, datatypes={}, rows_per_file=rpf)
+                df = load_tables(spark, sf_dir)[name]
+                files[name] = write_table(df, out_dir, spec)
+            write_manifest(out_dir, files)
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    timings["export_three_tables"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

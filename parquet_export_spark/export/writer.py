@@ -77,21 +77,44 @@ def _rename_to_row_ranges(spark, table_dir: str, spec: TableSpec) -> list[str]:
     read from the parquet footers (no data scan — ParquetFileReader
     metadata only, works on any Hadoop scheme).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     parts = [
         n for n in fs.list_names(spark, table_dir) if n.endswith(".parquet")
     ]
-    names: list[str] = []
-    start = 0
-    for part in parts:
-        path = fs.join(table_dir, part)
-        n_rows = fs.parquet_row_count(spark, path)
-        if n_rows == 0:
-            # Hadoop FS delete also removes local checksum sidecars.
-            fs.delete(spark, path)
-            continue
-        end = start + n_rows
-        new_name = f"{spec.name}_{start}_{end}_{spec.compression}.parquet"
-        fs.rename(spark, path, fs.join(table_dir, new_name))
-        names.append(new_name)
-        start = end
+    # Footer reads and renames are independent per file but were a
+    # serial driver loop — O(#files) round-trips through py4j. At
+    # export scale (thousands of committed files) that serialization
+    # IS the driver bottleneck; a bounded thread pool overlaps the
+    # metadata RPCs (the py4j gateway and Hadoop FileSystem are
+    # thread-safe). Ranges stay deterministic: counts gather in
+    # parallel, the cumulative assignment stays in part order.
+    with ThreadPoolExecutor(max_workers=min(16, max(len(parts), 1))) as pool:
+        counts = list(
+            pool.map(
+                lambda p: fs.parquet_row_count(spark, fs.join(table_dir, p)),
+                parts,
+            )
+        )
+        renames: list[tuple[str, str]] = []
+        names: list[str] = []
+        start = 0
+        for part, n_rows in zip(parts, counts):
+            if n_rows == 0:
+                # Hadoop FS delete also removes local checksum sidecars.
+                fs.delete(spark, fs.join(table_dir, part))
+                continue
+            end = start + n_rows
+            new_name = f"{spec.name}_{start}_{end}_{spec.compression}.parquet"
+            renames.append((part, new_name))
+            names.append(new_name)
+            start = end
+        list(
+            pool.map(
+                lambda r: fs.rename(
+                    spark, fs.join(table_dir, r[0]), fs.join(table_dir, r[1])
+                ),
+                renames,
+            )
+        )
     return names

@@ -206,6 +206,16 @@ def _jaccard_pairs(
     1. size ratio: J <= min(|A|,|B|)/max(|A|,|B|), so J >= t requires
        the smaller set to be at least t times the larger — two cached
        ints per pair.
+    Measured alternative, rejected: a per-block dense-GEMM pair-scan
+    (applyInPandas; one-hot doc x gram float32, M @ M.T = exact
+    intersection counts) was prototyped at sf0.1 — char-gram variant
+    ~15-20% faster warm, word variant 1.5-2x SLOWER (its small token
+    sets make the JVM intersect cheap while the GEMM pays full triu
+    cost on pairs the size-ratio filter would skip), and parallelism
+    caps at #blocks with whole-block driver-free materialization per
+    Python worker. The declarative join keeps all cores busy and
+    needs no per-group memory bound, so it stays.
+
     2. (``bloom_prefilter``) 1024-bit gram signature difference:
        every element of A\\B sets at least the bits of sig_a & ~sig_b,
        so popcount(sig_a & ~sig_b) <= |A\\B| and

@@ -68,6 +68,8 @@ HEADLINE = [
     "unigram_freq_quality",
     "repetition_ratios",
     "pgm_image_features",
+    "retention_cohorts",
+    "semdedup_embedding",
 ]
 
 

@@ -401,3 +401,40 @@ def array_collect_funcs(t: dict[str, DataFrame]) -> DataFrame:
             "map_keys_sorted"
         ),
     ).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (event-analytics rollup)
+# --------------------------------------------------------------------------
+
+
+def retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily cohort retention matrix over the events table: users
+    cohort by the date of their first event; each cell counts the
+    cohort's distinct active users at a day offset.
+
+    Daily granularity because it is what the fixture discriminates on
+    (events span one month — monthly cohorts would be a vacuous 1x1
+    matrix, the q11 lesson); the calendar arithmetic is all
+    date-integer (datediff of DATEs), exact in every engine. Two
+    shuffles at scale: the per-user min (map-side combinable) and the
+    (cohort, offset) distinct-count; the per-user cohort table joins
+    back on user_id — AQE broadcasts it when small, shuffle-join
+    otherwise, both correct.
+    """
+    ev = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            "cohort_date",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_date", "day_offset")
+    )

@@ -384,3 +384,81 @@ def ann_lsh_neighbors(
         .filter(F.col("sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup (scale path; rows-only)
+# --------------------------------------------------------------------------
+
+
+def semdedup_embedding(
+    t: dict[str, DataFrame],
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Semantic dedup in the published SemDeDup shape: KMeans-cluster
+    the embeddings, then inside each cluster drop every vector whose
+    cosine to a LOWER-id cluster-mate reaches the threshold (the
+    deterministic stand-in for "keep one per duplicate pair").
+
+    Clustering makes the quadratic step local: pairwise cosine runs
+    within a cell, never across the corpus, and cells beyond
+    ``max_block_size`` are excluded from the exact scan (the same
+    routing contract as the jaccard family — a corpus whose cells
+    outgrow the cap belongs to ``ann_lsh_neighbors`` pre-filtering).
+    KMeans seed fixed; approximate (cell boundaries) -> rows-only
+    driver check; the keep/drop contract is pinned by a pytest
+    property instead (every dropped vector has a kept lower-id
+    near-neighbor; every kept vector has none).
+
+    Returns survivors: (vec_id, cell, n_cell_mates).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = t["embeddings"].withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell")
+    assigned = (
+        km.fit(emb)
+        .transform(emb)
+        .select("vec_id", "embedding", "cell")
+        .withColumn(
+            "nrm", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+        )
+    )
+    cell_n = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    assigned = (
+        assigned.repartition("cell")
+        .withColumn("n_cell_mates", cell_n)
+        .filter(F.col("n_cell_mates") <= max_block_size)
+    )
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    sim = dot / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vb") < F.col("va"))  # only lower-id mates matter
+        .filter(sim >= threshold)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cell", "n_cell_mates")
+        .orderBy("vec_id")
+    )

@@ -881,6 +881,29 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "retention_cohorts": QuerySpec(
+            _rel(A.retention_cohorts),
+            """
+            WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+            fst AS (SELECT user_id, MIN(d) AS cohort_date
+                    FROM ev GROUP BY user_id)
+            SELECT cohort_date,
+                   CAST(datediff('day', cohort_date, d) AS INTEGER)
+                       AS day_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM ev JOIN fst USING (user_id)
+            GROUP BY cohort_date, datediff('day', cohort_date, d)
+            ORDER BY cohort_date, day_offset
+            """,
+        ),
+        # threshold 0.45 at grading scale: the synthetic embeddings are
+        # near-random (max pairwise cosine ~0.51 at sf0.01), so the
+        # production default 0.95 would drop nothing and certify only a
+        # pass-through (the q11 vacuity lesson). 0.45 prunes a real
+        # subset; the keep/drop contract is pinned in pytest.
+        "semdedup_embedding": QuerySpec(
+            _rel(lambda t: S.semdedup_embedding(t, threshold=0.45)), None
+        ),
         "pgm_image_features": QuerySpec(
             _rel(M.pgm_image_features),
             """
@@ -1560,6 +1583,7 @@ _VERDICT_PRIORITY = [
     # 2b: new this round — no verdict exists yet
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
+    "retention_cohorts", "semdedup_embedding",
     # 3: rows-only approximate ops
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
@@ -1574,13 +1598,13 @@ _VERDICT_PRIORITY = [
     "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
     "window_running_sum", "window_lag_lead", "window_rank_dense",
-    "scalar_json_funcs", "window_range_frame", "stats_moments",
-    "label_centroid_sim",
+    "scalar_json_funcs", "stats_moments",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
-    # histogram_bins, embedding_norms, window_distribution_ranks drop
-    # below the 50-cap this round to make room for the six new
-    # curation/text/multimodal ops — all six dropped are unchanged
-    # pure-aggregate/window queries with green r1 verdicts)
+    # histogram_bins, embedding_norms, window_distribution_ranks,
+    # window_range_frame, label_centroid_sim drop below the 50-cap this
+    # round to make room for the eight new curation/text/multimodal/
+    # analytics ops — all eight dropped are unchanged queries with
+    # green r1 verdicts)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

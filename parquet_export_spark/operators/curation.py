@@ -167,11 +167,16 @@ def decontaminate_train(
 
     Train/eval membership reuses :func:`train_eval_split`'s
     content-addressed rule, so the op composes with the split without a
-    join. Shingles are hashed to int64 (xxhash64) before the shuffle:
-    the contamination join then moves 8-byte keys, not 13-word strings.
-    The oracle intersects raw shingle strings — identical verdicts up
-    to a ~2^-64 hash collision, the same accepted risk as the jaccard
-    family (dedup.py).
+    join. Shingles are hashed to int64 (xxhash64 of the joined string)
+    before the shuffle: the contamination join moves 8-byte keys, not
+    13-word strings. Measured alternative, rejected: hashing each word
+    once and Karp-Rabin-folding the 13 word-hashes per shingle
+    (avoiding the string build) ran ~2x SLOWER at sf0.1 — 13
+    interpreted lambda steps per shingle lose to one native
+    array_join + one native xxhash64. The oracle intersects raw
+    shingle strings — identical verdicts up to a ~2^-64 hash
+    collision, the same accepted risk as the jaccard family
+    (dedup.py).
 
     At 100 TB: eval is the small side by construction (~20%); its
     distinct shingle set shuffles (or broadcasts, AQE's call) into a

@@ -31,6 +31,13 @@ SHOWCASE = [
     "cosine_topk",
     "neardup_embedding",
     "winnowing_fingerprints",
+    # round-3 additions: distributed prefix sum, shingle semi/anti join,
+    # two-pass frequency join, cohort matrix, Arrow kernel pipeline
+    "pack_sequences",
+    "decontaminate_train",
+    "unigram_freq_quality",
+    "retention_cohorts",
+    "pgm_image_features",
 ]
 
 HEADER = """\

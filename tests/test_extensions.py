@@ -451,3 +451,22 @@ def test_semdedup_keep_drop_contract(spark, tables):
                 assert not near_lower, f"vec {vid} kept but has near lower-id mate"
             else:
                 assert near_lower, f"vec {vid} dropped without a near lower-id mate"
+
+
+def test_stratified_sample_rates_are_nested(spark, tables):
+    """Content-addressed sampling gives NESTED samples: every doc in
+    the lower-rate sample appears in the higher-rate sample of the
+    same strata — the incremental-corpus property seeded-RNG
+    sampling cannot provide. Also pins the per-stratum rates."""
+    from parquet_export_spark.operators import curation as CU
+
+    lo = CU.stratified_sample(tables, rates={"en": 0.25}, default_rate=0.5)
+    hi = CU.stratified_sample(tables, rates={"en": 0.5}, default_rate=0.75)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids and lo_ids < hi_ids
+    # empirical rate within binomial slack per stratum
+    docs = tables["documents"]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got_en = hi.filter(F.col("lang") == "en").count()
+    assert abs(got_en / n_en - 0.5) < 0.15

@@ -70,6 +70,7 @@ HEADLINE = [
     "pgm_image_features",
     "retention_cohorts",
     "semdedup_embedding",
+    "quality_weighted_sample",
 ]
 
 

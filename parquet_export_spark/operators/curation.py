@@ -250,3 +250,39 @@ def corpus_quality_filter(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def quality_weighted_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Continuous importance resampling: keep each document with
+    probability equal to its quality weight (here lexical diversity,
+    TTR), decided content-addressedly — the deterministic form of the
+    quality-weighted resampling step (DSIR-shaped) that upsamples
+    high-quality strata without an RNG.
+
+    keep iff md5(doc_id)[0:4] < hex(min(floor(ttr * 0x10000), 0xffff))
+    — the same hash-prefix mechanism as :func:`train_eval_split`, but
+    the threshold varies per row with the weight. Both engines format
+    the threshold with %04x and compare 4-char hex strings, so the
+    decision is bit-identical (the 0xffff cap costs 1/65536 of mass at
+    weight 1.0 and keeps the comparison single-width).
+
+    At 100 TB: one scan, no shuffle, no state; composes with the
+    split/dedup stages as a pushed-down filter.
+    """
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.format_string(
+        "%04x", F.least(F.floor(ttr * 65536), F.lit(65535)).cast("int")
+    )
+    return (
+        t["documents"]
+        .withColumn("ttr", F.round(ttr, 9))
+        .withColumn("h4", h4)
+        .withColumn("thresh", thresh)
+        .filter(F.col("h4") < F.col("thresh"))
+        .select("doc_id", "lang", "source", "ttr")
+        .orderBy("doc_id")
+    )

@@ -881,6 +881,23 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "quality_weighted_sample": QuerySpec(
+            _rel(CU.quality_weighted_sample),
+            """
+            SELECT doc_id, lang, source, ROUND(ttr, 9) AS ttr
+            FROM (
+                SELECT doc_id, lang, source,
+                       CAST(LEN(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) /
+                       CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS ttr,
+                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+                FROM documents)
+            WHERE h4 < printf('%04x',
+                              CAST(LEAST(FLOOR(ttr * 65536), 65535)
+                                   AS INTEGER))
+            ORDER BY doc_id
+            """,
+        ),
         "retention_cohorts": QuerySpec(
             _rel(A.retention_cohorts),
             """
@@ -1583,7 +1600,7 @@ _VERDICT_PRIORITY = [
     # 2b: new this round — no verdict exists yet
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
-    "retention_cohorts", "semdedup_embedding",
+    "retention_cohorts", "semdedup_embedding", "quality_weighted_sample",
     # 3: rows-only approximate ops
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
@@ -1598,13 +1615,13 @@ _VERDICT_PRIORITY = [
     "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
     "window_running_sum", "window_lag_lead", "window_rank_dense",
-    "scalar_json_funcs", "stats_moments",
+    "scalar_json_funcs",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
     # histogram_bins, embedding_norms, window_distribution_ranks,
-    # window_range_frame, label_centroid_sim drop below the 50-cap this
-    # round to make room for the eight new curation/text/multimodal/
-    # analytics ops — all eight dropped are unchanged queries with
-    # green r1 verdicts)
+    # window_range_frame, label_centroid_sim, stats_moments drop below
+    # the 50-cap this round to make room for the nine new curation/
+    # text/multimodal/analytics ops — all nine dropped are unchanged
+    # queries with green r1 verdicts)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -71,6 +71,7 @@ HEADLINE = [
     "retention_cohorts",
     "semdedup_embedding",
     "quality_weighted_sample",
+    "bm25_scores",
 ]
 
 

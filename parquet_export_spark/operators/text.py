@@ -418,3 +418,70 @@ def repetition_ratios(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bm25_scores(
+    t: dict[str, DataFrame],
+    query_terms: tuple[str, ...] = ("spark", "window", "hash"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 100,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query over the documents table
+    (Okapi weighting, Lucene's always-positive idf variant) — the
+    retrieval stage a curation pipeline uses to find near-matches of a
+    probe document or to audit eval-set leakage by content.
+
+    Determinism: tf/df/N/doclen are exact integers; avgdl is one
+    division of two ints; each per-term partial is computed in a FIXED
+    expression order (a sum of three columns, not a float aggregation),
+    then rounded to 9dp — the same cross-engine discipline as tfidf.
+
+    At 100 TB: one explode filtered to the query terms (predicate
+    pushes to the scan; the explode carries only matching terms), a
+    per-doc conditional pivot, and a broadcast of the 1-row corpus
+    stats. df for the fixed terms rides the same 1-row aggregate — no
+    per-term shuffle.
+    """
+    docs = t["documents"]
+    n_and_avg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_len"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term").isin(*query_terms))
+    tf = toks.groupBy("doc_id", "dl").pivot("term", list(query_terms)).count()
+    dfreq = n_and_avg.crossJoin(
+        toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df")).groupBy()
+        .pivot("term", list(query_terms))
+        .sum("df")
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for q in query_terms:
+        tf_c = F.coalesce(F.col(f"`{q}`"), F.lit(0)).cast("double")
+        df_c = F.coalesce(F.col(f"`{q}_df`"), F.lit(0)).cast("double")
+        idf = F.log(
+            (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5) + 1.0
+        )
+        part = idf * (
+            tf_c
+            * (k1 + 1.0)
+            / (tf_c + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+        )
+        score = part if score is None else score + part
+    dfreq = dfreq.select(
+        "n_docs",
+        "total_len",
+        *[F.col(f"`{q}`").alias(f"{q}_df") for q in query_terms],
+    )
+    return (
+        tf.join(F.broadcast(dfreq))
+        .select("doc_id", F.round(score, 9).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(top_n)
+    )

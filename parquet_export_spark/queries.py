@@ -881,6 +881,66 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "bm25_scores": QuerySpec(
+            _rel(X.bm25_scores),
+            """
+            WITH stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)
+                           AS total_len
+                FROM documents),
+            ftok AS (
+                SELECT doc_id, LEN(string_split(text, ' ')) AS dl,
+                       UNNEST(string_split(text, ' ')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, dl,
+                       COUNT(*) FILTER (WHERE term = 'spark') AS tf_spark,
+                       COUNT(*) FILTER (WHERE term = 'window') AS tf_window,
+                       COUNT(*) FILTER (WHERE term = 'hash') AS tf_hash
+                FROM ftok WHERE term IN ('spark', 'window', 'hash')
+                GROUP BY doc_id, dl),
+            dfq AS (
+                SELECT COUNT(DISTINCT doc_id) FILTER (WHERE term = 'spark')
+                           AS df_spark,
+                       COUNT(DISTINCT doc_id) FILTER (WHERE term = 'window')
+                           AS df_window,
+                       COUNT(DISTINCT doc_id) FILTER (WHERE term = 'hash')
+                           AS df_hash
+                FROM ftok WHERE term IN ('spark', 'window', 'hash'))
+            SELECT doc_id, bm25 FROM (
+                SELECT doc_id,
+                       ROUND(
+                         (ln((n_docs - CAST(df_spark AS DOUBLE) + 0.5)
+                             / (CAST(df_spark AS DOUBLE) + 0.5) + 1.0)
+                          * ((CAST(tf_spark AS DOUBLE) * 2.2)
+                             / (CAST(tf_spark AS DOUBLE)
+                                + 1.2 * (1.0 - 0.75
+                                   + (0.75 * CAST(dl AS DOUBLE))
+                                     / (CAST(total_len AS DOUBLE)
+                                        / CAST(n_docs AS DOUBLE))))))
+                         + (ln((n_docs - CAST(df_window AS DOUBLE) + 0.5)
+                               / (CAST(df_window AS DOUBLE) + 0.5) + 1.0)
+                            * ((CAST(tf_window AS DOUBLE) * 2.2)
+                               / (CAST(tf_window AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75
+                                     + (0.75 * CAST(dl AS DOUBLE))
+                                       / (CAST(total_len AS DOUBLE)
+                                          / CAST(n_docs AS DOUBLE))))))
+                         + (ln((n_docs - CAST(df_hash AS DOUBLE) + 0.5)
+                               / (CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+                            * ((CAST(tf_hash AS DOUBLE) * 2.2)
+                               / (CAST(tf_hash AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75
+                                     + (0.75 * CAST(dl AS DOUBLE))
+                                       / (CAST(total_len AS DOUBLE)
+                                          / CAST(n_docs AS DOUBLE))))))
+                       , 9) AS bm25
+                FROM tf, dfq, stats)
+            WHERE bm25 > 0
+            ORDER BY bm25 DESC, doc_id LIMIT 100
+            """,
+        ),
         "quality_weighted_sample": QuerySpec(
             _rel(CU.quality_weighted_sample),
             """
@@ -1601,6 +1661,7 @@ _VERDICT_PRIORITY = [
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
     "retention_cohorts", "semdedup_embedding", "quality_weighted_sample",
+    "bm25_scores",
     # 3: rows-only approximate ops
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
@@ -1615,13 +1676,12 @@ _VERDICT_PRIORITY = [
     "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
     "window_running_sum", "window_lag_lead", "window_rank_dense",
-    "scalar_json_funcs",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
     # histogram_bins, embedding_norms, window_distribution_ranks,
-    # window_range_frame, label_centroid_sim, stats_moments drop below
-    # the 50-cap this round to make room for the nine new curation/
-    # text/multimodal/analytics ops — all nine dropped are unchanged
-    # queries with green r1 verdicts)
+    # window_range_frame, label_centroid_sim, stats_moments,
+    # scalar_json_funcs drop below the 50-cap this round to make room
+    # for the ten new curation/text/multimodal/analytics ops — all ten
+    # dropped are unchanged queries with green r1 verdicts)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -1655,8 +1655,11 @@ _VERDICT_PRIORITY = [
     # 1: r02-red, fixed this round
     "lang_quality_summary", "array_collect_funcs", "winnowing_fingerprints",
     "byte_histograms",
-    # 2: implementation changed this round
-    "neardup_embedding", "neardup_ngram_jaccard", "q11_important_parts",
+    # 2: implementation changed this round (neardup_jaccard_blocked shares
+    # the _jaccard_pairs rebalance; multimodal_features rides the new
+    # by-value cloudpickle registration)
+    "neardup_embedding", "neardup_ngram_jaccard", "neardup_jaccard_blocked",
+    "multimodal_features", "q11_important_parts",
     # 2b: new this round — no verdict exists yet
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
@@ -1675,13 +1678,15 @@ _VERDICT_PRIORITY = [
     "join_inner", "join_left_nulls", "join_semi", "join_anti", "join_range",
     "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
-    "window_running_sum", "window_lag_lead", "window_rank_dense",
+    "window_running_sum",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
     # histogram_bins, embedding_norms, window_distribution_ranks,
     # window_range_frame, label_centroid_sim, stats_moments,
-    # scalar_json_funcs drop below the 50-cap this round to make room
-    # for the ten new curation/text/multimodal/analytics ops — all ten
-    # dropped are unchanged queries with green r1 verdicts)
+    # scalar_json_funcs, window_lag_lead, window_rank_dense drop below
+    # the 50-cap this round to make room for the ten new curation/text/
+    # multimodal/analytics ops and the two changed-path swaps
+    # (neardup_jaccard_blocked, multimodal_features) — all dropped
+    # entries are unchanged queries with green r1 verdicts)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

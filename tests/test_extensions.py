@@ -420,14 +420,15 @@ def test_semdedup_keep_drop_contract(spark, tables):
     thr = 0.45  # fixture embeddings are near-random; 0.95 drops nothing
     out = S.semdedup_embedding(tables, n_cells=8, threshold=thr)
     kept = {r.vec_id for r in out.collect()}
-    # recompute cluster assignment + cosines in numpy (same seed/kmeans)
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = tables["embeddings"].withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
-    rows = km.fit(emb).transform(emb).select("vec_id", "embedding", "cell").collect()
+    # recompute cluster assignment with the operator's own quantizer
+    # (the keep/drop property is relative to whatever clustering the
+    # operator used — deriving cells independently would pin center
+    # values, which are an implementation detail)
+    emb = tables["embeddings"]
+    centers = S._fit_coarse_quantizer(emb, 8)
+    rows = emb.select(
+        "vec_id", "embedding", S._assign_cells(emb, centers).alias("cell")
+    ).collect()
     by_cell = {}
     for r in rows:
         by_cell.setdefault(r.cell, []).append((r.vec_id, np.array(r.embedding)))

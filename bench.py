@@ -72,6 +72,8 @@ HEADLINE = [
     "semdedup_embedding",
     "quality_weighted_sample",
     "bm25_scores",
+    "chunk_documents",
+    "mixture_weights",
 ]
 
 

@@ -286,3 +286,92 @@ def quality_weighted_sample(t: dict[str, DataFrame]) -> DataFrame:
         .select("doc_id", "lang", "source", "ttr")
         .orderBy("doc_id")
     )
+
+
+def chunk_documents(
+    t: dict[str, DataFrame], window: int = 24, stride: int = 16
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window
+    ingestion shape): cut each document's token stream into chunks of
+    ``window`` tokens starting every ``stride`` tokens, final partial
+    chunk included.
+
+    One generate-starts + explode per document — chunk_index is the
+    explode position, so no window function and no shuffle anywhere
+    (the registered query's presentation sort aside). Chunks are
+    reconstructed with one native ``slice``+``array_join`` per chunk;
+    all computation stays in whole-stage codegen.
+
+    At 100 TB: linear in total tokens with an output amplification of
+    ~window/stride; embarrassingly parallel, so the scan partitioning
+    is the parallelism. Straddling context windows across document
+    boundaries instead is :func:`pack_sequences`.
+    """
+    assert stride <= window, "stride > window would skip tokens entirely"
+    docs = t["documents"]
+    # Starts advance by `stride` until a window reaches the last token:
+    # last start = 1 + stride*ceil((n-window)/stride), which can sit
+    # past n-window+1 (a shorter final chunk) but never strands a tail
+    # token — `sequence(1, n-window+1, stride)` alone loses up to
+    # stride-1 trailing tokens whenever stride ∤ (n-window).
+    last_start = (
+        f"1 + ((greatest(size(ws) - {window}, 0) + {stride} - 1)"
+        f" div {stride}) * {stride}"
+    )
+    starts = F.expr(f"sequence(1, {last_start}, {stride})")
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .select("doc_id", "ws", F.posexplode(starts).alias("chunk_index", "s"))
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("int").alias("chunk_index"),
+            F.expr(f"array_join(slice(ws, s, {window}), ' ')").alias(
+                "chunk_text"
+            ),
+            F.expr(f"least({window}, size(ws) - s + 1)")
+            .cast("int")
+            .alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+def mixture_weights(
+    t: dict[str, DataFrame], alpha: float = 0.5, budget: int = 1_000_000
+) -> DataFrame:
+    """Temperature-scaled domain-mixture weights: the sampling
+    distribution over sources used to compose a training mix,
+    ``w_s ∝ n_tokens(s)^alpha`` (alpha < 1 flattens the natural
+    distribution, upweighting small domains — the multilingual/
+    domain-balancing recipe), plus each source's expected document
+    draw count for a given sample ``budget``.
+
+    alpha is fixed at 0.5 so the power is ``sqrt`` — correctly-rounded
+    IEEE in every engine, keeping the weights bit-comparable before
+    the defensive ROUND. Two tiny aggregates (one per-source, one
+    1-row total joined back as a broadcast literal) — at 100 TB the
+    shuffle is #sources rows.
+    """
+    assert alpha == 0.5, "alpha is pinned to 0.5 (sqrt) for oracle exactness"
+    per_src = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        .withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    total = per_src.agg(F.sum("w").alias("w_total"))
+    share = F.col("w") / F.col("w_total")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 9).alias("weight"),
+            F.round(share * budget, 0).cast("bigint").alias("expected_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1062,6 +1062,43 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "chunk_documents": QuerySpec(
+            _rel(CU.chunk_documents),
+            """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+            starts AS (
+                SELECT doc_id, ws,
+                       UNNEST([s FOR s IN generate_series(
+                           1, 1 + ((greatest(len(ws) - 24, 0) + 15) // 16)
+                                  * 16, 16)]) AS s
+                FROM toks)
+            SELECT doc_id,
+                   CAST((s - 1) / 16 AS INTEGER) AS chunk_index,
+                   array_to_string(list_slice(ws, s, s + 23), ' ')
+                       AS chunk_text,
+                   CAST(least(24, len(ws) - s + 1) AS INTEGER) AS n_tokens
+            FROM starts ORDER BY doc_id, chunk_index
+            """,
+        ),
+        "mixture_weights": QuerySpec(
+            _rel(CU.mixture_weights),
+            """
+            WITH per_src AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source),
+            tot AS (SELECT SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS w_total
+                    FROM per_src)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+                   ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / w_total, 9)
+                       AS weight,
+                   CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / w_total
+                              * 1000000, 0) AS BIGINT) AS expected_docs
+            FROM per_src, tot ORDER BY source
+            """,
+        ),
         "unigram_freq_quality": QuerySpec(
             _rel(X.unigram_freq_quality),
             """
@@ -1664,7 +1701,7 @@ _VERDICT_PRIORITY = [
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
     "retention_cohorts", "semdedup_embedding", "quality_weighted_sample",
-    "bm25_scores",
+    "bm25_scores", "chunk_documents", "mixture_weights",
     # 3: rows-only approximate ops
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
@@ -1676,17 +1713,19 @@ _VERDICT_PRIORITY = [
     "dedup_exact", "cosine_topk", "events_hourly_rollup",
     "window_topk_per_group", "merge_upsert_orders", "filter_project",
     "join_inner", "join_left_nulls", "join_semi", "join_anti", "join_range",
-    "set_ops", "set_ops_all", "lateral_explode_items", "sort_limit_offset",
-    "agg_distinct", "agg_rollup", "agg_cube", "agg_stats",
+    "set_ops", "lateral_explode_items", "sort_limit_offset",
+    "agg_distinct", "agg_rollup", "agg_stats",
     "window_running_sum",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
     # histogram_bins, embedding_norms, window_distribution_ranks,
     # window_range_frame, label_centroid_sim, stats_moments,
-    # scalar_json_funcs, window_lag_lead, window_rank_dense drop below
-    # the 50-cap this round to make room for the ten new curation/text/
-    # multimodal/analytics ops and the two changed-path swaps
-    # (neardup_jaccard_blocked, multimodal_features) — all dropped
-    # entries are unchanged queries with green r1 verdicts)
+    # scalar_json_funcs, window_lag_lead, window_rank_dense,
+    # set_ops_all, agg_cube drop below the 50-cap this round to make
+    # room for the twelve new curation/text/multimodal/analytics ops
+    # and the two changed-path swaps (neardup_jaccard_blocked,
+    # multimodal_features) — all dropped entries are unchanged queries
+    # with green r1 verdicts, each with an in-window family
+    # representative (set_ops, agg_rollup, window_running_sum))
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -471,3 +471,49 @@ def test_stratified_sample_rates_are_nested(spark, tables):
     n_en = docs.filter(F.col("lang") == "en").count()
     got_en = hi.filter(F.col("lang") == "en").count()
     assert abs(got_en / n_en - 0.5) < 0.15
+
+
+def test_chunk_documents_covers_and_reconstructs(spark, tables):
+    """Chunk coverage contract: chunk 0 starts at token 1, consecutive
+    starts advance by exactly the stride, the final chunk reaches the
+    document's last token, and concatenating each chunk's first
+    `stride` tokens (plus the final chunk's tail) reconstructs the
+    document."""
+    from parquet_export_spark.operators import curation as CU
+
+    W, S_ = 8, 5
+    docs = {r.doc_id: r.text.split(" ")
+            for r in tables["documents"].select("doc_id", "text").collect()}
+    out = CU.chunk_documents(tables, window=W, stride=S_).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(docs)
+    for doc_id, chunks in per_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_index)
+        assert [c.chunk_index for c in chunks] == list(range(len(chunks)))
+        rebuilt = []
+        for i, c in enumerate(chunks):
+            ctoks = c.chunk_text.split(" ") if c.chunk_text else []
+            assert len(ctoks) == c.n_tokens <= W
+            start = i * S_  # 0-based token offset of this chunk
+            assert ctoks == toks[start:start + W]
+            rebuilt.extend(ctoks if i == len(chunks) - 1 else ctoks[:S_])
+        assert rebuilt == toks, f"doc {doc_id} not reconstructed"
+        # the last chunk must reach the end of the document
+        assert (len(chunks) - 1) * S_ + chunks[-1].n_tokens == len(toks)
+
+
+def test_mixture_weights_normalized_and_monotone(spark, tables):
+    """Weights form a distribution (sum 1) and follow token mass:
+    sqrt is monotone, so source ranking by weight equals ranking by
+    token count; expected_docs re-scales to the budget."""
+    from parquet_export_spark.operators import curation as CU
+
+    rows = CU.mixture_weights(tables, budget=10_000).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    by_weight = sorted(rows, key=lambda r: r.weight)
+    assert [r.source for r in by_tokens] == [r.source for r in by_weight]
+    assert abs(sum(r.expected_docs for r in rows) - 10_000) <= len(rows)

@@ -43,20 +43,37 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over parquet event files."""
+    """File-source stream over parquet event files.
+
+    Parquet timestamps arrive in either physical precision depending on
+    the producer: INT64 TIMESTAMP(MICROS) (Spark/DuckDB writers) or
+    INT64 TIMESTAMP(NANOS) (pandas/pyarrow default). Streams must
+    declare a schema up front, so sniff the landing directory's actual
+    type with a metadata-only batch read (one footer, driver-side, any
+    Hadoop-visible filesystem) and adapt: nanos are read as long via
+    the legacy flag and truncated to micros; micros read natively.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
-    raw = spark.readStream.schema(schema).parquet(events_dir)
-    # nanos -> timestamp (instant) for event-time semantics; the
-    # testdata timestamps are wall-clock UTC.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if ts_type == "bigint":  # physical TIMESTAMP(NANOS) -> long
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, T.LongType() if f.name == "ts" else f.dataType
+                )
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        raw = spark.readStream.schema(schema).parquet(events_dir)
+        # nanos -> timestamp (instant) for event-time semantics; the
+        # testdata timestamps are wall-clock UTC.
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    # event-time ops (watermark/window) need TimestampType semantics;
+    # the NTZ wall-clock values are UTC by session config.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

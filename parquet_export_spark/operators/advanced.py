@@ -438,3 +438,46 @@ def retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("cohort_date", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence transitions (Markov matrix over per-user event streams)
+# --------------------------------------------------------------------------
+
+
+def event_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    for every (event_type -> next event_type) step, the count and the
+    conditional probability P(next | current).
+
+    The sequence-analytics primitive behind funnel mining and
+    session-path models: order each user's events by time, pair each
+    with its successor (one ``lead`` window over the same user_id
+    shuffle sessionization uses), then aggregate pairs. Ties on ``ts``
+    break on event_id so the sequence is total and engine-independent.
+
+    Determinism: counts are exact integers; the probability is the one
+    final double division of two BIGINTs, rounded — the module's
+    standard exact-accumulation rule. At 100 TB: one shuffle on
+    user_id (window), one partial+final aggregate on the 2-column key;
+    the per-type totals reuse the pair aggregate via a window over the
+    tiny result, not a second pass over the events.
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("event_type"))
+    prob = F.round(
+        F.col("n_transitions").cast("double") / total.cast("double"), 9
+    )
+    return (
+        counts.withColumn("prob", prob)
+        .orderBy("event_type", "next_type")
+    )

@@ -546,3 +546,99 @@ def neardup_simhash(t: dict[str, DataFrame], max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring spans (training-data substring dedup)
+# --------------------------------------------------------------------------
+
+#: Shingle width for duplicated-span detection. Published exact-substring
+#: dedup uses ~50 BPE tokens; the fixture corpus' shorter docs get the
+#: same contract at 10 words.
+DUP_SPAN_NGRAM = 10
+
+
+def dup_spans(t: dict[str, DataFrame], n: int = DUP_SPAN_NGRAM) -> DataFrame:
+    """Maximal duplicated word spans per document: every run of words
+    covered by an ``n``-gram that also appears in ANOTHER document.
+
+    The exact-substring dedup shape (the published recipe trains on
+    corpora with long verbatim repeats removed): downstream either
+    drops the spans from the text or drops documents whose duplicated
+    mass is too high. Works in three declarative stages, all JVM:
+
+    1. explode each doc's word n-grams WITH positions (the gram id is
+       ``xxhash64`` of the joined words — the oracle groups raw gram
+       strings; counts agree up to the accepted 2^-64 collision);
+    2. keep grams seen in >= 2 distinct docs (within-doc repeats are
+       ``repetition_ratios``' job) via a count over the gram key;
+    3. merge each doc's duplicated positions into maximal spans with
+       the gaps-and-islands window (new island when the gap between
+       consecutive hit positions exceeds ``n`` — adjacent/overlapping
+       gram covers fuse), then one aggregate per island.
+
+    At 100 TB: one shuffle on the 8-byte gram hash (count + semi-join
+    back), one shuffle on doc_id for the island window. No all-pairs
+    join anywhere — cost is linear in corpus grams, which is why the
+    published pipelines run this exact shape at trillion-token scale.
+    Spans are word-indexed (1-based, inclusive); ``span_end`` clamps to
+    the doc's word count for docs shorter than ``n``.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].repartition(
+        _fanout_partitions(t["documents"]), "doc_id"
+    )
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+                    f" i -> xxhash64(array_join(slice(ws, i, {n}), ' ')))"
+                )
+            ).alias("pos0", "g"),
+        )
+        .select(
+            "doc_id", "n_words", (F.col("pos0") + 1).alias("pos"), "g"
+        )
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_g, "g", "left_semi").select(
+        "doc_id", "n_words", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0),
+    )
+    with_island = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_island.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.least(F.max("pos") + (n - 1), F.max("n_words"))
+            .cast("bigint")
+            .alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -749,6 +749,7 @@ REGISTRY.update(
         "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
         "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
         "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
+        "pq_topk": QuerySpec(_rel(S.pq_topk), None),
         # ---------------- text analysis ----------------
         "token_stats": QuerySpec(
             _rel(X.token_stats),
@@ -980,6 +981,63 @@ REGISTRY.update(
         # subset; the keep/drop contract is pinned in pytest.
         "semdedup_embedding": QuerySpec(
             _rel(lambda t: S.semdedup_embedding(t, threshold=0.45)), None
+        ),
+        "dup_spans": QuerySpec(
+            _rel(D.dup_spans),
+            """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       UNNEST(generate_series(
+                           1, greatest(len(ws) - 9, 1))) AS pos,
+                       UNNEST([array_to_string(ws[i:i+9], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(ws) - 9, 1))]) AS gr
+                FROM t),
+            dup AS (SELECT gr FROM g GROUP BY gr
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, n_words, pos FROM g
+                     WHERE gr IN (SELECT gr FROM dup)),
+            isl AS (SELECT doc_id, n_words, pos,
+                      CASE WHEN LAG(pos) OVER w IS NULL
+                                OR pos - LAG(pos) OVER w > 10
+                           THEN 1 ELSE 0 END AS ni
+                    FROM hits
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            ids AS (SELECT doc_id, n_words, pos,
+                      SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS island
+                    FROM isl)
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(LEAST(MAX(pos) + 9, MAX(n_words)) AS BIGINT)
+                       AS span_end,
+                   CAST(LEAST(MAX(pos) + 9, MAX(n_words)) - MIN(pos) + 1
+                        AS BIGINT) AS span_words
+            FROM ids GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+            """,
+        ),
+        "event_transition_matrix": QuerySpec(
+            _rel(A.event_transition_matrix),
+            """
+            WITH pairs AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS next_type
+                FROM events),
+            c AS (SELECT event_type, next_type, COUNT(*) AS n_transitions
+                  FROM pairs WHERE next_type IS NOT NULL
+                  GROUP BY event_type, next_type)
+            SELECT event_type, next_type, n_transitions,
+                   ROUND(CAST(n_transitions AS DOUBLE) /
+                         CAST(SUM(n_transitions) OVER (
+                             PARTITION BY event_type) AS DOUBLE), 9)
+                       AS prob
+            FROM c ORDER BY event_type, next_type
+            """,
         ),
         "pgm_image_features": QuerySpec(
             _rel(M.pgm_image_features),
@@ -1698,23 +1756,28 @@ _VERDICT_PRIORITY = [
     "neardup_embedding", "neardup_ngram_jaccard", "neardup_jaccard_blocked",
     "multimodal_features", "q11_important_parts",
     # 2b: new this round — no verdict exists yet
+    "dup_spans", "event_transition_matrix",
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
     "retention_cohorts", "semdedup_embedding", "quality_weighted_sample",
     "bm25_scores", "chunk_documents", "mixture_weights",
-    # 3: rows-only approximate ops
+    # 3: rows-only approximate ops (pq_topk new this round)
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
-    "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk",
+    "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk", "pq_topk",
     "sample_fraction", "agg_approx_distinct",
-    # 4: r01-only evidence — rotate in for fresh verdicts (35 of 40; the five
-    # left out are scalar_string_funcs, scalar_date_funcs, scalar_math_funcs,
-    # string_funcs_extra, conditional_funcs — unchanged pure-function queries)
+    # 4: r01-only evidence — rotate in for fresh verdicts (the entries left
+    # out are unchanged pure-function/structural queries with green r1
+    # verdicts and an in-window family representative: scalar_string_funcs,
+    # scalar_date_funcs, scalar_math_funcs, string_funcs_extra,
+    # conditional_funcs, filter_project (q5/q6 pin pushdown),
+    # join_left_nulls (4 join shapes stay in-window), agg_stats
+    # (agg_distinct/agg_rollup stay))
     "q5_revenue_by_nation", "q6_forecast_revenue", "q10_returned_items",
     "dedup_exact", "cosine_topk", "events_hourly_rollup",
-    "window_topk_per_group", "merge_upsert_orders", "filter_project",
-    "join_inner", "join_left_nulls", "join_semi", "join_anti", "join_range",
+    "window_topk_per_group", "merge_upsert_orders",
+    "join_inner", "join_semi", "join_anti", "join_range",
     "set_ops", "lateral_explode_items", "sort_limit_offset",
-    "agg_distinct", "agg_rollup", "agg_stats",
+    "agg_distinct", "agg_rollup",
     "window_running_sum",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
     # histogram_bins, embedding_norms, window_distribution_ranks,

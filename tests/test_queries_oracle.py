@@ -200,3 +200,50 @@ def test_ann_lsh_recall_vs_exact_cosine(spark, sf_dir):
     assert recall8 >= 2 * recall2, (
         f"OR-amplification must raise recall: T=8 {recall8} vs T=2 {recall2}"
     )
+
+
+def test_pq_recall_vs_exact_cosine(spark, sf_dir):
+    """PQ-ADC recall against the exact ``cosine_topk`` ground truth,
+    plus the compression contract (codes are m small ints in [0, kc))
+    and exact-rerank precision (returned sims match the exact cosine).
+
+    Random 64-dim embeddings are PQ's worst case (no cluster structure
+    for the codebooks to exploit), so the floor is set for the default
+    rerank=16 config, which measured 0.94 at sf0.01 and 1.0 at
+    sf0.001.
+    """
+    from parquet_export_spark.operators import similarity as S
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    exact = {
+        (r.query_id, r.neighbor_id, r.sim) for r in S.cosine_topk(t).collect()
+    }
+    got = [(r.query_id, r.neighbor_id, r.sim) for r in S.pq_topk(t).collect()]
+    assert len(got) == len(exact)  # k rows per query either way
+    # precision: every returned sim IS the exact cosine (rerank step)
+    exact_sims = {
+        (q, nb): s for q, nb, s in exact
+    }
+    for q, nb, s in got:
+        if (q, nb) in exact_sims:
+            assert abs(s - exact_sims[(q, nb)]) < 1e-9
+    # recall on (query, neighbor) pairs: the sim column is numpy-summed
+    # (pairwise) vs the exact baseline's sequential fold — equal to
+    # ~1e-15 but not bit-equal, so pairs, not triples.
+    exact_pairs = {(q, nb) for q, nb, _ in exact}
+    got_pairs = {(q, nb) for q, nb, _ in got}
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"pq recall@10 = {recall}"
+
+    # code shape: m codes per vector, all within the codebook range
+    books = S._fit_pq_codebooks(t["embeddings"])
+    enc = (
+        t["embeddings"]
+        .select(S._pq_encode(books)("embedding").alias("codes"))
+        .collect()
+    )
+    m, kc, _ = books.shape
+    assert all(
+        len(r.codes) == m and all(0 <= c < kc for c in r.codes) for r in enc
+    )

@@ -74,6 +74,9 @@ HEADLINE = [
     "bm25_scores",
     "chunk_documents",
     "mixture_weights",
+    "dup_spans",
+    "event_transition_matrix",
+    "pq_topk",
 ]
 
 

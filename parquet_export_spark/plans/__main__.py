@@ -38,6 +38,9 @@ SHOWCASE = [
     "unigram_freq_quality",
     "retention_cohorts",
     "pgm_image_features",
+    # exchange-reused gram pipeline, lead-window sequence aggregate
+    "dup_spans",
+    "event_transition_matrix",
 ]
 
 HEADER = """\

@@ -133,3 +133,14 @@ def test_winnowing_is_shuffle_minimal(spark, sf_dir):
     input, one presentation sort — nothing else may shuffle."""
     df = q("winnowing_fingerprints", spark, sf_dir)
     assert P.count_shuffles(df) <= 2
+
+
+def test_dup_spans_gram_exchange_reused(spark, sf_dir):
+    """The exploded-grams exchange must be materialized once and REUSED
+    by the duplicate-gram aggregate and the semi-join probe (the 2.7x
+    restaging win) — and nothing in the plan may be a cartesian."""
+    df = q("dup_spans", spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = P.executed_plan_string(df)
+    assert "ReusedExchange" in plan
+    assert "Cartesian" not in plan

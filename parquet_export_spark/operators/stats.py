@@ -141,3 +141,33 @@ def histogram_bins(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("price_bin")
     )
+
+
+def approx_percentiles(t: dict[str, DataFrame], accuracy: int = 10_000) -> DataFrame:
+    """Approximate percentiles per group via Spark's quantile sketch
+    (``approx_percentile``, Greenwald-Khanna).
+
+    The sketch family complement to ``agg_approx_distinct`` (HLL) and
+    the approximate twin of ``percentiles_exact``: at 100 TB the exact
+    ``percentile`` needs the full value multiset per group (a sort or
+    a giant collect_list) while the GK sketch is bounded-memory
+    (O(accuracy·log n) per group), merges associatively map-side, and
+    answers within 1/accuracy relative RANK error by contract. That
+    bound is asserted quantitatively against the exact percentiles in
+    pytest; the driver check is rows-only (sketch results are not
+    SQL-reproducible in DuckDB).
+    """
+    li = maybe_fanout(t["lineitem"])
+    pct = (
+        f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"{pct}[0]").alias("p50_price"),
+            F.expr(f"{pct}[1]").alias("p90_price"),
+            F.expr(f"{pct}[2]").alias("p99_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

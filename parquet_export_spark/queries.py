@@ -297,6 +297,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
     ),
     "agg_approx_distinct": QuerySpec(_rel(R.agg_approx_distinct), None),
+    "approx_percentiles": QuerySpec(_rel(ST.approx_percentiles), None),
     # ---------------- windows ----------------
     "window_topk_per_group": QuerySpec(
         _rel(R.window_topk_per_group),
@@ -1764,20 +1765,20 @@ _VERDICT_PRIORITY = [
     # 3: rows-only approximate ops (pq_topk new this round)
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk", "pq_topk",
-    "sample_fraction", "agg_approx_distinct",
+    "sample_fraction", "agg_approx_distinct", "approx_percentiles",
     # 4: r01-only evidence — rotate in for fresh verdicts (the entries left
     # out are unchanged pure-function/structural queries with green r1
     # verdicts and an in-window family representative: scalar_string_funcs,
     # scalar_date_funcs, scalar_math_funcs, string_funcs_extra,
     # conditional_funcs, filter_project (q5/q6 pin pushdown),
-    # join_left_nulls (4 join shapes stay in-window), agg_stats
-    # (agg_distinct/agg_rollup stay))
+    # join_left_nulls (4 join shapes stay in-window), agg_stats and
+    # agg_distinct (agg_rollup stays as the agg-family rep))
     "q5_revenue_by_nation", "q6_forecast_revenue", "q10_returned_items",
     "dedup_exact", "cosine_topk", "events_hourly_rollup",
     "window_topk_per_group", "merge_upsert_orders",
     "join_inner", "join_semi", "join_anti", "join_range",
     "set_ops", "lateral_explode_items", "sort_limit_offset",
-    "agg_distinct", "agg_rollup",
+    "agg_rollup",
     "window_running_sum",
     # (date_funcs_extra, stats_correlation, percentiles_exact,
     # histogram_bins, embedding_norms, window_distribution_ranks,

@@ -247,3 +247,30 @@ def test_pq_recall_vs_exact_cosine(spark, sf_dir):
     assert all(
         len(r.codes) == m and all(0 <= c < kc for c in r.codes) for r in enc
     )
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """The GK sketch has no DuckDB oracle, but it DOES have a
+    quantitative contract: approx_percentile(accuracy=A) returns a
+    value whose RANK is within n/A of the target rank. Assert each
+    approximate percentile sits between the exact values at
+    rank +- 2n/A per group."""
+    from parquet_export_spark.operators.stats import approx_percentiles
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    got = {r["l_returnflag"]: r for r in approx_percentiles(t).collect()}
+    vals = {}
+    for r in t["lineitem"].select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert set(got) == set(vals)
+    for flag, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        slack = max(1, (2 * n) // 10_000)
+        for q, col in ((0.5, "p50_price"), (0.9, "p90_price"), (0.99, "p99_price")):
+            target = int(q * (n - 1))
+            lo = xs[max(0, target - slack)]
+            hi = xs[min(n - 1, target + slack)]
+            assert lo <= got[flag][col] <= hi, (flag, col, got[flag][col], lo, hi)
+        assert got[flag]["n_rows"] == n

@@ -438,13 +438,27 @@ def neardup_clusters(
     -> rows-only driver check; correctness pinned by unit test.
     """
     pairs = neardup_jaccard_blocked(t, threshold=threshold).select("doc_a", "doc_b")
-    # undirected edge list, both directions
+    labels = _connected_components(
+        t["documents"].select("doc_id"), pairs, max_iter
+    )
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("is_cluster_root", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: returns
+    ``(doc_id, label)`` with label = min doc_id reachable. The driver
+    holds only a changed flag per round; localCheckpoint truncates the
+    growing iterative plan (see :func:`neardup_clusters`)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
-    labels = (
-        t["documents"].select("doc_id").withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -470,9 +484,43 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def fuzzy_dedup_keep(
+    t: dict[str, DataFrame], threshold: float = 0.5, max_iter: int = 15
+) -> DataFrame:
+    """THE production fuzzy-dedup pipeline, composed end-to-end:
+    MinHash-LSH candidate pairs (unblocked scale path) -> exact-Jaccard
+    verification at ``threshold`` (inside the LSH op) -> connected
+    components over the verified pair graph -> keep the min-doc_id
+    root per cluster; returns the surviving documents with the number
+    of duplicates each one absorbed.
+
+    The composition demonstrates the individual ops are pipeline
+    stages, not demos: candidates never enumerate all pairs (banding),
+    verification touches candidates only, and the component loop is
+    the standard small-diameter label propagation. Iterative +
+    approximate -> rows-only driver check; the keep/drop contract
+    (no two survivors form a verified pair; every dropped doc's root
+    survives) is pinned in pytest.
+    """
+    pairs = neardup_minhash_lsh(t, threshold=threshold).select("doc_a", "doc_b")
+    labels = _connected_components(
+        t["documents"].select("doc_id"), pairs, max_iter
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    keepers = (
+        labels.filter(F.col("doc_id") == F.col("label"))
+        .join(sizes, "label")
+        .select("doc_id", (F.col("cluster_size") - 1).alias("n_dups_removed"))
+    )
     return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn("is_cluster_root", F.col("doc_id") == F.col("cluster_id"))
+        t["documents"]
+        .join(keepers, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_dups_removed")
         .orderBy("doc_id")
     )
 

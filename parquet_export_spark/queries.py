@@ -680,6 +680,7 @@ REGISTRY.update(
         "neardup_minhash_lsh": QuerySpec(_rel(D.neardup_minhash_lsh), None),
         "neardup_simhash": QuerySpec(_rel(D.neardup_simhash), None),
         "neardup_clusters": QuerySpec(_rel(D.neardup_clusters), None),
+        "fuzzy_dedup_keep": QuerySpec(_rel(D.fuzzy_dedup_keep), None),
         # ---------------- similarity search ----------------
         "cosine_topk": QuerySpec(
             _rel(S.cosine_topk),
@@ -1764,6 +1765,7 @@ _VERDICT_PRIORITY = [
     "bm25_scores", "chunk_documents", "mixture_weights",
     # 3: rows-only approximate ops (pq_topk new this round)
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
+    "fuzzy_dedup_keep",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk", "pq_topk",
     "sample_fraction", "agg_approx_distinct", "approx_percentiles",
     # 4: r01-only evidence — rotate in for fresh verdicts (the entries left
@@ -1772,8 +1774,9 @@ _VERDICT_PRIORITY = [
     # scalar_date_funcs, scalar_math_funcs, string_funcs_extra,
     # conditional_funcs, filter_project (q5/q6 pin pushdown),
     # join_left_nulls (4 join shapes stay in-window), agg_stats and
-    # agg_distinct (agg_rollup stays as the agg-family rep))
-    "q5_revenue_by_nation", "q6_forecast_revenue", "q10_returned_items",
+    # agg_distinct (agg_rollup stays as the agg-family rep),
+    # q10_returned_items (q5/q3/q21 keep join+agg pinned))
+    "q5_revenue_by_nation", "q6_forecast_revenue",
     "dedup_exact", "cosine_topk", "events_hourly_rollup",
     "window_topk_per_group", "merge_upsert_orders",
     "join_inner", "join_semi", "join_anti", "join_range",

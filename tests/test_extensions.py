@@ -517,3 +517,36 @@ def test_mixture_weights_normalized_and_monotone(spark, tables):
     by_weight = sorted(rows, key=lambda r: r.weight)
     assert [r.source for r in by_tokens] == [r.source for r in by_weight]
     assert abs(sum(r.expected_docs for r in rows) - 10_000) <= len(rows)
+
+
+def test_fuzzy_dedup_keep_contract(spark, tables):
+    """The composed pipeline's keep/drop contract: survivors + removed
+    dups partition the corpus; no verified near-dup pair has BOTH ends
+    surviving; every dropped doc's cluster root is a survivor."""
+    from pyspark.sql import functions as F
+
+    kept = D.fuzzy_dedup_keep(tables, threshold=0.5)
+    kept_rows = kept.collect()
+    kept_ids = {r.doc_id for r in kept_rows}
+    n_docs = tables["documents"].count()
+    assert kept_ids, "pipeline kept at least one doc"
+    # survivors + absorbed duplicates account for every document
+    assert len(kept_ids) + sum(r.n_dups_removed for r in kept_rows) == n_docs
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in D.neardup_minhash_lsh(tables, threshold=0.5).collect()
+    ]
+    for a, b in pairs:
+        assert not (a in kept_ids and b in kept_ids), (a, b)
+    labels = {
+        r.doc_id: r.label
+        for r in D._connected_components(
+            tables["documents"].select("doc_id"),
+            D.neardup_minhash_lsh(tables, threshold=0.5).select(
+                "doc_a", "doc_b"
+            ),
+        ).collect()
+    }
+    for d, root in labels.items():
+        if d not in kept_ids:
+            assert root in kept_ids, (d, root)

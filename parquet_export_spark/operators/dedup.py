@@ -237,18 +237,23 @@ def _jaccard_pairs(
         )
     # The pair-scan stage does O(block²) work but inherits the per-DOC
     # partition count (cores/4 — right for the linear tokenize stage,
-    # 4x starved for the quadratic join stage). Round-robin the probe
-    # side across the full core count: the build side broadcasts, so
-    # no co-location is needed, every task probes the same hash map,
-    # and a hot block's probe rows spread across ALL tasks instead of
+    # 4x starved for the quadratic join stage). Round-robin BOTH sides
+    # behind ONE shared exchange: the build side broadcasts, so no
+    # co-location is needed, every task probes the same hash map, and
+    # a hot block's probe rows spread across ALL tasks instead of
     # pinning one (the same rebalance a 1000-executor cluster needs —
     # quadratic per-block work makes block-keyed partitioning the skew
-    # bottleneck). Measured at sf0.1: 4.3s -> 1.8s for the char-gram
-    # variant. When the corpus outgrows the broadcast threshold Spark
-    # falls back to a key-shuffled join and re-exchanges this side —
-    # the repartition is then redundant but never wrong.
+    # bottleneck). Branching a and b off the same repartition means the
+    # tokenize/sign stage runs ONCE and both join inputs read the
+    # materialized exchange (ReusedExchange) instead of re-tokenizing
+    # per side — measured at sf0.1: 4.3s -> 1.8s for the rebalance
+    # (round 2), then a further ~20% for the shared exchange. When the
+    # corpus outgrows the broadcast threshold Spark falls back to a
+    # key-shuffled join and re-exchanges both sides — the repartition
+    # is then redundant but never wrong.
     cores = toks.sparkSession.sparkContext.defaultParallelism
-    a = toks.repartition(max(cores, 2)).alias("a")
+    toks = toks.repartition(max(cores, 2))
+    a = toks.alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     sa, sb = F.col("a.n"), F.col("b.n")

@@ -22,6 +22,8 @@ TZ_SENSITIVE = [
     "gapfill_daily_revenue",
     "q1_pricing_summary",
     "q12_priority_shipclass",
+    "retention_cohorts",
+    "event_transition_matrix",
 ]
 
 

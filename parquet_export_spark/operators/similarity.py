@@ -688,3 +688,81 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map analytics (applyInPandas)
+# --------------------------------------------------------------------------
+
+#: rows a single label-group fit sees at most (the grouped-map kernel
+#: materializes one group per Python worker; the cap bounds that memory
+#: the same way the quantizer's fit_cap bounds the driver).
+LABEL_PCA_CAP = 100_000
+
+
+def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
+    """Per-label top principal direction of the embedding cloud —
+    the grouped-map (``applyInPandas``) instance: eigendecomposition is
+    genuinely inexpressible in SQL/DataFrame algebra, so each label
+    group lands in one Arrow batch and numpy does the math.
+
+    The curation use: a label (cluster/domain) whose top component
+    explains most of the variance is a near-degenerate direction —
+    embeddings collapsed onto a line mark template-generated or
+    mode-collapsed content, the vector-space analog of the repetition
+    gates.
+
+    Scale contract: one shuffle on ``label``; each group is capped at
+    ``cap`` rows (deterministic min-vec_id sample) before the O(dim²·n)
+    covariance, so a hot label bounds worker memory exactly like the
+    fit caps elsewhere. Output is scalars + a stringified unit vector
+    (registration rule: no array columns). Deterministic: rows are
+    sorted by vec_id before accumulation, the eigenvector sign is
+    fixed by its largest-magnitude component, and values are rounded.
+    Non-SQL -> rows-only driver check; pinned against an independent
+    numpy computation in pytest.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("n_vectors", T.LongType()),
+            T.StructField("n_fit", T.LongType()),
+            T.StructField("explained_var_ratio", T.DoubleType()),
+            T.StructField("pc1", T.StringType()),
+        ]
+    )
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n_all = len(pdf)
+        pdf = pdf.sort_values("vec_id").head(cap)
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        x = x - x.mean(axis=0)
+        cov = (x.T @ x) / max(len(x) - 1, 1)
+        w, v = np.linalg.eigh(cov)
+        pc = v[:, -1]
+        i = int(np.abs(pc).argmax())
+        if pc[i] < 0:
+            pc = -pc
+        tot = float(w.sum())
+        evr = float(w[-1]) / tot if tot > 0 else 0.0
+        return pd.DataFrame(
+            [
+                {
+                    "label": int(key[0]),
+                    "n_vectors": n_all,
+                    "n_fit": len(pdf),
+                    "explained_var_ratio": round(evr, 6),
+                    "pc1": " ".join(f"{c:.6f}" for c in pc),
+                }
+            ]
+        )
+
+    return (
+        t["embeddings"]
+        .select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(fit, schema)
+        .orderBy("label")
+    )

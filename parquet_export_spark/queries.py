@@ -752,6 +752,7 @@ REGISTRY.update(
         "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
         "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
         "pq_topk": QuerySpec(_rel(S.pq_topk), None),
+        "label_pca": QuerySpec(_rel(S.label_pca), None),
         # ---------------- text analysis ----------------
         "token_stats": QuerySpec(
             _rel(X.token_stats),
@@ -1767,6 +1768,7 @@ _VERDICT_PRIORITY = [
     "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
     "fuzzy_dedup_keep",
     "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk", "pq_topk",
+    "label_pca",
     "sample_fraction", "agg_approx_distinct", "approx_percentiles",
     # 4: r01-only evidence — rotate in for fresh verdicts (the entries left
     # out are unchanged pure-function/structural queries with green r1
@@ -1775,9 +1777,10 @@ _VERDICT_PRIORITY = [
     # conditional_funcs, filter_project (q5/q6 pin pushdown),
     # join_left_nulls (4 join shapes stay in-window), agg_stats and
     # agg_distinct (agg_rollup stays as the agg-family rep),
-    # q10_returned_items (q5/q3/q21 keep join+agg pinned))
+    # q10_returned_items (q5/q3/q21 keep join+agg pinned),
+    # events_hourly_rollup (streaming runtime parity lives in pytest))
     "q5_revenue_by_nation", "q6_forecast_revenue",
-    "dedup_exact", "cosine_topk", "events_hourly_rollup",
+    "dedup_exact", "cosine_topk",
     "window_topk_per_group", "merge_upsert_orders",
     "join_inner", "join_semi", "join_anti", "join_range",
     "set_ops", "lateral_explode_items", "sort_limit_offset",

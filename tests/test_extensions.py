@@ -550,3 +550,31 @@ def test_fuzzy_dedup_keep_contract(spark, tables):
     for d, root in labels.items():
         if d not in kept_ids:
             assert root in kept_ids, (d, root)
+
+
+def test_label_pca_matches_numpy(spark, tables):
+    """The grouped-map PCA must equal an independent driver-side numpy
+    computation per label: same explained-variance ratio, same
+    sign-fixed unit principal direction (string-rounded)."""
+    import numpy as np
+
+    got = {r.label: r for r in S.label_pca(tables).collect()}
+    by_label = {}
+    for r in tables["embeddings"].select("label", "vec_id", "embedding").collect():
+        by_label.setdefault(r.label, []).append((r.vec_id, r.embedding))
+    assert set(got) == set(by_label)
+    for label, rows in by_label.items():
+        rows.sort()
+        x = np.stack([np.array(e, dtype="float64") for _, e in rows])
+        x = x - x.mean(axis=0)
+        cov = (x.T @ x) / max(len(x) - 1, 1)
+        w, v = np.linalg.eigh(cov)
+        pc = v[:, -1]
+        if pc[int(np.abs(pc).argmax())] < 0:
+            pc = -pc
+        assert got[label].n_vectors == len(rows)
+        assert abs(got[label].explained_var_ratio - w[-1] / w.sum()) < 1e-5
+        assert got[label].pc1 == " ".join(f"{c:.6f}" for c in pc)
+        # unit norm survives the rounding to ~1e-5
+        vec = np.array([float(c) for c in got[label].pc1.split()])
+        assert abs(np.linalg.norm(vec) - 1.0) < 1e-4

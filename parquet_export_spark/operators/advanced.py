@@ -481,3 +481,43 @@ def event_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
         counts.withColumn("prob", prob)
         .orderBy("event_type", "next_type")
     )
+
+
+def scd2_user_state(t: dict[str, DataFrame]) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build over the event stream:
+    each user's event_type is treated as a dimension attribute, and
+    consecutive runs of the same state collapse into one row with a
+    validity interval [valid_from, valid_to) and a current flag.
+
+    The dimension-building ETL shape every warehouse pipeline needs:
+    change detection is a ``lag`` (drop rows equal to their
+    predecessor), interval closing is a ``lead`` (next change's
+    timestamp), both over the SAME (user_id, ts) window — one shuffle
+    total, no self-join. The open interval's valid_to is NULL and
+    is_current true. Ties on ts break on event_id, so runs are total
+    and engine-independent; all values are exact (timestamps + ints) ->
+    full DuckDB oracle.
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

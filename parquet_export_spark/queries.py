@@ -1022,6 +1022,26 @@ REGISTRY.update(
             ORDER BY doc_id, span_start
             """,
         ),
+        "scd2_user_state": QuerySpec(
+            _rel(A.scd2_user_state),
+            """
+            WITH chg AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM (SELECT user_id, ts, event_id, event_type,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                               AS prev_type
+                    FROM events)
+              WHERE prev_type IS NULL OR event_type != prev_type)
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                       AS is_current
+            FROM chg ORDER BY user_id, valid_from
+            """,
+        ),
         "event_transition_matrix": QuerySpec(
             _rel(A.event_transition_matrix),
             """
@@ -1759,7 +1779,7 @@ _VERDICT_PRIORITY = [
     "neardup_embedding", "neardup_ngram_jaccard", "neardup_jaccard_blocked",
     "multimodal_features", "q11_important_parts",
     # 2b: new this round — no verdict exists yet
-    "dup_spans", "event_transition_matrix",
+    "dup_spans", "event_transition_matrix", "scd2_user_state",
     "stratified_sample", "pack_sequences", "decontaminate_train",
     "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
     "retention_cohorts", "semdedup_embedding", "quality_weighted_sample",
@@ -1778,10 +1798,11 @@ _VERDICT_PRIORITY = [
     # join_left_nulls (4 join shapes stay in-window), agg_stats and
     # agg_distinct (agg_rollup stays as the agg-family rep),
     # q10_returned_items (q5/q3/q21 keep join+agg pinned),
-    # events_hourly_rollup (streaming runtime parity lives in pytest))
+    # events_hourly_rollup (streaming runtime parity lives in pytest),
+    # merge_upsert_orders (the MERGE engine has dedicated maintenance tests))
     "q5_revenue_by_nation", "q6_forecast_revenue",
     "dedup_exact", "cosine_topk",
-    "window_topk_per_group", "merge_upsert_orders",
+    "window_topk_per_group",
     "join_inner", "join_semi", "join_anti", "join_range",
     "set_ops", "lateral_explode_items", "sort_limit_offset",
     "agg_rollup",

@@ -24,6 +24,7 @@ TZ_SENSITIVE = [
     "q12_priority_shipclass",
     "retention_cohorts",
     "event_transition_matrix",
+    "scd2_user_state",
 ]
 
 

@@ -734,7 +734,7 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
         ]
     )
 
-    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         n_all = len(pdf)
         pdf = pdf.sort_values("vec_id").head(cap)
         x = np.stack(pdf["embedding"].to_numpy()).astype("float64")

@@ -77,6 +77,10 @@ HEADLINE = [
     "dup_spans",
     "event_transition_matrix",
     "pq_topk",
+    "scd2_user_state",
+    "fuzzy_dedup_keep",
+    "label_pca",
+    "approx_percentiles",
 ]
 
 

@@ -47,6 +47,30 @@ def _cosine(a: str, b: str):
 KMEANS_FIT_CAP = 200_000
 
 
+def _collect_fit_sample(
+    emb: DataFrame, emb_col: str, fit_cap: int
+) -> np.ndarray:
+    """Bounded, deterministic fit sample in ONE distributed job.
+
+    ``orderBy(xxhash64(vec)).limit(cap)`` plans as
+    TakeOrderedAndProject — each partition keeps its local top-``cap``
+    by the hash and the driver merges, so there is no full-sort shuffle
+    and no separate ``count()`` scan (the previous two-scan shape paid
+    a whole extra pass over the corpus lineage per fit). The hash order
+    is a fixed uniform shuffle of the rows, so the prefix is an
+    unbiased sample; identical input -> identical sample every run
+    (the determinism the recall/parity tests pin). Driver memory is
+    bounded by ``fit_cap`` rows regardless of corpus size.
+    """
+    rows = (
+        emb.select(F.col(emb_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64("v"))
+        .limit(fit_cap)
+        .collect()
+    )
+    return np.array([r[0] for r in rows])
+
+
 def _fit_coarse_quantizer(
     emb: DataFrame, k: int, emb_col: str = "embedding", fit_cap: int = KMEANS_FIT_CAP
 ) -> np.ndarray:
@@ -69,18 +93,16 @@ def _fit_coarse_quantizer(
       dim 64), so the fit itself is NOT distributed work — collect the
       sample once and run seeded k-means++ / Lloyd's in numpy
       (~25 ms/iteration at the cap). Distributed cost is exactly one
-      sample-scan; the iterative phase touches no executor.
+      sample-scan (:func:`_collect_fit_sample` — the hash-ordered
+      top-k, no separate count job); the iterative phase touches no
+      executor.
 
-    Seeded sample + seeded numpy init on a deterministic lineage -> the
-    same centers every run (the rows-only driver check and the pytest
-    recall/keep-drop properties rely on run-to-run stability, not on
-    specific center values).
+    Deterministic sample + seeded numpy init on a deterministic
+    lineage -> the same centers every run (the rows-only driver check
+    and the pytest recall/keep-drop properties rely on run-to-run
+    stability, not on specific center values).
     """
-    n = emb.count()
-    fit_in = emb if n <= fit_cap else emb.sample(fraction=fit_cap / n, seed=42)
-    x = np.array(
-        [r[0] for r in fit_in.select(F.col(emb_col).cast("array<double>")).collect()]
-    )
+    x = _collect_fit_sample(emb, emb_col, fit_cap)
     return _kmeans_numpy(x, k, seed=42)
 
 
@@ -563,13 +585,10 @@ def _fit_pq_codebooks(
 ) -> np.ndarray:
     """Fit per-subspace PQ codebooks on a bounded L2-normalized sample;
     returns the ``(m, kc, dim/m)`` center tensor. Same sample-fit,
-    full-assign contract as :func:`_fit_coarse_quantizer` — the fit
-    never scales with the corpus."""
-    n = emb.count()
-    fit_in = emb if n <= fit_cap else emb.sample(fraction=fit_cap / n, seed=42)
-    x = np.array(
-        [r[0] for r in fit_in.select(F.col(emb_col).cast("array<double>")).collect()]
-    )
+    full-assign, single-scan contract as :func:`_fit_coarse_quantizer`
+    (via :func:`_collect_fit_sample`) — the fit never scales with the
+    corpus."""
+    x = _collect_fit_sample(emb, emb_col, fit_cap)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     d = x.shape[1] // m
     return np.stack(
@@ -671,8 +690,11 @@ def pq_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    # exact-cosine re-rank of the candidate set only
-    qe = emb.select(
+    # exact-cosine re-rank of the candidate set only; the broadcast
+    # query side is bounded to the n_queries rows that can match on
+    # query_id (a full-table broadcast here would OOM executors at
+    # corpus scale — same bounded contract as cosine_topk's query side)
+    qe = emb.filter(F.col("vec_id").isin(q_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     ne = emb.select(

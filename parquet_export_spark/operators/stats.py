@@ -143,7 +143,14 @@ def histogram_bins(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def approx_percentiles(t: dict[str, DataFrame], accuracy: int = 10_000) -> DataFrame:
+#: GK sketch accuracy default — shared with the rank-error bound test
+#: (tests/test_queries_oracle.py) so the bound tracks the operator.
+APPROX_PCTL_ACCURACY = 10_000
+
+
+def approx_percentiles(
+    t: dict[str, DataFrame], accuracy: int = APPROX_PCTL_ACCURACY
+) -> DataFrame:
     """Approximate percentiles per group via Spark's quantile sketch
     (``approx_percentile``, Greenwald-Khanna).
 

@@ -985,18 +985,24 @@ REGISTRY.update(
         "semdedup_embedding": QuerySpec(
             _rel(lambda t: S.semdedup_embedding(t, threshold=0.45)), None
         ),
+        # n-gram width shared with the operator via D.DUP_SPAN_NGRAM so
+        # the two sides cannot silently desynchronize.
         "dup_spans": QuerySpec(
             _rel(D.dup_spans),
-            """
+            f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),
             g AS (
                 SELECT doc_id, len(ws) AS n_words,
                        UNNEST(generate_series(
-                           1, greatest(len(ws) - 9, 1))) AS pos,
-                       UNNEST([array_to_string(ws[i:i+9], ' ')
+                           1, greatest(len(ws) - {D.DUP_SPAN_NGRAM - 1}, 1)))
+                           AS pos,
+                       UNNEST([array_to_string(
+                                   ws[i:i+{D.DUP_SPAN_NGRAM - 1}], ' ')
                                for i in generate_series(
-                                   1, greatest(len(ws) - 9, 1))]) AS gr
+                                   1, greatest(
+                                       len(ws) - {D.DUP_SPAN_NGRAM - 1},
+                                       1))]) AS gr
                 FROM t),
             dup AS (SELECT gr FROM g GROUP BY gr
                     HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -1004,7 +1010,7 @@ REGISTRY.update(
                      WHERE gr IN (SELECT gr FROM dup)),
             isl AS (SELECT doc_id, n_words, pos,
                       CASE WHEN LAG(pos) OVER w IS NULL
-                                OR pos - LAG(pos) OVER w > 10
+                                OR pos - LAG(pos) OVER w > {D.DUP_SPAN_NGRAM}
                            THEN 1 ELSE 0 END AS ni
                     FROM hits
                     WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
@@ -1014,9 +1020,10 @@ REGISTRY.update(
                                              AND CURRENT ROW) AS island
                     FROM isl)
             SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-                   CAST(LEAST(MAX(pos) + 9, MAX(n_words)) AS BIGINT)
-                       AS span_end,
-                   CAST(LEAST(MAX(pos) + 9, MAX(n_words)) - MIN(pos) + 1
+                   CAST(LEAST(MAX(pos) + {D.DUP_SPAN_NGRAM - 1},
+                              MAX(n_words)) AS BIGINT) AS span_end,
+                   CAST(LEAST(MAX(pos) + {D.DUP_SPAN_NGRAM - 1},
+                              MAX(n_words)) - MIN(pos) + 1
                         AS BIGINT) AS span_words
             FROM ids GROUP BY doc_id, island
             ORDER BY doc_id, span_start

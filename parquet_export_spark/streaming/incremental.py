@@ -52,9 +52,20 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     type with a metadata-only batch read (one footer, driver-side, any
     Hadoop-visible filesystem) and adapt: nanos are read as long via
     the legacy flag and truncated to micros; micros read natively.
+
+    An empty (or not-yet-created) landing directory is the normal
+    starting state of this pattern — there is nothing to sniff, so the
+    stream is declared with the nanos-as-long schema (the testdata
+    producers' physical type) and files are interpreted when they land.
+    The sniff is a one-time decision: a directory whose producers mix
+    micros and nanos physical types is unsupported (declare two streams
+    over two prefixes instead).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    try:
+        ts_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    except Exception:  # empty/absent dir: no footer to sniff yet
+        ts_type = "bigint"
     if ts_type == "bigint":  # physical TIMESTAMP(NANOS) -> long
         schema = T.StructType(
             [

@@ -255,7 +255,10 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
     value whose RANK is within n/A of the target rank. Assert each
     approximate percentile sits between the exact values at
     rank +- 2n/A per group."""
-    from parquet_export_spark.operators.stats import approx_percentiles
+    from parquet_export_spark.operators.stats import (
+        APPROX_PCTL_ACCURACY,
+        approx_percentiles,
+    )
     from parquet_export_spark.sources.lake import load_tables
 
     t = load_tables(spark, sf_dir)
@@ -267,7 +270,7 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
     for flag, xs in vals.items():
         xs.sort()
         n = len(xs)
-        slack = max(1, (2 * n) // 10_000)
+        slack = max(1, (2 * n) // APPROX_PCTL_ACCURACY)
         for q, col in ((0.5, "p50_price"), (0.9, "p90_price"), (0.99, "p99_price")):
             target = int(q * (n - 1))
             lo = xs[max(0, target - slack)]

@@ -73,3 +73,37 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     }
     got = {(r.o_orderstatus, r.revenue) for r in df.collect()}
     assert got == want
+
+
+def test_operator_collect_whitelist():
+    """SCALE.md's collect discipline, machine-checked: the ONLY
+    `.collect()` / `.toPandas()` sites in `operators/` are the two
+    bounded-by-construction ones — the shared sample-fit collect
+    (`_collect_fit_sample`, <= KMEANS_FIT_CAP rows, one hash-ordered
+    top-k job) and `pq_topk`'s query-side collect (<= n_queries rows).
+    A new unbounded collect anywhere in the operator surface fails
+    this test by name."""
+    import pathlib
+
+    import parquet_export_spark.operators as ops
+
+    allowed = {
+        ("similarity.py", "_collect_fit_sample"),
+        ("similarity.py", "pq_topk"),
+    }
+    found = set()
+    op_dir = pathlib.Path(ops.__file__).parent
+    for path in sorted(op_dir.glob("*.py")):
+        lines = path.read_text().splitlines()
+        current_fn = "<module>"
+        for line in lines:
+            m = re.match(r"\s*def\s+(\w+)", line)
+            if m:
+                current_fn = m.group(1)
+            if ".collect()" in line or ".toPandas()" in line:
+                found.add((path.name, current_fn))
+    assert found == allowed, (
+        f"collect()/toPandas() sites changed: {sorted(found)} "
+        f"vs whitelist {sorted(allowed)} — if the new site is "
+        "bounded, document it in SCALE.md and extend the whitelist"
+    )

@@ -98,6 +98,17 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).write.format("noop").mode("overwrite").save()
+    # One untimed full execution of the first headline query. The first
+    # real query in a fresh JVM pays process-global one-time costs the
+    # simple warmups above don't reach — whole-stage-codegen compiler
+    # init, shuffle/AQE machinery, noop-commit setup (measured ~+1.1 s
+    # at sf0.1 over the same query's per-plan JIT alone; SCALE.md
+    # "Bench harness"). min-of-3 strips it on an idle machine, but
+    # under external load it can leak into every rep of whichever
+    # query runs first — pay it here, attributed to warm-up.
+    REGISTRY[HEADLINE[0]].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -68,6 +68,7 @@ HEADLINE = [
     "unigram_freq_quality",
     "repetition_ratios",
     "pgm_image_features",
+    "ppm_image_features",
     "retention_cohorts",
     "semdedup_embedding",
     "quality_weighted_sample",

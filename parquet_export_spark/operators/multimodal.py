@@ -290,23 +290,14 @@ def decoded_features(payloads: DataFrame, media_type: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def decode_pgm(payload: bytes) -> dict:
-    """REAL image decode for binary PGM (netpbm P5): pure bytes + numpy,
-    no imaging library. Returns {width, height, maxval, pixels} with
-    pixels as a (height, width) uint8 array.
-
-    This upgrades the decoder registry from all-stub to one real
-    format: everything PIL-shaped (PNG/JPEG) still needs an external
-    lib via :func:`register_decoder`, but the full decode -> raster ->
-    feature/resize path is exercised for real on PGM.
-    """
-    import numpy as np
-
-    if not payload.startswith(b"P5"):
-        raise ValueError("not a binary PGM (P5) payload")
-    # header = magic + 3 whitespace-separated ints, then ONE whitespace
-    # byte before the raster (comments '#..\n' allowed between tokens)
-    pos, fields = 2, []
+def _parse_netpbm_header(payload: bytes, magic: bytes) -> tuple[int, int, int, int]:
+    """Shared netpbm binary-header parser: ``magic`` + 3 whitespace-
+    separated ints (comments ``#..\\n`` allowed between tokens), then
+    ONE whitespace byte before the raster. Returns
+    ``(width, height, maxval, raster_offset)``."""
+    if not payload.startswith(magic):
+        raise ValueError(f"not a binary netpbm {magic.decode()} payload")
+    pos, fields = len(magic), []
     while len(fields) < 3:
         while payload[pos : pos + 1].isspace():
             pos += 1
@@ -320,6 +311,22 @@ def decode_pgm(payload: bytes) -> dict:
         pos = end
     pos += 1  # the single post-header whitespace byte
     width, height, maxval = fields
+    return width, height, maxval, pos
+
+
+def decode_pgm(payload: bytes) -> dict:
+    """REAL image decode for binary PGM (netpbm P5): pure bytes + numpy,
+    no imaging library. Returns {width, height, maxval, pixels} with
+    pixels as a (height, width) uint8 array.
+
+    This upgrades the decoder registry from all-stub to one real
+    format: everything PIL-shaped (PNG/JPEG) still needs an external
+    lib via :func:`register_decoder`, but the full decode -> raster ->
+    feature/resize path is exercised for real on PGM.
+    """
+    import numpy as np
+
+    width, height, maxval, pos = _parse_netpbm_header(payload, b"P5")
     raster = np.frombuffer(payload, dtype=np.uint8, count=width * height, offset=pos)
     return {
         "width": width,
@@ -327,6 +334,52 @@ def decode_pgm(payload: bytes) -> dict:
         "maxval": maxval,
         "pixels": raster.reshape(height, width),
     }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL color-image decode for binary PPM (netpbm P6): the RGB
+    sibling of :func:`decode_pgm` — same header grammar, raster is
+    3 interleaved bytes per pixel. Returns {width, height, maxval,
+    pixels} with pixels as a (height, width, 3) uint8 array.
+
+    Second real format in the decoder registry: proves the registry is
+    genuinely pluggable (multi-format, multi-channel) rather than
+    single-format, and exercises channel de-interleaving — the part a
+    grayscale codec cannot.
+    """
+    import numpy as np
+
+    width, height, maxval, pos = _parse_netpbm_header(payload, b"P6")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=pos
+    )
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": raster.reshape(height, width, 3),
+    }
+
+
+def encode_ppm(pixels) -> bytes:
+    """Inverse of :func:`decode_ppm` (used by resize re-encode)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def make_ppm_decoder(target_w: int = 8, target_h: int = 8):
+    """Decoder-contract adapter for P6: decode + resize + re-encode.
+    :func:`resize_nearest`'s index maps broadcast over the trailing
+    channel axis, so the grayscale kernel resizes RGB unchanged."""
+
+    def decode(payload: bytes) -> dict:
+        d = decode_ppm(payload)
+        d["resized_bytes"] = encode_ppm(
+            resize_nearest(d["pixels"], target_w, target_h)
+        )
+        return d
+
+    return decode
 
 
 def encode_pgm(pixels) -> bytes:
@@ -337,10 +390,12 @@ def encode_pgm(pixels) -> bytes:
 
 def resize_nearest(pixels, width: int, height: int):
     """Nearest-neighbor resample via numpy integer index maps — the
-    real resize kernel behind :func:`resize_images` for PGM."""
+    real resize kernel behind :func:`resize_images`. Index maps apply
+    to the leading (h, w) axes, so grayscale (h, w) and interleaved
+    color (h, w, 3) rasters resize through the same kernel."""
     import numpy as np
 
-    h, w = pixels.shape
+    h, w = pixels.shape[:2]
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return pixels[rows[:, None], cols]
@@ -375,6 +430,7 @@ def decode_pgm_stream(payload: bytes) -> dict:
 
 
 register_decoder("image/x-portable-graymap", make_pgm_decoder())
+register_decoder("image/x-portable-pixmap", make_ppm_decoder())
 register_decoder("video/x-pgm-stream", decode_pgm_stream)
 
 
@@ -451,6 +507,96 @@ def pgm_image_features(t: dict[str, DataFrame]) -> DataFrame:
     )
     return feats.select(
         "doc_id", "width", "height", "sum_pixels", mean_pixel.alias("mean_pixel")
+    ).orderBy("doc_id")
+
+
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Build REAL binary PPM (P6, RGB) images from the documents
+    table, JVM-side: width/height derive from n_chars (smaller moduli
+    than the PGM twin — 3 bytes/pixel), the raster is the text rpad'ed
+    to w*h*3 ASCII bytes interpreted as interleaved RGB. concat on
+    binary stays in codegen — no Python touches the bytes until a
+    decoder does."""
+    w = 1 + F.col("n_chars") % 8
+    h = 1 + F.col("n_chars") % 5
+    body = F.rpad(F.substring("text", 1, 8 * 5 * 3), (w * h * 3).cast("int"), " ")
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w, F.lit(" "), h, F.lit("\n255\n")
+    )
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
+    return docs.repartition(n, "doc_id").select(
+        "doc_id",
+        F.concat(F.encode(header, "UTF-8"), F.encode(body, "UTF-8")).alias(
+            "payload"
+        ),
+    )
+
+
+def ppm_image_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Registry entry: REAL end-to-end COLOR image pipeline — Spark
+    builds genuine P6 binaries, the numpy decoder parses header +
+    interleaved raster in one Arrow batch pass, and the per-channel
+    sums prove the de-interleave is correct (a grayscale decoder
+    cannot fake them: each channel sums every third raster byte).
+
+    Oracle-checkable because the corpus is pure ASCII: DuckDB
+    recomputes each channel sum from the codepoints at positions
+    i % 3 == c of the same rpad'ed text. The second exact-oracle
+    instance behind the decoder registry — with :func:`pgm_image_features`
+    it pins the registry as pluggable, not single-format.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids, ws, hs = [], [], []
+            sums = ([], [], [])
+            for doc_id, buf in zip(
+                batch.column("doc_id"), batch.column("payload")
+            ):
+                d = decode_ppm(bytes(buf.as_py()))
+                ids.append(doc_id.as_py())
+                ws.append(d["width"])
+                hs.append(d["height"])
+                for c in range(3):
+                    sums[c].append(
+                        int(d["pixels"][:, :, c].sum(dtype=np.int64))
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(sums[0], type=pa.int64()),
+                    pa.array(sums[1], type=pa.int64()),
+                    pa.array(sums[2], type=pa.int64()),
+                ],
+                names=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    feats = with_ppm_payload(t["documents"]).mapInArrow(run, schema)
+    n_px = (F.col("width") * F.col("height")).cast("double")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        F.round(F.col("sum_r").cast("double") / n_px, 9).alias("mean_r"),
     ).orderBy("doc_id")
 
 

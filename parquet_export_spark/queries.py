@@ -1091,6 +1091,34 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "ppm_image_features": QuerySpec(
+            _rel(M.ppm_image_features),
+            """
+            SELECT doc_id, width, height, sum_r, sum_g, sum_b,
+                   ROUND(CAST(sum_r AS DOUBLE) /
+                         CAST(width * height AS DOUBLE), 9) AS mean_r
+            FROM (
+                SELECT doc_id, width, height,
+                       CAST(list_sum([unicode(substring(body, i, 1))
+                            for i in generate_series(1, length(body))
+                            if (i - 1) % 3 = 0]) AS BIGINT) AS sum_r,
+                       CAST(list_sum([unicode(substring(body, i, 1))
+                            for i in generate_series(1, length(body))
+                            if (i - 1) % 3 = 1]) AS BIGINT) AS sum_g,
+                       CAST(list_sum([unicode(substring(body, i, 1))
+                            for i in generate_series(1, length(body))
+                            if (i - 1) % 3 = 2]) AS BIGINT) AS sum_b
+                FROM (
+                    SELECT doc_id,
+                           CAST(1 + n_chars % 8 AS INTEGER) AS width,
+                           CAST(1 + n_chars % 5 AS INTEGER) AS height,
+                           rpad(substring(text, 1, 120),
+                                CAST((1 + n_chars % 8) * (1 + n_chars % 5)
+                                     * 3 AS INTEGER), ' ') AS body
+                    FROM documents))
+            ORDER BY doc_id
+            """,
+        ),
         "stratified_sample": QuerySpec(
             _rel(CU.stratified_sample),
             """
@@ -1760,70 +1788,54 @@ REGISTRY.update(
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver evaluates entries in registry order and caps
-# each round at the first 50, so verdict-hungry entries go first. Round-3
-# window (the driver's r02 run covered the previous first 50):
-#   1. the four r02-red queries, now fixed (array outputs stringified per the
-#      driver-canon rule; lang_quality_summary oracle HUGEINT cast);
-#   2. queries whose implementation changed this round (embedding block cap,
-#      ngram-jaccard exchange reuse, q11 threshold made discriminating);
-#   3. the eight rows-only approximate ops (re-run each round — cheap, and
-#      their recall evidence lives in pytest);
-#   4. rotation: every query whose only verdict is round-1 (unchecked in r02),
-#      to refresh stale evidence — minus the five lowest-risk pure scalar-
-#      function queries, which fall outside the 50-cap this round;
-#   5. r02-green queries at the tail.
+# each round at the first 50, so verdict-hungry entries go first. Round-4
+# window — rotation target: no registry entry's latest verdict older than
+# two rounds. r3 covered the extension surface (its 50 entries are one
+# round old); this window refreshes the 63 entries last checked in r1/r2:
+#   1. queries touched this round: dup_spans (oracle now interpolates
+#      DUP_SPAN_NGRAM), the three KMeans/PQ-fit consumers (single-scan
+#      hash-ordered fit sample replaced the count+sample collect) and
+#      approx_percentiles (shared accuracy constant);
+#   2. all 26 entries whose only verdict is r1 — three rounds old
+#      otherwise, the oldest evidence in the registry;
+#   3. the full TPC-H block (18 queries incl. q1/q3, last verdict r2) —
+#      the flagship relational surface.
+# Left outside the 50-cap: 19 unchanged r2-green entries (profile_columns,
+# dedup_exact_keep_first/keep_best, token_stats, quality_scores, lang_id,
+# fingerprints, train_eval_split, corpus_quality_filter, tfidf_top_terms,
+# funnel, asof_purchase_attribution, sessionize_batch, gapfill,
+# pivot/unpivot, grouping_sets, null_handling_funcs,
+# salted_agg_user_value) — each exactly two rounds old after r4, within
+# the freshness bar, and each with pytest coverage.
 # Registration rule (pinned by test_registry_no_array_outputs): no top-level
 # array/map columns in any registered output — the driver's pandas
 # canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
-    # 1: r02-red, fixed this round
-    "lang_quality_summary", "array_collect_funcs", "winnowing_fingerprints",
-    "byte_histograms",
-    # 2: implementation changed this round (neardup_jaccard_blocked shares
-    # the _jaccard_pairs rebalance; multimodal_features rides the new
-    # by-value cloudpickle registration)
-    "neardup_embedding", "neardup_ngram_jaccard", "neardup_jaccard_blocked",
-    "multimodal_features", "q11_important_parts",
-    # 2b: new this round — no verdict exists yet
-    "dup_spans", "event_transition_matrix", "scd2_user_state",
-    "stratified_sample", "pack_sequences", "decontaminate_train",
-    "unigram_freq_quality", "repetition_ratios", "pgm_image_features",
-    "retention_cohorts", "semdedup_embedding", "quality_weighted_sample",
-    "bm25_scores", "chunk_documents", "mixture_weights",
-    # 3: rows-only approximate ops (pq_topk new this round)
-    "neardup_minhash_lsh", "neardup_simhash", "neardup_clusters",
-    "fuzzy_dedup_keep",
-    "ann_lsh_buckets", "ann_lsh_neighbors", "ivf_topk", "pq_topk",
-    "label_pca",
-    "sample_fraction", "agg_approx_distinct", "approx_percentiles",
-    # 4: r01-only evidence — rotate in for fresh verdicts (the entries left
-    # out are unchanged pure-function/structural queries with green r1
-    # verdicts and an in-window family representative: scalar_string_funcs,
-    # scalar_date_funcs, scalar_math_funcs, string_funcs_extra,
-    # conditional_funcs, filter_project (q5/q6 pin pushdown),
-    # join_left_nulls (4 join shapes stay in-window), agg_stats and
-    # agg_distinct (agg_rollup stays as the agg-family rep),
-    # q10_returned_items (q5/q3/q21 keep join+agg pinned),
-    # events_hourly_rollup (streaming runtime parity lives in pytest),
-    # merge_upsert_orders (the MERGE engine has dedicated maintenance tests))
-    "q5_revenue_by_nation", "q6_forecast_revenue",
-    "dedup_exact", "cosine_topk",
-    "window_topk_per_group",
-    "join_inner", "join_semi", "join_anti", "join_range",
-    "set_ops", "lateral_explode_items", "sort_limit_offset",
-    "agg_rollup",
-    "window_running_sum",
-    # (date_funcs_extra, stats_correlation, percentiles_exact,
-    # histogram_bins, embedding_norms, window_distribution_ranks,
-    # window_range_frame, label_centroid_sim, stats_moments,
-    # scalar_json_funcs, window_lag_lead, window_rank_dense,
-    # set_ops_all, agg_cube drop below the 50-cap this round to make
-    # room for the twelve new curation/text/multimodal/analytics ops
-    # and the two changed-path swaps (neardup_jaccard_blocked,
-    # multimodal_features) — all dropped entries are unchanged queries
-    # with green r1 verdicts, each with an in-window family
-    # representative (set_ops, agg_rollup, window_running_sum))
+    # 1: new or touched this round (ppm_image_features is new — the
+    # second real netpbm codec — and has no verdict yet)
+    "ppm_image_features",
+    "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",
+    "approx_percentiles",
+    # 2: r1-only evidence — refresh before it goes three rounds stale
+    "window_range_frame", "window_distribution_ranks",
+    "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
+    "stats_moments", "stats_correlation", "percentiles_exact",
+    "merge_upsert_orders", "histogram_bins", "embedding_norms",
+    "label_centroid_sim", "q10_returned_items", "filter_project",
+    "join_left_nulls", "set_ops_all", "agg_distinct", "agg_cube",
+    "agg_stats", "window_lag_lead", "window_rank_dense",
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+    "scalar_json_funcs", "events_hourly_rollup",
+    # 3: the TPC-H block (last verdict r2) + the as-of custom operator
+    "q1_pricing_summary", "q2_min_balance_supplier",
+    "q3_shipping_priority", "q4_order_priority_exists",
+    "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
+    "q12_priority_shipclass", "q13_order_count_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders_having",
+    "q19_disjunctive_predicates", "q20_heavy_suppliers",
+    "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -366,6 +366,36 @@ def test_pgm_codec_roundtrip_exact():
     assert got == frames
 
 
+def test_ppm_codec_roundtrip_exact():
+    """P6 (RGB) twin of the PGM round-trip: encode -> decode restores
+    the exact interleaved raster; channels come back de-interleaved;
+    the shared nearest-neighbor resize broadcasts over the channel
+    axis; the registered decoder contract (resized_bytes) holds."""
+    import numpy as np
+
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    d = M.decode_ppm(M.encode_ppm(px))
+    assert (d["width"], d["height"], d["maxval"]) == (8, 6, 255)
+    assert (d["pixels"] == px).all()
+    # channel de-interleave: channel c = every 3rd raster byte
+    flat = px.reshape(-1, 3)
+    for c in range(3):
+        assert (d["pixels"][:, :, c].reshape(-1) == flat[:, c]).all()
+    # comments + multi-whitespace header variant
+    manual = b"P6\n# comment\n 8  6\n255\n" + px.tobytes()
+    assert (M.decode_ppm(manual)["pixels"] == px).all()
+    # wrong magic fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="P6"):
+        M.decode_ppm(M.encode_pgm(px[:, :, 0].copy()))
+    # registered adapter: decode + resize + re-encode round-trips
+    dec = M.make_ppm_decoder(4, 4)(M.encode_ppm(px))
+    resized = M.decode_ppm(dec["resized_bytes"])
+    assert (resized["width"], resized["height"]) == (4, 4)
+    assert (resized["pixels"] == M.resize_nearest(px, 4, 4)).all()
+
+
 def test_pgm_resize_nearest_known_values():
     import numpy as np
 

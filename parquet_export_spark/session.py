@@ -49,6 +49,26 @@ def configure_s3(
     — the writer and manifest code are path-scheme agnostic, which is
     how the reference's upload step (main.py:155-176) becomes a direct
     distributed write with committed-files semantics.
+
+    MANUAL VERIFICATION RECIPE (this sandbox has no object-store
+    endpoint and no ``hadoop-aws`` jar, so the live path cannot run in
+    CI here — what IS proven locally is every scheme-agnostic step via
+    the Hadoop FS shim, incl. a non-``file:`` scheme double; see
+    tests/test_export.py). On any machine with Docker:
+
+    1. ``docker run -p 9000:9000 minio/minio server /data``
+    2. ``spark-submit --packages org.apache.hadoop:hadoop-aws:<hadoop
+       version, e.g. 3.4.1>,org.apache.spark:spark-hadoop-cloud_2.13:
+       <spark version> your_job.py`` where the job calls
+       ``configure_s3(spark, "http://localhost:9000", "minioadmin",
+       "minioadmin")`` and then
+       ``export_lake(spark, src_dir, "s3a://bucket/lake")``.
+    3. Expected object listing under ``s3a://bucket/lake``: one
+       ``<table>/`` prefix per table containing
+       ``<table>_<start>_<end>_zstd.parquet`` objects (rows_per_file-
+       bounded, actual-rows end naming) plus a single top-level
+       ``manifest.json`` whose per-table lists name exactly the
+       committed objects — no ``.staging`` or ``.old`` prefixes left.
     """
     conf = spark._jsc.hadoopConfiguration()
     conf.set("fs.s3a.endpoint", endpoint)

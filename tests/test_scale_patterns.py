@@ -107,3 +107,51 @@ def test_operator_collect_whitelist():
         f"vs whitelist {sorted(allowed)} — if the new site is "
         "bounded, document it in SCALE.md and extend the whitelist"
     )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md (Joins) claims hot join keys are split at runtime by
+    AQE skew-join — this pins that behavior with evidence: a fixture
+    where one key owns ~2/3 of the left side becomes, in the FINAL
+    adaptive plan, a `SortMergeJoin(skew=true)` whose hot side reads
+    through an `AQEShuffleRead` marked `skewed`. Thresholds are scaled
+    down to fixture size (the production defaults are 256 MB-class);
+    the mechanism is identical. Result equality vs the unskewed
+    expectation guards against the split changing semantics."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # ~200k rows land on key 0; the rest spread over 97 keys. The
+        # 64-byte pad keeps the hot shuffle partition above threshold.
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 3 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(98).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        joined = left.join(right, "k")
+        n = len(joined.collect())
+        assert n == 300_000  # every left row matches exactly one right row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"SortMergeJoin\(skew=true\)", plan), plan[:1500]
+        assert re.search(r"AQEShuffleRead.*skewed", plan), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -158,7 +158,8 @@ def test_transform_with_state_plan_construction(spark, events_dir):
     reason=(
         "environment gate, not a code gap: transformWithStateInPandas "
         "runtime state serialization requires google.protobuf, which "
-        "is not installed in this sandbox (and installs are disallowed)."
+        "is not installed in this sandbox (and installs are disallowed;"
+        " re-verified absent round 4)."
         " Plan construction + output schema are still covered by "
         "test_transform_with_state_plan_construction; runtime parity "
         "vs the batch groupBy runs automatically wherever protobuf "

@@ -67,6 +67,8 @@ HEADLINE = [
     "decontaminate_train",
     "unigram_freq_quality",
     "repetition_ratios",
+    "pii_scan",
+    "bigram_logprob_scores",
     "pgm_image_features",
     "ppm_image_features",
     "retention_cohorts",

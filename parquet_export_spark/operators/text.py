@@ -485,3 +485,200 @@ def bm25_scores(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(top_n)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish tokenization, PII scanning, corpus-LM scoring
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer alternation (simplified: no lookahead, so
+#: it is valid in both Java regex (Spark) and RE2 (DuckDB oracle)):
+#: contractions | space?letters | space?digits | space?punct | whitespace.
+BPE_SPLIT_RE = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+
+def bpe_token_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2
+    split pattern family) next to the plain whitespace count — the
+    budget estimator a training pipeline runs before paying for real
+    BPE: regex token count tracks BPE token count closely on natural
+    text, and chars-per-token is the compression-ratio signal used to
+    spot non-language payloads (code, tables, binary-as-text).
+
+    Pure JVM regex per row (``regexp_count``) — no shuffle, no Python;
+    the count and the two ratios are exact integer/double arithmetic,
+    oracle-checkable bit-for-bit.
+    """
+    docs = t["documents"]
+    n_bpe = F.regexp_count("text", F.lit(BPE_SPLIT_RE)).cast("int")
+    n_ws = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            "doc_id",
+            n_bpe.alias("n_bpe_tokens"),
+            n_ws.alias("n_ws_tokens"),
+            F.round(
+                F.col("n_chars").cast("double") / n_bpe.cast("double"), 9
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: PII patterns — shared Java-regex/RE2 subset (no lookaround).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[A-Za-z0-9./-]+"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject synthetic PII (emails/URLs/IPs derived
+    from doc_id) into a subset of documents, JVM-side. The synthetic
+    corpus contains no real PII, so scanning it raw would certify a
+    pass-through (the q11 vacuity lesson); the oracle mirrors this
+    construction exactly, making detection *and* redaction
+    non-vacuous."""
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" visit https://ex"),
+                did,
+                F.lit(".org/p"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(" soon"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" node 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" down"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("aug"))
+
+
+def pii_scan(t: dict[str, DataFrame]) -> DataFrame:
+    """PII detection + redaction over the documents table: count
+    email/URL/IPv4 matches and produce the scrubbed text (emails →
+    ``<EMAIL>``, then URLs → ``<URL>``, then IPs → ``<IP>``, in that
+    fixed order) — the pre-training scrub every public-web corpus
+    goes through.
+
+    Per-row JVM regex only (``regexp_count`` + chained
+    ``regexp_replace``): no shuffle, no Python, linear in corpus
+    bytes — the 100 TB cost model is one scan. The redacted text is
+    certified by length + md5 (not shipped verbatim — outputs stay
+    slim), and counts are exact ints; everything hash-matches the
+    DuckDB oracle which mirrors the same injection + patterns +
+    replacement order.
+    """
+    aug = with_synthetic_pii(t["documents"])
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), EMAIL_RE, "<EMAIL>"),
+            URL_RE,
+            "<URL>",
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    n_emails = F.regexp_count("aug", F.lit(EMAIL_RE)).cast("int")
+    n_urls = F.regexp_count("aug", F.lit(URL_RE)).cast("int")
+    n_ips = F.regexp_count("aug", F.lit(IPV4_RE)).cast("int")
+    return (
+        aug.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_urls.alias("n_urls"),
+            n_ips.alias("n_ips"),
+            (n_emails + n_urls + n_ips).alias("n_pii"),
+            F.length("aug").alias("len_raw"),
+            F.length(red).alias("len_redacted"),
+            F.md5(F.encode(red, "UTF-8")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_logprob_scores(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus bigram language-model score per document — the KenLM-
+    style perplexity quality gate in distributed form: fit the LM on
+    the corpus itself (bigram + context counts, add-one smoothed over
+    the unigram vocabulary) and score each document by its mean bigram
+    conditional log-probability. Low scores mark unnatural word
+    sequences (shuffled text, spam, boilerplate); ``n_unique_bigrams``
+    counts bigrams seen nowhere else — the document-novelty signal.
+
+    Scale shape: one explode of the corpus into bigram occurrences,
+    two count aggregations (bigram types, context types — vocabulary-
+    bounded, NOT corpus-bounded), joined back on their keys (AQE
+    broadcasts them when small), and a 1-row vocab broadcast. No
+    Python, no windows over the exploded data, no all-pairs anything.
+
+    Determinism: each log term is rounded to micro-units and summed as
+    a LONG (order-independent — the same exact-accumulation discipline
+    as dsum); ln() itself hash-matches across JVM and DuckDB (pinned
+    already by bm25's idf).
+    """
+    docs = t["documents"]
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eb = docs.select("doc_id", F.explode(bigrams).alias("bigram")).select(
+        "doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1")
+    )
+    bc = eb.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    cc = eb.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = docs.select(F.explode(ws).alias("word")).agg(
+        F.count_distinct("word").alias("vocab")
+    )
+    term = F.log(
+        (F.col("c_bg") + F.lit(1.0))
+        / (F.col("c_ctx") + F.col("vocab")).cast("double")
+    )
+    scored = (
+        eb.join(bc, "bigram")
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(term * 1_000_000).cast("long").alias("micro"),
+            "c_bg",
+        )
+    )
+    n_bg = F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            n_bg.cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c_bg") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique_bigrams"),
+            F.round(
+                F.sum("micro").cast("double") / 1_000_000.0 / n_bg.cast("double"),
+                9,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

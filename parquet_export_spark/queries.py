@@ -885,6 +885,107 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        "bpe_token_counts": QuerySpec(
+            _rel(X.bpe_token_counts),
+            f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '{X.BPE_SPLIT_RE.replace("'", "''")}'))
+                        AS INTEGER) AS n_bpe_tokens,
+                   CAST(len(string_split(text, ' ')) AS INTEGER)
+                       AS n_ws_tokens,
+                   ROUND(CAST(n_chars AS DOUBLE) /
+                         CAST(len(regexp_extract_all(text,
+                              '{X.BPE_SPLIT_RE.replace("'", "''")}'))
+                              AS DOUBLE), 9) AS chars_per_token
+            FROM documents ORDER BY doc_id
+            """,
+        ),
+        # the oracle mirrors with_synthetic_pii's injection exactly —
+        # same doc_id-derived emails/URLs/IPs, same patterns, same
+        # fixed redaction order.
+        "pii_scan": QuerySpec(
+            _rel(X.pii_scan),
+            f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact user' ||
+                                    CAST(doc_id AS VARCHAR) ||
+                                    '@example.com now'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' visit https://ex' ||
+                                    CAST(doc_id AS VARCHAR) || '.org/p' ||
+                                    CAST(doc_id % 7 AS VARCHAR) || ' soon'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' node 10.' ||
+                                    CAST(doc_id % 200 AS VARCHAR) || '.' ||
+                                    CAST(doc_id % 250 AS VARCHAR) || '.' ||
+                                    CAST(doc_id % 100 AS VARCHAR) || ' down'
+                               ELSE '' END AS aug
+                FROM documents),
+            red AS (
+                SELECT doc_id, aug,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(aug, '{X.EMAIL_RE}',
+                                              '<EMAIL>', 'g'),
+                               '{X.URL_RE}', '<URL>', 'g'),
+                           '{X.IPV4_RE}', '<IP>', 'g') AS redacted
+                FROM aug)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(aug, '{X.EMAIL_RE}'))
+                        AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(aug, '{X.URL_RE}'))
+                        AS INTEGER) AS n_urls,
+                   CAST(len(regexp_extract_all(aug, '{X.IPV4_RE}'))
+                        AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(aug, '{X.EMAIL_RE}'))
+                        + len(regexp_extract_all(aug, '{X.URL_RE}'))
+                        + len(regexp_extract_all(aug, '{X.IPV4_RE}'))
+                        AS INTEGER) AS n_pii,
+                   CAST(length(aug) AS INTEGER) AS len_raw,
+                   CAST(length(redacted) AS INTEGER) AS len_redacted,
+                   md5(redacted) AS redacted_md5
+            FROM red ORDER BY doc_id
+            """,
+        ),
+        "bigram_logprob_scores": QuerySpec(
+            _rel(X.bigram_logprob_scores),
+            """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            eb AS (SELECT doc_id,
+                          ws[i] || ' ' || ws[i+1] AS bigram,
+                          ws[i] AS w1
+                   FROM (SELECT doc_id, ws,
+                                UNNEST(generate_series(1, len(ws) - 1))
+                                    AS i
+                         FROM w WHERE len(ws) >= 2)),
+            bc AS (SELECT bigram, COUNT(*) AS c_bg FROM eb GROUP BY bigram),
+            cc AS (SELECT w1, COUNT(*) AS c_ctx FROM eb GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT word) AS vocab
+                  FROM (SELECT UNNEST(ws) AS word FROM w)),
+            terms AS (
+                SELECT doc_id,
+                       CAST(round(ln((c_bg + 1.0) /
+                                     CAST(c_ctx + vocab AS DOUBLE))
+                                  * 1000000) AS BIGINT) AS micro,
+                       c_bg
+                FROM eb JOIN bc USING (bigram) JOIN cc USING (w1)
+                     CROSS JOIN v)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique_bigrams,
+                   ROUND(CAST(SUM(micro) AS DOUBLE) / 1000000.0 /
+                         CAST(COUNT(*) AS DOUBLE), 9) AS avg_logprob
+            FROM terms GROUP BY doc_id ORDER BY doc_id
+            """,
+        ),
         "bm25_scores": QuerySpec(
             _rel(X.bm25_scores),
             """
@@ -1798,8 +1899,8 @@ REGISTRY.update(
 #      approx_percentiles (shared accuracy constant);
 #   2. all 26 entries whose only verdict is r1 — three rounds old
 #      otherwise, the oldest evidence in the registry;
-#   3. the full TPC-H block (18 queries incl. q1/q3, last verdict r2) —
-#      the flagship relational surface.
+#   3. the TPC-H block (15 of 18 queries incl. q1/q3, last verdict r2)
+#      — the flagship relational surface.
 # Left outside the 50-cap: 19 unchanged r2-green entries (profile_columns,
 # dedup_exact_keep_first/keep_best, token_stats, quality_scores, lang_id,
 # fingerprints, train_eval_split, corpus_quality_filter, tfidf_top_terms,
@@ -1812,9 +1913,11 @@ REGISTRY.update(
 # canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
-    # 1: new or touched this round (ppm_image_features is new — the
-    # second real netpbm codec — and has no verdict yet)
-    "ppm_image_features",
+    # 1: new or touched this round — no verdict exists yet for the four
+    # new ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
+    # + corpus bigram-LM gate)
+    "ppm_image_features", "bpe_token_counts", "pii_scan",
+    "bigram_logprob_scores",
     "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",
     "approx_percentiles",
     # 2: r1-only evidence — refresh before it goes three rounds stale
@@ -1831,11 +1934,14 @@ _VERDICT_PRIORITY = [
     "q1_pricing_summary", "q2_min_balance_supplier",
     "q3_shipping_priority", "q4_order_priority_exists",
     "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
-    "q12_priority_shipclass", "q13_order_count_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_counts",
+    "q14_promo_revenue_share", "q16_supplier_counts",
     "q17_small_quantity_revenue", "q18_large_orders_having",
     "q19_disjunctive_predicates", "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
+    # (q12/q13/q15 yield their slots to the three new text ops: they
+    # are the simplest remaining TPC-H shapes, r2-green, and their
+    # families stay pinned in-window — joins by q3/q7-q9, conditional
+    # aggs by conditional_funcs, top-1-of-group by window_topk family.)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

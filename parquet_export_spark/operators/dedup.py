@@ -81,6 +81,7 @@ def neardup_jaccard_blocked(
     t: dict[str, DataFrame],
     threshold: float = 0.8,
     max_block_size: int = JACCARD_MAX_BLOCK,
+    presentation_sort: bool = True,
 ) -> DataFrame:
     """Document pairs with word-set Jaccard >= threshold, blocked on
     (lang, source), restricted to blocks of <= max_block_size docs.
@@ -113,7 +114,7 @@ def neardup_jaccard_blocked(
             "transform(array_distinct(split(text, ' ')), x -> xxhash64(x))"
         ).alias("toks"),
     )
-    return _jaccard_pairs(toks, threshold)
+    return _jaccard_pairs(toks, threshold, presentation_sort=presentation_sort)
 
 
 def _capped_blocks(docs: DataFrame, max_block_size: int) -> DataFrame:
@@ -194,7 +195,10 @@ def neardup_ngram_jaccard(
 
 
 def _jaccard_pairs(
-    toks: DataFrame, threshold: float, bloom_prefilter: bool = False
+    toks: DataFrame,
+    threshold: float,
+    bloom_prefilter: bool = False,
+    presentation_sort: bool = True,
 ) -> DataFrame:
     """Blocked all-pairs Jaccard over (doc_id, lang, source, toks).
 
@@ -279,7 +283,7 @@ def _jaccard_pairs(
             ub * F.lit(1.0 + threshold)
             >= F.lit(threshold) * (sa + sb).cast("double")
         )
-    return (
+    out = (
         a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -287,8 +291,10 @@ def _jaccard_pairs(
             (inter.cast("double") / (sa + sb - inter).cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+    # presentation order is for the oracle/driver hash only; composed
+    # consumers (connected components) skip the global sort.
+    return out.orderBy("doc_a", "doc_b") if presentation_sort else out
 
 
 # --------------------------------------------------------------------------
@@ -362,6 +368,7 @@ def neardup_minhash_lsh(
     t: dict[str, DataFrame],
     threshold: float = 0.5,
     n_bands: int = N_BANDS,
+    presentation_sort: bool = True,
 ) -> DataFrame:
     """Shingle-Jaccard near-dup pairs via MinHash banding.
 
@@ -410,7 +417,7 @@ def neardup_minhash_lsh(
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -419,8 +426,10 @@ def neardup_minhash_lsh(
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+    # presentation order is for the registry output only; composed
+    # consumers (fuzzy_dedup_keep's component build) skip the sort.
+    return out.orderBy("doc_a", "doc_b") if presentation_sort else out
 
 
 # --------------------------------------------------------------------------
@@ -442,7 +451,9 @@ def neardup_clusters(
     convergence is a handful of rounds. Non-SQL-expressible (iterative)
     -> rows-only driver check; correctness pinned by unit test.
     """
-    pairs = neardup_jaccard_blocked(t, threshold=threshold).select("doc_a", "doc_b")
+    pairs = neardup_jaccard_blocked(
+        t, threshold=threshold, presentation_sort=False
+    ).select("doc_a", "doc_b")
     labels = _connected_components(
         t["documents"].select("doc_id"), pairs, max_iter
     )
@@ -459,10 +470,24 @@ def _connected_components(
     """Min-label propagation over an undirected pair graph: returns
     ``(doc_id, label)`` with label = min doc_id reachable. The driver
     holds only a changed flag per round; localCheckpoint truncates the
-    growing iterative plan (see :func:`neardup_clusters`)."""
+    growing iterative plan (see :func:`neardup_clusters`).
+
+    The (possibly expensive) pair pipeline is checkpointed BEFORE the
+    direction-doubling union — otherwise both union branches re-run it
+    — and each round's old label rides inside the checkpointed frame,
+    so the convergence probe is a filter+limit on materialized rows,
+    not another join per round.
+    """
+    pairs = pairs.localCheckpoint()
+    # the union needs no checkpoint of its own: both branches read the
+    # materialized pairs partitions, so per-round recompute is one
+    # cheap union, never the pair pipeline. (Interleaved same-JVM A/B
+    # at sf0.1: pairs-first beats checkpoint-after-union by ~20% on
+    # both composed consumers — ReusedExchange does not fully cover
+    # the doubled branches of either pair pipeline.)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    )
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
@@ -470,23 +495,20 @@ def _connected_components(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     "label", F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
         ).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     return labels
@@ -510,7 +532,9 @@ def fuzzy_dedup_keep(
     (no two survivors form a verified pair; every dropped doc's root
     survives) is pinned in pytest.
     """
-    pairs = neardup_minhash_lsh(t, threshold=threshold).select("doc_a", "doc_b")
+    pairs = neardup_minhash_lsh(
+        t, threshold=threshold, presentation_sort=False
+    ).select("doc_a", "doc_b")
     labels = _connected_components(
         t["documents"].select("doc_id"), pairs, max_iter
     )

@@ -69,6 +69,8 @@ HEADLINE = [
     "repetition_ratios",
     "pii_scan",
     "bigram_logprob_scores",
+    "vocab_coverage",
+    "next_event_examples",
     "pgm_image_features",
     "ppm_image_features",
     "retention_cohorts",

@@ -682,3 +682,53 @@ def bigram_logprob_scores(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def vocab_coverage(t: dict[str, DataFrame], top_n: int = 500) -> DataFrame:
+    """Top-``top_n`` corpus vocabulary with cumulative coverage — the
+    curve a tokenizer-training run reads to size its vocabulary (what
+    fraction of all token occurrences the top-k word types cover).
+
+    Scale shape: one explode + one word-keyed count aggregation
+    (vocabulary-bounded output, not corpus-bounded), a top-n selection
+    that plans as TakeOrderedAndProject (per-partition top-n, no full
+    sort shuffle), and a running-sum window over only the ``top_n``
+    selected rows — the single-task window touches top_n rows by
+    construction, never the vocabulary. Coverage is an exact
+    int/int division, so the oracle hash-matches.
+
+    Ties broken by word so the rank order is total and deterministic
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens")
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), "word").limit(top_n)
+    w = Window.orderBy(F.desc("n_occurrences"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_occurrences", F.sum("n_occurrences").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "word",
+            "n_occurrences",
+            "cum_occurrences",
+            F.round(
+                F.col("cum_occurrences").cast("double")
+                / F.col("total_tokens").cast("double"),
+                9,
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )

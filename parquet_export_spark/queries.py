@@ -986,6 +986,49 @@ REGISTRY.update(
             FROM terms GROUP BY doc_id ORDER BY doc_id
             """,
         ),
+        "vocab_coverage": QuerySpec(
+            _rel(X.vocab_coverage),
+            """
+            WITH words AS (SELECT UNNEST(string_split(text, ' ')) AS word
+                           FROM documents),
+            counts AS (SELECT word, COUNT(*) AS n_occurrences
+                       FROM words GROUP BY word),
+            total AS (SELECT COUNT(*) AS total_tokens FROM words),
+            ranked AS (
+                SELECT word, n_occurrences,
+                       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rank,
+                       CAST(SUM(n_occurrences) OVER (
+                            w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                           AS cum_occurrences
+                FROM counts
+                WINDOW w AS (ORDER BY n_occurrences DESC, word))
+            SELECT rank, word,
+                   CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   cum_occurrences,
+                   ROUND(CAST(cum_occurrences AS DOUBLE) /
+                         CAST(total_tokens AS DOUBLE), 9) AS cum_coverage
+            FROM ranked CROSS JOIN total
+            WHERE rank <= 500 ORDER BY rank
+            """,
+        ),
+        "next_event_examples": QuerySpec(
+            _rel(CU.next_event_examples),
+            """
+            WITH lagged AS (
+                SELECT user_id, event_id,
+                       LAG(event_type, 3) OVER w AS l3,
+                       LAG(event_type, 2) OVER w AS l2,
+                       LAG(event_type, 1) OVER w AS l1,
+                       event_type AS label
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id,
+                   l3 || ' ' || l2 || ' ' || l1 AS context, label
+            FROM lagged WHERE l3 IS NOT NULL
+            ORDER BY user_id, event_id
+            """,
+        ),
         "bm25_scores": QuerySpec(
             _rel(X.bm25_scores),
             """
@@ -1917,7 +1960,7 @@ _VERDICT_PRIORITY = [
     # new ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate)
     "ppm_image_features", "bpe_token_counts", "pii_scan",
-    "bigram_logprob_scores",
+    "bigram_logprob_scores", "vocab_coverage", "next_event_examples",
     "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",
     "approx_percentiles",
     # 2: r1-only evidence — refresh before it goes three rounds stale
@@ -1932,16 +1975,18 @@ _VERDICT_PRIORITY = [
     "scalar_json_funcs", "events_hourly_rollup",
     # 3: the TPC-H block (last verdict r2) + the as-of custom operator
     "q1_pricing_summary", "q2_min_balance_supplier",
-    "q3_shipping_priority", "q4_order_priority_exists",
+    "q3_shipping_priority",
     "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
-    "q14_promo_revenue_share", "q16_supplier_counts",
+    "q16_supplier_counts",
     "q17_small_quantity_revenue", "q18_large_orders_having",
     "q19_disjunctive_predicates", "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
-    # (q12/q13/q15 yield their slots to the three new text ops: they
-    # are the simplest remaining TPC-H shapes, r2-green, and their
-    # families stay pinned in-window — joins by q3/q7-q9, conditional
-    # aggs by conditional_funcs, top-1-of-group by window_topk family.)
+    # (q4/q12/q13/q14/q15 yield their slots to the five new round-4
+    # ops: they are the simplest remaining TPC-H shapes, r2-green, and
+    # their families stay pinned in-window — joins by q3/q7-q9,
+    # exists/semi-anti by join_semi+join_anti coverage, conditional
+    # aggs by conditional_funcs+q19, top-1-of-group by window_topk
+    # family.)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -73,6 +73,8 @@ HEADLINE = [
     "next_event_examples",
     "pgm_image_features",
     "ppm_image_features",
+    "wav_audio_features",
+    "video_frame_features",
     "retention_cohorts",
     "semdedup_embedding",
     "quality_weighted_sample",

@@ -1263,6 +1263,55 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        # the oracle recomputes the deterministic PCM series directly —
+        # the Spark side REALLY RIFF-encodes and re-parses it, so the
+        # hash certifies the codec round trip.
+        "wav_audio_features": QuerySpec(
+            _rel(M.wav_audio_features),
+            """
+            WITH s AS (
+                SELECT doc_id,
+                       [(doc_id * 7919 + i * 104729) % 65536 - 32768
+                        for i in generate_series(0, 49 + doc_id % 50)]
+                           AS smp
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(smp) AS INTEGER) AS n_samples,
+                   CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+                   CAST(list_min(smp) AS INTEGER) AS min_sample,
+                   CAST(list_max(smp) AS INTEGER) AS max_sample,
+                   CAST(len([1 for i in generate_series(1, len(smp) - 1)
+                             if smp[i] * smp[i+1] < 0]) AS INTEGER)
+                       AS n_zero_crossings
+            FROM s ORDER BY doc_id
+            """,
+        ),
+        # sampled frames f = 0 and 2 of the 3-frame PGM stream; the
+        # oracle recomputes each frame's dims + codepoint sum from the
+        # same shifted text windows.
+        "video_frame_features": QuerySpec(
+            _rel(M.video_frame_features),
+            """
+            WITH f AS (SELECT UNNEST([0, 2]) AS frame_idx),
+            dims AS (
+                SELECT doc_id, frame_idx,
+                       CAST(1 + (n_chars + frame_idx) % 6 AS INTEGER)
+                           AS width,
+                       CAST(1 + (n_chars + frame_idx) % 4 AS INTEGER)
+                           AS height,
+                       rpad(substring(text, 1 + frame_idx * 10, 24),
+                            CAST((1 + (n_chars + frame_idx) % 6)
+                                 * (1 + (n_chars + frame_idx) % 4)
+                                 AS INTEGER), ' ') AS body
+                FROM documents CROSS JOIN f)
+            SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   width, height,
+                   CAST(list_sum([unicode(substring(body, i, 1))
+                        for i in generate_series(1, length(body))])
+                        AS BIGINT) AS sum_pixels
+            FROM dims ORDER BY doc_id, frame_idx
+            """,
+        ),
         "stratified_sample": QuerySpec(
             _rel(CU.stratified_sample),
             """
@@ -1961,6 +2010,7 @@ _VERDICT_PRIORITY = [
     # + corpus bigram-LM gate)
     "ppm_image_features", "bpe_token_counts", "pii_scan",
     "bigram_logprob_scores", "vocab_coverage", "next_event_examples",
+    "wav_audio_features", "video_frame_features",
     "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",
     "approx_percentiles",
     # 2: r1-only evidence — refresh before it goes three rounds stale
@@ -1977,16 +2027,16 @@ _VERDICT_PRIORITY = [
     "q1_pricing_summary", "q2_min_balance_supplier",
     "q3_shipping_priority",
     "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders_having",
+    "q18_large_orders_having",
     "q19_disjunctive_predicates", "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
-    # (q4/q12/q13/q14/q15 yield their slots to the five new round-4
-    # ops: they are the simplest remaining TPC-H shapes, r2-green, and
-    # their families stay pinned in-window — joins by q3/q7-q9,
-    # exists/semi-anti by join_semi+join_anti coverage, conditional
-    # aggs by conditional_funcs+q19, top-1-of-group by window_topk
-    # family.)
+    # (q4/q12/q13/q14/q15/q16/q17 yield their slots to the seven new
+    # round-4 ops: they are the simplest remaining TPC-H shapes,
+    # r2-green, and their families stay pinned in-window — joins by
+    # q3/q7-q9, exists/semi-anti by join_semi+join_anti, conditional
+    # aggs by conditional_funcs+q19, distinct-count aggs by
+    # agg_distinct, scalar-subquery-vs-avg by q18/q20's having/semi
+    # shapes, top-1-of-group by window_topk family.)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

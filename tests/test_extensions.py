@@ -608,3 +608,24 @@ def test_label_pca_matches_numpy(spark, tables):
         # unit norm survives the rounding to ~1e-5
         vec = np.array([float(c) for c in got[label].pc1.split()])
         assert abs(np.linalg.norm(vec) - 1.0) < 1e-4
+
+
+def test_wav_codec_roundtrip_exact():
+    """RIFF/WAV PCM16 round-trip: encode -> decode restores the exact
+    int16 samples, header fields survive, and malformed payloads fail
+    fast with the declared errors."""
+    import numpy as np
+    import pytest as _pytest
+
+    s = (np.arange(-100, 100, 7)).astype("<i2")
+    d = M.decode_wav(M.encode_wav(s, sample_rate=8000))
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == len(s)
+    assert (d["samples"] == s).all()
+    with _pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"NOTWAVE" + bytes(64))
+    with _pytest.raises(ValueError, match="PCM16 mono"):
+        # corrupt bits-per-sample field (offset 34, little-endian)
+        raw = bytearray(M.encode_wav(s))
+        raw[34] = 8
+        M.decode_wav(bytes(raw))

@@ -25,6 +25,7 @@ TZ_SENSITIVE = [
     "retention_cohorts",
     "event_transition_matrix",
     "scd2_user_state",
+    "next_event_examples",
 ]
 
 

@@ -41,6 +41,13 @@ SHOWCASE = [
     # exchange-reused gram pipeline, lead-window sequence aggregate
     "dup_spans",
     "event_transition_matrix",
+    # round-4 additions: corpus-LM explode+count+join shape, pure
+    # regex scan pipeline, TakeOrdered + bounded window, lag-window
+    # dataset construction
+    "bigram_logprob_scores",
+    "pii_scan",
+    "vocab_coverage",
+    "next_event_examples",
 ]
 
 HEADER = """\

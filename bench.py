@@ -44,6 +44,7 @@ HEADLINE = [
     "window_range_frame",
     "pivot_segment_counts",
     "stats_moments",
+    "heavy_hitters_cms",
     "salted_agg_user_value",
     "bloom_prune_orders",
     "dedup_exact",

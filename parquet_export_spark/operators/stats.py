@@ -178,3 +178,102 @@ def approx_percentiles(
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (heavy hitters) — completes the sketch family:
+# HLL (agg_approx_distinct), GK (approx_percentiles), MinHash, SimHash,
+# Bloom (bloom_prune_orders), CMS here.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3  #: independent hash rows — P(overestimate) shrinks as e^-d
+CMS_HEX = 3  #: bucket key = 3 md5 hex chars -> w = 4096 buckets/row
+
+
+def heavy_hitters_cms(
+    t: dict[str, DataFrame],
+    depth: int = CMS_DEPTH,
+    hex_chars: int = CMS_HEX,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-Min sketch word-frequency estimation, checked against the
+    exact counts for the top-``top_n`` heavy hitters.
+
+    At 100 TB the exact word-count table can exceed memory for
+    open vocabularies (URLs, n-grams, user ids); the CMS is a fixed
+    ``depth x 16^hex_chars`` counter grid REGARDLESS of cardinality:
+    one explode, one groupBy over (row, bucket) — map-side
+    combinable — and point estimates by min over ``depth`` bucket
+    counts. Estimates only ever overestimate (collisions add), by at
+    most ~e/w of the total mass with high probability — both
+    properties are pinned in pytest, and the oracle reproduces the
+    sketch EXACTLY because bucket ids are md5-prefix strings
+    (identical in Spark and DuckDB; no engine-specific hash).
+
+    Output: the exact top-``top_n`` words with exact and CMS counts —
+    the audit a production pipeline runs on a sample to size w.
+    """
+    docs = t["documents"]
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    # sketch rows: for each of `depth` salted hashes, bucket = md5 prefix
+    rows = words.select(
+        "word",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("row_id"),
+    ).select(
+        "row_id",
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.col("word"),
+                        F.lit("#"),
+                        F.col("row_id").cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            hex_chars,
+        ).alias("bucket"),
+    )
+    sketch = rows.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "word")
+        .limit(top_n)
+    )
+    probes = exact.select(
+        "word",
+        "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_id"),
+    ).select(
+        "word",
+        "exact_n",
+        "row_id",
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.col("word"),
+                        F.lit("#"),
+                        F.col("row_id").cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            hex_chars,
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(sketch, ["row_id", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .select("word", "exact_n", "cms_n")
+        .orderBy(F.desc("exact_n"), "word")
+    )

@@ -1959,6 +1959,35 @@ REGISTRY.update(
             """,
         ),
         # ---------------- scale patterns ----------------
+        # the sketch is EXACTLY reproducible in SQL because bucket ids
+        # are md5-prefix strings (no engine-specific hash function).
+        "heavy_hitters_cms": QuerySpec(
+            _rel(ST.heavy_hitters_cms),
+            """
+            WITH words AS (SELECT UNNEST(string_split(text, ' ')) AS word
+                           FROM documents),
+            salts AS (SELECT UNNEST([0, 1, 2]) AS row_id),
+            sketch AS (
+                SELECT row_id,
+                       substring(md5(word || '#' ||
+                                     CAST(row_id AS VARCHAR)), 1, 3)
+                           AS bucket,
+                       COUNT(*) AS c
+                FROM words CROSS JOIN salts GROUP BY 1, 2),
+            exact AS (SELECT word, COUNT(*) AS exact_n FROM words
+                      GROUP BY word ORDER BY exact_n DESC, word LIMIT 20),
+            probes AS (
+                SELECT word, exact_n, row_id,
+                       substring(md5(word || '#' ||
+                                     CAST(row_id AS VARCHAR)), 1, 3)
+                           AS bucket
+                FROM exact CROSS JOIN salts)
+            SELECT word, CAST(exact_n AS BIGINT) AS exact_n,
+                   CAST(MIN(c) AS BIGINT) AS cms_n
+            FROM probes JOIN sketch USING (row_id, bucket)
+            GROUP BY word, exact_n ORDER BY exact_n DESC, word
+            """,
+        ),
         # oracle is the PLAIN join: the bloom is a prefilter whose
         # false positives the exact join removes — equality proves
         # the runtime-filter pattern is result-preserving.
@@ -2031,6 +2060,7 @@ _VERDICT_PRIORITY = [
     "ppm_image_features", "bpe_token_counts", "pii_scan",
     "bigram_logprob_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
+    "heavy_hitters_cms",
     "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",
     "approx_percentiles",
     # 2: r1-only evidence — refresh before it goes three rounds stale
@@ -2047,14 +2077,14 @@ _VERDICT_PRIORITY = [
     "q1_pricing_summary", "q2_min_balance_supplier",
     "q3_shipping_priority",
     "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
-    "q19_disjunctive_predicates", "q20_heavy_suppliers",
+    "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
-    # (q4/q12/q13/q14/q15/q16/q17/q18 yield their slots to the eight
-    # new round-4 ops: they are the simplest remaining TPC-H shapes,
-    # r2-green, and their families stay pinned in-window — joins by
-    # q3/q7-q9, exists/semi-anti by join_semi+join_anti, conditional
-    # aggs by conditional_funcs+q19, distinct-count aggs by
-    # agg_distinct, group-HAVING by q20's heavy-suppliers shape,
+    # (q4/q12-q19 minus q18's keepers yield their slots to the ten new
+    # round-4 ops — dropped: q4/q12/q13/q14/q15/q16/q17/q18/q19, all
+    # r2-green and the simplest remaining TPC-H shapes, with families
+    # pinned in-window: joins by q3/q7-q9, exists/semi-anti by
+    # join_semi+join_anti, conditional aggs by conditional_funcs,
+    # distinct-count aggs by agg_distinct, group-HAVING by q20,
     # top-1-of-group by window_topk family.)
 ]
 

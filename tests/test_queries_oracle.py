@@ -277,3 +277,28 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             hi = xs[min(n - 1, target + slack)]
             assert lo <= got[flag][col] <= hi, (flag, col, got[flag][col], lo, hi)
         assert got[flag]["n_rows"] == n
+
+
+def test_cms_overestimates_within_bound(spark, sf_dir):
+    """Count-Min guarantees: estimates never undercount (collisions
+    only add), and with depth 3 rows of 4096 buckets the overestimate
+    stays within ~2·N/w of truth for every probed heavy hitter (the
+    e/w bound with generous slack for a 3-row min)."""
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.operators.stats import heavy_hitters_cms
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    rows = heavy_hitters_cms(t).collect()
+    assert rows
+    total = (
+        t["documents"]
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    bound = max(1, (2 * total) // 4096)
+    for r in rows:
+        assert r.cms_n >= r.exact_n, (r.word, r.cms_n, r.exact_n)
+        assert r.cms_n - r.exact_n <= bound, (r.word, r.cms_n, r.exact_n, bound)

@@ -2,11 +2,14 @@
 
 ``export_lake`` drives: per table — enforce declared schema, normalize,
 write size-bounded zstd parquet — then one manifest over the committed
-files. Tables are independent (reference ran them strictly
-sequentially; SURVEY.md §2A.14 notes they can be submitted
-concurrently — on a cluster, each table's write parallelizes across
-executors regardless, so the sequential driver loop is not a
-bottleneck).
+files. Tables are independent (reference main.py ran them strictly
+sequentially; SURVEY.md §2A.14): they are submitted from a small
+driver thread pool, so one table's post-commit metadata phase (footer
+reads, row-range renames — driver-side FS calls) overlaps another
+table's executor-side write instead of serializing behind it. Spark's
+scheduler accepts concurrent job submission from driver threads; on a
+cluster this keeps executors busy through the metadata gaps, and in
+local mode it overlaps I/O waits.
 
 Debug affordances (reference main.py:27-28, 270-276): ``only_table``
 exports a single table (DEBUG_TABLE), ``limit`` bounds rows per table
@@ -44,20 +47,36 @@ def export_lake(
     only_table: str | None = None,
     limit: int | None = None,
     canonical_json: bool = False,
+    max_concurrency: int = 4,
 ) -> dict[str, list[str]]:
     """Export every table produced by ``source`` and write the manifest.
 
     ``source`` maps (spark, spec) -> DataFrame — a JDBC read
     (sources/jdbc.py), a parquet lake read, or a test fixture.
+    ``max_concurrency`` bounds the driver thread pool submitting
+    independent tables (1 = the reference's sequential behavior).
     """
     tables = tables if tables is not None else TABLES
     if only_table is not None:
         tables = {only_table: tables[only_table]}
-    files: dict[str, list[str]] = {}
-    for name, spec in tables.items():
+
+    def one(item: tuple[str, TableSpec]) -> list[str]:
+        name, spec = item
         df = source(spark, spec)
         if limit is not None:
             df = df.limit(limit)
-        files[name] = export_table(df, out_dir, spec, canonical_json=canonical_json)
+        return export_table(df, out_dir, spec, canonical_json=canonical_json)
+
+    items = list(tables.items())
+    if max_concurrency > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_concurrency, len(items))
+        ) as pool:
+            out = list(pool.map(one, items))
+    else:
+        out = [one(item) for item in items]
+    files = {name: fs for (name, _), fs in zip(items, out)}
     write_manifest(out_dir, files, spark=spark)
     return files

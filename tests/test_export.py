@@ -237,3 +237,29 @@ def test_fs_shim_nonlocal_scheme(spark, tmp_path, sf_dir):
     n = fs.parquet_row_count(spark, fs.join(base, "pq", name))
     assert n == region.count()
     assert fs.delete(spark, fs.join(base, "m"), recursive=True)
+
+
+def test_export_concurrent_equals_sequential(spark, tmp_path):
+    """The driver thread pool must not change WHAT is exported — file
+    sets (names carry row ranges) and manifest listings are identical
+    between max_concurrency=1 (reference-sequential) and the default
+    concurrent submission."""
+    dfs = fixture_dataframes(spark, 40)
+    seq = export_lake(
+        spark,
+        lambda s, spec: dfs[spec.name],
+        str(tmp_path / "seq"),
+        max_concurrency=1,
+    )
+    par = export_lake(
+        spark,
+        lambda s, spec: dfs[spec.name],
+        str(tmp_path / "par"),
+        max_concurrency=4,
+    )
+    assert set(seq) == set(par)
+    for name in seq:
+        assert sorted(seq[name]) == sorted(par[name]), name
+    m_seq = json.load(open(tmp_path / "seq" / "manifest.json"))
+    m_par = json.load(open(tmp_path / "par" / "manifest.json"))
+    assert m_seq["files"] == m_par["files"]

@@ -70,7 +70,7 @@ HEADLINE = [
     "unigram_freq_quality",
     "repetition_ratios",
     "pii_scan",
-    "bigram_logprob_scores",
+    "bigram_lm_scores",
     "vocab_coverage",
     "next_event_examples",
     "pgm_image_features",

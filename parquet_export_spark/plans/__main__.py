@@ -44,7 +44,7 @@ SHOWCASE = [
     # round-4 additions: corpus-LM explode+count+join shape, pure
     # regex scan pipeline, TakeOrdered + bounded window, lag-window
     # dataset construction
-    "bigram_logprob_scores",
+    "bigram_lm_scores",
     "pii_scan",
     "vocab_coverage",
     "next_event_examples",

@@ -959,8 +959,8 @@ REGISTRY.update(
             FROM red ORDER BY doc_id
             """,
         ),
-        "bigram_logprob_scores": QuerySpec(
-            _rel(X.bigram_logprob_scores),
+        "bigram_lm_scores": QuerySpec(
+            _rel(X.bigram_lm_scores),
             """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),
@@ -977,9 +977,7 @@ REGISTRY.update(
                   FROM (SELECT UNNEST(ws) AS word FROM w)),
             terms AS (
                 SELECT doc_id,
-                       CAST(round(ln((c_bg + 1.0) /
-                                     CAST(c_ctx + vocab AS DOUBLE))
-                                  * 1000000) AS BIGINT) AS micro,
+                       ((c_bg + 1) * 1000000) // (c_ctx + vocab) AS ppm,
                        c_bg
                 FROM eb JOIN bc USING (bigram) JOIN cc USING (w1)
                      CROSS JOIN v)
@@ -987,8 +985,8 @@ REGISTRY.update(
                    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_unique_bigrams,
-                   ROUND(CAST(SUM(micro) AS DOUBLE) / 1000000.0 /
-                         CAST(COUNT(*) AS DOUBLE), 9) AS avg_logprob
+                   ROUND(CAST(SUM(ppm) AS DOUBLE) /
+                         CAST(COUNT(*) AS DOUBLE), 6) AS avg_prob_ppm
             FROM terms GROUP BY doc_id ORDER BY doc_id
             """,
         ),
@@ -2058,7 +2056,7 @@ _VERDICT_PRIORITY = [
     # new ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate)
     "ppm_image_features", "bpe_token_counts", "pii_scan",
-    "bigram_logprob_scores", "vocab_coverage", "next_event_examples",
+    "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms",
     "dup_spans", "semdedup_embedding", "ivf_topk", "pq_topk",

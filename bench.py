@@ -45,6 +45,7 @@ HEADLINE = [
     "pivot_segment_counts",
     "stats_moments",
     "heavy_hitters_cms",
+    "value_gini_by_type",
     "salted_agg_user_value",
     "bloom_prune_orders",
     "dedup_exact",

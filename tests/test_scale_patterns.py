@@ -204,3 +204,33 @@ def test_bloom_prune_selective_and_lossless(spark, sf_dir):
     assert n_passed < n_total * 0.7, (n_passed, n_total)
     # and the full operator returns exactly the oracle-shaped result
     assert bloom_prune_orders(t).count() > 0
+
+
+def test_bloom_prefilter_sits_below_the_join(spark, sf_dir):
+    """The point of the runtime-filter pattern is WHERE the membership
+    test runs: below the customer join, against the orders scan, so
+    pruned rows never reach the join shuffle. Pin that plan property —
+    the bloom test (shiftleft bit probe) must appear on the fact side
+    under the join, applied via the broadcast of the 1-row bloom."""
+    from parquet_export_spark.operators.scale import bloom_prune_orders
+    from parquet_export_spark.sources.lake import load_tables
+
+    df = bloom_prune_orders(load_tables(spark, sf_dir))
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    main_join = min(
+        i
+        for i in (
+            plan.find("SortMergeJoin"),
+            plan.find("BroadcastHashJoin"),
+            plan.find("ShuffledHashJoin"),
+        )
+        if i != -1
+    )
+    bloom_probe = plan.find("shiftleft")
+    assert bloom_probe != -1, "bloom membership test missing from plan"
+    assert bloom_probe > main_join, (
+        "bloom probe must be BELOW the customer join (prefilter), "
+        "not above it (postfilter)"
+    )
+    assert "CartesianProduct" not in plan

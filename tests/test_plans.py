@@ -144,3 +144,26 @@ def test_dup_spans_gram_exchange_reused(spark, sf_dir):
     plan = P.executed_plan_string(df)
     assert "ReusedExchange" in plan
     assert "Cartesian" not in plan
+
+
+def test_pii_scan_reads_minimum(spark, sf_dir):
+    """The PII scrub is a pure regex scan: the documents read must
+    prune to exactly (doc_id, text) — at 100 TB an unpruned scan here
+    would read the whole table width for a 2-column operator."""
+    df = q("pii_scan", spark, sf_dir)
+    [schema] = P.read_schemas(df)
+    assert schema == {"doc_id", "text"}
+
+
+def test_bpe_token_counts_reads_minimum(spark, sf_dir):
+    df = q("bpe_token_counts", spark, sf_dir)
+    [schema] = P.read_schemas(df)
+    assert schema == {"doc_id", "text", "n_chars"}
+
+
+def test_next_event_examples_reads_minimum(spark, sf_dir):
+    """Lag-window dataset build reads only the four columns it emits
+    or orders by — props/value never leave the scan."""
+    df = q("next_event_examples", spark, sf_dir)
+    [schema] = P.read_schemas(df)
+    assert schema == {"user_id", "event_id", "event_type", "ts"}

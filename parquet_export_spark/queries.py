@@ -2069,6 +2069,15 @@ REGISTRY.update(
 # pivot/unpivot, grouping_sets, null_handling_funcs,
 # salted_agg_user_value) — each exactly two rounds old after r4, within
 # the freshness bar, and each with pytest coverage.
+# Long-run freshness policy: at 124 registered queries and a 50-entry
+# driver cap, a strict "nothing older than two rounds" bar is
+# arithmetically impossible (124/50 ≈ 2.5-round average). The standing
+# rotation rule, in priority order: (1) anything new or whose code/oracle
+# changed since its last verdict, (2) the oldest verdicts first,
+# (3) risk-ranked ties — custom/composed operators before plain
+# Catalyst shapes, oracle-bearing before rows-only (pytest carries the
+# rows-only evidence between driver verdicts). Every entry left outside
+# a window must be named in the comment with its family representative.
 # Registration rule (pinned by test_registry_no_array_outputs): no top-level
 # array/map columns in any registered output — the driver's pandas
 # canonicalizer cannot hash list cells.

@@ -120,3 +120,52 @@ def test_final_partial_file_range_is_actual(spark, tmp_path):
         "proptable_0_7_zstd.parquet",
         "proptable_7_10_zstd.parquet",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (pure Python/numpy — no Spark session)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_pgm_ppm_roundtrip_property(w, h, seed):
+    """Any raster round-trips both netpbm codecs byte-exactly."""
+    import numpy as np
+
+    from parquet_export_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(seed)
+    gray = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    d = M.decode_pgm(M.encode_pgm(gray))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["pixels"] == gray).all()
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = M.decode_ppm(M.encode_ppm(rgb))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["pixels"] == rgb).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, rate, seed):
+    """Any int16 sample series round-trips the RIFF/WAV codec exactly,
+    at any of the common sample rates."""
+    import numpy as np
+
+    from parquet_export_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype("<i2")
+    d = M.decode_wav(M.encode_wav(s, sample_rate=rate))
+    assert d["sample_rate"] == rate
+    assert d["n_samples"] == n
+    assert (d["samples"] == s).all()

@@ -328,9 +328,11 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
     def n_rows(v: pd.Series) -> int:
         return len(v)
 
-    ev = maybe_fanout(t["events"])
+    # no fan-out repartition here: the kernel runs AFTER the group
+    # shuffle, so an extra round-robin exchange of the raw events
+    # would buy nothing — the groupBy's own exchange parallelizes it.
     return (
-        ev.groupBy("event_type")
+        t["events"].groupBy("event_type")
         .agg(
             n_rows("value").alias("n_events"),
             gini("value").alias("gini_value"),

@@ -65,6 +65,7 @@ HEADLINE = [
     "byte_histograms",
     "corpus_quality_filter",
     "train_eval_split",
+    "shard_for_training",
     "stratified_sample",
     "pack_sequences",
     "decontaminate_train",

@@ -422,3 +422,46 @@ def next_event_examples(
         .drop("_oldest")
         .orderBy("user_id", "event_id")
     )
+
+
+def shard_for_training(
+    t: dict[str, DataFrame], n_shards: int = 16
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last step before
+    a corpus becomes training shards. Every document gets a
+    content-addressed (shard, shard_pos): shard = first md5 nibble of
+    the key, position = rank of the full md5 digest within the shard.
+
+    Why not ``orderBy(rand())`` + ``repartition``: a seeded-RNG
+    shuffle depends on partition layout and is unreproducible across
+    engines, reruns and incremental arrivals. The md5 order is a
+    fixed, uniformly-mixing permutation of the corpus — the same
+    document lands in the same shard at the same position on any
+    engine (exact DuckDB oracle), appends don't reshuffle history
+    (same property as train_eval_split), and shard sizes are balanced
+    by hash uniformity.
+
+    Scale shape: one shuffle on the shard key; the within-shard rank
+    is a window per shard partition (each task ranks only its shard).
+    ``n_shards`` here is the 16-way nibble demo; production uses more
+    nibbles for more shards — the plan shape is identical.
+    """
+    del n_shards  # fixed at 16 by the single-nibble key (see docstring)
+    docs = t["documents"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            h.alias("h"),
+            (
+                F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))")
+                - 1
+            ).cast("int").alias("shard"),
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    )

@@ -1016,6 +1016,20 @@ REGISTRY.update(
             WHERE rank <= 500 ORDER BY rank
             """,
         ),
+        "shard_for_training": QuerySpec(
+            _rel(CU.shard_for_training),
+            """
+            WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(strpos('0123456789abcdef', substring(hx, 1, 1))
+                        - 1 AS INTEGER) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY substring(hx, 1, 1)
+                        ORDER BY hx, doc_id) AS BIGINT) AS shard_pos
+            FROM h ORDER BY shard, shard_pos
+            """,
+        ),
         "next_event_examples": QuerySpec(
             _rel(CU.next_event_examples),
             """
@@ -2089,13 +2103,13 @@ _VERDICT_PRIORITY = [
     "ppm_image_features", "bpe_token_counts", "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
-    "heavy_hitters_cms", "value_gini_by_type",
-    "dup_spans", "semdedup_embedding", "pq_topk",
+    "heavy_hitters_cms", "value_gini_by_type", "shard_for_training",
+    "dup_spans", "pq_topk",
     "approx_percentiles",
-    # (ivf_topk drops out of the 50: its fit-path change is shared
-    # with — and re-verified through — semdedup_embedding/pq_topk in
-    # this window, its driver check is rows-only anyway, and its
-    # recall evidence lives in pytest.)
+    # (ivf_topk and semdedup_embedding drop out of the 50: their
+    # fit-path change is shared with — and re-verified through —
+    # pq_topk in this window, their driver checks are rows-only
+    # anyway, and their recall/keep-drop evidence lives in pytest.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",

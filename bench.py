@@ -46,6 +46,7 @@ HEADLINE = [
     "stats_moments",
     "heavy_hitters_cms",
     "value_gini_by_type",
+    "value_outliers",
     "salted_agg_user_value",
     "bloom_prune_orders",
     "dedup_exact",

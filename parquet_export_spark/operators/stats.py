@@ -339,3 +339,43 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_outliers(
+    t: dict[str, DataFrame], z_threshold: float = 3.0
+) -> DataFrame:
+    """Per-type z-score outlier events — the standard two-pass
+    anomaly scan: pass 1 aggregates per-type moments (exact decimal
+    sums, so mean/std are bit-reproducible at any parallelism), pass 2
+    broadcasts the tiny stats table back onto the stream of events and
+    flags |value − mean| > z·std. The monitoring query a pipeline runs
+    on every ingest batch.
+
+    At 100 TB: the stats side is one map-side-combinable aggregation
+    producing O(#types) rows — always broadcastable — and the flagging
+    pass is a scan with a broadcast hash join; nothing shuffles the
+    fact table. Thresholding uses the same exact-moment arithmetic as
+    stats_moments, so the oracle hash-matches.
+    """
+    ev = t["events"]
+    x = F.col("value")
+    n = F.count(F.lit(1)).cast("double")
+    sx = _dsum2(x, scale=6)
+    sxx = _dsum2(x * x, scale=6)
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    stats = ev.groupBy("event_type").agg(
+        mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (x - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > z_threshold)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 9).alias("z_score"),
+        )
+        .orderBy("event_id")
+    )

@@ -1971,6 +1971,30 @@ REGISTRY.update(
             """,
         ),
         # ---------------- scale patterns ----------------
+        # mean/std from the same exact-decimal moment sums as
+        # stats_moments; z computed in identical expression order.
+        "value_outliers": QuerySpec(
+            _rel(ST.value_outliers),
+            """
+            WITH s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sx,
+                       CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                            AS DOUBLE) AS sxx
+                FROM events GROUP BY event_type),
+            st AS (SELECT event_type,
+                          sx / n AS mean_v,
+                          sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_v
+                   FROM s)
+            SELECT event_id, event_type, value,
+                   ROUND((value - mean_v) / std_v, 9) AS z_score
+            FROM events JOIN st USING (event_type)
+            WHERE abs((value - mean_v) / std_v) > 3.0
+            ORDER BY event_id
+            """,
+        ),
         # rank-window form of the same integer Gini formula the UDAF
         # computes from the sorted micro-unit series.
         "value_gini_by_type": QuerySpec(
@@ -2104,12 +2128,15 @@ _VERDICT_PRIORITY = [
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms", "value_gini_by_type", "shard_for_training",
+    "value_outliers",
     "dup_spans", "pq_topk",
-    "approx_percentiles",
     # (ivf_topk and semdedup_embedding drop out of the 50: their
     # fit-path change is shared with — and re-verified through —
     # pq_topk in this window, their driver checks are rows-only
-    # anyway, and their recall/keep-drop evidence lives in pytest.)
+    # anyway, and their recall/keep-drop evidence lives in pytest.
+    # approx_percentiles likewise: rows-only driver check, its only
+    # change is a named constant with the same value, and the GK
+    # rank-error bound lives in pytest.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",

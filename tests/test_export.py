@@ -263,3 +263,32 @@ def test_export_concurrent_equals_sequential(spark, tmp_path):
     m_seq = json.load(open(tmp_path / "seq" / "manifest.json"))
     m_par = json.load(open(tmp_path / "par" / "manifest.json"))
     assert m_seq["files"] == m_par["files"]
+
+
+def test_live_jdbc_partitioned_roundtrip(spark, tmp_path):
+    """LIVE JDBC evidence (no Postgres in this sandbox, but Spark
+    ships embedded Derby): write a table over JDBC, read it back with
+    the exact partitioned-read option shape JdbcSource emits
+    (partitionColumn/bounds/numPartitions/fetchsize) and verify rows
+    and parallelism. This proves the engine's JDBC machinery end to
+    end; the Postgres dialect specifics (::text jsonb pushdown,
+    driver class) remain covered by the option-construction test."""
+    url = f"jdbc:derby:{tmp_path}/testdb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src = spark.range(500).selectExpr(
+        "id AS k", "cast(id * 2 as double) AS v", "concat('r', id) AS name"
+    )
+    src.write.jdbc(url, "roundtrip", mode="overwrite", properties=props)
+    back = spark.read.jdbc(
+        url,
+        "roundtrip",
+        column="k",
+        lowerBound=0,
+        upperBound=500,
+        numPartitions=4,
+        properties={**props, "fetchsize": "100"},
+    )
+    assert back.rdd.getNumPartitions() == 4  # one cursor per partition
+    got = {(r.k, r.v, r.name) for r in back.collect()}
+    want = {(r.k, r.v, r.name) for r in src.collect()}
+    assert got == want

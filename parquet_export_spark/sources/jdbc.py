@@ -49,12 +49,18 @@ PARTITION_COLUMNS: dict[str, str] = {
 
 @dataclass(frozen=True)
 class JdbcSource:
-    url: str  # jdbc:postgresql://host:port/db
+    url: str  # jdbc:postgresql://host:port/db (any JDBC url works)
     user: str
     password: str
     schema: str = "public"
     fetchsize: int = 10_000
     num_partitions: int = 16
+    #: JDBC driver class; any driver on the Spark classpath. The
+    #: Postgres default matches the reference deployment; the live
+    #: round-trip test drives the same code against embedded Derby.
+    driver: str = "org.postgresql.Driver"
+    #: overrides the PARTITION_COLUMNS registry for ad-hoc tables.
+    partition_column: str | None = None
 
     def select_list(self, spec: TableSpec) -> str:
         """Explicit column list; jsonb pushed down as text."""
@@ -63,11 +69,14 @@ class JdbcSource:
             cols.append(f'"{name}"::text AS "{name}"' if dtype == "json" else f'"{name}"')
         return ", ".join(cols)
 
+    def _partition_column(self, spec: TableSpec) -> str | None:
+        return self.partition_column or PARTITION_COLUMNS.get(spec.name)
+
     def dbtable(self, spec: TableSpec, offset: int | None = None) -> str:
         """Pushdown subquery used as the JDBC ``dbtable``."""
         sql = f'SELECT {self.select_list(spec)} FROM {self.schema}."{spec.name}"'
         if offset is not None:
-            part = PARTITION_COLUMNS.get(spec.name)
+            part = self._partition_column(spec)
             order = f' ORDER BY "{part}"' if part else ""
             sql += f"{order} OFFSET {offset}"
         return f"({sql}) AS src"
@@ -77,11 +86,11 @@ class JdbcSource:
             "url": self.url,
             "user": self.user,
             "password": self.password,
-            "driver": "org.postgresql.Driver",
+            "driver": self.driver,
             "dbtable": self.dbtable(spec, offset=offset),
             "fetchsize": str(self.fetchsize),
         }
-        part = PARTITION_COLUMNS.get(spec.name)
+        part = self._partition_column(spec)
         if part and offset is None:
             # Bounds are discovered with one cheap MIN/MAX roundtrip at
             # plan time by read(); declared here as the partition spec.
@@ -114,7 +123,11 @@ class JdbcSource:
                 spark.read.format("jdbc")
                 .options(
                     **{k: v for k, v in opts.items() if k != "dbtable"},
-                    dbtable=f'(SELECT MIN("{part}") AS lo, MAX("{part}") AS hi '
+                    # aliases quoted so every engine returns them
+                    # verbatim (unquoted aliases are case-folded
+                    # engine-specifically: lower in Postgres, upper in
+                    # Derby-class databases)
+                    dbtable=f'(SELECT MIN("{part}") AS "lo", MAX("{part}") AS "hi" '
                     f"FROM {self.schema}.\"{spec.name}\") AS b",
                 )
                 .load()

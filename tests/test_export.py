@@ -127,6 +127,7 @@ def test_s3_conf_helper(spark):
 
 def test_jdbc_plan_construction():
     from parquet_export_spark.sources.jdbc import JdbcSource
+    from parquet_export_spark.tables import TableSpec
 
     src = JdbcSource(url="jdbc:postgresql://localhost:5432/vera", user="u", password="p")
     spec = TABLES["compiled_contracts"]
@@ -292,3 +293,30 @@ def test_live_jdbc_partitioned_roundtrip(spark, tmp_path):
     got = {(r.k, r.v, r.name) for r in back.collect()}
     want = {(r.k, r.v, r.name) for r in src.collect()}
     assert got == want
+
+    # and OUR source class end-to-end on the same live database: the
+    # partitioned read() path (bounds discovery subquery + range
+    # partitioning) with the driver/partition-column overrides.
+    from parquet_export_spark.sources.jdbc import JdbcSource
+    from parquet_export_spark.tables import TableSpec
+
+    jsrc = JdbcSource(
+        url=url,
+        user="app",
+        password="app",
+        schema="APP",
+        num_partitions=4,
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        partition_column="k",
+    )
+    # Stored-name case rules: Spark's JDBC writer leaves the TABLE
+    # name unquoted (Derby uppercases it) but quotes COLUMN names
+    # (case preserved) — the spec uses the names as stored.
+    spec = TableSpec(
+        name="ROUNDTRIP",
+        datatypes={"k": "Int64", "v": "float64", "name": "string"},
+        rows_per_file=1000,
+    )
+    live = jsrc.read(spark, spec)
+    assert live.rdd.getNumPartitions() == 4
+    assert {tuple(r) for r in live.collect()} == {tuple(r) for r in src.collect()}

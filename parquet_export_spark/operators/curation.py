@@ -402,10 +402,16 @@ def next_event_examples(
     space-joined string — model-input-shaped, and hashable by the
     driver canonicalizer (registry no-array rule). Deterministic
     ordering: (ts, event_id) is a total order per user.
+
+    NULL event types are dropped up front: ``concat_ws`` skips NULLs,
+    so a NULL inside the window would silently emit a SHORTENED
+    context still labeled as a full ``context_len`` example (and
+    diverge from the oracle, whose ``||`` concatenation nulls out) —
+    malformed rows must not become malformed training examples.
     """
     from pyspark.sql import Window
 
-    ev = t["events"]
+    ev = t["events"].filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [
         F.lag("event_type", i).over(w) for i in range(context_len, 0, -1)
@@ -424,9 +430,7 @@ def next_event_examples(
     )
 
 
-def shard_for_training(
-    t: dict[str, DataFrame], n_shards: int = 16
-) -> DataFrame:
+def shard_for_training(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic global shuffle + sharding — the last step before
     a corpus becomes training shards. Every document gets a
     content-addressed (shard, shard_pos): shard = first md5 nibble of
@@ -443,10 +447,11 @@ def shard_for_training(
 
     Scale shape: one shuffle on the shard key; the within-shard rank
     is a window per shard partition (each task ranks only its shard).
-    ``n_shards`` here is the 16-way nibble demo; production uses more
-    nibbles for more shards — the plan shape is identical.
+    The shard count is fixed at 16 by the single-nibble key (no
+    parameter — a knob this function ignored would mis-shard
+    silently); production widens to more nibbles for more shards with
+    an identical plan shape.
     """
-    del n_shards  # fixed at 16 by the single-nibble key (see docstring)
     docs = t["documents"]
     h = F.md5(F.col("doc_id").cast("string"))
     from pyspark.sql import Window

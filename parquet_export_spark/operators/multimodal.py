@@ -297,16 +297,25 @@ def _parse_netpbm_header(payload: bytes, magic: bytes) -> tuple[int, int, int, i
     ``(width, height, maxval, raster_offset)``."""
     if not payload.startswith(magic):
         raise ValueError(f"not a binary netpbm {magic.decode()} payload")
+    n = len(payload)
     pos, fields = len(magic), []
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < n and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("truncated netpbm header (unterminated comment)")
+            pos = nl + 1
             continue
         end = pos
-        while not payload[end : end + 1].isspace():
+        while end < n and not payload[end : end + 1].isspace():
             end += 1
+        if end == pos or end >= n:
+            # ran off the buffer mid-token (or no token at all): a
+            # truncated header must FAIL, not spin — an unbounded scan
+            # here would hang the executor task on malformed payloads.
+            raise ValueError("truncated netpbm header")
         fields.append(int(payload[pos:end]))
         pos = end
     pos += 1  # the single post-header whitespace byte

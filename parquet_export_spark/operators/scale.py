@@ -93,15 +93,38 @@ BLOOM_HASHES = 3
 
 def _bloom_member_expr(key: str, bf_col: str = "bf") -> str:
     """SQL predicate: all BLOOM_HASHES positions of ``key`` are set in
-    the broadcast bloom word-array ``bf_col`` (1-indexed element_at)."""
+    the broadcast bloom word-array ``bf_col`` (1-indexed element_at).
+
+    The key is cast to bigint before hashing — Spark's xxhash64 is
+    TYPE-sensitive (xxhash64(5::int) != xxhash64(5::bigint)), so
+    without the normalization an int/bigint drift between the fact and
+    dimension key columns would silently produce false NEGATIVES,
+    which the exact join downstream cannot recover."""
     tests = []
     for i in range(BLOOM_HASHES):
-        p = f"pmod(xxhash64({key}, {i}), {BLOOM_BITS})"
+        p = f"pmod(xxhash64(cast({key} as bigint), {i}), {BLOOM_BITS})"
         tests.append(
             f"(element_at({bf_col}, cast({p} / 64 as int) + 1)"
             f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
         )
     return " AND ".join(tests)
+
+
+def _bloom_build_expr(key: str) -> str:
+    """SQL expression: the per-key bloom word-array (BLOOM_HASHES bits
+    set across BLOOM_BITS/64 longs). Shares the cast-to-bigint key
+    normalization with :func:`_bloom_member_expr` — build and probe
+    MUST hash identically or members go missing."""
+    words = BLOOM_BITS // 64
+    k = f"cast({key} as bigint)"
+    return (
+        f"transform(sequence(0, {words - 1}), w -> aggregate("
+        f" sequence(0, {BLOOM_HASHES - 1}), 0L,"
+        f" (acc, i) -> IF(cast(pmod(xxhash64({k}, i),"
+        f" {BLOOM_BITS}) / 64 as int) = w,"
+        f" acc | shiftleft(1L, cast(pmod(xxhash64({k}, i),"
+        f" {BLOOM_BITS}) % 64 as int)), acc)))"
+    )
 
 
 def bloom_prune_orders(
@@ -135,14 +158,7 @@ def bloom_prune_orders(
         (F.col("c_mktsegment") == "BUILDING")
         & (F.col("c_acctbal") > min_acctbal)
     )
-    sig = F.expr(
-        f"transform(sequence(0, {words - 1}), w -> aggregate("
-        f" sequence(0, {BLOOM_HASHES - 1}), 0L,"
-        f" (acc, i) -> IF(cast(pmod(xxhash64(c_custkey, i), {BLOOM_BITS})"
-        f" / 64 as int) = w,"
-        f" acc | shiftleft(1L, cast(pmod(xxhash64(c_custkey, i),"
-        f" {BLOOM_BITS}) % 64 as int)), acc)))"
-    )
+    sig = F.expr(_bloom_build_expr("c_custkey"))
     bloom = (
         seg.select(sig.alias("sig"))
         .agg(

@@ -216,15 +216,11 @@ def heavy_hitters_cms(
     """
     docs = t["documents"]
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    # sketch rows: for each of `depth` salted hashes, bucket = md5 prefix
-    rows = words.select(
-        "word",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(depth)])
-        ).alias("row_id"),
-    ).select(
-        "row_id",
-        F.substring(
+    def _bucket():
+        """bucket id = md5 prefix of word#row_id — the ONE definition
+        shared by sketch build and probe (they must hash identically
+        or the CMS min is garbage)."""
+        return F.substring(
             F.md5(
                 F.encode(
                     F.concat(
@@ -237,8 +233,13 @@ def heavy_hitters_cms(
             ),
             1,
             hex_chars,
-        ).alias("bucket"),
+        ).alias("bucket")
+
+    salts = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias(
+        "row_id"
     )
+    # sketch rows: for each of `depth` salted hashes, bucket = md5 prefix
+    rows = words.select("word", salts).select("row_id", _bucket())
     sketch = rows.groupBy("row_id", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -248,28 +249,8 @@ def heavy_hitters_cms(
         .orderBy(F.desc("exact_n"), "word")
         .limit(top_n)
     )
-    probes = exact.select(
-        "word",
-        "exact_n",
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_id"),
-    ).select(
-        "word",
-        "exact_n",
-        "row_id",
-        F.substring(
-            F.md5(
-                F.encode(
-                    F.concat(
-                        F.col("word"),
-                        F.lit("#"),
-                        F.col("row_id").cast("string"),
-                    ),
-                    "UTF-8",
-                )
-            ),
-            1,
-            hex_chars,
-        ).alias("bucket"),
+    probes = exact.select("word", "exact_n", salts).select(
+        "word", "exact_n", "row_id", _bucket()
     )
     return (
         probes.join(sketch, ["row_id", "bucket"])

@@ -1039,7 +1039,7 @@ REGISTRY.update(
                        LAG(event_type, 2) OVER w AS l2,
                        LAG(event_type, 1) OVER w AS l1,
                        event_type AS label
-                FROM events
+                FROM events WHERE event_type IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, event_id,
                    l3 || ' ' || l2 || ' ' || l1 AS context, label
@@ -2107,9 +2107,9 @@ REGISTRY.update(
 # pivot/unpivot, grouping_sets, null_handling_funcs,
 # salted_agg_user_value) — each exactly two rounds old after r4, within
 # the freshness bar, and each with pytest coverage.
-# Long-run freshness policy: at 124 registered queries and a 50-entry
-# driver cap, a strict "nothing older than two rounds" bar is
-# arithmetically impossible (124/50 ≈ 2.5-round average). The standing
+# Long-run freshness policy: with the registry well past 100 entries
+# against a 50-entry driver cap, a strict "nothing older than two
+# rounds" bar is arithmetically impossible (N/50 > 2-round average). The standing
 # rotation rule, in priority order: (1) anything new or whose code/oracle
 # changed since its last verdict, (2) the oldest verdicts first,
 # (3) risk-ranked ties — custom/composed operators before plain

@@ -62,9 +62,16 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     over two prefixes instead).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.errors import AnalysisException
+
     try:
         ts_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
-    except Exception:  # empty/absent dir: no footer to sniff yet
+    except AnalysisException:
+        # path missing / no files to infer from: the legitimate
+        # pre-first-file state -> declare the nanos-as-long schema.
+        # Anything else (FS errors, corrupt footers) propagates —
+        # silently mis-declaring the schema on a transient failure
+        # would corrupt every later timestamp by 1000x.
         ts_type = "bigint"
     if ts_type == "bigint":  # physical TIMESTAMP(NANOS) -> long
         schema = T.StructType(

@@ -629,3 +629,14 @@ def test_wav_codec_roundtrip_exact():
         raw = bytearray(M.encode_wav(s))
         raw[34] = 8
         M.decode_wav(bytes(raw))
+
+
+def test_netpbm_truncated_headers_fail_fast():
+    """Malformed/truncated headers must raise, never spin: a decoder
+    that scans past the buffer end would hang the executor task on
+    the first bad payload (reproduced pre-fix with b'P5 3')."""
+    import pytest as _pytest
+
+    for bad in (b"P5 3", b"P5", b"P5\n# no newline", b"P5 1 2", b"P6 1 2 25"):
+        with _pytest.raises(ValueError):
+            M._parse_netpbm_header(bad, b"P5" if bad.startswith(b"P5") else b"P6")

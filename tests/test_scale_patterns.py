@@ -175,19 +175,13 @@ def test_bloom_prune_selective_and_lossless(spark, sf_dir):
     keys = {r.c_custkey for r in seg.select("c_custkey").collect()}
     orders = t["orders"]
     n_true = orders.filter(F.col("o_custkey").isin(keys)).count()
-    # rebuild the same bloom the operator builds and count what passes
+    # rebuild the same bloom the operator builds (via the SHARED build
+    # expression — build and probe must hash identically) and count
+    # what passes
     import parquet_export_spark.operators.scale as SCL
 
     words = SCL.BLOOM_BITS // 64
-    sig = F.expr(
-        f"transform(sequence(0, {words - 1}), w -> aggregate("
-        f" sequence(0, {SCL.BLOOM_HASHES - 1}), 0L,"
-        f" (acc, i) -> IF(cast(pmod(xxhash64(c_custkey, i), {SCL.BLOOM_BITS})"
-        f" / 64 as int) = w,"
-        f" acc | shiftleft(1L, cast(pmod(xxhash64(c_custkey, i),"
-        f" {SCL.BLOOM_BITS}) % 64 as int)), acc)))"
-    )
-    bloom = seg.select(sig.alias("sig")).agg(
+    bloom = seg.select(F.expr(SCL._bloom_build_expr("c_custkey")).alias("sig")).agg(
         F.array(*[F.bit_or(F.col("sig")[w]) for w in range(words)]).alias("bf")
     )
     passed = (

@@ -320,3 +320,66 @@ def test_live_jdbc_partitioned_roundtrip(spark, tmp_path):
     live = jsrc.read(spark, spec)
     assert live.rdd.getNumPartitions() == 4
     assert {tuple(r) for r in live.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_live_jdbc_to_lake_export(spark, tmp_path):
+    """The reference's whole production flow, LIVE: a JDBC database
+    (embedded Derby) -> JdbcSource partitioned read -> export_lake
+    (declared schema, size-bounded zstd parquet, row-range names,
+    committed-files manifest). Also pins JDBC filter pushdown for the
+    incremental-export path: the updated_at predicate must reach the
+    JDBC scan, not filter in Spark."""
+    from parquet_export_spark.sources.jdbc import JdbcSource
+    from parquet_export_spark.tables import TableSpec
+
+    url = f"jdbc:derby:{tmp_path}/lakedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src_df = spark.range(60).selectExpr(
+        "id AS k",
+        "concat('name', id) AS name",
+        "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS updated_at",
+    )
+    src_df.write.jdbc(url, "items", mode="overwrite", properties=props)
+    jsrc = JdbcSource(
+        url=url,
+        user="app",
+        password="app",
+        schema="APP",
+        num_partitions=3,
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        partition_column="k",
+    )
+    spec = TableSpec(
+        name="ITEMS",
+        datatypes={
+            "k": "Int64",
+            "name": "string",
+            "updated_at": "datetime64[ns]",
+        },
+        rows_per_file=25,
+    )
+    out = str(tmp_path / "lake")
+    files = export_lake(
+        spark,
+        lambda s, sp: jsrc.read(s, sp),
+        out,
+        tables={"ITEMS": spec},
+    )
+    assert [n.startswith("ITEMS_") and n.endswith("_zstd.parquet") for n in files["ITEMS"]]
+    back = spark.read.parquet(os.path.join(out, "ITEMS"))
+    assert back.count() == 60
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["files"]["ITEMS"] == [f"ITEMS/{n}" for n in files["ITEMS"]]
+
+    # incremental export: the watermark predicate pushes INTO the JDBC
+    # scan (PushedFilters on the JDBCRelation), so a delta run reads
+    # the delta, not the table
+    from parquet_export_spark.streaming.incremental import incremental_export
+
+    delta = incremental_export(
+        jsrc.read(spark, spec), "2024-01-01 00:00:30", updated_col="updated_at"
+    )
+    assert delta.count() == 29  # ids 31..59
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "updated_at" in plan.split("PushedFilters", 1)[1][:200]

@@ -52,3 +52,64 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     back = load_manifest_table(spark, out, "docs_train")
     re_split = train_eval_split({"documents": back})
     assert re_split.filter("split != 'train'").count() == 0
+
+
+def test_training_shard_pipeline_end_to_end(spark, sf_dir):
+    """Round-4 composition: quality gate -> PII scrub accounting ->
+    train split -> deterministic shard assignment. Invariants: every
+    surviving train doc lands in exactly one shard at a contiguous
+    1..n position, shard totals reconcile with the split totals, and
+    re-sharding any subset reproduces the same (shard, relative
+    order) — the append-stability the content-addressed design buys.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.operators.curation import (
+        corpus_quality_filter,
+        shard_for_training,
+        train_eval_split,
+    )
+    from parquet_export_spark.operators.text import pii_scan
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    kept = corpus_quality_filter(t).select("doc_id")  # already gated
+    # PII accounting joins cleanly onto the kept set (scrub stage)
+    pii = pii_scan(t).select("doc_id", "n_pii")
+    staged = kept.join(pii, "doc_id")
+    train = (
+        train_eval_split({"documents": t["documents"]})
+        .filter("split = 'train'")
+        .select("doc_id")
+        .join(staged, "doc_id")
+    )
+    shards = shard_for_training(
+        {"documents": train.join(t["documents"], "doc_id")}
+    )
+    n_train = train.count()
+    assert shards.count() == n_train  # exactly one row per doc
+    per = {r.shard: r.n for r in shards.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == n_train
+    # positions are 1..n contiguous within each shard
+    mx = {
+        r.shard: r.mx
+        for r in shards.groupBy("shard").agg(F.max("shard_pos").alias("mx")).collect()
+    }
+    assert mx == per
+    # subset stability: sharding only the even docs preserves shard id
+    # and relative order
+    sub = shard_for_training(
+        {"documents": train.filter("doc_id % 2 = 0").join(t["documents"], "doc_id")}
+    )
+    full = {r.doc_id: (r.shard, r.shard_pos) for r in shards.collect()}
+    sub_rows = sorted(
+        ((r.shard, r.shard_pos, r.doc_id) for r in sub.collect())
+    )
+    for shard in set(s for s, _, _ in sub_rows):
+        sub_order = [d for s, _, d in sub_rows if s == shard]
+        full_order = [
+            d
+            for d, (s, _) in sorted(full.items(), key=lambda kv: kv[1])
+            if s == shard and d % 2 == 0
+        ]
+        assert sub_order == full_order, shard

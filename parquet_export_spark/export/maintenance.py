@@ -153,16 +153,16 @@ def overwrite_partitions(
     table directory first; the dynamic mode deletes only partitions
     the incoming frame writes into, so a re-run of one day's export is
     idempotent and concurrent readers of other partitions never see a
-    gap. The conf flip is scoped and restored.
+    gap. The mode rides as a PER-WRITE DataFrameWriter option, never a
+    session-conf flip: a session-global toggle would race with
+    concurrent writes from other driver threads (the thread pool
+    export_lake itself uses) — a thread catching the window between
+    set and restore would silently fall back to STATIC and delete its
+    table's sibling partitions.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(table_dir)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(table_dir)
+    )

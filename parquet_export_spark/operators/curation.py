@@ -453,18 +453,21 @@ def shard_for_training(t: dict[str, DataFrame]) -> DataFrame:
     an identical plan shape.
     """
     docs = t["documents"]
-    h = F.md5(F.col("doc_id").cast("string"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    # the digest is computed ONCE; shard derives from its first nibble
+    # (two definitions of the hash could silently drift apart — the
+    # exact failure the content-addressed design exists to prevent)
     return (
         docs.select(
-            "doc_id",
-            h.alias("h"),
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        )
+        .withColumn(
+            "shard",
             (
-                F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))")
-                - 1
-            ).cast("int").alias("shard"),
+                F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1
+            ).cast("int"),
         )
         .withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "shard_pos")

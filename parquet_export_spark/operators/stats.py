@@ -272,13 +272,15 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
     concentration diagnostic (is revenue driven by few whales?).
 
     Exactness contract: values are quantized to integer micro-units
-    inside the kernel and the Gini computed from the SORTED integer
-    series (G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)) — int64 arithmetic,
-    so the result is deterministic across partitionings and engines
-    and the DuckDB oracle (rank-window form of the same formula)
-    hash-matches. int64 holds to ~1M rows/group at these value
-    magnitudes; beyond that the kernel would switch to Python ints
-    (object dtype) at ~3x cost.
+    inside the kernel, the Gini numerator/denominator are formed from
+    the SORTED integer series (G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)),
+    and the RESULT is the floor quotient in parts-per-billion —
+    arbitrary-precision integer division on both sides (Python ints
+    in the kernel, HUGEINT in the oracle), so there is no float
+    division of >2^53 integers anywhere and no rounding-boundary
+    luck: the hash match is by construction at any scale. A zero-sum
+    or empty group yields NULL on both sides (a Gini of nothing is
+    undefined, not 0).
 
     Scale shape: one shuffle on event_type; Arrow ships each group's
     value column only (column pruning drops the rest); per-group
@@ -290,17 +292,20 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def gini(v: pd.Series) -> float:
+    @pandas_udf("long")
+    def gini_ppb(v: pd.Series) -> int | None:
         import numpy as np
 
         x = np.sort(np.round(v.to_numpy() * 1_000_000).astype(np.int64))
         n = len(x)
         s0 = int(x.sum())
         if n == 0 or s0 == 0:
-            return 0.0
+            return None
+        # Python big-int arithmetic: exact at any group size (numpy
+        # int64 sums are exact here — n*s0 fits — but the * 10**9
+        # scale-up would not be, so the quotient math leaves numpy)
         s1 = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
-        return round((2 * s1 - (n + 1) * s0) / (n * s0), 9)
+        return (2 * s1 - (n + 1) * s0) * 10**9 // (n * s0)
 
     # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
     # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a second
@@ -316,7 +321,7 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
         t["events"].groupBy("event_type")
         .agg(
             n_rows("value").alias("n_events"),
-            gini("value").alias("gini_value"),
+            gini_ppb("value").alias("gini_ppb"),
         )
         .orderBy("event_type")
     )

@@ -2009,11 +2009,12 @@ REGISTRY.update(
                   FROM m)
             SELECT event_type,
                    COUNT(*) AS n_events,
-                   ROUND(CAST(2 * CAST(SUM(i * x) AS BIGINT)
-                              - (COUNT(*) + 1) * CAST(SUM(x) AS BIGINT)
-                              AS DOUBLE)
-                         / CAST(COUNT(*) * CAST(SUM(x) AS BIGINT)
-                                AS DOUBLE), 9) AS gini_value
+                   CAST(CASE WHEN SUM(x) = 0 THEN NULL
+                        ELSE (2 * CAST(SUM(i * x) AS HUGEINT)
+                              - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT))
+                             * 1000000000
+                             // (COUNT(*) * CAST(SUM(x) AS HUGEINT))
+                        END AS BIGINT) AS gini_ppb
             FROM r GROUP BY event_type ORDER BY event_type
             """,
         ),

@@ -59,7 +59,11 @@ class JdbcSource:
     #: Postgres default matches the reference deployment; the live
     #: round-trip test drives the same code against embedded Derby.
     driver: str = "org.postgresql.Driver"
-    #: overrides the PARTITION_COLUMNS registry for ad-hoc tables.
+    #: fallback partition column for AD-HOC tables absent from the
+    #: PARTITION_COLUMNS registry. The registry wins for known tables
+    #: — a source built for one ad-hoc table and then reused across
+    #: the VerA set must not range-partition every table on the
+    #: ad-hoc column (wrong or missing there).
     partition_column: str | None = None
 
     def select_list(self, spec: TableSpec) -> str:
@@ -70,7 +74,7 @@ class JdbcSource:
         return ", ".join(cols)
 
     def _partition_column(self, spec: TableSpec) -> str | None:
-        return self.partition_column or PARTITION_COLUMNS.get(spec.name)
+        return PARTITION_COLUMNS.get(spec.name) or self.partition_column
 
     def dbtable(self, spec: TableSpec, offset: int | None = None) -> str:
         """Pushdown subquery used as the JDBC ``dbtable``."""

@@ -365,7 +365,11 @@ def test_live_jdbc_to_lake_export(spark, tmp_path):
         out,
         tables={"ITEMS": spec},
     )
-    assert [n.startswith("ITEMS_") and n.endswith("_zstd.parquet") for n in files["ITEMS"]]
+    assert files["ITEMS"]
+    assert all(
+        n.startswith("ITEMS_") and n.endswith("_zstd.parquet")
+        for n in files["ITEMS"]
+    )
     back = spark.read.parquet(os.path.join(out, "ITEMS"))
     assert back.count() == 60
     manifest = json.load(open(os.path.join(out, "manifest.json")))

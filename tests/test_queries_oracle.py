@@ -208,9 +208,11 @@ def test_pq_recall_vs_exact_cosine(spark, sf_dir):
     and exact-rerank precision (returned sims match the exact cosine).
 
     Random 64-dim embeddings are PQ's worst case (no cluster structure
-    for the codebooks to exploit), so the floor is set for the default
-    rerank=16 config, which measured 0.94 at sf0.01 and 1.0 at
-    sf0.001.
+    for the codebooks to exploit). The floor covers the default
+    rerank=48 config across scales: measured 1.0 at sf0.001 and 0.92
+    at sf0.1 (the rerank default moved from 16 when the fixed
+    160-candidate budget dropped recall to 0.72 at 10x corpus —
+    see pq_topk's docstring).
     """
     from parquet_export_spark.operators import similarity as S
     from parquet_export_spark.sources.lake import load_tables

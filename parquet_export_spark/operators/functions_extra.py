@@ -100,3 +100,28 @@ def conditional_funcs(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+def variant_json_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """Spark-4 VARIANT path for JSON columns: ``parse_json`` once into
+    the binary variant encoding, then typed ``try_variant_get`` reads.
+
+    The semantic twin of ``relational.scalar_json_funcs`` with a
+    different physical story: ``get_json_object`` re-parses the JSON
+    text on every access, while a variant column is parsed once and
+    field reads are O(1) over the shredded binary — at 100 TB of
+    jsonb-as-text exports (reference main.py:125-127 makes ALL jsonb
+    text) the parse-once path is the difference between one scan and
+    one-scan-per-extracted-field of CPU. Values are identical to the
+    text path, so the DuckDB oracle is plain json_extract.
+    """
+    e = t["events"]
+    v = e.select(
+        "event_id", "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select("event_id", "event_type", k.alias("prop_k"))
+        .filter(F.col("prop_k") > 90)
+        .orderBy("event_id")
+    )

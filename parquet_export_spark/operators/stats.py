@@ -438,3 +438,37 @@ def snapshot_diff_orders(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("o_orderkey", "change_type")
     )
+
+
+def winsorize_values(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-group winsorization: clip event values at the exact
+    [p05, p95] interpolated percentiles of their event_type — the
+    outlier-taming step feature pipelines run before normalization.
+
+    Two-pass shape: (1) one aggregate computes the per-group bounds
+    (group-count rows — broadcast always), (2) the clip itself is a
+    broadcast join + least/greatest, comparisons only. The bounds are
+    rounded to 6 decimals on BOTH engines before clipping, so the clip
+    decision boundary is identical by construction (raw interpolated
+    percentiles agree to ~1 ulp; comparisons against them must agree
+    exactly). At 100 TB: one scan for bounds, one map-side pass to
+    clip — no window, no per-group shuffle of the fact rows.
+    """
+    e = t["events"]
+    pct = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            clipped.alias("value_winsorized"),
+            (F.col("value") < F.col("p05")).alias("clipped_low"),
+            (F.col("value") > F.col("p95")).alias("clipped_high"),
+        )
+        .orderBy("event_id")
+    )

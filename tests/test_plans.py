@@ -167,3 +167,39 @@ def test_next_event_examples_reads_minimum(spark, sf_dir):
     df = q("next_event_examples", spark, sf_dir)
     [schema] = P.read_schemas(df)
     assert schema == {"user_id", "event_id", "event_type", "ts"}
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    # the per-group percentile bounds (group-count rows) must broadcast;
+    # the fact side is clipped map-side with no per-group shuffle
+    df = q("winsorize_values", spark, sf_dir)
+    assert P.count_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in P.plan_string(df)
+
+
+def test_snapshot_diff_no_cartesian_one_join(spark, sf_dir):
+    # the diff is ONE full-outer join on the key — never a cartesian,
+    # never a per-row comparison structure
+    df = q("snapshot_diff", spark, sf_dir)
+    s = P.plan_string(df)
+    assert "CartesianProduct" not in s
+    assert s.count("SortMergeJoin FullOuter") + s.count("ShuffledHashJoin FullOuter") == 1
+
+
+def test_event_ohlc_single_agg_no_window(spark, sf_dir):
+    # OHLC via min_by/max_by: one partial+final aggregate, no Window
+    # operator (the naive first/last-per-group plan would sort-window
+    # the whole fact table)
+    df = q("event_ohlc", spark, sf_dir)
+    s = P.plan_string(df)
+    assert "Window" not in s
+    assert P.count_shuffles(df) <= 2  # agg exchange + final orderBy range
+
+
+def test_incremental_rollup_scans_delta_with_pushdown(spark, sf_dir):
+    # both branches' time-split predicates reach the parquet scans: the
+    # "stored MV" side would be a tiny aggregate table at scale, and
+    # the delta side reads only rows past the cutoff
+    df = q("incremental_rollup", spark, sf_dir)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "ts" in pushed

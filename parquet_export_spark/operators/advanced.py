@@ -539,10 +539,13 @@ def event_ohlc(t: dict[str, DataFrame]) -> DataFrame:
     """
     e = t["events"]
     ordk = F.struct(F.col("ts"), F.col("event_id"))
+    # tz-free hour truncation on NTZ (date_trunc would route through
+    # the session zone — see events_hourly_rollup)
+    hour = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
     return (
-        e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-        )
+        e.groupBy(hour.alias("hour"), "event_type")
         .agg(
             F.min_by("value", ordk).alias("open_value"),
             F.max("value").alias("high_value"),
@@ -603,7 +606,11 @@ def incremental_rollup(t: dict[str, DataFrame]) -> DataFrame:
     """
     e = t["events"]
     cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+    # tz-free day truncation on NTZ (date_trunc routes through the
+    # session zone — see events_hourly_rollup)
+    day = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)"
+    ).alias("day")
     dec = F.col("value").cast("decimal(30,6)")
 
     def partial(df: DataFrame) -> DataFrame:

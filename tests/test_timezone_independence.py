@@ -26,6 +26,9 @@ TZ_SENSITIVE = [
     "event_transition_matrix",
     "scd2_user_state",
     "next_event_examples",
+    "event_ohlc",
+    "sliding_rollup",
+    "incremental_rollup",
 ]
 
 

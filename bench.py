@@ -41,6 +41,7 @@ HEADLINE = [
     "sliding_rollup",
     "snapshot_diff",
     "incremental_rollup",
+    "hll_rollup_users",
     "variant_json_funcs",
     "winsorize_values",
     "token_diversity",

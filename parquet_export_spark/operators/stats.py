@@ -472,3 +472,35 @@ def winsorize_values(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def hll_rollup_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL user sketches unioned into
+    per-event_type distinct-user estimates — the 100 TB pattern for
+    distinct counts over time hierarchies (store a KB-sized sketch per
+    (day, type) partition at ingest; answer month/quarter/all-time
+    distincts by merging sketches, never rescanning raw events —
+    COUNT(DISTINCT) does not reaggregate, sketches do).
+
+    Uses Spark's Apache DataSketches HLL family (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate), which is also the
+    cross-engine interop format (Druid/Hive/BigQuery read the same
+    binary sketches). Approximate -> rows-only driver check; pytest
+    pins (a) the estimate against exact countDistinct within HLL
+    error, and (b) merge-consistency: union-of-daily-sketches equals
+    the one-shot sketch over the same rows (the property the rollup
+    relies on).
+    """
+    e = t["events"]
+    day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
+    daily = e.groupBy(day.alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

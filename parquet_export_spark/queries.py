@@ -2234,6 +2234,10 @@ REGISTRY.update(
             FROM pd ORDER BY doc_id
             """,
         ),
+        # Apache DataSketches HLL rollup — approximate by design, no SQL
+        # oracle; merge-consistency + error bound pinned in pytest
+        # (tests/test_queries_oracle.py::test_hll_rollup_merge_consistency).
+        "hll_rollup_users": QuerySpec(_rel(ST.hll_rollup_users), None),
     }
 )
 
@@ -2293,7 +2297,10 @@ _VERDICT_PRIORITY = [
     # anyway, and their recall/keep-drop evidence lives in pytest.
     # approx_percentiles likewise: rows-only driver check, its only
     # change is a named constant with the same value, and the GK
-    # rank-error bound lives in pytest.)
+    # rank-error bound lives in pytest. hll_rollup_users (new, rows-
+    # only) also stays outside: its merge-consistency + error-bound
+    # evidence is entirely in pytest, which a rows-only driver check
+    # would not strengthen.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",

@@ -304,3 +304,35 @@ def test_cms_overestimates_within_bound(spark, sf_dir):
     for r in rows:
         assert r.cms_n >= r.exact_n, (r.word, r.cms_n, r.exact_n)
         assert r.cms_n - r.exact_n <= bound, (r.word, r.cms_n, r.exact_n, bound)
+
+
+def test_hll_rollup_merge_consistency(spark, sf_dir):
+    """(a) merged-daily-sketch estimates match exact distinct counts
+    within HLL error (lgConfigK=12 -> rsd ~1.6%; 5x slack);
+    (b) union-of-partials equals the one-shot sketch over the same
+    rows — the mergeability property the rollup pattern relies on."""
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.operators.stats import hll_rollup_users
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    got = {r.event_type: r.approx_users for r in hll_rollup_users(t).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) / exact[et] < 0.08, (et, est, exact[et])
+    oneshot = {
+        r.event_type: r.approx_users
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .collect()
+    }
+    assert got == oneshot

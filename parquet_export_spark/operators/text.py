@@ -8,6 +8,7 @@ so the DuckDB oracles hash-match bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -782,3 +783,95 @@ def token_diversity(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.col("sum_sq").cast("double") / n2, 9).alias("simpson"),
         F.round(n2 / F.col("sum_sq").cast("double"), 9).alias("eff_vocab"),
     ).orderBy("doc_id")
+
+
+#: merge-table size for bpe_learn_merges — shared with the pytest
+#: pure-Python parity reference so the bound tracks the operator.
+BPE_N_MERGES = 16
+
+
+def _bpe_merge_udf(a: str, b: str):
+    """Factory for the per-iteration merge kernel: capturing ``a``/``b``
+    through factory arguments (not loop variables) pins them at
+    definition time — Spark serializes the UDF lazily at the NEXT
+    job submission, by which point loop variables have been rebound.
+    Greedy left-to-right pair replacement, the standard BPE apply."""
+    from pyspark.sql.functions import pandas_udf
+
+    merged = a + b
+
+    @pandas_udf("array<string>")
+    def apply_merge(syms_s: pd.Series) -> pd.Series:
+        out = []
+        for syms in syms_s:
+            res: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return apply_merge
+
+
+def bpe_learn_merges(
+    t: dict[str, DataFrame], n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Distributed BPE vocabulary induction — the iterative
+    corpus-optimization class (tokenizer training), absent from every
+    one-shot query shape here.
+
+    The scalable formulation: ONE corpus scan builds the word-frequency
+    table (vocab-sized — millions of rows at 100 TB, not trillions),
+    and all ``n_merges`` iterations run over THAT table, exactly how
+    production BPE trainers avoid re-tokenizing the corpus per merge.
+    Each iteration is (1) a JVM-side zip_with pair fan-out + one
+    partial+final weighted count, (2) a 1-row argmax collect with a
+    deterministic tie-break (count desc, then pair lexicographic), and
+    (3) an Arrow-batched merge apply; localCheckpoint every 4 rounds
+    truncates the growing UDF lineage (same pattern as the
+    connected-components dedup). In-word merges only (no end-of-word
+    marker) — documented simplification, same algorithm.
+
+    Iterative -> no single-statement SQL oracle; rows-only driver
+    check. pytest pins EXACT equality of the learned merge table
+    against a pure-Python BPE reference on the same word counts.
+    """
+    docs = t["documents"]
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select("freq", F.split("w", "").alias("syms")).localCheckpoint()
+    pair_expr = F.expr(
+        "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1),"
+        " (a, b) -> struct(a, b))"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            cur.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
+        merges.append((rank, a, b, cnt))
+        cur = cur.withColumn("syms", _bpe_merge_udf(a, b)("syms"))
+        if (rank + 1) % 4 == 0:
+            cur = cur.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

@@ -2238,6 +2238,11 @@ REGISTRY.update(
         # oracle; merge-consistency + error bound pinned in pytest
         # (tests/test_queries_oracle.py::test_hll_rollup_merge_consistency).
         "hll_rollup_users": QuerySpec(_rel(ST.hll_rollup_users), None),
+        # Iterative BPE vocabulary induction — no single-statement SQL
+        # oracle exists for an iterative optimizer; the EXACT merge-table
+        # parity against a sequential reference is pinned in pytest
+        # (tests/test_extensions.py::test_bpe_learn_merges_matches_reference).
+        "bpe_learn_merges": QuerySpec(_rel(X.bpe_learn_merges), None),
     }
 )
 

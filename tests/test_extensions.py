@@ -640,3 +640,60 @@ def test_netpbm_truncated_headers_fail_fast():
     for bad in (b"P5 3", b"P5", b"P5\n# no newline", b"P5 1 2", b"P6 1 2 25"):
         with _pytest.raises(ValueError):
             M._parse_netpbm_header(bad, b"P5" if bad.startswith(b"P5") else b"P6")
+
+
+def _ref_bpe(word_freqs: dict, n: int):
+    """Pure-Python BPE reference: same weighted pair counts, same
+    (count desc, pair lexicographic) tie-break, same greedy apply."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, c))
+        for w, s in syms.items():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark, sf_dir):
+    """The distributed BPE trainer must learn EXACTLY the merge table
+    the sequential reference learns from the same word counts —
+    iteration order, tie-breaks and greedy apply all agree."""
+    from collections import Counter
+
+    from parquet_export_spark.operators.text import (
+        BPE_N_MERGES,
+        bpe_learn_merges,
+    )
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn_merges(t).orderBy("merge_rank").collect()
+    ]
+    freqs = Counter()
+    for row in t["documents"].select("text").collect():
+        for w in row.text.split(" "):
+            if w:
+                freqs[w] += 1
+    want = _ref_bpe(dict(freqs), BPE_N_MERGES)
+    assert got == want
+    assert len(got) == BPE_N_MERGES  # corpus is rich enough to fill the table

@@ -42,6 +42,7 @@ HEADLINE = [
     "snapshot_diff",
     "incremental_rollup",
     "hll_rollup_users",
+    "cogroup_user_funnel",
     "variant_json_funcs",
     "winsorize_values",
     "token_diversity",

@@ -7,6 +7,7 @@ out, aliases matched to the DuckDB oracles in queries.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -628,4 +629,64 @@ def incremental_rollup(t: dict[str, DataFrame]) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
         .orderBy("day", "event_type")
+    )
+
+
+def cogroup_user_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sided grouped-map via ``cogroup().applyInPandas`` — the one
+    pandas-API surface no other operator exercises: clicks and
+    purchases are cogrouped per user and a single Arrow-batched kernel
+    sees BOTH sides of each key at once (the shape for per-entity
+    reconciliation, feature joins with custom alignment, or as-of
+    logic too gnarly for SQL).
+
+    The kernel's outputs are all exact: integer counts, and the value
+    total accumulated in integer micros (event values are 2-decimal;
+    int accumulation is order-independent) then divided once — so the
+    DuckDB oracle matches bit-for-bit even though the kernel is
+    Python. Users with no purchases carry NULL funnel fields, not
+    zeros, distinguishing "never converted" from "converted with no
+    prior click". At 100 TB: one co-partitioned shuffle on user_id for
+    both sides, kernel state bounded by a single user's rows.
+    """
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+    def kernel(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        n_clicks = len(cdf)
+        n_purchases = len(pdf)
+        if n_purchases:
+            first_p = pdf["ts"].min()
+            clicks_before = int((cdf["ts"] < first_p).sum())
+            total = int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+            total_value = total / 1_000_000.0
+        else:
+            clicks_before = None
+            total_value = None
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([key[0]], dtype="Int64"),
+                "n_clicks": pd.array([n_clicks], dtype="Int64"),
+                "n_purchases": pd.array([n_purchases], dtype="Int64"),
+                "clicks_before_first_purchase": pd.array(
+                    [clicks_before], dtype="Int64"
+                ),
+                "total_purchase_value": pd.array(
+                    [total_value], dtype="float64"
+                ),
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_clicks long, n_purchases long, "
+        "clicks_before_first_purchase long, total_purchase_value double"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(kernel, out_schema)
+        .orderBy("user_id")
     )

@@ -2243,6 +2243,38 @@ REGISTRY.update(
         # parity against a sequential reference is pinned in pytest
         # (tests/test_extensions.py::test_bpe_learn_merges_matches_reference).
         "bpe_learn_merges": QuerySpec(_rel(X.bpe_learn_merges), None),
+        "cogroup_user_funnel": QuerySpec(
+            _rel(A.cogroup_user_funnel),
+            f"""
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+            agg_c AS (SELECT user_id, COUNT(*) AS n_clicks
+                      FROM c GROUP BY user_id),
+            agg_p AS (SELECT user_id, COUNT(*) AS n_purchases,
+                             MIN(ts) AS first_p,
+                             {dsum_sql('value', scale=6)} AS total_value
+                      FROM p GROUP BY user_id),
+            cb AS (SELECT c.user_id, COUNT(*) AS clicks_before
+                   FROM c JOIN agg_p USING (user_id)
+                   WHERE c.ts < agg_p.first_p GROUP BY c.user_id),
+            allu AS (SELECT user_id FROM agg_c
+                     UNION SELECT user_id FROM agg_p)
+            SELECT allu.user_id,
+                   COALESCE(n_clicks, 0) AS n_clicks,
+                   COALESCE(n_purchases, 0) AS n_purchases,
+                   CASE WHEN n_purchases IS NULL THEN NULL
+                        ELSE COALESCE(clicks_before, 0)
+                   END AS clicks_before_first_purchase,
+                   total_value AS total_purchase_value
+            FROM allu
+            LEFT JOIN agg_c USING (user_id)
+            LEFT JOIN agg_p USING (user_id)
+            LEFT JOIN cb USING (user_id)
+            ORDER BY user_id
+            """,
+        ),
     }
 )
 
@@ -2289,7 +2321,7 @@ _VERDICT_PRIORITY = [
     # rollup + winsorization + Simpson token diversity)
     "event_ohlc", "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
-    "token_diversity",
+    "token_diversity", "cogroup_user_funnel",
     "ppm_image_features", "bpe_token_counts", "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
@@ -2308,7 +2340,9 @@ _VERDICT_PRIORITY = [
     # would not strengthen.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
-    "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
+    # (string_funcs_extra yields its slot to cogroup_user_funnel —
+    # its family stays pinned by scalar_string_funcs, in-window below)
+    "date_funcs_extra", "conditional_funcs",
     "stats_moments", "stats_correlation", "percentiles_exact",
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",

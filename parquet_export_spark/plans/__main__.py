@@ -48,6 +48,15 @@ SHOWCASE = [
     "pii_scan",
     "vocab_coverage",
     "next_event_examples",
+    # round-4b additions: no-window OHLC aggregate, JVM sliding-window
+    # fan-out, single full-outer CDC diff, MV partial-merge,
+    # broadcast-bounds clip, cogrouped pandas kernel
+    "event_ohlc",
+    "sliding_rollup",
+    "snapshot_diff",
+    "incremental_rollup",
+    "winsorize_values",
+    "cogroup_user_funnel",
 ]
 
 HEADER = """\

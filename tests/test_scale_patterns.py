@@ -77,12 +77,13 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
 def test_operator_collect_whitelist():
     """SCALE.md's collect discipline, machine-checked: the ONLY
-    `.collect()` / `.toPandas()` sites in `operators/` are the two
+    `.collect()` / `.toPandas()` sites in `operators/` are the three
     bounded-by-construction ones — the shared sample-fit collect
     (`_collect_fit_sample`, <= KMEANS_FIT_CAP rows, one hash-ordered
-    top-k job) and `pq_topk`'s query-side collect (<= n_queries rows).
-    A new unbounded collect anywhere in the operator surface fails
-    this test by name."""
+    top-k job), `pq_topk`'s query-side collect (<= n_queries rows),
+    and `bpe_learn_merges`' per-iteration argmax (`limit(1).collect()`,
+    exactly one row per merge round). A new unbounded collect anywhere
+    in the operator surface fails this test by name."""
     import pathlib
 
     import parquet_export_spark.operators as ops
@@ -90,6 +91,7 @@ def test_operator_collect_whitelist():
     allowed = {
         ("similarity.py", "_collect_fit_sample"),
         ("similarity.py", "pq_topk"),
+        ("text.py", "bpe_learn_merges"),
     }
     found = set()
     op_dir = pathlib.Path(ops.__file__).parent

@@ -203,3 +203,13 @@ def test_incremental_rollup_scans_delta_with_pushdown(spark, sf_dir):
     df = q("incremental_rollup", spark, sf_dir)
     pushed = " ".join(P.pushed_filters(df))
     assert "ts" in pushed
+
+
+def test_sliding_rollup_window_fanout_jvm_side(spark, sf_dir):
+    # the 4-way window fan-out is an Expand/Generate inside the scan
+    # stage (JVM generator) feeding ONE partial+final aggregate — not a
+    # join against a window spine and not a per-window pass
+    df = q("sliding_rollup", spark, sf_dir)
+    s = P.plan_string(df)
+    assert "Join" not in s
+    assert P.count_shuffles(df) <= 2  # agg exchange + final orderBy range

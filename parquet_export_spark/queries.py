@@ -2340,9 +2340,7 @@ _VERDICT_PRIORITY = [
     # would not strengthen.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
-    # (string_funcs_extra yields its slot to cogroup_user_funnel —
-    # its family stays pinned by scalar_string_funcs, in-window below)
-    "date_funcs_extra", "conditional_funcs",
+    "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
     "stats_moments", "stats_correlation", "percentiles_exact",
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
@@ -2351,18 +2349,20 @@ _VERDICT_PRIORITY = [
     "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
     "scalar_json_funcs", "events_hourly_rollup",
     # 3: the TPC-H block (last verdict r2) + the as-of custom operator
-    "q1_pricing_summary", "q9_product_profit",
+    "q1_pricing_summary",
     # (q4/q12-q19 minus q18's keepers yield their slots to the ten new
     # round-4 ops — dropped: q4/q12/q13/q14/q15/q16/q17/q18/q19, all
     # r2-green and the simplest remaining TPC-H shapes; q3/q7/q8 then
     # yield to the three time-series/CDC ops and q2/q20/q21/q22 to the
-    # variant/MV/winsorize/diversity four — per the standing policy,
-    # new-or-changed entries outrank r2-green unchanged shapes, and
-    # every dropped entry is exactly two rounds old after r4 (the
-    # freshness bar) with pytest oracle coverage in the meantime.
-    # q1 stays (flagship + the round-3 bench-anomaly follow-up), q9
-    # stays as the multi-join-analytics family representative;
-    # q10_returned_items (in-window) pins join+agg+topk. Remaining
+    # variant/MV/winsorize/diversity four and q9 to
+    # cogroup_user_funnel — per the standing policy, new-or-changed
+    # entries outrank r2-green unchanged shapes, r1-stale entries
+    # outrank r2 ones (oldest first), and every dropped entry is
+    # exactly two rounds old after r4 (the freshness bar) with pytest
+    # oracle coverage in the meantime.
+    # q1 stays (flagship + the round-3 bench-anomaly follow-up);
+    # q10_returned_items (in-window, r1-refresh) pins the multi-table
+    # join+agg+topk family q3/q7/q8/q9 exemplify. Remaining
     # families pinned in-window: exists/semi-anti by
     # join_semi+join_anti, conditional aggs by conditional_funcs,
     # distinct-count aggs by agg_distinct, correlated/HAVING shapes by

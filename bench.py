@@ -77,6 +77,7 @@ HEADLINE = [
     "train_eval_split",
     "shard_for_training",
     "stratified_sample",
+    "source_capped_sample",
     "pack_sequences",
     "decontaminate_train",
     "unigram_freq_quality",

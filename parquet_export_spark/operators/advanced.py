@@ -635,47 +635,67 @@ def incremental_rollup(t: dict[str, DataFrame]) -> DataFrame:
 def cogroup_user_funnel(t: dict[str, DataFrame]) -> DataFrame:
     """Two-sided grouped-map via ``cogroup().applyInPandas`` — the one
     pandas-API surface no other operator exercises: clicks and
-    purchases are cogrouped per user and a single Arrow-batched kernel
-    sees BOTH sides of each key at once (the shape for per-entity
+    purchases cogrouped and a single Arrow-batched kernel seeing BOTH
+    sides of each key at once (the shape for per-entity
     reconciliation, feature joins with custom alignment, or as-of
     logic too gnarly for SQL).
 
-    The kernel's outputs are all exact: integer counts, and the value
-    total accumulated in integer micros (event values are 2-decimal;
-    int accumulation is order-independent) then divided once — so the
-    DuckDB oracle matches bit-for-bit even though the kernel is
-    Python. Users with no purchases carry NULL funnel fields, not
-    zeros, distinguishing "never converted" from "converted with no
-    prior click". At 100 TB: one co-partitioned shuffle on user_id for
-    both sides, kernel state bounded by a single user's rows.
+    Cogrouped on a HASH BUCKET of the user, not the raw user_id: a
+    grouped-map kernel is invoked once per key, so keying by user
+    would pay one Python call per user (measured: 14 s for ~8k users
+    at sf0.1 vs <1 s bucketed). Bucketing by ``user_id % N_BUCKETS``
+    amortizes the kernel over thousands of users while the per-user
+    math runs vectorized pandas inside — the production pattern for
+    fine-grained keys, and the per-kernel state stays bounded by a
+    bucket, not the corpus. Results are identical: counts are integer,
+    value totals accumulate in integer micros (event values are
+    2-decimal) with one final division, so the DuckDB oracle matches
+    bit-for-bit despite the Python kernel. Users with no purchases
+    carry NULL funnel fields, distinguishing "never converted" from
+    "converted with no prior click".
     """
     e = t["events"]
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    n_buckets = 64
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", (F.col("user_id") % n_buckets).alias("bucket")
+    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", (F.col("user_id") % n_buckets).alias("bucket")
     )
 
     def kernel(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
-        n_clicks = len(cdf)
-        n_purchases = len(pdf)
-        if n_purchases:
-            first_p = pdf["ts"].min()
-            clicks_before = int((cdf["ts"] < first_p).sum())
-            total = int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
-            total_value = total / 1_000_000.0
+        idx = pd.Index(
+            sorted(set(cdf["user_id"]).union(pdf["user_id"])), name="user_id"
+        )
+        n_clicks = cdf.groupby("user_id").size().reindex(idx, fill_value=0)
+        n_purchases = pdf.groupby("user_id").size().reindex(idx, fill_value=0)
+        if len(pdf):
+            first_p = pdf.groupby("user_id")["ts"].min()
+            micros = pdf["value"].mul(1_000_000).round().astype("int64")
+            total = (
+                micros.groupby(pdf["user_id"]).sum() / 1_000_000.0
+            ).reindex(idx)
         else:
-            clicks_before = None
-            total_value = None
+            first_p = pd.Series(dtype="datetime64[us]")
+            total = pd.Series(float("nan"), index=idx)
+        if len(cdf):
+            fp = cdf["user_id"].map(first_p)
+            before = cdf[cdf["ts"] < fp].groupby("user_id").size().reindex(idx)
+        else:
+            before = pd.Series(float("nan"), index=idx)
+        # purchasers with no prior clicks -> 0; non-purchasers -> NULL
+        before = before.fillna(0).where(n_purchases > 0)
         return pd.DataFrame(
             {
-                "user_id": pd.array([key[0]], dtype="Int64"),
-                "n_clicks": pd.array([n_clicks], dtype="Int64"),
-                "n_purchases": pd.array([n_purchases], dtype="Int64"),
+                "user_id": pd.array(idx.to_numpy(), dtype="Int64"),
+                "n_clicks": pd.array(n_clicks.to_numpy(), dtype="Int64"),
+                "n_purchases": pd.array(n_purchases.to_numpy(), dtype="Int64"),
                 "clicks_before_first_purchase": pd.array(
-                    [clicks_before], dtype="Int64"
+                    [None if pd.isna(v) else int(v) for v in before],
+                    dtype="Int64",
                 ),
                 "total_purchase_value": pd.array(
-                    [total_value], dtype="float64"
+                    total.to_numpy(), dtype="float64"
                 ),
             }
         )
@@ -685,8 +705,8 @@ def cogroup_user_funnel(t: dict[str, DataFrame]) -> DataFrame:
         "clicks_before_first_purchase long, total_purchase_value double"
     )
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(kernel, out_schema)
         .orderBy("user_id")
     )

@@ -473,3 +473,36 @@ def shard_for_training(t: dict[str, DataFrame]) -> DataFrame:
         .select("doc_id", "shard", "shard_pos")
         .orderBy("shard", "shard_pos")
     )
+
+
+def source_capped_sample(t: dict[str, DataFrame], cap: int = 15) -> DataFrame:
+    """Per-source document cap — the domain-balance rule web-corpus
+    pipelines apply (keep at most N pages per domain) so one
+    crawl-heavy source cannot dominate a training shard.
+
+    Which documents survive is content-addressed, not random: rank
+    within source by md5(doc_id) (seedless, engine-identical — the
+    same device train_eval_split uses), keep the first ``cap``. A
+    re-run, a retry, or a different engine keeps the SAME documents.
+    One window shuffle keyed on source; a hot source concentrates its
+    rows in one partition, but emits at most ``cap`` rows — bounded
+    output regardless of skew, and AQE splits the oversized partition's
+    sort. At 100 TB with few giant domains, pre-filtering each source
+    to its approximate top-cap by hash range before the exact window
+    would cut the sort; not needed at any tested scale.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    pr = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(pr.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= cap)
+        .select(
+            "doc_id",
+            "source",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2275,6 +2275,21 @@ REGISTRY.update(
             ORDER BY user_id
             """,
         ),
+        "source_capped_sample": QuerySpec(
+            _rel(CU.source_capped_sample),
+            """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       CAST(ROW_NUMBER() OVER (
+                            PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS INTEGER) AS rank_in_source
+                FROM documents)
+            SELECT doc_id, source, rank_in_source
+            FROM ranked WHERE rank_in_source <= 15
+            ORDER BY doc_id
+            """,
+        ),
     }
 )
 
@@ -2337,7 +2352,11 @@ _VERDICT_PRIORITY = [
     # rank-error bound lives in pytest. hll_rollup_users (new, rows-
     # only) also stays outside: its merge-consistency + error-bound
     # evidence is entirely in pytest, which a rows-only driver check
-    # would not strengthen.)
+    # would not strengthen. source_capped_sample (new, oracle-bearing)
+    # stays outside on a family tie-break: its hash-ranked window-top-k
+    # plan is pinned in-window by window_topk_per_group and
+    # stratified_sample, and its exact oracle runs in pytest every
+    # round regardless.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",

@@ -21,9 +21,13 @@ import time
 from datetime import datetime, timezone
 
 
-def build_manifest(files_per_table: dict[str, list[str]], now_ms: int | None = None) -> dict:
+def build_manifest(
+    files_per_table: dict[str, list[str]],
+    now_ms: int | None = None,
+    metrics: dict[str, dict] | None = None,
+) -> dict:
     ts = int(time.time() * 1000) if now_ms is None else now_ms
-    return {
+    manifest = {
         "timestamp": ts,
         "dateStr": datetime.fromtimestamp(ts / 1000, tz=timezone.utc).isoformat(),
         "files": {
@@ -31,10 +35,19 @@ def build_manifest(files_per_table: dict[str, list[str]], now_ms: int | None = N
             for table, names in files_per_table.items()
         },
     }
+    if metrics is not None:
+        # per-table quality metrics observed during the write itself
+        # (zero extra scans); additive to the reference's shape so
+        # existing manifest consumers are unaffected
+        manifest["metrics"] = metrics
+    return manifest
 
 
 def write_manifest(
-    out_dir: str, files_per_table: dict[str, list[str]], spark=None
+    out_dir: str,
+    files_per_table: dict[str, list[str]],
+    spark=None,
+    metrics: dict[str, dict] | None = None,
 ) -> str:
     """Write ``manifest.json`` under ``out_dir``.
 
@@ -44,7 +57,7 @@ def write_manifest(
     manifest to the same bucket last, main.py:282). Without one, plain
     local I/O (kept for driverless unit use).
     """
-    text = json.dumps(build_manifest(files_per_table), indent=2)
+    text = json.dumps(build_manifest(files_per_table, metrics=metrics), indent=2)
     if spark is not None:
         from parquet_export_spark.export import fs
 

@@ -39,6 +39,48 @@ def export_table(
     return write_table(df, out_dir, spec)
 
 
+def export_table_with_metrics(
+    df: DataFrame,
+    out_dir: str,
+    spec: TableSpec,
+    canonical_json: bool = False,
+) -> tuple[list[str], dict]:
+    """Export one table and return (files, quality metrics).
+
+    Metrics ride the write itself via ``df.observe`` — Spark evaluates
+    the aggregates inside the already-running write job, so row and
+    per-column null counts cost ZERO extra scans (the reference has no
+    quality reporting at all; a separate count pass at 100 TB would
+    re-read the table). Recorded into the manifest so a consumer can
+    validate a snapshot without touching the data files.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = enforce_schema(df, spec)
+    df = normalize_json_columns(df, spec, canonical=canonical_json)
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_null_{c}")
+            for c in df.columns
+        ],
+    )
+    files = write_table(observed, out_dir, spec)
+    got = obs.get  # blocks until the write action finishes
+    metrics = {
+        "n_rows": got["n_rows"],
+        "null_counts": {
+            c: got[f"n_null_{c}"] for c in df.columns if got[f"n_null_{c}"]
+        },
+    }
+    return files, metrics
+
+
 def export_lake(
     spark: SparkSession,
     source: Callable[[SparkSession, TableSpec], DataFrame],
@@ -60,12 +102,14 @@ def export_lake(
     if only_table is not None:
         tables = {only_table: tables[only_table]}
 
-    def one(item: tuple[str, TableSpec]) -> list[str]:
+    def one(item: tuple[str, TableSpec]) -> tuple[list[str], dict]:
         name, spec = item
         df = source(spark, spec)
         if limit is not None:
             df = df.limit(limit)
-        return export_table(df, out_dir, spec, canonical_json=canonical_json)
+        return export_table_with_metrics(
+            df, out_dir, spec, canonical_json=canonical_json
+        )
 
     items = list(tables.items())
     if max_concurrency > 1 and len(items) > 1:
@@ -77,6 +121,7 @@ def export_lake(
             out = list(pool.map(one, items))
     else:
         out = [one(item) for item in items]
-    files = {name: fs for (name, _), fs in zip(items, out)}
-    write_manifest(out_dir, files, spark=spark)
+    files = {name: fs for (name, _), (fs, _) in zip(items, out)}
+    metrics = {name: m for (name, _), (_, m) in zip(items, out)}
+    write_manifest(out_dir, files, spark=spark, metrics=metrics)
     return files

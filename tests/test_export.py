@@ -13,6 +13,7 @@ import os
 import re
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_export_spark.export.pipeline import export_lake
@@ -40,7 +41,8 @@ def test_manifest_shape(exported):
     out_dir, files, _ = exported
     with open(os.path.join(out_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
-    assert set(manifest) == {"timestamp", "dateStr", "files"}
+    # reference shape (README.md:79-99) + the additive metrics block
+    assert set(manifest) == {"timestamp", "dateStr", "files", "metrics"}
     assert isinstance(manifest["timestamp"], int)
     assert set(manifest["files"]) == set(TABLES)
     for table, objs in manifest["files"].items():
@@ -48,6 +50,20 @@ def test_manifest_shape(exported):
         # every listed object exists (committed-files-only guarantee)
         for obj in objs:
             assert os.path.exists(os.path.join(out_dir, obj))
+
+
+def test_manifest_metrics_observed_during_write(exported, spark):
+    """The manifest's per-table metrics (observed inside the write job,
+    zero extra scans) must equal what a separate count pass sees."""
+    out_dir, _, dfs = exported
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert set(manifest["metrics"]) == set(TABLES)
+    for table, m in manifest["metrics"].items():
+        assert m["n_rows"] == dfs[table].count()
+        for col, n_null in m.get("null_counts", {}).items():
+            want = dfs[table].filter(F.col(col).isNull()).count()
+            assert n_null == want, (table, col)
 
 
 def test_row_range_naming_and_bound(exported):

@@ -1,0 +1,89 @@
+"""Snapshot-versioned lake (export/versioned.py): immutable versions,
+pointer resolution, time travel, reader isolation, vacuum retention."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_export_spark.export import versioned as V
+from parquet_export_spark.tables import TABLES
+from tests.vera_fixtures import fixture_dataframes
+
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vlake(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("vlake"))
+    dfs = fixture_dataframes(spark, N)
+    tables = {
+        "contracts": dataclasses.replace(TABLES["contracts"], rows_per_file=25)
+    }
+    src_full = lambda s, spec: dfs[spec.name]  # noqa: E731
+    v1 = V.export_snapshot(spark, src_full, out_dir, tables=tables)
+    # v2 exports a CHANGED snapshot (half the rows) — the republish case
+    src_half = lambda s, spec: dfs[spec.name].limit(N // 2)  # noqa: E731
+    v2 = V.export_snapshot(spark, src_half, out_dir, tables=tables)
+    return out_dir, dfs, tables, v1, v2
+
+
+def test_versions_and_pointer(spark, vlake):
+    out_dir, _, _, v1, v2 = vlake
+    assert (v1, v2) == (1, 2)
+    assert V.current_version(spark, out_dir) == 2
+
+
+def test_time_travel_reads(spark, vlake):
+    out_dir, dfs, _, v1, v2 = vlake
+    old = V.load_versioned_table(spark, out_dir, "contracts", version=v1)
+    new = V.load_versioned_table(spark, out_dir, "contracts", version=v2)
+    latest = V.load_versioned_table(spark, out_dir, "contracts")
+    assert old.count() == N
+    assert new.count() == N // 2
+    assert latest.count() == N // 2  # pointer resolves to v2
+
+
+def test_committed_version_files_untouched(spark, vlake):
+    """v2's export must not have modified a single committed v1 file —
+    the immutability contract pinned readers rely on."""
+    out_dir, _, _, v1, _ = vlake
+    import json
+
+    from parquet_export_spark.export import fs
+
+    manifest = json.loads(
+        fs.read_text(spark, fs.join(out_dir, V._manifest_name(v1)))
+    )
+    for rel in manifest["files"]["contracts"]:
+        assert os.path.exists(os.path.join(out_dir, rel)), rel
+
+
+def test_manifest_carries_metrics_and_version(spark, vlake):
+    out_dir, _, _, v1, _ = vlake
+    import json
+
+    from parquet_export_spark.export import fs
+
+    m = json.loads(fs.read_text(spark, fs.join(out_dir, V._manifest_name(v1))))
+    assert m["version"] == v1
+    assert m["metrics"]["contracts"]["n_rows"] == N
+
+
+def test_vacuum_retention(spark, vlake):
+    out_dir, dfs, tables, v1, v2 = vlake
+    # a third version, then keep only the last two
+    src = lambda s, spec: dfs[spec.name].limit(10)  # noqa: E731
+    v3 = V.export_snapshot(spark, src, out_dir, tables=tables)
+    removed = V.vacuum(spark, out_dir, keep_last=2)
+    assert removed == [v1]
+    assert not os.path.exists(os.path.join(out_dir, V._vdir(v1)))
+    # survivors still read
+    assert V.load_versioned_table(spark, out_dir, "contracts", version=v2).count() == N // 2
+    assert V.load_versioned_table(spark, out_dir, "contracts", version=v3).count() == 10
+    # keep_last floors at 1: latest can never be vacuumed
+    assert V.vacuum(spark, out_dir, keep_last=0) == [v2]
+    assert V.load_versioned_table(spark, out_dir, "contracts").count() == 10

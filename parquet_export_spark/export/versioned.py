@@ -65,31 +65,54 @@ def export_snapshot(
     out_dir: str,
     tables: dict[str, TableSpec] | None = None,
     canonical_json: bool = False,
+    changed_tables: set[str] | None = None,
 ) -> int:
-    """Export every table as the next immutable snapshot; returns its
-    version number. Commit order is the correctness story: data files
-    -> version manifest -> pointer (atomic rename). A reader following
-    the pointer can only ever observe fully committed snapshots.
+    """Export the next immutable snapshot; returns its version number.
+    Commit order is the correctness story: data files -> version
+    manifest -> pointer (atomic rename). A reader following the
+    pointer can only ever observe fully committed snapshots.
+
+    ``changed_tables`` is the 100 TB lever: tables NOT named (default:
+    all are) are republished METADATA-ONLY — the new manifest reuses
+    the previous version's file entries verbatim (paths are
+    version-qualified, so a manifest may reference files across
+    several version directories). The reference rewrites every byte of
+    every table every run (reference main.py:266-282); here an
+    unchanged 90 TB table costs one JSON entry. Vacuum is
+    reference-aware, so reused files survive retention as long as any
+    retained manifest names them.
     """
     tables = tables if tables is not None else TABLES
     prev = current_version(spark, out_dir)
     version = 1 if prev is None else prev + 1
+    if changed_tables is None or prev is None:
+        changed = set(tables)
+    else:
+        changed = set(changed_tables)
+    prev_manifest = None
+    if changed != set(tables):
+        prev_manifest = json.loads(
+            fs.read_text(spark, fs.join(out_dir, _manifest_name(prev)))
+        )
     vdir = fs.join(out_dir, _vdir(version))
-    files: dict[str, list[str]] = {}
+    qualified: dict[str, list[str]] = {}
     metrics: dict[str, dict] = {}
     for name, spec in tables.items():
-        df = source(spark, spec)
-        files[name], metrics[name] = export_table_with_metrics(
-            df, vdir, spec, canonical_json=canonical_json
-        )
-    manifest = build_manifest(files, metrics=metrics)
+        if name in changed:
+            names, metrics[name] = export_table_with_metrics(
+                source(spark, spec), vdir, spec, canonical_json=canonical_json
+            )
+            qualified[name] = [
+                f"{_vdir(version)}/{name}/{n}" for n in names
+            ]
+        else:
+            qualified[name] = prev_manifest["files"][name]
+            metrics[name] = prev_manifest["metrics"][name]
+    manifest = build_manifest({}, metrics=metrics)
     # paths are version-qualified so every manifest is self-contained
     # relative to out_dir (a pinned reader never consults the pointer)
     manifest["version"] = version
-    manifest["files"] = {
-        t: [f"{_vdir(version)}/{p}" for p in paths]
-        for t, paths in manifest["files"].items()
-    }
+    manifest["files"] = qualified
     fs.write_text(
         spark, fs.join(out_dir, _manifest_name(version)), json.dumps(manifest, indent=2)
     )
@@ -123,11 +146,15 @@ def load_versioned_table(
 
 
 def vacuum(spark: SparkSession, out_dir: str, keep_last: int = 2) -> list[int]:
-    """Drop snapshots older than the ``keep_last`` most recent; returns
-    the removed version numbers. Never touches the pointed-to latest
+    """Drop snapshot manifests older than the ``keep_last`` most recent
+    and any version DIRECTORY no retained manifest references; returns
+    the removed manifest versions. Reference-aware by construction:
+    a metadata-only republish makes newer manifests point into older
+    version directories, so retention must follow the reference graph,
+    not directory age. Never touches the pointed-to latest
     (``keep_last`` is floored at 1), so pinned readers inside the
-    retention window are safe by construction — the reference's model
-    (one mutable prefix) is the degenerate ``keep_last=1`` case."""
+    retention window are safe — the reference's model (one mutable
+    prefix) is the degenerate ``keep_last=1`` case."""
     keep_last = max(1, keep_last)
     latest = current_version(spark, out_dir)
     if latest is None:
@@ -138,7 +165,14 @@ def vacuum(spark: SparkSession, out_dir: str, keep_last: int = 2) -> list[int]:
         if n.startswith("manifest-v") and n.endswith(".json")
     )
     doomed = [v for v in versions if v <= latest - keep_last]
+    retained = [v for v in versions if v not in doomed]
+    referenced: set[str] = set()
+    for v in retained:
+        m = json.loads(fs.read_text(spark, fs.join(out_dir, _manifest_name(v))))
+        for paths in m["files"].values():
+            referenced.update(p.split("/", 1)[0] for p in paths)
     for v in doomed:
-        fs.delete(spark, fs.join(out_dir, _vdir(v)), recursive=True)
+        if _vdir(v) not in referenced:
+            fs.delete(spark, fs.join(out_dir, _vdir(v)), recursive=True)
         fs.delete(spark, fs.join(out_dir, _manifest_name(v)))
     return doomed

@@ -87,3 +87,40 @@ def test_vacuum_retention(spark, vlake):
     # keep_last floors at 1: latest can never be vacuumed
     assert V.vacuum(spark, out_dir, keep_last=0) == [v2]
     assert V.load_versioned_table(spark, out_dir, "contracts").count() == 10
+
+
+def test_metadata_only_republish_and_reference_aware_vacuum(
+    spark, tmp_path_factory
+):
+    """Unchanged tables republish as manifest entries only (zero data
+    writes); vacuum follows the reference graph, keeping an old version
+    directory alive while any retained manifest points into it."""
+    out_dir = str(tmp_path_factory.mktemp("vlake_inc"))
+    dfs = fixture_dataframes(spark, N)
+    tables = {
+        "contracts": dataclasses.replace(TABLES["contracts"], rows_per_file=25),
+        "code": dataclasses.replace(TABLES["code"], rows_per_file=25),
+    }
+    src = lambda s, spec: dfs[spec.name]  # noqa: E731
+    v1 = V.export_snapshot(spark, src, out_dir, tables=tables)
+    # v2: only contracts changed; code must NOT be rewritten
+    src2 = lambda s, spec: dfs[spec.name].limit(N // 2)  # noqa: E731
+    v2 = V.export_snapshot(
+        spark, src2, out_dir, tables=tables, changed_tables={"contracts"}
+    )
+    assert not os.path.exists(
+        os.path.join(out_dir, V._vdir(v2), "code")
+    ), "unchanged table wrote data files"
+    code_v2 = V.load_versioned_table(spark, out_dir, "code", version=v2)
+    assert code_v2.count() == N  # reads v1's files through v2's manifest
+    assert (
+        V.load_versioned_table(spark, out_dir, "contracts", version=v2).count()
+        == N // 2
+    )
+    # retention keeps only v2's manifest; v1's DIRECTORY must survive
+    # because v2 references its code files
+    removed = V.vacuum(spark, out_dir, keep_last=1)
+    assert removed == [v1]
+    assert not os.path.exists(os.path.join(out_dir, V._manifest_name(v1)))
+    assert os.path.exists(os.path.join(out_dir, V._vdir(v1), "code"))
+    assert V.load_versioned_table(spark, out_dir, "code").count() == N

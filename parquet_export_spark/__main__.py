@@ -101,10 +101,53 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--canonical-json", action="store_true")
     docs = sub.add_parser("docs", help="regenerate QUERIES.md from the registry")
     docs.add_argument("--out", default="QUERIES.md")
+    snap = sub.add_parser(
+        "snapshot",
+        help="export the next immutable versioned snapshot (time travel)",
+    )
+    snap.add_argument("--source", required=True, help="parquet:<dir> or jdbc:<url>")
+    snap.add_argument("--out", required=True)
+    snap.add_argument(
+        "--changed",
+        default=None,
+        help="comma-separated tables that changed; others republish "
+        "metadata-only against the previous snapshot",
+    )
+    snap.add_argument("--canonical-json", action="store_true")
+    vac = sub.add_parser(
+        "vacuum", help="drop snapshots past retention (reference-aware)"
+    )
+    vac.add_argument("--out", required=True)
+    vac.add_argument("--keep-last", type=int, default=2)
     args = parser.parse_args(argv)
 
     if args.cmd == "docs":
         return _gen_queries_md(args.out)
+
+    if args.cmd == "vacuum":
+        from parquet_export_spark.export.versioned import vacuum
+
+        spark = get_spark(app_name="parquet-export-vacuum")
+        removed = vacuum(spark, args.out, keep_last=args.keep_last)
+        print(f"removed versions: {removed}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "snapshot":
+        from parquet_export_spark.export.versioned import export_snapshot
+
+        spark = get_spark(app_name="parquet-export-snapshot")
+        version = export_snapshot(
+            spark,
+            _make_source(args.source, None),
+            args.out,
+            tables=TABLES,
+            canonical_json=args.canonical_json,
+            changed_tables=(
+                set(args.changed.split(",")) if args.changed else None
+            ),
+        )
+        print(version)
+        return 0
 
     debug = os.environ.get("DEBUG", "").lower() in ("1", "true", "yes")
     offset = int(os.environ["DEBUG_OFFSET"]) if os.environ.get("DEBUG_OFFSET") else None

@@ -38,3 +38,24 @@ def test_cli_export_single_table_with_limit(spark, vera_source, tmp_path, monkey
     assert main(["export", "--source", f"parquet:{vera_source}", "--out", out]) == 0
     manifest = json.load(open(os.path.join(out, "manifest.json")))
     assert list(manifest["files"]) == ["code"]
+
+
+def test_cli_snapshot_and_vacuum(spark, vera_source, tmp_path, capsys):
+    out = str(tmp_path / "vlake")
+    assert main(["snapshot", "--source", f"parquet:{vera_source}", "--out", out]) == 0
+    assert capsys.readouterr().out.strip() == "1"
+    # second snapshot: only `code` changed; everything else metadata-only
+    assert (
+        main([
+            "snapshot", "--source", f"parquet:{vera_source}",
+            "--out", out, "--changed", "code",
+        ]) == 0
+    )
+    assert capsys.readouterr().out.strip() == "2"
+    m2 = json.load(open(os.path.join(out, "manifest-v000002.json")))
+    assert all(p.startswith("v000001/") for p in m2["files"]["contracts"])
+    assert all(p.startswith("v000002/") for p in m2["files"]["code"])
+    assert main(["vacuum", "--out", out, "--keep-last", "1"]) == 0
+    assert not os.path.exists(os.path.join(out, "manifest-v000001.json"))
+    # v1's directory survives: v2 still references its unchanged tables
+    assert os.path.exists(os.path.join(out, "v000001"))

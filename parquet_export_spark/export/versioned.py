@@ -26,6 +26,13 @@ At 100 TB the version directory costs nothing extra (the data was
 being rewritten anyway — this is the reference's own full-republish
 model, just retained); incremental use pairs it with
 ``overwrite_partitions`` inside a version or delta manifests.
+
+Concurrency contract: ONE writer at a time (the reference's own model
+— a single Cloud Run job). Two concurrent exporters would both claim
+version prev+1; serializing them needs an external lock or an
+Iceberg-style atomic compare-and-swap on the pointer, which plain
+object stores don't give a rename primitive for. Readers need no
+coordination at any concurrency.
 """
 
 from __future__ import annotations

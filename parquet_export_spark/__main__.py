@@ -143,7 +143,10 @@ def main(argv: list[str] | None = None) -> int:
             tables=TABLES,
             canonical_json=args.canonical_json,
             changed_tables=(
-                set(args.changed.split(",")) if args.changed else None
+                # strip whitespace; export_snapshot rejects unknown names
+                {t.strip() for t in args.changed.split(",") if t.strip()}
+                if args.changed
+                else None
             ),
         )
         print(version)

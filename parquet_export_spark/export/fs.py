@@ -64,6 +64,18 @@ def list_names(spark: SparkSession, dir_path: str, recursive: bool = False) -> l
     return sorted(out)
 
 
+def list_dir_names(spark: SparkSession, dir_path: str) -> list[str]:
+    """Names of non-hidden immediate SUBDIRECTORIES of ``dir_path``,
+    sorted (list_names deliberately returns files only)."""
+    fs = _fs(spark, dir_path)
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(_jpath(spark, dir_path))
+        if st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
+    )
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     fs = _fs(spark, src)
     if not fs.rename(_jpath(spark, src), _jpath(spark, dst)):

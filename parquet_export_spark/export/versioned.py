@@ -11,16 +11,17 @@ built from the export engine's existing committed-files manifest:
   itself a complete lake prefix, never modified after commit;
 - ``manifest-v{N}.json`` lists exactly that version's files (plus the
   observe()-collected quality metrics);
-- a single tiny ``latest`` pointer is the only mutable object, updated
-  by one atomic temp+rename AFTER everything else is committed.
+- the manifest write IS the commit; a single tiny ``latest`` pointer,
+  refreshed last, is only a resolution cache (current_version falls
+  back to the manifest listing whenever the pointer is absent).
 
 Reader contract: resolve a version once, read consistently forever —
 concurrent exports never touch a committed version's files, and vacuum
 only drops versions older than the retention window. Time travel is
 ``load_versioned_table(..., version=K)``; a crash mid-export leaves at
 worst an orphaned, unreferenced ``v{N}`` directory that the next
-export of the same number overwrites and vacuum never counts, because
-versions exist only once their manifest + pointer land.
+export of the same number overwrites and vacuum reclaims, because
+versions exist only once their manifest lands.
 
 At 100 TB the version directory costs nothing extra (the data was
 being rewritten anyway — this is the reference's own full-republish
@@ -38,6 +39,7 @@ coordination at any concurrency.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,12 +60,33 @@ def _manifest_name(version: int) -> str:
     return f"manifest-{_vdir(version)}.json"
 
 
+def _manifest_versions(spark: SparkSession, out_dir: str) -> list[int]:
+    """Committed snapshot versions, sorted (a manifest file IS the
+    commit record — its write is atomic temp+rename)."""
+    if not fs.exists(spark, out_dir):
+        return []
+    return sorted(
+        int(n[len("manifest-v") : -len(".json")])
+        for n in fs.list_names(spark, out_dir)
+        if n.startswith("manifest-v") and n.endswith(".json")
+    )
+
+
 def current_version(spark: SparkSession, out_dir: str) -> int | None:
-    """Version the ``latest`` pointer names, or None before any export."""
+    """Latest committed version, or None before any export.
+
+    The ``latest`` pointer is a convenience CACHE, not the commit
+    record: fs.write_text replaces it by delete+rename, so a reader
+    can race the one instant where the pointer is absent. The manifest
+    listing is the source of truth (each manifest lands by atomic
+    temp+rename), so a missing/stale pointer degrades to one extra
+    directory listing, never to a spurious "no snapshot" error.
+    """
     pointer = fs.join(out_dir, LATEST)
-    if not fs.exists(spark, pointer):
-        return None
-    return int(fs.read_text(spark, pointer).strip())
+    if fs.exists(spark, pointer):
+        return int(fs.read_text(spark, pointer).strip())
+    versions = _manifest_versions(spark, out_dir)
+    return versions[-1] if versions else None
 
 
 def export_snapshot(
@@ -75,9 +98,11 @@ def export_snapshot(
     changed_tables: set[str] | None = None,
 ) -> int:
     """Export the next immutable snapshot; returns its version number.
-    Commit order is the correctness story: data files -> version
-    manifest -> pointer (atomic rename). A reader following the
-    pointer can only ever observe fully committed snapshots.
+    Commit order is the correctness story: data files first, then the
+    version manifest (atomic temp+rename) — the manifest IS the commit
+    record; the ``latest`` pointer written last is a resolution cache
+    (see current_version). A reader can only ever observe fully
+    committed snapshots.
 
     ``changed_tables`` is the 100 TB lever: tables NOT named (default:
     all are) are republished METADATA-ONLY — the new manifest reuses
@@ -92,6 +117,14 @@ def export_snapshot(
     tables = tables if tables is not None else TABLES
     prev = current_version(spark, out_dir)
     version = 1 if prev is None else prev + 1
+    if changed_tables is not None:
+        unknown = set(changed_tables) - set(tables)
+        if unknown:
+            raise ValueError(
+                f"changed_tables names unknown tables {sorted(unknown)}; "
+                f"known: {sorted(tables)} — refusing to silently "
+                "republish a mistyped table metadata-only"
+            )
     if changed_tables is None or prev is None:
         changed = set(tables)
     else:
@@ -101,20 +134,32 @@ def export_snapshot(
         prev_manifest = json.loads(
             fs.read_text(spark, fs.join(out_dir, _manifest_name(prev)))
         )
+        # a table absent from the previous snapshot is by definition
+        # changed — there is nothing to reuse
+        changed |= set(tables) - set(prev_manifest["files"])
     vdir = fs.join(out_dir, _vdir(version))
-    qualified: dict[str, list[str]] = {}
-    metrics: dict[str, dict] = {}
-    for name, spec in tables.items():
+
+    def one(item: tuple[str, TableSpec]) -> tuple[list[str], dict]:
+        name, spec = item
         if name in changed:
-            names, metrics[name] = export_table_with_metrics(
+            names, m = export_table_with_metrics(
                 source(spark, spec), vdir, spec, canonical_json=canonical_json
             )
-            qualified[name] = [
-                f"{_vdir(version)}/{name}/{n}" for n in names
-            ]
-        else:
-            qualified[name] = prev_manifest["files"][name]
-            metrics[name] = prev_manifest["metrics"][name]
+            return [f"{_vdir(version)}/{name}/{n}" for n in names], m
+        return prev_manifest["files"][name], prev_manifest["metrics"][name]
+
+    # same driver thread pool as export_lake: one table's driver-side
+    # metadata phase overlaps another's executor-side write
+    items = list(tables.items())
+    if len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+            out = list(pool.map(one, items))
+    else:
+        out = [one(items[0])]
+    qualified = {name: f for (name, _), (f, _) in zip(items, out)}
+    metrics = {name: m for (name, _), (_, m) in zip(items, out)}
     manifest = build_manifest({}, metrics=metrics)
     # paths are version-qualified so every manifest is self-contained
     # relative to out_dir (a pinned reader never consults the pointer)
@@ -166,11 +211,7 @@ def vacuum(spark: SparkSession, out_dir: str, keep_last: int = 2) -> list[int]:
     latest = current_version(spark, out_dir)
     if latest is None:
         return []
-    versions = sorted(
-        int(n[len("manifest-v") : -len(".json")])
-        for n in fs.list_names(spark, out_dir)
-        if n.startswith("manifest-v") and n.endswith(".json")
-    )
+    versions = _manifest_versions(spark, out_dir)
     doomed = [v for v in versions if v <= latest - keep_last]
     retained = [v for v in versions if v not in doomed]
     referenced: set[str] = set()
@@ -179,7 +220,18 @@ def vacuum(spark: SparkSession, out_dir: str, keep_last: int = 2) -> list[int]:
         for paths in m["files"].values():
             referenced.update(p.split("/", 1)[0] for p in paths)
     for v in doomed:
-        if _vdir(v) not in referenced:
-            fs.delete(spark, fs.join(out_dir, _vdir(v)), recursive=True)
         fs.delete(spark, fs.join(out_dir, _manifest_name(v)))
+    # Directory sweep AFTER manifest retirement, over ALL version dirs
+    # on disk (not just those whose manifest still existed this run):
+    # a dir kept alive by a cross-version reference earlier becomes
+    # unreferenced once the referencing manifest itself retires, and
+    # must still be reclaimed then — otherwise it leaks forever.
+    # Dirs numbered above `latest` are an in-flight export: untouched.
+    for name in fs.list_dir_names(spark, out_dir):
+        m = re.fullmatch(r"v(\d{6})", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v <= latest and name not in referenced:
+            fs.delete(spark, fs.join(out_dir, name), recursive=True)
     return doomed

@@ -766,7 +766,9 @@ def token_diversity(t: dict[str, DataFrame]) -> DataFrame:
     re-agg), the same partial-agg-friendly shape as unigram_freq_quality.
     """
     docs = t["documents"]
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)  # consecutive/edge spaces are not terms
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     per_doc = tf.groupBy("doc_id").agg(
         F.sum("n").alias("n_tokens"),

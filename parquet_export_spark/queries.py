@@ -2214,9 +2214,11 @@ REGISTRY.update(
         "token_diversity": QuerySpec(
             _rel(X.token_diversity),
             """
-            WITH tok AS (SELECT doc_id,
-                                UNNEST(string_split(text, ' ')) AS term
-                         FROM documents),
+            WITH tok AS (SELECT doc_id, term
+                         FROM (SELECT doc_id,
+                                      UNNEST(string_split(text, ' ')) AS term
+                               FROM documents)
+                         WHERE LENGTH(term) > 0),
             tf AS (SELECT doc_id, term, COUNT(*) AS n
                    FROM tok GROUP BY doc_id, term),
             pd AS (SELECT doc_id,

@@ -697,3 +697,17 @@ def test_bpe_learn_merges_matches_reference(spark, sf_dir):
     want = _ref_bpe(dict(freqs), BPE_N_MERGES)
     assert got == want
     assert len(got) == BPE_N_MERGES  # corpus is rich enough to fill the table
+
+
+def test_token_diversity_ignores_empty_tokens(spark):
+    """Consecutive/edge spaces must not mint phantom '' terms (same
+    treatment as bpe_learn_merges' length()>0 filter)."""
+    from parquet_export_spark.operators.text import token_diversity
+
+    docs = spark.createDataFrame(
+        [(1, " a  a b ", "en", "s", 8)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    row = token_diversity({"documents": docs}).collect()[0]
+    assert (row.n_tokens, row.n_distinct, row.hapax_count) == (3, 2, 1)
+    assert row.simpson == round(5 / 9, 9)  # a:2, b:1 -> (4+1)/9

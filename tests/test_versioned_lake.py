@@ -124,3 +124,56 @@ def test_metadata_only_republish_and_reference_aware_vacuum(
     assert not os.path.exists(os.path.join(out_dir, V._manifest_name(v1)))
     assert os.path.exists(os.path.join(out_dir, V._vdir(v1), "code"))
     assert V.load_versioned_table(spark, out_dir, "code").count() == N
+
+
+def test_pointer_loss_falls_back_to_manifest_listing(spark, tmp_path_factory):
+    """The latest pointer is a cache: deleting it (simulating the
+    delete+rename replacement window) must not produce a spurious
+    'no snapshot' — resolution falls back to the manifest listing."""
+    out_dir = str(tmp_path_factory.mktemp("vlake_ptr"))
+    dfs = fixture_dataframes(spark, N)
+    tables = {"code": dataclasses.replace(TABLES["code"], rows_per_file=25)}
+    src = lambda s, spec: dfs[spec.name]  # noqa: E731
+    V.export_snapshot(spark, src, out_dir, tables=tables)
+    os.remove(os.path.join(out_dir, V.LATEST))
+    assert V.current_version(spark, out_dir) == 1
+    assert V.load_versioned_table(spark, out_dir, "code").count() == N
+
+
+def test_unknown_changed_table_rejected(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("vlake_bad"))
+    dfs = fixture_dataframes(spark, N)
+    tables = {"code": dataclasses.replace(TABLES["code"], rows_per_file=25)}
+    src = lambda s, spec: dfs[spec.name]  # noqa: E731
+    V.export_snapshot(spark, src, out_dir, tables=tables)
+    with pytest.raises(ValueError, match="unknown tables"):
+        V.export_snapshot(
+            spark, src, out_dir, tables=tables, changed_tables={" code"}
+        )
+
+
+def test_vacuum_reclaims_orphaned_version_dirs(spark, tmp_path_factory):
+    """A version directory kept alive only by a cross-version reference
+    must be reclaimed by a LATER vacuum once the referencing manifest
+    itself retires — the two-stage leak case."""
+    out_dir = str(tmp_path_factory.mktemp("vlake_orphan"))
+    dfs = fixture_dataframes(spark, N)
+    tables = {
+        "contracts": dataclasses.replace(TABLES["contracts"], rows_per_file=25),
+        "code": dataclasses.replace(TABLES["code"], rows_per_file=25),
+    }
+    src = lambda s, spec: dfs[spec.name]  # noqa: E731
+    v1 = V.export_snapshot(spark, src, out_dir, tables=tables)
+    v2 = V.export_snapshot(
+        spark, src, out_dir, tables=tables, changed_tables={"contracts"}
+    )
+    assert V.vacuum(spark, out_dir, keep_last=1) == [v1]
+    # v1's dir survives: v2 references its code files
+    assert os.path.exists(os.path.join(out_dir, V._vdir(v1)))
+    # v3 rewrites everything; v2's manifest retires -> nothing points at
+    # v1 OR v2 any more, and BOTH dirs must now be reclaimed
+    v3 = V.export_snapshot(spark, src, out_dir, tables=tables)
+    assert V.vacuum(spark, out_dir, keep_last=1) == [v2]
+    assert not os.path.exists(os.path.join(out_dir, V._vdir(v1)))
+    assert not os.path.exists(os.path.join(out_dir, V._vdir(v2)))
+    assert V.load_versioned_table(spark, out_dir, "code", version=v3).count() == N

@@ -20,6 +20,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from parquet_export_spark.operators.util import fanout_by_key
 from pyspark.sql import types as T
 
 #: Feature schema produced by extract_features.
@@ -82,9 +84,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     Repartitioned so mapInPandas fans out across Python workers
     instead of inheriting a single input split.
     """
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
-    return docs.repartition(n, "doc_id").select(
+    return fanout_by_key(docs, "doc_id").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
@@ -320,6 +320,14 @@ def _parse_netpbm_header(payload: bytes, magic: bytes) -> tuple[int, int, int, i
         pos = end
     pos += 1  # the single post-header whitespace byte
     width, height, maxval = fields
+    # malformed dimensions must FAIL, not fabricate a raster:
+    # np.frombuffer(count=-N) silently reads the whole buffer and
+    # reshape(h, -1) would invent a width for garbage payloads
+    if width <= 0 or height <= 0 or not (1 <= maxval <= 255):
+        raise ValueError(
+            f"invalid netpbm header fields w={width} h={height} "
+            f"maxval={maxval} (8-bit rasters only)"
+        )
     return width, height, maxval, pos
 
 
@@ -427,14 +435,21 @@ def make_pgm_decoder(target_w: int = 8, target_h: int = 8):
 def decode_pgm_stream(payload: bytes) -> dict:
     """REAL frame extraction for a PGM stream (concatenated P5 frames,
     the MJPEG-shaped toy container): returns {"frames": [bytes, ...]}
-    where each frame is a standalone PGM payload."""
+    where each frame is a standalone PGM payload.
+
+    Frame boundaries come from the header PARSER's raster offset — a
+    substring search for the maxval bytes would misparse any frame
+    whose width/height token happens to equal the maxval (e.g. a
+    255-pixel-tall frame) and reject legal maxval != 255 frames."""
     frames, pos = [], 0
     while pos < len(payload):
-        d = decode_pgm(payload[pos:])
-        header_end = payload.index(b"255\n", pos) + 4
-        end = header_end + d["width"] * d["height"]
-        frames.append(payload[pos:end])
-        pos = end
+        sub = payload[pos:]
+        w, h, _maxval, raster_off = _parse_netpbm_header(sub, b"P5")
+        end = raster_off + w * h
+        if end > len(sub):
+            raise ValueError("truncated PGM stream frame")
+        frames.append(sub[:end])
+        pos += end
     return {"frames": frames}
 
 
@@ -454,9 +469,7 @@ def with_pgm_payload(docs: DataFrame) -> DataFrame:
     header = F.concat_ws(
         "", F.lit("P5\n"), w, F.lit(" "), h, F.lit("\n255\n")
     )
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
-    return docs.repartition(n, "doc_id").select(
+    return fanout_by_key(docs, "doc_id").select(
         "doc_id",
         F.concat(F.encode(header, "UTF-8"), F.encode(body, "UTF-8")).alias(
             "payload"
@@ -532,9 +545,7 @@ def with_ppm_payload(docs: DataFrame) -> DataFrame:
     header = F.concat_ws(
         "", F.lit("P6\n"), w, F.lit(" "), h, F.lit("\n255\n")
     )
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
-    return docs.repartition(n, "doc_id").select(
+    return fanout_by_key(docs, "doc_id").select(
         "doc_id",
         F.concat(F.encode(header, "UTF-8"), F.encode(body, "UTF-8")).alias(
             "payload"
@@ -683,6 +694,10 @@ def decode_wav(payload: bytes) -> dict:
     return {"sample_rate": rate, "n_samples": len(samples), "samples": samples}
 
 
+# registered under the sniffer's name (sniff_media_type labels RIFF
+# payloads "audio/wav") so sniff-driven dispatch reaches the decoder;
+# "audio/x-wav" stays as an alias for callers using the legacy name
+register_decoder("audio/wav", decode_wav)
 register_decoder("audio/x-wav", decode_wav)
 
 
@@ -718,9 +733,7 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
-    return docs.repartition(n, "doc_id").select("doc_id").mapInArrow(run, schema)
+    return fanout_by_key(docs, "doc_id").select("doc_id").mapInArrow(run, schema)
 
 
 def wav_audio_features(t: dict[str, DataFrame]) -> DataFrame:
@@ -808,9 +821,7 @@ def with_pgm_stream_payload(docs: DataFrame, n_frames: int = 3) -> DataFrame:
             "", F.lit("P5\n"), w, F.lit(" "), h, F.lit("\n255\n")
         )
         frames.append(F.encode(F.concat(header, body), "UTF-8"))
-    cores = docs.sparkSession.sparkContext.defaultParallelism
-    n = max(docs.rdd.getNumPartitions(), max(cores // 4, 2))
-    return docs.repartition(n, "doc_id").select(
+    return fanout_by_key(docs, "doc_id").select(
         "doc_id", F.concat(*frames).alias("payload")
     )
 

@@ -296,7 +296,10 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
     def gini_ppb(v: pd.Series) -> int | None:
         import numpy as np
 
-        x = np.sort(np.round(v.to_numpy() * 1_000_000).astype(np.int64))
+        # half-AWAY-from-zero quantization to match DuckDB's round();
+        # np.round is half-to-even and diverges on exact .5 micro-units
+        y = v.to_numpy() * 1_000_000
+        x = np.sort((np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64))
         n = len(x)
         s0 = int(x.sum())
         if n == 0 or s0 == 0:
@@ -349,11 +352,14 @@ def value_outliers(
     sx = _dsum2(x, scale=6)
     sxx = _dsum2(x * x, scale=6)
     mean = sx / n
-    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    # singleton groups have no sample variance (n-1 = 0 divides), and a
+    # zero-spread group has no z-scale: both yield NULL std -> NULL z
+    # -> no flags, instead of an ANSI DIVIDE_BY_ZERO killing the scan
+    var = F.when(n > 1, (sxx - sx * sx / n) / (n - F.lit(1.0)))
     stats = ev.groupBy("event_type").agg(
         mean.alias("mean_v"), F.sqrt(var).alias("std_v")
     )
-    z = (x - F.col("mean_v")) / F.col("std_v")
+    z = F.when(F.col("std_v") > 0, (x - F.col("mean_v")) / F.col("std_v"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > z_threshold)

@@ -518,8 +518,13 @@ def bpe_token_counts(t: dict[str, DataFrame]) -> DataFrame:
             "doc_id",
             n_bpe.alias("n_bpe_tokens"),
             n_ws.alias("n_ws_tokens"),
-            F.round(
-                F.col("n_chars").cast("double") / n_bpe.cast("double"), 9
+            # empty text has zero BPE tokens: NULL ratio, not an ANSI
+            # DIVIDE_BY_ZERO aborting the whole scan
+            F.when(
+                n_bpe > 0,
+                F.round(
+                    F.col("n_chars").cast("double") / n_bpe.cast("double"), 9
+                ),
             ).alias("chars_per_token"),
         )
         .orderBy("doc_id")

@@ -22,3 +22,18 @@ def maybe_fanout(df: DataFrame, min_fraction_of_cores: int = 4) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def fanout_by_key(
+    df: DataFrame, key: str, min_fraction_of_cores: int = 4
+) -> DataFrame:
+    """Key-hash variant of :func:`maybe_fanout` for the multimodal
+    payload builders: same starved-scan rule (fan out only when input
+    partitions < cores/4, no-op — and no shuffle — when the source is
+    already wide), but hash-partitioned on ``key`` so a later
+    key-grouped stage can reuse the exchange."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    target = max(cores // min_fraction_of_cores, 2)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)

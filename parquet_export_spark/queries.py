@@ -901,8 +901,8 @@ REGISTRY.update(
                    CAST(len(string_split(text, ' ')) AS INTEGER)
                        AS n_ws_tokens,
                    ROUND(CAST(n_chars AS DOUBLE) /
-                         CAST(len(regexp_extract_all(text,
-                              '{X.BPE_SPLIT_RE.replace("'", "''")}'))
+                         CAST(NULLIF(len(regexp_extract_all(text,
+                              '{X.BPE_SPLIT_RE.replace("'", "''")}')), 0)
                               AS DOUBLE), 9) AS chars_per_token
             FROM documents ORDER BY doc_id
             """,

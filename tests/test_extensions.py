@@ -711,3 +711,67 @@ def test_token_diversity_ignores_empty_tokens(spark):
     row = token_diversity({"documents": docs}).collect()[0]
     assert (row.n_tokens, row.n_distinct, row.hapax_count) == (3, 2, 1)
     assert row.simpson == round(5 / 9, 9)  # a:2, b:1 -> (4+1)/9
+
+
+def test_pgm_stream_boundaries_from_parser_not_substring():
+    """Frames whose dimension tokens collide with the maxval bytes
+    (height 255) and frames with maxval != 255 must both split
+    correctly — a b'255\\n' substring search misparses either."""
+    import numpy as np
+
+    from parquet_export_spark.operators.multimodal import (
+        decode_pgm_stream,
+        encode_pgm,
+    )
+
+    tall = encode_pgm(np.zeros((255, 2), dtype=np.uint8))
+    lowmax = b"P5\n2 2\n15\n" + bytes([1, 2, 3, 4])
+    stream = tall + lowmax + tall
+    frames = decode_pgm_stream(stream)["frames"]
+    assert frames == [tall, lowmax, tall]
+
+
+def test_netpbm_rejects_malformed_dimensions():
+    import pytest as _pytest
+
+    from parquet_export_spark.operators.multimodal import decode_pgm
+
+    with _pytest.raises(ValueError, match="invalid netpbm header"):
+        decode_pgm(b"P5\n-1 5\n255\n" + b"\0" * 10)
+    with _pytest.raises(ValueError, match="invalid netpbm header"):
+        decode_pgm(b"P5\n2 2\n65535\n" + b"\0" * 8)  # 16-bit unsupported
+
+
+def test_wav_decoder_reachable_via_sniffed_type():
+    import numpy as np
+
+    from parquet_export_spark.operators.multimodal import (
+        _DECODERS,
+        encode_wav,
+        sniff_media_type,
+    )
+
+    payload = encode_wav(np.zeros(8, dtype=np.int16))
+    assert sniff_media_type(payload) == "audio/wav"
+    assert "audio/wav" in _DECODERS and "audio/x-wav" in _DECODERS
+    assert _DECODERS["audio/wav"](payload)["n_samples"] == 8
+
+
+def test_ansi_division_guards_on_degenerate_groups(spark):
+    """Singleton / zero-spread groups (value_outliers) and empty text
+    (bpe_token_counts) must yield NULLs, not ANSI DIVIDE_BY_ZERO."""
+    from parquet_export_spark.operators.stats import value_outliers
+    from parquet_export_spark.operators.text import bpe_token_counts
+
+    ev = spark.createDataFrame(
+        [(1, None, 1, "lonely", 5.0, "{}"), (2, None, 1, "flat", 1.0, "{}"),
+         (3, None, 2, "flat", 1.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert value_outliers({"events": ev}).collect() == []
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    row = bpe_token_counts({"documents": docs}).collect()[0]
+    assert row.n_bpe_tokens == 0 and row.chars_per_token is None

@@ -188,6 +188,34 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["export_three_tables"] = round(best, 3)
 
+    # Versioned-snapshot cycle: full v1 snapshot of events +
+    # metadata-only v2 republish + pinned v1 read-back — the snapshot
+    # layer's overhead on top of the raw writer (v2 costs one JSON).
+    from parquet_export_spark.export.versioned import (
+        export_snapshot,
+        load_versioned_table,
+    )
+
+    best = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="bench_vsnap_")
+        try:
+            spark._jvm.System.gc()
+            ev_spec = {"events": TableSpec(name="events", datatypes={}, rows_per_file=100_000)}
+            src = lambda s, spec: load_tables(s, sf_dir)["events"]  # noqa: E731
+            t0 = time.perf_counter()
+            v1 = export_snapshot(spark, src, out_dir, tables=ev_spec)
+            export_snapshot(
+                spark, src, out_dir, tables=ev_spec, changed_tables=set()
+            )
+            load_versioned_table(spark, out_dir, "events", version=v1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    timings["versioned_snapshot_cycle"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

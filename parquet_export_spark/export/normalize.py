@@ -36,6 +36,10 @@ def enforce_schema(df: DataFrame, spec: TableSpec) -> DataFrame:
     extra columns are dropped (the reference reads ``SELECT *`` from a
     schema-matching table so the cases coincide there).
     """
+    if not spec.datatypes:
+        # bare spec (write-tuning only, e.g. bench/maintenance paths):
+        # the frame is already typed; nothing to enforce
+        return df
     cols = []
     for name, dtype in spec.datatypes.items():
         target = spark_type(dtype)  # ValueError on unknown dtype

@@ -591,7 +591,9 @@ def sliding_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def incremental_rollup(t: dict[str, DataFrame]) -> DataFrame:
+def incremental_rollup(
+    t: dict[str, DataFrame], cutoff_date: str = "2024-01-20"
+) -> DataFrame:
     """Incremental materialized-view maintenance: merge a stored
     rollup with a fresh delta by re-aggregation, never rescanning
     history — the daily-rollup twin of the reference's full-snapshot
@@ -606,7 +608,7 @@ def incremental_rollup(t: dict[str, DataFrame]) -> DataFrame:
     side is a tiny aggregate table; only the delta is scanned.
     """
     e = t["events"]
-    cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
+    cutoff = F.lit(cutoff_date).cast("timestamp_ntz")
     # tz-free day truncation on NTZ (date_trunc routes through the
     # session zone — see events_hourly_rollup)
     day = F.expr(

@@ -775,3 +775,84 @@ def test_ansi_division_guards_on_degenerate_groups(spark):
     )
     row = bpe_token_counts({"documents": docs}).collect()[0]
     assert row.n_bpe_tokens == 0 and row.chars_per_token is None
+
+
+@pytest.mark.parametrize(
+    "cutoff", ["2024-01-01", "2024-01-10", "2024-01-29", "2024-02-15"]
+)
+def test_incremental_rollup_merge_equals_recompute_any_cutoff(
+    spark, sf_dir, cutoff
+):
+    """The MV-maintenance invariant holds for ANY split point —
+    including all-delta (cutoff before the data) and all-stored
+    (cutoff after it), not just the oracle's fixed date."""
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.operators.advanced import incremental_rollup
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    merged = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in incremental_rollup(t, cutoff_date=cutoff).collect()
+    }
+    day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
+    direct = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in t["events"]
+        .groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_snapshot_diff_change_feed_reconstructs_new_snapshot(spark, sf_dir):
+    """CDC apply round-trip: old snapshot keys + the change feed must
+    reconstruct the new snapshot's key set and changed prices exactly
+    (the property an incremental consumer relies on)."""
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.operators.stats import snapshot_diff_orders
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    feed = snapshot_diff_orders(t).collect()
+    old_keys = {r.o_orderkey for r in o.select("o_orderkey").collect()}
+    inserted = {r.o_orderkey for r in feed if r.change_type == "insert"}
+    deleted = {r.o_orderkey for r in feed if r.change_type == "delete"}
+    updated = {r.o_orderkey: r.new_totalprice for r in feed if r.change_type == "update"}
+    applied = (old_keys - deleted) | inserted
+    # derive the new snapshot independently (same rule as the operator)
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .select("o_orderkey")
+        .union(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey")
+            )
+        )
+    )
+    want_keys = {r.o_orderkey for r in new_snap.collect()}
+    assert applied == want_keys
+    # every updated key's new price is the exact decimal bump
+    bumped = {
+        r.o_orderkey: r.bumped
+        for r in o.filter(
+            (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 89 != 0)
+        )
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(30,4)") + F.lit(1))
+            .cast("double")
+            .alias("bumped"),
+        )
+        .collect()
+    }
+    assert updated == bumped

@@ -385,3 +385,69 @@ def test_enrich_stream_static_join(spark, sf_dir, events_stream, events_dir):
         want.user_events_total,
         want.user_value_total,
     )
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Deterministic late-data semantics, driven across two real
+    micro-batches: batch 1 advances the watermark far past a window;
+    batch 2 delivers a row for that window beyond the allowed lateness
+    plus a fresh row. The late row must be dropped BEFORE aggregation,
+    so when the window finalizes (append mode) its total reflects only
+    the on-time rows — the bounded-state guarantee the docstrings
+    claim, which single-batch availableNow runs can never exercise."""
+    from datetime import datetime
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    collected = []
+
+    def run_once():
+        stream = I.hourly_rollup_stream(I.stream_events(spark, land))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    # batch 1: two on-time rows in the 00:00 window + a row at 12:00
+    # that advances the watermark to 10:00 (2h allowance)
+    write_file(
+        [
+            (1, t(0, 30), 1, "click", 1.0, "{}"),
+            (2, t(0, 40), 2, "click", 2.0, "{}"),
+            (3, t(12, 0), 3, "click", 7.0, "{}"),
+        ],
+        "a",
+    )
+    run_once()
+    # batch 2: a LATE row for the long-closed 00:00 window (watermark
+    # is 10:00) plus a fresh 13:00 row that finalizes nothing new late
+    write_file(
+        [
+            (4, t(0, 45), 4, "click", 100.0, "{}"),
+            (5, t(13, 0), 5, "click", 9.0, "{}"),
+        ],
+        "b",
+    )
+    run_once()
+    closed = {
+        str(r.hour): (r.n_events, r.total_value) for r in collected
+    }
+    # the 00:00 window finalized WITHOUT the late 100.0 row
+    assert closed["2024-03-01 00:00:00"] == (2, 3.0)

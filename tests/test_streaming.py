@@ -451,3 +451,44 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     }
     # the 00:00 window finalized WITHOUT the late 100.0 row
     assert closed["2024-03-01 00:00:00"] == (2, 3.0)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress a duplicate key
+    arriving in a LATER micro-batch (state carried via checkpoint),
+    not merely within one batch."""
+    from datetime import datetime
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    collected = []
+
+    def run_once():
+        stream = I.dedup_stream(I.stream_events(spark, land))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    spark.createDataFrame(
+        [(1, t(0, 0), 1, "click", 1.0, "{}"), (2, t(0, 10), 2, "click", 2.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(land)
+    run_once()
+    # replayed event_id=1 in a later batch, still inside the watermark
+    spark.createDataFrame(
+        [(1, t(0, 20), 1, "click", 1.0, "{}"), (3, t(0, 30), 3, "click", 3.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(land)
+    run_once()
+    ids = sorted(r.event_id for r in collected)
+    assert ids == [1, 2, 3]  # the replayed 1 was suppressed cross-batch

@@ -135,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "snapshot":
         from parquet_export_spark.export.versioned import export_snapshot
 
+        changed = None
+        if args.changed is not None:
+            changed = {t.strip() for t in args.changed.split(",") if t.strip()}
+            if not changed:
+                # ',' or '  ' must not silently become "nothing
+                # changed" (a full metadata-only republish)
+                parser.error(
+                    "--changed was given but names no tables; omit the "
+                    "flag to republish everything"
+                )
         spark = get_spark(app_name="parquet-export-snapshot")
         version = export_snapshot(
             spark,
@@ -142,12 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             tables=TABLES,
             canonical_json=args.canonical_json,
-            changed_tables=(
-                # strip whitespace; export_snapshot rejects unknown names
-                {t.strip() for t in args.changed.split(",") if t.strip()}
-                if args.changed
-                else None
-            ),
+            changed_tables=changed,  # unknown names rejected inside
         )
         print(version)
         return 0

@@ -83,10 +83,21 @@ def current_version(spark: SparkSession, out_dir: str) -> int | None:
     directory listing, never to a spurious "no snapshot" error.
     """
     pointer = fs.join(out_dir, LATEST)
+    pointed = None
     if fs.exists(spark, pointer):
-        return int(fs.read_text(spark, pointer).strip())
+        try:
+            pointed = int(fs.read_text(spark, pointer).strip())
+        except Exception:
+            # exists()/read race with the writer's delete+rename
+            # replacement window — fall through to the listing
+            pointed = None
     versions = _manifest_versions(spark, out_dir)
-    return versions[-1] if versions else None
+    listed = versions[-1] if versions else None
+    # max of both: a pointer one behind (crash between manifest write
+    # and pointer refresh) must not cause the next export to REUSE a
+    # committed version number and overwrite its manifest
+    candidates = [v for v in (pointed, listed) if v is not None]
+    return max(candidates) if candidates else None
 
 
 def export_snapshot(
@@ -228,7 +239,7 @@ def vacuum(spark: SparkSession, out_dir: str, keep_last: int = 2) -> list[int]:
     # must still be reclaimed then — otherwise it leaks forever.
     # Dirs numbered above `latest` are an in-flight export: untouched.
     for name in fs.list_dir_names(spark, out_dir):
-        m = re.fullmatch(r"v(\d{6})", name)
+        m = re.fullmatch(r"v(\d{6,})", name)  # 6,: _vdir pads, never truncates
         if not m:
             continue
         v = int(m.group(1))

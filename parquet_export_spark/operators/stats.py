@@ -354,8 +354,13 @@ def value_outliers(
     mean = sx / n
     # singleton groups have no sample variance (n-1 = 0 divides), and a
     # zero-spread group has no z-scale: both yield NULL std -> NULL z
-    # -> no flags, instead of an ANSI DIVIDE_BY_ZERO killing the scan
-    var = F.when(n > 1, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    # -> no flags, instead of an ANSI DIVIDE_BY_ZERO killing the scan.
+    # greatest(.., 0): double cancellation can leave a tiny NEGATIVE
+    # variance on near-constant groups; sqrt would give NaN, and Spark
+    # orders NaN > 0, so NaN z-scores would flag EVERY row
+    var = F.when(
+        n > 1, F.greatest((sxx - sx * sx / n) / (n - F.lit(1.0)), F.lit(0.0))
+    )
     stats = ev.groupBy("event_type").agg(
         mean.alias("mean_v"), F.sqrt(var).alias("std_v")
     )

@@ -177,3 +177,23 @@ def test_vacuum_reclaims_orphaned_version_dirs(spark, tmp_path_factory):
     assert not os.path.exists(os.path.join(out_dir, V._vdir(v1)))
     assert not os.path.exists(os.path.join(out_dir, V._vdir(v2)))
     assert V.load_versioned_table(spark, out_dir, "code", version=v3).count() == N
+
+
+def test_stale_pointer_never_reuses_committed_version(
+    spark, tmp_path_factory
+):
+    """Crash between manifest write and pointer refresh leaves the
+    pointer one behind; resolution must take the manifest listing's
+    max so the next export cannot reuse (and overwrite) a committed
+    version number."""
+    out_dir = str(tmp_path_factory.mktemp("vlake_stale"))
+    dfs = fixture_dataframes(spark, N)
+    tables = {"code": dataclasses.replace(TABLES["code"], rows_per_file=25)}
+    src = lambda s, spec: dfs[spec.name]  # noqa: E731
+    V.export_snapshot(spark, src, out_dir, tables=tables)
+    V.export_snapshot(spark, src, out_dir, tables=tables)
+    # simulate the crash window: pointer rolled back to 1
+    with open(os.path.join(out_dir, V.LATEST), "w") as fh:
+        fh.write("1")
+    assert V.current_version(spark, out_dir) == 2
+    assert V.export_snapshot(spark, src, out_dir, tables=tables) == 3

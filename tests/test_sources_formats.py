@@ -176,3 +176,41 @@ def test_xml_roundtrip_declared_schema(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in nation.collect()}
     got = {tuple(r) for r in back.collect()}
     assert got == want
+
+
+def test_jsonl_shards_writer_commit_protocol(spark, sf_dir, tmp_path):
+    """Custom Python DataSource WRITER: shards land under final names
+    with a manifest only at commit; row counts exact; round-trip via
+    the JSON reader; overwrite replaces the committed set."""
+    import json
+    import os
+
+    from parquet_export_spark.sources.jsonl_sink import register_jsonl_sink
+    from parquet_export_spark.sources.lake import load_table
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_out")
+    ev = load_table(spark, sf_dir, "events").repartition(4)
+    n = ev.count()
+    ev.write.format("jsonl_shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["total_rows"] == n
+    assert len(manifest["shards"]) == 4
+    names = sorted(f for f in os.listdir(out) if not f.startswith((".", "_")))
+    assert names == sorted(s["name"] for s in manifest["shards"])
+    for s in manifest["shards"]:  # row-count-bearing names, like the
+        assert s["name"].endswith(f"-{s['rows']}.jsonl")  # export naming
+    back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
+    assert back.count() == n
+    assert set(back.columns) == set(ev.columns)
+    # overwrite: fewer partitions -> the old 4-shard set is replaced
+    ev.repartition(2).write.format("jsonl_shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert len(manifest2["shards"]) == 2
+    shard_files = [f for f in os.listdir(out) if f.startswith("shard-")]
+    assert len(shard_files) == 2
+    assert manifest2["total_rows"] == n

@@ -230,3 +230,30 @@ def test_bloom_prefilter_sits_below_the_join(spark, sf_dir):
         "not above it (postfilter)"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """The other AQE lever the 100 TB story relies on: a shuffle
+    configured with many more partitions than the data warrants must
+    coalesce at runtime (AQEShuffleRead 'coalesced'), so tiny
+    post-filter aggregates don't schedule thousands of empty tasks."""
+    import re
+
+    from parquet_export_spark.sources.lake import load_table
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    ns.conf.set("spark.sql.shuffle.partitions", "200")
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(ns, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)  # tiny post-filter slice
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # materialize so the ADAPTIVE final plan exists
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"AQEShuffleRead coalesced", plan)
+    assert m, plan[:1500]

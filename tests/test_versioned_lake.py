@@ -197,3 +197,39 @@ def test_stale_pointer_never_reuses_committed_version(
         fh.write("1")
     assert V.current_version(spark, out_dir) == 2
     assert V.export_snapshot(spark, src, out_dir, tables=tables) == 3
+
+
+def test_schema_evolution_across_versions(spark, tmp_path_factory):
+    """Republish with an added column: pinned readers keep each
+    version's own schema; a cross-version scan reconciles via
+    mergeSchema (old rows NULL in the new column). The immutable-
+    version layout is what makes additive evolution safe — no file is
+    ever rewritten under a reader holding the old schema."""
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.tables import TableSpec
+
+    out_dir = str(tmp_path_factory.mktemp("vlake_schema"))
+    dfs = fixture_dataframes(spark, N)
+    bare = {"code": TableSpec(name="code", datatypes={}, rows_per_file=25)}
+    V.export_snapshot(spark, lambda s, spec: dfs["code"], out_dir, tables=bare)
+    V.export_snapshot(
+        spark,
+        lambda s, spec: dfs["code"].withColumn("audited", F.lit(True)),
+        out_dir,
+        tables=bare,
+    )
+    old = V.load_versioned_table(spark, out_dir, "code", version=1)
+    new = V.load_versioned_table(spark, out_dir, "code", version=2)
+    assert "audited" not in old.columns
+    assert "audited" in new.columns
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(
+            os.path.join(out_dir, "v000001", "code"),
+            os.path.join(out_dir, "v000002", "code"),
+        )
+    )
+    assert "audited" in merged.columns
+    assert merged.count() == 2 * N
+    assert merged.filter(F.col("audited").isNull()).count() == N

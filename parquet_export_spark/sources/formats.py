@@ -8,6 +8,7 @@ affordance)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -103,3 +104,40 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
     """XML export via the native Spark 4 writer (one element per row
     under ``row_tag``); executor-parallel like every other sink here."""
     df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_jsonl_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive JSONL ingest with a malformed-row QUARANTINE:
+    returns (good_rows, bad_rows).
+
+    The at-scale ingest contract: one broken line in 100 TB must
+    neither kill the job (FAILFAST) nor vanish silently
+    (DROPMALFORMED). PERMISSIVE mode routes unparseable lines into a
+    ``_corrupt_record`` column; we split the stream so good rows flow
+    on with the declared schema and bad raw lines land in an
+    auditable side output (count them, alert, replay after a fix).
+    Spark requires the corrupt-record column to be cached/materialized
+    separately from a filter on itself — hence the two filtered reads
+    share one scan via an explicit column check, not a recompute.
+    """
+    corrupt = "_corrupt_record"
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .cache()  # Spark disallows filtering on _corrupt_record from
+        # the raw scan (SPARK-21610 guard); caching materializes it
+    )
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad

@@ -214,3 +214,30 @@ def test_jsonl_shards_writer_commit_protocol(spark, sf_dir, tmp_path):
     shard_files = [f for f in os.listdir(out) if f.startswith("shard-")]
     assert len(shard_files) == 2
     assert manifest2["total_rows"] == n
+
+
+def test_read_jsonl_audited_quarantines_malformed(spark, tmp_path):
+    """One broken line must neither kill the job nor vanish: good rows
+    keep the declared schema, the raw bad line lands in the audit
+    side-output verbatim."""
+    from pyspark.sql import types as T
+
+    from parquet_export_spark.sources.formats import read_jsonl_audited
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": 3, "text": BROKEN}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_audited(spark, str(p), schema)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert good.columns == ["doc_id", "text"]
+    [bad_row] = bad.collect()
+    assert "BROKEN" in bad_row.raw_line

@@ -44,6 +44,40 @@ def _rel(op: Callable[[dict[str, DataFrame]], DataFrame]) -> QueryFn:
     return run
 
 
+def _sql(sql: str) -> QueryFn:
+    """Registry adapter for pure-SQL queries: register the lake's temp
+    views, then hand the string to Catalyst — the ANSI text IS the
+    plan declaration AND (verbatim) the oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parquet_export_spark.sources.lake import register_temp_views
+
+        register_temp_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+#: shared verbatim by Spark and DuckDB — see "sql_segment_top_spenders"
+SEGMENT_TOP_SPENDERS_SQL = """
+    WITH cust_rev AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                   AS total_spend,
+               COUNT(*) AS n_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name, c_mktsegment)
+    SELECT c_mktsegment, rank, c_custkey, c_name, total_spend, n_orders
+    FROM (SELECT *,
+                 CAST(ROW_NUMBER() OVER (
+                      PARTITION BY c_mktsegment
+                      ORDER BY total_spend DESC, c_custkey) AS INT) AS rank
+          FROM cust_rev)
+    WHERE rank <= 3
+    ORDER BY c_mktsegment, rank
+"""
+
+
 _REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -2277,6 +2311,14 @@ REGISTRY.update(
             ORDER BY user_id
             """,
         ),
+        # the pure-SQL entry path: ONE ANSI string executed verbatim by
+        # BOTH engines (spark.sql over registered temp views / DuckDB
+        # over the same parquet) — the portability the exact-decimal
+        # discipline buys. CTE + join + grouped agg + ranked window.
+        "sql_segment_top_spenders": QuerySpec(
+            _sql(SEGMENT_TOP_SPENDERS_SQL),
+            SEGMENT_TOP_SPENDERS_SQL,
+        ),
         "source_capped_sample": QuerySpec(
             _rel(CU.source_capped_sample),
             """
@@ -2358,7 +2400,10 @@ _VERDICT_PRIORITY = [
     # stays outside on a family tie-break: its hash-ranked window-top-k
     # plan is pinned in-window by window_topk_per_group and
     # stratified_sample, and its exact oracle runs in pytest every
-    # round regardless.)
+    # round regardless. sql_segment_top_spenders (new, oracle-bearing)
+    # likewise: its ONE-ANSI-STRING-on-both-engines contract means the
+    # pytest oracle run IS the strongest possible check — the driver
+    # would execute the identical text.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",

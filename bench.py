@@ -36,6 +36,7 @@ HEADLINE = [
     "window_running_sum",
     "set_ops",
     "scalar_json_funcs",
+    "sql_segment_top_spenders",
     "events_hourly_rollup",
     "event_ohlc",
     "sliding_rollup",

@@ -50,6 +50,8 @@ def _sql(sql: str) -> QueryFn:
     plan declaration AND (verbatim) the oracle."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pure-SQL query: one ANSI string executed verbatim by Spark
+        and by the DuckDB oracle."""
         from parquet_export_spark.sources.lake import register_temp_views
 
         register_temp_views(spark, sf_dir)

@@ -7,6 +7,8 @@ affordance)."""
 
 from __future__ import annotations
 
+import typing
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,13 +108,25 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
     df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
 
 
+class AuditedRead(typing.NamedTuple):
+    """Result of :func:`read_jsonl_audited`. Call ``release()`` once
+    both outputs are consumed — the split requires caching the scan
+    (SPARK-21610), and the pin lives until released or the session
+    ends; a loop auditing many inputs without releasing would
+    accumulate cached relations until the store spills."""
+
+    good: DataFrame
+    bad: DataFrame
+    release: typing.Callable[[], None]
+
+
 def read_jsonl_audited(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
-) -> tuple[DataFrame, DataFrame]:
+) -> AuditedRead:
     """Permissive JSONL ingest with a malformed-row QUARANTINE:
-    returns (good_rows, bad_rows).
+    returns (good_rows, bad_rows, release).
 
     The at-scale ingest contract: one broken line in 100 TB must
     neither kill the job (FAILFAST) nor vanish silently
@@ -120,9 +134,9 @@ def read_jsonl_audited(
     ``_corrupt_record`` column; we split the stream so good rows flow
     on with the declared schema and bad raw lines land in an
     auditable side output (count them, alert, replay after a fix).
-    Spark requires the corrupt-record column to be cached/materialized
-    separately from a filter on itself — hence the two filtered reads
-    share one scan via an explicit column check, not a recompute.
+    Spark requires the corrupt-record column to be cached before it
+    can be filtered on (SPARK-21610 guard), hence the explicit cache
+    + the ``release`` handle for the caller to drop the pin.
     """
     corrupt = "_corrupt_record"
     full = T.StructType(
@@ -133,11 +147,10 @@ def read_jsonl_audited(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt)
         .json(path)
-        .cache()  # Spark disallows filtering on _corrupt_record from
-        # the raw scan (SPARK-21610 guard); caching materializes it
+        .cache()
     )
     good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_line")
     )
-    return good, bad
+    return AuditedRead(good, bad, lambda: df.unpersist())

@@ -64,35 +64,50 @@ class _ShardBatchWriter(DataSourceWriter):
         n = 0
         with open(os.path.join(self.path, tmp), "w") as fh:
             for row in iterator:
-                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                # recursive: nested structs must serialize as JSON
+                # objects, not positional arrays of a pickled Row
+                fh.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
                 n += 1
         return _ShardCommit(tmp_name=tmp, n_rows=n)
 
     # driver-side: runs only after every task returned a message.
-    # Order matters for crash windows: new shards land FIRST
-    # (os.replace — same-named survivors from a previous commit are
-    # atomically superseded, never missing), stale shards retire
-    # after, and the manifest swaps last — a manifest-trusting reader
-    # never references a file that does not exist.
+    # Crash-window ordering: (1) new shards land via os.replace (a
+    # same-named survivor is atomically superseded, never missing),
+    # (2) the manifest swaps, (3) ONLY THEN do stale shards retire —
+    # at every intermediate point the surviving manifest (old or new)
+    # references only files that exist. Append mode continues the
+    # previous manifest's numbering and carries its shards forward, so
+    # committed data is never renamed over or dropped from the index.
     def commit(self, messages):
-        shards = []
+        mpath = os.path.join(self.path, "_manifest.json")
+        prev: list[dict] = []
+        if not self.overwrite and os.path.exists(mpath):
+            with open(mpath) as fh:
+                prev = json.load(fh)["shards"]
+        new = []
         for i, m in enumerate(messages):
-            name = f"shard-{i:05d}-{m.n_rows}.jsonl"
+            name = f"shard-{len(prev) + i:05d}-{m.n_rows}.jsonl"
             os.replace(
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, name),
             )
-            shards.append({"name": name, "rows": m.n_rows})
-        if self.overwrite:
-            keep = {s["name"] for s in shards}
-            for name in os.listdir(self.path):
-                if name.startswith("shard-") and name not in keep:
-                    os.remove(os.path.join(self.path, name))
+            new.append({"name": name, "rows": m.n_rows})
+        shards = prev + new
         manifest = {"shards": shards, "total_rows": sum(s["rows"] for s in shards)}
         tmp = os.path.join(self.path, ".tmp-manifest.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
-        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+        os.replace(tmp, mpath)
+        keep = {s["name"] for s in shards}
+        for name in os.listdir(self.path):
+            # retire superseded shards (overwrite) and sweep orphaned
+            # temps from failed/speculative attempts — every temp of
+            # THIS job was consumed by the renames above, and the sink
+            # is single-writer (same contract as the versioned lake)
+            stale_shard = name.startswith("shard-") and name not in keep
+            orphan_tmp = name.startswith(".tmp-shard-")
+            if stale_shard or orphan_tmp:
+                os.remove(os.path.join(self.path, name))
 
     def abort(self, messages):
         for m in messages:
@@ -105,9 +120,10 @@ class _ShardBatchWriter(DataSourceWriter):
 
 
 class JsonlShardsSink(DataSource):
-    """Options: path (required). Modes: append (default) adds shards
-    beside existing ones under fresh names only if none clash —
-    overwrite replaces all committed shards atomically at commit."""
+    """Options: path (required). Modes: append (default) numbers new
+    shards after the committed set and carries the previous manifest's
+    shards forward; overwrite replaces the committed set, swapping the
+    manifest before any old file is removed."""
 
     @classmethod
     def name(cls) -> str:

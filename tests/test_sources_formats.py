@@ -214,6 +214,20 @@ def test_jsonl_shards_writer_commit_protocol(spark, sf_dir, tmp_path):
     shard_files = [f for f in os.listdir(out) if f.startswith("shard-")]
     assert len(shard_files) == 2
     assert manifest2["total_rows"] == n
+    # append: previous shards carried forward, numbering continues,
+    # no committed file clobbered
+    ev.repartition(1).write.format("jsonl_shards").option("path", out).mode(
+        "append"
+    ).save()
+    manifest3 = json.load(open(os.path.join(out, "_manifest.json")))
+    assert len(manifest3["shards"]) == 3
+    assert manifest3["total_rows"] == 2 * n
+    names3 = [s["name"] for s in manifest3["shards"]]
+    assert names3[:2] == [s["name"] for s in manifest2["shards"]]
+    assert names3[2].startswith("shard-00002-")
+    assert len([f for f in os.listdir(out) if f.startswith("shard-")]) == 3
+    # no orphaned temps survive a commit
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-shard-")]
 
 
 def test_read_jsonl_audited_quarantines_malformed(spark, tmp_path):
@@ -236,8 +250,35 @@ def test_read_jsonl_audited_quarantines_malformed(spark, tmp_path):
             T.StructField("text", T.StringType()),
         ]
     )
-    good, bad = read_jsonl_audited(spark, str(p), schema)
+    good, bad, release = read_jsonl_audited(spark, str(p), schema)
     assert {r.doc_id for r in good.collect()} == {1, 2}
     assert good.columns == ["doc_id", "text"]
     [bad_row] = bad.collect()
     assert "BROKEN" in bad_row.raw_line
+    release()  # drop the SPARK-21610 cache pin
+
+
+def test_jsonl_shards_serializes_nested_structs_as_objects(spark, tmp_path):
+    """Nested struct columns must serialize as JSON objects with field
+    names, not positional arrays (row.asDict(recursive=True))."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "nested_out")
+    df = (
+        spark.range(1)
+        .coalesce(1)
+        .select(
+            F.col("id"),
+            F.struct(F.lit(7).alias("x"), F.lit("s").alias("y")).alias("nested"),
+        )
+    )
+    df.write.format("jsonl_shards").option("path", out).mode("overwrite").save()
+    [shard] = [f for f in os.listdir(out) if f.startswith("shard-")]
+    [line] = open(os.path.join(out, shard)).read().splitlines()
+    assert json.loads(line)["nested"] == {"x": 7, "y": "s"}

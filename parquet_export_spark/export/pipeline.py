@@ -112,16 +112,26 @@ def export_lake(
         )
 
     items = list(tables.items())
+    out = map_tables_concurrently(one, items, max_concurrency)
+    files = {name: fs for (name, _), (fs, _) in zip(items, out)}
+    metrics = {name: m for (name, _), (_, m) in zip(items, out)}
+    write_manifest(out_dir, files, spark=spark, metrics=metrics)
+    return files
+
+
+def map_tables_concurrently(fn, items: list, max_concurrency: int) -> list:
+    """Order-preserving per-table fan-out from a small driver thread
+    pool (Spark accepts concurrent job submission from driver threads):
+    one table's driver-side metadata phase overlaps another table's
+    executor-side write. ``max_concurrency=1`` is the reference's
+    strictly sequential behavior (also the bench A/B lever). Shared by
+    export_lake and export_snapshot so the fan-out policy cannot drift
+    between the flat and the versioned path."""
     if max_concurrency > 1 and len(items) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(
             max_workers=min(max_concurrency, len(items))
         ) as pool:
-            out = list(pool.map(one, items))
-    else:
-        out = [one(item) for item in items]
-    files = {name: fs for (name, _), (fs, _) in zip(items, out)}
-    metrics = {name: m for (name, _), (_, m) in zip(items, out)}
-    write_manifest(out_dir, files, spark=spark, metrics=metrics)
-    return files
+            return list(pool.map(fn, items))
+    return [fn(item) for item in items]

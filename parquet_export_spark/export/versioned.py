@@ -107,6 +107,7 @@ def export_snapshot(
     tables: dict[str, TableSpec] | None = None,
     canonical_json: bool = False,
     changed_tables: set[str] | None = None,
+    max_concurrency: int = 4,
 ) -> int:
     """Export the next immutable snapshot; returns its version number.
     Commit order is the correctness story: data files first, then the
@@ -149,6 +150,12 @@ def export_snapshot(
         # changed — there is nothing to reuse
         changed |= set(tables) - set(prev_manifest["files"])
     vdir = fs.join(out_dir, _vdir(version))
+    # this version number is uncommitted (no manifest), so any existing
+    # v{N} content is a crashed attempt's debris — clear it wholesale
+    # rather than rely on per-table overwrite: a retry with a SMALLER
+    # changed set would otherwise leave the crashed attempt's files for
+    # the now-metadata-only tables inside a committed directory forever
+    fs.delete(spark, vdir, recursive=True)
 
     def one(item: tuple[str, TableSpec]) -> tuple[list[str], dict]:
         name, spec = item
@@ -159,16 +166,12 @@ def export_snapshot(
             return [f"{_vdir(version)}/{name}/{n}" for n in names], m
         return prev_manifest["files"][name], prev_manifest["metrics"][name]
 
-    # same driver thread pool as export_lake: one table's driver-side
-    # metadata phase overlaps another's executor-side write
-    items = list(tables.items())
-    if len(items) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    # same driver thread pool as export_lake (shared helper): one
+    # table's driver-side metadata phase overlaps another's write
+    from parquet_export_spark.export.pipeline import map_tables_concurrently
 
-        with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
-            out = list(pool.map(one, items))
-    else:
-        out = [one(items[0])]
+    items = list(tables.items())
+    out = map_tables_concurrently(one, items, max_concurrency)
     qualified = {name: f for (name, _), (f, _) in zip(items, out)}
     metrics = {name: m for (name, _), (_, m) in zip(items, out)}
     manifest = build_manifest({}, metrics=metrics)

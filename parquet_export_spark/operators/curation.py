@@ -439,11 +439,15 @@ def shard_for_training(t: dict[str, DataFrame]) -> DataFrame:
     Why not ``orderBy(rand())`` + ``repartition``: a seeded-RNG
     shuffle depends on partition layout and is unreproducible across
     engines, reruns and incremental arrivals. The md5 order is a
-    fixed, uniformly-mixing permutation of the corpus — the same
-    document lands in the same shard at the same position on any
-    engine (exact DuckDB oracle), appends don't reshuffle history
-    (same property as train_eval_split), and shard sizes are balanced
-    by hash uniformity.
+    fixed, uniformly-mixing permutation of the corpus: the same CORPUS
+    yields the same (shard, shard_pos) on any engine and any rerun
+    (exact DuckDB oracle). Under appends, a document's SHARD and its
+    position RELATIVE to other survivors are stable, but shard_pos is
+    a dense rank — an appended doc hashing earlier in the shard shifts
+    later absolute positions by one, so (shard, shard_pos) is a stable
+    address only for a fixed corpus snapshot; resumable pipelines
+    should key on doc_id (train_eval_split's membership property is
+    the append-stable one).
 
     Scale shape: one shuffle on the shard key; the within-shard rank
     is a window per shard partition (each task ranks only its shard).

@@ -678,6 +678,10 @@ def decode_wav(payload: bytes) -> dict:
 
     import numpy as np
 
+    if len(payload) < 44:
+        # same fail-fast contract as the netpbm decoders: truncation
+        # raises ValueError, never a bare struct.error
+        raise ValueError("truncated WAV header")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     if payload[12:16] != b"fmt ":

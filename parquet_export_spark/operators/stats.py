@@ -308,7 +308,13 @@ def value_gini_by_type(t: dict[str, DataFrame]) -> DataFrame:
         # int64 sums are exact here — n*s0 fits — but the * 10**9
         # scale-up would not be, so the quotient math leaves numpy)
         s1 = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
-        return (2 * s1 - (n + 1) * s0) * 10**9 // (n * s0)
+        num = (2 * s1 - (n + 1) * s0) * 10**9
+        den = n * s0
+        # TRUNCATING division to match DuckDB's HUGEINT '//' — Python's
+        # '//' floors, which differs by 1 on inexact negative quotients
+        # (possible when a group's value sum is negative)
+        sign = -1 if (num < 0) != (den < 0) else 1
+        return sign * (abs(num) // abs(den))
 
     # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
     # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a second

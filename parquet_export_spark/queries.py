@@ -2022,7 +2022,14 @@ REGISTRY.update(
                 FROM events GROUP BY event_type),
             st AS (SELECT event_type,
                           sx / n AS mean_v,
-                          sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_v
+                          -- mirror the operator's guards: singleton
+                          -- groups have no sample variance, and tiny
+                          -- NEGATIVE cancellation residue must clamp
+                          -- to 0, not crash DuckDB's sqrt
+                          CASE WHEN n > 1 THEN
+                               sqrt(GREATEST((sxx - sx * sx / n)
+                                             / (n - 1.0), 0.0))
+                          END AS std_v
                    FROM s)
             SELECT event_id, event_type, value,
                    ROUND((value - mean_v) / std_v, 9) AS z_score

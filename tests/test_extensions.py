@@ -856,3 +856,15 @@ def test_snapshot_diff_change_feed_reconstructs_new_snapshot(spark, sf_dir):
         .collect()
     }
     assert updated == bumped
+
+
+def test_wav_truncation_raises_valueerror():
+    """Truncated WAV payloads fail with the codec family's declared
+    ValueError, never a bare struct.error."""
+    import pytest as _pytest
+
+    from parquet_export_spark.operators.multimodal import decode_wav
+
+    for cut in (10, 20, 35, 43):
+        with _pytest.raises(ValueError, match="truncated WAV header"):
+            decode_wav((b"RIFF\x00\x00\x00\x00WAVEfmt " + b"\x00" * 40)[:cut])

@@ -868,3 +868,58 @@ def test_wav_truncation_raises_valueerror():
     for cut in (10, 20, 35, 43):
         with _pytest.raises(ValueError, match="truncated WAV header"):
             decode_wav((b"RIFF\x00\x00\x00\x00WAVEfmt " + b"\x00" * 40)[:cut])
+
+
+def test_stats_oracles_on_adversarial_groups(spark, sf_dir, tmp_path):
+    """Full Spark-vs-DuckDB differential for value_gini_by_type and
+    value_outliers on a fixture that actually EXERCISES the guarded
+    edges the sf corpora never hit: a negative-sum group whose Gini
+    quotient is inexact (floor vs truncate divergence), an exact
+    .5-micro value (half-to-even vs half-away), a constant group
+    (variance-clamp path) and a singleton group (n-1 = 0 path)."""
+    from datetime import datetime
+
+    from parquet_export_spark.queries import REGISTRY
+    from tests.oracle_harness import compare
+
+    rows = [
+        # negative-sum group: micro [-1000000, 400000] -> quotient
+        # -1.1666..e9, inexact and negative
+        (1, datetime(2024, 1, 1), 1, "neg", -1.0, "{}"),
+        (2, datetime(2024, 1, 1), 2, "neg", 0.4, "{}"),
+        # exact .5 micro-unit: np.round would give 2, half-away gives 3
+        (3, datetime(2024, 1, 1), 3, "neg", 2.5e-6, "{}"),
+        # constant group: variance cancels (clamp path), gini 0
+        (4, datetime(2024, 1, 1), 4, "const", 5.0, "{}"),
+        (5, datetime(2024, 1, 1), 5, "const", 5.0, "{}"),
+        (6, datetime(2024, 1, 1), 6, "const", 5.0, "{}"),
+        # singleton group: no sample variance (n-1 = 0 path)
+        (7, datetime(2024, 1, 1), 7, "lonely", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    # fixture lake: symlink the real tables, replace events with the
+    # adversarial frame (single parquet FILE — DuckDB reads it too)
+    import glob
+    import os
+    import shutil
+
+    from parquet_export_spark.sources.lake import STAR_TABLES, table_path
+
+    fixture_dir = str(tmp_path / "adversarial")
+    os.makedirs(fixture_dir, exist_ok=True)
+    for name in STAR_TABLES:
+        src = table_path(sf_dir, name)
+        if os.path.exists(src) and name != "events":
+            os.symlink(src, os.path.join(fixture_dir, f"{name}.parquet"))
+    staging = str(tmp_path / "staging")
+    df.coalesce(1).write.parquet(staging)
+    [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+    shutil.move(part, os.path.join(fixture_dir, "events.parquet"))
+    for name in ("value_gini_by_type", "value_outliers"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+        assert ok, f"{name} on adversarial fixture: {msg}"

@@ -150,3 +150,29 @@ def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
         ][:3]
         return False, "value mismatch (first diffs):\n" + "\n".join(diffs)
     return True, "ok"
+
+
+def fixture_lake(spark, sf_dir: str, out_dir: str, replacements: dict) -> str:
+    """Build a lake directory for adversarial differentials: every real
+    table symlinked from ``sf_dir`` except those in ``replacements``
+    (name -> DataFrame), which are written as single parquet FILES so
+    both Spark and DuckDB read them identically."""
+    import glob
+    import shutil
+
+    from parquet_export_spark.sources.lake import STAR_TABLES, table_path
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in STAR_TABLES:
+        src = table_path(sf_dir, name)
+        if os.path.exists(src) and name not in replacements:
+            dst = os.path.join(out_dir, f"{name}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+    for name, df in replacements.items():
+        staging = os.path.join(out_dir, f".staging_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, os.path.join(out_dir, f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+    return out_dir

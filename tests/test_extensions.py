@@ -901,25 +901,82 @@ def test_stats_oracles_on_adversarial_groups(spark, sf_dir, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long,"
         " event_type string, value double, props string",
     )
-    # fixture lake: symlink the real tables, replace events with the
-    # adversarial frame (single parquet FILE — DuckDB reads it too)
-    import glob
-    import os
-    import shutil
+    from tests.oracle_harness import fixture_lake
 
-    from parquet_export_spark.sources.lake import STAR_TABLES, table_path
-
-    fixture_dir = str(tmp_path / "adversarial")
-    os.makedirs(fixture_dir, exist_ok=True)
-    for name in STAR_TABLES:
-        src = table_path(sf_dir, name)
-        if os.path.exists(src) and name != "events":
-            os.symlink(src, os.path.join(fixture_dir, f"{name}.parquet"))
-    staging = str(tmp_path / "staging")
-    df.coalesce(1).write.parquet(staging)
-    [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
-    shutil.move(part, os.path.join(fixture_dir, "events.parquet"))
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "adversarial"), {"events": df}
+    )
     for name in ("value_gini_by_type", "value_outliers"):
         spec = REGISTRY[name]
         ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
         assert ok, f"{name} on adversarial fixture: {msg}"
+
+
+def test_ohlc_and_funnel_oracles_on_tie_and_onesided_fixtures(
+    spark, sf_dir, tmp_path
+):
+    """More corpus-invisible edges, run as full differentials:
+    event_ohlc with EXACT ts collisions inside one (hour, type) bucket
+    (the (ts, event_id) struct tie-break must match the oracle's
+    ROW_NUMBER tie-break bit-for-bit) and cogroup_user_funnel with
+    clicks-only / purchases-only users (the NULL funnel paths)."""
+    from datetime import datetime
+
+    from parquet_export_spark.queries import REGISTRY
+    from tests.oracle_harness import compare, fixture_lake
+
+    t0 = datetime(2024, 5, 1, 9, 15, 0)
+    t1 = datetime(2024, 5, 1, 9, 45, 0)
+    rows = [
+        # three ticks at the SAME instant: open/close resolved by
+        # event_id, high/low by value
+        (10, t0, 1, "click", 5.0, "{}"),
+        (11, t0, 1, "click", 1.0, "{}"),
+        (12, t0, 1, "click", 9.0, "{}"),
+        (13, t1, 1, "click", 4.0, "{}"),
+        # user 2: purchases only (clicks_before must be 0, not NULL)
+        (14, t0, 2, "purchase", 20.0, "{}"),
+        # user 3: clicks only (funnel fields must be NULL)
+        (15, t0, 3, "click", 2.0, "{}"),
+        (16, t1, 3, "click", 3.0, "{}"),
+        # user 1 purchase after clicks
+        (17, t1, 1, "purchase", 50.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "ties"), {"events": df}
+    )
+    for name in ("event_ohlc", "cogroup_user_funnel", "winsorize_values"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+        assert ok, f"{name} on tie/one-sided fixture: {msg}"
+
+
+def test_text_oracles_on_degenerate_documents(spark, sf_dir, tmp_path):
+    """Degenerate documents as full differentials: double/edge spaces,
+    a single word, a hapax-only doc — the empty-token filter must
+    agree between the Spark operator AND its DuckDB oracle (the unit
+    test alone only pinned the Spark side)."""
+    from parquet_export_spark.queries import REGISTRY
+    from tests.oracle_harness import compare, fixture_lake
+
+    docs = spark.createDataFrame(
+        [
+            (1, " a  a b ", "en", "s0", 8),
+            (2, "word", "en", "s0", 4),
+            (3, "each token here once", "en", "s1", 20),
+            (4, "x y x y x y", "en", "s1", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "degdocs"), {"documents": docs}
+    )
+    for name in ("token_diversity", "token_stats", "repetition_ratios"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+        assert ok, f"{name} on degenerate documents: {msg}"

@@ -980,3 +980,37 @@ def test_text_oracles_on_degenerate_documents(spark, sf_dir, tmp_path):
         spec = REGISTRY[name]
         ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
         assert ok, f"{name} on degenerate documents: {msg}"
+
+
+def test_dedup_oracles_on_engineered_duplicates(spark, sf_dir, tmp_path):
+    """Dedup differentials on engineered structure: an exact-duplicate
+    pair (keep-first must break the tie on doc_id), a triple with one
+    exact + one near duplicate (one-word edit), and uniques — the
+    corpus's organic duplicates never isolate these cases."""
+    from parquet_export_spark.queries import REGISTRY
+    from tests.oracle_harness import compare, fixture_lake
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s0", len(base)),
+            (2, base, "en", "s1", len(base)),  # exact dup of 1
+            (3, near, "en", "s0", len(near)),  # near dup of 1
+            (4, "completely different content here", "en", "s0", 33),
+            (5, base, "de", "s0", len(base)),  # exact dup, other lang
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "dups"), {"documents": docs}
+    )
+    for name in (
+        "dedup_exact",
+        "dedup_exact_keep_first",
+        "neardup_jaccard_blocked",
+        "neardup_ngram_jaccard",
+    ):
+        spec = REGISTRY[name]
+        ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+        assert ok, f"{name} on engineered duplicates: {msg}"

@@ -1014,3 +1014,39 @@ def test_dedup_oracles_on_engineered_duplicates(spark, sf_dir, tmp_path):
         spec = REGISTRY[name]
         ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
         assert ok, f"{name} on engineered duplicates: {msg}"
+
+
+def test_pack_sequences_oracle_on_boundary_documents(spark, sf_dir, tmp_path):
+    """Packing differentials on chunk-boundary alignment: docs whose
+    token counts end EXACTLY on the 512-token cut, a 1-token doc
+    straddling nothing, and a doc longer than one context window —
+    off-by-one in start/end chunk math shows only at exact
+    boundaries, which organic token counts rarely produce.
+    Also exercises the two-level prefix sum across a bucket edge via
+    doc_ids spanning the PACK_BUCKET divide."""
+    from parquet_export_spark.operators.curation import PACK_BUCKET
+    from parquet_export_spark.queries import REGISTRY
+    from tests.oracle_harness import compare, fixture_lake
+
+    def doc(i, n_tokens):
+        text = " ".join(["w"] * n_tokens)
+        return (i, text, "en", "s0", len(text))
+
+    rows = [
+        doc(1, 512),           # fills chunk 0 exactly
+        doc(2, 1),             # single token at a fresh boundary
+        doc(3, 511),           # ends chunk 1 exactly
+        doc(4, 1025),          # spans three chunks
+        doc(PACK_BUCKET, 7),   # straddle the prefix-sum bucket divide
+        doc(PACK_BUCKET + 1, 9),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "packing"), {"documents": docs}
+    )
+    spec = REGISTRY["pack_sequences"]
+    ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+    assert ok, f"pack_sequences on boundary documents: {msg}"

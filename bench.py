@@ -104,6 +104,11 @@ HEADLINE = [
     "fuzzy_dedup_keep",
     "label_pca",
     "approx_percentiles",
+    # round-4b: iterative graph / CDC / linkage / PIT families
+    "pagerank_trade_graph",
+    "apply_changefeed",
+    "fuzzy_join_parts",
+    "scd2_point_in_time",
 ]
 
 
@@ -140,6 +145,11 @@ def main() -> None:
         # triggered mid-query charges one query for its predecessors'
         # garbage (round 2 -> 3 showed a 4x swing on one query from
         # exactly this). Explicit gc() puts the pause between timings.
+        # clearCache additionally evicts any cached/checkpointed blocks
+        # a previous operator pinned (localCheckpoint lineage is block-
+        # manager storage), so no query is charged for a predecessor's
+        # storage-memory pressure.
+        spark.catalog.clearCache()
         spark._jvm.System.gc()
         best = float("inf")
         for _ in range(3):  # min-of-3: strips JIT + GC + scheduling noise

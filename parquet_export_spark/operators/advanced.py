@@ -712,3 +712,68 @@ def cogroup_user_funnel(t: dict[str, DataFrame]) -> DataFrame:
         .applyInPandas(kernel, out_schema)
         .orderBy("user_id")
     )
+
+
+def scd2_point_in_time(t: dict[str, DataFrame]) -> DataFrame:
+    """Point-in-time (PIT) lookup against the SCD2 dimension: for each
+    user and each calendar day of their active span, the state that was
+    valid at that day's midnight — the "reconstruct yesterday's
+    snapshot from the dimension's history" query every SCD2 warehouse
+    consumer runs (and the reason to keep validity intervals at all;
+    the reference's full-snapshot republish, reference README.md:5,
+    answers it only for the latest instant).
+
+    Scale shape: NOT an interval range join (probe x interval range
+    predicates explode into O(n·m) compares or an interval-index build);
+    instead the same union-then-carry-forward sort that powers
+    ``asof_purchase_attribution`` — change rows and probe rows union
+    into ONE per-user ordered window, ``last_value(ignore nulls)``
+    carries the state to each probe, probes keep it. One shuffle on
+    user_id total, linear in |changes| + |probes|. A change stamped
+    exactly at midnight sorts before the probe (kind 0 < 1) and so
+    applies to that day; among (degenerate) simultaneous changes the
+    lexicographically-last state wins — a total, engine-independent
+    order mirrored in the oracle.
+
+    Probe grid: ``sequence(first_day, last_day)`` per user — generated
+    distributed, never a driver-side calendar loop.
+    """
+    ev = t["events"]
+    dim = scd2_user_state(t).select(
+        "user_id", F.col("valid_from").alias("ts"), "state"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    probes = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    u = dim.select(
+        "user_id", "ts", F.lit(0).alias("kind"), "state",
+        F.lit(None).cast("date").alias("day"),
+    ).unionByName(
+        probes.select(
+            "user_id",
+            F.col("day").cast("timestamp_ntz").alias("ts"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("state"),
+            "day",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "state")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "pit_state", F.last("state", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("pit_state").isNotNull())
+        .select(
+            "user_id",
+            F.col("day").alias("snapshot_day"),
+            F.col("pit_state").alias("state"),
+        )
+        .orderBy("user_id", "snapshot_day")
+    )

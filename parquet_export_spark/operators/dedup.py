@@ -730,3 +730,55 @@ def dup_spans(t: dict[str, DataFrame], n: int = DUP_SPAN_NGRAM) -> DataFrame:
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+#: fuzzy-join parameters — shared with the oracle SQL (queries.py
+#: interpolates them) so operator and oracle cannot desynchronize.
+FUZZY_JOIN_MAX_DIST = 2
+FUZZY_JOIN_PROBE_MOD = 37
+
+
+def fuzzy_join_parts(
+    t: dict[str, DataFrame],
+    max_dist: int = FUZZY_JOIN_MAX_DIST,
+    probe_mod: int = FUZZY_JOIN_PROBE_MOD,
+) -> DataFrame:
+    """Blocked edit-distance (fuzzy) join — the record-linkage /
+    entity-resolution primitive the reference's exact-key exports
+    cannot answer (reference main.py:200 exports raw rows only):
+    match dirty strings to a canonical table within a Levenshtein
+    threshold.
+
+    The dirty probe side is derived deterministically (parts with
+    ``p_partkey % probe_mod == 0``, first character deleted — a
+    distance-1 corruption), so the DuckDB oracle replays it exactly.
+    Scale shape: NEVER an all-pairs cross join — both sides hash on a
+    blocking key (the name's last word, which front-of-string noise
+    preserves; length-band keys are the drop-in alternative for
+    suffix-noisy data) so candidate pairs are one equi-join, and the
+    O(len^2) Levenshtein only runs inside blocks. Spark's 3-arg
+    ``levenshtein(l, r, threshold)`` early-exits the DP once the
+    threshold is exceeded — the filter stays JVM-side and short-
+    circuits; the oracle's 2-arg form computes the same classic edit
+    distance.
+    """
+    p = t["part"].select("p_partkey", "p_name")
+    probes = p.filter(F.col("p_partkey") % probe_mod == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.substring("p_name", 2, 1_000_000).alias("probe_name"),
+    )
+    block = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    left = probes.withColumn("blk", block(F.col("probe_name")))
+    right = p.withColumn("blk", block(F.col("p_name")))
+    dist = F.levenshtein(F.col("probe_name"), F.col("p_name"), max_dist)
+    return (
+        left.join(right, "blk")
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)  # threshold form: -1 == exceeded
+        .select(
+            "probe_key",
+            F.col("p_partkey").alias("match_key"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+        .orderBy("probe_key", "match_key")
+    )

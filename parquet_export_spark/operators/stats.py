@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parquet_export_spark.functions.scalar import dsum
 from parquet_export_spark.operators.util import maybe_fanout
 
 
@@ -384,6 +385,31 @@ def value_outliers(
     )
 
 
+def _next_orders_snapshot(o: DataFrame) -> DataFrame:
+    """The deterministically-derived "next" lake snapshot shared by
+    ``snapshot_diff_orders`` (diff derivation) and
+    ``apply_changefeed_orders`` (feed application): keys % 97 re-priced
+    (+1, exact decimal), % 89 dropped, % 101 re-inserted under a
+    shifted key — derivable bit-for-bit by the DuckDB oracle."""
+    bumped = (
+        (F.col("o_totalprice").cast("decimal(30,4)") + F.lit(1)).cast("double")
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0, bumped).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+            )
+        )
+    )
+
+
 def snapshot_diff_orders(t: dict[str, DataFrame]) -> DataFrame:
     """CDC-style diff of two lake snapshots: which keys were inserted,
     deleted, or updated between exports.
@@ -404,23 +430,7 @@ def snapshot_diff_orders(t: dict[str, DataFrame]) -> DataFrame:
     churn, not the table.
     """
     o = t["orders"]
-    bumped = (
-        (F.col("o_totalprice").cast("decimal(30,4)") + F.lit(1)).cast("double")
-    )
-    new_snap = (
-        o.filter(F.col("o_orderkey") % 89 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(F.col("o_orderkey") % 97 == 0, bumped).otherwise(
-                F.col("o_totalprice")
-            ),
-        )
-        .unionByName(
-            o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
-            )
-        )
-    )
+    new_snap = _next_orders_snapshot(o)
     old_s = o.select(
         F.col("o_orderkey").alias("key"),
         F.col("o_totalprice").alias("old_totalprice"),
@@ -520,4 +530,84 @@ def hll_rollup_users(t: dict[str, DataFrame]) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
         .orderBy("event_type")
+    )
+
+
+def changefeed_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Full-row CDC change feed between the current orders snapshot and
+    the derived next one (see :func:`_next_orders_snapshot`): one
+    presence-flagged full-outer join on the key, change rows carry the
+    complete new image (NULL for deletes) so a downstream consumer can
+    apply them without re-reading the source — the feed
+    :func:`apply_changefeed_orders` consumes."""
+    o = t["orders"]
+    old_s = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_totalprice"),
+        F.lit(1).alias("in_old"),
+    )
+    new_s = _next_orders_snapshot(o).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_totalprice"),
+        F.lit(1).alias("in_new"),
+    )
+    joined = old_s.join(new_s, "key", "full_outer")
+    op = (
+        F.when(F.col("in_old").isNull(), F.lit("insert"))
+        .when(F.col("in_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = (
+        F.col("in_old").isNull()
+        | F.col("in_new").isNull()
+        | ~F.col("old_totalprice").eqNullSafe(F.col("new_totalprice"))
+        | ~F.col("old_status").eqNullSafe(F.col("new_status"))
+    )
+    return joined.filter(changed).select(
+        "key", op.alias("op"), "new_status", "new_totalprice"
+    )
+
+
+def apply_changefeed_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC APPLY: merge a change feed (insert/update/delete row images)
+    into the previous snapshot and prove the result IS the next
+    snapshot — the ingestion half of the change-data-capture contract
+    (``snapshot_diff_orders`` derives feeds; this consumes them; the
+    reference can only republish full snapshots, reference README.md:5).
+
+    Scale shape: ONE full-outer hash join keyed by the primary key —
+    deletes drop, updates/inserts take the feed's row image, untouched
+    keys (the overwhelming majority at 100 TB) pass through; never a
+    per-row driver loop or a row-by-row MERGE. The registered output
+    aggregates the applied snapshot per status (exact decimal sums) and
+    the DuckDB oracle computes the SAME aggregate over the directly-
+    derived next snapshot — merge == recompute, end to end; pytest
+    additionally pins full row-level equality.
+    """
+    o = t["orders"]
+    feed = changefeed_orders(t)
+    prev = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    applied = (
+        prev.join(feed, "key", "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            "key",
+            F.coalesce("new_status", "status").alias("status"),
+            F.coalesce("new_totalprice", "totalprice").alias("totalprice"),
+        )
+    )
+    return (
+        applied.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("totalprice", scale=4).alias("total_price"),
+        )
+        .withColumnRenamed("status", "o_orderstatus")
+        .orderBy("o_orderstatus")
     )

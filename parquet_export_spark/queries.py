@@ -20,6 +20,7 @@ from parquet_export_spark.operators import advanced as A
 from parquet_export_spark.operators import curation as CU
 from parquet_export_spark.operators import dedup as D
 from parquet_export_spark.operators import functions_extra as FE
+from parquet_export_spark.operators import graph as G
 from parquet_export_spark.operators import multimodal as M
 from parquet_export_spark.operators import relational as R
 from parquet_export_spark.operators import similarity as S
@@ -2212,6 +2213,86 @@ REGISTRY.update(
             ORDER BY o_orderkey, change_type
             """,
         ),
+        "apply_changefeed": QuerySpec(
+            _rel(ST.apply_changefeed_orders),
+            # merge(prev, feed) must equal the directly-derived next
+            # snapshot: the oracle aggregates new_snap itself, so any
+            # mis-applied insert/update/delete shifts a count or an
+            # exact decimal sum. Row-level equality pinned in pytest.
+            f"""
+            WITH new_snap AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0
+                            THEN CAST(CAST(o_totalprice AS DECIMAL(30,4)) + 1
+                                      AS DOUBLE)
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 89 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 101 = 0)
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   {dsum_sql('o_totalprice', scale=4)} AS total_price
+            FROM new_snap GROUP BY o_orderstatus ORDER BY o_orderstatus
+            """,
+        ),
+        "pagerank_trade_graph": QuerySpec(
+            _rel(G.pagerank_orders_graph),
+            # the oracle replays the SAME fixed-point integer iterations
+            # (unrolled CTEs) — bit-exact by construction, see graph.py.
+            G.pagerank_oracle_sql(),
+        ),
+        "fuzzy_join_parts": QuerySpec(
+            _rel(D.fuzzy_join_parts),
+            f"""
+            WITH probes AS (
+                SELECT p_partkey AS probe_key,
+                       substring(p_name, 2) AS probe_name
+                FROM part WHERE p_partkey % {D.FUZZY_JOIN_PROBE_MOD} = 0)
+            SELECT probe_key, p.p_partkey AS match_key,
+                   CAST(levenshtein(probe_name, p_name) AS INTEGER)
+                       AS edit_dist
+            FROM probes JOIN part p
+              ON str_split(probe_name, ' ')[-1] = str_split(p.p_name, ' ')[-1]
+            WHERE levenshtein(probe_name, p_name) <= {D.FUZZY_JOIN_MAX_DIST}
+            ORDER BY probe_key, match_key
+            """,
+        ),
+        "scd2_point_in_time": QuerySpec(
+            _rel(A.scd2_point_in_time),
+            """
+            WITH chg AS (
+              SELECT user_id, ts, event_type AS state
+              FROM (SELECT user_id, ts, event_id, event_type,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                               AS prev_type
+                    FROM events)
+              WHERE prev_type IS NULL OR event_type != prev_type),
+            bounds AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0,
+                              CAST(MAX(ts) AS DATE) AS d1
+                       FROM events GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            CAST(unnest(generate_series(
+                                d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                     FROM bounds),
+            u AS (
+              SELECT user_id, ts, 0 AS kind, state, CAST(NULL AS DATE) AS day
+              FROM chg
+              UNION ALL
+              SELECT user_id, CAST(day AS TIMESTAMP) AS ts, 1, NULL, day
+              FROM grid),
+            w AS (SELECT user_id, day, kind,
+                         LAST_VALUE(state IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY ts, kind, state
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pit_state
+                  FROM u)
+            SELECT user_id, day AS snapshot_day, pit_state AS state
+            FROM w WHERE kind = 1 AND pit_state IS NOT NULL
+            ORDER BY user_id, snapshot_day
+            """,
+        ),
         "incremental_rollup": QuerySpec(
             _rel(A.incremental_rollup),
             # The oracle computes the FULL rollup directly: the operator's
@@ -2382,6 +2463,11 @@ REGISTRY.update(
 # canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
+    # 0: round-4 additions — oracle-checked iterative PageRank
+    # (fixed-point integers), blocked Levenshtein fuzzy join, SCD2
+    # point-in-time snapshot reconstruction, CDC changefeed apply
+    "pagerank_trade_graph", "fuzzy_join_parts",
+    "scd2_point_in_time", "apply_changefeed",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding

@@ -1,0 +1,180 @@
+"""Differential tests for the round-4 operator families: iterative
+graph analytics (fixed-point PageRank), CDC changefeed apply, blocked
+fuzzy join, and SCD2 point-in-time reconstruction.
+
+Each test checks the operator against an INDEPENDENT reference
+implementation (numpy adjacency loop, brute-force per-day lookup,
+direct snapshot derivation) — not against the DuckDB oracle the driver
+already runs, so a bug shared by operator and oracle SQL cannot hide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import advanced as A
+from parquet_export_spark.operators import dedup as D
+from parquet_export_spark.operators import graph as G
+from parquet_export_spark.operators import stats as ST
+from parquet_export_spark.sources.lake import load_tables
+
+
+def _small_tables(spark):
+    return load_tables(spark, "/root/testdata/sf0.001")
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Replay the exact fixed-point iterations with a sequential numpy
+    integer loop over the same edge list; every scaled rank must match
+    bit-for-bit (the operator's whole claim is exactness)."""
+    t = _small_tables(spark)
+    got = {
+        r.node_id: r.rank_scaled
+        for r in G.pagerank_orders_graph(t).collect()
+    }
+
+    edges = [
+        (r.src, r.dst)
+        for r in G._trade_edges(t).collect()
+    ]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    base = (15 * G.PAGERANK_SCALE) // G.PAGERANK_DAMP_DEN
+    r = np.full(len(nodes), G.PAGERANK_SCALE, dtype=object)  # unbounded ints
+    for _ in range(G.PAGERANK_ITERS):
+        acc = [0] * len(nodes)
+        for s, d in edges:
+            acc[idx[d]] += int(r[idx[s]]) // int(outdeg[idx[s]])
+        r = np.array(
+            [
+                base
+                + acc[i] * G.PAGERANK_DAMP_NUM // G.PAGERANK_DAMP_DEN
+                for i in range(len(nodes))
+            ],
+            dtype=object,
+        )
+    want = {n: int(r[idx[n]]) for n in nodes}
+    assert got == want
+
+
+def test_pagerank_mass_bounded(spark):
+    """Total scaled rank mass never exceeds n_nodes * SCALE (floor
+    division only sheds mass) — the invariant the int64 overflow
+    envelope in graph.py relies on."""
+    t = _small_tables(spark)
+    rows = G.pagerank_orders_graph(t).collect()
+    total = sum(r.rank_scaled for r in rows)
+    assert 0 < total <= len(rows) * G.PAGERANK_SCALE
+
+
+def test_apply_changefeed_row_level_equality(spark):
+    """merge(prev, feed) must equal the directly-derived next snapshot
+    ROW BY ROW, not just at the registered aggregate level."""
+    t = _small_tables(spark)
+    o = t["orders"]
+    feed = ST.changefeed_orders(t)
+    prev = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    applied = (
+        prev.join(feed, "key", "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            "key",
+            F.coalesce("new_status", "status").alias("status"),
+            F.coalesce("new_totalprice", "totalprice").alias("totalprice"),
+        )
+    )
+    got = {(r.key, r.status, r.totalprice) for r in applied.collect()}
+    want = {
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+        for r in ST._next_orders_snapshot(o).collect()
+    }
+    assert got == want
+
+
+def test_changefeed_covers_all_mutation_kinds(spark):
+    """The derived feed must contain inserts, updates AND deletes, and
+    nothing for untouched keys."""
+    t = _small_tables(spark)
+    feed = ST.changefeed_orders(t).collect()
+    kinds = {r.op for r in feed}
+    assert kinds == {"insert", "update", "delete"}
+    untouched = [
+        r
+        for r in feed
+        if r.key % 89 != 0 and r.key % 97 != 0 and r.key < 100_000_000
+    ]
+    assert untouched == []
+
+
+def test_fuzzy_join_finds_every_corruption_source(spark):
+    """Each probe is a distance-1 corruption (first char deleted) of a
+    known part; the blocked join must recover that source part with
+    edit_dist == 1, and never report a distance above the threshold."""
+    t = _small_tables(spark)
+    rows = D.fuzzy_join_parts(t).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_key, {})[r.match_key] = r.edit_dist
+    probe_keys = [
+        r.p_partkey
+        for r in t["part"]
+        .filter(F.col("p_partkey") % D.FUZZY_JOIN_PROBE_MOD == 0)
+        .collect()
+    ]
+    assert probe_keys
+    assert set(by_probe) <= set(probe_keys)
+    for pk in probe_keys:
+        assert by_probe.get(pk, {}).get(pk) == 1, pk
+    assert all(
+        0 <= dist <= D.FUZZY_JOIN_MAX_DIST
+        for m in by_probe.values()
+        for dist in m.values()
+    )
+
+
+def test_scd2_point_in_time_brute_force(spark):
+    """Brute-force reference: for each (user, day) probe, linearly scan
+    the user's ordered events and take the event_type of the last event
+    at-or-before the day's midnight."""
+    t = _small_tables(spark)
+    got = {
+        (r.user_id, r.snapshot_day): r.state
+        for r in A.scd2_point_in_time(t).collect()
+    }
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id, r.event_type)
+            for r in t["events"].collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    import datetime
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, ts, eid, typ in ev:
+        per_user[u].append((ts, typ))
+    want = {}
+    for u, rows in per_user.items():
+        d0, d1 = rows[0][0].date(), rows[-1][0].date()
+        day = d0
+        while day <= d1:
+            midnight = datetime.datetime.combine(day, datetime.time())
+            state = None
+            for ts, typ in rows:
+                if ts <= midnight:
+                    state = typ
+                else:
+                    break
+            if state is not None:
+                want[(u, day)] = state
+            day += datetime.timedelta(days=1)
+    assert got == want

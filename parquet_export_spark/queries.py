@@ -2506,9 +2506,18 @@ _VERDICT_PRIORITY = [
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
     "join_left_nulls", "set_ops_all", "agg_distinct", "agg_cube",
-    "agg_stats", "window_lag_lead", "window_rank_dense",
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
-    "scalar_json_funcs", "events_hourly_rollup",
+    "agg_stats", "window_rank_dense",
+    "scalar_string_funcs", "events_hourly_rollup",
+    # (the four round-4 graph/CDC/linkage/PIT entries take the window
+    # slots of window_lag_lead, scalar_date_funcs, scalar_math_funcs,
+    # scalar_json_funcs: each dropped entry's family stays pinned
+    # in-window — lag/lead frames by window_range_frame +
+    # window_distribution_ranks, date scalars by date_funcs_extra,
+    # math/string scalars by scalar_string_funcs + string_funcs_extra,
+    # JSON access by variant_json_funcs — and ALL dropped entries'
+    # exact DuckDB oracles still execute in full every pytest run via
+    # test_oracle_match, so only the driver-side re-verdict is
+    # deferred, not the correctness evidence.)
     # 3: the TPC-H block (last verdict r2) + the as-of custom operator
     "q1_pricing_summary",
     # (q4/q12-q19 minus q18's keepers yield their slots to the ten new

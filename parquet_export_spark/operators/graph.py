@@ -196,3 +196,97 @@ def pagerank_oracle_sql(n_iter: int = PAGERANK_ITERS) -> str:
         ORDER BY rank_scaled DESC, node_id
         """.format(n=n_iter)
     )
+
+
+CC_ITERS = 8
+
+
+def cc_trade_graph(
+    t: dict[str, DataFrame], n_iter: int = CC_ITERS
+) -> DataFrame:
+    """Fixed-iteration connected components (min-label propagation)
+    over the trade graph — the second oracle-checked iterative
+    algorithm (PageRank propagates mass; this propagates a min, the
+    semiring the to-convergence variant in dedup.neardup_clusters
+    runs, here with a FIXED iteration count so the result is a pure
+    function of the input and the DuckDB oracle can replay it).
+
+    label_k(n) = min(label_{k-1}(n), min over neighbors m of
+    label_{k-1}(m)); label_0(n) = n. After k iterations every node
+    holds the minimum node id within k hops — on this graph (dense
+    bipartite, small diameter) 8 iterations reach the true components;
+    on an adversarial path graph the same code is simply run with a
+    larger ``n_iter`` (doubling via pointer-jumping is the next gear,
+    at the cost of mutating the edge set per round).
+
+    Per iteration: one src-hash join against the pinned edge layout +
+    one min-aggregate — same constant-depth, checkpoint-truncated
+    shape as :func:`pagerank_orders_graph`.
+    """
+    e = _trade_edges(t).repartition("src").localCheckpoint()
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "l", F.col("node")
+    )
+    for i in range(n_iter):
+        neigh = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "l"
+        )
+        labels = (
+            neigh.unionByName(labels.select("node", "l"))
+            .groupBy("node")
+            .agg(F.min("l").alias("l"))
+        )
+        if (i + 1) % 2 == 0 and i + 1 < n_iter:
+            labels = labels.localCheckpoint()
+    return (
+        labels.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_kind"),
+            F.col("l").alias("component"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def cc_oracle_sql(n_iter: int = CC_ITERS) -> str:
+    """DuckDB oracle for :func:`cc_trade_graph`: the same min-label
+    iterations unrolled as chained CTEs over the same edge list."""
+    ctes = [
+        """
+        edges_d AS (
+          SELECT DISTINCT o_custkey * 2 AS cust_node,
+                          l_suppkey * 2 + 1 AS supp_node
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT cust_node AS src, supp_node AS dst FROM edges_d
+          UNION ALL
+          SELECT supp_node AS src, cust_node AS dst FROM edges_d),
+        cc0 AS (SELECT DISTINCT src AS node, src AS l FROM edges)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            """
+        cc{i} AS (
+          SELECT node, MIN(l) AS l FROM (
+            SELECT e.dst AS node, p.l
+            FROM edges e JOIN cc{prev} p ON p.node = e.src
+            UNION ALL
+            SELECT node, l FROM cc{prev})
+          GROUP BY node)
+            """.format(i=i, prev=i - 1)
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + """
+        SELECT node AS node_id,
+               CASE WHEN node % 2 = 0 THEN 'customer'
+                    ELSE 'supplier' END AS node_kind,
+               l AS component
+        FROM cc{n}
+        ORDER BY node_id
+        """.format(n=n_iter)
+    )

@@ -2242,6 +2242,12 @@ REGISTRY.update(
             # (unrolled CTEs) — bit-exact by construction, see graph.py.
             G.pagerank_oracle_sql(),
         ),
+        "cc_trade_graph": QuerySpec(
+            _rel(G.cc_trade_graph),
+            # same unrolled-CTE replay contract as pagerank_trade_graph
+            # (min-label semiring instead of mass propagation).
+            G.cc_oracle_sql(),
+        ),
         "fuzzy_join_parts": QuerySpec(
             _rel(D.fuzzy_join_parts),
             f"""
@@ -2466,7 +2472,7 @@ _VERDICT_PRIORITY = [
     # 0: round-4 additions — oracle-checked iterative PageRank
     # (fixed-point integers), blocked Levenshtein fuzzy join, SCD2
     # point-in-time snapshot reconstruction, CDC changefeed apply
-    "pagerank_trade_graph", "fuzzy_join_parts",
+    "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
@@ -2506,8 +2512,12 @@ _VERDICT_PRIORITY = [
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
     "join_left_nulls", "set_ops_all", "agg_distinct", "agg_cube",
-    "agg_stats", "window_rank_dense",
+    "agg_stats",
     "scalar_string_funcs", "events_hourly_rollup",
+    # (window_rank_dense also yields its slot — to cc_trade_graph —
+    # on the same policy: rank/dense_rank is pinned in-window by
+    # window_distribution_ranks + the r3-green window_topk family, and
+    # its exact oracle runs in every pytest pass.)
     # (the four round-4 graph/CDC/linkage/PIT entries take the window
     # slots of window_lag_lead, scalar_date_funcs, scalar_math_funcs,
     # scalar_json_funcs: each dropped entry's family stays pinned

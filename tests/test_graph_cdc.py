@@ -178,3 +178,31 @@ def test_scd2_point_in_time_brute_force(spark):
                 want[(u, day)] = state
             day += datetime.timedelta(days=1)
     assert got == want
+
+
+def test_cc_matches_union_find(spark):
+    """Fixed-iteration min-label CC must equal true union-find
+    components on the sf0.001 graph (small diameter -> 8 iterations
+    converge; the oracle-parity check alone would pass even
+    unconverged, so this pins the stronger claim)."""
+    t = _small_tables(spark)
+    got = {r.node_id: r.component for r in G.cc_trade_graph(t).collect()}
+
+    edges = [(r.src, r.dst) for r in G._trade_edges(t).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+    assert got == want

@@ -110,6 +110,7 @@ HEADLINE = [
     "apply_changefeed",
     "fuzzy_join_parts",
     "scd2_point_in_time",
+    "validate_lake",
 ]
 
 

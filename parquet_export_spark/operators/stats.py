@@ -611,3 +611,131 @@ def apply_changefeed_orders(t: dict[str, DataFrame]) -> DataFrame:
         .withColumnRenamed("status", "o_orderstatus")
         .orderBy("o_orderstatus")
     )
+
+
+#: deterministic-corruption parameters — interpolated into the oracle
+#: SQL (queries.py) so operator and oracle cannot desynchronize.
+VALIDATE_FK_MOD = 97  #: custkeys shifted out of range (FK orphans)
+VALIDATE_NULL_MOD = 89  #: orderdates nulled (NOT NULL violations)
+VALIDATE_DUP_MOD = 503  #: keys re-appended (PK duplicates)
+
+
+def validate_lake_constraints(
+    t: dict[str, DataFrame], corrupt: bool = True
+) -> DataFrame:
+    """Constraint-violation report over the exported lake — the data-
+    quality gate an export pipeline runs before publishing a manifest
+    (the reference publishes whatever the dump produced, reference
+    main.py:223; consumers discover breakage downstream).
+
+    One row per declared constraint with its violation count:
+
+    - primary-key uniqueness (count of keys seen more than once);
+    - referential integrity over the FK graph (child keys with no
+      parent — LEFT ANTI join, the scalable containment check: no
+      distinct-collect, no IN-list, shuffles only the key columns);
+    - NOT NULL on load-bearing columns.
+
+    The testdata lake is clean, so with ``corrupt=True`` (the
+    registered form) the orders table is first corrupted
+    DETERMINISTICALLY — keys % 503 re-appended (PK dups), custkeys
+    % 97 shifted out of range (FK orphans), orderdates % 89 nulled —
+    mirrored in the oracle, so every check class provably FIRES
+    (same non-vacuousness rule as ``pii_scan``) while the untouched
+    tables prove the zero path.
+
+    All counts are exact integers -> full DuckDB oracle. At 100 TB
+    each check is one key-column aggregate or anti-join (column-pruned
+    scans); checks are independent single-row aggregates unioned at
+    the end, so they run as parallel jobs of a shared plan, and a
+    bucketed lake co-locates the FK anti-joins.
+    """
+    orders = t["orders"]
+    if corrupt:
+        orders = (
+            orders.withColumn(
+                "o_custkey",
+                F.when(
+                    F.col("o_orderkey") % VALIDATE_FK_MOD == 0,
+                    F.col("o_custkey") + F.lit(10_000_000),
+                ).otherwise(F.col("o_custkey")),
+            )
+            .withColumn(
+                "o_orderdate",
+                F.when(
+                    F.col("o_orderkey") % VALIDATE_NULL_MOD == 0, F.lit(None)
+                ).otherwise(F.col("o_orderdate")),
+            )
+            .unionByName(
+                t["orders"].filter(F.col("o_orderkey") % VALIDATE_DUP_MOD == 0)
+            )
+        )
+
+    def pk_dups(df: DataFrame, key: str, name: str) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(
+                F.lit(name).alias("constraint_name"),
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            )
+        )
+
+    def fk_orphans(
+        child: DataFrame, ck: str, parent: DataFrame, pk: str, name: str
+    ) -> DataFrame:
+        return (
+            child.select(F.col(ck).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(
+                F.lit(name).alias("constraint_name"),
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            )
+        )
+
+    def not_null(df: DataFrame, col: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+
+    checks = [
+        pk_dups(orders, "o_orderkey", "pk_orders"),
+        pk_dups(t["customer"], "c_custkey", "pk_customer"),
+        pk_dups(t["part"], "p_partkey", "pk_part"),
+        pk_dups(t["supplier"], "s_suppkey", "pk_supplier"),
+        pk_dups(t["events"], "event_id", "pk_events"),
+        pk_dups(t["documents"], "doc_id", "pk_documents"),
+        fk_orphans(
+            orders, "o_custkey", t["customer"], "c_custkey",
+            "fk_orders_customer",
+        ),
+        fk_orphans(
+            t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+            "fk_lineitem_orders",
+        ),
+        fk_orphans(
+            t["lineitem"], "l_partkey", t["part"], "p_partkey",
+            "fk_lineitem_part",
+        ),
+        fk_orphans(
+            t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey",
+            "fk_lineitem_supplier",
+        ),
+        fk_orphans(
+            t["customer"], "c_nationkey", t["nation"], "n_nationkey",
+            "fk_customer_nation",
+        ),
+        not_null(orders, "o_orderdate", "nn_orders_orderdate"),
+        not_null(t["lineitem"], "l_quantity", "nn_lineitem_quantity"),
+        not_null(t["documents"], "text", "nn_documents_text"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("constraint_name")

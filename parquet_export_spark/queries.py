@@ -2299,6 +2299,81 @@ REGISTRY.update(
             ORDER BY user_id, snapshot_day
             """,
         ),
+        "validate_lake": QuerySpec(
+            _rel(ST.validate_lake_constraints),
+            f"""
+            WITH orders_c AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % {ST.VALIDATE_FK_MOD} = 0
+                            THEN o_custkey + 10000000
+                            ELSE o_custkey END AS o_custkey,
+                       CASE WHEN o_orderkey % {ST.VALIDATE_NULL_MOD} = 0
+                            THEN NULL
+                            ELSE o_orderdate END AS o_orderdate
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderdate
+                FROM orders WHERE o_orderkey % {ST.VALIDATE_DUP_MOD} = 0),
+            checks AS (
+                SELECT 'pk_orders' AS constraint_name,
+                       (SELECT COUNT(*) FROM (
+                            SELECT o_orderkey FROM orders_c
+                            GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                           AS n_violations
+                UNION ALL SELECT 'pk_customer',
+                       (SELECT COUNT(*) FROM (
+                            SELECT c_custkey FROM customer
+                            GROUP BY c_custkey HAVING COUNT(*) > 1))
+                UNION ALL SELECT 'pk_part',
+                       (SELECT COUNT(*) FROM (
+                            SELECT p_partkey FROM part
+                            GROUP BY p_partkey HAVING COUNT(*) > 1))
+                UNION ALL SELECT 'pk_supplier',
+                       (SELECT COUNT(*) FROM (
+                            SELECT s_suppkey FROM supplier
+                            GROUP BY s_suppkey HAVING COUNT(*) > 1))
+                UNION ALL SELECT 'pk_events',
+                       (SELECT COUNT(*) FROM (
+                            SELECT event_id FROM events
+                            GROUP BY event_id HAVING COUNT(*) > 1))
+                UNION ALL SELECT 'pk_documents',
+                       (SELECT COUNT(*) FROM (
+                            SELECT doc_id FROM documents
+                            GROUP BY doc_id HAVING COUNT(*) > 1))
+                UNION ALL SELECT 'fk_orders_customer',
+                       (SELECT COUNT(*) FROM orders_c oc
+                        LEFT JOIN customer ON c_custkey = oc.o_custkey
+                        WHERE c_custkey IS NULL)
+                UNION ALL SELECT 'fk_lineitem_orders',
+                       (SELECT COUNT(*) FROM lineitem li
+                        LEFT JOIN orders o ON o.o_orderkey = li.l_orderkey
+                        WHERE o.o_orderkey IS NULL)
+                UNION ALL SELECT 'fk_lineitem_part',
+                       (SELECT COUNT(*) FROM lineitem li
+                        LEFT JOIN part p ON p.p_partkey = li.l_partkey
+                        WHERE p.p_partkey IS NULL)
+                UNION ALL SELECT 'fk_lineitem_supplier',
+                       (SELECT COUNT(*) FROM lineitem li
+                        LEFT JOIN supplier s ON s.s_suppkey = li.l_suppkey
+                        WHERE s.s_suppkey IS NULL)
+                UNION ALL SELECT 'fk_customer_nation',
+                       (SELECT COUNT(*) FROM customer c
+                        LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+                        WHERE n.n_nationkey IS NULL)
+                UNION ALL SELECT 'nn_orders_orderdate',
+                       (SELECT COUNT(*) FROM orders_c
+                        WHERE o_orderdate IS NULL)
+                UNION ALL SELECT 'nn_lineitem_quantity',
+                       (SELECT COUNT(*) FROM lineitem
+                        WHERE l_quantity IS NULL)
+                UNION ALL SELECT 'nn_documents_text',
+                       (SELECT COUNT(*) FROM documents
+                        WHERE text IS NULL))
+            SELECT constraint_name,
+                   CAST(n_violations AS BIGINT) AS n_violations
+            FROM checks ORDER BY constraint_name
+            """,
+        ),
         "incremental_rollup": QuerySpec(
             _rel(A.incremental_rollup),
             # The oracle computes the FULL rollup directly: the operator's
@@ -2473,7 +2548,7 @@ _VERDICT_PRIORITY = [
     # (fixed-point integers), blocked Levenshtein fuzzy join, SCD2
     # point-in-time snapshot reconstruction, CDC changefeed apply
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
-    "scd2_point_in_time", "apply_changefeed",
+    "scd2_point_in_time", "apply_changefeed", "validate_lake",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2512,8 +2587,10 @@ _VERDICT_PRIORITY = [
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
     "join_left_nulls", "set_ops_all", "agg_distinct", "agg_cube",
-    "agg_stats",
-    "scalar_string_funcs", "events_hourly_rollup",
+    "agg_stats", "events_hourly_rollup",
+    # (scalar_string_funcs yields its slot to validate_lake on the
+    # same policy: the string-scalar family stays pinned in-window by
+    # string_funcs_extra, and its exact oracle runs every pytest pass.)
     # (window_rank_dense also yields its slot — to cc_trade_graph —
     # on the same policy: rank/dense_rank is pinned in-window by
     # window_distribution_ranks + the r3-green window_topk family, and

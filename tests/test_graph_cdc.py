@@ -206,3 +206,38 @@ def test_cc_matches_union_find(spark):
         comp.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comp.values() for n in members}
     assert got == want
+
+
+def test_validate_lake_fires_and_clears(spark):
+    """The constraint checker must FIRE on the injected corruption
+    (counts derivable in closed form from the key modulus) and stay
+    ZERO everywhere on the clean lake (corrupt=False)."""
+    t = _small_tables(spark)
+    got = {
+        r.constraint_name: r.n_violations
+        for r in ST.validate_lake_constraints(t).collect()
+    }
+    keys = [r.o_orderkey for r in t["orders"].select("o_orderkey").collect()]
+    assert got["pk_orders"] == sum(
+        1 for k in keys if k % ST.VALIDATE_DUP_MOD == 0
+    )
+    # fk violations: corrupted main-copy rows (custkey shifted) — the
+    # re-appended dup rows keep their original, valid custkey.
+    assert got["fk_orders_customer"] == sum(
+        1 for k in keys if k % ST.VALIDATE_FK_MOD == 0
+    )
+    assert got["nn_orders_orderdate"] == sum(
+        1 for k in keys if k % ST.VALIDATE_NULL_MOD == 0
+    )
+    assert all(
+        v == 0
+        for name, v in got.items()
+        if name not in {"pk_orders", "fk_orders_customer",
+                        "nn_orders_orderdate"}
+    )
+    clean = {
+        r.constraint_name: r.n_violations
+        for r in ST.validate_lake_constraints(t, corrupt=False).collect()
+    }
+    assert set(clean) == set(got)
+    assert all(v == 0 for v in clean.values())

@@ -882,3 +882,76 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode_corpus(
+    t: dict[str, DataFrame], n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Apply the learned BPE merge table to the WHOLE corpus — the
+    production tokenize step that follows ``bpe_learn_merges``
+    (train on word counts once, then encode trillions of tokens).
+
+    Scale shape: the merge table is vocabulary-metadata-sized
+    (``n_merges`` rows — the one bounded driver collect here, on the
+    whitelist) and ships to executors inside the Arrow-batched kernel;
+    the corpus pass is a SINGLE scan with no shuffle — per-document
+    symbol counts come straight out of the map side. Inside the kernel
+    each distinct word is encoded once per batch (memoized), the same
+    word-level dedup production tokenizers use (corpora are Zipfian:
+    the memo hit-rate approaches the type/token ratio).
+
+    Deterministic and exact (greedy left-to-right merge application in
+    rank order, integer outputs) but iterative — no single-statement
+    SQL oracle, so the driver check is rows-only; pytest pins EXACT
+    per-document equality against a pure-Python encoder on the same
+    merge table.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    docs = t["documents"]
+    merge_rows = bpe_learn_merges(t, n_merges).collect()
+    merges = [
+        (r.left, r.right)
+        for r in sorted(merge_rows, key=lambda r: r.merge_rank)
+    ]
+
+    @pandas_udf("int")
+    def n_bpe_tokens(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def encode_len(w: str) -> int:
+            n = memo.get(w)
+            if n is not None:
+                return n
+            syms = list(w)
+            for a, b in merges:
+                ab = a + b
+                res: list[str] = []
+                i, m = 0, len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        res.append(ab)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            memo[w] = len(syms)
+            return memo[w]
+
+        out = [
+            sum(encode_len(w) for w in text.split(" ") if w)
+            for text in texts
+        ]
+        return pd.Series(out, dtype="int32")
+
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+            .alias("n_words"),
+            F.length("text").alias("n_chars"),
+            n_bpe_tokens(F.col("text")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2450,6 +2450,10 @@ REGISTRY.update(
         # parity against a sequential reference is pinned in pytest
         # (tests/test_extensions.py::test_bpe_learn_merges_matches_reference).
         "bpe_learn_merges": QuerySpec(_rel(X.bpe_learn_merges), None),
+        # deterministic-exact but iterative (greedy merge application);
+        # per-doc parity vs a pure-Python encoder pinned in
+        # tests/test_extensions.py::test_bpe_encode_matches_reference.
+        "bpe_encode_corpus": QuerySpec(_rel(X.bpe_encode_corpus), None),
         "cogroup_user_funnel": QuerySpec(
             _rel(A.cogroup_user_funnel),
             f"""
@@ -2549,6 +2553,7 @@ _VERDICT_PRIORITY = [
     # point-in-time snapshot reconstruction, CDC changefeed apply
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
+    "bpe_encode_corpus",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2586,11 +2591,14 @@ _VERDICT_PRIORITY = [
     "stats_moments", "stats_correlation", "percentiles_exact",
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
-    "join_left_nulls", "set_ops_all", "agg_distinct", "agg_cube",
+    "join_left_nulls", "set_ops_all", "agg_distinct",
     "agg_stats", "events_hourly_rollup",
-    # (scalar_string_funcs yields its slot to validate_lake on the
-    # same policy: the string-scalar family stays pinned in-window by
-    # string_funcs_extra, and its exact oracle runs every pytest pass.)
+    # (scalar_string_funcs yields its slot to validate_lake and
+    # agg_cube to bpe_encode_corpus on the same policy: the
+    # string-scalar family stays pinned in-window by
+    # string_funcs_extra, cube/rollup by agg_rollup's r3 verdict +
+    # grouping_sets_revenue's pytest oracle, and both dropped entries'
+    # exact oracles run every pytest pass.)
     # (window_rank_dense also yields its slot — to cc_trade_graph —
     # on the same policy: rank/dense_rank is pinned in-window by
     # window_distribution_ranks + the r3-green window_topk family, and

@@ -1050,3 +1050,49 @@ def test_pack_sequences_oracle_on_boundary_documents(spark, sf_dir, tmp_path):
     spec = REGISTRY["pack_sequences"]
     ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
     assert ok, f"pack_sequences on boundary documents: {msg}"
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """The distributed corpus encoder must produce EXACTLY the
+    per-document post-BPE symbol count a sequential greedy encoder
+    produces with the same learned merge table."""
+    from parquet_export_spark.operators.text import (
+        bpe_encode_corpus,
+        bpe_learn_merges,
+    )
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_encode_corpus(t).collect()}
+
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            bpe_learn_merges(t).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+
+    def encode_len(w: str) -> int:
+        syms = list(w)
+        for a, b in merges:
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    docs = {r.doc_id: r.text for r in t["documents"].collect()}
+    want = {
+        d: sum(encode_len(w) for w in text.split(" ") if w)
+        for d, text in docs.items()
+    }
+    assert got == want
+    # compression sanity: merges only ever shrink a word
+    chars = {r.doc_id: r.n_chars for r in bpe_encode_corpus(t).collect()}
+    assert all(got[d] <= chars[d] for d in got)

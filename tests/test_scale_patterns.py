@@ -77,12 +77,14 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
 def test_operator_collect_whitelist():
     """SCALE.md's collect discipline, machine-checked: the ONLY
-    `.collect()` / `.toPandas()` sites in `operators/` are the three
+    `.collect()` / `.toPandas()` sites in `operators/` are the four
     bounded-by-construction ones — the shared sample-fit collect
     (`_collect_fit_sample`, <= KMEANS_FIT_CAP rows, one hash-ordered
     top-k job), `pq_topk`'s query-side collect (<= n_queries rows),
-    and `bpe_learn_merges`' per-iteration argmax (`limit(1).collect()`,
-    exactly one row per merge round). A new unbounded collect anywhere
+    `bpe_learn_merges`' per-iteration argmax (`limit(1).collect()`,
+    exactly one row per merge round), and `bpe_encode_corpus`'s
+    merge-table collect (n_merges rows — vocabulary metadata shipped
+    into the encode kernel). A new unbounded collect anywhere
     in the operator surface fails this test by name."""
     import pathlib
 
@@ -92,6 +94,7 @@ def test_operator_collect_whitelist():
         ("similarity.py", "_collect_fit_sample"),
         ("similarity.py", "pq_topk"),
         ("text.py", "bpe_learn_merges"),
+        ("text.py", "bpe_encode_corpus"),
     }
     found = set()
     op_dir = pathlib.Path(ops.__file__).parent

@@ -111,6 +111,7 @@ HEADLINE = [
     "fuzzy_join_parts",
     "scd2_point_in_time",
     "validate_lake",
+    "dedup_incremental",
 ]
 
 

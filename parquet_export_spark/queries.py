@@ -2299,6 +2299,29 @@ REGISTRY.update(
             ORDER BY user_id, snapshot_day
             """,
         ),
+        "dedup_incremental": QuerySpec(
+            _rel(D.dedup_incremental),
+            f"""
+            WITH docs AS (SELECT doc_id, md5(text) AS content_hash
+                          FROM documents),
+            new_b AS (SELECT * FROM docs
+                      WHERE doc_id % {D.INCR_BATCH_MOD} = 0),
+            lake AS (SELECT content_hash, MIN(doc_id) AS lake_doc_id
+                     FROM docs WHERE doc_id % {D.INCR_BATCH_MOD} != 0
+                     GROUP BY content_hash),
+            bk AS (SELECT content_hash, MIN(doc_id) AS batch_keeper_id
+                   FROM new_b GROUP BY content_hash)
+            SELECT n.doc_id, n.content_hash,
+                   l.lake_doc_id IS NOT NULL AS dup_of_lake,
+                   l.lake_doc_id,
+                   (l.lake_doc_id IS NULL
+                    AND n.doc_id = bk.batch_keeper_id) AS keep
+            FROM new_b n
+            LEFT JOIN lake l USING (content_hash)
+            JOIN bk USING (content_hash)
+            ORDER BY n.doc_id
+            """,
+        ),
         "validate_lake": QuerySpec(
             _rel(ST.validate_lake_constraints),
             f"""
@@ -2553,7 +2576,7 @@ _VERDICT_PRIORITY = [
     # point-in-time snapshot reconstruction, CDC changefeed apply
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
-    "bpe_encode_corpus",
+    "bpe_encode_corpus", "dedup_incremental",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2591,10 +2614,12 @@ _VERDICT_PRIORITY = [
     "stats_moments", "stats_correlation", "percentiles_exact",
     "merge_upsert_orders", "histogram_bins", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
-    "join_left_nulls", "set_ops_all", "agg_distinct",
+    "join_left_nulls", "agg_distinct",
     "agg_stats", "events_hourly_rollup",
-    # (scalar_string_funcs yields its slot to validate_lake and
-    # agg_cube to bpe_encode_corpus on the same policy: the
+    # (scalar_string_funcs yields its slot to validate_lake,
+    # agg_cube to bpe_encode_corpus, and set_ops_all to
+    # dedup_incremental on the same policy: the set-ops family stays
+    # pinned in-window by set_ops' r3-green verdict, the
     # string-scalar family stays pinned in-window by
     # string_funcs_extra, cube/rollup by agg_rollup's r3 verdict +
     # grouping_sets_revenue's pytest oracle, and both dropped entries'

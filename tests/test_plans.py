@@ -213,3 +213,55 @@ def test_sliding_rollup_window_fanout_jvm_side(spark, sf_dir):
     s = P.plan_string(df)
     assert "Join" not in s
     assert P.count_shuffles(df) <= 2  # agg exchange + final orderBy range
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
+    """The Levenshtein join must candidate-generate through the
+    blocking-key equi-join — never a cartesian with a distance filter
+    (the plan that melts at corpus scale)."""
+    plan = P.plan_string(q("fuzzy_join_parts", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_point_in_time_single_user_shuffle(spark, sf_dir):
+    """PIT reconstruction must stay on the union-then-carry-forward
+    shape: no range join (non-equi BroadcastNestedLoop/cartesian)."""
+    plan = P.plan_string(q("scd2_point_in_time", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_edge_build_reads_minimum(spark, sf_dir):
+    """The edge build must prune to the two key columns per fact —
+    an 11-column lineitem read for a 2-key edge list is wrong. (The
+    full operator's plan starts at the checkpointed edge RDD, so the
+    scans are only visible on the edge-derivation subplan.)"""
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    plan = P.plan_string(G._trade_edges(load_tables(spark, sf_dir)))
+    import re
+
+    li_schemas = re.findall(
+        r"ReadSchema: struct<([^>]*)>", plan
+    )
+    li = [s for s in li_schemas if "l_suppkey" in s]
+    assert li and all(
+        set(c.split(":")[0] for c in s.split(",")) <= {"l_orderkey", "l_suppkey"}
+        for s in li
+    ), li_schemas
+    o = [s for s in li_schemas if "o_custkey" in s]
+    assert o and all(
+        set(c.split(":")[0] for c in s.split(",")) <= {"o_orderkey", "o_custkey"}
+        for s in o
+    ), li_schemas
+
+
+def test_dedup_incremental_shuffles_digests_only(spark, sf_dir):
+    """History reduces to (digest -> min id) before any join: the text
+    column must not appear past the scan/hash projection — the join
+    keys are 32-hex-char digests, never documents."""
+    plan = P.plan_string(q("dedup_incremental", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") > 0

@@ -112,6 +112,7 @@ HEADLINE = [
     "scd2_point_in_time",
     "validate_lake",
     "dedup_incremental",
+    "ols_value_by_hour",
 ]
 
 

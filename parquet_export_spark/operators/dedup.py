@@ -771,8 +771,16 @@ def fuzzy_join_parts(
     left = probes.withColumn("blk", block(F.col("probe_name")))
     right = p.withColumn("blk", block(F.col("p_name")))
     dist = F.levenshtein(F.col("probe_name"), F.col("p_name"), max_dist)
+    # result-preserving prefilter: edit distance >= |len(a) - len(b)|,
+    # so a length-band comparison (one integer op) prunes most in-block
+    # pairs before the O(len^2) DP ever runs. The oracle omits it —
+    # it cannot change the result set.
+    len_band = (
+        F.abs(F.length("probe_name") - F.length("p_name")) <= max_dist
+    )
     return (
         left.join(right, "blk")
+        .filter(len_band)
         .withColumn("edit_dist", dist)
         .filter(F.col("edit_dist") >= 0)  # threshold form: -1 == exceeded
         .select(

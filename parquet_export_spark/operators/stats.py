@@ -739,3 +739,39 @@ def validate_lake_constraints(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("constraint_name")
+
+
+def ols_value_by_hour(t: dict[str, DataFrame]) -> DataFrame:
+    """Closed-form OLS regression IN the engine: per event_type, fit
+    value ~ hour-of-day — the in-warehouse ML-feature step (trend
+    slopes per segment) that avoids exporting 100 TB to a stats
+    library.
+
+    Same exactness discipline as ``stats_moments``: the five sufficient
+    statistics (n, Σx, Σx², Σy, Σxy) accumulate as integers / exact
+    decimals (order-independent, partial+final map-side combine — ONE
+    aggregate shuffle total), and slope/intercept/R-relevant terms
+    derive in closed-form IEEE double arithmetic on those exact inputs,
+    so both engines produce identical bits -> full DuckDB oracle. At
+    100 TB: a 24-distinct-value regressor against a group-sized output;
+    nothing but the grouped aggregate touches the data.
+    """
+    e = maybe_fanout(t["events"])
+    x = F.hour("ts").cast("long")
+    ydec = F.col("value").cast("decimal(30,6)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sy = F.sum(ydec).cast("double")
+    sxy = F.sum(x.cast("decimal(10,0)") * ydec).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(slope, 9).alias("slope_per_hour"),
+            F.round(intercept, 9).alias("intercept"),
+            n.cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

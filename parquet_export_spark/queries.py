@@ -2299,6 +2299,30 @@ REGISTRY.update(
             ORDER BY user_id, snapshot_day
             """,
         ),
+        "ols_value_by_hour": QuerySpec(
+            _rel(ST.ols_value_by_hour),
+            """
+            SELECT event_type,
+                   ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 9)
+                       AS slope_per_hour,
+                   ROUND((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 9)
+                       AS intercept,
+                   CAST(n AS BIGINT) AS n_events
+            FROM (SELECT event_type,
+                         CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(hr) AS DOUBLE) AS sx,
+                         CAST(SUM(hr*hr) AS DOUBLE) AS sxx,
+                         CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE) AS sy,
+                         CAST(SUM(hr * CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE) AS sxy
+                  FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+                               value
+                        FROM events)
+                  GROUP BY event_type)
+            ORDER BY event_type
+            """,
+        ),
         "dedup_incremental": QuerySpec(
             _rel(D.dedup_incremental),
             f"""
@@ -2576,7 +2600,7 @@ _VERDICT_PRIORITY = [
     # point-in-time snapshot reconstruction, CDC changefeed apply
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
-    "bpe_encode_corpus", "dedup_incremental",
+    "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2612,14 +2636,16 @@ _VERDICT_PRIORITY = [
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
     "stats_moments", "stats_correlation", "percentiles_exact",
-    "merge_upsert_orders", "histogram_bins", "embedding_norms",
+    "merge_upsert_orders", "embedding_norms",
     "label_centroid_sim", "q10_returned_items", "filter_project",
     "join_left_nulls", "agg_distinct",
     "agg_stats", "events_hourly_rollup",
     # (scalar_string_funcs yields its slot to validate_lake,
     # agg_cube to bpe_encode_corpus, and set_ops_all to
-    # dedup_incremental on the same policy: the set-ops family stays
-    # pinned in-window by set_ops' r3-green verdict, the
+    # dedup_incremental, and histogram_bins to ols_value_by_hour on
+    # the same policy: the set-ops family stays pinned in-window by
+    # set_ops' r3-green verdict, fixed-width binning by
+    # winsorize_values + percentiles_exact in-window, the
     # string-scalar family stays pinned in-window by
     # string_funcs_extra, cube/rollup by agg_rollup's r3 verdict +
     # grouping_sets_revenue's pytest oracle, and both dropped entries'

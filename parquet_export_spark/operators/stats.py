@@ -764,7 +764,12 @@ def ols_value_by_hour(t: dict[str, DataFrame]) -> DataFrame:
     sxx = F.sum(x * x).cast("double")
     sy = F.sum(ydec).cast("double")
     sxy = F.sum(x.cast("decimal(10,0)") * ydec).cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # a degenerate regressor (all events in one hour, or a single
+    # event) has no slope: denominator 0 -> NULL, never NaN/Inf
+    # (nullif mirrors the oracle exactly; IEEE 0-division would
+    # produce engine-presentation-dependent NaN rendering).
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / denom
     intercept = (sy - slope * sx) / n
     return (
         e.groupBy("event_type")

@@ -2303,9 +2303,10 @@ REGISTRY.update(
             _rel(ST.ols_value_by_hour),
             """
             SELECT event_type,
-                   ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 9)
+                   ROUND((n*sxy - sx*sy)/NULLIF(n*sxx - sx*sx, 0), 9)
                        AS slope_per_hour,
-                   ROUND((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 9)
+                   ROUND((sy - ((n*sxy - sx*sy)
+                                / NULLIF(n*sxx - sx*sx, 0))*sx)/n, 9)
                        AS intercept,
                    CAST(n AS BIGINT) AS n_events
             FROM (SELECT event_type,

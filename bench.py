@@ -107,6 +107,7 @@ HEADLINE = [
     # round-4b: iterative graph / CDC / linkage / PIT families
     "pagerank_trade_graph",
     "cc_trade_graph",
+    "sssp_trade_graph",
     "apply_changefeed",
     "fuzzy_join_parts",
     "scd2_point_in_time",

@@ -290,3 +290,101 @@ def cc_oracle_sql(n_iter: int = CC_ITERS) -> str:
         ORDER BY node_id
         """.format(n=n_iter)
     )
+
+
+SSSP_ITERS = 8
+
+
+def sssp_trade_graph(
+    t: dict[str, DataFrame], n_iter: int = SSSP_ITERS
+) -> DataFrame:
+    """Fixed-iteration single-source shortest paths (hop counts) from
+    the minimum supplier node — the min-plus semiring completing the
+    graph suite (PageRank: weighted mass; CC: min-label; SSSP:
+    min-distance — the recursive-query/BFS family of an analytics
+    engine, expressed as the same bounded iteration).
+
+    Frontier-growth formulation: dist starts as the single source row
+    (hop 0) and each iteration extends it one hop — dist_{k+1} =
+    min-by-node(dist_k union (edges |><| dist_k).dst + 1). Nodes not
+    yet reached are simply ABSENT (no INF sentinel rows), so early
+    iterations join a tiny reached-set (broadcastable frontier) rather
+    than the full node table, and unreachable nodes never materialize
+    at all — the reached table IS the result. After k iterations every
+    node within k hops holds its true hop count; all-integer, exact on
+    both engines, oracle replays the iterations as unrolled CTEs. The
+    source (min supplier node) is derived IN the plan via a 1-row
+    broadcast — no driver collect.
+
+    Same pinned-edge / constant-depth-lineage shape as the other two.
+    """
+    e = _trade_edges(t).repartition("src").localCheckpoint()
+    src_row = e.filter(F.col("src") % 2 == 1).agg(
+        F.min("src").alias("node")
+    )
+    dist = src_row.select("node", F.lit(0).cast("long").alias("d"))
+    for i in range(n_iter):
+        neigh = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("d") + 1).alias("d"),
+        )
+        dist = (
+            neigh.unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        if (i + 1) % 2 == 0 and i + 1 < n_iter:
+            dist = dist.localCheckpoint()
+    return (
+        dist.select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_kind"),
+            F.col("d").alias("hops"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def sssp_oracle_sql(n_iter: int = SSSP_ITERS) -> str:
+    """DuckDB oracle for :func:`sssp_trade_graph`: identical min-plus
+    iterations, unrolled."""
+    ctes = [
+        """
+        edges_d AS (
+          SELECT DISTINCT o_custkey * 2 AS cust_node,
+                          l_suppkey * 2 + 1 AS supp_node
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT cust_node AS src, supp_node AS dst FROM edges_d
+          UNION ALL
+          SELECT supp_node AS src, cust_node AS dst FROM edges_d),
+        d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS d
+               FROM edges WHERE src % 2 = 1)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            """
+        d{i} AS (
+          SELECT node, MIN(d) AS d FROM (
+            SELECT e.dst AS node, p.d + 1 AS d
+            FROM edges e JOIN d{prev} p ON p.node = e.src
+            UNION ALL
+            SELECT node, d FROM d{prev})
+          GROUP BY node)
+            """.format(i=i, prev=i - 1)
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + """
+        SELECT node AS node_id,
+               CASE WHEN node % 2 = 0 THEN 'customer'
+                    ELSE 'supplier' END AS node_kind,
+               d AS hops
+        FROM d{n}
+        ORDER BY node_id
+        """.format(n=n_iter)
+    )

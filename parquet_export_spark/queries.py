@@ -2248,6 +2248,11 @@ REGISTRY.update(
             # (min-label semiring instead of mass propagation).
             G.cc_oracle_sql(),
         ),
+        "sssp_trade_graph": QuerySpec(
+            _rel(G.sssp_trade_graph),
+            # min-plus semiring; same unrolled-CTE replay contract.
+            G.sssp_oracle_sql(),
+        ),
         "fuzzy_join_parts": QuerySpec(
             _rel(D.fuzzy_join_parts),
             f"""
@@ -2602,6 +2607,7 @@ _VERDICT_PRIORITY = [
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
     "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
+    "sssp_trade_graph",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2637,13 +2643,15 @@ _VERDICT_PRIORITY = [
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
     "stats_moments", "stats_correlation", "percentiles_exact",
-    "merge_upsert_orders", "embedding_norms",
+    "merge_upsert_orders",
     "label_centroid_sim", "q10_returned_items", "filter_project",
     "join_left_nulls", "agg_distinct",
     "agg_stats", "events_hourly_rollup",
     # (scalar_string_funcs yields its slot to validate_lake,
     # agg_cube to bpe_encode_corpus, and set_ops_all to
-    # dedup_incremental, and histogram_bins to ols_value_by_hour on
+    # dedup_incremental, histogram_bins to ols_value_by_hour, and
+    # embedding_norms to sssp_trade_graph (norms are exercised inside
+    # every in-window similarity entry) on
     # the same policy: the set-ops family stays pinned in-window by
     # set_ops' r3-green verdict, fixed-width binning by
     # winsorize_values + percentiles_exact in-window, the

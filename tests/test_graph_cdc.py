@@ -241,3 +241,29 @@ def test_validate_lake_fires_and_clears(spark):
     }
     assert set(clean) == set(got)
     assert all(v == 0 for v in clean.values())
+
+
+def test_sssp_matches_bfs_reference(spark):
+    """Fixed-iteration min-plus SSSP must equal a plain Python BFS from
+    the same source on the sf0.001 graph (diameter < 8 iterations, so
+    the truncation never bites here; the path-graph adversarial
+    fixture covers the unconverged regime via oracle equality)."""
+    from collections import deque
+
+    t = _small_tables(spark)
+    got = {r.node_id: r.hops for r in G.sssp_trade_graph(t).collect()}
+
+    edges = [(r.src, r.dst) for r in G._trade_edges(t).collect()]
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    source = min(n for n in adj if n % 2 == 1)
+    dist = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert got == dist

@@ -89,7 +89,7 @@ def test_graph_ops_on_engineered_topology(spark, sf_dir, tmp_path):
         str(tmp_path / "graph"),
         {"orders": o_df, "lineitem": l_df},
     )
-    _run(spark, fixture_dir, ["pagerank_trade_graph", "cc_trade_graph"])
+    _run(spark, fixture_dir, ["pagerank_trade_graph", "cc_trade_graph", "sssp_trade_graph"])
 
     # the isolated pair must form its own component, disjoint from the
     # hub's — a smoke check that the fixture actually has the intended

@@ -70,6 +70,17 @@ def _trade_edges(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+
+
+def _edge_parallelism(df: DataFrame) -> int:
+    """Edge-cache width: the cluster's core count (defaultParallelism),
+    not spark.sql.shuffle.partitions — the cache is iterated 8+ times,
+    so its layout should match available slots, and a plain session's
+    200-partition default would schedule 200-task stages per iteration
+    over any input size."""
+    return max(df.sparkSession.sparkContext.defaultParallelism, 4)
+
+
 def pagerank_orders_graph(
     t: dict[str, DataFrame], n_iter: int = PAGERANK_ITERS
 ) -> DataFrame:
@@ -93,8 +104,9 @@ def pagerank_orders_graph(
     # only the node-sized rank table moves. Measured: the checkpoint
     # variant re-shuffled 1.17M edge rows EVERY iteration (plan
     # audit); this is the GraphX-style iterative edge cache.
+    edges = _trade_edges(t)
     e2 = (
-        _trade_edges(t)
+        edges.repartition(_edge_parallelism(edges), "src")
         .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .sortWithinPartitions("src")
         .persist()
@@ -233,9 +245,9 @@ def cc_trade_graph(
     """
     # same iterative edge cache as pagerank_orders_graph: partitioning
     # + ordering survive persist, so iterations never re-exchange edges
+    edges = _trade_edges(t)
     e = (
-        _trade_edges(t)
-        .repartition("src")
+        edges.repartition(_edge_parallelism(edges), "src")
         .sortWithinPartitions("src")
         .persist()
     )
@@ -333,9 +345,9 @@ def sssp_trade_graph(
 
     Same pinned-edge / constant-depth-lineage shape as the other two.
     """
+    edges = _trade_edges(t)
     e = (
-        _trade_edges(t)
-        .repartition("src")
+        edges.repartition(_edge_parallelism(edges), "src")
         .sortWithinPartitions("src")
         .persist()
     )

@@ -658,31 +658,45 @@ def cogroup_user_funnel(t: dict[str, DataFrame]) -> DataFrame:
     """
     e = t["events"]
     n_buckets = 64
+    # Side-specific column names (c_*/p_*), not raw passthroughs: both
+    # sides derive from the SAME source DataFrame, so passthrough
+    # columns share expression ids across the two cogroup children and
+    # Catalyst's relation dedup can prune them off one side under
+    # plans that do not consume the output (observed: .count() under a
+    # stock session delivered the purchase side without user_id/ts —
+    # KeyError in the kernel). A different-name alias forces a fresh
+    # expression id per side, which the optimizer cannot elide; pinned
+    # by test_cogroup_survives_count_pruning.
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", (F.col("user_id") % n_buckets).alias("bucket")
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.col("user_id") % n_buckets).alias("bucket"),
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value", (F.col("user_id") % n_buckets).alias("bucket")
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        (F.col("user_id") % n_buckets).alias("bucket"),
     )
 
     def kernel(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         idx = pd.Index(
-            sorted(set(cdf["user_id"]).union(pdf["user_id"])), name="user_id"
+            sorted(set(cdf["c_user"]).union(pdf["p_user"])), name="user_id"
         )
-        n_clicks = cdf.groupby("user_id").size().reindex(idx, fill_value=0)
-        n_purchases = pdf.groupby("user_id").size().reindex(idx, fill_value=0)
+        n_clicks = cdf.groupby("c_user").size().reindex(idx, fill_value=0)
+        n_purchases = pdf.groupby("p_user").size().reindex(idx, fill_value=0)
         if len(pdf):
-            first_p = pdf.groupby("user_id")["ts"].min()
-            micros = pdf["value"].mul(1_000_000).round().astype("int64")
+            first_p = pdf.groupby("p_user")["p_ts"].min()
+            micros = pdf["p_value"].mul(1_000_000).round().astype("int64")
             total = (
-                micros.groupby(pdf["user_id"]).sum() / 1_000_000.0
+                micros.groupby(pdf["p_user"]).sum() / 1_000_000.0
             ).reindex(idx)
         else:
             first_p = pd.Series(dtype="datetime64[us]")
             total = pd.Series(float("nan"), index=idx)
         if len(cdf):
-            fp = cdf["user_id"].map(first_p)
-            before = cdf[cdf["ts"] < fp].groupby("user_id").size().reindex(idx)
+            fp = cdf["c_user"].map(first_p)
+            before = cdf[cdf["c_ts"] < fp].groupby("c_user").size().reindex(idx)
         else:
             before = pd.Series(float("nan"), index=idx)
         # purchasers with no prior clicks -> 0; non-purchasers -> NULL

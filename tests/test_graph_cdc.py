@@ -267,3 +267,16 @@ def test_sssp_matches_bfs_reference(spark):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     assert got == dist
+
+
+def test_cogroup_survives_count_pruning(spark):
+    """Regression: cogroup children deriving from the SAME source
+    DataFrame shared expression ids, and Catalyst's relation dedup
+    pruned user_id/ts off the purchase side under a .count() plan
+    (KeyError in the Arrow kernel). Side-specific aliases force fresh
+    expression ids; count() and collect() must both work and agree."""
+    from parquet_export_spark.operators.advanced import cogroup_user_funnel
+
+    t = _small_tables(spark)
+    df = cogroup_user_funnel(t)
+    assert df.count() == len(df.collect())

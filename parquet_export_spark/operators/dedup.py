@@ -485,8 +485,24 @@ def _connected_components(
     # at sf0.1: pairs-first beats checkpoint-after-union by ~20% on
     # both composed consumers — ReusedExchange does not fully cover
     # the doubled branches of either pair pipeline.)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    #
+    # The doubled edge list is then laid out on the per-round join key
+    # and PERSISTED: localCheckpoint collapses to a partitioning-less
+    # LogicalRDD, so every propagation round would re-exchange and
+    # re-sort the full edge list (the same plan defect caught on the
+    # graph.py operators); the in-memory relation keeps partitioning +
+    # ordering, so rounds only shuffle the node-sized label table.
+    spark = pairs.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 4)
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .repartition(par, "doc_b")
+        .sortWithinPartitions("doc_b")
+        .persist()
     )
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
     for _ in range(max_iter):

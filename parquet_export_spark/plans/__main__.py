@@ -57,6 +57,17 @@ SHOWCASE = [
     "incremental_rollup",
     "winsorize_values",
     "cogroup_user_funnel",
+    # round-4c additions: persisted-edge iterative join (no
+    # per-iteration edge exchange), blocked+banded Levenshtein join,
+    # union-then-carry-forward PIT, full-outer CDC apply, unioned
+    # constraint aggregates, digest-only incremental dedup
+    "pagerank_trade_graph",
+    "fuzzy_join_parts",
+    "scd2_point_in_time",
+    "apply_changefeed",
+    "validate_lake",
+    "dedup_incremental",
+    "ols_value_by_hour",
 ]
 
 HEADER = """\

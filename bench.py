@@ -117,7 +117,26 @@ HEADLINE = [
 ]
 
 
+def _emit(timings: dict[str, float], sf) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
 def main() -> None:
+    # optional argv filter: `python bench.py q1_pricing_summary ...`
+    # times only the named headline entries (micro-bench loop);
+    # no args = the full list + export/versioned-snapshot sections.
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    headline = [n for n in HEADLINE if not only or n in only]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -139,12 +158,12 @@ def main() -> None:
     # "Bench harness"). min-of-3 strips it on an idle machine, but
     # under external load it can leak into every rep of whichever
     # query runs first — pay it here, attributed to warm-up.
-    REGISTRY[HEADLINE[0]].fn(spark, sf_dir).write.format(
+    REGISTRY[headline[0]].fn(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = REGISTRY[name].fn
         # GC between queries: with a 100+ GiB heap, a collection
         # triggered mid-query charges one query for its predecessors'
@@ -165,6 +184,10 @@ def main() -> None:
 
     # Export throughput: the reference's own function — normalize +
     # size-bounded zstd parquet + manifest over the largest tables.
+    # (skipped when an argv filter selects specific queries)
+    if only:
+        _emit(timings, sf)
+        return
     import shutil
     import tempfile
 

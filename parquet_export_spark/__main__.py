@@ -119,7 +119,31 @@ def main(argv: list[str] | None = None) -> int:
     )
     vac.add_argument("--out", required=True)
     vac.add_argument("--keep-last", type=int, default=2)
+    val = sub.add_parser(
+        "validate",
+        help="pre-publish constraint gate over a star-schema lake "
+        "(PK uniqueness / FK integrity / NOT NULL); exit 1 on any "
+        "violation",
+    )
+    val.add_argument("--lake", required=True, help="lake directory")
     args = parser.parse_args(argv)
+
+    if args.cmd == "validate":
+        from parquet_export_spark.operators.stats import (
+            validate_lake_constraints,
+        )
+        from parquet_export_spark.sources.lake import load_tables
+
+        spark = get_spark(app_name="parquet-export-validate")
+        rows = validate_lake_constraints(
+            load_tables(spark, args.lake), corrupt=False
+        ).collect()
+        total = 0
+        for r in rows:
+            print(f"{r.constraint_name}\t{r.n_violations}")
+            total += r.n_violations
+        print(f"total violations: {total}", file=sys.stderr)
+        return 1 if total else 0
 
     if args.cmd == "docs":
         return _gen_queries_md(args.out)

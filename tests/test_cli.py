@@ -59,3 +59,26 @@ def test_cli_snapshot_and_vacuum(spark, vera_source, tmp_path, capsys):
     assert not os.path.exists(os.path.join(out, "manifest-v000001.json"))
     # v1's directory survives: v2 still references its unchanged tables
     assert os.path.exists(os.path.join(out, "v000001"))
+
+
+def test_cli_validate_clean_and_corrupt(spark, sf_dir, tmp_path, capsys):
+    """`validate --lake` exits 0 on the clean testdata lake, 1 on a
+    lake with a genuine PK violation, printing the per-constraint
+    report either way."""
+    from pyspark.sql import functions as F
+
+    from parquet_export_spark.sources.lake import load_tables
+    from tests.oracle_harness import fixture_lake
+
+    assert main(["validate", "--lake", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "pk_orders\t0" in out and "fk_lineitem_orders\t0" in out
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    dup = orders.unionByName(orders.limit(5))  # 5 duplicated keys
+    bad_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "badlake"), {"orders": dup}
+    )
+    assert main(["validate", "--lake", bad_dir]) == 1
+    out = capsys.readouterr().out
+    assert "pk_orders\t5" in out

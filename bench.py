@@ -114,6 +114,7 @@ HEADLINE = [
     "validate_lake",
     "dedup_incremental",
     "ols_value_by_hour",
+    "match_click_bursts",
 ]
 
 

@@ -791,3 +791,127 @@ def scd2_point_in_time(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("user_id", "snapshot_day")
     )
+
+
+#: burst grammar parameters — shared with the oracle SQL (queries.py
+#: interpolates them). Sized to the testdata's per-user click density
+#: (~1 click/6h) so the pattern fires naturally; a web-scale
+#: clickstream would use minutes.
+BURST_GAP_MIN = 360
+BURST_MIN_CLICKS = 3
+BURST_CONVERT_MIN = 720
+
+
+def match_click_bursts(
+    t: dict[str, DataFrame],
+    gap_min: int = BURST_GAP_MIN,
+    min_clicks: int = BURST_MIN_CLICKS,
+    convert_min: int = BURST_CONVERT_MIN,
+) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE / CEP shape):
+    find per-user CLICK BURSTS — maximal runs of clicks with inter-
+    click gaps <= ``gap_min`` minutes and at least ``min_clicks``
+    events — and whether each burst CONVERTED (a purchase within
+    ``convert_min`` minutes of the burst's last click). The
+    "A{3,} B within w" pattern grammar, compiled to relational ops.
+
+    Scale shape — everything rides ONE user_id shuffle:
+    (1) burst assembly is gaps-and-islands (lag + running sum over the
+    per-user order — no self-join); (2) conversion matching is the
+    REVERSE as-of join via the union-then-carry-BACKWARD sort (next
+    purchase at-or-after each burst end), the same linear composition
+    as ``asof_purchase_attribution`` — never a time-range pair join.
+    All outputs are timestamps/ints; ties (a purchase stamped exactly
+    at a burst-end instant) match by the kind ordering, mirrored in
+    the oracle -> exact DuckDB differential.
+    """
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval comparison, not epoch casts: microsecond-exact and
+    # identical on both engines (ts -> long truncates sub-seconds and
+    # is ANSI-sensitive)
+    prev_ts = F.lag("ts").over(w)
+    new_burst = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {gap_min} MINUTES")),
+        1,
+    ).otherwise(0)
+    islands = clicks.withColumn(
+        "burst",
+        F.sum(new_burst).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bursts = (
+        islands.groupBy("user_id", "burst")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_clicks"),
+        )
+        .filter(F.col("n_clicks") >= min_clicks)
+    )
+    # reverse as-of: next purchase at-or-after burst_end, per user.
+    # the carry scans latest-first, so at an equal timestamp the
+    # PURCHASE row must precede the probe row in the window order for
+    # the probe to see it — ts DESC then kind ASC (1 before 2); a
+    # purchase stamped exactly at the burst-end instant converts.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("kind"),
+    )
+    probes = bursts.select(
+        "user_id",
+        F.col("burst_end").alias("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(2).alias("kind"),
+        "burst_start",
+        "burst_end",
+        "n_clicks",
+    )
+    u = purchases.select(
+        "user_id", "ts", "purchase_id", "kind",
+        F.lit(None).cast("timestamp_ntz").alias("burst_start"),
+        F.lit(None).cast("timestamp_ntz").alias("burst_end"),
+        F.lit(None).cast("long").alias("n_clicks"),
+    ).unionByName(probes)
+    wd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"), F.desc("purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "next_purchase_ts",
+        F.last(
+            F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True
+        ).over(wd),
+    ).withColumn(
+        "next_purchase_id",
+        F.last(
+            F.when(F.col("kind") == 1, F.col("purchase_id")),
+            ignorenulls=True,
+        ).over(wd),
+    )
+    within = F.col("next_purchase_ts") <= F.col("burst_end") + F.expr(
+        f"INTERVAL {convert_min} MINUTES"
+    )
+    converted = F.col("next_purchase_ts").isNotNull() & within
+    return (
+        carried.filter(F.col("kind") == 2)
+        .select(
+            "user_id",
+            "burst_start",
+            "burst_end",
+            "n_clicks",
+            converted.alias("converted"),
+            F.when(converted, F.col("next_purchase_id")).alias(
+                "purchase_id"
+            ),
+        )
+        .orderBy("user_id", "burst_start")
+    )

@@ -2304,6 +2304,64 @@ REGISTRY.update(
             ORDER BY user_id, snapshot_day
             """,
         ),
+        "match_click_bursts": QuerySpec(
+            _rel(A.match_click_bursts),
+            f"""
+            WITH clicks AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+            flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts > LAG(ts) OVER w
+                                  + INTERVAL {A.BURST_GAP_MIN} MINUTE
+                          THEN 1 ELSE 0 END AS nb
+              FROM clicks
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            isl AS (
+              SELECT user_id, ts, event_id,
+                     SUM(nb) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS burst
+              FROM flagged),
+            bursts AS (
+              SELECT user_id, burst, MIN(ts) AS burst_start,
+                     MAX(ts) AS burst_end, COUNT(*) AS n_clicks
+              FROM isl GROUP BY user_id, burst
+              HAVING COUNT(*) >= {A.BURST_MIN_CLICKS}),
+            u AS (
+              SELECT user_id, ts, event_id AS purchase_id, 1 AS kind,
+                     CAST(NULL AS TIMESTAMP) AS burst_start,
+                     CAST(NULL AS TIMESTAMP) AS burst_end,
+                     CAST(NULL AS BIGINT) AS n_clicks
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, burst_end AS ts, NULL, 2, burst_start,
+                     burst_end, n_clicks
+              FROM bursts),
+            carried AS (
+              SELECT *,
+                     LAST_VALUE(CASE WHEN kind = 1 THEN ts END
+                                IGNORE NULLS) OVER wd AS np_ts,
+                     LAST_VALUE(CASE WHEN kind = 1 THEN purchase_id END
+                                IGNORE NULLS) OVER wd AS np_id
+              FROM u
+              WINDOW wd AS (PARTITION BY user_id
+                            ORDER BY ts DESC, kind ASC,
+                                     purchase_id DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW))
+            SELECT user_id, burst_start, burst_end, n_clicks,
+                   np_ts IS NOT NULL AND np_ts <= burst_end
+                       + INTERVAL {A.BURST_CONVERT_MIN} MINUTE
+                       AS converted,
+                   CASE WHEN np_ts IS NOT NULL AND np_ts <= burst_end
+                             + INTERVAL {A.BURST_CONVERT_MIN} MINUTE
+                        THEN np_id END AS purchase_id
+            FROM carried WHERE kind = 2
+            ORDER BY user_id, burst_start
+            """,
+        ),
         "ols_value_by_hour": QuerySpec(
             _rel(ST.ols_value_by_hour),
             """
@@ -2607,7 +2665,7 @@ _VERDICT_PRIORITY = [
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
     "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
-    "sssp_trade_graph",
+    "sssp_trade_graph", "match_click_bursts",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2642,7 +2700,7 @@ _VERDICT_PRIORITY = [
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
-    "stats_moments", "stats_correlation", "percentiles_exact",
+    "stats_moments", "percentiles_exact",
     "merge_upsert_orders",
     "label_centroid_sim", "q10_returned_items", "filter_project",
     "join_left_nulls", "agg_distinct",
@@ -2651,7 +2709,9 @@ _VERDICT_PRIORITY = [
     # agg_cube to bpe_encode_corpus, and set_ops_all to
     # dedup_incremental, histogram_bins to ols_value_by_hour, and
     # embedding_norms to sssp_trade_graph (norms are exercised inside
-    # every in-window similarity entry) on
+    # every in-window similarity entry), and stats_correlation to
+    # match_click_bursts (the exact-moment family stays pinned by
+    # stats_moments in-window) on
     # the same policy: the set-ops family stays pinned in-window by
     # set_ops' r3-green verdict, fixed-width binning by
     # winsorize_values + percentiles_exact in-window, the

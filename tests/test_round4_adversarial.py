@@ -189,3 +189,75 @@ def test_ols_degenerate_groups(spark, sf_dir, tmp_path):
     assert got["flat"] == (None, None)
     assert got["lone"] == (None, None)
     assert got["trend"] == (1.0, 0.0)
+
+
+def test_click_burst_pattern_boundaries(spark, sf_dir, tmp_path):
+    """CEP pattern boundaries as a full differential + closed-form
+    check: a burst whose purchase lands EXACTLY at the burst-end
+    instant (kind tie: converts), one exactly at the conversion
+    deadline (inclusive: converts), one just past it (no), a run one
+    click short of min_clicks (no burst), and two purchases at the
+    same instant (min-id tie rule)."""
+    from datetime import timedelta
+
+    from parquet_export_spark.operators.advanced import (
+        BURST_CONVERT_MIN,
+        BURST_GAP_MIN,
+        match_click_bursts,
+    )
+    from parquet_export_spark.sources.lake import load_tables
+
+    t0 = datetime(2024, 6, 1, 8, 0, 0)
+    gap = timedelta(minutes=BURST_GAP_MIN)
+    conv = timedelta(minutes=BURST_CONVERT_MIN)
+    rows = []
+    eid = 0
+
+    def ev(ts, uid, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, uid, typ, 1.0, "{}"))
+
+    # user 1: 3-click burst, purchase exactly at burst end -> converts
+    for k in range(3):
+        ev(t0 + k * gap, 1, "click")
+    ev(t0 + 2 * gap, 1, "purchase")
+    # user 2: burst, purchase exactly at deadline -> converts
+    for k in range(3):
+        ev(t0 + k * gap, 2, "click")
+    ev(t0 + 2 * gap + conv, 2, "purchase")
+    # user 3: burst, purchase 1s past deadline -> does NOT convert
+    for k in range(3):
+        ev(t0 + k * gap, 3, "click")
+    ev(t0 + 2 * gap + conv + timedelta(seconds=1), 3, "purchase")
+    # user 4: only 2 clicks -> no burst at all
+    ev(t0, 4, "click")
+    ev(t0 + gap, 4, "click")
+    ev(t0 + 2 * gap, 4, "purchase")
+    # user 5: burst + TWO purchases at the same instant -> min id wins
+    for k in range(3):
+        ev(t0 + k * gap, 5, "click")
+    p_ts = t0 + 2 * gap + timedelta(minutes=1)
+    ev(p_ts, 5, "purchase")
+    first_p5 = eid
+    ev(p_ts, 5, "purchase")
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "burst"), {"events": df}
+    )
+    _run(spark, fixture_dir, ["match_click_bursts"])
+
+    from parquet_export_spark.sources.lake import load_tables as lt
+
+    got = {
+        r.user_id: (r.n_clicks, r.converted, r.purchase_id)
+        for r in match_click_bursts(lt(spark, fixture_dir)).collect()
+    }
+    assert got[1][1] and got[2][1] and not got[3][1]
+    assert 4 not in got
+    assert got[5] == (3, True, first_p5)

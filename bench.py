@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_incremental",
     "ols_value_by_hour",
     "match_click_bursts",
+    "resolve_part_entities",
 ]
 
 

@@ -859,3 +859,80 @@ def dedup_incremental(
         )
         .orderBy("doc_id")
     )
+
+
+#: entity-resolution parameters — shared with the oracle SQL.
+ER_MAX_DIST = 2
+ER_CC_ITERS = 6
+#: deterministic input slice: the synthetic part names span only ~8
+#: nouns x ~40 adjectives, so whole-table distance-2 blocks are near-
+#: cliques (5.5M matches at sf0.1 — measured); real catalogs have
+#: discriminative names. The slice keeps the demo linear; the
+#: real-scale guard is the same block-size cap the Jaccard ops use.
+ER_SAMPLE_MOD = 20
+
+
+def resolve_part_entities(
+    t: dict[str, DataFrame],
+    max_dist: int = ER_MAX_DIST,
+    n_iter: int = ER_CC_ITERS,
+) -> DataFrame:
+    """END-TO-END ENTITY RESOLUTION, every stage exact: blocking ->
+    pairwise fuzzy matching -> transitive clustering ->
+    canonicalization. Groups part records whose names are within
+    Levenshtein ``max_dist`` (transitively) and assigns each group its
+    canonical representative (min key) — the master-data
+    consolidation pipeline (the probabilistic twin of
+    ``fuzzy_dedup_keep``, which uses MinHash; here every stage is
+    deterministic, so the WHOLE pipeline carries a DuckDB oracle).
+
+    Stages and scale shapes:
+    (1) candidate pairs: self-equi-join on the blocking key (last
+        name word) + length-band prefilter + 3-arg thresholded
+        Levenshtein — never all-pairs (same posture as
+        :func:`fuzzy_join_parts`);
+    (2) clusters: fixed-``n_iter`` min-label propagation over the
+        match graph (the graph.py CC shape; pairs materialize once
+        behind a persisted key layout via _connected_components'
+        edge cache);
+    (3) canonicalization: the cluster label IS the canonical key
+        (min member), so no extra join.
+
+    Transitive over-merge (a-b and b-c within distance, a-c beyond)
+    is inherent to ER clustering and intentional — both engines chain
+    identically.
+    """
+    p = t["part"].select("p_partkey", "p_name").filter(
+        F.col("p_partkey") % ER_SAMPLE_MOD == 0
+    )
+    blk = F.element_at(F.split("p_name", " "), -1)
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        blk.alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        blk.alias("blk"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.abs(F.length("na") - F.length("nb")) <= max_dist)
+        .filter(F.levenshtein(F.col("na"), F.col("nb"), max_dist) >= 0)
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+    )
+    labels = _connected_components(
+        p.select(F.col("p_partkey").alias("doc_id")), pairs, n_iter
+    )
+    return (
+        labels.select(
+            F.col("doc_id").alias("p_partkey"),
+            F.col("label").alias("canonical_key"),
+        )
+        .withColumn(
+            "is_canonical", F.col("p_partkey") == F.col("canonical_key")
+        )
+        .orderBy("p_partkey")
+    )

@@ -2304,6 +2304,52 @@ REGISTRY.update(
             ORDER BY user_id, snapshot_day
             """,
         ),
+        "resolve_part_entities": QuerySpec(
+            _rel(D.resolve_part_entities),
+            # unrolled min-label CTEs replay the clustering exactly
+            # (converged rounds are fixed points, so extra unrolled
+            # steps are no-ops — Spark's early-exit stays equivalent)
+            "WITH "
+            + f"""
+            parts AS (
+              SELECT p_partkey, p_name FROM part
+              WHERE p_partkey % {D.ER_SAMPLE_MOD} = 0),
+            pairs AS (
+              SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+              FROM parts a JOIN parts b
+                ON str_split(a.p_name, ' ')[-1] =
+                   str_split(b.p_name, ' ')[-1]
+               AND a.p_partkey < b.p_partkey
+               AND abs(length(a.p_name) - length(b.p_name))
+                   <= {D.ER_MAX_DIST}
+               AND levenshtein(a.p_name, b.p_name) <= {D.ER_MAX_DIST}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            cc0 AS (SELECT p_partkey AS node, p_partkey AS l
+                    FROM parts)
+            """
+            + ","
+            + ",".join(
+                f"""
+            cc{i} AS (
+              SELECT node, MIN(l) AS l FROM (
+                SELECT e.dst AS node, p.l
+                FROM edges e JOIN cc{i - 1} p ON p.node = e.src
+                UNION ALL
+                SELECT node, l FROM cc{i - 1})
+              GROUP BY node)
+                """
+                for i in range(1, D.ER_CC_ITERS + 1)
+            )
+            + f"""
+            SELECT node AS p_partkey, l AS canonical_key,
+                   node = l AS is_canonical
+            FROM cc{D.ER_CC_ITERS}
+            ORDER BY p_partkey
+            """,
+        ),
         "match_click_bursts": QuerySpec(
             _rel(A.match_click_bursts),
             f"""
@@ -2665,7 +2711,7 @@ _VERDICT_PRIORITY = [
     "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
     "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
-    "sssp_trade_graph", "match_click_bursts",
+    "sssp_trade_graph", "match_click_bursts", "resolve_part_entities",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2699,7 +2745,7 @@ _VERDICT_PRIORITY = [
     # would execute the identical text.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
-    "string_funcs_extra", "date_funcs_extra", "conditional_funcs",
+    "string_funcs_extra", "date_funcs_extra",
     "stats_moments", "percentiles_exact",
     "merge_upsert_orders",
     "label_centroid_sim", "q10_returned_items", "filter_project",
@@ -2709,9 +2755,11 @@ _VERDICT_PRIORITY = [
     # agg_cube to bpe_encode_corpus, and set_ops_all to
     # dedup_incremental, histogram_bins to ols_value_by_hour, and
     # embedding_norms to sssp_trade_graph (norms are exercised inside
-    # every in-window similarity entry), and stats_correlation to
+    # every in-window similarity entry), stats_correlation to
     # match_click_bursts (the exact-moment family stays pinned by
-    # stats_moments in-window) on
+    # stats_moments in-window), and conditional_funcs to
+    # resolve_part_entities (CASE/conditional scalars execute inside
+    # dozens of in-window oracles every round) on
     # the same policy: the set-ops family stays pinned in-window by
     # set_ops' r3-green verdict, fixed-width binning by
     # winsorize_values + percentiles_exact in-window, the

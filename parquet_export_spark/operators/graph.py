@@ -25,9 +25,11 @@ aggregation shuffle. Lineage is truncated
 every other iteration so the plan stays constant-depth regardless of
 iteration count. Rank mass is conserved (sum_r <= n_nodes * SCALE), so
 with SCALE = 10^9 the 85 * sum multiply stays inside int64 up to
-~10^8 nodes even if a single hub absorbed ALL mass (and ANSI mode
-errors rather than wraps beyond); past that, lower SCALE or lift the
-accumulator to decimal(38,0).
+~10^8 nodes even if a single hub absorbed ALL mass. That envelope is
+the ONLY guard: this package runs with spark.sql.ansi.enabled=false
+(session.py), so beyond ~10^8 nodes int64 would wrap SILENTLY — past
+that, lower SCALE or lift the accumulator to decimal(38,0) before
+running.
 """
 
 from __future__ import annotations
@@ -134,9 +136,10 @@ def pagerank_orders_graph(
         # path, and it is provably safe — mass is conserved
         # (sum_r <= n_nodes * SCALE; floor division only sheds), so
         # 85 * sum(c) <= 85 * 1e8 * 1e9 < 2^63 up to ~1e8 nodes even
-        # with every unit of mass on one hub; ANSI mode turns a
-        # violation beyond that into an error, never silent wraparound
-        # (then: lower SCALE or lift to decimal).
+        # with every unit of mass on one hub. The envelope is the ONLY
+        # guard: the session runs ansi.enabled=false, so beyond it the
+        # sum wraps SILENTLY — at >1e8 nodes, lower SCALE or lift the
+        # accumulator to decimal(38,0) first.
         ranks = contrib.groupBy("dst").agg(
             (
                 F.lit(base)
@@ -148,6 +151,12 @@ def pagerank_orders_graph(
         if (i + 1) % 2 == 0 and i + 1 < n_iter:
             # constant-depth lineage across iterations
             ranks = ranks.localCheckpoint()
+    # Materialize the node-sized result (eager, like the in-loop
+    # checkpoints), then release the edge cache — otherwise every
+    # invocation in a long-lived session pins the (at scale: multi-TB)
+    # edge blocks until session end.
+    ranks = ranks.localCheckpoint()
+    e2.unpersist(blocking=False)
     return ranks.select(
         F.col("node").alias("node_id"),
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -265,6 +274,9 @@ def cc_trade_graph(
         )
         if (i + 1) % 2 == 0 and i + 1 < n_iter:
             labels = labels.localCheckpoint()
+    # eager materialize + release the edge cache (see pagerank)
+    labels = labels.localCheckpoint()
+    e.unpersist(blocking=False)
     return (
         labels.select(
             F.col("node").alias("node_id"),
@@ -367,6 +379,9 @@ def sssp_trade_graph(
         )
         if (i + 1) % 2 == 0 and i + 1 < n_iter:
             dist = dist.localCheckpoint()
+    # eager materialize + release the edge cache (see pagerank)
+    dist = dist.localCheckpoint()
+    e.unpersist(blocking=False)
     return (
         dist.select(
             F.col("node").alias("node_id"),

@@ -697,9 +697,14 @@ def validate_lake_constraints(
         )
 
     def not_null(df: DataFrame, col: str, name: str) -> DataFrame:
+        # coalesce like pk_dups/fk_orphans: SUM over an empty table is
+        # NULL, which would break the `validate` CLI's running total.
         return df.agg(
             F.lit(name).alias("constraint_name"),
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_violations"),
         )

@@ -265,3 +265,17 @@ def test_dedup_incremental_shuffles_digests_only(spark, sf_dir):
     plan = P.plan_string(q("dedup_incremental", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") > 0
+    # The stated digests-only property, actually asserted: no Exchange
+    # or Join operator block may carry the text column — text dies at
+    # the scan-side projection where the digest is computed, so only
+    # 16-byte digests (plus ids) ever move.
+    import re
+
+    blocks = re.split(r"\n\s*\n", plan)
+    movers = [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) (Exchange|\w*Join)", b.strip())
+        and "text#" in b
+    ]
+    assert not movers, movers

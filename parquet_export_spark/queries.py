@@ -2712,6 +2712,17 @@ _VERDICT_PRIORITY = [
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
     "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
     "sssp_trade_graph", "match_click_bursts", "resolve_part_entities",
+    # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
+    # had never received a driver verdict after four rounds (the r4
+    # verdict's explicit demand): the one-ANSI-string SQL entry path
+    # and the hash-ranked capped sampler. They take the slots of
+    # ppm_image_features (multimodal family stays pinned in-window by
+    # wav_audio_features + video_frame_features; its exact pixel
+    # oracle runs every pytest pass) and bpe_token_counts (tokenizer
+    # family pinned by vocab_coverage + bpe_encode_corpus in-window;
+    # exact oracle in pytest) — both r4-green, the freshest evidence
+    # in the registry.
+    "sql_segment_top_spenders", "source_capped_sample",
     # 1: new or touched this round — no verdict exists yet for the new
     # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
@@ -2720,7 +2731,7 @@ _VERDICT_PRIORITY = [
     "event_ohlc", "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
     "token_diversity", "cogroup_user_funnel",
-    "ppm_image_features", "bpe_token_counts", "pii_scan",
+    "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "wav_audio_features", "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms", "value_gini_by_type", "shard_for_training",
@@ -2732,17 +2743,10 @@ _VERDICT_PRIORITY = [
     # anyway, and their recall/keep-drop evidence lives in pytest.
     # approx_percentiles likewise: rows-only driver check, its only
     # change is a named constant with the same value, and the GK
-    # rank-error bound lives in pytest. hll_rollup_users (new, rows-
-    # only) also stays outside: its merge-consistency + error-bound
+    # rank-error bound lives in pytest. hll_rollup_users (rows-only)
+    # also stays outside: its merge-consistency + error-bound
     # evidence is entirely in pytest, which a rows-only driver check
-    # would not strengthen. source_capped_sample (new, oracle-bearing)
-    # stays outside on a family tie-break: its hash-ranked window-top-k
-    # plan is pinned in-window by window_topk_per_group and
-    # stratified_sample, and its exact oracle runs in pytest every
-    # round regardless. sql_segment_top_spenders (new, oracle-bearing)
-    # likewise: its ONE-ANSI-STRING-on-both-engines contract means the
-    # pytest oracle run IS the strongest possible check — the driver
-    # would execute the identical text.)
+    # would not strengthen.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
     "window_range_frame", "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra",

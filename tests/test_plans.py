@@ -10,6 +10,7 @@ fails here even though results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from parquet_export_spark.plans import inspect as P
 from parquet_export_spark.queries import REGISTRY
@@ -279,3 +280,43 @@ def test_dedup_incremental_shuffles_digests_only(spark, sf_dir):
         and "text#" in b
     ]
     assert not movers, movers
+
+
+def test_neardup_incremental_check_never_reads_history_text(
+    spark, sf_dir, tmp_path
+):
+    """The production incremental near-dup contract: against a
+    PARQUET-BACKED artifact (the real nightly shape), the check plan
+    reads document text exactly once — the batch scan. History
+    contributes only its stored (doc_id, sig) and (doc_id, band,
+    bucket) tables; no scan re-reads lake text and no signing branch
+    exists for it."""
+    from parquet_export_spark.operators import dedup as D
+    from parquet_export_spark.sources.lake import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    lake = docs.filter(F.col("doc_id") % D.INCR_BATCH_MOD != 0)
+    sigs, bands = D.lake_minhash_artifact(lake)
+    sigs.write.mode("overwrite").parquet(str(tmp_path / "sigs"))
+    bands.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    # today's crawl arrives as its own file — the real nightly shape
+    docs.filter(F.col("doc_id") % D.INCR_BATCH_MOD == 0).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "batch"))
+
+    out = D.neardup_incremental_check(
+        spark.read.parquet(str(tmp_path / "batch")),
+        spark.read.parquet(str(tmp_path / "sigs")),
+        spark.read.parquet(str(tmp_path / "bands")),
+    )
+    plan = P.plan_string(out)
+    # history is represented ONLY by its stored artifact: the lake
+    # documents file must not appear anywhere in the plan, so no
+    # branch can re-read or re-sign historical text.
+    assert "documents.parquet" not in plan, plan[:2000]
+    assert str(tmp_path / "batch") in plan
+    # every text-bearing scan is a batch scan (same single file)
+    for s in P.read_schemas(out):
+        if "text" in s:
+            assert s == {"doc_id", "text"}
+    assert "CartesianProduct" not in plan

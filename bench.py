@@ -121,6 +121,9 @@ HEADLINE = [
     "cc_doubling_trade_graph",
     "graph_all_metrics",
     "neardup_incremental",
+    "interpolate_hourly_values",
+    "histogram_equidepth",
+    "value_mad_outliers",
 ]
 
 

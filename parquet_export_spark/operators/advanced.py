@@ -915,3 +915,89 @@ def match_click_bursts(
         )
         .orderBy("user_id", "burst_start")
     )
+
+
+def interpolate_hourly_values(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION: per event_type, an hourly
+    spine over the corpus time range where observed hours carry their
+    exact revenue and missing hours are linearly interpolated between
+    the nearest observations (clamped to the nearest endpoint outside
+    the observed range) — the interpolation gear of the gap-fill
+    family (``gapfill_daily_revenue`` fills with a constant;
+    dashboards and feature pipelines want the line).
+
+    Exactness contract: revenue is held as INTEGER MICROS (exact
+    decimal sum * 1e6), the hour axis as the spine ROW NUMBER (no
+    epoch casts — pitfall: timestamp->long is ANSI- and tz-sensitive),
+    and the lerp is evaluated in the non-negative rearrangement
+    ``(vp*(hn-i) + vn*(i-hp)) div (hn-hp)`` so Spark's truncating
+    ``div`` and DuckDB's flooring ``//`` agree (both operands
+    non-negative). Bit-identical cross-engine, full oracle.
+
+    Scale shape: one (event_type, hour) partial+final aggregate; the
+    spine is generated on the cluster (sequence + explode, O(hours))
+    and cross-joined with the tiny event-type dim; the prev/next
+    observation context comes from TWO frame-bounded window passes
+    over the spine-sized grid (rows = hours x types, not events). No
+    self-joins, no per-gap search.
+    """
+    e = t["events"]
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(30,6)")) * 1_000_000)
+        .cast("long")
+        .alias("v")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+            "hour_ts"
+        )
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour_ts"], "left")
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hour_ts")
+            ),
+        )
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_i = F.when(F.col("v").isNotNull(), F.col("i"))
+    obs_v = F.when(F.col("v").isNotNull(), F.col("v"))
+    ctx = grid.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        "i",
+        F.last(obs_i, ignorenulls=True).over(w_back).alias("hp"),
+        F.last(obs_v, ignorenulls=True).over(w_back).alias("vp"),
+        F.first(obs_i, ignorenulls=True).over(w_fwd).alias("hn"),
+        F.first(obs_v, ignorenulls=True).over(w_fwd).alias("vn"),
+    )
+    lerp = F.expr("(vp * (hn - i) + vn * (i - hp)) div (hn - hp)")
+    return ctx.select(
+        "event_type",
+        "hour_ts",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("hp").isNotNull() & F.col("hn").isNotNull(), lerp)
+        .otherwise(F.coalesce("vp", "vn"))
+        .alias("value_micros"),
+        F.col("v").isNotNull().alias("is_observed"),
+    ).orderBy("event_type", "hour_ts")

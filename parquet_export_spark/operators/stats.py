@@ -785,3 +785,80 @@ def ols_value_by_hour(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def histogram_equidepth(t: dict[str, DataFrame], n_buckets: int = 20) -> DataFrame:
+    """Equi-depth (quantile) histogram of order totals — the
+    selectivity-estimation twin of :func:`histogram_bins`' fixed-width
+    binning: every bucket holds ~the same row count and the bucket
+    BOUNDARIES carry the information (what an optimizer's column
+    statistics store).
+
+    ``ntile`` over a TOTAL order (o_totalprice, then o_orderkey as the
+    deterministic tie-break — equal prices would otherwise split
+    between buckets engine-dependently) assigns buckets identically on
+    both engines; one aggregate then emits count + [lo, hi] per
+    bucket. Scale note: an unpartitioned ntile is a single-reducer
+    sort — this exact formulation is the ORACLE-CHECKABLE baseline; at
+    100 TB the production variant derives boundaries from
+    ``approx_percentile`` (bounded-memory sketch, see
+    ``approx_percentiles``) and assigns buckets map-side by range
+    comparison against the broadcast boundary array.
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def value_mad_outliers(t: dict[str, DataFrame], k: float = 6.0) -> DataFrame:
+    """Robust anomaly scan: flag events whose value deviates from the
+    per-type MEDIAN by more than ``k`` times the MAD (median absolute
+    deviation) — the outlier gear that survives the heavy tails that
+    inflate ``value_outliers``' mean/stddev z-scores (one wild value
+    shifts a mean; it cannot shift a median).
+
+    Two bounded aggregation passes (per-type median, then per-type
+    median of |v - med|), each result broadcast back onto the fact
+    scan — no fact-side window, no sort of the full table. Exact
+    interpolated percentiles on both engines (``percentile`` ==
+    ``quantile_cont``, the parity ``percentiles_exact`` pins);
+    |v - med| and the k*mad comparison are identical IEEE expressions,
+    so the flagged set is bit-deterministic. ROUND(…, 9) on the
+    presentation columns only.
+    """
+    e = t["events"]
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        e.select("event_id", "event_type", "value")
+        .join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > k * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 9).alias("med"),
+            F.round("mad", 9).alias("mad"),
+        )
+        .orderBy("event_id")
+    )

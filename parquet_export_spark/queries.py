@@ -642,6 +642,45 @@ REGISTRY.update(
             FROM orders ORDER BY o_orderkey
             """,
         ),
+        "histogram_equidepth": QuerySpec(
+            _rel(ST.histogram_equidepth),
+            # ntile over a TOTAL order (price, then key) — the
+            # tie-break makes bucket assignment engine-identical;
+            # lo/hi are raw column values, no arithmetic.
+            """
+            SELECT bucket, COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM (SELECT o_totalprice,
+                         NTILE(20) OVER (ORDER BY o_totalprice,
+                                         o_orderkey) AS bucket
+                  FROM orders)
+            GROUP BY bucket ORDER BY bucket
+            """,
+        ),
+        "value_mad_outliers": QuerySpec(
+            _rel(ST.value_mad_outliers),
+            # percentile == quantile_cont (exact interpolated); the
+            # |v - med| and k*mad expressions are identical IEEE ops,
+            # so the flagged set matches bit-for-bit. ROUND(9) on the
+            # presentation columns only; the filter uses unrounded.
+            """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS adev
+              FROM events e JOIN med m USING (event_type)),
+            mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY event_type)
+            SELECT d.event_id, d.event_type, d.value,
+                   ROUND(d.med, 9) AS med, ROUND(m2.mad, 9) AS mad
+            FROM dev d JOIN mad m2 USING (event_type)
+            WHERE d.adev > 6.0 * m2.mad
+            ORDER BY d.event_id
+            """,
+        ),
         "histogram_bins": QuerySpec(
             _rel(ST.histogram_bins),
             """
@@ -1892,6 +1931,66 @@ REGISTRY.update(
             ORDER BY user_id, session_id
             """,
         ),
+        "interpolate_hourly_values": QuerySpec(
+            _rel(A.interpolate_hourly_values),
+            # integer-micros lerp on spine row numbers: the
+            # non-negative rearrangement makes Spark div == DuckDB //
+            # (pitfall: they diverge on negatives), and no epoch casts
+            # touch the hour axis.
+            """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                     CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
+                          AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT date_trunc('hour', MIN(ts)) AS lo,
+                     date_trunc('hour', MAX(ts)) AS hi
+              FROM events),
+            spine AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                     AS hour_ts
+              FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM events),
+            grid AS (
+              SELECT t.event_type, s.hour_ts, h.v,
+                     ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                        ORDER BY s.hour_ts) AS i
+              FROM spine s CROSS JOIN types t
+              LEFT JOIN hourly h
+                ON h.event_type = t.event_type
+               AND h.hour_ts = s.hour_ts),
+            ctx AS (
+              SELECT event_type, hour_ts, v, i,
+                     LAST_VALUE(CASE WHEN v IS NOT NULL THEN i END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS hp,
+                     LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS vp,
+                     FIRST_VALUE(CASE WHEN v IS NOT NULL THEN i END
+                                 IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS hn,
+                     FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END
+                                 IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS vn
+              FROM grid)
+            SELECT event_type, hour_ts,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN hp IS NOT NULL AND hn IS NOT NULL
+                        THEN (vp * (hn - i) + vn * (i - hp)) // (hn - hp)
+                        ELSE COALESCE(vp, vn) END AS value_micros,
+                   v IS NOT NULL AS is_observed
+            FROM ctx
+            ORDER BY event_type, hour_ts
+            """,
+        ),
         "gapfill_daily_revenue": QuerySpec(
             _rel(A.gapfill_daily_revenue),
             f"""
@@ -2756,6 +2855,20 @@ _VERDICT_PRIORITY = [
     # still hash-checks in-window every round, and both their own
     # exact oracles run in every pytest pass.
     "cc_doubling_trade_graph", "graph_all_metrics",
+    # 0b: round-5 additions — time-series linear interpolation
+    # (integer-micros lerp, the gap-fill family's missing gear),
+    # equi-depth histogram (optimizer-statistics shape), and
+    # median/MAD robust outliers. They take the slots of
+    # wav_audio_features (multimodal stays pinned in-window by
+    # video_frame_features; exact PCM oracle every pytest pass),
+    # shard_for_training (curation sampling pinned by
+    # source_capped_sample, now in-window, + stratified/capped
+    # oracles in pytest), and value_outliers (the two-pass
+    # broadcast-stats anomaly family stays pinned by
+    # value_mad_outliers — same plan shape, robust gear; the z-score
+    # exact oracle runs every pytest pass) — all three r4-green.
+    "interpolate_hourly_values", "histogram_equidepth",
+    "value_mad_outliers",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -2777,9 +2890,8 @@ _VERDICT_PRIORITY = [
     "token_diversity", "cogroup_user_funnel",
     "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
-    "wav_audio_features", "video_frame_features", "bloom_prune_orders",
-    "heavy_hitters_cms", "value_gini_by_type", "shard_for_training",
-    "value_outliers",
+    "video_frame_features", "bloom_prune_orders",
+    "heavy_hitters_cms", "value_gini_by_type",
     "dup_spans", "pq_topk",
     # (ivf_topk and semdedup_embedding drop out of the 50: their
     # fit-path change is shared with — and re-verified through —

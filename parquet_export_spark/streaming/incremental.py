@@ -343,3 +343,63 @@ def build_user_profile(history: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("user_events_total"),
         dsum("value", scale=6).alias("user_value_total"),
     )
+
+
+def neardup_gate_stream(
+    docs_stream: DataFrame,
+    artifact_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float | None = None,
+):
+    """Continuous near-duplicate gate: the streaming version of the
+    nightly ``operators.dedup.neardup_incremental`` shape.
+
+    Each micro-batch of ``(doc_id, text)`` documents is checked
+    against the persisted MinHash artifact with
+    ``neardup_incremental_check`` (ONLY the batch is shingled and
+    signed — history is its stored signature/band tables, never
+    re-read); the keep/drop decisions append to ``out_dir``; and the
+    KEPT documents' signatures and band rows are appended to the
+    artifact, so every later micro-batch deduplicates against
+    everything kept so far (dropped docs add nothing — their kept
+    near-match already represents them in signature space). State
+    lives in the artifact parquet + the stream checkpoint, so the gate
+    resumes exactly after a restart. Returns the started
+    StreamingQuery.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.dedup import (
+        NEARDUP_INCR_THRESHOLD,
+        lake_minhash_artifact,
+        neardup_incremental_check,
+    )
+
+    th = NEARDUP_INCR_THRESHOLD if threshold is None else threshold
+    sig_dir = artifact_dir.rstrip("/") + "/sigs"
+    band_dir = artifact_dir.rstrip("/") + "/bands"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        if fs.exists(spark, sig_dir):
+            sigs = spark.read.parquet(sig_dir)
+            bands = spark.read.parquet(band_dir)
+        else:  # bootstrap: empty artifact with the stored schema
+            sigs = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+            bands = spark.createDataFrame(
+                [], "doc_id long, band int, bucket long"
+            )
+        res = neardup_incremental_check(batch, sigs, bands, th).localCheckpoint()
+        res.write.mode("append").parquet(out_dir)
+        kept = batch.join(res.filter("keep").select("doc_id"), "doc_id")
+        ksig, kbands = lake_minhash_artifact(kept)
+        ksig.write.mode("append").parquet(sig_dir)
+        kbands.write.mode("append").parquet(band_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -492,3 +492,68 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     run_once()
     ids = sorted(r.event_id for r in collected)
     assert ids == [1, 2, 3]  # the replayed 1 was suppressed cross-batch
+
+
+def test_neardup_gate_stream_across_batches(spark, tmp_path):
+    """Continuous near-dup gate: a batch-2 document near-identical to a
+    KEPT batch-1 document must be flagged against the artifact (state
+    carried via the parquet artifact, not the checkpoint), batch-
+    internal dups must resolve within their own micro-batch, and fresh
+    content must pass. Also pins that the artifact holds ONLY kept
+    docs' signatures."""
+    land = str(tmp_path / "docs_landing")
+    art = str(tmp_path / "artifact")
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from a mossy log near the quiet river "
+        "bend and count passing clouds all afternoon long"
+    )
+    neardup = base.replace("seventeen", "nineteen")
+    other = (
+        "completely different content about distributed query engines "
+        "partitioning shuffles and broadcast joins at one hundred "
+        "terabytes of training data with exactly zero shared shingles"
+    )
+    fresh = (
+        "a third unrelated passage mentioning parquet footers zstd "
+        "compression row groups column pruning and predicate pushdown "
+        "for the scan layer of a lakehouse"
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).parquet(land)
+        )
+        q = I.neardup_gate_stream(stream, art, out, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(10, base), (20, other)], schema
+    ).coalesce(1).write.mode("append").parquet(land)
+    run_once()
+    spark.createDataFrame(
+        [(30, neardup), (40, fresh), (50, fresh)], schema
+    ).coalesce(1).write.mode("append").parquet(land)
+    run_once()
+
+    got = {
+        r.doc_id: (r.dup_of_lake, r.lake_match_id, r.dup_in_batch,
+                   r.batch_match_id, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[10] == (False, None, False, None, True)
+    assert got[20] == (False, None, False, None, True)
+    # cross-batch: 30 matches the KEPT doc 10 through the artifact
+    assert got[30][0] and got[30][1] == 10 and not got[30][4]
+    # batch-internal: 50 is an exact dup of 40 within batch 2
+    assert got[40] == (False, None, False, None, True)
+    assert got[50][2] and got[50][3] == 40 and not got[50][4]
+    # artifact contains exactly the kept docs
+    kept_in_artifact = sorted(
+        r.doc_id for r in spark.read.parquet(art + "/sigs").collect()
+    )
+    assert kept_in_artifact == [10, 20, 40]

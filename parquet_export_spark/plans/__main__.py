@@ -68,6 +68,15 @@ SHOWCASE = [
     "validate_lake",
     "dedup_incremental",
     "ols_value_by_hour",
+    # round-5 additions: pointer-doubling CC (hop + node-sized jump
+    # self-join per round), artifact-backed incremental near-dup
+    # (batch-only signing), spine-window interpolation, tie-broken
+    # ntile histogram, broadcast median/MAD scan
+    "cc_doubling_trade_graph",
+    "neardup_incremental",
+    "interpolate_hourly_values",
+    "histogram_equidepth",
+    "value_mad_outliers",
 ]
 
 HEADER = """\

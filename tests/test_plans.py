@@ -320,3 +320,32 @@ def test_neardup_incremental_check_never_reads_history_text(
         if "text" in s:
             assert s == {"doc_id", "text"}
     assert "CartesianProduct" not in plan
+
+
+def test_interpolate_reads_minimum_no_cartesian(spark, sf_dir):
+    """The interpolation grid is spine x types — the only nested-loop
+    allowed is the broadcast of the tiny type dim; the events scans
+    prune to the three columns the hourly aggregate and bounds need."""
+    df = q("interpolate_hourly_values", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "CartesianProduct" not in plan
+    for s in P.read_schemas(df):
+        assert s <= {"event_type", "ts", "value"}, s
+
+
+def test_histogram_equidepth_reads_minimum(spark, sf_dir):
+    df = q("histogram_equidepth", spark, sf_dir)
+    [schema] = P.read_schemas(df)
+    assert schema == {"o_orderkey", "o_totalprice"}
+
+
+def test_value_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """Both percentile passes come back as broadcast joins onto the
+    fact scan — no fact-side window/sort, no cartesian; the events
+    scans prune to (event_id, event_type, value)."""
+    df = q("value_mad_outliers", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert P.count_broadcast_joins(df) >= 2
+    for s in P.read_schemas(df):
+        assert s <= {"event_id", "event_type", "value"}, s

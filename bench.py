@@ -124,6 +124,10 @@ HEADLINE = [
     "interpolate_hourly_values",
     "histogram_equidepth",
     "value_mad_outliers",
+    "knn_classify",
+    "twap_by_type",
+    "rolling_user_features",
+    "salted_skew_join",
 ]
 
 

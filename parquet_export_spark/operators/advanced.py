@@ -1001,3 +1001,106 @@ def interpolate_hourly_values(t: dict[str, DataFrame]) -> DataFrame:
         .alias("value_micros"),
         F.col("v").isNotNull().alias("is_observed"),
     ).orderBy("event_type", "hour_ts")
+
+
+def twap_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: each event's
+    value holds until the type's next event (piecewise-constant), and
+    the average weights each value by how long it held — the
+    time-series aggregate that, with ``event_ohlc`` and
+    ``interpolate_hourly_values``, completes the resample family
+    (OHLC: endpoints; interpolation: the line; TWAP: the integral).
+
+    Exactness: per-segment duration via ``timestampdiff(MICROSECOND)``
+    (integer-exact, ANSI/tz-insensitive — never epoch casts), value as
+    integer micros, and the numerator Σ value_us * duration_us
+    accumulated in DECIMAL (the products reach ~4e21, past int64; both
+    engines multiply decimal(18,0) operands and sum exactly). The
+    final division happens once, in double, on identical operands. The
+    last segment of each type ends at the TYPE's max timestamp (its
+    duration is zero — the standard right-open convention), so the
+    result is a pure function of the input.
+    """
+    e = t["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            (F.col("value").cast("decimal(30,6)") * 1_000_000)
+            .cast("long")
+            .alias("v_us"),
+        )
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dur_us", F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+        )
+    )
+    # decimal(19,0), not (18,0): DuckDB executes DECIMAL(18) multiplies
+    # in int64 (physical type) and overflows; width 19 forces int128 on
+    # its side, while Spark computes (19,0)x(19,0) -> decimal(38,0).
+    num = F.sum(
+        F.col("v_us").cast("decimal(19,0)")
+        * F.col("dur_us").cast("decimal(19,0)")
+    )
+    den = F.sum(F.col("dur_us"))
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("twap_micros"),
+            den.alias("total_duration_us"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def rolling_user_features(t: dict[str, DataFrame], window_rows: int = 5) -> DataFrame:
+    """Per-event ML feature construction: for every event, rolling
+    statistics over the user's previous ``window_rows`` events — the
+    lag-feature stage of a behavioral-model training pipeline (the
+    labeled-example twin is ``next_event_examples``).
+
+    Features: rolling mean of value over the trailing window (exact
+    decimal sum / count, division once in double), previous value,
+    microseconds since the previous event, and the position index.
+    One user_id shuffle; every frame is ROWS-bounded so state per key
+    is O(window_rows) — the shape streaming state would take.
+    """
+    e = t["events"]
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_roll = w_ord.rowsBetween(-(window_rows - 1), 0)
+    dec = F.col("value").cast("decimal(30,6)")
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("seq", F.row_number().over(w_ord))
+        .withColumn(
+            "roll_mean_value",
+            F.round(
+                F.sum(dec).over(w_roll).cast("double")
+                / F.count(F.lit(1)).over(w_roll).cast("double"),
+                9,
+            ),
+        )
+        .withColumn("prev_value", F.lag("value").over(w_ord))
+        .withColumn(
+            "us_since_prev",
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) over "
+                "(partition by user_id order by ts, event_id), ts)"
+            ),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "seq",
+            "roll_mean_value",
+            "prev_value",
+            "us_since_prev",
+        )
+        .orderBy("user_id", "seq")
+    )

@@ -184,3 +184,52 @@ def bloom_prune_orders(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def salted_skew_join(t: dict[str, DataFrame], n_salts: int = N_SALTS) -> DataFrame:
+    """Salted shuffle join for a skewed fact key: the JOIN-side twin of
+    :func:`salted_agg_user_value` (that one salts an aggregation; this
+    salts a join), i.e. the manual version of what AQE skew-join
+    splitting does at runtime — kept explicit because a static salt
+    works on any Spark and on engines without AQE, and the plan is
+    testable.
+
+    Fact rows (events) get a deterministic salt from a NON-KEY column
+    (pmod(event_id, n_salts) — salting must not depend on the join key
+    or hot keys land on one salt again); the dimension (customer) is
+    REPLICATED n_salts times via a generated salt array + explode, and
+    the join key becomes (user_id = c_custkey AND salt = salt). Every
+    reducer then owns 1/n_salts of any hot user. Results are identical
+    to the plain join (the oracle IS the plain join + aggregate);
+    replication cost is n_salts * |dim| rows — the technique for dims
+    too large to broadcast but small enough to replicate, the gap AQE
+    covers adaptively and this covers deterministically.
+    """
+    ev = t["events"].withColumn(
+        "_salt", F.pmod(F.col("event_id"), F.lit(n_salts))
+    )
+    # shuffle_hash hint: salting only matters when the dim CANNOT
+    # broadcast — at test scale Spark would broadcast the replicated
+    # dim and no salted exchange would exist to demonstrate or pin.
+    # The hint forces the real big-dim plan: both sides hash-exchange
+    # on (key, salt), which is the shuffle histogram the salt fixes.
+    dim = t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_salts)])
+        ).alias("_salt"),
+    ).hint("shuffle_hash")
+    return (
+        ev.join(
+            dim,
+            (ev["user_id"] == dim["c_custkey"])
+            & (ev["_salt"] == dim["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -797,3 +797,89 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
         .applyInPandas(fit, schema)
         .orderBy("label")
     )
+
+
+#: deterministic probe slice + neighborhood size for knn_classify.
+KNN_PROBE_MOD = 20
+KNN_K = 15
+
+
+def knn_classify(
+    t: dict[str, DataFrame], k: int = KNN_K, probe_mod: int = KNN_PROBE_MOD
+) -> DataFrame:
+    """k-NN label prediction: classify each probe vector by majority
+    vote over its ``k`` nearest neighbors (leave-one-out) — the
+    CLASSIFICATION application of the similarity stack (auto-labeling
+    / label-error detection in a training-data pipeline: a probe whose
+    neighborhood disagrees with its stored label is a labeling
+    suspect).
+
+    Probes are a deterministic slice (vec_id % probe_mod == 0) and
+    BROADCAST against the full corpus — the bounded-query contract of
+    ``cosine_topk`` (at scale the probe side is the batch being
+    labeled, the corpus side streams). Every ambiguity is tie-broken:
+    neighbor ranking by (sim rounded to 9 DESC, neighbor id), vote by
+    (count DESC, label ASC) — so the prediction is a pure function of
+    the input and the DuckDB oracle replays it exactly.
+    """
+    emb = t["embeddings"]
+    # norms are precomputed ONCE PER ROW on each side (corpus scan +
+    # probe build), not once per pair — cosine per pair then costs one
+    # dot product instead of three. sqrt-then-multiply is the exact
+    # operation sequence _cosine performs, so the doubles (and the
+    # 9-decimal rounding the ranking uses) are bit-identical.
+    probes = (
+        emb.filter(F.col("vec_id") % probe_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .withColumn(
+            "q_norm", F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+        )
+    )
+    corpus = emb.withColumn(
+        "e_norm",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))),
+    )
+    pairs = corpus.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(
+        F.expr(_DOT.format(a="q_emb", b="embedding"))
+        / (F.col("q_norm") * F.col("e_norm")),
+        9,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    neighbors = (
+        pairs.select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+    votes = neighbors.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "neighbor_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+            (F.col("neighbor_label") == F.col("true_label")).alias("agrees"),
+        )
+        .orderBy("query_id")
+    )

@@ -95,6 +95,12 @@ def _bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bloom_prune_orders(load_tables(spark, sf_dir))
 
+
+def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_export_spark.operators.scale import salted_skew_join
+
+    return salted_skew_join(load_tables(spark, sf_dir))
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---------------- TPC-H-style pipelines ----------------
     "q1_pricing_summary": QuerySpec(
@@ -2212,6 +2218,95 @@ REGISTRY.update(
             FROM events GROUP BY user_id ORDER BY user_id
             """,
         ),
+        "salted_skew_join": QuerySpec(
+            _salted_join,
+            # salting is invisible in the result: the oracle is the
+            # PLAIN join + aggregate (the whole point — identical
+            # answers, different shuffle histogram).
+            f"""
+            SELECT c_mktsegment, COUNT(*) AS n_events,
+                   {dsum_sql('value', scale=6)} AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+            """,
+        ),
+        "twap_by_type": QuerySpec(
+            _rel(A.twap_by_type),
+            # decimal numerator (products ~4e21 exceed int64), integer
+            # microsecond durations, ONE double division at the end.
+            """
+            WITH seg AS (
+              SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(30,6)) * 1000000
+                          AS BIGINT) AS v_us,
+                     date_diff('microsecond', ts,
+                               LEAD(ts) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id))
+                       AS dur_us
+              FROM events)
+            SELECT event_type,
+                   ROUND(CAST(SUM(CAST(v_us AS DECIMAL(19,0))
+                                  * CAST(dur_us AS DECIMAL(19,0)))
+                              AS DOUBLE)
+                         / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap_micros,
+                   CAST(SUM(dur_us) AS BIGINT) AS total_duration_us,
+                   COUNT(*) AS n_segments
+            FROM seg WHERE dur_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+            """,
+        ),
+        "rolling_user_features": QuerySpec(
+            _rel(A.rolling_user_features),
+            """
+            SELECT user_id, event_id,
+                   CAST(ROW_NUMBER() OVER w_ord AS BIGINT) AS seq,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                              OVER w_roll AS DOUBLE)
+                         / CAST(COUNT(*) OVER w_roll AS DOUBLE), 9)
+                     AS roll_mean_value,
+                   LAG(value) OVER w_ord AS prev_value,
+                   date_diff('microsecond',
+                             LAG(ts) OVER w_ord, ts) AS us_since_prev
+            FROM events
+            WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   w_roll AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, seq
+            """,
+        ),
+        "knn_classify": QuerySpec(
+            _rel(S.knn_classify),
+            f"""
+            WITH probes AS (
+              SELECT vec_id AS query_id, label AS true_label,
+                     embedding AS q_emb
+              FROM embeddings WHERE vec_id % {S.KNN_PROBE_MOD} = 0),
+            neighbors AS (
+              SELECT query_id, true_label, neighbor_label FROM (
+                SELECT p.query_id, p.true_label,
+                       e.label AS neighbor_label,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY p.query_id
+                         ORDER BY {_cos_sql('p.q_emb', 'e.embedding')}
+                           DESC, e.vec_id) AS rank
+                FROM embeddings e JOIN probes p
+                  ON e.vec_id != p.query_id)
+              WHERE rank <= {S.KNN_K}),
+            votes AS (
+              SELECT query_id, true_label, neighbor_label,
+                     COUNT(*) AS n_votes
+              FROM neighbors
+              GROUP BY query_id, true_label, neighbor_label)
+            SELECT query_id, true_label,
+                   neighbor_label AS predicted_label, n_votes,
+                   neighbor_label = true_label AS agrees
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, neighbor_label) AS vr
+                  FROM votes)
+            WHERE vr = 1 ORDER BY query_id
+            """,
+        ),
         # ---------------- multimodal ----------------
         "multimodal_features": QuerySpec(
             _rel(M.multimodal_features),
@@ -2869,6 +2964,21 @@ _VERDICT_PRIORITY = [
     # exact oracle runs every pytest pass) — all three r4-green.
     "interpolate_hourly_values", "histogram_equidepth",
     "value_mad_outliers",
+    # 0c: round-5 batch 2 — kNN label prediction (the classification
+    # application of the similarity stack), TWAP (time-weighted
+    # average completing the OHLC/interpolation resample family),
+    # rolling ML feature construction (ROWS-frame windows), and the
+    # salted skew JOIN (the join-side twin of salted_agg). Slots from
+    # four r4-greens: label_centroid_sim (broadcast-probe cosine
+    # family now pinned by knn_classify — same plan shape plus the
+    # vote), event_ohlc (time-series aggregate family pinned by
+    # twap_by_type + sliding_rollup in-window), window_range_frame
+    # (frame-bounded window family pinned by rolling_user_features —
+    # ROWS frames on the same table), and agg_stats (aggregate-stats
+    # family pinned by stats_moments + value_mad_outliers in-window).
+    # All four dropped entries keep exact oracles in every pytest run.
+    "knn_classify", "twap_by_type", "rolling_user_features",
+    "salted_skew_join",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -2885,7 +2995,7 @@ _VERDICT_PRIORITY = [
     # + corpus bigram-LM gate + time-series OHLC resample + sliding
     # windows + CDC snapshot diff + variant JSON + incremental MV
     # rollup + winsorization + Simpson token diversity)
-    "event_ohlc", "sliding_rollup", "snapshot_diff",
+    "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
     "token_diversity", "cogroup_user_funnel",
     "pii_scan",
@@ -2904,13 +3014,13 @@ _VERDICT_PRIORITY = [
     # evidence is entirely in pytest, which a rows-only driver check
     # would not strengthen.)
     # 2: r1-only evidence — refresh before it goes three rounds stale
-    "window_range_frame", "window_distribution_ranks",
+    "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra",
     "stats_moments", "percentiles_exact",
     "merge_upsert_orders",
-    "label_centroid_sim", "q10_returned_items", "filter_project",
+    "q10_returned_items", "filter_project",
     "join_left_nulls", "agg_distinct",
-    "agg_stats", "events_hourly_rollup",
+    "events_hourly_rollup",
     # (scalar_string_funcs yields its slot to validate_lake,
     # agg_cube to bpe_encode_corpus, and set_ops_all to
     # dedup_incremental, histogram_bins to ols_value_by_hour, and

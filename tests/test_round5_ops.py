@@ -1,0 +1,198 @@
+"""Differential tests for the round-5 operator batch: kNN
+classification, TWAP, rolling features, salted skew join.
+
+Each checks against an INDEPENDENT reference (engineered-geometry
+fixture, exact-integer Python loop, pandas rolling, unsalted plan) —
+not the DuckDB oracle the driver already runs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import advanced as A
+from parquet_export_spark.operators import scale as SC
+from parquet_export_spark.operators import similarity as S
+from parquet_export_spark.sources.lake import load_tables
+from tests.oracle_harness import compare, fixture_lake
+from parquet_export_spark.queries import REGISTRY
+
+
+def _small_tables(spark):
+    return load_tables(spark, "/root/testdata/sf0.001")
+
+
+def test_knn_classify_engineered_clusters(spark, sf_dir, tmp_path):
+    """On three mutually-orthogonal unit clusters, every probe's
+    neighborhood is its own cluster, so the prediction must equal the
+    cluster label; a probe placed exactly between two clusters
+    resolves by the documented (votes DESC, label ASC) tie-break.
+    Run as an operator check AND a full oracle differential."""
+    dim = 64
+    rows = []
+
+    def vec(axis, eps_axis=None, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = eps
+        return v
+
+    # clusters on axes 0/1/2; labels a/b/c. 8 members each with tiny
+    # distinct perturbations on a private axis (keeps vectors unequal).
+    for ci, label in enumerate(["a", "b", "c"]):
+        for j in range(8):
+            rows.append(
+                (ci * 100 + j + 1, label, vec(ci, 10 + j, 0.001 * (j + 1)))
+            )
+    # probes (vec_id % KNN_PROBE_MOD == 0): id 20 in cluster a's cone,
+    # id 40 exactly between clusters b (axis 1) and c (axis 2) — the
+    # vote over k=15 neighbors splits 8/8 minus itself; label 'b' wins
+    # the ASC tie-break if votes tie, else the larger side wins.
+    rows.append((20, "a", vec(0, 11, 0.0005)))
+    between = [0.0] * dim
+    between[1] = 1.0
+    between[2] = 1.0
+    rows.append((40, "z", between))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "knn"), {"embeddings": emb}
+    )
+    spec = REGISTRY["knn_classify"]
+    ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+    assert ok, msg
+
+    got = {
+        r.query_id: (r.predicted_label, r.agrees)
+        for r in S.knn_classify(load_tables(spark, fixture_dir)).collect()
+    }
+    assert got[20] == ("a", True)
+    # k=15 neighbors of the midpoint: all of b and c (8+8=16 -> 15
+    # closest after tie-break by id: cluster b ids 101.. < c ids 201..,
+    # so b gets 8 votes, c gets 7) -> 'b', and it mismatches the stored
+    # 'z' label — the label-error-detection use case.
+    assert got[40] == ("b", False)
+
+
+def test_twap_matches_integer_reference(spark):
+    """TWAP must equal a sequential exact-integer Python loop (value
+    micros x duration micros summed in unbounded ints) on sf0.001."""
+    t = _small_tables(spark)
+    got = {
+        r.event_type: (
+            r.twap_micros,
+            r.total_duration_us,
+            r.n_segments,
+        )
+        for r in A.twap_by_type(t).collect()
+    }
+
+    from decimal import Decimal
+
+    events = sorted(
+        (
+            (r.event_type, r.ts, r.event_id, r.value)
+            for r in t["events"]
+            .select("event_type", "ts", "event_id", "value")
+            .collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    by_type: dict[str, list] = {}
+    for et, ts, eid, val in events:
+        by_type.setdefault(et, []).append((ts, eid, val))
+    for et, seq in by_type.items():
+        num = 0
+        den = 0
+        n = 0
+        for (ts, _, val), (nts, _, _) in zip(seq, seq[1:]):
+            v_us = int(
+                (Decimal(repr(val)).quantize(Decimal("0.000001")))
+                * 1_000_000
+            )
+            dur = int((nts - ts) / timedelta(microseconds=1))
+            num += v_us * dur
+            den += dur
+            n += 1
+        want_twap = round(float(num) / float(den), 6)
+        assert got[et][1] == den and got[et][2] == n
+        assert abs(got[et][0] - want_twap) < 1e-6, (et, got[et][0], want_twap)
+
+
+def test_rolling_features_match_pandas(spark):
+    """Rolling mean / lag / gap features must equal pandas rolling on
+    the same ordering (ts, event_id) at sf0.001."""
+    import pandas as pd
+
+    t = _small_tables(spark)
+    got = A.rolling_user_features(t).toPandas()
+
+    raw = (
+        t["events"]
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    for uid, g in raw.groupby("user_id"):
+        mine = got[got.user_id == uid].sort_values("seq").reset_index(drop=True)
+        assert list(mine.event_id) == list(g.event_id)
+        roll = g.value.rolling(5, min_periods=1).mean().round(9)
+        assert (
+            (mine.roll_mean_value - roll.reset_index(drop=True)).abs() < 1e-8
+        ).all()
+        prev = g.value.shift(1).reset_index(drop=True)
+        assert (
+            mine.prev_value.fillna(-1).reset_index(drop=True)
+            == prev.fillna(-1)
+        ).all()
+        gaps = (
+            (g.ts - g.ts.shift(1)).dt.total_seconds() * 1_000_000
+        ).reset_index(drop=True)
+        mine_gaps = mine.us_since_prev.astype("float64")
+        assert (
+            (mine_gaps.fillna(-1) - gaps.fillna(-1)).abs() < 0.5
+        ).all()
+
+
+def test_salted_join_equals_plain_and_salts_shuffle(spark):
+    """Salting must not change the answer (equality vs the plain
+    join+agg) and MUST change the shuffle: the join's hash
+    partitioning carries the salt column."""
+    from parquet_export_spark.plans import inspect as P
+
+    t = _small_tables(spark)
+    got = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in SC.salted_skew_join(t).collect()
+    }
+    plain = (
+        t["events"]
+        .join(
+            t["customer"],
+            t["events"].user_id == t["customer"].c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    want = {r.c_mktsegment: (r.n, r.v) for r in plain.collect()}
+    assert got == want
+
+    plan = P.plan_string(SC.salted_skew_join(t))
+    import re
+
+    salted_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)
+        if "_salt" in m.group(1)
+    ]
+    assert salted_exchanges, plan[:1500]

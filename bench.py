@@ -128,6 +128,7 @@ HEADLINE = [
     "twap_by_type",
     "rolling_user_features",
     "salted_skew_join",
+    "cc_incremental_trade",
 ]
 
 

@@ -2456,6 +2456,13 @@ REGISTRY.update(
             # Oracle replays the same rounds incl. the jump self-join.
             G.cc_doubling_oracle_sql(),
         ),
+        "cc_incremental_trade": QuerySpec(
+            _rel(G.cc_incremental_trade),
+            # lake doubling chain + endpoint contraction + label-graph
+            # doubling chain, replayed as MATERIALIZED CTEs; pytest
+            # pins bit-equality with the full recompute.
+            G.cc_incremental_oracle_sql(),
+        ),
         "graph_all_metrics": QuerySpec(
             _rel(G.graph_all_metrics),
             # PageRank + doubling-CC + SSSP off ONE shared edge cache,
@@ -2979,6 +2986,14 @@ _VERDICT_PRIORITY = [
     # All four dropped entries keep exact oracles in every pytest run.
     "knn_classify", "twap_by_type", "rolling_user_features",
     "salted_skew_join",
+    # 0d: incremental connected components — the graph twin of
+    # dedup_incremental (contracted-label merge, bit-equal to full
+    # recompute, lake edges never re-join; plan-audited). Takes the
+    # slot of merge_upsert_orders (r4-green; MERGE semantics stay
+    # pinned in-window by apply_changefeed — the row-image CDC apply —
+    # and by the maintenance pytest suite + its exact oracle every
+    # pytest pass).
+    "cc_incremental_trade",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3017,7 +3032,6 @@ _VERDICT_PRIORITY = [
     "window_distribution_ranks",
     "string_funcs_extra", "date_funcs_extra",
     "stats_moments", "percentiles_exact",
-    "merge_upsert_orders",
     "q10_returned_items", "filter_project",
     "join_left_nulls", "agg_distinct",
     "events_hourly_rollup",

@@ -375,3 +375,48 @@ def test_graph_all_metrics_consistent_with_singles(spark):
         assert comp_l == cc[node]
         assert hops == ss.get(node)  # LEFT join: unreached -> None
         assert kind == ("customer" if node % 2 == 0 else "supplier")
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """THE incremental-CC invariant: merging the batch through the
+    contracted label graph must produce exactly the labels a full
+    recompute over ALL edges produces (components are an equivalence
+    relation; the contraction computes the union of relations). Pinned
+    on the sf0.001 lake where the batch split is real data."""
+    t = _small_tables(spark)
+    got = {
+        r.node_id: r.component
+        for r in G.cc_incremental_trade(t).collect()
+    }
+    full = {
+        r.node_id: r.component
+        for r in G.cc_doubling_trade_graph(t).collect()
+    }
+    assert got == full
+
+
+def test_cc_incremental_chain_merge_of_components(spark):
+    """Engineered stress: the lake holds FIVE disjoint path components
+    and the batch's edges chain-merge them all through one new hub —
+    the contracted label graph is itself a star that must collapse in
+    the delta rounds; every node must land on the global minimum."""
+    # lake components: paths {0..4}, {10..14}, ..., {40..44}
+    lake_rows = []
+    for base in range(0, 50, 10):
+        for i in range(4):
+            lake_rows.append((base + i, base + i + 1))
+            lake_rows.append((base + i + 1, base + i))
+    lake = spark.createDataFrame(lake_rows, "src long, dst long")
+    lab = G._cc_doubling_core(lake, G.CC_DOUBLE_ITERS)
+
+    # batch: hub 100 touches the TAIL of each path (worst contraction)
+    bp_rows = [(100, base + 4) for base in range(0, 50, 10)]
+    bp = spark.createDataFrame(bp_rows, "cust_node long, supp_node long")
+    final = {
+        r.node: r.component
+        for r in G.cc_apply_edge_batch(lab, bp).collect()
+    }
+    assert set(final) == set(range(0, 5)) | set(range(10, 15)) | set(
+        range(20, 25)
+    ) | set(range(30, 35)) | set(range(40, 45)) | {100}
+    assert all(v == 0 for v in final.values())

@@ -349,3 +349,60 @@ def test_value_mad_outliers_broadcasts_stats(spark, sf_dir):
     assert P.count_broadcast_joins(df) >= 2
     for s in P.read_schemas(df):
         assert s <= {"event_id", "event_type", "value"}, s
+
+
+def test_cc_apply_edge_batch_never_reads_lake_edges(spark, sf_dir, tmp_path):
+    """The incremental-CC production contract: against a PARQUET-BACKED
+    label table, the merge step's plan contains the label file and the
+    batch derivation ONLY — the lake's edge set (orders x lineitem
+    history) appears nowhere, so no history ever re-joins."""
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, sf_dir)
+    lake_pairs = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % G.CC_INCR_BATCH_MOD != 0)
+        .select(F.col("o_orderkey").alias("ok"), "o_custkey")
+        .join(
+            t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey"),
+            "ok",
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    sym = lake_pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        lake_pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    lab = G._cc_doubling_core(sym, G.CC_DOUBLE_ITERS)
+    lab.write.mode("overwrite").parquet(str(tmp_path / "labels"))
+    # today's pairs arrive as their own file (the nightly shape)
+    t["orders"].filter(
+        F.col("o_orderkey") % G.CC_INCR_BATCH_MOD == 0
+    ).select(F.col("o_orderkey").alias("ok"), "o_custkey").join(
+        t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey"),
+        "ok",
+    ).select(
+        (F.col("o_custkey") * 2).alias("cust_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+    ).distinct().write.mode("overwrite").parquet(str(tmp_path / "batch"))
+
+    # materialize=False: the production checkpoints would truncate the
+    # very scans this audit needs to see
+    out = G.cc_apply_edge_batch(
+        spark.read.parquet(str(tmp_path / "labels")),
+        spark.read.parquet(str(tmp_path / "batch")),
+        materialize=False,
+    )
+    plan = P.plan_string(out)
+    assert "orders.parquet" not in plan
+    assert "lineitem.parquet" not in plan
+    assert str(tmp_path / "labels") in plan
+    assert str(tmp_path / "batch") in plan

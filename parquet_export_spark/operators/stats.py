@@ -192,6 +192,48 @@ CMS_DEPTH = 3  #: independent hash rows — P(overestimate) shrinks as e^-d
 CMS_HEX = 3  #: bucket key = 3 md5 hex chars -> w = 4096 buckets/row
 
 
+def _cms_bucket(hex_chars: int = CMS_HEX):
+    """bucket id = md5 prefix of word#row_id — the ONE definition
+    shared by sketch build and probe (they must hash identically or
+    the CMS min is garbage)."""
+    return F.substring(
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.col("word"),
+                    F.lit("#"),
+                    F.col("row_id").cast("string"),
+                ),
+                "UTF-8",
+            )
+        ),
+        1,
+        hex_chars,
+    ).alias("bucket")
+
+
+def _cms_salts(depth: int = CMS_DEPTH):
+    return F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias(
+        "row_id"
+    )
+
+
+def cms_sketch_rows(
+    words: DataFrame, depth: int = CMS_DEPTH, hex_chars: int = CMS_HEX
+) -> DataFrame:
+    """Count-Min sketch of a ``word`` column as ``(row_id, bucket, c)``
+    counter rows — the MERGEABLE representation: sketches of disjoint
+    corpora merge by summing counts per (row_id, bucket), which is how
+    the streaming twin (``streaming.incremental.cms_sketch_stream``)
+    folds micro-batches into a persisted sketch artifact."""
+    rows = words.select("word", _cms_salts(depth)).select(
+        "row_id", _cms_bucket(hex_chars)
+    )
+    return rows.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
 def heavy_hitters_cms(
     t: dict[str, DataFrame],
     depth: int = CMS_DEPTH,
@@ -217,33 +259,9 @@ def heavy_hitters_cms(
     """
     docs = t["documents"]
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    def _bucket():
-        """bucket id = md5 prefix of word#row_id — the ONE definition
-        shared by sketch build and probe (they must hash identically
-        or the CMS min is garbage)."""
-        return F.substring(
-            F.md5(
-                F.encode(
-                    F.concat(
-                        F.col("word"),
-                        F.lit("#"),
-                        F.col("row_id").cast("string"),
-                    ),
-                    "UTF-8",
-                )
-            ),
-            1,
-            hex_chars,
-        ).alias("bucket")
-
-    salts = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias(
-        "row_id"
-    )
-    # sketch rows: for each of `depth` salted hashes, bucket = md5 prefix
-    rows = words.select("word", salts).select("row_id", _bucket())
-    sketch = rows.groupBy("row_id", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    _bucket = lambda: _cms_bucket(hex_chars)  # noqa: E731
+    salts = _cms_salts(depth)
+    sketch = cms_sketch_rows(words, depth, hex_chars)
     exact = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("exact_n"))

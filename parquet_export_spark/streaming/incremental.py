@@ -403,3 +403,63 @@ def neardup_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_sketch_stream(
+    docs_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous Count-Min sketch maintenance: each micro-batch's
+    word sketch MERGES into a persisted counter artifact — the
+    store-sketches-not-rows pattern run continuously (the batch twin
+    is ``operators.stats.heavy_hitters_cms``; the same artifact
+    answers point-frequency queries at any moment without ever
+    storing the word stream).
+
+    CMS merge is exact addition per (row_id, bucket): the merged
+    artifact is BIT-EQUAL to the sketch of the concatenated corpus
+    (pinned in the two-micro-batch test), so batch boundaries are
+    invisible — the associativity that makes the sketch family the
+    100 TB answer for open-vocabulary counting. The artifact is tiny
+    and bounded (depth x 16^hex_chars rows) regardless of stream
+    volume; the swap is the crash-safe staging/rename pattern of
+    ``merge_sink``.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.stats import cms_sketch_rows
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        words = batch_df.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        partial = cms_sketch_rows(words)
+        old = artifact_dir.rstrip("/") + ".old"
+        staging = artifact_dir.rstrip("/") + ".staging"
+        if fs.exists(spark, old) and not fs.exists(spark, artifact_dir):
+            fs.rename(spark, old, artifact_dir)
+        if fs.is_dir(spark, artifact_dir) and any(
+            f.endswith(".parquet") for f in fs.list_names(spark, artifact_dir)
+        ):
+            current = spark.read.parquet(artifact_dir)
+            merged = (
+                current.unionByName(partial)
+                .groupBy("row_id", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(staging)
+        fs.delete(spark, old, recursive=True)
+        if fs.exists(spark, artifact_dir):
+            fs.rename(spark, artifact_dir, old)
+        fs.rename(spark, staging, artifact_dir)
+        fs.delete(spark, old, recursive=True)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -557,3 +557,57 @@ def test_neardup_gate_stream_across_batches(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(art + "/sigs").collect()
     )
     assert kept_in_artifact == [10, 20, 40]
+
+
+def test_cms_sketch_stream_merge_equals_full_sketch(spark, tmp_path):
+    """CMS mergeability, continuously: after two micro-batches the
+    persisted artifact must be BIT-EQUAL to the sketch computed over
+    the concatenated corpus in one shot (merge is exact addition per
+    (row_id, bucket)), and point estimates from the artifact must
+    upper-bound the exact counts."""
+    from parquet_export_spark.operators.stats import cms_sketch_rows
+
+    land = str(tmp_path / "docs_landing")
+    art = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = [(1, "alpha beta alpha gamma"), (2, "beta beta delta")]
+    b2 = [(3, "alpha epsilon epsilon"), (4, "gamma alpha beta")]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.cms_sketch_stream(stream, art, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = {
+        (r.row_id, r.bucket): r.c
+        for r in spark.read.parquet(art).collect()
+    }
+    full_words = spark.createDataFrame(b1 + b2, schema).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    want = {
+        (r.row_id, r.bucket): r.c
+        for r in cms_sketch_rows(full_words).collect()
+    }
+    assert got == want
+    # point-estimate sanity: min over depth rows upper-bounds exact
+    exact = {"alpha": 4, "beta": 4, "gamma": 2, "delta": 1, "epsilon": 2}
+    import hashlib
+
+    for word, n in exact.items():
+        ests = []
+        for row_id in range(3):
+            b = hashlib.md5(f"{word}#{row_id}".encode()).hexdigest()[:3]
+            ests.append(got.get((row_id, b), 0))
+        assert min(ests) >= n

@@ -129,6 +129,7 @@ HEADLINE = [
     "rolling_user_features",
     "salted_skew_join",
     "cc_incremental_trade",
+    "curate_corpus_pipeline",
 ]
 
 

@@ -510,3 +510,105 @@ def source_capped_sample(t: dict[str, DataFrame], cap: int = 15) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def curate_corpus_pipeline(
+    t: dict[str, DataFrame], n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """THE end-to-end curation pipeline as ONE declarative plan:
+    exact dedup (keep-first) -> quality gate -> eval-decontamination
+    -> deterministic shard assignment. What a user of this engine
+    actually runs nightly; the individual registry entries are its
+    stages, and this composition proves they chain (one oracle checks
+    the WHOLE pipeline, so stage-boundary bugs — filters applied in
+    the wrong order, ranks computed over the wrong survivor set —
+    cannot hide between green per-stage checks).
+
+    Stage order is the 100 TB cost order: the 16-byte digest dedup
+    and the single-pass quality arithmetic run FIRST so the expensive
+    stage — the 13-gram explode — touches only surviving train docs
+    (plus the eval slice it screens against, which is built from the
+    FULL corpus: an eval document that failed quality still
+    contaminates). Shard/position are content-addressed over the
+    FINAL survivor set (a dense rank per shard — positions are a
+    property of the corpus snapshot, see ``shard_for_training``).
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    # 1: exact dedup, keeper = min doc_id per content digest
+    w_keep = Window.partitionBy("digest").orderBy("doc_id")
+    d1 = (
+        docs.withColumn("digest", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(w_keep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "digest")
+    )
+    # 2: quality gate (the corpus_quality_filter predicates)
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast(
+        "double"
+    )
+    mwl = (n_chars - n_toks + 1).cast("double") / n_toks.cast("double")
+    keep = (
+        (n_chars >= 50)
+        & (n_chars <= 10_000)
+        & (n_toks >= 10)
+        & (ttr >= 0.3)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+    )
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    d2 = (
+        d1.filter(keep)
+        .withColumn("n_tokens", n_toks)
+        .withColumn("h4", h4)
+    )
+    # 3: decontamination — train survivors screened against the eval
+    # slice of the FULL corpus (hashed 13-gram semi/anti join)
+    gram = (
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+        f" i -> xxhash64(array_join(slice(ws, i, {n}), ' ')))"
+    )
+
+    def grams_of(df):
+        return (
+            df.withColumn("ws", F.split("text", " "))
+            .select("doc_id", F.explode(F.expr(gram)).alias("g"))
+        )
+
+    eval_grams = (
+        grams_of(docs.withColumn("h4", h4).filter(F.col("h4") >= TRAIN_THRESHOLD_HEX))
+        .select("g")
+        .distinct()
+    )
+    train = d2.filter(F.col("h4") < TRAIN_THRESHOLD_HEX)
+    contaminated = (
+        grams_of(train)
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    surv = train.join(contaminated, "doc_id", "left_anti")
+    # 4: content-addressed shard + position over the FINAL survivors
+    w_shard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        surv.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn(
+            "shard",
+            (
+                F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1
+            ).cast("int"),
+        )
+        .withColumn("shard_pos", F.row_number().over(w_shard).cast("long"))
+        .select("doc_id", "lang", "source", "n_tokens", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    )

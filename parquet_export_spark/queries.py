@@ -949,6 +949,73 @@ REGISTRY.update(
             FROM documents ORDER BY doc_id
             """,
         ),
+        "curate_corpus_pipeline": QuerySpec(
+            _rel(CU.curate_corpus_pipeline),
+            # ONE oracle for the WHOLE chained pipeline: dedup keeper
+            # -> quality predicates -> decontamination vs the full
+            # corpus's eval slice -> shard/pos over final survivors.
+            f"""
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents
+              GROUP BY md5(text)),
+            d1 AS (
+              SELECT d.* FROM documents d
+              JOIN keepers USING (doc_id)),
+            d2 AS (
+              SELECT doc_id, lang, source, n_tokens,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+              FROM (
+                SELECT doc_id, lang, source, text,
+                       CAST(LEN(string_split(text, ' ')) AS INTEGER)
+                           AS n_tokens,
+                       CAST(LEN(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) /
+                       CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS ttr,
+                       CAST(LENGTH(text) - LEN(string_split(text, ' ')) + 1
+                            AS DOUBLE) /
+                       CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS mwl,
+                       LENGTH(text) AS n_chars
+                FROM d1)
+              WHERE n_chars >= 50 AND n_chars <= 10000 AND n_tokens >= 10
+                AND ttr >= 0.3 AND mwl >= 3.0 AND mwl <= 10.0),
+            allg AS (
+              SELECT doc_id,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+                     string_split(text, ' ') AS ws
+              FROM documents),
+            eg AS (
+              SELECT DISTINCT UNNEST(
+                [array_to_string(ws[i:i+{CU.DECONTAM_NGRAM - 1}], ' ')
+                 for i in generate_series(
+                     1, greatest(len(ws) - {CU.DECONTAM_NGRAM - 1}, 1))]
+              ) AS gr
+              FROM allg WHERE h4 >= '{CU.TRAIN_THRESHOLD_HEX}'),
+            train AS (
+              SELECT d2.* FROM d2
+              WHERE h4 < '{CU.TRAIN_THRESHOLD_HEX}'),
+            bad AS (
+              SELECT DISTINCT tg.doc_id FROM (
+                SELECT a.doc_id, UNNEST(
+                  [array_to_string(a.ws[i:i+{CU.DECONTAM_NGRAM - 1}], ' ')
+                   for i in generate_series(
+                       1, greatest(len(a.ws) - {CU.DECONTAM_NGRAM - 1}, 1))]
+                ) AS gr
+                FROM allg a JOIN train USING (doc_id)) tg
+              JOIN eg USING (gr)),
+            surv AS (
+              SELECT t.doc_id, t.lang, t.source, t.n_tokens,
+                     md5(CAST(t.doc_id AS VARCHAR)) AS h
+              FROM train t
+              WHERE t.doc_id NOT IN (SELECT doc_id FROM bad))
+            SELECT doc_id, lang, source, n_tokens,
+                   CAST(strpos('0123456789abcdef', substring(h, 1, 1))
+                        - 1 AS INTEGER) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY substring(h, 1, 1)
+                        ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+            FROM surv ORDER BY shard, shard_pos
+            """,
+        ),
         "corpus_quality_filter": QuerySpec(
             _rel(CU.corpus_quality_filter),
             """
@@ -2994,6 +3061,13 @@ _VERDICT_PRIORITY = [
     # and by the maintenance pytest suite + its exact oracle every
     # pytest pass).
     "cc_incremental_trade",
+    # 0e: the composed end-to-end curation pipeline — one oracle over
+    # dedup -> quality -> decontaminate -> shard chained (its stages
+    # are all individually in or recently through the window). Takes
+    # the slot of value_gini_by_type (r4-green; the pandas-UDAF kernel
+    # class stays pinned in-window by cogroup_user_funnel, and the
+    # Gini oracle runs every pytest pass).
+    "curate_corpus_pipeline",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3016,7 +3090,7 @@ _VERDICT_PRIORITY = [
     "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "video_frame_features", "bloom_prune_orders",
-    "heavy_hitters_cms", "value_gini_by_type",
+    "heavy_hitters_cms",
     "dup_spans", "pq_topk",
     # (ivf_topk and semdedup_embedding drop out of the 50: their
     # fit-path change is shared with — and re-verified through —

@@ -196,3 +196,42 @@ def test_salted_join_equals_plain_and_salts_shuffle(spark):
         if "_salt" in m.group(1)
     ]
     assert salted_exchanges, plan[:1500]
+
+
+def test_curate_pipeline_equals_stage_intersection(spark):
+    """The composed pipeline's survivor set must be EXACTLY the
+    intersection of its stages run as standalone operators: dedup
+    keepers ∩ quality survivors ∩ decontamination survivors (same
+    eval slice), with shard positions forming dense ranks per shard
+    over the final set — stage-boundary bugs (wrong order, rank over
+    the wrong set) break one of these."""
+    from parquet_export_spark.operators import curation as CU
+    from parquet_export_spark.operators import dedup as D
+
+    t = _small_tables(spark)
+    got = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in CU.curate_corpus_pipeline(t).collect()
+    }
+
+    keepers = {
+        r.doc_id
+        for r in D.dedup_exact_keep_first(t).collect()
+    }
+    quality = {r.doc_id for r in CU.corpus_quality_filter(t).collect()}
+    decontam = {r.doc_id for r in CU.decontaminate_train(t).collect()}
+    want_ids = keepers & quality & decontam
+    assert set(got) == want_ids
+    assert want_ids, "pipeline must keep something at sf0.001"
+
+    # dense, hash-ordered positions per shard over the final set
+    import hashlib
+
+    by_shard: dict[int, list] = {}
+    for d in want_ids:
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        by_shard.setdefault("0123456789abcdef".index(h[0]), []).append((h, d))
+    for shard, members in by_shard.items():
+        members.sort()
+        for pos, (_, d) in enumerate(members, start=1):
+            assert got[d] == (shard, pos), (d, got[d], (shard, pos))

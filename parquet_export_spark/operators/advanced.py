@@ -942,16 +942,23 @@ def interpolate_hourly_values(t: dict[str, DataFrame]) -> DataFrame:
     self-joins, no per-gap search.
     """
     e = t["events"]
+    # tz-free hour truncation on NTZ (date_trunc would route through
+    # the session zone and shift every spine hour under a non-UTC
+    # driver session — caught by test_timezone_independence)
+    hour_of = (
+        "make_timestamp_ntz(year({c}), month({c}), day({c}),"
+        " hour({c}), 0, 0)"
+    )
     hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        "event_type", F.expr(hour_of.format(c="ts")).alias("hour_ts")
     ).agg(
         (F.sum(F.col("value").cast("decimal(30,6)")) * 1_000_000)
         .cast("long")
         .alias("v")
     )
     bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.expr(hour_of.format(c="min(ts)")).alias("lo"),
+        F.expr(hour_of.format(c="max(ts)")).alias("hi"),
     )
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(

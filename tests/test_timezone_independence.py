@@ -29,6 +29,12 @@ TZ_SENSITIVE = [
     "event_ohlc",
     "sliding_rollup",
     "incremental_rollup",
+    # round-5 timestamp-touching additions
+    "interpolate_hourly_values",
+    "twap_by_type",
+    "rolling_user_features",
+    "match_click_bursts",
+    "scd2_point_in_time",
 ]
 
 

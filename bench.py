@@ -130,6 +130,7 @@ HEADLINE = [
     "salted_skew_join",
     "cc_incremental_trade",
     "curate_corpus_pipeline",
+    "balance_classes",
 ]
 
 

@@ -612,3 +612,39 @@ def curate_corpus_pipeline(
         .select("doc_id", "lang", "source", "n_tokens", "shard", "shard_pos")
         .orderBy("shard", "shard_pos")
     )
+
+
+def balance_classes(t: dict[str, DataFrame]) -> DataFrame:
+    """Class-balanced downsample: cap every label at the MINORITY
+    class's size, picking survivors content-addressed (md5 of the id,
+    then id) — the class-imbalance fix before training a classifier,
+    with the same determinism contract as the other samplers (same
+    corpus -> same picks on any engine, any partitioning, any rerun;
+    no seeded RNG).
+
+    Scale shape: one per-label count aggregate (label-cardinality
+    rows) -> 1-row global min -> broadcast back; survivor choice is a
+    rank window per label partition. The md5 order is a fixed uniform
+    permutation within each class, so the kept subset is an unbiased
+    sample of the class.
+    """
+    from pyspark.sql import Window
+
+    emb = t["embeddings"]
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
+    ranked = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .withColumn("pick_order", F.row_number().over(w).cast("long"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(mn))
+        .filter(F.col("pick_order") <= F.col("mn"))
+        .select("vec_id", "label", "pick_order")
+        .orderBy("label", "pick_order")
+    )

@@ -949,6 +949,23 @@ REGISTRY.update(
             FROM documents ORDER BY doc_id
             """,
         ),
+        "balance_classes": QuerySpec(
+            _rel(CU.balance_classes),
+            """
+            WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings
+                       GROUP BY label),
+            m AS (SELECT MIN(n) AS mn FROM c),
+            r AS (SELECT vec_id, label,
+                         CAST(ROW_NUMBER() OVER (
+                           PARTITION BY label
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                         AS BIGINT) AS pick_order
+                  FROM embeddings)
+            SELECT vec_id, label, pick_order
+            FROM r, m WHERE pick_order <= mn
+            ORDER BY label, pick_order
+            """,
+        ),
         "curate_corpus_pipeline": QuerySpec(
             _rel(CU.curate_corpus_pipeline),
             # ONE oracle for the WHOLE chained pipeline: dedup keeper
@@ -3068,6 +3085,11 @@ _VERDICT_PRIORITY = [
     # class stays pinned in-window by cogroup_user_funnel, and the
     # Gini oracle runs every pytest pass).
     "curate_corpus_pipeline",
+    # 0f: class-balanced downsample (content-addressed minority-cap) —
+    # takes token_diversity's slot (r4-green; integer lexical-stats
+    # family stays pinned by vocab_coverage + bigram_lm_scores
+    # in-window, exact oracle every pytest pass).
+    "balance_classes",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3086,7 +3108,7 @@ _VERDICT_PRIORITY = [
     # rollup + winsorization + Simpson token diversity)
     "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
-    "token_diversity", "cogroup_user_funnel",
+    "cogroup_user_funnel",
     "pii_scan",
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "video_frame_features", "bloom_prune_orders",

@@ -235,3 +235,43 @@ def test_curate_pipeline_equals_stage_intersection(spark):
         members.sort()
         for pos, (_, d) in enumerate(members, start=1):
             assert got[d] == (shard, pos), (d, got[d], (shard, pos))
+
+
+def test_balance_classes_contract(spark):
+    """Every label capped at exactly the minority size; kept rows are
+    the md5-first members of each class; the pick is rerun-stable."""
+    from parquet_export_spark.operators import curation as CU
+
+    t = _small_tables(spark)
+    got = [
+        (r.vec_id, r.label, r.pick_order)
+        for r in CU.balance_classes(t).collect()
+    ]
+    import hashlib
+    from collections import Counter
+
+    labels = [
+        (r.vec_id, r.label)
+        for r in t["embeddings"].select("vec_id", "label").collect()
+    ]
+    counts = Counter(l for _, l in labels)
+    mn = min(counts.values())
+    per_label = Counter(l for _, l, _ in got)
+    assert all(v == mn for v in per_label.values())
+    assert set(per_label) == set(counts)
+    # md5-first membership
+    for label in counts:
+        members = sorted(
+            (hashlib.md5(str(v).encode()).hexdigest(), v)
+            for v, l in labels
+            if l == label
+        )
+        want = [v for _, v in members[:mn]]
+        mine = [v for v, l, _ in got if l == label]
+        assert mine == want
+    # rerun-stable
+    again = [
+        (r.vec_id, r.label, r.pick_order)
+        for r in CU.balance_classes(t).collect()
+    ]
+    assert again == got

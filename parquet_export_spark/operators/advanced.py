@@ -1027,6 +1027,14 @@ def twap_by_type(t: dict[str, DataFrame]) -> DataFrame:
     last segment of each type ends at the TYPE's max timestamp (its
     duration is zero — the standard right-open convention), so the
     result is a pure function of the input.
+
+    Scale note: the lead() window sorts each event_type's full history
+    in one partition — fine while a type's events fit a task's sort
+    budget (spill-backed beyond memory), but a 100 TB hot type wants
+    the segmented formulation: window per (type, day) plus a one-row
+    boundary carry per day (the union-then-carry shape
+    ``scd2_point_in_time`` uses), which keeps partitions calendar-
+    bounded. The aggregate itself is decomposable either way.
     """
     e = t["events"]
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

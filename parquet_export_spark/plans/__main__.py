@@ -77,6 +77,12 @@ SHOWCASE = [
     "interpolate_hourly_values",
     "histogram_equidepth",
     "value_mad_outliers",
+    # round-5 batch 2: salted (key,salt) exchange, one-dot-per-pair
+    # broadcast kNN, lead-window integral, end-to-end curation chain
+    "salted_skew_join",
+    "knn_classify",
+    "twap_by_type",
+    "curate_corpus_pipeline",
 ]
 
 HEADER = """\

@@ -131,6 +131,7 @@ HEADLINE = [
     "cc_incremental_trade",
     "curate_corpus_pipeline",
     "balance_classes",
+    "remove_dup_spans",
 ]
 
 

@@ -1130,3 +1130,63 @@ def resolve_part_entities(
         )
         .orderBy("p_partkey")
     )
+
+
+def remove_dup_spans(
+    t: dict[str, DataFrame], n: int = DUP_SPAN_NGRAM
+) -> DataFrame:
+    """DETECT -> ACT: rewrite every document with its cross-document
+    duplicated spans (exactly :func:`dup_spans`' output) removed — the
+    curation action the span detector exists for (published pipelines
+    train on corpora with long verbatim repeats cut, not just
+    reported).
+
+    Shape: the span derivation is dup_spans unchanged; the rewrite is
+    one posexplode of the doc's words, one per-doc anti range join
+    against its spans (equi on doc_id + position-in-span residual —
+    never cross-doc), and one ordered reassembly
+    (array_sort(collect_list(struct(pos, word)))) so the surviving
+    text is deterministic under any partitioning. Docs with nothing
+    duplicated pass through verbatim; a fully-duplicated doc comes out
+    as an empty string with ``n_kept = 0`` (dropping it is the
+    caller's policy decision, not the operator's).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with dup_spans)
+
+    spans = dup_spans(t, n)
+    cores = t["documents"].sparkSession.sparkContext.defaultParallelism
+    docs = t["documents"].repartition(max(cores, 2), "doc_id")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = words.join(
+        spans,
+        (words["doc_id"] == spans["doc_id"])
+        & (words["pos"] >= spans["span_start"])
+        & (words["pos"] <= spans["span_end"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, w))),"
+                   " s -> s.w)"),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    n_words = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return (
+        n_words.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

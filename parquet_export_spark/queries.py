@@ -101,6 +101,49 @@ def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return salted_skew_join(load_tables(spark, sf_dir))
 
+#: duplicated-span derivation shared VERBATIM by dup_spans and
+#: remove_dup_spans — one definition, so the detector and the rewriter
+#: cannot drift apart.
+_DUP_SPAN_CTES = f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       UNNEST(generate_series(
+                           1, greatest(len(ws) - {D.DUP_SPAN_NGRAM - 1}, 1)))
+                           AS pos,
+                       UNNEST([array_to_string(
+                                   ws[i:i+{D.DUP_SPAN_NGRAM - 1}], ' ')
+                               for i in generate_series(
+                                   1, greatest(
+                                       len(ws) - {D.DUP_SPAN_NGRAM - 1},
+                                       1))]) AS gr
+                FROM t),
+            dup AS (SELECT gr FROM g GROUP BY gr
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, n_words, pos FROM g
+                     WHERE gr IN (SELECT gr FROM dup)),
+            isl AS (SELECT doc_id, n_words, pos,
+                      CASE WHEN LAG(pos) OVER w IS NULL
+                                OR pos - LAG(pos) OVER w > {D.DUP_SPAN_NGRAM}
+                           THEN 1 ELSE 0 END AS ni
+                    FROM hits
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            ids AS (SELECT doc_id, n_words, pos,
+                      SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS island
+                    FROM isl),
+            spans AS (
+              SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                     CAST(LEAST(MAX(pos) + {D.DUP_SPAN_NGRAM - 1},
+                                MAX(n_words)) AS BIGINT) AS span_end,
+                     CAST(LEAST(MAX(pos) + {D.DUP_SPAN_NGRAM - 1},
+                                MAX(n_words)) - MIN(pos) + 1
+                          AS BIGINT) AS span_words
+              FROM ids GROUP BY doc_id, island)
+"""
+
 REGISTRY: dict[str, QuerySpec] = {
     # ---------------- TPC-H-style pipelines ----------------
     "q1_pricing_summary": QuerySpec(
@@ -1317,44 +1360,43 @@ REGISTRY.update(
         # the two sides cannot silently desynchronize.
         "dup_spans": QuerySpec(
             _rel(D.dup_spans),
-            f"""
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                       FROM documents),
-            g AS (
+            _DUP_SPAN_CTES
+            + """
+            SELECT doc_id, span_start, span_end, span_words
+            FROM spans ORDER BY doc_id, span_start
+            """,
+        ),
+        "remove_dup_spans": QuerySpec(
+            _rel(D.remove_dup_spans),
+            # detect -> act: the SAME span chain (shared CTE text), then
+            # an anti range probe per word and ordered reassembly.
+            _DUP_SPAN_CTES
+            + """
+            , words AS (
                 SELECT doc_id, len(ws) AS n_words,
-                       UNNEST(generate_series(
-                           1, greatest(len(ws) - {D.DUP_SPAN_NGRAM - 1}, 1)))
-                           AS pos,
-                       UNNEST([array_to_string(
-                                   ws[i:i+{D.DUP_SPAN_NGRAM - 1}], ' ')
-                               for i in generate_series(
-                                   1, greatest(
-                                       len(ws) - {D.DUP_SPAN_NGRAM - 1},
-                                       1))]) AS gr
+                       UNNEST(generate_series(1, len(ws))) AS pos,
+                       UNNEST(ws) AS w
                 FROM t),
-            dup AS (SELECT gr FROM g GROUP BY gr
-                    HAVING COUNT(DISTINCT doc_id) >= 2),
-            hits AS (SELECT doc_id, n_words, pos FROM g
-                     WHERE gr IN (SELECT gr FROM dup)),
-            isl AS (SELECT doc_id, n_words, pos,
-                      CASE WHEN LAG(pos) OVER w IS NULL
-                                OR pos - LAG(pos) OVER w > {D.DUP_SPAN_NGRAM}
-                           THEN 1 ELSE 0 END AS ni
-                    FROM hits
-                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-            ids AS (SELECT doc_id, n_words, pos,
-                      SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                             AND CURRENT ROW) AS island
-                    FROM isl)
-            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-                   CAST(LEAST(MAX(pos) + {D.DUP_SPAN_NGRAM - 1},
-                              MAX(n_words)) AS BIGINT) AS span_end,
-                   CAST(LEAST(MAX(pos) + {D.DUP_SPAN_NGRAM - 1},
-                              MAX(n_words)) - MIN(pos) + 1
-                        AS BIGINT) AS span_words
-            FROM ids GROUP BY doc_id, island
-            ORDER BY doc_id, span_start
+            kept AS (
+                SELECT wd.* FROM words wd
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM spans s
+                  WHERE s.doc_id = wd.doc_id
+                    AND wd.pos BETWEEN s.span_start AND s.span_end)),
+            rebuilt AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+                FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(w.n_words AS INTEGER) AS n_words,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(w.n_words - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(r.cleaned_text, '') AS cleaned_text
+            FROM (SELECT doc_id, MAX(n_words) AS n_words
+                  FROM words GROUP BY doc_id) w
+            LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY doc_id
             """,
         ),
         "scd2_user_state": QuerySpec(
@@ -3090,6 +3132,11 @@ _VERDICT_PRIORITY = [
     # family stays pinned by vocab_coverage + bigram_lm_scores
     # in-window, exact oracle every pytest pass).
     "balance_classes",
+    # 0g: span-removal rewrite — takes dup_spans' slot (r4-green): the
+    # rewriter's oracle replays dup_spans' ENTIRE span chain verbatim
+    # (shared _DUP_SPAN_CTES text) and then some, so the detector is
+    # re-verified inside the rewriter's hash every round.
+    "remove_dup_spans",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3113,7 +3160,7 @@ _VERDICT_PRIORITY = [
     "bigram_lm_scores", "vocab_coverage", "next_event_examples",
     "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms",
-    "dup_spans", "pq_topk",
+    "pq_topk",
     # (ivf_topk and semdedup_embedding drop out of the 50: their
     # fit-path change is shared with — and re-verified through —
     # pq_topk in this window, their driver checks are rows-only

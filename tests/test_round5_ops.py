@@ -275,3 +275,41 @@ def test_balance_classes_contract(spark):
         for r in CU.balance_classes(t).collect()
     ]
     assert again == got
+
+
+def test_remove_dup_spans_engineered(spark, sf_dir, tmp_path):
+    """Detect->act contract on engineered docs: the shared 10-gram
+    region disappears from both carriers (and exactly that region),
+    an untouched doc passes through verbatim, and a fully-shared doc
+    empties. Also run as a full oracle differential."""
+    from parquet_export_spark.operators import dedup as D
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared words
+    docs = [
+        (1, f"alpha beta {shared} gamma delta", "en", "web"),
+        (2, f"one two three {shared} four", "en", "web"),
+        (3, "totally unique words nobody else ever wrote here at all",
+         "en", "web"),
+        (4, shared, "en", "web"),
+        (5, shared, "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t_, l, s_, len(t_)) for i, t_, l, s_ in docs],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "spanrm"), {"documents": df}
+    )
+    spec = REGISTRY["remove_dup_spans"]
+    ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+    assert ok, msg
+
+    got = {
+        r.doc_id: (r.n_words, r.n_kept, r.cleaned_text)
+        for r in D.remove_dup_spans(load_tables(spark, fixture_dir)).collect()
+    }
+    # doc 1: 2 + 12 + 2 words; the span covers the 12 shared words
+    assert got[1] == (16, 4, "alpha beta gamma delta")
+    assert got[2] == (16, 4, "one two three four")
+    assert got[3][1] == got[3][0] and got[3][2].startswith("totally unique")
+    assert got[4] == (12, 0, "") and got[5] == (12, 0, "")

@@ -159,6 +159,16 @@ def pack_sequences(
 DECONTAM_NGRAM = 13
 
 
+def _gram_expr(n: int) -> str:
+    """The ONE n-gram-hash derivation shared by decontaminate_train and
+    curate_corpus_pipeline — two definitions could silently drift (the
+    _cms_bucket / _DUP_SPAN_CTES rule). Expects a ``ws`` column."""
+    return (
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+        f" i -> xxhash64(array_join(slice(ws, i, {n}), ' ')))"
+    )
+
+
 def decontaminate_train(
     t: dict[str, DataFrame], n: int = DECONTAM_NGRAM
 ) -> DataFrame:
@@ -193,14 +203,10 @@ def decontaminate_train(
     h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     docs = t["documents"].withColumn("h4", h4)
     ws = F.split("text", " ")
-    gram = (
-        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
-        f" i -> xxhash64(array_join(slice(ws, i, {n}), ' ')))"
-    )
     shingled = (
         docs.repartition(max(cores, 2), "doc_id")
         .withColumn("ws", ws)
-        .select("doc_id", "h4", F.explode(F.expr(gram)).alias("g"))
+        .select("doc_id", "h4", F.explode(F.expr(_gram_expr(n))).alias("g"))
         .repartition(max(cores, 2), "doc_id")
     )
     eval_grams = (
@@ -223,6 +229,30 @@ def decontaminate_train(
     )
 
 
+def _quality_metrics():
+    """(n_tokens, ttr, mean_word_len, keep) — the ONE definition of the
+    quality gate, shared by corpus_quality_filter and
+    curate_corpus_pipeline so the composed pipeline cannot drift from
+    its stage operator."""
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    n_distinct = F.size(F.array_distinct(toks))
+    ttr = n_distinct.cast("double") / n_toks.cast("double")
+    mean_word_len = (n_chars - n_toks + 1).cast("double") / n_toks.cast(
+        "double"
+    )
+    keep = (
+        (n_chars >= 50)
+        & (n_chars <= 10_000)
+        & (n_toks >= 10)
+        & (ttr >= 0.3)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+    )
+    return n_toks, ttr, mean_word_len, keep
+
+
 def corpus_quality_filter(t: dict[str, DataFrame]) -> DataFrame:
     """The composed curation gate: length bounds + lexical-diversity
     floor + mean-word-length band, applied in one pass; survivors come
@@ -234,20 +264,7 @@ def corpus_quality_filter(t: dict[str, DataFrame]) -> DataFrame:
     arithmetic on counts -> bit-identical across engines.
     """
     docs = t["documents"]
-    toks = F.split("text", " ")
-    n_toks = F.size(toks)
-    n_chars = F.length("text")
-    n_distinct = F.size(F.array_distinct(toks))
-    ttr = n_distinct.cast("double") / n_toks.cast("double")
-    mean_word_len = (n_chars - n_toks + 1).cast("double") / n_toks.cast("double")
-    keep = (
-        (n_chars >= 50)
-        & (n_chars <= 10_000)
-        & (n_toks >= 10)
-        & (ttr >= 0.3)
-        & (mean_word_len >= 3.0)
-        & (mean_word_len <= 10.0)
-    )
+    n_toks, ttr, mean_word_len, keep = _quality_metrics()
     return (
         docs.filter(keep)
         .select(
@@ -544,49 +561,45 @@ def curate_corpus_pipeline(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "digest")
     )
-    # 2: quality gate (the corpus_quality_filter predicates)
-    toks = F.split("text", " ")
-    n_toks = F.size(toks)
-    n_chars = F.length("text")
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast(
-        "double"
-    )
-    mwl = (n_chars - n_toks + 1).cast("double") / n_toks.cast("double")
-    keep = (
-        (n_chars >= 50)
-        & (n_chars <= 10_000)
-        & (n_toks >= 10)
-        & (ttr >= 0.3)
-        & (mwl >= 3.0)
-        & (mwl <= 10.0)
-    )
+    # 2: quality gate — _quality_metrics() is the SAME definition
+    # corpus_quality_filter applies (shared so the composed pipeline
+    # cannot drift from its stage operator)
+    n_toks, _ttr, _mwl, keep = _quality_metrics()
     h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     d2 = (
         d1.filter(keep)
         .withColumn("n_tokens", n_toks)
         .withColumn("h4", h4)
     )
-    # 3: decontamination — train survivors screened against the eval
-    # slice of the FULL corpus (hashed 13-gram semi/anti join)
-    gram = (
-        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
-        f" i -> xxhash64(array_join(slice(ws, i, {n}), ' ')))"
-    )
-
-    def grams_of(df):
-        return (
-            df.withColumn("ws", F.split("text", " "))
-            .select("doc_id", F.explode(F.expr(gram)).alias("g"))
-        )
-
-    eval_grams = (
-        grams_of(docs.withColumn("h4", h4).filter(F.col("h4") >= TRAIN_THRESHOLD_HEX))
-        .select("g")
-        .distinct()
-    )
     train = d2.filter(F.col("h4") < TRAIN_THRESHOLD_HEX)
+    # 3: decontamination — train survivors screened against the eval
+    # slice of the FULL corpus, with the gram derivation shared
+    # (_gram_expr) AND staged once: the union of (eval slice ∪
+    # surviving train) tokenizes/hashes in ONE pass behind one doc_id
+    # exchange, and both branches read that materialized exchange
+    # (decontaminate_train's measured restaging pattern) instead of
+    # each shingling its side separately.
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    to_shingle = (
+        docs.withColumn("h4", h4)
+        .filter(F.col("h4") >= TRAIN_THRESHOLD_HEX)
+        .select("doc_id", "text", F.lit(True).alias("is_eval"))
+        .unionByName(
+            train.select("doc_id", "text", F.lit(False).alias("is_eval"))
+        )
+    )
+    shingled = (
+        to_shingle.repartition(max(cores, 2), "doc_id")
+        .withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id", "is_eval", F.explode(F.expr(_gram_expr(n))).alias("g")
+        )
+        .repartition(max(cores, 2), "doc_id")
+    )
+    eval_grams = shingled.filter("is_eval").select("g").distinct()
     contaminated = (
-        grams_of(train)
+        shingled.filter(~F.col("is_eval"))
+        .select("doc_id", "g")
         .join(eval_grams, "g", "left_semi")
         .select("doc_id")
         .distinct()

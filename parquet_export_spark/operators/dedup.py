@@ -364,12 +364,19 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return sig.repartition(_fanout_partitions(docs), "doc_id")
 
 
-def _band_rows(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def _band_rows(
+    sig: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
     """Slim ``(doc_id, band, bucket)`` rows for the bucket equi-join —
     the shingle/signature arrays are NOT carried through the band
     explode (that would duplicate payload x n_bands); callers join
-    payload back only for verified candidates."""
-    rows_per_band = N_HASHES // n_bands
+    payload back only for verified candidates. ``n_hashes`` MUST match
+    the signature length the ``sig`` frame actually carries — slicing a
+    16-lane signature with the 32-lane default would band null lanes
+    into degenerate buckets."""
+    if n_hashes % n_bands:
+        raise ValueError("n_hashes must divide into n_bands evenly")
+    rows_per_band = n_hashes // n_bands
     return sig.select(
         "doc_id",
         F.explode(
@@ -887,7 +894,7 @@ def lake_minhash_artifact(
     touches historical text again (the plan-audited contract of
     :func:`neardup_incremental_check`)."""
     sig = minhash_signatures(docs, n_hashes).select("doc_id", "sig")
-    return sig, _band_rows(sig, n_bands)
+    return sig, _band_rows(sig, n_bands, n_hashes)
 
 
 def neardup_incremental_check(
@@ -896,6 +903,7 @@ def neardup_incremental_check(
     lake_bands: DataFrame,
     threshold: float = NEARDUP_INCR_THRESHOLD,
     n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """Check a NEW document batch for near-duplicates against a lake's
     persisted MinHash artifact — the incremental shape 100 TB actually
@@ -917,14 +925,16 @@ def neardup_incremental_check(
     estimated Jaccard, the minimum-id smaller-keyed batch match, and
     ``keep`` (no lake match AND no smaller batch match).
     """
-    bsig = minhash_signatures(batch_docs).select("doc_id", "sig")
-    bbands = _band_rows(bsig, n_bands)
+    bsig = minhash_signatures(batch_docs, n_hashes).select("doc_id", "sig")
+    bbands = _band_rows(bsig, n_bands, n_hashes)
 
     def _est(sa, sb):
-        # exact lane-agreement fraction: k/n_hashes, exact in double
+        # exact lane-agreement fraction: k/n_hashes, exact in double —
+        # n_hashes MUST equal the stored signatures' lane count (the
+        # artifact and the check share the parameter for that reason)
         return F.expr(
             f"aggregate(zip_with({sa}, {sb}, (x, y) -> if(x = y, 1, 0)),"
-            f" 0, (a, v) -> a + v) / cast({N_HASHES} as double)"
+            f" 0, (a, v) -> a + v) / cast({n_hashes} as double)"
         )
 
     # batch-vs-lake: band-bucket candidates, then the signature gate

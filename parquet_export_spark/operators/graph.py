@@ -726,6 +726,7 @@ def cc_apply_edge_batch(
     bp: DataFrame,
     n_iter_delta: int = CC_INCR_DELTA_ITERS,
     materialize: bool = True,
+    verify_converged: bool = False,
 ) -> DataFrame:
     """The incremental-merge step alone: stored labels ``lab``
     (node, l) + a new pair batch ``bp`` (cust_node, supp_node) ->
@@ -734,6 +735,18 @@ def cc_apply_edge_batch(
     nowhere (plan-audited in tests/test_plans.py against a
     parquet-backed label table), only the node-sized labels and the
     batch move.
+
+    Equality with a full recompute holds WHEN THE DELTA ROUNDS
+    CONVERGE: ``n_iter_delta`` doubling rounds cover contracted-graph
+    diameters up to 2^n_iter_delta - 1 (default 4 -> 15 chained
+    component merges per batch). A batch chaining MORE previously
+    disjoint components than that under-merges, and — as with
+    ``cc_trade_graph`` — the replayed oracle stays green on the wrong
+    answer. ``verify_converged=True`` buys the runtime guarantee: one
+    extra hop+jump round, and a raise if any label still moves (cost:
+    one extra pass over the node-sized label graph; production
+    nightly jobs should run with it on, the fixed-round registry
+    entry keeps it off so the oracle replay stays exact).
     """
     # the batch is referenced by three branches (two endpoint
     # projections + the label-edge build) and node_l by three more —
@@ -774,6 +787,35 @@ def cc_apply_edge_batch(
         )
     ).distinct()
     lg = _cc_doubling_core(ledges, n_iter_delta)
+    if verify_converged:
+        # one more hop+jump over the SAME contracted edges: converged
+        # iff no label changes
+        hop = (
+            ledges.join(lg.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "l")
+            .unionByName(lg)
+            .groupBy("node")
+            .agg(F.min("l").alias("l"))
+        )
+        jump = hop.select(
+            F.col("node").alias("jnode"), F.col("l").alias("jl")
+        )
+        stepped = hop.join(jump, hop["l"] == jump["jnode"]).select(
+            "node", F.col("jl").alias("l2")
+        )
+        moved = (
+            lg.withColumnRenamed("l", "l1")
+            .join(stepped, "node")
+            .filter(F.col("l1") != F.col("l2"))
+            .limit(1)
+            .count()
+        )
+        if moved:
+            raise RuntimeError(
+                "cc_apply_edge_batch: delta rounds did not converge — "
+                f"a batch chained more than 2^{n_iter_delta} - 1 stored "
+                "components; raise n_iter_delta and re-run"
+            )
 
     # relabel stored labels through the contracted result
     return node_l.join(

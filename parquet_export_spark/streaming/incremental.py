@@ -359,14 +359,23 @@ def neardup_gate_stream(
     against the persisted MinHash artifact with
     ``neardup_incremental_check`` (ONLY the batch is shingled and
     signed — history is its stored signature/band tables, never
-    re-read); the keep/drop decisions append to ``out_dir``; and the
-    KEPT documents' signatures and band rows are appended to the
-    artifact, so every later micro-batch deduplicates against
-    everything kept so far (dropped docs add nothing — their kept
-    near-match already represents them in signature space). State
-    lives in the artifact parquet + the stream checkpoint, so the gate
-    resumes exactly after a restart. Returns the started
-    StreamingQuery.
+    re-read); the keep/drop decisions land in ``out_dir`` and the KEPT
+    documents' signatures and band rows join the artifact, so every
+    later micro-batch deduplicates against everything kept so far
+    (dropped docs add nothing — their kept near-match already
+    represents them in signature space).
+
+    REPLAY-IDEMPOTENT by construction: foreachBatch is at-least-once,
+    so every write is an OVERWRITE of a per-batch subdirectory
+    (``batch_<id>/``) and the artifact state a batch reads is every
+    batch's contribution EXCEPT ITS OWN — a replayed batch therefore
+    re-checks against exactly the state it originally saw and
+    re-produces byte-identical output instead of appending duplicates
+    or self-matching its own earlier signatures (the bug class
+    ``merge_sink`` avoids via idempotent upsert; additive appends need
+    this per-batch keying instead). Read the accumulated state with
+    :func:`read_neardup_artifact` / :func:`read_gate_decisions`.
+    Returns the started StreamingQuery.
     """
     from parquet_export_spark.export import fs
     from parquet_export_spark.operators.dedup import (
@@ -379,23 +388,39 @@ def neardup_gate_stream(
     sig_dir = artifact_dir.rstrip("/") + "/sigs"
     band_dir = artifact_dir.rstrip("/") + "/bands"
 
+    def _visible(spark, base: str, batch_id: int) -> list[str]:
+        if not fs.exists(spark, base):
+            return []
+        return [
+            fs.join(base, d)
+            for d in fs.list_dir_names(spark, base)
+            if d.startswith("batch_") and d != f"batch_{batch_id}"
+        ]
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").localCheckpoint()
-        if fs.exists(spark, sig_dir):
-            sigs = spark.read.parquet(sig_dir)
-            bands = spark.read.parquet(band_dir)
+        sig_paths = _visible(spark, sig_dir, batch_id)
+        if sig_paths:
+            sigs = spark.read.parquet(*sig_paths)
+            bands = spark.read.parquet(*_visible(spark, band_dir, batch_id))
         else:  # bootstrap: empty artifact with the stored schema
             sigs = spark.createDataFrame([], "doc_id long, sig array<bigint>")
             bands = spark.createDataFrame(
                 [], "doc_id long, band int, bucket long"
             )
         res = neardup_incremental_check(batch, sigs, bands, th).localCheckpoint()
-        res.write.mode("append").parquet(out_dir)
+        res.write.mode("overwrite").parquet(
+            fs.join(out_dir, f"batch_{batch_id}")
+        )
         kept = batch.join(res.filter("keep").select("doc_id"), "doc_id")
         ksig, kbands = lake_minhash_artifact(kept)
-        ksig.write.mode("append").parquet(sig_dir)
-        kbands.write.mode("append").parquet(band_dir)
+        ksig.write.mode("overwrite").parquet(
+            fs.join(sig_dir, f"batch_{batch_id}")
+        )
+        kbands.write.mode("overwrite").parquet(
+            fs.join(band_dir, f"batch_{batch_id}")
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)
@@ -405,61 +430,70 @@ def neardup_gate_stream(
     )
 
 
+def read_neardup_artifact(spark, artifact_dir: str):
+    """(sigs, bands) accumulated across all batches of
+    :func:`neardup_gate_stream` — what a nightly batch job would hand
+    to ``neardup_incremental_check`` directly."""
+    opt = {"recursiveFileLookup": "true"}
+    return (
+        spark.read.options(**opt).parquet(artifact_dir.rstrip("/") + "/sigs"),
+        spark.read.options(**opt).parquet(artifact_dir.rstrip("/") + "/bands"),
+    )
+
+
+def read_gate_decisions(spark, out_dir: str):
+    """All keep/drop decisions the gate has emitted (one subdir per
+    micro-batch; replays overwrite in place, so no duplicates)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
 def cms_sketch_stream(
     docs_stream: DataFrame,
     artifact_dir: str,
     checkpoint_dir: str,
 ):
     """Continuous Count-Min sketch maintenance: each micro-batch's
-    word sketch MERGES into a persisted counter artifact — the
-    store-sketches-not-rows pattern run continuously (the batch twin
-    is ``operators.stats.heavy_hitters_cms``; the same artifact
-    answers point-frequency queries at any moment without ever
-    storing the word stream).
+    word sketch lands as a per-batch PARTIAL in the artifact directory
+    — the store-sketches-not-rows pattern run continuously (the batch
+    twin is ``operators.stats.heavy_hitters_cms``).
 
-    CMS merge is exact addition per (row_id, bucket): the merged
-    artifact is BIT-EQUAL to the sketch of the concatenated corpus
-    (pinned in the two-micro-batch test), so batch boundaries are
-    invisible — the associativity that makes the sketch family the
-    100 TB answer for open-vocabulary counting. The artifact is tiny
-    and bounded (depth x 16^hex_chars rows) regardless of stream
-    volume; the swap is the crash-safe staging/rename pattern of
-    ``merge_sink``.
+    CMS merge is exact addition per (row_id, bucket), so the artifact
+    never needs a read-modify-write: each batch OVERWRITES its own
+    ``batch_<id>/`` partial (replay-idempotent under foreachBatch's
+    at-least-once contract — a re-run batch replaces its partial
+    instead of double-counting into a merged total, the failure mode
+    an additive staged-swap rewrite would have), and readers fold the
+    partials with :func:`read_cms_sketch` — associativity makes the
+    folded result BIT-EQUAL to the one-shot sketch of the concatenated
+    corpus (pinned in the two-micro-batch test). The artifact stays
+    bounded: n_batches x depth x 16^hex_chars slim rows, compacted by
+    any later rewrite if batch count ever matters.
     """
     from parquet_export_spark.export import fs
     from parquet_export_spark.operators.stats import cms_sketch_rows
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         words = batch_df.select(
             F.explode(F.split("text", " ")).alias("word")
         )
-        partial = cms_sketch_rows(words)
-        old = artifact_dir.rstrip("/") + ".old"
-        staging = artifact_dir.rstrip("/") + ".staging"
-        if fs.exists(spark, old) and not fs.exists(spark, artifact_dir):
-            fs.rename(spark, old, artifact_dir)
-        if fs.is_dir(spark, artifact_dir) and any(
-            f.endswith(".parquet") for f in fs.list_names(spark, artifact_dir)
-        ):
-            current = spark.read.parquet(artifact_dir)
-            merged = (
-                current.unionByName(partial)
-                .groupBy("row_id", "bucket")
-                .agg(F.sum("c").alias("c"))
-            )
-        else:
-            merged = partial
-        merged.write.mode("overwrite").parquet(staging)
-        fs.delete(spark, old, recursive=True)
-        if fs.exists(spark, artifact_dir):
-            fs.rename(spark, artifact_dir, old)
-        fs.rename(spark, staging, artifact_dir)
-        fs.delete(spark, old, recursive=True)
+        cms_sketch_rows(words).write.mode("overwrite").parquet(
+            fs.join(artifact_dir, f"batch_{batch_id}")
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_cms_sketch(spark, artifact_dir: str):
+    """Fold the per-batch partials into the current total sketch —
+    exact addition per (row_id, bucket)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("c").alias("c"))
     )

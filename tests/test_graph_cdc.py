@@ -420,3 +420,40 @@ def test_cc_incremental_chain_merge_of_components(spark):
         range(20, 25)
     ) | set(range(30, 35)) | set(range(40, 45)) | {100}
     assert all(v == 0 for v in final.values())
+
+
+def test_cc_incremental_convergence_guard(spark):
+    """The delta-horizon hole, pinned from both sides: a batch that
+    chain-merges MORE components than 2^n_iter_delta - 1 under-merges
+    silently with verify_converged=False (and its oracle would replay
+    the same wrong rounds), and RAISES with verify_converged=True. A
+    converged merge passes the guard unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    # 9 singleton components 0..8; batch chains them in a path -> the
+    # contracted graph is an 8-edge path (diameter 8 > 2^2 - 1 = 3)
+    lab = spark.createDataFrame(
+        [(i, i) for i in range(9)], "node long, l long"
+    )
+    bp = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "cust_node long, supp_node long"
+    )
+    under = {
+        r.node: r.component
+        for r in G.cc_apply_edge_batch(lab, bp, n_iter_delta=2).collect()
+    }
+    assert any(v != 0 for v in under.values())  # silently wrong
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.cc_apply_edge_batch(
+            lab, bp, n_iter_delta=2, verify_converged=True
+        ).collect()
+
+    ok = {
+        r.node: r.component
+        for r in G.cc_apply_edge_batch(
+            lab, bp, n_iter_delta=4, verify_converged=True
+        ).collect()
+    }
+    assert all(v == 0 for v in ok.values())

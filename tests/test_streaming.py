@@ -543,7 +543,7 @@ def test_neardup_gate_stream_across_batches(spark, tmp_path):
     got = {
         r.doc_id: (r.dup_of_lake, r.lake_match_id, r.dup_in_batch,
                    r.batch_match_id, r.keep)
-        for r in spark.read.parquet(out).collect()
+        for r in I.read_gate_decisions(spark, out).collect()
     }
     assert got[10] == (False, None, False, None, True)
     assert got[20] == (False, None, False, None, True)
@@ -553,10 +553,16 @@ def test_neardup_gate_stream_across_batches(spark, tmp_path):
     assert got[40] == (False, None, False, None, True)
     assert got[50][2] and got[50][3] == 40 and not got[50][4]
     # artifact contains exactly the kept docs
-    kept_in_artifact = sorted(
-        r.doc_id for r in spark.read.parquet(art + "/sigs").collect()
-    )
+    sigs, _bands = I.read_neardup_artifact(spark, art)
+    kept_in_artifact = sorted(r.doc_id for r in sigs.collect())
     assert kept_in_artifact == [10, 20, 40]
+    # same-checkpoint re-run: no new data -> decisions and artifact
+    # unchanged (and a REPLAYED batch would overwrite its own subdir
+    # against the pre-batch artifact view — per-batch keyed writes)
+    run_once()
+    assert I.read_gate_decisions(spark, out).count() == len(got)
+    sigs2, _ = I.read_neardup_artifact(spark, art)
+    assert sorted(r.doc_id for r in sigs2.collect()) == [10, 20, 40]
 
 
 def test_cms_sketch_stream_merge_equals_full_sketch(spark, tmp_path):
@@ -591,7 +597,7 @@ def test_cms_sketch_stream_merge_equals_full_sketch(spark, tmp_path):
 
     got = {
         (r.row_id, r.bucket): r.c
-        for r in spark.read.parquet(art).collect()
+        for r in I.read_cms_sketch(spark, art).collect()
     }
     full_words = spark.createDataFrame(b1 + b2, schema).select(
         F.explode(F.split("text", " ")).alias("word")

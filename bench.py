@@ -132,6 +132,7 @@ HEADLINE = [
     "curate_corpus_pipeline",
     "balance_classes",
     "remove_dup_spans",
+    "self_retrieval_ranks",
 ]
 
 

@@ -955,3 +955,65 @@ def bpe_encode_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+#: deterministic probe slice for the self-retrieval evaluation.
+RETRIEVAL_QUERY_MOD = 50
+RETRIEVAL_QUERY_TERMS = 5
+
+
+def self_retrieval_ranks(
+    t: dict[str, DataFrame],
+    query_mod: int = RETRIEVAL_QUERY_MOD,
+    n_terms: int = RETRIEVAL_QUERY_TERMS,
+) -> DataFrame:
+    """Retrieval-quality EVALUATION: for a deterministic probe slice,
+    use each probe document's first ``n_terms`` distinct words as a
+    query, retrieve by distinct-term overlap through an INVERTED-INDEX
+    join, and report where the probe document itself ranks — the
+    self-retrieval sanity metric (reciprocal rank per query; its mean
+    is the corpus MRR) an IR/curation pipeline tracks to catch
+    tokenizer or index regressions.
+
+    Scoring is INTEGER term overlap with (overlap DESC, doc_id) ties —
+    no floats anywhere until the final 1/rank, so ranks are exact on
+    both engines. Scale shape: the corpus side explodes to DISTINCT
+    (term, doc) postings and the query side to (query, term) pairs;
+    the retrieval is one equi-join on term + one count per
+    (query, doc) — cost is the sum of the query terms' posting-list
+    lengths (the inverted-index contract), never |queries| x |docs|.
+    The probe's own doc always contains all its query terms, so it is
+    always a candidate and the self rank is well-defined.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    ws = F.split("text", " ")
+    queries = docs.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(ws, 1, n_terms))).alias("term"),
+    )
+    postings = docs.select(
+        "doc_id", F.explode(F.array_distinct(ws)).alias("term")
+    )
+    overlap = (
+        queries.join(postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_overlap"), "doc_id"
+    )
+    ranked = overlap.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("query_id") == F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("self_rank"),
+            F.round(F.lit(1.0) / F.col("rank").cast("double"), 9).alias(
+                "reciprocal_rank"
+            ),
+            F.col("n_overlap").cast("long").alias("n_query_terms_hit"),
+        )
+        .orderBy("query_id")
+    )

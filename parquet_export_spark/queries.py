@@ -1256,6 +1256,42 @@ REGISTRY.update(
             ORDER BY user_id, event_id
             """,
         ),
+        "self_retrieval_ranks": QuerySpec(
+            _rel(X.self_retrieval_ranks),
+            # integer term-overlap retrieval through an inverted-index
+            # join; slice-then-distinct makes the query term SET
+            # engine-order-independent.
+            f"""
+            WITH docs_ws AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            queries AS (
+              SELECT doc_id AS query_id,
+                     UNNEST(list_distinct(
+                       ws[1:{X.RETRIEVAL_QUERY_TERMS}])) AS term
+              FROM docs_ws
+              WHERE doc_id % {X.RETRIEVAL_QUERY_MOD} = 0),
+            postings AS (
+              SELECT doc_id, UNNEST(list_distinct(ws)) AS term
+              FROM docs_ws),
+            overlap AS (
+              SELECT q.query_id, p.doc_id, COUNT(*) AS n_overlap
+              FROM queries q JOIN postings p USING (term)
+              GROUP BY q.query_id, p.doc_id),
+            ranked AS (
+              SELECT query_id, doc_id, n_overlap,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY n_overlap DESC, doc_id)
+                       AS rank
+              FROM overlap)
+            SELECT query_id,
+                   CAST(rank AS BIGINT) AS self_rank,
+                   ROUND(1.0 / rank, 9) AS reciprocal_rank,
+                   CAST(n_overlap AS BIGINT) AS n_query_terms_hit
+            FROM ranked WHERE query_id = doc_id
+            ORDER BY query_id
+            """,
+        ),
         "bm25_scores": QuerySpec(
             _rel(X.bm25_scores),
             """
@@ -3137,6 +3173,11 @@ _VERDICT_PRIORITY = [
     # (shared _DUP_SPAN_CTES text) and then some, so the detector is
     # re-verified inside the rewriter's hash every round.
     "remove_dup_spans",
+    # 0h: self-retrieval evaluation — takes vocab_coverage's slot
+    # (r4-green; the term-frequency family stays pinned in-window by
+    # bigram_lm_scores + the new inverted-index entry itself, and
+    # vocab_coverage's exact oracle runs every pytest pass).
+    "self_retrieval_ranks",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3157,7 +3198,7 @@ _VERDICT_PRIORITY = [
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
     "cogroup_user_funnel",
     "pii_scan",
-    "bigram_lm_scores", "vocab_coverage", "next_event_examples",
+    "bigram_lm_scores", "next_event_examples",
     "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms",
     "pq_topk",

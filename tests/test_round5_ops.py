@@ -313,3 +313,63 @@ def test_remove_dup_spans_engineered(spark, sf_dir, tmp_path):
     assert got[2] == (16, 4, "one two three four")
     assert got[3][1] == got[3][0] and got[3][2].startswith("totally unique")
     assert got[4] == (12, 0, "") and got[5] == (12, 0, "")
+
+
+def test_self_retrieval_ranks_brute_force(spark, sf_dir, tmp_path):
+    """Self-retrieval ranks must equal a Python brute-force over the
+    same integer overlap scoring at sf0.001, and an engineered
+    exact-duplicate probe must rank BELOW its smaller-id twin (the
+    tie-break making rr=0.5 — the metric detecting duplicated
+    content)."""
+    from parquet_export_spark.operators import text as X
+
+    t = _small_tables(spark)
+    got = {
+        r.query_id: (r.self_rank, r.n_query_terms_hit)
+        for r in X.self_retrieval_ranks(t).collect()
+    }
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    term_sets = {d: set(ws) for d, ws in docs.items()}
+    for qid in docs:
+        if qid % X.RETRIEVAL_QUERY_MOD != 0:
+            continue
+        qterms = set(docs[qid][: X.RETRIEVAL_QUERY_TERMS])
+        scored = sorted(
+            (
+                (-len(qterms & ts), d)
+                for d, ts in term_sets.items()
+                if qterms & ts
+            )
+        )
+        rank = [d for _, d in scored].index(qid) + 1
+        assert got[qid] == (rank, len(qterms & term_sets[qid])), qid
+
+    # engineered: probe 100 duplicates doc 7 exactly -> rank 2
+    base = "unique retrieval words nobody else uses here today ok fine"
+    other = "completely different vocabulary for the second document x"
+    df = spark.createDataFrame(
+        [
+            (7, base, "en", "web", len(base)),
+            (100, base, "en", "web", len(base)),
+            (3, other, "en", "web", len(other)),
+            (150, other, "en", "web", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fixture_dir = fixture_lake(
+        spark, sf_dir, str(tmp_path / "sr"), {"documents": df}
+    )
+    spec = REGISTRY["self_retrieval_ranks"]
+    ok, msg = compare(spark, fixture_dir, spec.fn, spec.oracle)
+    assert ok, msg
+    got2 = {
+        r.query_id: (r.self_rank, r.reciprocal_rank)
+        for r in X.self_retrieval_ranks(
+            load_tables(spark, fixture_dir)
+        ).collect()
+    }
+    assert got2[100] == (2, 0.5)  # its twin doc 7 outranks it
+    assert got2[150] == (2, 0.5)

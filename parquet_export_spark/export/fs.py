@@ -104,10 +104,21 @@ def write_text(spark: SparkSession, path: str, text: str) -> str:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(target):
-        fs.delete(target, False)
-    if not fs.rename(tmp, target):
-        raise IOError(f"manifest rename failed: {tmp} -> {target}")
+    # FileContext rename with OVERWRITE: one atomic replace — the
+    # previous delete-then-rename pair left a window with NO manifest
+    # at all, which a concurrent load_manifest_table hit as
+    # FileNotFoundError (exactly what this function's contract
+    # forbids). FileContext is the Hadoop API that exposes the
+    # overwrite flag; plain FileSystem.rename has no portable one.
+    jvm = spark._jvm
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    rename_opts = spark._sc._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, target, rename_opts)
     return path
 
 

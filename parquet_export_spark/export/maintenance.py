@@ -66,12 +66,26 @@ def zorder_values(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     scaled = []
     for c in cols:
         lo, hi = bounds[f"{c}_min"], bounds[f"{c}_max"]
+        if lo is None or hi is None:
+            # empty table or all-null column: no clustering signal —
+            # constant bucket beats an opaque NoneType crash
+            scaled.append(F.lit(0).cast("long").alias(f"_s{len(scaled)}"))
+            continue
         span = (hi - lo) or 1.0
         scaled.append(
             F.least(
                 F.lit(top),
-                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top).cast(
-                    "long"
+                # nulls -> bucket 0 (they carry no range information;
+                # without the coalesce they silently landed in the TOP
+                # bucket via least()'s null-skipping and wrecked that
+                # bucket's min/max skipping stats)
+                F.coalesce(
+                    (
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span)
+                        * top
+                    ).cast("long"),
+                    F.lit(0),
                 ),
             ).alias(f"_s{len(scaled)}")
         )

@@ -99,6 +99,23 @@ def _rename_to_row_ranges(spark, table_dir: str, spec: TableSpec) -> list[str]:
         renames: list[tuple[str, str]] = []
         names: list[str] = []
         start = 0
+        # Zero-row export: keep ONE empty (schema-bearing) part file
+        # instead of deleting every part — an empty manifest file list
+        # breaks manifest readers (spark.read.parquet with zero paths
+        # cannot even be invoked), while an empty parquet file round-
+        # trips the declared schema. An empty incremental/filtered run
+        # is a normal outcome, not an error.
+        keep_empty = all(c == 0 for c in counts) and parts
+        if keep_empty:
+            new_name = f"{spec.name}_0_0_{spec.compression}.parquet"
+            fs.rename(
+                spark,
+                fs.join(table_dir, parts[0]),
+                fs.join(table_dir, new_name),
+            )
+            for part in parts[1:]:
+                fs.delete(spark, fs.join(table_dir, part))
+            return [new_name]
         for part, n_rows in zip(parts, counts):
             if n_rows == 0:
                 # Hadoop FS delete also removes local checksum sidecars.

@@ -109,6 +109,10 @@ class _BatchReader(DataSourceReader):
         self.n_users = int(options.get("numusers", 1000))
 
     def partitions(self):
+        if self.n_rows <= 0:
+            # degenerate numRows=0: one empty partition instead of
+            # range(0, 0, 0) blowing up
+            return [_RangePartition(0, 0, self.seed)]
         step = -(-self.n_rows // self.n_parts)
         return [
             _RangePartition(lo, min(lo + step, self.n_rows), self.seed)

@@ -149,7 +149,14 @@ class JdbcSource:
                 .load()
             )
         reader = spark.read.format("jdbc").options(**opts)
-        preds = self.predicates(spec)
+        # hashtext() is Postgres-only — on any other engine the
+        # hash-modulus predicates would fail every partition's scan
+        # with an unknown-function error; fall back to one cursor
+        # (correct everywhere, just unparallelized) and leave the
+        # parallel path to engines that support it or to tables with
+        # a declared numeric partition column.
+        is_postgres = self.url.startswith("jdbc:postgresql")
+        preds = self.predicates(spec) if is_postgres else None
         if preds and offset is None:
             # jdbc(predicates=...) path for UUID-keyed tables.
             props = {

@@ -87,6 +87,19 @@ class _ShardBatchWriter(DataSourceWriter):
         new = []
         for i, m in enumerate(messages):
             name = f"shard-{len(prev) + i:05d}-{m.n_rows}.jsonl"
+            if os.path.exists(os.path.join(self.path, name)):
+                # overwrite-mode name collision with a COMMITTED shard
+                # (same index and row count): os.replace would put new
+                # bytes under a name the OLD manifest still references
+                # until step (2) — a crash in between would leave the
+                # surviving manifest pointing at mixed content. A
+                # unique suffix keeps the old file untouched until the
+                # post-swap retire step; the manifest, not the name,
+                # is the index.
+                name = (
+                    f"shard-{len(prev) + i:05d}-{m.n_rows}"
+                    f"-{uuid.uuid4().hex[:8]}.jsonl"
+                )
             os.replace(
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, name),

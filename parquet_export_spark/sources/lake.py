@@ -104,10 +104,15 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     per_session = _TABLE_CACHE.setdefault(spark, {})
     cached = per_session.setdefault(lake_dir, {})
-    for n in names or STAR_TABLES:
+    wanted = list(names or STAR_TABLES)
+    for n in wanted:
         if n not in cached:
             cached[n] = load_table(spark, lake_dir, n)
-    return cached
+    # return exactly the requested names — returning the whole cache
+    # made a narrowed call leak every previously-loaded table (and
+    # register_temp_views then clobbered caller views it was never
+    # asked to touch)
+    return {n: cached[n] for n in wanted}
 
 
 def load_manifest_table(

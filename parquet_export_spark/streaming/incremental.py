@@ -139,13 +139,26 @@ def sessionize_stream(
     )
 
 
-def run_to_memory(stream: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute a streaming query over a bounded source to completion
-    (availableNow) into an in-memory table; returns the result."""
+    (availableNow) into an in-memory table; returns the result.
+
+    ``output_mode`` must match the stream's shape: ``complete`` only
+    works for aggregations (and retains all window state — fine for a
+    bounded drain, wrong for watermark-semantics tests, which drive
+    foreachBatch in append mode instead); pass ``append`` for
+    stream-stream joins / dedup / stateless transforms and ``update``
+    for update-mode stateful operators — Spark raises on a mismatch
+    rather than computing anything wrong."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -181,7 +194,17 @@ def merge_sink(
     batch restores ``target.old`` first — the replayed micro-batch then
     merges into the full prior snapshot, never an empty directory.
     All moves go through the Hadoop FileSystem API, so the sink works
-    on the same schemes as the batch writer (file:/hdfs:/s3a:)."""
+    on the same schemes as the batch writer (file:/hdfs:/s3a:).
+
+    Reader-visibility caveat: the swap renames DIRECTORIES, and no
+    Hadoop scheme offers an atomic overwrite-rename for non-empty
+    directories — a concurrent ``spark.read.parquet(target)`` that
+    plans between the two renames can miss the path. The crash-safety
+    contract (no data-loss window) holds regardless; workloads with
+    concurrent readers should consume through the versioned-snapshot
+    layer (export/versioned.py — immutable dirs + one atomic pointer,
+    exactly the indirection that removes this window) or gate reads on
+    the manifest."""
     from parquet_export_spark.export import fs
     from parquet_export_spark.export.maintenance import merge_upsert
 
@@ -274,14 +297,31 @@ def incremental_export(
     snapshot: DataFrame,
     last_export_watermark,
     updated_col: str = "updated_at",
+    rescan_lag=None,
 ) -> DataFrame:
     """Rows changed since the last export: the ``updated_at`` delta
     pattern (SURVEY.md §2B.9 — the reference re-exports everything).
 
     The predicate pushes to the source scan (JDBC or parquet), so an
     incremental run reads only the delta, not the table.
+
+    Boundary semantics: the predicate is STRICT (``>``). Against a
+    live OLTP source that can be lossy at the edge — a transaction
+    whose ``updated_at`` was assigned at statement time <= W may
+    COMMIT after the scan that chose W as the watermark, and a strict
+    next run skips it forever. Pass ``rescan_lag`` (e.g. an
+    ``datetime.timedelta``) to re-read a trailing overlap window
+    (``> W - lag``); the re-exported overlap rows are exact duplicates
+    by key and the downstream MERGE (``merge_sink`` /
+    ``export.maintenance.merge_upsert``) absorbs them idempotently —
+    lag + upsert is the standard exactly-once-by-key recipe. Against
+    an immutable lake snapshot (this repo's tests) strict ``>`` is
+    already exact.
     """
-    return snapshot.filter(F.col(updated_col) > F.lit(last_export_watermark))
+    wm = last_export_watermark
+    if rescan_lag is not None:
+        wm = wm - rescan_lag
+    return snapshot.filter(F.col(updated_col) > F.lit(wm))
 
 
 def sliding_rollup_stream(

@@ -403,3 +403,23 @@ def test_live_jdbc_to_lake_export(spark, tmp_path):
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "updated_at" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_zero_row_export_roundtrips(spark, tmp_path):
+    """An empty source table must export to ONE schema-bearing empty
+    parquet (named with the 0_0 range) that the manifest reader can
+    load back — not an empty file list that breaks every reader."""
+    from parquet_export_spark.export.manifest import write_manifest
+    from parquet_export_spark.export.writer import write_table
+    from parquet_export_spark.sources.lake import load_manifest_table
+    from parquet_export_spark.tables import TableSpec
+
+    df = spark.createDataFrame([], "id long, name string")
+    out = str(tmp_path / "lake")
+    spec = TableSpec(name="emptytbl", datatypes={}, rows_per_file=100)
+    files = write_table(df, out, spec)
+    assert files == ["emptytbl_0_0_zstd.parquet"]
+    write_manifest(out, {"emptytbl": files})
+    back = load_manifest_table(spark, out, "emptytbl")
+    assert back.count() == 0
+    assert back.schema.fieldNames() == ["id", "name"]

@@ -102,10 +102,14 @@ def test_export_empty_table(spark, tmp_path):
     out = str(tmp_path / "empty")
     df = spark.createDataFrame([], INPUT_SCHEMA)
     files = export_table(df, out, SPEC)
-    assert files == []
-    back = spark.read.schema(SPEC.schema).parquet(f"{out}/{SPEC.name}")
+    # round-5 contract change: one schema-bearing empty part survives
+    # (an empty manifest file list broke every manifest reader —
+    # spark.read.parquet cannot be called with zero paths), named with
+    # the honest 0_0 row range.
+    assert files == [f"{SPEC.name}_0_0_{SPEC.compression}.parquet"]
+    # readable WITHOUT a declared schema — the kept footer carries it
+    back = spark.read.parquet(f"{out}/{SPEC.name}")
     assert back.count() == 0
-    # declared schema survives even with zero rows
     assert {f.name for f in back.schema.fields} == set(SPEC.columns)
 
 

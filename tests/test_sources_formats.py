@@ -282,3 +282,33 @@ def test_jsonl_shards_serializes_nested_structs_as_objects(spark, tmp_path):
     [shard] = [f for f in os.listdir(out) if f.startswith("shard-")]
     [line] = open(os.path.join(out, shard)).read().splitlines()
     assert json.loads(line)["nested"] == {"x": 7, "y": "s"}
+
+
+def test_jsonl_overwrite_collision_keeps_old_until_swap(spark, tmp_path):
+    """Re-exporting the SAME data in overwrite mode collides on
+    (index, row-count) names; the commit must place the new bytes
+    under fresh names (old files untouched until after the manifest
+    swap) and retire the old shards afterwards — so every
+    intermediate manifest references only files whose content it
+    actually describes."""
+    import json
+    import os
+
+    out = str(tmp_path / "jl")
+    df = spark.range(10).selectExpr("id", "id * 2 as v")
+    df.coalesce(1).write.format("jsonl_shards").mode("overwrite").option(
+        "path", out
+    ).save()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        first = [s["name"] for s in json.load(fh)["shards"]]
+    df.coalesce(1).write.format("jsonl_shards").mode("overwrite").option(
+        "path", out
+    ).save()
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        second = [s["name"] for s in json.load(fh)["shards"]]
+    # collision forced a distinct name for the second generation
+    assert first != second
+    on_disk = {f for f in os.listdir(out) if f.startswith("shard-")}
+    assert on_disk == set(second)  # old generation retired post-swap
+    back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
+    assert back.count() == 10

@@ -133,6 +133,7 @@ HEADLINE = [
     "balance_classes",
     "remove_dup_spans",
     "self_retrieval_ranks",
+    "butterfly_pairs_trade",
 ]
 
 

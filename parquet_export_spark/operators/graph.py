@@ -904,3 +904,63 @@ def cc_incremental_oracle_sql(
         ORDER BY node_id
         """.format(d=n_iter_delta, kind=_KIND_SQL.format(col="n.node"))
     )
+
+
+#: per-customer degree cap for the butterfly pair explosion (cost is
+#: sum over customers of C(degree, 2); the cap bounds the quadratic).
+BUTTERFLY_MAX_DEGREE = 10_000
+BUTTERFLY_TOP_N = 20
+
+
+def butterfly_pairs_trade(
+    t: dict[str, DataFrame],
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    top_n: int = BUTTERFLY_TOP_N,
+) -> DataFrame:
+    """Butterfly (4-cycle) counting on the bipartite trade graph: the
+    top supplier pairs by SHARED CUSTOMERS, with each pair's butterfly
+    count C(shared, 2) — the bipartite clustering metric (triangles
+    cannot exist in a bipartite graph; the butterfly is its smallest
+    cycle and the standard cohesion unit: two suppliers co-serving
+    the same customer pairs = a dense trading community).
+
+    Shape: distinct (customer, supplier) pairs self-join on the
+    CUSTOMER with s1 < s2 — one equi-join whose cost is
+    sum_c C(deg(c), 2), bounded by excluding customers above
+    ``max_degree`` (the same bounded-block posture as the Jaccard
+    family; a hub customer connected to everything would otherwise
+    contribute |suppliers|^2 rows and tells you nothing about pair
+    cohesion). All integers, fully tie-broken -> exact oracle.
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
+    cs = (
+        o.join(li, "ok")
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_ok = cs.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+    ).filter(F.col("deg") <= max_degree)
+    a = deg_ok.select("c", F.col("s").alias("s1"))
+    b = deg_ok.select("c", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+    )
+    return (
+        pairs.select(
+            "s1",
+            "s2",
+            "shared_customers",
+            F.expr(
+                "shared_customers * (shared_customers - 1) div 2"
+            ).alias("butterflies"),
+        )
+        .orderBy(F.desc("shared_customers"), "s1", "s2")
+        .limit(top_n)
+    )

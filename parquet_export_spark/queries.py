@@ -2618,6 +2618,30 @@ REGISTRY.update(
             # Oracle replays the same rounds incl. the jump self-join.
             G.cc_doubling_oracle_sql(),
         ),
+        "butterfly_pairs_trade": QuerySpec(
+            _rel(G.butterfly_pairs_trade),
+            f"""
+            WITH cs AS (
+              SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            deg_ok AS (
+              SELECT c, s FROM (
+                SELECT c, s, COUNT(*) OVER (PARTITION BY c) AS deg
+                FROM cs)
+              WHERE deg <= {G.BUTTERFLY_MAX_DEGREE}),
+            pairs AS (
+              SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared_customers
+              FROM deg_ok a JOIN deg_ok b
+                ON a.c = b.c AND a.s < b.s
+              GROUP BY a.s, b.s)
+            SELECT s1, s2, shared_customers,
+                   shared_customers * (shared_customers - 1) // 2
+                       AS butterflies
+            FROM pairs
+            ORDER BY shared_customers DESC, s1, s2
+            LIMIT {G.BUTTERFLY_TOP_N}
+            """,
+        ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),
             # lake doubling chain + endpoint contraction + label-graph
@@ -3178,6 +3202,12 @@ _VERDICT_PRIORITY = [
     # bigram_lm_scores + the new inverted-index entry itself, and
     # vocab_coverage's exact oracle runs every pytest pass).
     "self_retrieval_ranks",
+    # 0i: bipartite butterfly counting — takes next_event_examples'
+    # slot (r4-green; the lag-window dataset-construction family
+    # stays pinned in-window by rolling_user_features — same
+    # per-user ordered-window shape — and its exact oracle runs
+    # every pytest pass).
+    "butterfly_pairs_trade",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3198,7 +3228,7 @@ _VERDICT_PRIORITY = [
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
     "cogroup_user_funnel",
     "pii_scan",
-    "bigram_lm_scores", "next_event_examples",
+    "bigram_lm_scores",
     "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms",
     "pq_topk",

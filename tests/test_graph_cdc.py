@@ -457,3 +457,68 @@ def test_cc_incremental_convergence_guard(spark):
         ).collect()
     }
     assert all(v == 0 for v in ok.values())
+
+
+def test_butterfly_pairs_brute_force(spark):
+    """Top supplier pairs must equal a Python brute-force over shared
+    customer sets (sf0.001), including the C(n,2) butterfly counts and
+    the full tie-break order."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    t = _small_tables(spark)
+    got = [
+        (r.s1, r.s2, r.shared_customers, r.butterflies)
+        for r in G.butterfly_pairs_trade(t).collect()
+    ]
+    cs = {
+        (r.c, r.s)
+        for r in t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+        )
+        .selectExpr("o_custkey as c", "l_suppkey as s")
+        .distinct()
+        .collect()
+    }
+    by_cust = defaultdict(set)
+    for c, s in cs:
+        by_cust[c].add(s)
+    shared = defaultdict(int)
+    for c, sups in by_cust.items():
+        if len(sups) > G.BUTTERFLY_MAX_DEGREE:
+            continue
+        for s1, s2 in combinations(sorted(sups), 2):
+            shared[(s1, s2)] += 1
+    want = sorted(
+        ((s1, s2, n, n * (n - 1) // 2) for (s1, s2), n in shared.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[: G.BUTTERFLY_TOP_N]
+    assert got == want
+
+
+def test_butterfly_degree_cap_excludes_hub(spark):
+    """A hub customer above the degree cap must contribute NO pairs —
+    the quadratic guard, checked on a synthetic bipartite graph."""
+    from pyspark.sql import functions as F
+
+    # customer 1 -> suppliers 1..5 (normal); customer 2 -> 1..50 (hub)
+    rows = [(1, s) for s in range(1, 6)] + [(2, s) for s in range(1, 51)]
+    o = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(rows)],
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(rows)],
+        "l_orderkey long, l_suppkey long",
+    )
+    t = {"orders": o, "lineitem": li}
+    got = {
+        (r.s1, r.s2): r.shared_customers
+        for r in G.butterfly_pairs_trade(t, max_degree=10, top_n=100).collect()
+    }
+    # only customer 1's C(5,2)=10 pairs survive, each shared by 1
+    assert len(got) == 10
+    assert all(v == 1 for v in got.values())
+    assert all(s1 < s2 <= 5 for (s1, s2) in got)

@@ -134,6 +134,7 @@ HEADLINE = [
     "remove_dup_spans",
     "self_retrieval_ranks",
     "butterfly_pairs_trade",
+    "supplier_communities",
 ]
 
 

@@ -964,3 +964,123 @@ def butterfly_pairs_trade(
         .orderBy(F.desc("shared_customers"), "s1", "s2")
         .limit(top_n)
     )
+
+
+SUPPLIER_COMMUNITY_PCTL = 0.9
+
+
+def supplier_communities(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+) -> DataFrame:
+    """Bipartite PROJECTION + community detection, composed: project
+    the customer<->supplier graph onto suppliers (edge weight = shared
+    customers, the butterfly-pair derivation), keep the top-decile
+    edges (weight >= the exact ``pctl`` quantile — a RELATIVE
+    threshold, so the projection stays meaningful at any scale or
+    density where a fixed cutoff would keep everything or nothing),
+    and label communities with pointer-doubling CC over the projected
+    graph. The classic two-mode -> one-mode community pipeline
+    (co-purchasing communities), every stage exact: integer weights,
+    interpolated-percentile threshold (``percentile`` ==
+    ``quantile_cont``), integer min-labels.
+
+    Output: one row per supplier that has at least one top-decile
+    edge — (supplier, community label, community size).
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
+    cs = (
+        o.join(li, "ok")
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_ok = cs.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+    ).filter(F.col("deg") <= max_degree)
+    a = deg_ok.select("c", F.col("s").alias("s1"))
+    b = deg_ok.select("c", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # pairs feeds BOTH the quantile aggregate and the threshold filter,
+    # and the resulting edges are iterated by the CC core — without
+    # materialization the whole projection self-join re-executes per
+    # round (measured 21.7 s vs 2.9 s at sf0.1). Same recipe as every
+    # other iterated graph input: checkpoint the pair derivation once,
+    # then pin the edge list in the standard persisted cache.
+    pairs = pairs.localCheckpoint()
+    thresh = pairs.agg(
+        F.expr(f"percentile(n, {pctl})").alias("th")
+    )
+    strong = pairs.crossJoin(F.broadcast(thresh)).filter(
+        F.col("n") >= F.col("th")
+    )
+    edges = strong.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        strong.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    e = _edge_cache(edges)
+    labels = _cc_doubling_core(e, n_iter)
+    e.unpersist(blocking=False)
+    w_sz = Window.partitionBy("community")
+    return (
+        labels.select(
+            F.col("node").alias("supplier"),
+            F.col("l").alias("community"),
+        )
+        .withColumn(
+            "community_size", F.count(F.lit(1)).over(w_sz).cast("long")
+        )
+        .orderBy("supplier")
+    )
+
+
+def supplier_communities_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+) -> str:
+    """DuckDB replay: projection + exact-quantile threshold + the
+    doubling chain over the projected edges."""
+    head = [
+        """
+        cs AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        deg_ok AS MATERIALIZED (
+          SELECT c, s FROM (
+            SELECT c, s, COUNT(*) OVER (PARTITION BY c) AS deg FROM cs)
+          WHERE deg <= {md}),
+        pairs AS MATERIALIZED (
+          SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n
+          FROM deg_ok a JOIN deg_ok b ON a.c = b.c AND a.s < b.s
+          GROUP BY a.s, b.s),
+        th AS (SELECT quantile_cont(n, {p}) AS th FROM pairs),
+        strong AS MATERIALIZED (
+          SELECT s1, s2 FROM pairs, th WHERE n >= th),
+        edges AS MATERIALIZED (
+          SELECT s1 AS src, s2 AS dst FROM strong
+          UNION ALL
+          SELECT s2 AS src, s1 AS dst FROM strong)
+        """.format(md=max_degree, p=pctl)
+    ] + _ccd_chain(n_iter)
+    return (
+        "WITH "
+        + ",".join(head)
+        + """
+        SELECT node AS supplier, l AS community,
+               CAST(COUNT(*) OVER (PARTITION BY l) AS BIGINT)
+                   AS community_size
+        FROM ccd{n}
+        ORDER BY supplier
+        """.format(n=n_iter)
+    )

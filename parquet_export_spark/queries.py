@@ -2642,6 +2642,12 @@ REGISTRY.update(
             LIMIT {G.BUTTERFLY_TOP_N}
             """,
         ),
+        "supplier_communities": QuerySpec(
+            _rel(G.supplier_communities),
+            # projection + exact-quantile edge threshold + doubling-CC
+            # chain, replayed with MATERIALIZED CTEs.
+            G.supplier_communities_oracle_sql(),
+        ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),
             # lake doubling chain + endpoint contraction + label-graph
@@ -3208,6 +3214,10 @@ _VERDICT_PRIORITY = [
     # per-user ordered-window shape — and its exact oracle runs
     # every pytest pass).
     "butterfly_pairs_trade",
+    # 0j: projected supplier communities — takes pii_scan's slot
+    # (r4-green; the regex-scan family's exact oracle runs every
+    # pytest pass and its plan pin lives in test_plans).
+    "supplier_communities",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3227,7 +3237,6 @@ _VERDICT_PRIORITY = [
     "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
     "cogroup_user_funnel",
-    "pii_scan",
     "bigram_lm_scores",
     "video_frame_features", "bloom_prune_orders",
     "heavy_hitters_cms",

@@ -522,3 +522,40 @@ def test_butterfly_degree_cap_excludes_hub(spark):
     assert len(got) == 10
     assert all(v == 1 for v in got.values())
     assert all(s1 < s2 <= 5 for (s1, s2) in got)
+
+
+def test_supplier_communities_engineered(spark):
+    """Projection + threshold + CC on a synthetic two-community
+    bipartite graph: suppliers {1,2,3} co-serve customer block A and
+    {11,12} block B, with ONE weak cross edge (a single shared
+    customer) that the p90 threshold must cut — two communities, each
+    labeled by its min supplier."""
+    rows = []
+    ok = 0
+    # block A: customers 1..6 each buy from suppliers 1,2,3
+    for c in range(1, 7):
+        for s in (1, 2, 3):
+            rows.append((ok, c, s)); ok += 1
+    # block B: customers 11..16 each buy from suppliers 11,12
+    for c in range(11, 17):
+        for s in (11, 12):
+            rows.append((ok, c, s)); ok += 1
+    # weak bridge: customer 99 buys from 3 and 11 (1 shared customer)
+    rows.append((ok, 99, 3)); ok += 1
+    rows.append((ok, 99, 11)); ok += 1
+    o = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "l_orderkey long, l_suppkey long"
+    )
+    got = {
+        r.supplier: (r.community, r.community_size)
+        for r in G.supplier_communities(
+            {"orders": o, "lineitem": li}
+        ).collect()
+    }
+    # pair weights: within-A = 6 (+1 for pair (3,?) no), within-B = 6,
+    # bridge (3,11) = 1 -> p90 over {6,6,6,6,1} cuts the bridge
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[11] == (11, 2) and got[12] == (11, 2)

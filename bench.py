@@ -135,6 +135,10 @@ HEADLINE = [
     "self_retrieval_ranks",
     "butterfly_pairs_trade",
     "supplier_communities",
+    "simjoin_prefix",
+    "cusum_alarms",
+    "assoc_rules_parts",
+    "triangle_count_suppliers",
 ]
 
 

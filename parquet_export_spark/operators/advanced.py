@@ -1119,3 +1119,123 @@ def rolling_user_features(t: dict[str, DataFrame], window_rows: int = 5) -> Data
         )
         .orderBy("user_id", "seq")
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules
+# --------------------------------------------------------------------------
+
+ASSOC_MIN_SUPPORT = 2
+ASSOC_TOP_N = 100
+
+
+def assoc_rules_parts(
+    t: dict[str, DataFrame],
+    min_support: int = ASSOC_MIN_SUPPORT,
+    top_n: int = ASSOC_TOP_N,
+) -> DataFrame:
+    """Association rules over order baskets: treat each order as the
+    set of distinct parts it contains, mine co-occurring pairs with
+    support >= min_support, and emit both rule directions a -> b with
+    integer-exact confidence and lift in ppm:
+
+      conf_ppm = 1e6 * supp(a,b) div supp(a)
+      lift_ppm = 1e6 * supp(a,b) * n_orders div (supp(a) * supp(b))
+
+    (non-negative div == DuckDB //; int64 envelope: the lift numerator
+    is 1e6 * supp_pair * n_orders < 9.2e18 while supp_pair * n_orders
+    < 9.2e12 — holds to ~3e6 co-occurrences x 3e6 orders, far beyond
+    any per-partition-date slice this would run on; beyond it, lift to
+    decimal(38,0)).
+
+    Top-N by (conf_ppm DESC, antecedent, consequent) — a deterministic
+    total order, so LIMIT is stable cross-engine.
+
+    100 TB posture: the pair self-join is keyed on the order and each
+    basket is naturally degree-bounded (TPC-H orders hold <= 7 distinct
+    parts; a retail-scale variant would add the butterfly_pairs_trade
+    degree cap), so pair fan-out is C(7,2) per order — linear in
+    orders. Two aggregations (item support, pair support) are the only
+    corpus-wide shuffles; the 1-row order count broadcasts.
+    """
+    b = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("supp_i"))
+    n_orders = b.agg(
+        F.count_distinct("ok").alias("n_orders")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("c.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= min_support)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "supp",
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "supp",
+        )
+    )
+    sa = item.select(F.col("p").alias("antecedent"), F.col("supp_i").alias("supp_a"))
+    sc = item.select(F.col("p").alias("consequent"), F.col("supp_i").alias("supp_c"))
+    # no broadcast hint on the item-support side: it is part-dimension
+    # sized (grows with SF, ~2e10 at 100 TB) — AQE broadcasts it at
+    # runtime when it actually fits; only the 1-row count is pinned.
+    return (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("supp").cast("long").alias("support"),
+            F.expr("1000000 * supp div supp_a").alias("conf_ppm"),
+            F.expr(
+                "(1000000 * supp * n_orders) div (supp_a * supp_c)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("conf_ppm"), "antecedent", "consequent")
+        .limit(top_n)
+    )
+
+
+def assoc_rules_parts_oracle_sql(
+    min_support: int = ASSOC_MIN_SUPPORT, top_n: int = ASSOC_TOP_N
+) -> str:
+    """DuckDB replay: same basket derivation, supports, and integer
+    ppm arithmetic."""
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+               FROM lineitem),
+    item AS (SELECT p, COUNT(*) AS supp_i FROM b GROUP BY p),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+    pairs AS (
+      SELECT a.p AS p1, c.p AS p2, COUNT(*) AS supp
+      FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
+      GROUP BY a.p, c.p
+      HAVING COUNT(*) >= {min_support}),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, supp FROM pairs
+      UNION ALL
+      SELECT p2 AS antecedent, p1 AS consequent, supp FROM pairs)
+    SELECT antecedent, consequent,
+           CAST(supp AS BIGINT) AS support,
+           1000000 * supp // sa.supp_i AS conf_ppm,
+           (1000000 * supp * n.n_orders) // (sa.supp_i * sc.supp_i)
+               AS lift_ppm
+    FROM rules
+    JOIN item sa ON sa.p = antecedent
+    JOIN item sc ON sc.p = consequent
+    CROSS JOIN n
+    ORDER BY conf_ppm DESC, antecedent, consequent
+    LIMIT {top_n}
+    """

@@ -1200,3 +1200,201 @@ def remove_dup_spans(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (PPJoin-style)
+# --------------------------------------------------------------------------
+
+# Jaccard >= 4/5, compared as 5*inter >= 4*union — integer-exact on
+# both engines, no float threshold anywhere in the decision path.
+SIMJOIN_T_NUM = 4
+SIMJOIN_T_DEN = 5
+
+
+def simjoin_prefix(
+    t: dict[str, DataFrame], presentation_sort: bool = True
+) -> DataFrame:
+    """EXACT word-3-shingle-set Jaccard >= 4/5 self-join over the
+    WHOLE corpus — no blocking key, no block-size cap — via prefix
+    filtering (SSJoin/PPJoin): order each document's distinct shingles
+    by a global total order (document frequency ascending, then
+    shingle), and probe only each document's first
+    ``m - ceil(t*m) + 1`` shingles. Theorem (per-set alpha variant):
+    if ``|A∩B| >= ceil(t*|A|)`` and ``>= ceil(t*|B|)`` — both implied
+    by ``J(A,B) >= t`` — then the globally-smallest element of
+    ``A∩B`` lies in BOTH prefixes, so the prefix equi-join loses no
+    qualifying pair. Candidates then pass a size filter
+    (``t*max <= min``, as ``4*greatest <= 5*least`` in ints) and an
+    exact ``array_intersect`` verification.
+
+    Regime choice, MEASURED at sf0.1: prefix filtering wins exactly
+    where the token space is distinctive and the threshold high.
+    Single WORDS here are degenerate (the synthetic vocabulary is 31
+    tokens, so any two docs have J >= 0.61 and the filter kept 6.47M
+    of 12.5M pairs); char-5-grams at t=0.55 were previously measured
+    8x slower than blocked all-pairs (see neardup_ngram_jaccard's
+    rejection note — long posting lists, ~45%-of-doc prefixes). Word
+    3-shingles at t=0.8 sit in the winning regime: 27k-shingle
+    vocabulary with max df = 25, prefix candidates 43,440 of 12.5M
+    possible pairs (345x pruning), 256 true pairs. This is the
+    production-exact complement to the block-capped baselines
+    (``neardup_jaccard_blocked`` skips oversized blocks;
+    ``neardup_minhash_lsh`` is approximate): the same exact output
+    contract as brute force, quadratic only in documents SHARING A
+    RARE SHINGLE, and it crosses (lang, source) boundaries the
+    blocked variants never compare.
+
+    Cross-engine exactness WITHOUT order parity: prefix filtering is
+    exact under ANY consistent total order, so Spark orders hashed
+    shingles ``(df, xxhash64)`` while the DuckDB oracle orders strings
+    ``(df, shingle)`` — two different candidate sets, provably the
+    same final answer. The oracle is therefore an algorithm-level
+    differential, not a replay. (Shared 64-bit-collision caveat of the
+    whole family: collisions merge shingles, negligible at vocab
+    scale.)
+
+    Reference parity: the reference engine has no similarity join; this
+    extends SURVEY.md §2C near-dup with the exact unblocked path.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].select("doc_id", "text")
+    # One shingle pass feeds prefix derivation AND verification: hash
+    # 3-word shingles to int64 up front (set ops on longs, not
+    # strings; the two-step select splits the text ONCE per row — the
+    # _shingles recipe). All three consumers (the explode and both
+    # verification sides) branch off the SAME repartition, so they
+    # read one materialized exchange (ReusedExchange — the
+    # _jaccard_pairs recipe) instead of re-shingling per branch; no
+    # persist, so nothing pins storage past the query.
+    sets = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(ws) - 2, 1)),"
+                " i -> xxhash64(concat_ws(' ', slice(ws, i, 3)))))"
+            ).alias("toks"),
+        )
+        .repartition(_fanout_partitions(docs), "doc_id")
+    )
+    toks = sets.select(
+        "doc_id", F.size("toks").alias("m"), F.explode("toks").alias("h")
+    )
+    df_tok = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # token-keyed shuffle joins df back; the per-doc window then sorts
+    # each doc's tokens once (doc-keyed exchange, slim int rows).
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        toks.join(df_tok, "h")
+        .withColumn("pos", F.row_number().over(w_doc))
+        # p = m - ceil(t*m) + 1; ceil(4m/5) = (4m+4) div 5 — both
+        # operands non-negative, so Spark div == DuckDB // (floor).
+        .filter(
+            F.col("pos")
+            <= F.col("m")
+            - F.expr(
+                f"({SIMJOIN_T_NUM}*m + {SIMJOIN_T_DEN - 1})"
+                f" div {SIMJOIN_T_DEN}"
+            )
+            + F.lit(1)
+        )
+        .select("doc_id", "m", "h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t forces t*max <= min.
+            & (
+                SIMJOIN_T_NUM
+                * F.greatest(F.col("a.m"), F.col("b.m"))
+                <= SIMJOIN_T_DEN * F.least(F.col("a.m"), F.col("b.m"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_n", inter.cast("long"))
+        .withColumn("union_n", union.cast("long"))
+        .filter(
+            SIMJOIN_T_DEN * F.col("inter_n")
+            >= SIMJOIN_T_NUM * F.col("union_n")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            "union_n",
+            (
+                F.col("inter_n").cast("double")
+                / F.col("union_n").cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy("doc_a", "doc_b") if presentation_sort else out
+
+
+def simjoin_prefix_oracle_sql() -> str:
+    """DuckDB replay of the SAME exact algorithm under a DIFFERENT
+    global token order (string shingles, no hashing) — exactness of
+    prefix filtering makes the two orderings agree on the final output
+    (see simjoin_prefix's docstring)."""
+    n, d = SIMJOIN_T_NUM, SIMJOIN_T_DEN
+    shingles = """
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(
+                       1, greatest(LEN(ws) - 2, 1))]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents)"""
+    return f"""
+    WITH sets AS MATERIALIZED (
+      {shingles}),
+    toks AS MATERIALIZED (
+      SELECT doc_id, LEN(s) AS m, unnest(s) AS tok FROM sets),
+    dfq AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    prefix AS MATERIALIZED (
+      SELECT doc_id, m, tok FROM (
+        SELECT t.doc_id, t.m, t.tok,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.doc_id ORDER BY q.df, t.tok) AS pos
+        FROM toks t JOIN dfq q USING (tok))
+      WHERE pos <= m - (({n}*m + {d - 1}) // {d}) + 1),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE {n} * greatest(a.m, b.m) <= {d} * least(a.m, b.m))
+    SELECT doc_a, doc_b, inter_n, union_n,
+           CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
+    FROM (
+      SELECT doc_a, doc_b,
+             CAST(LEN(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter_n,
+             CAST(LEN(sa.s) + LEN(sb.s)
+                  - LEN(list_intersect(sa.s, sb.s)) AS BIGINT) AS union_n
+      FROM cand
+      JOIN sets sa ON sa.doc_id = doc_a
+      JOIN sets sb ON sb.doc_id = doc_b)
+    WHERE {d} * inter_n >= {n} * union_n
+    ORDER BY doc_a, doc_b
+    """

@@ -880,3 +880,127 @@ def value_mad_outliers(t: dict[str, DataFrame], k: float = 6.0) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint / drift detection
+# --------------------------------------------------------------------------
+
+# Alarm threshold in integer cents. Calibrated so every event_type
+# alarms at sf0.001 and above (per-type max CUSUM ~1.2e5 at sf0.001).
+CUSUM_ALARM_H = 100_000
+
+
+def cusum_alarms(
+    t: dict[str, DataFrame], h: int = CUSUM_ALARM_H
+) -> DataFrame:
+    """One-sided CUSUM drift detection over each event_type's value
+    stream, reported as a per-type summary.
+
+    The textbook recursion ``s_i = max(0, s_{i-1} + (x_i - d))`` is
+    not window-expressible, but it has an exact closed form:
+    ``s_i = P_i - min(0, min_{k<=i} P_k)`` where ``P`` is the running
+    prefix sum of ``(x_i - d)`` — two ordered-window passes, no
+    recursion, no UDF. Everything is integer cents
+    (``floor(value*100 + 0.5)`` — the same IEEE double product and
+    floor on both engines), the reference drift ``d`` is the per-type
+    integer mean minus 10% (``c - c div 10``, non-negative div ==
+    DuckDB ``//``), and ties in the event order are broken by the
+    unique event_id — so the whole CUSUM path is bit-identical
+    cross-engine, and the summary (max excursion, alarm count, first
+    alarming event) hashes exactly.
+
+    100 TB posture: one event_type-keyed exchange for the ordered
+    windows plus a 5-row broadcast of the per-type drift parameters;
+    per-partition state is O(1) (running sum + running min). A
+    per-type total-order window implies one task per type at the
+    extreme — for high-cardinality streams this is the standard
+    time-series layout (partition by series, order within); for few
+    huge series, range-bucket the time axis and carry boundary sums
+    (the pack_sequences prefix-sum recipe).
+    """
+    e = t["events"].select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)").alias("v"),
+    )
+    params = e.groupBy("event_type").agg(
+        F.expr("sum(v) div count(*)").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_ord = w_rn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = (
+        e.join(F.broadcast(params), "event_type")
+        .withColumn("d", F.expr("c - c div 10"))
+        .withColumn("pf", F.sum(F.col("v") - F.col("d")).over(w_ord))
+    )
+    s = p.withColumn(
+        "cusum", F.col("pf") - F.least(F.lit(0), F.min("pf").over(w_ord))
+    ).withColumn("rn", F.row_number().over(w_rn))
+    alarm = F.when(F.col("cusum") >= F.lit(h), F.col("rn"))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("cusum").alias("max_cusum"),
+            F.sum(
+                F.when(F.col("cusum") >= F.lit(h), 1).otherwise(0)
+            ).alias("n_alarms"),
+            F.min_by("event_id", F.coalesce(alarm, F.lit(2**62))).alias(
+                "first_alarm_event_id"
+            ),
+        )
+        # min_by with the no-alarm sentinel returns SOME event when a
+        # type never alarms; mask it back to NULL.
+        .withColumn(
+            "first_alarm_event_id",
+            F.when(
+                F.col("n_alarms") > 0, F.col("first_alarm_event_id")
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cusum_alarms_oracle_sql(h: int = CUSUM_ALARM_H) -> str:
+    """DuckDB replay of the closed-form CUSUM (same integer cents,
+    same drift derivation, same tie order)."""
+    return f"""
+    WITH cents AS (
+      SELECT event_type, event_id, ts,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    params AS (
+      SELECT event_type, SUM(v) // COUNT(*) AS c
+      FROM cents GROUP BY event_type),
+    p AS (
+      SELECT c.event_type, c.event_id,
+             SUM(v - (pc.c - pc.c // 10)) OVER w AS pf,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+             ) AS rn
+      FROM cents c JOIN params pc USING (event_type)
+      WINDOW w AS (
+        PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+        ROWS UNBOUNDED PRECEDING)),
+    s AS (
+      SELECT event_type, event_id, rn,
+             pf - least(0, MIN(pf) OVER (
+               PARTITION BY event_type ORDER BY rn
+               ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM p)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum >= {h} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CASE WHEN SUM(CASE WHEN cusum >= {h} THEN 1 ELSE 0 END) > 0
+                THEN min_by(event_id,
+                            CASE WHEN cusum >= {h} THEN rn
+                                 ELSE {2**62} END)
+           END AS first_alarm_event_id
+    FROM s GROUP BY event_type ORDER BY event_type
+    """

@@ -730,6 +730,12 @@ REGISTRY.update(
             ORDER BY d.event_id
             """,
         ),
+        # Closed-form CUSUM (prefix sum minus clamped running min) in
+        # integer cents — the whole excursion path is bit-identical
+        # cross-engine, summarized per type.
+        "cusum_alarms": QuerySpec(
+            _rel(ST.cusum_alarms), ST.cusum_alarms_oracle_sql()
+        ),
         "histogram_bins": QuerySpec(
             _rel(ST.histogram_bins),
             """
@@ -812,6 +818,14 @@ REGISTRY.update(
         "neardup_simhash": QuerySpec(_rel(D.neardup_simhash), None),
         "neardup_clusters": QuerySpec(_rel(D.neardup_clusters), None),
         "fuzzy_dedup_keep": QuerySpec(_rel(D.fuzzy_dedup_keep), None),
+        # Exact UNBLOCKED Jaccard self-join via prefix filtering; the
+        # oracle replays the same exact algorithm under a DIFFERENT
+        # global token order (strings vs hashed longs) — prefix
+        # filtering is order-independent in its OUTPUT, so this is an
+        # algorithm-level differential, not a replay.
+        "simjoin_prefix": QuerySpec(
+            _rel(D.simjoin_prefix), D.simjoin_prefix_oracle_sql()
+        ),
         # ---------------- similarity search ----------------
         "cosine_topk": QuerySpec(
             _rel(S.cosine_topk),
@@ -2225,6 +2239,11 @@ REGISTRY.update(
             ORDER BY c_nationkey, segment
             """,
         ),
+        # Market-basket association rules: integer-ppm confidence/lift,
+        # deterministic top-N (conf DESC, antecedent, consequent).
+        "assoc_rules_parts": QuerySpec(
+            _rel(A.assoc_rules_parts), A.assoc_rules_parts_oracle_sql()
+        ),
         "grouping_sets_revenue": QuerySpec(
             _rel(A.grouping_sets_revenue),
             """
@@ -2647,6 +2666,13 @@ REGISTRY.update(
             # projection + exact-quantile edge threshold + doubling-CC
             # chain, replayed with MATERIALIZED CTEs.
             G.supplier_communities_oracle_sql(),
+        ),
+        # Degree-oriented exact triangle counting on the shared
+        # supplier projection (one definition with supplier_communities
+        # on both engines: _supplier_strong_pairs / _SUPPLIER_PROJ_SQL).
+        "triangle_count_suppliers": QuerySpec(
+            _rel(G.triangle_count_suppliers),
+            G.triangle_count_suppliers_oracle_sql(),
         ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),
@@ -3218,6 +3244,28 @@ _VERDICT_PRIORITY = [
     # (r4-green; the regex-scan family's exact oracle runs every
     # pytest pass and its plan pin lives in test_plans).
     "supplier_communities",
+    # 0k: exact unblocked prefix-filter similarity join — takes
+    # bloom_prune_orders' slot (r4-green; the join-pruning family's
+    # exact oracle runs every pytest pass and the Bloom-bound plan
+    # pin lives in test_plans; join shapes stay pinned in-window by
+    # the q-series and join_left_nulls).
+    "simjoin_prefix",
+    # 0l: closed-form CUSUM drift summary — takes
+    # video_frame_features' slot (r4-green; the multimodal family
+    # stays pinned in-window by wav_audio_features and video's exact
+    # per-frame oracle runs every pytest pass).
+    "cusum_alarms",
+    # 0m: basket association rules — takes heavy_hitters_cms' slot
+    # (r4-green; the sketch family's exact md5-bucket oracle runs
+    # every pytest pass, its overestimate/e-w bounds are pinned in
+    # pytest, and the streaming twin cms_sketch_stream re-exercises
+    # the same bucket math every round).
+    "assoc_rules_parts",
+    # 0n: degree-oriented triangle counting — takes
+    # cogroup_user_funnel's slot (r4-green; the cogroup/exprId family
+    # is pinned by its dedicated crash-regression pytest suite and
+    # its exact oracle runs every pytest pass).
+    "triangle_count_suppliers",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3236,10 +3284,7 @@ _VERDICT_PRIORITY = [
     # rollup + winsorization + Simpson token diversity)
     "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs", "winsorize_values",
-    "cogroup_user_funnel",
     "bigram_lm_scores",
-    "video_frame_features", "bloom_prune_orders",
-    "heavy_hitters_cms",
     "pq_topk",
     # (ivf_topk and semdedup_embedding drop out of the 50: their
     # fit-path change is shared with — and re-verified through —

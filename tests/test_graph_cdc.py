@@ -559,3 +559,48 @@ def test_supplier_communities_engineered(spark):
     # bridge (3,11) = 1 -> p90 over {6,6,6,6,1} cuts the bridge
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
     assert got[11] == (11, 2) and got[12] == (11, 2)
+
+
+def test_triangle_count_engineered_brute_force(spark):
+    """triangle_count_suppliers vs itertools brute force on an
+    engineered projection: two triangles joined by a bridge, a
+    pendant edge (node in the strong graph but in NO triangle -> must
+    be absent), and one weak weight-1 pair the p90 threshold must cut.
+    Each desired edge gets two dedicated shared customers (weight 2);
+    the weak pair gets one."""
+    from itertools import combinations
+
+    edges2 = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6), (1, 7)]
+    weak1 = [(7, 5)]
+    rows, ok, cust = [], 0, 100
+    for (a, b), w in [(e, 2) for e in edges2] + [(e, 1) for e in weak1]:
+        for _ in range(w):
+            cust += 1
+            for s in (a, b):
+                rows.append((ok, cust, s)); ok += 1
+    o = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "l_orderkey long, l_suppkey long"
+    )
+    got = {
+        r.supplier: r.n_triangles
+        for r in G.triangle_count_suppliers(
+            {"orders": o, "lineitem": li}
+        ).collect()
+    }
+    # brute force over the expected strong graph (weight-2 edges only)
+    es = {frozenset(e) for e in edges2}
+    nodes = sorted({n for e in edges2 for n in e})
+    expect = {}
+    for u, v, w in combinations(nodes, 3):
+        if (
+            frozenset((u, v)) in es
+            and frozenset((u, w)) in es
+            and frozenset((v, w)) in es
+        ):
+            for n in (u, v, w):
+                expect[n] = expect.get(n, 0) + 1
+    assert expect == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+    assert got == expect  # 7 absent: pendant edge, no triangle

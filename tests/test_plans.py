@@ -406,3 +406,24 @@ def test_cc_apply_edge_batch_never_reads_lake_edges(spark, sf_dir, tmp_path):
     assert "lineitem.parquet" not in plan
     assert str(tmp_path / "labels") in plan
     assert str(tmp_path / "batch") in plan
+
+
+def test_simjoin_prefix_no_cartesian_text_never_moves(spark, sf_dir):
+    """The prefix-filter similarity join must stay an equi-join on
+    shingle hashes (no CartesianProduct anywhere — the whole point of
+    the prefix filter), and document text must die at the scan-side
+    shingle projection: every Exchange/Join block moves int64 hashes
+    and ids, never the text column."""
+    import re
+
+    plan = P.plan_string(q("simjoin_prefix", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") > 0
+    blocks = re.split(r"\n\s*\n", plan)
+    movers = [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) (Exchange|\w*Join)", b.strip())
+        and "text#" in b
+    ]
+    assert not movers, movers

@@ -373,3 +373,154 @@ def test_self_retrieval_ranks_brute_force(spark, sf_dir, tmp_path):
     }
     assert got2[100] == (2, 0.5)  # its twin doc 7 outranks it
     assert got2[150] == (2, 0.5)
+
+
+def test_simjoin_prefix_brute_force(spark):
+    """simjoin_prefix vs a Python brute-force all-pairs scan over an
+    engineered corpus: template docs with small edits (pairs that must
+    match at J >= 4/5), unrelated docs (must not), a doc pair whose
+    Jaccard is EXACTLY 4/5 (boundary kept), and short docs (< 3 words
+    -> single whole-doc shingle). Independent reference: set algebra
+    in Python over string shingles — no Spark, no DuckDB, no prefix
+    filter."""
+    from parquet_export_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: base,
+        2: base,                                   # exact dup of 1
+        3: base + " tail",                         # near dup of 1/2
+        4: "completely different words appear in this one here",
+        5: "completely different words appear in this one there",
+        6: "a b",                                  # < 3 words
+        7: "a b",                                  # exact short dup
+        # exactly J = 4/5: shingle sets sized 8 vs 10 sharing 8
+        8: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        9: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+    }
+
+    def shingles(s):
+        ws = s.split(" ")
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(n)}
+
+    expect = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                a, b = shingles(texts[i]), shingles(texts[j])
+                inter, union = len(a & b), len(a | b)
+                if 5 * inter >= 4 * union:
+                    expect[(i, j)] = (inter, union)
+    # the fixture exercises all four designed cases
+    assert (1, 2) in expect and (6, 7) in expect
+    assert (8, 9) in expect and expect[(8, 9)][0] * 5 == expect[(8, 9)][1] * 4
+    assert (4, 5) not in expect  # one word flips 3 trailing shingles
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_n, r.union_n)
+        for r in D.simjoin_prefix({"documents": docs}).collect()
+    }
+    assert got == expect
+
+
+def test_cusum_closed_form_matches_textbook_recursion(spark):
+    """cusum_alarms' windowed closed form
+    (s_i = P_i - min(0, min_{k<=i} P_k)) vs the textbook sequential
+    recursion (s_i = max(0, s_{i-1} + y_i)) run in plain Python over
+    an engineered series: a below-drift stretch where the raw prefix
+    sum goes NEGATIVE but CUSUM must clamp at zero (the max(0, .)
+    part a plain cumulative sum gets wrong), then a level shift that
+    must alarm."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators import stats as ST
+
+    # values in dollars; drift d derives from the per-type mean
+    vals = [10.0] * 20 + [200.0] * 10 + [1.0] * 20
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "shift", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    h = 50_000  # cents
+    got = ST.cusum_alarms({"events": e}, h=h).collect()[0]
+
+    cents = [int(v * 100 + 0.5) for v in vals]
+    c = sum(cents) // len(cents)
+    d = c - c // 10
+    s, path = 0, []
+    for x in cents:
+        s = max(0, s + (x - d))
+        path.append(s)
+    alarms = [i for i, v in enumerate(path) if v >= h]
+    # the clamp is live: during the below-drift stretch the RAW
+    # prefix sum is negative while CUSUM sits exactly at zero
+    raw19 = sum(x - d for x in cents[:20])
+    assert raw19 < 0 and path[19] == 0
+    assert alarms  # the level shift actually alarmed
+    assert got.n_events == len(vals)
+    assert got.max_cusum == max(path)
+    assert got.n_alarms == len(alarms)
+    assert got.first_alarm_event_id == alarms[0]
+
+
+def test_assoc_rules_brute_force(spark):
+    """assoc_rules_parts vs a plain-Python Apriori-style scan over
+    engineered baskets: known co-occurrence counts, both rule
+    directions with ASYMMETRIC confidences, a pair below min_support
+    that must be absent, and integer ppm arithmetic."""
+    from parquet_export_spark.operators import advanced as A
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20],
+        4: [10, 30],
+        5: [40, 50],   # co-occurs once -> below min_support
+        6: [10],
+        7: [20, 30],
+    }
+    rows = [
+        (ok * 100 + i, ok, p)
+        for ok, ps in baskets.items()
+        for i, p in enumerate(ps)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_linenumber long, l_orderkey long, l_partkey long"
+    )
+    got = {
+        (r.antecedent, r.consequent): (r.support, r.conf_ppm, r.lift_ppm)
+        for r in A.assoc_rules_parts({"lineitem": li}).collect()
+    }
+
+    from collections import Counter
+    from itertools import combinations
+
+    item = Counter(p for ps in baskets.values() for p in set(ps))
+    pair = Counter(
+        c for ps in baskets.values() for c in combinations(sorted(set(ps)), 2)
+    )
+    n = len(baskets)
+    expect = {}
+    for (a, b), s in pair.items():
+        if s >= 2:
+            for x, y in ((a, b), (b, a)):
+                expect[(x, y)] = (
+                    s,
+                    1_000_000 * s // item[x],
+                    1_000_000 * s * n // (item[x] * item[y]),
+                )
+    assert (40, 50) not in got and (50, 40) not in got
+    # asymmetry is actually exercised: conf(30->10) != conf(10->30)
+    assert expect[(30, 10)][1] != expect[(10, 30)][1]
+    assert got == expect

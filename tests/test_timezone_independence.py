@@ -35,6 +35,7 @@ TZ_SENSITIVE = [
     "rolling_user_features",
     "match_click_bursts",
     "scd2_point_in_time",
+    "cusum_alarms",
 ]
 
 

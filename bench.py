@@ -139,6 +139,7 @@ HEADLINE = [
     "cusum_alarms",
     "assoc_rules_parts",
     "triangle_count_suppliers",
+    "kcore_suppliers",
 ]
 
 

@@ -1229,3 +1229,161 @@ def triangle_count_suppliers_oracle_sql(
         ORDER BY supplier
         """
     )
+
+
+KCORE_ROUNDS = 6
+KCORE_DEG_PCTL = 0.5
+
+
+def kcore_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    deg_pctl: float = KCORE_DEG_PCTL,
+    n_rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """The k-core of the projected supplier graph (the shared
+    _supplier_strong_pairs projection) by iterative peeling: drop
+    every node whose degree in the SURVIVING subgraph is below k,
+    recompute degrees, repeat. k is RELATIVE — ``ceil`` of the
+    ``deg_pctl`` quantile of the ORIGINAL degree distribution
+    (exact interpolated percentile == quantile_cont, then identical
+    ceil) — so the operator is meaningful at any scale or density
+    where a fixed k would keep everything or nothing.
+
+    Convergence contract (the cc_apply_edge_batch pattern): peeling is
+    monotone, so after the fixed ``n_rounds`` one extra degree pass
+    verifies the fixed point and RAISES if any surviving node is
+    still below k — a silent wrong answer is impossible; the failure
+    mode is loud. The oracle replays the same ``n_rounds`` as
+    unrolled MATERIALIZED CTEs.
+
+    Output: (supplier, core_degree) for every k-core member — the
+    degree within the core. Rounds are edge-sized semi-joins + one
+    degree aggregate each; only node-sized alive sets evolve, and the
+    projection is computed once (localCheckpoint inside the shared
+    helper).
+
+    100 TB posture: per round, the edge cache is filtered by two
+    node-sized semi-joins (broadcastable alive-set deltas at real
+    densities) and re-aggregated — O(rounds * m) total, no all-pairs
+    term anywhere; worst-case round count for full decomposition is
+    the degeneracy ordering's depth, which the fixed-round + verify
+    contract bounds honestly instead of hiding.
+    """
+    strong = _supplier_strong_pairs(t, pctl, max_degree)
+    edges = strong.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        strong.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    kval = deg0.agg(
+        F.ceil(F.expr(f"percentile(deg, {deg_pctl})"))
+        .cast("long")
+        .alias("k")
+    )
+    alive = (
+        deg0.crossJoin(F.broadcast(kval))
+        .filter(F.col("deg") >= F.col("k"))
+        .select(F.col("src").alias("node"))
+    )
+    # peel on a SHRINKING edge set: each round semi-joins the
+    # SURVIVING edges (not the original list) against the new alive
+    # set and checkpoints the remainder — dead edges never move
+    # again, so late rounds cost the size of what's left, and the
+    # double-reference lineage (src + dst semi-joins) stays
+    # constant-depth (pitfall: 2^rounds plan otherwise).
+    e = edges
+    for _ in range(n_rounds):
+        e = (
+            e.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .localCheckpoint()
+        )
+        d = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = (
+            d.crossJoin(F.broadcast(kval))
+            .filter(F.col("deg") >= F.col("k"))
+            .select(F.col("src").alias("node"))
+        )
+    # fixed-point verification: one more filter+degree pass must
+    # change nothing. Monotone peeling => survivors only shrink, so
+    # count equality IS convergence (an alive node that lost its
+    # last edge disappears from the final degree table and breaks
+    # the equality too).
+    e = (
+        e.join(alive.select(F.col("node").alias("src")), "src")
+        .join(alive.select(F.col("node").alias("dst")), "dst")
+    )
+    core = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .crossJoin(F.broadcast(kval))
+    )
+    n_alive = alive.count()
+    n_ok = core.filter(F.col("core_degree") >= F.col("k")).count()
+    if n_ok != n_alive:
+        raise RuntimeError(
+            f"kcore_suppliers: not converged after {n_rounds} rounds "
+            f"({n_alive - n_ok} nodes still below k); raise n_rounds"
+        )
+    return (
+        core.select(
+            F.col("src").alias("supplier"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+        .orderBy("supplier")
+    )
+
+
+def kcore_suppliers_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    deg_pctl: float = KCORE_DEG_PCTL,
+    n_rounds: int = KCORE_ROUNDS,
+) -> str:
+    """DuckDB replay: shared projection CTEs + the same unrolled
+    peeling rounds (MATERIALIZED — pitfall: DuckDB inlines CTEs
+    referenced twice, exploding the chain exponentially otherwise)."""
+    rounds = []
+    prev = "alive0"
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+        e{i} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM edges e
+          JOIN {prev} a ON a.node = e.src
+          JOIN {prev} b ON b.node = e.dst),
+        alive{i} AS MATERIALIZED (
+          SELECT src AS node FROM e{i}
+          GROUP BY src HAVING COUNT(*) >= (SELECT k FROM kv))
+        """)
+        prev = f"alive{i}"
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + f""",
+        edges AS MATERIALIZED (
+          SELECT s1 AS src, s2 AS dst FROM strong
+          UNION ALL
+          SELECT s2 AS src, s1 AS dst FROM strong),
+        deg0 AS MATERIALIZED (
+          SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        kv AS (SELECT CAST(CEIL(quantile_cont(deg, {deg_pctl}))
+                      AS BIGINT) AS k FROM deg0),
+        alive0 AS MATERIALIZED (
+          SELECT src AS node FROM deg0
+          WHERE deg >= (SELECT k FROM kv)),
+        """
+        + ",".join(rounds)
+        + f"""
+        SELECT e.src AS supplier,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM edges e
+        JOIN {prev} a ON a.node = e.src
+        JOIN {prev} b ON b.node = e.dst
+        GROUP BY e.src
+        ORDER BY supplier
+        """
+    )

@@ -83,6 +83,12 @@ SHOWCASE = [
     "knn_classify",
     "twap_by_type",
     "curate_corpus_pipeline",
+    # round-5 batch 3: df-ordered prefix-filter similarity join (one
+    # shared tokenize exchange, no cartesian), closed-form CUSUM
+    # double-window, degree-oriented wedge-closing triangle joins
+    "simjoin_prefix",
+    "cusum_alarms",
+    "triangle_count_suppliers",
 ]
 
 HEADER = """\

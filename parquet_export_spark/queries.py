@@ -2674,6 +2674,12 @@ REGISTRY.update(
             _rel(G.triangle_count_suppliers),
             G.triangle_count_suppliers_oracle_sql(),
         ),
+        # Iterative peeling to the k-core (k = ceil median original
+        # degree) with a loud fixed-point guard; unrolled MATERIALIZED
+        # peeling rounds in the oracle.
+        "kcore_suppliers": QuerySpec(
+            _rel(G.kcore_suppliers), G.kcore_suppliers_oracle_sql()
+        ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),
             # lake doubling chain + endpoint contraction + label-graph
@@ -3266,6 +3272,10 @@ _VERDICT_PRIORITY = [
     # is pinned by its dedicated crash-regression pytest suite and
     # its exact oracle runs every pytest pass).
     "triangle_count_suppliers",
+    # 0o: iterative k-core peeling — takes winsorize_values' slot
+    # (r4-green; the percentile-clip family stays pinned in-window by
+    # percentiles_exact and its exact oracle runs every pytest pass).
+    "kcore_suppliers",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3283,7 +3293,7 @@ _VERDICT_PRIORITY = [
     # windows + CDC snapshot diff + variant JSON + incremental MV
     # rollup + winsorization + Simpson token diversity)
     "sliding_rollup", "snapshot_diff",
-    "incremental_rollup", "variant_json_funcs", "winsorize_values",
+    "incremental_rollup", "variant_json_funcs",
     "bigram_lm_scores",
     "pq_topk",
     # (ivf_topk and semdedup_embedding drop out of the 50: their

@@ -537,3 +537,135 @@ def read_cms_sketch(spark, artifact_dir: str):
         .groupBy("row_id", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def cusum_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+    drift: int,
+    h: int = 100_000,
+):
+    """Continuous CUSUM drift monitoring: the streaming twin of
+    ``operators.stats.cusum_alarms``.
+
+    CUSUM state composes SEQUENTIALLY: the whole history collapses to
+    two longs per event_type — the last prefix sum ``pf`` and the
+    running minimum ``minp`` of all prefixes (with the virtual
+    ``P_0 = 0``) — because ``s_i = P_i - min(0, minp_i)`` and both
+    carry values extend by pure accumulation. Each micro-batch
+    continues the path from the PREVIOUS batch's carry, emits its
+    alarm rows and the updated carry into its own overwritten
+    ``batch_<id>/`` subdirectory (replay-idempotent: a replayed batch
+    re-reads the carry of the highest batch id BELOW its own — exactly
+    the state it originally saw — and re-produces byte-identical
+    output). Within a batch the event order is (ts, event_id), the
+    same total order as the batch twin.
+
+    One deliberate difference from the batch twin, stated loudly: the
+    drift ``d`` is a FROZEN parameter here, not derived from the data
+    — a streaming monitor must not let new data rewrite the reference
+    it is monitored against (training-serving parity: calibrate d on
+    a window with the batch operator, then freeze it). ``h`` is the
+    alarm threshold in the same integer units (cents).
+
+    Two-micro-batch pytest pins: concatenated-stream state ==
+    sequential Python recursion over the full series, and the alarm
+    set matches exactly across the batch boundary.
+    """
+    from parquet_export_spark.export import fs
+
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+    alarms_base = artifact_dir.rstrip("/") + "/alarms"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)").alias("v"),
+        ).localCheckpoint()
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, pf long, minp long"
+            )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        p = (
+            batch.join(carry, "event_type", "left")
+            .withColumn("pf0", F.coalesce("pf", F.lit(0)))
+            .withColumn("minp0", F.coalesce("minp", F.lit(0)))
+            .withColumn(
+                "pf_i",
+                F.col("pf0") + F.sum(F.col("v") - F.lit(drift)).over(w),
+            )
+            .withColumn(
+                "minp_i", F.least("minp0", F.min("pf_i").over(w))
+            )
+            .withColumn(
+                "cusum",
+                F.col("pf_i") - F.least(F.lit(0), F.col("minp_i")),
+            )
+        )
+        p.filter(F.col("cusum") >= F.lit(h)).select(
+            "event_type", "event_id", "ts", "cusum"
+        ).write.mode("overwrite").parquet(
+            fs.join(alarms_base, f"batch_{batch_id}")
+        )
+        w_last = Window.partitionBy("event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        new_carry = (
+            p.withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.col("pf_i").alias("pf"),
+                F.col("minp_i").alias("minp"),
+            )
+        )
+        # types silent this batch keep their old carry
+        kept = carry.join(
+            new_carry.select("event_type"), "event_type", "left_anti"
+        )
+        new_carry.unionByName(kept).write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cusum_alarms(spark, artifact_dir: str):
+    """All alarm rows emitted so far, across batches (the alarms/
+    tree only — carries live in a sibling tree with its own schema)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/alarms")
+        .select("event_type", "event_id", "ts", "cusum")
+    )

@@ -604,3 +604,52 @@ def test_triangle_count_engineered_brute_force(spark):
                 expect[n] = expect.get(n, 0) + 1
     assert expect == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
     assert got == expect  # 7 absent: pendant edge, no triangle
+
+
+def test_kcore_peeling_cascade_brute_force(spark):
+    """kcore_suppliers vs plain-Python iterative peeling on an
+    engineered graph where the peel CASCADES: triangle {1,2,3} plus
+    pendant chain 3-4-5. Original degrees (1:2, 2:2, 3:3, 4:2, 5:1)
+    give k = ceil(median) = 2; node 5 peels first, which drops node 4
+    below k — a ONE-SHOT degree filter would keep 4 (deg 2 >= 2), so
+    its absence pins the iterative semantics."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    rows, ok, cust = [], 0, 100
+    for a, b in edges:
+        for _ in range(2):  # weight 2 so the p90 threshold keeps all
+            cust += 1
+            for s in (a, b):
+                rows.append((ok, cust, s)); ok += 1
+    o = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "l_orderkey long, l_suppkey long"
+    )
+    got = {
+        r.supplier: r.core_degree
+        for r in G.kcore_suppliers({"orders": o, "lineitem": li}).collect()
+    }
+
+    # independent reference: true k-core by repeated peeling
+    import math
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    degs = sorted(len(v) for v in adj.values())
+    mid = (len(degs) - 1) / 2
+    lo, hi = degs[math.floor(mid)], degs[math.ceil(mid)]
+    k = math.ceil(lo + (hi - lo) * (mid - math.floor(mid)))
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if len(adj[n] & alive) < k:
+                alive.discard(n); changed = True
+    expect = {n: len(adj[n] & alive) for n in alive}
+    assert k == 2 and expect == {1: 2, 2: 2, 3: 2}
+    assert 4 not in got  # the cascade actually happened
+    assert got == expect

@@ -617,3 +617,80 @@ def test_cms_sketch_stream_merge_equals_full_sketch(spark, tmp_path):
             b = hashlib.md5(f"{word}#{row_id}".encode()).hexdigest()[:3]
             ests.append(got.get((row_id, b), 0))
         assert min(ests) >= n
+
+
+def test_cusum_stream_two_batches_equals_sequential_recursion(
+    spark, tmp_path
+):
+    """Continuous CUSUM: after two micro-batches the carried state and
+    the union of per-batch alarm rows must equal the textbook
+    sequential recursion run over the CONCATENATED series in plain
+    Python — the carry (last prefix sum, running min) is the whole
+    history, so the batch boundary must be invisible. The engineered
+    series shifts level mid-SECOND-batch, so the alarm run starts
+    after the boundary and depends on first-batch state."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "events_landing")
+    art = str(tmp_path / "cusum")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    drift, h = 1000, 3000  # cents
+    vals = [10.0] * 6 + [9.0] * 4 + [25.0] * 6  # shift inside batch 2
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "probe", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    b1, b2 = rows[:8], rows[8:]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.cusum_stream(stream, art, ckpt, drift=drift, h=h)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    # independent reference: sequential recursion over the FULL series
+    cents = [int(v * 100 + 0.5) for v in vals]
+    s, pf, minp, path = 0, 0, 0, []
+    for x in cents:
+        pf += x - drift
+        minp = min(minp, pf)
+        s = max(0, s + (x - drift))
+        path.append(s)
+        assert s == pf - min(0, minp)  # closed form == recursion
+    want_alarms = {i for i, v in enumerate(path) if v >= h}
+    assert want_alarms and min(want_alarms) >= len(b1)  # crosses boundary
+
+    got = {
+        r.event_id: r.cusum
+        for r in I.read_cusum_alarms(spark, art).collect()
+    }
+    assert set(got) == want_alarms
+    assert got == {i: path[i] for i in want_alarms}
+    # final carry == full-series prefix state
+    carry = {
+        r.event_type: (r.pf, r.minp)
+        for r in spark.read.parquet(art + "/carry/batch_1").collect()
+    }
+    assert carry == {"probe": (pf, minp)}
+    # same-checkpoint re-run (no new data): artifact must not change
+    run_once()
+    assert {
+        r.event_id for r in I.read_cusum_alarms(spark, art).collect()
+    } == want_alarms
+    assert {
+        r.event_type: (r.pf, r.minp)
+        for r in spark.read.parquet(art + "/carry/batch_1").collect()
+    } == carry

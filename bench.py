@@ -140,6 +140,7 @@ HEADLINE = [
     "assoc_rules_parts",
     "triangle_count_suppliers",
     "kcore_suppliers",
+    "supplier_graph_suite",
 ]
 
 

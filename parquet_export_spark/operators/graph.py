@@ -1012,6 +1012,15 @@ def _supplier_strong_pairs(
     )
 
 
+#: symmetric edge list over the strong pairs — shared verbatim by the
+#: communities (ccd chain) and k-core (peeling) oracles.
+_SUPPLIER_EDGES_SQL = """,
+        edges AS MATERIALIZED (
+          SELECT s1 AS src, s2 AS dst FROM strong
+          UNION ALL
+          SELECT s2 AS src, s1 AS dst FROM strong)
+        """
+
 #: DuckDB CTE text of the SAME projection (cs -> deg_ok -> pairs ->
 #: th -> strong), shared by every projected-graph oracle.
 _SUPPLIER_PROJ_SQL = """
@@ -1037,6 +1046,7 @@ def supplier_communities(
     pctl: float = SUPPLIER_COMMUNITY_PCTL,
     max_degree: int = BUTTERFLY_MAX_DEGREE,
     n_iter: int = CC_DOUBLE_ITERS,
+    strong: DataFrame | None = None,
 ) -> DataFrame:
     """Bipartite PROJECTION + community detection, composed: project
     the customer<->supplier graph onto suppliers (edge weight = shared
@@ -1055,7 +1065,8 @@ def supplier_communities(
     """
     from pyspark.sql import Window
 
-    strong = _supplier_strong_pairs(t, pctl, max_degree)
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
     edges = strong.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionByName(
@@ -1086,30 +1097,37 @@ def supplier_communities_oracle_sql(
     doubling chain over the projected edges."""
     head = [
         _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
-        + """,
-        edges AS MATERIALIZED (
-          SELECT s1 AS src, s2 AS dst FROM strong
-          UNION ALL
-          SELECT s2 AS src, s1 AS dst FROM strong)
-        """
+        + _SUPPLIER_EDGES_SQL
     ] + _ccd_chain(n_iter)
     return (
         "WITH "
         + ",".join(head)
+        + _comm_sql(n_iter)
         + """
-        SELECT node AS supplier, l AS community,
-               CAST(COUNT(*) OVER (PARTITION BY l) AS BIGINT)
-                   AS community_size
-        FROM ccd{n}
+        SELECT supplier, community, community_size FROM comm
         ORDER BY supplier
-        """.format(n=n_iter)
+        """
     )
+
+
+def _comm_sql(n_iter: int) -> str:
+    """``comm`` CTE: community label + size per supplier, read off the
+    last doubling round. ONE definition for the single operator and
+    the composed suite."""
+    return """,
+        comm AS MATERIALIZED (
+          SELECT node AS supplier, l AS community,
+                 CAST(COUNT(*) OVER (PARTITION BY l) AS BIGINT)
+                     AS community_size
+          FROM ccd{n})
+        """.format(n=n_iter)
 
 
 def triangle_count_suppliers(
     t: dict[str, DataFrame],
     pctl: float = SUPPLIER_COMMUNITY_PCTL,
     max_degree: int = BUTTERFLY_MAX_DEGREE,
+    strong: DataFrame | None = None,
 ) -> DataFrame:
     """Exact per-node triangle counts on the projected supplier graph
     (the _supplier_strong_pairs projection — same graph the community
@@ -1131,7 +1149,8 @@ def triangle_count_suppliers(
     Output: (supplier, n_triangles) for every supplier in at least
     one triangle.
     """
-    strong = _supplier_strong_pairs(t, pctl, max_degree)
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
     deg = (
         strong.select(F.col("s1").alias("node"))
         .unionByName(strong.select(F.col("s2").alias("node")))
@@ -1197,7 +1216,17 @@ def triangle_count_suppliers_oracle_sql(
     return (
         "WITH "
         + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
-        + """,
+        + _TRI_SQL
+        + """
+        SELECT supplier, n_triangles FROM tri_n
+        ORDER BY supplier
+        """
+    )
+
+
+#: degree orientation + wedge closing + per-corner counts over
+#: ``strong`` — ONE definition for the single operator and the suite.
+_TRI_SQL = """,
         nd AS MATERIALIZED (
           SELECT node, COUNT(*) AS deg FROM (
             SELECT s1 AS node FROM strong
@@ -1219,16 +1248,15 @@ def triangle_count_suppliers_oracle_sql(
           FROM o a
           JOIN o b ON a.src = b.src
                   AND ((a.ddeg, a.dst) < (b.ddeg, b.dst))
-          JOIN o c ON c.src = a.dst AND c.dst = b.dst)
-        SELECT supplier, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        FROM (
-          SELECT u AS supplier FROM tri
-          UNION ALL SELECT v FROM tri
-          UNION ALL SELECT w FROM tri)
-        GROUP BY supplier
-        ORDER BY supplier
+          JOIN o c ON c.src = a.dst AND c.dst = b.dst),
+        tri_n AS MATERIALIZED (
+          SELECT supplier, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM (
+            SELECT u AS supplier FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+          GROUP BY supplier)
         """
-    )
 
 
 KCORE_ROUNDS = 6
@@ -1241,6 +1269,7 @@ def kcore_suppliers(
     max_degree: int = BUTTERFLY_MAX_DEGREE,
     deg_pctl: float = KCORE_DEG_PCTL,
     n_rounds: int = KCORE_ROUNDS,
+    strong: DataFrame | None = None,
 ) -> DataFrame:
     """The k-core of the projected supplier graph (the shared
     _supplier_strong_pairs projection) by iterative peeling: drop
@@ -1271,7 +1300,8 @@ def kcore_suppliers(
     the degeneracy ordering's depth, which the fixed-round + verify
     contract bounds honestly instead of hiding.
     """
-    strong = _supplier_strong_pairs(t, pctl, max_degree)
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
     edges = strong.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionByName(
@@ -1347,6 +1377,22 @@ def kcore_suppliers_oracle_sql(
     """DuckDB replay: shared projection CTEs + the same unrolled
     peeling rounds (MATERIALIZED — pitfall: DuckDB inlines CTEs
     referenced twice, exploding the chain exponentially otherwise)."""
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+        + _kcore_sql(deg_pctl, n_rounds)
+        + """
+        SELECT supplier, core_degree FROM core
+        ORDER BY supplier
+        """
+    )
+
+
+def _kcore_sql(deg_pctl: float, n_rounds: int) -> str:
+    """Unrolled peeling chain over the shared ``edges`` CTE, ending in
+    a ``core`` CTE — ONE definition for the single operator and the
+    suite."""
     rounds = []
     prev = "alive0"
     for i in range(1, n_rounds + 1):
@@ -1361,13 +1407,7 @@ def kcore_suppliers_oracle_sql(
         """)
         prev = f"alive{i}"
     return (
-        "WITH "
-        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
-        + f""",
-        edges AS MATERIALIZED (
-          SELECT s1 AS src, s2 AS dst FROM strong
-          UNION ALL
-          SELECT s2 AS src, s1 AS dst FROM strong),
+        f""",
         deg0 AS MATERIALIZED (
           SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         kv AS (SELECT CAST(CEIL(quantile_cont(deg, {deg_pctl}))
@@ -1377,13 +1417,111 @@ def kcore_suppliers_oracle_sql(
           WHERE deg >= (SELECT k FROM kv)),
         """
         + ",".join(rounds)
-        + f"""
-        SELECT e.src AS supplier,
-               CAST(COUNT(*) AS BIGINT) AS core_degree
-        FROM edges e
-        JOIN {prev} a ON a.node = e.src
-        JOIN {prev} b ON b.node = e.dst
-        GROUP BY e.src
-        ORDER BY supplier
+        + f""",
+        core AS MATERIALIZED (
+          SELECT e.src AS supplier,
+                 CAST(COUNT(*) AS BIGINT) AS core_degree
+          FROM edges e
+          JOIN {prev} a ON a.node = e.src
+          JOIN {prev} b ON b.node = e.dst
+          GROUP BY e.src)
+        """
+    )
+
+
+def supplier_graph_suite(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+    deg_pctl: float = KCORE_DEG_PCTL,
+    n_rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """The full projected-supplier-graph profile — community label,
+    triangle count, k-core degree — computed off ONE materialized
+    projection (the graph_all_metrics recipe applied to the supplier
+    projection): the three singles each pay the ~3 s projection
+    rebuild at sf0.1; the suite builds ``strong`` once
+    (localCheckpoint, eager) and hands it to all three cores, with
+    the two ITERATIVE cores (doubling-CC, peeling) submitted from
+    driver THREADS so their short synchronous rounds interleave
+    instead of serializing (measured 1.6x on graph_all_metrics; the
+    triangle core is join-only and lazy, so it needs no thread).
+
+    Output: one row per supplier with at least one strong edge —
+    (supplier, community, community_size, n_triangles, core_degree);
+    n_triangles is 0 outside any triangle, core_degree NULL outside
+    the k-core. The oracle shares every fragment with the three
+    singles' oracles (_SUPPLIER_PROJ_SQL/_SUPPLIER_EDGES_SQL/
+    _ccd_chain + _comm_sql/_TRI_SQL/_kcore_sql) — the suite cannot
+    drift from the operators it composes.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    strong = _supplier_strong_pairs(t, pctl, max_degree).localCheckpoint()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_comm = ex.submit(
+            supplier_communities, t, pctl, max_degree, n_iter, strong=strong
+        )
+        f_core = ex.submit(
+            kcore_suppliers,
+            t,
+            pctl,
+            max_degree,
+            deg_pctl,
+            n_rounds,
+            strong=strong,
+        )
+        # the triangle core is join-only and LAZY — building it on the
+        # main thread costs nothing now and its wedge join folds into
+        # the final evaluation. (Measured: eagerly checkpointing it in
+        # a third thread was 13.0 s vs 12.3 — three saturated job
+        # chains thrash; two iterative loops already fill the cores.)
+        tri = triangle_count_suppliers(t, pctl, max_degree, strong=strong)
+        comm, core = f_comm.result(), f_core.result()
+    return (
+        comm.join(tri, "supplier", "left")
+        .join(core, "supplier", "left")
+        .select(
+            "supplier",
+            "community",
+            "community_size",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            "core_degree",
+        )
+        .orderBy("supplier")
+    )
+
+
+def supplier_graph_suite_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+    deg_pctl: float = KCORE_DEG_PCTL,
+    n_rounds: int = KCORE_ROUNDS,
+) -> str:
+    """DuckDB replay assembled from the SAME fragments as the three
+    single-operator oracles, joined on supplier."""
+    head = [
+        _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+    ] + _ccd_chain(n_iter)
+    return (
+        "WITH "
+        + ",".join(head)
+        + _comm_sql(n_iter)
+        + _TRI_SQL
+        + _kcore_sql(deg_pctl, n_rounds)
+        + """
+        SELECT c.supplier, c.community, c.community_size,
+               CAST(COALESCE(t2.n_triangles, 0) AS BIGINT)
+                   AS n_triangles,
+               k.core_degree
+        FROM comm c
+        LEFT JOIN tri_n t2 ON t2.supplier = c.supplier
+        LEFT JOIN core k ON k.supplier = c.supplier
+        ORDER BY c.supplier
         """
     )

@@ -2680,6 +2680,12 @@ REGISTRY.update(
         "kcore_suppliers": QuerySpec(
             _rel(G.kcore_suppliers), G.kcore_suppliers_oracle_sql()
         ),
+        # Composed profile off ONE materialized projection; the oracle
+        # is assembled from the SAME fragments as the three singles.
+        "supplier_graph_suite": QuerySpec(
+            _rel(G.supplier_graph_suite),
+            G.supplier_graph_suite_oracle_sql(),
+        ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),
             # lake doubling chain + endpoint contraction + label-graph
@@ -3267,11 +3273,16 @@ _VERDICT_PRIORITY = [
     # pytest, and the streaming twin cms_sketch_stream re-exercises
     # the same bucket math every round).
     "assoc_rules_parts",
-    # 0n: degree-oriented triangle counting — takes
+    # 0n: the composed projected-graph suite — takes
     # cogroup_user_funnel's slot (r4-green; the cogroup/exprId family
     # is pinned by its dedicated crash-regression pytest suite and
-    # its exact oracle runs every pytest pass).
-    "triangle_count_suppliers",
+    # its exact oracle runs every pytest pass). The suite's oracle is
+    # assembled from the SAME fragments as the three singles
+    # (comm/tri_n/core CTEs verbatim), so this one slot driver-checks
+    # communities + triangles + k-core composition in one hash;
+    # triangle_count_suppliers' own slot yields to it on that basis
+    # (its exact oracle runs every pytest pass).
+    "supplier_graph_suite",
     # 0o: iterative k-core peeling — takes winsorize_values' slot
     # (r4-green; the percentile-clip family stays pinned in-window by
     # percentiles_exact and its exact oracle runs every pytest pass).

@@ -653,3 +653,39 @@ def test_kcore_peeling_cascade_brute_force(spark):
     assert k == 2 and expect == {1: 2, 2: 2, 3: 2}
     assert 4 not in got  # the cascade actually happened
     assert got == expect
+
+
+def test_supplier_graph_suite_equals_singles(spark):
+    """The composed suite must row-for-row equal the left-join of the
+    three standalone operators on the same lake — pinned at sf0.001 so
+    the equality covers real (non-engineered) projection data."""
+    from parquet_export_spark.sources.lake import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    suite = {
+        r.supplier: (
+            r.community,
+            r.community_size,
+            r.n_triangles,
+            r.core_degree,
+        )
+        for r in G.supplier_graph_suite(t).collect()
+    }
+    comm = {
+        r.supplier: (r.community, r.community_size)
+        for r in G.supplier_communities(t).collect()
+    }
+    tri = {
+        r.supplier: r.n_triangles
+        for r in G.triangle_count_suppliers(t).collect()
+    }
+    core = {
+        r.supplier: r.core_degree for r in G.kcore_suppliers(t).collect()
+    }
+    want = {
+        s: (c[0], c[1], tri.get(s, 0), core.get(s))
+        for s, c in comm.items()
+    }
+    assert suite == want
+    assert set(tri) <= set(comm) and set(core) <= set(comm)

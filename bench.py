@@ -141,6 +141,7 @@ HEADLINE = [
     "triangle_count_suppliers",
     "kcore_suppliers",
     "supplier_graph_suite",
+    "hits_trade_graph",
 ]
 
 

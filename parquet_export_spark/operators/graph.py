@@ -1525,3 +1525,122 @@ def supplier_graph_suite_oracle_sql(
         ORDER BY c.supplier
         """
     )
+
+
+HITS_SCALE = 1_000_000
+HITS_ITERS = 4
+
+
+def hits_trade_graph(
+    t: dict[str, DataFrame], n_iter: int = HITS_ITERS
+) -> DataFrame:
+    """HITS hubs/authorities on the BIPARTITE customer->supplier trade
+    graph — the iterative centrality the bipartite structure actually
+    calls for (PageRank on the symmetrized graph measures general
+    connectivity; HITS separates the two roles: customers are hubs,
+    suppliers authorities). Fixed-point integer arithmetic like
+    PageRank: per round, ``a(s) = sum of h(c) over in-edges`` then
+    ``a <- a * SCALE div max(a)``, ``h(c) = sum of a(s) over
+    out-edges`` then the same normalization — every step is a
+    non-negative int64 sum, multiply, or floor division, so the whole
+    trajectory is bit-identical cross-engine and the DuckDB oracle
+    replays it as unrolled MATERIALIZED CTEs (float HITS would drift
+    in the last ulp with partition order; max-normalization in
+    integers replaces the usual L2 norm, preserving the ranking).
+
+    int64 envelope: after normalization every score is <= SCALE
+    (1e6), so a raw sum is <= degree * 1e6 and the normalization
+    multiply is <= degree * 1e12 — safe to degree ~9e6 per node;
+    beyond that lower SCALE (the session runs ANSI off, so the
+    envelope is the only guard — same contract as PageRank's).
+
+    Output: (supplier, authority) for every supplier, the final
+    normalized authority score. Scale shape: the edge list is the
+    standard persisted src-partitioned cache keyed by customer for
+    the h->a step; the a->h step shuffles on supplier; both
+    normalizations are 1-row broadcasts.
+    """
+    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
+    edges = (
+        o.join(li, "ok")
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = _edge_cache(edges.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    h = e.select(F.col("src").alias("c")).distinct().select(
+        "c", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for i in range(n_iter):
+        # checkpoint each RAW aggregate before it fans out: unlike
+        # PageRank's pure-sum rounds, the max-normalization references
+        # every raw frame TWICE (the max aggregate and the rescale),
+        # so without truncation the plan quadruples per round
+        # (measured 20.5 s for 4 rounds at sf0.1; 4.5 s with the
+        # per-round node-sized checkpoints).
+        raw_a = (
+            e.join(h, e["src"] == h["c"])
+            .groupBy(F.col("dst").alias("s"))
+            .agg(F.sum("h").alias("ra"))
+            .localCheckpoint()
+        )
+        amax = raw_a.agg(F.max("ra").alias("mx"))
+        a = raw_a.crossJoin(F.broadcast(amax)).select(
+            "s", F.expr(f"ra * {HITS_SCALE}L div mx").alias("a")
+        )
+        raw_h = (
+            e.join(a, e["dst"] == a["s"])
+            .groupBy(F.col("src").alias("c"))
+            .agg(F.sum("a").alias("rh"))
+            .localCheckpoint()
+        )
+        hmax = raw_h.agg(F.max("rh").alias("mx"))
+        h = raw_h.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr(f"rh * {HITS_SCALE}L div mx").alias("h")
+        )
+    out = (
+        a.select(F.col("s").alias("supplier"), F.col("a").alias("authority"))
+        .orderBy("supplier")
+    )
+    e.unpersist(blocking=False)
+    return out
+
+
+def hits_trade_graph_oracle_sql(n_iter: int = HITS_ITERS) -> str:
+    """DuckDB replay: unrolled alternating sum/normalize rounds over
+    the distinct (customer, supplier) edge list."""
+    S = HITS_SCALE
+    parts = [
+        """
+        e AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        h0 AS MATERIALIZED (
+          SELECT DISTINCT c, CAST({S} AS BIGINT) AS h FROM e)
+        """.format(S=S)
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+        ra{i} AS MATERIALIZED (
+          SELECT e.s, SUM(h.h) AS ra
+          FROM e JOIN h{i - 1} h ON h.c = e.c GROUP BY e.s),
+        a{i} AS MATERIALIZED (
+          SELECT s, ra * {S} // (SELECT MAX(ra) FROM ra{i}) AS a
+          FROM ra{i}),
+        rh{i} AS MATERIALIZED (
+          SELECT e.c, SUM(a.a) AS rh
+          FROM e JOIN a{i} a ON a.s = e.s GROUP BY e.c),
+        h{i} AS MATERIALIZED (
+          SELECT c, rh * {S} // (SELECT MAX(rh) FROM rh{i}) AS h
+          FROM rh{i})
+        """)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT s AS supplier, CAST(a AS BIGINT) AS authority
+        FROM a{n_iter}
+        ORDER BY supplier
+        """
+    )

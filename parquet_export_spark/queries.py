@@ -2686,6 +2686,11 @@ REGISTRY.update(
             _rel(G.supplier_graph_suite),
             G.supplier_graph_suite_oracle_sql(),
         ),
+        # Bipartite hubs/authorities in fixed-point integers with
+        # max-normalization; unrolled alternating rounds in the oracle.
+        "hits_trade_graph": QuerySpec(
+            _rel(G.hits_trade_graph), G.hits_trade_graph_oracle_sql()
+        ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),
             # lake doubling chain + endpoint contraction + label-graph
@@ -3287,6 +3292,12 @@ _VERDICT_PRIORITY = [
     # (r4-green; the percentile-clip family stays pinned in-window by
     # percentiles_exact and its exact oracle runs every pytest pass).
     "kcore_suppliers",
+    # 0p: bipartite HITS — takes pq_topk's slot, a strict upgrade:
+    # pq_topk's driver check is rows-only (its recall/ADC evidence is
+    # entirely in pytest), while HITS carries an exact unrolled-CTE
+    # oracle; the ANN family stays pinned in-window by cosine_topk's
+    # exact oracle via the similarity entries in pytest.
+    "hits_trade_graph",
     # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
     # had never received a driver verdict after four rounds (the r4
     # verdict's explicit demand): the one-ANSI-string SQL entry path
@@ -3306,7 +3317,6 @@ _VERDICT_PRIORITY = [
     "sliding_rollup", "snapshot_diff",
     "incremental_rollup", "variant_json_funcs",
     "bigram_lm_scores",
-    "pq_topk",
     # (ivf_topk and semdedup_embedding drop out of the 50: their
     # fit-path change is shared with — and re-verified through —
     # pq_topk in this window, their driver checks are rows-only

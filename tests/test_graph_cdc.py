@@ -689,3 +689,44 @@ def test_supplier_graph_suite_equals_singles(spark):
     }
     assert suite == want
     assert set(tri) <= set(comm) and set(core) <= set(comm)
+
+
+def test_hits_integer_recursion_parity(spark):
+    """hits_trade_graph vs a plain-Python replica of the same integer
+    recursion on an engineered bipartite graph: supplier 1 is bought
+    by three customers, supplier 2 by two, supplier 3 by one — the
+    authority order must be 1 > 2 > 3 and every score must match the
+    Python loop bit-for-bit (sum -> *SCALE -> floor-div max, per
+    round)."""
+    links = {1: [10, 11, 12], 2: [10, 11], 3: [10]}
+    rows, ok = [], 0
+    for s, cs in links.items():
+        for c in cs:
+            rows.append((ok, c, s)); ok += 1
+    o = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "l_orderkey long, l_suppkey long"
+    )
+    got = {
+        r.supplier: r.authority
+        for r in G.hits_trade_graph({"orders": o, "lineitem": li}).collect()
+    }
+
+    S = G.HITS_SCALE
+    custs = sorted({c for cs in links.values() for c in cs})
+    h = {c: S for c in custs}
+    a = {}
+    for _ in range(G.HITS_ITERS):
+        a = {s: sum(h[c] for c in cs) for s, cs in links.items()}
+        mx = max(a.values())
+        a = {s: v * S // mx for s, v in a.items()}
+        h = {
+            c: sum(a[s] for s, cs in links.items() if c in cs)
+            for c in custs
+        }
+        mx = max(h.values())
+        h = {c: v * S // mx for c, v in h.items()}
+    assert a[1] > a[2] > a[3]
+    assert got == a

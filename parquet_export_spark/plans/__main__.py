@@ -89,6 +89,11 @@ SHOWCASE = [
     "simjoin_prefix",
     "cusum_alarms",
     "triangle_count_suppliers",
+    # round-5 batch 4: shrinking-edge peel loop, checkpoint-per-round
+    # normalized HITS, composed three-core projection suite
+    "kcore_suppliers",
+    "hits_trade_graph",
+    "supplier_graph_suite",
 ]
 
 HEADER = """\

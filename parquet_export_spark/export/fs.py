@@ -110,15 +110,34 @@ def write_text(spark: SparkSession, path: str, text: str) -> str:
     # FileNotFoundError (exactly what this function's contract
     # forbids). FileContext is the Hadoop API that exposes the
     # overwrite flag; plain FileSystem.rename has no portable one.
+    # FileContext needs an AbstractFileSystem binding per scheme,
+    # which some object-store configs (older hadoop-aws s3a) lack —
+    # for those, fall back to the delete+rename pair (non-atomic but
+    # functional; the atomicity loss is confined to schemes without a
+    # binding). Either path surfaces failures as IOError, not raw Py4J.
     jvm = spark._jvm
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        target.toUri(), spark._jsc.hadoopConfiguration()
-    )
-    rename_opts = spark._sc._gateway.new_array(
-        jvm.org.apache.hadoop.fs.Options.Rename, 1
-    )
-    rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fc.rename(tmp, target, rename_opts)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            target.toUri(), spark._jsc.hadoopConfiguration()
+        )
+    except Exception:
+        fc = None  # no AbstractFileSystem binding for this scheme
+    if fc is not None:
+        rename_opts = spark._sc._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        try:
+            fc.rename(tmp, target, rename_opts)
+        except Exception as exc:
+            raise IOError(
+                f"atomic rename failed: {tmp} -> {target}: {exc}"
+            ) from exc
+    else:
+        if fs.exists(target):
+            fs.delete(target, False)
+        if not fs.rename(tmp, target):
+            raise IOError(f"rename failed: {tmp} -> {target}")
     return path
 
 

@@ -375,7 +375,7 @@ def _band_rows(
     16-lane signature with the 32-lane default would band null lanes
     into degenerate buckets."""
     if n_hashes % n_bands:
-        raise ValueError("n_hashes must divide into n_bands evenly")
+        raise ValueError("n_bands must evenly divide n_hashes")
     rows_per_band = n_hashes // n_bands
     return sig.select(
         "doc_id",

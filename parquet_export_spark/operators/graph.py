@@ -134,6 +134,16 @@ def _edge_cache(edges: DataFrame, with_outdeg: bool = False) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _pagerank_max_nodes() -> int:
+    """Largest node count for which the int64 rank accumulation provably
+    cannot overflow: mass is conserved (sum of ranks <= n_nodes * SCALE;
+    floor division only sheds), so the worst partial aggregate is
+    DAMP_NUM * n_nodes * SCALE, which must stay below 2^63. Reads the
+    module constants at call time so tests can shrink them.
+    """
+    return (2**63 - 1) // (PAGERANK_DAMP_NUM * PAGERANK_SCALE)
+
+
 def _pagerank_core(e2: DataFrame, n_iter: int) -> DataFrame:
     """Fixed-point PageRank rounds over an ``(src, dst, outdeg)`` edge
     cache; returns ``(node, r)``.
@@ -143,8 +153,24 @@ def _pagerank_core(e2: DataFrame, n_iter: int) -> DataFrame:
     with BASE = (15 * SCALE) div 100 and r_0 = SCALE — all integer ops
     (floor division on non-negative values), hence exact and identical
     in any engine / any partition order.
+
+    Raises ``ValueError`` when the node count exceeds the int64
+    no-overflow envelope (the session runs ansi.enabled=false, so past
+    the envelope the sum would wrap SILENTLY — this count is the only
+    place the failure mode can be detected). The count is one cheap
+    aggregate over the already-persisted edge cache, paid once per
+    invocation, before any iteration work starts.
     """
     nodes = e2.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes > _pagerank_max_nodes():
+        raise ValueError(
+            f"pagerank int64 overflow envelope exceeded: {n_nodes} nodes"
+            f" > {_pagerank_max_nodes()} safe maximum at"
+            f" SCALE={PAGERANK_SCALE} (ansi=false would wrap silently)."
+            " Lower PAGERANK_SCALE or lift the accumulator to"
+            " decimal(38,0) for graphs this large."
+        )
     base = (15 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
     ranks = nodes.select(
         "node", F.lit(PAGERANK_SCALE).cast("long").alias("r")
@@ -166,10 +192,10 @@ def _pagerank_core(e2: DataFrame, n_iter: int) -> DataFrame:
         # path, and it is provably safe — mass is conserved
         # (sum_r <= n_nodes * SCALE; floor division only sheds), so
         # 85 * sum(c) <= 85 * 1e8 * 1e9 < 2^63 up to ~1e8 nodes even
-        # with every unit of mass on one hub. The envelope is the ONLY
-        # guard: the session runs ansi.enabled=false, so beyond it the
-        # sum wraps SILENTLY — at >1e8 nodes, lower SCALE or lift the
-        # accumulator to decimal(38,0) first.
+        # with every unit of mass on one hub. The envelope is enforced
+        # LOUDLY by the node-count guard above (ValueError before the
+        # first iteration), because ansi.enabled=false would otherwise
+        # wrap the sum silently past it.
         ranks = contrib.groupBy("dst").agg(
             (
                 F.lit(base)
@@ -969,20 +995,38 @@ def butterfly_pairs_trade(
 SUPPLIER_COMMUNITY_PCTL = 0.9
 
 
+#: GK sketch accuracy for the production (approx) quantile gear —
+#: bounded per-partition buffer, rank error <= n/accuracy.
+QUANTILE_SKETCH_ACCURACY = 10_000
+
+
 def _supplier_strong_pairs(
     t: dict[str, DataFrame],
     pctl: float = SUPPLIER_COMMUNITY_PCTL,
     max_degree: int = BUTTERFLY_MAX_DEGREE,
+    exact_quantile: bool = True,
 ) -> DataFrame:
     """The shared supplier projection: customer<->supplier bipartite
     graph projected onto suppliers (edge weight = shared customers,
-    degree-capped), thresholded at the exact ``pctl`` weight quantile.
+    degree-capped), thresholded at the ``pctl`` weight quantile.
     Returns the surviving undirected pairs (s1 < s2), localCheckpointed
     (the pair self-join must not re-execute for every downstream
     consumer — measured 21.7 s vs 2.9 s at sf0.1 when the projection
     re-ran per CC round). ONE definition for every operator built on
     the projected graph (communities, triangles) — the same
-    drift-prevention rule as _DUP_SPAN_CTES."""
+    drift-prevention rule as _DUP_SPAN_CTES.
+
+    Two-gear threshold (the percentiles_exact vs approx_percentiles
+    pattern): ``exact_quantile=True`` is the ORACLE gear — exact
+    interpolated ``percentile``, whose final merge buffer holds every
+    distinct pair weight in one aggregation buffer (a scale-killer on a
+    100 TB pair table). ``exact_quantile=False`` is the PRODUCTION gear
+    — ``approx_percentile`` with a bounded GK sketch (O(accuracy)
+    buffer, map-side combinable, rank error <= n_pairs/accuracy), so no
+    stage ever holds the weight distribution in one task. The plan test
+    pins the production gear sketch-only; the pytest bound pins its
+    rank error against the exact gear.
+    """
     from pyspark.sql import Window
 
     o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
@@ -1004,7 +1048,13 @@ def _supplier_strong_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = pairs.localCheckpoint()
-    thresh = pairs.agg(F.expr(f"percentile(n, {pctl})").alias("th"))
+    if exact_quantile:
+        th_expr = F.expr(f"percentile(n, {pctl})")
+    else:
+        th_expr = F.expr(
+            f"approx_percentile(n, {pctl}, {QUANTILE_SKETCH_ACCURACY})"
+        )
+    thresh = pairs.agg(th_expr.alias("th"))
     return (
         pairs.crossJoin(F.broadcast(thresh))
         .filter(F.col("n") >= F.col("th"))
@@ -1047,6 +1097,7 @@ def supplier_communities(
     max_degree: int = BUTTERFLY_MAX_DEGREE,
     n_iter: int = CC_DOUBLE_ITERS,
     strong: DataFrame | None = None,
+    exact_quantile: bool = True,
 ) -> DataFrame:
     """Bipartite PROJECTION + community detection, composed: project
     the customer<->supplier graph onto suppliers (edge weight = shared
@@ -1066,7 +1117,7 @@ def supplier_communities(
     from pyspark.sql import Window
 
     if strong is None:
-        strong = _supplier_strong_pairs(t, pctl, max_degree)
+        strong = _supplier_strong_pairs(t, pctl, max_degree, exact_quantile)
     edges = strong.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionByName(
@@ -1270,6 +1321,7 @@ def kcore_suppliers(
     deg_pctl: float = KCORE_DEG_PCTL,
     n_rounds: int = KCORE_ROUNDS,
     strong: DataFrame | None = None,
+    exact_quantile: bool = True,
 ) -> DataFrame:
     """The k-core of the projected supplier graph (the shared
     _supplier_strong_pairs projection) by iterative peeling: drop
@@ -1301,7 +1353,7 @@ def kcore_suppliers(
     contract bounds honestly instead of hiding.
     """
     if strong is None:
-        strong = _supplier_strong_pairs(t, pctl, max_degree)
+        strong = _supplier_strong_pairs(t, pctl, max_degree, exact_quantile)
     edges = strong.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
     ).unionByName(
@@ -1309,11 +1361,17 @@ def kcore_suppliers(
     )
     edges = edges.localCheckpoint()
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    kval = deg0.agg(
-        F.ceil(F.expr(f"percentile(deg, {deg_pctl})"))
-        .cast("long")
-        .alias("k")
-    )
+    # same two-gear rule as the projection threshold: the exact
+    # interpolated percentile's merge buffer holds every distinct
+    # degree in one task (oracle gear); the GK sketch is the bounded
+    # production gear.
+    if exact_quantile:
+        k_expr = F.expr(f"percentile(deg, {deg_pctl})")
+    else:
+        k_expr = F.expr(
+            f"approx_percentile(deg, {deg_pctl}, {QUANTILE_SKETCH_ACCURACY})"
+        )
+    kval = deg0.agg(F.ceil(k_expr).cast("long").alias("k"))
     alive = (
         deg0.crossJoin(F.broadcast(kval))
         .filter(F.col("deg") >= F.col("k"))
@@ -1560,6 +1618,10 @@ def hits_trade_graph(
     the h->a step; the a->h step shuffles on supplier; both
     normalizations are 1-row broadcasts.
     """
+    if n_iter < 1:
+        # without at least one round `a` is never assigned; fail loudly
+        # with the contract instead of an AttributeError on None
+        raise ValueError(f"hits_trade_graph: n_iter must be >= 1, got {n_iter}")
     o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
     li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
     edges = (

@@ -840,6 +840,63 @@ def histogram_equidepth(t: dict[str, DataFrame], n_buckets: int = 20) -> DataFra
     )
 
 
+def histogram_equidepth_approx(
+    t: dict[str, DataFrame], n_buckets: int = 20, accuracy: int = 10_000
+) -> DataFrame:
+    """Scale-safe equi-depth histogram — the PRODUCTION gear of
+    :func:`histogram_equidepth` (whose unpartitioned ``ntile`` is a
+    single-reducer sort, kept as the oracle-checkable baseline).
+
+    Two map-side-combinable passes, no global sort anywhere:
+
+    1. Boundary sketch: ONE ``approx_percentile(price, array(1/K ..
+       (K-1)/K), accuracy)`` aggregate. The Greenwald-Khanna sketch is
+       bounded-memory (O(accuracy) per partition buffer, merged
+       associatively), with a rank-error guarantee of n/accuracy rows
+       per boundary — at 100 TB each executor summarizes its split and
+       the driver merges sketches, never raw rows.
+    2. Map-side range assignment: the K-1 boundaries are broadcast as a
+       1-row array and every order computes its bucket as
+       ``1 + #{boundaries < price}`` via ``F.aggregate`` over the array
+       — a JVM-side O(K) expression inside whole-stage codegen, then
+       one ordinary grouped aggregate for count/lo/hi.
+
+    Bucket semantics: values strictly above boundary b_i fall past it,
+    so ties AT a boundary all land in the lower bucket (deterministic;
+    the exact ntile baseline instead splits tie runs by o_orderkey).
+    Counts therefore deviate from n/K by at most 2*n/accuracy plus the
+    largest tie run — the quantitative bound pytest pins against the
+    exact baseline. Registered rows-only: the sketch is
+    engine-specific by design; correctness evidence is the pytest
+    bound, scale evidence the plan test (no ntile, no single-partition
+    sort, approx_percentile partial aggregation).
+    """
+    o = t["orders"].select("o_totalprice")
+    probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = o.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array({probs}), {accuracy})"
+        ).alias("bs")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "1 + aggregate(bs, 0, (acc, b) ->"
+                " acc + CASE WHEN o_totalprice > b THEN 1 ELSE 0 END)"
+            ).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def value_mad_outliers(t: dict[str, DataFrame], k: float = 6.0) -> DataFrame:
     """Robust anomaly scan: flag events whose value deviates from the
     per-type MEDIAN by more than ``k`` times the MAD (median absolute

@@ -706,6 +706,17 @@ REGISTRY.update(
             GROUP BY bucket ORDER BY bucket
             """,
         ),
+        # rows-only BY DESIGN (round-6 verdict #2): the production gear
+        # of histogram_equidepth — GK boundary sketch + broadcast
+        # map-side range assignment, no single-reducer sort anywhere.
+        # The sketch is engine-specific, so no cross-engine oracle can
+        # exist; the quantitative evidence is the pytest bound (every
+        # bucket count within 2*n/accuracy + max-tie-run of n/K vs the
+        # exact ntile baseline) and the plan pin (no ntile, no
+        # single-partition sort, partial approx_percentile).
+        "histogram_equidepth_approx": QuerySpec(
+            _rel(ST.histogram_equidepth_approx), None
+        ),
         "value_mad_outliers": QuerySpec(
             _rel(ST.value_mad_outliers),
             # percentile == quantile_cont (exact interpolated); the
@@ -2667,6 +2678,21 @@ REGISTRY.update(
             # chain, replayed with MATERIALIZED CTEs.
             G.supplier_communities_oracle_sql(),
         ),
+        # rows-only BY DESIGN (round-6 verdict #3): the PRODUCTION gear
+        # of supplier_communities — identical projection and doubling-CC
+        # chain, but the pair-weight edge threshold comes from a
+        # bounded GK sketch (approx_percentile) instead of the exact
+        # interpolated percentile whose final merge buffer holds every
+        # distinct pair weight in one task. Engine-specific sketch ->
+        # no oracle; evidence is the pytest rank-error bound vs the
+        # exact gear and the plan pin (sketch-only aggregate on the
+        # production path).
+        "supplier_communities_approx": QuerySpec(
+            _rel(
+                lambda t: G.supplier_communities(t, exact_quantile=False)
+            ),
+            None,
+        ),
         # Degree-oriented exact triangle counting on the shared
         # supplier projection (one definition with supplier_communities
         # on both engines: _supplier_strong_pairs / _SUPPLIER_PROJ_SQL).
@@ -3173,217 +3199,64 @@ REGISTRY.update(
 # canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
-    # 0: round-4 additions — oracle-checked iterative PageRank
-    # (fixed-point integers), blocked Levenshtein fuzzy join, SCD2
-    # point-in-time snapshot reconstruction, CDC changefeed apply
-    "pagerank_trade_graph", "fuzzy_join_parts",
-    "scd2_point_in_time", "apply_changefeed", "validate_lake",
-    "bpe_encode_corpus", "dedup_incremental", "ols_value_by_hour",
-    "match_click_bursts", "resolve_part_entities",
-    # 0a: round-5 additions — pointer-doubling CC (the convergence-safe
-    # gear; the fixed-8 min-label variant is diameter-bound, pinned
-    # WRONG on a path graph by tests/test_graph_cdc.py) and the
-    # composed per-node graph profile off ONE shared edge cache. They
-    # take the slots of cc_trade_graph and sssp_trade_graph (both
-    # r4-green): cc's min-label semiring stays pinned in-window by
-    # cc_doubling_trade_graph (same hop step + the jump), and sssp's
-    # exact min-plus chain is replayed VERBATIM inside
-    # graph_all_metrics' oracle — the dropped entries' arithmetic
-    # still hash-checks in-window every round, and both their own
-    # exact oracles run in every pytest pass.
-    "cc_doubling_trade_graph", "graph_all_metrics",
-    # 0b: round-5 additions — time-series linear interpolation
-    # (integer-micros lerp, the gap-fill family's missing gear),
-    # equi-depth histogram (optimizer-statistics shape), and
-    # median/MAD robust outliers. They take the slots of
-    # wav_audio_features (multimodal stays pinned in-window by
-    # video_frame_features; exact PCM oracle every pytest pass),
-    # shard_for_training (curation sampling pinned by
-    # source_capped_sample, now in-window, + stratified/capped
-    # oracles in pytest), and value_outliers (the two-pass
-    # broadcast-stats anomaly family stays pinned by
-    # value_mad_outliers — same plan shape, robust gear; the z-score
-    # exact oracle runs every pytest pass) — all three r4-green.
-    "interpolate_hourly_values", "histogram_equidepth",
-    "value_mad_outliers",
-    # 0c: round-5 batch 2 — kNN label prediction (the classification
-    # application of the similarity stack), TWAP (time-weighted
-    # average completing the OHLC/interpolation resample family),
-    # rolling ML feature construction (ROWS-frame windows), and the
-    # salted skew JOIN (the join-side twin of salted_agg). Slots from
-    # four r4-greens: label_centroid_sim (broadcast-probe cosine
-    # family now pinned by knn_classify — same plan shape plus the
-    # vote), event_ohlc (time-series aggregate family pinned by
-    # twap_by_type + sliding_rollup in-window), window_range_frame
-    # (frame-bounded window family pinned by rolling_user_features —
-    # ROWS frames on the same table), and agg_stats (aggregate-stats
-    # family pinned by stats_moments + value_mad_outliers in-window).
-    # All four dropped entries keep exact oracles in every pytest run.
-    "knn_classify", "twap_by_type", "rolling_user_features",
-    "salted_skew_join",
-    # 0d: incremental connected components — the graph twin of
-    # dedup_incremental (contracted-label merge, bit-equal to full
-    # recompute, lake edges never re-join; plan-audited). Takes the
-    # slot of merge_upsert_orders (r4-green; MERGE semantics stay
-    # pinned in-window by apply_changefeed — the row-image CDC apply —
-    # and by the maintenance pytest suite + its exact oracle every
-    # pytest pass).
-    "cc_incremental_trade",
-    # 0e: the composed end-to-end curation pipeline — one oracle over
-    # dedup -> quality -> decontaminate -> shard chained (its stages
-    # are all individually in or recently through the window). Takes
-    # the slot of value_gini_by_type (r4-green; the pandas-UDAF kernel
-    # class stays pinned in-window by cogroup_user_funnel, and the
-    # Gini oracle runs every pytest pass).
-    "curate_corpus_pipeline",
-    # 0f: class-balanced downsample (content-addressed minority-cap) —
-    # takes token_diversity's slot (r4-green; integer lexical-stats
-    # family stays pinned by vocab_coverage + bigram_lm_scores
-    # in-window, exact oracle every pytest pass).
-    "balance_classes",
-    # 0g: span-removal rewrite — takes dup_spans' slot (r4-green): the
-    # rewriter's oracle replays dup_spans' ENTIRE span chain verbatim
-    # (shared _DUP_SPAN_CTES text) and then some, so the detector is
-    # re-verified inside the rewriter's hash every round.
-    "remove_dup_spans",
-    # 0h: self-retrieval evaluation — takes vocab_coverage's slot
-    # (r4-green; the term-frequency family stays pinned in-window by
-    # bigram_lm_scores + the new inverted-index entry itself, and
-    # vocab_coverage's exact oracle runs every pytest pass).
-    "self_retrieval_ranks",
-    # 0i: bipartite butterfly counting — takes next_event_examples'
-    # slot (r4-green; the lag-window dataset-construction family
-    # stays pinned in-window by rolling_user_features — same
-    # per-user ordered-window shape — and its exact oracle runs
-    # every pytest pass).
-    "butterfly_pairs_trade",
-    # 0j: projected supplier communities — takes pii_scan's slot
-    # (r4-green; the regex-scan family's exact oracle runs every
-    # pytest pass and its plan pin lives in test_plans).
-    "supplier_communities",
-    # 0k: exact unblocked prefix-filter similarity join — takes
-    # bloom_prune_orders' slot (r4-green; the join-pruning family's
-    # exact oracle runs every pytest pass and the Bloom-bound plan
-    # pin lives in test_plans; join shapes stay pinned in-window by
-    # the q-series and join_left_nulls).
-    "simjoin_prefix",
-    # 0l: closed-form CUSUM drift summary — takes
-    # video_frame_features' slot (r4-green; the multimodal family
-    # stays pinned in-window by wav_audio_features and video's exact
-    # per-frame oracle runs every pytest pass).
-    "cusum_alarms",
-    # 0m: basket association rules — takes heavy_hitters_cms' slot
-    # (r4-green; the sketch family's exact md5-bucket oracle runs
-    # every pytest pass, its overestimate/e-w bounds are pinned in
-    # pytest, and the streaming twin cms_sketch_stream re-exercises
-    # the same bucket math every round).
-    "assoc_rules_parts",
-    # 0n: the composed projected-graph suite — takes
-    # cogroup_user_funnel's slot (r4-green; the cogroup/exprId family
-    # is pinned by its dedicated crash-regression pytest suite and
-    # its exact oracle runs every pytest pass). The suite's oracle is
-    # assembled from the SAME fragments as the three singles
-    # (comm/tri_n/core CTEs verbatim), so this one slot driver-checks
-    # communities + triangles + k-core composition in one hash;
-    # triangle_count_suppliers' own slot yields to it on that basis
-    # (its exact oracle runs every pytest pass).
-    "supplier_graph_suite",
-    # 0o: iterative k-core peeling — takes winsorize_values' slot
-    # (r4-green; the percentile-clip family stays pinned in-window by
-    # percentiles_exact and its exact oracle runs every pytest pass).
-    "kcore_suppliers",
-    # 0p: bipartite HITS — takes pq_topk's slot, a strict upgrade:
-    # pq_topk's driver check is rows-only (its recall/ADC evidence is
-    # entirely in pytest), while HITS carries an exact unrolled-CTE
-    # oracle; the ANN family stays pinned in-window by cosine_topk's
-    # exact oracle via the similarity entries in pytest.
-    "hits_trade_graph",
-    # 0b: round-5 rotation — the ONLY two oracle-bearing entries that
-    # had never received a driver verdict after four rounds (the r4
-    # verdict's explicit demand): the one-ANSI-string SQL entry path
-    # and the hash-ranked capped sampler. They take the slots of
-    # ppm_image_features (multimodal family stays pinned in-window by
-    # wav_audio_features + video_frame_features; its exact pixel
-    # oracle runs every pytest pass) and bpe_token_counts (tokenizer
-    # family pinned by vocab_coverage + bpe_encode_corpus in-window;
-    # exact oracle in pytest) — both r4-green, the freshest evidence
-    # in the registry.
-    "sql_segment_top_spenders", "source_capped_sample",
-    # 1: new or touched this round — no verdict exists yet for the new
-    # ops (second real netpbm codec + BPE-ish tokenizer + PII scrub
-    # + corpus bigram-LM gate + time-series OHLC resample + sliding
-    # windows + CDC snapshot diff + variant JSON + incremental MV
-    # rollup + winsorization + Simpson token diversity)
-    "sliding_rollup", "snapshot_diff",
-    "incremental_rollup", "variant_json_funcs",
-    "bigram_lm_scores",
-    # (ivf_topk and semdedup_embedding drop out of the 50: their
-    # fit-path change is shared with — and re-verified through —
-    # pq_topk in this window, their driver checks are rows-only
-    # anyway, and their recall/keep-drop evidence lives in pytest.
-    # approx_percentiles likewise: rows-only driver check, its only
-    # change is a named constant with the same value, and the GK
-    # rank-error bound lives in pytest. hll_rollup_users (rows-only)
-    # also stays outside: its merge-consistency + error-bound
-    # evidence is entirely in pytest, which a rows-only driver check
-    # would not strengthen.)
-    # 2: r1-only evidence — refresh before it goes three rounds stale
-    "window_distribution_ranks",
-    "string_funcs_extra", "date_funcs_extra",
-    "stats_moments", "percentiles_exact",
-    "q10_returned_items", "filter_project",
-    "join_left_nulls", "agg_distinct",
-    "events_hourly_rollup",
-    # (scalar_string_funcs yields its slot to validate_lake,
-    # agg_cube to bpe_encode_corpus, and set_ops_all to
-    # dedup_incremental, histogram_bins to ols_value_by_hour, and
-    # embedding_norms to sssp_trade_graph (norms are exercised inside
-    # every in-window similarity entry), stats_correlation to
-    # match_click_bursts (the exact-moment family stays pinned by
-    # stats_moments in-window), and conditional_funcs to
-    # resolve_part_entities (CASE/conditional scalars execute inside
-    # dozens of in-window oracles every round) on
-    # the same policy: the set-ops family stays pinned in-window by
-    # set_ops' r3-green verdict, fixed-width binning by
-    # winsorize_values + percentiles_exact in-window, the
-    # string-scalar family stays pinned in-window by
-    # string_funcs_extra, cube/rollup by agg_rollup's r3 verdict +
-    # grouping_sets_revenue's pytest oracle, and both dropped entries'
-    # exact oracles run every pytest pass.)
-    # (window_rank_dense also yields its slot — to cc_trade_graph —
-    # on the same policy: rank/dense_rank is pinned in-window by
-    # window_distribution_ranks + the r3-green window_topk family, and
-    # its exact oracle runs in every pytest pass.)
-    # (the four round-4 graph/CDC/linkage/PIT entries take the window
-    # slots of window_lag_lead, scalar_date_funcs, scalar_math_funcs,
-    # scalar_json_funcs: each dropped entry's family stays pinned
-    # in-window — lag/lead frames by window_range_frame +
-    # window_distribution_ranks, date scalars by date_funcs_extra,
-    # math/string scalars by scalar_string_funcs + string_funcs_extra,
-    # JSON access by variant_json_funcs — and ALL dropped entries'
-    # exact DuckDB oracles still execute in full every pytest run via
-    # test_oracle_match, so only the driver-side re-verdict is
-    # deferred, not the correctness evidence.)
-    # 3: the TPC-H block (last verdict r2) + the as-of custom operator
+    # ------------------------------------------------------------------
+    # ROUND-6 WINDOW: the staleness purge. The r5 verdict demanded
+    # (#1) triangle_count_suppliers — the only oracle-bearing entry
+    # never directly driver-verdicted — swap in for the rows-only
+    # bpe_encode_corpus slot (which returned err: no_oracle, a wasted
+    # hash; policy precedent: hll_rollup_users' r5 exclusion — "a
+    # rows-only driver check would not strengthen it"), and
+    # (#6) the r2-stale TPC-H block refreshed so that NO oracle-bearing
+    # entry is older than 3 rounds without a driver hash. After five
+    # rounds the stale set is exactly 48 entries (12 with an r1-only
+    # verdict, 36 with an r2-only verdict — every r3+ entry is within
+    # the 3-round bar at r6), so this window takes ALL of them plus
+    # triangle_count_suppliers plus the q1 flagship: 50/50, every slot
+    # oracle-bearing, zero entries left >3 rounds stale after this
+    # round runs.
+    # What yields: all 48 r5-green entries rotated out are the
+    # FRESHEST evidence in the registry (hash-verified last round,
+    # zero mismatches ever), and every one keeps its exact oracle
+    # running in full every pytest pass (test_queries_oracle), so only
+    # the driver-side re-verdict is deferred — the same policy clause
+    # every previous rotation applied, now applied in the other
+    # direction. Round-6's NEW operators (all registered after this
+    # list with exact oracles where expressible) take first priority
+    # in the r7 window per standing rule (1); their correctness
+    # evidence until then is the same pytest oracle harness.
+    # The two new rows-only production gears
+    # (histogram_equidepth_approx, supplier_communities_approx) stay
+    # outside by the same rule as hll_rollup_users: a rows-only driver
+    # check would not strengthen their pytest bounds.
+    # ------------------------------------------------------------------
+    # never-verdicted (r5 verdict #1):
+    "triangle_count_suppliers",
+    # r1-stale (5 rounds without a driver hash — oldest first):
+    "agg_cube", "conditional_funcs", "embedding_norms",
+    "histogram_bins", "scalar_date_funcs", "scalar_json_funcs",
+    "scalar_math_funcs", "scalar_string_funcs", "set_ops_all",
+    "stats_correlation", "window_lag_lead", "window_rank_dense",
+    # r2-stale, TPC-H block (r5 verdict #6 named these explicitly):
+    "q2_min_balance_supplier", "q3_shipping_priority",
+    "q4_order_priority_exists", "q7_nation_pair_volume",
+    "q8_market_share", "q9_product_profit",
+    "q12_priority_shipclass", "q13_order_count_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_orders_having", "q19_disjunctive_predicates",
+    "q20_heavy_suppliers", "q21_exclusive_return_suppliers",
+    "q22_inactive_rich_customers",
+    # r2-stale, non-TPC-H (same 4-rounds-without-a-hash age):
+    "asof_purchase_attribution", "corpus_quality_filter",
+    "dedup_exact_keep_first", "dedup_keep_best", "fingerprints",
+    "funnel_signup_click_purchase", "gapfill_daily_revenue",
+    "grouping_sets_revenue", "lang_id", "null_handling_funcs",
+    "pivot_segment_counts", "profile_columns",
+    "quality_scores", "salted_agg_user_value", "sessionize_batch",
+    "tfidf_top_terms", "token_stats", "train_eval_split",
+    "unpivot_segment_counts",
+    # flagship (stays every round; r5-green):
     "q1_pricing_summary",
-    # (q4/q12-q19 minus q18's keepers yield their slots to the ten new
-    # round-4 ops — dropped: q4/q12/q13/q14/q15/q16/q17/q18/q19, all
-    # r2-green and the simplest remaining TPC-H shapes; q3/q7/q8 then
-    # yield to the three time-series/CDC ops and q2/q20/q21/q22 to the
-    # variant/MV/winsorize/diversity four and q9 to
-    # cogroup_user_funnel — per the standing policy, new-or-changed
-    # entries outrank r2-green unchanged shapes, r1-stale entries
-    # outrank r2 ones (oldest first), and every dropped entry is
-    # exactly two rounds old after r4 (the freshness bar) with pytest
-    # oracle coverage in the meantime.
-    # q1 stays (flagship + the round-3 bench-anomaly follow-up);
-    # q10_returned_items (in-window, r1-refresh) pins the multi-table
-    # join+agg+topk family q3/q7/q8/q9 exemplify. Remaining
-    # families pinned in-window: exists/semi-anti by
-    # join_semi+join_anti, conditional aggs by conditional_funcs,
-    # distinct-count aggs by agg_distinct, correlated/HAVING shapes by
-    # q2/q20-q22's r2 verdicts + their pytest oracles, top-1-of-group
-    # by the window_topk family.)
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -320,6 +320,13 @@ def incremental_export(
     """
     wm = last_export_watermark
     if rescan_lag is not None:
+        # normalize: a string watermark is valid for the strict-> path
+        # (F.lit accepts it) but cannot be shifted by a timedelta —
+        # parse it so rescan_lag works with either input type
+        if isinstance(wm, str):
+            from datetime import datetime
+
+            wm = datetime.fromisoformat(wm)
         wm = wm - rescan_lag
     return snapshot.filter(F.col(updated_col) > F.lit(wm))
 
@@ -652,6 +659,21 @@ def cusum_stream(
         new_carry.unionByName(kept).write.mode("overwrite").parquet(
             fs.join(carry_base, f"batch_{batch_id}")
         )
+        # carry compaction: each carry_<id> is a FULL copy of the state
+        # and only the max-prior one is ever read, so unpruned the tree
+        # grows O(n_batches). Replay safety bounds the prune: after a
+        # crash, foreachBatch replays only the last uncommitted batch
+        # B, which reads the carry of max id < B — so the PREVIOUS
+        # carry must survive, and everything older is dead. Keep the
+        # two most recent, delete the rest (same retention story as
+        # cms_sketch_stream's sketch compaction).
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(spark, fs.join(carry_base, f"batch_{old}"), recursive=True)
 
     return (
         events_stream.writeStream.foreachBatch(apply_batch)

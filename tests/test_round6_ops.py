@@ -1,0 +1,275 @@
+"""Round-6 operator tests: the loud PageRank overflow envelope, the
+scale-safe (sketch-gear) equi-depth histogram and supplier-projection
+thresholds, and the small advisory fixes.
+
+Quantitative bounds are derived from the Greenwald-Khanna guarantee
+Spark's approx_percentile provides (rank error <= n/accuracy), checked
+against the EXACT gear on the same data — not against the DuckDB
+oracle, so a bug shared by both gears cannot hide behind the sketch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import graph as G
+from parquet_export_spark.operators import stats as ST
+from parquet_export_spark.plans import inspect as P
+from parquet_export_spark.sources.lake import load_tables
+
+
+def _small_tables(spark):
+    return load_tables(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# PageRank int64 overflow envelope: loud guard (round-6 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_envelope_formula():
+    """The guard's envelope is the written proof's bound: worst-case
+    partial sum DAMP_NUM * n * SCALE must stay under 2^63."""
+    mx = G._pagerank_max_nodes()
+    assert G.PAGERANK_DAMP_NUM * mx * G.PAGERANK_SCALE < 2**63
+    assert G.PAGERANK_DAMP_NUM * (mx + 1) * G.PAGERANK_SCALE >= 2**63
+    # with the shipped constants the envelope covers ~1e8 nodes
+    assert mx > 10**8
+
+
+def test_pagerank_over_envelope_raises(spark, monkeypatch):
+    """Adversarial over-envelope graph: shrink SCALE so the envelope
+    falls below a tiny synthetic graph's node count and assert the
+    operator RAISES before iterating — the session may run ansi=false,
+    where the int64 sum would otherwise wrap SILENTLY."""
+    monkeypatch.setattr(G, "PAGERANK_SCALE", 2**61)
+    assert G._pagerank_max_nodes() == 0  # every graph is over-envelope
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    e2 = G._edge_cache(edges, with_outdeg=True)
+    try:
+        with pytest.raises(ValueError, match="overflow envelope"):
+            G._pagerank_core(e2, n_iter=2)
+    finally:
+        e2.unpersist(blocking=False)
+
+
+def test_hits_zero_iterations_raises(spark):
+    t = _small_tables(spark)
+    with pytest.raises(ValueError, match="n_iter must be >= 1"):
+        G.hits_trade_graph(t, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: production sketch gear (round-6 verdict #2)
+# ---------------------------------------------------------------------------
+
+ACCURACY = 10_000
+N_BUCKETS = 20
+
+
+def test_histogram_equidepth_approx_depth_bound(spark, sf_dir):
+    """Every bucket's count must be within the GK-derived bound of the
+    ideal depth n/K: each of the two adjacent boundaries may be off by
+    n/accuracy ranks, and a tie run at a boundary moves wholesale into
+    the lower bucket — so |count - n/K| <= 2*n/accuracy + max_tie + 1.
+    """
+    t = load_tables(spark, sf_dir)
+    n = t["orders"].count()
+    max_tie = (
+        t["orders"]
+        .groupBy("o_totalprice")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]
+        .m
+    )
+    rows = ST.histogram_equidepth_approx(
+        t, n_buckets=N_BUCKETS, accuracy=ACCURACY
+    ).collect()
+    assert sum(r.n_orders for r in rows) == n  # partition of the table
+    bound = 2 * n / ACCURACY + max_tie + 1
+    ideal = n / N_BUCKETS
+    for r in rows:
+        assert abs(r.n_orders - ideal) <= bound, (r.bucket, r.n_orders)
+    # buckets are ordered, ranges nested correctly and non-overlapping
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+        assert a.lo <= a.hi
+
+
+def test_histogram_equidepth_approx_plan_no_global_sort(spark, sf_dir):
+    """The production gear's whole point: no ntile, no window, no
+    single-partition sort — boundaries come from a partial-aggregable
+    approx_percentile sketch and assignment is a map-side expression."""
+    t = load_tables(spark, sf_dir)
+    import re
+
+    plan = P.plan_string(ST.histogram_equidepth_approx(t))
+    assert "approx_percentile" in plan
+    # bare ntile() window function ("ntile(" alone would also match
+    # inside perce-ntile() — exclude a preceding word character)
+    assert not re.search(r"(?<![a-zA-Z_])ntile\(", plan)
+    assert "Window" not in plan
+    # at most one single-partition exchange is allowed: the 1-row
+    # boundary aggregate itself (which merges bounded sketches, not
+    # rows). The DATA path must not gather.
+    singles = len(re.findall(r"Exchange SinglePartition", plan))
+    assert singles <= 1
+    # the exact baseline, by contrast, IS the documented single-reducer
+    # sort (kept as the oracle-checkable gear)
+    exact_plan = P.plan_string(ST.histogram_equidepth(t))
+    assert re.search(r"(?<![a-zA-Z_])ntile\(", exact_plan)
+
+
+# ---------------------------------------------------------------------------
+# Supplier projection: two-gear quantile threshold (round-6 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _pair_weights(spark):
+    """Independent replay of the projection's pair weights (degree-
+    capped co-purchase counts) straight from the lake."""
+    t = _small_tables(spark)
+    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
+    cs = (
+        o.join(li, "ok")
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    deg_ok = cs.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+    ).filter(F.col("deg") <= G.BUTTERFLY_MAX_DEGREE)
+    a = deg_ok.select("c", F.col("s").alias("s1"))
+    b = deg_ok.select("c", F.col("s").alias("s2"))
+    return (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+
+def test_supplier_pairs_approx_gear_rank_bound(spark):
+    """The sketch gear must (a) pick a threshold whose rank is within
+    the GK guarantee of the target quantile and (b) keep exactly the
+    pairs at or above it — together that bounds the production gear's
+    deviation from the exact gear by the sketch's rank error."""
+    weights = sorted(r.n for r in _pair_weights(spark))
+    n = len(weights)
+    approx = {
+        (r.s1, r.s2)
+        for r in G._supplier_strong_pairs(
+            _small_tables(spark), exact_quantile=False
+        ).collect()
+    }
+    # recover the threshold the gear applied: the smallest surviving
+    # weight (filter is n >= th on integer weights)
+    pairs = {(r.s1, r.s2): r.n for r in _pair_weights(spark)}
+    surviving = sorted(pairs[p] for p in approx)
+    th = surviving[0]
+    # (a) rank bound: #\{w < th\} must bracket the target rank within
+    # n/accuracy (+1 for the floor/interpolation convention gap)
+    target = G.SUPPLIER_COMMUNITY_PCTL * n
+    eps = n / G.QUANTILE_SKETCH_ACCURACY
+    rank_lo = sum(1 for w in weights if w < th)
+    rank_hi = sum(1 for w in weights if w <= th)
+    assert rank_lo - eps - 1 <= target <= rank_hi + eps + 1
+    # (b) the surviving set is EXACTLY the >= th filter — no other
+    # deviation source exists in the gear
+    assert approx == {p for p, w in pairs.items() if w >= th}
+
+
+def test_supplier_pairs_production_plan_sketch_only(spark):
+    """Verdict demand verbatim: the production path must carry NO
+    single-buffer exact percentile over the pair table — every
+    percentile in the plan is the bounded-sketch approx_percentile."""
+    t = _small_tables(spark)
+    plan = P.plan_string(
+        G._supplier_strong_pairs(t, exact_quantile=False)
+    )
+    assert "approx_percentile" in plan
+    assert plan.count("percentile(") == plan.count("approx_percentile(")
+    # the oracle gear keeps the exact percentile (by design)
+    exact = P.plan_string(G._supplier_strong_pairs(t, exact_quantile=True))
+    assert exact.count("percentile(") > exact.count("approx_percentile(")
+
+
+def test_kcore_approx_gear_runs_and_matches_exact_here(spark):
+    """The kcore production gear (sketch thresholds for BOTH the edge
+    quantile and k): on sf0.001 the sketches are exact (n << accuracy),
+    so the two gears must agree exactly — pinning that the gear split
+    changed only the quantile estimator, nothing else."""
+    t = _small_tables(spark)
+    exact = {
+        (r.supplier, r.core_degree)
+        for r in G.kcore_suppliers(t).collect()
+    }
+    approx = {
+        (r.supplier, r.core_degree)
+        for r in G.kcore_suppliers(t, exact_quantile=False).collect()
+    }
+    # GK in exact mode returns an actual element; quantile_cont
+    # interpolates. ceil() aligns them for integer degrees unless the
+    # interpolated value falls between elements — allow the one-element
+    # threshold shift that difference can cause, but nothing more.
+    if approx != exact:
+        assert approx.issubset(exact) or exact.issubset(approx)
+
+
+def test_supplier_communities_approx_registered(spark, sf_dir):
+    from parquet_export_spark.queries import REGISTRY
+
+    spec = REGISTRY["supplier_communities_approx"]
+    assert spec.oracle is None  # rows-only by design (sketch gear)
+    df = spec.fn(spark, sf_dir)
+    assert df.columns == ["supplier", "community", "community_size"]
+    assert df.count() > 0
+    spec_h = REGISTRY["histogram_equidepth_approx"]
+    assert spec_h.oracle is None
+    assert spec_h.fn(spark, sf_dir).columns == [
+        "bucket",
+        "n_orders",
+        "lo",
+        "hi",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Advisory fixes
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_export_string_watermark_with_lag(spark):
+    """A string watermark is valid for the strict-> path; with
+    rescan_lag it must now be parsed instead of raising TypeError."""
+    from datetime import timedelta
+
+    from parquet_export_spark.streaming import incremental as I
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00"), (2, "2024-03-01 12:00:00")],
+        "id long, updated_at string",
+    ).select("id", F.col("updated_at").cast("timestamp_ntz").alias("updated_at"))
+    got = I.incremental_export(
+        df, "2024-03-01 11:30:00", rescan_lag=timedelta(hours=2)
+    )
+    # lag rewinds the boundary to 09:30 -> both rows re-exported
+    assert {r.id for r in got.collect()} == {1, 2}
+    strict = I.incremental_export(df, "2024-03-01 11:30:00")
+    assert {r.id for r in strict.collect()} == {2}
+
+
+def test_minhash_band_error_message(spark):
+    from parquet_export_spark.operators import dedup as D
+
+    t = _small_tables(spark)
+    with pytest.raises(ValueError, match="n_bands must evenly divide"):
+        D.neardup_minhash_lsh(t, n_bands=3)  # 3 does not divide 32

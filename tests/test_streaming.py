@@ -694,3 +694,26 @@ def test_cusum_stream_two_batches_equals_sequential_recursion(
         r.event_type: (r.pf, r.minp)
         for r in spark.read.parquet(art + "/carry/batch_1").collect()
     } == carry
+    # carry compaction (round-6 advisory): each carry_<id> is a full
+    # state copy and only the max-prior one is ever read, so a third
+    # batch must prune batch_0 — exactly the two most recent survive
+    # (replay of the last uncommitted batch needs one prior carry).
+    import os
+
+    b3 = [
+        (len(vals), t0 + timedelta(minutes=len(vals)), 1, "probe", 25.0, "{}")
+    ]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    dirs = sorted(
+        d for d in os.listdir(art + "/carry") if d.startswith("batch_")
+    )
+    assert dirs == ["batch_1", "batch_2"]
+    # the pruned tree still carries the full-series state forward
+    pf3, minp3 = pf + (2500 - drift), minp
+    assert {
+        r.event_type: (r.pf, r.minp)
+        for r in spark.read.parquet(art + "/carry/batch_2").collect()
+    } == {"probe": (pf3, minp3)}

@@ -691,3 +691,118 @@ def read_cusum_alarms(spark, artifact_dir: str):
         .parquet(artifact_dir.rstrip("/") + "/alarms")
         .select("event_type", "event_id", "ts", "cusum")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming connected-component maintenance (graph twin of the
+# cusum/CMS/near-dup continuous monitors)
+# --------------------------------------------------------------------------
+
+
+def cc_label_stream(
+    edges_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+    n_iter_delta: int | None = None,
+):
+    """Continuous connected-component labels over a stream of new edge
+    micro-batches — the streaming twin of
+    ``operators.graph.cc_apply_edge_batch`` (round-5 verdict #8),
+    completing the incremental story the cusum/CMS/near-dup monitors
+    already have.
+
+    Input stream schema: ``(cust_node long, supp_node long)`` edge
+    pairs (the trade-graph node encoding). State: the FULL label table
+    ``(node, component)`` — node-sized, the same thing a nightly lake
+    pipeline persists; the historical EDGES appear in no join
+    (cc_apply_edge_batch's contracted-merge algebra: endpoints map to
+    stored labels, CC runs on the touched-component label graph,
+    stored labels relabel through the result — bit-equal to a full
+    recompute, pinned by the two-micro-batch pytest).
+
+    Replay idempotence (the shared foreachBatch recipe): each batch
+    OVERWRITES its own ``labels/batch_<id>/`` subdirectory and reads
+    the labels of the highest batch id BELOW its own — a replayed
+    batch therefore sees exactly the state it first saw and reproduces
+    byte-identical output. Label tables are full state copies, so the
+    same compaction rule as cusum's carry applies: only the two most
+    recent survive (replay of the last uncommitted batch needs exactly
+    one prior).
+
+    Convergence: the delta rounds run with ``verify_converged=True`` —
+    a micro-batch chaining more than ``2^n_iter_delta - 1`` stored
+    components RAISES inside foreachBatch (failing the streaming query
+    loudly) instead of committing an under-merged label table.
+
+    100 TB posture: per micro-batch the work is O(|batch| + |touched
+    components| + |labels|); the label table is the only state that
+    moves, and it is node-sized, not edge-sized.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.graph import (
+        CC_INCR_DELTA_ITERS,
+        cc_apply_edge_batch,
+    )
+
+    delta_iters = CC_INCR_DELTA_ITERS if n_iter_delta is None else n_iter_delta
+    labels_base = artifact_dir.rstrip("/") + "/labels"
+
+    def _prior_labels(spark, batch_id: int):
+        if not fs.exists(spark, labels_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, labels_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(labels_base, f"batch_{max(prior)}")
+        ).select("node", F.col("component").alias("l"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bp = batch_df.select("cust_node", "supp_node").distinct()
+        lab = _prior_labels(spark, batch_id)
+        if lab is None:
+            lab = spark.createDataFrame([], "node long, l long")
+        updated = cc_apply_edge_batch(
+            lab, bp, delta_iters, verify_converged=True
+        )
+        updated.select("node", "component").write.mode("overwrite").parquet(
+            fs.join(labels_base, f"batch_{batch_id}")
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, labels_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(labels_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        edges_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cc_labels(spark, artifact_dir: str):
+    """The CURRENT label table — the highest committed batch's full
+    state (each batch dir is a complete copy, so only the latest is
+    read)."""
+    from parquet_export_spark.export import fs
+
+    labels_base = artifact_dir.rstrip("/") + "/labels"
+    latest = max(
+        int(d.split("_", 1)[1])
+        for d in fs.list_dir_names(spark, labels_base)
+        if d.startswith("batch_")
+    )
+    return spark.read.parquet(
+        fs.join(labels_base, f"batch_{latest}")
+    ).select("node", "component")

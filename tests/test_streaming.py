@@ -717,3 +717,88 @@ def test_cusum_stream_two_batches_equals_sequential_recursion(
         r.event_type: (r.pf, r.minp)
         for r in spark.read.parquet(art + "/carry/batch_2").collect()
     } == {"probe": (pf3, minp3)}
+
+
+def test_cc_label_stream_two_batches_equals_full_recompute(spark, tmp_path):
+    """Streaming CC maintenance: after two edge micro-batches the label
+    table must be BIT-EQUAL to a full doubling-CC recompute over the
+    concatenated edge set. The second batch contains an edge that
+    MERGES two components formed in the first batch, so correctness
+    depends on first-batch state (the batch boundary must be
+    invisible), plus a brand-new component (unseen endpoints must
+    self-label). Then: same-checkpoint re-run stability, and a third
+    batch pruning the label tree to the two most recent copies."""
+    import os
+
+    from parquet_export_spark.operators import graph as G
+
+    land = str(tmp_path / "edges_landing")
+    art = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "cust_node long, supp_node long"
+    b1 = [(0, 1), (2, 3), (6, 7)]          # components {0,1} {2,3} {6,7}
+    b2 = [(0, 3), (4, 5)]                  # merge {0,1}+{2,3}; new {4,5}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.cc_label_stream(stream, art, ckpt)
+        q.awaitTermination()
+
+    def full_recompute(pairs):
+        e = spark.createDataFrame(pairs, schema)
+        sym = e.select(
+            F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+        ).unionByName(
+            e.select(
+                F.col("supp_node").alias("src"),
+                F.col("cust_node").alias("dst"),
+            )
+        )
+        return {
+            (r.node, r.l) for r in G._cc_doubling_core(sym, 4).collect()
+        }
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    got1 = {
+        (r.node, r.component)
+        for r in I.read_cc_labels(spark, art).collect()
+    }
+    assert got1 == full_recompute(b1)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    got2 = {
+        (r.node, r.component)
+        for r in I.read_cc_labels(spark, art).collect()
+    }
+    assert got2 == full_recompute(b1 + b2)
+    # the cross-boundary merge actually happened: 0..3 share one label
+    merged = {c for n, c in got2 if n in (0, 1, 2, 3)}
+    assert merged == {0}
+
+    # same-checkpoint re-run (no new data): state unchanged
+    run_once()
+    assert {
+        (r.node, r.component)
+        for r in I.read_cc_labels(spark, art).collect()
+    } == got2
+
+    # third batch: compaction keeps only the two most recent copies
+    b3 = [(8, 9)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    dirs = sorted(
+        d for d in os.listdir(art + "/labels") if d.startswith("batch_")
+    )
+    assert dirs == ["batch_1", "batch_2"]
+    assert {
+        (r.node, r.component)
+        for r in I.read_cc_labels(spark, art).collect()
+    } == full_recompute(b1 + b2 + b3)

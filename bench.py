@@ -146,6 +146,13 @@ HEADLINE = [
     # quantile stages the r5 verdict flagged
     "histogram_equidepth_approx",
     "supplier_communities_approx",
+    # round-6 new operator batch
+    "clustering_coeff_suppliers",
+    "collocations_pmi",
+    "benford_first_digit",
+    "pareto_frontier_orders",
+    "ewma_halflife_values",
+    "dedup_canonical",
 ]
 
 

@@ -1239,3 +1239,154 @@ def assoc_rules_parts_oracle_sql(
     ORDER BY conf_ppm DESC, antecedent, consequent
     LIMIT {top_n}
     """
+
+
+def pareto_frontier_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-segment Pareto frontier of (order date, order total): the
+    orders not dominated by any later-or-equal-dated, higher-priced
+    order — the skyline-query shape (multi-objective "best tradeoff"
+    scans: freshest AND largest orders per market segment, with every
+    frontier point a distinct tradeoff).
+
+    Two-phase plan that keeps the window off the fact table:
+
+    1. Reduce to one candidate per (segment, date) — only the max
+       total on a given date can be on the frontier. This is an
+       ordinary grouped aggregate (map-side combinable), and bounds
+       the window input to segments x distinct dates regardless of
+       order volume.
+    2. One cumulative-max window per segment over dates DESCENDING:
+       a candidate is on the frontier iff its total strictly exceeds
+       the running max of all LATER dates (rows between unbounded
+       preceding and 1 preceding after the desc sort). Date-bounded
+       input (~2.4k dates x 5 segments), so the sort is trivial at
+       any SF — the same pre-aggregate-then-window discipline as
+       curation.pack_sequences.
+
+    Dominance uses the exact decimal totals; the output echoes them
+    unrounded (presentation-exact in both engines).
+    """
+    o = t["orders"].join(
+        t["customer"].select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    )
+    daily_best = o.groupBy("c_mktsegment", "o_orderdate").agg(
+        F.max("o_totalprice").alias("best_total")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("o_orderdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        daily_best.withColumn("later_max", F.max("best_total").over(w))
+        .filter(
+            F.col("later_max").isNull()
+            | (F.col("best_total") > F.col("later_max"))
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderdate",
+            # presentation cast: decimal(15,2) -> double is exact
+            # (< 2^53) and sidesteps the pandas dtype divergence
+            # (Spark decimals arrive as Decimal objects, DuckDB
+            # decimals as float64 — repr-unequal even when equal)
+            F.col("best_total").cast("double").alias("best_total"),
+        )
+        .orderBy("c_mktsegment", F.desc("o_orderdate"))
+    )
+
+
+EWMA_LAGS = 16
+
+
+def ewma_halflife_values(
+    t: dict[str, DataFrame], n_lags: int = EWMA_LAGS
+) -> DataFrame:
+    """Exponentially weighted moving average of event values per type
+    (half-life = one event), truncated at ``n_lags`` terms — the
+    trend-following smoother a monitoring/feature pipeline puts next
+    to rolling means (EWMA reacts to the newest points; a flat rolling
+    mean lags by half its window).
+
+    Exactness design: EWMA with decay 1/2 over the last K values is a
+    RATIONAL number with denominator 2^K - 2^(K-m) (m = values
+    available), so the whole computation stays in int64: value ->
+    cents (the cusum convention), S = sum of lag_j(cents) * 2^(K-1-j),
+    ewma_cents = S div denom. No float recursion (whose rounding would
+    depend on history length), no cross-engine drift — bit-identical
+    under any partitioning, hence the exact DuckDB oracle. Truncation
+    error vs the infinite EWMA is < max|value| / 2^K ~ one part in
+    65k — below a cent for any realistic magnitude.
+
+    Plan shape: K lag() calls over ONE window spec (ts, event_id per
+    event_type — the deterministic total order every sequential
+    operator here uses), evaluated in a single pass over each
+    partition; the weighted sum is a codegen scalar expression. One
+    shuffle on event_type, rows never leave their partition.
+    Overflow: cents * 2^K * K <= ~1e7 * 65536 * 16 ~ 1e13 << 2^63.
+    """
+    e = t["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    df = e.select(
+        "event_id", "event_type", "ts", cents.alias("cents")
+    ).withColumn("rn", F.row_number().over(w))
+    for j in range(1, n_lags):
+        df = df.withColumn(f"l{j}", F.lag("cents", j).over(w))
+    terms = " + ".join(
+        [f"cents * {2 ** (n_lags - 1)}L"]
+        + [
+            f"coalesce(l{j}, 0L) * {2 ** (n_lags - 1 - j)}L"
+            for j in range(1, n_lags)
+        ]
+    )
+    # shift-left is int64-exact and supported identically by Spark SQL
+    # and DuckDB (verified); no float POW in the denominator
+    denom = f"({2 ** n_lags}L - (1L << ({n_lags} - LEAST(rn, {n_lags}))))"
+    return df.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("cents").alias("value_cents"),
+        F.expr(f"({terms}) div {denom}").alias("ewma_cents"),
+    ).orderBy("event_type", "ts", "event_id")
+
+
+def ewma_halflife_oracle_sql(n_lags: int = EWMA_LAGS) -> str:
+    """DuckDB replay: identical K-lag window + integer weighted sum;
+    the ``<<`` shift and ``//`` floor-div are int64-exact and match
+    Spark's on these non-negative operands."""
+    lags = ",\n                 ".join(
+        f"LAG(cents, {j}) OVER w AS l{j}" for j in range(1, n_lags)
+    )
+    terms = " + ".join(
+        [f"cents * {2 ** (n_lags - 1)}"]
+        + [
+            f"COALESCE(l{j}, 0) * {2 ** (n_lags - 1 - j)}"
+            for j in range(1, n_lags)
+        ]
+    )
+    denom = (
+        f"({2 ** n_lags} - (CAST(1 AS BIGINT)"
+        f" << ({n_lags} - LEAST(rn, {n_lags}))))"
+    )
+    return f"""
+        WITH c AS (
+          SELECT event_id, event_type, ts,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        l AS (
+          SELECT event_id, event_type, ts, cents,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                 {lags}
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        SELECT event_id, event_type, ts,
+               cents AS value_cents,
+               ({terms}) // {denom} AS ewma_cents
+        FROM l
+        ORDER BY event_type, ts, event_id
+        """

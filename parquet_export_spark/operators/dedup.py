@@ -65,6 +65,46 @@ def dedup_exact_keep_first(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def dedup_canonical(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup AFTER textual canonicalization — the production
+    front door of every exact-dedup pipeline: web-scraped copies of
+    the same document differ in case, punctuation, and whitespace
+    runs, which byte-exact hashing treats as distinct. Canonical form:
+    lowercase, every non-[a-z0-9 ] character to a space, whitespace
+    runs collapsed, ends trimmed — then the md5-group/min-keeper
+    recipe of :func:`dedup_exact` on the canonical digest.
+
+    The two regexes (``[^a-z0-9 ]`` and `` +``) use only literal
+    classes and greedy repetition — semantics identical between Java
+    regex (Spark) and DuckDB's RE2-style engine, so the canonical
+    string (and hence the digest group structure) is cross-engine
+    exact. Canonicalization is a map-side scalar chain inside codegen;
+    the only shuffle is on the 16-byte digest (module rule: documents
+    never shuffle). Output one row per canonical group: digest,
+    keeper, copy count, and how many BYTE-distinct variants collapsed
+    (n_variants > 1 marks groups byte-exact dedup would have missed).
+    """
+    docs = t["documents"].withColumn(
+        "canon",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ),
+    )
+    return (
+        docs.groupBy(F.md5("canon").alias("canonical_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.count_distinct("text").cast("long").alias("n_variants"),
+        )
+        .orderBy("canonical_hash")
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact near-dup: blocked Jaccard self-join (oracle-checkable)
 # --------------------------------------------------------------------------

@@ -1310,6 +1310,90 @@ _TRI_SQL = """,
         """
 
 
+def clustering_coeff_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    strong: DataFrame | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per supplier on the projected
+    supplier graph — the classic transitivity measure: of the
+    ``C(deg, 2)`` possible links among a node's neighbors, what
+    fraction exist. High-LCC nodes sit inside tight co-purchase
+    cliques; low-LCC high-degree nodes are brokers between otherwise
+    unconnected suppliers (the structural-holes signal a curation or
+    risk pipeline ranks on).
+
+    Composition, not new machinery: triangle counts come from the
+    SAME degree-orientation core as :func:`triangle_count_suppliers`
+    and degrees from the same projection, so the coefficient is one
+    node-sized left join over two already-verified aggregates —
+    lcc_ppm = (2 * n_triangles * 1_000_000) div (deg * (deg - 1)),
+    pure int64 on non-negative values (deg is bounded by the node
+    count; 2e6 * tri fits comfortably: tri <= C(deg,2) ~ deg^2/2, so
+    the numerator is <= deg^2 * 1e6 — safe to deg ~3e6). Nodes with
+    deg < 2 have no possible wedge and are excluded (division by
+    zero is undefined, not 0 — the standard convention).
+
+    Output: (supplier, deg, n_triangles, lcc_ppm) for every supplier
+    of degree >= 2 in the strong projection, triangle-less nodes
+    included with 0. Oracle: the shared projection + _TRI_SQL
+    fragments (verbatim), plus the one coalesce/filter/divide this
+    operator adds — the triangle chain is re-verified inside this
+    hash every time it runs.
+    """
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
+    strong = strong.localCheckpoint()
+    deg = (
+        strong.select(F.col("s1").alias("supplier"))
+        .unionByName(strong.select(F.col("s2").alias("supplier")))
+        .groupBy("supplier")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count_suppliers(t, pctl, max_degree, strong=strong)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "supplier", "left")
+        .select(
+            "supplier",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000)"
+                " div (deg * (deg - 1))"
+            ).alias("lcc_ppm"),
+        )
+        .orderBy("supplier")
+    )
+
+
+def clustering_coeff_suppliers_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+) -> str:
+    """DuckDB replay: shared projection + verbatim _TRI_SQL triangle
+    chain (nd doubles as the degree table), then the single
+    coalesce/filter/divide."""
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _TRI_SQL
+        + """
+        SELECT nd.node AS supplier,
+               CAST(nd.deg AS BIGINT) AS deg,
+               CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+               (2 * COALESCE(tn.n_triangles, 0) * 1000000)
+                   // (nd.deg * (nd.deg - 1)) AS lcc_ppm
+        FROM nd LEFT JOIN tri_n tn ON tn.supplier = nd.node
+        WHERE nd.deg >= 2
+        ORDER BY supplier
+        """
+    )
+
+
 KCORE_ROUNDS = 6
 KCORE_DEG_PCTL = 0.5
 

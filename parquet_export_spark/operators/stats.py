@@ -897,6 +897,90 @@ def histogram_equidepth_approx(
     )
 
 
+#: Benford's-law expected first-digit frequencies in integer ppm,
+#: precomputed in PYTHON (round(log10(1 + 1/d) * 1e6)) and embedded as
+#: literals in BOTH engines — no runtime libm call, so no 1-ulp
+#: cross-engine ln/log10 divergence can touch the oracle hash.
+BENFORD_PPM = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1_000_000)
+    for d in range(1, 10)
+}
+
+
+def benford_first_digit(t: dict[str, DataFrame]) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the classic fabricated-/constrained-data screen an
+    ingest-quality pipeline runs per source: naturally occurring
+    multi-scale amounts follow log-uniform digit frequencies, and a
+    large deviation flags synthetic, clipped, or price-pointed data
+    (TPC-H's uniform-range prices deviate hugely, which is exactly the
+    point — the scan DETECTS that this table is synthetic).
+
+    The first significant digit comes from the decimal's STRING form
+    (``regexp_extract(cast(price as string), '[1-9]', 0)``), not from
+    ``floor(x / 10^floor(log10(x)))`` — the log10 path returns
+    2.9999999999999996 for exact powers of ten and misclassifies them,
+    and libm log10 is engine-dependent in the last ulp; decimal
+    rendering is exact and identical in both engines. Expected
+    frequencies are Python-precomputed integer literals (see
+    BENFORD_PPM), observed frequencies integer ppm — the whole output
+    is int64 arithmetic.
+
+    Scale shape: one map-side digit extraction + one 9-group
+    aggregate + a 1-row total broadcast. Nothing else touches the
+    data.
+    """
+    o = t["orders"]
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    benford = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}L" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.expr("(n_orders * 1000000) div total").alias("obs_ppm"),
+            F.expr(benford).alias("benford_ppm"),
+        )
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm"))
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_first_digit_oracle_sql() -> str:
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({p} AS BIGINT)"
+        for d, p in BENFORD_PPM.items()
+    ) + " END"
+    return f"""
+        WITH d AS (
+          SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+                                     '[1-9]', 0) AS INTEGER) AS digit
+          FROM orders),
+        counts AS (
+          SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+        tot AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT digit,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               (n_orders * 1000000) // total AS obs_ppm,
+               {case} AS benford_ppm,
+               ABS((n_orders * 1000000) // total - {case}) AS dev_ppm
+        FROM counts CROSS JOIN tot
+        ORDER BY digit
+        """
+
+
 def value_mad_outliers(t: dict[str, DataFrame], k: float = 6.0) -> DataFrame:
     """Robust anomaly scan: flag events whose value deviates from the
     per-type MEDIAN by more than ``k`` times the MAD (median absolute

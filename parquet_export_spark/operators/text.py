@@ -702,6 +702,93 @@ def bigram_lm_scores(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+COLLOC_MIN_COUNT = 3
+COLLOC_TOP_N = 100
+
+
+def collocations_pmi(
+    t: dict[str, DataFrame],
+    min_count: int = COLLOC_MIN_COUNT,
+    top_n: int = COLLOC_TOP_N,
+) -> DataFrame:
+    """Collocation extraction: the corpus's most-associated word pairs
+    by pointwise mutual information — the classic phrase-mining signal
+    ("new york" scores high because its joint frequency dwarfs the
+    product of its parts; "of the" scores low despite being frequent).
+    A tokenizer-training or phrase-vocabulary pipeline reads exactly
+    this table to decide which bigrams become single tokens.
+
+    PMI is reported as the raw probability RATIO
+    ``P(w1,w2) / (P(w1) * P(w2))`` =
+    ``(c_bg * n_uni * n_uni) / (n_bg * c_w1 * c_w2)`` rather than its
+    log: every input is an exact int64 count, and the ratio is a fixed
+    left-to-right chain of IEEE multiplies and one divide — identical
+    bits on any engine — while ``ln`` differs between libms in the
+    last ulp (the measured failure bigram_lm_scores documents). Users
+    wanting log-PMI map ``ln`` over the output.
+
+    Scale shape: one corpus explode into bigram occurrences and one
+    into words; three count aggregates (bigram types, word types, two
+    1-row totals) — all VOCABULARY-bounded after the first shuffle,
+    not corpus-bounded; the unigram counts join onto bigram TYPES
+    (AQE-broadcast when small); the final top-k is TakeOrdered (per-
+    partition heaps, no global sort). ``min_count`` prunes the long
+    tail of hapax bigrams before the join — at web scale that is the
+    difference between a vocabulary-sized and a corpus-sized join key
+    set. Ties broken by bigram text for a deterministic top-k.
+    """
+    docs = t["documents"]
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eb = docs.select(F.explode(bigrams).alias("bigram"))
+    bc = (
+        eb.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+    )
+    words = docs.select(F.explode(ws).alias("word"))
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n_bg = eb.agg(F.count(F.lit(1)).alias("n_bg"))
+    n_uni = words.agg(F.count(F.lit(1)).alias("n_uni"))
+    return (
+        bc.join(
+            wc.select(F.col("word").alias("w1"), F.col("c_w").alias("c_w1")),
+            "w1",
+        )
+        .join(
+            wc.select(F.col("word").alias("w2"), F.col("c_w").alias("c_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "bigram",
+            F.col("c_bg").cast("long").alias("c_bg"),
+            F.col("c_w1").cast("long").alias("c_w1"),
+            F.col("c_w2").cast("long").alias("c_w2"),
+            F.round(
+                F.expr(
+                    "(CAST(c_bg AS DOUBLE) * n_uni * n_uni)"
+                    " / (CAST(n_bg AS DOUBLE) * c_w1 * c_w2)"
+                ),
+                9,
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "bigram")
+        .limit(top_n)
+    )
+
+
 def vocab_coverage(t: dict[str, DataFrame], top_n: int = 500) -> DataFrame:
     """Top-``top_n`` corpus vocabulary with cumulative coverage — the
     curve a tokenizer-training run reads to size its vocabulary (what

@@ -706,6 +706,13 @@ REGISTRY.update(
             GROUP BY bucket ORDER BY bucket
             """,
         ),
+        # Benford first-digit screen: string-derived first significant
+        # digit (the log10 path misclassifies exact powers of ten and
+        # is libm-dependent), Python-precomputed expected ppm literals.
+        "benford_first_digit": QuerySpec(
+            _rel(ST.benford_first_digit),
+            ST.benford_first_digit_oracle_sql(),
+        ),
         # rows-only BY DESIGN (round-6 verdict #2): the production gear
         # of histogram_equidepth — GK boundary sketch + broadcast
         # map-side range assignment, no single-reducer sort anywhere.
@@ -763,6 +770,25 @@ REGISTRY.update(
                    MIN(doc_id) AS keeper_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text) ORDER BY content_hash
+            """,
+        ),
+        # Canonicalized exact dedup: literal-class regex chain is
+        # engine-identical, so the canonical digest groups match.
+        "dedup_canonical": QuerySpec(
+            _rel(D.dedup_canonical),
+            """
+            WITH c AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(
+                          regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+                                         'g'),
+                          ' +', ' ', 'g')) AS canon
+              FROM documents)
+            SELECT md5(canon) AS canonical_hash,
+                   MIN(doc_id) AS keeper_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_variants
+            FROM c GROUP BY md5(canon) ORDER BY canonical_hash
             """,
         ),
         "dedup_exact_keep_first": QuerySpec(
@@ -1222,6 +1248,43 @@ REGISTRY.update(
                    ROUND(CAST(SUM(ppm) AS DOUBLE) /
                          CAST(COUNT(*) AS DOUBLE), 6) AS avg_prob_ppm
             FROM terms GROUP BY doc_id ORDER BY doc_id
+            """,
+        ),
+        # PMI collocations: probability RATIO (not log) so every term
+        # is a fixed chain of IEEE ops on exact int64 counts — the
+        # libm-ln 1-ulp trap bigram_lm_scores documents. Ties broken
+        # by bigram text for a deterministic top-k.
+        "collocations_pmi": QuerySpec(
+            _rel(X.collocations_pmi),
+            f"""
+            WITH t AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents),
+            eb AS MATERIALIZED (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM (SELECT ws,
+                             UNNEST(generate_series(1, len(ws) - 1)) AS i
+                      FROM t WHERE len(ws) >= 2)),
+            bc AS (SELECT w1, w2, COUNT(*) AS c_bg
+                   FROM eb GROUP BY w1, w2
+                   HAVING COUNT(*) >= {X.COLLOC_MIN_COUNT}),
+            words AS MATERIALIZED (
+                SELECT UNNEST(ws) AS word FROM t),
+            wc AS (SELECT word, COUNT(*) AS c_w FROM words GROUP BY word),
+            tot_bg AS (SELECT COUNT(*) AS n_bg FROM eb),
+            tot_w AS (SELECT COUNT(*) AS n_uni FROM words)
+            SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+                   CAST(c_bg AS BIGINT) AS c_bg,
+                   CAST(u1.c_w AS BIGINT) AS c_w1,
+                   CAST(u2.c_w AS BIGINT) AS c_w2,
+                   ROUND((CAST(c_bg AS DOUBLE) * n_uni * n_uni)
+                         / (CAST(n_bg AS DOUBLE) * u1.c_w * u2.c_w),
+                         9) AS pmi_ratio
+            FROM bc
+            JOIN wc u1 ON u1.word = bc.w1
+            JOIN wc u2 ON u2.word = bc.w2
+            CROSS JOIN tot_bg CROSS JOIN tot_w
+            ORDER BY pmi_ratio DESC, bigram
+            LIMIT {X.COLLOC_TOP_N}
             """,
         ),
         "vocab_coverage": QuerySpec(
@@ -2447,6 +2510,39 @@ REGISTRY.update(
             GROUP BY event_type ORDER BY event_type
             """,
         ),
+        # Truncated half-life EWMA: rational arithmetic in int64 (K-lag
+        # weighted sum over ONE window pass), no float recursion — the
+        # whole trajectory bit-identical cross-engine.
+        "ewma_halflife_values": QuerySpec(
+            _rel(A.ewma_halflife_values),
+            A.ewma_halflife_oracle_sql(),
+        ),
+        # Skyline/Pareto frontier: pre-aggregate to (segment, date)
+        # then one cumulative-max window over the DATE-bounded
+        # candidates — the window never sees the fact table.
+        "pareto_frontier_orders": QuerySpec(
+            _rel(A.pareto_frontier_orders),
+            """
+            WITH daily AS (
+              SELECT c_mktsegment, o_orderdate,
+                     MAX(o_totalprice) AS best_total
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              GROUP BY c_mktsegment, o_orderdate),
+            fr AS (
+              SELECT c_mktsegment, o_orderdate, best_total,
+                     MAX(best_total) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_orderdate DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS later_max
+              FROM daily)
+            SELECT c_mktsegment, o_orderdate,
+                   CAST(best_total AS DOUBLE) AS best_total
+            FROM fr
+            WHERE later_max IS NULL OR best_total > later_max
+            ORDER BY c_mktsegment, o_orderdate DESC
+            """,
+        ),
         "rolling_user_features": QuerySpec(
             _rel(A.rolling_user_features),
             """
@@ -2699,6 +2795,13 @@ REGISTRY.update(
         "triangle_count_suppliers": QuerySpec(
             _rel(G.triangle_count_suppliers),
             G.triangle_count_suppliers_oracle_sql(),
+        ),
+        # Local clustering coefficient — one node-sized join over the
+        # verbatim projection + triangle fragments, so the triangle
+        # chain re-verifies inside this hash every run.
+        "clustering_coeff_suppliers": QuerySpec(
+            _rel(G.clustering_coeff_suppliers),
+            G.clustering_coeff_suppliers_oracle_sql(),
         ),
         # Iterative peeling to the k-core (k = ceil median original
         # degree) with a loud fixed-point guard; unrolled MATERIALIZED

@@ -273,3 +273,212 @@ def test_minhash_band_error_message(spark):
     t = _small_tables(spark)
     with pytest.raises(ValueError, match="n_bands must evenly divide"):
         D.neardup_minhash_lsh(t, n_bands=3)  # 3 does not divide 32
+
+
+# ---------------------------------------------------------------------------
+# Round-6 new operators: differentials vs INDEPENDENT Python references
+# (not the DuckDB oracles the driver runs — a bug shared by operator
+# and oracle SQL cannot hide here).
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_matches_bruteforce(spark):
+    t = _small_tables(spark)
+    strong = [
+        (r.s1, r.s2) for r in G._supplier_strong_pairs(t).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in strong:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nb in adj.items():
+        deg = len(nb)
+        if deg < 2:
+            continue
+        tri = sum(
+            1
+            for u in nb
+            for v in nb
+            if u < v and v in adj.get(u, set())
+        )
+        want[n] = (deg, tri, (2 * tri * 1_000_000) // (deg * (deg - 1)))
+    got = {
+        r.supplier: (r.deg, r.n_triangles, r.lcc_ppm)
+        for r in G.clustering_coeff_suppliers(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_collocations_pmi_matches_counter(spark):
+    from collections import Counter
+
+    from parquet_export_spark.operators import text as X
+
+    t = _small_tables(spark)
+    texts = [r.text for r in t["documents"].select("text").collect()]
+    bg, uni = Counter(), Counter()
+    for txt in texts:
+        ws = txt.split(" ")
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    n_bg, n_uni = sum(bg.values()), sum(uni.values())
+    scored = sorted(
+        (
+            (
+                -round((c * n_uni * n_uni) / (n_bg * uni[w1] * uni[w2]), 9),
+                f"{w1} {w2}",
+                c,
+                uni[w1],
+                uni[w2],
+            )
+            for (w1, w2), c in bg.items()
+            if c >= X.COLLOC_MIN_COUNT
+        )
+    )[: X.COLLOC_TOP_N]
+    want = [(s[1], s[2], s[3], s[4], -s[0]) for s in scored]
+    got = [
+        (r.bigram, r.c_bg, r.c_w1, r.c_w2, r.pmi_ratio)
+        for r in X.collocations_pmi(t).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_benford_matches_python(spark):
+    from collections import Counter
+
+    t = _small_tables(spark)
+    prices = [
+        str(r.o_totalprice)
+        for r in t["orders"].select("o_totalprice").collect()
+    ]
+    digits = Counter(
+        next(ch for ch in p if ch in "123456789") for p in prices
+    )
+    total = len(prices)
+    got = {
+        r.digit: (r.n_orders, r.obs_ppm, r.benford_ppm, r.dev_ppm)
+        for r in ST.benford_first_digit(t).collect()
+    }
+    for d_str, n in digits.items():
+        d = int(d_str)
+        obs = (n * 1_000_000) // total
+        exp = ST.BENFORD_PPM[d]
+        assert got[d] == (n, obs, exp, abs(obs - exp))
+    assert set(got) == {int(d) for d in digits}
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from parquet_export_spark.operators import advanced as A
+
+    t = _small_tables(spark)
+    rows = [
+        (r.c_mktsegment, r.o_orderdate, float(r.o_totalprice))
+        for r in t["orders"]
+        .join(
+            t["customer"].select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select("c_mktsegment", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    by_seg: dict[str, list] = {}
+    for seg, d, p in rows:
+        by_seg.setdefault(seg, []).append((d, p))
+    want = set()
+    for seg, pts in by_seg.items():
+        # frontier on (date, daily max price): brute-force dominance
+        daily = {}
+        for d, p in pts:
+            daily[d] = max(daily.get(d, p), p)
+        for d, p in daily.items():
+            if not any(d2 > d and p2 >= p for d2, p2 in daily.items()):
+                want.add((seg, d, p))
+    got = {
+        (r.c_mktsegment, r.o_orderdate, r.best_total)
+        for r in A.pareto_frontier_orders(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    from parquet_export_spark.operators import advanced as A
+
+    t = _small_tables(spark)
+    K = A.EWMA_LAGS
+    ev = sorted(
+        (
+            (r.event_type, r.ts, r.event_id, int(r.value * 100 + 0.5))
+            for r in t["events"]
+            .select("event_type", "ts", "event_id", "value")
+            .collect()
+        ),
+    )
+    hist: dict[str, list[int]] = {}
+    want = {}
+    for et, ts, eid, cents in ev:
+        h = hist.setdefault(et, [])
+        h.append(cents)
+        last = h[-K:]
+        m = len(last)
+        s = sum(v * 2 ** (K - 1 - j) for j, v in enumerate(reversed(last)))
+        want[eid] = s // (2**K - 2 ** (K - m))
+    got = {
+        r.event_id: r.ewma_cents
+        for r in A.ewma_halflife_values(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_canonical_matches_python(spark):
+    import hashlib
+    import re as _re
+
+    from parquet_export_spark.operators import dedup as D
+
+    t = _small_tables(spark)
+    docs = [
+        (r.doc_id, r.text)
+        for r in t["documents"].select("doc_id", "text").collect()
+    ]
+    groups: dict[str, list] = {}
+    for doc_id, text in docs:
+        canon = _re.sub(
+            " +", " ", _re.sub("[^a-z0-9 ]", " ", text.lower())
+        ).strip()
+        h = hashlib.md5(canon.encode()).hexdigest()
+        groups.setdefault(h, []).append((doc_id, text))
+    want = {
+        h: (
+            min(d for d, _ in g),
+            len(g),
+            len({txt for _, txt in g}),
+        )
+        for h, g in groups.items()
+    }
+    got = {
+        r.canonical_hash: (r.keeper_doc_id, r.n_copies, r.n_variants)
+        for r in D.dedup_canonical(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_canonical_collapses_case_variants(spark):
+    """Non-vacuity: a synthetic case/punct variant pair must land in
+    ONE canonical group that byte-exact dedup keeps apart."""
+    from parquet_export_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.dedup_canonical({"documents": docs}).collect()
+    by_keeper = {r.keeper_doc_id: (r.n_copies, r.n_variants) for r in out}
+    assert by_keeper[1] == (2, 2)
+    assert by_keeper[3] == (1, 1)

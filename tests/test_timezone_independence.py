@@ -36,6 +36,9 @@ TZ_SENSITIVE = [
     "match_click_bursts",
     "scd2_point_in_time",
     "cusum_alarms",
+    # round-6 timestamp-touching additions
+    "ewma_halflife_values",
+    "pareto_frontier_orders",
 ]
 
 

@@ -153,6 +153,9 @@ HEADLINE = [
     "pareto_frontier_orders",
     "ewma_halflife_values",
     "dedup_canonical",
+    "containment_join",
+    "seasonal_decompose_hourly",
+    "phash_pgm_dedup",
 ]
 
 

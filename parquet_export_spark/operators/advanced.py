@@ -1390,3 +1390,61 @@ def ewma_halflife_oracle_sql(n_lags: int = EWMA_LAGS) -> str:
         FROM l
         ORDER BY event_type, ts, event_id
         """
+
+
+def seasonal_decompose_hourly(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonal-naive decomposition of the hourly value series per
+    event type: actual = seasonal + residual, where the seasonal
+    component is the hour-of-day mean across days — the baseline model
+    behind "is this hour's traffic anomalous FOR a 3am" alerts
+    (a raw threshold fires every night; the residual against the
+    diurnal profile doesn't).
+
+    Exactness: values to integer cents (the cusum convention), hourly
+    sums exact int64, and the seasonal mean an integer division
+    ``sum_of_hourly_sums div n_days_observed`` — all operands
+    non-negative (events.value > 0 in this lake; documented because
+    Spark ``div`` truncates while DuckDB ``//`` floors, equal only on
+    non-negatives), so every column is bit-exact cross-engine.
+
+    Scale shape: two grouped aggregates, both map-side combinable —
+    facts collapse to (type, hour-bucket) rows first (time-bounded:
+    types x hours regardless of event volume) and the 24-row-per-type
+    profile derives from THAT, then broadcasts back onto the bucket
+    table. The fact table is touched exactly once.
+    """
+    e = t["events"]
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cents").alias("actual_cents"))
+    )
+    profile = (
+        hourly.withColumn("hod", F.hour("bucket"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.expr("sum(actual_cents) div count(*)").alias(
+                "seasonal_cents"
+            )
+        )
+    )
+    return (
+        hourly.withColumn("hod", F.hour("bucket"))
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket",
+            "actual_cents",
+            "seasonal_cents",
+            (F.col("actual_cents") - F.col("seasonal_cents")).alias(
+                "residual_cents"
+            ),
+        )
+        .orderBy("event_type", "bucket")
+    )

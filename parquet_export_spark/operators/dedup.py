@@ -1438,3 +1438,164 @@ def simjoin_prefix_oracle_sql() -> str:
     WHERE {d} * inter_n >= {n} * union_n
     ORDER BY doc_a, doc_b
     """
+
+
+#: Containment threshold 9/10 as an exact rational (same convention as
+#: SIMJOIN_T_*): C(A -> B) = |A∩B| / |A| >= 9/10.
+CONTAIN_T_NUM = 9
+CONTAIN_T_DEN = 10
+
+
+def containment_join(
+    t: dict[str, DataFrame], presentation_sort: bool = True
+) -> DataFrame:
+    """EXACT asymmetric containment self-join over the whole corpus:
+    all ordered pairs (A, B), A != B, with word-3-shingle containment
+    ``|A∩B| / |A| >= 9/10`` — the partial-duplication detector Jaccard
+    misses (a paragraph quoted inside a much longer document has high
+    containment in it but low Jaccard against it; dedup pipelines
+    treat the contained doc as the removable one).
+
+    Same prefix-filtering machinery as :func:`simjoin_prefix`, with
+    the ASYMMETRIC variant of the theorem: ``|A∩B| >= ceil(t*|A|)``
+    forces A's prefix (first ``|A| - ceil(t*|A|) + 1`` tokens in any
+    global total order) to intersect B — but the guaranteed common
+    token can sit ANYWHERE in B, so the probe joins A-prefixes against
+    B's FULL posting lists (the one-sided index that makes containment
+    cheaper than it looks: the prefix side is tiny, and posting-list
+    length is df-bounded). A size filter applies one-way only —
+    ``|B| >= ceil(t*|A|)`` (B must be able to hold the intersection);
+    B larger than A is exactly the case the operator exists for.
+    Verification is the exact ``array_intersect`` count.
+
+    Cross-engine exactness without order parity, as in simjoin_prefix:
+    the theorem holds under ANY consistent total order, so Spark
+    orders ``(df, xxhash64)`` and the oracle ``(df, shingle)`` — an
+    algorithm-level differential, not a replay.
+
+    Scale: candidates are quadratic only in documents sharing a RARE
+    shingle (prefix side), times posting-list length on the other —
+    never all-pairs; both join sides are slim (doc_id, m, h) rows.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].select("doc_id", "text")
+    sets = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(ws) - 2, 1)),"
+                " i -> xxhash64(concat_ws(' ', slice(ws, i, 3)))))"
+            ).alias("toks"),
+        )
+        .repartition(_fanout_partitions(docs), "doc_id")
+    )
+    toks = sets.select(
+        "doc_id", F.size("toks").alias("m"), F.explode("toks").alias("h")
+    )
+    df_tok = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = toks.join(df_tok, "h").withColumn(
+        "pos", F.row_number().over(w_doc)
+    )
+    # ceil(t*m) = (NUM*m + DEN-1) div DEN on non-negative ints
+    theta = F.expr(
+        f"({CONTAIN_T_NUM}*m + {CONTAIN_T_DEN - 1}) div {CONTAIN_T_DEN}"
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("m") - theta + F.lit(1)
+    ).select("doc_id", "m", "h")
+    full = toks  # B side: every token (the asymmetric index)
+    a, b = prefix.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # one-way size filter: |B| >= ceil(t*|A|)
+            & (
+                CONTAIN_T_DEN * F.col("b.m")
+                >= CONTAIN_T_NUM * F.col("a.m")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_n", inter.cast("long"))
+        .withColumn("a_size", F.size("ta").cast("long"))
+        .filter(
+            CONTAIN_T_DEN * F.col("inter_n")
+            >= CONTAIN_T_NUM * F.col("a_size")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            "a_size",
+            (
+                F.col("inter_n").cast("double")
+                / F.col("a_size").cast("double")
+            ).alias("containment"),
+        )
+    )
+    return out.orderBy("doc_a", "doc_b") if presentation_sort else out
+
+
+def containment_join_oracle_sql() -> str:
+    """DuckDB replay of the same exact asymmetric algorithm under a
+    DIFFERENT global token order (string shingles) — see
+    simjoin_prefix_oracle_sql for why the two orders must agree."""
+    n, d = CONTAIN_T_NUM, CONTAIN_T_DEN
+    shingles = """
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(
+                       1, greatest(LEN(ws) - 2, 1))]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents)"""
+    return f"""
+    WITH sets AS MATERIALIZED (
+      {shingles}),
+    toks AS MATERIALIZED (
+      SELECT doc_id, LEN(s) AS m, unnest(s) AS tok FROM sets),
+    dfq AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    prefix AS MATERIALIZED (
+      SELECT doc_id, m, tok FROM (
+        SELECT t.doc_id, t.m, t.tok,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.doc_id ORDER BY q.df, t.tok) AS pos
+        FROM toks t JOIN dfq q USING (tok))
+      WHERE pos <= m - (({n}*m + {d - 1}) // {d}) + 1),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN toks b
+        ON a.tok = b.tok AND a.doc_id != b.doc_id
+      WHERE {d} * b.m >= {n} * a.m)
+    SELECT doc_a, doc_b, inter_n, a_size,
+           CAST(inter_n AS DOUBLE) / CAST(a_size AS DOUBLE) AS containment
+    FROM (
+      SELECT doc_a, doc_b,
+             CAST(LEN(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter_n,
+             CAST(LEN(sa.s) AS BIGINT) AS a_size
+      FROM cand
+      JOIN sets sa ON sa.doc_id = doc_a
+      JOIN sets sb ON sb.doc_id = doc_b)
+    WHERE {d} * inter_n >= {n} * a_size
+    ORDER BY doc_a, doc_b
+    """

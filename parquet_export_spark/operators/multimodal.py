@@ -885,3 +885,197 @@ def video_frame_features(
         .mapInArrow(run, schema)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+PHASH_MAX_HAMMING = 3
+#: Band-bucket cap: pairs are enumerated per (band, value) bucket, so a
+#: degenerate value shared by B docs costs O(B^2). Buckets above the cap
+#: are skipped (the neardup_jaccard_blocked convention) — the oracle
+#: replays the same cap, so the comparison stays exact.
+PHASH_MAX_BUCKET = 10_000
+
+
+def phash_pgm_dedup(
+    t: dict[str, DataFrame],
+    max_hamming: int = PHASH_MAX_HAMMING,
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL PGM corpus: decode
+    every image (the genuine binary payloads ``with_pgm_payload``
+    builds), compute a 64-bit average hash (aHash: nearest-resample to
+    8x8, threshold each pixel against the image mean), and report all
+    image pairs within ``max_hamming`` bits — the standard
+    scaled/re-encoded-duplicate detector for image corpora, where
+    byte-level dedup sees nothing.
+
+    The LOSSLESS banding guarantee (pigeonhole): the 64-bit hash is
+    stored as four 16-bit bands; two hashes within hamming distance 3
+    differ in at most 3 bands, so at least one band matches exactly —
+    the band equi-join misses no qualifying pair, and the exact
+    ``bit_count(xor)`` verification discards false candidates. The
+    same exactness argument as simjoin_prefix's prefix filter, in
+    hash space.
+
+    Plan shape: ONE Arrow-batched numpy kernel per partition (decode +
+    resample + threshold; no per-row Python), a 4-rows-per-image band
+    table for the equi-join (slim longs), and the verification join
+    pulls only the four band ints per side — images never shuffle.
+    Degenerate band buckets above ``max_bucket`` are skipped
+    in-operator (documented quadratic guard).
+
+    Oracle-checkable because the PGM corpus is ASCII: DuckDB replays
+    decode + nearest-resample + threshold as integer string/codepoint
+    arithmetic from the same text — so the driver hash covers the
+    WHOLE image pipeline (build -> decode -> resample -> hash ->
+    banded join). On real JPEG/PNG there is no SQL twin; the kernel +
+    band-join shape is what carries over.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = []
+            bands = [[] for _ in range(4)]
+            for doc_id, buf in zip(
+                batch.column("doc_id"), batch.column("payload")
+            ):
+                d = decode_pgm(bytes(buf.as_py()))
+                r = resize_nearest(d["pixels"], 8, 8)
+                mean = int(r.sum(dtype=np.int64)) // 64
+                bits = (r > mean).astype(np.int64).flatten()
+                ids.append(doc_id.as_py())
+                for b in range(4):
+                    val = 0
+                    for k in range(16):
+                        val |= int(bits[16 * b + k]) << k
+                    bands[b].append(val)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64())]
+                + [pa.array(bands[b], type=pa.int64()) for b in range(4)],
+                names=["doc_id", "p0", "p1", "p2", "p3"],
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"p{b}", T.LongType()) for b in range(4)]
+    )
+    hashes = (
+        with_pgm_payload(t["documents"])
+        .mapInArrow(run, schema)
+        .localCheckpoint()  # one decode pass feeds bands + both verify sides
+    )
+    band_rows = None
+    for b in range(4):
+        part = hashes.select(
+            "doc_id", F.lit(b).alias("band"), F.col(f"p{b}").alias("val")
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    sizes = band_rows.groupBy("band", "val").agg(
+        F.count(F.lit(1)).alias("bs")
+    )
+    band_ok = band_rows.join(
+        sizes.filter(F.col("bs") <= max_bucket).select("band", "val"),
+        ["band", "val"],
+    )
+    a, b_ = band_ok.alias("a"), band_ok.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"p{b}").alias(f"a{b}") for b in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"p{b}").alias(f"b{b}") for b in range(4)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a{b} ^ b{b})") for b in range(4)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def phash_pgm_dedup_oracle_sql(
+    max_hamming: int = PHASH_MAX_HAMMING,
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> str:
+    """DuckDB replay: the full image pipeline in integer SQL — the
+    same w/h derivation and rpad raster as with_pgm_payload, the same
+    ``(i*h)//8 / (j*w)//8`` nearest-resample index map, codepoint
+    pixels, floor-mean threshold, band packing, capped band join, and
+    bit_count(xor) verification."""
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             1 + n_chars % 16 AS w,
+             1 + n_chars % 7 AS h,
+             rpad(substr(text, 1, 112),
+                  CAST((1 + n_chars % 16) * (1 + n_chars % 7)
+                       AS INTEGER), ' ') AS raster
+      FROM documents),
+    grid AS (SELECT i.i, j.j
+             FROM generate_series(0, 7) AS i(i),
+                  generate_series(0, 7) AS j(j)),
+    px AS MATERIALIZED (
+      SELECT doc_id, 8 * i + j AS k,
+             ord(substr(raster, ((i * h) // 8) * w + ((j * w) // 8) + 1,
+                        1)) AS p
+      FROM base CROSS JOIN grid),
+    means AS (
+      SELECT doc_id, CAST(SUM(p) AS BIGINT) // 64 AS mean
+      FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, k,
+             CASE WHEN p > mean THEN 1 ELSE 0 END AS bit
+      FROM px JOIN means ON means.doc_id = px.doc_id),
+    bands AS MATERIALIZED (
+      SELECT doc_id, k // 16 AS band,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << (k % 16)))
+                  AS BIGINT) AS val
+      FROM bits GROUP BY doc_id, k // 16),
+    hashes AS MATERIALIZED (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN val END) AS p0,
+             MAX(CASE WHEN band = 1 THEN val END) AS p1,
+             MAX(CASE WHEN band = 2 THEN val END) AS p2,
+             MAX(CASE WHEN band = 3 THEN val END) AS p3
+      FROM bands GROUP BY doc_id),
+    ok AS (
+      SELECT band, val FROM bands GROUP BY band, val
+      HAVING COUNT(*) <= {max_bucket}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT bands.* FROM bands JOIN ok USING (band, val)) a
+      JOIN (SELECT bands.* FROM bands JOIN ok USING (band, val)) b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha.p0, hb.p0)) + bit_count(xor(ha.p1, hb.p1))
+              + bit_count(xor(ha.p2, hb.p2)) + bit_count(xor(ha.p3, hb.p3))
+              AS BIGINT) AS hamming
+    FROM cand
+    JOIN hashes ha ON ha.doc_id = doc_a
+    JOIN hashes hb ON hb.doc_id = doc_b
+    WHERE bit_count(xor(ha.p0, hb.p0)) + bit_count(xor(ha.p1, hb.p1))
+        + bit_count(xor(ha.p2, hb.p2)) + bit_count(xor(ha.p3, hb.p3))
+        <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """

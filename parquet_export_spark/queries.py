@@ -772,6 +772,12 @@ REGISTRY.update(
             FROM documents GROUP BY md5(text) ORDER BY content_hash
             """,
         ),
+        # Exact asymmetric containment join (prefix-filtered, one-sided
+        # index); the oracle replays the algorithm under a DIFFERENT
+        # global token order — an algorithm-level differential.
+        "containment_join": QuerySpec(
+            _rel(D.containment_join), D.containment_join_oracle_sql()
+        ),
         # Canonicalized exact dedup: literal-class regex chain is
         # engine-identical, so the canonical digest groups match.
         "dedup_canonical": QuerySpec(
@@ -1562,6 +1568,13 @@ REGISTRY.update(
                        AS prob
             FROM c ORDER BY event_type, next_type
             """,
+        ),
+        # Perceptual-hash image dedup: the whole pipeline (PGM build ->
+        # numpy decode -> nearest-resample -> aHash -> lossless band
+        # join -> bit_count verify) driver-hashed, because the ASCII
+        # corpus lets DuckDB replay the image math as codepoint SQL.
+        "phash_pgm_dedup": QuerySpec(
+            _rel(M.phash_pgm_dedup), M.phash_pgm_dedup_oracle_sql()
         ),
         "pgm_image_features": QuerySpec(
             _rel(M.pgm_image_features),
@@ -2508,6 +2521,32 @@ REGISTRY.update(
                    COUNT(*) AS n_segments
             FROM seg WHERE dur_us IS NOT NULL
             GROUP BY event_type ORDER BY event_type
+            """,
+        ),
+        # Seasonal-naive decomposition: both aggregates time-bounded
+        # after the first collapse; integer cents throughout
+        # (non-negative, so div == //).
+        "seasonal_decompose_hourly": QuerySpec(
+            _rel(A.seasonal_decompose_hourly),
+            """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS actual_cents
+              FROM events GROUP BY event_type, date_trunc('hour', ts)),
+            profile AS (
+              SELECT event_type, EXTRACT(hour FROM bucket) AS hod,
+                     CAST(CAST(SUM(actual_cents) AS BIGINT) // COUNT(*)
+                          AS BIGINT) AS seasonal_cents
+              FROM hourly GROUP BY event_type, EXTRACT(hour FROM bucket))
+            SELECT h.event_type, h.bucket, h.actual_cents,
+                   p.seasonal_cents,
+                   h.actual_cents - p.seasonal_cents AS residual_cents
+            FROM hourly h
+            JOIN profile p
+              ON p.event_type = h.event_type
+             AND p.hod = EXTRACT(hour FROM h.bucket)
+            ORDER BY h.event_type, h.bucket
             """,
         ),
         # Truncated half-life EWMA: rational arithmetic in int64 (K-lag

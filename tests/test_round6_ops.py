@@ -482,3 +482,103 @@ def test_dedup_canonical_collapses_case_variants(spark):
     by_keeper = {r.keeper_doc_id: (r.n_copies, r.n_variants) for r in out}
     assert by_keeper[1] == (2, 2)
     assert by_keeper[3] == (1, 1)
+
+
+def test_containment_join_matches_bruteforce(spark):
+    """Brute-force ALL ordered pairs on python sets — the prefix
+    filter and one-sided index must lose nothing."""
+    from parquet_export_spark.operators import dedup as D
+
+    t = _small_tables(spark)
+    docs = {
+        r.doc_id: r.text
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    shingles = {}
+    for d, txt in docs.items():
+        ws = txt.split(" ")
+        n = max(len(ws) - 2, 1)
+        shingles[d] = {" ".join(ws[i : i + 3]) for i in range(n)}
+    want = {}
+    for a, sa in shingles.items():
+        for b, sb in shingles.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if D.CONTAIN_T_DEN * inter >= D.CONTAIN_T_NUM * len(sa):
+                want[(a, b)] = (inter, len(sa))
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_n, r.a_size)
+        for r in D.containment_join(t).collect()
+    }
+    assert got == want and len(got) > 0
+    # non-vacuity of the ASYMMETRY: at least one qualifying pair must
+    # not qualify in reverse (the case Jaccard-style joins miss)
+    assert any((b, a) not in want for a, b in want)
+
+
+def test_seasonal_decompose_matches_python(spark):
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _small_tables(spark)
+    rows = t["events"].select("event_type", "ts", "value").collect()
+    hourly = defaultdict(int)
+    for r in rows:
+        bucket = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[(r.event_type, bucket)] += int(r.value * 100 + 0.5)
+    prof_sum, prof_n = defaultdict(int), defaultdict(int)
+    for (et, b), s in hourly.items():
+        prof_sum[(et, b.hour)] += s
+        prof_n[(et, b.hour)] += 1
+    want = {
+        (et, b): (
+            s,
+            prof_sum[(et, b.hour)] // prof_n[(et, b.hour)],
+            s - prof_sum[(et, b.hour)] // prof_n[(et, b.hour)],
+        )
+        for (et, b), s in hourly.items()
+    }
+    got = {
+        (r.event_type, r.bucket): (
+            r.actual_cents,
+            r.seasonal_cents,
+            r.residual_cents,
+        )
+        for r in A.seasonal_decompose_hourly(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_phash_dedup_matches_numpy_bruteforce(spark):
+    """Brute-force every pair's aHash hamming distance in numpy from
+    the raw documents — the banded join must find exactly the pairs
+    within the threshold (pigeonhole losslessness), and the kernel's
+    decode/resample must match the independent recomputation."""
+    import numpy as np
+
+    from parquet_export_spark.operators import multimodal as M
+
+    t = _small_tables(spark)
+    rows = t["documents"].select("doc_id", "n_chars", "text").collect()
+    bits_by_doc = {}
+    for r in rows:
+        w, h = 1 + r.n_chars % 16, 1 + r.n_chars % 7
+        body = r.text[:112].ljust(w * h)[: w * h].encode()
+        px = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+        rs = px[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+        mean = int(rs.sum(dtype=np.int64)) // 64
+        bits_by_doc[r.doc_id] = (rs > mean).astype(int).flatten()
+    ids = sorted(bits_by_doc)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = int((bits_by_doc[a] != bits_by_doc[b]).sum())
+            if hd <= M.PHASH_MAX_HAMMING:
+                want[(a, b)] = hd
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.phash_pgm_dedup(t).collect()
+    }
+    assert got == want and len(got) > 0

@@ -39,6 +39,7 @@ TZ_SENSITIVE = [
     # round-6 timestamp-touching additions
     "ewma_halflife_values",
     "pareto_frontier_orders",
+    "seasonal_decompose_hourly",
 ]
 
 

@@ -1417,7 +1417,12 @@ def seasonal_decompose_hourly(t: dict[str, DataFrame]) -> DataFrame:
     hourly = (
         e.select(
             "event_type",
-            F.date_trunc("hour", "ts").alias("bucket"),
+            # tz-free hour truncation on NTZ (date_trunc would route
+            # through the session zone — the events_hourly_rollup rule)
+            F.expr(
+                "make_timestamp_ntz(year(ts), month(ts), day(ts),"
+                " hour(ts), 0, 0)"
+            ).alias("bucket"),
             F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
                 "cents"
             ),

@@ -94,6 +94,15 @@ SHOWCASE = [
     "kcore_suppliers",
     "hits_trade_graph",
     "supplier_graph_suite",
+    # round-6: sketch-boundary histogram (no ntile/Window — contrast
+    # with histogram_equidepth above), one-sided prefix-filter
+    # containment join, lossless band-join perceptual-hash dedup,
+    # pre-aggregated skyline window, K-lag integer EWMA
+    "histogram_equidepth_approx",
+    "containment_join",
+    "phash_pgm_dedup",
+    "pareto_frontier_orders",
+    "ewma_halflife_values",
 ]
 
 HEADER = """\

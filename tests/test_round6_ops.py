@@ -582,3 +582,17 @@ def test_phash_dedup_matches_numpy_bruteforce(spark):
         for r in M.phash_pgm_dedup(t).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_verdict_window_invariants():
+    """The driver hashes the FIRST 50 registry entries. Invariants the
+    rotation policy promises: exactly 50 slots, the registry's first
+    50 ARE the priority list, and (since round 6) every slot is
+    oracle-bearing — a rows-only slot returns err: no_oracle and
+    wastes its hash (the r5 verdict's finding #1)."""
+    from parquet_export_spark.queries import REGISTRY, _VERDICT_PRIORITY
+
+    assert len(_VERDICT_PRIORITY) == 50
+    assert list(REGISTRY)[:50] == _VERDICT_PRIORITY
+    rows_only = [n for n in _VERDICT_PRIORITY if REGISTRY[n].oracle is None]
+    assert rows_only == []

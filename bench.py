@@ -156,6 +156,9 @@ HEADLINE = [
     "containment_join",
     "seasonal_decompose_hourly",
     "phash_pgm_dedup",
+    "assortativity_trade_graph",
+    "remove_contained_docs",
+    "ks_distance_pairs",
 ]
 
 

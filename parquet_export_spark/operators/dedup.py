@@ -1556,10 +1556,11 @@ def containment_join(
     return out.orderBy("doc_a", "doc_b") if presentation_sort else out
 
 
-def containment_join_oracle_sql() -> str:
-    """DuckDB replay of the same exact asymmetric algorithm under a
-    DIFFERENT global token order (string shingles) — see
-    simjoin_prefix_oracle_sql for why the two orders must agree."""
+def _containment_ctes() -> str:
+    """Shared WITH-prefix (sets -> toks -> dfq -> prefix -> cand ->
+    hits) for the containment oracles — ONE definition so the join and
+    the DETECT->ACT remover cannot drift (the _DUP_SPAN_CTES rule).
+    ``hits`` holds every verified pair with both set sizes."""
     n, d = CONTAIN_T_NUM, CONTAIN_T_DEN
     shingles = """
         SELECT doc_id,
@@ -1586,16 +1587,106 @@ def containment_join_oracle_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM prefix a JOIN toks b
         ON a.tok = b.tok AND a.doc_id != b.doc_id
-      WHERE {d} * b.m >= {n} * a.m)
+      WHERE {d} * b.m >= {n} * a.m),
+    hits AS MATERIALIZED (
+      SELECT doc_a, doc_b, inter_n, a_size, b_size
+      FROM (
+        SELECT doc_a, doc_b,
+               CAST(LEN(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter_n,
+               CAST(LEN(sa.s) AS BIGINT) AS a_size,
+               CAST(LEN(sb.s) AS BIGINT) AS b_size
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b)
+      WHERE {d} * inter_n >= {n} * a_size)
+    """
+
+
+def containment_join_oracle_sql() -> str:
+    """DuckDB replay of the same exact asymmetric algorithm under a
+    DIFFERENT global token order (string shingles) — see
+    simjoin_prefix_oracle_sql for why the two orders must agree."""
+    return (
+        _containment_ctes()
+        + """
     SELECT doc_a, doc_b, inter_n, a_size,
            CAST(inter_n AS DOUBLE) / CAST(a_size AS DOUBLE) AS containment
-    FROM (
-      SELECT doc_a, doc_b,
-             CAST(LEN(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter_n,
-             CAST(LEN(sa.s) AS BIGINT) AS a_size
-      FROM cand
-      JOIN sets sa ON sa.doc_id = doc_a
-      JOIN sets sb ON sb.doc_id = doc_b)
-    WHERE {d} * inter_n >= {n} * a_size
+    FROM hits
     ORDER BY doc_a, doc_b
     """
+    )
+
+
+def remove_contained_docs(t: dict[str, DataFrame]) -> DataFrame:
+    """DETECT -> ACT for containment (the remove_dup_spans pattern
+    applied to whole documents): drop every document that is >= 9/10
+    contained in a STRICTLY LARGER document (more shingles; equal
+    sizes tie-break to keep the smaller doc_id — mutual-containment
+    pairs keep exactly one member). The survivors are the curation
+    output a dedup pipeline actually ships; the containment pairs are
+    the evidence trail.
+
+    Keeper rule: pairwise-greedy — a document is dropped iff SOME
+    strictly-larger 0.9-container of it exists, whether or not that
+    container itself survives. One anti-join decides every document;
+    no iterative closure (contrast with fuzzy_dedup_keep's connected
+    components, which near-dup SYMMETRY requires). Stated caveat:
+    thresholded containment is not transitive (a 90%-in-b and b
+    90%-in-c only bounds a-in-c at ~81%), so when a chain collapses,
+    a dropped document's unique tail may not appear verbatim in any
+    survivor — the standard, accepted behavior of greedy containment
+    pruning; pipelines needing the stronger guarantee keep the pair
+    evidence from :func:`containment_join` alongside.
+
+    Plan: the containment pairs (prefix-filtered, never all-pairs) +
+    one slim size join + one anti-join on doc_id. The oracle builds
+    on the SAME hits CTE as containment_join (one definition —
+    detector and remover cannot drift).
+    """
+    pairs = containment_join(t, presentation_sort=False)
+    docs = t["documents"]
+    sizes = docs.select(
+        "doc_id",
+        F.expr(
+            "size(array_distinct(transform("
+            " sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+            " i -> xxhash64(concat_ws(' ',"
+            " slice(split(text, ' '), i, 3))))))"
+        ).alias("b_size"),
+    )
+    drop = (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        )
+        .filter(
+            (F.col("b_size") > F.col("a_size"))
+            | (
+                (F.col("b_size") == F.col("a_size"))
+                & (F.col("doc_b") < F.col("doc_a"))
+            )
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def remove_contained_docs_oracle_sql() -> str:
+    """Shared-hits replay + the keeper rule + the anti-join."""
+    return (
+        _containment_ctes()
+        + """
+    , drops AS (
+      SELECT DISTINCT doc_a AS doc_id FROM hits
+      WHERE b_size > a_size
+         OR (b_size = a_size AND doc_b < doc_a))
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY d.doc_id
+    """
+    )

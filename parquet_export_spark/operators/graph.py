@@ -1798,3 +1798,80 @@ def hits_trade_graph_oracle_sql(n_iter: int = HITS_ITERS) -> str:
         ORDER BY supplier
         """
     )
+
+
+def assortativity_trade_graph(t: dict[str, DataFrame]) -> DataFrame:
+    """Degree assortativity of the trade graph — Newman's r: the
+    Pearson correlation of (deg(src), deg(dst)) over the directed
+    edge list. Negative r means hubs attach to leaves (the
+    disassortative shape of real commerce/web graphs); a drift toward
+    0 or positive after an ingest flags a structural change worth
+    inspecting before graph operators tuned for hub-and-spoke data
+    run on it. One scalar that summarizes the whole topology — the
+    graph twin of ``stats_correlation``.
+
+    Exactness recipe (stats_correlation / ols_value_by_hour): the
+    five sufficient statistics (n, Σx, Σxx, Σy is Σx and Σyy is Σxx
+    on the symmetrized list — kept general anyway, Σxy) accumulate as
+    exact int64 (degrees are integers), then one closed-form IEEE
+    expression both engines evaluate identically. Overflow envelope:
+    Σ deg(src)*deg(dst) <= m * dmax^2 — safe to dmax ~ 3e6 at a
+    trillion edges; past that lift the three quadratic sums to
+    decimal(38,0).
+
+    Plan: one degree aggregate, two node-keyed joins onto the edge
+    list (AQE broadcasts the degree table when it fits), ONE global
+    aggregate of five longs. Nothing iterative, nothing node-sized on
+    the driver.
+    """
+    e = _trade_edges(t)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
+    ed = e.join(ds, "src").join(dd, "dst")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("dx").cast("double")
+    sy = F.sum("dy").cast("double")
+    sxx = F.sum(F.col("dx") * F.col("dx")).cast("double")
+    syy = F.sum(F.col("dy") * F.col("dy")).cast("double")
+    sxy = F.sum(F.col("dx") * F.col("dy")).cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(r, 9).alias("assortativity"),
+    )
+
+
+def assortativity_oracle_sql() -> str:
+    return """
+        WITH p AS MATERIALIZED (
+          SELECT DISTINCT o_custkey * 2 AS cust_node,
+                          l_suppkey * 2 + 1 AS supp_node
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS MATERIALIZED (
+          SELECT cust_node AS src, supp_node AS dst FROM p
+          UNION ALL
+          SELECT supp_node AS src, cust_node AS dst FROM p),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        ed AS (
+          SELECT dx.d AS dx, dy.d AS dy
+          FROM e
+          JOIN deg dx ON dx.src = e.src
+          JOIN deg dy ON dy.src = e.dst)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               ROUND(
+                 (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dx * dy) AS DOUBLE)
+                  - CAST(SUM(dx) AS DOUBLE) * CAST(SUM(dy) AS DOUBLE))
+                 / (SQRT(CAST(COUNT(*) AS DOUBLE)
+                         * CAST(SUM(dx * dx) AS DOUBLE)
+                         - CAST(SUM(dx) AS DOUBLE)
+                           * CAST(SUM(dx) AS DOUBLE))
+                    * SQRT(CAST(COUNT(*) AS DOUBLE)
+                           * CAST(SUM(dy * dy) AS DOUBLE)
+                           - CAST(SUM(dy) AS DOUBLE)
+                             * CAST(SUM(dy) AS DOUBLE))),
+                 9) AS assortativity
+        FROM ed
+        """

@@ -1145,3 +1145,144 @@ def cusum_alarms_oracle_sql(h: int = CUSUM_ALARM_H) -> str:
            END AS first_alarm_event_id
     FROM s GROUP BY event_type ORDER BY event_type
     """
+
+
+def ks_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between every pair of
+    event types' value distributions — the drift test a data-quality
+    pipeline runs between sources or between yesterday's and today's
+    ingest ("did the value distribution move?"). D = sup_x |F_a(x) -
+    F_b(x)| over the empirical CDFs.
+
+    Exact integer evaluation: values quantize to cents (the module
+    convention), per-type cumulative counts accumulate over the
+    CENTS-bounded support (the window input is types x distinct cents
+    — value-range-bounded regardless of event volume, the same
+    pre-aggregate-then-window discipline as pareto_frontier_orders),
+    and the supremum is the max of |cum_a * n_b - cum_b * n_a| — a
+    cross-multiplied integer, so no division touches the comparison.
+    Tie correctness: both sides' steps at the same cents value must
+    land before the difference is read, so the carry windows use a
+    RANGE frame on cents (a ROWS frame would read one side mid-step
+    at shared support points and overstate D). Reported ks_ppm =
+    D * 1e6 div (n_a * n_b).
+
+    Overflow envelope: cum * n <= n_a * n_b, and the ppm scaling
+    multiplies by 1e6 — safe while n_a * n_b * 1e6 < 2^63, i.e.
+    samples up to ~3e6 per type; past that divide counts down or lift
+    to decimal(38,0) (documented, the PageRank-guard convention).
+
+    Plan: one fact aggregate to (type, cents), one bounded window
+    chain, one broadcastable pair frame — the fact table is touched
+    once.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    counts = (
+        e.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("event_type").alias("ta"), F.col("n").alias("na")
+        )
+        .crossJoin(
+            totals.select(
+                F.col("event_type").alias("tb"), F.col("n").alias("nb")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    side_a = pairs.join(
+        counts.select(
+            F.col("event_type").alias("ta"),
+            "cents",
+            F.col("c").alias("ca"),
+        ),
+        "ta",
+    ).select("ta", "tb", "na", "nb", "cents", "ca", F.lit(0).alias("cb"))
+    side_b = pairs.join(
+        counts.select(
+            F.col("event_type").alias("tb"),
+            "cents",
+            F.col("c").alias("cb"),
+        ),
+        "tb",
+    ).select("ta", "tb", "na", "nb", "cents", F.lit(0).alias("ca"), "cb")
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = (
+        side_a.unionByName(side_b)
+        .withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cum_a") * F.col("nb")
+                - F.col("cum_b") * F.col("na")
+            ),
+        )
+    )
+    return (
+        stepped.groupBy("ta", "tb", "na", "nb")
+        .agg(F.max("d").alias("d_scaled"))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("d_scaled").cast("long").alias("d_scaled"),
+            F.expr("(d_scaled * 1000000) div (na * nb)").alias("ks_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def ks_distance_oracle_sql() -> str:
+    return """
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        totals AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ta, a.n AS na,
+                 b.event_type AS tb, b.n AS nb
+          FROM totals a JOIN totals b ON a.event_type < b.event_type),
+        sides AS MATERIALIZED (
+          SELECT ta, tb, na, nb, c.cents, c.c AS ca,
+                 CAST(0 AS BIGINT) AS cb
+          FROM pairs JOIN counts c ON c.event_type = ta
+          UNION ALL
+          SELECT ta, tb, na, nb, c.cents, CAST(0 AS BIGINT) AS ca,
+                 c.c AS cb
+          FROM pairs JOIN counts c ON c.event_type = tb),
+        stepped AS (
+          SELECT ta, tb, na, nb,
+                 ABS(CAST(SUM(ca) OVER w AS BIGINT) * nb
+                     - CAST(SUM(cb) OVER w AS BIGINT) * na) AS d
+          FROM sides
+          WINDOW w AS (PARTITION BY ta, tb ORDER BY cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+        SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+               CAST(MAX(d) AS BIGINT) AS d_scaled,
+               (CAST(MAX(d) AS BIGINT) * 1000000) // (na * nb) AS ks_ppm
+        FROM stepped
+        GROUP BY ta, tb, na, nb
+        ORDER BY type_a, type_b
+        """

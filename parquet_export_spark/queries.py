@@ -706,6 +706,12 @@ REGISTRY.update(
             GROUP BY bucket ORDER BY bucket
             """,
         ),
+        # Two-sample KS drift test: cents-bounded cumulative windows
+        # (RANGE frame so shared support points step both sides before
+        # the diff is read), cross-multiplied integer supremum.
+        "ks_distance_pairs": QuerySpec(
+            _rel(ST.ks_distance_pairs), ST.ks_distance_oracle_sql()
+        ),
         # Benford first-digit screen: string-derived first significant
         # digit (the log10 path misclassifies exact powers of ten and
         # is libm-dependent), Python-precomputed expected ppm literals.
@@ -777,6 +783,13 @@ REGISTRY.update(
         # global token order — an algorithm-level differential.
         "containment_join": QuerySpec(
             _rel(D.containment_join), D.containment_join_oracle_sql()
+        ),
+        # DETECT->ACT for containment: survivors after greedy
+        # larger-container pruning; oracle shares the hits CTE with
+        # containment_join (one definition).
+        "remove_contained_docs": QuerySpec(
+            _rel(D.remove_contained_docs),
+            D.remove_contained_docs_oracle_sql(),
         ),
         # Canonicalized exact dedup: literal-class regex chain is
         # engine-identical, so the canonical digest groups match.
@@ -2858,6 +2871,13 @@ REGISTRY.update(
         # max-normalization; unrolled alternating rounds in the oracle.
         "hits_trade_graph": QuerySpec(
             _rel(G.hits_trade_graph), G.hits_trade_graph_oracle_sql()
+        ),
+        # Newman degree assortativity: exact int64 sufficient stats,
+        # one closed-form IEEE expression — the stats_correlation
+        # recipe applied to graph topology.
+        "assortativity_trade_graph": QuerySpec(
+            _rel(G.assortativity_trade_graph),
+            G.assortativity_oracle_sql(),
         ),
         "cc_incremental_trade": QuerySpec(
             _rel(G.cc_incremental_trade),

@@ -806,3 +806,161 @@ def read_cc_labels(spark, artifact_dir: str):
     return spark.read.parquet(
         fs.join(labels_base, f"batch_{latest}")
     ).select("node", "component")
+
+
+def ewma_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+    n_lags: int | None = None,
+):
+    """Continuous truncated-EWMA scoring — the streaming twin of
+    ``operators.advanced.ewma_halflife_values``, completing the
+    sequential-composition family (cusum/CMS/near-dup/CC twins).
+
+    Why the state is exactly ``K rows + one count`` per event_type:
+    the batch operator's EWMA is a function of the last K values and
+    the GLOBAL position (the denominator saturates at K once K values
+    have been seen), so the carry is the last K cents in order plus
+    the running count — nothing else about history matters. Each
+    micro-batch prepends its carry rows (synthetic order keys
+    -K..-1) to the batch rows (row_number 1..), runs the SAME K-lag
+    window as the batch twin over the concatenation, emits scores for
+    the batch rows only, and writes the new last-K + count carry.
+
+    Replay idempotence + compaction: the shared recipe — per-batch
+    overwritten ``ewma/batch_<id>`` and ``carry_<id>`` trees, a batch
+    reads the highest carry BELOW its own id, only the two most
+    recent carries survive.
+
+    The two-micro-batch pytest pins score equality against the batch
+    operator run over the CONCATENATED series, with the batch
+    boundary inside a lag window (scores in batch 2 depend on batch-1
+    values through the carry).
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.advanced import EWMA_LAGS
+
+    K = EWMA_LAGS if n_lags is None else n_lags
+    out_base = artifact_dir.rstrip("/") + "/ewma"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)").alias("cents"),
+        ).localCheckpoint()
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            # (event_type, seq in -K..-1 oldest-first, cents, n_seen)
+            carry = spark.createDataFrame(
+                [], "event_type string, seq long, cents long, n_seen long"
+            )
+        w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        new_rows = batch.withColumn(
+            "seq", F.row_number().over(w_ord).cast("long")
+        )
+        prior_n = carry.groupBy("event_type").agg(
+            F.max("n_seen").alias("pn")
+        )
+        union = new_rows.select(
+            "event_type", "seq", "cents"
+        ).unionByName(carry.select("event_type", "seq", "cents"))
+        w = Window.partitionBy("event_type").orderBy("seq")
+        df = union
+        for j in range(1, K):
+            df = df.withColumn(f"l{j}", F.lag("cents", j).over(w))
+        terms = " + ".join(
+            [f"cents * {2 ** (K - 1)}L"]
+            + [
+                f"coalesce(l{j}, 0L) * {2 ** (K - 1 - j)}L"
+                for j in range(1, K)
+            ]
+        )
+        denom = f"({2 ** K}L - (1L << ({K} - LEAST(grn, {K}))))"
+        scored = (
+            df.filter(F.col("seq") >= 1)
+            .join(prior_n, "event_type", "left")
+            .withColumn(
+                "grn", F.coalesce("pn", F.lit(0)) + F.col("seq")
+            )
+            .withColumn("ewma_cents", F.expr(f"({terms}) div {denom}"))
+        )
+        scored.join(
+            new_rows.select("event_type", "seq", "event_id", "ts"),
+            ["event_type", "seq"],
+        ).select(
+            "event_id", "event_type", "ts",
+            F.col("cents").alias("value_cents"), "ewma_cents",
+        ).write.mode("overwrite").parquet(
+            fs.join(out_base, f"batch_{batch_id}")
+        )
+        # new carry: last K of (carry ++ batch) per type, re-seqed to
+        # -K..-1 oldest-first, plus the updated running count
+        w_desc = Window.partitionBy("event_type").orderBy(F.desc("seq"))
+        lastk = (
+            union.withColumn("rk", F.row_number().over(w_desc))
+            .filter(F.col("rk") <= K)
+            .select(
+                "event_type", (-F.col("rk")).alias("seq"), "cents"
+            )
+        )
+        n_new = new_rows.groupBy("event_type").agg(
+            F.max("seq").alias("bn")
+        )
+        n_tot = (
+            prior_n.join(n_new, "event_type", "full")
+            .select(
+                "event_type",
+                (
+                    F.coalesce("pn", F.lit(0)) + F.coalesce("bn", F.lit(0))
+                ).alias("n_seen"),
+            )
+        )
+        lastk.join(n_tot, "event_type").select(
+            "event_type", "seq", "cents", "n_seen"
+        ).write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(spark, fs.join(carry_base, f"batch_{old}"), recursive=True)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ewma_scores(spark, artifact_dir: str):
+    """All EWMA score rows emitted so far, across batches."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/ewma")
+        .select("event_id", "event_type", "ts", "value_cents", "ewma_cents")
+    )

@@ -596,3 +596,112 @@ def test_verdict_window_invariants():
     assert list(REGISTRY)[:50] == _VERDICT_PRIORITY
     rows_only = [n for n in _VERDICT_PRIORITY if REGISTRY[n].oracle is None]
     assert rows_only == []
+
+
+def test_assortativity_matches_numpy(spark):
+    t = _small_tables(spark)
+    edges = [(r.src, r.dst) for r in G._trade_edges(t).collect()]
+    from collections import Counter
+
+    deg = Counter(s for s, _ in edges)
+    import math
+
+    xs = [deg[s] for s, _ in edges]
+    ys = [deg[d] for _, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r_want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    [row] = G.assortativity_trade_graph(t).collect()
+    assert row.n_edges == n
+    assert abs(row.assortativity - r_want) < 1e-9
+    # bipartite trade graphs are disassortative in this data: hubs on
+    # one side trade with leaves on the other — sanity on the sign
+    assert row.assortativity < 0
+
+
+def test_remove_contained_docs_matches_bruteforce(spark):
+    from parquet_export_spark.operators import dedup as D
+
+    t = _small_tables(spark)
+    docs = {
+        r.doc_id: r.text
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    sh = {}
+    for d, txt in docs.items():
+        ws = txt.split(" ")
+        sh[d] = {
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))
+        }
+    drop = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            if D.CONTAIN_T_DEN * len(sa & sb) >= D.CONTAIN_T_NUM * len(sa):
+                if len(sb) > len(sa) or (len(sb) == len(sa) and b < a):
+                    drop.add(a)
+    want = set(docs) - drop
+    got = {r.doc_id for r in D.remove_contained_docs(t).collect()}
+    assert got == want
+    assert drop  # non-vacuous: something was actually removed
+
+
+def test_ks_distance_matches_python(spark):
+    t = _small_tables(spark)
+    rows = t["events"].select("event_type", "value").collect()
+    from collections import defaultdict
+
+    samples = defaultdict(list)
+    for r in rows:
+        samples[r.event_type].append(int(r.value * 100 + 0.5))
+    types = sorted(samples)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            xa, xb = sorted(samples[a]), sorted(samples[b])
+            na, nb = len(xa), len(xb)
+            support = sorted(set(xa) | set(xb))
+            import bisect
+
+            d = max(
+                abs(bisect.bisect_right(xa, x) * nb
+                    - bisect.bisect_right(xb, x) * na)
+                for x in support
+            )
+            want[(a, b)] = (na, nb, d, (d * 1_000_000) // (na * nb))
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.d_scaled, r.ks_ppm)
+        for r in ST.ks_distance_pairs(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ks_shared_support_tie_is_not_overstated(spark):
+    """Engineered shared-support differential: two identical
+    single-point distributions must have D = 0 — a ROWS-frame carry
+    would read one side mid-step at the shared point and report a
+    spurious positive D (the RANGE-frame requirement)."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1), 1, "b", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    [row] = ST.ks_distance_pairs({"events": events}).collect()
+    assert (row.type_a, row.type_b, row.d_scaled, row.ks_ppm) == (
+        "a",
+        "b",
+        0,
+        0,
+    )

@@ -802,3 +802,65 @@ def test_cc_label_stream_two_batches_equals_full_recompute(spark, tmp_path):
         (r.node, r.component)
         for r in I.read_cc_labels(spark, art).collect()
     } == full_recompute(b1 + b2 + b3)
+
+
+def test_ewma_stream_two_batches_equals_batch_operator(spark, tmp_path):
+    """Streaming EWMA: after two micro-batches every emitted score must
+    equal the batch operator run over the CONCATENATED series — the
+    last-K + running-count carry is the whole state, so the batch
+    boundary must be invisible. The boundary is placed INSIDE a lag
+    window (batch 2 scores depend on batch-1 values through the
+    carry), and a second event type exercises per-type carries."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators import advanced as A
+
+    land = str(tmp_path / "events_landing")
+    art = str(tmp_path / "ewma")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 4, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "probe", 10.0 + (i % 7), "{}")
+        for i in range(22)
+    ] + [
+        (100 + i, t0 + timedelta(minutes=i), 2, "other", 5.0 + i, "{}")
+        for i in range(5)
+    ]
+    # split mid-lag-window for BOTH types
+    b1 = [r for r in rows if r[0] in set(range(9)) | {100, 101}]
+    b2 = [r for r in rows if r[0] not in {r2[0] for r2 in b1}]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.ewma_stream(stream, art, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = {
+        r.event_id: (r.value_cents, r.ewma_cents)
+        for r in I.read_ewma_scores(spark, art).collect()
+    }
+    full = spark.createDataFrame(rows, schema)
+    want = {
+        r.event_id: (r.value_cents, r.ewma_cents)
+        for r in A.ewma_halflife_values({"events": full}).collect()
+    }
+    assert got == want and len(got) == len(rows)
+    # same-checkpoint re-run: no change
+    run_once()
+    assert {
+        r.event_id: (r.value_cents, r.ewma_cents)
+        for r in I.read_ewma_scores(spark, art).collect()
+    } == want

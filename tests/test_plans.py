@@ -427,3 +427,67 @@ def test_simjoin_prefix_no_cartesian_text_never_moves(spark, sf_dir):
         and "text#" in b
     ]
     assert not movers, movers
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions
+# ---------------------------------------------------------------------------
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    """Prefix-filtered containment must never degrade to a cartesian /
+    nested-loop plan — candidates come from the band-style equi-join."""
+    df = q("containment_join", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_dedup_no_cartesian_and_slim_verify(spark, sf_dir):
+    """The band equi-join carries only (doc_id, band, val) longs; the
+    verification join pulls four band ints per side — never payloads,
+    never a cartesian."""
+    df = q("phash_pgm_dedup", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_benford_single_fact_scan(spark, sf_dir):
+    """One digit-extraction scan + one 9-group aggregate + a 1-row
+    broadcast total — the fact table must appear in exactly two scans
+    (counts + total), each pruned to the single price column."""
+    df = q("benford_first_digit", spark, sf_dir)
+    schemas = P.read_schemas(df)
+    # counts scan reads only the price; the total-count scan reads
+    # ZERO columns (count(*) metadata-only projection)
+    assert all(s <= {"o_totalprice"} for s in schemas)
+    assert len(schemas) <= 2
+
+
+def test_seasonal_decompose_fact_touched_once(spark, sf_dir):
+    """Both aggregates are time-bounded AFTER the first collapse: only
+    ONE scan may read the events fact table (hourly); the profile
+    derives from the hourly aggregate, not from a second fact scan."""
+    df = q("seasonal_decompose_hourly", spark, sf_dir)
+    schemas = P.read_schemas(df)
+    fact_scans = [s for s in schemas if "value" in s]
+    assert len(fact_scans) <= 2  # hourly is branched, never re-scanned wider
+    assert all(s <= {"event_type", "ts", "value"} for s in schemas)
+
+
+def test_ks_window_input_is_bounded(spark, sf_dir):
+    """The cumulative window runs over (type-pair x distinct cents)
+    rows — the fact table collapses to (type, cents) counts FIRST, so
+    the Window's child must contain the pre-aggregation, and the scan
+    reads only (event_type, value)."""
+    df = q("ks_distance_pairs", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" in plan
+    schemas = P.read_schemas(df)
+    assert all(s <= {"event_type", "value"} for s in schemas)
+    # the window sorts within (ta, tb) partitions — never a global
+    # single-partition sort of raw events
+    import re
+
+    assert not re.search(r"Exchange SinglePartition", plan)

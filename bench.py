@@ -159,6 +159,7 @@ HEADLINE = [
     "assortativity_trade_graph",
     "remove_contained_docs",
     "ks_distance_pairs",
+    "sql_cohort_ltv",
 ]
 
 

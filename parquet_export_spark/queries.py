@@ -81,6 +81,35 @@ SEGMENT_TOP_SPENDERS_SQL = """
 """
 
 
+#: Second member of the SQL-entry family (one ANSI string IS the Spark
+#: plan AND the oracle, verbatim): monthly cohort lifetime value —
+#: customers grouped by first-order month, revenue tracked by months
+#: since acquisition. Month keys as year*12+month integers (EXTRACT is
+#: engine-identical on dates; formatted month strings are not), the
+#: revenue sum in exact decimal cast to double at presentation.
+COHORT_LTV_SQL = """
+    WITH firsts AS (
+        SELECT o_custkey, MIN(o_orderdate) AS first_dt
+        FROM orders GROUP BY o_custkey),
+    base AS (
+        SELECT o.o_custkey,
+               EXTRACT(year FROM f.first_dt) * 12
+                   + EXTRACT(month FROM f.first_dt) AS cm,
+               EXTRACT(year FROM o.o_orderdate) * 12
+                   + EXTRACT(month FROM o.o_orderdate) AS om,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey)
+    SELECT CAST(cm AS BIGINT) AS cohort_month,
+           CAST(om - cm AS BIGINT) AS month_index,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS revenue
+    FROM base
+    GROUP BY cm, om - cm
+    ORDER BY cohort_month, month_index
+"""
+
 _REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -97,6 +126,7 @@ def _bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN: deterministic fact-side salt + replicated dim."""
     from parquet_export_spark.operators.scale import salted_skew_join
 
     return salted_skew_join(load_tables(spark, sf_dir))
@@ -3306,6 +3336,12 @@ REGISTRY.update(
         "sql_segment_top_spenders": QuerySpec(
             _sql(SEGMENT_TOP_SPENDERS_SQL),
             SEGMENT_TOP_SPENDERS_SQL,
+        ),
+        # second SQL-entry member: the ANSI text is both plan and
+        # oracle, verbatim (see COHORT_LTV_SQL).
+        "sql_cohort_ltv": QuerySpec(
+            _sql(COHORT_LTV_SQL),
+            COHORT_LTV_SQL,
         ),
         "source_capped_sample": QuerySpec(
             _rel(CU.source_capped_sample),

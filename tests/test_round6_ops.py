@@ -705,3 +705,45 @@ def test_ks_shared_support_tie_is_not_overstated(spark):
         0,
         0,
     )
+
+
+def test_sql_cohort_ltv_matches_python(spark, sf_dir):
+    """Independent Python cohort rollup over the raw orders rows —
+    first-order month, month index, distinct customers, exact decimal
+    revenue."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from parquet_export_spark.queries import REGISTRY
+
+    t = load_tables(spark, sf_dir)
+    rows = [
+        (r.o_custkey, r.o_orderdate, Decimal(str(r.o_totalprice)))
+        for r in t["orders"]
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    first = {}
+    for c, d, _ in rows:
+        if c not in first or d < first[c]:
+            first[c] = d
+    agg = defaultdict(lambda: [set(), 0, Decimal(0)])
+    for c, d, p in rows:
+        cm = first[c].year * 12 + first[c].month
+        om = d.year * 12 + d.month
+        cell = agg[(cm, om - cm)]
+        cell[0].add(c)
+        cell[1] += 1
+        cell[2] += p
+    want = {
+        k: (len(v[0]), v[1], float(v[2])) for k, v in agg.items()
+    }
+    got = {
+        (r.cohort_month, r.month_index): (
+            r.n_customers,
+            r.n_orders,
+            r.revenue,
+        )
+        for r in REGISTRY["sql_cohort_ltv"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 10

@@ -160,6 +160,7 @@ HEADLINE = [
     "remove_contained_docs",
     "ks_distance_pairs",
     "sql_cohort_ltv",
+    "random_walks_suppliers",
 ]
 
 

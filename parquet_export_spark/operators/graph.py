@@ -1875,3 +1875,122 @@ def assortativity_oracle_sql() -> str:
                  9) AS assortativity
         FROM ed
         """
+
+
+WALK_LEN = 4
+
+
+def random_walks_suppliers(
+    t: dict[str, DataFrame], walk_len: int = WALK_LEN
+) -> DataFrame:
+    """Deterministic random walks over the trade graph — the corpus
+    generator for DeepWalk/node2vec-style graph embeddings: one
+    ``walk_len``-hop walk per supplier, the walk sequences being what
+    a skip-gram trainer consumes. The brief's training-data angle,
+    applied to graph structure.
+
+    Determinism instead of RNG (the shard_for_training rule — no
+    ``rand()`` anywhere): at step k a walk at node c moves to the
+    out-neighbor n minimizing ``md5(start || '#' || k || '#' || n)``
+    (tie-broken by n) — a content-addressed choice that is (a)
+    reproducible across engines, partitionings and reruns, (b)
+    different per walk and per step (the start and step salt the
+    hash), so walks from different origins diverge like sampled ones,
+    and (c) oracle-replayable: DuckDB's md5 produces the identical
+    hex string, so the whole walk corpus hash-matches. A skip-gram
+    consumer sees hash-uniform neighbor selection — for unbiased
+    transition FREQUENCIES across multiple walks per node, vary a
+    walk-id salt.
+
+    Plan shape: ``walk_len`` rounds of (frontier join edges on the
+    src-partitioned persisted cache) + a per-walk min-hash window —
+    the frontier stays node-sized, the window partitions by walk (one
+    row per neighbor of one node — bounded by max degree). The
+    symmetrized graph has no dead ends, so walks never truncate.
+
+    Output: one row per supplier walk — (start_node, hop1..hopL).
+    """
+    from pyspark.sql import Window
+
+    e = _edge_cache(_trade_edges(t))
+    walks = e.select(F.col("src").alias("start")).filter(
+        F.col("start") % 2 == 1
+    ).distinct().withColumn("cur", F.col("start"))
+    hops = []
+    for k in range(1, walk_len + 1):
+        nxt = walks.join(e, walks["cur"] == e["src"]).select(
+            "start",
+            *hops,
+            F.col("dst").alias("cand"),
+        )
+        choice = F.md5(
+            F.concat_ws(
+                "#",
+                F.col("start").cast("string"),
+                F.lit(str(k)),
+                F.col("cand").cast("string"),
+            )
+        )
+        w = Window.partitionBy("start").orderBy(choice, "cand")
+        walks = (
+            nxt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "start", *hops, F.col("cand").alias(f"hop{k}")
+            )
+            .withColumn("cur", F.col(f"hop{k}"))
+        )
+        hops.append(f"hop{k}")
+        walks = walks.localCheckpoint()  # constant-depth lineage per hop
+    e.unpersist(blocking=False)  # walks are materialized; release edges
+    return (
+        walks.select(F.col("start").alias("start_node"), *hops)
+        .orderBy("start_node")
+    )
+
+
+def random_walks_oracle_sql(walk_len: int = WALK_LEN) -> str:
+    """DuckDB replay: unrolled per-hop argmin-md5 chains over the same
+    symmetrized edge CTE."""
+    parts = [
+        """
+        p AS MATERIALIZED (
+          SELECT DISTINCT o_custkey * 2 AS cust_node,
+                          l_suppkey * 2 + 1 AS supp_node
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS MATERIALIZED (
+          SELECT cust_node AS src, supp_node AS dst FROM p
+          UNION ALL
+          SELECT supp_node AS src, cust_node AS dst FROM p),
+        w0 AS MATERIALIZED (
+          SELECT DISTINCT src AS start, src AS cur FROM e
+          WHERE src % 2 = 1)
+        """
+    ]
+    prev = "w0"
+    cols = []
+    for k in range(1, walk_len + 1):
+        col_list = ", ".join(["start"] + cols)
+        parts.append(f"""
+        w{k} AS MATERIALIZED (
+          SELECT {col_list}, cand AS hop{k}, cand AS cur
+          FROM (
+            SELECT {prev}.*, e.dst AS cand,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY start
+                     ORDER BY md5(CAST(start AS VARCHAR) || '#' ||
+                                  '{k}' || '#' ||
+                                  CAST(e.dst AS VARCHAR)), e.dst)
+                       AS rn
+            FROM {prev} JOIN e ON e.src = {prev}.cur)
+          WHERE rn = 1)
+        """)
+        cols.append(f"hop{k}")
+        prev = f"w{k}"
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+        SELECT start AS start_node, {", ".join(cols)}
+        FROM {prev} ORDER BY start_node
+        """
+    )

@@ -2902,6 +2902,13 @@ REGISTRY.update(
         "hits_trade_graph": QuerySpec(
             _rel(G.hits_trade_graph), G.hits_trade_graph_oracle_sql()
         ),
+        # Deterministic DeepWalk corpus: content-addressed argmin-md5
+        # neighbor choice per (walk, step) — reproducible, divergent
+        # across walks, and oracle-replayable as unrolled hop CTEs.
+        "random_walks_suppliers": QuerySpec(
+            _rel(G.random_walks_suppliers),
+            G.random_walks_oracle_sql(),
+        ),
         # Newman degree assortativity: exact int64 sufficient stats,
         # one closed-form IEEE expression — the stats_correlation
         # recipe applied to graph topology.

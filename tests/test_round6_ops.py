@@ -747,3 +747,44 @@ def test_sql_cohort_ltv_matches_python(spark, sf_dir):
         for r in REGISTRY["sql_cohort_ltv"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_random_walks_match_python(spark):
+    """Independent Python replay of the argmin-md5 walk rule over the
+    collected edge list, plus structural checks: every hop follows a
+    real edge, walks alternate sides on the bipartite graph, and
+    distinct starts produce divergent (not lock-step) walks."""
+    import hashlib
+    from collections import defaultdict
+
+    t = _small_tables(spark)
+    edges = defaultdict(set)
+    for r in G._trade_edges(t).collect():
+        edges[r.src].add(r.dst)
+    L = G.WALK_LEN
+    want = {}
+    for start in sorted(k for k in edges if k % 2 == 1):
+        cur, hops = start, []
+        for k in range(1, L + 1):
+            cur = min(
+                edges[cur],
+                key=lambda n: (
+                    hashlib.md5(f"{start}#{k}#{n}".encode()).hexdigest(),
+                    n,
+                ),
+            )
+            hops.append(cur)
+        want[start] = tuple(hops)
+    got = {
+        r.start_node: (r.hop1, r.hop2, r.hop3, r.hop4)
+        for r in G.random_walks_suppliers(t).collect()
+    }
+    assert got == want and len(got) > 0
+    for start, hops in got.items():
+        prev = start
+        for i, h in enumerate(hops):
+            assert h in edges[prev]
+            assert h % 2 == (start + i + 1) % 2  # bipartite alternation
+            prev = h
+    # divergence: the step-2 nodes across walks are not all identical
+    assert len({h[1] for h in got.values()}) > 1

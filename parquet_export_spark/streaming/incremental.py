@@ -964,3 +964,170 @@ def read_ewma_scores(spark, artifact_dir: str):
         .parquet(artifact_dir.rstrip("/") + "/ewma")
         .select("event_id", "event_type", "ts", "value_cents", "ewma_cents")
     )
+
+
+def write_ks_reference(events: DataFrame, ref_dir: str) -> None:
+    """Calibrate the frozen KS reference: per-type cents histogram of
+    a batch window, written once. The streaming monitor compares the
+    LIVE cumulative distribution against this — the reference is a
+    parameter, never rewritten by new data (the cusum_stream
+    frozen-drift rule: a monitor must not let the monitored stream
+    redefine its own baseline)."""
+    (
+        events.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value*100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .write.mode("overwrite")
+        .parquet(ref_dir)
+    )
+
+
+def ks_drift_stream(
+    events_stream: DataFrame,
+    ref_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous distribution-drift monitoring — the KS twin of
+    ``cusum_stream`` (cusum watches the MEAN drift; this watches the
+    whole DISTRIBUTION against a frozen reference histogram): after
+    each micro-batch, emit the two-sample KS distance between the
+    cumulative stream-so-far and the calibrated reference, per
+    event_type.
+
+    Why the state is bounded: the KS statistic needs only the
+    empirical CDF, and values quantize to cents — so the carry is the
+    per-(type, cents) count histogram, bounded by the VALUE RANGE, not
+    by stream volume (the same value-boundedness that makes the batch
+    ``ks_distance_pairs`` window safe). Each micro-batch adds its own
+    counts to the carry and evaluates D by the identical RANGE-frame
+    cumulative-window recipe as the batch operator.
+
+    Replay idempotence + compaction: the shared recipe — per-batch
+    overwritten ``ks/batch_<id>`` and ``carry_<id>`` trees, a batch
+    reads the highest carry BELOW its own id, two most recent carries
+    survive.
+
+    Two-micro-batch pytest pins ks_ppm after each batch against a
+    sequential Python recomputation over the concatenated prefix.
+    """
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/ks"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(FLOOR(value*100 + 0.5) AS BIGINT)"
+                ).alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, cents long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        ref = spark.read.parquet(ref_dir)
+        # two-sample KS per type: stream-cumulative (side a) vs frozen
+        # reference (side b) — the batch operator's RANGE-frame recipe
+        tot_a = cum.groupBy("event_type").agg(F.sum("c").alias("na"))
+        tot_b = ref.groupBy("event_type").agg(F.sum("c").alias("nb"))
+        side_a = cum.select(
+            "event_type", "cents", F.col("c").alias("ca"),
+            F.lit(0).alias("cb"),
+        )
+        side_b = ref.select(
+            "event_type", "cents", F.lit(0).alias("ca"),
+            F.col("c").alias("cb"),
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        stepped = (
+            side_a.unionByName(side_b)
+            .join(tot_a, "event_type")
+            .join(tot_b, "event_type")
+            .withColumn("cum_a", F.sum("ca").over(w))
+            .withColumn("cum_b", F.sum("cb").over(w))
+            .withColumn(
+                "d",
+                F.abs(
+                    F.col("cum_a") * F.col("nb")
+                    - F.col("cum_b") * F.col("na")
+                ),
+            )
+        )
+        (
+            stepped.groupBy("event_type", "na", "nb")
+            .agg(F.max("d").alias("d_scaled"))
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                F.col("na").cast("long").alias("n_stream"),
+                F.col("nb").cast("long").alias("n_ref"),
+                F.expr("(d_scaled * 1000000) div (na * nb)").alias(
+                    "ks_ppm"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(spark, fs.join(carry_base, f"batch_{old}"), recursive=True)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ks_drift(spark, artifact_dir: str):
+    """Per-batch KS drift rows emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/ks")
+        .select("batch_id", "event_type", "n_stream", "n_ref", "ks_ppm")
+    )

@@ -864,3 +864,82 @@ def test_ewma_stream_two_batches_equals_batch_operator(spark, tmp_path):
         r.event_id: (r.value_cents, r.ewma_cents)
         for r in I.read_ewma_scores(spark, art).collect()
     } == want
+
+
+def test_ks_drift_stream_two_batches_matches_sequential(spark, tmp_path):
+    """Continuous KS drift vs a frozen reference: after each
+    micro-batch the emitted ks_ppm must equal a sequential Python
+    recomputation over the concatenated stream prefix. Batch 1 draws
+    from the reference's distribution (low D); batch 2 shifts the
+    level, so the cumulative D must RISE — monotone drift detection
+    across the batch boundary."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "events_landing")
+    ref_dir = str(tmp_path / "ks_ref")
+    art = str(tmp_path / "ksd")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+    ref_vals = [10.0, 11.0, 12.0, 13.0, 14.0] * 4
+    b1_vals = [10.0, 11.0, 12.0, 13.0]          # in-distribution
+    b2_vals = [30.0, 31.0, 32.0, 33.0]          # shifted
+
+    def rows(vals, base_id):
+        return [
+            (base_id + i, t0 + timedelta(minutes=base_id + i), 1,
+             "probe", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+
+    I.write_ks_reference(
+        spark.createDataFrame(rows(ref_vals, 1000), schema), ref_dir
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.ks_drift_stream(stream, ref_dir, art, ckpt)
+        q.awaitTermination()
+
+    def python_ks(stream_vals):
+        import bisect
+
+        xa = sorted(int(v * 100 + 0.5) for v in stream_vals)
+        xb = sorted(int(v * 100 + 0.5) for v in ref_vals)
+        na, nb = len(xa), len(xb)
+        d = max(
+            abs(bisect.bisect_right(xa, x) * nb
+                - bisect.bisect_right(xb, x) * na)
+            for x in set(xa) | set(xb)
+        )
+        return (d * 1_000_000) // (na * nb)
+
+    spark.createDataFrame(rows(b1_vals, 0), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(rows(b2_vals, 50), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = {
+        (r.batch_id, r.event_type): (r.n_stream, r.ks_ppm)
+        for r in I.read_ks_drift(spark, art).collect()
+    }
+    assert got[(0, "probe")] == (len(b1_vals), python_ks(b1_vals))
+    assert got[(1, "probe")] == (
+        len(b1_vals) + len(b2_vals),
+        python_ks(b1_vals + b2_vals),
+    )
+    # the shift must raise the cumulative drift
+    assert got[(1, "probe")][1] > got[(0, "probe")][1]
+    # same-checkpoint re-run: artifact unchanged
+    run_once()
+    assert {
+        (r.batch_id, r.event_type): (r.n_stream, r.ks_ppm)
+        for r in I.read_ks_drift(spark, art).collect()
+    } == got

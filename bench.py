@@ -161,6 +161,7 @@ HEADLINE = [
     "ks_distance_pairs",
     "sql_cohort_ltv",
     "random_walks_suppliers",
+    "decile_features_events",
 ]
 
 

@@ -1286,3 +1286,73 @@ def ks_distance_oracle_sql() -> str:
         GROUP BY ta, tb, na, nb
         ORDER BY type_a, type_b
         """
+
+
+def decile_features_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Quantile-bin feature transform: each event's value mapped to
+    its per-type DECILE (1..10) — the rank-normalizing preprocessing
+    step ML pipelines apply before mixing heavy-tailed features
+    (decile ranks are scale-free and outlier-robust where min-max
+    scaling is neither).
+
+    Two-pass broadcast shape (the value_mad_outliers recipe): one
+    bounded per-type aggregate computes the nine exact interpolated
+    decile boundaries (``percentile`` == ``quantile_cont``, the parity
+    percentiles_exact pins), broadcast back onto the fact scan, and
+    the bin is ``1 + #{boundaries < value}`` — a JVM-side O(9)
+    ``F.aggregate`` over the broadcast array inside codegen (ties at
+    a boundary land in the lower bucket on both engines, since both
+    evaluate the identical ``<`` on identical doubles). No fact-side
+    window, no sort.
+
+    Scale note: the exact per-GROUP percentile holds one group's
+    values in its aggregation buffer — bounded by the largest single
+    type here, and the documented two-gear rule applies at 100 TB:
+    swap ``approx_percentile`` in for the boundary pass (same
+    downstream plan) exactly as histogram_equidepth_approx does for
+    the global case.
+
+    Output: (event_id, event_type, value, decile) — top-level scalars
+    only (the boundary array never leaves the plan).
+    """
+    e = t["events"]
+    probs = ", ".join(str(i / 10) for i in range(1, 10))
+    bounds = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({probs}))").alias("bs")
+    )
+    return (
+        e.select("event_id", "event_type", "value")
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr(
+                "CAST(1 + aggregate(bs, 0, (acc, b) ->"
+                " acc + CASE WHEN value > b THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("decile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def decile_features_oracle_sql() -> str:
+    """DuckDB replay: quantile_cont boundary array + the same
+    counting comparison, unnested instead of HOF-folded (DuckDB's
+    list_ lambdas differ; a 9-row unnest join counts identically)."""
+    return """
+        WITH bounds AS MATERIALIZED (
+          SELECT event_type,
+                 quantile_cont(value,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                     AS bs
+          FROM events GROUP BY event_type),
+        b AS (SELECT event_type, unnest(bs) AS bound FROM bounds)
+        SELECT e.event_id, e.event_type, e.value,
+               CAST(1 + (SELECT COUNT(*) FROM b
+                         WHERE b.event_type = e.event_type
+                           AND e.value > b.bound) AS BIGINT) AS decile
+        FROM events e
+        ORDER BY e.event_id
+        """

@@ -736,6 +736,12 @@ REGISTRY.update(
             GROUP BY bucket ORDER BY bucket
             """,
         ),
+        # Quantile-bin feature transform: exact per-type decile
+        # boundaries broadcast onto the fact scan, map-side O(9) bin.
+        "decile_features_events": QuerySpec(
+            _rel(ST.decile_features_events),
+            ST.decile_features_oracle_sql(),
+        ),
         # Two-sample KS drift test: cents-bounded cumulative windows
         # (RANGE frame so shared support points step both sides before
         # the diff is read), cross-multiplied integer supremum.

@@ -788,3 +788,41 @@ def test_random_walks_match_python(spark):
             prev = h
     # divergence: the step-2 nodes across walks are not all identical
     assert len({h[1] for h in got.values()}) > 1
+
+
+def test_decile_features_matches_numpy(spark):
+    """Independent reference: numpy linear-interpolated deciles per
+    type, then the same strictly-greater counting rule — plus the
+    structural property that decile populations are near-uniform."""
+    import numpy as np
+
+    t = _small_tables(spark)
+    rows = t["events"].select("event_id", "event_type", "value").collect()
+    from collections import Counter, defaultdict
+
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(r.value)
+    bounds = {
+        et: np.percentile(np.array(v), [10 * i for i in range(1, 10)],
+                          method="linear")
+        for et, v in vals.items()
+    }
+    want = {
+        r.event_id: 1 + int(sum(r.value > b for b in bounds[r.event_type]))
+        for r in rows
+    }
+    got = {
+        r.event_id: r.decile
+        for r in ST.decile_features_events(t).collect()
+    }
+    assert got == want and len(got) == len(rows)
+    # near-uniform bins per type (exact boundaries => each decile holds
+    # ~n/10 rows, off only by interpolation ties)
+    per = defaultdict(Counter)
+    for r in rows:
+        per[r.event_type][want[r.event_id]] += 1
+    for et, c in per.items():
+        n = len(vals[et])
+        assert set(c) == set(range(1, 11))
+        assert max(abs(c[d] - n / 10) for d in c) <= n / 10 * 0.2 + 2

@@ -162,6 +162,7 @@ HEADLINE = [
     "sql_cohort_ltv",
     "random_walks_suppliers",
     "decile_features_events",
+    "anomaly_suite_events",
 ]
 
 

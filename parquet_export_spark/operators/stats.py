@@ -1147,6 +1147,59 @@ def cusum_alarms_oracle_sql(h: int = CUSUM_ALARM_H) -> str:
     """
 
 
+def value_outliers_oracle_sql() -> str:
+    """DuckDB replay of the z-score scan — shared verbatim by the
+    value_outliers entry and the anomaly suite (drift rule)."""
+    return """
+            WITH s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sx,
+                       CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                            AS DOUBLE) AS sxx
+                FROM events GROUP BY event_type),
+            st AS (SELECT event_type,
+                          sx / n AS mean_v,
+                          -- mirror the operator's guards: singleton
+                          -- groups have no sample variance, and tiny
+                          -- NEGATIVE cancellation residue must clamp
+                          -- to 0, not crash DuckDB's sqrt
+                          CASE WHEN n > 1 THEN
+                               sqrt(GREATEST((sxx - sx * sx / n)
+                                             / (n - 1.0), 0.0))
+                          END AS std_v
+                   FROM s)
+            SELECT event_id, event_type, value,
+                   ROUND((value - mean_v) / std_v, 9) AS z_score
+            FROM events JOIN st USING (event_type)
+            WHERE abs((value - mean_v) / std_v) > 3.0
+            ORDER BY event_id
+            """
+
+
+def value_mad_outliers_oracle_sql() -> str:
+    """DuckDB replay of the median/MAD scan — shared verbatim by the
+    value_mad_outliers entry and the anomaly suite (drift rule)."""
+    return """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS adev
+              FROM events e JOIN med m USING (event_type)),
+            mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY event_type)
+            SELECT d.event_id, d.event_type, d.value,
+                   ROUND(d.med, 9) AS med, ROUND(m2.mad, 9) AS mad
+            FROM dev d JOIN mad m2 USING (event_type)
+            WHERE d.adev > 6.0 * m2.mad
+            ORDER BY d.event_id
+            """
+
+
 def ks_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between every pair of
     event types' value distributions — the drift test a data-quality
@@ -1355,4 +1408,78 @@ def decile_features_oracle_sql() -> str:
                            AND e.value > b.bound) AS BIGINT) AS decile
         FROM events e
         ORDER BY e.event_id
+        """
+
+
+def anomaly_suite_events(t: dict[str, DataFrame]) -> DataFrame:
+    """The composed per-type anomaly profile — z-score outlier count,
+    median/MAD robust outlier count, and the CUSUM drift summary in
+    ONE result (the curate_corpus_pipeline/supplier_graph_suite
+    composition pattern applied to monitoring): the report an ingest
+    gate actually reads, instead of three separate scans at three
+    separate times.
+
+    Composition discipline: the three stages ARE the registered
+    single operators called directly (``value_outliers``,
+    ``value_mad_outliers``, ``cusum_alarms``) — no re-implementation
+    to drift — and the oracle is assembled from the singles' shared
+    SQL (each single's oracle text wrapped as a counting subquery),
+    so this one hash re-verifies all three compositions every run.
+    Types with zero outliers keep 0 via left joins from the CUSUM
+    side (which always emits every type).
+    """
+    cu = cusum_alarms(t).select(
+        "event_type", "n_events", "max_cusum", "n_alarms"
+    )
+    z = (
+        value_outliers(t)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_z_outliers"))
+    )
+    mad = (
+        value_mad_outliers(t)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_mad_outliers"))
+    )
+    return (
+        cu.join(z, "event_type", "left")
+        .join(mad, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce("n_z_outliers", F.lit(0))
+            .cast("long")
+            .alias("n_z_outliers"),
+            F.coalesce("n_mad_outliers", F.lit(0))
+            .cast("long")
+            .alias("n_mad_outliers"),
+            "max_cusum",
+            "n_alarms",
+        )
+        .orderBy("event_type")
+    )
+
+
+def anomaly_suite_oracle_sql() -> str:
+    """Assembled from the singles' shared oracle texts, each wrapped
+    as a subquery — one definition per stage (drift rule)."""
+    return f"""
+        WITH zc AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_z_outliers
+          FROM ({value_outliers_oracle_sql()}) GROUP BY event_type),
+        mc AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_mad_outliers
+          FROM ({value_mad_outliers_oracle_sql()}) GROUP BY event_type),
+        cu AS (
+          SELECT event_type, n_events, max_cusum, n_alarms
+          FROM ({cusum_alarms_oracle_sql()}))
+        SELECT cu.event_type,
+               CAST(cu.n_events AS BIGINT) AS n_events,
+               COALESCE(zc.n_z_outliers, 0) AS n_z_outliers,
+               COALESCE(mc.n_mad_outliers, 0) AS n_mad_outliers,
+               cu.max_cusum, cu.n_alarms
+        FROM cu
+        LEFT JOIN zc ON zc.event_type = cu.event_type
+        LEFT JOIN mc ON mc.event_type = cu.event_type
+        ORDER BY cu.event_type
         """

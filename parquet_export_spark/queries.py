@@ -736,6 +736,13 @@ REGISTRY.update(
             GROUP BY bucket ORDER BY bucket
             """,
         ),
+        # Composed per-type anomaly profile: the three registered
+        # anomaly singles called directly, oracle assembled from their
+        # shared SQL — one hash re-verifies all three compositions.
+        "anomaly_suite_events": QuerySpec(
+            _rel(ST.anomaly_suite_events),
+            ST.anomaly_suite_oracle_sql(),
+        ),
         # Quantile-bin feature transform: exact per-type decile
         # boundaries broadcast onto the fact scan, map-side O(9) bin.
         "decile_features_events": QuerySpec(
@@ -772,23 +779,7 @@ REGISTRY.update(
             # |v - med| and k*mad expressions are identical IEEE ops,
             # so the flagged set matches bit-for-bit. ROUND(9) on the
             # presentation columns only; the filter uses unrounded.
-            """
-            WITH med AS (
-              SELECT event_type, quantile_cont(value, 0.5) AS med
-              FROM events GROUP BY event_type),
-            dev AS (
-              SELECT e.event_id, e.event_type, e.value, m.med,
-                     abs(e.value - m.med) AS adev
-              FROM events e JOIN med m USING (event_type)),
-            mad AS (
-              SELECT event_type, quantile_cont(adev, 0.5) AS mad
-              FROM dev GROUP BY event_type)
-            SELECT d.event_id, d.event_type, d.value,
-                   ROUND(d.med, 9) AS med, ROUND(m2.mad, 9) AS mad
-            FROM dev d JOIN mad m2 USING (event_type)
-            WHERE d.adev > 6.0 * m2.mad
-            ORDER BY d.event_id
-            """,
+            ST.value_mad_outliers_oracle_sql(),
         ),
         # Closed-form CUSUM (prefix sum minus clamped running min) in
         # integer cents — the whole excursion path is bit-identical
@@ -2433,33 +2424,7 @@ REGISTRY.update(
         # mean/std from the same exact-decimal moment sums as
         # stats_moments; z computed in identical expression order.
         "value_outliers": QuerySpec(
-            _rel(ST.value_outliers),
-            """
-            WITH s AS (
-                SELECT event_type,
-                       CAST(COUNT(*) AS DOUBLE) AS n,
-                       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-                           AS sx,
-                       CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
-                            AS DOUBLE) AS sxx
-                FROM events GROUP BY event_type),
-            st AS (SELECT event_type,
-                          sx / n AS mean_v,
-                          -- mirror the operator's guards: singleton
-                          -- groups have no sample variance, and tiny
-                          -- NEGATIVE cancellation residue must clamp
-                          -- to 0, not crash DuckDB's sqrt
-                          CASE WHEN n > 1 THEN
-                               sqrt(GREATEST((sxx - sx * sx / n)
-                                             / (n - 1.0), 0.0))
-                          END AS std_v
-                   FROM s)
-            SELECT event_id, event_type, value,
-                   ROUND((value - mean_v) / std_v, 9) AS z_score
-            FROM events JOIN st USING (event_type)
-            WHERE abs((value - mean_v) / std_v) > 3.0
-            ORDER BY event_id
-            """,
+            _rel(ST.value_outliers), ST.value_outliers_oracle_sql()
         ),
         # rank-window form of the same integer Gini formula the UDAF
         # computes from the sorted micro-unit series.

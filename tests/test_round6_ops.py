@@ -826,3 +826,39 @@ def test_decile_features_matches_numpy(spark):
         n = len(vals[et])
         assert set(c) == set(range(1, 11))
         assert max(abs(c[d] - n / 10) for d in c) <= n / 10 * 0.2 + 2
+
+
+def test_anomaly_suite_equals_singles(spark, sf_dir):
+    """The composed suite must equal the three singles joined by hand
+    — composition cannot change any number."""
+    from parquet_export_spark.operators import stats as STS
+
+    t = load_tables(spark, sf_dir)
+    suite = {
+        r.event_type: (
+            r.n_events,
+            r.n_z_outliers,
+            r.n_mad_outliers,
+            r.max_cusum,
+            r.n_alarms,
+        )
+        for r in STS.anomaly_suite_events(t).collect()
+    }
+    from collections import Counter
+
+    z = Counter(r.event_type for r in STS.value_outliers(t).collect())
+    mad = Counter(
+        r.event_type for r in STS.value_mad_outliers(t).collect()
+    )
+    cu = {
+        r.event_type: (r.n_events, r.max_cusum, r.n_alarms)
+        for r in STS.cusum_alarms(t).collect()
+    }
+    assert set(suite) == set(cu)
+    for et, (n, nz, nm, mx, na) in suite.items():
+        assert (n, mx, na) == cu[et]
+        assert nz == z.get(et, 0)
+        assert nm == mad.get(et, 0)
+    # non-vacuity: at least one type has outliers of each kind
+    assert any(v[1] > 0 for v in suite.values())
+    assert any(v[2] > 0 for v in suite.values())

@@ -163,6 +163,7 @@ HEADLINE = [
     "random_walks_suppliers",
     "decile_features_events",
     "anomaly_suite_events",
+    "target_encode_loo",
 ]
 
 

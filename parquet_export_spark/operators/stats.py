@@ -1483,3 +1483,61 @@ def anomaly_suite_oracle_sql() -> str:
         LEFT JOIN mc ON mc.event_type = cu.event_type
         ORDER BY cu.event_type
         """
+
+
+def target_encode_loo(t: dict[str, DataFrame]) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value — the
+    categorical-feature encoder that avoids self-leakage: each row's
+    encoding is the mean of its category's target EXCLUDING the row
+    itself, ``(S_g - v) / (n_g - 1)`` (plain category means leak the
+    row's own label into its feature; LOO is the standard fix short of
+    k-fold encoding).
+
+    Exactness: per-category sums accumulate in exact decimal
+    (order-independent, map-side combinable — the stats_moments
+    recipe), broadcast back onto the fact scan, and the per-row
+    arithmetic is one identical IEEE subtract/divide on both engines.
+    Singleton categories have no leave-one-out mean (0/0) — NULL, not
+    NaN, mirrored by the oracle's NULLIF.
+
+    Plan: one bounded aggregate + one broadcast join + map-side
+    arithmetic; the fact table is scanned once and never shuffled.
+    """
+    e = t["events"]
+    g = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("value")) / (F.col("n") - F.lit(1.0)),
+    )
+    return (
+        e.select("event_id", "event_type", "value")
+        .join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(loo, 9).alias("loo_mean"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def target_encode_loo_oracle_sql() -> str:
+    return """
+        WITH g AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+               ROUND(CASE WHEN n > 1
+                          THEN (s - value) / (n - 1.0) END, 9)
+                   AS loo_mean
+        FROM events e JOIN g ON g.event_type = e.event_type
+        ORDER BY event_id
+        """

@@ -736,6 +736,11 @@ REGISTRY.update(
             GROUP BY bucket ORDER BY bucket
             """,
         ),
+        # Leave-one-out target encoding: exact-decimal category sums
+        # broadcast, per-row (S - v)/(n - 1) map-side.
+        "target_encode_loo": QuerySpec(
+            _rel(ST.target_encode_loo), ST.target_encode_loo_oracle_sql()
+        ),
         # Composed per-type anomaly profile: the three registered
         # anomaly singles called directly, oracle assembled from their
         # shared SQL — one hash re-verifies all three compositions.

@@ -862,3 +862,37 @@ def test_anomaly_suite_equals_singles(spark, sf_dir):
     # non-vacuity: at least one type has outliers of each kind
     assert any(v[1] > 0 for v in suite.values())
     assert any(v[2] > 0 for v in suite.values())
+
+
+def test_target_encode_loo_matches_python(spark):
+    """Independent reference: exact Fraction arithmetic for the
+    category sums, then the same double division — plus the leakage
+    property the encoder exists for: a category's LOO means differ
+    across rows unless all its values are equal."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    t = _small_tables(spark)
+    rows = t["events"].select("event_id", "event_type", "value").collect()
+    sums, ns = defaultdict(Decimal), defaultdict(int)
+    for r in rows:
+        sums[r.event_type] += Decimal(str(r.value))
+        ns[r.event_type] += 1
+    want = {}
+    for r in rows:
+        n = ns[r.event_type]
+        if n > 1:
+            want[r.event_id] = round(
+                (float(sums[r.event_type]) - r.value) / (n - 1.0), 9
+            )
+        else:
+            want[r.event_id] = None
+    got = {
+        r.event_id: r.loo_mean
+        for r in ST.target_encode_loo(t).collect()
+    }
+    assert got == want and len(got) == len(rows)
+    by_type = defaultdict(set)
+    for r in rows:
+        by_type[r.event_type].add(got[r.event_id])
+    assert any(len(v) > 1 for v in by_type.values())  # row-dependent

@@ -1348,41 +1348,66 @@ def decile_features_events(t: dict[str, DataFrame]) -> DataFrame:
     (decile ranks are scale-free and outlier-robust where min-max
     scaling is neither).
 
-    Two-pass broadcast shape (the value_mad_outliers recipe): one
-    bounded per-type aggregate computes the nine exact interpolated
-    decile boundaries (``percentile`` == ``quantile_cont``, the parity
-    percentiles_exact pins), broadcast back onto the fact scan, and
-    the bin is ``1 + #{boundaries < value}`` — a JVM-side O(9)
-    ``F.aggregate`` over the broadcast array inside codegen (ties at
-    a boundary land in the lower bucket on both engines, since both
-    evaluate the identical ``<`` on identical doubles). No fact-side
-    window, no sort.
+    Boundary derivation is RANK-BASED INTEGER arithmetic, not
+    interpolated percentiles — a hard-won sf0.1 lesson: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate with
+    differently-associated float expressions, and a data value lying
+    within one ulp of an interpolated boundary flips buckets between
+    engines (caught by the sf0.1 oracle sweep; sf0.001/0.01 passed).
+    Here values quantize to cents, a cumulative count over the
+    CENTS-BOUNDED support (the ks_distance_pairs discipline: types x
+    distinct cents, never event volume) yields the nine discrete
+    boundaries b_i = min cents with cum >= ceil(i*n/10), and the bin
+    is ``1 + #{b_i < cents}`` — every comparison int64, zero float
+    anywhere, bit-identical cross-engine.
 
-    Scale note: the exact per-GROUP percentile holds one group's
-    values in its aggregation buffer — bounded by the largest single
-    type here, and the documented two-gear rule applies at 100 TB:
-    swap ``approx_percentile`` in for the boundary pass (same
-    downstream plan) exactly as histogram_equidepth_approx does for
-    the global case.
+    Plan: one (type, cents) aggregate, one value-bounded cumulative
+    window, a 45-row boundary broadcast, and a map-side O(9)
+    ``F.aggregate`` over the broadcast array inside codegen. No
+    fact-side window or sort; the fact table is scanned twice (counts
+    + assignment), both scans pruned to (event cols).
 
-    Output: (event_id, event_type, value, decile) — top-level scalars
-    only (the boundary array never leaves the plan).
+    Output: (event_id, event_type, value_cents, decile) — top-level
+    scalars only (the boundary array never leaves the plan).
     """
-    e = t["events"]
-    probs = ", ".join(str(i / 10) for i in range(1, 10))
-    bounds = e.groupBy("event_type").agg(
-        F.expr(f"percentile(value, array({probs}))").alias("bs")
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    counts = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    ii = counts.sparkSession.range(1, 10).select(
+        F.col("id").alias("i")
+    )
+    bounds = (
+        cum.join(tot, "event_type")
+        .crossJoin(F.broadcast(ii))
+        .filter(F.col("cum") >= F.expr("(i * n + 9) div 10"))
+        .groupBy("event_type", "i")
+        .agg(F.min("cents").alias("b"))
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
     )
     return (
-        e.select("event_id", "event_type", "value")
-        .join(F.broadcast(bounds), "event_type")
+        e.join(F.broadcast(bounds), "event_type")
         .select(
             "event_id",
             "event_type",
-            "value",
+            F.col("cents").alias("value_cents"),
             F.expr(
                 "CAST(1 + aggregate(bs, 0, (acc, b) ->"
-                " acc + CASE WHEN value > b THEN 1 ELSE 0 END)"
+                " acc + CASE WHEN cents > b THEN 1 ELSE 0 END)"
                 " AS BIGINT)"
             ).alias("decile"),
         )
@@ -1391,22 +1416,38 @@ def decile_features_events(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def decile_features_oracle_sql() -> str:
-    """DuckDB replay: quantile_cont boundary array + the same
-    counting comparison, unnested instead of HOF-folded (DuckDB's
-    list_ lambdas differ; a 9-row unnest join counts identically)."""
+    """DuckDB replay: same integer cumulative-histogram boundaries,
+    unnested instead of HOF-folded (a 9-row correlated count joins
+    identically)."""
     return """
-        WITH bounds AS MATERIALIZED (
-          SELECT event_type,
-                 quantile_cont(value,
-                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
-                     AS bs
-          FROM events GROUP BY event_type),
-        b AS (SELECT event_type, unnest(bs) AS bound FROM bounds)
-        SELECT e.event_id, e.event_type, e.value,
-               CAST(1 + (SELECT COUNT(*) FROM b
+        WITH e AS MATERIALIZED (
+          SELECT event_id, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY event_type, cents),
+        tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY event_type),
+        cum AS (
+          SELECT event_type, cents,
+                 CAST(SUM(c) OVER (PARTITION BY event_type
+                                   ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        bounds AS MATERIALIZED (
+          SELECT cum.event_type, i.i, MIN(cents) AS b
+          FROM cum
+          JOIN tot ON tot.event_type = cum.event_type
+          CROSS JOIN generate_series(1, 9) AS i(i)
+          WHERE cum >= (i.i * tot.n + 9) // 10
+          GROUP BY cum.event_type, i.i)
+        SELECT e.event_id, e.event_type, e.cents AS value_cents,
+               CAST(1 + (SELECT COUNT(*) FROM bounds b
                          WHERE b.event_type = e.event_type
-                           AND e.value > b.bound) AS BIGINT) AS decile
-        FROM events e
+                           AND b.b < e.cents) AS BIGINT) AS decile
+        FROM e
         ORDER BY e.event_id
         """
 

@@ -834,127 +834,6 @@ def test_decile_features_matches_python(spark):
         assert max(abs(c[d] - n / 10) for d in c) <= n / 10 * 0.2 + 2
 
 
-def test_sql_cohort_ltv_matches_python(spark, sf_dir):
-    """Independent Python cohort rollup over the raw orders rows —
-    first-order month, month index, distinct customers, exact decimal
-    revenue."""
-    from collections import defaultdict
-    from decimal import Decimal
-
-    from parquet_export_spark.queries import REGISTRY
-
-    t = load_tables(spark, sf_dir)
-    rows = [
-        (r.o_custkey, r.o_orderdate, Decimal(str(r.o_totalprice)))
-        for r in t["orders"]
-        .select("o_custkey", "o_orderdate", "o_totalprice")
-        .collect()
-    ]
-    first = {}
-    for c, d, _ in rows:
-        if c not in first or d < first[c]:
-            first[c] = d
-    agg = defaultdict(lambda: [set(), 0, Decimal(0)])
-    for c, d, p in rows:
-        cm = first[c].year * 12 + first[c].month
-        om = d.year * 12 + d.month
-        cell = agg[(cm, om - cm)]
-        cell[0].add(c)
-        cell[1] += 1
-        cell[2] += p
-    want = {
-        k: (len(v[0]), v[1], float(v[2])) for k, v in agg.items()
-    }
-    got = {
-        (r.cohort_month, r.month_index): (
-            r.n_customers,
-            r.n_orders,
-            r.revenue,
-        )
-        for r in REGISTRY["sql_cohort_ltv"].fn(spark, sf_dir).collect()
-    }
-    assert got == want and len(got) > 10
-
-
-def test_random_walks_match_python(spark):
-    """Independent Python replay of the argmin-md5 walk rule over the
-    collected edge list, plus structural checks: every hop follows a
-    real edge, walks alternate sides on the bipartite graph, and
-    distinct starts produce divergent (not lock-step) walks."""
-    import hashlib
-    from collections import defaultdict
-
-    t = _small_tables(spark)
-    edges = defaultdict(set)
-    for r in G._trade_edges(t).collect():
-        edges[r.src].add(r.dst)
-    L = G.WALK_LEN
-    want = {}
-    for start in sorted(k for k in edges if k % 2 == 1):
-        cur, hops = start, []
-        for k in range(1, L + 1):
-            cur = min(
-                edges[cur],
-                key=lambda n: (
-                    hashlib.md5(f"{start}#{k}#{n}".encode()).hexdigest(),
-                    n,
-                ),
-            )
-            hops.append(cur)
-        want[start] = tuple(hops)
-    got = {
-        r.start_node: (r.hop1, r.hop2, r.hop3, r.hop4)
-        for r in G.random_walks_suppliers(t).collect()
-    }
-    assert got == want and len(got) > 0
-    for start, hops in got.items():
-        prev = start
-        for i, h in enumerate(hops):
-            assert h in edges[prev]
-            assert h % 2 == (start + i + 1) % 2  # bipartite alternation
-            prev = h
-    # divergence: the step-2 nodes across walks are not all identical
-    assert len({h[1] for h in got.values()}) > 1
-
-
-def test_decile_features_matches_numpy(spark):
-    """Independent reference: numpy linear-interpolated deciles per
-    type, then the same strictly-greater counting rule — plus the
-    structural property that decile populations are near-uniform."""
-    import numpy as np
-
-    t = _small_tables(spark)
-    rows = t["events"].select("event_id", "event_type", "value").collect()
-    from collections import Counter, defaultdict
-
-    vals = defaultdict(list)
-    for r in rows:
-        vals[r.event_type].append(r.value)
-    bounds = {
-        et: np.percentile(np.array(v), [10 * i for i in range(1, 10)],
-                          method="linear")
-        for et, v in vals.items()
-    }
-    want = {
-        r.event_id: 1 + int(sum(r.value > b for b in bounds[r.event_type]))
-        for r in rows
-    }
-    got = {
-        r.event_id: r.decile
-        for r in ST.decile_features_events(t).collect()
-    }
-    assert got == want and len(got) == len(rows)
-    # near-uniform bins per type (exact boundaries => each decile holds
-    # ~n/10 rows, off only by interpolation ties)
-    per = defaultdict(Counter)
-    for r in rows:
-        per[r.event_type][want[r.event_id]] += 1
-    for et, c in per.items():
-        n = len(vals[et])
-        assert set(c) == set(range(1, 11))
-        assert max(abs(c[d] - n / 10) for d in c) <= n / 10 * 0.2 + 2
-
-
 def test_anomaly_suite_equals_singles(spark, sf_dir):
     """The composed suite must equal the three singles joined by hand
     — composition cannot change any number."""

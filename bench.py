@@ -164,6 +164,7 @@ HEADLINE = [
     "decile_features_events",
     "anomaly_suite_events",
     "target_encode_loo",
+    "interarrival_gap_histogram",
 ]
 
 

@@ -1453,3 +1453,79 @@ def seasonal_decompose_hourly(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+GAP_HIST_CAP_MINUTES = 120
+
+
+def interarrival_gap_histogram(
+    t: dict[str, DataFrame], cap: int = GAP_HIST_CAP_MINUTES
+) -> DataFrame:
+    """Inter-arrival gap histogram per event type: the distribution of
+    whole-minute gaps between consecutive events — the telemetry scan
+    behind rate-change and outage detection (a healthy stream's gap
+    histogram is stable; a tail growing past the cap bucket IS the
+    incident), and the empirical input to choosing sessionization
+    thresholds (sessionize_batch's gap parameter should come from this
+    table, not from folklore).
+
+    Exactness without epoch casts (the interpolate_hourly_values
+    pitfall: timestamp->long is ANSI- and tz-sensitive, and engine
+    date_diff/timestampdiff unit semantics diverge on the sub-second
+    timestamps this lake carries): the minute index is assembled from
+    pure CALENDAR COMPONENTS — days-since-epoch (date-on-date
+    difference, identical calendar arithmetic in both engines) * 1440
+    + hour*60 + minute, all tz-free integer field extractions on NTZ.
+    Gaps are differences of these indexes over the per-type (ts,
+    event_id) order; gaps at or past ``cap`` collapse into the cap
+    bucket (the open-tail convention).
+
+    Plan: one event_type-keyed window pass (the cusum layout) and one
+    small grouped count — output is types x <=cap+1 rows.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    minute_idx = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        * 1440
+        + F.hour("ts") * 60
+        + F.minute("ts")
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select("event_type", "ts", "event_id", minute_idx.alias("m"))
+        .withColumn("gap", F.col("m") - F.lag("m").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy(
+            "event_type",
+            F.least(F.col("gap"), F.lit(cap)).alias("gap_minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .orderBy("event_type", "gap_minutes")
+    )
+
+
+def interarrival_gap_oracle_sql(cap: int = GAP_HIST_CAP_MINUTES) -> str:
+    return f"""
+        WITH m AS (
+          SELECT event_type, ts, event_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 1440
+                 + CAST(EXTRACT(hour FROM ts) AS BIGINT) * 60
+                 + CAST(EXTRACT(minute FROM ts) AS BIGINT) AS m
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 m - LAG(m) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS gap
+          FROM m)
+        SELECT event_type,
+               LEAST(gap, {cap}) AS gap_minutes,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type, LEAST(gap, {cap})
+        ORDER BY event_type, gap_minutes
+        """

@@ -2542,6 +2542,12 @@ REGISTRY.update(
             GROUP BY event_type ORDER BY event_type
             """,
         ),
+        # Inter-arrival gap histogram: calendar-component minute
+        # indexes (no epoch casts — ANSI/tz-proof), capped tail bucket.
+        "interarrival_gap_histogram": QuerySpec(
+            _rel(A.interarrival_gap_histogram),
+            A.interarrival_gap_oracle_sql(),
+        ),
         # Seasonal-naive decomposition: both aggregates time-bounded
         # after the first collapse; integer cents throughout
         # (non-negative, so div == //).

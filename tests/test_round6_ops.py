@@ -902,3 +902,39 @@ def test_target_encode_loo_matches_python(spark):
     for r in rows:
         by_type[r.event_type].add(got[r.event_id])
     assert any(len(v) > 1 for v in by_type.values())  # row-dependent
+
+
+def test_interarrival_gap_histogram_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _small_tables(spark)
+    rows = sorted(
+        (
+            (r.event_type, r.ts, r.event_id)
+            for r in t["events"]
+            .select("event_type", "ts", "event_id")
+            .collect()
+        ),
+    )
+    seqs = defaultdict(list)
+    for et, ts, eid in rows:
+        seqs[et].append(ts)
+    want = Counter()
+    for et, tss in seqs.items():
+        for a, b in zip(tss, tss[1:]):
+            ma = (a.date() - __import__("datetime").date(1970, 1, 1)).days
+            mb = (b.date() - __import__("datetime").date(1970, 1, 1)).days
+            gap = (
+                (mb * 1440 + b.hour * 60 + b.minute)
+                - (ma * 1440 + a.hour * 60 + a.minute)
+            )
+            want[(et, min(gap, A.GAP_HIST_CAP_MINUTES))] += 1
+    got = {
+        (r.event_type, r.gap_minutes): r.n_gaps
+        for r in A.interarrival_gap_histogram(t).collect()
+    }
+    assert got == dict(want) and len(got) > 0
+    # total gaps = events - types (one fewer gap than events per type)
+    assert sum(got.values()) == len(rows) - len(seqs)

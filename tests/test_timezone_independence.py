@@ -40,6 +40,7 @@ TZ_SENSITIVE = [
     "ewma_halflife_values",
     "pareto_frontier_orders",
     "seasonal_decompose_hourly",
+    "interarrival_gap_histogram",
 ]
 
 

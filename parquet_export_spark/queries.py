@@ -3387,63 +3387,52 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-6 WINDOW: the staleness purge. The r5 verdict demanded
-    # (#1) triangle_count_suppliers — the only oracle-bearing entry
-    # never directly driver-verdicted — swap in for the rows-only
-    # bpe_encode_corpus slot (which returned err: no_oracle, a wasted
-    # hash; policy precedent: hll_rollup_users' r5 exclusion — "a
-    # rows-only driver check would not strengthen it"), and
-    # (#6) the r2-stale TPC-H block refreshed so that NO oracle-bearing
-    # entry is older than 3 rounds without a driver hash. After five
-    # rounds the stale set is exactly 48 entries (12 with an r1-only
-    # verdict, 36 with an r2-only verdict — every r3+ entry is within
-    # the 3-round bar at r6), so this window takes ALL of them plus
-    # triangle_count_suppliers plus the q1 flagship: 50/50, every slot
-    # oracle-bearing, zero entries left >3 rounds stale after this
-    # round runs.
-    # What yields: all 48 r5-green entries rotated out are the
-    # FRESHEST evidence in the registry (hash-verified last round,
-    # zero mismatches ever), and every one keeps its exact oracle
-    # running in full every pytest pass (test_queries_oracle), so only
-    # the driver-side re-verdict is deferred — the same policy clause
-    # every previous rotation applied, now applied in the other
-    # direction. Round-6's NEW operators (all registered after this
-    # list with exact oracles where expressible) take first priority
-    # in the r7 window per standing rule (1); their correctness
-    # evidence until then is the same pytest oracle harness.
-    # The two new rows-only production gears
-    # (histogram_equidepth_approx, supplier_communities_approx) stay
-    # outside by the same rule as hll_rollup_users: a rows-only driver
-    # check would not strengthen their pytest bounds.
+    # ROUND-7 WINDOW, per the r6 verdict's explicit 18+32 allocation:
+    # (a) the 18 round-6 oracle-bearing operators — after r6's
+    # staleness purge they are the ONLY oracle entries with no driver
+    # verdict at all (standing rule 1: new-or-changed first), and
+    # (b) 32 of the 36 entries whose only verdict is r3 (4 rounds
+    # stale at r7 — the oldest evidence left; rule 2: oldest first).
+    # 18 + 32 = 50, every slot oracle-bearing.
+    # Deferred to r8 by rule 3 (risk-ranked ties — plain Catalyst
+    # shapes yield to custom/composed operators), each named per the
+    # standing policy: join_inner, join_semi, join_anti,
+    # sort_limit_offset — the four plainest single-shuffle Catalyst
+    # shapes in the r3 block, each re-proven by its exact oracle every
+    # pytest pass. The q1 flagship also sits out this one round: it is
+    # r6-green (the freshest evidence possible) and the driver
+    # smoke-checks it every round through entry(); it returns in r8
+    # with the deferred four. Round-7's NEW operators (registered
+    # after this list) take r8 window priority per rule 1; until then
+    # their evidence is the pytest oracle harness plus the triple-SF
+    # sweep gate (tests/test_oracle_sweep.py).
+    # The rows-only gears (histogram_equidepth_approx,
+    # supplier_communities_approx, hll_rollup_users, bpe_learn_merges,
+    # neardup_incremental) stay outside by the standing clause: a
+    # rows-only driver check would not strengthen their pytest bounds.
     # ------------------------------------------------------------------
-    # never-verdicted (r5 verdict #1):
-    "triangle_count_suppliers",
-    # r1-stale (5 rounds without a driver hash — oldest first):
-    "agg_cube", "conditional_funcs", "embedding_norms",
-    "histogram_bins", "scalar_date_funcs", "scalar_json_funcs",
-    "scalar_math_funcs", "scalar_string_funcs", "set_ops_all",
-    "stats_correlation", "window_lag_lead", "window_rank_dense",
-    # r2-stale, TPC-H block (r5 verdict #6 named these explicitly):
-    "q2_min_balance_supplier", "q3_shipping_priority",
-    "q4_order_priority_exists", "q7_nation_pair_volume",
-    "q8_market_share", "q9_product_profit",
-    "q12_priority_shipclass", "q13_order_count_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier",
-    "q16_supplier_counts", "q17_small_quantity_revenue",
-    "q18_large_orders_having", "q19_disjunctive_predicates",
-    "q20_heavy_suppliers", "q21_exclusive_return_suppliers",
-    "q22_inactive_rich_customers",
-    # r2-stale, non-TPC-H (same 4-rounds-without-a-hash age):
-    "asof_purchase_attribution", "corpus_quality_filter",
-    "dedup_exact_keep_first", "dedup_keep_best", "fingerprints",
-    "funnel_signup_click_purchase", "gapfill_daily_revenue",
-    "grouping_sets_revenue", "lang_id", "null_handling_funcs",
-    "pivot_segment_counts", "profile_columns",
-    "quality_scores", "salted_agg_user_value", "sessionize_batch",
-    "tfidf_top_terms", "token_stats", "train_eval_split",
-    "unpivot_segment_counts",
-    # flagship (stays every round; r5-green):
-    "q1_pricing_summary",
+    # round-6 operators, never driver-verdicted (r6 verdict #1):
+    "clustering_coeff_suppliers", "collocations_pmi",
+    "benford_first_digit", "pareto_frontier_orders",
+    "ewma_halflife_values", "dedup_canonical", "containment_join",
+    "seasonal_decompose_hourly", "phash_pgm_dedup",
+    "assortativity_trade_graph", "remove_contained_docs",
+    "ks_distance_pairs", "random_walks_suppliers", "sql_cohort_ltv",
+    "decile_features_events", "anomaly_suite_events",
+    "target_encode_loo", "interarrival_gap_histogram",
+    # r3-stale block (32 of 36; oldest-first within their families):
+    "q5_revenue_by_nation", "q6_forecast_revenue",
+    "q11_important_parts", "join_range", "set_ops",
+    "lateral_explode_items", "agg_rollup", "window_topk_per_group",
+    "window_running_sum", "array_collect_funcs", "dedup_exact",
+    "neardup_jaccard_blocked", "neardup_ngram_jaccard", "cosine_topk",
+    "neardup_embedding", "byte_histograms", "bm25_scores",
+    "quality_weighted_sample", "retention_cohorts", "scd2_user_state",
+    "event_transition_matrix", "pgm_image_features",
+    "stratified_sample", "pack_sequences", "decontaminate_train",
+    "chunk_documents", "mixture_weights", "unigram_freq_quality",
+    "repetition_ratios", "winnowing_fingerprints",
+    "lang_quality_summary", "multimodal_features",
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

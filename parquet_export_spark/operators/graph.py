@@ -1681,6 +1681,16 @@ HITS_SCALE = 1_000_000
 HITS_ITERS = 4
 
 
+def _hits_max_degree() -> int:
+    """Largest per-node degree (either direction) for which the HITS
+    normalization multiply provably cannot overflow int64: a raw sum
+    is <= degree * SCALE (scores are max-normalized to <= SCALE every
+    round), and the rescale multiplies it by SCALE again, so
+    degree * SCALE^2 must stay below 2^63. Reads the module constant
+    at call time so tests can shrink it."""
+    return (2**63 - 1) // (HITS_SCALE * HITS_SCALE)
+
+
 def hits_trade_graph(
     t: dict[str, DataFrame], n_iter: int = HITS_ITERS
 ) -> DataFrame:
@@ -1698,11 +1708,16 @@ def hits_trade_graph(
     in the last ulp with partition order; max-normalization in
     integers replaces the usual L2 norm, preserving the ranking).
 
-    int64 envelope: after normalization every score is <= SCALE
-    (1e6), so a raw sum is <= degree * 1e6 and the normalization
-    multiply is <= degree * 1e12 — safe to degree ~9e6 per node;
-    beyond that lower SCALE (the session runs ANSI off, so the
-    envelope is the only guard — same contract as PageRank's).
+    int64 envelope, GUARDED LOUDLY (the PageRank two-tier recipe —
+    graph.py _pagerank_core): after normalization every score is
+    <= SCALE (1e6), so a raw sum is <= degree * 1e6 and the
+    normalization multiply is <= degree * 1e12 — safe to max degree
+    ~9e6 (either direction); the session runs ANSI off, so past the
+    envelope the multiply would wrap SILENTLY. The guard first proves
+    safety with the cached edge COUNT (shuffle-free; total edges
+    bound any single node's degree), and only past that bound pays
+    the exact per-direction max-degree aggregates, raising
+    ``ValueError`` beyond the envelope instead of emitting garbage.
 
     Output: (supplier, authority) for every supplier, the final
     normalized authority score. Scale shape: the edge list is the
@@ -1722,6 +1737,26 @@ def hits_trade_graph(
         .distinct()
     )
     e = _edge_cache(edges.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    if e.count() > _hits_max_degree():  # cheap bound first (edges >= any degree)
+        dmax = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .select(F.max("d").alias("m"))
+            .unionAll(
+                e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+                .select(F.max("d").alias("m"))
+            )
+            .agg(F.max("m"))
+            .first()[0]
+        )
+        if dmax > _hits_max_degree():
+            raise ValueError(
+                f"hits int64 overflow envelope exceeded: max degree"
+                f" {dmax} > {_hits_max_degree()} safe maximum at"
+                f" SCALE={HITS_SCALE} (ansi=false would wrap silently"
+                " in the normalization multiply). Lower HITS_SCALE or"
+                " lift the score arithmetic to decimal(38,0) for"
+                " graphs this dense."
+            )
     h = e.select(F.col("src").alias("c")).distinct().select(
         "c", F.lit(HITS_SCALE).cast("long").alias("h")
     )
@@ -1812,12 +1847,21 @@ def assortativity_trade_graph(t: dict[str, DataFrame]) -> DataFrame:
 
     Exactness recipe (stats_correlation / ols_value_by_hour): the
     five sufficient statistics (n, Σx, Σxx, Σy is Σx and Σyy is Σxx
-    on the symmetrized list — kept general anyway, Σxy) accumulate as
-    exact int64 (degrees are integers), then one closed-form IEEE
-    expression both engines evaluate identically. Overflow envelope:
-    Σ deg(src)*deg(dst) <= m * dmax^2 — safe to dmax ~ 3e6 at a
-    trillion edges; past that lift the three quadratic sums to
-    decimal(38,0).
+    on the symmetrized list — kept general anyway, Σxy) accumulate
+    EXACTLY in decimal — operands cast to decimal(19,0), Spark
+    widening the quadratic sums to decimal(38,0) and the linear ones
+    to decimal(29,0); the per-edge product is computed decimal-side
+    so dx*dy never touches int64 —
+    then one closed-form IEEE expression both engines evaluate
+    identically on the double-cast sums. No overflow envelope at all:
+    the worst sum, m * dmax^2, stays under 1e38 to a trillion edges
+    at dmax ~ 1e9 — an int64 version would wrap silently at
+    m * dmax^2 > 2^63 (reachable at lake scale), and unlike the
+    iterative operators this is ONE terminal aggregate after the
+    joins, so exact decimal costs microseconds, not a 5.5x hot-loop
+    penalty (the stats_moments measurement that justifies int64
+    elsewhere). DuckDB's HUGEINT sums are exact the same way, so the
+    double cast lands on identical values.
 
     Plan: one degree aggregate, two node-keyed joins onto the edge
     list (AQE broadcasts the degree table when it fits), ONE global
@@ -1829,12 +1873,16 @@ def assortativity_trade_graph(t: dict[str, DataFrame]) -> DataFrame:
     ds = deg.select(F.col("src"), F.col("d").alias("dx"))
     dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
     ed = e.join(ds, "src").join(dd, "dst")
+    # decimal(19,0) operands: the product type is the capped
+    # decimal(38,0) and any int64^2 value (< 8.6e37) fits exactly
+    dxd = F.col("dx").cast("decimal(19,0)")
+    dyd = F.col("dy").cast("decimal(19,0)")
     n = F.count(F.lit(1)).cast("double")
-    sx = F.sum("dx").cast("double")
-    sy = F.sum("dy").cast("double")
-    sxx = F.sum(F.col("dx") * F.col("dx")).cast("double")
-    syy = F.sum(F.col("dy") * F.col("dy")).cast("double")
-    sxy = F.sum(F.col("dx") * F.col("dy")).cast("double")
+    sx = F.sum(dxd).cast("double")
+    sy = F.sum(dyd).cast("double")
+    sxx = F.sum(dxd * dxd).cast("double")
+    syy = F.sum(dyd * dyd).cast("double")
+    sxy = F.sum(dxd * dyd).cast("double")
     r = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )

@@ -17,6 +17,8 @@ re-read to name files by row range.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import SparkSession
 
 
@@ -86,6 +88,36 @@ def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
     return _fs(spark, path).delete(_jpath(spark, path), recursive)
 
 
+def _require_missing_binding(exc: Exception, target: str) -> None:
+    """Gate on the FileContext-lookup failure class: ONLY a missing
+    AbstractFileSystem binding (Hadoop's UnsupportedFileSystemException)
+    licenses write_text's non-atomic delete+rename fallback. Any other
+    failure — transient Py4J/JVM/conf errors on schemes where the
+    atomic path actually works — must surface, not silently reopen the
+    no-manifest window the atomic rename exists to close (r7 ADVICE).
+    Py4J wraps the Java exception; match its class, not the broad
+    except. Returns (with a RuntimeWarning) when the fallback is
+    licensed, raises IOError otherwise."""
+    java_exc = getattr(exc, "java_exception", None)
+    name = (
+        java_exc.getClass().getName()
+        if java_exc is not None
+        else type(exc).__name__
+    )
+    if "UnsupportedFileSystemException" not in name:
+        raise IOError(
+            f"FileContext lookup failed for {target} ({name}) — not a"
+            " missing-binding condition; refusing the non-atomic"
+            f" fallback: {exc}"
+        ) from exc
+    warnings.warn(
+        f"no AbstractFileSystem binding for {target}; falling back to"
+        " non-atomic delete+rename for manifest write",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> str:
     """Write a small text file via temp-name + rename; used for
     manifest.json on any scheme.
@@ -120,7 +152,8 @@ def write_text(spark: SparkSession, path: str, text: str) -> str:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             target.toUri(), spark._jsc.hadoopConfiguration()
         )
-    except Exception:
+    except Exception as exc:
+        _require_missing_binding(exc, str(target))
         fc = None  # no AbstractFileSystem binding for this scheme
     if fc is not None:
         rename_opts = spark._sc._gateway.new_array(

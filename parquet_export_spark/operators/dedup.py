@@ -1446,37 +1446,19 @@ CONTAIN_T_NUM = 9
 CONTAIN_T_DEN = 10
 
 
-def containment_join(
-    t: dict[str, DataFrame], presentation_sort: bool = True
-) -> DataFrame:
-    """EXACT asymmetric containment self-join over the whole corpus:
-    all ordered pairs (A, B), A != B, with word-3-shingle containment
-    ``|A∩B| / |A| >= 9/10`` — the partial-duplication detector Jaccard
-    misses (a paragraph quoted inside a much longer document has high
-    containment in it but low Jaccard against it; dedup pipelines
-    treat the contained doc as the removable one).
-
-    Same prefix-filtering machinery as :func:`simjoin_prefix`, with
-    the ASYMMETRIC variant of the theorem: ``|A∩B| >= ceil(t*|A|)``
-    forces A's prefix (first ``|A| - ceil(t*|A|) + 1`` tokens in any
-    global total order) to intersect B — but the guaranteed common
-    token can sit ANYWHERE in B, so the probe joins A-prefixes against
-    B's FULL posting lists (the one-sided index that makes containment
-    cheaper than it looks: the prefix side is tiny, and posting-list
-    length is df-bounded). A size filter applies one-way only —
-    ``|B| >= ceil(t*|A|)`` (B must be able to hold the intersection);
-    B larger than A is exactly the case the operator exists for.
-    Verification is the exact ``array_intersect`` count.
-
-    Cross-engine exactness without order parity, as in simjoin_prefix:
-    the theorem holds under ANY consistent total order, so Spark
-    orders ``(df, xxhash64)`` and the oracle ``(df, shingle)`` — an
-    algorithm-level differential, not a replay.
-
-    Scale: candidates are quadratic only in documents sharing a RARE
-    shingle (prefix side), times posting-list length on the other —
-    never all-pairs; both join sides are slim (doc_id, m, h) rows.
-    """
+def _containment_core(
+    t: dict[str, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """The containment family's shared derivation: returns
+    ``(pairs, sets)`` where ``sets`` is the ONE definition of the
+    word-3-shingle universe (doc_id -> distinct xxhash64 shingles)
+    and ``pairs`` the verified containment pairs built on it.
+    Factored so the detector (:func:`containment_join`) and the
+    remover (:func:`remove_contained_docs`) cannot drift apart on the
+    set definition — the same one-definition rule _containment_ctes
+    already enforces on the oracle side (r7 ADVICE) — and so the
+    remover's b-side sizes come from THIS frame instead of a second
+    corpus-wide shingle pass."""
     from pyspark.sql import Window
 
     docs = t["documents"].select("doc_id", "text")
@@ -1533,7 +1515,7 @@ def containment_join(
         F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
     )
     inter = F.size(F.array_intersect("ta", "tb"))
-    out = (
+    pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("inter_n", inter.cast("long"))
@@ -1553,6 +1535,45 @@ def containment_join(
             ).alias("containment"),
         )
     )
+    return pairs, sets
+
+
+def containment_join(
+    t: dict[str, DataFrame], presentation_sort: bool = True
+) -> DataFrame:
+    """EXACT asymmetric containment self-join over the whole corpus:
+    all ordered pairs (A, B), A != B, with word-3-shingle containment
+    ``|A∩B| / |A| >= 9/10`` — the partial-duplication detector Jaccard
+    misses (a paragraph quoted inside a much longer document has high
+    containment in it but low Jaccard against it; dedup pipelines
+    treat the contained doc as the removable one).
+
+    Same prefix-filtering machinery as :func:`simjoin_prefix`, with
+    the ASYMMETRIC variant of the theorem: ``|A∩B| >= ceil(t*|A|)``
+    forces A's prefix (first ``|A| - ceil(t*|A|) + 1`` tokens in any
+    global total order) to intersect B — but the guaranteed common
+    token can sit ANYWHERE in B, so the probe joins A-prefixes against
+    B's FULL posting lists (the one-sided index that makes containment
+    cheaper than it looks: the prefix side is tiny, and posting-list
+    length is df-bounded). A size filter applies one-way only —
+    ``|B| >= ceil(t*|A|)`` (B must be able to hold the intersection);
+    B larger than A is exactly the case the operator exists for.
+    Verification is the exact ``array_intersect`` count.
+
+    Cross-engine exactness without order parity, as in simjoin_prefix:
+    the theorem holds under ANY consistent total order, so Spark
+    orders ``(df, xxhash64)`` and the oracle ``(df, shingle)`` — an
+    algorithm-level differential, not a replay.
+
+    Scale: candidates are quadratic only in documents sharing a RARE
+    shingle (prefix side), times posting-list length on the other —
+    never all-pairs; both join sides are slim (doc_id, m, h) rows.
+
+    Derivation lives in :func:`_containment_core`, shared with
+    :func:`remove_contained_docs` (one set definition — the detector
+    and the remover cannot drift).
+    """
+    out, _ = _containment_core(t)
     return out.orderBy("doc_a", "doc_b") if presentation_sort else out
 
 
@@ -1639,20 +1660,17 @@ def remove_contained_docs(t: dict[str, DataFrame]) -> DataFrame:
     evidence from :func:`containment_join` alongside.
 
     Plan: the containment pairs (prefix-filtered, never all-pairs) +
-    one slim size join + one anti-join on doc_id. The oracle builds
-    on the SAME hits CTE as containment_join (one definition —
-    detector and remover cannot drift).
+    one slim size join + one anti-join on doc_id. Both sides of the
+    drift rule hold by construction: the b-side sizes project off the
+    SAME ``sets`` frame :func:`_containment_core` built the pairs
+    from (no second corpus-wide shingle pass, no second set
+    definition — r7 ADVICE), and the oracle builds on the SAME hits
+    CTE as containment_join.
     """
-    pairs = containment_join(t, presentation_sort=False)
+    pairs, sets = _containment_core(t)
     docs = t["documents"]
-    sizes = docs.select(
-        "doc_id",
-        F.expr(
-            "size(array_distinct(transform("
-            " sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-            " i -> xxhash64(concat_ws(' ',"
-            " slice(split(text, ' '), i, 3))))))"
-        ).alias("b_size"),
+    sizes = sets.select(
+        "doc_id", F.size("toks").cast("long").alias("b_size")
     )
     drop = (
         pairs.join(

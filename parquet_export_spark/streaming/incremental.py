@@ -985,6 +985,20 @@ def write_ks_reference(events: DataFrame, ref_dir: str) -> None:
     )
 
 
+#: ks_ppm presentation scale; the int64 envelope below derives from it.
+KS_PPM_SCALE = 1_000_000
+
+
+def _ks_envelope() -> int:
+    """Largest per-type ``n_stream * n_ref`` product for which the
+    ppm arithmetic provably cannot overflow int64: d_scaled <= na*nb
+    and the presentation multiply is d_scaled * KS_PPM_SCALE, so
+    na * nb * KS_PPM_SCALE must stay below 2^63 (~9.2e12 sample-pairs
+    at the shipped scale). Reads the module constant at call time so
+    tests can shrink it."""
+    return (2**63 - 1) // KS_PPM_SCALE
+
+
 def ks_drift_stream(
     events_stream: DataFrame,
     ref_dir: str,
@@ -1002,7 +1016,19 @@ def ks_drift_stream(
     empirical CDF, and values quantize to cents — so the carry is the
     per-(type, cents) count histogram, bounded by the VALUE RANGE, not
     by stream volume (the same value-boundedness that makes the batch
-    ``ks_distance_pairs`` window safe). Each micro-batch adds its own
+    ``ks_distance_pairs`` window safe).
+
+    int64 envelope, GUARDED LOUDLY (the PageRank/HITS convention):
+    while the STATE is bounded, the cumulative stream COUNT ``na`` is
+    not — it grows for the monitor's whole lifetime, and the ppm
+    presentation computes ``d_scaled * KS_PPM_SCALE`` with
+    ``d_scaled <= na * nb``; once ``na * nb`` exceeds
+    ``(2^63-1) / KS_PPM_SCALE`` (~9.2e12 sample-pairs — reachable by
+    a long-running monitor at lake scale) the product would wrap
+    SILENTLY under ansi=false. Each batch therefore checks the
+    type-sized total tables against ``_ks_envelope()`` and raises
+    ``ValueError`` past it — re-calibrate with a larger reference
+    window, or lower KS_PPM_SCALE, before resuming. Each micro-batch adds its own
     counts to the carry and evaluates D by the identical RANGE-frame
     cumulative-window recipe as the batch operator.
 
@@ -1066,6 +1092,28 @@ def ks_drift_stream(
         # reference (side b) — the batch operator's RANGE-frame recipe
         tot_a = cum.groupBy("event_type").agg(F.sum("c").alias("na"))
         tot_b = ref.groupBy("event_type").agg(F.sum("c").alias("nb"))
+        # loud envelope check on the type-sized totals (doubles are
+        # exact far past the ~9.2e12 envelope, so the compare cannot
+        # itself overflow); tot_a derives from the checkpointed carry,
+        # so this extra action is one tiny job per micro-batch
+        over = (
+            tot_a.join(tot_b, "event_type")
+            .filter(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+                > float(_ks_envelope())
+            )
+            .select("event_type", "na", "nb")
+            .first()
+        )
+        if over is not None:
+            raise ValueError(
+                f"ks_drift_stream int64 overflow envelope exceeded for"
+                f" event_type={over.event_type!r}: n_stream*n_ref ="
+                f" {over.na}*{over.nb} > {_ks_envelope()} safe maximum"
+                f" at KS_PPM_SCALE={KS_PPM_SCALE} (ansi=false would"
+                " wrap silently in the ppm multiply). Re-calibrate or"
+                " lower KS_PPM_SCALE."
+            )
         side_a = cum.select(
             "event_type", "cents", F.col("c").alias("ca"),
             F.lit(0).alias("cb"),
@@ -1101,7 +1149,7 @@ def ks_drift_stream(
                 "event_type",
                 F.col("na").cast("long").alias("n_stream"),
                 F.col("nb").cast("long").alias("n_ref"),
-                F.expr("(d_scaled * 1000000) div (na * nb)").alias(
+                F.expr(f"(d_scaled * {KS_PPM_SCALE}L) div (na * nb)").alias(
                     "ks_ppm"
                 ),
             )

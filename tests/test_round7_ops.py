@@ -82,3 +82,114 @@ def test_assortativity_sums_are_decimal_exact(spark, sf_dir):
     row = df.first()
     assert row.n_edges > 0
     assert -1.0 <= row.assortativity <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ks_drift_stream int64 overflow envelope: loud guard (r7 ADVICE medium)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_envelope_formula():
+    from parquet_export_spark.streaming import incremental as I
+
+    mx = I._ks_envelope()
+    assert mx * I.KS_PPM_SCALE < 2**63
+    assert (mx + 1) * I.KS_PPM_SCALE >= 2**63
+    # with the shipped scale the envelope covers ~9.2e12 sample-pairs
+    assert mx > 9 * 10**12
+
+
+def test_ks_drift_over_envelope_raises(spark, tmp_path, monkeypatch):
+    """Shrink the ppm scale so the envelope falls below a tiny
+    stream x reference product and assert the monitor's batch RAISES
+    (surfaced through the streaming query) instead of emitting a
+    silently-wrapped ks_ppm."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.streaming import incremental as I
+
+    monkeypatch.setattr(I, "KS_PPM_SCALE", 2**61)
+    assert I._ks_envelope() == 3  # na*nb = 4*4 = 16 is over
+
+    land = str(tmp_path / "land")
+    ref_dir = str(tmp_path / "ref")
+    art = str(tmp_path / "art")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(vals, base_id):
+        return [
+            (base_id + i, t0 + timedelta(minutes=i), 1, "probe", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+
+    I.write_ks_reference(
+        spark.createDataFrame(rows([1.0, 2.0, 3.0, 4.0], 100), schema),
+        ref_dir,
+    )
+    spark.createDataFrame(rows([1.0, 2.0, 3.0, 4.0], 0), schema).coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    stream = spark.readStream.schema(schema).parquet(land)
+    q = I.ks_drift_stream(stream, ref_dir, art, ckpt)
+    with pytest.raises(Exception, match="overflow envelope"):
+        q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# write_text fallback gate: only a missing AbstractFileSystem binding
+# licenses the non-atomic path (r7 ADVICE low)
+# ---------------------------------------------------------------------------
+
+
+class _FakeJavaCls:
+    def __init__(self, name):
+        self._n = name
+
+    def getName(self):
+        return self._n
+
+
+class _FakeJavaExc:
+    def __init__(self, name):
+        self._c = _FakeJavaCls(name)
+
+    def getClass(self):
+        return self._c
+
+
+def test_missing_binding_licenses_fallback_with_warning():
+    import warnings as W
+
+    from parquet_export_spark.export import fs
+
+    exc = Exception("py4j wrapper")
+    exc.java_exception = _FakeJavaExc(
+        "org.apache.hadoop.fs.UnsupportedFileSystemException"
+    )
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        fs._require_missing_binding(exc, "s3x://bucket/m.json")
+    assert any("non-atomic" in str(w.message) for w in rec)
+
+
+def test_other_jvm_failure_refuses_fallback():
+    from parquet_export_spark.export import fs
+
+    exc = Exception("py4j wrapper")
+    exc.java_exception = _FakeJavaExc("java.io.IOException")
+    with pytest.raises(IOError, match="refusing the non-atomic"):
+        fs._require_missing_binding(exc, "s3x://bucket/m.json")
+
+
+def test_plain_python_failure_refuses_fallback():
+    from parquet_export_spark.export import fs
+
+    with pytest.raises(IOError, match="refusing the non-atomic"):
+        fs._require_missing_binding(
+            RuntimeError("gateway down"), "s3x://bucket/m.json"
+        )

@@ -202,6 +202,28 @@ def _emit(timings: dict[str, float], sf) -> None:
                 }
             )
         )
+    # The driver's 2000-byte tail retains only the last ~2 chunks once
+    # the registry outgrows them (BENCH_r06 kept 58/136 entries) — so
+    # just before the always-last total, emit one compact fixed-size
+    # summary of the EXPENSIVE queries (the set cross-round perf
+    # diffing actually needs), durable regardless of registry growth
+    # (round-6 verdict, "What's wrong" #3).
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in items),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:20]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "slowest20",
+                "queries": slowest,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {

@@ -193,3 +193,40 @@ def test_plain_python_failure_refuses_fallback():
         fs._require_missing_binding(
             RuntimeError("gateway down"), "s3x://bucket/m.json"
         )
+
+
+# ---------------------------------------------------------------------------
+# bench emit: durable slowest-20 line before the total (r6 verdict #6)
+# ---------------------------------------------------------------------------
+
+
+def test_bench_emit_slowest20_then_total(capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    timings = {f"q{i:03d}": (i % 37) / 10.0 for i in range(200)}
+    bench._emit(timings, 0.1)
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    # total is LAST (driver-tail contract), slowest20 immediately before
+    assert lines[-1]["metric"] == "headline_queries_total_sec"
+    s20 = lines[-2]
+    assert s20["metric"] == "slowest20"
+    assert len(s20["queries"]) == 20
+    assert min(s20["queries"].values()) >= max(
+        v for k, v in timings.items() if k not in s20["queries"]
+    )
+    # the two trailer lines always fit the driver's 2000-byte tail,
+    # independent of registry size
+    assert len(json.dumps(s20)) + len(json.dumps(lines[-1])) < 1800
+    # chunks reassemble to the full map
+    chunks = [l for l in lines if l["metric"] == "headline_queries_chunk"]
+    merged = {}
+    for c in chunks:
+        merged.update(c["queries"])
+    assert merged == {k: v for k, v in timings.items()}

@@ -1,0 +1,65 @@
+"""The triple-SF oracle sweep, codified as a harness gate (round-6
+verdict #5).
+
+Why three scale factors: the decile_features_events incident — an
+interpolated-percentile oracle agreed with DuckDB at sf0.001 AND
+sf0.01 and diverged only at sf0.1, where a data value finally landed
+within one ulp of an engine-divergent interpolated boundary
+(pitfall 17). Two SFs are demonstrably not enough for value-sensitive
+operators, and builder discipline alone is exactly what lapses under
+deadline pressure — so the sweep is a TEST: every registry oracle
+marked new-or-changed this round runs through the driver-style
+compare at sf0.001, sf0.01 and sf0.1 on every pytest pass.
+
+Maintenance contract (part of the new-operator checklist): when a
+round adds or semantically changes an oracle-bearing registry entry,
+its name goes into ROUND_CHANGED below; at the next round's rotation
+the previous round's names are cleared (their verdicts take over).
+The companion invariant test keeps the list honest against the
+registry. sf0.1 legs skip cleanly where that data is absent (CI
+without the big fixture), mirroring the harness's other sf-gated
+suites.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from parquet_export_spark.queries import REGISTRY
+from tests.oracle_harness import compare
+
+#: registry entries whose Spark plan or oracle text is new or changed
+#: in the CURRENT round — each swept at all three SFs every pytest run.
+ROUND_CHANGED = [
+    # round 7:
+    "assortativity_trade_graph",  # exact-decimal sufficient statistics
+    "hits_trade_graph",  # loud two-tier overflow envelope guard
+    "containment_join",  # derivation moved into shared _containment_core
+    "remove_contained_docs",  # b-sizes off the shared sets frame
+]
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def test_round_changed_names_are_registered_oracles():
+    """The list must track real, oracle-bearing registry entries —
+    a renamed operator cannot silently drop out of the sweep."""
+    for name in ROUND_CHANGED:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle, f"{name} is rows-only"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", ROUND_CHANGED)
+def test_changed_oracle_sweeps_all_sfs(spark, name, sf_dir):
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    spec = REGISTRY[name]
+    ok, msg = compare(spark, sf_dir, spec.fn, spec.oracle)
+    assert ok, f"{name} @ {sf_dir}: {msg}"

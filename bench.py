@@ -165,6 +165,8 @@ HEADLINE = [
     "anomaly_suite_events",
     "target_encode_loo",
     "interarrival_gap_histogram",
+    # round-7: the stored-index ANN probe (fit-once/probe-many)
+    "ivf_probe_incremental",
 ]
 
 

@@ -400,6 +400,120 @@ def ivf_topk(
 
 
 # --------------------------------------------------------------------------
+# persisted IVF index (fit-once / probe-many; rows-only)
+# --------------------------------------------------------------------------
+
+
+def ivf_index_artifact(
+    emb: DataFrame, n_cells: int = 8, emb_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted ANN index a production lake maintains — the
+    fit-once/probe-many shape :func:`lake_minhash_artifact
+    <parquet_export_spark.operators.dedup.lake_minhash_artifact>`
+    already gives near-dup, applied to IVF (round-6 verdict #4:
+    ``ivf_topk``/``pq_topk`` re-fit their quantizer per call — correct,
+    but the production per-query cost must not include a corpus
+    sample-fit): returns ``(centers, assigned)`` where ``centers`` is
+    the (cell, center) coarse-quantizer table fit ONCE at index-build
+    time from the bounded deterministic sample, and ``assigned`` the
+    slim (vec_id, cell) corpus assignment computed once at ingest.
+    Every later probe (:func:`ivf_probe_index`) reads these two
+    tables and never touches the fit path again; new vectors are
+    assigned against the STORED centers (one broadcast matmul), never
+    re-fitting — history is never re-embedded or re-assigned, the
+    ``neardup_incremental`` contract."""
+    centers = _fit_coarse_quantizer(emb, n_cells, emb_col)
+    spark = emb.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        ["cell", "center"],
+    )
+    assigned = emb.select(
+        "vec_id", _assign_cells(emb, centers, emb_col).alias("cell")
+    )
+    return centers_df, assigned
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    centers_df: DataFrame,
+    assigned: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Answer top-k cosine ANN queries against a STORED IVF index —
+    no quantizer fit anywhere in the plan. ``queries`` is
+    (query_id, q_emb); ``centers_df``/``assigned`` are the artifact
+    tables from :func:`ivf_index_artifact` (typically read back from
+    parquet); ``corpus`` supplies (vec_id, embedding) for the exact
+    re-rank.
+
+    Plan contract (pinned in tests/test_plans.py against a
+    parquet-backed artifact): the coarse quantizer is the stored
+    ``centers`` table, broadcast (n_cells rows); cell routing is a
+    per-query top-``n_probe`` window over that broadcast; the corpus
+    embeddings appear in exactly ONE scan — the candidate gather join
+    on vec_id — and are never re-assigned or re-fit. Per query the
+    exact-cosine work touches ~n_probe/n_cells of the corpus, the IVF
+    contract."""
+    qc = queries.crossJoin(F.broadcast(centers_df))
+    cell_sim = _cosine("q_emb", "center")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
+    probed = (
+        qc.select("query_id", "q_emb", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    cand = probed.join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    pairs = cand.join(
+        corpus.select("vec_id", F.col(emb_col).alias("embedding")), "vec_id"
+    )
+    sim = F.round(_cosine("q_emb", "embedding"), 9)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_probe_incremental(
+    t: dict[str, DataFrame],
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Registry entry for the stored-index probe: the artifact is
+    derived in-query from the embeddings table (standing in for the
+    persisted parquet a real lake maintains — the
+    ``neardup_incremental`` convention; the index build is the
+    once-per-vector ingest cost, and :func:`ivf_probe_index` is the
+    API a query service calls against the stored tables). Probe
+    results are pinned equal to the refit path (``ivf_topk``) on
+    static data in pytest — same deterministic centers, same routing,
+    same tie-breaks. Approximate (cell boundaries) -> rows-only
+    driver check."""
+    emb = t["embeddings"]
+    centers_df, assigned = ivf_index_artifact(emb, n_cells)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return ivf_probe_index(
+        queries, centers_df, assigned, emb, k=k, n_probe=n_probe
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH ANN (scale path; rows-only)
 # --------------------------------------------------------------------------
 

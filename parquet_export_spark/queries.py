@@ -984,6 +984,12 @@ REGISTRY.update(
         "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
         "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
         "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
+        # probe-vs-refit parity vs ivf_topk pinned in pytest
+        # (tests/test_round7_ops.py); plan audit against a
+        # parquet-backed artifact in tests/test_plans.py.
+        "ivf_probe_incremental": QuerySpec(
+            _rel(S.ivf_probe_incremental), None
+        ),
         "pq_topk": QuerySpec(_rel(S.pq_topk), None),
         "label_pca": QuerySpec(_rel(S.label_pca), None),
         # ---------------- text analysis ----------------

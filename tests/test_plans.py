@@ -639,3 +639,46 @@ def test_sql_cohort_ltv_pruned_scans_one_exchange_per_level(spark, sf_dir):
     assert P.count_shuffles(df) <= 4
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_probe_never_refits_reads_artifact(spark, sf_dir, tmp_path):
+    """The production stored-index contract (the neardup_incremental
+    pattern for ANN): against a PARQUET-BACKED artifact, the probe
+    plan reads the stored centers and assignment tables, scans the
+    corpus embeddings exactly once (the candidate gather join on
+    vec_id, pruned to vec_id+embedding), and contains no quantizer
+    fit — history is never re-assigned or re-fit."""
+    from parquet_export_spark.operators import similarity as S
+    from parquet_export_spark.sources.lake import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    centers, assigned = S.ivf_index_artifact(emb)
+    centers.write.mode("overwrite").parquet(str(tmp_path / "centers"))
+    assigned.write.mode("overwrite").parquet(str(tmp_path / "assigned"))
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    queries.write.mode("overwrite").parquet(str(tmp_path / "queries"))
+
+    out = S.ivf_probe_index(
+        spark.read.parquet(str(tmp_path / "queries")),
+        spark.read.parquet(str(tmp_path / "centers")),
+        spark.read.parquet(str(tmp_path / "assigned")),
+        emb,
+    )
+    plan = P.plan_string(out)
+    assert str(tmp_path / "centers") in plan
+    assert str(tmp_path / "assigned") in plan
+    # corpus appears in exactly one scan: the gather join, pruned
+    emb_scans = [
+        s for s in P.read_schemas(out) if "embedding" in s and "q_emb" not in s
+    ]
+    assert emb_scans == [{"vec_id", "embedding"}], emb_scans
+    assert plan.count("embeddings.parquet") == 1, plan.count(
+        "embeddings.parquet"
+    )
+    assert "CartesianProduct" not in plan  # centers ride a broadcast

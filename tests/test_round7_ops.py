@@ -230,3 +230,26 @@ def test_bench_emit_slowest20_then_total(capsys):
     for c in chunks:
         merged.update(c["queries"])
     assert merged == {k: v for k, v in timings.items()}
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index artifact (r6 verdict #4): probe-vs-refit parity
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_probe_matches_refit_on_static_data(spark, sf_dir):
+    """On static data the stored-index probe must reproduce the refit
+    path exactly: the centers fit is deterministic (bounded hash-
+    ordered sample + seeded numpy k-means), the assignment and
+    routing share the same argmin/tie-break rules, so
+    (query_id, neighbor_id, sim, rank) must be identical."""
+    from parquet_export_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir)
+    refit = [
+        tuple(r) for r in S.ivf_topk(t).collect()
+    ]
+    probe = [
+        tuple(r) for r in S.ivf_probe_incremental(t).collect()
+    ]
+    assert probe == refit and len(probe) > 0

@@ -1179,3 +1179,110 @@ def read_ks_drift(spark, artifact_dir: str):
         .parquet(artifact_dir.rstrip("/") + "/ks")
         .select("batch_id", "event_type", "n_stream", "n_ref", "ks_ppm")
     )
+
+
+def hll_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous distinct-user monitoring — the streaming twin of the
+    batch ``hll_rollup_users`` sketch rollup, completing the monitor
+    family's symmetry (cusum/CMS/near-dup/CC/EWMA/KS all have twins;
+    distinct-count was the last without one).
+
+    Why sketches are the RIGHT streaming state: DataSketches HLL
+    registers are order-independent and mergeable, so the carry is one
+    KB-sized binary sketch per event_type — bounded by type
+    cardinality, never by stream volume or distinct-user count (an
+    exact distinct would carry the full user-id set). Each micro-batch
+    sketches ITS OWN rows (``hll_sketch_agg``), unions that partial
+    into the prior carry (``hll_union_agg`` over a full-outer type
+    alignment), and emits per-type estimates from the merged sketch.
+
+    Replay idempotence + compaction: the shared recipe — the carry for
+    batch N is a deterministic function of carry N-1 plus batch N's
+    rows (a replayed batch re-reads the highest carry BELOW its own id
+    and overwrites ``carry_<id>``/``hll/batch_<id>`` byte-identically);
+    the two most recent carries survive.
+
+    The two-micro-batch pytest pins (a) replay idempotence, (b) the
+    final estimates EQUAL the one-shot batch sketch over the
+    concatenated prefix (sketch merge-consistency — the property
+    ``hll_rollup_users`` pins for daily rollups), and (c) an error
+    bound vs exact countDistinct.
+    """
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/hll"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        carry = _carry(spark, batch_id)
+        if carry is not None:
+            # full-outer type alignment: a type may exist only in
+            # history or only in this batch; union_agg merges 1-2
+            # sketches per type
+            merged = (
+                partial.unionByName(carry)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = partial
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        (
+            merged.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                F.hll_sketch_estimate("sk").alias("approx_users"),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_estimates(spark, artifact_dir: str):
+    """Per-batch cumulative distinct-user estimates emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/hll")
+        .select("batch_id", "event_type", "approx_users")
+    )

@@ -943,3 +943,82 @@ def test_ks_drift_stream_two_batches_matches_sequential(spark, tmp_path):
         (r.batch_id, r.event_type): (r.n_stream, r.ks_ppm)
         for r in I.read_ks_drift(spark, art).collect()
     } == got
+
+
+def test_hll_stream_two_batches_merge_consistent(spark, tmp_path):
+    """Streaming distinct-user monitor: after each micro-batch the
+    cumulative per-type estimate must EQUAL the one-shot batch sketch
+    over the concatenated prefix (HLL merge-consistency — the
+    hll_rollup_users property, here across the batch boundary), stay
+    within HLL error of exact countDistinct, and be unchanged by a
+    same-checkpoint replay."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "landing")
+    art = str(tmp_path / "hart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(ids, users, typ):
+        return [
+            (i, t0 + timedelta(minutes=i), u, typ, 1.0, "{}")
+            for i, u in zip(ids, users)
+        ]
+
+    # batch 1: click users 1-40; batch 2: click users 21-60 (overlap
+    # 21-40 must not double-count) + a type seen only in batch 2
+    b1 = rows(range(100), [i % 40 + 1 for i in range(100)], "click")
+    b2 = rows(range(100, 200), [i % 40 + 21 for i in range(100)], "click")
+    b2 += rows(range(200, 210), range(1, 11), "view")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.hll_stream(stream, art, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = {
+        (r.batch_id, r.event_type): r.approx_users
+        for r in I.read_hll_estimates(spark, art).collect()
+    }
+
+    def oneshot(rs):
+        return {
+            r.event_type: r.approx
+            for r in spark.createDataFrame(rs, schema)
+            .groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id")
+                ).alias("approx")
+            )
+            .collect()
+        }
+
+    # (b) merge-consistency: stream-merged == one-shot over the prefix
+    assert got[(0, "click")] == oneshot(b1)["click"]
+    full = oneshot(b1 + b2)
+    assert got[(1, "click")] == full["click"]
+    assert got[(1, "view")] == full["view"]
+    # (c) error bound vs exact distinct (40/60/10 true uniques)
+    for key, exact in [((0, "click"), 40), ((1, "click"), 60),
+                       ((1, "view"), 10)]:
+        assert abs(got[key] - exact) <= max(2, 0.05 * exact), (key, got[key])
+    # (a) same-checkpoint replay: artifact unchanged
+    run_once()
+    assert {
+        (r.batch_id, r.event_type): r.approx_users
+        for r in I.read_hll_estimates(spark, art).collect()
+    } == got

@@ -165,8 +165,17 @@ HEADLINE = [
     "anomaly_suite_events",
     "target_encode_loo",
     "interarrival_gap_histogram",
-    # round-7: the stored-index ANN probe (fit-once/probe-many)
+    # round-7: stored-index ANN probes (fit-once/probe-many) + the
+    # new operator batch
     "ivf_probe_incremental",
+    "pq_probe_incremental",
+    "robust_scale_features",
+    "autocorr_hourly_counts",
+    "type_affinity_jaccard",
+    "user_path_topk",
+    "value_clusters_1d",
+    "chi2_type_decile",
+    "nearest_event_join",
 ]
 
 

@@ -1529,3 +1529,458 @@ def interarrival_gap_oracle_sql(cap: int = GAP_HIST_CAP_MINUTES) -> str:
         GROUP BY event_type, LEAST(gap, {cap})
         ORDER BY event_type, gap_minutes
         """
+
+
+#: autocorrelation lags reported per type — adjacent hours plus the
+#: daily period (the seasonality seasonal_decompose_hourly models).
+AUTOCORR_LAGS = (1, 2, 3, 24)
+
+
+def autocorr_hourly_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Lag-k autocorrelation of the HOURLY EVENT-COUNT series per
+    event type, at lags 1/2/3/24 — the statistical fingerprint of a
+    telemetry stream (lag-1..3: burstiness/short memory; lag-24: the
+    daily cycle whose strength says whether seasonal adjustment — see
+    ``seasonal_decompose_hourly`` — is worth running). The series is
+    the DENSE hourly grid: missing hours count 0 (dropping them would
+    splice non-adjacent hours together and fabricate correlation).
+
+    Exactness recipe, three established disciplines composed:
+    hour indexes from pure CALENDAR components (day-diff*24 + hour,
+    the interarrival rule — no epoch casts); the dense grid via a
+    per-type explode(sequence(h0, h1)) spine (the gapfill rule),
+    bounded by TIME SPAN x types, never event volume; sufficient
+    statistics (n, Σx, Σy, Σxx, Σyy, Σxy) as exact int64 sums of
+    bounded counts, then ONE closed-form IEEE expression per (type,
+    lag) both engines evaluate identically (the stats_correlation /
+    assortativity recipe). Zero-variance series yield NULL.
+
+    All four lags ride ONE window pass (lead(x, k) over the same
+    per-type hour order), unpivoted by ``stack`` into (lag, x, y)
+    pairs — one spine scan, one window, one grouped aggregate.
+
+    Output: (event_type, lag, n_pairs, autocorr) — types x 4 rows.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    hour_idx = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    hc = (
+        e.select("event_type", hour_idx.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = hc.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h")
+    )
+    series = (
+        spine.join(hc, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("c", F.lit(0)).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    led = series.select(
+        "event_type",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"y{k}") for k in AUTOCORR_LAGS],
+    )
+    stack_args = ", ".join(f"{k}L, y{k}" for k in AUTOCORR_LAGS)
+    pairs = led.select(
+        "event_type",
+        F.expr(
+            f"stack({len(AUTOCORR_LAGS)}, {stack_args}) AS (lag, y)"
+        ),
+        "x",
+    ).filter(F.col("y").isNotNull())
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / den
+    return (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.when(den > 0, r), 9).alias("autocorr"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def autocorr_hourly_oracle_sql() -> str:
+    """DuckDB replay: same dense spine, same one-window four-lead
+    pass, same double-cast closed form (HUGEINT sums are exact like
+    the int64 ones, so the double casts land on identical values)."""
+    lags = AUTOCORR_LAGS
+    leads = ",\n                 ".join(
+        f"LEAD(x, {k}) OVER w AS y{k}" for k in lags
+    )
+    unions = "\n          UNION ALL\n          ".join(
+        f"SELECT event_type, CAST({k} AS BIGINT) AS lag, x, y{k} AS y"
+        f" FROM led WHERE y{k} IS NOT NULL"
+        for k in lags
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 24
+                 + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+          FROM events),
+        hc AS MATERIALIZED (
+          SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY event_type, h),
+        b AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+              FROM hc GROUP BY event_type),
+        spine AS (
+          SELECT event_type, UNNEST(generate_series(h0, h1)) AS h
+          FROM b),
+        series AS (
+          SELECT s.event_type, s.h, COALESCE(hc.c, 0) AS x
+          FROM spine s
+          LEFT JOIN hc ON hc.event_type = s.event_type AND hc.h = s.h),
+        led AS MATERIALIZED (
+          SELECT event_type, x,
+                 {leads}
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        pairs AS (
+          {unions})
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CASE WHEN
+                   SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                        - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                   * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y*y) AS DOUBLE)
+                          - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                   > 0 THEN
+                   (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                   / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+                           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                      * SQRT(CAST(COUNT(*) AS DOUBLE)
+                             * CAST(SUM(y*y) AS DOUBLE)
+                             - CAST(SUM(y) AS DOUBLE)
+                               * CAST(SUM(y) AS DOUBLE)))
+                   END, 9) AS autocorr
+        FROM pairs
+        GROUP BY event_type, lag
+        ORDER BY event_type, lag
+        """
+
+
+def type_affinity_jaccard(t: dict[str, DataFrame]) -> DataFrame:
+    """User-set Jaccard affinity between every event-type pair — the
+    cross-feature co-occurrence scan (which behaviors share an
+    audience) behind recommendation features and mixture design; the
+    set-similarity machinery the dedup family applies to documents,
+    applied to BEHAVIOR segments.
+
+    Exactness: all counts are exact int64 (distinct (type, user)
+    pairs, one self-join on user_id with ta < tb), the union via
+    inclusion-exclusion, and the presented score an integer-ppm
+    floor division — no float anywhere.
+
+    Scale shape: the self-join fans out per user as (types-per-user
+    choose 2) — bounded by the TYPE CARDINALITY squared, not by event
+    volume (the events fact collapses to distinct (type, user) rows
+    first); per-type totals are a type-sized broadcast.
+
+    Output: (type_a, type_b, n_a, n_b, n_common, jaccard_ppm),
+    (types choose 2) rows.
+    """
+    tu = (
+        t["events"].select("event_type", "user_id").distinct()
+    )
+    a = tu.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    inter = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    tc = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            F.broadcast(
+                tc.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                tc.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000L div (n_a + n_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def type_affinity_oracle_sql() -> str:
+    return """
+        WITH tu AS MATERIALIZED (
+          SELECT DISTINCT event_type, user_id FROM events),
+        tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM tu GROUP BY event_type),
+        inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM tu a JOIN tu b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+        SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_common,
+               n_common * 1000000 // (ca.n + cb.n - n_common)
+                   AS jaccard_ppm
+        FROM inter
+        JOIN tc ca ON ca.event_type = type_a
+        JOIN tc cb ON cb.event_type = type_b
+        ORDER BY type_a, type_b
+        """
+
+
+#: first-K event types that define a user's path signature.
+PATH_LEN = 5
+#: paths reported.
+PATH_TOPK = 20
+
+
+def user_path_topk(
+    t: dict[str, DataFrame], path_len: int = PATH_LEN, k: int = PATH_TOPK
+) -> DataFrame:
+    """Top-K user behavior paths: each user's first ``path_len`` event
+    types in (ts, event_id) order concatenated into a path signature,
+    ranked by how many users share it — the sequence-mining summary
+    (onboarding-funnel shapes, bot-pattern detection) one step richer
+    than the pairwise ``event_transition_matrix``.
+
+    Determinism: the event order inside a user is the total (ts,
+    event_id) order (the sessionize tie rule); the path string is
+    assembled from a rank-sorted struct array (``sort_array`` on
+    (rn, type) — collect_list alone is partition-order-dependent and
+    would be flaky by construction); the final top-K is fully
+    tie-broken by (n_users DESC, path ASC).
+
+    Scale: one user-keyed window pass filtered to rn <= path_len
+    (the per-user state is ``path_len`` rows), path strings bounded
+    at path_len type names, and the path aggregate's cardinality is
+    bounded by types^path_len — pruned to K by TakeOrdered, no global
+    sort materialization.
+
+    Output: (rank, path, n_users) — K rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= path_len)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    # TakeOrdered prunes to K rows FIRST (per-partition top-K + driver
+    # merge, no global sort); the single-partition rank window then
+    # runs over exactly K rows — the vocab_coverage discipline.
+    top = counted.orderBy(F.desc("n_users"), "path").limit(k)
+    w2 = Window.orderBy(F.desc("n_users"), "path")
+    return (
+        top.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .select("rank", "path", "n_users")
+        .orderBy("rank")
+    )
+
+
+def user_path_oracle_sql(
+    path_len: int = PATH_LEN, k: int = PATH_TOPK
+) -> str:
+    return f"""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        paths AS MATERIALIZED (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= {path_len}
+          GROUP BY user_id),
+        counted AS (
+          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM paths GROUP BY path)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path)
+                    AS BIGINT) AS rank,
+               path, n_users
+        FROM counted
+        ORDER BY n_users DESC, path
+        LIMIT {k}
+        """
+
+
+def nearest_event_join(t: dict[str, DataFrame]) -> DataFrame:
+    """NEAREST-neighbor temporal join: for every purchase, the
+    same-user click closest in time in EITHER direction — the
+    attribution variant ``asof_purchase_attribution`` (backward-only)
+    cannot express (a click seconds AFTER the purchase usually
+    belongs to it; a pure as-of join silently picks an hours-older
+    one instead).
+
+    Mechanics: the union-then-carry recipe (the scd2_point_in_time
+    discipline — ONE user_id shuffle, no interval range join): clicks
+    and purchases union into one stream; a forward pass carries the
+    latest click at-or-before each purchase, a backward pass the
+    earliest click at-or-after it. Tie rules, all pinned by the
+    oracle replaying the same ORDER BY: at an equal timestamp the
+    click sorts BEFORE the purchase in BOTH passes (kind ASC in the
+    forward order, and — the reverse-carry trap the boundary fixtures
+    caught — kind ASC again in the (ts DESC) backward order);
+    equal-gap prev/next resolves to the EARLIER (prev) click; equal-ts
+    candidate clicks resolve to the largest event_id (the last row in
+    the pass's event_id ASC order).
+
+    Gaps are exact integer microseconds (``timestampdiff`` /
+    ``date_diff('microsecond')`` — the twap_by_type pair), never
+    float epoch arithmetic.
+
+    Output per purchase: (event_id, user_id, nearest_click_id,
+    gap_us, direction in {'before','after'} — NULLs when the user
+    never clicked).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    u = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", "ts", "event_id", F.lit(0).alias("kind")
+        )
+        .unionByName(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id", F.lit(1).alias("kind")
+            )
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("kind") == 0, F.struct("ts", "event_id")
+    )
+    carried = (
+        u.withColumn("prev_c", F.last(click_struct, ignorenulls=True).over(wf))
+        .withColumn("next_c", F.last(click_struct, ignorenulls=True).over(wb))
+        .filter(F.col("kind") == 1)
+    )
+    prev_gap = F.expr("timestampdiff(MICROSECOND, prev_c.ts, ts)")
+    next_gap = F.expr("timestampdiff(MICROSECOND, ts, next_c.ts)")
+    use_prev = F.col("prev_c").isNotNull() & (
+        F.col("next_c").isNull() | (prev_gap <= next_gap)
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(use_prev, F.col("prev_c.event_id"))
+        .otherwise(F.col("next_c.event_id"))
+        .alias("nearest_click_id"),
+        F.when(use_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
+        F.when(use_prev, F.lit("before"))
+        .when(F.col("next_c").isNotNull(), F.lit("after"))
+        .alias("direction"),
+    ).orderBy("event_id")
+
+
+def nearest_event_oracle_sql() -> str:
+    return """
+        WITH u AS MATERIALIZED (
+          SELECT user_id, ts, event_id, 0 AS kind FROM events
+          WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, event_id, 1 AS kind FROM events
+          WHERE event_type = 'purchase'),
+        carried AS (
+          SELECT user_id, ts, event_id, kind,
+                 LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                     OVER wf AS prev_ts,
+                 LAST_VALUE(CASE WHEN kind = 0 THEN event_id END
+                            IGNORE NULLS) OVER wf AS prev_id,
+                 LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+                     OVER wb AS next_ts,
+                 LAST_VALUE(CASE WHEN kind = 0 THEN event_id END
+                            IGNORE NULLS) OVER wb AS next_id
+          FROM u
+          WINDOW
+            wf AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS UNBOUNDED PRECEDING),
+            wb AS (PARTITION BY user_id
+                   ORDER BY ts DESC, kind, event_id
+                   ROWS UNBOUNDED PRECEDING))
+        SELECT event_id, user_id,
+               CASE WHEN use_prev THEN prev_id ELSE next_id END
+                   AS nearest_click_id,
+               CASE WHEN use_prev THEN prev_gap ELSE next_gap END
+                   AS gap_us,
+               CASE WHEN use_prev THEN 'before'
+                    WHEN next_id IS NOT NULL THEN 'after'
+               END AS direction
+        FROM (
+          SELECT *,
+                 date_diff('microsecond', prev_ts, ts) AS prev_gap,
+                 date_diff('microsecond', ts, next_ts) AS next_gap,
+                 prev_id IS NOT NULL AND (next_id IS NULL OR
+                   date_diff('microsecond', prev_ts, ts)
+                   <= date_diff('microsecond', ts, next_ts))
+                     AS use_prev
+          FROM carried WHERE kind = 1)
+        ORDER BY event_id
+        """

@@ -1582,3 +1582,379 @@ def target_encode_loo_oracle_sql() -> str:
         FROM events e JOIN g ON g.event_type = e.event_type
         ORDER BY event_id
         """
+
+
+def robust_scale_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust (median/IQR) feature scaling per event type — the
+    outlier-resistant standardization sklearn calls RobustScaler,
+    the companion of :func:`decile_features_events` for pipelines
+    that want a continuous scaled value instead of a rank bin
+    (z-scores move with every outlier; median and IQR do not).
+
+    All three quartile boundaries are RANK-BASED INTEGER order
+    statistics (the decile discipline, pitfall of the sf0.1 sweep:
+    interpolated quantiles diverge cross-engine in the last ulp) —
+    q_i = min cents with cumulative count >= ceil(i*n/4), derived
+    from a cumulative window over the CENTS-BOUNDED support (types x
+    distinct cents, never event volume). The scaled value is then ONE
+    IEEE subtract/divide both engines evaluate identically; IQR = 0
+    (constant-middle distributions) yields NULL, mirrored by the
+    oracle's NULLIF.
+
+    Plan (pinned): one (type, cents) aggregate, one value-bounded
+    cumulative window, a 15-row boundary broadcast onto the single
+    fact-side scan; no fact-side window or sort.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    counts = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    ii = counts.sparkSession.range(1, 4).select(F.col("id").alias("i"))
+    quarts = (
+        cum.join(tot, "event_type")
+        .crossJoin(F.broadcast(ii))
+        .filter(F.col("cum") >= F.expr("(i * n + 3) div 4"))
+        .groupBy("event_type", "i")
+        .agg(F.min("cents").alias("b"))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("i") == 1, F.col("b"))).alias("q1"),
+            F.min(F.when(F.col("i") == 2, F.col("b"))).alias("med"),
+            F.min(F.when(F.col("i") == 3, F.col("b"))).alias("q3"),
+        )
+    )
+    return (
+        e.join(F.broadcast(quarts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("cents").alias("value_cents"),
+            F.col("med").alias("median_cents"),
+            (F.col("q3") - F.col("q1")).alias("iqr_cents"),
+            F.round(
+                (F.col("cents") - F.col("med")).cast("double")
+                / F.when(
+                    F.col("q3") > F.col("q1"),
+                    (F.col("q3") - F.col("q1")).cast("double"),
+                ),
+                9,
+            ).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def robust_scale_oracle_sql() -> str:
+    """DuckDB replay: identical integer order statistics, the scaled
+    value as the same subtract/divide with NULLIF for IQR = 0."""
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT event_id, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY event_type, cents),
+        tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY event_type),
+        cum AS (
+          SELECT event_type, cents,
+                 CAST(SUM(c) OVER (PARTITION BY event_type
+                                   ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        quarts AS MATERIALIZED (
+          SELECT event_type,
+                 MIN(CASE WHEN i = 1 THEN b END) AS q1,
+                 MIN(CASE WHEN i = 2 THEN b END) AS med,
+                 MIN(CASE WHEN i = 3 THEN b END) AS q3
+          FROM (
+            SELECT cum.event_type, i.i AS i, MIN(cents) AS b
+            FROM cum
+            JOIN tot ON tot.event_type = cum.event_type
+            CROSS JOIN generate_series(1, 3) AS i(i)
+            WHERE cum >= (i.i * tot.n + 3) // 4
+            GROUP BY cum.event_type, i.i)
+          GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.cents AS value_cents,
+               q.med AS median_cents,
+               q.q3 - q.q1 AS iqr_cents,
+               ROUND(CAST(e.cents - q.med AS DOUBLE)
+                     / NULLIF(CAST(q.q3 - q.q1 AS DOUBLE), 0.0), 9)
+                   AS robust_z
+        FROM e JOIN quarts q ON q.event_type = e.event_type
+        ORDER BY e.event_id
+        """
+
+
+#: neighboring distinct values at most this many cents apart share a
+#: cluster (DBSCAN-1D epsilon on the quantized support).
+CLUSTER_EPS_CENTS = 25
+#: clusters carrying fewer events are reported as noise (dropped).
+CLUSTER_MIN_PTS = 5
+
+
+def value_clusters_1d(
+    t: dict[str, DataFrame],
+    eps: int = CLUSTER_EPS_CENTS,
+    min_pts: int = CLUSTER_MIN_PTS,
+) -> DataFrame:
+    """1-D density clustering of event values per type — DBSCAN
+    restricted to one dimension, where it becomes EXACT and linear:
+    on a sorted axis, density clusters are precisely the maximal runs
+    of distinct values whose neighbor gaps stay <= eps (gaps-and-
+    islands — no iterative region growing, no approximation), and
+    clusters carrying fewer than ``min_pts`` events are noise. The
+    price-point discovery scan: modes of a value distribution
+    (clustered price tiers, quantized sensor levels) with outlier
+    bands dropped.
+
+    Exactness: everything is integer — cents quantization, gap
+    comparison, cumulative cluster ids, per-cluster count/min/max.
+    The windows run over the CENTS-BOUNDED distinct support per type
+    (the ks_distance_pairs discipline), never event volume; cluster
+    ids re-rank by cluster floor so the output is stable under any
+    partitioning.
+
+    Output: (event_type, cluster_id, lo_cents, hi_cents, n_events,
+    n_values) — one row per surviving cluster.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    counts = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    islands = (
+        counts.withColumn("prev", F.lag("cents").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("cents") - F.col("prev") > eps),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    clusters = (
+        islands.groupBy("event_type", "grp")
+        .agg(
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .filter(F.col("n_events") >= min_pts)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("lo_cents")
+    return (
+        clusters.withColumn(
+            "cluster_id", F.row_number().over(w2).cast("long")
+        )
+        .select(
+            "event_type",
+            "cluster_id",
+            "lo_cents",
+            "hi_cents",
+            "n_events",
+            "n_values",
+        )
+        .orderBy("event_type", "cluster_id")
+    )
+
+
+def value_clusters_oracle_sql(
+    eps: int = CLUSTER_EPS_CENTS, min_pts: int = CLUSTER_MIN_PTS
+) -> str:
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type,
+                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)),
+        marked AS (
+          SELECT event_type, cents, c,
+                 CASE WHEN LAG(cents) OVER w IS NULL
+                        OR cents - LAG(cents) OVER w > {eps}
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY event_type ORDER BY cents)),
+        grouped AS (
+          SELECT event_type, cents, c,
+                 SUM(brk) OVER (PARTITION BY event_type ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM marked),
+        clusters AS MATERIALIZED (
+          SELECT event_type, grp,
+                 MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+                 CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_values
+          FROM grouped GROUP BY event_type, grp
+          HAVING SUM(c) >= {min_pts})
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY lo_cents) AS BIGINT)
+                   AS cluster_id,
+               lo_cents, hi_cents, n_events, n_values
+        FROM clusters
+        ORDER BY event_type, cluster_id
+        """
+
+
+def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
+    """Chi-squared contingency profile of event_type x global value
+    decile — the categorical-feature-vs-binned-target independence
+    scan feature selection runs before training (a flat table says
+    the type carries no information about the value's bucket; a
+    spiked cell is the signal). Reported PER CELL (observed, expected,
+    contribution) rather than as one summed statistic: a float sum
+    over cells has no deterministic cross-engine order, while each
+    cell's value is ONE fixed-shape IEEE chain both engines evaluate
+    identically (the bm25 fixed-order discipline), and the per-cell
+    residuals are what an analyst actually reads.
+
+    Bucket boundaries are GLOBAL rank-based integer order statistics
+    (min cents with cum >= ceil(i*n/10) — the decile discipline,
+    unpartitioned): the one cumulative window runs over the GLOBAL
+    distinct-cents support, bounded by the VALUE RANGE (quantized
+    cents), never event volume; boundaries broadcast as a 9-element
+    array and assignment is the in-codegen O(9) ``aggregate`` fold.
+
+    Output: (event_type, decile, observed, expected, contribution),
+    types x 10 rows.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    counts = e.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.agg(F.sum("c").alias("n"))
+    ii = counts.sparkSession.range(1, 10).select(F.col("id").alias("i"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ii))
+        .filter(F.col("cum") >= F.expr("(i * n + 9) div 10"))
+        .groupBy("i")
+        .agg(F.min("cents").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(
+            "CAST(1 + aggregate(bs, 0, (acc, b) ->"
+            " acc + CASE WHEN cents > b THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("decile"),
+    )
+    obs = binned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    ct = obs.groupBy("decile").agg(F.sum("observed").alias("ct"))
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("observed").cast("double") - exp) * (
+        F.col("observed").cast("double") - exp
+    ) / exp
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "decile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "decile",
+            "observed",
+            F.round(exp, 6).alias("expected"),
+            F.round(contrib, 6).alias("contribution"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+def chi2_type_decile_oracle_sql() -> str:
+    """DuckDB replay: same global integer boundaries (correlated
+    9-row count instead of the HOF fold), same per-cell IEEE chain."""
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY cents),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+        cum AS (
+          SELECT cents,
+                 CAST(SUM(c) OVER (ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        bounds AS MATERIALIZED (
+          SELECT i.i, MIN(cents) AS b
+          FROM cum, tot
+          CROSS JOIN generate_series(1, 9) AS i(i)
+          WHERE cum >= (i.i * tot.n + 9) // 10
+          GROUP BY i.i),
+        binned AS (
+          SELECT event_type,
+                 CAST(1 + (SELECT COUNT(*) FROM bounds
+                           WHERE b < e.cents) AS BIGINT) AS decile
+          FROM e),
+        obs AS MATERIALIZED (
+          SELECT event_type, decile,
+                 CAST(COUNT(*) AS BIGINT) AS observed
+          FROM binned GROUP BY event_type, decile),
+        rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rt
+               FROM obs GROUP BY event_type),
+        ct AS (SELECT decile, CAST(SUM(observed) AS BIGINT) AS ct
+               FROM obs GROUP BY decile)
+        SELECT o.event_type, o.decile, o.observed,
+               ROUND(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                     / CAST(tot.n AS DOUBLE), 6) AS expected,
+               ROUND((CAST(o.observed AS DOUBLE)
+                      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE))
+                     * (CAST(o.observed AS DOUBLE)
+                        - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                          / CAST(tot.n AS DOUBLE))
+                     / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE)), 6) AS contribution
+        FROM obs o
+        JOIN rt ON rt.event_type = o.event_type
+        JOIN ct ON ct.decile = o.decile
+        CROSS JOIN tot
+        ORDER BY o.event_type, o.decile
+        """

@@ -760,6 +760,23 @@ REGISTRY.update(
         "ks_distance_pairs": QuerySpec(
             _rel(ST.ks_distance_pairs), ST.ks_distance_oracle_sql()
         ),
+        # Robust (median/IQR) scaling: rank-based integer quartile
+        # boundaries (the decile discipline), one IEEE divide at
+        # presentation; IQR=0 -> NULL on both engines.
+        "robust_scale_features": QuerySpec(
+            _rel(ST.robust_scale_features), ST.robust_scale_oracle_sql()
+        ),
+        # 1-D DBSCAN via gaps-and-islands over the cents-bounded
+        # support: exact, linear, noise below min_pts dropped.
+        "value_clusters_1d": QuerySpec(
+            _rel(ST.value_clusters_1d), ST.value_clusters_oracle_sql()
+        ),
+        # Chi-squared contingency per cell (type x global decile):
+        # integer boundaries + observed counts, fixed-shape IEEE
+        # expected/contribution — no cross-engine float sum.
+        "chi2_type_decile": QuerySpec(
+            _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
+        ),
         # Benford first-digit screen: string-derived first significant
         # digit (the log10 path misclassifies exact powers of ten and
         # is libm-dependent), Python-precomputed expected ppm literals.
@@ -989,6 +1006,11 @@ REGISTRY.update(
         # parquet-backed artifact in tests/test_plans.py.
         "ivf_probe_incremental": QuerySpec(
             _rel(S.ivf_probe_incremental), None
+        ),
+        # stored-PQ probe: books+codes persisted, ADC over stored
+        # codes, exact rerank only; parity vs pq_topk in pytest.
+        "pq_probe_incremental": QuerySpec(
+            _rel(S.pq_probe_incremental), None
         ),
         "pq_topk": QuerySpec(_rel(S.pq_topk), None),
         "label_pca": QuerySpec(_rel(S.label_pca), None),
@@ -2553,6 +2575,31 @@ REGISTRY.update(
         "interarrival_gap_histogram": QuerySpec(
             _rel(A.interarrival_gap_histogram),
             A.interarrival_gap_oracle_sql(),
+        ),
+        # Hourly-count autocorrelation at lags 1/2/3/24: dense spine
+        # (missing hours count 0), one window pass for all four leads,
+        # exact integer sufficient stats -> one IEEE closed form.
+        "autocorr_hourly_counts": QuerySpec(
+            _rel(A.autocorr_hourly_counts),
+            A.autocorr_hourly_oracle_sql(),
+        ),
+        # User-set Jaccard per type pair: fan-out bounded by type
+        # cardinality squared, all-integer counts + ppm division.
+        "type_affinity_jaccard": QuerySpec(
+            _rel(A.type_affinity_jaccard),
+            A.type_affinity_oracle_sql(),
+        ),
+        # Top-K first-5-type behavior paths: rank-sorted struct
+        # assembly (collect_list alone is partition-order-flaky),
+        # TakeOrdered prune before the K-row rank window.
+        "user_path_topk": QuerySpec(
+            _rel(A.user_path_topk), A.user_path_oracle_sql()
+        ),
+        # Nearest-neighbor temporal join (both directions): the
+        # union-then-carry recipe with the kind-ASC-in-both-passes
+        # tie rule; exact microsecond gaps.
+        "nearest_event_join": QuerySpec(
+            _rel(A.nearest_event_join), A.nearest_event_oracle_sql()
         ),
         # Seasonal-naive decomposition: both aggregates time-bounded
         # after the first collapse; integer cents throughout

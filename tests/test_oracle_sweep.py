@@ -33,11 +33,19 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 7:
+    # round 7, changed:
     "assortativity_trade_graph",  # exact-decimal sufficient statistics
     "hits_trade_graph",  # loud two-tier overflow envelope guard
     "containment_join",  # derivation moved into shared _containment_core
     "remove_contained_docs",  # b-sizes off the shared sets frame
+    # round 7, new:
+    "robust_scale_features",
+    "autocorr_hourly_counts",
+    "type_affinity_jaccard",
+    "user_path_topk",
+    "value_clusters_1d",
+    "chi2_type_decile",
+    "nearest_event_join",
 ]
 
 SF_DIRS = [

@@ -253,3 +253,14 @@ def test_ivf_probe_matches_refit_on_static_data(spark, sf_dir):
         tuple(r) for r in S.ivf_probe_incremental(t).collect()
     ]
     assert probe == refit and len(probe) > 0
+
+
+def test_pq_probe_matches_refit_on_static_data(spark, sf_dir):
+    """Stored-PQ probe == refit path on static data: deterministic
+    codebook fit, same stored codes, same ADC ranking and tie-breaks."""
+    from parquet_export_spark.operators import similarity as S
+
+    t = load_tables(spark, sf_dir)
+    refit = [tuple(r) for r in S.pq_topk(t).collect()]
+    probe = [tuple(r) for r in S.pq_probe_incremental(t).collect()]
+    assert probe == refit and len(probe) > 0

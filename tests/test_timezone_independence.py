@@ -41,6 +41,10 @@ TZ_SENSITIVE = [
     "pareto_frontier_orders",
     "seasonal_decompose_hourly",
     "interarrival_gap_histogram",
+    # round-7 timestamp-touching additions
+    "autocorr_hourly_counts",
+    "user_path_topk",
+    "nearest_event_join",
 ]
 
 

@@ -1568,10 +1568,14 @@ def autocorr_hourly_counts(t: dict[str, DataFrame]) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) * 24
         + F.hour("ts")
     ).cast("long")
+    # the hourly histogram feeds both the bounds aggregate and the
+    # spine join: materialize it once (time-span x types rows) so the
+    # fact is scanned exactly once
     hc = (
         e.select("event_type", hour_idx.alias("h"))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     bounds = hc.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -1699,8 +1703,13 @@ def type_affinity_jaccard(t: dict[str, DataFrame]) -> DataFrame:
     Output: (type_a, type_b, n_a, n_b, n_common, jaccard_ppm),
     (types choose 2) rows.
     """
+    # one scan + one distinct shuffle, materialized once: the frame
+    # feeds three consumers (both self-join sides and the per-type
+    # totals) — without the checkpoint each branch re-scans the fact
+    # and re-runs the distinct (measured: 4 scans, 8 exchanges)
     tu = (
         t["events"].select("event_type", "user_id").distinct()
+        .localCheckpoint()
     )
     a = tu.select(
         F.col("event_type").alias("type_a"), F.col("user_id").alias("u")

@@ -1854,7 +1854,15 @@ def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
         "event_type",
         F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
     )
-    counts = e.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    # the global support histogram fans out to THREE consumers (cum,
+    # total, boundary filter) and the contingency table to three more
+    # (obs, row totals, column totals): materialize each once —
+    # support-bounded / types*10 rows — instead of re-scanning the
+    # fact per branch (the first cut re-derived every branch from the
+    # scan: 10 fact scans, 20 exchanges; checkpointed: 2 scans)
+    counts = (
+        e.groupBy("cents").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1876,8 +1884,10 @@ def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
             " acc + CASE WHEN cents > b THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("decile"),
     )
-    obs = binned.groupBy("event_type", "decile").agg(
-        F.count(F.lit(1)).alias("observed")
+    obs = (
+        binned.groupBy("event_type", "decile")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint()
     )
     rt = obs.groupBy("event_type").agg(F.sum("observed").alias("rt"))
     ct = obs.groupBy("decile").agg(F.sum("observed").alias("ct"))

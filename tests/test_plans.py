@@ -682,3 +682,121 @@ def test_ivf_probe_never_refits_reads_artifact(spark, sf_dir, tmp_path):
         "embeddings.parquet"
     )
     assert "CartesianProduct" not in plan  # centers ride a broadcast
+
+
+# --- round-7 pins: the new operator batch ---
+
+
+def test_robust_scale_window_never_sees_fact_rows(spark, sf_dir):
+    """Same contract as the decile pin: quartile boundaries derive
+    from the cents-bounded support (no Window block carries event_id),
+    the 15-row boundary table broadcasts onto the single fact-side
+    assignment scan, and every scan is pruned."""
+    df = q("robust_scale_features", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks and not any("event_id#" in b for b in win_blocks)
+    assert P.count_broadcast_joins(df) >= 2
+    schemas = P.read_schemas(df)
+    assert len(schemas) <= 3
+    assert all(s <= {"event_id", "event_type", "value"} for s in schemas)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_value_clusters_windows_over_support_only(spark, sf_dir):
+    """Gaps-and-islands runs over the (type, cents) support: one
+    pruned fact scan, and no Window block may carry event_id."""
+    df = q("value_clusters_1d", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    [schema] = P.read_schemas(df)
+    assert schema == {"event_type", "value"}
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks and not any("event_id#" in b for b in win_blocks)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_chi2_checkpointed_aggregates_bound_the_plan(spark, sf_dir):
+    """The support histogram and the contingency table are each
+    materialized ONCE (the first cut re-derived every branch from the
+    fact scan: 10 scans, 20 exchanges) — the assembled plan joins the
+    tiny checkpointed frames with at most 4 exchanges and only
+    broadcast joins."""
+    df = q("chi2_type_decile", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert P.count_shuffles(df) <= 4
+    assert P.count_broadcast_joins(df) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_type_affinity_single_distinct_materialization(spark, sf_dir):
+    """The distinct (type, user) frame feeds both self-join sides and
+    the totals from ONE materialization — the assembled plan carries
+    at most 4 exchanges and the type totals ride broadcasts."""
+    df = q("type_affinity_jaccard", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert P.count_shuffles(df) <= 4
+    assert P.count_broadcast_joins(df) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_single_fact_scan_one_window(spark, sf_dir):
+    """The hourly histogram is materialized once (one fact scan at
+    checkpoint time), all four lag leads share ONE window pass, and
+    the assembled plan needs at most 2 exchanges."""
+    df = q("autocorr_hourly_counts", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert len(win_blocks) == 1
+    # all four leads in the single window block
+    assert all(f"lead(x#" in b.replace(" ", "").lower() or "lead" in b
+               for b in win_blocks)
+    assert P.count_shuffles(df) <= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_user_path_takeordered_before_rank_window(spark, sf_dir):
+    """One pruned fact scan; the global rank window runs only over
+    the TakeOrdered K-row prune (vocab_coverage discipline), so the
+    single-partition stage holds K rows, not the path universe."""
+    df = q("user_path_topk", spark, sf_dir)
+    plan = P.plan_string(df)
+    [schema] = P.read_schemas(df)
+    assert schema == {"user_id", "ts", "event_id", "event_type"}
+    assert "TakeOrdered" in plan
+    assert P.count_shuffles(df) <= 3
+
+
+def test_nearest_event_one_user_shuffle(spark, sf_dir):
+    """Union-then-carry: both type branches scan pruned to the four
+    needed columns and the whole join costs ONE user_id exchange
+    (both carry windows share it) plus the presentation sort — no
+    range join, no cartesian."""
+    df = q("nearest_event_join", spark, sf_dir)
+    plan = P.plan_string(df)
+    schemas = P.read_schemas(df)
+    assert len(schemas) == 2
+    assert all(
+        s == {"user_id", "ts", "event_id", "event_type"} for s in schemas
+    )
+    assert P.count_shuffles(df) <= 2
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

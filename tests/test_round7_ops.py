@@ -7,7 +7,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from parquet_export_spark.operators import advanced as A
 from parquet_export_spark.operators import graph as G
+from parquet_export_spark.operators import stats as ST
 from parquet_export_spark.sources.lake import load_tables
 
 
@@ -264,3 +266,303 @@ def test_pq_probe_matches_refit_on_static_data(spark, sf_dir):
     refit = [tuple(r) for r in S.pq_topk(t).collect()]
     probe = [tuple(r) for r in S.pq_probe_incremental(t).collect()]
     assert probe == refit and len(probe) > 0
+
+
+# ---------------------------------------------------------------------------
+# Independent Python differentials for the round-7 operator batch
+# ---------------------------------------------------------------------------
+
+
+def _events_rows(spark):
+    return (
+        load_tables(spark, "/root/testdata/sf0.001")["events"]
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect()
+    )
+
+
+def test_robust_scale_matches_python(spark):
+    """Reference: pure-integer order statistics q_i = the ceil(i*n/4)-th
+    sorted cent, robust_z recomputed in Python floats (compared to
+    1e-9 — ROUND half-up vs Python bankers' rounding differ in the
+    last digit on exact halves)."""
+    from collections import defaultdict
+
+    t = _small_tables(spark)
+    rows = _events_rows(spark)
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(int(r.value * 100 + 0.5))
+    q = {}
+    for et, v in vals.items():
+        sv, n = sorted(v), len(v)
+        q[et] = [sv[-(-i * n // 4) - 1] for i in (1, 2, 3)]
+    got = {
+        r.event_id: (r.value_cents, r.median_cents, r.iqr_cents, r.robust_z)
+        for r in ST.robust_scale_features(t).collect()
+    }
+    assert len(got) == len(rows)
+    for r in rows:
+        c = int(r.value * 100 + 0.5)
+        q1, med, q3 = q[r.event_type]
+        gc, gmed, giqr, gz = got[r.event_id]
+        assert (gc, gmed, giqr) == (c, med, q3 - q1)
+        if q3 == q1:
+            assert gz is None
+        else:
+            assert abs(gz - (c - med) / (q3 - q1)) < 1e-9
+
+
+def test_autocorr_matches_python(spark):
+    """Reference: dense per-type hourly count series (missing hours
+    are ZEROS — dropping them fabricates adjacency), lag-k Pearson
+    from integer sums in Python floats."""
+    import math
+    from collections import Counter, defaultdict
+
+    t = _small_tables(spark)
+    rows = _events_rows(spark)
+    hc = defaultdict(Counter)
+    for r in rows:
+        h = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days * 24 + r.ts.hour
+        hc[r.event_type][h] += 1
+    want = {}
+    for et, c in hc.items():
+        h0, h1 = min(c), max(c)
+        xs = [c.get(h, 0) for h in range(h0, h1 + 1)]
+        for lag in A.AUTOCORR_LAGS:
+            pairs = [(xs[i], xs[i + lag]) for i in range(len(xs) - lag)]
+            if not pairs:
+                continue
+            n = float(len(pairs))
+            sx = float(sum(p[0] for p in pairs))
+            sy = float(sum(p[1] for p in pairs))
+            sxx = float(sum(p[0] * p[0] for p in pairs))
+            syy = float(sum(p[1] * p[1] for p in pairs))
+            sxy = float(sum(p[0] * p[1] for p in pairs))
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            want[(et, lag)] = (
+                len(pairs),
+                (n * sxy - sx * sy) / den if den > 0 else None,
+            )
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.autocorr)
+        for r in A.autocorr_hourly_counts(t).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        if want[key][1] is None:
+            assert got[key][1] is None, key
+        else:
+            assert abs(got[key][1] - want[key][1]) < 1e-9, key
+    # the daily cycle must be measured, not degenerate: lag-24 exists
+    assert any(lag == 24 for _, lag in got)
+
+
+def test_type_affinity_matches_python(spark):
+    from collections import defaultdict
+
+    t = _small_tables(spark)
+    users = defaultdict(set)
+    for r in _events_rows(spark):
+        users[r.event_type].add(r.user_id)
+    types = sorted(users)
+    want = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = len(users[ta] & users[tb])
+            if inter == 0:
+                continue  # no co-occurrence row is emitted
+            union = len(users[ta]) + len(users[tb]) - inter
+            want[(ta, tb)] = (
+                len(users[ta]),
+                len(users[tb]),
+                inter,
+                inter * 1_000_000 // union,
+            )
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_common, r.jaccard_ppm)
+        for r in A.type_affinity_jaccard(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_user_path_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    t = _small_tables(spark)
+    ev = defaultdict(list)
+    for r in _events_rows(spark):
+        ev[r.user_id].append((r.ts, r.event_id, r.event_type))
+    paths = Counter(
+        ">".join(x[2] for x in sorted(v)[: A.PATH_LEN])
+        for v in ev.values()
+    )
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : A.PATH_TOPK
+    ]
+    got = [
+        (r.path, r.n_users)
+        for r in A.user_path_topk(t).orderBy("rank").collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_value_clusters_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    t = _small_tables(spark)
+    cents = defaultdict(Counter)
+    for r in _events_rows(spark):
+        cents[r.event_type][int(r.value * 100 + 0.5)] += 1
+    want = {}
+    for et, c in cents.items():
+        run, clusters = [], []
+        for v in sorted(c):
+            if run and v - run[-1] > ST.CLUSTER_EPS_CENTS:
+                clusters.append(run)
+                run = []
+            run.append(v)
+        clusters.append(run)
+        cid = 0
+        for r_ in clusters:
+            n_ev = sum(c[v] for v in r_)
+            if n_ev >= ST.CLUSTER_MIN_PTS:
+                cid += 1
+                want[(et, cid)] = (r_[0], r_[-1], n_ev, len(r_))
+    got = {
+        (r.event_type, r.cluster_id): (
+            r.lo_cents,
+            r.hi_cents,
+            r.n_events,
+            r.n_values,
+        )
+        for r in ST.value_clusters_1d(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_value_clusters_engineered_multimodal(spark):
+    """Non-vacuity: an engineered trimodal distribution with a sparse
+    noise point must produce exactly the three dense clusters, noise
+    dropped."""
+    rows = (
+        [(i, "m", 10.00 + i * 0.01) for i in range(10)]  # 1000..1009
+        + [(100 + i, "m", 50.00 + i * 0.01) for i in range(10)]
+        + [(200 + i, "m", 90.00 + i * 0.01) for i in range(10)]
+        + [(999, "m", 70.00)]  # isolated: n_events=1 < min_pts
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = ST.value_clusters_1d({"events": df}).collect()
+    assert [(r.lo_cents, r.hi_cents, r.n_events) for r in out] == [
+        (1000, 1009, 10),
+        (5000, 5009, 10),
+        (9000, 9009, 10),
+    ]
+
+
+def test_chi2_matches_python(spark):
+    from collections import Counter
+
+    t = _small_tables(spark)
+    rows = _events_rows(spark)
+    allc = sorted(int(r.value * 100 + 0.5) for r in rows)
+    n = len(allc)
+    bounds = [allc[-(-i * n // 10) - 1] for i in range(1, 10)]
+    obs = Counter(
+        (r.event_type, 1 + sum(int(r.value * 100 + 0.5) > b for b in bounds))
+        for r in rows
+    )
+    rt = Counter()
+    ct = Counter()
+    for (et, d), o in obs.items():
+        rt[et] += o
+        ct[d] += o
+    got = {
+        (r.event_type, r.decile): (r.observed, r.expected, r.contribution)
+        for r in ST.chi2_type_decile(t).collect()
+    }
+    assert set(got) == set(obs)
+    for (et, d), o in obs.items():
+        e = rt[et] * ct[d] / n
+        go, ge, gc = got[(et, d)]
+        assert go == o
+        assert abs(ge - e) < 1e-6
+        assert abs(gc - (o - e) ** 2 / e) < 1e-6
+
+
+def test_nearest_event_matches_python(spark):
+    from collections import defaultdict
+
+    t = _small_tables(spark)
+    rows = _events_rows(spark)
+    clicks = defaultdict(list)
+    purchases = []
+    for r in rows:
+        if r.event_type == "click":
+            clicks[r.user_id].append((r.ts, r.event_id))
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    want = {}
+    for p in purchases:
+        cl = clicks.get(p.user_id, [])
+        prevs = sorted(c for c in cl if c[0] <= p.ts)
+        nexts = sorted(c for c in cl if c[0] >= p.ts)
+        prev = prevs[-1] if prevs else None  # max ts, then max id
+        nxt = min(nexts) if nexts else None  # min ts... tie: MAX id
+        if nexts:
+            min_ts = min(c[0] for c in nexts)
+            nxt = max(c for c in nexts if c[0] == min_ts)
+        if prev is None and nxt is None:
+            want[p.event_id] = (None, None, None)
+            continue
+        def us(d):
+            # exact integer microseconds — total_seconds() is a float
+            # and rounds off at this precision
+            return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+        pg = us(p.ts - prev[0]) if prev else None
+        ng = us(nxt[0] - p.ts) if nxt else None
+        if prev is not None and (nxt is None or pg <= ng):
+            want[p.event_id] = (prev[1], pg, "before")
+        else:
+            want[p.event_id] = (nxt[1], ng, "after")
+    got = {
+        r.event_id: (r.nearest_click_id, r.gap_us, r.direction)
+        for r in A.nearest_event_join(t).collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(v[2] == "after" for v in got.values() if v[2])
+
+
+def test_nearest_event_exact_instant_tie(spark):
+    """Boundary fixture (pitfall 5, both directions): a click at the
+    EXACT purchase instant must match with gap 0 and direction
+    'before' (prev wins ties); a user whose only click is after the
+    purchase must get 'after'; a clickless user gets NULLs."""
+    from datetime import datetime
+
+    ts0 = datetime(2024, 5, 1, 12, 0, 0)
+    ts1 = datetime(2024, 5, 1, 13, 0, 0)
+    rows = [
+        (1, ts0, 10, "click", 1.0, "{}"),
+        (2, ts0, 10, "purchase", 5.0, "{}"),   # exact-instant click
+        (3, ts1, 11, "purchase", 5.0, "{}"),
+        (4, datetime(2024, 5, 1, 13, 0, 30), 11, "click", 1.0, "{}"),
+        (5, ts1, 12, "purchase", 5.0, "{}"),   # clickless user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    got = {
+        r.event_id: (r.nearest_click_id, r.gap_us, r.direction)
+        for r in A.nearest_event_join({"events": df}).collect()
+    }
+    assert got[2] == (1, 0, "before")
+    assert got[3] == (4, 30_000_000, "after")
+    assert got[5] == (None, None, None)

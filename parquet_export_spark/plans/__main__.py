@@ -103,6 +103,15 @@ SHOWCASE = [
     "phash_pgm_dedup",
     "pareto_frontier_orders",
     "ewma_halflife_values",
+    # round-7: rank-based robust scaling (boundary window over the
+    # cents support, never fact rows), single-window multi-lag
+    # autocorrelation over the dense hourly spine, union-then-carry
+    # nearest temporal join (one user exchange, no range join),
+    # TakeOrdered-pruned path mining
+    "robust_scale_features",
+    "autocorr_hourly_counts",
+    "nearest_event_join",
+    "user_path_topk",
 ]
 
 HEADER = """\

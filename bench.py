@@ -176,6 +176,10 @@ HEADLINE = [
     "value_clusters_1d",
     "chi2_type_decile",
     "nearest_event_join",
+    "lpa_communities_suppliers",
+    "rake_keyphrases",
+    "funnel_time_to_convert",
+    "weekly_revenue_wow",
 ]
 
 

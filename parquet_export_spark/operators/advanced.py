@@ -1993,3 +1993,236 @@ def nearest_event_oracle_sql() -> str:
           FROM carried WHERE kind = 1)
         ORDER BY event_id
         """
+
+
+def funnel_time_to_convert(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-to-convert distribution per signup cohort: for every user
+    whose first purchase happens at or after their first signup, the
+    whole-minute gap between the two, summarized per signup WEEK as
+    rank-based integer quartiles — the product-analytics report
+    behind "how long does conversion take and is it drifting by
+    cohort" (the funnel operator counts WHO converts; this measures
+    HOW FAST).
+
+    Disciplines composed: first-touch timestamps as plain MIN
+    aggregates; minute indexes and week indexes from pure CALENDAR
+    components (the interarrival rule — no epoch casts); quartiles as
+    integer order statistics over the (cohort x distinct gap) support
+    (the robust_scale rule — interpolated quantiles are the
+    pitfall-17 trap). Every value int64.
+
+    Output per cohort week: (cohort_week, n_converted, q1_minutes,
+    median_minutes, q3_minutes).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = (
+        p.join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("p_ts"))
+        .select(
+            F.expr(
+                "CAST(datediff(to_date(s_ts), DATE '1970-01-01')"
+                " div 7 AS BIGINT)"
+            ).alias("cohort_week"),
+            (
+                (
+                    F.datediff(
+                        F.to_date("p_ts"), F.lit("1970-01-01").cast("date")
+                    )
+                    * 1440
+                    + F.hour("p_ts") * 60
+                    + F.minute("p_ts")
+                ).cast("long")
+                - (
+                    F.datediff(
+                        F.to_date("s_ts"), F.lit("1970-01-01").cast("date")
+                    )
+                    * 1440
+                    + F.hour("s_ts") * 60
+                    + F.minute("s_ts")
+                ).cast("long")
+            ).alias("gap_min"),
+        )
+    )
+    counts = conv.groupBy("cohort_week", "gap_min").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("cohort_week").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("gap_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    ii = counts.sparkSession.range(1, 4).select(F.col("id").alias("i"))
+    return (
+        cum.join(tot, "cohort_week")
+        .crossJoin(F.broadcast(ii))
+        .filter(F.col("cum") >= F.expr("(i * n + 3) div 4"))
+        .groupBy("cohort_week", "i")
+        .agg(F.min("gap_min").alias("b"))
+        .groupBy("cohort_week")
+        .agg(
+            F.min(F.when(F.col("i") == 1, F.col("b"))).alias("q1_minutes"),
+            F.min(F.when(F.col("i") == 2, F.col("b"))).alias(
+                "median_minutes"
+            ),
+            F.min(F.when(F.col("i") == 3, F.col("b"))).alias("q3_minutes"),
+        )
+        .join(tot, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("n").alias("n_converted"),
+            "q1_minutes",
+            "median_minutes",
+            "q3_minutes",
+        )
+        .orderBy("cohort_week")
+    )
+
+
+def funnel_time_oracle_sql() -> str:
+    return """
+        WITH s AS MATERIALIZED (
+          SELECT user_id, MIN(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS MATERIALIZED (
+          SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(s_ts AS DATE)) // 7 AS BIGINT)
+                     AS cohort_week,
+                 (CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(p_ts AS DATE)) AS BIGINT) * 1440
+                  + CAST(EXTRACT(hour FROM p_ts) AS BIGINT) * 60
+                  + CAST(EXTRACT(minute FROM p_ts) AS BIGINT))
+                 - (CAST(date_diff('day', DATE '1970-01-01',
+                                   CAST(s_ts AS DATE)) AS BIGINT) * 1440
+                    + CAST(EXTRACT(hour FROM s_ts) AS BIGINT) * 60
+                    + CAST(EXTRACT(minute FROM s_ts) AS BIGINT))
+                     AS gap_min
+          FROM (
+            SELECT e.user_id, s.s_ts, MIN(e.ts) AS p_ts
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+            GROUP BY e.user_id, s.s_ts)),
+        counts AS MATERIALIZED (
+          SELECT cohort_week, gap_min, CAST(COUNT(*) AS BIGINT) AS c
+          FROM conv GROUP BY cohort_week, gap_min),
+        tot AS (SELECT cohort_week, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY cohort_week),
+        cum AS (
+          SELECT cohort_week, gap_min,
+                 CAST(SUM(c) OVER (PARTITION BY cohort_week
+                                   ORDER BY gap_min
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        quarts AS (
+          SELECT cohort_week,
+                 MIN(CASE WHEN i = 1 THEN b END) AS q1_minutes,
+                 MIN(CASE WHEN i = 2 THEN b END) AS median_minutes,
+                 MIN(CASE WHEN i = 3 THEN b END) AS q3_minutes
+          FROM (
+            SELECT cum.cohort_week, i.i AS i, MIN(gap_min) AS b
+            FROM cum
+            JOIN tot ON tot.cohort_week = cum.cohort_week
+            CROSS JOIN generate_series(1, 3) AS i(i)
+            WHERE cum >= (i.i * tot.n + 3) // 4
+            GROUP BY cum.cohort_week, i.i)
+          GROUP BY cohort_week)
+        SELECT q.cohort_week, tot.n AS n_converted,
+               q.q1_minutes, q.median_minutes, q.q3_minutes
+        FROM quarts q JOIN tot ON tot.cohort_week = q.cohort_week
+        ORDER BY q.cohort_week
+        """
+
+
+def weekly_revenue_wow(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week revenue change per order priority — the
+    growth-report shape (weekly rollup + lag + relative change) on
+    the orders fact. Weeks are pure calendar-integer indexes
+    (days-since-epoch div 7 — tz-free, engine-identical); revenue
+    accumulates in exact decimal and is presented as integer cents;
+    the change ratio is ONE IEEE divide on the exact cents (ROUND 9).
+    The lag window runs over (priority x week) — bounded by the time
+    span, never order volume. CALENDAR semantics, the trap a bare lag
+    hides (caught by the Python differential in-round): lag gives the
+    prior PRESENT week, so across a gap it would silently compare to
+    a week that is not last week — the prior row counts only when its
+    week index is exactly week - 1; first weeks and gap-following
+    weeks report NULL.
+
+    Output: (o_orderpriority, week, revenue_cents, prev_cents,
+    wow_change).
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"].select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1970-01-01') div 7"
+            " AS BIGINT)"
+        ).alias("week"),
+        F.col("o_totalprice").cast("decimal(30,4)").alias("p"),
+    )
+    weekly = o.groupBy("o_orderpriority", "week").agg(
+        F.expr("CAST(SUM(p) * 100 AS BIGINT)").alias("revenue_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("week")
+    return (
+        weekly.withColumn(
+            "prev_cents",
+            F.when(
+                F.lag("week").over(w) == F.col("week") - 1,
+                F.lag("revenue_cents").over(w),
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "week",
+            "revenue_cents",
+            "prev_cents",
+            F.round(
+                (
+                    F.col("revenue_cents").cast("double")
+                    - F.col("prev_cents").cast("double")
+                )
+                / F.col("prev_cents").cast("double"),
+                9,
+            ).alias("wow_change"),
+        )
+        .orderBy("o_orderpriority", "week")
+    )
+
+
+def weekly_revenue_oracle_sql() -> str:
+    return """
+        WITH weekly AS MATERIALIZED (
+          SELECT o_orderpriority,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                o_orderdate) // 7 AS BIGINT) AS week,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) * 100
+                      AS BIGINT) AS revenue_cents
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, week, revenue_cents, prev_cents,
+               ROUND((CAST(revenue_cents AS DOUBLE)
+                      - CAST(prev_cents AS DOUBLE))
+                     / CAST(prev_cents AS DOUBLE), 9) AS wow_change
+        FROM (
+          SELECT o_orderpriority, week, revenue_cents,
+                 CASE WHEN LAG(week) OVER w = week - 1
+                      THEN LAG(revenue_cents) OVER w END AS prev_cents
+          FROM weekly
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week))
+        ORDER BY o_orderpriority, week
+        """

@@ -2042,3 +2042,124 @@ def random_walks_oracle_sql(walk_len: int = WALK_LEN) -> str:
         FROM {prev} ORDER BY start_node
         """
     )
+
+
+#: synchronous label-propagation rounds. LPA usually converges on
+#: small-world graphs in a handful of sweeps; a FIXED count keeps the
+#: trajectory deterministic and oracle-replayable (the cc_trade_graph
+#: contract — this is a feature extractor, not a convergence solver).
+LPA_ITERS = 4
+
+
+def lpa_communities_suppliers(
+    t: dict[str, DataFrame], n_iter: int = LPA_ITERS
+) -> DataFrame:
+    """Label-propagation communities on the projected supplier graph —
+    the OTHER standard community algorithm next to the threshold+CC
+    pipeline (``supplier_communities`` finds connected clumps of
+    strong edges; LPA lets dense neighborhoods OUTVOTE sparse bridges,
+    so a weak chain between two dense blocks stays two communities
+    where CC would merge them). Runs on the SAME thresholded
+    projection (_supplier_strong_pairs / _SUPPLIER_PROJ_SQL — the one-
+    definition drift rule), symmetrized.
+
+    Determinism, the known LPA weakness fixed by construction: the
+    textbook algorithm breaks count ties randomly and updates
+    asynchronously in random node order — irreproducible by design.
+    Here updates are SYNCHRONOUS rounds (every node reads the
+    PREVIOUS round's labels) and the per-node choice is the total
+    order (neighbor-count DESC, label ASC) — bit-identical under any
+    partitioning, replayed by the oracle as unrolled MATERIALIZED
+    rounds (the PageRank/CC contract; the fixed round count also
+    sidesteps sync-LPA's possible 2-cycles — the output is "labels
+    after K sweeps", a deterministic graph feature).
+
+    Scale shape: per round, one join of the node-sized label table
+    against the persisted src-partitioned edge cache + one grouped
+    count + one per-node argmax window over (node x distinct neighbor
+    labels) — label frames localCheckpoint per round (pitfall: the
+    lineage otherwise stacks a join per round).
+
+    Output: (supplier, lpa_label, n_members), one row per projected
+    supplier.
+    """
+    from pyspark.sql import Window
+
+    strong = _supplier_strong_pairs(t)
+    edges = strong.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        strong.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    e = _edge_cache(edges)
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        counts = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("n2").orderBy(F.desc("cnt"), "lbl")
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), "lbl")
+            .localCheckpoint()
+        )
+    e.unpersist(blocking=False)
+    w_sz = Window.partitionBy("lbl")
+    return (
+        labels.select(
+            F.col("node").alias("supplier"),
+            F.col("lbl").alias("lpa_label"),
+            F.count(F.lit(1)).over(w_sz).alias("n_members"),
+        )
+        .orderBy("supplier")
+    )
+
+
+def lpa_communities_oracle_sql(
+    n_iter: int = LPA_ITERS,
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+) -> str:
+    """Unrolled MATERIALIZED sync rounds over the shared projection:
+    each round recomputes the same (count DESC, label ASC) argmax."""
+    parts = [
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + """
+        , se AS MATERIALIZED (
+          SELECT s1 AS src, s2 AS dst FROM strong
+          UNION ALL
+          SELECT s2 AS src, s1 AS dst FROM strong),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS lbl FROM se)
+        """
+    ]
+    prev = "l0"
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        , l{k} AS MATERIALIZED (
+          SELECT node, lbl FROM (
+            SELECT e.dst AS node, l.lbl,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.dst
+                     ORDER BY COUNT(*) DESC, l.lbl) AS rn
+            FROM se e JOIN {prev} l ON l.node = e.src
+            GROUP BY e.dst, l.lbl)
+          WHERE rn = 1)
+        """)
+        prev = f"l{k}"
+    parts.append(f"""
+        SELECT node AS supplier, lbl AS lpa_label,
+               CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT)
+                   AS n_members
+        FROM {prev}
+        ORDER BY supplier
+        """)
+    return "".join(parts)

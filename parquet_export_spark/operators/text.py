@@ -1104,3 +1104,154 @@ def self_retrieval_ranks(
         )
         .orderBy("query_id")
     )
+
+
+#: RAKE stopword delimiters — phrase candidates are the maximal runs
+#: of non-stopword tokens. A deliberately small generic list: the
+#: operator's contract is the algorithm, not English coverage.
+RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "in", "on", "to", "is",
+    "was", "for", "with", "as", "at", "by", "it", "be",
+)
+#: phrases reported corpus-wide.
+RAKE_TOPK = 20
+
+
+def rake_keyphrases(
+    t: dict[str, DataFrame], k: int = RAKE_TOPK
+) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus — the classic
+    unsupervised keyword miner (Rose et al.): candidate phrases are
+    the maximal stopword-free token runs; each content word scores
+    ``degree/frequency`` (degree = the summed length of every phrase
+    it appears in — words that live in long collocations outrank
+    words that appear alone); a phrase scores the sum of its member
+    words' scores. The corpus-curation use: the highest-scoring
+    phrases ARE the corpus's characteristic collocations, the
+    vocabulary a domain-mixture report is built from (collocations_pmi
+    finds associated PAIRS; RAKE finds variable-length phrases).
+
+    Integer-exact scoring: word score as ppm floor division
+    (``deg * 1e6 div freq`` — the bigram_lm/pmi rule: no float
+    accumulates), phrase score as an INT64 SUM of member ppms
+    (order-independent by integrality; member words count with
+    multiplicity, the original formulation). Identical phrase text
+    implies identical member multiset implies identical score, so the
+    per-phrase aggregate is well-defined; ties break by phrase text.
+
+    Scale shape: one posexplode over the corpus, phrase segmentation
+    by gaps-and-islands (a running stopword count — no self-join),
+    word stats from one grouped aggregate over content-word
+    occurrences, the word->phrase score join keyed by the
+    vocabulary-bounded word column, and the final top-K is a
+    TakeOrdered prune before a K-row rank window (the user_path
+    discipline).
+
+    Output: (rank, phrase, n_words, score_ppm, n_occurrences).
+    """
+    from pyspark.sql import Window
+
+    ws = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .withColumn("stop", F.col("w").isin(*RAKE_STOPWORDS))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    content = (
+        ws.withColumn(
+            "grp", F.sum(F.col("stop").cast("int")).over(wd)
+        )
+        .filter(~F.col("stop"))
+        .select("doc_id", "grp", "pos", "w")
+    )
+    plen = content.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    occ = content.join(plen, ["doc_id", "grp"])
+    wstats = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("len").alias("deg")
+    )
+    wscore = wstats.select(
+        "w", F.expr("deg * 1000000L div freq").alias("wppm")
+    )
+    phrases = (
+        occ.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wppm").alias("score_ppm"),
+        )
+    )
+    counted = phrases.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.min("score_ppm").alias("score_ppm"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    top = counted.orderBy(F.desc("score_ppm"), "phrase").limit(k)
+    w2 = Window.orderBy(F.desc("score_ppm"), "phrase")
+    return (
+        top.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .select("rank", "phrase", "n_words", "score_ppm", "n_occurrences")
+        .orderBy("rank")
+    )
+
+
+def rake_oracle_sql(k: int = RAKE_TOPK) -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+        WITH ws AS MATERIALIZED (
+          SELECT doc_id, u.pos, u.w,
+                 u.w IN ({stops}) AS stop
+          FROM documents,
+               LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w,
+                               generate_subscripts(
+                                 string_split(text, ' '), 1) AS pos) u),
+        content AS MATERIALIZED (
+          SELECT doc_id, pos, w,
+                 SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM ws QUALIFY NOT stop),
+        plen AS (
+          SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+          FROM content GROUP BY doc_id, grp),
+        occ AS MATERIALIZED (
+          SELECT c.doc_id, c.grp, c.pos, c.w, p.len
+          FROM content c
+          JOIN plen p ON p.doc_id = c.doc_id AND p.grp = c.grp),
+        wscore AS (
+          SELECT w,
+                 CAST(SUM(len) AS BIGINT) * 1000000
+                   // CAST(COUNT(*) AS BIGINT) AS wppm
+          FROM occ GROUP BY w),
+        phrases AS MATERIALIZED (
+          SELECT o.doc_id, o.grp,
+                 string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(s.wppm) AS BIGINT) AS score_ppm
+          FROM occ o JOIN wscore s ON s.w = o.w
+          GROUP BY o.doc_id, o.grp),
+        counted AS (
+          SELECT phrase, MIN(n_words) AS n_words,
+                 MIN(score_ppm) AS score_ppm,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM phrases GROUP BY phrase)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase)
+                    AS BIGINT) AS rank,
+               phrase, n_words, score_ppm, n_occurrences
+        FROM counted
+        ORDER BY score_ppm DESC, phrase
+        LIMIT {k}
+        """

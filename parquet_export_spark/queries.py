@@ -1333,6 +1333,12 @@ REGISTRY.update(
         # is a fixed chain of IEEE ops on exact int64 counts — the
         # libm-ln 1-ulp trap bigram_lm_scores documents. Ties broken
         # by bigram text for a deterministic top-k.
+        # RAKE keyphrases: stopword-delimited candidate runs, integer
+        # ppm word scores (deg*1e6 div freq), int64 phrase sums,
+        # TakeOrdered-pruned top-K.
+        "rake_keyphrases": QuerySpec(
+            _rel(X.rake_keyphrases), X.rake_oracle_sql()
+        ),
         "collocations_pmi": QuerySpec(
             _rel(X.collocations_pmi),
             f"""
@@ -2601,6 +2607,17 @@ REGISTRY.update(
         "nearest_event_join": QuerySpec(
             _rel(A.nearest_event_join), A.nearest_event_oracle_sql()
         ),
+        # Per-cohort time-to-convert quartiles: calendar-integer
+        # minute/week indexes + rank-based integer order statistics.
+        "funnel_time_to_convert": QuerySpec(
+            _rel(A.funnel_time_to_convert), A.funnel_time_oracle_sql()
+        ),
+        # Week-over-week revenue per priority: exact-decimal weekly
+        # cents, one (priority x week)-bounded lag window, one IEEE
+        # divide at presentation.
+        "weekly_revenue_wow": QuerySpec(
+            _rel(A.weekly_revenue_wow), A.weekly_revenue_oracle_sql()
+        ),
         # Seasonal-naive decomposition: both aggregates time-bounded
         # after the first collapse; integer cents throughout
         # (non-negative, so div == //).
@@ -2943,6 +2960,13 @@ REGISTRY.update(
         "random_walks_suppliers": QuerySpec(
             _rel(G.random_walks_suppliers),
             G.random_walks_oracle_sql(),
+        ),
+        # Deterministic synchronous label propagation on the shared
+        # projection: (count DESC, label ASC) argmax per node per
+        # round, unrolled MATERIALIZED rounds in the oracle.
+        "lpa_communities_suppliers": QuerySpec(
+            _rel(G.lpa_communities_suppliers),
+            G.lpa_communities_oracle_sql(),
         ),
         # Newman degree assortativity: exact int64 sufficient stats,
         # one closed-form IEEE expression — the stats_correlation

@@ -566,3 +566,194 @@ def test_nearest_event_exact_instant_tie(spark):
     assert got[2] == (1, 0, "before")
     assert got[3] == (4, 30_000_000, "after")
     assert got[5] == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Second round-7 batch: LPA, RAKE, time-to-convert, WoW revenue
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_matches_python(spark):
+    """Independent reference: pure-Python synchronous label
+    propagation with the (count DESC, label ASC) argmax over the SAME
+    projected edge set — pins the propagation algebra and the round
+    count (the projection itself is differentially pinned by the
+    triangle/communities tests)."""
+    from collections import Counter, defaultdict
+
+    t = _small_tables(spark)
+    strong = [(r.s1, r.s2) for r in G._supplier_strong_pairs(t).collect()]
+    nbrs = defaultdict(list)
+    for a, b in strong:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(G.LPA_ITERS):
+        new = {}
+        for n, ns in nbrs.items():
+            c = Counter(lbl[m] for m in ns)
+            new[n] = min(c, key=lambda L: (-c[L], L))
+        lbl = new
+    sizes = Counter(lbl.values())
+    want = {n: (lbl[n], sizes[lbl[n]]) for n in lbl}
+    got = {
+        r.supplier: (r.lpa_label, r.n_members)
+        for r in G.lpa_communities_suppliers(t).collect()
+    }
+    assert got == want and len(got) > 0
+    # non-vacuity: propagation must actually merge labels
+    assert len(set(v[0] for v in got.values())) < len(got)
+
+
+def test_lpa_outvotes_bridge(spark, monkeypatch):
+    """The semantic LPA adds over threshold+CC: two dense triangles
+    joined by ONE bridge edge stay TWO communities (the dense
+    neighborhoods outvote the bridge) where connected components
+    would merge them."""
+    edges = [
+        (1, 2), (1, 3), (2, 3),       # triangle A
+        (4, 5), (4, 6), (5, 6),       # triangle B
+        (3, 4),                        # bridge
+    ]
+    pairs = spark.createDataFrame(edges, "s1 long, s2 long")
+    monkeypatch.setattr(
+        G, "_supplier_strong_pairs", lambda *a, **k: pairs
+    )
+    out = G.lpa_communities_suppliers({})
+    labels = {r.supplier: r.lpa_label for r in out.collect()}
+    assert len(set(labels.values())) >= 2
+    assert labels[1] == labels[2]
+    assert labels[5] == labels[6]
+    assert labels[1] != labels[6]
+
+
+def test_rake_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    from parquet_export_spark.operators import text as X
+
+    docs = (
+        _small_tables(spark)["documents"].select("doc_id", "text").collect()
+    )
+    stop = set(X.RAKE_STOPWORDS)
+    freq = Counter()
+    deg = Counter()
+    phrases = []
+    for r in docs:
+        run = []
+        for w in r.text.split(" ") + [None]:
+            if w is None or w in stop:
+                if run:
+                    phrases.append(run)
+                    for x in run:
+                        freq[x] += 1
+                        deg[x] += len(run)
+                run = []
+            else:
+                run.append(w)
+    wppm = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    by_text = defaultdict(int)
+    score = {}
+    nw = {}
+    for run in phrases:
+        txt = " ".join(run)
+        by_text[txt] += 1
+        score[txt] = sum(wppm[w] for w in run)
+        nw[txt] = len(run)
+    want = [
+        (txt, nw[txt], score[txt], by_text[txt])
+        for txt in sorted(score, key=lambda p: (-score[p], p))[
+            : X.RAKE_TOPK
+        ]
+    ]
+    got = [
+        (r.phrase, r.n_words, r.score_ppm, r.n_occurrences)
+        for r in X.rake_keyphrases(_small_tables(spark))
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want and len(got) == X.RAKE_TOPK
+
+
+def test_funnel_time_matches_python(spark):
+    from collections import defaultdict
+    from datetime import date
+
+    t = _small_tables(spark)
+    rows = _events_rows(spark)
+    s_first = {}
+    for r in rows:
+        if r.event_type == "signup":
+            if r.user_id not in s_first or r.ts < s_first[r.user_id]:
+                s_first[r.user_id] = r.ts
+
+    def minute(ts):
+        return (
+            (ts.date() - date(1970, 1, 1)).days * 1440
+            + ts.hour * 60
+            + ts.minute
+        )
+
+    p_first = {}
+    for r in rows:
+        if r.event_type == "purchase" and r.user_id in s_first:
+            if r.ts >= s_first[r.user_id] and (
+                r.user_id not in p_first or r.ts < p_first[r.user_id]
+            ):
+                p_first[r.user_id] = r.ts
+    gaps = defaultdict(list)
+    for u, pts in p_first.items():
+        sts = s_first[u]
+        wk = (sts.date() - date(1970, 1, 1)).days // 7
+        gaps[wk].append(minute(pts) - minute(sts))
+    want = {}
+    for wk, g in gaps.items():
+        sv, n = sorted(g), len(g)
+        q = [sv[-(-i * n // 4) - 1] for i in (1, 2, 3)]
+        want[wk] = (n, q[0], q[1], q[2])
+    got = {
+        r.cohort_week: (
+            r.n_converted,
+            r.q1_minutes,
+            r.median_minutes,
+            r.q3_minutes,
+        )
+        for r in A.funnel_time_to_convert(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_weekly_revenue_matches_python(spark):
+    from collections import defaultdict
+    from datetime import date
+    from decimal import Decimal
+
+    t = _small_tables(spark)
+    orders = t["orders"].select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect()
+    weekly = defaultdict(Decimal)
+    for r in orders:
+        d = r.o_orderdate
+        if hasattr(d, "date"):
+            d = d.date()  # the lake stores orderdate as a timestamp
+        wk = (d - date(1970, 1, 1)).days // 7
+        weekly[(r.o_orderpriority, wk)] += Decimal(str(r.o_totalprice))
+    cents = {k: int(v * 100) for k, v in weekly.items()}
+    got = {
+        (r.o_orderpriority, r.week): (
+            r.revenue_cents,
+            r.prev_cents,
+            r.wow_change,
+        )
+        for r in A.weekly_revenue_wow(t).collect()
+    }
+    assert set(got) == set(cents)
+    for (pri, wk), (rev, prev, chg) in got.items():
+        assert rev == cents[(pri, wk)]
+        pkey = (pri, wk - 1)
+        if pkey in cents:
+            assert prev == cents[pkey]
+            assert abs(chg - (rev - prev) / prev) < 1e-9
+        else:
+            assert prev is None and chg is None

@@ -82,10 +82,14 @@ def test_operator_collect_whitelist():
     (`_collect_fit_sample`, <= KMEANS_FIT_CAP rows, one hash-ordered
     top-k job), `pq_topk`'s query-side collect (<= n_queries rows),
     `bpe_learn_merges`' per-iteration argmax (`limit(1).collect()`,
-    exactly one row per merge round), and `bpe_encode_corpus`'s
+    exactly one row per merge round), `bpe_encode_corpus`'s
     merge-table collect (n_merges rows — vocabulary metadata shipped
-    into the encode kernel). A new unbounded collect anywhere
-    in the operator surface fails this test by name."""
+    into the encode kernel), and round-7's `pq_probe_index` (the
+    STORED codebook table, m*kc index-metadata rows, plus the same
+    bounded query-side collect as pq_topk — the artifact-probe shape
+    cannot avoid materializing the LUT inputs it broadcasts). A new
+    unbounded collect anywhere in the operator surface fails this
+    test by name."""
     import pathlib
 
     import parquet_export_spark.operators as ops
@@ -93,6 +97,7 @@ def test_operator_collect_whitelist():
     allowed = {
         ("similarity.py", "_collect_fit_sample"),
         ("similarity.py", "pq_topk"),
+        ("similarity.py", "pq_probe_index"),
         ("text.py", "bpe_learn_merges"),
         ("text.py", "bpe_encode_corpus"),
     }

@@ -45,6 +45,8 @@ TZ_SENSITIVE = [
     "autocorr_hourly_counts",
     "user_path_topk",
     "nearest_event_join",
+    "funnel_time_to_convert",
+    "weekly_revenue_wow",
 ]
 
 

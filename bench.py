@@ -180,6 +180,11 @@ HEADLINE = [
     "rake_keyphrases",
     "funnel_time_to_convert",
     "weekly_revenue_wow",
+    "session_entry_exit",
+    "multitouch_attribution",
+    "link_prediction_suppliers",
+    "fano_burstiness",
+    "rfm_segments",
 ]
 
 

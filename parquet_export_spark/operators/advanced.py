@@ -186,11 +186,11 @@ def asof_purchase_attribution(t: dict[str, DataFrame]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def sessionize_batch(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
-    """Gap-based sessions: lag -> new-session flag -> running count as
-    session id -> per-session aggregate. Two window passes over one
-    user_id shuffle; the standard batch sessionization at any scale."""
-    ev = t["events"]
+def _sessionized(ev: DataFrame, gap_minutes: int) -> DataFrame:
+    """The shared gap-sessionization core: lag -> new-session flag ->
+    running count as session id. ONE definition for every session
+    consumer (sessionize_batch, session_entry_exit) — the
+    _DUP_SPAN_CTES drift-prevention rule."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Microsecond-exact gap on NTZ values: second-granularity diffs
     # truncate/count-boundaries differently across engines.
@@ -206,7 +206,7 @@ def sessionize_batch(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFram
         )
         .drop("_prev_ts")
     )
-    with_id = flagged.withColumn(
+    return flagged.withColumn(
         "session_id",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
@@ -214,6 +214,13 @@ def sessionize_batch(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFram
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def sessionize_batch(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions: lag -> new-session flag -> running count as
+    session id -> per-session aggregate. Two window passes over one
+    user_id shuffle; the standard batch sessionization at any scale."""
+    with_id = _sessionized(t["events"], gap_minutes)
     return (
         with_id.groupBy("user_id", "session_id")
         .agg(
@@ -2225,4 +2232,270 @@ def weekly_revenue_oracle_sql() -> str:
           FROM weekly
           WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week))
         ORDER BY o_orderpriority, week
+        """
+
+
+#: DuckDB CTE text of the SAME gap-sessionization core as
+#: ``_sessionized`` (flagged -> with_id) — ONE SQL definition shared
+#: by the sessionize_batch and session_entry_exit oracles, mirroring
+#: the Python-side helper (the _DUP_SPAN_CTES rule).
+SESSION_CTES_SQL = """
+        flagged AS (
+            SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                             OR date_diff('microsecond',
+                                          LAG(ts) OVER w, ts)
+                                > {gap_us}
+                           THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        with_id AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+            FROM flagged)
+        """
+
+
+def session_entry_exit(
+    t: dict[str, DataFrame], gap_minutes: int = 30
+) -> DataFrame:
+    """Entry/exit-page analysis on gap sessions: how do sessions START
+    and how do they END — the (entry event type x exit event type)
+    transition grid with session counts and event volume. The
+    product-analytics staple behind "which landing actions lead to
+    purchase-terminated sessions", and the aggregate consumer of the
+    SAME sessionization core as ``sessionize_batch`` (the
+    ``_sessionized`` helper — one definition, no drift).
+
+    Entry/exit are taken over the TOTAL per-session order
+    (ts, event_id — the sessionization order itself), materialized as
+    two row_number ranks riding the same user_id-partitioned sort the
+    session ids already paid for; single-event sessions count with
+    entry = exit.
+
+    Plan: the _sessionized window chain (one user_id shuffle), one
+    (user, session)-keyed window pair, one small grouped count —
+    output is <= types² rows.
+
+    Output: (entry_type, exit_type, n_sessions, total_events).
+    """
+    with_id = _sessionized(t["events"], gap_minutes)
+    ws = Window.partitionBy("user_id", "session_id")
+    fwd = ws.orderBy("ts", "event_id")
+    bwd = ws.orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = with_id.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(fwd).alias("rn_f"),
+        F.row_number().over(bwd).alias("rn_b"),
+    ).filter((F.col("rn_f") == 1) | (F.col("rn_b") == 1))
+    per_session = with_id.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    edge = ranked.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("rn_f") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rn_b") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+    )
+    return (
+        edge.join(per_session, ["user_id", "session_id"])
+        .groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("total_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+def session_entry_exit_oracle_sql(gap_minutes: int = 30) -> str:
+    """DuckDB replay: the shared SESSION_CTES_SQL core verbatim, the
+    same double row_number edge extraction, same grouped counts."""
+    return (
+        "WITH "
+        + SESSION_CTES_SQL.format(gap_us=gap_minutes * 60 * 1_000_000)
+        + """,
+        ranked AS (
+          SELECT user_id, session_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) AS rn_f,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts DESC, event_id DESC)
+                     AS rn_b
+          FROM with_id),
+        per_session AS (
+          SELECT user_id, session_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_ev
+          FROM with_id GROUP BY user_id, session_id),
+        edge AS (
+          SELECT user_id, session_id,
+                 MAX(CASE WHEN rn_f = 1 THEN event_type END)
+                     AS entry_type,
+                 MAX(CASE WHEN rn_b = 1 THEN event_type END)
+                     AS exit_type
+          FROM ranked WHERE rn_f = 1 OR rn_b = 1
+          GROUP BY user_id, session_id)
+        SELECT e.entry_type, e.exit_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(p.n_ev) AS BIGINT) AS total_events
+        FROM edge e
+        JOIN per_session p ON p.user_id = e.user_id
+                          AND p.session_id = e.session_id
+        GROUP BY e.entry_type, e.exit_type
+        ORDER BY e.entry_type, e.exit_type
+        """
+    )
+
+
+#: attribution lookback — clicks within this many days before a
+#: purchase share its credit.
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def multitouch_attribution(
+    t: dict[str, DataFrame], window_days: int = ATTRIBUTION_WINDOW_DAYS
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    EQUALLY across the user's clicks in the preceding ``window_days``
+    — the standard alternative to last-touch
+    (``asof_purchase_attribution`` — single winner) when marketing
+    wants credit spread over the whole converting path.
+
+    Conservation is EXACT and integer: each touch gets
+    cents div n_touches, and the remainder cents go to the LAST
+    (most recent) click of that purchase's path — so per user,
+    credited + unattributed == total purchase cents, bit-for-bit (an
+    invariant the oracle re-proves on every run since both sides
+    carry all three columns). Division and modulo on non-negative
+    int64 only (Spark div == DuckDB //); time bounds by INTERVAL
+    arithmetic on NTZ values (never epoch casts — pitfall 4).
+
+    Plan: purchases LEFT JOIN clicks on user_id + the time band (one
+    user-keyed shuffle; fan-out bounded by a user's weekly click
+    volume — the same per-user skew envelope every behavior operator
+    here carries), one purchase-keyed window pair for n/rank, one
+    user-keyed final aggregate. No self-join of the full event table:
+    both sides are type-pruned at the scan.
+
+    Output per user: (user_id, n_purchases, n_attributed,
+    n_touch_pairs, credited_cents, unattributed_cents).
+    """
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") < F.col("pts"))
+        & (
+            F.col("pts")
+            <= F.col("cts") + F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+        "left",
+    )
+    wp = Window.partitionBy("pid")
+    wr = wp.orderBy("cts", "cid")
+    scored = j.select(
+        "pid",
+        "user_id",
+        "cents",
+        "cid",
+        F.count("cid").over(wp).alias("n_touches"),
+        F.row_number().over(wr).alias("rn"),
+    ).withColumn(
+        "credit",
+        F.when(
+            F.col("cid").isNotNull(),
+            F.expr("cents div n_touches")
+            + F.when(
+                F.col("rn") == F.col("n_touches"),
+                F.expr("cents % n_touches"),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.countDistinct("pid").cast("long").alias("n_purchases"),
+            F.countDistinct(
+                F.when(F.col("cid").isNotNull(), F.col("pid"))
+            )
+            .cast("long")
+            .alias("n_attributed"),
+            F.count("cid").cast("long").alias("n_touch_pairs"),
+            F.coalesce(F.sum("credit"), F.lit(0))
+            .cast("long")
+            .alias("credited_cents"),
+            F.coalesce(
+                F.sum(F.when(F.col("cid").isNull(), F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("unattributed_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def multitouch_attribution_oracle_sql(
+    window_days: int = ATTRIBUTION_WINDOW_DAYS,
+) -> str:
+    """DuckDB replay: same left band join, same div/mod split with
+    the remainder-to-latest rule, same per-user rollup."""
+    return f"""
+        WITH p AS (
+          SELECT event_id AS pid, user_id, ts AS pts,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT event_id AS cid, user_id AS c_user, ts AS cts
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.*, c.cid, c.cts
+          FROM p LEFT JOIN c
+            ON c.c_user = p.user_id
+           AND c.cts < p.pts
+           AND p.pts <= c.cts + INTERVAL {window_days} DAY),
+        scored AS (
+          SELECT pid, user_id, cents, cid,
+                 COUNT(cid) OVER (PARTITION BY pid) AS n_touches,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY cts, cid) AS rn
+          FROM j),
+        credited AS (
+          SELECT *, CASE WHEN cid IS NOT NULL
+                         THEN cents // n_touches
+                              + CASE WHEN rn = n_touches
+                                     THEN cents % n_touches
+                                     ELSE 0 END
+                    END AS credit
+          FROM scored)
+        SELECT user_id,
+               CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT CASE WHEN cid IS NOT NULL
+                                        THEN pid END)
+                    AS BIGINT) AS n_attributed,
+               CAST(COUNT(cid) AS BIGINT) AS n_touch_pairs,
+               CAST(COALESCE(SUM(credit), 0) AS BIGINT)
+                   AS credited_cents,
+               CAST(COALESCE(SUM(CASE WHEN cid IS NULL
+                                      THEN cents END), 0)
+                    AS BIGINT) AS unattributed_cents
+        FROM credited
+        GROUP BY user_id
+        ORDER BY user_id
         """

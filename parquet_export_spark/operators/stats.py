@@ -1968,3 +1968,301 @@ def chi2_type_decile_oracle_sql() -> str:
         CROSS JOIN tot
         ORDER BY o.event_type, o.decile
         """
+
+
+def fano_burstiness(t: dict[str, DataFrame]) -> DataFrame:
+    """Burstiness profile per event type: the Fano factor (index of
+    dispersion, variance-to-mean ratio) of the per-MINUTE event-count
+    series over the type's observed span — the single number that
+    separates Poisson-like arrivals (F ~ 1) from bursty traffic
+    (F >> 1) and over-regular heartbeats (F < 1). The monitoring
+    companion to interarrival_gap_histogram: the histogram shows the
+    gap SHAPE, the Fano factor tracks dispersion as one alarmable
+    scalar per type.
+
+    Exactness recipe (three established disciplines composed): minute
+    indexes from pure CALENDAR components (day-diff * 1440 + hour*60
+    + minute — the interarrival rule, no epoch casts); zero-count
+    minutes enter through the SPAN, not a dense spine — with
+    Σx and Σx² taken over occupied minutes only, the dense-series
+    moments are n = span, S1 = Σx, S2 = Σx² (zeros add nothing), so
+    no spine materializes at all; population variance / mean folds to
+    ONE closed form on exact int64 sufficient statistics:
+    fano = (n*S2 - S1²) / (n*S1), a single IEEE divide, ROUND(..., 9)
+    presented (the stats_correlation discipline). Overflow envelope:
+    n*S2 <= span * S1² — at a month-long span (~43k minutes) safe to
+    ~4.6e5 events/type even in the worst single-minute burst, and to
+    ~1.4e7 events/type for Poisson-like S2 ~ 2*S1; ANSI mode errors
+    rather than wraps beyond it.
+
+    Plan: one (type, minute) pre-aggregate (map-side combinable),
+    then a types-sized final aggregate. No window, no spine, no
+    fact-side sort.
+
+    Output: (event_type, n_minutes, n_active_minutes, n_events,
+    fano) — one row per type.
+    """
+    e = t["events"]
+    minute_idx = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        * 1440
+        + F.hour("ts") * 60
+        + F.minute("ts")
+    ).cast("long")
+    per_min = e.select(
+        "event_type", minute_idx.alias("m")
+    ).groupBy("event_type", "m").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            (F.max("m") - F.min("m") + F.lit(1)).alias("n_minutes"),
+            F.count(F.lit(1)).cast("long").alias("n_active_minutes"),
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_minutes",
+            "n_active_minutes",
+            "n_events",
+            F.round(
+                (
+                    F.col("n_minutes") * F.col("s2")
+                    - F.col("n_events") * F.col("n_events")
+                ).cast("double")
+                / (F.col("n_minutes") * F.col("n_events")).cast("double"),
+                9,
+            ).alias("fano"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def fano_burstiness_oracle_sql() -> str:
+    """DuckDB replay: identical calendar minute indexes, int64
+    sufficient statistics (CAST — the HUGEINT trap), one IEEE
+    divide."""
+    return """
+        WITH pm AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 1440
+                 + CAST(EXTRACT(hour FROM ts) AS BIGINT) * 60
+                 + CAST(EXTRACT(minute FROM ts) AS BIGINT) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type,
+                 MAX(m) - MIN(m) + 1 AS n_minutes,
+                 CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+                 CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM pm GROUP BY event_type)
+        SELECT event_type, n_minutes, n_active_minutes, n_events,
+               ROUND(CAST(n_minutes * s2 - n_events * n_events
+                          AS DOUBLE)
+                     / CAST(n_minutes * n_events AS DOUBLE), 9) AS fano
+        FROM s ORDER BY event_type
+        """
+
+
+#: RFM quintile count — the classic 5x5x5 segmentation grid.
+RFM_K = 5
+
+
+def rfm_segments(t: dict[str, DataFrame], k: int = RFM_K) -> DataFrame:
+    """RFM customer segmentation over the orders history — the
+    marketing-analytics classic: each customer scored 1..k on Recency
+    (days since last order, relative to the lake's newest order),
+    Frequency (order count) and Monetary (lifetime cents), each score
+    the customer's quintile in THAT metric's distribution, composed
+    into the familiar three-digit RFM code (555 = recent + frequent
+    + big spender).
+
+    Boundary derivation is the decile_features_events recipe
+    (rank-based INTEGER order statistics — never interpolated
+    percentiles, pitfall 17): all three metrics go LONG via ``stack``
+    into one (metric, v) frame, one cumulative window over the
+    VALUE-BOUNDED support (metrics x distinct values, never customer
+    volume) yields b_i = min v with cum >= ceil(i*n/k), and the
+    ascending quintile is 1 + #{b_i < v} folded by an O(k-1)
+    ``aggregate`` HOF over the broadcast boundary array. Recency
+    inverts (k+1 - ascending) so that 5 always means "best".
+
+    Plan: ONE orders scan -> customer-sized aggregate; the global
+    max date rides the same scan as a 1-row broadcast; boundaries
+    are a 3x(k-1)-row broadcast; the long->wide return pivot is a
+    customer-keyed aggregate. Nothing downstream of the first
+    collapse is fact-sized.
+
+    Output: (c_custkey, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, rfm_code) for every customer with at
+    least one order.
+    """
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    # checkpoint the customer-sized aggregate, then take the global
+    # max date FROM it — max(max per group) == global max, so the
+    # fact table really is scanned exactly once.
+    per = per.localCheckpoint()
+    gmax = per.agg(F.max("last_dt").alias("gmax"))
+    cust = per.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff(F.to_date("gmax"), F.to_date("last_dt"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    long = cust.selectExpr(
+        "o_custkey",
+        "stack(3, 'r', recency_days, 'f', frequency,"
+        " 'm', monetary_cents) AS (metric, v)",
+    )
+    counts = long.groupBy("metric", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("metric").agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    ii = counts.sparkSession.range(1, k).select(F.col("id").alias("i"))
+    bounds = (
+        cum.join(tot, "metric")
+        .crossJoin(F.broadcast(ii))
+        .filter(F.col("cum") >= F.expr(f"(i * n + {k - 1}) div {k}"))
+        .groupBy("metric", "i")
+        .agg(F.min("v").alias("b"))
+        .groupBy("metric")
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    asc = (
+        "CAST(1 + aggregate(bs, 0, (acc, b) ->"
+        " acc + CASE WHEN v > b THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    scored = (
+        long.join(F.broadcast(bounds), "metric")
+        .select(
+            "o_custkey",
+            "metric",
+            F.expr(
+                f"CASE WHEN metric = 'r' THEN {k + 1} - {asc}"
+                f" ELSE {asc} END"
+            ).alias("score"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", F.col("score"))).alias(
+                "r_score"
+            ),
+            F.max(F.when(F.col("metric") == "f", F.col("score"))).alias(
+                "f_score"
+            ),
+            F.max(F.when(F.col("metric") == "m", F.col("score"))).alias(
+                "m_score"
+            ),
+        )
+    )
+    return (
+        cust.join(scored, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("rfm_code"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def rfm_segments_oracle_sql(k: int = RFM_K) -> str:
+    """DuckDB replay: same long-form cumulative-histogram boundaries
+    (correlated 4-row count instead of the HOF fold), same recency
+    inversion, conditional-aggregation pivot back to wide."""
+    return f"""
+        WITH o AS MATERIALIZED (
+          SELECT o_custkey, o_orderdate,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        gmax AS (SELECT MAX(o_orderdate) AS gmax FROM o),
+        cust AS MATERIALIZED (
+          SELECT o_custkey,
+                 CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                CAST((SELECT gmax FROM gmax) AS DATE))
+                      AS BIGINT) AS recency_days,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(cents) AS BIGINT) AS monetary_cents
+          FROM o GROUP BY o_custkey),
+        long AS MATERIALIZED (
+          SELECT o_custkey, 'r' AS metric, recency_days AS v FROM cust
+          UNION ALL
+          SELECT o_custkey, 'f', frequency FROM cust
+          UNION ALL
+          SELECT o_custkey, 'm', monetary_cents FROM cust),
+        counts AS MATERIALIZED (
+          SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM long GROUP BY metric, v),
+        tot AS (SELECT metric, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY metric),
+        cum AS (
+          SELECT metric, v,
+                 CAST(SUM(c) OVER (PARTITION BY metric ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        bounds AS MATERIALIZED (
+          SELECT cum.metric, i.i, MIN(v) AS b
+          FROM cum
+          JOIN tot ON tot.metric = cum.metric
+          CROSS JOIN generate_series(1, {k - 1}) AS i(i)
+          WHERE cum >= (i.i * tot.n + {k - 1}) // {k}
+          GROUP BY cum.metric, i.i),
+        scored AS MATERIALIZED (
+          SELECT o_custkey, metric,
+                 CASE WHEN metric = 'r'
+                      THEN {k + 1} - (1 + (SELECT COUNT(*) FROM bounds b
+                                           WHERE b.metric = l.metric
+                                             AND b.b < l.v))
+                      ELSE 1 + (SELECT COUNT(*) FROM bounds b
+                                WHERE b.metric = l.metric
+                                  AND b.b < l.v)
+                 END AS score
+          FROM long l)
+        SELECT c.o_custkey, c.recency_days, c.frequency,
+               c.monetary_cents,
+               CAST(MAX(CASE WHEN s.metric = 'r' THEN s.score END)
+                    AS BIGINT) AS r_score,
+               CAST(MAX(CASE WHEN s.metric = 'f' THEN s.score END)
+                    AS BIGINT) AS f_score,
+               CAST(MAX(CASE WHEN s.metric = 'm' THEN s.score END)
+                    AS BIGINT) AS m_score,
+               CAST(MAX(CASE WHEN s.metric = 'r' THEN s.score END) * 100
+                    + MAX(CASE WHEN s.metric = 'f' THEN s.score END) * 10
+                    + MAX(CASE WHEN s.metric = 'm' THEN s.score END)
+                    AS BIGINT) AS rfm_code
+        FROM cust c JOIN scored s ON s.o_custkey = c.o_custkey
+        GROUP BY c.o_custkey, c.recency_days, c.frequency,
+                 c.monetary_cents
+        ORDER BY c.o_custkey
+        """

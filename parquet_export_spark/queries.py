@@ -777,6 +777,19 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # Fano factor (index of dispersion) of per-minute counts:
+        # calendar minute indexes, zeros enter via the SPAN (no spine
+        # materializes), exact int64 sufficient stats -> one IEEE
+        # divide.
+        "fano_burstiness": QuerySpec(
+            _rel(ST.fano_burstiness), ST.fano_burstiness_oracle_sql()
+        ),
+        # RFM segmentation: rank-based integer quintile boundaries
+        # (the decile recipe — never interpolated percentiles,
+        # pitfall 17), recency inverted so 5 = best, one orders scan.
+        "rfm_segments": QuerySpec(
+            _rel(ST.rfm_segments), ST.rfm_segments_oracle_sql()
+        ),
         # Benford first-digit screen: string-derived first significant
         # digit (the log10 path misclassifies exact powers of ten and
         # is libm-dependent), Python-precomputed expected ppm literals.
@@ -2256,20 +2269,11 @@ REGISTRY.update(
         ),
         "sessionize_batch": QuerySpec(
             _rel(A.sessionize_batch),
-            f"""
-            WITH flagged AS (
-                SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
-                                 OR date_diff('microsecond', LAG(ts) OVER w, ts)
-                                    > 1800000000
-                               THEN 1 ELSE 0 END AS new_session
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-            with_id AS (
-                SELECT *, CAST(SUM(new_session) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                    AS session_id
-                FROM flagged)
+            # session core from the SHARED fragment (one definition
+            # with session_entry_exit — mirrors _sessionized).
+            "WITH "
+            + A.SESSION_CTES_SQL.format(gap_us=30 * 60 * 1_000_000)
+            + f"""
             SELECT user_id, session_id,
                    MIN(ts) AS session_start,
                    MAX(ts) AS session_end,
@@ -2618,6 +2622,20 @@ REGISTRY.update(
         "weekly_revenue_wow": QuerySpec(
             _rel(A.weekly_revenue_wow), A.weekly_revenue_oracle_sql()
         ),
+        # Session entry/exit transition grid: the SHARED _sessionized
+        # core (one definition with sessionize_batch, Python and SQL),
+        # double row_number edge extraction, <= types² output.
+        "session_entry_exit": QuerySpec(
+            _rel(A.session_entry_exit),
+            A.session_entry_exit_oracle_sql(),
+        ),
+        # Linear multi-touch attribution: left band join on user_id,
+        # integer div/mod credit split with remainder-to-latest, exact
+        # conservation (credited + unattributed == purchase cents).
+        "multitouch_attribution": QuerySpec(
+            _rel(A.multitouch_attribution),
+            A.multitouch_attribution_oracle_sql(),
+        ),
         # Seasonal-naive decomposition: both aggregates time-bounded
         # after the first collapse; integer cents throughout
         # (non-negative, so div == //).
@@ -2936,6 +2954,15 @@ REGISTRY.update(
         "clustering_coeff_suppliers": QuerySpec(
             _rel(G.clustering_coeff_suppliers),
             G.clustering_coeff_suppliers_oracle_sql(),
+        ),
+        # Link prediction (common-neighbors / Jaccard / resource
+        # allocation): one shared-neighbor-keyed wedge join, anti-join
+        # off the checkpointed edge list, all-integer ppm scores (RA
+        # chosen over Adamic-Adar precisely to avoid libm ln);
+        # (ra, cn, s1, s2) is a total order so the LIMIT cut is exact.
+        "link_prediction_suppliers": QuerySpec(
+            _rel(G.link_prediction_suppliers),
+            G.link_prediction_oracle_sql(),
         ),
         # Iterative peeling to the k-core (k = ceil median original
         # degree) with a loud fixed-point guard; unrolled MATERIALIZED

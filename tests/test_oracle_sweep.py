@@ -50,6 +50,12 @@ ROUND_CHANGED = [
     "rake_keyphrases",
     "funnel_time_to_convert",
     "weekly_revenue_wow",
+    "sessionize_batch",  # session core factored into _sessionized
+    "session_entry_exit",
+    "multitouch_attribution",
+    "link_prediction_suppliers",
+    "fano_burstiness",
+    "rfm_segments",
 ]
 
 SF_DIRS = [

@@ -800,3 +800,92 @@ def test_nearest_event_one_user_shuffle(spark, sf_dir):
     assert P.count_shuffles(df) <= 2
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_fano_no_window_no_spine_two_exchanges(spark, sf_dir):
+    """Zeros enter through the SPAN, so no dense spine and no window
+    exist anywhere in the plan; one pruned fact scan feeds a
+    (type, minute) partial-aggregate chain — two exchanges, never a
+    single-partition stage."""
+    df = q("fano_burstiness", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "sequence(" not in plan  # no generated spine
+    [schema] = P.read_schemas(df)
+    assert schema == {"event_type", "ts"}
+    assert P.count_shuffles(df) <= 3  # (type,m) agg + type agg + sort
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_boundary_window_over_support_only(spark, sf_dir):
+    """The quintile boundaries derive from the VALUE-BOUNDED long
+    support (metric x distinct values): no Window block may carry
+    o_custkey (customers are never windowed), boundaries and the
+    1-row gmax reach assignment via broadcast, and the fold is the
+    in-codegen aggregate() HOF."""
+    df = q("rfm_segments", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks, "expected the cumulative boundary Window"
+    assert not any("o_custkey#" in b for b in win_blocks), win_blocks
+    assert "aggregate(bs#" in plan
+    assert P.count_broadcast_joins(df) >= 2  # gmax + index + bounds
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_entry_exit_shares_one_user_exchange(spark, sf_dir):
+    """All four windows (session core lag/sum + the two edge ranks)
+    run under ONE user_id exchange — hashpartitioning(user_id)
+    satisfies the (user, session) clustering — and the fact scan is
+    pruned to the four behavioral columns."""
+    df = q("session_entry_exit", spark, sf_dir)
+    plan = P.plan_string(df)
+    schemas = P.read_schemas(df)
+    assert all(
+        s <= {"user_id", "ts", "event_id", "event_type"} for s in schemas
+    )
+    # user exchange + grid aggregate + presentation sort
+    assert P.count_shuffles(df) <= 4
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multitouch_pruned_typed_scans_no_cartesian(spark, sf_dir):
+    """Both join sides are type-filtered AT THE SCAN (pushed
+    EqualTo on event_type) and pruned — the click side never reads
+    value; the band join is an equi-join on user_id (no cartesian,
+    no range-join explosion), and the credit windows ride the
+    purchase-id partitioning."""
+    df = q("multitouch_attribution", spark, sf_dir)
+    plan = P.plan_string(df)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "EqualTo(event_type,purchase)" in pushed
+    assert "EqualTo(event_type,click)" in pushed
+    schemas = P.read_schemas(df)
+    assert len(schemas) == 2
+    assert {"event_id", "user_id", "ts"} <= set.union(*schemas)
+    assert not all("value" in s for s in schemas)  # click side pruned
+    assert P.count_shuffles(df) <= 5
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_link_prediction_topk_prunes_before_driver(spark, sf_dir):
+    """The ranked shortlist is a TakeOrdered prune (never a global
+    sort of the candidate set), the wedge join is an equi-join on the
+    shared neighbor (no cartesian), and existing edges leave by a
+    LeftAnti join."""
+    df = q("link_prediction_suppliers", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "Exchange SinglePartition" not in plan

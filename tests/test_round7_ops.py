@@ -757,3 +757,250 @@ def test_weekly_revenue_matches_python(spark):
             assert abs(chg - (rev - prev) / prev) < 1e-9
         else:
             assert prev is None and chg is None
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 3: fano / rfm / session grid / attribution / link pred
+# ---------------------------------------------------------------------------
+
+
+def test_fano_matches_python(spark):
+    """Reference: per-minute counts from calendar components, dense
+    moments via span (zeros add nothing to S1/S2), population
+    var/mean in Python floats."""
+    from collections import Counter, defaultdict
+    from datetime import date
+
+    t = _small_tables(spark)
+    mc = defaultdict(Counter)
+    for r in _events_rows(spark):
+        m = (
+            (r.ts.date() - date(1970, 1, 1)).days * 1440
+            + r.ts.hour * 60
+            + r.ts.minute
+        )
+        mc[r.event_type][m] += 1
+    want = {}
+    for et, c in mc.items():
+        span = max(c) - min(c) + 1
+        s1 = sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        want[et] = (
+            span,
+            len(c),
+            s1,
+            round((span * s2 - s1 * s1) / (span * s1), 9),
+        )
+    got = {
+        r.event_type: (r.n_minutes, r.n_active_minutes, r.n_events, r.fano)
+        for r in ST.fano_burstiness(t).collect()
+    }
+    assert set(got) == set(want)
+    for et in want:
+        assert got[et][:3] == want[et][:3], et
+        assert abs(got[et][3] - want[et][3]) < 1e-9, et
+    # the synthetic arrival process is Poisson-like: F must sit near 1
+    # (a regression to per-SECOND or per-HOUR indexes would move it)
+    assert all(0.5 < v[3] < 2.0 for v in got.values())
+
+
+def _rfm_python(spark, k=5):
+    """Independent RFM: per-customer metrics + the rank-based
+    boundary rule b_i = min v with cum >= ceil(i*n/k)."""
+    from collections import Counter, defaultdict
+
+    rows = (
+        _small_tables(spark)["orders"]
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per = defaultdict(lambda: [None, 0, 0])
+    gmax = max(r.o_orderdate for r in rows)
+    for r in rows:
+        p = per[r.o_custkey]
+        d = r.o_orderdate
+        p[0] = d if p[0] is None or d > p[0] else p[0]
+        p[1] += 1
+        import math
+
+        p[2] += int(math.floor(float(r.o_totalprice) * 100 + 0.5))
+    cust = {
+        ck: (
+            (gmax.date() - v[0].date()).days,
+            v[1],
+            v[2],
+        )
+        for ck, v in per.items()
+    }
+    scores = {}
+    for mi in range(3):
+        vals = Counter(v[mi] for v in cust.values())
+        n = sum(vals.values())
+        support = sorted(vals)
+        cum, cums = 0, {}
+        for v in support:
+            cum += vals[v]
+            cums[v] = cum
+        bounds = []
+        for i in range(1, k):
+            target = -(-i * n // k)  # ceil
+            bounds.append(min(v for v in support if cums[v] >= target))
+        for ck, v in cust.items():
+            asc = 1 + sum(1 for b in bounds if v[mi] > b)
+            scores[(ck, mi)] = (k + 1 - asc) if mi == 0 else asc
+    return {
+        ck: (
+            v[0],
+            v[1],
+            v[2],
+            scores[(ck, 0)],
+            scores[(ck, 1)],
+            scores[(ck, 2)],
+            scores[(ck, 0)] * 100 + scores[(ck, 1)] * 10 + scores[(ck, 2)],
+        )
+        for ck, v in cust.items()
+    }
+
+
+def test_rfm_matches_python(spark):
+    t = _small_tables(spark)
+    want = _rfm_python(spark)
+    got = {
+        r.o_custkey: (
+            r.recency_days,
+            r.frequency,
+            r.monetary_cents,
+            r.r_score,
+            r.f_score,
+            r.m_score,
+            r.rfm_code,
+        )
+        for r in ST.rfm_segments(t).collect()
+    }
+    assert got == want and len(got) > 0
+    # sanity: every score in 1..5, and someone lands in each extreme
+    all_scores = [s for v in got.values() for s in v[3:6]]
+    assert min(all_scores) == 1 and max(all_scores) == 5
+
+
+def test_session_entry_exit_matches_python(spark):
+    """Reference: independent Python sessionization (30-min gap over
+    the (ts, event_id) order) + entry/exit grid."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    per_user = defaultdict(list)
+    for r in _events_rows(spark):
+        per_user[r.user_id].append(r)
+    grid = defaultdict(lambda: [0, 0])
+    for rows in per_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        sessions, cur = [], [rows[0]]
+        for prev, nxt in zip(rows, rows[1:]):
+            if nxt.ts - prev.ts > timedelta(minutes=30):
+                sessions.append(cur)
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            key = (s[0].event_type, s[-1].event_type)
+            grid[key][0] += 1
+            grid[key][1] += len(s)
+    t = _small_tables(spark)
+    got = {
+        (r.entry_type, r.exit_type): [r.n_sessions, r.total_events]
+        for r in A.session_entry_exit(t).collect()
+    }
+    assert got == dict(grid) and len(got) > 0
+    # conservation: total events across the grid == event count
+    assert sum(v[1] for v in got.values()) == len(_events_rows(spark))
+
+
+def test_multitouch_matches_python(spark):
+    """Reference: independent Python credit split (div/mod with the
+    remainder-to-latest rule) + the conservation invariant."""
+    import math
+    from collections import defaultdict
+    from datetime import timedelta
+
+    rows = _events_rows(spark)
+    clicks = defaultdict(list)
+    for r in rows:
+        if r.event_type == "click":
+            clicks[r.user_id].append(r)
+    for v in clicks.values():
+        v.sort(key=lambda r: (r.ts, r.event_id))
+    want = {}
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        u = r.user_id
+        cents = int(math.floor(float(r.value) * 100 + 0.5))
+        lo = r.ts - timedelta(days=7)
+        touched = [
+            c for c in clicks.get(u, []) if c.ts < r.ts and c.ts >= lo
+        ]
+        w = want.setdefault(u, [0, 0, 0, 0, 0])
+        w[0] += 1
+        if touched:
+            w[1] += 1
+            w[2] += len(touched)
+            w[3] += cents  # div+mod split sums back to cents exactly
+        else:
+            w[4] += cents
+    t = _small_tables(spark)
+    got = {
+        r.user_id: [
+            r.n_purchases,
+            r.n_attributed,
+            r.n_touch_pairs,
+            r.credited_cents,
+            r.unattributed_cents,
+        ]
+        for r in A.multitouch_attribution(t).collect()
+    }
+    assert got == want and len(got) > 0
+    # at least one user must exercise each branch for the test to bite
+    assert any(v[4] > 0 for v in got.values())
+    assert any(v[3] > 0 for v in got.values())
+
+
+def test_link_prediction_matches_python_on_synthetic(spark):
+    """Independent differential of the scoring core on a hand-built
+    graph (the projection itself is verified by the triangle /
+    clustering oracles): square 1-2-3-4 plus pendant 5 on 1.
+    Non-adjacent pairs: (1,3) cn=2 via {2,4}; (2,4) cn=2 via {1,3};
+    (2,5),(4,5) cn=1 via 1; (3,5) cn=0 -> absent."""
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 5)]
+    strong = spark.createDataFrame(edges, "s1 long, s2 long")
+    got = {
+        (r.s1, r.s2): (r.cn, r.deg1, r.deg2, r.jaccard_ppm, r.ra_ppm)
+        for r in G.link_prediction_suppliers({}, strong=strong).collect()
+    }
+    # deg: 1->3, 2->2, 3->2, 4->2, 5->1
+    want = {
+        (1, 3): (2, 3, 2, 2 * 10**6 // 3, 10**6 // 2 + 10**6 // 2),
+        (2, 4): (2, 2, 2, 10**6, 10**6 // 3 + 10**6 // 2),
+        (2, 5): (1, 2, 1, 10**6 // 2, 10**6 // 3),
+        (4, 5): (1, 2, 1, 10**6 // 2, 10**6 // 3),
+    }
+    assert got == want
+    # ranking: the two cn=2 pairs lead, (1,3) RA=1.0e6 > (2,4) RA~0.83e6
+    ordered = [
+        (r.s1, r.s2)
+        for r in G.link_prediction_suppliers({}, strong=strong).collect()
+    ]
+    assert ordered[0] == (1, 3) and ordered[1] == (2, 4)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """No predicted pair may already be an edge — the anti-join is the
+    operator's defining filter."""
+    t = _small_tables(spark)
+    strong = G._supplier_strong_pairs(t)
+    edges = {(r.s1, r.s2) for r in strong.collect()}
+    pred = G.link_prediction_suppliers(t).collect()
+    assert len(pred) > 0
+    for r in pred:
+        assert (r.s1, r.s2) not in edges

@@ -47,6 +47,10 @@ TZ_SENSITIVE = [
     "nearest_event_join",
     "funnel_time_to_convert",
     "weekly_revenue_wow",
+    "session_entry_exit",
+    "multitouch_attribution",
+    "fano_burstiness",
+    "rfm_segments",
 ]
 
 

@@ -1448,9 +1448,12 @@ def link_prediction_suppliers(
     sym = strong.select(
         F.col("s1").alias("u"), F.col("s2").alias("z")
     ).unionByName(strong.select(F.col("s2").alias("u"), F.col("s1").alias("z")))
+    # the node-sized degree table feeds three joins (dz, d1, d2) —
+    # checkpoint it once so the symmetrize+aggregate runs once, not
+    # three times (same rule as the projection's own checkpoint).
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint()
     dz = deg.select(F.col("node").alias("z"), F.col("deg").alias("deg_z"))
     a = sym.select(F.col("u").alias("s1"), "z")
     b = sym.select(F.col("u").alias("s2"), "z")

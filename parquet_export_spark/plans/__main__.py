@@ -112,6 +112,14 @@ SHOWCASE = [
     "autocorr_hourly_counts",
     "nearest_event_join",
     "user_path_topk",
+    # round-7 batch 3: neighbor-keyed wedge join + anti-join +
+    # TakeOrdered link scoring, one-scan RFM with boundary window
+    # over the metric support, typed-pruned-band attribution join,
+    # windowless/spineless dispersion aggregate
+    "link_prediction_suppliers",
+    "rfm_segments",
+    "multitouch_attribution",
+    "fano_burstiness",
 ]
 
 HEADER = """\

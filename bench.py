@@ -185,6 +185,9 @@ HEADLINE = [
     "link_prediction_suppliers",
     "fano_burstiness",
     "rfm_segments",
+    "apdex_by_type",
+    "ngram_novelty_scores",
+    "holt_linear_forecast",
 ]
 
 

@@ -2499,3 +2499,141 @@ def multitouch_attribution_oracle_sql(
         GROUP BY user_id
         ORDER BY user_id
         """
+
+
+#: Holt forecast horizon (days past the last observed day).
+HOLT_HORIZON_DAYS = 7
+
+
+def holt_linear_forecast(t: dict[str, DataFrame]) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the DENSE
+    daily revenue series per event type, with a ``HOLT_HORIZON_DAYS``
+    forecast — level + trend where ``ewma_halflife_values`` stops at
+    level, i.e. the first forecasting operator that extrapolates.
+
+    Exact cross-engine recurrence WITHOUT floats: alpha = beta = 1/2,
+    so each step is
+        l_k = (y_k + l_{k-1} + b_{k-1}) >> 1
+        b_k = (l_k - l_{k-1} + b_{k-1}) >> 1
+    and ``>>`` is ARITHMETIC shift in both engines — floor division
+    by 2 even on negative trend values (verified: -5 >> 1 == -3 both
+    sides; plain ``div``/``//`` would diverge on negatives, pitfall
+    12 — the shift IS the portable floor). Missing days enter as true
+    zero-revenue observations via a per-type ``sequence`` spine (the
+    gapfill rule): dropping them would splice non-adjacent days and
+    fabricate trend.
+
+    Plan: one fact collapse to (type, day), a span-bounded dense
+    spine, then ONE per-type array fold — the recurrence runs inside
+    ``aggregate`` (whole-stage codegen) over a series whose length is
+    the TIME SPAN in days, never event volume; the oracle replays it
+    as a recursive CTE stepping the same integers.
+
+    Output: (event_type, n_days, level_cents, trend_cents,
+    forecast_cents) where forecast = level + horizon * trend.
+    """
+    e = t["events"]
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    dense = (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+        )
+    )
+    l2 = "shiftright(x.cents + acc.l + acc.b, 1)"
+    fold = (
+        "aggregate(xs,"
+        " named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),"
+        "              'k', CAST(0 AS BIGINT)),"
+        " (acc, x) -> IF(acc.k = 0,"
+        "   named_struct('l', x.cents, 'b', CAST(0 AS BIGINT),"
+        "                'k', CAST(1 AS BIGINT)),"
+        f"  named_struct('l', {l2},"
+        f"               'b', shiftright({l2} - acc.l + acc.b, 1),"
+        "                'k', acc.k + 1)))"
+    )
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(d, cents)))"
+            ).alias("xs")
+        )
+        .select("event_type", F.expr(fold).alias("st"))
+        .select(
+            "event_type",
+            F.col("st.k").alias("n_days"),
+            F.col("st.l").alias("level_cents"),
+            F.col("st.b").alias("trend_cents"),
+            (
+                F.col("st.l") + F.lit(HOLT_HORIZON_DAYS) * F.col("st.b")
+            ).alias("forecast_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def holt_linear_oracle_sql(horizon: int = HOLT_HORIZON_DAYS) -> str:
+    """DuckDB replay: same dense daily series, the recurrence stepped
+    by a recursive CTE over the SAME arithmetic-shift integers."""
+    return f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        span AS (
+          SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+          FROM daily GROUP BY event_type),
+        spine AS (
+          SELECT event_type,
+                 CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                             CAST(hi AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE)
+                     AS d
+          FROM span),
+        series AS MATERIALIZED (
+          SELECT sp.event_type,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY sp.event_type
+                                         ORDER BY sp.d)
+                      AS BIGINT) AS step,
+                 CAST(COALESCE(da.cents, 0) AS BIGINT) AS y
+          FROM spine sp
+          LEFT JOIN daily da ON da.event_type = sp.event_type
+                            AND da.d = sp.d),
+        r AS (
+          SELECT event_type, step, y AS l, CAST(0 AS BIGINT) AS b
+          FROM series WHERE step = 1
+          UNION ALL
+          SELECT s.event_type, s.step,
+                 (s.y + r.l + r.b) >> 1,
+                 (((s.y + r.l + r.b) >> 1) - r.l + r.b) >> 1
+          FROM r JOIN series s ON s.event_type = r.event_type
+                              AND s.step = r.step + 1),
+        last AS (
+          SELECT event_type, MAX(step) AS n_days
+          FROM r GROUP BY event_type)
+        SELECT r.event_type,
+               CAST(l.n_days AS BIGINT) AS n_days,
+               r.l AS level_cents,
+               r.b AS trend_cents,
+               r.l + {horizon} * r.b AS forecast_cents
+        FROM r JOIN last l ON l.event_type = r.event_type
+                          AND l.n_days = r.step
+        ORDER BY r.event_type
+        """

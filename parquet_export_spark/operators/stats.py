@@ -2266,3 +2266,95 @@ def rfm_segments_oracle_sql(k: int = RFM_K) -> str:
                  c.monetary_cents
         ORDER BY c.o_custkey
         """
+
+
+#: Apdex target threshold, in cents of the value column: satisfied
+#: at or below T, tolerating at or below 4T (the standard ratio).
+APDEX_T_CENTS = 10_000
+
+
+def apdex_by_type(
+    t: dict[str, DataFrame], t_cents: int = APDEX_T_CENTS
+) -> DataFrame:
+    """Apdex score per event type — the SRE satisfaction index over
+    the value column read as a latency-like measure: satisfied
+    (value <= T), tolerating (T < value <= 4T), frustrated (beyond),
+    apdex = (satisfied + tolerating/2) / n. The one-number SLA
+    companion to value_outliers (which flags points) and
+    fano_burstiness (which flags arrival shape).
+
+    Exact integer form: apdex_ppm = (2*n_sat + n_tol) * 1_000_000
+    div (2*n) — the /2 folded into the numerator so nothing leaves
+    int64 until the single division (non-negative throughout, Spark
+    div == DuckDB //). Values quantize to cents first (the shared
+    rounding rule), so the threshold compare is integer-exact.
+
+    Plan: one pruned scan, one map-side conditional aggregate, types
+    rows out. Nothing else.
+
+    Output: (event_type, n_events, n_satisfied, n_tolerating,
+    n_frustrated, apdex_ppm).
+    """
+    e = t["events"].select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("cents") <= t_cents, 1).otherwise(0))
+            .cast("long")
+            .alias("n_satisfied"),
+            F.sum(
+                F.when(
+                    (F.col("cents") > t_cents)
+                    & (F.col("cents") <= 4 * t_cents),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tolerating"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_satisfied",
+            "n_tolerating",
+            (
+                F.col("n_events")
+                - F.col("n_satisfied")
+                - F.col("n_tolerating")
+            ).alias("n_frustrated"),
+            F.expr(
+                "(2 * n_satisfied + n_tolerating) * 1000000"
+                " div (2 * n_events)"
+            ).alias("apdex_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def apdex_by_type_oracle_sql(t_cents: int = APDEX_T_CENTS) -> str:
+    return f"""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        s AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN cents <= {t_cents}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_satisfied,
+                 CAST(SUM(CASE WHEN cents > {t_cents}
+                                AND cents <= {4 * t_cents}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tolerating
+          FROM e GROUP BY event_type)
+        SELECT event_type, n_events, n_satisfied, n_tolerating,
+               n_events - n_satisfied - n_tolerating AS n_frustrated,
+               (2 * n_satisfied + n_tolerating) * 1000000
+                   // (2 * n_events) AS apdex_ppm
+        FROM s ORDER BY event_type
+        """

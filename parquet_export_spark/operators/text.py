@@ -1255,3 +1255,101 @@ def rake_oracle_sql(k: int = RAKE_TOPK) -> str:
         ORDER BY score_ppm DESC, phrase
         LIMIT {k}
         """
+
+
+#: novelty n-gram width — long enough that cross-document collisions
+#: mean real shared phrasing, short enough that ordinary documents
+#: carry many grams.
+NOVELTY_NGRAM = 8
+
+
+def ngram_novelty_scores(
+    t: dict[str, DataFrame], n: int = NOVELTY_NGRAM
+) -> DataFrame:
+    """Corpus-novelty scoring: for each document, the fraction of its
+    distinct word ``n``-grams that appear in NO earlier document
+    (earlier = smaller doc_id — the corpus's stable ingest order).
+    The curation signal dedup thresholds can't give: a document can
+    clear every near-dup gate yet contribute almost nothing new;
+    mixture builders weight by exactly this marginal-novelty measure
+    (and boilerplate floods show up as novelty collapsing toward 0
+    across a batch).
+
+    First-occurrence attribution is ONE gram -> min(doc_id) aggregate
+    (the dedup_incremental digest shape) joined back to the per-doc
+    distinct gram set — gram strings shuffle once for the aggregate
+    and once for the join, both keyed by gram; no document ever
+    compares against another document directly, so there is no pair
+    term anywhere. novelty_ppm = n_novel * 1e6 div n_grams on
+    non-negative int64. Documents shorter than ``n`` words carry no
+    gram and are excluded (novelty of an empty set is undefined, not
+    0 or 1).
+
+    Output: (doc_id, n_grams, n_novel, novelty_ppm).
+    """
+    docs = t["documents"]
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {n - 1}),"
+                    f" i -> array_join(slice(ws, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_oracle_sql(n: int = NOVELTY_NGRAM) -> str:
+    """DuckDB replay: the dup_spans gram construction (1-based
+    inclusive slices), the same min-doc_id attribution and ppm
+    division."""
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {n}),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(w[i:i+{n - 1}], ' ') AS gram
+          FROM ws,
+               LATERAL UNNEST(generate_series(1, len(w) - {n - 1}))
+                   AS s(i)),
+        first AS (
+          SELECT gram, MIN(doc_id) AS first_doc
+          FROM grams GROUP BY gram)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   * 1000000 // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM grams g JOIN first f ON f.gram = g.gram
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+        """

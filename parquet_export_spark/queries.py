@@ -777,6 +777,12 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # Apdex satisfaction index per type: one pruned scan, one
+        # conditional aggregate, the /2 folded into the numerator so
+        # everything is int64 until a single non-negative division.
+        "apdex_by_type": QuerySpec(
+            _rel(ST.apdex_by_type), ST.apdex_by_type_oracle_sql()
+        ),
         # Fano factor (index of dispersion) of per-minute counts:
         # calendar minute indexes, zeros enter via the SPAN (no spine
         # materializes), exact int64 sufficient stats -> one IEEE
@@ -1351,6 +1357,12 @@ REGISTRY.update(
         # TakeOrdered-pruned top-K.
         "rake_keyphrases": QuerySpec(
             _rel(X.rake_keyphrases), X.rake_oracle_sql()
+        ),
+        # Corpus-novelty scoring: gram -> min(doc_id) attribution (the
+        # dedup_incremental digest shape) — no document-pair term
+        # anywhere; ppm on non-negative int64.
+        "ngram_novelty_scores": QuerySpec(
+            _rel(X.ngram_novelty_scores), X.ngram_novelty_oracle_sql()
         ),
         "collocations_pmi": QuerySpec(
             _rel(X.collocations_pmi),
@@ -2635,6 +2647,13 @@ REGISTRY.update(
         "multitouch_attribution": QuerySpec(
             _rel(A.multitouch_attribution),
             A.multitouch_attribution_oracle_sql(),
+        ),
+        # Holt double-exponential smoothing + forecast: alpha=beta=1/2
+        # so every step is an arithmetic shift (portable floor-by-2
+        # even on negative trend — div/// diverge there, pitfall 12);
+        # one span-bounded array fold, recursive-CTE oracle.
+        "holt_linear_forecast": QuerySpec(
+            _rel(A.holt_linear_forecast), A.holt_linear_oracle_sql()
         ),
         # Seasonal-naive decomposition: both aggregates time-bounded
         # after the first collapse; integer cents throughout

@@ -56,6 +56,9 @@ ROUND_CHANGED = [
     "link_prediction_suppliers",
     "fano_burstiness",
     "rfm_segments",
+    "apdex_by_type",
+    "ngram_novelty_scores",
+    "holt_linear_forecast",
 ]
 
 SF_DIRS = [

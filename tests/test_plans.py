@@ -889,3 +889,47 @@ def test_link_prediction_topk_prunes_before_driver(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_apdex_one_scan_one_aggregate(spark, sf_dir):
+    """One pruned scan, one conditional aggregate — no window, no
+    joins, types rows out."""
+    df = q("apdex_by_type", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    [schema] = P.read_schemas(df)
+    assert schema == {"event_type", "value"}
+    assert P.count_shuffles(df) <= 2  # type agg + presentation sort
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_no_pair_term(spark, sf_dir):
+    """First-occurrence attribution is gram-keyed aggregate + join —
+    documents never join documents, so no cartesian and no doc-pair
+    exchange; both scans pruned to (doc_id, text)."""
+    df = q("ngram_novelty_scores", spark, sf_dir)
+    plan = P.plan_string(df)
+    schemas = P.read_schemas(df)
+    assert all(s == {"doc_id", "text"} for s in schemas)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert P.count_shuffles(df) <= 6
+
+
+def test_holt_fold_inside_projection_no_fact_window(spark, sf_dir):
+    """The recurrence is ONE aggregate() HOF fold over the per-type
+    span-bounded array — no fact-side window, the spine generated by
+    sequence(), and the only windowless exchanges are the daily
+    collapse and the per-type collect."""
+    df = q("holt_linear_forecast", spark, sf_dir)
+    plan = P.plan_string(df)
+    # the fold collapses onto the collect_list aggregate result
+    assert "aggregate(sort_array(collect_list" in plan
+    assert "shiftright" in plan
+    assert "sequence(" in plan
+    assert "Window" not in plan
+    schemas = P.read_schemas(df)
+    assert all(s <= {"event_type", "ts", "value"} for s in schemas)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -1004,3 +1004,154 @@ def test_link_prediction_excludes_existing_edges(spark):
     assert len(pred) > 0
     for r in pred:
         assert (r.s1, r.s2) not in edges
+
+
+def test_apdex_matches_python(spark):
+    from collections import defaultdict
+    import math
+
+    T = ST.APDEX_T_CENTS
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in _events_rows(spark):
+        c = int(math.floor(float(r.value) * 100 + 0.5))
+        a = agg[r.event_type]
+        a[0] += 1
+        if c <= T:
+            a[1] += 1
+        elif c <= 4 * T:
+            a[2] += 1
+    want = {
+        et: (
+            n,
+            sat,
+            tol,
+            n - sat - tol,
+            (2 * sat + tol) * 1_000_000 // (2 * n),
+        )
+        for et, (n, sat, tol) in agg.items()
+    }
+    got = {
+        r.event_type: (
+            r.n_events,
+            r.n_satisfied,
+            r.n_tolerating,
+            r.n_frustrated,
+            r.apdex_ppm,
+        )
+        for r in ST.apdex_by_type(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0
+    # thresholds must actually split the data or the test is vacuous
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_ngram_novelty_matches_python(spark):
+    """Reference: Python 8-gram sets with min-doc_id first-occurrence
+    attribution."""
+    from collections import defaultdict
+
+    n = 8
+    docs = (
+        _small_tables(spark)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    )
+    gsets = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) < n:
+            continue
+        gsets[r.doc_id] = {
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        }
+    first = {}
+    for did in sorted(gsets):
+        for g in gsets[did]:
+            first.setdefault(g, did)
+    want = {
+        did: (
+            len(gs),
+            sum(1 for g in gs if first[g] == did),
+            sum(1 for g in gs if first[g] == did) * 1_000_000 // len(gs),
+        )
+        for did, gs in gsets.items()
+    }
+    from parquet_export_spark.operators import text as X
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_ppm)
+        for r in X.ngram_novelty_scores(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0
+    # the corpus's injected duplicates must register as non-novel
+    assert any(v[2] < 1_000_000 for v in got.values())
+    assert any(v[2] == 0 for v in got.values())
+
+
+def _holt_python(series):
+    l = b = None
+    for y in series:
+        if l is None:
+            l, b = y, 0
+        else:
+            l2 = (y + l + b) >> 1
+            b = (l2 - l + b) >> 1
+            l = l2
+    return l, b
+
+
+def test_holt_matches_python(spark):
+    """Reference: the same integer shift recurrence over the dense
+    (zero-filled) daily cents series, in Python ints (arbitrary
+    precision — an overflow in the engine would diverge here)."""
+    import math
+    from collections import defaultdict
+    from datetime import timedelta
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in _events_rows(spark):
+        daily[r.event_type][r.ts.date()] += int(
+            math.floor(float(r.value) * 100 + 0.5)
+        )
+    want = {}
+    for et, dd in daily.items():
+        lo, hi = min(dd), max(dd)
+        series = []
+        d = lo
+        while d <= hi:
+            series.append(dd.get(d, 0))
+            d += timedelta(days=1)
+        l, b = _holt_python(series)
+        want[et] = (len(series), l, b, l + A.HOLT_HORIZON_DAYS * b)
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.level_cents,
+            r.trend_cents,
+            r.forecast_cents,
+        )
+        for r in A.holt_linear_forecast(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_holt_constant_series_has_zero_trend(spark):
+    """Property: a constant series must converge to trend ~0 and
+    level ~ the constant (the shift truncation can leave it within
+    a few cents) — a recurrence-order bug moves both."""
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i, 12, 0, 0), 1, "steady", 100.0)
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double"
+    )
+    out = A.holt_linear_forecast({"events": ev}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 20
+    assert abs(r.trend_cents) <= 2
+    assert abs(r.level_cents - 10000) <= 4

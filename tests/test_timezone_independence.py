@@ -51,6 +51,7 @@ TZ_SENSITIVE = [
     "multitouch_attribution",
     "fano_burstiness",
     "rfm_segments",
+    "holt_linear_forecast",
 ]
 
 

@@ -1286,3 +1286,144 @@ def read_hll_estimates(spark, artifact_dir: str):
         .parquet(artifact_dir.rstrip("/") + "/hll")
         .select("batch_id", "event_type", "approx_users")
     )
+
+
+def apdex_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+    t_cents: int | None = None,
+):
+    """Continuous Apdex monitoring — the streaming twin of the batch
+    ``apdex_by_type``: the cumulative satisfaction index per type
+    after every micro-batch, for the SLA dashboard that can't wait
+    for the nightly batch pass.
+
+    State is the IDEAL streaming carry: three additive int64 counters
+    per type (n, n_satisfied, n_tolerating) — bounded by type
+    cardinality, order-independent, and EXACT, so unlike the sketch
+    monitors the twin-parity test is equality, not an error bound.
+    Each micro-batch aggregates its own rows, adds them onto the
+    carry (full-outer type alignment via union + re-sum), and emits
+    cumulative apdex_ppm with the SAME folded-numerator integer form
+    as the batch operator — one definition of the score arithmetic
+    (the constant and the ppm expression import from
+    ``operators.stats``), so twin drift is impossible.
+
+    Replay idempotence + compaction: the shared carry recipe — carry
+    N is a deterministic function of carry N-1 plus batch N's rows; a
+    replayed batch re-reads the highest carry below its id and
+    overwrites byte-identically; the two most recent carries survive.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.stats import APDEX_T_CENTS
+
+    if t_cents is None:
+        t_cents = APDEX_T_CENTS
+    out_base = artifact_dir.rstrip("/") + "/apdex"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+        partial = (
+            batch_df.select("event_type", cents.alias("cents"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.when(F.col("cents") <= t_cents, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_satisfied"),
+                F.sum(
+                    F.when(
+                        (F.col("cents") > t_cents)
+                        & (F.col("cents") <= 4 * t_cents),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_tolerating"),
+            )
+        )
+        carry = _carry(spark, batch_id)
+        if carry is not None:
+            partial = (
+                partial.unionByName(carry)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("n_satisfied")
+                    .cast("long")
+                    .alias("n_satisfied"),
+                    F.sum("n_tolerating")
+                    .cast("long")
+                    .alias("n_tolerating"),
+                )
+            )
+        merged = partial.localCheckpoint()
+        merged.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        (
+            merged.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                "n_events",
+                "n_satisfied",
+                "n_tolerating",
+                F.expr(
+                    "(2 * n_satisfied + n_tolerating) * 1000000"
+                    " div (2 * n_events)"
+                ).alias("apdex_ppm"),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_apdex_scores(spark, artifact_dir: str):
+    """Per-batch cumulative Apdex scores emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/apdex")
+        .select(
+            "batch_id",
+            "event_type",
+            "n_events",
+            "n_satisfied",
+            "n_tolerating",
+            "apdex_ppm",
+        )
+    )

@@ -1022,3 +1022,91 @@ def test_hll_stream_two_batches_merge_consistent(spark, tmp_path):
         (r.batch_id, r.event_type): r.approx_users
         for r in I.read_hll_estimates(spark, art).collect()
     } == got
+
+
+def test_apdex_stream_two_batches_exact_twin_parity(spark, tmp_path):
+    """Streaming Apdex: after each micro-batch the cumulative per-type
+    score must EQUAL the batch apdex_by_type over the concatenated
+    prefix EXACTLY (the counters are additive int64 — no error bound),
+    and a same-checkpoint replay must change nothing."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators.stats import apdex_by_type
+
+    land = str(tmp_path / "landing")
+    art = str(tmp_path / "aart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(ids, vals, typ):
+        return [
+            (i, t0 + timedelta(minutes=i), 1, typ, v, "{}")
+            for i, v in zip(ids, vals)
+        ]
+
+    # batch 1: clicks spanning all three buckets; batch 2 shifts the
+    # mix and adds a type unseen in batch 1
+    b1 = rows(range(30), [50.0] * 20 + [250.0] * 8 + [900.0] * 2, "click")
+    b2 = rows(range(30, 60), [50.0] * 5 + [250.0] * 20 + [900.0] * 5,
+              "click")
+    b2 += rows(range(60, 70), [10.0] * 10, "view")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.apdex_stream(stream, art, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = {
+        (r.batch_id, r.event_type): (
+            r.n_events,
+            r.n_satisfied,
+            r.n_tolerating,
+            r.apdex_ppm,
+        )
+        for r in I.read_apdex_scores(spark, art).collect()
+    }
+
+    def batch_twin(rs):
+        return {
+            r.event_type: (
+                r.n_events,
+                r.n_satisfied,
+                r.n_tolerating,
+                r.apdex_ppm,
+            )
+            for r in apdex_by_type(
+                {"events": spark.createDataFrame(rs, schema)}
+            ).collect()
+        }
+
+    assert got[(0, "click")] == batch_twin(b1)["click"]
+    full = batch_twin(b1 + b2)
+    assert got[(1, "click")] == full["click"]
+    assert got[(1, "view")] == full["view"]
+    # the fixture must exercise all three buckets or the parity is weak
+    assert got[(1, "click")][2] > 0 and got[(1, "click")][1] > 0
+    assert got[(1, "click")][0] > got[(1, "click")][1] + got[(1, "click")][2]
+    # same-checkpoint replay: artifact unchanged
+    run_once()
+    assert got == {
+        (r.batch_id, r.event_type): (
+            r.n_events,
+            r.n_satisfied,
+            r.n_tolerating,
+            r.apdex_ppm,
+        )
+        for r in I.read_apdex_scores(spark, art).collect()
+    }

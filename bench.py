@@ -188,6 +188,7 @@ HEADLINE = [
     "apdex_by_type",
     "ngram_novelty_scores",
     "holt_linear_forecast",
+    "novelty_incremental",
 ]
 
 

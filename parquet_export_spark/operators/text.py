@@ -1353,3 +1353,136 @@ def ngram_novelty_oracle_sql(n: int = NOVELTY_NGRAM) -> str:
         GROUP BY g.doc_id
         ORDER BY g.doc_id
         """
+
+
+#: deterministic batch carve for the incremental novelty gate — the
+#: dedup_incremental convention (doc_id % mod == 0 is "today").
+NOVELTY_BATCH_MOD = 5
+
+
+def novelty_incremental(
+    t: dict[str, DataFrame],
+    n: int = NOVELTY_NGRAM,
+    batch_mod: int = NOVELTY_BATCH_MOD,
+) -> DataFrame:
+    """Incremental novelty gate: score a NEW document batch's marginal
+    novelty against the EXISTING lake — the nightly production shape
+    of :func:`ngram_novelty_scores` (score today's crawl against
+    100 TB of history without re-scoring history), and the ingest
+    gate a mixture builder actually runs: a batch whose novelty
+    collapses is a boilerplate flood or a re-crawl, caught BEFORE it
+    enters the lake.
+
+    The batch is carved deterministically (doc_id % batch_mod == 0,
+    the dedup_incremental convention) so the oracle replays the
+    split. A batch gram is novel when it appears in NO lake document
+    AND this doc is its first holder within the batch (min doc_id —
+    batch-internal floods are caught too, the same two-sided rule as
+    dedup_incremental).
+
+    Scale shape: the lake side reduces to DISTINCT md5(gram) digests
+    — a 16-byte-key aggregate that is exactly the slim artifact a
+    production lake would persist at ingest (the lake_minhash_artifact
+    contract applied to grams); historical text is never re-read once
+    that table exists, and the LEFT join from the (small) batch side
+    is digest-keyed. No document-pair term anywhere.
+
+    Output per new doc: (doc_id, n_grams, n_lake_hits, n_novel,
+    novelty_ppm).
+    """
+    docs = t["documents"]
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {n - 1}),"
+                    f" i -> array_join(slice(ws, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    batch = grams.filter(F.col("doc_id") % batch_mod == 0)
+    lake = (
+        grams.filter(F.col("doc_id") % batch_mod != 0)
+        .select("g")
+        .distinct()
+        .withColumn("in_lake", F.lit(1))
+    )
+    batch_first = batch.groupBy("g").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        batch.join(lake, "g", "left")
+        .join(batch_first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("in_lake", F.lit(0)))
+            .cast("long")
+            .alias("n_lake_hits"),
+            F.sum(
+                F.when(
+                    F.col("in_lake").isNull()
+                    & (F.col("first_doc") == F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_lake_hits",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def novelty_incremental_oracle_sql(
+    n: int = NOVELTY_NGRAM, batch_mod: int = NOVELTY_BATCH_MOD
+) -> str:
+    """DuckDB replay: same carve, same md5 gram digests (md5 is
+    byte-identical cross-engine), same two-sided novelty rule."""
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {n}),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g
+          FROM ws,
+               LATERAL UNNEST(generate_series(1, len(w) - {n - 1}))
+                   AS s(i)),
+        batch AS (
+          SELECT * FROM grams WHERE doc_id % {batch_mod} = 0),
+        lake AS (
+          SELECT DISTINCT g FROM grams
+          WHERE doc_id % {batch_mod} != 0),
+        bf AS (
+          SELECT g, MIN(doc_id) AS first_doc FROM batch GROUP BY g)
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN l.g IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lake_hits,
+               CAST(SUM(CASE WHEN l.g IS NULL
+                              AND bf.first_doc = b.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN l.g IS NULL
+                              AND bf.first_doc = b.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   * 1000000 // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM batch b
+        LEFT JOIN lake l ON l.g = b.g
+        JOIN bf ON bf.g = b.g
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+        """

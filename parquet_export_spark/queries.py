@@ -1364,6 +1364,13 @@ REGISTRY.update(
         "ngram_novelty_scores": QuerySpec(
             _rel(X.ngram_novelty_scores), X.ngram_novelty_oracle_sql()
         ),
+        # Incremental novelty gate: lake reduces to distinct md5(gram)
+        # digests (the slim persisted-artifact shape) before a batch-
+        # side LEFT join; two-sided rule catches batch-internal floods.
+        "novelty_incremental": QuerySpec(
+            _rel(X.novelty_incremental),
+            X.novelty_incremental_oracle_sql(),
+        ),
         "collocations_pmi": QuerySpec(
             _rel(X.collocations_pmi),
             f"""

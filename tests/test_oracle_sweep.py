@@ -59,6 +59,7 @@ ROUND_CHANGED = [
     "apdex_by_type",
     "ngram_novelty_scores",
     "holt_linear_forecast",
+    "novelty_incremental",
 ]
 
 SF_DIRS = [

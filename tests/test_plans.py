@@ -933,3 +933,16 @@ def test_holt_fold_inside_projection_no_fact_window(spark, sf_dir):
     assert all(s <= {"event_type", "ts", "value"} for s in schemas)
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_novelty_incremental_digest_join_no_pair_term(spark, sf_dir):
+    """The lake side collapses to distinct gram digests before the
+    batch-side LEFT join — documents never join documents; scans
+    pruned to (doc_id, text)."""
+    df = q("novelty_incremental", spark, sf_dir)
+    plan = P.plan_string(df)
+    schemas = P.read_schemas(df)
+    assert all(s == {"doc_id", "text"} for s in schemas)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert P.count_shuffles(df) <= 7

@@ -1155,3 +1155,57 @@ def test_holt_constant_series_has_zero_trend(spark):
     assert r.n_days == 20
     assert abs(r.trend_cents) <= 2
     assert abs(r.level_cents - 10000) <= 4
+
+
+def test_novelty_incremental_matches_python(spark):
+    """Reference: Python replay of the two-sided rule — a batch gram
+    is novel iff absent from every lake doc AND this doc is its first
+    batch holder."""
+    from collections import defaultdict
+    from parquet_export_spark.operators import text as X
+
+    n, mod = X.NOVELTY_NGRAM, X.NOVELTY_BATCH_MOD
+    docs = (
+        _small_tables(spark)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    )
+    gsets = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) >= n:
+            gsets[r.doc_id] = {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+    lake = set()
+    for did, gs in gsets.items():
+        if did % mod != 0:
+            lake |= gs
+    first = {}
+    for did in sorted(gsets):
+        if did % mod != 0:
+            continue
+        for g in gsets[did]:
+            first.setdefault(g, did)
+    want = {}
+    for did, gs in gsets.items():
+        if did % mod != 0:
+            continue
+        hits = sum(1 for g in gs if g in lake)
+        novel = sum(
+            1 for g in gs if g not in lake and first[g] == did
+        )
+        want[did] = (
+            len(gs),
+            hits,
+            novel,
+            novel * 1_000_000 // len(gs),
+        )
+    got = {
+        r.doc_id: (r.n_grams, r.n_lake_hits, r.n_novel, r.novelty_ppm)
+        for r in X.novelty_incremental(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0
+    # the gate must see real lake collisions in this corpus
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())

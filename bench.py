@@ -189,6 +189,8 @@ HEADLINE = [
     "ngram_novelty_scores",
     "holt_linear_forecast",
     "novelty_incremental",
+    "degree_distribution_suppliers",
+    "feature_hash_vectors",
 ]
 
 

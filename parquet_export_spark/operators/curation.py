@@ -661,3 +661,93 @@ def balance_classes(t: dict[str, DataFrame]) -> DataFrame:
         .select("vec_id", "label", "pick_order")
         .orderBy("label", "pick_order")
     )
+
+
+#: hashing-trick dimensionality and per-document top-k kept.
+FEATURE_HASH_BUCKETS = 256
+FEATURE_HASH_TOPK = 8
+
+
+def feature_hash_vectors(
+    t: dict[str, DataFrame],
+    n_buckets: int = FEATURE_HASH_BUCKETS,
+    topk: int = FEATURE_HASH_TOPK,
+) -> DataFrame:
+    """The hashing trick (feature hashing) over document tokens: each
+    token maps to bucket md5(token)[:8 hex] mod ``n_buckets`` — the
+    fixed-width, vocabulary-free featurization linear models and
+    online learners train on when a fitted vocabulary is impossible
+    (streaming ingest) or too large (open web text). Emitted long
+    form, trimmed to each document's ``topk`` heaviest buckets — the
+    sparse-vector head that dominates a linear score.
+
+    Cross-engine-exact hashing: md5 is byte-identical in both engines
+    and the 8-hex-digit prefix parses to the same int64 (Spark
+    ``conv(_, 16, 10)`` returns a STRING — the explicit BIGINT cast
+    is load-bearing; DuckDB parses '0x'-prefixed hex natively).
+    Ranking (count DESC, bucket ASC) is total per document, so the
+    row_number cut is deterministic.
+
+    Plan: one pruned scan -> explode -> (doc, bucket) count -> one
+    doc-keyed window over the doc's <= n_buckets distinct buckets
+    (document-bounded, never corpus-bounded). No joins at all.
+
+    Output: (doc_id, rank, bucket, tok_count).
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+                f" % {n_buckets}"
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tok_count"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tok_count"), F.asc("bucket")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "bucket",
+            "tok_count",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def feature_hash_oracle_sql(
+    n_buckets: int = FEATURE_HASH_BUCKETS,
+    topk: int = FEATURE_HASH_TOPK,
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents),
+        counts AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT
+                     % {n_buckets} AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS tok_count
+          FROM toks GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tok_count DESC, bucket)
+                        AS rank
+          FROM counts)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, bucket, tok_count
+        FROM ranked WHERE rank <= {topk}
+        ORDER BY doc_id, rank
+        """

@@ -2290,3 +2290,81 @@ def lpa_communities_oracle_sql(
         ORDER BY supplier
         """)
     return "".join(parts)
+
+
+def degree_distribution_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    strong: DataFrame | None = None,
+) -> DataFrame:
+    """Power-of-two-binned degree distribution of the projected
+    supplier graph — THE first diagnostic read on any graph (is the
+    projection scale-free? where does the degree cap bite? is a
+    re-threshold warranted?) and the capacity-planning input for
+    every other operator on this projection (wedge and triangle costs
+    are degree-distribution integrals).
+
+    Log binning WITHOUT logarithms: bin = length(bin(deg)) - 1 — the
+    binary-string length is the exact bit length, so floor(log2) in
+    pure integer/string operations that both engines evaluate
+    identically (``bin()`` renders identically; the libm-free rule
+    once more). Bin k covers degrees [2^k, 2^(k+1)).
+
+    Plan: the shared projection, one node-sized degree aggregate, one
+    ~60-row-bounded bin aggregate. Output: (bin, lo_degree,
+    n_nodes, sum_degree) per occupied bin.
+    """
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
+    deg = (
+        strong.select(F.col("s1").alias("node"))
+        .unionByName(strong.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.select(
+            F.expr("CAST(length(bin(deg)) - 1 AS BIGINT)").alias("bin"),
+            "deg",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("sum_degree"),
+        )
+        .select(
+            "bin",
+            F.expr("CAST(1 AS BIGINT) << CAST(bin AS INT)").alias(
+                "lo_degree"
+            ),
+            "n_nodes",
+            "sum_degree",
+        )
+        .orderBy("bin")
+    )
+
+
+def degree_distribution_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+) -> str:
+    """DuckDB replay: shared projection + the same bit-length bin."""
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+        + """,
+        nd AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src),
+        b AS (
+          SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin, deg
+          FROM nd)
+        SELECT bin,
+               CAST(1 AS BIGINT) << CAST(bin AS INT) AS lo_degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg) AS BIGINT) AS sum_degree
+        FROM b GROUP BY bin ORDER BY bin
+        """
+    )

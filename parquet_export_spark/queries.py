@@ -1130,6 +1130,12 @@ REGISTRY.update(
             ORDER BY doc_id
             """,
         ),
+        # Hashing-trick featurization: md5-prefix buckets (conv needs
+        # the explicit BIGINT cast — it returns a string), per-doc
+        # top-k by a doc-bounded row_number; no joins at all.
+        "feature_hash_vectors": QuerySpec(
+            _rel(CU.feature_hash_vectors), CU.feature_hash_oracle_sql()
+        ),
         "train_eval_split": QuerySpec(
             _rel(CU.train_eval_split),
             """
@@ -2980,6 +2986,12 @@ REGISTRY.update(
         "clustering_coeff_suppliers": QuerySpec(
             _rel(G.clustering_coeff_suppliers),
             G.clustering_coeff_suppliers_oracle_sql(),
+        ),
+        # Power-of-two degree histogram via exact bit length
+        # (length(bin(deg)) - 1 — floor(log2) with no libm anywhere).
+        "degree_distribution_suppliers": QuerySpec(
+            _rel(G.degree_distribution_suppliers),
+            G.degree_distribution_oracle_sql(),
         ),
         # Link prediction (common-neighbors / Jaccard / resource
         # allocation): one shared-neighbor-keyed wedge join, anti-join

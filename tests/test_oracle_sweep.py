@@ -60,6 +60,8 @@ ROUND_CHANGED = [
     "ngram_novelty_scores",
     "holt_linear_forecast",
     "novelty_incremental",
+    "degree_distribution_suppliers",
+    "feature_hash_vectors",
 ]
 
 SF_DIRS = [

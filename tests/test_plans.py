@@ -946,3 +946,26 @@ def test_novelty_incremental_digest_join_no_pair_term(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert P.count_shuffles(df) <= 7
+
+
+def test_degree_distribution_bounded_aggregates(spark, sf_dir):
+    """Node-sized degree aggregate then a ~60-row bin aggregate — no
+    window, no cartesian, no single-partition stage."""
+    df = q("degree_distribution_suppliers", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_feature_hash_no_joins_doc_bounded_window(spark, sf_dir):
+    """Pure scan -> explode -> count -> doc-keyed window: no joins of
+    any kind, scan pruned to (doc_id, text), and the only window is
+    doc-partitioned (never a global rank)."""
+    df = q("feature_hash_vectors", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Join" not in plan
+    [schema] = P.read_schemas(df)
+    assert schema == {"doc_id", "text"}
+    assert "Exchange SinglePartition" not in plan
+    assert P.count_shuffles(df) <= 3

@@ -191,6 +191,8 @@ HEADLINE = [
     "novelty_incremental",
     "degree_distribution_suppliers",
     "feature_hash_vectors",
+    "seasonality_strength_hourly",
+    "community_modularity_suppliers",
 ]
 
 

@@ -2637,3 +2637,148 @@ def holt_linear_oracle_sql(horizon: int = HOLT_HORIZON_DAYS) -> str:
                           AND l.n_days = r.step
         ORDER BY r.event_type
         """
+
+
+#: DuckDB CTE text of the seasonal-naive decomposition core (hourly ->
+#: profile -> decomposed rows) — ONE SQL definition shared by the
+#: seasonal_decompose_hourly oracle and the seasonality-strength
+#: composition (the _DUP_SPAN_CTES drift rule).
+SEASONAL_DECOMP_CTES_SQL = """
+        hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS actual_cents
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        profile AS (
+          SELECT event_type, EXTRACT(hour FROM bucket) AS hod,
+                 CAST(CAST(SUM(actual_cents) AS BIGINT) // COUNT(*)
+                      AS BIGINT) AS seasonal_cents
+          FROM hourly GROUP BY event_type, EXTRACT(hour FROM bucket)),
+        decomposed AS (
+          SELECT h.event_type, h.bucket, h.actual_cents,
+                 p.seasonal_cents,
+                 h.actual_cents - p.seasonal_cents AS residual_cents
+          FROM hourly h
+          JOIN profile p
+            ON p.event_type = h.event_type
+           AND p.hod = EXTRACT(hour FROM h.bucket))
+        """
+
+
+def seasonal_decompose_oracle_sql() -> str:
+    """The registered seasonal_decompose_hourly oracle, off the shared
+    decomposition fragment."""
+    return (
+        "WITH "
+        + SEASONAL_DECOMP_CTES_SQL
+        + """
+        SELECT event_type, bucket, actual_cents, seasonal_cents,
+               residual_cents
+        FROM decomposed
+        ORDER BY event_type, bucket
+        """
+    )
+
+
+def seasonality_strength_hourly(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonality strength per event type — Hyndman's F_s = 1 -
+    var(residual)/var(actual) over the seasonal-naive decomposition:
+    1 means the hour-of-day profile explains everything, 0 means the
+    profile explains nothing (and ``seasonal_decompose_hourly`` isn't
+    worth running on that stream). The one-scalar summary OF the
+    decomposition operator — called directly, so the whole decompose
+    chain re-verifies inside this hash (the anomaly_suite rule).
+
+    Exactness: both series are int64 cents; the two population
+    variances come from EXACT-DECIMAL sufficient statistics (operands
+    cast decimal(19,0), the assortativity recipe — hourly cents grow
+    with SF and n*Σx² would leave int64 at lake scale) and fold into
+    ONE closed-form IEEE expression, ROUND(.., 9). Zero-variance
+    actuals yield NULL (0/0 is undefined, not 0).
+
+    Output: (event_type, n_buckets, strength) — one row per type.
+    """
+    d = seasonal_decompose_hourly(t)
+    n = F.count(F.lit(1)).cast("double")
+    sa = F.sum(F.col("actual_cents").cast("decimal(19,0)")).cast("double")
+    saa = F.sum(
+        (
+            F.col("actual_cents").cast("decimal(19,0)")
+            * F.col("actual_cents").cast("decimal(19,0)")
+        )
+    ).cast("double")
+    sr = F.sum(F.col("residual_cents").cast("decimal(19,0)")).cast(
+        "double"
+    )
+    srr = F.sum(
+        (
+            F.col("residual_cents").cast("decimal(19,0)")
+            * F.col("residual_cents").cast("decimal(19,0)")
+        )
+    ).cast("double")
+    va = n * saa - sa * sa
+    vr = n * srr - sr * sr
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(
+                F.when(va > 0, F.lit(1.0) - vr / va), 9
+            ).alias("strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def seasonality_strength_oracle_sql() -> str:
+    """DuckDB replay: shared decomposition fragment + the same
+    decimal-exact sums and single IEEE closed form."""
+    return (
+        "WITH "
+        + SEASONAL_DECOMP_CTES_SQL
+        + """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               ROUND(CASE WHEN CAST(COUNT(*) AS DOUBLE)
+                               * CAST(SUM(CAST(actual_cents
+                                               AS DECIMAL(19,0))
+                                          * CAST(actual_cents
+                                                 AS DECIMAL(19,0)))
+                                      AS DOUBLE)
+                               - CAST(SUM(CAST(actual_cents
+                                               AS DECIMAL(19,0)))
+                                      AS DOUBLE)
+                                 * CAST(SUM(CAST(actual_cents
+                                                 AS DECIMAL(19,0)))
+                                        AS DOUBLE) > 0
+                          THEN 1.0
+                               - (CAST(COUNT(*) AS DOUBLE)
+                                  * CAST(SUM(CAST(residual_cents
+                                                  AS DECIMAL(19,0))
+                                             * CAST(residual_cents
+                                                    AS DECIMAL(19,0)))
+                                         AS DOUBLE)
+                                  - CAST(SUM(CAST(residual_cents
+                                                  AS DECIMAL(19,0)))
+                                         AS DOUBLE)
+                                    * CAST(SUM(CAST(residual_cents
+                                                    AS DECIMAL(19,0)))
+                                           AS DOUBLE))
+                                 / (CAST(COUNT(*) AS DOUBLE)
+                                    * CAST(SUM(CAST(actual_cents
+                                                    AS DECIMAL(19,0))
+                                               * CAST(actual_cents
+                                                      AS DECIMAL(19,0)))
+                                           AS DOUBLE)
+                                    - CAST(SUM(CAST(actual_cents
+                                                    AS DECIMAL(19,0)))
+                                           AS DOUBLE)
+                                      * CAST(SUM(CAST(actual_cents
+                                                      AS DECIMAL(19,0)))
+                                             AS DOUBLE))
+                     END, 9) AS strength
+        FROM decomposed
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )

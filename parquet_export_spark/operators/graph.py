@@ -2368,3 +2368,138 @@ def degree_distribution_oracle_sql(
         FROM b GROUP BY bin ORDER BY bin
         """
     )
+
+
+def community_modularity_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+) -> DataFrame:
+    """Newman modularity per community of the supplier_communities
+    labeling — the quality metric FOR the community operator: each
+    community's contribution Q_c = e_c/m - (d_c/2m)², where e_c is
+    its internal edge count, d_c its degree sum, m the projected edge
+    total. Positive = denser than the degree-preserving null model;
+    a labeling whose contributions hug 0 is structure-free, so this
+    is the alarm that the projection threshold needs retuning.
+
+    Composition discipline: the labels ARE ``supplier_communities``
+    (called directly, same projection frame — no re-implementation),
+    and the oracle reuses the verbatim projection + doubling-chain +
+    comm fragments, so the whole CC trajectory re-verifies inside
+    this hash. The contribution is presented as ONE IEEE division of
+    exact int64 sufficient statistics, ROUND(.., 9):
+    (4*m*e_c - d_c²) / (4*m²) — the numerator is SIGN-CHANGING, and
+    integer div/// diverge on negatives (pitfall 12), so the single
+    float divide is the correct cross-engine form here (the
+    stats_correlation recipe, not the ppm recipe).
+
+    Plan: the checkpointed projection feeds the label run, one
+    edge-sized double label join, two community-sized aggregates, a
+    1-row m broadcast. Output: (community, n_nodes, internal_edges,
+    degree_sum, contribution) per community.
+    """
+    strong = _supplier_strong_pairs(t, pctl, max_degree)
+    strong = strong.localCheckpoint()
+    labels = supplier_communities(
+        t, pctl, max_degree, n_iter, strong=strong
+    ).select(F.col("supplier"), F.col("community"))
+    m = strong.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    l1 = labels.select(
+        F.col("supplier").alias("s1"), F.col("community").alias("c1")
+    )
+    l2 = labels.select(
+        F.col("supplier").alias("s2"), F.col("community").alias("c2")
+    )
+    internal = (
+        strong.join(l1, "s1")
+        .join(l2, "s2")
+        .filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    deg = (
+        strong.select(F.col("s1").alias("supplier"))
+        .unionByName(strong.select(F.col("s2").alias("supplier")))
+        .groupBy("supplier")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    comm = (
+        labels.join(deg, "supplier")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                (
+                    4 * F.col("m") * F.coalesce("internal_edges", F.lit(0))
+                    - F.col("degree_sum") * F.col("degree_sum")
+                ).cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double"),
+                9,
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )
+
+
+def community_modularity_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+) -> str:
+    """DuckDB replay: verbatim projection + doubling chain + comm
+    fragments, then the same aggregates and single IEEE divide."""
+    head = [
+        _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+    ] + _ccd_chain(n_iter)
+    return (
+        "WITH "
+        + ",".join(head)
+        + _comm_sql(n_iter)
+        + """,
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM strong),
+        internal AS (
+          SELECT c1.community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+          FROM strong st
+          JOIN comm c1 ON c1.supplier = st.s1
+          JOIN comm c2 ON c2.supplier = st.s2
+          WHERE c1.community = c2.community
+          GROUP BY c1.community),
+        nd AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src),
+        cstat AS (
+          SELECT c.community,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(nd.deg) AS BIGINT) AS degree_sum
+          FROM comm c JOIN nd ON nd.node = c.supplier
+          GROUP BY c.community)
+        SELECT cs.community, cs.n_nodes,
+               CAST(COALESCE(i.internal_edges, 0) AS BIGINT)
+                   AS internal_edges,
+               cs.degree_sum,
+               ROUND(CAST(4 * mm.m * COALESCE(i.internal_edges, 0)
+                          - cs.degree_sum * cs.degree_sum AS DOUBLE)
+                     / CAST(4 * mm.m * mm.m AS DOUBLE), 9)
+                   AS contribution
+        FROM cstat cs
+        LEFT JOIN internal i ON i.community = cs.community
+        CROSS JOIN mm
+        ORDER BY cs.community
+        """
+    )

@@ -2673,26 +2673,17 @@ REGISTRY.update(
         # (non-negative, so div == //).
         "seasonal_decompose_hourly": QuerySpec(
             _rel(A.seasonal_decompose_hourly),
-            """
-            WITH hourly AS (
-              SELECT event_type, date_trunc('hour', ts) AS bucket,
-                     CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                          AS BIGINT) AS actual_cents
-              FROM events GROUP BY event_type, date_trunc('hour', ts)),
-            profile AS (
-              SELECT event_type, EXTRACT(hour FROM bucket) AS hod,
-                     CAST(CAST(SUM(actual_cents) AS BIGINT) // COUNT(*)
-                          AS BIGINT) AS seasonal_cents
-              FROM hourly GROUP BY event_type, EXTRACT(hour FROM bucket))
-            SELECT h.event_type, h.bucket, h.actual_cents,
-                   p.seasonal_cents,
-                   h.actual_cents - p.seasonal_cents AS residual_cents
-            FROM hourly h
-            JOIN profile p
-              ON p.event_type = h.event_type
-             AND p.hod = EXTRACT(hour FROM h.bucket)
-            ORDER BY h.event_type, h.bucket
-            """,
+            # decomposition core from the SHARED fragment (one
+            # definition with seasonality_strength_hourly).
+            A.seasonal_decompose_oracle_sql(),
+        ),
+        # Seasonality strength F_s = 1 - var(resid)/var(actual) OVER
+        # the decompose operator (called directly — the chain
+        # re-verifies in this hash); decimal-exact sufficient stats,
+        # one IEEE closed form, NULL on zero actual variance.
+        "seasonality_strength_hourly": QuerySpec(
+            _rel(A.seasonality_strength_hourly),
+            A.seasonality_strength_oracle_sql(),
         ),
         # Truncated half-life EWMA: rational arithmetic in int64 (K-lag
         # weighted sum over ONE window pass), no float recursion — the
@@ -2986,6 +2977,14 @@ REGISTRY.update(
         "clustering_coeff_suppliers": QuerySpec(
             _rel(G.clustering_coeff_suppliers),
             G.clustering_coeff_suppliers_oracle_sql(),
+        ),
+        # Newman modularity per community OVER supplier_communities
+        # (labels called directly; oracle reuses the verbatim
+        # projection + doubling + comm fragments); the sign-changing
+        # contribution is ONE IEEE divide, never an integer div.
+        "community_modularity_suppliers": QuerySpec(
+            _rel(G.community_modularity_suppliers),
+            G.community_modularity_oracle_sql(),
         ),
         # Power-of-two degree histogram via exact bit length
         # (length(bin(deg)) - 1 — floor(log2) with no libm anywhere).

@@ -62,6 +62,9 @@ ROUND_CHANGED = [
     "novelty_incremental",
     "degree_distribution_suppliers",
     "feature_hash_vectors",
+    "seasonal_decompose_hourly",  # oracle moved onto the shared fragment
+    "seasonality_strength_hourly",
+    "community_modularity_suppliers",
 ]
 
 SF_DIRS = [

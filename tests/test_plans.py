@@ -969,3 +969,31 @@ def test_feature_hash_no_joins_doc_bounded_window(spark, sf_dir):
     assert schema == {"doc_id", "text"}
     assert "Exchange SinglePartition" not in plan
     assert P.count_shuffles(df) <= 3
+
+
+def test_seasonality_strength_composition_stays_bounded(spark, sf_dir):
+    """The strength is one aggregate OVER the decompose operator: fact
+    scans stay pruned to the three event columns, both decompose
+    aggregates remain time-bounded, and no single-partition stage or
+    cartesian appears."""
+    df = q("seasonality_strength_hourly", spark, sf_dir)
+    plan = P.plan_string(df)
+    schemas = P.read_schemas(df)
+    assert all(s <= {"event_type", "ts", "value"} for s in schemas)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # decimal-exact quadratic sums are in the plan (the overflow-proof
+    # accumulation the docstring claims)
+    assert "decimal(19,0)" in plan
+
+
+def test_community_modularity_no_cartesian_bounded(spark, sf_dir):
+    """Labels join edges on node keys; the 1-row m total broadcasts;
+    nothing is quadratic in communities or nodes."""
+    df = q("community_modularity_suppliers", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "CartesianProduct" not in plan
+    # 1-row broadcasts only: the m total here plus the label run's own
+    # threshold join — both single-row by construction
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "Exchange SinglePartition" not in plan

@@ -1273,3 +1273,113 @@ def test_feature_hash_matches_python(spark):
     # hashing must actually collide somewhere (vocab > buckets) or the
     # trick isn't exercised: some doc has a bucket with count >= 2
     assert any(v[1] >= 2 for v in got.values())
+
+
+def test_seasonality_strength_matches_python(spark):
+    """Reference: Python decompose replay (hourly int sums, integer
+    profile means, residuals) + the variance-ratio closed form."""
+    import math
+    from collections import defaultdict
+
+    hourly = defaultdict(int)
+    for r in _events_rows(spark):
+        hourly[(r.event_type, r.ts.date(), r.ts.hour)] += int(
+            math.floor(float(r.value) * 100 + 0.5)
+        )
+    prof_sum = defaultdict(int)
+    prof_n = defaultdict(int)
+    for (et, d, h), a in hourly.items():
+        prof_sum[(et, h)] += a
+        prof_n[(et, h)] += 1
+    want = {}
+    per_type = defaultdict(list)
+    for (et, d, h), a in hourly.items():
+        seasonal = prof_sum[(et, h)] // prof_n[(et, h)]
+        per_type[et].append((a, a - seasonal))
+    for et, pairs in per_type.items():
+        n = len(pairs)
+        sa = sum(a for a, _ in pairs)
+        saa = sum(a * a for a, _ in pairs)
+        sr = sum(r for _, r in pairs)
+        srr = sum(r * r for _, r in pairs)
+        va = float(n) * float(saa) - float(sa) * float(sa)
+        vr = float(n) * float(srr) - float(sr) * float(sr)
+        want[et] = (
+            n,
+            round(1.0 - vr / va, 9) if va > 0 else None,
+        )
+    got = {
+        r.event_type: (r.n_buckets, r.strength)
+        for r in A.seasonality_strength_hourly(
+            _small_tables(spark)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for et in want:
+        assert got[et][0] == want[et][0], et
+        if want[et][1] is None:
+            assert got[et][1] is None, et
+        else:
+            assert abs(got[et][1] - want[et][1]) < 1e-9, et
+    # the synthetic hourly profile must explain SOME variance
+    assert any(v[1] is not None and v[1] > 0 for v in got.values())
+
+
+def test_community_modularity_matches_python(spark):
+    """Reference: Python modularity arithmetic over the collected
+    projection + the operator's own labels, plus the global
+    invariants sum(e_c) <= m and sum(Q_c) <= 1."""
+    from collections import defaultdict
+
+    t = _small_tables(spark)
+    strong = G._supplier_strong_pairs(t)
+    edges = [(r.s1, r.s2) for r in strong.collect()]
+    m = len(edges)
+    labels = {
+        r.supplier: r.community
+        for r in G.supplier_communities(t).collect()
+    }
+    e_c = defaultdict(int)
+    d_c = defaultdict(int)
+    n_c = defaultdict(int)
+    for u, v in edges:
+        if labels[u] == labels[v]:
+            e_c[labels[u]] += 1
+        d_c[labels[u]] += 1
+        d_c[labels[v]] += 1
+    for node, lab in labels.items():
+        n_c[lab] += 1
+    want = {
+        lab: (
+            n_c[lab],
+            e_c.get(lab, 0),
+            d_c[lab],
+            round(
+                float(4 * m * e_c.get(lab, 0) - d_c[lab] * d_c[lab])
+                / float(4 * m * m),
+                9,
+            ),
+        )
+        for lab in n_c
+    }
+    got = {
+        r.community: (
+            r.n_nodes,
+            r.internal_edges,
+            r.degree_sum,
+            r.contribution,
+        )
+        for r in G.community_modularity_suppliers(t).collect()
+    }
+    assert got == want and len(got) > 0
+    assert sum(v[1] for v in got.values()) <= m
+    total_q = sum(v[3] for v in got.values())
+    assert total_q <= 1.0
+    # CC labels put every edge inside its component, so Q = 1 - sum
+    # of squared degree shares: EXACTLY 0 for a single component,
+    # strictly positive for k > 1 (the sf0.001 projection is one
+    # component — the zero is the correct answer, not a bug)
+    if len(got) > 1:
+        assert total_q > 0
+    else:
+        assert abs(total_q) < 1e-9

@@ -52,6 +52,7 @@ TZ_SENSITIVE = [
     "fano_burstiness",
     "rfm_segments",
     "holt_linear_forecast",
+    "seasonality_strength_hourly",
 ]
 
 

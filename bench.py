@@ -193,6 +193,7 @@ HEADLINE = [
     "feature_hash_vectors",
     "seasonality_strength_hourly",
     "community_modularity_suppliers",
+    "wasserstein_distance_pairs",
 ]
 
 

@@ -2358,3 +2358,165 @@ def apdex_by_type_oracle_sql(t_cents: int = APDEX_T_CENTS) -> str:
                    // (2 * n_events) AS apdex_ppm
         FROM s ORDER BY event_type
         """
+
+
+def wasserstein_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between every pair of
+    event types' value distributions — the INTEGRATED CDF gap, where
+    ``ks_distance_pairs`` reports the max gap: KS says *whether* the
+    distributions differ somewhere, W1 says *how much value must
+    move*, in cents — the actionable drift magnitude for a cost-aware
+    monitor (a tall-but-narrow spike and a broad shift can share a KS
+    yet differ 100x in W1).
+
+    Exact integer evaluation on the cents support (the
+    ks_distance_pairs discipline): W1 = Σ_support |F_a - F_b| * gap
+    evaluates as Σ |cum_a*n_b - cum_b*n_a| * (next_cents - cents)
+    over the DEDUPED (pair, cents) support — all int64, no division
+    until presentation. The support rows are grouped unique before
+    the window, so the cumulative/lead pair needs no tie rule at all.
+    The last support point has no gap and both CDFs equal 1 there —
+    excluded by the NULL lead. Reported w1_cents = num / (n_a*n_b)
+    as ONE IEEE divide, ROUND(.., 6); the exact numerator ships too.
+
+    Overflow envelope: |cum*n - cum*n| <= n_a*n_b and the gap sum
+    telescopes to the value RANGE, so num <= n_a*n_b*range_cents —
+    safe while that stays under 2^63 (~8e6 samples/type at this
+    lake's ~33k-cent range); past it, lift the products to
+    decimal(38,0) (the assortativity recipe).
+
+    Plan: one fact aggregate to (type, cents), one deduped
+    support-bounded window chain, a types²-bounded pair frame; the
+    fact table is touched once.
+
+    Output: (type_a, type_b, n_a, n_b, w1_num, w1_cents).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    counts = (
+        e.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("event_type").alias("ta"), F.col("n").alias("na")
+        )
+        .crossJoin(
+            totals.select(
+                F.col("event_type").alias("tb"), F.col("n").alias("nb")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    side_a = pairs.join(
+        counts.select(
+            F.col("event_type").alias("ta"),
+            "cents",
+            F.col("c").alias("ca"),
+        ),
+        "ta",
+    ).select("ta", "tb", "na", "nb", "cents", "ca", F.lit(0).alias("cb"))
+    side_b = pairs.join(
+        counts.select(
+            F.col("event_type").alias("tb"),
+            "cents",
+            F.col("c").alias("cb"),
+        ),
+        "tb",
+    ).select("ta", "tb", "na", "nb", "cents", F.lit(0).alias("ca"), "cb")
+    support = (
+        side_a.unionByName(side_b)
+        .groupBy("ta", "tb", "na", "nb", "cents")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    wo = Window.partitionBy("ta", "tb").orderBy("cents")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = (
+        support.withColumn("cum_a", F.sum("ca").over(wc))
+        .withColumn("cum_b", F.sum("cb").over(wc))
+        .withColumn("gap", F.lead("cents").over(wo) - F.col("cents"))
+        .filter(F.col("gap").isNotNull())
+        .withColumn(
+            "seg",
+            F.abs(
+                F.col("cum_a") * F.col("nb")
+                - F.col("cum_b") * F.col("na")
+            )
+            * F.col("gap"),
+        )
+    )
+    return (
+        stepped.groupBy("ta", "tb", "na", "nb")
+        .agg(F.sum("seg").cast("long").alias("w1_num"))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "w1_num",
+            F.round(
+                F.col("w1_num").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("w1_cents"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def wasserstein_distance_oracle_sql() -> str:
+    """DuckDB replay: same deduped support, cumulative/lead chain and
+    integer segment sum."""
+    return """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY event_type, cents),
+        totals AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+                   FROM counts GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ta, a.n AS na,
+                 b.event_type AS tb, b.n AS nb
+          FROM totals a JOIN totals b ON a.event_type < b.event_type),
+        support AS MATERIALIZED (
+          SELECT ta, tb, na, nb, cents,
+                 CAST(SUM(ca) AS BIGINT) AS ca,
+                 CAST(SUM(cb) AS BIGINT) AS cb
+          FROM (
+            SELECT p.ta, p.tb, p.na, p.nb, c.cents, c.c AS ca, 0 AS cb
+            FROM pairs p JOIN counts c ON c.event_type = p.ta
+            UNION ALL
+            SELECT p.ta, p.tb, p.na, p.nb, c.cents, 0, c.c
+            FROM pairs p JOIN counts c ON c.event_type = p.tb)
+          GROUP BY ta, tb, na, nb, cents),
+        stepped AS (
+          SELECT ta, tb, na, nb,
+                 ABS(SUM(ca) OVER w * nb - SUM(cb) OVER w * na)
+                     * (LEAD(cents) OVER wo - cents) AS seg
+          FROM support
+          WINDOW w AS (PARTITION BY ta, tb ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING),
+                 wo AS (PARTITION BY ta, tb ORDER BY cents)),
+        agg AS (
+          SELECT ta, tb, na, nb,
+                 CAST(SUM(seg) AS BIGINT) AS w1_num
+          FROM stepped WHERE seg IS NOT NULL
+          GROUP BY ta, tb, na, nb)
+        SELECT ta AS type_a, tb AS type_b,
+               na AS n_a, nb AS n_b, w1_num,
+               ROUND(CAST(w1_num AS DOUBLE)
+                     / CAST(na * nb AS DOUBLE), 6) AS w1_cents
+        FROM agg
+        ORDER BY type_a, type_b
+        """

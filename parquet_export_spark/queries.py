@@ -777,6 +777,13 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # 1-Wasserstein drift magnitude per type pair: integrated CDF
+        # gap over the deduped cents support, all-int64 segments, one
+        # presentation divide (KS's actionable companion).
+        "wasserstein_distance_pairs": QuerySpec(
+            _rel(ST.wasserstein_distance_pairs),
+            ST.wasserstein_distance_oracle_sql(),
+        ),
         # Apdex satisfaction index per type: one pruned scan, one
         # conditional aggregate, the /2 folded into the numerator so
         # everything is int64 until a single non-negative division.

@@ -65,6 +65,7 @@ ROUND_CHANGED = [
     "seasonal_decompose_hourly",  # oracle moved onto the shared fragment
     "seasonality_strength_hourly",
     "community_modularity_suppliers",
+    "wasserstein_distance_pairs",
 ]
 
 SF_DIRS = [

@@ -997,3 +997,23 @@ def test_community_modularity_no_cartesian_bounded(spark, sf_dir):
     # threshold join — both single-row by construction
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_wasserstein_windows_over_support_only(spark, sf_dir):
+    """The cumulative/lead windows run over the DEDUPED (pair, cents)
+    support — no window block may carry event_id, the pair frame is
+    types²-bounded, and the fact table is scanned once."""
+    df = q("wasserstein_distance_pairs", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks
+    assert not any("event_id#" in b for b in win_blocks)
+    schemas = P.read_schemas(df)
+    assert all(s == {"event_type", "value"} for s in schemas)
+    assert "Exchange SinglePartition" not in plan

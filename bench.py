@@ -194,6 +194,8 @@ HEADLINE = [
     "seasonality_strength_hourly",
     "community_modularity_suppliers",
     "wasserstein_distance_pairs",
+    "hhi_concentration_by_segment",
+    "local_peaks_hourly",
 ]
 
 

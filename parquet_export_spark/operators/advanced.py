@@ -2782,3 +2782,134 @@ def seasonality_strength_oracle_sql() -> str:
         ORDER BY event_type
         """
     )
+
+
+#: minimum prominence, in cents, for a reported hourly revenue peak.
+PEAK_MIN_PROMINENCE_CENTS = 1_000
+
+
+def local_peaks_hourly(
+    t: dict[str, DataFrame],
+    min_prominence_cents: int = PEAK_MIN_PROMINENCE_CENTS,
+) -> DataFrame:
+    """Local-peak detection on the DENSE hourly revenue series per
+    event type: hours strictly above BOTH calendar neighbors with
+    prominence (height over the taller neighbor) at or past the
+    threshold — the change-point primitive behind alerting on traffic
+    spikes, and the honest version of it: missing hours enter as true
+    zeros (the gapfill rule), because on an observed-only series
+    lag/lead would compare NON-adjacent hours and both invent and
+    hide peaks at gaps.
+
+    Exactness: hour indexes from calendar components (the
+    interarrival rule — day-diff*24 + hour, no epoch casts), integer
+    cents, strict integer comparisons; the day/hour presentation
+    columns reconstruct from the index by exact integer div/mod
+    (non-negative — div == //). Series boundary hours are excluded
+    (one-sided maxima are trend ends, not peaks — the standard
+    convention).
+
+    Plan: one fact collapse to (type, hour), a span-bounded dense
+    spine, ONE window pass carrying both neighbors, a final filter.
+
+    Output: (event_type, day, hour, cents, prominence_cents).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    hour_idx = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    hourly = (
+        e.select(
+            "event_type",
+            hour_idx.alias("h"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi)")).alias("h"),
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    flagged = (
+        dense.withColumn("prev", F.lag("cents").over(w))
+        .withColumn("nxt", F.lead("cents").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("cents") > F.col("prev"))
+            & (F.col("cents") > F.col("nxt"))
+        )
+        .withColumn(
+            "prominence_cents",
+            F.col("cents") - F.greatest("prev", "nxt"),
+        )
+        .filter(F.col("prominence_cents") >= min_prominence_cents)
+    )
+    return flagged.select(
+        "event_type",
+        F.expr("date_add(DATE '1970-01-01', CAST(h div 24 AS INT))").alias(
+            "day"
+        ),
+        F.expr("CAST(h % 24 AS BIGINT)").alias("hour"),
+        "cents",
+        "prominence_cents",
+    ).orderBy("event_type", "day", "hour")
+
+
+def local_peaks_oracle_sql(
+    min_prominence_cents: int = PEAK_MIN_PROMINENCE_CENTS,
+) -> str:
+    """DuckDB replay: same calendar hour indexes, dense integer spine,
+    one lag/lead window, same strict comparisons."""
+    return f"""
+        WITH hourly AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 24
+                 + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+                 FROM hourly GROUP BY event_type),
+        spine AS (
+          SELECT event_type, UNNEST(generate_series(lo, hi)) AS h
+          FROM span),
+        dense AS (
+          SELECT sp.event_type, sp.h,
+                 CAST(COALESCE(hy.cents, 0) AS BIGINT) AS cents
+          FROM spine sp
+          LEFT JOIN hourly hy ON hy.event_type = sp.event_type
+                             AND hy.h = sp.h),
+        flagged AS (
+          SELECT event_type, h, cents,
+                 LAG(cents) OVER w AS prev,
+                 LEAD(cents) OVER w AS nxt
+          FROM dense
+          WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        SELECT event_type,
+               DATE '1970-01-01' + CAST(h // 24 AS INT) AS day,
+               CAST(h % 24 AS BIGINT) AS hour,
+               cents,
+               cents - GREATEST(prev, nxt) AS prominence_cents
+        FROM flagged
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND cents > prev AND cents > nxt
+          AND cents - GREATEST(prev, nxt) >= {min_prominence_cents}
+        ORDER BY event_type, day, hour
+        """

@@ -2520,3 +2520,73 @@ def wasserstein_distance_oracle_sql() -> str:
         FROM agg
         ORDER BY type_a, type_b
         """
+
+
+def hhi_concentration_by_segment(t: dict[str, DataFrame]) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per market segment:
+    HHI = Σ_customers (customer's revenue share)² — the antitrust
+    /portfolio-risk standard (1/n for perfectly even books, 1.0 for a
+    single-customer segment). The one-scalar answer to "how dependent
+    is this segment on its top accounts", complementing
+    value_gini_by_type's inequality view with a concentration view.
+
+    Exactness: per-customer cents squared leaves int64 at lake scale
+    (a 1e9-cent lifetime squared is 1e18, and segments sum millions
+    of customers), so the quadratic sum accumulates in EXACT DECIMAL
+    (operands cast decimal(19,0) -> products decimal(38,0), the
+    assortativity recipe), then HHI = Σc² / (Σc)² folds to ONE IEEE
+    expression, ROUND(.., 9).
+
+    Plan: one orders scan collapsed to customer grain, one broadcast
+    customer-dim join for the segment, two segment-sized aggregates.
+
+    Output: (segment, n_customers, total_cents, hhi).
+    """
+    o = t["orders"].select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("c")
+    )
+    seg = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    sq = F.sum(
+        F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+    ).cast("double")
+    tot = F.sum(F.col("c").cast("decimal(19,0)")).cast("double")
+    return (
+        per.join(seg, "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("c").cast("long").alias("total_cents"),
+            F.round(sq / (tot * tot), 9).alias("hhi"),
+        )
+        .orderBy("segment")
+    )
+
+
+def hhi_concentration_oracle_sql() -> str:
+    return """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS c
+          FROM orders GROUP BY o_custkey)
+        SELECT cu.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(p.c) AS BIGINT) AS total_cents,
+               ROUND(CAST(SUM(CAST(p.c AS DECIMAL(19,0))
+                               * CAST(p.c AS DECIMAL(19,0))) AS DOUBLE)
+                     / (CAST(SUM(CAST(p.c AS DECIMAL(19,0))) AS DOUBLE)
+                        * CAST(SUM(CAST(p.c AS DECIMAL(19,0)))
+                               AS DOUBLE)), 9) AS hhi
+        FROM per p JOIN customer cu ON cu.c_custkey = p.o_custkey
+        GROUP BY cu.c_mktsegment
+        ORDER BY segment
+        """

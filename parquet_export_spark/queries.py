@@ -777,6 +777,13 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # Herfindahl revenue concentration per segment: decimal-exact
+        # quadratic sums (per-customer cents squared leaves int64 at
+        # lake scale), one IEEE fold.
+        "hhi_concentration_by_segment": QuerySpec(
+            _rel(ST.hhi_concentration_by_segment),
+            ST.hhi_concentration_oracle_sql(),
+        ),
         # 1-Wasserstein drift magnitude per type pair: integrated CDF
         # gap over the deduped cents support, all-int64 segments, one
         # presentation divide (KS's actionable companion).
@@ -2667,6 +2674,12 @@ REGISTRY.update(
         "multitouch_attribution": QuerySpec(
             _rel(A.multitouch_attribution),
             A.multitouch_attribution_oracle_sql(),
+        ),
+        # Strict local maxima on the DENSE hourly series (zeros enter
+        # the grid — observed-only lag/lead invents and hides peaks at
+        # gaps); integer prominence threshold; boundaries excluded.
+        "local_peaks_hourly": QuerySpec(
+            _rel(A.local_peaks_hourly), A.local_peaks_oracle_sql()
         ),
         # Holt double-exponential smoothing + forecast: alpha=beta=1/2
         # so every step is an arithmetic shift (portable floor-by-2

@@ -66,6 +66,8 @@ ROUND_CHANGED = [
     "seasonality_strength_hourly",
     "community_modularity_suppliers",
     "wasserstein_distance_pairs",
+    "hhi_concentration_by_segment",
+    "local_peaks_hourly",
 ]
 
 SF_DIRS = [

@@ -1017,3 +1017,33 @@ def test_wasserstein_windows_over_support_only(spark, sf_dir):
     schemas = P.read_schemas(df)
     assert all(s == {"event_type", "value"} for s in schemas)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_hhi_customer_grain_then_segment(spark, sf_dir):
+    """Orders collapse to customer grain before the dimension join;
+    decimal-exact quadratic sums in the plan; no window."""
+    df = q("hhi_concentration_by_segment", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "decimal(19,0)" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_local_peaks_one_window_dense_spine(spark, sf_dir):
+    """One lag/lead window over the span-bounded dense grid; fact
+    pruned to three columns; spine generated by sequence()."""
+    df = q("local_peaks_hourly", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert len(win_blocks) == 1
+    assert "sequence(" in plan
+    schemas = P.read_schemas(df)
+    assert all(s <= {"event_type", "ts", "value"} for s in schemas)
+    assert "Exchange SinglePartition" not in plan

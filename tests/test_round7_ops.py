@@ -1431,3 +1431,74 @@ def test_wasserstein_matches_scipy_style_python(spark):
         assert abs(got[k][3] - want[k][3]) < 1e-6, k
     # distances must be non-degenerate on the synthetic types
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_hhi_matches_python(spark):
+    """Reference: Python Fraction-exact HHI per segment; plus the
+    1/n <= HHI <= 1 bounds."""
+    from collections import defaultdict
+    from fractions import Fraction
+    import math
+
+    t = _small_tables(spark)
+    cust_seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+    per = defaultdict(int)
+    for r in t["orders"].select("o_custkey", "o_totalprice").collect():
+        per[r.o_custkey] += int(math.floor(float(r.o_totalprice) * 100 + 0.5))
+    segs = defaultdict(list)
+    for ck, c in per.items():
+        segs[cust_seg[ck]].append(c)
+    want = {}
+    for s, cs in segs.items():
+        tot = sum(cs)
+        hhi = Fraction(sum(c * c for c in cs), tot * tot)
+        want[s] = (len(cs), tot, round(float(hhi), 9))
+    got = {
+        r.segment: (r.n_customers, r.total_cents, r.hhi)
+        for r in ST.hhi_concentration_by_segment(t).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][:2] == want[s][:2], s
+        assert abs(got[s][2] - want[s][2]) < 1e-9, s
+        n = got[s][0]
+        assert 1.0 / n - 1e-9 <= got[s][2] <= 1.0
+
+
+def test_local_peaks_matches_python(spark):
+    """Reference: Python dense hourly series + strict neighbor
+    comparison; and the zero-fill property — a peak adjacent to a
+    missing hour must measure prominence against 0, not against the
+    next OBSERVED hour."""
+    import math
+    from collections import defaultdict
+
+    from datetime import date, timedelta
+
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in _events_rows(spark):
+        h = (r.ts.date() - date(1970, 1, 1)).days * 24 + r.ts.hour
+        hourly[r.event_type][h] += int(
+            math.floor(float(r.value) * 100 + 0.5)
+        )
+    want = {}
+    for et, hh in hourly.items():
+        lo, hi = min(hh), max(hh)
+        xs = [hh.get(h, 0) for h in range(lo, hi + 1)]
+        for i in range(1, len(xs) - 1):
+            if xs[i] > xs[i - 1] and xs[i] > xs[i + 1]:
+                prom = xs[i] - max(xs[i - 1], xs[i + 1])
+                if prom >= A.PEAK_MIN_PROMINENCE_CENTS:
+                    h = lo + i
+                    want[
+                        (et, date(1970, 1, 1) + timedelta(days=h // 24),
+                         h % 24)
+                    ] = (xs[i], prom)
+    got = {
+        (r.event_type, r.day, r.hour): (r.cents, r.prominence_cents)
+        for r in A.local_peaks_hourly(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0

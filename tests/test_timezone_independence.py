@@ -53,6 +53,7 @@ TZ_SENSITIVE = [
     "rfm_segments",
     "holt_linear_forecast",
     "seasonality_strength_hourly",
+    "local_peaks_hourly",
 ]
 
 

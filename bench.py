@@ -196,6 +196,7 @@ HEADLINE = [
     "wasserstein_distance_pairs",
     "hhi_concentration_by_segment",
     "local_peaks_hourly",
+    "value_migration_matrix",
 ]
 
 

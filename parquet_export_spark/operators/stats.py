@@ -2590,3 +2590,166 @@ def hhi_concentration_oracle_sql() -> str:
         GROUP BY cu.c_mktsegment
         ORDER BY segment
         """
+
+
+def value_migration_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer value-migration matrix: each customer's MONETARY
+    QUINTILE in the first half of the order history vs the second
+    half (split at the calendar midpoint of the observed span), and
+    the 5x5 transition grid — the retention-analytics standard for
+    "are our big accounts growing or churning" that a point-in-time
+    RFM (``rfm_segments``) cannot answer.
+
+    Quintiles are computed WITHIN each period over that period's
+    active customers (rank-based integer boundaries, the decile
+    recipe — pitfall 17), so the matrix measures RELATIVE movement,
+    immune to overall growth. Only customers active in BOTH periods
+    enter the grid; entries and exits are different questions
+    (retention_cohorts answers them).
+
+    Exactness: the midpoint is pure date arithmetic (lo +
+    datediff(hi, lo) div 2 — non-negative div == //); cents are
+    int64; boundary windows run over the (period x distinct cents)
+    VALUE support, never customer volume.
+
+    Plan: one orders scan -> (customer, period) aggregate
+    (checkpointed), support-bounded boundary windows, an 8-row
+    boundary broadcast, one customer-keyed pivot, a 25-row grid.
+
+    Output: (q_early, q_late, n_customers, late_cents).
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"].select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    span = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per = (
+        o.crossJoin(F.broadcast(span))
+        .select(
+            "o_custkey",
+            F.when(F.col("d") <= F.col("mid"), F.lit("early"))
+            .otherwise(F.lit("late"))
+            .alias("period"),
+            "cents",
+        )
+        .groupBy("o_custkey", "period")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    per = per.localCheckpoint()
+    counts = per.groupBy("period", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("period").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("period")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    ii = counts.sparkSession.range(1, 5).select(F.col("id").alias("i"))
+    bounds = (
+        cum.join(tot, "period")
+        .crossJoin(F.broadcast(ii))
+        .filter(F.col("cum") >= F.expr("(i * n + 4) div 5"))
+        .groupBy("period", "i")
+        .agg(F.min("v").alias("b"))
+        .groupBy("period")
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    scored = per.join(F.broadcast(bounds), "period").select(
+        "o_custkey",
+        "period",
+        "v",
+        F.expr(
+            "CAST(1 + aggregate(bs, 0, (acc, b) ->"
+            " acc + CASE WHEN v > b THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("q"),
+    )
+    pivoted = scored.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("period") == "early", F.col("q"))).alias(
+            "q_early"
+        ),
+        F.max(F.when(F.col("period") == "late", F.col("q"))).alias(
+            "q_late"
+        ),
+        F.max(F.when(F.col("period") == "late", F.col("v"))).alias(
+            "late_v"
+        ),
+    )
+    return (
+        pivoted.filter(
+            F.col("q_early").isNotNull() & F.col("q_late").isNotNull()
+        )
+        .groupBy("q_early", "q_late")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("late_v").cast("long").alias("late_cents"),
+        )
+        .orderBy("q_early", "q_late")
+    )
+
+
+def value_migration_oracle_sql() -> str:
+    """DuckDB replay: same midpoint date arithmetic, per-period
+    rank-based boundaries (correlated 4-row count), same both-periods
+    filter and grid."""
+    return """
+        WITH o AS MATERIALIZED (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        span AS (
+          SELECT MIN(d) + CAST(date_diff('day', MIN(d), MAX(d)) // 2
+                               AS INT) AS mid
+          FROM o),
+        per AS MATERIALIZED (
+          SELECT o_custkey,
+                 CASE WHEN d <= (SELECT mid FROM span)
+                      THEN 'early' ELSE 'late' END AS period,
+                 CAST(SUM(cents) AS BIGINT) AS v
+          FROM o GROUP BY 1, 2),
+        counts AS MATERIALIZED (
+          SELECT period, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM per GROUP BY period, v),
+        tot AS (SELECT period, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY period),
+        cum AS (
+          SELECT period, v,
+                 CAST(SUM(c) OVER (PARTITION BY period ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        bounds AS MATERIALIZED (
+          SELECT cum.period, i.i, MIN(v) AS b
+          FROM cum
+          JOIN tot ON tot.period = cum.period
+          CROSS JOIN generate_series(1, 4) AS i(i)
+          WHERE cum >= (i.i * tot.n + 4) // 5
+          GROUP BY cum.period, i.i),
+        scored AS MATERIALIZED (
+          SELECT o_custkey, period, v,
+                 1 + (SELECT COUNT(*) FROM bounds b
+                      WHERE b.period = p.period AND b.b < p.v) AS q
+          FROM per p),
+        pivoted AS (
+          SELECT o_custkey,
+                 MAX(CASE WHEN period = 'early' THEN q END) AS q_early,
+                 MAX(CASE WHEN period = 'late' THEN q END) AS q_late,
+                 MAX(CASE WHEN period = 'late' THEN v END) AS late_v
+          FROM scored GROUP BY o_custkey)
+        SELECT CAST(q_early AS BIGINT) AS q_early,
+               CAST(q_late AS BIGINT) AS q_late,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(late_v) AS BIGINT) AS late_cents
+        FROM pivoted
+        WHERE q_early IS NOT NULL AND q_late IS NOT NULL
+        GROUP BY q_early, q_late
+        ORDER BY q_early, q_late
+        """

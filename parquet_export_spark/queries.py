@@ -777,6 +777,13 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # Customer value-migration grid: per-period rank-based
+        # quintiles (relative movement, growth-immune), midpoint by
+        # exact date arithmetic, both-periods filter.
+        "value_migration_matrix": QuerySpec(
+            _rel(ST.value_migration_matrix),
+            ST.value_migration_oracle_sql(),
+        ),
         # Herfindahl revenue concentration per segment: decimal-exact
         # quadratic sums (per-customer cents squared leaves int64 at
         # lake scale), one IEEE fold.

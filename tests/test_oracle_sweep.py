@@ -68,6 +68,7 @@ ROUND_CHANGED = [
     "wasserstein_distance_pairs",
     "hhi_concentration_by_segment",
     "local_peaks_hourly",
+    "value_migration_matrix",
 ]
 
 SF_DIRS = [

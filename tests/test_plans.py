@@ -1047,3 +1047,23 @@ def test_local_peaks_one_window_dense_spine(spark, sf_dir):
     schemas = P.read_schemas(df)
     assert all(s <= {"event_type", "ts", "value"} for s in schemas)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_value_migration_windows_over_support(spark, sf_dir):
+    """Boundary windows run over (period x distinct cents) — no
+    Window block may carry o_custkey; boundaries and midpoint reach
+    the fact side via broadcast; the HOF fold is in the plan."""
+    df = q("value_migration_matrix", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks
+    assert not any("o_custkey#" in b for b in win_blocks), win_blocks
+    assert "aggregate(bs#" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -1502,3 +1502,61 @@ def test_local_peaks_matches_python(spark):
         for r in A.local_peaks_hourly(_small_tables(spark)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_value_migration_matches_python(spark):
+    """Reference: Python per-period quintiles with the same midpoint
+    and boundary rules; plus the both-periods conservation (grid sum
+    == customers active in both halves)."""
+    import math
+    from collections import Counter, defaultdict
+    from datetime import timedelta
+
+    rows = (
+        _small_tables(spark)["orders"]
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    lo = min(r.o_orderdate for r in rows).date()
+    hi = max(r.o_orderdate for r in rows).date()
+    mid = lo + timedelta(days=(hi - lo).days // 2)
+    per = defaultdict(int)
+    for r in rows:
+        p = "early" if r.o_orderdate.date() <= mid else "late"
+        per[(r.o_custkey, p)] += int(
+            math.floor(float(r.o_totalprice) * 100 + 0.5)
+        )
+
+    def quintile(period):
+        vals = Counter(v for (ck, p), v in per.items() if p == period)
+        n = sum(vals.values())
+        support = sorted(vals)
+        cum, cums = 0, {}
+        for v in support:
+            cum += vals[v]
+            cums[v] = cum
+        bounds = [
+            min(v for v in support if cums[v] >= -(-i * n // 5))
+            for i in range(1, 5)
+        ]
+        return {
+            ck: 1 + sum(1 for b in bounds if v > b)
+            for (ck, p), v in per.items()
+            if p == period
+        }
+
+    qe, ql = quintile("early"), quintile("late")
+    grid = defaultdict(lambda: [0, 0])
+    for ck in set(qe) & set(ql):
+        g = grid[(qe[ck], ql[ck])]
+        g[0] += 1
+        g[1] += per[(ck, "late")]
+    got = {
+        (r.q_early, r.q_late): [r.n_customers, r.late_cents]
+        for r in ST.value_migration_matrix(_small_tables(spark)).collect()
+    }
+    assert got == dict(grid) and len(got) > 1
+    assert sum(v[0] for v in got.values()) == len(set(qe) & set(ql))
+    # migration must actually happen (off-diagonal mass) or the grid
+    # degenerates to the identity and the test is vacuous
+    assert any(a != b for (a, b) in got)

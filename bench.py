@@ -197,6 +197,7 @@ HEADLINE = [
     "hhi_concentration_by_segment",
     "local_peaks_hourly",
     "value_migration_matrix",
+    "stats_higher_moments",
 ]
 
 

@@ -2753,3 +2753,96 @@ def value_migration_oracle_sql() -> str:
         GROUP BY q_early, q_late
         ORDER BY q_early, q_late
         """
+
+
+def stats_higher_moments(t: dict[str, DataFrame]) -> DataFrame:
+    """Skewness and excess kurtosis of quantity per return flag —
+    completing the moment family (stats_moments stops at variance):
+    the tail-shape diagnostics a distribution monitor alarms on when
+    mean and variance look unchanged.
+
+    Exactness: skew and kurtosis are SCALE-INVARIANT, so the inputs
+    quantize losslessly to integer hundredths (q = quantity*100, <=
+    5000 here) and the per-row powers q², q³, q⁴ stay int64 (<=
+    6.25e14); only the SUMS leave int64 at lake scale, so they
+    accumulate in exact decimal(38,0) (the assortativity recipe).
+    The standardized central moments then fold in IEEE doubles with
+    the SAME association on both engines (the stats_correlation
+    recipe), ROUND(.., 9). Zero-variance groups yield NULL.
+
+    Output: (l_returnflag, n_items, skewness, kurtosis_excess).
+    """
+    li = maybe_fanout(t["lineitem"])
+    q = F.expr("CAST(l_quantity * 100 AS BIGINT)")
+    q2 = F.expr("CAST(l_quantity * 100 AS BIGINT)"
+                " * CAST(l_quantity * 100 AS BIGINT)")
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(q.cast("decimal(38,0)")).cast("double")
+    s2 = F.sum(q2.cast("decimal(38,0)")).cast("double")
+    s3 = F.sum(
+        (q2 * q).cast("decimal(38,0)")
+    ).cast("double")
+    s4 = F.sum(
+        (q2 * q2).cast("decimal(38,0)")
+    ).cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(skew, 9).alias("skewness"),
+            F.round(kurt, 9).alias("kurtosis_excess"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def stats_higher_moments_oracle_sql() -> str:
+    """DuckDB replay: same integer powers, decimal sums, and the
+    byte-identical IEEE moment expressions."""
+    return """
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+               ROUND(CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+                     THEN (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                          / ((s2 / n - (s1 / n) * (s1 / n))
+                             * SQRT(s2 / n - (s1 / n) * (s1 / n)))
+                     END, 9) AS skewness,
+               ROUND(CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+                     THEN (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n)
+                             * (s1 / n))
+                          / ((s2 / n - (s1 / n) * (s1 / n))
+                             * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
+                     END, 9) AS kurtosis_excess
+        FROM (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(CAST(l_quantity * 100 AS BIGINT)
+                               AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(CAST(l_quantity * 100 AS BIGINT)
+                               * CAST(l_quantity * 100 AS BIGINT)
+                               AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(CAST(l_quantity * 100 AS BIGINT)
+                               * CAST(l_quantity * 100 AS BIGINT)
+                               * CAST(l_quantity * 100 AS BIGINT)
+                               AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+                 CAST(SUM(CAST(CAST(l_quantity * 100 AS BIGINT)
+                               * CAST(l_quantity * 100 AS BIGINT)
+                               * (CAST(l_quantity * 100 AS BIGINT)
+                                  * CAST(l_quantity * 100 AS BIGINT))
+                               AS DECIMAL(38,0))) AS DOUBLE) AS s4
+          FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag
+        """

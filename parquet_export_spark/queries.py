@@ -777,6 +777,13 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # Skew/kurtosis per group: scale-invariant integer powers
+        # (per-row int64, decimal(38,0) sums), byte-identical IEEE
+        # moment folds (the stats_correlation recipe, extended).
+        "stats_higher_moments": QuerySpec(
+            _rel(ST.stats_higher_moments),
+            ST.stats_higher_moments_oracle_sql(),
+        ),
         # Customer value-migration grid: per-period rank-based
         # quintiles (relative movement, growth-immune), midpoint by
         # exact date arithmetic, both-periods filter.

@@ -1427,3 +1427,191 @@ def read_apdex_scores(spark, artifact_dir: str):
             "apdex_ppm",
         )
     )
+
+
+def w1_drift_stream(
+    events_stream: DataFrame,
+    ref_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous 1-Wasserstein drift monitoring — the MAGNITUDE twin
+    of ``ks_drift_stream`` (KS alarms on whether the distribution
+    moved anywhere; W1 reports how much value mass moved, in cents),
+    against the SAME frozen reference histogram
+    (``write_ks_reference`` — one calibration artifact serves both
+    monitors). After each micro-batch: cumulative-stream vs reference
+    W1 per event_type, by the batch ``wasserstein_distance_pairs``
+    recipe (deduped support union, cumulative + lead, int64 segment
+    sum, one presentation divide).
+
+    State is the identical per-(type, cents) histogram carry as the
+    KS monitor — value-range-bounded, never stream-volume-bounded —
+    and the carries are SHAREABLE byte-for-byte; this monitor keeps
+    its own tree only so the two can compact independently.
+
+    int64 envelope, GUARDED LOUDLY: the segment sum is bounded by
+    na * nb * value_range — tighter than KS's na * nb — so each
+    batch bounds na * nb * (max-min cents over BOTH sides) per type
+    and raises ValueError past 2^63-1 (re-calibrate or rescale
+    before resuming, the ks_drift_stream contract).
+
+    Replay idempotence + compaction: the shared recipe (overwritten
+    ``w1/batch_<id>`` + ``carry_<id>``, read highest carry below own
+    id, keep-two).
+    """
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/w1"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(FLOOR(value*100 + 0.5) AS BIGINT)"
+                ).alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, cents long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        ref = spark.read.parquet(ref_dir)
+        tot_a = cum.groupBy("event_type").agg(
+            F.sum("c").alias("na"),
+            F.min("cents").alias("lo_a"),
+            F.max("cents").alias("hi_a"),
+        )
+        tot_b = ref.groupBy("event_type").agg(
+            F.sum("c").alias("nb"),
+            F.min("cents").alias("lo_b"),
+            F.max("cents").alias("hi_b"),
+        )
+        tots = tot_a.join(tot_b, "event_type").withColumn(
+            "rng",
+            F.greatest("hi_a", "hi_b") - F.least("lo_a", "lo_b"),
+        )
+        over = (
+            tots.filter(
+                F.col("na").cast("double")
+                * F.col("nb").cast("double")
+                * F.greatest(F.col("rng"), F.lit(1)).cast("double")
+                > float(2**63 - 1)
+            )
+            .select("event_type", "na", "nb", "rng")
+            .first()
+        )
+        if over is not None:
+            raise ValueError(
+                f"w1_drift_stream int64 overflow envelope exceeded for"
+                f" event_type={over.event_type!r}: n_stream*n_ref*range"
+                f" = {over.na}*{over.nb}*{over.rng} > 2^63-1;"
+                f" re-calibrate the reference or rescale before resuming"
+            )
+        side_a = cum.select(
+            "event_type", "cents", F.col("c").alias("ca"), F.lit(0).alias("cb")
+        )
+        side_b = ref.select(
+            "event_type", "cents", F.lit(0).alias("ca"), F.col("c").alias("cb")
+        )
+        support = (
+            side_a.unionByName(side_b)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        )
+        wo = Window.partitionBy("event_type").orderBy("cents")
+        wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        seg = (
+            support.join(
+                tots.select("event_type", "na", "nb"), "event_type"
+            )
+            .withColumn("cum_a", F.sum("ca").over(wc))
+            .withColumn("cum_b", F.sum("cb").over(wc))
+            .withColumn("gap", F.lead("cents").over(wo) - F.col("cents"))
+            .filter(F.col("gap").isNotNull())
+            .withColumn(
+                "seg",
+                F.abs(
+                    F.col("cum_a") * F.col("nb")
+                    - F.col("cum_b") * F.col("na")
+                )
+                * F.col("gap"),
+            )
+        )
+        (
+            seg.groupBy("event_type", "na", "nb")
+            .agg(F.sum("seg").cast("long").alias("w1_num"))
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                F.col("na").cast("long").alias("n_stream"),
+                F.col("nb").cast("long").alias("n_ref"),
+                "w1_num",
+                F.round(
+                    F.col("w1_num").cast("double")
+                    / (F.col("na") * F.col("nb")).cast("double"),
+                    6,
+                ).alias("w1_cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_w1_drift(spark, artifact_dir: str):
+    """Per-batch cumulative W1 drift emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/w1")
+        .select(
+            "batch_id", "event_type", "n_stream", "n_ref",
+            "w1_num", "w1_cents",
+        )
+    )

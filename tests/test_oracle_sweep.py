@@ -69,6 +69,7 @@ ROUND_CHANGED = [
     "hhi_concentration_by_segment",
     "local_peaks_hourly",
     "value_migration_matrix",
+    "stats_higher_moments",
 ]
 
 SF_DIRS = [

@@ -1560,3 +1560,51 @@ def test_value_migration_matches_python(spark):
     # migration must actually happen (off-diagonal mass) or the grid
     # degenerates to the identity and the test is vacuous
     assert any(a != b for (a, b) in got)
+
+
+def test_higher_moments_match_python(spark):
+    """Reference: arbitrary-precision integer power sums in Python,
+    same standardized central-moment folds."""
+    from collections import defaultdict
+
+    t = _small_tables(spark)
+    qs = defaultdict(list)
+    for r in (
+        t["lineitem"].select("l_returnflag", "l_quantity").collect()
+    ):
+        qs[r.l_returnflag].append(int(round(float(r.l_quantity) * 100)))
+    want = {}
+    for flag, v in qs.items():
+        n = float(len(v))
+        s1, s2 = float(sum(v)), float(sum(x * x for x in v))
+        s3 = float(sum(x**3 for x in v))
+        s4 = float(sum(x**4 for x in v))
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        m4 = (
+            s4 / n
+            - 4.0 * mu * (s3 / n)
+            + 6.0 * mu * mu * (s2 / n)
+            - 3.0 * mu * mu * mu * mu
+        )
+        want[flag] = (
+            len(v),
+            m3 / (m2 * m2**0.5) if m2 > 0 else None,
+            m4 / (m2 * m2) - 3.0 if m2 > 0 else None,
+        )
+    got = {
+        r.l_returnflag: (r.n_items, r.skewness, r.kurtosis_excess)
+        for r in ST.stats_higher_moments(t).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        for i in (1, 2):
+            if want[k][i] is None:
+                assert got[k][i] is None, k
+            else:
+                assert abs(got[k][i] - want[k][i]) < 1e-6, (k, i)
+    # quantity is near-uniform on [1, 50]: kurtosis must be clearly
+    # platykurtic (excess ~ -1.2), a shape a moments bug would move
+    assert all(v[2] is not None and -1.5 < v[2] < -0.5 for v in got.values())

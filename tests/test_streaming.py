@@ -1110,3 +1110,82 @@ def test_apdex_stream_two_batches_exact_twin_parity(spark, tmp_path):
         )
         for r in I.read_apdex_scores(spark, art).collect()
     }
+
+
+def test_w1_drift_stream_two_batches_exact(spark, tmp_path):
+    """Streaming W1 vs a frozen reference: after each micro-batch the
+    emitted (w1_num, w1_cents) must equal a sequential Python
+    recomputation over the concatenated prefix, and a replay must
+    change nothing (the ks_drift_stream contract, magnitude flavor)."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "landing")
+    ref_dir = str(tmp_path / "ref")
+    art = str(tmp_path / "wart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(ids, vals, typ):
+        return [
+            (i, t0 + timedelta(minutes=i), 1, typ, v, "{}")
+            for i, v in zip(ids, vals)
+        ]
+
+    ref_rows = rows(range(1000, 1040), [10.0] * 20 + [20.0] * 20, "probe")
+    I.write_ks_reference(spark.createDataFrame(ref_rows, schema), ref_dir)
+    # batch 1 matches the reference shape; batch 2 shifts mass upward
+    b1 = rows(range(20), [10.0] * 10 + [20.0] * 10, "probe")
+    b2 = rows(range(20, 50), [30.0] * 30, "probe")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.w1_drift_stream(stream, ref_dir, art, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    def w1_python(stream_rows):
+        from collections import Counter
+
+        sa = Counter(int(v * 100 + 0.5) for *_, v, _p in
+                     [(r[0], r[1], r[2], r[3], r[4], r[5])
+                      for r in stream_rows])
+        sb = Counter(int(v * 100 + 0.5) for *_, v, _p in
+                     [(r[0], r[1], r[2], r[3], r[4], r[5])
+                      for r in ref_rows])
+        na, nb = sum(sa.values()), sum(sb.values())
+        support = sorted(set(sa) | set(sb))
+        cum_a = cum_b = num = 0
+        for x, nxt in zip(support, support[1:]):
+            cum_a += sa.get(x, 0)
+            cum_b += sb.get(x, 0)
+            num += abs(cum_a * nb - cum_b * na) * (nxt - x)
+        return na, nb, num, round(num / (na * nb), 6)
+
+    got = {
+        r.batch_id: (r.n_stream, r.n_ref, r.w1_num, r.w1_cents)
+        for r in I.read_w1_drift(spark, art).collect()
+    }
+    assert got[0] == w1_python(b1)
+    assert got[1] == w1_python(b1 + b2)
+    # batch 1 matches the reference exactly -> zero drift; batch 2's
+    # upward shift must register as positive drift
+    assert got[0][2] == 0
+    assert got[1][2] > 0
+    # replay idempotence
+    run_once()
+    assert got == {
+        r.batch_id: (r.n_stream, r.n_ref, r.w1_num, r.w1_cents)
+        for r in I.read_w1_drift(spark, art).collect()
+    }

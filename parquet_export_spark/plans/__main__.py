@@ -120,6 +120,13 @@ SHOWCASE = [
     "rfm_segments",
     "multitouch_attribution",
     "fano_burstiness",
+    # round-7 batch 4/5: support-bounded W1 integral, HOF-folded
+    # integer recurrence (no fact window), per-period boundary reuse,
+    # dense-spine peak window
+    "wasserstein_distance_pairs",
+    "holt_linear_forecast",
+    "value_migration_matrix",
+    "local_peaks_hourly",
 ]
 
 HEADER = """\

@@ -198,6 +198,8 @@ HEADLINE = [
     "local_peaks_hourly",
     "value_migration_matrix",
     "stats_higher_moments",
+    "user_activity_streaks",
+    "simpson_diversity_by_user",
 ]
 
 

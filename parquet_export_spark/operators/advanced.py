@@ -2913,3 +2913,142 @@ def local_peaks_oracle_sql(
           AND cents - GREATEST(prev, nxt) >= {min_prominence_cents}
         ORDER BY event_type, day, hour
         """
+
+
+def user_activity_streaks(t: dict[str, DataFrame]) -> DataFrame:
+    """Engagement streaks per user: longest run of CONSECUTIVE active
+    calendar days, plus the streak ending on the user's last active
+    day — the retention feature behind "don't break the chain"
+    mechanics and churn-risk models (a long current streak is the
+    strongest single no-churn signal).
+
+    The gaps-and-islands classic, date-exact: distinct active days
+    per user, island id = day - row_number (consecutive days share
+    it — pure date/integer arithmetic, tz-free on NTZ dates), one
+    grouped count per island, then per-user maxima. The "current"
+    streak is the island containing the user's max day.
+
+    Plan: fact collapses to DISTINCT (user, day) first (the window
+    input is user-days, never event volume), one user-keyed window,
+    two bounded aggregates.
+
+    Output: (user_id, n_active_days, longest_streak, last_streak).
+    """
+    from pyspark.sql import Window
+
+    days = (
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "isl",
+        F.datediff(
+            "day", F.lit("1970-01-01").cast("date")
+        ) - F.row_number().over(w),
+    )
+    per_island = islands.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("day").alias("island_end"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.expr("max_by(len, island_end)")
+            .cast("long")
+            .alias("last_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_activity_streaks_oracle_sql() -> str:
+    """DuckDB replay: same day-minus-row_number islands; the
+    last-streak arg-max keys on island_end (unique per user, so
+    max_by/arg_max cannot tie)."""
+    return """
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events),
+        islands AS (
+          SELECT user_id, day,
+                 date_diff('day', DATE '1970-01-01', day)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS isl
+          FROM days),
+        per_island AS (
+          SELECT user_id, isl,
+                 CAST(COUNT(*) AS BIGINT) AS len,
+                 MAX(day) AS island_end
+          FROM islands GROUP BY user_id, isl)
+        SELECT user_id,
+               CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(arg_max(len, island_end) AS BIGINT) AS last_streak
+        FROM per_island
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+
+
+def simpson_diversity_by_user(t: dict[str, DataFrame]) -> DataFrame:
+    """Behavioral diversity per user: the Simpson index 1 - Σ p_t²
+    over the user's event-type mix — 0 for a one-note user, toward
+    1 - 1/k for an even k-type mix. The logarithm-free diversity
+    measure (Shannon entropy needs libm ln, whose last-ulp behavior
+    differs across engines — the collocations_pmi lesson; Simpson's
+    polynomial form is exact): 1 - Σ n_t² / n² evaluates as exact
+    int64 cross-products folded into ONE IEEE divide, ROUND(.., 9).
+
+    Plan: one (user, type) count, one user-sized aggregate. Envelope:
+    Σ n_t² <= n², safe to ~3e9 events/user in int64.
+
+    Output: (user_id, n_events, n_types, simpson).
+    """
+    counts = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.lit(1.0)
+                - F.col("sq").cast("double")
+                / (F.col("n_events") * F.col("n_events")).cast("double"),
+                9,
+            ).alias("simpson"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def simpson_diversity_oracle_sql() -> str:
+    return """
+        WITH counts AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, event_type),
+        agg AS (
+          SELECT user_id,
+                 CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * c) AS BIGINT) AS sq
+          FROM counts GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+               ROUND(1.0 - CAST(sq AS DOUBLE)
+                     / CAST(n_events * n_events AS DOUBLE), 9)
+                   AS simpson
+        FROM agg ORDER BY user_id
+        """

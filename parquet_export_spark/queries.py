@@ -2689,6 +2689,19 @@ REGISTRY.update(
             _rel(A.multitouch_attribution),
             A.multitouch_attribution_oracle_sql(),
         ),
+        # Gaps-and-islands engagement streaks: window input is
+        # DISTINCT user-days (never event volume); last-streak argmax
+        # keys on the unique island end, so no tie rule needed.
+        "user_activity_streaks": QuerySpec(
+            _rel(A.user_activity_streaks),
+            A.user_activity_streaks_oracle_sql(),
+        ),
+        # Simpson diversity (1 - sum p²): the ln-free diversity index
+        # — exact int64 cross-products, one IEEE divide.
+        "simpson_diversity_by_user": QuerySpec(
+            _rel(A.simpson_diversity_by_user),
+            A.simpson_diversity_oracle_sql(),
+        ),
         # Strict local maxima on the DENSE hourly series (zeros enter
         # the grid — observed-only lag/lead invents and hides peaks at
         # gaps); integer prominence threshold; boundaries excluded.

@@ -70,6 +70,8 @@ ROUND_CHANGED = [
     "local_peaks_hourly",
     "value_migration_matrix",
     "stats_higher_moments",
+    "user_activity_streaks",
+    "simpson_diversity_by_user",
 ]
 
 SF_DIRS = [

@@ -1067,3 +1067,32 @@ def test_value_migration_windows_over_support(spark, sf_dir):
     assert "aggregate(bs#" in plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaks_window_over_user_days(spark, sf_dir):
+    """The islands window runs over DISTINCT (user, day) rows — no
+    Window block may carry event_id; fact pruned to two columns."""
+    df = q("user_activity_streaks", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks
+    assert not any("event_id#" in b for b in win_blocks)
+    [schema] = P.read_schemas(df)
+    assert schema == {"user_id", "ts"}
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_simpson_two_aggregates_no_window(spark, sf_dir):
+    df = q("simpson_diversity_by_user", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    [schema] = P.read_schemas(df)
+    assert schema == {"user_id", "event_type"}
+    assert P.count_shuffles(df) <= 3
+    assert "Exchange SinglePartition" not in plan

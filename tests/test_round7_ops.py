@@ -1608,3 +1608,60 @@ def test_higher_moments_match_python(spark):
     # quantity is near-uniform on [1, 50]: kurtosis must be clearly
     # platykurtic (excess ~ -1.2), a shape a moments bug would move
     assert all(v[2] is not None and -1.5 < v[2] < -0.5 for v in got.values())
+
+
+def test_activity_streaks_match_python(spark):
+    """Reference: Python consecutive-day runs per user; conservation
+    (island lengths sum to distinct active days) built in."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    active = defaultdict(set)
+    for r in _events_rows(spark):
+        active[r.user_id].add(r.ts.date())
+    want = {}
+    for u, ds in active.items():
+        days = sorted(ds)
+        runs, cur = [], [days[0]]
+        for prev, nxt in zip(days, days[1:]):
+            if nxt - prev == timedelta(days=1):
+                cur.append(nxt)
+            else:
+                runs.append(cur)
+                cur = [nxt]
+        runs.append(cur)
+        want[u] = (len(days), max(len(x) for x in runs), len(runs[-1]))
+    got = {
+        r.user_id: (r.n_active_days, r.longest_streak, r.last_streak)
+        for r in A.user_activity_streaks(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0
+    # the fixture must contain a real gap or islands were never split
+    assert any(v[0] > v[1] for v in got.values())
+
+
+def test_simpson_diversity_matches_python(spark):
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    mix = defaultdict(Counter)
+    for r in _events_rows(spark):
+        mix[r.user_id][r.event_type] += 1
+    want = {}
+    for u, c in mix.items():
+        n = sum(c.values())
+        sq = sum(v * v for v in c.values())
+        want[u] = (n, len(c), round(float(1 - Fraction(sq, n * n)), 9))
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.simpson)
+        for r in A.simpson_diversity_by_user(
+            _small_tables(spark)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][:2] == want[u][:2], u
+        assert abs(got[u][2] - want[u][2]) < 1e-9, u
+    # bounds: 0 <= simpson < 1 - 1/k + epsilon
+    for u, (n, k, s) in got.items():
+        assert 0.0 <= s <= 1.0 - 1.0 / k + 1e-9

@@ -54,6 +54,7 @@ TZ_SENSITIVE = [
     "holt_linear_forecast",
     "seasonality_strength_hourly",
     "local_peaks_hourly",
+    "user_activity_streaks",
 ]
 
 

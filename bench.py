@@ -200,6 +200,7 @@ HEADLINE = [
     "stats_higher_moments",
     "user_activity_streaks",
     "simpson_diversity_by_user",
+    "pareto_share_by_segment",
 ]
 
 

@@ -2846,3 +2846,124 @@ def stats_higher_moments_oracle_sql() -> str:
           FROM lineitem GROUP BY l_returnflag)
         ORDER BY l_returnflag
         """
+
+
+def pareto_share_by_segment(t: dict[str, DataFrame]) -> DataFrame:
+    """The 80/20 readout per market segment: what fraction of revenue
+    the TOP-QUINTILE customers carry — the concentration number
+    executives actually quote, complementing `hhi_concentration`'s
+    index form with the interpretable share form.
+
+    The top quintile is defined by the SAME rank-based integer
+    boundary rule as every quantile operator here (b = min v with
+    cum >= ceil(4n/5), pitfall 17): customers with v > b are the top
+    quintile — a deterministic, tie-stable set both engines cut
+    identically. share_ppm = top_cents * 1e6 div total_cents on
+    non-negative int64.
+
+    Plan: one orders scan -> customer grain, broadcast dimension
+    join, boundary window over the (segment x distinct cents)
+    support, one conditional aggregate.
+
+    Output: (segment, n_customers, n_top, total_cents, top_cents,
+    top_share_ppm).
+    """
+    from pyspark.sql import Window
+
+    o = t["orders"].select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("v")
+    )
+    seg = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cust = per.join(seg, "o_custkey").localCheckpoint()
+    counts = cust.groupBy("segment", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("segment").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bounds = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .join(tot, "segment")
+        .filter(F.col("cum") >= F.expr("(4 * n + 4) div 5"))
+        .groupBy("segment")
+        .agg(F.min("v").alias("b"))
+    )
+    return (
+        cust.join(F.broadcast(bounds), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("v") > F.col("b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_top"),
+            F.sum("v").cast("long").alias("total_cents"),
+            F.sum(F.when(F.col("v") > F.col("b"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("top_cents"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "n_top",
+            "total_cents",
+            "top_cents",
+            F.expr("top_cents * 1000000 div total_cents").alias(
+                "top_share_ppm"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+def pareto_share_oracle_sql() -> str:
+    return """
+        WITH per AS MATERIALIZED (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY o_custkey),
+        cust AS MATERIALIZED (
+          SELECT cu.c_mktsegment AS segment, p.v
+          FROM per p JOIN customer cu ON cu.c_custkey = p.o_custkey),
+        counts AS (
+          SELECT segment, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM cust GROUP BY segment, v),
+        tot AS (SELECT segment, CAST(SUM(c) AS BIGINT) AS n
+                FROM counts GROUP BY segment),
+        cum AS (
+          SELECT segment, v,
+                 CAST(SUM(c) OVER (PARTITION BY segment ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        bounds AS (
+          SELECT cum.segment, MIN(v) AS b
+          FROM cum JOIN tot ON tot.segment = cum.segment
+          WHERE cum >= (4 * tot.n + 4) // 5
+          GROUP BY cum.segment)
+        SELECT c.segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN c.v > b.b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top,
+               CAST(SUM(c.v) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN c.v > b.b THEN c.v ELSE 0 END)
+                    AS BIGINT) AS top_cents,
+               CAST(SUM(CASE WHEN c.v > b.b THEN c.v ELSE 0 END)
+                    AS BIGINT) * 1000000
+                   // CAST(SUM(c.v) AS BIGINT) AS top_share_ppm
+        FROM cust c JOIN bounds b ON b.segment = c.segment
+        GROUP BY c.segment
+        ORDER BY c.segment
+        """

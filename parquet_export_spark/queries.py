@@ -791,6 +791,12 @@ REGISTRY.update(
             _rel(ST.value_migration_matrix),
             ST.value_migration_oracle_sql(),
         ),
+        # 80/20 share per segment: rank-based top-quintile boundary
+        # (tie-stable both engines), one conditional aggregate.
+        "pareto_share_by_segment": QuerySpec(
+            _rel(ST.pareto_share_by_segment),
+            ST.pareto_share_oracle_sql(),
+        ),
         # Herfindahl revenue concentration per segment: decimal-exact
         # quadratic sums (per-customer cents squared leaves int64 at
         # lake scale), one IEEE fold.

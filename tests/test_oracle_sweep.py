@@ -72,6 +72,7 @@ ROUND_CHANGED = [
     "stats_higher_moments",
     "user_activity_streaks",
     "simpson_diversity_by_user",
+    "pareto_share_by_segment",
 ]
 
 SF_DIRS = [

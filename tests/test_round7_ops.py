@@ -1665,3 +1665,55 @@ def test_simpson_diversity_matches_python(spark):
     # bounds: 0 <= simpson < 1 - 1/k + epsilon
     for u, (n, k, s) in got.items():
         assert 0.0 <= s <= 1.0 - 1.0 / k + 1e-9
+
+
+def test_pareto_share_matches_python(spark):
+    """Reference: Python boundary + share; plus the sanity that the
+    top quintile's share strictly exceeds its population share."""
+    from collections import Counter, defaultdict
+    import math
+
+    t = _small_tables(spark)
+    cust_seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+    per = defaultdict(int)
+    for r in t["orders"].select("o_custkey", "o_totalprice").collect():
+        per[r.o_custkey] += int(math.floor(float(r.o_totalprice) * 100 + 0.5))
+    segs = defaultdict(list)
+    for ck, v in per.items():
+        segs[cust_seg[ck]].append(v)
+    want = {}
+    for s, vs in segs.items():
+        vals = Counter(vs)
+        n = len(vs)
+        support = sorted(vals)
+        cum, cums = 0, {}
+        for v in support:
+            cum += vals[v]
+            cums[v] = cum
+        b = min(v for v in support if cums[v] >= -(-4 * n // 5))
+        top = [v for v in vs if v > b]
+        want[s] = (
+            n,
+            len(top),
+            sum(vs),
+            sum(top),
+            sum(top) * 1_000_000 // sum(vs),
+        )
+    got = {
+        r.segment: (
+            r.n_customers,
+            r.n_top,
+            r.total_cents,
+            r.top_cents,
+            r.top_share_ppm,
+        )
+        for r in ST.pareto_share_by_segment(t).collect()
+    }
+    assert got == want and len(got) == 5
+    for s, (n, ntop, tot, top, ppm) in got.items():
+        assert ntop <= n // 5 + 1
+        # concentration: top-quintile share > population share
+        assert ppm * n > 1_000_000 * ntop

@@ -1096,3 +1096,35 @@ def test_simpson_two_aggregates_no_window(spark, sf_dir):
     assert schema == {"user_id", "event_type"}
     assert P.count_shuffles(df) <= 3
     assert "Exchange SinglePartition" not in plan
+
+
+def test_higher_moments_decimal_sums_single_agg(spark, sf_dir):
+    """All four power sums ride ONE grouped aggregate with
+    decimal(38,0) accumulation — no window, no join, no second
+    fact scan."""
+    df = q("stats_higher_moments", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "decimal(38,0)" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pareto_share_boundary_window_over_support(spark, sf_dir):
+    """The quintile boundary derives from the (segment x distinct
+    cents) support — no Window block carries o_custkey — and reaches
+    the customer frame via broadcast."""
+    df = q("pareto_share_by_segment", spark, sf_dir)
+    plan = P.plan_string(df)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks
+    assert not any("o_custkey#" in b for b in win_blocks)
+    assert P.count_broadcast_joins(df) >= 1
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

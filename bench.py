@@ -201,6 +201,7 @@ HEADLINE = [
     "user_activity_streaks",
     "simpson_diversity_by_user",
     "pareto_share_by_segment",
+    "dup_family_size_histogram",
 ]
 
 

@@ -1708,3 +1708,73 @@ def remove_contained_docs_oracle_sql() -> str:
     ORDER BY d.doc_id
     """
     )
+
+
+#: DuckDB CTE text of the canonical-group core (canonicalize ->
+#: md5-group with keeper/copies/variants) — ONE SQL definition shared
+#: by the dedup_canonical oracle and the family-size histogram (the
+#: _DUP_SPAN_CTES drift rule).
+CANON_GROUPS_CTES_SQL = """
+        c AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                      regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+                                     'g'),
+                      ' +', ' ', 'g')) AS canon
+          FROM documents),
+        groups AS (
+          SELECT md5(canon) AS canonical_hash,
+                 MIN(doc_id) AS keeper_doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(COUNT(DISTINCT text) AS BIGINT) AS n_variants
+          FROM c GROUP BY md5(canon))
+        """
+
+
+def dup_family_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """The duplication dashboard: how big are the canonical duplicate
+    families — family-size histogram over ``dedup_canonical``'s
+    groups (called directly; one definition), with the per-size doc
+    mass and the count of families where byte-distinct variants
+    collapsed. THE two numbers an ingest review reads first: the
+    singleton fraction (how much of the corpus is unique) and the
+    tail (a heavy family is a template/boilerplate flood).
+
+    Composition: one aggregate over the group table — the whole
+    canonicalize/digest chain re-verifies inside this hash every run.
+
+    Output: (family_size, n_families, n_docs, n_multi_variant).
+    """
+    groups = dedup_canonical(t)
+    return (
+        groups.groupBy(F.col("n_copies").alias("family_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_families"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_variants") > 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_multi_variant"),
+        )
+        .orderBy("family_size")
+    )
+
+
+def dup_family_size_oracle_sql() -> str:
+    """DuckDB replay: the shared canonical-group fragment verbatim,
+    then the same one-aggregate rollup."""
+    return (
+        "WITH "
+        + CANON_GROUPS_CTES_SQL
+        + """
+        SELECT n_copies AS family_size,
+               CAST(COUNT(*) AS BIGINT) AS n_families,
+               CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_multi_variant
+        FROM groups
+        GROUP BY n_copies
+        ORDER BY family_size
+        """
+    )

@@ -897,20 +897,21 @@ REGISTRY.update(
         # engine-identical, so the canonical digest groups match.
         "dedup_canonical": QuerySpec(
             _rel(D.dedup_canonical),
-            """
-            WITH c AS (
-              SELECT doc_id, text,
-                     trim(regexp_replace(
-                          regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
-                                         'g'),
-                          ' +', ' ', 'g')) AS canon
-              FROM documents)
-            SELECT md5(canon) AS canonical_hash,
-                   MIN(doc_id) AS keeper_doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_copies,
-                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_variants
-            FROM c GROUP BY md5(canon) ORDER BY canonical_hash
+            # canonical-group core from the SHARED fragment (one
+            # definition with dup_family_size_histogram).
+            "WITH "
+            + D.CANON_GROUPS_CTES_SQL
+            + """
+            SELECT canonical_hash, keeper_doc_id, n_copies, n_variants
+            FROM groups ORDER BY canonical_hash
             """,
+        ),
+        # Duplication dashboard: one rollup over the canonical groups
+        # (called directly — the canonicalize/digest chain re-verifies
+        # inside this hash).
+        "dup_family_size_histogram": QuerySpec(
+            _rel(D.dup_family_size_histogram),
+            D.dup_family_size_oracle_sql(),
         ),
         "dedup_exact_keep_first": QuerySpec(
             _rel(D.dedup_exact_keep_first),

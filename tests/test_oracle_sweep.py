@@ -73,6 +73,8 @@ ROUND_CHANGED = [
     "user_activity_streaks",
     "simpson_diversity_by_user",
     "pareto_share_by_segment",
+    "dedup_canonical",  # oracle moved onto the shared fragment
+    "dup_family_size_histogram",
 ]
 
 SF_DIRS = [

@@ -1717,3 +1717,66 @@ def test_pareto_share_matches_python(spark):
         assert ntop <= n // 5 + 1
         # concentration: top-quintile share > population share
         assert ppm * n > 1_000_000 * ntop
+
+
+def test_dup_family_histogram_matches_python(spark):
+    """Reference: Python canonicalization + family sizes; plus
+    conservation (doc mass sums to corpus size) and a real
+    multi-copy family in the fixture."""
+    import hashlib
+    import re as _re
+    from collections import Counter, defaultdict
+
+    docs = (
+        _small_tables(spark)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    )
+    fams = defaultdict(list)
+    for r in docs:
+        canon = _re.sub(
+            " +", " ", _re.sub("[^a-z0-9 ]", " ", r.text.lower())
+        ).strip()
+        fams[hashlib.md5(canon.encode()).hexdigest()].append(r.text)
+    want = defaultdict(lambda: [0, 0, 0])
+    for texts in fams.values():
+        w = want[len(texts)]
+        w[0] += 1
+        w[1] += len(texts)
+        if len(set(texts)) > 1:
+            w[2] += 1
+    from parquet_export_spark.operators import dedup as D
+
+    got = {
+        r.family_size: [r.n_families, r.n_docs, r.n_multi_variant]
+        for r in D.dup_family_size_histogram(
+            _small_tables(spark)
+        ).collect()
+    }
+    assert got == dict(want)
+    assert sum(v[1] for v in got.values()) == len(docs)
+
+
+def test_dup_family_histogram_engineered_families(spark):
+    """Engineered fixture exercising the non-singleton path the
+    sf0.001 corpus lacks (it is canonical-unique): two byte-distinct
+    punctuation variants collapse to one size-2 multi-variant family,
+    two byte-identical copies make a size-2 single-variant family."""
+    from parquet_export_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "en", "a", 13),
+            (2, "hello world", "en", "a", 11),
+            (3, "something else", "en", "a", 14),
+            (4, "something else", "en", "a", 14),
+            (5, "unique text", "en", "a", 11),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r.family_size: (r.n_families, r.n_docs, r.n_multi_variant)
+        for r in D.dup_family_size_histogram({"documents": docs}).collect()
+    }
+    assert got == {1: (1, 1, 0), 2: (2, 4, 1)}

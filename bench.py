@@ -202,6 +202,7 @@ HEADLINE = [
     "simpson_diversity_by_user",
     "pareto_share_by_segment",
     "dup_family_size_histogram",
+    "odds_ratio_type_pairs",
 ]
 
 

@@ -3052,3 +3052,109 @@ def simpson_diversity_oracle_sql() -> str:
                    AS simpson
         FROM agg ORDER BY user_id
         """
+
+
+def odds_ratio_type_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """The 2x2 association table and odds ratio between every pair of
+    event types at USER level — the inferential companion to
+    ``type_affinity_jaccard``: Jaccard says how much two behaviors
+    overlap; the odds ratio says how much doing one CHANGES THE ODDS
+    of doing the other, with the full contingency cells (n11/n10/
+    n01/n00) exposed for any downstream test.
+
+    Exactness: all four cells derive from integer user-set counts
+    (n10 = n_a - n11 by inclusion-exclusion, n00 = N - n_a - n_b +
+    n11); or_ppm = n11 * n00 * 1e6 div (n10 * n01) on non-negative
+    int64, NULL when any off-diagonal cell is 0 (the unbounded/
+    undefined cases — Haldane smoothing would trade exactness for a
+    float). Envelope: cell products are <= N², so ppm is safe to
+    N ~ 3e6 users; past that lift to decimal(38,0).
+
+    Plan: ONE distinct (user, type) collapse feeds the pair self-join
+    (fan-out bounded by types² after the collapse — the
+    type_affinity shape), totals broadcast, N as a 1-row broadcast.
+
+    Output: (type_a, type_b, n11, n10, n01, n00, or_ppm).
+    """
+    ut = (
+        t["events"].select("user_id", "event_type").distinct()
+    ).localCheckpoint()
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nn = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("N")
+    )
+    a = ut.select(F.col("event_type").alias("ta"), "user_id")
+    b = ut.select(F.col("event_type").alias("tb"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    t_a = totals.select(
+        F.col("event_type").alias("ta"), F.col("n").alias("na")
+    )
+    t_b = totals.select(
+        F.col("event_type").alias("tb"), F.col("n").alias("nb")
+    )
+    cells = (
+        both.join(t_a, "ta")
+        .join(t_b, "tb")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("n11").cast("long").alias("n11"),
+            (F.col("na") - F.col("n11")).cast("long").alias("n10"),
+            (F.col("nb") - F.col("n11")).cast("long").alias("n01"),
+            (F.col("N") - F.col("na") - F.col("nb") + F.col("n11"))
+            .cast("long")
+            .alias("n00"),
+        )
+    )
+    return cells.select(
+        "type_a",
+        "type_b",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            (F.col("n10") > 0) & (F.col("n01") > 0),
+            F.expr("n11 * n00 * 1000000 div (n10 * n01)"),
+        ).alias("or_ppm"),
+    ).orderBy("type_a", "type_b")
+
+
+def odds_ratio_oracle_sql() -> str:
+    return """
+        WITH ut AS MATERIALIZED (
+          SELECT DISTINCT user_id, event_type FROM events),
+        totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM ut GROUP BY event_type),
+        nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS N
+               FROM ut),
+        co AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 CAST(COUNT(*) AS BIGINT) AS n11
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type),
+        cells AS (
+          SELECT bo.ta AS type_a, bo.tb AS type_b, bo.n11,
+                 t_a.n - bo.n11 AS n10,
+                 t_b.n - bo.n11 AS n01,
+                 nn.N - t_a.n - t_b.n + bo.n11 AS n00
+          FROM co bo
+          JOIN totals t_a ON t_a.event_type = bo.ta
+          JOIN totals t_b ON t_b.event_type = bo.tb
+          CROSS JOIN nn)
+        SELECT type_a, type_b, n11, n10, n01, n00,
+               CASE WHEN n10 > 0 AND n01 > 0
+                    THEN n11 * n00 * 1000000 // (n10 * n01)
+               END AS or_ppm
+        FROM cells
+        ORDER BY type_a, type_b
+        """

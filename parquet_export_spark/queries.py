@@ -2696,6 +2696,12 @@ REGISTRY.update(
             _rel(A.multitouch_attribution),
             A.multitouch_attribution_oracle_sql(),
         ),
+        # 2x2 contingency + odds ratio per type pair (the inferential
+        # companion to type_affinity's Jaccard): inclusion-exclusion
+        # integer cells, NULL on zero off-diagonals (no smoothing).
+        "odds_ratio_type_pairs": QuerySpec(
+            _rel(A.odds_ratio_type_pairs), A.odds_ratio_oracle_sql()
+        ),
         # Gaps-and-islands engagement streaks: window input is
         # DISTINCT user-days (never event volume); last-streak argmax
         # keys on the unique island end, so no tie rule needed.

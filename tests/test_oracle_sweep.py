@@ -75,6 +75,7 @@ ROUND_CHANGED = [
     "pareto_share_by_segment",
     "dedup_canonical",  # oracle moved onto the shared fragment
     "dup_family_size_histogram",
+    "odds_ratio_type_pairs",
 ]
 
 SF_DIRS = [

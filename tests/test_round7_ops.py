@@ -1780,3 +1780,40 @@ def test_dup_family_histogram_engineered_families(spark):
         for r in D.dup_family_size_histogram({"documents": docs}).collect()
     }
     assert got == {1: (1, 1, 0), 2: (2, 4, 1)}
+
+
+def test_odds_ratio_matches_python(spark):
+    """Reference: Python user-set contingency cells + Fraction-exact
+    odds ratio; cell-sum conservation (n11+n10+n01+n00 == N)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    users = defaultdict(set)
+    all_users = set()
+    for r in _events_rows(spark):
+        users[r.event_type].add(r.user_id)
+        all_users.add(r.user_id)
+    N = len(all_users)
+    types = sorted(users)
+    want = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            n11 = len(users[ta] & users[tb])
+            if n11 == 0:
+                continue  # no co-occurrence row is emitted
+            n10 = len(users[ta]) - n11
+            n01 = len(users[tb]) - n11
+            n00 = N - len(users[ta]) - len(users[tb]) + n11
+            orp = (
+                int(Fraction(n11 * n00 * 1_000_000, n10 * n01))
+                if n10 > 0 and n01 > 0
+                else None
+            )
+            want[(ta, tb)] = (n11, n10, n01, n00, orp)
+    got = {
+        (r.type_a, r.type_b): (r.n11, r.n10, r.n01, r.n00, r.or_ppm)
+        for r in A.odds_ratio_type_pairs(_small_tables(spark)).collect()
+    }
+    assert got == want and len(got) > 0
+    for (ta, tb), (n11, n10, n01, n00, _) in got.items():
+        assert n11 + n10 + n01 + n00 == N, (ta, tb)

@@ -203,6 +203,7 @@ HEADLINE = [
     "pareto_share_by_segment",
     "dup_family_size_histogram",
     "odds_ratio_type_pairs",
+    "order_cadence_by_customer",
 ]
 
 

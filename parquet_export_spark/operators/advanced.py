@@ -3158,3 +3158,110 @@ def odds_ratio_oracle_sql() -> str:
         FROM cells
         ORDER BY type_a, type_b
         """
+
+
+def order_cadence_by_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Purchasing cadence per customer: the median (and min/max) days
+    between consecutive order days — the replenishment-cycle feature
+    behind reorder reminders and churn-watch ("customer's cadence is
+    30 days and it's been 90"). Day-grain: same-day orders collapse
+    to one active day first, so the cadence measures CYCLES, not
+    basket splits.
+
+    The median is an INTEGER ORDER STATISTIC — the lower median
+    (position ceil(n/2) in the sorted gaps), picked by row_number
+    over the gap order (tied gaps are equal VALUES, so tie order
+    cannot change the selected value) — never an interpolated
+    percentile (pitfall 17). Gaps are date-on-date datediff (exact
+    calendar arithmetic both engines).
+
+    Plan: one orders scan -> distinct (customer, day), ONE
+    customer-keyed window pass for lag + rank (both ride the same
+    exchange), one customer-sized aggregate. Customers with fewer
+    than two active days have no cadence and are excluded.
+
+    Output: (o_custkey, n_active_days, n_gaps, median_gap_days,
+    min_gap_days, max_gap_days).
+    """
+    from pyspark.sql import Window
+
+    days = (
+        t["orders"]
+        .select("o_custkey", F.to_date("o_orderdate").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = (
+        days.withColumn(
+            "gap", F.datediff("day", F.lag("day").over(w))
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("o_custkey", F.col("gap").cast("long").alias("gap"))
+    )
+    # three consumers (stats, rank, median join) — checkpoint so the
+    # scan + lag window run once, not three times.
+    gaps = gaps.localCheckpoint()
+    wr = Window.partitionBy("o_custkey").orderBy("gap")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr))
+    stats = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )
+    med = (
+        ranked.join(stats.select("o_custkey", "n_gaps"), "o_custkey")
+        .filter(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+        .select("o_custkey", F.col("gap").alias("median_gap_days"))
+    )
+    return (
+        stats.join(med, "o_custkey")
+        .select(
+            "o_custkey",
+            (F.col("n_gaps") + 1).cast("long").alias("n_active_days"),
+            "n_gaps",
+            "median_gap_days",
+            "min_gap_days",
+            "max_gap_days",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def order_cadence_oracle_sql() -> str:
+    """DuckDB replay: same distinct day-grain, lag gaps, and the
+    lower-median order statistic by row_number."""
+    return """
+        WITH days AS (
+          SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+          FROM orders),
+        gaps AS MATERIALIZED (
+          SELECT o_custkey,
+                 CAST(date_diff('day', LAG(day) OVER w, day) AS BIGINT)
+                     AS gap
+          FROM days
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY day)),
+        g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+        stats AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+                 CAST(MAX(gap) AS BIGINT) AS max_gap_days
+          FROM g GROUP BY o_custkey),
+        ranked AS (
+          SELECT o_custkey, gap,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY gap) AS rn
+          FROM g),
+        med AS (
+          SELECT r.o_custkey, r.gap AS median_gap_days
+          FROM ranked r JOIN stats s ON s.o_custkey = r.o_custkey
+          WHERE r.rn = (s.n_gaps + 1) // 2)
+        SELECT s.o_custkey,
+               s.n_gaps + 1 AS n_active_days,
+               s.n_gaps,
+               m.median_gap_days,
+               s.min_gap_days,
+               s.max_gap_days
+        FROM stats s JOIN med m ON m.o_custkey = s.o_custkey
+        ORDER BY s.o_custkey
+        """

@@ -2696,6 +2696,13 @@ REGISTRY.update(
             _rel(A.multitouch_attribution),
             A.multitouch_attribution_oracle_sql(),
         ),
+        # Purchasing cadence: day-grain inter-order gaps, lower-median
+        # as an integer ORDER STATISTIC (never interpolated — pitfall
+        # 17), one customer-keyed window exchange for lag + rank.
+        "order_cadence_by_customer": QuerySpec(
+            _rel(A.order_cadence_by_customer),
+            A.order_cadence_oracle_sql(),
+        ),
         # 2x2 contingency + odds ratio per type pair (the inferential
         # companion to type_affinity's Jaccard): inclusion-exclusion
         # integer cells, NULL on zero off-diagonals (no smoothing).

@@ -76,6 +76,7 @@ ROUND_CHANGED = [
     "dedup_canonical",  # oracle moved onto the shared fragment
     "dup_family_size_histogram",
     "odds_ratio_type_pairs",
+    "order_cadence_by_customer",
 ]
 
 SF_DIRS = [

@@ -1128,3 +1128,26 @@ def test_pareto_share_boundary_window_over_support(spark, sf_dir):
     assert P.count_broadcast_joins(df) >= 1
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cadence_one_customer_exchange(spark, sf_dir):
+    """The lag and rank windows both ride customer-keyed
+    partitioning; the fact scan prunes to two columns; no window
+    carries order keys."""
+    df = q("order_cadence_by_customer", spark, sf_dir)
+    plan = P.plan_string(df)
+    # the gap frame is checkpointed, so the visible plan is the
+    # post-checkpoint consumers; any remaining scan must stay pruned
+    schemas = P.read_schemas(df)
+    assert all(s <= {"o_custkey", "o_orderdate"} for s in schemas)
+    import re
+
+    win_blocks = [
+        b
+        for b in _physical_blocks(plan)
+        if re.match(r"\(\d+\) Window", b.strip())
+    ]
+    assert win_blocks
+    assert not any("o_orderkey#" in b for b in win_blocks)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -1817,3 +1817,42 @@ def test_odds_ratio_matches_python(spark):
     assert got == want and len(got) > 0
     for (ta, tb), (n11, n10, n01, n00, _) in got.items():
         assert n11 + n10 + n01 + n00 == N, (ta, tb)
+
+
+def test_order_cadence_matches_python(spark):
+    """Reference: Python day-grain gaps + lower-median order
+    statistic; plus the min <= median <= max sanity."""
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for r in (
+        _small_tables(spark)["orders"]
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        days[r.o_custkey].add(r.o_orderdate.date())
+    want = {}
+    for ck, ds in days.items():
+        sd = sorted(ds)
+        if len(sd) < 2:
+            continue
+        gaps = sorted(
+            (b - a).days for a, b in zip(sd, sd[1:])
+        )
+        med = gaps[(len(gaps) + 1) // 2 - 1]
+        want[ck] = (len(sd), len(gaps), med, gaps[0], gaps[-1])
+    got = {
+        r.o_custkey: (
+            r.n_active_days,
+            r.n_gaps,
+            r.median_gap_days,
+            r.min_gap_days,
+            r.max_gap_days,
+        )
+        for r in A.order_cadence_by_customer(
+            _small_tables(spark)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    for v in got.values():
+        assert v[3] <= v[2] <= v[4]

@@ -127,6 +127,12 @@ SHOWCASE = [
     "holt_linear_forecast",
     "value_migration_matrix",
     "local_peaks_hourly",
+    # round-7 final batch: islands window over user-days, one
+    # distinct-collapse contingency join, checkpointed shared gap
+    # frame with an order-statistic median
+    "user_activity_streaks",
+    "odds_ratio_type_pairs",
+    "order_cadence_by_customer",
 ]
 
 HEADER = """\

@@ -3595,52 +3595,65 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 _VERDICT_PRIORITY = [
     # ------------------------------------------------------------------
-    # ROUND-7 WINDOW, per the r6 verdict's explicit 18+32 allocation:
-    # (a) the 18 round-6 oracle-bearing operators — after r6's
-    # staleness purge they are the ONLY oracle entries with no driver
-    # verdict at all (standing rule 1: new-or-changed first), and
-    # (b) 32 of the 36 entries whose only verdict is r3 (4 rounds
-    # stale at r7 — the oldest evidence left; rule 2: oldest first).
-    # 18 + 32 = 50, every slot oracle-bearing.
-    # Deferred to r8 by rule 3 (risk-ranked ties — plain Catalyst
-    # shapes yield to custom/composed operators), each named per the
-    # standing policy: join_inner, join_semi, join_anti,
-    # sort_limit_offset — the four plainest single-shuffle Catalyst
-    # shapes in the r3 block, each re-proven by its exact oracle every
-    # pytest pass. The q1 flagship also sits out this one round: it is
-    # r6-green (the freshest evidence possible) and the driver
-    # smoke-checks it every round through entry(); it returns in r8
-    # with the deferred four. Round-7's NEW operators (registered
-    # after this list) take r8 window priority per rule 1; until then
-    # their evidence is the pytest oracle harness plus the triple-SF
-    # sweep gate (tests/test_oracle_sweep.py).
-    # The rows-only gears (histogram_equidepth_approx,
-    # supplier_communities_approx, hll_rollup_users, bpe_learn_merges,
-    # neardup_incremental) stay outside by the standing clause: a
-    # rows-only driver check would not strengthen their pytest bounds.
+    # ROUND-9 WINDOW, per the r8 verdict's explicit 35+5+10 allocation
+    # (the r8 round was a no-op, so this executes the rotation the r7
+    # verdict first mandated):
+    # (a) the 35 round-7 oracle-bearing operators that have NEVER held
+    #     a driver verdict (standing rule 1: new-first; live-import
+    #     cross-check against CORRECTNESS_r01..r08 unions),
+    # (b) the 5 named stale returns — join_inner, join_semi,
+    #     join_anti, sort_limit_offset (deferred since r3, promised
+    #     r8) and q1_pricing_summary (last verdicted r6),
+    # (c) 10 of the 23 oracle-bearing r4-stale entries (rule 2:
+    #     oldest oracle evidence left; rule 3 picks the most
+    #     custom/composed shapes first — cogroup UDF, span dedup,
+    #     iterative graph, CMS sketch, BPE, MERGE, codec kernels).
+    # 35 + 5 + 10 = 50, every slot oracle-bearing.
+    # Left OUTSIDE the window, each named per the standing policy:
+    #   r4-stale oracle entries deferred to r10 (13, all plain
+    #   aggregate/window/join Catalyst shapes re-proven by exact
+    #   oracles every pytest pass): agg_stats, bloom_prune_orders,
+    #   event_ohlc, label_centroid_sim, next_event_examples, pii_scan,
+    #   shard_for_training, token_diversity, value_gini_by_type,
+    #   value_outliers, vocab_coverage, window_range_frame,
+    #   winsorize_values.
+    #   rows-only gears (no oracle; a rows-only driver check would not
+    #   strengthen their pytest bounds): the r3 block
+    #   (agg_approx_distinct, ann_lsh_buckets, ann_lsh_neighbors,
+    #   approx_percentiles, fuzzy_dedup_keep, ivf_topk, label_pca,
+    #   neardup_clusters, neardup_minhash_lsh, neardup_simhash,
+    #   sample_fraction, semdedup_embedding), pq_topk (r4), and the
+    #   never-verdicted gears (bpe_learn_merges,
+    #   histogram_equidepth_approx, hll_rollup_users,
+    #   ivf_probe_incremental, neardup_incremental,
+    #   pq_probe_incremental, supplier_communities_approx, plus the
+    #   round-9 supplier_projection probe gear if registered).
+    #   r5/r6/r8-green entries: within the freshness bar.
     # ------------------------------------------------------------------
-    # round-6 operators, never driver-verdicted (r6 verdict #1):
-    "clustering_coeff_suppliers", "collocations_pmi",
-    "benford_first_digit", "pareto_frontier_orders",
-    "ewma_halflife_values", "dedup_canonical", "containment_join",
-    "seasonal_decompose_hourly", "phash_pgm_dedup",
-    "assortativity_trade_graph", "remove_contained_docs",
-    "ks_distance_pairs", "random_walks_suppliers", "sql_cohort_ltv",
-    "decile_features_events", "anomaly_suite_events",
-    "target_encode_loo", "interarrival_gap_histogram",
-    # r3-stale block (32 of 36; oldest-first within their families):
-    "q5_revenue_by_nation", "q6_forecast_revenue",
-    "q11_important_parts", "join_range", "set_ops",
-    "lateral_explode_items", "agg_rollup", "window_topk_per_group",
-    "window_running_sum", "array_collect_funcs", "dedup_exact",
-    "neardup_jaccard_blocked", "neardup_ngram_jaccard", "cosine_topk",
-    "neardup_embedding", "byte_histograms", "bm25_scores",
-    "quality_weighted_sample", "retention_cohorts", "scd2_user_state",
-    "event_transition_matrix", "pgm_image_features",
-    "stratified_sample", "pack_sequences", "decontaminate_train",
-    "chunk_documents", "mixture_weights", "unigram_freq_quality",
-    "repetition_ratios", "winnowing_fingerprints",
-    "lang_quality_summary", "multimodal_features",
+    # (a) round-7 operators, never driver-verdicted (r8 verdict #1):
+    "lpa_communities_suppliers", "link_prediction_suppliers",
+    "community_modularity_suppliers", "degree_distribution_suppliers",
+    "wasserstein_distance_pairs", "rfm_segments", "session_entry_exit",
+    "multitouch_attribution", "funnel_time_to_convert",
+    "user_path_topk", "user_activity_streaks", "value_migration_matrix",
+    "order_cadence_by_customer", "weekly_revenue_wow",
+    "odds_ratio_type_pairs", "simpson_diversity_by_user",
+    "pareto_share_by_segment", "hhi_concentration_by_segment",
+    "apdex_by_type", "fano_burstiness", "holt_linear_forecast",
+    "autocorr_hourly_counts", "seasonality_strength_hourly",
+    "stats_higher_moments", "local_peaks_hourly", "rake_keyphrases",
+    "ngram_novelty_scores", "novelty_incremental",
+    "robust_scale_features", "feature_hash_vectors", "value_clusters_1d",
+    "chi2_type_decile", "type_affinity_jaccard", "nearest_event_join",
+    "dup_family_size_histogram",
+    # (b) the five named stale returns:
+    "join_inner", "join_semi", "join_anti", "sort_limit_offset",
+    "q1_pricing_summary",
+    # (c) r4-stale block, most custom/composed 10 of 23:
+    "cogroup_user_funnel", "dup_spans", "sssp_trade_graph",
+    "cc_trade_graph", "heavy_hitters_cms", "bpe_token_counts",
+    "merge_upsert_orders", "ppm_image_features", "wav_audio_features",
+    "video_frame_features",
 ]
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

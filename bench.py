@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -271,9 +272,36 @@ def _emit(timings: dict[str, float], sf) -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                # Null-round tripwire (round-8 verdict, "What's wrong"
+                # #3): the commit the bench actually ran against, so a
+                # round whose artifacts were produced off an unchanged
+                # HEAD is machine-distinguishable from real progress.
+                "commit": _head_commit(),
             }
         )
     )
+
+
+def _head_commit() -> str:
+    """Short hash of the repo HEAD this bench ran against.
+
+    ``dirty+`` prefix marks uncommitted changes in the worktree; any
+    git failure degrades to ``"unknown"`` rather than breaking the
+    driver-tail contract (the last line must always be parseable).
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        return ("dirty+" if dirty else "") + head
+    except Exception:
+        return "unknown"
 
 
 def main() -> None:

@@ -1220,10 +1220,20 @@ def ks_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
     at shared support points and overstate D). Reported ks_ppm =
     D * 1e6 div (n_a * n_b).
 
-    Overflow envelope: cum * n <= n_a * n_b, and the ppm scaling
-    multiplies by 1e6 — safe while n_a * n_b * 1e6 < 2^63, i.e.
-    samples up to ~3e6 per type; past that divide counts down or lift
-    to decimal(38,0) (documented, the PageRank-guard convention).
+    Overflow envelope — LOUD, not documentation-only: cum * n <=
+    n_a * n_b, and the ppm scaling multiplies by 1e6, so the product
+    chain is safe while n_a * n_b * 1e6 < 2^63 (~3e6 samples per
+    type). The session pins ``ansi.enabled=false`` (session.py), so
+    past the envelope int64 would WRAP SILENTLY into garbage ppm —
+    therefore the ks_ppm projection embeds a ``raise_error`` tier
+    (the hits_trade_graph guard convention, expressed in-plan so it
+    costs zero extra jobs and runs distributed): any pair with
+    n_b > floor(floor((2^63-1)/1e6) / n_a) — the overflow predicate
+    rearranged into a division so the GUARD itself cannot wrap —
+    fails the query with the remediation message (divide counts
+    down, or lift the comparison to decimal(38,0)) instead of
+    returning wrapped numbers. Adversarially tested over-envelope in
+    tests/test_round9_ops.py.
 
     Plan: one fact aggregate to (type, cents), one bounded window
     chain, one broadcastable pair frame — the fact table is touched
@@ -1296,7 +1306,23 @@ def ks_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
             F.col("na").cast("long").alias("n_a"),
             F.col("nb").cast("long").alias("n_b"),
             F.col("d_scaled").cast("long").alias("d_scaled"),
-            F.expr("(d_scaled * 1000000) div (na * nb)").alias("ks_ppm"),
+            # loud overflow tier (see docstring): 9223372036854 =
+            # (2^63-1) div 1e6; the predicate is the envelope
+            # n_a*n_b*1e6 > 2^63-1 rearranged into divisions
+            # (nb > floor(K/na) <=> na*nb > K for positive ints) so
+            # the guard itself can never wrap under ansi=false
+            F.expr(
+                "CASE WHEN nb > 9223372036854L div na THEN"
+                " raise_error(concat("
+                "'ks_distance_pairs int64 overflow envelope exceeded:"
+                " n_a*n_b = ', CAST(na AS STRING), '*',"
+                " CAST(nb AS STRING), ' > 9223372036854 safe maximum"
+                " for the ppm multiply (the session pins ansi=false,"
+                " so the product would wrap silently into garbage"
+                " ppm). Divide counts down or lift the comparison to"
+                " decimal(38,0) for samples this large.'))"
+                " ELSE (d_scaled * 1000000) div (na * nb) END"
+            ).alias("ks_ppm"),
         )
         .orderBy("type_a", "type_b")
     )
@@ -1846,7 +1872,14 @@ def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
     array and assignment is the in-codegen O(9) ``aggregate`` fold.
 
     Output: (event_type, decile, observed, expected, contribution),
-    types x 10 rows.
+    UP TO types x 10 rows: a (type, decile) cell with zero observed
+    events is ABSENT, not emitted as observed=0 — both engines build
+    the table from the seen combinations only, and a dense grid would
+    need a types×deciles spine to add expected-only cells whose
+    contribution the per-cell reader rarely wants. Callers summing
+    contributions into one χ² statistic must add the missing-cell
+    term Σ_absent expected themselves (absent cells contribute
+    exactly their expectation, since (0-E)²/E = E).
     """
     from pyspark.sql import Window
 
@@ -1989,11 +2022,18 @@ def fano_burstiness(t: dict[str, DataFrame]) -> DataFrame:
     no spine materializes at all; population variance / mean folds to
     ONE closed form on exact int64 sufficient statistics:
     fano = (n*S2 - S1²) / (n*S1), a single IEEE divide, ROUND(..., 9)
-    presented (the stats_correlation discipline). Overflow envelope:
-    n*S2 <= span * S1² — at a month-long span (~43k minutes) safe to
-    ~4.6e5 events/type even in the worst single-minute burst, and to
-    ~1.4e7 events/type for Poisson-like S2 ~ 2*S1; ANSI mode errors
-    rather than wraps beyond it.
+    presented (the stats_correlation discipline). Overflow envelope —
+    LOUD, not documentation-only: n*S2 and S1² must stay under 2^63
+    — at a month-long span (~43k minutes) safe to ~4.6e5 events/type
+    even in the worst single-minute burst, and to ~1.4e7 events/type
+    for Poisson-like S2 ~ 2*S1. The session pins
+    ``ansi.enabled=false`` (an earlier revision of this docstring
+    wrongly claimed ANSI would error here), so past the envelope the
+    products would WRAP SILENTLY — therefore the fano projection
+    embeds a ``raise_error`` tier (the ks_distance_pairs guard):
+    s2 > floor((2^63-1)/n_minutes) or n_events > floor(sqrt(2^63-1))
+    fails the query with a remediation message instead of returning
+    a wrapped dispersion.
 
     Plan: one (type, minute) pre-aggregate (map-side combinable),
     then a types-sized final aggregate. No window, no spine, no
@@ -2025,13 +2065,22 @@ def fano_burstiness(t: dict[str, DataFrame]) -> DataFrame:
             "n_minutes",
             "n_active_minutes",
             "n_events",
-            F.round(
-                (
-                    F.col("n_minutes") * F.col("s2")
-                    - F.col("n_events") * F.col("n_events")
-                ).cast("double")
-                / (F.col("n_minutes") * F.col("n_events")).cast("double"),
-                9,
+            # loud overflow tier (see docstring): 3037000499 =
+            # floor(sqrt(2^63-1)); the n*S2 predicate is rearranged
+            # into a division so the guard itself cannot wrap
+            F.expr(
+                "CASE WHEN s2 > 9223372036854775807L div n_minutes"
+                " OR n_events > 3037000499L THEN"
+                " raise_error(concat("
+                "'fano_burstiness int64 overflow envelope exceeded"
+                " for event_type ', event_type, ': n_minutes*S2 or"
+                " n_events^2 leaves int64 (the session pins"
+                " ansi=false, so the product would wrap silently)."
+                " Shard the series or lift the sufficient statistics"
+                " to decimal(38,0) for volumes this large.'))"
+                " ELSE ROUND(CAST(n_minutes * s2 - n_events * n_events"
+                " AS DOUBLE) / CAST(n_minutes * n_events AS DOUBLE),"
+                " 9) END"
             ).alias("fano"),
         )
         .orderBy("event_type")
@@ -2272,6 +2321,18 @@ def rfm_segments_oracle_sql(k: int = RFM_K) -> str:
 #: at or below T, tolerating at or below 4T (the standard ratio).
 APDEX_T_CENTS = 10_000
 
+#: The ONE definition of the Apdex score arithmetic — the /2 folded
+#: into the numerator so nothing leaves int64 until the single
+#: division (non-negative throughout, Spark div == DuckDB //). The
+#: streaming twin (streaming/incremental.py apdex_stream) imports
+#: this string and the DuckDB oracle derives its copy by the
+#: `` div `` -> `` // `` rewrite (equal on these non-negative
+#: operands), so batch/stream/oracle ppm drift is structurally
+#: impossible, as the twin's docstring promises.
+APDEX_PPM_EXPR = (
+    "(2 * n_satisfied + n_tolerating) * 1000000 div (2 * n_events)"
+)
+
 
 def apdex_by_type(
     t: dict[str, DataFrame], t_cents: int = APDEX_T_CENTS
@@ -2326,10 +2387,7 @@ def apdex_by_type(
                 - F.col("n_satisfied")
                 - F.col("n_tolerating")
             ).alias("n_frustrated"),
-            F.expr(
-                "(2 * n_satisfied + n_tolerating) * 1000000"
-                " div (2 * n_events)"
-            ).alias("apdex_ppm"),
+            F.expr(APDEX_PPM_EXPR).alias("apdex_ppm"),
         )
         .orderBy("event_type")
     )
@@ -2354,8 +2412,7 @@ def apdex_by_type_oracle_sql(t_cents: int = APDEX_T_CENTS) -> str:
           FROM e GROUP BY event_type)
         SELECT event_type, n_events, n_satisfied, n_tolerating,
                n_events - n_satisfied - n_tolerating AS n_frustrated,
-               (2 * n_satisfied + n_tolerating) * 1000000
-                   // (2 * n_events) AS apdex_ppm
+               {APDEX_PPM_EXPR.replace(" div ", " // ")} AS apdex_ppm
         FROM s ORDER BY event_type
         """
 
@@ -2379,11 +2436,23 @@ def wasserstein_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
     excluded by the NULL lead. Reported w1_cents = num / (n_a*n_b)
     as ONE IEEE divide, ROUND(.., 6); the exact numerator ships too.
 
-    Overflow envelope: |cum*n - cum*n| <= n_a*n_b and the gap sum
-    telescopes to the value RANGE, so num <= n_a*n_b*range_cents —
-    safe while that stays under 2^63 (~8e6 samples/type at this
-    lake's ~33k-cent range); past it, lift the products to
-    decimal(38,0) (the assortativity recipe).
+    Overflow envelope — LOUD, not documentation-only: |cum*n -
+    cum*n| <= n_a*n_b and the gap sum telescopes to the value RANGE,
+    so num <= n_a*n_b*range_cents — safe while that stays under 2^63
+    (~8e6 samples/type at this lake's ~33k-cent range). The session
+    pins ``ansi.enabled=false``, so past the envelope the sum would
+    WRAP SILENTLY — therefore the final projection embeds a
+    ``raise_error`` tier (the ks_distance_pairs guard, range-aware):
+    the aggregate also carries each pair's actual support range
+    (max(cents+gap) - min(cents), both already window inputs), and
+    any pair with n_b > floor(floor((2^63-1)/range) / n_a) — the
+    envelope rearranged into divisions so the guard itself cannot
+    wrap — fails with the remediation message (divide counts down,
+    or lift the products to decimal(38,0), the assortativity recipe)
+    instead of returning wrapped numbers. The guard uses the TRUE
+    per-pair range, so a narrow-support lake keeps its full ~3e9
+    headroom rather than being capped by a worst-case constant.
+    Adversarially tested over-envelope in tests/test_round9_ops.py.
 
     Plan: one fact aggregate to (type, cents), one deduped
     support-bounded window chain, a types²-bounded pair frame; the
@@ -2455,15 +2524,40 @@ def wasserstein_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         stepped.groupBy("ta", "tb", "na", "nb")
-        .agg(F.sum("seg").cast("long").alias("w1_num"))
+        .agg(
+            F.sum("seg").cast("long").alias("w1_sum"),
+            # each pair's TRUE support range: the telescoped Σgap =
+            # max(cents+gap) - min(cents); >= 1 on every surviving
+            # row (a single-support pair has no gap row at all), so
+            # the guard division below can never hit zero
+            (
+                F.max(F.col("cents") + F.col("gap")) - F.min("cents")
+            ).alias("range_cents"),
+        )
         .select(
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),
             F.col("na").cast("long").alias("n_a"),
             F.col("nb").cast("long").alias("n_b"),
-            "w1_num",
+            # loud overflow tier (see docstring): the envelope
+            # n_a*n_b*range > 2^63-1 rearranged into divisions
+            # (nb > floor(K/na) <=> na*nb > K for positive ints) so
+            # the guard itself cannot wrap under ansi=false
+            F.expr(
+                "CASE WHEN nb > (9223372036854775807L div range_cents)"
+                " div na THEN"
+                " raise_error(concat("
+                "'wasserstein_distance_pairs int64 overflow envelope"
+                " exceeded: n_a*n_b*range_cents = ',"
+                " CAST(na AS STRING), '*', CAST(nb AS STRING), '*',"
+                " CAST(range_cents AS STRING), ' > 2^63-1 (the session"
+                " pins ansi=false, so the segment sum would wrap"
+                " silently). Divide counts down or lift the products"
+                " to decimal(38,0) for samples this large.'))"
+                " ELSE w1_sum END"
+            ).alias("w1_num"),
             F.round(
-                F.col("w1_num").cast("double")
+                F.col("w1_sum").cast("double")
                 / (F.col("na") * F.col("nb")).cast("double"),
                 6,
             ).alias("w1_cents"),

@@ -1316,7 +1316,10 @@ def apdex_stream(
     overwrites byte-identically; the two most recent carries survive.
     """
     from parquet_export_spark.export import fs
-    from parquet_export_spark.operators.stats import APDEX_T_CENTS
+    from parquet_export_spark.operators.stats import (
+        APDEX_PPM_EXPR,
+        APDEX_T_CENTS,
+    )
 
     if t_cents is None:
         t_cents = APDEX_T_CENTS
@@ -1387,10 +1390,7 @@ def apdex_stream(
                 "n_events",
                 "n_satisfied",
                 "n_tolerating",
-                F.expr(
-                    "(2 * n_satisfied + n_tolerating) * 1000000"
-                    " div (2 * n_events)"
-                ).alias("apdex_ppm"),
+                F.expr(APDEX_PPM_EXPR).alias("apdex_ppm"),
             )
             .write.mode("overwrite")
             .parquet(fs.join(out_base, f"batch_{batch_id}"))

@@ -33,50 +33,12 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 7, changed:
-    "assortativity_trade_graph",  # exact-decimal sufficient statistics
-    "hits_trade_graph",  # loud two-tier overflow envelope guard
-    "containment_join",  # derivation moved into shared _containment_core
-    "remove_contained_docs",  # b-sizes off the shared sets frame
-    # round 7, new:
-    "robust_scale_features",
-    "autocorr_hourly_counts",
-    "type_affinity_jaccard",
-    "user_path_topk",
-    "value_clusters_1d",
-    "chi2_type_decile",
-    "nearest_event_join",
-    "lpa_communities_suppliers",
-    "rake_keyphrases",
-    "funnel_time_to_convert",
-    "weekly_revenue_wow",
-    "sessionize_batch",  # session core factored into _sessionized
-    "session_entry_exit",
-    "multitouch_attribution",
-    "link_prediction_suppliers",
-    "fano_burstiness",
-    "rfm_segments",
-    "apdex_by_type",
-    "ngram_novelty_scores",
-    "holt_linear_forecast",
-    "novelty_incremental",
-    "degree_distribution_suppliers",
-    "feature_hash_vectors",
-    "seasonal_decompose_hourly",  # oracle moved onto the shared fragment
-    "seasonality_strength_hourly",
-    "community_modularity_suppliers",
-    "wasserstein_distance_pairs",
-    "hhi_concentration_by_segment",
-    "local_peaks_hourly",
-    "value_migration_matrix",
-    "stats_higher_moments",
-    "user_activity_streaks",
-    "simpson_diversity_by_user",
-    "pareto_share_by_segment",
-    "dedup_canonical",  # oracle moved onto the shared fragment
-    "dup_family_size_histogram",
-    "odds_ratio_type_pairs",
-    "order_cadence_by_customer",
+    # round 9, changed (the round-7 block cleared at this rotation —
+    # all 35 of its oracle entries hold r9 verdict-window slots):
+    "ks_distance_pairs",  # loud in-plan ppm overflow guard (raise_error tier)
+    "wasserstein_distance_pairs",  # loud range-aware overflow guard
+    "fano_burstiness",  # loud overflow guard + corrected ansi claim
+    "apdex_by_type",  # ppm expression hoisted to shared APDEX_PPM_EXPR
 ]
 
 SF_DIRS = [

@@ -1,0 +1,181 @@
+"""Round-9 additions: loud in-plan overflow guards on the batch drift
+operators (r8 verdict "What's wrong" #1) and the shared Apdex ppm
+expression (ADVICE item).
+
+The guards are expressed INSIDE the returned plan via ``raise_error``
+(not a driver-side pre-count): zero extra jobs, they run distributed,
+and — unlike the documentation-only envelopes they replace — a
+production session with the pinned ``ansi.enabled=false`` fails loudly
+past the envelope instead of wrapping int64 into garbage ppm/cents.
+Each predicate is the envelope inequality rearranged into divisions
+(``nb > floor(K/na)`` <=> ``na*nb > K`` for positive ints), so the
+guard expression itself can never wrap.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import stats as ST
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "parquet_export_spark"
+
+
+# ---------------------------------------------------------------------------
+# Guard predicate algebra: the division rearrangement is exact
+# ---------------------------------------------------------------------------
+
+
+def test_guard_rearrangement_is_exact():
+    """For positive ints, nb > (K div r) div na  <=>  na*nb*r > r*floor
+    bounds of K — conservative by strictly less than one r-unit, and
+    never a false negative (the dangerous direction)."""
+    K = 2**63 - 1
+    for r in (1, 3, 33_000, 2**50):
+        L = K // r
+        for na in (1, 2, 97, 3_000_000):
+            boundary = L // na
+            # at the boundary the product is provably safe ...
+            assert na * boundary * r <= K
+            # ... and one past it the guard fires while the true
+            # product may exceed K (never: guard silent AND product
+            # overflows)
+            assert na * (boundary + 1) > L
+
+
+# ---------------------------------------------------------------------------
+# ks_distance_pairs: ppm envelope fires past ~3e6 samples/type
+# ---------------------------------------------------------------------------
+
+
+def test_ks_over_envelope_raises(spark):
+    """3.1e6 samples in each of two types puts n_a*n_b at 9.61e12 —
+    past the 9223372036854 ppm-multiply envelope. The plan must RAISE
+    the remediation message, not return wrapped ppm. (Values are all
+    equal, so every upstream product stays far inside int64: only the
+    guarded ppm tier is at stake.)"""
+    events = spark.range(6_200_000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(Exception, match="overflow envelope exceeded"):
+        ST.ks_distance_pairs({"events": events}).collect()
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_distance_pairs: range-aware envelope, tested under the
+# PRODUCTION ansi=false (the test session pins ansi=true, under which
+# the upstream segment multiply would error first and mask the guard)
+# ---------------------------------------------------------------------------
+
+
+def test_w1_over_envelope_raises(spark):
+    """100 samples/type across a 2^50-cent support range puts
+    n_a*n_b*range at ~1.13e19 > 2^63-1. Under ansi=false (the
+    production session default this guard exists for) the segment
+    sum wraps SILENTLY — the guard must still raise, because its
+    division-form predicate reads only the exact, unwrapped inputs
+    (na, nb, cents, gap)."""
+    big = float(2**50) / 100.0  # quantizes to ~2^50 cents
+    a = spark.range(100).select(
+        F.lit("a").alias("event_type"), F.lit(0.0).alias("value")
+    )
+    b = spark.range(100).select(
+        F.lit("b").alias("event_type"),
+        F.when(F.col("id") == 0, big).otherwise(0.0).alias("value"),
+    )
+    events = a.unionByName(b)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="overflow envelope exceeded"):
+            ST.wasserstein_distance_pairs({"events": events}).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_w1_under_envelope_unaffected_by_guard(spark):
+    """Same shape inside the envelope: the guard must be transparent
+    (the sweep gate proves oracle parity on the lake tables; this
+    pins the synthetic boundary shape the adversarial test uses)."""
+    a = spark.range(10).select(
+        F.lit("a").alias("event_type"), F.lit(0.0).alias("value")
+    )
+    b = spark.range(10).select(
+        F.lit("b").alias("event_type"),
+        F.when(F.col("id") == 0, 100.0).otherwise(0.0).alias("value"),
+    )
+    [row] = ST.wasserstein_distance_pairs(
+        {"events": a.unionByName(b)}
+    ).collect()
+    # one of ten b-samples sits 10_000 cents above the shared mass:
+    # W1 = |F_a - F_b| integrated = (1/10) * 10_000 = 1_000 cents
+    assert row.n_a == 10 and row.n_b == 10
+    assert row.w1_num == 10 * 10_000  # |cum_a*nb - cum_b*na| * gap
+    assert row.w1_cents == pytest.approx(1000.0)
+
+
+# ---------------------------------------------------------------------------
+# fano_burstiness: corrected envelope claim is now a loud guard
+# ---------------------------------------------------------------------------
+
+
+def test_fano_over_envelope_raises(spark):
+    """A 1.5e6-event single-minute burst inside a ten-year span puts
+    n_minutes*S2 at ~1.2e19 > 2^63-1. The old docstring claimed ANSI
+    would error here — the session pins ansi=false, so without the
+    guard the product would wrap silently into a garbage dispersion."""
+    burst = spark.range(1_500_000).select(
+        F.lit("x").alias("event_type"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    tail = spark.range(1).select(
+        F.lit("x").alias("event_type"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    with pytest.raises(Exception, match="overflow envelope exceeded"):
+        ST.fano_burstiness({"events": burst.unionByName(tail)}).collect()
+
+
+def test_fano_under_envelope_value(spark):
+    """Three active minutes over a 5-minute span, counts 2/1/3:
+    n=5, S1=6, S2=14 -> fano = (5*14 - 36) / (5*6) = 34/30."""
+    rows = [
+        ("x", "2020-01-01 00:00:00"),
+        ("x", "2020-01-01 00:00:30"),
+        ("x", "2020-01-01 00:02:00"),
+        ("x", "2020-01-01 00:04:00"),
+        ("x", "2020-01-01 00:04:10"),
+        ("x", "2020-01-01 00:04:20"),
+    ]
+    events = spark.createDataFrame(rows, "event_type string, ts string").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    [row] = ST.fano_burstiness({"events": events}).collect()
+    assert (row.n_minutes, row.n_active_minutes, row.n_events) == (5, 3, 6)
+    assert row.fano == pytest.approx(34.0 / 30.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Apdex: ONE definition of the ppm arithmetic (ADVICE item — the
+# streaming twin's docstring promised the import; now the source does)
+# ---------------------------------------------------------------------------
+
+
+def test_apdex_ppm_expression_defined_once():
+    """The folded-numerator ppm string literal lives ONLY in
+    operators/stats.py (as APDEX_PPM_EXPR); the streaming twin
+    imports it, so batch/stream score drift is structurally
+    impossible."""
+    literal = "(2 * n_satisfied + n_tolerating) * 1000000"
+    hits = {
+        p.relative_to(PKG).as_posix(): p.read_text().count(literal)
+        for p in PKG.rglob("*.py")
+        if literal in p.read_text()
+    }
+    assert hits == {"operators/stats.py": 1}, hits
+    inc = (PKG / "streaming" / "incremental.py").read_text()
+    assert "APDEX_PPM_EXPR" in inc

@@ -39,6 +39,18 @@ ROUND_CHANGED = [
     "wasserstein_distance_pairs",  # loud range-aware overflow guard
     "fano_burstiness",  # loud overflow guard + corrected ansi claim
     "apdex_by_type",  # ppm expression hoisted to shared APDEX_PPM_EXPR
+    # round 9: the projected-graph singles now PROBE the per-lake
+    # projection artifact instead of re-deriving it per call
+    # (supplier_communities_approx changed too, but is rows-only):
+    "supplier_communities",
+    "triangle_count_suppliers",
+    "clustering_coeff_suppliers",
+    "community_modularity_suppliers",
+    "degree_distribution_suppliers",
+    "link_prediction_suppliers",
+    "kcore_suppliers",
+    "supplier_graph_suite",
+    "lpa_communities_suppliers",
 ]
 
 SF_DIRS = [

@@ -179,3 +179,125 @@ def test_apdex_ppm_expression_defined_once():
     assert hits == {"operators/stats.py": 1}, hits
     inc = (PKG / "streaming" / "incremental.py").read_text()
     assert "APDEX_PPM_EXPR" in inc
+
+
+# ---------------------------------------------------------------------------
+# Supplier-projection artifact: fit-once / probe-many (r8 verdict #2)
+# ---------------------------------------------------------------------------
+
+_GRAPH_PROBE_OPS = [
+    "degree_distribution_suppliers",
+    "link_prediction_suppliers",
+    "lpa_communities_suppliers",
+    "community_modularity_suppliers",
+    "kcore_suppliers",
+    "triangle_count_suppliers",
+]
+
+
+@pytest.fixture(scope="module")
+def stored_strong(spark, tmp_path_factory):
+    """The exact-gear projection artifact, written to and read back
+    from parquet — the stored table a lake's ingest job maintains."""
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path_factory.mktemp("artifact") / "supplier_strong")
+    G.supplier_projection_artifact(t, exact_quantile=True).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return t, path
+
+
+@pytest.mark.parametrize("op_name", _GRAPH_PROBE_OPS)
+def test_graph_probe_matches_rebuild(spark, stored_strong, op_name):
+    """probe ≡ rebuild: every projected-graph operator fed the
+    PARQUET-STORED artifact returns exactly what the self-deriving
+    path returns (the projection is deterministic, so the stored
+    frame IS the in-query frame)."""
+    from parquet_export_spark.operators import graph as G
+
+    t, path = stored_strong
+    op = getattr(G, op_name)
+    probe = op(t, strong=spark.read.parquet(path)).collect()
+    rebuild = op(t).collect()
+    assert probe == rebuild
+    assert len(probe) > 0
+
+
+@pytest.mark.parametrize("op_name", _GRAPH_PROBE_OPS)
+def test_graph_probe_never_refits_projection(
+    spark, stored_strong, op_name, monkeypatch
+):
+    """The stored-artifact probe contract (the
+    neardup_incremental_check discipline), functionally: with
+    ``strong=`` supplied, NO code path may re-derive the projection
+    — the builder is replaced with a tripwire that fails the test if
+    anything calls it. (Stronger than a plan-string check: the
+    iterative ops truncate lineage with localCheckpoint, so their
+    final plans cannot show sources at all.)"""
+    from parquet_export_spark.operators import graph as G
+
+    t, path = stored_strong
+
+    def _boom(*a, **k):  # pragma: no cover - firing IS the failure
+        raise AssertionError(
+            f"{op_name} re-derived the projection despite strong="
+        )
+
+    monkeypatch.setattr(G, "_supplier_strong_pairs", _boom)
+    rows = getattr(G, op_name)(
+        t, strong=spark.read.parquet(path)
+    ).collect()
+    assert len(rows) > 0
+
+
+@pytest.mark.parametrize(
+    "op_name",
+    [
+        # the join-only ops keep full lineage: their plans must show
+        # the stored parquet and no base-table scan (the iterative
+        # ops are covered by the tripwire test above instead)
+        "degree_distribution_suppliers",
+        "link_prediction_suppliers",
+        "community_modularity_suppliers",
+    ],
+)
+def test_graph_probe_plan_reads_artifact_not_base_tables(
+    spark, stored_strong, op_name
+):
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.plans import inspect as P
+
+    t, path = stored_strong
+    df = getattr(G, op_name)(t, strong=spark.read.parquet(path))
+    plan = P.plan_string(df)
+    assert "supplier_strong" in plan
+    assert "orders.parquet" not in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_registry_graph_singles_share_one_artifact(spark):
+    """The registry layer fits the projection ONCE per (session,
+    lake, gear) and hands the same checkpointed frame to every
+    projected-graph entry — the per-query rebuild the r8 bench
+    flagged is structurally gone."""
+    from parquet_export_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q._supplier_projection(spark, sf, exact_quantile=True)
+    b = Q._supplier_projection(spark, sf, exact_quantile=True)
+    assert a is b
+    # gears are distinct artifacts (exact for oracle entries,
+    # sketch-threshold for the production gear)
+    c = Q._supplier_projection(spark, sf, exact_quantile=False)
+    assert c is not a
+    # and the registered probe answers match the oracle-verified
+    # direct path (lpa exercises the full edge-cache chain)
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    got = Q.REGISTRY["lpa_communities_suppliers"].fn(spark, sf).collect()
+    want = G.lpa_communities_suppliers(load_tables(spark, sf)).collect()
+    assert got == want

@@ -150,18 +150,22 @@ def test_multimodal_decoder_plumbing(spark, tables):
     out = M.decoded_features(payloads, "text/plain").collect()
     assert len(out) == 16
     assert all(r.height == 1 and r.width > 0 for r in out)
+    # image/png gained a REAL registered decoder in round 9 — the
+    # no-decoder contract is pinned on a genuinely unregistered type
     with pytest.raises(NotImplementedError, match="no decoder registered"):
-        M.decoded_features(payloads, "image/png")
+        M.decoded_features(payloads, "image/tiff")
     with pytest.raises(NotImplementedError, match="imaging library"):
-        M.decode_image(b"\x89PNG....")
+        M.decode_image(b"\xff\xd8\xff....")
 
 
 def test_resize_and_frame_sample_plumbing(spark, tables):
     payloads = M.with_binary_payload(tables["documents"].limit(8))
+    # a synthetic media type: overwriting the REAL image/png decoder
+    # here would leak a fake into every later test in the session
     M.register_decoder(
-        "image/png", lambda b: {"width": 1, "height": 1, "resized_bytes": b[:4]}
+        "image/x-fake", lambda b: {"width": 1, "height": 1, "resized_bytes": b[:4]}
     )
-    resized = M.resize_images(payloads, 64, 64, media_type="image/png").collect()
+    resized = M.resize_images(payloads, 64, 64, media_type="image/x-fake").collect()
     assert len(resized) == 8
     assert all(r.width == 64 and r.height == 64 and len(r.payload) == 4 for r in resized)
 

@@ -72,6 +72,37 @@ def _supplier_projection(
     return strong
 
 
+#: per-lake trade-graph edge artifacts — same contract as
+#: _PROJECTION_ARTIFACTS, for the OTHER shared graph input (the
+#: node-encoded symmetric distinct-pair edge list every trade-graph
+#: operator previously re-derived from orders |><| lineitem per call).
+_TRADE_EDGE_ARTIFACTS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    edges = _TRADE_EDGE_ARTIFACTS.get(key)
+    if edges is None:
+        edges = G.trade_edges_artifact(
+            load_tables(spark, sf_dir)
+        ).localCheckpoint()
+        _TRADE_EDGE_ARTIFACTS[key] = edges
+    return edges
+
+
+def _trade_probe(op) -> QueryFn:
+    """Registry adapter for operators over the trade graph: fetch the
+    per-lake edge artifact and run the operator as a PROBE (``edges=``
+    path — the fact join behind edge derivation runs once per lake,
+    at artifact build, not per query)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        return op(t, edges=_trade_edges_cached(spark, sf_dir))
+
+    return run
+
+
 def _graph_probe(op, exact_quantile: bool = True) -> QueryFn:
     """Registry adapter for operators over the projected supplier
     graph: load the lake, fetch the per-lake projection artifact, and
@@ -3003,24 +3034,24 @@ REGISTRY.update(
             """,
         ),
         "pagerank_trade_graph": QuerySpec(
-            _rel(G.pagerank_orders_graph),
+            _trade_probe(G.pagerank_orders_graph),
             # the oracle replays the SAME fixed-point integer iterations
             # (unrolled CTEs) — bit-exact by construction, see graph.py.
             G.pagerank_oracle_sql(),
         ),
         "cc_trade_graph": QuerySpec(
-            _rel(G.cc_trade_graph),
+            _trade_probe(G.cc_trade_graph),
             # same unrolled-CTE replay contract as pagerank_trade_graph
             # (min-label semiring instead of mass propagation).
             G.cc_oracle_sql(),
         ),
         "sssp_trade_graph": QuerySpec(
-            _rel(G.sssp_trade_graph),
+            _trade_probe(G.sssp_trade_graph),
             # min-plus semiring; same unrolled-CTE replay contract.
             G.sssp_oracle_sql(),
         ),
         "cc_doubling_trade_graph": QuerySpec(
-            _rel(G.cc_doubling_trade_graph),
+            _trade_probe(G.cc_doubling_trade_graph),
             # pointer-doubling CC: hop + jump per round, horizon
             # >= 2^k - 1 hops — the convergence-safe gear (the fixed-8
             # min-label cc_trade_graph is diameter-bound; the path-graph
@@ -3130,13 +3161,13 @@ REGISTRY.update(
         # Bipartite hubs/authorities in fixed-point integers with
         # max-normalization; unrolled alternating rounds in the oracle.
         "hits_trade_graph": QuerySpec(
-            _rel(G.hits_trade_graph), G.hits_trade_graph_oracle_sql()
+            _trade_probe(G.hits_trade_graph), G.hits_trade_graph_oracle_sql()
         ),
         # Deterministic DeepWalk corpus: content-addressed argmin-md5
         # neighbor choice per (walk, step) — reproducible, divergent
         # across walks, and oracle-replayable as unrolled hop CTEs.
         "random_walks_suppliers": QuerySpec(
-            _rel(G.random_walks_suppliers),
+            _trade_probe(G.random_walks_suppliers),
             G.random_walks_oracle_sql(),
         ),
         # Deterministic synchronous label propagation on the shared
@@ -3150,7 +3181,7 @@ REGISTRY.update(
         # one closed-form IEEE expression — the stats_correlation
         # recipe applied to graph topology.
         "assortativity_trade_graph": QuerySpec(
-            _rel(G.assortativity_trade_graph),
+            _trade_probe(G.assortativity_trade_graph),
             G.assortativity_oracle_sql(),
         ),
         "cc_incremental_trade": QuerySpec(
@@ -3161,7 +3192,7 @@ REGISTRY.update(
             G.cc_incremental_oracle_sql(),
         ),
         "graph_all_metrics": QuerySpec(
-            _rel(G.graph_all_metrics),
+            _trade_probe(G.graph_all_metrics),
             # PageRank + doubling-CC + SSSP off ONE shared edge cache,
             # joined per-node (SSSP LEFT: unreached nodes keep NULL
             # hops); oracle shares one edges CTE across all three
@@ -3676,6 +3707,16 @@ _VERDICT_PRIORITY = [
     #   pq_probe_incremental, supplier_communities_approx, plus the
     #   round-9 supplier_projection probe gear if registered).
     #   r5/r6/r8-green entries: within the freshness bar.
+    #   Entries whose PLANS changed late in round 9 (the projection/
+    #   trade-edge artifact probes: supplier_communities,
+    #   triangle_count, clustering_coeff, kcore, supplier_graph_suite,
+    #   pagerank, cc, cc_doubling, sssp, graph_all_metrics, hits,
+    #   random_walks, assortativity) but that are NOT in this window:
+    #   rule 1 would front-load them, but the window was fixed by the
+    #   r8 verdict's explicit 35+5+10 allocation; their changed plans
+    #   are covered by the triple-SF sweep gate every pytest run
+    #   (tests/test_oracle_sweep.py ROUND_CHANGED) and they take r10
+    #   window priority.
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):
     "lpa_communities_suppliers", "link_prediction_suppliers",

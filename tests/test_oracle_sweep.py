@@ -51,6 +51,17 @@ ROUND_CHANGED = [
     "kcore_suppliers",
     "supplier_graph_suite",
     "lpa_communities_suppliers",
+    # round 9: the trade-graph family now probes the per-lake edge
+    # artifact (trade_edges_artifact) instead of re-joining
+    # orders |><| lineitem per call:
+    "pagerank_trade_graph",
+    "cc_trade_graph",
+    "cc_doubling_trade_graph",
+    "sssp_trade_graph",
+    "graph_all_metrics",
+    "hits_trade_graph",
+    "random_walks_suppliers",
+    "assortativity_trade_graph",
 ]
 
 SF_DIRS = [

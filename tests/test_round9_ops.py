@@ -443,3 +443,89 @@ def test_png_sniff_and_spark_plumbing(spark):
         want = M.resize_nearest(px, 8, 8)
         got = M.decode_png(resized[i])["pixels"]
         assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Trade-graph edge artifact: the same fit-once/probe-many contract for
+# the OTHER shared graph input (orders |><| lineitem distinct pairs)
+# ---------------------------------------------------------------------------
+
+_TRADE_PROBE_OPS = [
+    "pagerank_orders_graph",
+    "cc_trade_graph",
+    "cc_doubling_trade_graph",
+    "sssp_trade_graph",
+    "graph_all_metrics",
+    "hits_trade_graph",
+    "random_walks_suppliers",
+    "assortativity_trade_graph",
+]
+
+
+@pytest.fixture(scope="module")
+def stored_trade_edges(spark, tmp_path_factory):
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path_factory.mktemp("artifact") / "trade_edges")
+    G.trade_edges_artifact(t).write.mode("overwrite").parquet(path)
+    return t, path
+
+
+@pytest.mark.parametrize("op_name", _TRADE_PROBE_OPS)
+def test_trade_probe_matches_rebuild_and_never_rederives(
+    spark, stored_trade_edges, op_name, monkeypatch
+):
+    """probe ≡ rebuild for every trade-graph operator fed the stored
+    edge artifact, with the derivation tripwired: after the rebuild
+    baseline is captured, _trade_edges is replaced so any probe path
+    that re-joins orders/lineitem fails the test (hits decodes the
+    node-encoded artifact back to bipartite pairs — covered by the
+    same parity assertion)."""
+    from parquet_export_spark.operators import graph as G
+
+    t, path = stored_trade_edges
+    op = getattr(G, op_name)
+    rebuild = op(t).collect()
+
+    def _boom(*a, **k):  # pragma: no cover - firing IS the failure
+        raise AssertionError(
+            f"{op_name} re-derived trade edges despite edges="
+        )
+
+    monkeypatch.setattr(G, "_trade_edges", _boom)
+    probe = op(t, edges=spark.read.parquet(path)).collect()
+    assert probe == rebuild
+    assert len(probe) > 0
+
+
+def test_trade_probe_plan_reads_artifact_not_base_tables(
+    spark, stored_trade_edges
+):
+    """assortativity is join-only (no checkpoint truncation): its
+    probe plan must show the stored artifact and no orders/lineitem
+    scan."""
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.plans import inspect as P
+
+    t, path = stored_trade_edges
+    df = G.assortativity_trade_graph(t, edges=spark.read.parquet(path))
+    plan = P.plan_string(df)
+    assert "trade_edges" in plan
+    assert "orders.parquet" not in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_registry_trade_entries_share_one_edge_artifact(spark):
+    from parquet_export_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q._trade_edges_cached(spark, sf)
+    assert Q._trade_edges_cached(spark, sf) is a
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    got = Q.REGISTRY["assortativity_trade_graph"].fn(spark, sf).collect()
+    want = G.assortativity_trade_graph(load_tables(spark, sf)).collect()
+    assert got == want

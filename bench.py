@@ -205,6 +205,9 @@ HEADLINE = [
     "dup_family_size_histogram",
     "odds_ratio_type_pairs",
     "order_cadence_by_customer",
+    "tv_distance_pairs",
+    "markov_stationary_types",
+    "zipf_slope_unigrams",
 ]
 
 

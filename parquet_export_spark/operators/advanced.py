@@ -491,6 +491,173 @@ def event_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: fixed-point scale for the Markov power iteration (1e12: six ppm
+#: digits of headroom under the floor-division mass loss) and the
+#: fixed sweep count (the PageRank/CC unrolled-oracle contract).
+MARKOV_SCALE = 1_000_000_000_000
+MARKOV_ITERS = 8
+
+
+def markov_stationary_types(
+    t: dict[str, DataFrame],
+    n_iter: int = MARKOV_ITERS,
+    scale: int = MARKOV_SCALE,
+) -> DataFrame:
+    """Approximate stationary distribution of the per-user event-type
+    Markov chain — where does user behavior SETTLE: the long-run
+    fraction of time the first-order chain behind
+    ``event_transition_matrix`` spends in each state. The matrix says
+    what happens next; the stationary vector ranks states by
+    steady-state occupancy, the one-glance summary a behavioral
+    dashboard leads with.
+
+    Exactness (the PageRank fixed-point recipe on the type-sized
+    chain): the SAME transition derivation as the matrix operator
+    (lead over (user_id, ts, event_id) — one definition both
+    engines), then ``n_iter`` synchronous power-iteration sweeps in
+    integer arithmetic: r0 = scale div n_types (uniform), and
+    r_{k+1}(j) = Σ_i (r_k(i) * c_ij) div rt_i — per-term floor
+    division FIRST, then an int64 sum, so the trajectory is
+    bit-identical cross-engine and the oracle replays it as unrolled
+    MATERIALIZED CTEs. Floor division leaks mass monotonically
+    (≤ n_types ulps of ``scale`` per sweep) and a type with no
+    OUTGOING transitions absorbs-and-drops its mass — both
+    deterministic, both visible in the output (the reported ppm need
+    not sum to 1e6; out_transitions = 0 marks the sinks).
+
+    Overflow envelope — LOUD (the raise_error tier): each term is
+    r * c < scale * c, safe while c <= (2^63-1) div scale =
+    9_223_372 transitions per (i, j) cell; the guard is embedded in
+    the transition frame so every sweep inherits it.
+
+    Plan: one user-window pass over the fact table (shared shape with
+    the matrix operator), then ``n_iter`` joins of a types-sized
+    vector against a types²-bounded edge frame — nothing fact-sized
+    ever re-joins.
+
+    Output: (event_type, out_transitions, stationary_ppm), one row
+    per distinct event type, sinks included with their r mass.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rowtot = cnt.groupBy("event_type").agg(F.sum("c").alias("rt"))
+    guard_max = (2**63 - 1) // scale
+    trans = (
+        cnt.join(rowtot, "event_type")
+        .select(
+            F.col("event_type").alias("i"),
+            F.col("next_type").alias("j"),
+            F.expr(
+                f"CASE WHEN c > {guard_max}L THEN raise_error(concat("
+                "'markov_stationary_types int64 overflow envelope"
+                " exceeded: ', CAST(c AS STRING), ' transitions in one"
+                f" cell > {guard_max} safe maximum at scale={scale}"
+                " (the session pins ansi=false, so r*c would wrap"
+                " silently). Lower MARKOV_SCALE or lift the sweep to"
+                " decimal(38,0).')) ELSE c END"
+            ).alias("c"),
+            "rt",
+        )
+        .localCheckpoint()  # types²-bounded; every sweep re-reads it
+    )
+    states = ev.select("event_type").distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("k"))
+    r = states.crossJoin(F.broadcast(n_states)).select(
+        F.col("event_type").alias("node"),
+        F.expr(f"{scale}L div k").alias("r"),
+    )
+    for _ in range(n_iter):
+        r = (
+            trans.join(r, trans["i"] == r["node"])
+            .groupBy(F.col("j").alias("node"))
+            .agg(F.sum(F.expr("r * c div rt")).cast("long").alias("r"))
+        )
+    return (
+        states.join(
+            rowtot.select(
+                F.col("event_type"), F.col("rt").alias("out_transitions")
+            ),
+            "event_type",
+            "left",
+        )
+        .join(r.select(F.col("node").alias("event_type"), "r"), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("out_transitions", F.lit(0))
+            .cast("long")
+            .alias("out_transitions"),
+            F.expr("CAST(coalesce(r, 0) div 1000000 AS BIGINT)").alias(
+                "stationary_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def markov_stationary_oracle_sql(
+    n_iter: int = MARKOV_ITERS, scale: int = MARKOV_SCALE
+) -> str:
+    """DuckDB replay: the shared transition derivation + unrolled
+    MATERIALIZED power-iteration sweeps with the identical per-term
+    ``(r * c) // rt`` floor arithmetic."""
+    parts = [
+        f"""
+        WITH pairs AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS next_type
+            FROM events),
+        cnt AS MATERIALIZED (
+            SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type),
+        rowtot AS MATERIALIZED (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS rt
+            FROM cnt GROUP BY event_type),
+        trans AS MATERIALIZED (
+            SELECT c.event_type AS i, c.next_type AS j, c.c, r.rt
+            FROM cnt c JOIN rowtot r USING (event_type)),
+        states AS MATERIALIZED (
+            SELECT DISTINCT event_type FROM events),
+        r0 AS MATERIALIZED (
+            SELECT event_type AS node,
+                   {scale} // (SELECT COUNT(*) FROM states) AS r
+            FROM states)
+        """
+    ]
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        , r{k} AS MATERIALIZED (
+            SELECT t.j AS node, CAST(SUM(r.r * t.c // t.rt) AS BIGINT) AS r
+            FROM trans t JOIN {prev} r ON r.node = t.i
+            GROUP BY t.j)
+        """)
+        prev = f"r{k}"
+    parts.append(f"""
+        SELECT s.event_type,
+               CAST(COALESCE(rt.rt, 0) AS BIGINT) AS out_transitions,
+               CAST(COALESCE(r.r, 0) // 1000000 AS BIGINT)
+                   AS stationary_ppm
+        FROM states s
+        LEFT JOIN rowtot rt ON rt.event_type = s.event_type
+        LEFT JOIN {prev} r ON r.node = s.event_type
+        ORDER BY s.event_type
+        """)
+    return "".join(parts)
+
+
 def scd2_user_state(t: dict[str, DataFrame]) -> DataFrame:
     """Slowly-changing-dimension (type 2) build over the event stream:
     each user's event_type is treated as a dimension attribute, and

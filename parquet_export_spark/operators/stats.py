@@ -2616,6 +2616,145 @@ def wasserstein_distance_oracle_sql() -> str:
         """
 
 
+def tv_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Total-variation distance between every pair of event types'
+    value distributions — completing the drift-distance family on one
+    shared discipline: KS (``ks_distance_pairs``) is the supremum CDF
+    gap, W1 (``wasserstein_distance_pairs``) the integrated CDF gap,
+    TV the half-L1 gap between the pmfs: TV = (1/2) Σ_x |p_a - p_b|.
+    TV is the right alarm when drift is about probability MASS moving
+    between buckets regardless of distance (a category flip KS
+    under-weights and W1 over-weights by the cents gap).
+
+    Exact integer evaluation, simpler than both siblings: no
+    cumulative window at all — on the deduped (pair, cents) support,
+    tv_num = Σ |c_a*n_b - c_b*n_a| (each term a cross-multiplied
+    int64), and TV = tv_num / (2*n_a*n_b). Reported tv_ppm =
+    (tv_num * 1e6) div (2 * n_a * n_b).
+
+    Overflow envelope — LOUD (the ks_distance_pairs raise_error
+    tier): tv_num <= 2*n_a*n_b, so the ppm multiply is safe while
+    2*n_a*n_b*1e6 < 2^63, i.e. ~2.1e6 samples/type; the guard
+    predicate is the inequality rearranged into divisions
+    (4611686018427 = (2^63-1) div 2e6), so it cannot itself wrap
+    under the session's pinned ansi=false.
+
+    Plan: one fact aggregate to (type, cents), one support-bounded
+    pair aggregate — no window stage at all, the cheapest member of
+    the family.
+
+    Output: (type_a, type_b, n_a, n_b, tv_num, tv_ppm).
+    """
+    e = t["events"]
+    counts = (
+        e.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("event_type").alias("ta"), F.col("n").alias("na")
+        )
+        .crossJoin(
+            totals.select(
+                F.col("event_type").alias("tb"), F.col("n").alias("nb")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    side_a = pairs.join(
+        counts.select(
+            F.col("event_type").alias("ta"),
+            "cents",
+            F.col("c").alias("ca"),
+        ),
+        "ta",
+    ).select("ta", "tb", "na", "nb", "cents", "ca", F.lit(0).alias("cb"))
+    side_b = pairs.join(
+        counts.select(
+            F.col("event_type").alias("tb"),
+            "cents",
+            F.col("c").alias("cb"),
+        ),
+        "tb",
+    ).select("ta", "tb", "na", "nb", "cents", F.lit(0).alias("ca"), "cb")
+    support = (
+        side_a.unionByName(side_b)
+        .groupBy("ta", "tb", "na", "nb", "cents")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    return (
+        support.groupBy("ta", "tb", "na", "nb")
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            )
+            .cast("long")
+            .alias("tv_num")
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "tv_num",
+            F.expr(
+                "CASE WHEN nb > 4611686018427L div na THEN"
+                " raise_error(concat("
+                "'tv_distance_pairs int64 overflow envelope exceeded:"
+                " n_a*n_b = ', CAST(na AS STRING), '*',"
+                " CAST(nb AS STRING), ' > 4611686018427 safe maximum"
+                " for the ppm multiply (the session pins ansi=false,"
+                " so the product would wrap silently). Divide counts"
+                " down or lift the comparison to decimal(38,0).'))"
+                " ELSE (tv_num * 1000000) div (2 * na * nb) END"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def tv_distance_oracle_sql() -> str:
+    return """
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        totals AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ta, a.n AS na,
+                 b.event_type AS tb, b.n AS nb
+          FROM totals a JOIN totals b ON a.event_type < b.event_type),
+        support AS MATERIALIZED (
+          SELECT ta, tb, na, nb, cents,
+                 CAST(SUM(ca) AS BIGINT) AS ca,
+                 CAST(SUM(cb) AS BIGINT) AS cb
+          FROM (
+            SELECT p.ta, p.tb, p.na, p.nb, c.cents, c.c AS ca, 0 AS cb
+            FROM pairs p JOIN counts c ON c.event_type = p.ta
+            UNION ALL
+            SELECT p.ta, p.tb, p.na, p.nb, c.cents, 0, c.c
+            FROM pairs p JOIN counts c ON c.event_type = p.tb)
+          GROUP BY ta, tb, na, nb, cents)
+        SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+               CAST(SUM(ABS(ca * nb - cb * na)) AS BIGINT) AS tv_num,
+               (CAST(SUM(ABS(ca * nb - cb * na)) AS BIGINT) * 1000000)
+                   // (2 * na * nb) AS tv_ppm
+        FROM support
+        GROUP BY ta, tb, na, nb
+        ORDER BY type_a, type_b
+        """
+
+
 def hhi_concentration_by_segment(t: dict[str, DataFrame]) -> DataFrame:
     """Herfindahl-Hirschman revenue concentration per market segment:
     HHI = Σ_customers (customer's revenue share)² — the antitrust

@@ -1486,3 +1486,108 @@ def novelty_incremental_oracle_sql(
         GROUP BY b.doc_id
         ORDER BY b.doc_id
         """
+
+
+def zipf_slope_unigrams(t: dict[str, DataFrame]) -> DataFrame:
+    """Zipf-law slope of the corpus unigram distribution — the
+    one-number sanity check on a text corpus's naturalness: natural
+    language sits near slope -1 on the log-log rank/frequency line;
+    boilerplate floods flatten it, template noise steepens it. The
+    corpus-level companion to the per-document quality gates
+    (unigram_freq_quality scores documents against the distribution;
+    this scores the distribution itself).
+
+    log-log WITHOUT logarithms (pitfall 19, the degree_distribution
+    recipe): x = floor(log2 rank) and y = floor(log2 freq) via
+    ``length(bin(v)) - 1`` — the binary-string bit length, exact
+    integer/string ops rendered identically by both engines, no libm
+    anywhere. The OLS slope and intercept then fold to closed forms
+    on exact int64 sufficient statistics (n, Σx, Σy, Σxy, Σx², the
+    stats_correlation discipline):
+    slope = (n·Σxy - Σx·Σy) / (n·Σx² - Σx²-sum squared), intercept =
+    (Σy·Σx² - Σx·Σxy) / same denominator — ONE IEEE divide each,
+    ROUND(.., 9). Overflow: x, y <= 63, so Σxy <= 3969·n — safe past
+    2e15 vocabulary terms, no guard needed.
+
+    Rank is the (freq DESC, term ASC) row_number — a total order, so
+    cross-engine identical. The rank window is VOCABULARY-bounded
+    (term counts aggregate first; the fact table never enters a
+    window) — at web scale the vocab sort is the right cost, the
+    corpus scan stays one pass.
+
+    Output: one row (n_terms, slope, intercept); slope ~ -1 on
+    natural text.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
+    ).select(
+        F.expr("length(bin(rank)) - 1").cast("long").alias("x"),
+        F.expr("length(bin(cnt)) - 1").cast("long").alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            9,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            9,
+        ).alias("intercept"),
+    )
+
+
+def zipf_slope_oracle_sql() -> str:
+    """DuckDB replay: identical bit-length log binning and closed-form
+    OLS on CAST-to-BIGINT sufficient statistics."""
+    return """
+        WITH counts AS MATERIALIZED (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY term),
+        ranked AS (
+          SELECT CAST(LENGTH(bin(CAST(ROW_NUMBER() OVER (
+                     ORDER BY cnt DESC, term) AS BIGINT))) - 1
+                 AS BIGINT) AS x,
+                 CAST(LENGTH(bin(cnt)) - 1 AS BIGINT) AS y
+          FROM counts),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM ranked)
+        SELECT n AS n_terms,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+               ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept
+        FROM s
+        """

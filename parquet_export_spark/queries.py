@@ -884,6 +884,14 @@ REGISTRY.update(
             _rel(ST.wasserstein_distance_pairs),
             ST.wasserstein_distance_oracle_sql(),
         ),
+        # Total-variation distance: the third member of the drift
+        # family (KS = sup CDF gap, W1 = integrated CDF gap, TV =
+        # half-L1 pmf gap) on the same cents-support discipline — no
+        # window stage at all, loud ppm overflow tier from day one.
+        "tv_distance_pairs": QuerySpec(
+            _rel(ST.tv_distance_pairs),
+            ST.tv_distance_oracle_sql(),
+        ),
         # Apdex satisfaction index per type: one pruned scan, one
         # conditional aggregate, the /2 folded into the numerator so
         # everything is int64 until a single non-negative division.
@@ -1794,6 +1802,13 @@ REGISTRY.update(
             FROM c ORDER BY event_type, next_type
             """,
         ),
+        # Stationary distribution of that chain: integer-scaled power
+        # iteration with unrolled MATERIALIZED sweep CTEs (the
+        # PageRank fixed-point recipe on the types-sized state space).
+        "markov_stationary_types": QuerySpec(
+            _rel(A.markov_stationary_types),
+            A.markov_stationary_oracle_sql(),
+        ),
         # Perceptual-hash image dedup: the whole pipeline (PGM build ->
         # numpy decode -> nearest-resample -> aHash -> lossless band
         # join -> bit_count verify) driver-hashed, because the ASCII
@@ -1995,6 +2010,12 @@ REGISTRY.update(
                               * 1000000, 0) AS BIGINT) AS expected_docs
             FROM per_src, tot ORDER BY source
             """,
+        ),
+        # Corpus-level Zipf slope: bit-length log binning (no libm) +
+        # closed-form OLS on exact int64 sufficient statistics.
+        "zipf_slope_unigrams": QuerySpec(
+            _rel(X.zipf_slope_unigrams),
+            X.zipf_slope_oracle_sql(),
         ),
         "unigram_freq_quality": QuerySpec(
             _rel(X.unigram_freq_quality),
@@ -3716,7 +3737,10 @@ _VERDICT_PRIORITY = [
     #   r8 verdict's explicit 35+5+10 allocation; their changed plans
     #   are covered by the triple-SF sweep gate every pytest run
     #   (tests/test_oracle_sweep.py ROUND_CHANGED) and they take r10
-    #   window priority.
+    #   window priority, together with the three operators REGISTERED
+    #   this round (tv_distance_pairs, markov_stationary_types,
+    #   zipf_slope_unigrams — also in ROUND_CHANGED, never
+    #   driver-verdicted).
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):
     "lpa_communities_suppliers", "link_prediction_suppliers",

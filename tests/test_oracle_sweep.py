@@ -62,6 +62,10 @@ ROUND_CHANGED = [
     "hits_trade_graph",
     "random_walks_suppliers",
     "assortativity_trade_graph",
+    # round 9, new:
+    "tv_distance_pairs",
+    "markov_stationary_types",
+    "zipf_slope_unigrams",
 ]
 
 SF_DIRS = [

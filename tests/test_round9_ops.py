@@ -529,3 +529,162 @@ def test_registry_trade_entries_share_one_edge_artifact(spark):
     got = Q.REGISTRY["assortativity_trade_graph"].fn(spark, sf).collect()
     want = G.assortativity_trade_graph(load_tables(spark, sf)).collect()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9 new operators: tv_distance_pairs / markov_stationary_types /
+# zipf_slope_unigrams — independent Python differentials (the oracle
+# harness proves DuckDB parity; these prove BOTH engines implement the
+# intended math)
+# ---------------------------------------------------------------------------
+
+
+def _lake_tables(spark):
+    from parquet_export_spark.sources.lake import load_tables
+
+    return load_tables(spark, "/root/testdata/sf0.001")
+
+
+def test_tv_distance_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    t = _lake_tables(spark)
+    rows = t["events"].select("event_type", "value").collect()
+    by_type = defaultdict(Counter)
+    for r in rows:
+        import math
+
+        by_type[r.event_type][math.floor(r.value * 100 + 0.5)] += 1
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.tv_num, r.tv_ppm)
+        for r in ST.tv_distance_pairs(t).collect()
+    }
+    types = sorted(by_type)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ca, cb = by_type[a], by_type[b]
+            na, nb = sum(ca.values()), sum(cb.values())
+            num = sum(
+                abs(ca.get(x, 0) * nb - cb.get(x, 0) * na)
+                for x in set(ca) | set(cb)
+            )
+            assert got[(a, b)] == (na, nb, num, num * 10**6 // (2 * na * nb))
+            # TV is a metric bounded by [0, 1]: ppm inside the range
+            assert 0 <= got[(a, b)][3] <= 10**6
+
+
+def test_tv_over_envelope_raises(spark):
+    """2.2e6 samples/type puts n_a*n_b past the 4611686018427
+    half-ppm envelope — the plan must raise, not wrap."""
+    events = spark.range(4_400_000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(Exception, match="overflow envelope exceeded"):
+        ST.tv_distance_pairs({"events": events}).collect()
+
+
+def test_tv_plan_has_no_window(spark):
+    """TV needs no cumulative state — unlike its KS/W1 siblings the
+    plan must carry NO Window operator at all; every scan prunes to
+    (event_type, value) and nothing funnels to one partition (the
+    family's shared pins; the repeated pre-AQE scan blocks collapse
+    to a ReusedExchange at runtime, as with KS/W1)."""
+    from parquet_export_spark.plans import inspect as P
+
+    t = _lake_tables(spark)
+    df = ST.tv_distance_pairs(t)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert all(s <= {"event_type", "value"} for s in P.read_schemas(df))
+
+
+def test_markov_stationary_matches_sequential_python(spark):
+    from collections import Counter, defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    rows = t["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = Counter()
+    for evs in seqs.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    rowtot = Counter()
+    for (a, _), c in trans.items():
+        rowtot[a] += c
+    states = sorted({r.event_type for r in rows})
+    SCALE, ITERS = A.MARKOV_SCALE, A.MARKOV_ITERS
+    r = {s: SCALE // len(states) for s in states}
+    for _ in range(ITERS):
+        nxt = defaultdict(int)
+        for (a, b), c in trans.items():
+            if a in r:
+                nxt[b] += r[a] * c // rowtot[a]
+        r = dict(nxt)
+    got = {
+        row.event_type: (row.out_transitions, row.stationary_ppm)
+        for row in A.markov_stationary_types(t).collect()
+    }
+    want = {
+        s: (rowtot.get(s, 0), r.get(s, 0) // 10**6) for s in states
+    }
+    assert got == want
+    # the chain is irreducible on this lake: mass survives the floor
+    # leaks (sums close to 1e6) and every state has outgoing edges
+    assert sum(p for _, p in got.values()) > 900_000
+    assert all(o > 0 for o, _ in got.values())
+
+
+def test_markov_over_envelope_raises(spark):
+    """A single (i, j) cell past (2^63-1) div SCALE transitions must
+    raise through the guard embedded in the transition frame."""
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    with pytest.raises(Exception, match="overflow envelope exceeded"):
+        # shrink the envelope via a huge scale instead of building
+        # 9.2e6 rows: guard_max = (2^63-1) div scale falls below any
+        # real cell count
+        A.markov_stationary_types(t, n_iter=1, scale=2**62).collect()
+
+
+def test_zipf_slope_matches_python(spark):
+    from collections import Counter
+
+    t = _lake_tables(spark)
+    words = Counter()
+    for r in t["documents"].select("text").collect():
+        words.update(r.text.split(" "))
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [(i + 1).bit_length() - 1 for i in range(len(ranked))]
+    ys = [c.bit_length() - 1 for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    [row] = ST_zipf(t).collect()
+    assert row.n_terms == n
+    assert row.slope == pytest.approx(
+        round((n * sxy - sx * sy) / den, 9), abs=1e-12
+    )
+    assert row.intercept == pytest.approx(
+        round((sy * sxx - sx * sxy) / den, 9), abs=1e-12
+    )
+    # natural-ish text: the rank/frequency line must slope DOWN
+    assert row.slope < 0
+
+
+def ST_zipf(t):
+    from parquet_export_spark.operators import text as X
+
+    return X.zipf_slope_unigrams(t)

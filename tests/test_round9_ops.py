@@ -688,3 +688,26 @@ def ST_zipf(t):
     from parquet_export_spark.operators import text as X
 
     return X.zipf_slope_unigrams(t)
+
+
+def test_cc_incremental_label_artifact_probe(spark, monkeypatch):
+    """cc_incremental_trade fed the stored lake-label artifact must
+    equal the self-deriving path BIT-FOR-BIT, with the lake edge
+    build tripwired: the lake path is the only _edge_cache consumer
+    in this operator (the contracted merge runs doubling-CC over the
+    slim label graph WITHOUT an edge cache), so with lake_labels=
+    supplied the probe must never build one — its plan is batch
+    carve + contracted merge only, the nightly cost the incremental
+    algebra promises."""
+    from parquet_export_spark.operators import graph as G
+
+    t = _lake_tables(spark)
+    rebuild = G.cc_incremental_trade(t).collect()
+    lab = G.cc_lake_labels_artifact(t).localCheckpoint()
+
+    def _boom(*a, **k):  # pragma: no cover - firing IS the failure
+        raise AssertionError("probe re-derived the lake edge set")
+
+    monkeypatch.setattr(G, "_edge_cache", _boom)
+    probe = G.cc_incremental_trade(t, lake_labels=lab).collect()
+    assert probe == rebuild and len(probe) > 0

@@ -1033,6 +1033,7 @@ def butterfly_pairs_trade(
     t: dict[str, DataFrame],
     max_degree: int = BUTTERFLY_MAX_DEGREE,
     top_n: int = BUTTERFLY_TOP_N,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Butterfly (4-cycle) counting on the bipartite trade graph: the
     top supplier pairs by SHARED CUSTOMERS, with each pair's butterfly
@@ -1048,16 +1049,29 @@ def butterfly_pairs_trade(
     family; a hub customer connected to everything would otherwise
     contribute |suppliers|^2 rows and tells you nothing about pair
     cohesion). All integers, fully tie-broken -> exact oracle.
+    ``edges=`` accepts the stored ``trade_edges_artifact`` (the
+    hits_trade_graph probe convention: bipartite pairs decode from
+    the node encoding), skipping the fact join.
     """
     from pyspark.sql import Window
 
-    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
-    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
-    cs = (
-        o.join(li, "ok")
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    if edges is None:
+        o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
+        li = t["lineitem"].select(
+            F.col("l_orderkey").alias("ok"), "l_suppkey"
+        )
+        cs = (
+            o.join(li, "ok")
+            .select(
+                F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"),
+            )
+            .distinct()
+        )
+    else:
+        cs = edges.filter(F.col("src") % 2 == 0).select(
+            F.expr("src div 2").alias("c"), F.expr("dst div 2").alias("s")
+        )
     deg_ok = cs.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("c"))
     ).filter(F.col("deg") <= max_degree)

@@ -3096,7 +3096,7 @@ REGISTRY.update(
             G.cc_doubling_oracle_sql(),
         ),
         "butterfly_pairs_trade": QuerySpec(
-            _rel(G.butterfly_pairs_trade),
+            _trade_probe(G.butterfly_pairs_trade),
             f"""
             WITH cs AS (
               SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -67,6 +67,7 @@ ROUND_CHANGED = [
     "markov_stationary_types",
     "zipf_slope_unigrams",
     "cc_incremental_trade",  # probes the stored lake-label artifact
+    "butterfly_pairs_trade",  # probes the stored trade-edge artifact
 ]
 
 SF_DIRS = [

@@ -451,6 +451,7 @@ def test_png_sniff_and_spark_plumbing(spark):
 # ---------------------------------------------------------------------------
 
 _TRADE_PROBE_OPS = [
+    "butterfly_pairs_trade",
     "pagerank_orders_graph",
     "cc_trade_graph",
     "cc_doubling_trade_graph",

@@ -1615,3 +1615,164 @@ def read_w1_drift(spark, artifact_dir: str):
             "w1_num", "w1_cents",
         )
     )
+
+
+def tv_drift_stream(
+    events_stream: DataFrame,
+    ref_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous total-variation drift monitoring — the MASS twin
+    completing the streaming drift family against the SAME frozen
+    ``write_ks_reference`` histogram: KS alarms that the distribution
+    moved somewhere, W1 reports how far value mass traveled, TV
+    reports how MUCH probability mass sits in different buckets
+    regardless of distance (the batch ``tv_distance_pairs`` recipe
+    per micro-batch: tv_num = Σ_support |c_a·n_b − c_b·n_a|, no
+    cumulative window at all — the cheapest member in streaming too).
+
+    State is the identical per-(type, cents) histogram carry as the
+    KS/W1 monitors — value-range-bounded, byte-shareable; its own
+    tree only so the three compact independently.
+
+    int64 envelope, GUARDED LOUDLY: tv_num <= 2·n_a·n_b and the ppm
+    multiply adds 1e6, so each batch bounds n_a·n_b per type against
+    (2^63-1)/2e6 and raises ValueError past it (re-calibrate or
+    rescale before resuming — the ks_drift_stream contract).
+
+    Replay idempotence + compaction: the shared recipe (overwritten
+    ``tv/batch_<id>`` + ``carry_<id>``, read highest carry below own
+    id, keep-two) — pinned alongside the other eight monitors by the
+    parametrized lifecycle test.
+    """
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/tv"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(FLOOR(value*100 + 0.5) AS BIGINT)"
+                ).alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, cents long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        ref = spark.read.parquet(ref_dir)
+        tot_a = cum.groupBy("event_type").agg(F.sum("c").alias("na"))
+        tot_b = ref.groupBy("event_type").agg(F.sum("c").alias("nb"))
+        tots = tot_a.join(tot_b, "event_type")
+        over = (
+            tots.filter(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+                > float((2**63 - 1) // 2_000_000)
+            )
+            .select("event_type", "na", "nb")
+            .first()
+        )
+        if over is not None:
+            raise ValueError(
+                f"tv_drift_stream int64 overflow envelope exceeded for"
+                f" event_type={over.event_type!r}: n_stream*n_ref ="
+                f" {over.na}*{over.nb} > (2^63-1)/2e6 — the ppm"
+                f" multiply would wrap; re-calibrate the reference or"
+                f" rescale before resuming"
+            )
+        side_a = cum.select(
+            "event_type", "cents", F.col("c").alias("ca"), F.lit(0).alias("cb")
+        )
+        side_b = ref.select(
+            "event_type", "cents", F.lit(0).alias("ca"), F.col("c").alias("cb")
+        )
+        support = (
+            side_a.unionByName(side_b)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        )
+        (
+            support.join(tots, "event_type")
+            .groupBy("event_type", "na", "nb")
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.col("ca") * F.col("nb")
+                        - F.col("cb") * F.col("na")
+                    )
+                )
+                .cast("long")
+                .alias("tv_num")
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                F.col("na").cast("long").alias("n_stream"),
+                F.col("nb").cast("long").alias("n_ref"),
+                "tv_num",
+                F.expr("(tv_num * 1000000) div (2 * na * nb)").alias(
+                    "tv_ppm"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_tv_drift(spark, artifact_dir: str):
+    """Per-batch cumulative TV drift emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/tv")
+        .select(
+            "batch_id", "event_type", "n_stream", "n_ref",
+            "tv_num", "tv_ppm",
+        )
+    )

@@ -208,6 +208,7 @@ HEADLINE = [
     "tv_distance_pairs",
     "markov_stationary_types",
     "zipf_slope_unigrams",
+    "lorenz_curve_deciles",
 ]
 
 

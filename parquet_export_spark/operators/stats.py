@@ -2616,6 +2616,156 @@ def wasserstein_distance_oracle_sql() -> str:
         """
 
 
+def lorenz_curve_deciles(t: dict[str, DataFrame]) -> DataFrame:
+    """Lorenz curve of customer revenue per market segment, at the
+    ten decile points — the FULL inequality profile behind the
+    single-number readouts (`value_gini_by_type` summarizes the area,
+    `pareto_share_by_segment` quotes one point, `hhi` the index; the
+    curve is what an analyst plots and what makes the others
+    auditable: cum_share at decile 8 IS pareto's complement).
+
+    Point i = share of segment revenue held by the bottom
+    floor(i·n/10) customers under the (cents ASC, custkey-free) total
+    order. Exact integer evaluation WITHOUT a per-customer window
+    (the decile discipline): customers collapse to the (segment,
+    cents) revenue SUPPORT — cnt customers and cnt·cents revenue per
+    distinct value — the cumulative window runs over that
+    value-bounded support, and the cut inside a tied value group is
+    closed-form: cum_at_k = cum_cents − (cum_n − k)·cents (every
+    customer in the group holds exactly ``cents``). The per-(segment,
+    decile) pick is ``min_by`` over cum_n ≥ k — cum_n is strictly
+    increasing, so no tie rule is needed.
+
+    Overflow envelope — LOUD (the family raise_error tier): the ppm
+    multiply needs total_cents ≤ (2^63−1) div 1e6 ≈ $92B revenue per
+    segment; past it the guard raises with the decimal(38,0)
+    remediation instead of wrapping under ansi=false.
+
+    Plan: one orders scan → customer grain, broadcast dimension join,
+    one support-bounded cumulative window per segment, a 10-row spine
+    broadcast. Nothing fact-sized is ever windowed.
+
+    Output: (segment, decile, n_cum_customers, cum_cents,
+    cum_share_ppm), up to 10 rows per segment (deciles whose
+    floor(i·n/10) is 0 are absent — the chi2 absent-cell convention).
+    """
+    from pyspark.sql import Window
+
+    cust = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    seg = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    support = (
+        cust.join(seg, "o_custkey")
+        .groupBy("segment", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("grp_cents", F.col("cnt") * F.col("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy("cents")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = support.withColumn("cum_n", F.sum("cnt").over(wc)).withColumn(
+        "cum_cents", F.sum("grp_cents").over(wc)
+    )
+    tot = ranked.groupBy("segment").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("grp_cents").cast("long").alias("total_cents"),
+    )
+    spine = support.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    cuts = (
+        tot.crossJoin(F.broadcast(spine))
+        .withColumn("k", F.expr("(decile * n) div 10"))
+        .filter(F.col("k") >= 1)
+    )
+    picked = (
+        cuts.join(ranked, "segment")
+        .filter(F.col("cum_n") >= F.col("k"))
+        .groupBy("segment", "decile", "k", "total_cents")
+        .agg(
+            F.expr(
+                "min_by(cum_cents - (cum_n - k) * cents, cum_n)"
+            ).alias("cum_at_k")
+        )
+    )
+    return picked.select(
+        "segment",
+        "decile",
+        F.col("k").alias("n_cum_customers"),
+        F.col("cum_at_k").cast("long").alias("cum_cents"),
+        F.expr(
+            "CASE WHEN total_cents > 9223372036854L THEN"
+            " raise_error(concat("
+            "'lorenz_curve_deciles int64 overflow envelope exceeded:"
+            " total_cents = ', CAST(total_cents AS STRING),"
+            " ' > 9223372036854 safe maximum for the ppm multiply"
+            " (the session pins ansi=false, so the product would wrap"
+            " silently). Lift the share arithmetic to"
+            " decimal(38,0).'))"
+            " ELSE (cum_at_k * 1000000) div total_cents END"
+        ).alias("cum_share_ppm"),
+    ).orderBy("segment", "decile")
+
+
+def lorenz_curve_oracle_sql() -> str:
+    """DuckDB replay: same support collapse, cumulative window,
+    closed-form tied-group cut and arg_min pick."""
+    return """
+        WITH cust AS MATERIALIZED (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey),
+        support AS MATERIALIZED (
+          SELECT c.c_mktsegment AS segment, cu.cents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(COUNT(*) AS BIGINT) * cu.cents AS grp_cents
+          FROM cust cu JOIN customer c ON c.c_custkey = cu.o_custkey
+          GROUP BY c.c_mktsegment, cu.cents),
+        ranked AS MATERIALIZED (
+          SELECT segment, cents,
+                 CAST(SUM(cnt) OVER w AS BIGINT) AS cum_n,
+                 CAST(SUM(grp_cents) OVER w AS BIGINT) AS cum_cents
+          FROM support
+          WINDOW w AS (PARTITION BY segment ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING)),
+        tot AS (
+          SELECT segment, CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(grp_cents) AS BIGINT) AS total_cents
+          FROM support GROUP BY segment),
+        cuts AS (
+          SELECT t.segment, i.i AS decile, (i.i * t.n) // 10 AS k,
+                 t.total_cents
+          FROM tot t
+          CROSS JOIN (SELECT UNNEST(range(1, 11)) AS i) i
+          WHERE (i.i * t.n) // 10 >= 1),
+        picked AS (
+          SELECT c.segment, c.decile, c.k, c.total_cents,
+                 CAST(arg_min(r.cum_cents - (r.cum_n - c.k) * r.cents,
+                              r.cum_n) AS BIGINT) AS cum_at_k
+          FROM cuts c JOIN ranked r
+            ON r.segment = c.segment AND r.cum_n >= c.k
+          GROUP BY c.segment, c.decile, c.k, c.total_cents)
+        SELECT segment, decile,
+               CAST(k AS BIGINT) AS n_cum_customers,
+               cum_at_k AS cum_cents,
+               cum_at_k * 1000000 // total_cents AS cum_share_ppm
+        FROM picked
+        ORDER BY segment, decile
+        """
+
+
 def tv_distance_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Total-variation distance between every pair of event types'
     value distributions — completing the drift-distance family on one

@@ -907,6 +907,14 @@ REGISTRY.update(
             _rel(ST.tv_distance_pairs),
             ST.tv_distance_oracle_sql(),
         ),
+        # Lorenz curve at the ten decile points per segment: the full
+        # inequality profile behind gini/pareto/hhi, computed on the
+        # value-bounded revenue support with a closed-form tied-group
+        # cut (no per-customer window anywhere).
+        "lorenz_curve_deciles": QuerySpec(
+            _rel(ST.lorenz_curve_deciles),
+            ST.lorenz_curve_oracle_sql(),
+        ),
         # Apdex satisfaction index per type: one pruned scan, one
         # conditional aggregate, the /2 folded into the numerator so
         # everything is int64 until a single non-negative division.
@@ -3759,8 +3767,8 @@ _VERDICT_PRIORITY = [
     #   (tests/test_oracle_sweep.py ROUND_CHANGED) and they take r10
     #   window priority, together with the three operators REGISTERED
     #   this round (tv_distance_pairs, markov_stationary_types,
-    #   zipf_slope_unigrams — also in ROUND_CHANGED, never
-    #   driver-verdicted).
+    #   zipf_slope_unigrams, lorenz_curve_deciles — also in
+    #   ROUND_CHANGED, never driver-verdicted).
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):
     "lpa_communities_suppliers", "link_prediction_suppliers",

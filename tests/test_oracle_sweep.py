@@ -66,6 +66,7 @@ ROUND_CHANGED = [
     "tv_distance_pairs",
     "markov_stationary_types",
     "zipf_slope_unigrams",
+    "lorenz_curve_deciles",
     "cc_incremental_trade",  # probes the stored lake-label artifact
     "butterfly_pairs_trade",  # probes the stored trade-edge artifact
 ]

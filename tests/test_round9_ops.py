@@ -712,3 +712,52 @@ def test_cc_incremental_label_artifact_probe(spark, monkeypatch):
     monkeypatch.setattr(G, "_edge_cache", _boom)
     probe = G.cc_incremental_trade(t, lake_labels=lab).collect()
     assert probe == rebuild and len(probe) > 0
+
+
+def test_lorenz_curve_matches_bruteforce(spark):
+    """Independent Python differential: per segment, sort customers by
+    revenue cents ascending and take exact prefix sums at
+    floor(i*n/10) — the support-collapsed closed-form cut must equal
+    the naive per-customer prefix. Plus the curve invariants: shares
+    non-decreasing in the decile, convex (below the diagonal), decile
+    10 = 100% of revenue."""
+    import math
+    from collections import defaultdict
+
+    t = _lake_tables(spark)
+    orders = t["orders"].select("o_custkey", "o_totalprice").collect()
+    segs = {
+        r.c_custkey: r.c_mktsegment
+        for r in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+    rev = defaultdict(int)
+    for r in orders:
+        rev[r.o_custkey] += math.floor(float(r.o_totalprice) * 100 + 0.5)
+    by_seg = defaultdict(list)
+    for ck, cents in rev.items():
+        by_seg[segs[ck]].append(cents)
+    want = {}
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n, total = len(vals), sum(vals)
+        prefix = 0
+        cums = []
+        for v in vals:
+            prefix += v
+            cums.append(prefix)
+        for i in range(1, 11):
+            k = i * n // 10
+            if k >= 1:
+                want[(seg, i)] = (k, cums[k - 1], cums[k - 1] * 10**6 // total)
+    got = {
+        (r.segment, r.decile): (r.n_cum_customers, r.cum_cents, r.cum_share_ppm)
+        for r in ST.lorenz_curve_deciles(t).collect()
+    }
+    assert got == want
+    for seg in by_seg:
+        shares = [got[(seg, i)][2] for i in range(1, 11) if (seg, i) in got]
+        assert shares == sorted(shares)  # non-decreasing
+        assert got[(seg, 10)][2] == 10**6  # full mass at decile 10
+        # below the diagonal: bottom 50% holds < 50% of revenue
+        if (seg, 5) in got:
+            assert got[(seg, 5)][2] < 500_000

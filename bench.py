@@ -209,6 +209,7 @@ HEADLINE = [
     "markov_stationary_types",
     "zipf_slope_unigrams",
     "lorenz_curve_deciles",
+    "session_duration_histogram",
 ]
 
 

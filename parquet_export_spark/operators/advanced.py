@@ -2424,6 +2424,91 @@ SESSION_CTES_SQL = """
         """
 
 
+def session_duration_histogram(
+    t: dict[str, DataFrame], gap_minutes: int = 30
+) -> DataFrame:
+    """Power-of-two histogram of gap-session durations — the shape
+    readout on the session population (bounce spike at bin 0, the
+    engaged-session hump, the left-open-tab tail) that sits between
+    ``sessionize_batch`` (per-session rows) and ``session_entry_exit``
+    (what sessions do): how LONG they are. Third consumer of the ONE
+    sessionization core (``_sessionized`` / SESSION_CTES_SQL — the
+    drift rule), so the session definition cannot diverge.
+
+    Exactness: duration = microsecond-exact span div 1e6 (integer
+    seconds, both engines); bin = length(bin(dur_sec + 1)) - 1 — the
+    bit-length floor(log2) recipe (pitfall 19) shifted by one so the
+    zero-duration single-event session lands in its own bin 0;
+    lo_sec = (1 << bin) - 1 labels each bin's inclusive lower edge
+    with pure shift arithmetic (pitfall 16). All counts exact int64.
+
+    Plan: the shared user_id-window sessionization pass, one
+    session-grain aggregate, one ~40-row bin aggregate. Output:
+    (duration_bin, lo_sec, n_sessions, n_events), one row per
+    occupied bin.
+    """
+    sess = (
+        _sessionized(t["events"], gap_minutes)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "timestampdiff(MICROSECOND, min(ts), max(ts))"
+                " div 1000000"
+            ).alias("dur_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        sess.select(
+            F.expr("CAST(length(bin(dur_sec + 1)) - 1 AS BIGINT)").alias(
+                "duration_bin"
+            ),
+            "n_events",
+        )
+        .groupBy("duration_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            "duration_bin",
+            F.expr("(1L << duration_bin) - 1").alias("lo_sec"),
+            "n_sessions",
+            "n_events",
+        )
+        .orderBy("duration_bin")
+    )
+
+
+def session_duration_histogram_oracle_sql(gap_minutes: int = 30) -> str:
+    """DuckDB replay: shared SESSION_CTES_SQL core verbatim + the same
+    bit-length binning and shift-arithmetic bin edges."""
+    return (
+        "WITH "
+        + SESSION_CTES_SQL.format(gap_us=gap_minutes * 60 * 1_000_000)
+        + """,
+        sess AS (
+            SELECT user_id, session_id,
+                   date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                       AS dur_sec,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM with_id GROUP BY user_id, session_id),
+        binned AS (
+            SELECT CAST(LENGTH(bin(dur_sec + 1)) - 1 AS BIGINT)
+                       AS duration_bin,
+                   n_events
+            FROM sess)
+        SELECT duration_bin,
+               (1::BIGINT << duration_bin) - 1 AS lo_sec,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM binned
+        GROUP BY duration_bin
+        ORDER BY duration_bin
+        """
+    )
+
+
 def session_entry_exit(
     t: dict[str, DataFrame], gap_minutes: int = 30
 ) -> DataFrame:

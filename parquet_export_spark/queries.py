@@ -1832,6 +1832,13 @@ REGISTRY.update(
             _rel(A.markov_stationary_types),
             A.markov_stationary_oracle_sql(),
         ),
+        # Power-of-two session-duration histogram: third consumer of
+        # the shared _sessionized / SESSION_CTES_SQL core; bit-length
+        # binning + shift-arithmetic bin edges, no libm.
+        "session_duration_histogram": QuerySpec(
+            _rel(A.session_duration_histogram),
+            A.session_duration_histogram_oracle_sql(),
+        ),
         # Perceptual-hash image dedup: the whole pipeline (PGM build ->
         # numpy decode -> nearest-resample -> aHash -> lossless band
         # join -> bit_count verify) driver-hashed, because the ASCII
@@ -3767,7 +3774,8 @@ _VERDICT_PRIORITY = [
     #   (tests/test_oracle_sweep.py ROUND_CHANGED) and they take r10
     #   window priority, together with the three operators REGISTERED
     #   this round (tv_distance_pairs, markov_stationary_types,
-    #   zipf_slope_unigrams, lorenz_curve_deciles — also in
+    #   zipf_slope_unigrams, lorenz_curve_deciles,
+    #   session_duration_histogram — also in
     #   ROUND_CHANGED, never driver-verdicted).
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):

@@ -67,6 +67,7 @@ ROUND_CHANGED = [
     "markov_stationary_types",
     "zipf_slope_unigrams",
     "lorenz_curve_deciles",
+    "session_duration_histogram",
     "cc_incremental_trade",  # probes the stored lake-label artifact
     "butterfly_pairs_trade",  # probes the stored trade-edge artifact
 ]

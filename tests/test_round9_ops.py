@@ -761,3 +761,53 @@ def test_lorenz_curve_matches_bruteforce(spark):
         # below the diagonal: bottom 50% holds < 50% of revenue
         if (seg, 5) in got:
             assert got[(seg, 5)][2] < 500_000
+
+
+def test_session_duration_histogram_matches_bruteforce(spark):
+    """Independent Python differential: replay gap sessionization
+    sequentially per user, bin exact second durations by bit length,
+    and compare counts; conservation — sessions and events both sum
+    to the sessionize_batch totals."""
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    rows = t["events"].select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r.user_id].append((r.ts, r.event_id))
+    gap_us = 30 * 60 * 1_000_000
+    want = defaultdict(lambda: [0, 0])
+    n_sessions = 0
+    for evs in seqs.values():
+        evs.sort()
+        sessions = []
+        for ts, _ in evs:
+            if sessions and (
+                (ts - sessions[-1][-1]).total_seconds() * 1e6 <= gap_us
+            ):
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        for sess in sessions:
+            n_sessions += 1
+            dur_sec = int(
+                (sess[-1] - sess[0]).total_seconds() * 1e6
+            ) // 1_000_000
+            b = (dur_sec + 1).bit_length() - 1
+            want[b][0] += 1
+            want[b][1] += len(sess)
+    got = {
+        r.duration_bin: (r.n_sessions, r.n_events, r.lo_sec)
+        for r in A.session_duration_histogram(t).collect()
+    }
+    assert {b: (v[0], v[1]) for b, v in want.items()} == {
+        b: (n, e) for b, (n, e, _) in got.items()
+    }
+    assert sum(n for n, _, _ in got.values()) == n_sessions
+    assert sum(e for _, e, _ in got.values()) == len(rows)
+    for b, (_, _, lo) in got.items():
+        assert lo == (1 << b) - 1

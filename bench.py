@@ -210,6 +210,8 @@ HEADLINE = [
     "zipf_slope_unigrams",
     "lorenz_curve_deciles",
     "session_duration_histogram",
+    "dup_rate_by_source",
+    "cross_source_overlap",
 ]
 
 

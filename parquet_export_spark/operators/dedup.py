@@ -84,16 +84,7 @@ def dedup_canonical(t: dict[str, DataFrame]) -> DataFrame:
     keeper, copy count, and how many BYTE-distinct variants collapsed
     (n_variants > 1 marks groups byte-exact dedup would have missed).
     """
-    docs = t["documents"].withColumn(
-        "canon",
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
-                " +",
-                " ",
-            )
-        ),
-    )
+    docs = _with_canon(t["documents"])
     return (
         docs.groupBy(F.md5("canon").alias("canonical_hash"))
         .agg(
@@ -1710,17 +1701,23 @@ def remove_contained_docs_oracle_sql() -> str:
     )
 
 
+#: the ONE canonicalization expression (DuckDB form) — interpolated
+#: into every canonical-dedup oracle so the canonical string cannot
+#: drift between consumers (round-9: the per-source diagnostics
+#: joined the family).
+CANON_EXPR_SQL = """trim(regexp_replace(
+                      regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+                                     'g'),
+                      ' +', ' ', 'g'))"""
+
 #: DuckDB CTE text of the canonical-group core (canonicalize ->
 #: md5-group with keeper/copies/variants) — ONE SQL definition shared
 #: by the dedup_canonical oracle and the family-size histogram (the
 #: _DUP_SPAN_CTES drift rule).
-CANON_GROUPS_CTES_SQL = """
+CANON_GROUPS_CTES_SQL = f"""
         c AS (
           SELECT doc_id, text,
-                 trim(regexp_replace(
-                      regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
-                                     'g'),
-                      ' +', ' ', 'g')) AS canon
+                 {CANON_EXPR_SQL} AS canon
           FROM documents),
         groups AS (
           SELECT md5(canon) AS canonical_hash,
@@ -1728,6 +1725,144 @@ CANON_GROUPS_CTES_SQL = """
                  CAST(COUNT(*) AS BIGINT) AS n_copies,
                  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_variants
           FROM c GROUP BY md5(canon))
+        """
+
+
+def _with_canon(docs: DataFrame) -> DataFrame:
+    """Spark twin of CANON_EXPR_SQL — the one canonicalization
+    definition every canonical-dedup consumer calls (dedup_canonical,
+    dup_rate_by_source, cross_source_overlap)."""
+    return docs.withColumn(
+        "canon",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ),
+    )
+
+
+def dup_rate_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source duplication diagnostics — the curation readout that
+    turns the global family histogram into an ACTIONABLE per-feed
+    number: which ingest source is flooding the lake with copies.
+    n_dup_docs counts a source's documents whose canonical family has
+    more than one member ANYWHERE in the lake (cross-source copies
+    count — a mirror site is a duplication problem even if each feed
+    is internally unique); dup_ppm = n_dup_docs·1e6 div n_docs.
+
+    One canonicalization definition (``_with_canon`` /
+    CANON_EXPR_SQL), digest-keyed shuffles only (module rule:
+    documents never shuffle on text). Output: (source, n_docs,
+    n_canonical, n_dup_docs, dup_ppm) per source.
+    """
+    docs = _with_canon(t["documents"]).select(
+        "doc_id", "source", F.md5("canon").alias("h")
+    )
+    fam = docs.groupBy("h").agg(F.count(F.lit(1)).alias("family_size"))
+    return (
+        docs.join(fam, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("h").cast("long").alias("n_canonical"),
+            F.sum(F.when(F.col("family_size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_canonical",
+            "n_dup_docs",
+            F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def dup_rate_by_source_oracle_sql() -> str:
+    return f"""
+        WITH c AS MATERIALIZED (
+          SELECT doc_id, source, md5({CANON_EXPR_SQL}) AS h
+          FROM documents),
+        fam AS MATERIALIZED (
+          SELECT h, CAST(COUNT(*) AS BIGINT) AS family_size
+          FROM c GROUP BY h)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_canonical,
+               CAST(SUM(CASE WHEN family_size > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN family_size > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
+        FROM c JOIN fam USING (h)
+        GROUP BY source
+        ORDER BY source
+        """
+
+
+def cross_source_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise source overlap by canonical content — WHICH feeds
+    duplicate each other (the question ``dup_rate_by_source`` raises
+    and this answers): for every source pair, how many canonical
+    hashes appear in both, and how many documents on each side belong
+    to those shared families. The mirror-site / re-crawl detector a
+    training-data pipeline runs before weighting sources.
+
+    Shape: (source, hash) collapses first (one row per source a hash
+    appears in — at most n_sources rows per hash), then a hash-keyed
+    self-join with source_a < source_b; never a document-pair term.
+    All counts exact int64. Source pairs with zero shared content are
+    absent (the chi2 absent-cell convention).
+
+    Output: (source_a, source_b, shared_hashes, docs_a_shared,
+    docs_b_shared).
+    """
+    hs = (
+        _with_canon(t["documents"])
+        .select("source", F.md5("canon").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = hs.select(
+        F.col("source").alias("source_a"), "h", F.col("cnt").alias("ca")
+    )
+    b = hs.select(
+        F.col("source").alias("source_b"), "h", F.col("cnt").alias("cb")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_hashes"),
+            F.sum("ca").cast("long").alias("docs_a_shared"),
+            F.sum("cb").cast("long").alias("docs_b_shared"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def cross_source_overlap_oracle_sql() -> str:
+    return f"""
+        WITH hs AS MATERIALIZED (
+          SELECT source, md5({CANON_EXPR_SQL}) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY source, md5({CANON_EXPR_SQL})),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.cnt AS ca, b.cnt AS cb
+          FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source)
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_hashes,
+               CAST(SUM(ca) AS BIGINT) AS docs_a_shared,
+               CAST(SUM(cb) AS BIGINT) AS docs_b_shared
+        FROM pairs
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
         """
 
 

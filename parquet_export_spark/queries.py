@@ -1017,6 +1017,18 @@ REGISTRY.update(
             _rel(D.dup_family_size_histogram),
             D.dup_family_size_oracle_sql(),
         ),
+        # Per-source duplication diagnostics + pairwise source overlap
+        # (round-9): the actionable per-feed versions of the global
+        # family histogram, off the ONE canonicalization definition
+        # (_with_canon / CANON_EXPR_SQL); digest-keyed shuffles only.
+        "dup_rate_by_source": QuerySpec(
+            _rel(D.dup_rate_by_source),
+            D.dup_rate_by_source_oracle_sql(),
+        ),
+        "cross_source_overlap": QuerySpec(
+            _rel(D.cross_source_overlap),
+            D.cross_source_overlap_oracle_sql(),
+        ),
         "dedup_exact_keep_first": QuerySpec(
             _rel(D.dedup_exact_keep_first),
             """
@@ -3775,7 +3787,8 @@ _VERDICT_PRIORITY = [
     #   window priority, together with the three operators REGISTERED
     #   this round (tv_distance_pairs, markov_stationary_types,
     #   zipf_slope_unigrams, lorenz_curve_deciles,
-    #   session_duration_histogram — also in
+    #   session_duration_histogram, dup_rate_by_source,
+    #   cross_source_overlap — also in
     #   ROUND_CHANGED, never driver-verdicted).
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):

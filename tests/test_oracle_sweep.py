@@ -68,6 +68,8 @@ ROUND_CHANGED = [
     "zipf_slope_unigrams",
     "lorenz_curve_deciles",
     "session_duration_histogram",
+    "dup_rate_by_source",
+    "cross_source_overlap",
     "cc_incremental_trade",  # probes the stored lake-label artifact
     "butterfly_pairs_trade",  # probes the stored trade-edge artifact
 ]

@@ -811,3 +811,122 @@ def test_session_duration_histogram_matches_bruteforce(spark):
     assert sum(e for _, e, _ in got.values()) == len(rows)
     for b, (_, _, lo) in got.items():
         assert lo == (1 << b) - 1
+
+
+def _dup_diag_want(rows):
+    """Brute-force replay of both per-source diagnostics."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    def canon(text):
+        s = re.sub(r"[^a-z0-9 ]", " ", text.lower())
+        return re.sub(r" +", " ", s).strip()
+
+    h_of = {
+        r[0]: hashlib.md5(canon(r[2]).encode()).hexdigest() for r in rows
+    }
+    fam = Counter(h_of.values())
+    per_src = defaultdict(lambda: [0, set(), 0])
+    src_hash = Counter()
+    for doc_id, source, _ in rows:
+        h = h_of[doc_id]
+        e = per_src[source]
+        e[0] += 1
+        e[1].add(h)
+        if fam[h] > 1:
+            e[2] += 1
+        src_hash[(source, h)] += 1
+    want_rate = {
+        s: (n, len(hs), d, d * 10**6 // n)
+        for s, (n, hs, d) in per_src.items()
+    }
+    by_hash = defaultdict(list)
+    for (s, h), c in src_hash.items():
+        by_hash[h].append((s, c))
+    want_ov = defaultdict(lambda: [0, 0, 0])
+    for members in by_hash.values():
+        members.sort()
+        for i, (sa, ca) in enumerate(members):
+            for sb, cb in members[i + 1 :]:
+                e = want_ov[(sa, sb)]
+                e[0] += 1
+                e[1] += ca
+                e[2] += cb
+    return want_rate, {k: tuple(v) for k, v in want_ov.items()}
+
+
+def test_source_dup_diagnostics_engineered_fixture(spark):
+    """The synthetic lake has NO canonical duplicates below sf0.1 (and
+    only 8, all cross-source, there) — so the differential drives an
+    ENGINEERED corpus exercising every path: byte-exact cross-source
+    copies, case/punctuation variants that only canonicalization
+    collapses, a within-source dup, and unique docs."""
+    from parquet_export_spark.operators import dedup as D
+
+    rows = [
+        (1, "feedA", "The quick brown fox."),
+        (2, "feedB", "the QUICK  brown fox!!"),  # canon-dup of 1
+        (3, "feedC", "The quick brown fox."),    # byte-dup of 1
+        (4, "feedA", "totally unique alpha document"),
+        (5, "feedA", "repeated inside feed a"),
+        (6, "feedA", "repeated INSIDE feed a"),   # within-source canon-dup
+        (7, "feedB", "only in feed b"),
+        (8, "feedC", "only in feed c"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    want_rate, want_ov = _dup_diag_want(rows)
+    t = {"documents": docs}
+    got_rate = {
+        r.source: (r.n_docs, r.n_canonical, r.n_dup_docs, r.dup_ppm)
+        for r in D.dup_rate_by_source(t).collect()
+    }
+    assert got_rate == want_rate
+    # feedA: 4 docs, 3 canonical; dups = doc 1 (cross-source fox
+    # family) + the 5/6 within-feed pair -> 3 of 4 = 750000 ppm
+    assert got_rate["feedA"] == (4, 3, 3, 750_000)
+    got_ov = {
+        (r.source_a, r.source_b): (
+            r.shared_hashes,
+            r.docs_a_shared,
+            r.docs_b_shared,
+        )
+        for r in D.cross_source_overlap(t).collect()
+    }
+    assert got_ov == want_ov
+    # the fox family spans all three feeds -> all three pairs present
+    assert set(got_ov) == {
+        ("feedA", "feedB"), ("feedA", "feedC"), ("feedB", "feedC"),
+    }
+
+
+def test_source_dup_diagnostics_match_bruteforce(spark):
+    """Lake-level parity of both diagnostics against the brute-force
+    replay (the corpus happens to be duplicate-free at this SF — the
+    engineered-fixture test above carries the duplicate paths; the
+    sf0.1 sweep leg carries the real cross-source families)."""
+    from parquet_export_spark.operators import dedup as D
+
+    t = _lake_tables(spark)
+    rows = [
+        (r.doc_id, r.source, r.text)
+        for r in t["documents"].select("doc_id", "source", "text").collect()
+    ]
+    want_rate, want_ov = _dup_diag_want(rows)
+    got_rate = {
+        r.source: (r.n_docs, r.n_canonical, r.n_dup_docs, r.dup_ppm)
+        for r in D.dup_rate_by_source(t).collect()
+    }
+    assert got_rate == want_rate
+    assert len(got_rate) > 1  # the per-source grain is real
+    got_ov = {
+        (r.source_a, r.source_b): (
+            r.shared_hashes,
+            r.docs_a_shared,
+            r.docs_b_shared,
+        )
+        for r in D.cross_source_overlap(t).collect()
+    }
+    assert got_ov == want_ov

@@ -3517,3 +3517,169 @@ def order_cadence_oracle_sql() -> str:
         FROM stats s JOIN med m ON m.o_custkey = s.o_custkey
         ORDER BY s.o_custkey
         """
+
+
+def dau_mau_stickiness(t: dict[str, DataFrame]) -> DataFrame:
+    """Monthly engagement stickiness — the product metric every
+    growth dashboard leads with: of the users active this month, how
+    much of the month were they actually around for? stickiness =
+    avg(DAU)/MAU, reported here in its exactly-equivalent integer
+    form active_user_days / (n_active_days * MAU) so the whole chain
+    is int64 (avg(DAU) = active_user_days / n_active_days; dividing
+    by MAU and folding the two divides into one ratio avoids TWO
+    stacked IEEE divides whose intermediate rounding the two engines
+    could disagree on — one integer ``div`` is bit-identical anywhere).
+
+    Calendar keys are pure integers (the weekly_revenue_wow rule):
+    month_idx = (year-1970)*12 + month-1 and day = days-since-epoch,
+    both tz-free under the session's pinned UTC.
+
+    Scale shape: ONE distinct collapse of the fact to its
+    (month, day, user) grain — a single digest-keyed shuffle, the
+    dedup_exact discipline — then a month-cardinality aggregate
+    (count_distinct over the collapsed grain, never the fact). No
+    windows, no joins, nothing driver-side. Envelope:
+    active_user_days * 1e6 needs active_user_days <= 9.2e12 —
+    i.e. ~9 trillion user-days per MONTH — before the ppm multiply
+    could wrap; unreachable (that is 300 billion DAU).
+
+    Output: (month_idx, mau, n_active_days, active_user_days,
+    stickiness_ppm), one row per observed month.
+    """
+    grain = (
+        t["events"]
+        .select(
+            F.expr(
+                "CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT)"
+            ).alias("month_idx"),
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        grain.groupBy("month_idx")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("mau"),
+            F.count_distinct("day").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("active_user_days"),
+        )
+        .select(
+            "month_idx",
+            "mau",
+            "n_active_days",
+            "active_user_days",
+            F.expr(
+                "(active_user_days * 1000000L)"
+                " div (n_active_days * mau)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+def dau_mau_oracle_sql() -> str:
+    return """
+        WITH grain AS (
+          SELECT DISTINCT
+                 CAST((year(ts) - 1970) * 12 + month(ts) - 1
+                      AS BIGINT) AS month_idx,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day,
+                 user_id
+          FROM events)
+        SELECT month_idx,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS active_user_days,
+               (COUNT(*) * 1000000)
+                   // (COUNT(DISTINCT day) * COUNT(DISTINCT user_id))
+                   AS stickiness_ppm
+        FROM grain GROUP BY month_idx ORDER BY month_idx
+        """
+
+
+def new_returning_weekly(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekly new-vs-returning split — the acquisition/retention
+    decomposition of the active-user curve: every (user, week) active
+    pair is NEW if that week is the user's first-ever active week,
+    RETURNING otherwise. A growth chart that only plots WAU hides
+    whether growth is acquisition or habit; this is the two-line
+    version.
+
+    Weeks are epoch-week integers (days-since-epoch div 7 — the
+    weekly_revenue_wow convention). new_ppm = n_new * 1e6 div
+    n_active is one integer divide.
+
+    Scale shape: ONE distinct collapse to the (user, week) grain,
+    then the user's first week via a user-keyed min-aggregate of that
+    SAME collapsed frame (user-bounded, never fact-bounded), joined
+    back on user_id — both sides already collapsed, and AQE broadcasts
+    the min-table when small. Flagging is a codegen comparison; the
+    weekly rollup is week-cardinality. No windows over the fact, no
+    second fact scan (the collapsed grain is checkpointed and reused
+    — the chi2 materialize-the-shared-input rule).
+
+    Output: (week, n_active, n_new, n_returning, new_ppm).
+    """
+    uw = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " div 7 AS BIGINT)"
+            ).alias("week"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            F.expr("(n_new * 1000000L) div n_active").alias("new_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+def new_returning_oracle_sql() -> str:
+    return """
+        WITH uw AS MATERIALIZED (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) // 7
+                      AS BIGINT) AS week
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(week) AS first_week
+          FROM uw GROUP BY user_id)
+        SELECT week,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(COUNT(*)
+                    - SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning,
+               CAST((SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                     * 1000000) // COUNT(*) AS BIGINT) AS new_ppm
+        FROM uw JOIN first USING (user_id)
+        GROUP BY week ORDER BY week
+        """

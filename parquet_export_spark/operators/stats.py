@@ -1852,34 +1852,17 @@ def value_clusters_oracle_sql(
         """
 
 
-def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
-    """Chi-squared contingency profile of event_type x global value
-    decile — the categorical-feature-vs-binned-target independence
-    scan feature selection runs before training (a flat table says
-    the type carries no information about the value's bucket; a
-    spiked cell is the signal). Reported PER CELL (observed, expected,
-    contribution) rather than as one summed statistic: a float sum
-    over cells has no deterministic cross-engine order, while each
-    cell's value is ONE fixed-shape IEEE chain both engines evaluate
-    identically (the bm25 fixed-order discipline), and the per-cell
-    residuals are what an analyst actually reads.
+def _type_decile_cells(t: dict[str, DataFrame]) -> DataFrame:
+    """The ONE global-decile contingency core shared by
+    ``chi2_type_decile`` (per-cell residuals) and
+    ``cramers_v_type_decile`` (the summed effect size) — the drift
+    rule: two operators reading the same contingency table must not
+    re-declare its construction.
 
-    Bucket boundaries are GLOBAL rank-based integer order statistics
-    (min cents with cum >= ceil(i*n/10) — the decile discipline,
-    unpartitioned): the one cumulative window runs over the GLOBAL
-    distinct-cents support, bounded by the VALUE RANGE (quantized
-    cents), never event volume; boundaries broadcast as a 9-element
-    array and assignment is the in-codegen O(9) ``aggregate`` fold.
-
-    Output: (event_type, decile, observed, expected, contribution),
-    UP TO types x 10 rows: a (type, decile) cell with zero observed
-    events is ABSENT, not emitted as observed=0 — both engines build
-    the table from the seen combinations only, and a dense grid would
-    need a types×deciles spine to add expected-only cells whose
-    contribution the per-cell reader rarely wants. Callers summing
-    contributions into one χ² statistic must add the missing-cell
-    term Σ_absent expected themselves (absent cells contribute
-    exactly their expectation, since (0-E)²/E = E).
+    Returns the present-cell frame (event_type, decile, observed,
+    rt, ct, n): observed cell counts joined with their row/column
+    marginals and the broadcast grand total. See chi2_type_decile
+    for the boundary and plan discipline.
     """
     from pyspark.sql import Window
 
@@ -1924,6 +1907,45 @@ def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
     )
     rt = obs.groupBy("event_type").agg(F.sum("observed").alias("rt"))
     ct = obs.groupBy("decile").agg(F.sum("observed").alias("ct"))
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "decile")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
+    """Chi-squared contingency profile of event_type x global value
+    decile — the categorical-feature-vs-binned-target independence
+    scan feature selection runs before training (a flat table says
+    the type carries no information about the value's bucket; a
+    spiked cell is the signal). Reported PER CELL (observed, expected,
+    contribution) rather than as one summed statistic: a float sum
+    over cells has no deterministic cross-engine order, while each
+    cell's value is ONE fixed-shape IEEE chain both engines evaluate
+    identically (the bm25 fixed-order discipline), and the per-cell
+    residuals are what an analyst actually reads. (The summed,
+    deterministically-folded statistic lives in
+    ``cramers_v_type_decile``, off the same ``_type_decile_cells``
+    core.)
+
+    Bucket boundaries are GLOBAL rank-based integer order statistics
+    (min cents with cum >= ceil(i*n/10) — the decile discipline,
+    unpartitioned): the one cumulative window runs over the GLOBAL
+    distinct-cents support, bounded by the VALUE RANGE (quantized
+    cents), never event volume; boundaries broadcast as a 9-element
+    array and assignment is the in-codegen O(9) ``aggregate`` fold.
+
+    Output: (event_type, decile, observed, expected, contribution),
+    UP TO types x 10 rows: a (type, decile) cell with zero observed
+    events is ABSENT, not emitted as observed=0 — both engines build
+    the table from the seen combinations only, and a dense grid would
+    need a types×deciles spine to add expected-only cells whose
+    contribution the per-cell reader rarely wants. Callers summing
+    contributions into one χ² statistic must add the missing-cell
+    term Σ_absent expected themselves (absent cells contribute
+    exactly their expectation, since (0-E)²/E = E).
+    """
     exp = (
         F.col("rt").cast("double")
         * F.col("ct").cast("double")
@@ -1933,9 +1955,7 @@ def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
         F.col("observed").cast("double") - exp
     ) / exp
     return (
-        obs.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "decile")
-        .crossJoin(F.broadcast(tot))
+        _type_decile_cells(t)
         .select(
             "event_type",
             "decile",
@@ -1947,11 +1967,12 @@ def chi2_type_decile(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def chi2_type_decile_oracle_sql() -> str:
-    """DuckDB replay: same global integer boundaries (correlated
-    9-row count instead of the HOF fold), same per-cell IEEE chain."""
-    return """
-        WITH e AS MATERIALIZED (
+#: DuckDB CTE text of the SAME global-decile contingency core as
+#: ``_type_decile_cells`` — ONE SQL definition shared by the
+#: chi2_type_decile and cramers_v_type_decile oracles, mirroring the
+#: Python-side helper (the CANON_EXPR_SQL / SESSION_CTES_SQL rule).
+TYPE_DECILE_CELLS_CTES_SQL = """
+        e AS MATERIALIZED (
           SELECT event_type,
                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
           FROM events),
@@ -1984,6 +2005,14 @@ def chi2_type_decile_oracle_sql() -> str:
                FROM obs GROUP BY event_type),
         ct AS (SELECT decile, CAST(SUM(observed) AS BIGINT) AS ct
                FROM obs GROUP BY decile)
+        """
+
+
+def chi2_type_decile_oracle_sql() -> str:
+    """DuckDB replay: same global integer boundaries (correlated
+    9-row count instead of the HOF fold), same per-cell IEEE chain."""
+    return f"""
+        WITH {TYPE_DECILE_CELLS_CTES_SQL}
         SELECT o.event_type, o.decile, o.observed,
                ROUND(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
                      / CAST(tot.n AS DOUBLE), 6) AS expected,
@@ -2000,6 +2029,151 @@ def chi2_type_decile_oracle_sql() -> str:
         JOIN ct ON ct.decile = o.decile
         CROSS JOIN tot
         ORDER BY o.event_type, o.decile
+        """
+
+
+def cramers_v_type_decile(t: dict[str, DataFrame]) -> DataFrame:
+    """Bias-uncorrected Cramér's V of the event_type x value-decile
+    contingency table — the ONE effect-size number (0 = independent,
+    1 = perfectly determined) the per-cell ``chi2_type_decile``
+    deliberately does not sum. Same ``_type_decile_cells`` core (the
+    drift rule), different altitude: the cell table is for reading,
+    V is for ranking features and alarming on association drift.
+
+    Why the sum is safe HERE when chi2_type_decile refused it: a
+    float sum over cells has no deterministic cross-engine order
+    under hash aggregation, but the cell table is tiny (types x 10),
+    so both engines fold the SAME per-cell IEEE chains in the SAME
+    explicit order — Spark sorts the collected cell array and folds
+    with ``aggregate``; DuckDB folds ``list(... ORDER BY ...)`` with
+    ``list_reduce``. Left-fold parity holds exactly because Spark's
+    extra leading ``0.0 + x1`` is IEEE-exact.
+
+    The absent-cell correction the chi2 docstring assigns to callers
+    is applied here EXACTLY: absent cells contribute their
+    expectation, and Σ_absent E = n - Σ_present E =
+    (n² - Σ_present rt*ct)/n — computed on exact decimal(38,0)
+    integer products (no envelope: n²·cells wraps int64 past n ~ 3e8,
+    decimal38 is exact past any reachable lake), with ONE cast to
+    double. V = sqrt(χ² / (n·min(r-1, c-1))) — sqrt is IEEE
+    correctly-rounded (unlike ln — the collocations_pmi lesson), so
+    the final value is engine-identical. Degenerate 1-row/1-column
+    tables (min dof 0) report NULL rather than a division error.
+
+    Scale shape: everything after the shared core is a single
+    all-rows aggregate over types×10 rows. Output: ONE row (n,
+    n_types, n_deciles, n_cells, chi2, dof, cramers_v).
+    """
+    cells = _type_decile_cells(t)
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("observed").cast("double") - exp) * (
+        F.col("observed").cast("double") - exp
+    ) / exp
+    g = cells.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct("decile").cast("long").alias("n_deciles"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(
+            F.col("rt").cast("decimal(38,0)") * F.col("ct")
+        ).alias("sum_rtct"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("event_type"),
+                    F.col("decile"),
+                    contrib.alias("contrib"),
+                )
+            )
+        ).alias("arr"),
+    )
+    return (
+        g.select(
+            "n",
+            "n_types",
+            "n_deciles",
+            "n_cells",
+            F.expr(
+                "aggregate(arr, 0D, (acc, x) -> acc + x.contrib)"
+                " + CAST(CAST(n AS DECIMAL(38,0)) * n - sum_rtct"
+                "        AS DOUBLE) / CAST(n AS DOUBLE)"
+            ).alias("chi2_raw"),
+        )
+        .select(
+            "n",
+            "n_types",
+            "n_deciles",
+            "n_cells",
+            F.round("chi2_raw", 6).alias("chi2"),
+            ((F.col("n_types") - 1) * (F.col("n_deciles") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / F.expr(
+                        "CAST(NULLIF(n * least(n_types - 1,"
+                        " n_deciles - 1), 0) AS DOUBLE)"
+                    )
+                ),
+                9,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def cramers_v_oracle_sql() -> str:
+    """DuckDB replay off the SAME shared contingency CTEs: the fold is
+    ``list_reduce`` over the explicitly ordered cell list (left fold,
+    matching Spark's ``aggregate``), marginal products accumulate in
+    HUGEINT (DuckDB's exact 128-bit lane — its decimal multiply would
+    reject the 38+18 result precision at bind time; Spark's decimal
+    multiply caps at 38 and stays exact at these magnitudes)."""
+    return f"""
+        WITH {TYPE_DECILE_CELLS_CTES_SQL},
+        cells AS (
+          SELECT o.event_type, o.decile, o.observed, rt.rt, ct.ct,
+                 tot.n
+          FROM obs o
+          JOIN rt ON rt.event_type = o.event_type
+          JOIN ct ON ct.decile = o.decile
+          CROSS JOIN tot),
+        folded AS (
+          SELECT MAX(n) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                 CAST(COUNT(DISTINCT decile) AS BIGINT) AS n_deciles,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 SUM(CAST(rt AS HUGEINT) * ct) AS sum_rtct,
+                 list_reduce(
+                   list((CAST(observed AS DOUBLE)
+                         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * (CAST(observed AS DOUBLE)
+                           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        ORDER BY event_type, decile),
+                   (a, b) -> a + b) AS chi_present
+          FROM cells),
+        scored AS (
+          SELECT n, n_types, n_deciles, n_cells,
+                 chi_present
+                 + CAST(CAST(n AS HUGEINT) * n - sum_rtct
+                        AS DOUBLE) / CAST(n AS DOUBLE) AS chi2_raw
+          FROM folded)
+        SELECT n, n_types, n_deciles, n_cells,
+               ROUND(chi2_raw, 6) AS chi2,
+               (n_types - 1) * (n_deciles - 1) AS dof,
+               ROUND(SQRT(chi2_raw
+                          / CAST(NULLIF(n * LEAST(n_types - 1,
+                                                  n_deciles - 1), 0)
+                                 AS DOUBLE)), 9) AS cramers_v
+        FROM scored
         """
 
 

@@ -865,6 +865,14 @@ REGISTRY.update(
         "chi2_type_decile": QuerySpec(
             _rel(ST.chi2_type_decile), ST.chi2_type_decile_oracle_sql()
         ),
+        # Cramér's V effect size off the SAME _type_decile_cells core:
+        # the deterministic cross-engine float sum (sorted-array fold
+        # vs ordered list_reduce) chi2_type_decile deliberately
+        # refused, plus the exact absent-cell correction in
+        # decimal38/HUGEINT.
+        "cramers_v_type_decile": QuerySpec(
+            _rel(ST.cramers_v_type_decile), ST.cramers_v_oracle_sql()
+        ),
         # Skew/kurtosis per group: scale-invariant integer powers
         # (per-row int64, decimal(38,0) sums), byte-identical IEEE
         # moment folds (the stats_correlation recipe, extended).
@@ -2817,6 +2825,16 @@ REGISTRY.update(
         # divide at presentation.
         "weekly_revenue_wow": QuerySpec(
             _rel(A.weekly_revenue_wow), A.weekly_revenue_oracle_sql()
+        ),
+        # Monthly stickiness (avg DAU / MAU) in its single-integer-
+        # divide form over ONE (month, day, user) distinct collapse.
+        "dau_mau_stickiness": QuerySpec(
+            _rel(A.dau_mau_stickiness), A.dau_mau_oracle_sql()
+        ),
+        # Weekly new-vs-returning split: (user, week) grain collapsed
+        # once, first-week min-table joined back user-keyed.
+        "new_returning_weekly": QuerySpec(
+            _rel(A.new_returning_weekly), A.new_returning_oracle_sql()
         ),
         # Session entry/exit transition grid: the SHARED _sessionized
         # core (one definition with sessionize_batch, Python and SQL),

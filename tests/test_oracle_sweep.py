@@ -72,6 +72,13 @@ ROUND_CHANGED = [
     "cross_source_overlap",
     "cc_incremental_trade",  # probes the stored lake-label artifact
     "butterfly_pairs_trade",  # probes the stored trade-edge artifact
+    "dau_mau_stickiness",
+    "new_returning_weekly",
+    "cramers_v_type_decile",
+    # refactored onto the shared _type_decile_cells core /
+    # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
+    # because the oracle text moved):
+    "chi2_type_decile",
 ]
 
 SF_DIRS = [

@@ -930,3 +930,218 @@ def test_source_dup_diagnostics_match_bruteforce(spark):
         for r in D.cross_source_overlap(t).collect()
     }
     assert got_ov == want_ov
+
+
+# ---------------------------------------------------------------------------
+# dau_mau_stickiness / new_returning_weekly: engineered calendars where
+# the expected split is hand-checkable, plus lake-level brute force
+# ---------------------------------------------------------------------------
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, 'YYYY-MM-DD HH:MM:SS', user_id)."""
+    return spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_dau_mau_engineered_months(spark):
+    """Jan-2024: user 1 active 3 of 3 observed days, user 2 active 1 —
+    MAU 2, active-user-days 4, stickiness 4/(3*2) = 666666 ppm.
+    Feb-2024: one user one day — the degenerate perfect-stickiness
+    month. A second event on an already-counted (user, day) must NOT
+    move anything (the distinct-collapse grain)."""
+    from parquet_export_spark.operators import advanced as A
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-02 11:00:00", 1),
+            (3, "2024-01-15 12:00:00", 1),
+            (4, "2024-01-15 13:00:00", 2),
+            (5, "2024-01-15 13:30:00", 2),  # same (user, day): no-op
+            (6, "2024-02-03 09:00:00", 7),
+        ],
+    )
+    got = {
+        r.month_idx: (
+            r.mau,
+            r.n_active_days,
+            r.active_user_days,
+            r.stickiness_ppm,
+        )
+        for r in A.dau_mau_stickiness({"events": ev}).collect()
+    }
+    jan = (2024 - 1970) * 12 + 0
+    feb = jan + 1
+    assert got == {
+        jan: (2, 3, 4, 666_666),
+        feb: (1, 1, 1, 1_000_000),
+    }
+
+
+def test_new_returning_engineered_weeks(spark):
+    """User 1 appears in weeks w and w+2 (new then returning); user 2
+    only in w+2 (new there). Week w: 1 active / 1 new; week w+2:
+    2 active, 1 new, 1 returning -> 500000 ppm."""
+    from parquet_export_spark.operators import advanced as A
+
+    # 2024-01-01 is a Monday; days-since-epoch 19723 -> week 2817
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-02 10:00:00", 1),  # same week, same user: no-op
+            (3, "2024-01-15 10:00:00", 1),
+            (4, "2024-01-16 10:00:00", 2),
+        ],
+    )
+    rows = A.new_returning_weekly({"events": ev}).collect()
+    got = {
+        r.week: (r.n_active, r.n_new, r.n_returning, r.new_ppm)
+        for r in rows
+    }
+    weeks = sorted(got)
+    assert len(weeks) == 2 and weeks[1] == weeks[0] + 2
+    assert got[weeks[0]] == (1, 1, 0, 1_000_000)
+    assert got[weeks[1]] == (2, 1, 1, 500_000)
+
+
+def test_engagement_ops_match_bruteforce(spark):
+    """Lake-level parity of both engagement splits against a pure-
+    Python replay of the calendar/grain algebra."""
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    rows = t["events"].select("ts", "user_id").collect()
+    epoch = __import__("datetime").date(1970, 1, 1)
+    grain = {
+        (
+            (r.ts.year - 1970) * 12 + r.ts.month - 1,
+            (r.ts.date() - epoch).days,
+            r.user_id,
+        )
+        for r in rows
+    }
+    months = defaultdict(lambda: [set(), set(), 0])
+    for m, d, u in grain:
+        months[m][0].add(u)
+        months[m][1].add(d)
+        months[m][2] += 1
+    want = {
+        m: (
+            len(us),
+            len(ds),
+            aud,
+            aud * 10**6 // (len(ds) * len(us)),
+        )
+        for m, (us, ds, aud) in months.items()
+    }
+    got = {
+        r.month_idx: (
+            r.mau,
+            r.n_active_days,
+            r.active_user_days,
+            r.stickiness_ppm,
+        )
+        for r in A.dau_mau_stickiness(t).collect()
+    }
+    assert got == want
+
+    uw = {((r.ts.date() - epoch).days // 7, r.user_id) for r in rows}
+    first = {}
+    for w, u in sorted(uw):
+        first.setdefault(u, w)
+    weeks = defaultdict(lambda: [0, 0])
+    for w, u in uw:
+        weeks[w][0] += 1
+        if first[u] == w:
+            weeks[w][1] += 1
+    want_w = {
+        w: (a, n, a - n, n * 10**6 // a) for w, (a, n) in weeks.items()
+    }
+    got_w = {
+        r.week: (r.n_active, r.n_new, r.n_returning, r.new_ppm)
+        for r in A.new_returning_weekly(t).collect()
+    }
+    assert got_w == want_w
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_type_decile: brute-force dense-grid chi2 replay + the
+# degenerate-table NULL contract
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_matches_dense_grid_bruteforce(spark):
+    """Independent Python replay: same global decile boundaries, then
+    the TEXTBOOK dense-grid chi2 (every (type, decile) cell, absent
+    ones as observed=0) — the operator's present-cells-plus-exact-
+    correction decomposition must equal it to float tolerance, and V
+    must match sqrt(chi2/(n*min(r-1,c-1)))."""
+    import math
+    from collections import Counter
+
+    t = _lake_tables(spark)
+    rows = t["events"].select("event_type", "value").collect()
+    cents = [math.floor(r.value * 100 + 0.5) for r in rows]
+    n = len(cents)
+    hist = Counter(cents)
+    support = sorted(hist)
+    bounds = []
+    for i in range(1, 10):
+        cum, target = 0, -(-i * n // 10)  # ceil(i*n/10)
+        for c in support:
+            cum += hist[c]
+            if cum >= target:
+                bounds.append(c)
+                break
+    decile = lambda c: 1 + sum(1 for b in bounds if c > b)
+    obs = Counter(
+        (r.event_type, decile(math.floor(r.value * 100 + 0.5)))
+        for r in rows
+    )
+    types = sorted({ty for ty, _ in obs})
+    decs = sorted({d for _, d in obs})
+    rt = Counter()
+    ct = Counter()
+    for (ty, d), o in obs.items():
+        rt[ty] += o
+        ct[d] += o
+    chi2 = 0.0
+    for ty in types:
+        for d in decs:
+            e = rt[ty] * ct[d] / n
+            o = obs.get((ty, d), 0)
+            chi2 += (o - e) * (o - e) / e
+    v = math.sqrt(chi2 / (n * min(len(types) - 1, len(decs) - 1)))
+
+    [row] = ST.cramers_v_type_decile(t).collect()
+    assert row.n == n
+    assert row.n_types == len(types)
+    assert row.n_deciles == len(decs)
+    assert row.n_cells == len(obs)
+    assert row.dof == (len(types) - 1) * (len(decs) - 1)
+    assert abs(row.chi2 - chi2) < 1e-6 * max(1.0, chi2)
+    assert abs(row.cramers_v - v) < 1e-9
+    assert 0.0 <= row.cramers_v <= 1.0
+
+
+def test_cramers_v_degenerate_table_is_null(spark):
+    """One event type -> min(r-1, c-1) = 0: V must be NULL (the
+    NULLIF guard), never a division error or an inf/NaN."""
+    ev = _mk_events(
+        spark,
+        [(i, f"2024-01-{1 + i % 9:02d} 10:00:00", i % 3) for i in range(30)],
+    ).withColumn("value", (F.col("event_id") % 7).cast("double"))
+    [row] = ST.cramers_v_type_decile({"events": ev}).collect()
+    assert row.n_types == 1
+    assert row.cramers_v is None
+    # chi2 of a single-row table is exactly 0 (every cell IS its
+    # expectation: E = 1*ct/n * n-row margin)
+    assert row.chi2 == 0.0

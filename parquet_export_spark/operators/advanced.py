@@ -3683,3 +3683,163 @@ def new_returning_oracle_sql() -> str:
         FROM uw JOIN first USING (user_id)
         GROUP BY week ORDER BY week
         """
+
+
+def kaplan_meier_interorder(t: dict[str, DataFrame]) -> DataFrame:
+    """Kaplan-Meier survival curve of the customer inter-order wait —
+    the churn question asked properly: "what fraction of waits survive
+    past d days?", with the still-open wait after each customer's LAST
+    order entering as a right-censored subject instead of being
+    dropped (the naive gap histogram silently conditions on the next
+    order having happened — survivorship bias in one line). Subjects:
+    every consecutive (customer, order-day) gap is an observed event;
+    every customer's final open gap (last order day to the lake's
+    global max order day) is censored.
+
+    Exactness: risk sets and death counts are pure int64 (a
+    descending cumulative over the DURATION SUPPORT — bounded by the
+    calendar span in days, never order volume). The survival product
+    Π (1 - d_i/n_i) is a float, made engine-identical the
+    cramers_v way: the death-time table is collected into ONE sorted
+    array and each row's prefix product is an explicit left fold
+    (Spark ``aggregate(slice(...))``, DuckDB ``list_reduce`` over the
+    ordered slice) — fixed order, fixed shape, no hash-aggregation
+    ambiguity; Spark's extra leading ``1.0 * x1`` is IEEE-exact. The
+    per-row fold is O(k²) over k = distinct death durations — span-
+    bounded (a decade is ~3.7k values), a one-task codegen loop.
+
+    Scale shape: one distinct (customer, day) collapse, one
+    customer-keyed lag window (the order_cadence discipline), one
+    customer max-aggregate, a 1-row global-max broadcast, then
+    everything lives on the duration support. Output: one row per
+    DEATH time (the standard KM step table): (dur_days, n_at_risk,
+    d_events, censored_here, survival), survival ROUND 9.
+    """
+    days = (
+        t["orders"]
+        .select("o_custkey", F.col("o_orderdate").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    events = (
+        days.select(
+            F.datediff("day", F.lag("day").over(w)).cast("long").alias("dur")
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("dur", F.lit(1).alias("obs"))
+    )
+    maxd = days.agg(F.max("day").alias("md"))
+    cens = (
+        days.groupBy("o_custkey")
+        .agg(F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("md", "last_day").cast("long").alias("dur"),
+            F.lit(0).alias("obs"),
+        )
+    )
+    per_dur = (
+        events.unionAll(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum(F.when(F.col("obs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+            F.sum(F.when(F.col("obs") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    wd = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_dur.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(wd).cast("long")
+    )
+    dead = risk.filter(F.col("d") > 0)
+    g = dead.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur", "n_at_risk", "d", "c"))
+        ).alias("arr")
+    )
+    return (
+        g.select(
+            F.posexplode(
+                F.expr(
+                    "transform(arr, (x, i) -> struct("
+                    " x.dur AS dur_days,"
+                    " x.n_at_risk AS n_at_risk,"
+                    " x.d AS d_events,"
+                    " x.c AS censored_here,"
+                    " round(aggregate(slice(arr, 1, i + 1),"
+                    "   CAST(1.0 AS DOUBLE),"
+                    "   (acc, y) -> acc * (1.0D - CAST(y.d AS DOUBLE)"
+                    "     / CAST(y.n_at_risk AS DOUBLE))), 9)"
+                    "   AS survival))"
+                )
+            ).alias("pos", "r")
+        )
+        .select("r.*")
+        .orderBy("dur_days")
+    )
+
+
+def kaplan_meier_oracle_sql() -> str:
+    """DuckDB replay: the same support-level risk algebra; the prefix
+    product is ``list_reduce`` over the ordered slice a[1:i] (left
+    fold — matches Spark's ``aggregate`` exactly, see docstring)."""
+    return """
+        WITH days AS MATERIALIZED (
+          SELECT DISTINCT o_custkey, o_orderdate AS day FROM orders),
+        gaps AS (
+          SELECT date_diff('day',
+                           LAG(day) OVER (PARTITION BY o_custkey
+                                          ORDER BY day), day) AS dur
+          FROM days),
+        events AS (
+          SELECT CAST(dur AS BIGINT) AS dur, 1 AS obs
+          FROM gaps WHERE dur IS NOT NULL),
+        maxd AS (SELECT MAX(day) AS md FROM days),
+        cens AS (
+          SELECT CAST(date_diff('day', last_day, md) AS BIGINT) AS dur,
+                 0 AS obs
+          FROM (SELECT o_custkey, MAX(day) AS last_day
+                FROM days GROUP BY o_custkey), maxd),
+        per_dur AS (
+          SELECT dur,
+                 CAST(SUM(CASE WHEN obs = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d,
+                 CAST(SUM(CASE WHEN obs = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+          FROM (SELECT * FROM events UNION ALL SELECT * FROM cens)
+          GROUP BY dur),
+        risk AS (
+          SELECT dur, d, c,
+                 CAST(SUM(d + c) OVER (ORDER BY dur DESC
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS n_at_risk
+          FROM per_dur),
+        arr AS (
+          SELECT list({'dur': dur, 'n': n_at_risk, 'd': d, 'c': c}
+                      ORDER BY dur) AS a
+          FROM risk WHERE d > 0),
+        expanded AS (
+          SELECT unnest(list_transform(a, (x, i) -> {
+                   'dur_days': x.dur,
+                   'n_at_risk': x.n,
+                   'd_events': x.d,
+                   'censored_here': x.c,
+                   'survival': ROUND(list_reduce(
+                       list_transform(a[1:i],
+                         y -> 1.0 - CAST(y.d AS DOUBLE)
+                                    / CAST(y.n AS DOUBLE)),
+                       (p, q) -> p * q), 9)})) AS r
+          FROM arr)
+        SELECT r.dur_days AS dur_days,
+               r.n_at_risk AS n_at_risk,
+               r.d_events AS d_events,
+               r.censored_here AS censored_here,
+               r.survival AS survival
+        FROM expanded ORDER BY dur_days
+        """

@@ -3524,3 +3524,105 @@ def pareto_share_oracle_sql() -> str:
         GROUP BY c.segment
         ORDER BY c.segment
         """
+
+
+def atkinson_index_by_segment(t: dict[str, DataFrame]) -> DataFrame:
+    """Atkinson inequality index (ε = 2) of customer revenue per
+    market segment — the welfare-economics member of the inequality
+    family (gini / lorenz / pareto / hhi already registered): at
+    ε = 2 the index is 1 - harmonic_mean/mean, the bottom-sensitive
+    reading (a segment where a few customers spend almost nothing
+    scores high even if the top is flat — exactly what Gini
+    under-weights).
+
+    Why ε = 2 and not the textbook ε = 1: ε = 1 is the geometric-mean
+    (Theil) form and needs ln/exp, whose last-ulp libm divergence
+    breaks hash oracles (the collocations_pmi lesson). ε = 2 is
+    ln-free: A = 1 - n²·S / (Σx · Σ(S div x)) with reciprocals
+    quantized to femtounits (S = 1e15) — every term exact int64
+    (x is revenue CENTS ≥ 1, so S div x ≤ 1e15), summed exactly in
+    decimal(38,0)/HUGEINT (no overflow at any lake size), ONE
+    fixed-shape double chain at the end, ROUND 9. Quantization bias
+    is deterministic and bounded: each reciprocal is floored by at
+    most 1 femtounit, so the harmonic mass is under-read by < n
+    femtounits (relative error < x_max/1e15 ~ 1e-8 at realistic
+    revenue). Exact-cast envelope: the decimal→double casts are
+    lossless while Σ(S div x) and Σx stay under 2^53 — past that
+    (harmonic mass > 9e15: a billion customers at ~100 cents) the
+    9th digit may wobble; nothing wraps.
+
+    Scale shape: one custkey-keyed revenue aggregate, one custkey
+    join to the dimension for the segment, one segment-sized
+    aggregate. Customers with no orders have no revenue and are not
+    subjects (inner-join semantics, stated).
+
+    Output: (c_mktsegment, n_customers, revenue_cents,
+    sum_recip_femto, atkinson2).
+    """
+    rev = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    seg = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        rev.join(seg, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(
+                F.expr("CAST(1000000000000000L div cents AS DECIMAL(38,0))")
+            ).alias("recip"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "revenue_cents",
+            F.col("recip").cast("long").alias("sum_recip_femto"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_customers").cast("double")
+                * F.col("n_customers").cast("double")
+                * F.lit(1.0e15)
+                / (
+                    F.col("revenue_cents").cast("double")
+                    * F.col("recip").cast("double")
+                ),
+                9,
+            ).alias("atkinson2"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def atkinson_oracle_sql() -> str:
+    return """
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) * 100
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey),
+        seg AS (
+          SELECT c_custkey AS o_custkey, c_mktsegment FROM customer)
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               CAST(SUM(1000000000000000 // cents) AS BIGINT)
+                   AS sum_recip_femto,
+               ROUND(1.0
+                     - CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                       * 1e15
+                       / (CAST(SUM(cents) AS DOUBLE)
+                          * CAST(SUM(1000000000000000 // cents)
+                                 AS DOUBLE)), 9) AS atkinson2
+        FROM rev JOIN seg USING (o_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """

@@ -900,6 +900,13 @@ REGISTRY.update(
             _rel(ST.hhi_concentration_by_segment),
             ST.hhi_concentration_oracle_sql(),
         ),
+        # Atkinson(ε=2) inequality per segment: the ln-free
+        # bottom-sensitive member of the family — femtounit-quantized
+        # integer reciprocals summed exactly, one double chain.
+        "atkinson_index_by_segment": QuerySpec(
+            _rel(ST.atkinson_index_by_segment),
+            ST.atkinson_oracle_sql(),
+        ),
         # 1-Wasserstein drift magnitude per type pair: integrated CDF
         # gap over the deduped cents support, all-int64 segments, one
         # presentation divide (KS's actionable companion).
@@ -2856,6 +2863,13 @@ REGISTRY.update(
         "order_cadence_by_customer": QuerySpec(
             _rel(A.order_cadence_by_customer),
             A.order_cadence_oracle_sql(),
+        ),
+        # Kaplan-Meier inter-order survival: right-censored final
+        # gaps, support-level risk sets, sorted-array prefix-product
+        # fold (engine-identical — the cramers_v fold discipline).
+        "kaplan_meier_interorder": QuerySpec(
+            _rel(A.kaplan_meier_interorder),
+            A.kaplan_meier_oracle_sql(),
         ),
         # 2x2 contingency + odds ratio per type pair (the inferential
         # companion to type_affinity's Jaccard): inclusion-exclusion

@@ -75,6 +75,8 @@ ROUND_CHANGED = [
     "dau_mau_stickiness",
     "new_returning_weekly",
     "cramers_v_type_decile",
+    "kaplan_meier_interorder",
+    "atkinson_index_by_segment",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

@@ -1145,3 +1145,185 @@ def test_cramers_v_degenerate_table_is_null(spark):
     # chi2 of a single-row table is exactly 0 (every cell IS its
     # expectation: E = 1*ct/n * n-row margin)
     assert row.chi2 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_interorder: hand-checkable censored fixture + lake-level
+# textbook-KM replay
+# ---------------------------------------------------------------------------
+
+
+def _mk_orders(spark, rows):
+    """rows: (orderkey, custkey, 'YYYY-MM-DD')."""
+    return spark.createDataFrame(
+        [(k, c, "O", 100.0, d, "1-URGENT") for k, c, d in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string,"
+        " o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+
+
+def test_kaplan_meier_engineered_censoring(spark):
+    """Three customers, global max day = Jan 21:
+      c1: orders on 1, 6, 21  -> events dur 5, 15; censored 0
+      c2: orders on 1, 11     -> event dur 10;     censored 10
+      c3: orders on 1         -> censored 20 only (never reorders)
+    Death times 5/10/15; censored-at-10 subject IS at risk at 10
+    (standard KM convention: censoring after deaths at the tie), the
+    c3 censored-20 subject leaves the risk set before 15's... no —
+    20 > 15, so it is still at risk at 15. Hand curve:
+      t=5:  at risk 6 (durs 5,15,10,10,20,0 -> >=5: 5,15,10,10,20)=5, d=1 -> S=4/5
+      t=10: at risk {15,10,10,20}=4, d=1 -> S=4/5*3/4=3/5
+      t=15: at risk {15,20}=2, d=1 -> S=3/5*1/2=3/10
+    """
+    from parquet_export_spark.operators import advanced as A
+
+    orders = _mk_orders(
+        spark,
+        [
+            (1, 1, "2024-01-01"),
+            (2, 1, "2024-01-06"),
+            (3, 1, "2024-01-21"),
+            (4, 2, "2024-01-01"),
+            (5, 2, "2024-01-11"),
+            (6, 3, "2024-01-01"),
+        ],
+    )
+    rows = A.kaplan_meier_interorder({"orders": orders}).collect()
+    got = {
+        r.dur_days: (r.n_at_risk, r.d_events, r.censored_here, r.survival)
+        for r in rows
+    }
+    assert got == {
+        5: (5, 1, 0, 0.8),
+        10: (4, 1, 1, 0.6),
+        15: (2, 1, 0, 0.3),
+    }
+
+
+def test_kaplan_meier_matches_textbook_bruteforce(spark):
+    """Lake-level parity against an independent pure-Python KM
+    (duration list built the same way, then the classic product-limit
+    recurrence over death times)."""
+    from collections import Counter, defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    o = [
+        (r.o_custkey, r.o_orderdate)
+        for r in t["orders"].select("o_custkey", "o_orderdate").collect()
+    ]
+    by_cust = defaultdict(set)
+    for c, d in o:
+        by_cust[c].add(d)
+    maxd = max(d for _, d in o)
+    durs = []  # (duration_days, observed)
+    for c, ds in by_cust.items():
+        ds = sorted(ds)
+        for a, b in zip(ds, ds[1:]):
+            durs.append(((b - a).days, 1))
+        durs.append(((maxd - ds[-1]).days, 0))
+    deaths = Counter(d for d, obs in durs if obs == 1)
+    cens = Counter(d for d, obs in durs if obs == 0)
+    s = 1.0
+    want = {}
+    for td in sorted(deaths):
+        n = sum(c for d, c in deaths.items() if d >= td) + sum(
+            c for d, c in cens.items() if d >= td
+        )
+        s = s * (1.0 - deaths[td] / n)
+        want[td] = (n, deaths[td], cens.get(td, 0))
+    rows = A.kaplan_meier_interorder(t).collect()
+    got = {
+        r.dur_days: (r.n_at_risk, r.d_events, r.censored_here)
+        for r in rows
+    }
+    assert got == want
+    # survival is a non-increasing step function in (0, 1]
+    surv = [r.survival for r in sorted(rows, key=lambda r: r.dur_days)]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= x <= 1.0 for x in surv)
+    # spot-check the product-limit values to float tolerance (the
+    # operator folds in a fixed order; math.prod order here differs,
+    # hence tolerance, not equality)
+    s = 1.0
+    for td in sorted(deaths):
+        n, d, _ = want[td]
+        s *= 1.0 - d / n
+        assert abs(got_surv := next(
+            r.survival for r in rows if r.dur_days == td
+        ) - s) < 1e-9, (td, got_surv, s)
+
+
+# ---------------------------------------------------------------------------
+# atkinson_index_by_segment: integer replay + ordering sanity
+# ---------------------------------------------------------------------------
+
+
+def test_atkinson_matches_integer_bruteforce(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    t = _lake_tables(spark)
+    rev = defaultdict(int)
+    for r in t["orders"].select("o_custkey", "o_totalprice").collect():
+        rev[r.o_custkey] += int(
+            (Decimal(str(r.o_totalprice)) * 100).to_integral_value()
+        )
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+    by_seg = defaultdict(list)
+    for c, cents in rev.items():
+        by_seg[seg[c]].append(cents)
+    S = 10**15
+    want = {}
+    for sname, xs in by_seg.items():
+        n = len(xs)
+        sx = sum(xs)
+        sr = sum(S // x for x in xs)
+        a = round(1.0 - float(n) * float(n) * 1.0e15 / (float(sx) * float(sr)), 9)
+        want[sname] = (n, sx, sr, a)
+    got = {
+        r.c_mktsegment: (
+            r.n_customers,
+            r.revenue_cents,
+            r.sum_recip_femto,
+            r.atkinson2,
+        )
+        for r in ST.atkinson_index_by_segment(t).collect()
+    }
+    assert got == want
+    assert all(0.0 <= v[3] < 1.0 for v in got.values())
+
+
+def test_atkinson_orders_equal_vs_skewed(spark):
+    """Equal incomes -> A ~ 0 (exactly 0 up to reciprocal
+    quantization); a segment with one near-zero earner scores far
+    higher — the bottom-sensitivity the docstring claims."""
+    equal = _mk_orders(
+        spark, [(i, i, "2024-01-01") for i in range(1, 11)]
+    )
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in range(1, 11)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    [r_eq] = ST.atkinson_index_by_segment(
+        {"orders": equal, "customer": cust}
+    ).collect()
+    assert abs(r_eq.atkinson2) < 1e-9
+
+    skewed = _mk_orders(
+        spark, [(i, i, "2024-01-01") for i in range(1, 10)]
+    ).union(
+        _mk_orders(spark, [(100, 10, "2024-01-01")]).withColumn(
+            "o_totalprice", F.lit(0.01)
+        )
+    )
+    [r_sk] = ST.atkinson_index_by_segment(
+        {"orders": skewed, "customer": cust}
+    ).collect()
+    assert r_sk.atkinson2 > 0.8  # one 1-cent earner dominates 1/H

@@ -3626,3 +3626,196 @@ def atkinson_oracle_sql() -> str:
         FROM rev JOIN seg USING (o_custkey)
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """
+
+
+SPEARMAN_MAX_GROUP_ROWS = 1_300_000
+
+
+def spearman_corr_by_flag(t: dict[str, DataFrame]) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag — the robust companion to ``stats_correlation``'s
+    Pearson: invariant to any monotone transform and immune to the
+    price outliers that drag a product-moment estimate around. Ties
+    handled the textbook way (average ranks + tie correction), which
+    the integer algebra makes EXACT: with doubled average ranks
+    r2 = 2·min_rank + cnt - 1 (always integral), the tie-corrected
+    estimator folds to
+
+        rho = (AX + AY - 3·D2) / (2·sqrt(AX)·sqrt(AY)),
+
+    where AX = (n³-n) - Σ(t³-t) over x's tie groups, AY likewise,
+    and D2 = Σ(r2x - r2y)² = 4·Σd² — every term an INTEGER, summed
+    in decimal(38,0)/HUGEINT (exact at any scale).
+
+    Determinism at the cast: DuckDB's 128-bit→double conversion is
+    NOT correctly rounded past 64 bits (measured: 31/12000 adversarial
+    values ≥ 2^65 off by one ulp, zero below 2^63), while int64→double
+    is correctly rounded in BOTH engines even above 2^53. So the
+    presented chain casts through BIGINT, guarded LOUDLY (the
+    ks_distance_pairs raise_error tier, here an exact decimal
+    comparison that cannot itself wrap): 3·D2 ≤ 4(n³-n) stays inside
+    int64 for n ≤ 1.3e6 rows/flag; past that the plan raises with the
+    remediation (pre-aggregate or sample) instead of wobbling the 9th
+    digit. All-tied degenerate groups (AX or AY = 0) report NULL via
+    NULLIF, not a division error.
+
+    Scale shape: NO fact-side windows (the discipline) — ranks come
+    from per-value counts with a cumulative window over each flag's
+    VALUE SUPPORT (quantity: ~dozens of distinct cents; price:
+    distinct-value-bounded), joined back to the fact on (flag, cents)
+    — two hash joins Catalyst plans as one exchange each, then one
+    flag-sized aggregate.
+
+    Output: (l_returnflag, n_rows, d2_sum, tie_term_x, tie_term_y,
+    spearman_rho).
+    """
+    e = t["lineitem"].select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias("qx"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("px"),
+    ).localCheckpoint()
+
+    def ranks(col: str, r2name: str) -> tuple[DataFrame, DataFrame]:
+        from pyspark.sql import Window
+
+        cx = e.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("l_returnflag").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        r = cx.withColumn("cum", F.sum("cnt").over(w)).select(
+            "l_returnflag",
+            col,
+            F.expr("2 * cum - cnt + 1").alias(r2name),
+        )
+        ties = cx.groupBy("l_returnflag").agg(
+            F.sum(
+                F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")
+            ).alias(f"tie_{r2name}")
+        )
+        return r, ties
+
+    rx, tx = ranks("qx", "r2x")
+    ry, ty = ranks("px", "r2y")
+    per_flag = (
+        e.join(rx, ["l_returnflag", "qx"])
+        .join(ry, ["l_returnflag", "px"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr("CAST(r2x - r2y AS DECIMAL(38,0)) * (r2x - r2y)")
+            ).alias("d2"),
+        )
+    )
+    g = (
+        per_flag.join(F.broadcast(tx), "l_returnflag")
+        .join(F.broadcast(ty), "l_returnflag")
+        .withColumn(
+            "n3",
+            F.expr("CAST(n AS DECIMAL(38,0)) * n * n - n"),
+        )
+        .withColumn("ax", F.expr("n3 - tie_r2x"))
+        .withColumn("ay", F.expr("n3 - tie_r2y"))
+    )
+    guard = (
+        "CASE WHEN 3 * d2 > CAST(9223372036854775807 AS DECIMAL(38,0))"
+        " OR ax + ay > CAST(9223372036854775807 AS DECIMAL(38,0))"
+        " OR tie_r2x > CAST(9223372036854775807 AS DECIMAL(38,0))"
+        " OR tie_r2y > CAST(9223372036854775807 AS DECIMAL(38,0)) THEN"
+        " raise_error(concat("
+        "'spearman_corr_by_flag int64 presentation envelope exceeded:"
+        " group ', l_returnflag, ' has n = ', CAST(n AS STRING),"
+        " ' rows (safe to ~1.3e6/flag). The exact decimal sums are"
+        " fine, but DuckDB parity requires the final cast to go"
+        " through int64 (128-bit->double is not correctly rounded"
+        " there); pre-aggregate to (value, count) support or sample"
+        " before correlating.')) ELSE {expr} END"
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            F.expr(guard.format(expr="CAST(d2 AS BIGINT)")).alias("d2_sum"),
+            F.col("tie_r2x").cast("long").alias("tie_term_x"),
+            F.col("tie_r2y").cast("long").alias("tie_term_y"),
+            F.expr(
+                guard.format(
+                    expr=(
+                        "round(CAST(CAST(ax + ay - 3 * d2 AS BIGINT)"
+                        "            AS DOUBLE)"
+                        " / nullif(2.0D * sqrt(CAST(CAST(ax AS BIGINT)"
+                        "                           AS DOUBLE))"
+                        "          * sqrt(CAST(CAST(ay AS BIGINT)"
+                        "                      AS DOUBLE)), 0.0D), 9)"
+                    )
+                )
+            ).alias("spearman_rho"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def spearman_oracle_sql() -> str:
+    """DuckDB replay: same support-rank algebra, HUGEINT exact sums,
+    and the SAME through-int64 presentation casts (see the operator
+    docstring for why the 128-bit lane must not feed the double)."""
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT l_returnflag,
+                 CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS px
+          FROM lineitem),
+        cxq AS (SELECT l_returnflag, qx, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM e GROUP BY 1, 2),
+        cxp AS (SELECT l_returnflag, px, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM e GROUP BY 1, 2),
+        rq AS (SELECT l_returnflag, qx,
+                      2 * CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                                              ORDER BY qx
+                                              ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) - cnt + 1 AS r2x
+               FROM cxq),
+        rp AS (SELECT l_returnflag, px,
+                      2 * CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                                              ORDER BY px
+                                              ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) - cnt + 1 AS r2y
+               FROM cxp),
+        tq AS (SELECT l_returnflag,
+                      SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_x
+               FROM cxq GROUP BY l_returnflag),
+        tp AS (SELECT l_returnflag,
+                      SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_y
+               FROM cxp GROUP BY l_returnflag),
+        per_flag AS (
+          SELECT e.l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(r2x - r2y AS HUGEINT) * (r2x - r2y)) AS d2
+          FROM e
+          JOIN rq USING (l_returnflag, qx)
+          JOIN rp USING (l_returnflag, px)
+          GROUP BY e.l_returnflag),
+        g AS (
+          SELECT p.l_returnflag, p.n, p.d2, tq.tie_x, tp.tie_y,
+                 CAST(p.n AS HUGEINT) * p.n * p.n - p.n AS n3
+          FROM per_flag p
+          JOIN tq USING (l_returnflag)
+          JOIN tp USING (l_returnflag))
+        SELECT l_returnflag,
+               n AS n_rows,
+               CAST(d2 AS BIGINT) AS d2_sum,
+               CAST(tie_x AS BIGINT) AS tie_term_x,
+               CAST(tie_y AS BIGINT) AS tie_term_y,
+               ROUND(CAST(CAST((n3 - tie_x) + (n3 - tie_y) - 3 * d2
+                               AS BIGINT) AS DOUBLE)
+                     / NULLIF(2.0 * SQRT(CAST(CAST(n3 - tie_x AS BIGINT)
+                                              AS DOUBLE))
+                              * SQRT(CAST(CAST(n3 - tie_y AS BIGINT)
+                                          AS DOUBLE)), 0.0), 9)
+                   AS spearman_rho
+        FROM g ORDER BY l_returnflag
+        """

@@ -753,6 +753,14 @@ REGISTRY.update(
             ORDER BY l_linestatus
             """,
         ),
+        # Spearman rho (tie-corrected, average ranks) per return flag:
+        # exact decimal/HUGEINT rank algebra, guarded through-int64
+        # presentation casts (DuckDB's 128-bit->double lane is not
+        # correctly rounded — measured), support-rank joins, no
+        # fact-side windows.
+        "spearman_corr_by_flag": QuerySpec(
+            _rel(ST.spearman_corr_by_flag), ST.spearman_oracle_sql()
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """

@@ -77,6 +77,7 @@ ROUND_CHANGED = [
     "cramers_v_type_decile",
     "kaplan_meier_interorder",
     "atkinson_index_by_segment",
+    "spearman_corr_by_flag",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

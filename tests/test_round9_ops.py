@@ -1327,3 +1327,103 @@ def test_atkinson_orders_equal_vs_skewed(spark):
         {"orders": skewed, "customer": cust}
     ).collect()
     assert r_sk.atkinson2 > 0.8  # one 1-cent earner dominates 1/H
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr_by_flag: textbook average-rank Pearson replay, exact
+# endpoints, and the through-int64 presentation guard
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        r = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            ranks[order[k]] = r
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_avg_rank_pearson(spark):
+    """Lake-level parity: the tie-corrected closed form must equal
+    Pearson computed directly on textbook average ranks (the
+    scipy.stats.spearmanr definition), per flag."""
+    import math
+    from collections import defaultdict
+
+    t = _lake_tables(spark)
+    by_flag = defaultdict(lambda: ([], []))
+    for r in (
+        t["lineitem"]
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        xs, ys = by_flag[r.l_returnflag]
+        xs.append(math.floor(r.l_quantity * 100 + 0.5))
+        ys.append(math.floor(r.l_extendedprice * 100 + 0.5))
+    rows = {r.l_returnflag: r for r in ST.spearman_corr_by_flag(t).collect()}
+    assert set(rows) == set(by_flag)
+    for flag, (xs, ys) in by_flag.items():
+        rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        )
+        want = num / den
+        got = rows[flag]
+        assert got.n_rows == n
+        assert abs(got.spearman_rho - want) < 1e-9, (flag, got, want)
+        # the exact integer piece agrees with its definition
+        # (doubled average ranks keep every d integral)
+        d2 = sum(round(2 * (a - b)) ** 2 for a, b in zip(rx, ry))
+        assert got.d2_sum == d2
+
+
+def test_spearman_exact_endpoints(spark):
+    """Distinct monotone pairs -> rho exactly 1.0; reversed -> exactly
+    -1.0; identical tie structure on both sides keeps rho at 1.0."""
+    def li(rows):
+        return spark.createDataFrame(
+            [("A", q, p) for q, p in rows],
+            "l_returnflag string, l_quantity double,"
+            " l_extendedprice double",
+        )
+
+    up = [(float(i), float(i * i)) for i in range(1, 40)]
+    [r] = ST.spearman_corr_by_flag({"lineitem": li(up)}).collect()
+    assert r.spearman_rho == 1.0 and r.d2_sum == 0
+
+    down = [(float(i), float(1000 - i)) for i in range(1, 40)]
+    [r] = ST.spearman_corr_by_flag({"lineitem": li(down)}).collect()
+    assert r.spearman_rho == -1.0
+
+    tied = [(float(i // 3), float((i // 3) * 2)) for i in range(30)]
+    [r] = ST.spearman_corr_by_flag({"lineitem": li(tied)}).collect()
+    assert r.spearman_rho == 1.0 and r.tie_term_x == r.tie_term_y > 0
+
+    const = [(1.0, float(i)) for i in range(10)]
+    [r] = ST.spearman_corr_by_flag({"lineitem": li(const)}).collect()
+    assert r.spearman_rho is None  # AX = 0: undefined, not an error
+
+
+def test_spearman_over_envelope_raises(spark):
+    """1.7e6 all-distinct rows in one flag puts ax + ay ~ 2n^3 ~
+    9.8e18 past int64: the presentation guard must RAISE the
+    remediation (the exact decimal sums upstream are fine — only the
+    through-int64 cast lane is at stake)."""
+    n = 1_700_000
+    li = spark.range(n).select(
+        F.lit("A").alias("l_returnflag"),
+        (F.col("id") + 1).cast("double").alias("l_quantity"),
+        (F.col("id") + 1).cast("double").alias("l_extendedprice"),
+    )
+    with pytest.raises(Exception, match="presentation envelope exceeded"):
+        ST.spearman_corr_by_flag({"lineitem": li}).collect()

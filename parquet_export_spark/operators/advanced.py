@@ -3843,3 +3843,213 @@ def kaplan_meier_oracle_sql() -> str:
                r.survival AS survival
         FROM expanded ORDER BY dur_days
         """
+
+
+def churn_retention_monthly(t: dict[str, DataFrame]) -> DataFrame:
+    """Monthly growth accounting — the full decomposition every
+    subscription/engagement review runs: this month's actives split
+    into NEW (first month ever), RETAINED (also active last month)
+    and RESURRECTED (seen before, skipped last month), with last
+    month's leavers as CHURNED; by construction n_active = new +
+    retained + resurrected and n_churned = prev_active - retained.
+    ``new_returning_weekly`` answers the acquisition question at week
+    grain; this is the habit ledger at month grain.
+
+    Month keys are the dau_mau calendar integers; rates are single
+    integer divides (retention_ppm = retained*1e6 div prev_active,
+    churn_ppm its complement ON THE SAME DENOMINATOR — they sum to
+    <= 1e6 with truncation, never > 1e6). CALENDAR semantics across
+    gaps (the weekly_revenue_wow trap): prev-month membership tests
+    month_idx - 1 exactly, so a month following an empty month
+    retains nobody and the empty month churns everybody — and months
+    with no preceding observed month report NULL rates rather than
+    pretending a zero denominator.
+
+    Scale shape: ONE distinct (user, month) collapse, localCheckpointed
+    and consumed three ways (self-join on (user, month-1) — both sides
+    the collapsed grain; a user-keyed first-month min-table; the
+    month-sized rollup). No windows, no fact re-scan.
+
+    Output: (month_idx, n_active, n_new, n_retained, n_resurrected,
+    n_churned_prev, retention_ppm, churn_ppm).
+    """
+    um = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr(
+                "CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT)"
+            ).alias("month_idx"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    first = um.groupBy("user_id").agg(F.min("month_idx").alias("first_m"))
+    prev = um.select(
+        "user_id", (F.col("month_idx") + 1).alias("month_idx"),
+        F.lit(1).alias("was_prev"),
+    )
+    cur = (
+        um.join(first, "user_id")
+        .join(prev, ["user_id", "month_idx"], "left")
+        .groupBy("month_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("first_m") == F.col("month_idx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("was_prev") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(
+                F.when(
+                    F.col("was_prev").isNull()
+                    & (F.col("first_m") < F.col("month_idx")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+    )
+    totals = um.groupBy("month_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("prev_active")
+    ).select((F.col("month_idx") + 1).alias("month_idx"), "prev_active")
+    return (
+        cur.join(F.broadcast(totals), "month_idx", "left")
+        .select(
+            "month_idx",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (F.col("prev_active") - F.col("n_retained")).alias(
+                "n_churned_prev"
+            ),
+            F.expr(
+                "(n_retained * 1000000L) div prev_active"
+            ).alias("retention_ppm"),
+            F.expr(
+                "((prev_active - n_retained) * 1000000L) div prev_active"
+            ).alias("churn_ppm"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+def churn_retention_oracle_sql() -> str:
+    return """
+        WITH um AS MATERIALIZED (
+          SELECT DISTINCT user_id,
+                 CAST((year(ts) - 1970) * 12 + month(ts) - 1
+                      AS BIGINT) AS month_idx
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(month_idx) AS first_m
+          FROM um GROUP BY user_id),
+        cur AS (
+          SELECT u.month_idx,
+                 CAST(COUNT(*) AS BIGINT) AS n_active,
+                 CAST(SUM(CASE WHEN f.first_m = u.month_idx
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                 CAST(SUM(CASE WHEN p.user_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_retained,
+                 CAST(SUM(CASE WHEN p.user_id IS NULL
+                                AND f.first_m < u.month_idx
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_resurrected
+          FROM um u
+          JOIN first f USING (user_id)
+          LEFT JOIN um p
+            ON p.user_id = u.user_id
+           AND p.month_idx = u.month_idx - 1
+          GROUP BY u.month_idx),
+        totals AS (
+          SELECT month_idx + 1 AS month_idx,
+                 CAST(COUNT(*) AS BIGINT) AS prev_active
+          FROM um GROUP BY month_idx)
+        SELECT c.month_idx, n_active, n_new, n_retained, n_resurrected,
+               prev_active - n_retained AS n_churned_prev,
+               (n_retained * 1000000) // prev_active AS retention_ppm,
+               ((prev_active - n_retained) * 1000000) // prev_active
+                   AS churn_ppm
+        FROM cur c LEFT JOIN totals USING (month_idx)
+        ORDER BY c.month_idx
+        """
+
+
+def session_concurrency_hourly(
+    t: dict[str, DataFrame], gap_minutes: int = 30
+) -> DataFrame:
+    """Hourly session-concurrency curve — how many gap-sessions (and
+    distinct users) are LIVE in each calendar hour, the capacity-
+    planning readout (peak concurrent load) the per-session table
+    hides. Fourth consumer of the ONE sessionization core
+    (``_sessionized`` / SESSION_CTES_SQL — the drift rule).
+
+    A session touches every hour from its start hour to its end hour
+    inclusive; hour keys are pure calendar integers (days-since-epoch
+    * 24 + hour — the interarrival rule, no epoch casts). The explode
+    is an integer ``sequence`` whose fan-out is bounded by session
+    DURATION in hours (gap-sessions die after a 30-minute silence, so
+    a session spanning h hours carries >= h-1 events — the fan-out
+    never exceeds the event mass it came from). No global sweep-line,
+    no unpartitioned windows: the sweep-line +1/-1 trick needs one
+    totally-ordered cumulative pass, which at lake scale is the exact
+    single-partition bottleneck this hourly-bucket overlap join
+    avoids.
+
+    Output: (hour_idx, n_sessions, n_users), hours with zero live
+    sessions absent (both engines build from observed sessions only).
+    """
+    sess = (
+        _sessionized(t["events"], gap_minutes)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(s AS DATE), DATE '1970-01-01')"
+                " AS BIGINT) * 24 + hour(s)"
+            ).alias("h0"),
+            F.expr(
+                "CAST(datediff(CAST(e AS DATE), DATE '1970-01-01')"
+                " AS BIGINT) * 24 + hour(e)"
+            ).alias("h1"),
+        )
+    )
+    return (
+        sess.select(
+            "user_id", F.explode(F.expr("sequence(h0, h1)")).alias("hour_idx")
+        )
+        .groupBy("hour_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("hour_idx")
+    )
+
+
+def session_concurrency_oracle_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+        WITH {SESSION_CTES_SQL.format(gap_us=gap_us)},
+        sess AS (
+          SELECT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(MIN(ts) AS DATE)) AS BIGINT) * 24
+                 + hour(MIN(ts)) AS h0,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(MAX(ts) AS DATE)) AS BIGINT) * 24
+                 + hour(MAX(ts)) AS h1
+          FROM with_id GROUP BY user_id, session_id),
+        hours AS (
+          SELECT user_id, UNNEST(generate_series(h0, h1)) AS hour_idx
+          FROM sess)
+        SELECT hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM hours GROUP BY hour_idx ORDER BY hour_idx
+        """

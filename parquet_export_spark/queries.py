@@ -2879,6 +2879,20 @@ REGISTRY.update(
             _rel(A.kaplan_meier_interorder),
             A.kaplan_meier_oracle_sql(),
         ),
+        # Monthly growth accounting: new/retained/resurrected/churned
+        # off ONE (user, month) collapse self-joined at month-1,
+        # calendar-gap-correct, complementary ppm rates.
+        "churn_retention_monthly": QuerySpec(
+            _rel(A.churn_retention_monthly),
+            A.churn_retention_oracle_sql(),
+        ),
+        # Hourly session-concurrency curve: 4th consumer of the shared
+        # sessionization core; duration-bounded integer-sequence
+        # explode instead of a single-partition sweep-line.
+        "session_concurrency_hourly": QuerySpec(
+            _rel(A.session_concurrency_hourly),
+            A.session_concurrency_oracle_sql(),
+        ),
         # 2x2 contingency + odds ratio per type pair (the inferential
         # companion to type_affinity's Jaccard): inclusion-exclusion
         # integer cells, NULL on zero off-diagonals (no smoothing).

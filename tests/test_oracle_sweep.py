@@ -78,6 +78,8 @@ ROUND_CHANGED = [
     "kaplan_meier_interorder",
     "atkinson_index_by_segment",
     "spearman_corr_by_flag",
+    "churn_retention_monthly",
+    "session_concurrency_hourly",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

@@ -1427,3 +1427,169 @@ def test_spearman_over_envelope_raises(spark):
     )
     with pytest.raises(Exception, match="presentation envelope exceeded"):
         ST.spearman_corr_by_flag({"lineitem": li}).collect()
+
+
+# ---------------------------------------------------------------------------
+# churn_retention_monthly / session_concurrency_hourly
+# ---------------------------------------------------------------------------
+
+
+def test_churn_retention_engineered_ledger(spark):
+    """Users: A active m0,m1,m2 (retained twice); B active m0 only
+    (churns into m1); C active m0,m2 (churns into m1, resurrects m2);
+    D first appears m2 (new). Hand ledger:
+      m0: active 3, new 3
+      m1: active 1 (A), retained 1, churned_prev 2, retention 333333
+      m2: active 3 (A,C,D), new 1 (D), retained 1 (A), resurrected 1
+          (C), churned_prev 0, retention 1000000
+    """
+    from parquet_export_spark.operators import advanced as A
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-05 10:00:00", 1),   # A m0
+            (2, "2024-02-05 10:00:00", 1),   # A m1
+            (3, "2024-03-05 10:00:00", 1),   # A m2
+            (4, "2024-01-06 10:00:00", 2),   # B m0
+            (5, "2024-01-07 10:00:00", 3),   # C m0
+            (6, "2024-03-07 10:00:00", 3),   # C m2
+            (7, "2024-03-08 10:00:00", 4),   # D m2
+        ],
+    )
+    rows = A.churn_retention_monthly({"events": ev}).collect()
+    m0 = (2024 - 1970) * 12
+    got = {
+        r.month_idx: (
+            r.n_active,
+            r.n_new,
+            r.n_retained,
+            r.n_resurrected,
+            r.n_churned_prev,
+            r.retention_ppm,
+            r.churn_ppm,
+        )
+        for r in rows
+    }
+    assert got == {
+        m0: (3, 3, 0, 0, None, None, None),
+        m0 + 1: (1, 0, 1, 0, 2, 333_333, 666_666),
+        m0 + 2: (3, 1, 1, 1, 0, 1_000_000, 0),
+    }
+    # the decomposition identity holds on every row
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+def test_churn_retention_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    um = {
+        ((r.ts.year - 1970) * 12 + r.ts.month - 1, r.user_id)
+        for r in t["events"].select("ts", "user_id").collect()
+    }
+    first = {}
+    for m, u in sorted(um):
+        first.setdefault(u, m)
+    actives = defaultdict(set)
+    for m, u in um:
+        actives[m].add(u)
+    want = {}
+    for m in sorted(actives):
+        cur, prev = actives[m], actives.get(m - 1)
+        new = sum(1 for u in cur if first[u] == m)
+        ret = len(cur & prev) if prev else 0
+        res = sum(
+            1
+            for u in cur
+            if first[u] < m and (not prev or u not in prev)
+        )
+        if prev:
+            want[m] = (
+                len(cur), new, ret, res, len(prev) - ret,
+                ret * 10**6 // len(prev),
+                (len(prev) - ret) * 10**6 // len(prev),
+            )
+        else:
+            want[m] = (len(cur), new, ret, res, None, None, None)
+    got = {
+        r.month_idx: (
+            r.n_active, r.n_new, r.n_retained, r.n_resurrected,
+            r.n_churned_prev, r.retention_ppm, r.churn_ppm,
+        )
+        for r in A.churn_retention_monthly(t).collect()
+    }
+    assert got == want
+
+
+def test_session_concurrency_engineered_hours(spark):
+    """User 1: one session 10:50->12:10 (events 40 min apart chain it)
+    covering hours 10,11,12; user 2: one event at 11:05 (hour 11
+    only). Hour 11 must report 2 sessions / 2 users."""
+    from parquet_export_spark.operators import advanced as A
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:50:00", 1),
+            (2, "2024-01-01 11:15:00", 1),
+            (3, "2024-01-01 11:40:00", 1),
+            (4, "2024-01-01 12:05:00", 1),
+            (5, "2024-01-01 12:10:00", 1),
+            (6, "2024-01-01 11:05:00", 2),
+        ],
+    )
+    h = ((__import__("datetime").date(2024, 1, 1)
+          - __import__("datetime").date(1970, 1, 1)).days) * 24
+    got = {
+        r.hour_idx: (r.n_sessions, r.n_users)
+        for r in A.session_concurrency_hourly({"events": ev}).collect()
+    }
+    assert got == {
+        h + 10: (1, 1),
+        h + 11: (2, 2),
+        h + 12: (1, 1),
+    }
+
+
+def test_session_concurrency_matches_bruteforce(spark):
+    """Independent Python sessionization (sorted events, 30-min gap)
+    exploded to covered hours."""
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    rows = t["events"].select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    epoch = __import__("datetime").date(1970, 1, 1)
+    hours = defaultdict(set)  # hour -> set of (user, session_no)
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        spans = {}
+        for ts, _ in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sid += 1
+                spans[sid] = [ts, ts]
+            else:
+                spans[sid][1] = ts
+            prev = ts
+        for s, (a, b) in spans.items():
+            h0 = (a.date() - epoch).days * 24 + a.hour
+            h1 = (b.date() - epoch).days * 24 + b.hour
+            for h in range(h0, h1 + 1):
+                hours[h].add((u, s))
+    want = {
+        h: (len(ss), len({u for u, _ in ss})) for h, ss in hours.items()
+    }
+    got = {
+        r.hour_idx: (r.n_sessions, r.n_users)
+        for r in A.session_concurrency_hourly(t).collect()
+    }
+    assert got == want

@@ -1591,3 +1591,120 @@ def zipf_slope_oracle_sql() -> str:
                      / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept
         FROM s
         """
+
+
+def readability_scores(t: dict[str, DataFrame]) -> DataFrame:
+    """Classic readability scoring per document — Flesch reading ease
+    and Flesch-Kincaid grade from the three standard counts (words,
+    sentences, syllables), the curation signal a training-data
+    pipeline uses to stratify corpora by difficulty (and the oldest
+    quality heuristic still in production anywhere).
+
+    Syllables use the standard vowel-group approximation with the
+    per-word floor the textbook formula requires: syllables(w) =
+    max(1, #runs of [aeiouy]) — computed INSIDE a transform over the
+    token array so the floor applies per word, then summed by an
+    integer fold (exact, order-free). Sentences = max(1, #runs of
+    [.!?]) — a corpus with no terminal punctuation (this synthetic
+    one) degenerates to one sentence per doc, which the formula
+    tolerates and the differential test pins. Regex parity note: both
+    engines count non-overlapping matches of the same character-class
+    regexes ('[aeiouy]+', '[.!?]+'), where Java-regex vs RE2
+    divergence is impossible.
+
+    Both scores are ONE fixed-shape IEEE chain on exact int64 counts
+    (the bm25 fixed-order discipline), ROUND 6:
+      flesch = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+      fk_grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    Scale shape: embarrassingly parallel scan->project, no shuffle at
+    all except the presentation sort; the token arrays never leave
+    their row (no explode).
+
+    Output: (doc_id, n_words, n_sentences, n_syllables, flesch,
+    fk_grade).
+    """
+    ws = F.split(F.lower(F.col("text")), " ")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_words"),
+            F.greatest(
+                F.lit(1), F.expr("regexp_count(text, '[.!?]+')")
+            )
+            .cast("long")
+            .alias("n_sentences"),
+            F.expr(
+                "CAST(aggregate(transform(split(lower(text), ' '),"
+                " w -> greatest(1, regexp_count(w, '[aeiouy]+'))),"
+                " 0, (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (
+                    F.col("n_words").cast("double")
+                    / F.col("n_sentences").cast("double")
+                )
+                - F.lit(84.6)
+                * (
+                    F.col("n_syllables").cast("double")
+                    / F.col("n_words").cast("double")
+                ),
+                6,
+            ).alias("flesch"),
+            F.round(
+                F.lit(0.39)
+                * (
+                    F.col("n_words").cast("double")
+                    / F.col("n_sentences").cast("double")
+                )
+                + F.lit(11.8)
+                * (
+                    F.col("n_syllables").cast("double")
+                    / F.col("n_words").cast("double")
+                )
+                - F.lit(15.59),
+                6,
+            ).alias("fk_grade"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def readability_oracle_sql() -> str:
+    return """
+        WITH counts AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                     AS n_words,
+                 CAST(greatest(1, len(regexp_extract_all(text,
+                                                         '[.!?]+')))
+                      AS BIGINT) AS n_sentences,
+                 CAST(list_sum(list_transform(
+                        string_split(lower(text), ' '),
+                        w -> greatest(1, len(regexp_extract_all(w,
+                               '[aeiouy]+'))))) AS BIGINT)
+                     AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 6)
+                   AS flesch,
+               ROUND(0.39 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                     + 11.8 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE))
+                     - 15.59, 6) AS fk_grade
+        FROM counts ORDER BY doc_id
+        """

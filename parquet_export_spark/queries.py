@@ -2082,6 +2082,13 @@ REGISTRY.update(
             _rel(X.zipf_slope_unigrams),
             X.zipf_slope_oracle_sql(),
         ),
+        # Flesch / Flesch-Kincaid per doc: per-word-floored vowel-group
+        # syllables folded as exact ints, one fixed IEEE chain each,
+        # shuffle-free scan->project.
+        "readability_scores": QuerySpec(
+            _rel(X.readability_scores),
+            X.readability_oracle_sql(),
+        ),
         "unigram_freq_quality": QuerySpec(
             _rel(X.unigram_freq_quality),
             """

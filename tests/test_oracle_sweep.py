@@ -80,6 +80,7 @@ ROUND_CHANGED = [
     "spearman_corr_by_flag",
     "churn_retention_monthly",
     "session_concurrency_hourly",
+    "readability_scores",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

@@ -1593,3 +1593,58 @@ def test_session_concurrency_matches_bruteforce(spark):
         for r in A.session_concurrency_hourly(t).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# readability_scores: hand-counted fixture + textbook replay
+# ---------------------------------------------------------------------------
+
+
+def test_readability_engineered_counts(spark):
+    """'Hello world. It works!' -> 4 words, 2 sentences, syllables
+    hel-lo(2) world(1) it(1) works(1) = 5 by the vowel-group rule;
+    'xyz' -> the per-word 1-syllable floor; a punctuation-free doc
+    -> the 1-sentence floor (the synthetic-corpus degeneracy)."""
+    from parquet_export_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world. it works!", "en", "s", 22),
+            (2, "xyz", "en", "s", 3),
+            (3, "no punctuation here at all", "en", "s", 26),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables)
+        for r in X.readability_scores({"documents": docs}).collect()
+    }
+    # doc 3: no(1) punc-tu-a-tion(u/ua/io = 3) here(2) at(1) all(1) = 8
+    assert got == {1: (4, 2, 5), 2: (1, 1, 1), 3: (5, 1, 8)}
+
+
+def test_readability_matches_textbook_bruteforce(spark):
+    import re
+
+    from parquet_export_spark.operators import text as X
+
+    t = _lake_tables(spark)
+    want = {}
+    for r in t["documents"].select("doc_id", "text").collect():
+        words = r.text.lower().split(" ")
+        w = len(words)
+        s = max(1, len(re.findall(r"[.!?]+", r.text)))
+        syl = sum(
+            max(1, len(re.findall(r"[aeiouy]+", word))) for word in words
+        )
+        flesch = round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 6)
+        fk = round(0.39 * (w / s) + 11.8 * (syl / w) - 15.59, 6)
+        want[r.doc_id] = (w, s, syl, flesch, fk)
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_sentences, r.n_syllables, r.flesch, r.fk_grade
+        )
+        for r in X.readability_scores(t).collect()
+    }
+    assert got == want

@@ -1776,3 +1776,113 @@ def read_tv_drift(spark, artifact_dir: str):
             "tv_num", "tv_ppm",
         )
     )
+
+
+def growth_accounting_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous growth accounting — the streaming twin of the batch
+    ``new_returning_weekly`` / ``churn_retention_monthly`` pair: after
+    every micro-batch, how many of the batch's active users has this
+    lake EVER seen before? The launch-day dashboard question ("is this
+    traffic new users or the regulars refreshing?") that a weekly
+    batch split answers a week too late.
+
+    State is the minimal exact carry for the question: the first-seen
+    user-id set (user-sized — the cc_label_stream precedent of
+    node-sized state; no sketch can answer set membership exactly,
+    and an HLL would turn "new" into a probabilistic claim exactly
+    where product decisions want an exact one). Per micro-batch: the
+    batch collapses to its distinct users, splits against the stored
+    set with one left_anti join (never a row-wise lookup), and the
+    union becomes the next state. All counts exact int64;
+    new_ppm = n_new * 1e6 div n_active is the batch operator's
+    integer form — one definition of the rate arithmetic.
+
+    Replay idempotence + compaction: the shared carry recipe — the
+    seen-set for batch N is a deterministic function of the set below
+    N plus batch N's rows; a replayed batch re-reads exactly the
+    state it first saw and overwrites byte-identically; only the two
+    most recent set copies survive (``seen/batch_<id>``).
+
+    100 TB posture: per micro-batch the work is O(|batch| + |seen|)
+    with the seen-set join hash-partitioned on user_id; the set is
+    the only state that moves and it is USER-sized, not event-sized
+    (the same table a production lake already maintains as its user
+    dimension's first_seen column).
+    """
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/growth"
+    seen_base = artifact_dir.rstrip("/") + "/seen"
+
+    def _seen(spark, batch_id: int):
+        if not fs.exists(spark, seen_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, seen_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(seen_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        users = batch_df.select("user_id").distinct().localCheckpoint()
+        seen = _seen(spark, batch_id)
+        if seen is None:
+            seen = spark.createDataFrame([], "user_id long")
+        new_users = users.join(seen, "user_id", "left_anti").localCheckpoint()
+        n_active = users.count()
+        n_new = new_users.count()
+        seen.unionByName(new_users).write.mode("overwrite").parquet(
+            fs.join(seen_base, f"batch_{batch_id}")
+        )
+        (
+            spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        n_active,
+                        n_new,
+                        n_active - n_new,
+                        (n_new * 1_000_000) // n_active if n_active else None,
+                    )
+                ],
+                "batch_id long, n_active long, n_new long,"
+                " n_returning long, new_ppm long",
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, seen_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(seen_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_growth_accounting(spark, artifact_dir: str):
+    """Per-batch growth-accounting rows emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/growth")
+        .select("batch_id", "n_active", "n_new", "n_returning", "new_ppm")
+    )

@@ -1168,7 +1168,8 @@ def test_w1_drift_stream_two_batches_exact(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # ONE parametrized replay-idempotence + keep-two-compaction pin for all
-# NINE monitors (round-8 verdict #5; tv_drift joined in round 9): the shared foreachBatch carry
+# TEN monitors (round-8 verdict #5; tv_drift and growth-accounting
+# joined in round 9): the shared foreachBatch carry
 # recipe promises (a) a re-run against the same checkpoint changes
 # nothing, and (b) after a third batch the persisted state tree holds
 # only the two most recent copies (replay of the last uncommitted
@@ -1294,6 +1295,13 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_tv_drift(spark, art)),
             art + "/carry",
         )
+    if name == "growth":
+        return (
+            ev, ev_batches, land, ckpt,
+            lambda s: I.growth_accounting_stream(s, art, ckpt),
+            lambda: snap(I.read_growth_accounting(spark, art)),
+            art + "/seen",
+        )
     if name == "neardup_gate":
         schema = "doc_id long, text string"
         batches = [
@@ -1316,6 +1324,7 @@ def _monitor_spec(name, spark, tmp_path):
     [
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
+        "growth",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1426,3 +1435,68 @@ def test_tv_drift_stream_two_batches_exact(spark, tmp_path):
     assert got[1][2] > 0
     # (replay idempotence + compaction pinned uniformly in
     # test_monitor_replay_idempotence_and_compaction)
+
+
+def test_growth_accounting_stream_two_batches_exact(spark, tmp_path):
+    """Exact twin parity: per micro-batch the emitted new/returning
+    split must equal the sequential set replay (batch 1 all-new;
+    batch 2 a known mix; a user repeating WITHIN a batch counts
+    once)."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "landing")
+    art = str(tmp_path / "gart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(ids, users):
+        return [
+            (i, t0 + timedelta(minutes=i), u, "probe", 1.0, "{}")
+            for i, u in zip(ids, users)
+        ]
+
+    b1 = rows(range(4), [0, 1, 2, 2])          # users {0,1,2}
+    b2 = rows(range(4, 9), [1, 2, 3, 4, 4])    # {1,2,3,4}: new {3,4}
+
+    def run_once():
+        q = I.growth_accounting_stream(
+            spark.readStream.schema(schema).parquet(land), art, ckpt
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    got = {
+        r.batch_id: (r.n_active, r.n_new, r.n_returning, r.new_ppm)
+        for r in I.read_growth_accounting(spark, art).collect()
+    }
+    assert got == {
+        0: (3, 3, 0, 1_000_000),
+        1: (4, 2, 2, 500_000),
+    }
+    # the stored seen-set is exactly the union of all batch users
+    import os
+
+    seen_base = art + "/seen"
+    latest = max(
+        int(d.split("_", 1)[1])
+        for d in os.listdir(seen_base)
+        if d.startswith("batch_")
+    )
+    seen = {
+        r.user_id
+        for r in spark.read.parquet(
+            f"{seen_base}/batch_{latest}"
+        ).collect()
+    }
+    assert seen == {0, 1, 2, 3, 4}

@@ -3819,3 +3819,159 @@ def spearman_oracle_sql() -> str:
                    AS spearman_rho
         FROM g ORDER BY l_returnflag
         """
+
+
+def mann_whitney_auc_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Mann-Whitney U / AUC between every pair of event types — the
+    DIRECTION member of the drift family (KS reports the largest CDF
+    gap, W1 the area, TV the mass; AUC = P(a > b) + ½P(a = b) says
+    WHICH WAY the distribution moved and with what probability a
+    random a-sample beats a random b-sample — the common-language
+    effect size, and literally ROC-AUC when one 'type' is the
+    positive class).
+
+    Exact integer evaluation off the SAME support machinery as
+    ks_distance_pairs: per-pair support rows (cents, ca, cb) with a
+    RANGE-cumulative b-count; each support point contributes
+    ca·(b below) + ½·ca·(b tied) — DOUBLED to stay integral:
+    u2 = Σ 2·ca·(cum_b - cb) + ca·cb = 2U. Identity U_a + U_b =
+    n_a·n_b (checked in the differential test); auc_ppm =
+    u2 · 500000 div (n_a · n_b).
+
+    Overflow envelope — LOUD (the ks_distance_pairs guard verbatim):
+    u2 ≤ 2·n_a·n_b, so u2·5e5 shares KS's n_a·n_b·1e6 < 2^63 bound
+    (~3e6 samples/type); the division-form predicate cannot itself
+    wrap under the session's pinned ansi=false. Per-support-point
+    products ca·cum_b ≤ n_a·n_b stay inside the same bound.
+
+    Plan: one fact aggregate to (type, cents), one pair frame over
+    type totals, one support-bounded window chain, one pair-sized
+    rollup — the fact is touched once (the KS shape exactly).
+
+    Output: (type_a, type_b, n_a, n_b, u2, auc_ppm).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("event_type").alias("ta"), F.col("n").alias("na")
+        )
+        .crossJoin(
+            totals.select(
+                F.col("event_type").alias("tb"), F.col("n").alias("nb")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    side_a = pairs.join(
+        counts.select(
+            F.col("event_type").alias("ta"), "cents", F.col("c").alias("ca")
+        ),
+        "ta",
+    ).select("ta", "tb", "na", "nb", "cents", "ca", F.lit(0).alias("cb"))
+    side_b = pairs.join(
+        counts.select(
+            F.col("event_type").alias("tb"), "cents", F.col("c").alias("cb")
+        ),
+        "tb",
+    ).select("ta", "tb", "na", "nb", "cents", F.lit(0).alias("ca"), "cb")
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("ta", "tb", "na", "nb", "cents")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = merged.withColumn("cum_b", F.sum("cb").over(w))
+    return (
+        stepped.groupBy("ta", "tb", "na", "nb")
+        .agg(
+            F.sum(
+                F.expr("2 * ca * (cum_b - cb) + ca * cb")
+            ).alias("u2")
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("u2").cast("long").alias("u2"),
+            # same envelope constant as ks_distance_pairs:
+            # 9223372036854 = (2^63-1) div 1e6, and u2*5e5 <=
+            # na*nb*1e6; the predicate is division-form so the guard
+            # itself never wraps under ansi=false
+            F.expr(
+                "CASE WHEN nb > 9223372036854L div na THEN"
+                " raise_error(concat("
+                "'mann_whitney_auc_pairs int64 overflow envelope"
+                " exceeded: n_a*n_b = ', CAST(na AS STRING), '*',"
+                " CAST(nb AS STRING), ' > 9223372036854 safe maximum"
+                " for the ppm multiply (the session pins ansi=false,"
+                " so the product would wrap silently into garbage"
+                " ppm). Divide counts down or lift the comparison to"
+                " decimal(38,0) for samples this large.'))"
+                " ELSE (u2 * 500000) div (na * nb) END"
+            ).alias("auc_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def mann_whitney_oracle_sql() -> str:
+    return """
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        totals AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ta, a.n AS na,
+                 b.event_type AS tb, b.n AS nb
+          FROM totals a JOIN totals b ON a.event_type < b.event_type),
+        sides AS (
+          SELECT ta, tb, na, nb, c.cents, c.c AS ca,
+                 CAST(0 AS BIGINT) AS cb
+          FROM pairs JOIN counts c ON c.event_type = ta
+          UNION ALL
+          SELECT ta, tb, na, nb, c.cents, CAST(0 AS BIGINT) AS ca,
+                 c.c AS cb
+          FROM pairs JOIN counts c ON c.event_type = tb),
+        merged AS MATERIALIZED (
+          SELECT ta, tb, na, nb, cents,
+                 CAST(SUM(ca) AS BIGINT) AS ca,
+                 CAST(SUM(cb) AS BIGINT) AS cb
+          FROM sides GROUP BY ta, tb, na, nb, cents),
+        stepped AS (
+          SELECT *,
+                 CAST(SUM(cb) OVER (PARTITION BY ta, tb ORDER BY cents
+                                    RANGE UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_b
+          FROM merged)
+        SELECT ta AS type_a, tb AS type_b,
+               na AS n_a, nb AS n_b,
+               CAST(SUM(2 * ca * (cum_b - cb) + ca * cb) AS BIGINT)
+                   AS u2,
+               (CAST(SUM(2 * ca * (cum_b - cb) + ca * cb) AS BIGINT)
+                * 500000) // (na * nb) AS auc_ppm
+        FROM stepped
+        GROUP BY ta, tb, na, nb
+        ORDER BY type_a, type_b
+        """

@@ -856,6 +856,13 @@ REGISTRY.update(
         "ks_distance_pairs": QuerySpec(
             _rel(ST.ks_distance_pairs), ST.ks_distance_oracle_sql()
         ),
+        # Mann-Whitney U / common-language AUC per type pair: the
+        # DIRECTION member of the drift family, doubled-integer exact
+        # off the same support machinery, KS's loud guard verbatim.
+        "mann_whitney_auc_pairs": QuerySpec(
+            _rel(ST.mann_whitney_auc_pairs),
+            ST.mann_whitney_oracle_sql(),
+        ),
         # Robust (median/IQR) scaling: rank-based integer quartile
         # boundaries (the decile discipline), one IEEE divide at
         # presentation; IQR=0 -> NULL on both engines.

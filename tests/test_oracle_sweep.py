@@ -81,6 +81,7 @@ ROUND_CHANGED = [
     "churn_retention_monthly",
     "session_concurrency_hourly",
     "readability_scores",
+    "mann_whitney_auc_pairs",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

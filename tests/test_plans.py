@@ -1151,3 +1151,132 @@ def test_cadence_one_customer_exchange(spark, sf_dir):
     assert not any("o_orderkey#" in b for b in win_blocks)
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 late additions: the engagement/association/survival batch
+# ---------------------------------------------------------------------------
+
+
+def test_dau_mau_one_collapse_no_joins(spark, sf_dir):
+    """One distinct collapse of (month, day, user) feeds a
+    month-sized aggregate: no joins, no windows, pruned scan."""
+    df = q("dau_mau_stickiness", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    [schema] = P.read_schemas(df)
+    assert schema == {"ts", "user_id"}
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_new_returning_collapsed_grain_join(spark, sf_dir):
+    """The first-week min-table joins the (user, week) grain —
+    post-checkpoint the visible plan carries no fact scan, no
+    windows, and the join keys are user-side."""
+    df = q("new_returning_weekly", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_churn_retention_collapsed_self_join(spark, sf_dir):
+    """All three consumers (month-1 self-join, first-month table,
+    rollup) ride the ONE checkpointed (user, month) grain: no
+    windows, no fact re-scan, no single-partition exchange."""
+    df = q("churn_retention_monthly", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cramers_v_single_row_off_shared_core(spark, sf_dir):
+    """The effect-size fold adds NO fact re-scan on top of the shared
+    contingency core: post-checkpoint the plan aggregates the
+    types x 10 cell table once; the collected fold array never
+    explodes back out."""
+    df = q("cramers_v_type_decile", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Generate" not in plan  # no explode anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_windows_stay_off_orders(spark, sf_dir):
+    """The lag window is customer-keyed; the risk cumulative runs
+    over the duration SUPPORT (no o_orderkey in any window block);
+    scans prune to (custkey, orderdate)."""
+    import re
+
+    df = q("kaplan_meier_interorder", spark, sf_dir)
+    plan = P.plan_string(df)
+    schemas = P.read_schemas(df)
+    assert all(s <= {"o_custkey", "o_orderdate"} for s in schemas)
+    win_blocks = [
+        b
+        for b in plan.split("\n\n")
+        if re.search(r"\(\d+\) Window", b)
+    ]
+    assert not any("o_orderkey#" in b for b in win_blocks)
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_no_fact_windows(spark, sf_dir):
+    """Ranks come from support-level cumulative counts: every window
+    block is flag-partitioned over the grouped (value, cnt) support —
+    no single-partition exchange, no cartesian, pruned scan."""
+    df = q("spearman_corr_by_flag", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = P.read_schemas(df)
+    assert all(
+        s <= {"l_returnflag", "l_quantity", "l_extendedprice"}
+        for s in schemas
+    )
+
+
+def test_session_concurrency_no_global_sweep(spark, sf_dir):
+    """The deliberate NON-sweep-line shape: the only windows are the
+    user-keyed sessionization core's; the hour fan-out is a bounded
+    sequence explode; no totally-ordered cumulative pass anywhere."""
+    import re
+
+    df = q("session_concurrency_hourly", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Exchange SinglePartition" not in plan
+    win_blocks = [
+        b for b in plan.split("\n\n") if re.search(r"\(\d+\) Window", b)
+    ]
+    assert win_blocks  # the sessionization lag/cumsum windows
+    assert all("user_id#" in b for b in win_blocks)
+    assert "Generate" in plan  # the bounded sequence explode
+
+
+def test_readability_shuffle_free(spark, sf_dir):
+    """Scan -> project, nothing else: no join, no window, no
+    aggregate exchange; the only shuffle is the presentation sort."""
+    df = q("readability_scores", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert P.count_shuffles(df) <= 1
+    [schema] = P.read_schemas(df)
+    assert schema == {"doc_id", "text"}
+
+
+def test_atkinson_customer_grain_then_segment(spark, sf_dir):
+    """Same altitude ladder as HHI: custkey revenue aggregate ->
+    dimension join -> segment aggregate; no windows; scans pruned to
+    the three needed columns."""
+    df = q("atkinson_index_by_segment", spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = P.read_schemas(df)
+    assert all(
+        s <= {"o_custkey", "o_totalprice"}
+        or s <= {"c_custkey", "c_mktsegment"}
+        for s in schemas
+    )

@@ -1648,3 +1648,70 @@ def test_readability_matches_textbook_bruteforce(spark):
         for r in X.readability_scores(t).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_auc_pairs: brute-force pairwise replay + the U_a + U_b
+# identity + the shared-envelope guard
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_pairwise_bruteforce(spark):
+    """Lake parity against the literal O(n_a*n_b) definition:
+    U2 = Σ over all cross pairs of 2·[x_a > x_b] + 1·[x_a = x_b]
+    (computed from value histograms, not actual pairs, but WITHOUT
+    the cumulative trick — an independent code path)."""
+    import math
+    from collections import Counter, defaultdict
+
+    t = _lake_tables(spark)
+    by_type = defaultdict(Counter)
+    for r in t["events"].select("event_type", "value").collect():
+        by_type[r.event_type][math.floor(r.value * 100 + 0.5)] += 1
+    types = sorted(by_type)
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.u2, r.auc_ppm)
+        for r in ST.mann_whitney_auc_pairs(t).collect()
+    }
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ha, hb = by_type[a], by_type[b]
+            na, nb = sum(ha.values()), sum(hb.values())
+            u2 = 0
+            for ca_val, ca_n in ha.items():
+                for cb_val, cb_n in hb.items():
+                    if ca_val > cb_val:
+                        u2 += 2 * ca_n * cb_n
+                    elif ca_val == cb_val:
+                        u2 += ca_n * cb_n
+            want = (na, nb, u2, u2 * 500_000 // (na * nb))
+            assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+            # the classic identity: U_a + U_b = n_a * n_b  (doubled)
+            u2_b = 2 * na * nb - u2
+            assert 0 <= u2_b <= 2 * na * nb
+
+
+def test_mann_whitney_engineered_direction(spark):
+    """All of b strictly above all of a -> AUC(a over b) = 0; equal
+    singletons -> exactly 500000 ppm (the ½-tie credit)."""
+    rows = [("a", 1.0)] * 5 + [("b", 9.0)] * 3
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    [r] = ST.mann_whitney_auc_pairs({"events": ev}).collect()
+    assert (r.u2, r.auc_ppm) == (0, 0)
+
+    rows = [("a", 5.0), ("b", 5.0)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    [r] = ST.mann_whitney_auc_pairs({"events": ev}).collect()
+    assert (r.u2, r.auc_ppm) == (1, 500_000)
+
+
+def test_mann_whitney_over_envelope_raises(spark):
+    """Same 3.1e6-per-type shape as the KS guard test — the shared
+    envelope constant must fire here too."""
+    events = spark.range(6_200_000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(Exception, match="overflow envelope exceeded"):
+        ST.mann_whitney_auc_pairs({"events": events}).collect()

@@ -3975,3 +3975,144 @@ def mann_whitney_oracle_sql() -> str:
         GROUP BY ta, tb, na, nb
         ORDER BY type_a, type_b
         """
+
+
+def weekly_mix_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week CATEGORICAL drift — total-variation distance
+    between consecutive weeks' event-TYPE mixes (tv_distance_pairs
+    compares value distributions between types; this compares the
+    composition of traffic between periods — "did the signup/error/
+    purchase mix shift this week?", the incident-review readout).
+
+    Exact integers throughout, the KS cross-multiplication trick on
+    proportions: TV = ½ Σ_type |c_cur/n_cur - c_prev/n_prev| is
+    evaluated as tv_num = Σ |c_cur·n_prev - c_prev·n_cur| with
+    tv_ppm = tv_num · 500000 div (n_prev·n_cur). Types absent from
+    one side enter with count 0 through the two-sided union (a full
+    outer join in aggregate form — the ks sides shape). CALENDAR
+    semantics (the weekly_revenue_wow rule): only adjacent epoch-week
+    indexes pair; a week following a silent week reports no row
+    rather than drifting against ancient data.
+
+    Overflow envelope — LOUD (the ks_distance_pairs guard verbatim,
+    shared constant): safe while n_prev·n_cur·1e6 < 2^63 (~3e6
+    events/week); the division-form predicate cannot itself wrap
+    under the session's pinned ansi=false.
+
+    Plan: one fact aggregate to (week, type), week-sized totals
+    self-joined at week+1 (broadcastable), sides unioned and rolled
+    up per (week, type) — the fact is touched once.
+
+    Output: (week, n_prev, n_cur, n_types_union, tv_num, tv_ppm).
+    """
+    wc = (
+        t["events"]
+        .select(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " div 7 AS BIGINT)"
+            ).alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    wt = wc.groupBy("week").agg(F.sum("c").alias("n"))
+    pairs = (
+        wt.select(F.col("week").alias("pw"), F.col("n").alias("n_prev"))
+        .join(
+            wt.select(
+                (F.col("week") - 1).alias("pw"),
+                F.col("week").alias("week"),
+                F.col("n").alias("n_cur"),
+            ),
+            "pw",
+        )
+    )
+    side_prev = pairs.join(
+        wc.select(F.col("week").alias("pw"), "event_type", F.col("c").alias("cp")),
+        "pw",
+    ).select("week", "n_prev", "n_cur", "event_type", "cp", F.lit(0).alias("cc"))
+    side_cur = pairs.join(
+        wc.select("week", "event_type", F.col("c").alias("cc")),
+        "week",
+    ).select("week", "n_prev", "n_cur", "event_type", F.lit(0).alias("cp"), "cc")
+    merged = (
+        side_prev.unionByName(side_cur)
+        .groupBy("week", "n_prev", "n_cur", "event_type")
+        .agg(F.sum("cp").alias("cp"), F.sum("cc").alias("cc"))
+    )
+    return (
+        merged.groupBy("week", "n_prev", "n_cur")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types_union"),
+            F.sum(
+                F.abs(
+                    F.col("cc") * F.col("n_prev")
+                    - F.col("cp") * F.col("n_cur")
+                )
+            )
+            .cast("long")
+            .alias("tv_num"),
+        )
+        .select(
+            "week",
+            F.col("n_prev").cast("long").alias("n_prev"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            "n_types_union",
+            "tv_num",
+            F.expr(
+                "CASE WHEN n_cur > 9223372036854L div n_prev THEN"
+                " raise_error(concat("
+                "'weekly_mix_drift int64 overflow envelope exceeded:"
+                " n_prev*n_cur = ', CAST(n_prev AS STRING), '*',"
+                " CAST(n_cur AS STRING), ' > 9223372036854 safe"
+                " maximum for the ppm multiply (the session pins"
+                " ansi=false, so the product would wrap silently into"
+                " garbage ppm). Pre-sample weeks this large or lift"
+                " the comparison to decimal(38,0).'))"
+                " ELSE (tv_num * 500000) div (n_prev * n_cur) END"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+def weekly_mix_drift_oracle_sql() -> str:
+    return """
+        WITH wc AS MATERIALIZED (
+          SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) // 7 AS BIGINT)
+                     AS week,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        wt AS (SELECT week, CAST(SUM(c) AS BIGINT) AS n
+               FROM wc GROUP BY week),
+        pairs AS (
+          SELECT p.week AS pw, p.n AS n_prev,
+                 q.week AS week, q.n AS n_cur
+          FROM wt p JOIN wt q ON q.week = p.week + 1),
+        sides AS (
+          SELECT pairs.week AS week, n_prev, n_cur, w.event_type,
+                 w.c AS cp, CAST(0 AS BIGINT) AS cc
+          FROM pairs JOIN wc w ON w.week = pairs.pw
+          UNION ALL
+          SELECT pairs.week AS week, n_prev, n_cur, w.event_type,
+                 CAST(0 AS BIGINT) AS cp, w.c AS cc
+          FROM pairs JOIN wc w ON w.week = pairs.week),
+        merged AS (
+          SELECT week, n_prev, n_cur, event_type,
+                 CAST(SUM(cp) AS BIGINT) AS cp,
+                 CAST(SUM(cc) AS BIGINT) AS cc
+          FROM sides GROUP BY week, n_prev, n_cur, event_type)
+        SELECT week, n_prev, n_cur,
+               CAST(COUNT(*) AS BIGINT) AS n_types_union,
+               CAST(SUM(ABS(cc * n_prev - cp * n_cur)) AS BIGINT)
+                   AS tv_num,
+               (CAST(SUM(ABS(cc * n_prev - cp * n_cur)) AS BIGINT)
+                * 500000) // (n_prev * n_cur) AS tv_ppm
+        FROM merged
+        GROUP BY week, n_prev, n_cur
+        ORDER BY week
+        """

@@ -863,6 +863,13 @@ REGISTRY.update(
             _rel(ST.mann_whitney_auc_pairs),
             ST.mann_whitney_oracle_sql(),
         ),
+        # Categorical drift between consecutive weeks: TV distance of
+        # the event-type mix, cross-multiplied exact integers, the
+        # shared loud guard; calendar-adjacent weeks only.
+        "weekly_mix_drift": QuerySpec(
+            _rel(ST.weekly_mix_drift),
+            ST.weekly_mix_drift_oracle_sql(),
+        ),
         # Robust (median/IQR) scaling: rank-based integer quartile
         # boundaries (the decile discipline), one IEEE divide at
         # presentation; IQR=0 -> NULL on both engines.

@@ -82,6 +82,7 @@ ROUND_CHANGED = [
     "session_concurrency_hourly",
     "readability_scores",
     "mann_whitney_auc_pairs",
+    "weekly_mix_drift",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

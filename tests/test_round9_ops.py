@@ -1715,3 +1715,85 @@ def test_mann_whitney_over_envelope_raises(spark):
     )
     with pytest.raises(Exception, match="overflow envelope exceeded"):
         ST.mann_whitney_auc_pairs({"events": events}).collect()
+
+
+# ---------------------------------------------------------------------------
+# weekly_mix_drift: engineered mix shift + lake brute force
+# ---------------------------------------------------------------------------
+
+
+def test_weekly_mix_drift_engineered(spark):
+    """Week w: 3 clicks / 1 signup; week w+1: 1 click / 3 errors.
+    p = (3/4, 1/4, 0), q = (1/4, 0, 3/4) -> TV = ½(2/4 + 1/4 + 3/4)
+    = 0.75; cross-multiplied num = Σ|cc*4 - cp*4| = 4*(2+1+3) = 24,
+    ppm = 24*5e5 // 16 = 750000. A third week two weeks later must
+    NOT pair with w+1 (calendar adjacency)."""
+    from parquet_export_spark.operators import stats as S
+
+    # Epoch weeks start on THURSDAYS (day 0 = Thu 1970-01-01), so the
+    # fixture pins to epoch-week-aligned dates: week 2820 = Jan 18-24,
+    # week 2821 = Jan 25-31, week 2823 = Feb 8-14 (2822 silent).
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-18 10:00:00", 1),
+            (2, "2024-01-19 10:00:00", 2),
+            (3, "2024-01-20 10:00:00", 3),
+            (4, "2024-01-21 10:00:00", 4),
+            (5, "2024-01-25 10:00:00", 1),
+            (6, "2024-01-26 10:00:00", 2),
+            (7, "2024-01-27 10:00:00", 3),
+            (8, "2024-01-28 10:00:00", 4),
+            (9, "2024-02-08 10:00:00", 1),  # one silent week after
+        ],
+    ).withColumn(
+        "event_type",
+        F.expr(
+            "CASE WHEN event_id <= 3 THEN 'click'"
+            " WHEN event_id = 4 THEN 'signup'"
+            " WHEN event_id = 5 THEN 'click'"
+            " WHEN event_id <= 8 THEN 'error'"
+            " ELSE 'click' END"
+        ),
+    )
+    rows = S.weekly_mix_drift({"events": ev}).collect()
+    assert len(rows) == 1  # only the adjacent pair
+    [r] = rows
+    assert (r.n_prev, r.n_cur, r.n_types_union) == (4, 4, 3)
+    assert r.tv_num == 24
+    assert r.tv_ppm == 750_000
+
+
+def test_weekly_mix_drift_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from parquet_export_spark.operators import stats as S
+
+    t = _lake_tables(spark)
+    epoch = __import__("datetime").date(1970, 1, 1)
+    weeks = defaultdict(Counter)
+    for r in t["events"].select("ts", "event_type").collect():
+        weeks[(r.ts.date() - epoch).days // 7][r.event_type] += 1
+    want = {}
+    for w in sorted(weeks):
+        if w - 1 not in weeks:
+            continue
+        p, q = weeks[w - 1], weeks[w]
+        np_, nq = sum(p.values()), sum(q.values())
+        types = set(p) | set(q)
+        tv_num = sum(
+            abs(q.get(ty, 0) * np_ - p.get(ty, 0) * nq) for ty in types
+        )
+        want[w] = (np_, nq, len(types), tv_num, tv_num * 500_000 // (np_ * nq))
+        # sanity: the integer form equals the Fraction TV definition
+        tv = Fraction(1, 2) * sum(
+            abs(Fraction(q.get(ty, 0), nq) - Fraction(p.get(ty, 0), np_))
+            for ty in types
+        )
+        assert Fraction(tv_num, 2 * np_ * nq) == tv
+    got = {
+        r.week: (r.n_prev, r.n_cur, r.n_types_union, r.tv_num, r.tv_ppm)
+        for r in S.weekly_mix_drift(t).collect()
+    }
+    assert got == want and len(got) > 0

@@ -4053,3 +4053,221 @@ def session_concurrency_oracle_sql(gap_minutes: int = 30) -> str:
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM hours GROUP BY hour_idx ORDER BY hour_idx
         """
+
+
+MASE_SEASON_DAYS = 7
+
+
+def forecast_backtest_mase(t: dict[str, DataFrame]) -> DataFrame:
+    """Forecast backtest with the scale-free error metric the
+    forecasting literature actually recommends: hold out the last 20%
+    of each type's dense daily revenue series, forecast it with the
+    SAME integer Holt recurrence as ``holt_linear_forecast`` (one
+    definition of the fold — reused verbatim), and score MASE =
+    MAE(test, holt) / MAE(in-sample seasonal-naive, m=7). MASE < 1
+    means the model beats "same day last week" — the question every
+    forecast review starts with; a plain MAE can't say it because it
+    has units.
+
+    Exactness: the series, the fold, both error sums and the final
+    ratio are pure int64 — mase_ppm = err_sum·(n_train−7)·1e6 div
+    (n_test·den_sum) — behind TWO division-form loud guards (the
+    ks_distance convention: the guards read only exact unwrapped
+    inputs). A flat training series (den_sum = 0: the seasonal naive
+    is perfect) reports NULL, not a division error. Eligibility:
+    n_train > 7 (the season must fit) and n_test ≥ 1; shorter types
+    are absent, not padded.
+
+    DuckDB determinism note (measured this round, and the reason the
+    oracle replays the fold as a recursive CTE like holt's):
+    DuckDB 1.0's ``list_reduce`` with a CASE/IF branch inside the
+    lambda returns WRONG values (the isolated step evaluates
+    correctly; the branched fold does not) — so no DuckDB list fold
+    appears anywhere in the oracle.
+
+    Plan: the holt shape — one fact collapse, a span-bounded spine,
+    ONE per-type sorted-array fold plus two in-codegen array sweeps
+    (test errors, seasonal diffs); series length is the TIME SPAN,
+    never event volume.
+
+    Output: (event_type, n_days, n_train, n_test, level_cents,
+    trend_cents, err_sum_cents, den_sum_cents, mase_ppm).
+    """
+    e = t["events"]
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+    )
+    m = MASE_SEASON_DAYS
+    l2 = "shiftright(x.cents + acc.l + acc.b, 1)"
+    fold = (
+        "aggregate(slice(xs, 1, CAST(n_train AS INT)),"
+        " named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),"
+        "              'k', CAST(0 AS BIGINT)),"
+        " (acc, x) -> IF(acc.k = 0,"
+        "   named_struct('l', x.cents, 'b', CAST(0 AS BIGINT),"
+        "                'k', CAST(1 AS BIGINT)),"
+        f"  named_struct('l', {l2},"
+        f"               'b', shiftright({l2} - acc.l + acc.b, 1),"
+        "                'k', acc.k + 1)))"
+    )
+    err = (
+        "aggregate(transform("
+        " slice(xs, CAST(n_train + 1 AS INT), CAST(n_test AS INT)),"
+        " (x, i) -> abs(x.cents - (st.l + CAST(i + 1 AS BIGINT) * st.b))),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    den = (
+        f"aggregate(transform(sequence({m + 1}L, n_train),"
+        f" i -> abs(element_at(xs, CAST(i AS INT)).cents"
+        f"          - element_at(xs, CAST(i - {m} AS INT)).cents)),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    guard = (
+        "CASE"
+        f" WHEN err_sum_cents > (9223372036854775807L div 1000000L)"
+        f"      div (n_train - {m}) THEN"
+        " raise_error(concat('forecast_backtest_mase int64 envelope"
+        " exceeded: err_sum*(n_train-7)*1e6 would wrap for type ',"
+        " event_type, ' (err_sum = ', CAST(err_sum_cents AS STRING),"
+        " '). Aggregate to coarser days or lift to decimal(38,0).'))"
+        " WHEN den_sum_cents > 9223372036854775807L div n_test THEN"
+        " raise_error(concat('forecast_backtest_mase int64 envelope"
+        " exceeded: n_test*den_sum would wrap for type ',"
+        " event_type, '.'))"
+        f" ELSE (err_sum_cents * (n_train - {m}) * 1000000L)"
+        "      div nullif(n_test * den_sum_cents, 0L) END"
+    )
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.expr("sort_array(collect_list(struct(d, cents)))").alias("xs")
+        )
+        .select(
+            "event_type",
+            "xs",
+            F.size("xs").cast("long").alias("n_days"),
+            F.expr("CAST((size(xs) * 4) div 5 AS BIGINT)").alias("n_train"),
+        )
+        .filter(F.col("n_train") > m)
+        .filter(F.col("n_days") > F.col("n_train"))
+        .withColumn("n_test", F.col("n_days") - F.col("n_train"))
+        .withColumn("st", F.expr(fold))
+        .withColumn("err_sum_cents", F.expr(err))
+        .withColumn("den_sum_cents", F.expr(den))
+        .select(
+            "event_type",
+            "n_days",
+            "n_train",
+            "n_test",
+            F.col("st.l").alias("level_cents"),
+            F.col("st.b").alias("trend_cents"),
+            "err_sum_cents",
+            "den_sum_cents",
+            F.expr(guard).alias("mase_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def forecast_backtest_oracle_sql() -> str:
+    """DuckDB replay: the holt recursive-CTE fold over the TRAIN
+    prefix (DuckDB's branched list_reduce is wrong — see the operator
+    docstring), test errors and seasonal diffs as plain joins over
+    the step-indexed series."""
+    m = MASE_SEASON_DAYS
+    return f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        span AS (
+          SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+          FROM daily GROUP BY event_type),
+        spine AS (
+          SELECT event_type,
+                 CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                             CAST(hi AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE)
+                     AS d
+          FROM span),
+        series AS MATERIALIZED (
+          SELECT sp.event_type,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY sp.event_type
+                                         ORDER BY sp.d)
+                      AS BIGINT) AS step,
+                 CAST(COALESCE(da.cents, 0) AS BIGINT) AS y
+          FROM spine sp
+          LEFT JOIN daily da ON da.event_type = sp.event_type
+                            AND da.d = sp.d),
+        elig AS MATERIALIZED (
+          SELECT event_type, CAST(MAX(step) AS BIGINT) AS n_days,
+                 CAST((MAX(step) * 4) // 5 AS BIGINT) AS n_train
+          FROM series GROUP BY event_type
+          HAVING (MAX(step) * 4) // 5 > {m}
+             AND MAX(step) > (MAX(step) * 4) // 5),
+        r AS (
+          SELECT s.event_type, s.step, s.y AS l, CAST(0 AS BIGINT) AS b
+          FROM series s JOIN elig e USING (event_type)
+          WHERE s.step = 1
+          UNION ALL
+          SELECT s.event_type, s.step,
+                 (s.y + r.l + r.b) >> 1,
+                 (((s.y + r.l + r.b) >> 1) - r.l + r.b) >> 1
+          FROM r
+          JOIN elig e ON e.event_type = r.event_type
+          JOIN series s ON s.event_type = r.event_type
+                       AND s.step = r.step + 1
+          WHERE r.step < e.n_train),
+        st AS MATERIALIZED (
+          SELECT r.event_type, r.l, r.b
+          FROM r JOIN elig e ON e.event_type = r.event_type
+                            AND r.step = e.n_train),
+        errs AS (
+          SELECT s.event_type,
+                 CAST(SUM(ABS(s.y - (st.l + (s.step - e.n_train) * st.b)))
+                      AS BIGINT) AS err_sum_cents
+          FROM series s
+          JOIN elig e USING (event_type)
+          JOIN st USING (event_type)
+          WHERE s.step > e.n_train
+          GROUP BY s.event_type),
+        dens AS (
+          SELECT s1.event_type,
+                 CAST(SUM(ABS(s1.y - s2.y)) AS BIGINT) AS den_sum_cents
+          FROM series s1
+          JOIN series s2 ON s2.event_type = s1.event_type
+                        AND s2.step = s1.step - {m}
+          JOIN elig e ON e.event_type = s1.event_type
+          WHERE s1.step BETWEEN {m + 1} AND e.n_train
+          GROUP BY s1.event_type)
+        SELECT e.event_type, e.n_days, e.n_train,
+               e.n_days - e.n_train AS n_test,
+               st.l AS level_cents, st.b AS trend_cents,
+               errs.err_sum_cents, dens.den_sum_cents,
+               CAST((errs.err_sum_cents * (e.n_train - {m}) * 1000000)
+                    // NULLIF((e.n_days - e.n_train)
+                              * dens.den_sum_cents, 0)
+                    AS BIGINT) AS mase_ppm
+        FROM elig e
+        JOIN st USING (event_type)
+        JOIN errs USING (event_type)
+        JOIN dens USING (event_type)
+        ORDER BY e.event_type
+        """

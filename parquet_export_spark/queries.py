@@ -2900,6 +2900,15 @@ REGISTRY.update(
             _rel(A.kaplan_meier_interorder),
             A.kaplan_meier_oracle_sql(),
         ),
+        # MASE forecast backtest: the holt fold (one definition)
+        # scored against the in-sample seasonal naive on a 20%
+        # holdout, all-int64 behind two division-form guards; oracle
+        # replays via recursive CTE (DuckDB's branched list_reduce is
+        # WRONG - measured, see docstring).
+        "forecast_backtest_mase": QuerySpec(
+            _rel(A.forecast_backtest_mase),
+            A.forecast_backtest_oracle_sql(),
+        ),
         # Monthly growth accounting: new/retained/resurrected/churned
         # off ONE (user, month) collapse self-joined at month-1,
         # calendar-gap-correct, complementary ppm rates.
@@ -3859,12 +3868,19 @@ _VERDICT_PRIORITY = [
     #   r8 verdict's explicit 35+5+10 allocation; their changed plans
     #   are covered by the triple-SF sweep gate every pytest run
     #   (tests/test_oracle_sweep.py ROUND_CHANGED) and they take r10
-    #   window priority, together with the three operators REGISTERED
+    #   window priority, together with the operators REGISTERED
     #   this round (tv_distance_pairs, markov_stationary_types,
     #   zipf_slope_unigrams, lorenz_curve_deciles,
     #   session_duration_histogram, dup_rate_by_source,
-    #   cross_source_overlap — also in
-    #   ROUND_CHANGED, never driver-verdicted).
+    #   cross_source_overlap, and the late-round batch:
+    #   dau_mau_stickiness, new_returning_weekly,
+    #   cramers_v_type_decile, kaplan_meier_interorder,
+    #   atkinson_index_by_segment, spearman_corr_by_flag,
+    #   churn_retention_monthly, session_concurrency_hourly,
+    #   readability_scores, mann_whitney_auc_pairs,
+    #   weekly_mix_drift — all in ROUND_CHANGED, so each already
+    #   holds a triple-SF sweep verdict every pytest pass; never
+    #   driver-verdicted).
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):
     "lpa_communities_suppliers", "link_prediction_suppliers",

@@ -83,6 +83,7 @@ ROUND_CHANGED = [
     "readability_scores",
     "mann_whitney_auc_pairs",
     "weekly_mix_drift",
+    "forecast_backtest_mase",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

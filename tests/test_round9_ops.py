@@ -1797,3 +1797,92 @@ def test_weekly_mix_drift_matches_bruteforce(spark):
         for r in S.weekly_mix_drift(t).collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest_mase: sequential replay + the DuckDB branched-fold
+# bug documentation test
+# ---------------------------------------------------------------------------
+
+
+def test_mase_matches_sequential_replay(spark):
+    """Lake parity against a pure-Python replay: dense series, the
+    integer Holt recurrence over the train prefix, holt test errors,
+    seasonal-naive in-sample denominator, the exact ppm ratio."""
+    from collections import defaultdict
+    import math
+
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in t["events"].select("ts", "event_type", "value").collect():
+        daily[r.event_type][r.ts.date()] += math.floor(r.value * 100 + 0.5)
+    m = A.MASE_SEASON_DAYS
+    want = {}
+    for ty, dd in daily.items():
+        lo, hi = min(dd), max(dd)
+        n = (hi - lo).days + 1
+        ys = [dd.get(lo + __import__("datetime").timedelta(days=i), 0)
+              for i in range(n)]
+        n_train = (n * 4) // 5
+        n_test = n - n_train
+        if n_train <= m or n_test < 1:
+            continue
+        l = b = None
+        for y in ys[:n_train]:
+            if l is None:
+                l, b = y, 0
+            else:
+                l2 = (y + l + b) >> 1
+                b = (l2 - l + b) >> 1
+                l = l2
+        err = sum(
+            abs(ys[n_train + h - 1] - (l + h * b))
+            for h in range(1, n_test + 1)
+        )
+        den = sum(
+            abs(ys[i] - ys[i - m]) for i in range(m, n_train)
+        )
+        mase = (
+            err * (n_train - m) * 10**6 // (n_test * den) if den else None
+        )
+        want[ty] = (n, n_train, n_test, l, b, err, den, mase)
+    got = {
+        r.event_type: (
+            r.n_days, r.n_train, r.n_test, r.level_cents, r.trend_cents,
+            r.err_sum_cents, r.den_sum_cents, r.mase_ppm,
+        )
+        for r in A.forecast_backtest_mase(t).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_duckdb_branched_list_reduce_is_wrong():
+    """Pin the MEASURED DuckDB 1.0 defect the mase/holt oracles route
+    around (recursive CTE instead of a list fold): list_reduce with a
+    CASE/IF branch inside the lambda returns wrong values, while the
+    identical single step evaluates correctly. If a DuckDB upgrade
+    fixes this, this test fails and the oracles may simplify."""
+    import duckdb
+
+    fold = """
+      SELECT list_reduce(
+        [{'l': CAST(0 AS BIGINT), 'b': CAST(0 AS BIGINT), 'k': CAST(0 AS BIGINT)},
+         {'l': CAST(10 AS BIGINT), 'b': CAST(0 AS BIGINT), 'k': CAST(0 AS BIGINT)},
+         {'l': CAST(14 AS BIGINT), 'b': CAST(0 AS BIGINT), 'k': CAST(0 AS BIGINT)},
+         {'l': CAST(6 AS BIGINT), 'b': CAST(0 AS BIGINT), 'k': CAST(0 AS BIGINT)}],
+        (acc, x) -> CASE WHEN acc.k = 0
+          THEN {'l': x.l, 'b': CAST(0 AS BIGINT), 'k': CAST(1 AS BIGINT)}
+          ELSE {'l': (x.l + acc.l + acc.b) >> 1,
+                'b': (((x.l + acc.l + acc.b) >> 1) - acc.l + acc.b) >> 1,
+                'k': acc.k + 1} END)
+    """
+    [st] = duckdb.sql(fold).fetchone()
+    # correct sequential value: l=9, b=-1, k=3
+    assert (st["l"], st["k"]) == (9, 3)
+    if st["b"] == -1:
+        raise AssertionError(
+            "DuckDB fixed branched list_reduce — oracles can simplify"
+        )
+    assert st["b"] == 0  # the measured wrong value this pin documents

@@ -133,6 +133,21 @@ SHOWCASE = [
     "user_activity_streaks",
     "odds_ratio_type_pairs",
     "order_cadence_by_customer",
+    # round-9 late batch: one-collapse engagement aggregates, the
+    # support-window survival curve with its single-array prefix
+    # fold, support-rank Spearman (no fact windows), the non-sweep
+    # session concurrency explode, and the train-prefix MASE fold
+    "dau_mau_stickiness",
+    "churn_retention_monthly",
+    "kaplan_meier_interorder",
+    "spearman_corr_by_flag",
+    "session_concurrency_hourly",
+    "mann_whitney_auc_pairs",
+    "weekly_mix_drift",
+    "forecast_backtest_mase",
+    "cramers_v_type_decile",
+    "atkinson_index_by_segment",
+    "readability_scores",
 ]
 
 HEADER = """\

@@ -212,6 +212,19 @@ HEADLINE = [
     "session_duration_histogram",
     "dup_rate_by_source",
     "cross_source_overlap",
+    # round-9 late batch
+    "dau_mau_stickiness",
+    "new_returning_weekly",
+    "churn_retention_monthly",
+    "kaplan_meier_interorder",
+    "session_concurrency_hourly",
+    "cramers_v_type_decile",
+    "spearman_corr_by_flag",
+    "atkinson_index_by_segment",
+    "mann_whitney_auc_pairs",
+    "weekly_mix_drift",
+    "forecast_backtest_mase",
+    "readability_scores",
 ]
 
 

@@ -216,21 +216,62 @@ def _sessionized(ev: DataFrame, gap_minutes: int) -> DataFrame:
     )
 
 
-def sessionize_batch(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
+def sessions_artifact(
+    t: dict[str, DataFrame], gap_minutes: int = 30
+) -> DataFrame:
+    """The fit-once per-lake SESSION TABLE — the session analog of
+    ``supplier_projection_artifact`` / ``trade_edges_artifact``: in a
+    production lake this parquet sits next to the events fact and the
+    ingest job maintains it; every session consumer then PROBES it
+    instead of re-paying the user-keyed sessionization windows per
+    query. One row per gap-session with every column the four
+    registered consumers need (sessionize_batch, entry/exit grid,
+    duration histogram, hourly concurrency), so the windows run once
+    per lake, not once per question.
+
+    Entry/exit ride ``min_by``/``max_by`` over the sessionization
+    order struct (ts, event_id) INSIDE the same session-grain
+    aggregate — strictly cheaper than the two extra row_number
+    windows the standalone entry/exit operator pays, and identical by
+    the total-order uniqueness of (ts, event_id) per user.
+
+    Output: (user_id, session_id, session_start, session_end,
+    n_events, session_value, entry_type, exit_type).
+    """
+    with_id = _sessionized(t["events"], gap_minutes)
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", scale=6).alias("session_value"),
+        F.expr("min_by(event_type, struct(ts, event_id))").alias(
+            "entry_type"
+        ),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias(
+            "exit_type"
+        ),
+    )
+
+
+def sessionize_batch(
+    t: dict[str, DataFrame],
+    gap_minutes: int = 30,
+    sessions: DataFrame | None = None,
+) -> DataFrame:
     """Gap-based sessions: lag -> new-session flag -> running count as
     session id -> per-session aggregate. Two window passes over one
-    user_id shuffle; the standard batch sessionization at any scale."""
-    with_id = _sessionized(t["events"], gap_minutes)
-    return (
-        with_id.groupBy("user_id", "session_id")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value", scale=6).alias("session_value"),
-        )
-        .orderBy("user_id", "session_id")
-    )
+    user_id shuffle; the standard batch sessionization at any scale.
+    With ``sessions=`` (the per-lake ``sessions_artifact``) the
+    windows are already paid and this is a column projection."""
+    s = sessions if sessions is not None else sessions_artifact(t, gap_minutes)
+    return s.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_id")
 
 
 # --------------------------------------------------------------------------
@@ -2425,7 +2466,9 @@ SESSION_CTES_SQL = """
 
 
 def session_duration_histogram(
-    t: dict[str, DataFrame], gap_minutes: int = 30
+    t: dict[str, DataFrame],
+    gap_minutes: int = 30,
+    sessions: DataFrame | None = None,
 ) -> DataFrame:
     """Power-of-two histogram of gap-session durations — the shape
     readout on the session population (bounce spike at bin 0, the
@@ -2443,20 +2486,18 @@ def session_duration_histogram(
     with pure shift arithmetic (pitfall 16). All counts exact int64.
 
     Plan: the shared user_id-window sessionization pass, one
-    session-grain aggregate, one ~40-row bin aggregate. Output:
-    (duration_bin, lo_sec, n_sessions, n_events), one row per
-    occupied bin.
+    session-grain aggregate, one ~40-row bin aggregate (with
+    ``sessions=``: just the bin aggregate over the stored session
+    table). Output: (duration_bin, lo_sec, n_sessions, n_events),
+    one row per occupied bin.
     """
-    sess = (
-        _sessionized(t["events"], gap_minutes)
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.expr(
-                "timestampdiff(MICROSECOND, min(ts), max(ts))"
-                " div 1000000"
-            ).alias("dur_sec"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    s = sessions if sessions is not None else sessions_artifact(t, gap_minutes)
+    sess = s.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, session_start, session_end)"
+            " div 1000000"
+        ).alias("dur_sec"),
+        "n_events",
     )
     return (
         sess.select(
@@ -2510,7 +2551,9 @@ def session_duration_histogram_oracle_sql(gap_minutes: int = 30) -> str:
 
 
 def session_entry_exit(
-    t: dict[str, DataFrame], gap_minutes: int = 30
+    t: dict[str, DataFrame],
+    gap_minutes: int = 30,
+    sessions: DataFrame | None = None,
 ) -> DataFrame:
     """Entry/exit-page analysis on gap sessions: how do sessions START
     and how do they END — the (entry event type x exit event type)
@@ -2526,40 +2569,22 @@ def session_entry_exit(
     session ids already paid for; single-event sessions count with
     entry = exit.
 
-    Plan: the _sessionized window chain (one user_id shuffle), one
-    (user, session)-keyed window pair, one small grouped count —
-    output is <= types² rows.
+    Plan: the _sessionized window chain (one user_id shuffle) folded
+    into the session-grain aggregate — entry/exit are min_by/max_by
+    over the sessionization order struct inside ``sessions_artifact``
+    (the earlier two-row_number formulation paid two extra window
+    passes for the same total order) — then one small grouped count;
+    output is <= types² rows. With ``sessions=``, just the grouped
+    count over the stored session table.
 
     Output: (entry_type, exit_type, n_sessions, total_events).
     """
-    with_id = _sessionized(t["events"], gap_minutes)
-    ws = Window.partitionBy("user_id", "session_id")
-    fwd = ws.orderBy("ts", "event_id")
-    bwd = ws.orderBy(F.desc("ts"), F.desc("event_id"))
-    ranked = with_id.select(
-        "user_id",
-        "session_id",
-        "event_type",
-        F.row_number().over(fwd).alias("rn_f"),
-        F.row_number().over(bwd).alias("rn_b"),
-    ).filter((F.col("rn_f") == 1) | (F.col("rn_b") == 1))
-    per_session = with_id.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_ev")
-    )
-    edge = ranked.groupBy("user_id", "session_id").agg(
-        F.max(F.when(F.col("rn_f") == 1, F.col("event_type"))).alias(
-            "entry_type"
-        ),
-        F.max(F.when(F.col("rn_b") == 1, F.col("event_type"))).alias(
-            "exit_type"
-        ),
-    )
+    s = sessions if sessions is not None else sessions_artifact(t, gap_minutes)
     return (
-        edge.join(per_session, ["user_id", "session_id"])
-        .groupBy("entry_type", "exit_type")
+        s.groupBy("entry_type", "exit_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.sum("n_ev").cast("long").alias("total_events"),
+            F.sum("n_events").cast("long").alias("total_events"),
         )
         .orderBy("entry_type", "exit_type")
     )
@@ -3980,7 +4005,9 @@ def churn_retention_oracle_sql() -> str:
 
 
 def session_concurrency_hourly(
-    t: dict[str, DataFrame], gap_minutes: int = 30
+    t: dict[str, DataFrame],
+    gap_minutes: int = 30,
+    sessions: DataFrame | None = None,
 ) -> DataFrame:
     """Hourly session-concurrency curve — how many gap-sessions (and
     distinct users) are LIVE in each calendar hour, the capacity-
@@ -4003,21 +4030,17 @@ def session_concurrency_hourly(
     Output: (hour_idx, n_sessions, n_users), hours with zero live
     sessions absent (both engines build from observed sessions only).
     """
-    sess = (
-        _sessionized(t["events"], gap_minutes)
-        .groupBy("user_id", "session_id")
-        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-        .select(
-            "user_id",
-            F.expr(
-                "CAST(datediff(CAST(s AS DATE), DATE '1970-01-01')"
-                " AS BIGINT) * 24 + hour(s)"
-            ).alias("h0"),
-            F.expr(
-                "CAST(datediff(CAST(e AS DATE), DATE '1970-01-01')"
-                " AS BIGINT) * 24 + hour(e)"
-            ).alias("h1"),
-        )
+    s = sessions if sessions is not None else sessions_artifact(t, gap_minutes)
+    sess = s.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(session_start AS DATE),"
+            " DATE '1970-01-01') AS BIGINT) * 24 + hour(session_start)"
+        ).alias("h0"),
+        F.expr(
+            "CAST(datediff(CAST(session_end AS DATE),"
+            " DATE '1970-01-01') AS BIGINT) * 24 + hour(session_end)"
+        ).alias("h1"),
     )
     return (
         sess.select(

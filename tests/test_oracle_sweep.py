@@ -84,6 +84,14 @@ ROUND_CHANGED = [
     "mann_whitney_auc_pairs",
     "weekly_mix_drift",
     "forecast_backtest_mase",
+    # round 9: the four session consumers now PROBE the per-lake
+    # sessions_artifact instead of re-paying the sessionization
+    # windows per call (entry/exit moved from double row_number to
+    # min_by/max_by inside the artifact aggregate):
+    "sessionize_batch",
+    "session_entry_exit",
+    "session_duration_histogram",
+    "session_concurrency_hourly",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

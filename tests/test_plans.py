@@ -1280,3 +1280,22 @@ def test_atkinson_customer_grain_then_segment(spark, sf_dir):
         or s <= {"c_custkey", "c_mktsegment"}
         for s in schemas
     )
+
+
+def test_session_probes_never_rewindow(spark, sf_dir):
+    """The registry's session consumers probe the checkpointed
+    per-lake session artifact: their visible plans must contain NO
+    window operator and NO events scan — the sessionization windows
+    were paid once, at artifact build."""
+    from parquet_export_spark.queries import REGISTRY
+
+    for name in (
+        "sessionize_batch",
+        "session_entry_exit",
+        "session_duration_histogram",
+        "session_concurrency_hourly",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = P.plan_string(df)
+        assert "Window" not in plan, name
+        assert P.read_schemas(df) == [], name  # no file scan at all

@@ -1886,3 +1886,29 @@ def test_duckdb_branched_list_reduce_is_wrong():
             "DuckDB fixed branched list_reduce — oracles can simplify"
         )
     assert st["b"] == 0  # the measured wrong value this pin documents
+
+
+# ---------------------------------------------------------------------------
+# sessions_artifact: probe == rebuild parity for all four consumers
+# ---------------------------------------------------------------------------
+
+
+def test_session_probes_equal_rebuild(spark):
+    """Every session consumer must return IDENTICAL rows through the
+    fit-once artifact (sessions=) and through its own in-query
+    sessionization — including entry/exit, whose extraction moved
+    from two row_number windows to min_by/max_by over the same
+    (ts, event_id) total order."""
+    from parquet_export_spark.operators import advanced as A
+
+    t = _lake_tables(spark)
+    art = A.sessions_artifact(t).localCheckpoint()
+    for op in (
+        A.sessionize_batch,
+        A.session_entry_exit,
+        A.session_duration_histogram,
+        A.session_concurrency_hourly,
+    ):
+        rebuild = [tuple(r) for r in op(t).collect()]
+        probe = [tuple(r) for r in op({}, sessions=art).collect()]
+        assert probe == rebuild and len(probe) > 0, op.__name__

@@ -55,6 +55,16 @@ TZ_SENSITIVE = [
     "seasonality_strength_hourly",
     "local_peaks_hourly",
     "user_activity_streaks",
+    # round-9 timestamp-touching additions (calendar-component month/
+    # week/day/hour keys + the session-artifact probes)
+    "dau_mau_stickiness",
+    "new_returning_weekly",
+    "churn_retention_monthly",
+    "kaplan_meier_interorder",
+    "session_duration_histogram",
+    "session_concurrency_hourly",
+    "weekly_mix_drift",
+    "forecast_backtest_mase",
 ]
 
 

@@ -4,9 +4,11 @@ Treats image/audio/video as opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signature, partition behavior — is real and tested.
 Decoding is pluggable via ``register_decoder``: PNG (stdlib zlib,
-CRC-verified), netpbm PGM/PPM, a PGM frame stream and WAV ship as
-REAL library-free codecs; only lossy-DCT formats (JPEG) remain a
-loud stub awaiting an imaging library.
+CRC-verified), baseline JPEG (round-9: pure-numpy Annex-K Huffman +
+orthonormal DCT, ``operators/jpeg.py`` — the former "needs an imaging
+library" stub is CLOSED), netpbm PGM/PPM, a PGM frame stream and WAV
+all ship as REAL library-free codecs; unregistered media types fail
+loudly by name.
 
 Pattern at 100 TB: binary payloads ride in their own column so column
 pruning skips them unless a stage needs bytes; feature extraction is
@@ -58,19 +60,21 @@ def sniff_media_type(payload: bytes | None) -> str:
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB for the remaining lossy formats (JPEG): a DCT decode
-    genuinely requires an imaging library, not in this container.
-
-    The Spark plumbing calls decoders through ``register_decoder``;
-    PNG (round-9, :func:`decode_png` — stdlib zlib, CRC-verified,
-    all five scanline filters), binary PGM/PPM (:func:`decode_pgm` /
-    :func:`decode_ppm`) and WAV are REAL registered decoders that
-    drive the same plumbing end-to-end.
-    """
-    raise NotImplementedError(
-        "JPEG decode requires an imaging library; register a decoder via "
-        "register_decoder('image/jpeg', fn)"
-    )
+    """Sniff-and-dispatch convenience: route the payload to its
+    registered decoder by magic number. Every shipped image format now
+    has a REAL library-free decoder (PGM/PPM, PNG — stdlib zlib, all
+    five scanline filters — and round-9 baseline JPEG in
+    ``operators/jpeg.py``); a payload whose sniffed type has no
+    registered decoder raises ``NotImplementedError`` naming it (the
+    extension point for anything exotic)."""
+    mtype = sniff_media_type(payload)
+    fn = _DECODERS.get(mtype)
+    if fn is None:
+        raise NotImplementedError(
+            f"no decoder registered for {mtype}; register one via "
+            f"register_decoder({mtype!r}, fn)"
+        )
+    return fn(payload)
 
 
 _DECODERS: dict[str, Callable[[bytes], object]] = {}
@@ -642,9 +646,29 @@ def decode_pgm_stream(payload: bytes) -> dict:
     return {"frames": frames}
 
 
+def make_jpeg_decoder(target_w: int = 8, target_h: int = 8):
+    """Decoder-contract adapter for baseline JPEG (round-9,
+    ``operators/jpeg.py`` — pure numpy Annex-K Huffman + orthonormal
+    DCT): decode + nearest-neighbor resize + re-encode, the same
+    contract shape as the PNG/netpbm adapters, so the whole mapInPandas
+    plumbing drives the dominant lossy web format end-to-end with no
+    imaging library."""
+    from parquet_export_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def decode(payload: bytes) -> dict:
+        d = decode_jpeg(payload)
+        d["resized_bytes"] = encode_jpeg(
+            resize_nearest(d["pixels"], target_w, target_h)
+        )
+        return d
+
+    return decode
+
+
 register_decoder("image/x-portable-graymap", make_pgm_decoder())
 register_decoder("image/x-portable-pixmap", make_ppm_decoder())
 register_decoder("image/png", make_png_decoder())
+register_decoder("image/jpeg", make_jpeg_decoder())
 register_decoder("video/x-pgm-stream", decode_pgm_stream)
 
 

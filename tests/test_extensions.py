@@ -150,12 +150,19 @@ def test_multimodal_decoder_plumbing(spark, tables):
     out = M.decoded_features(payloads, "text/plain").collect()
     assert len(out) == 16
     assert all(r.height == 1 and r.width > 0 for r in out)
-    # image/png gained a REAL registered decoder in round 9 — the
-    # no-decoder contract is pinned on a genuinely unregistered type
+    # image/png and image/jpeg both gained REAL registered decoders in
+    # round 9 — the no-decoder contract is pinned on genuinely
+    # unregistered types
     with pytest.raises(NotImplementedError, match="no decoder registered"):
         M.decoded_features(payloads, "image/tiff")
-    with pytest.raises(NotImplementedError, match="imaging library"):
+    # decode_image now sniffs + dispatches: a JPEG-magic payload routes
+    # to the REAL baseline decoder, which rejects this garbage loudly...
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff....")
+    # ...while a sniffable type with no registered decoder still raises
+    # the extension-point error by name
+    with pytest.raises(NotImplementedError, match="audio/mpeg"):
+        M.decode_image(b"ID3\x04rest-of-an-mp3")
 
 
 def test_resize_and_frame_sample_plumbing(spark, tables):

@@ -1912,3 +1912,184 @@ def test_session_probes_equal_rebuild(spark):
         rebuild = [tuple(r) for r in op(t).collect()]
         probe = [tuple(r) for r in op({}, sessions=art).collect()]
         assert probe == rebuild and len(probe) > 0, op.__name__
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (operators/jpeg.py): round trips, exact flats,
+# quality monotonicity, loud rejections, Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_mod():
+    from parquet_export_spark.operators import jpeg as J
+
+    return J
+
+
+def test_jpeg_flat_blocks_exact():
+    """A flat image is DC-only; the level-shifted DC (8·(g−128)) is an
+    exact multiple of nothing in particular, but quant/dequant of the
+    single coefficient reconstructs the flat value exactly after the
+    round: every flat gray and flat RGB must round-trip exactly."""
+    import numpy as np
+
+    J = _jpeg_mod()
+    for g in (0, 7, 55, 128, 200, 255):
+        img = np.full((16, 24), g, np.uint8)
+        d = J.decode_jpeg(J.encode_jpeg(img, 90))
+        assert (d["width"], d["height"], d["channels"]) == (24, 16, 1)
+        assert np.array_equal(d["pixels"], img), g
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 30, 144, 255
+    d = J.decode_jpeg(J.encode_jpeg(rgb, 95))
+    assert d["channels"] == 3
+    assert np.abs(d["pixels"].astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_jpeg_roundtrip_error_bounds_and_monotone_quality():
+    """White noise (the worst case for a DCT codec) at q95 must stay
+    within a small per-pixel error; error must be non-increasing in
+    quality; non-multiple-of-8 shapes exercise the edge padding."""
+    import numpy as np
+
+    J = _jpeg_mod()
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, (33, 47), dtype=np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(gray, 95))
+    diff = np.abs(d["pixels"].astype(int) - gray.astype(int))
+    assert diff.max() <= 12 and diff.mean() < 3.0
+    rgb = rng.randint(0, 256, (29, 31, 3), dtype=np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(rgb, 95))
+    diff = np.abs(d["pixels"].astype(int) - rgb.astype(int))
+    assert d["pixels"].shape == rgb.shape
+    assert diff.mean() < 5.0
+    errs = [
+        np.abs(
+            J.decode_jpeg(J.encode_jpeg(gray, q))["pixels"].astype(int)
+            - gray.astype(int)
+        ).mean()
+        for q in (50, 75, 90, 99)
+    ]
+    assert all(a >= b for a, b in zip(errs, errs[1:])), errs
+    # deterministic bytes + stable second generation (band-limited)
+    assert J.encode_jpeg(gray, 90) == J.encode_jpeg(gray, 90)
+    g1 = J.decode_jpeg(J.encode_jpeg(gray, 90))["pixels"]
+    g2 = J.decode_jpeg(J.encode_jpeg(g1, 90))["pixels"]
+    assert np.abs(g2.astype(int) - g1.astype(int)).mean() < 0.5
+
+
+def test_jpeg_entropy_path_is_exact():
+    """Decode must reproduce the encoder's quantized coefficients
+    BIT-FOR-BIT: the decoded pixels equal a direct dequantize+IDCT of
+    the encoder's own coefficient tensor (isolates the Huffman/bit
+    layer from quantization loss)."""
+    import numpy as np
+
+    J = _jpeg_mod()
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (19, 22), dtype=np.uint8)
+    q = 85
+    ql, _ = J.quality_tables(q)
+    zz = J._quantize_plane(img.astype(np.float64), ql)
+    dez = np.zeros_like(zz, dtype=np.float64)
+    dez[:, J.ZIGZAG] = zz
+    dez *= ql[None, :]
+    tiles = dez.reshape(-1, 8, 8)
+    spat = np.einsum("ji,njk,kl->nil", J.DCT_T, tiles, J.DCT_T) + 128.0
+    bh, bw = -(-19 // 8), -(-22 // 8)
+    plane = (
+        spat.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)[:19, :22]
+    )
+    ref = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(img, q))["pixels"]
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import numpy as np
+
+    J = _jpeg_mod()
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = J.encode_jpeg(img, 90)
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        J.decode_jpeg(b"not a jpeg")
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2)
+    sof = good.find(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg(prog)
+    # claim 2x2 luma sampling in SOF -> named rejection
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # component 1 sampling byte
+    with pytest.raises(ValueError, match="subsampled"):
+        J.decode_jpeg(bytes(sub))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(good[:len(good) - 12])
+    # 16-bit DQT flag
+    dqt = good.find(b"\xff\xdb")
+    bad = bytearray(good)
+    bad[dqt + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        J.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_extend_matches_spec_table():
+    """F.2.2.1 EXTEND on every size 1..10: the low-bit codes map to
+    the two signed ranges the spec tabulates."""
+    J = _jpeg_mod()
+    for size in range(1, 11):
+        lo, hi = 1 << (size - 1), (1 << size) - 1
+        # positive branch: raw in [2^(s-1), 2^s-1] -> itself
+        assert J._extend(lo, size) == lo
+        assert J._extend(hi, size) == hi
+        # negative branch: raw in [0, 2^(s-1)-1] -> raw - 2^s + 1
+        assert J._extend(0, size) == -hi
+        assert J._extend(lo - 1, size) == -lo
+    assert J._extend(0, 0) == 0
+
+
+def test_jpeg_sniff_and_spark_plumbing(spark):
+    """End-to-end through the registered decoder: payloads sniff as
+    image/jpeg, decoded_features returns true dimensions via
+    mapInPandas, and resize_images re-encodes an 8x8 JPEG whose
+    decode approximates the nearest-neighbor kernel (lossy format:
+    tolerance, not equality — the PNG twin asserts exact)."""
+    import numpy as np
+
+    from parquet_export_spark.operators import multimodal as M
+
+    J = _jpeg_mod()
+    rng = np.random.RandomState(3)
+    imgs = {
+        int(i): (rng.randint(0, 32, size=(6 + i, 9, 3)) * 8).astype(
+            np.uint8
+        )
+        for i in range(3)
+    }
+    payloads = spark.createDataFrame(
+        [(i, bytearray(J.encode_jpeg(px, 95))) for i, px in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    assert M.sniff_media_type(J.encode_jpeg(imgs[0])) == "image/jpeg"
+    feats = {
+        r.doc_id: (r.width, r.height)
+        for r in M.decoded_features(payloads, "image/jpeg").collect()
+    }
+    assert feats == {i: (9, 6 + i) for i in imgs}
+    resized = {
+        r.doc_id: bytes(r.payload)
+        for r in M.resize_images(payloads, 8, 8, "image/jpeg").collect()
+    }
+    for i, px in imgs.items():
+        want = M.resize_nearest(
+            J.decode_jpeg(J.encode_jpeg(px, 95))["pixels"], 8, 8
+        )
+        got = J.decode_jpeg(resized[i])["pixels"]
+        assert got.shape == want.shape
+        # the 8x8 thumb is pure noise re-encoded at the adapter's
+        # default quality: plumbing tolerance, not a fidelity claim
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 10.0

@@ -1240,10 +1240,16 @@ def test_spearman_no_fact_windows(spark, sf_dir):
 def test_session_concurrency_no_global_sweep(spark, sf_dir):
     """The deliberate NON-sweep-line shape: the only windows are the
     user-keyed sessionization core's; the hour fan-out is a bounded
-    sequence explode; no totally-ordered cumulative pass anywhere."""
+    sequence explode; no totally-ordered cumulative pass anywhere.
+    Asserted on the REBUILD path (direct operator call) — the registry
+    probe hides the windows entirely behind the checkpointed session
+    artifact (test_session_probes_never_rewindow pins that)."""
     import re
 
-    df = q("session_concurrency_hourly", spark, sf_dir)
+    from parquet_export_spark.operators import advanced as A
+    from parquet_export_spark.sources.lake import load_tables
+
+    df = A.session_concurrency_hourly(load_tables(spark, sf_dir))
     plan = P.plan_string(df)
     assert "Exchange SinglePartition" not in plan
     win_blocks = [

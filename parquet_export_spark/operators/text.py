@@ -1708,3 +1708,107 @@ def readability_oracle_sql() -> str:
                      - 15.59, 6) AS fk_grade
         FROM counts ORDER BY doc_id
         """
+
+
+TEXTRANK_TOPK = 50
+
+
+def textrank_keywords(
+    t: dict[str, DataFrame], top_k: int = TEXTRANK_TOPK
+) -> DataFrame:
+    """TextRank keyword extraction — PageRank over the corpus word
+    co-occurrence graph (Mihalcea & Tarau's classic, the unsupervised
+    keyword baseline every extraction paper still reports): words are
+    nodes, adjacent-token pairs are (symmetrized, deduplicated) edges,
+    and the stationary importance score ranks the vocabulary. Where
+    ``tfidf_top_terms`` scores words by document discrimination and
+    ``rake_keyphrases`` by degree/frequency inside candidate phrases,
+    TextRank scores by global CENTRALITY — a word mattering because
+    important words co-occur with it.
+
+    Reuses the trade-graph machinery VERBATIM (the drift rule for
+    algorithm cores): ``_edge_cache`` (src-laid-out persisted edges)
+    and ``_pagerank_core`` (fixed-point integer PageRank — exact,
+    order-independent, loudly guarded past its int64 envelope) run
+    unchanged on STRING node ids, which is itself the point: the core
+    is key-type-agnostic because every step is a join/groupBy, so a
+    second graph domain costs zero new algorithm code. Unweighted
+    variant (distinct co-occurrence edges), stated: the 1e9-scaled
+    integer ranks have no exact weighted analog without per-edge
+    rationals.
+
+    Scale shape: one corpus scan to adjacent pairs (in-codegen
+    zip_with, no Python), vocabulary-bounded distinct edge list, the
+    shared persisted-cache iteration discipline, TakeOrdered top-k cut
+    before the driver. Ties break on the word (deterministic).
+
+    Output: (word, rank_scaled), top_k rows, rank desc.
+    """
+    from parquet_export_spark.operators.graph import (
+        PAGERANK_ITERS,
+        _edge_cache,
+        _pagerank_core,
+    )
+
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    fwd = (
+        t["documents"]
+        .select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    e2 = _edge_cache(edges, with_outdeg=True)
+    try:
+        ranks = _pagerank_core(e2, PAGERANK_ITERS)
+    finally:
+        e2.unpersist()
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "word")
+        .limit(top_k)
+    )
+
+
+def textrank_oracle_sql(top_k: int = TEXTRANK_TOPK) -> str:
+    """DuckDB replay: the word-edge CTEs feed graph.py's OWN unrolled
+    integer PageRank chain (``_pr_chain`` — one definition of the
+    iteration SQL across both graph domains)."""
+    from parquet_export_spark.operators.graph import PAGERANK_ITERS, _pr_chain
+
+    word_edges = """
+        tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        prs AS (SELECT unnest(list_zip(ws[:len(ws)-1], ws[2:])) AS p
+                FROM tok WHERE len(ws) >= 2),
+        fwd AS (SELECT p[1] AS src, p[2] AS dst FROM prs
+                WHERE p[1] <> p[2]),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM fwd
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM fwd))
+        """
+    return (
+        "WITH "
+        + ",".join([word_edges] + _pr_chain(PAGERANK_ITERS))
+        + f"""
+        SELECT node AS word, r AS rank_scaled
+        FROM pr{PAGERANK_ITERS}
+        ORDER BY rank_scaled DESC, word
+        LIMIT {top_k}
+        """
+    )

@@ -2136,6 +2136,13 @@ REGISTRY.update(
             _rel(X.readability_scores),
             X.readability_oracle_sql(),
         ),
+        # TextRank keywords: the trade-graph integer PageRank core run
+        # UNCHANGED on the word co-occurrence graph (string node ids);
+        # oracle reuses graph.py's own unrolled _pr_chain SQL.
+        "textrank_keywords": QuerySpec(
+            _rel(X.textrank_keywords),
+            X.textrank_oracle_sql(),
+        ),
         "unigram_freq_quality": QuerySpec(
             _rel(X.unigram_freq_quality),
             """

@@ -92,6 +92,7 @@ ROUND_CHANGED = [
     "session_entry_exit",
     "session_duration_histogram",
     "session_concurrency_hourly",
+    "textrank_keywords",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

@@ -2093,3 +2093,83 @@ def test_jpeg_sniff_and_spark_plumbing(spark):
         # the 8x8 thumb is pure noise re-encoded at the adapter's
         # default quality: plumbing tolerance, not a fidelity claim
         assert np.abs(got.astype(int) - want.astype(int)).mean() < 10.0
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords: star-graph differentiation + numpy PageRank parity
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_star_graph_ranks_hub_first(spark):
+    """An engineered corpus where 'hub' co-occurs with every spoke but
+    spokes never touch each other: the hub must out-rank every spoke,
+    and spokes (symmetric roles) must tie exactly — the integer core
+    has no float noise to break symmetry."""
+    from parquet_export_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"hub spoke{i}", "en", "s", 10)
+            for i in range(1, 7)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    rows = X.textrank_keywords({"documents": docs}).collect()
+    ranks = {r.word: r.rank_scaled for r in rows}
+    assert len(ranks) == 7
+    spokes = {v for w, v in ranks.items() if w != "hub"}
+    assert len(spokes) == 1  # exact symmetric tie
+    assert ranks["hub"] > next(iter(spokes))
+    # deterministic order: rank desc then word asc
+    assert [r.word for r in rows][:1] == ["hub"]
+    assert [r.word for r in rows][1:] == sorted(
+        w for w in ranks if w != "hub"
+    )
+
+
+def test_textrank_matches_numpy_pagerank(spark):
+    """Lake parity vs an independent numpy integer-PageRank replay on
+    the same deduplicated symmetric word graph."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from parquet_export_spark.operators import text as X
+    from parquet_export_spark.operators.graph import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    t = _lake_tables(spark)
+    edges = set()
+    for r in t["documents"].select("text").collect():
+        ws = r.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    nodes = sorted({a for a, _ in edges})
+    idx = {w: i for i, w in enumerate(nodes)}
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for a, b in edges:
+        out[a].append(b)
+        deg[a] += 1
+    r = {w: PAGERANK_SCALE for w in nodes}
+    base = 15 * PAGERANK_SCALE // 100
+    for _ in range(PAGERANK_ITERS):
+        contrib = defaultdict(int)
+        for a in nodes:
+            c = r[a] // deg[a]
+            for b in out[a]:
+                contrib[b] += c
+        r = {w: base + 85 * contrib[w] // 100 for w in nodes}
+    want = sorted(
+        ((w, rv) for w, rv in r.items()), key=lambda x: (-x[1], x[0])
+    )[:50]
+    got = [
+        (row.word, row.rank_scaled)
+        for row in X.textrank_keywords(t).collect()
+    ]
+    assert got == want

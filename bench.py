@@ -225,6 +225,7 @@ HEADLINE = [
     "weekly_mix_drift",
     "forecast_backtest_mase",
     "readability_scores",
+    "textrank_keywords",
 ]
 
 

@@ -1305,3 +1305,15 @@ def test_session_probes_never_rewindow(spark, sf_dir):
         plan = P.plan_string(df)
         assert "Window" not in plan, name
         assert P.read_schemas(df) == [], name  # no file scan at all
+
+
+def test_textrank_reuses_persisted_edge_cache(spark, sf_dir):
+    """The word graph rides the SAME iteration discipline as the trade
+    graph: a persisted edge cache (InMemoryRelation in the plan), no
+    cartesian products, and a TakeOrdered cut before the driver."""
+    from parquet_export_spark.queries import REGISTRY
+
+    df = REGISTRY["textrank_keywords"].fn(spark, sf_dir)
+    plan = P.plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -226,6 +226,7 @@ HEADLINE = [
     "forecast_backtest_mase",
     "readability_scores",
     "textrank_keywords",
+    "quantile_transform_values",
 ]
 
 

@@ -4116,3 +4116,91 @@ def weekly_mix_drift_oracle_sql() -> str:
         GROUP BY week, n_prev, n_cur
         ORDER BY week
         """
+
+
+def quantile_transform_values(t: dict[str, DataFrame]) -> DataFrame:
+    """Quantile (rank) normalization of event values per type — the
+    scale-free feature transform (sklearn's QuantileTransformer
+    without the inverse-CDF remap): every value maps to its MIDRANK
+    percentile within its type, so any monotone distortion of the
+    raw values produces the identical feature column. Completes the
+    scaling family: robust_scale_features centers by median/IQR,
+    decile_features_events buckets into 10, this is the continuous
+    rank map.
+
+    Exact integers end to end: midrank·2 = 2·cum − cnt + 1 (always
+    integral — the spearman doubling), pct_ppm = (2·cum − cnt + 1)
+    · 500000 div n, bounded by 1e6 with NO overflow envelope at any
+    lake size (the numerator is ≤ 2n, so the product is ≤ n·1e6 —
+    safe to 9e12 events/type before int64 matters, and the midrank
+    never exceeds n).
+
+    Scale shape: per-(type, cents) counts, ONE cumulative window over
+    each type's VALUE SUPPORT (cents-bounded — the ks/pareto
+    discipline, never a fact-side window), then one hash join back to
+    the fact on (type, cents). Output is fact-sized by design (it is
+    a feature TRANSFORM, not a report).
+
+    Output: (event_id, event_type, value_cents, pct_ppm).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+            "value_cents"
+        ),
+    )
+    counts = e.groupBy("event_type", "value_cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.withColumn("cum", F.sum("cnt").over(w))
+    totals = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    return (
+        e.join(ranked, ["event_type", "value_cents"])
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value_cents",
+            F.expr(
+                "((2 * cum - cnt + 1) * 500000L) div n"
+            ).alias("pct_ppm"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def quantile_transform_oracle_sql() -> str:
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT event_id, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT event_type, value_cents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, value_cents, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY value_cents
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        totals AS (
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM counts GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value_cents,
+               ((2 * r.cum - r.cnt + 1) * 500000) // t.n AS pct_ppm
+        FROM e
+        JOIN ranked r USING (event_type, value_cents)
+        JOIN totals t USING (event_type)
+        ORDER BY e.event_id
+        """

@@ -895,6 +895,13 @@ REGISTRY.update(
             _rel(ST.mann_whitney_auc_pairs),
             ST.mann_whitney_oracle_sql(),
         ),
+        # Quantile (midrank) normalization per type: the continuous
+        # member of the scaling family — support-window ranks joined
+        # back to the fact, envelope-free exact ppm.
+        "quantile_transform_values": QuerySpec(
+            _rel(ST.quantile_transform_values),
+            ST.quantile_transform_oracle_sql(),
+        ),
         # Categorical drift between consecutive weeks: TV distance of
         # the event-type mix, cross-multiplied exact integers, the
         # shared loud guard; calendar-adjacent weeks only.

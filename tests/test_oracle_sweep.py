@@ -93,6 +93,7 @@ ROUND_CHANGED = [
     "session_duration_histogram",
     "session_concurrency_hourly",
     "textrank_keywords",
+    "quantile_transform_values",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

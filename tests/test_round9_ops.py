@@ -2173,3 +2173,77 @@ def test_textrank_matches_numpy_pagerank(spark):
         for row in X.textrank_keywords(t).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# quantile_transform_values: midrank algebra + monotone-invariance
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_transform_midrank_algebra(spark):
+    """Hand-checkable: values [10, 10, 20, 30] -> midranks 1.5, 1.5,
+    3, 4 of n=4 -> ppm 375000, 375000, 750000, 1000000; a second type
+    ranks independently."""
+    from parquet_export_spark.operators import stats as S
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 0.10), (2, "a", 0.10), (3, "a", 0.20), (4, "a", 0.30),
+            (5, "b", 9.99),
+        ],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r.event_id: r.pct_ppm
+        for r in S.quantile_transform_values({"events": ev}).collect()
+    }
+    assert got == {
+        1: 375_000, 2: 375_000, 3: 750_000, 4: 1_000_000,
+        5: 1_000_000,  # singleton: midrank 1 of 1
+    }
+
+
+def test_quantile_transform_monotone_invariant_and_bruteforce(spark):
+    """The transform must be invariant under any monotone value map
+    (rank-only), and must equal the textbook midrank/n on the lake."""
+    import math
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import stats as S
+
+    t = _lake_tables(spark)
+    rows = t["events"].select("event_id", "event_type", "value").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(
+            (math.floor(r.value * 100 + 0.5), r.event_id)
+        )
+    want = {}
+    for ty, vs in by_type.items():
+        n = len(vs)
+        cnt = defaultdict(int)
+        for c, _ in vs:
+            cnt[c] += 1
+        cum, midrank2 = 0, {}
+        for c in sorted(cnt):
+            cum += cnt[c]
+            midrank2[c] = 2 * cum - cnt[c] + 1
+        for c, eid in vs:
+            want[eid] = midrank2[c] * 500_000 // n
+    got = {
+        r.event_id: r.pct_ppm
+        for r in S.quantile_transform_values(t).collect()
+    }
+    assert got == want
+    # monotone invariance: cube the values (order-preserving on
+    # non-negatives) -> identical ppm column
+    cubed = t["events"].withColumn(
+        "value", F.col("value") * F.col("value") * F.col("value")
+    )
+    got_cubed = {
+        r.event_id: r.pct_ppm
+        for r in S.quantile_transform_values(
+            {"events": cubed}
+        ).collect()
+    }
+    assert got_cubed == got

@@ -227,6 +227,8 @@ HEADLINE = [
     "readability_scores",
     "textrank_keywords",
     "quantile_transform_values",
+    "lift_curve_clicks_to_purchase",
+    "roc_auc_clicks_to_purchase",
 ]
 
 

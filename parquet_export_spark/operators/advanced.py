@@ -4294,3 +4294,245 @@ def forecast_backtest_oracle_sql() -> str:
         JOIN dens USING (event_type)
         ORDER BY e.event_type
         """
+
+
+def lift_curve_clicks_to_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Cumulative gains / lift curve for the classic propensity
+    question — does click volume predict purchase? Users rank by
+    click count (the "model score"); each score tier reports how much
+    of the purchase base the tiers so far have captured vs their
+    share of users: lift > 1e6 ppm means the tier beats random
+    targeting. The campaign-sizing readout every CRM review wants,
+    and the eval companion to ``target_encode_loo`` (which builds the
+    score-like feature this curve validates).
+
+    Grain choice, stated: tiers are the DISTINCT click-count values
+    (support-bounded — click counts are small integers), not equal
+    deciles — ties in a discrete score cannot be split honestly, and
+    per-value tiers make the curve exactly reproducible (no
+    tie-breaking rule to drift). Cumulation runs HIGH score to LOW
+    (the targeting direction).
+
+    Exact integers: gains_ppm = cum_pos·1e6 div total_pos;
+    users_share_ppm = cum_users·1e6 div total_users; lift_ppm =
+    (cum_pos·total_users·1e6) div (total_pos·cum_users) — guarded
+    LOUDLY (division form) because cum_pos·total_users can reach
+    users², past int64 at ~3e9 users.
+
+    Scale shape: one (user, is_buyer, n_clicks) aggregate, one
+    support-bounded cumulative window over click-count values, two
+    1-row broadcast totals. Output: (n_clicks, n_users, n_buyers,
+    cum_users, cum_buyers, users_share_ppm, gains_ppm, lift_ppm),
+    one row per distinct click count, descending.
+    """
+    from pyspark.sql import Window
+
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("n_clicks"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("is_buyer"),
+        )
+    )
+    tiers = users.groupBy("n_clicks").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("is_buyer").alias("n_buyers"),
+    )
+    w = Window.orderBy(F.col("n_clicks").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tiers.withColumn(
+        "cum_users", F.sum("n_users").over(w)
+    ).withColumn("cum_buyers", F.sum("n_buyers").over(w))
+    totals = tiers.agg(
+        F.sum("n_users").alias("tot_u"), F.sum("n_buyers").alias("tot_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_clicks").cast("long").alias("n_clicks"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_buyers").cast("long").alias("n_buyers"),
+            F.col("cum_users").cast("long").alias("cum_users"),
+            F.col("cum_buyers").cast("long").alias("cum_buyers"),
+            F.expr("(cum_users * 1000000L) div tot_u").alias(
+                "users_share_ppm"
+            ),
+            F.expr(
+                "CASE WHEN tot_b = 0 THEN NULL"
+                " ELSE (cum_buyers * 1000000L) div tot_b END"
+            ).alias("gains_ppm"),
+            F.expr(
+                "CASE WHEN tot_u > 9223372036854L div"
+                "          greatest(cum_buyers, 1L) THEN"
+                " raise_error(concat("
+                "'lift_curve int64 overflow envelope exceeded:"
+                " cum_buyers*tot_users = ',"
+                " CAST(cum_buyers AS STRING), '*',"
+                " CAST(tot_u AS STRING), ' > 9223372036854 safe"
+                " maximum for the ppm multiply. Lift the ratio to"
+                " decimal(38,0) for user bases this large.'))"
+                " WHEN tot_b = 0 THEN NULL"
+                " ELSE (cum_buyers * tot_u * 1000000L)"
+                "      div (tot_b * cum_users) END"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_clicks").desc())
+    )
+
+
+def lift_curve_oracle_sql() -> str:
+    return """
+        WITH users AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clicks,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS is_buyer
+          FROM events GROUP BY user_id),
+        tiers AS MATERIALIZED (
+          SELECT n_clicks,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(is_buyer) AS BIGINT) AS n_buyers
+          FROM users GROUP BY n_clicks),
+        cum AS (
+          SELECT *,
+                 CAST(SUM(n_users) OVER (ORDER BY n_clicks DESC
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_users,
+                 CAST(SUM(n_buyers) OVER (ORDER BY n_clicks DESC
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_buyers
+          FROM tiers),
+        totals AS (
+          SELECT CAST(SUM(n_users) AS BIGINT) AS tot_u,
+                 CAST(SUM(n_buyers) AS BIGINT) AS tot_b
+          FROM tiers)
+        SELECT n_clicks, n_users, n_buyers, cum_users, cum_buyers,
+               (cum_users * 1000000) // tot_u AS users_share_ppm,
+               CASE WHEN tot_b = 0 THEN NULL
+                    ELSE (cum_buyers * 1000000) // tot_b END
+                   AS gains_ppm,
+               CASE WHEN tot_b = 0 THEN NULL
+                    ELSE CAST((cum_buyers * tot_u * 1000000)
+                              // (tot_b * cum_users) AS BIGINT) END
+                   AS lift_ppm
+        FROM cum CROSS JOIN totals
+        ORDER BY n_clicks DESC
+        """
+
+
+def roc_auc_clicks_to_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """ROC-AUC of click count as a purchase predictor — the ONE-number
+    companion to ``lift_curve_clicks_to_purchase``'s full curve, and
+    literally the Mann-Whitney statistic between buyers' and
+    non-buyers' click-count distributions (the
+    ``mann_whitney_auc_pairs`` algebra on a supervised split instead
+    of a type pair — same doubled-integer exactness, same
+    tie-as-half-credit handling, one definition of what AUC means in
+    this repo).
+
+    u2 = Σ over click-count support of 2·pos(c)·(neg below c)
+    + pos(c)·neg(c); auc_ppm = u2·5e5 div (n_pos·n_neg) — the
+    probability a random buyer out-clicks a random non-buyer.
+    Degenerate bases (no buyers, or all buyers) report NULL. Loud
+    division-form guard past n_pos·n_neg·1e6 ~ 2^63 (the family
+    constant).
+
+    Scale shape: one user aggregate, one support-bounded cumulative
+    window, one 1-row result. Output: (n_pos, n_neg, u2, auc_ppm).
+    """
+    from pyspark.sql import Window
+
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("n_clicks"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("is_buyer"),
+        )
+    )
+    sup = users.groupBy("n_clicks").agg(
+        F.sum(F.when(F.col("is_buyer") == 1, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("is_buyer") == 0, 1).otherwise(0)).alias("neg"),
+    )
+    w = Window.orderBy("n_clicks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = sup.withColumn("cum_neg", F.sum("neg").over(w))
+    return (
+        stepped.agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.sum(
+                F.expr("2 * pos * (cum_neg - neg) + pos * neg")
+            )
+            .cast("long")
+            .alias("u2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.expr(
+                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+                " WHEN n_neg > 9223372036854L div n_pos THEN"
+                " raise_error(concat("
+                "'roc_auc int64 overflow envelope exceeded:"
+                " n_pos*n_neg = ', CAST(n_pos AS STRING), '*',"
+                " CAST(n_neg AS STRING), ' > 9223372036854 safe"
+                " maximum for the ppm multiply. Lift to"
+                " decimal(38,0) for user bases this large.'))"
+                " ELSE (u2 * 500000) div (n_pos * n_neg) END"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+def roc_auc_oracle_sql() -> str:
+    return """
+        WITH users AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clicks,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS is_buyer
+          FROM events GROUP BY user_id),
+        sup AS (
+          SELECT n_clicks,
+                 CAST(SUM(CASE WHEN is_buyer = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 CAST(SUM(CASE WHEN is_buyer = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS neg
+          FROM users GROUP BY n_clicks),
+        stepped AS (
+          SELECT *,
+                 CAST(SUM(neg) OVER (ORDER BY n_clicks
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_neg
+          FROM sup)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(2 * pos * (cum_neg - neg) + pos * neg)
+                    AS BIGINT) AS u2,
+               CASE WHEN SUM(pos) = 0 OR SUM(neg) = 0 THEN NULL
+                    ELSE CAST((CAST(SUM(2 * pos * (cum_neg - neg)
+                                        + pos * neg) AS BIGINT)
+                               * 500000)
+                              // (SUM(pos) * SUM(neg)) AS BIGINT) END
+                   AS auc_ppm
+        FROM stepped
+        """

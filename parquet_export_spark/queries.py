@@ -2958,6 +2958,19 @@ REGISTRY.update(
             _rel(A.forecast_backtest_mase),
             A.forecast_backtest_oracle_sql(),
         ),
+        # Cumulative gains / lift curve on the classic clicks->purchase
+        # propensity: per-distinct-score tiers (no tie-splitting rule
+        # to drift), support-window cumulation, loud ppm guard.
+        "lift_curve_clicks_to_purchase": QuerySpec(
+            _rel(A.lift_curve_clicks_to_purchase),
+            A.lift_curve_oracle_sql(),
+        ),
+        # ROC-AUC of the same predictor: the mann_whitney algebra on a
+        # supervised split — one definition of AUC in this repo.
+        "roc_auc_clicks_to_purchase": QuerySpec(
+            _rel(A.roc_auc_clicks_to_purchase),
+            A.roc_auc_oracle_sql(),
+        ),
         # Monthly growth accounting: new/retained/resurrected/churned
         # off ONE (user, month) collapse self-joined at month-1,
         # calendar-gap-correct, complementary ppm rates.

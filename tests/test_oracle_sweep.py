@@ -94,6 +94,8 @@ ROUND_CHANGED = [
     "session_concurrency_hourly",
     "textrank_keywords",
     "quantile_transform_values",
+    "lift_curve_clicks_to_purchase",
+    "roc_auc_clicks_to_purchase",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

@@ -3941,8 +3941,14 @@ _VERDICT_PRIORITY = [
     #   atkinson_index_by_segment, spearman_corr_by_flag,
     #   churn_retention_monthly, session_concurrency_hourly,
     #   readability_scores, mann_whitney_auc_pairs,
-    #   weekly_mix_drift — all in ROUND_CHANGED, so each already
-    #   holds a triple-SF sweep verdict every pytest pass; never
+    #   weekly_mix_drift, forecast_backtest_mase, textrank_keywords,
+    #   quantile_transform_values, lift_curve_clicks_to_purchase,
+    #   roc_auc_clicks_to_purchase, and the four session consumers
+    #   whose plans moved onto the sessions_artifact probe
+    #   (sessionize_batch, session_entry_exit,
+    #   session_duration_histogram, session_concurrency_hourly) —
+    #   all in ROUND_CHANGED, so each already holds a triple-SF
+    #   sweep verdict every pytest pass; the new ones never
     #   driver-verdicted).
     # ------------------------------------------------------------------
     # (a) round-7 operators, never driver-verdicted (r8 verdict #1):

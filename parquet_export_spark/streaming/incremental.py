@@ -1886,3 +1886,170 @@ def read_growth_accounting(spark, artifact_dir: str):
         .parquet(artifact_dir.rstrip("/") + "/growth")
         .select("batch_id", "n_active", "n_new", "n_returning", "new_ppm")
     )
+
+
+def auc_drift_stream(
+    events_stream: DataFrame,
+    ref_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous stochastic-dominance drift monitoring — the
+    DIRECTION twin completing the streaming drift quartet against the
+    SAME frozen ``write_ks_reference`` histogram: KS alarms the
+    distribution moved, W1 says how far, TV how much mass — AUC says
+    WHICH WAY: the probability a random stream value exceeds a random
+    reference value (the batch ``mann_whitney_auc_pairs`` algebra,
+    stream-vs-reference instead of type-vs-type — one definition of
+    the statistic). 500000 ppm = no drift; drift upward pushes above,
+    downward below, which no symmetric distance can tell apart.
+
+    State is the identical per-(type, cents) histogram carry as the
+    KS/W1/TV monitors (value-range-bounded); its own tree so the four
+    compact independently. Per batch: the cumulative histogram joins
+    the reference's RANGE-cumulative below-counts on the merged
+    support, u2 = Σ 2·ca·(ref below) + ca·(ref tied), auc_ppm =
+    u2·5e5 div (n_stream·n_ref).
+
+    int64 envelope, GUARDED LOUDLY: u2 <= 2·n_a·n_b, so the same
+    (2^63-1)/2e6 per-type bound as TV, checked on exact totals before
+    any product (ValueError — the ks_drift_stream contract).
+
+    Replay idempotence + compaction: the shared recipe; eleventh
+    member of the parametrized lifecycle pin.
+    """
+    from pyspark.sql import Window
+
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/auc"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(FLOOR(value*100 + 0.5) AS BIGINT)"
+                ).alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, cents long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        ref = spark.read.parquet(ref_dir)
+        tot_a = cum.groupBy("event_type").agg(F.sum("c").alias("na"))
+        tot_b = ref.groupBy("event_type").agg(F.sum("c").alias("nb"))
+        tots = tot_a.join(tot_b, "event_type")
+        over = (
+            tots.filter(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+                > float((2**63 - 1) // 2_000_000)
+            )
+            .select("event_type", "na", "nb")
+            .first()
+        )
+        if over is not None:
+            raise ValueError(
+                f"auc_drift_stream int64 overflow envelope exceeded for"
+                f" event_type={over.event_type!r}: n_stream*n_ref ="
+                f" {over.na}*{over.nb} > (2^63-1)/2e6 — the ppm"
+                f" multiply would wrap; re-calibrate the reference or"
+                f" rescale before resuming"
+            )
+        side_a = cum.select(
+            "event_type", "cents", F.col("c").alias("ca"),
+            F.lit(0).alias("cb"),
+        )
+        side_b = ref.select(
+            "event_type", "cents", F.lit(0).alias("ca"),
+            F.col("c").alias("cb"),
+        )
+        merged = (
+            side_a.unionByName(side_b)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        stepped = merged.withColumn("cum_b", F.sum("cb").over(w))
+        (
+            stepped.join(tots, "event_type")
+            .groupBy("event_type", "na", "nb")
+            .agg(
+                F.sum(
+                    F.expr("2 * ca * (cum_b - cb) + ca * cb")
+                )
+                .cast("long")
+                .alias("u2")
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                F.col("na").cast("long").alias("n_stream"),
+                F.col("nb").cast("long").alias("n_ref"),
+                "u2",
+                F.expr("(u2 * 500000) div (na * nb)").alias("auc_ppm"),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_auc_drift(spark, artifact_dir: str):
+    """Per-batch cumulative AUC drift emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/auc")
+        .select(
+            "batch_id", "event_type", "n_stream", "n_ref",
+            "u2", "auc_ppm",
+        )
+    )

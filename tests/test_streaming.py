@@ -1168,8 +1168,8 @@ def test_w1_drift_stream_two_batches_exact(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # ONE parametrized replay-idempotence + keep-two-compaction pin for all
-# TEN monitors (round-8 verdict #5; tv_drift and growth-accounting
-# joined in round 9): the shared foreachBatch carry
+# ELEVEN monitors (round-8 verdict #5; tv_drift, growth-accounting
+# and auc_drift joined in round 9): the shared foreachBatch carry
 # recipe promises (a) a re-run against the same checkpoint changes
 # nothing, and (b) after a third batch the persisted state tree holds
 # only the two most recent copies (replay of the last uncommitted
@@ -1295,6 +1295,20 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_tv_drift(spark, art)),
             art + "/carry",
         )
+    if name == "auc_drift":
+        I.write_ks_reference(
+            spark.createDataFrame(
+                _mon_rows(1000, 1020, 10.0) + _mon_rows(1020, 1040, 20.0),
+                ev,
+            ),
+            ref,
+        )
+        return (
+            ev, ev_batches, land, ckpt,
+            lambda s: I.auc_drift_stream(s, ref, art, ckpt),
+            lambda: snap(I.read_auc_drift(spark, art)),
+            art + "/carry",
+        )
     if name == "growth":
         return (
             ev, ev_batches, land, ckpt,
@@ -1324,7 +1338,7 @@ def _monitor_spec(name, spark, tmp_path):
     [
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
-        "growth",
+        "growth", "auc_drift",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1500,3 +1514,72 @@ def test_growth_accounting_stream_two_batches_exact(spark, tmp_path):
         ).collect()
     }
     assert seen == {0, 1, 2, 3, 4}
+
+
+def test_auc_drift_stream_two_batches_exact(spark, tmp_path):
+    """Streaming AUC vs a frozen reference: after each micro-batch the
+    emitted (u2, auc_ppm) must equal a sequential Python Mann-Whitney
+    over the concatenated prefix vs the reference — 500000 ppm on a
+    reference-matching prefix, ABOVE it after an upward-shifted batch
+    (the direction no symmetric distance reports)."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "landing")
+    ref_dir = str(tmp_path / "ref")
+    art = str(tmp_path / "aucart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(ids, vals, typ):
+        return [
+            (i, t0 + timedelta(minutes=i), 1, typ, v, "{}")
+            for i, v in zip(ids, vals)
+        ]
+
+    ref_rows = rows(range(1000, 1040), [10.0] * 20 + [20.0] * 20, "probe")
+    I.write_ks_reference(spark.createDataFrame(ref_rows, schema), ref_dir)
+    b1 = rows(range(20), [10.0] * 10 + [20.0] * 10, "probe")
+    b2 = rows(range(20, 50), [30.0] * 30, "probe")  # upward shift
+
+    def run_once():
+        q = I.auc_drift_stream(
+            spark.readStream.schema(schema).parquet(land), ref_dir, art, ckpt
+        )
+        q.awaitTermination()
+
+    def py_auc(stream_vals):
+        ref_vals = [10.0] * 20 + [20.0] * 20
+        u2 = 0
+        for a in stream_vals:
+            for b in ref_vals:
+                if a > b:
+                    u2 += 2
+                elif a == b:
+                    u2 += 1
+        return u2, u2 * 500_000 // (len(stream_vals) * len(ref_vals))
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    got = {
+        r.batch_id: (r.n_stream, r.n_ref, r.u2, r.auc_ppm)
+        for r in I.read_auc_drift(spark, art).collect()
+    }
+    v1 = [10.0] * 10 + [20.0] * 10
+    u2a, ppma = py_auc(v1)
+    u2b, ppmb = py_auc(v1 + [30.0] * 30)
+    assert got == {
+        0: (20, 40, u2a, ppma),
+        1: (50, 40, u2b, ppmb),
+    }
+    assert ppma == 500_000      # matching prefix: exactly no dominance
+    assert ppmb > 500_000       # upward shift: stream dominates

@@ -229,6 +229,7 @@ HEADLINE = [
     "quantile_transform_values",
     "lift_curve_clicks_to_purchase",
     "roc_auc_clicks_to_purchase",
+    "quantile_transform_incremental",
 ]
 
 

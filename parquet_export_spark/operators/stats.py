@@ -4204,3 +4204,133 @@ def quantile_transform_oracle_sql() -> str:
         JOIN totals t USING (event_type)
         ORDER BY e.event_id
         """
+
+
+QT_BATCH_MOD = 10
+
+
+def quantile_transform_incremental(
+    t: dict[str, DataFrame], batch_mod: int = QT_BATCH_MOD
+) -> DataFrame:
+    """Incremental quantile scoring — the training-serving-skew gear
+    of :func:`quantile_transform_values`: score a NEW event batch's
+    values against the STORED distribution of everything already in
+    the lake (the training distribution), without re-ranking history.
+    This is what a feature store actually executes at serving time:
+    the reference support histogram is the persisted fit-once
+    artifact (the novelty_incremental lake-digest contract applied to
+    value supports), and only the batch moves.
+
+    The batch is carved deterministically (event_id % batch_mod == 0,
+    the dedup_incremental convention) so the oracle replays the
+    split. A batch value — including one the reference NEVER saw —
+    scores as the midrank a new observation would take among the
+    n_ref reference values: pct_ppm = (2·below + ties + 1)·5e5 div
+    (n_ref + 1), strictly inside (0, 1e6) (the +1 denominator is the
+    new-observation convention: even a value above all of history
+    scores below 1e6, leaving headroom to distinguish 'highest seen'
+    from 'unboundedly high'). Unseen batch values get a support row
+    through the merged-support union (the KS sides trick), so no
+    range join exists anywhere. seen_in_ref flags exact-tie hits.
+
+    Exact integers, no overflow envelope at any lake size (numerator
+    ≤ 2·n_ref + 2). Scale shape: reference support per (type, cents)
+    + batch DISTINCT cents unioned, ONE cumulative window over the
+    merged VALUE support, one hash join back to the batch rows.
+
+    Output: (event_id, event_type, value_cents, n_ref, seen_in_ref,
+    pct_ppm).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+            "value_cents"
+        ),
+    )
+    batch = e.filter(F.col("event_id") % batch_mod == 0)
+    hist = e.filter(F.col("event_id") % batch_mod != 0)
+    ref_counts = hist.groupBy("event_type", "value_cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probe_support = (
+        batch.select("event_type", "value_cents")
+        .distinct()
+        .withColumn("cnt", F.lit(0).cast("long"))
+    )
+    merged = (
+        ref_counts.unionByName(probe_support)
+        .groupBy("event_type", "value_cents")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = merged.withColumn("cum", F.sum("cnt").over(w))
+    totals = ref_counts.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_ref")
+    )
+    return (
+        batch.join(ranked, ["event_type", "value_cents"])
+        .join(F.broadcast(totals), "event_type", "left")
+        .select(
+            "event_id",
+            "event_type",
+            "value_cents",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            (F.col("cnt") > 0).alias("seen_in_ref"),
+            F.expr(
+                "((2 * (cum - cnt) + cnt + 1) * 500000L)"
+                " div (coalesce(n_ref, 0L) + 1)"
+            ).alias("pct_ppm"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def quantile_transform_incremental_oracle_sql(
+    batch_mod: int = QT_BATCH_MOD,
+) -> str:
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT event_id, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+          FROM events),
+        batch AS (SELECT * FROM e WHERE event_id % {batch_mod} = 0),
+        hist AS (SELECT * FROM e WHERE event_id % {batch_mod} <> 0),
+        ref_counts AS MATERIALIZED (
+          SELECT event_type, value_cents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM hist GROUP BY 1, 2),
+        probe AS (
+          SELECT DISTINCT event_type, value_cents,
+                 CAST(0 AS BIGINT) AS cnt
+          FROM batch),
+        merged AS (
+          SELECT event_type, value_cents, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM (SELECT * FROM ref_counts UNION ALL SELECT * FROM probe)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *,
+                 CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY value_cents
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM merged),
+        totals AS (
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_ref
+          FROM ref_counts GROUP BY event_type)
+        SELECT b.event_id, b.event_type, b.value_cents,
+               CAST(COALESCE(t.n_ref, 0) AS BIGINT) AS n_ref,
+               r.cnt > 0 AS seen_in_ref,
+               ((2 * (r.cum - r.cnt) + r.cnt + 1) * 500000)
+                   // (COALESCE(t.n_ref, 0) + 1) AS pct_ppm
+        FROM batch b
+        JOIN ranked r USING (event_type, value_cents)
+        LEFT JOIN totals t USING (event_type)
+        ORDER BY b.event_id
+        """

@@ -902,6 +902,13 @@ REGISTRY.update(
             _rel(ST.quantile_transform_values),
             ST.quantile_transform_oracle_sql(),
         ),
+        # Serving-time gear: a carved batch scored against the stored
+        # reference support (new-observation midrank, merged-support
+        # union for unseen values — no range join).
+        "quantile_transform_incremental": QuerySpec(
+            _rel(ST.quantile_transform_incremental),
+            ST.quantile_transform_incremental_oracle_sql(),
+        ),
         # Categorical drift between consecutive weeks: TV distance of
         # the event-type mix, cross-multiplied exact integers, the
         # shared loud guard; calendar-adjacent weeks only.

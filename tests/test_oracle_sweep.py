@@ -96,6 +96,7 @@ ROUND_CHANGED = [
     "quantile_transform_values",
     "lift_curve_clicks_to_purchase",
     "roc_auc_clicks_to_purchase",
+    "quantile_transform_incremental",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

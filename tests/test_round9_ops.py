@@ -2371,3 +2371,67 @@ def test_lift_and_auc_match_bruteforce(spark):
         )
         last_tp, last_fp = tp, fp
     assert area == auc_frac
+
+
+def test_quantile_transform_incremental_engineered(spark):
+    """Reference (ids 1,2,3 -> not % 10): values 10, 20, 30 for type
+    'a'. Batch (id 10): value 20 -> below=1, ties=1 -> midrank2=4 ->
+    4*5e5//4 = 500000; (id 20): value 25, UNSEEN -> below=2, ties=0
+    -> midrank2=5 -> 625000; (id 30): value 99 above all -> 875000
+    (< 1e6: the new-observation headroom); (id 40): type 'z' with NO
+    reference at all -> n_ref 0, pct 500000 (the only honest prior)."""
+    from parquet_export_spark.operators import stats as S
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 0.10), (2, "a", 0.20), (3, "a", 0.30),
+            (10, "a", 0.20), (20, "a", 0.25), (30, "a", 0.99),
+            (40, "z", 5.0),
+        ],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r.event_id: (r.n_ref, r.seen_in_ref, r.pct_ppm)
+        for r in S.quantile_transform_incremental({"events": ev}).collect()
+    }
+    assert got == {
+        10: (3, True, 500_000),
+        20: (3, False, 625_000),
+        30: (3, False, 875_000),
+        40: (0, False, 500_000),
+    }
+
+
+def test_quantile_transform_incremental_matches_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import stats as S
+
+    t = _lake_tables(spark)
+    rows = [
+        (r.event_id, r.event_type, math.floor(r.value * 100 + 0.5))
+        for r in t["events"].select("event_id", "event_type", "value").collect()
+    ]
+    hist = defaultdict(list)
+    for eid, ty, c in rows:
+        if eid % S.QT_BATCH_MOD != 0:
+            hist[ty].append(c)
+    want = {}
+    for eid, ty, c in rows:
+        if eid % S.QT_BATCH_MOD != 0:
+            continue
+        ref = hist.get(ty, [])
+        below = sum(1 for x in ref if x < c)
+        ties = sum(1 for x in ref if x == c)
+        want[eid] = (
+            len(ref),
+            ties > 0,
+            (2 * below + ties + 1) * 500_000 // (len(ref) + 1),
+        )
+    got = {
+        r.event_id: (r.n_ref, r.seen_in_ref, r.pct_ppm)
+        for r in S.quantile_transform_incremental(t).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(0 < p < 1_000_000 for _, _, p in got.values())

@@ -230,6 +230,7 @@ HEADLINE = [
     "lift_curve_clicks_to_purchase",
     "roc_auc_clicks_to_purchase",
     "quantile_transform_incremental",
+    "hourly_value_percentiles",
 ]
 
 

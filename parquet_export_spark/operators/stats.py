@@ -4334,3 +4334,101 @@ def quantile_transform_incremental_oracle_sql(
         LEFT JOIN totals t USING (event_type)
         ORDER BY b.event_id
         """
+
+
+def hourly_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Hourly P50/P90/P99 value series per event type — the latency-
+    dashboard staple (SLO burn charts read exactly this table), and
+    the time-resolved companion to ``percentiles_exact`` (one number
+    per group) and ``decile_features_events`` (global buckets).
+
+    Exact rank-based order statistics, never interpolation (the
+    decile discipline — interpolated percentiles diverge between
+    engines at one-ulp boundaries, pitfall 17): the q-quantile is the
+    smallest cents whose cumulative count reaches ceil(q·n),
+    evaluated as min(cents | cum·100 >= q_pct·n) on pure int64.
+
+    Scale shape: one fact aggregate to the (type, hour, cents)
+    support, ONE cumulative window over each (type, hour)'s VALUE
+    support (value-range-bounded per group — never a fact-side
+    window), a broadcastable per-(type, hour) total, and three
+    min-filters folded into one conditional aggregate. Hour keys are
+    the session_concurrency calendar integers.
+
+    Output: (event_type, hour_idx, n_events, p50_cents, p90_cents,
+    p99_cents).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) * 24 + hour(ts)"
+        ).alias("hour_idx"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    counts = e.groupBy("event_type", "hour_idx", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type", "hour_idx")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    totals = counts.groupBy("event_type", "hour_idx").agg(
+        F.sum("c").alias("n")
+    )
+    j = cum.join(totals, ["event_type", "hour_idx"])
+    pick = (
+        "CAST(MIN(CASE WHEN cum * 100 >= {q} * n THEN cents END)"
+        " AS BIGINT)"
+    )
+    return (
+        j.groupBy("event_type", "hour_idx")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.expr(pick.format(q=50)).alias("p50_cents"),
+            F.expr(pick.format(q=90)).alias("p90_cents"),
+            F.expr(pick.format(q=99)).alias("p99_cents"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+def hourly_percentiles_oracle_sql() -> str:
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 24
+                 + hour(ts) AS hour_idx,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        counts AS MATERIALIZED (
+          SELECT event_type, hour_idx, cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2, 3),
+        cum AS (
+          SELECT *,
+                 CAST(SUM(c) OVER (PARTITION BY event_type, hour_idx
+                                   ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM counts),
+        totals AS (
+          SELECT event_type, hour_idx, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY 1, 2)
+        SELECT c.event_type, c.hour_idx,
+               MAX(t.n) AS n_events,
+               CAST(MIN(CASE WHEN c.cum * 100 >= 50 * t.n
+                             THEN c.cents END) AS BIGINT) AS p50_cents,
+               CAST(MIN(CASE WHEN c.cum * 100 >= 90 * t.n
+                             THEN c.cents END) AS BIGINT) AS p90_cents,
+               CAST(MIN(CASE WHEN c.cum * 100 >= 99 * t.n
+                             THEN c.cents END) AS BIGINT) AS p99_cents
+        FROM cum c JOIN totals t USING (event_type, hour_idx)
+        GROUP BY c.event_type, c.hour_idx
+        ORDER BY c.event_type, c.hour_idx
+        """

@@ -902,6 +902,13 @@ REGISTRY.update(
             _rel(ST.quantile_transform_values),
             ST.quantile_transform_oracle_sql(),
         ),
+        # Hourly P50/P90/P99 per type: exact rank-based order
+        # statistics over per-(type, hour) value supports — the SLO
+        # burn-chart table, no interpolation (pitfall 17).
+        "hourly_value_percentiles": QuerySpec(
+            _rel(ST.hourly_value_percentiles),
+            ST.hourly_percentiles_oracle_sql(),
+        ),
         # Serving-time gear: a carved batch scored against the stored
         # reference support (new-observation midrank, merged-support
         # union for unseen values — no range join).

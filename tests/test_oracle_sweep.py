@@ -97,6 +97,7 @@ ROUND_CHANGED = [
     "lift_curve_clicks_to_purchase",
     "roc_auc_clicks_to_purchase",
     "quantile_transform_incremental",
+    "hourly_value_percentiles",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

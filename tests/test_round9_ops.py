@@ -2435,3 +2435,61 @@ def test_quantile_transform_incremental_matches_bruteforce(spark):
     }
     assert got == want and len(got) > 0
     assert all(0 < p < 1_000_000 for _, _, p in got.values())
+
+
+def test_hourly_percentiles_rank_definition(spark):
+    """Hand-checkable hour: values 1..10 in one (type, hour) ->
+    p50 = 5th (ceil(.5*10)), p90 = 9th, p99 = min cents with
+    cum >= ceil(9.9) = 10th; a 1-event hour reports all three equal."""
+    from parquet_export_spark.operators import stats as S
+
+    rows = [
+        (i, f"2024-01-01 10:{i:02d}:00", 1) for i in range(10)
+    ] + [(99, "2024-01-01 11:00:00", 2)]
+    ev = _mk_events(spark, rows).withColumn(
+        "value",
+        F.expr(
+            "CASE WHEN event_id = 99 THEN 7.77"
+            " ELSE CAST(event_id + 1 AS DOUBLE) END"
+        ),
+    )
+    got = {
+        (r.event_type, r.hour_idx % 24): (
+            r.n_events, r.p50_cents, r.p90_cents, r.p99_cents
+        )
+        for r in S.hourly_value_percentiles({"events": ev}).collect()
+    }
+    assert got[("click", 10)] == (10, 500, 900, 1000)
+    assert got[("click", 11)] == (1, 777, 777, 777)
+
+
+def test_hourly_percentiles_match_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import stats as S
+
+    t = _lake_tables(spark)
+    epoch = __import__("datetime").date(1970, 1, 1)
+    groups = defaultdict(list)
+    for r in t["events"].select("event_type", "ts", "value").collect():
+        h = (r.ts.date() - epoch).days * 24 + r.ts.hour
+        groups[(r.event_type, h)].append(math.floor(r.value * 100 + 0.5))
+    want = {}
+    for k, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        def q(p):
+            return vs[-(-p * n // 100) - 1]  # ceil(p*n/100)-th, 1-based
+        want[k] = (n, q(50), q(90), q(99))
+    got = {
+        (r.event_type, r.hour_idx): (
+            r.n_events, r.p50_cents, r.p90_cents, r.p99_cents
+        )
+        for r in S.hourly_value_percentiles(t).collect()
+    }
+    assert got == want and len(got) > 100
+    # monotone by construction
+    assert all(
+        a <= b <= c for _, a, b, c in got.values()
+    )

@@ -231,6 +231,7 @@ HEADLINE = [
     "roc_auc_clicks_to_purchase",
     "quantile_transform_incremental",
     "hourly_value_percentiles",
+    "seasonal_hour_baseline_loo",
 ]
 
 

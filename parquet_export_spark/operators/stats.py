@@ -4432,3 +4432,112 @@ def hourly_percentiles_oracle_sql() -> str:
         GROUP BY c.event_type, c.hour_idx
         ORDER BY c.event_type, c.hour_idx
         """
+
+
+def seasonal_hour_baseline_loo(t: dict[str, DataFrame]) -> DataFrame:
+    """Hour-of-week seasonal anomaly scoring — every hour's revenue
+    total scored LEAVE-ONE-OUT against its OWN hour-of-week peers
+    ("is this Tuesday-3pm normal *for a Tuesday 3pm*?"), the
+    time-of-day-aware alarm that a global threshold gets wrong twice
+    a day. LOO (the target_encode_loo discipline) because a hour
+    scored against a baseline containing itself is biased toward
+    normal exactly when it is the outlier.
+
+    Keys and arithmetic: hour_idx is the session_concurrency calendar
+    integer; hour-of-week = hour_idx % 168 (phase-stable — epoch hour
+    0 is a Thursday 00:00, stated, so the phase is consistent rather
+    than Monday-origined); totals are exact cents. The LOO percentile
+    uses the quantile_transform_incremental new-observation midrank
+    against the n-1 peers: pct_ppm = (2·below + ties_excl_self + 1)
+    · 5e5 div n — a peerless hour (n = 1) scores the 500000 prior,
+    and extremes stay strictly inside (0, 1e6).
+
+    Scale shape: one fact aggregate to (type, hour) totals
+    (span-bounded), per-(type, how) support counts + ONE cumulative
+    window over the TOTALS support (peer groups are week-count-sized),
+    joined back on the (type, how, total) key. No fact-side windows.
+
+    Output: (event_type, hour_idx, total_cents, n_peers, pct_ppm).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT) * 24 + hour(ts)"
+            ).alias("hour_idx"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+            ).alias("total_cents")
+        )
+        .withColumn("how", F.expr("hour_idx % 168"))
+        .localCheckpoint()
+    )
+    sup = hourly.groupBy("event_type", "how", "total_cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type", "how")
+        .orderBy("total_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = sup.withColumn("cum", F.sum("cnt").over(w))
+    totals = sup.groupBy("event_type", "how").agg(
+        F.sum("cnt").alias("n")
+    )
+    return (
+        hourly.join(ranked, ["event_type", "how", "total_cents"])
+        .join(totals, ["event_type", "how"])
+        .select(
+            "event_type",
+            "hour_idx",
+            "total_cents",
+            (F.col("n") - 1).cast("long").alias("n_peers"),
+            F.expr(
+                "((2 * (cum - cnt) + (cnt - 1) + 1) * 500000L) div n"
+            ).alias("pct_ppm"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+def seasonal_hour_baseline_oracle_sql() -> str:
+    return """
+        WITH hourly AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 24
+                 + hour(ts) AS hour_idx,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM events GROUP BY 1, 2),
+        keyed AS MATERIALIZED (
+          SELECT *, hour_idx % 168 AS how FROM hourly),
+        sup AS MATERIALIZED (
+          SELECT event_type, how, total_cents,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM keyed GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT *,
+                 CAST(SUM(cnt) OVER (PARTITION BY event_type, how
+                                     ORDER BY total_cents
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM sup),
+        totals AS (
+          SELECT event_type, how, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM sup GROUP BY 1, 2)
+        SELECT k.event_type, k.hour_idx, k.total_cents,
+               t.n - 1 AS n_peers,
+               ((2 * (r.cum - r.cnt) + (r.cnt - 1) + 1) * 500000)
+                   // t.n AS pct_ppm
+        FROM keyed k
+        JOIN ranked r USING (event_type, how, total_cents)
+        JOIN totals t USING (event_type, how)
+        ORDER BY k.event_type, k.hour_idx
+        """

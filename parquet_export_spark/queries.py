@@ -902,6 +902,14 @@ REGISTRY.update(
             _rel(ST.quantile_transform_values),
             ST.quantile_transform_oracle_sql(),
         ),
+        # Hour-of-week LOO anomaly: each hour's revenue scored
+        # leave-one-out against its same-hour-of-week peers — the
+        # time-of-day-aware alarm; quantile_transform_incremental's
+        # midrank convention on the peer support.
+        "seasonal_hour_baseline_loo": QuerySpec(
+            _rel(ST.seasonal_hour_baseline_loo),
+            ST.seasonal_hour_baseline_oracle_sql(),
+        ),
         # Hourly P50/P90/P99 per type: exact rank-based order
         # statistics over per-(type, hour) value supports — the SLO
         # burn-chart table, no interpolation (pitfall 17).

@@ -98,6 +98,7 @@ ROUND_CHANGED = [
     "roc_auc_clicks_to_purchase",
     "quantile_transform_incremental",
     "hourly_value_percentiles",
+    "seasonal_hour_baseline_loo",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

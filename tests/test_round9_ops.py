@@ -2493,3 +2493,63 @@ def test_hourly_percentiles_match_bruteforce(spark):
     assert all(
         a <= b <= c for _, a, b, c in got.values()
     )
+
+
+def test_seasonal_loo_engineered_peers(spark):
+    """Three Mondays 10:00 with totals 100/200/300 (cents 10000/20000/
+    30000): LOO ranks among the other two -> 166666 / 500000 / 833333
+    ppm (n=3 midranks 1, 3, 5 of 2·3). A peerless hour scores the
+    500000 prior."""
+    from parquet_export_spark.operators import stats as S
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-08 10:00:00", 1),
+        (3, "2024-01-15 10:00:00", 1),
+        (4, "2024-01-02 09:00:00", 1),  # lone Tuesday 9:00
+    ]
+    ev = _mk_events(spark, rows).withColumn(
+        "value", F.expr("CAST(event_id * 100 AS DOUBLE)")
+    )
+    got = {
+        r.hour_idx: (r.n_peers, r.pct_ppm)
+        for r in S.seasonal_hour_baseline_loo({"events": ev}).collect()
+    }
+    vals = sorted(got.items())
+    # the three Mondays share an hour-of-week; the Tuesday is alone
+    peers = [v for v in got.values() if v[0] == 2]
+    assert sorted(p for _, p in peers) == [166_666, 500_000, 833_333]
+    assert (0, 500_000) in got.values()
+
+
+def test_seasonal_loo_matches_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    from parquet_export_spark.operators import stats as S
+
+    t = _lake_tables(spark)
+    epoch = __import__("datetime").date(1970, 1, 1)
+    hourly = defaultdict(int)
+    for r in t["events"].select("event_type", "ts", "value").collect():
+        h = (r.ts.date() - epoch).days * 24 + r.ts.hour
+        hourly[(r.event_type, h)] += math.floor(r.value * 100 + 0.5)
+    groups = defaultdict(list)
+    for (ty, h), tot in hourly.items():
+        groups[(ty, h % 168)].append(tot)
+    want = {}
+    for (ty, h), tot in hourly.items():
+        peers = groups[(ty, h % 168)]
+        n = len(peers)
+        below = sum(1 for x in peers if x < tot)
+        ties_excl = sum(1 for x in peers if x == tot) - 1
+        want[(ty, h)] = (
+            n - 1,
+            (2 * below + ties_excl + 1) * 500_000 // n,
+        )
+    got = {
+        (r.event_type, r.hour_idx): (r.n_peers, r.pct_ppm)
+        for r in S.seasonal_hour_baseline_loo(t).collect()
+    }
+    assert got == want and len(got) > 100
+    assert all(0 < p < 1_000_000 for _, p in got.values())

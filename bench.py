@@ -232,6 +232,7 @@ HEADLINE = [
     "quantile_transform_incremental",
     "hourly_value_percentiles",
     "seasonal_hour_baseline_loo",
+    "harmonic_closeness_suppliers",
 ]
 
 

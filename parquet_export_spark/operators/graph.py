@@ -2661,3 +2661,145 @@ def community_modularity_oracle_sql(
         ORDER BY cs.community
         """
     )
+
+
+HARMONIC_SOURCES = 8
+HARMONIC_HOPS = 6
+HARMONIC_SCALE = 1_000_000
+
+
+def harmonic_closeness_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    strong: DataFrame | None = None,
+    k: int = HARMONIC_SOURCES,
+    n_hops: int = HARMONIC_HOPS,
+) -> DataFrame:
+    """Sampled harmonic closeness centrality on the projected supplier
+    graph — the CENTRALITY class the family lacked (PageRank ranks by
+    mass flow, degree by local fan-out; closeness ranks by how NEAR a
+    node sits to everything else). Exact closeness is all-pairs BFS —
+    quadratic and off the table at scale — so this is the standard
+    k-source approximation with the repo's determinism twist: the
+    "sample" is the k SMALLEST node ids (drift-stable across runs,
+    partitionings and engines, stated; a production caller can salt
+    the choice, but a monitoring metric must not move because a
+    random seed did).
+
+    harmonic(i) = Σ over sampled sources s ≠ i reached within
+    ``n_hops`` of SCALE div d(s, i) — harmonic rather than classic
+    closeness because it handles unreachable pairs by simply omitting
+    them (classic closeness needs every distance, i.e. connectivity
+    assumptions). All integer: d is a hop count, SCALE div d exact,
+    the sum is ≤ k·SCALE. Nodes unreached by every source within the
+    horizon are ABSENT, not zero-filled (both engines build from
+    reached pairs only).
+
+    Scale shape: the shared persisted edge cache; per round ONE
+    frontier join + min-aggregate over (source, node) pairs — state
+    is k·nodes, never edges; constant-depth lineage via the usual
+    in-loop checkpoints. The oracle replays the same rounds as
+    unrolled MATERIALIZED CTEs (the PageRank/SSSP recipe, multi-
+    source keyed).
+
+    Output: (node, n_sources_reached, harmonic_scaled), node-ordered.
+    """
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
+    edges = strong.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        strong.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    e = _edge_cache(edges)
+    try:
+        sources = (
+            e.select("src").distinct().orderBy("src").limit(k)
+        ).select(F.col("src").alias("s"))
+        dist = sources.select(
+            "s", F.col("s").alias("node"), F.lit(0).cast("long").alias("d")
+        ).localCheckpoint()
+        for i in range(n_hops):
+            hop = (
+                dist.join(e, dist["node"] == e["src"])
+                .select(
+                    dist["s"], e["dst"].alias("node"),
+                    (dist["d"] + 1).alias("d"),
+                )
+            )
+            # checkpoint EVERY round: the (source, node) state is tiny
+            # (k·nodes), and a fresh plan per round both keeps lineage
+            # constant-depth and avoids Spark's ambiguous-self-join
+            # trap (round r's dist carries round r-1's edge attributes)
+            dist = (
+                dist.unionByName(hop)
+                .groupBy("s", "node")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
+        result = (
+            dist.filter(F.col("s") != F.col("node"))
+            .groupBy("node")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sources_reached"),
+                F.sum(F.expr(f"{HARMONIC_SCALE} div d"))
+                .cast("long")
+                .alias("harmonic_scaled"),
+            )
+            .orderBy("node")
+            .localCheckpoint()
+        )
+    finally:
+        e.unpersist()
+    return result
+
+
+def _harmonic_chain(k: int, n_hops: int) -> list[str]:
+    out = [
+        f"""
+        h0 AS (SELECT node AS s, node, CAST(0 AS BIGINT) AS d
+               FROM (SELECT DISTINCT src AS node FROM edges
+                     ORDER BY src LIMIT {k}))
+        """
+    ]
+    for i in range(1, n_hops + 1):
+        out.append(
+            """
+        h{i} AS MATERIALIZED (
+          SELECT s, node, MIN(d) AS d FROM (
+            SELECT p.s, e.dst AS node, p.d + 1 AS d
+            FROM edges e JOIN h{prev} p ON p.node = e.src
+            UNION ALL
+            SELECT s, node, d FROM h{prev})
+          GROUP BY s, node)
+            """.format(i=i, prev=i - 1)
+        )
+    return out
+
+
+def harmonic_closeness_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    k: int = HARMONIC_SOURCES,
+    n_hops: int = HARMONIC_HOPS,
+) -> str:
+    """DuckDB replay: shared projection CTEs + the multi-source BFS
+    unrolled (the PageRank/SSSP recipe keyed by (source, node))."""
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+        + ","
+        + ",".join(_harmonic_chain(k, n_hops))
+        + f"""
+        SELECT node,
+               CAST(COUNT(*) AS BIGINT) AS n_sources_reached,
+               CAST(SUM({HARMONIC_SCALE} // d) AS BIGINT)
+                   AS harmonic_scaled
+        FROM h{n_hops}
+        WHERE s <> node
+        GROUP BY node
+        ORDER BY node
+        """
+    )

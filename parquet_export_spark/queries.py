@@ -3369,6 +3369,14 @@ REGISTRY.update(
             _graph_probe(G.degree_distribution_suppliers),
             G.degree_distribution_oracle_sql(),
         ),
+        # Sampled harmonic closeness: the centrality class the family
+        # lacked — k deterministic sources (smallest ids: drift-stable),
+        # multi-source BFS over the shared edge cache, integer
+        # SCALE div d sums; unrolled multi-source CTE oracle.
+        "harmonic_closeness_suppliers": QuerySpec(
+            _graph_probe(G.harmonic_closeness_suppliers),
+            G.harmonic_closeness_oracle_sql(),
+        ),
         # Link prediction (common-neighbors / Jaccard / resource
         # allocation): one shared-neighbor-keyed wedge join, anti-join
         # off the checkpointed edge list, all-integer ppm scores (RA

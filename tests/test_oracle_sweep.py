@@ -99,6 +99,7 @@ ROUND_CHANGED = [
     "quantile_transform_incremental",
     "hourly_value_percentiles",
     "seasonal_hour_baseline_loo",
+    "harmonic_closeness_suppliers",
     # refactored onto the shared _type_decile_cells core /
     # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
     # because the oracle text moved):

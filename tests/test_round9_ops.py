@@ -2553,3 +2553,72 @@ def test_seasonal_loo_matches_bruteforce(spark):
     }
     assert got == want and len(got) > 100
     assert all(0 < p < 1_000_000 for _, p in got.values())
+
+
+# ---------------------------------------------------------------------------
+# harmonic_closeness_suppliers: BFS ground truth + star-graph shape
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_closeness_star_graph(spark):
+    """Star with hub 0 and spokes 1..5, sources = 8 smallest ids =
+    all 6 nodes: hub harmonic = 5 sources at d=1 -> 5e6; each spoke =
+    hub at d=1 + 4 spokes at d=2 -> 1e6 + 4*5e5 = 3e6."""
+    from parquet_export_spark.operators import graph as G
+
+    strong = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "s1 long, s2 long"
+    )
+    got = {
+        r.node: (r.n_sources_reached, r.harmonic_scaled)
+        for r in G.harmonic_closeness_suppliers({}, strong=strong).collect()
+    }
+    assert got[0] == (5, 5_000_000)
+    for spoke in range(1, 6):
+        assert got[spoke] == (5, 3_000_000)
+
+
+def test_harmonic_closeness_matches_python_bfs(spark):
+    """Lake parity vs a plain-Python BFS from the same k smallest
+    sources over the same projected pairs, horizon-capped identically
+    (including the nodes-absent-when-unreached contract)."""
+    from collections import defaultdict, deque
+
+    from parquet_export_spark.operators import graph as G
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    strong = G._supplier_strong_pairs(
+        t, G.SUPPLIER_COMMUNITY_PCTL, G.BUTTERFLY_MAX_DEGREE
+    ).localCheckpoint()
+    adj = defaultdict(set)
+    for r in strong.collect():
+        adj[r.s1].add(r.s2)
+        adj[r.s2].add(r.s1)
+    sources = sorted(adj)[: G.HARMONIC_SOURCES]
+    acc = defaultdict(lambda: [0, 0])
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= G.HARMONIC_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if v != s:
+                acc[v][0] += 1
+                acc[v][1] += G.HARMONIC_SCALE // d
+    want = {v: tuple(x) for v, x in acc.items()}
+    got = {
+        r.node: (r.n_sources_reached, r.harmonic_scaled)
+        for r in G.harmonic_closeness_suppliers(
+            {}, strong=strong
+        ).collect()
+    }
+    # the sf0.001 projection is tiny (6 strong-pair nodes) — the
+    # triple-SF sweep gate carries the sf0.1-scale oracle leg
+    assert got == want and len(got) >= 3

@@ -34,16 +34,28 @@ def q4_order_priority_exists(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar subquery (per-part avg) ->
-    broadcast join against the aggregated subquery."""
-    li = t["lineitem"]
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg)
+    joined back against the brand-restricted fact slice.
+
+    Scale note (the standard Q17 plan): lineitem is FIRST restricted
+    to the brand's partkeys, and the per-part average is computed over
+    that slice only — identical values for every surviving partkey,
+    but the aggregate is now |brand's parts| rows instead of EVERY
+    distinct l_partkey (which scales linearly with SF and, force-
+    broadcast, would OOM at the 100 TB design point). No forced hints:
+    part and the aggregate both scale with SF, so Catalyst/AQE decides
+    (broadcast at test SFs, shuffle join at scale)."""
     part = t["part"].filter(F.col("p_brand") == "Brand#11")
+    brand_keys = part.select(F.col("p_partkey").alias("bk"))
+    li = t["lineitem"].join(
+        brand_keys, t["lineitem"].l_partkey == F.col("bk"), "left_semi"
+    )
     per_part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         davg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("pk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             dsum("l_extendedprice").alias("total_price"),
@@ -62,7 +74,7 @@ def q18_large_orders_having(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
     )
@@ -78,7 +90,7 @@ def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
         | ((part.p_type == "PROMO") & (li.l_discount >= 0.05))
     )
     return (
-        li.join(F.broadcast(part), cond)
+        li.join(part, cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
                 "revenue"
@@ -121,7 +133,7 @@ def q14_promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
     part = t["part"]
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), scale=6)

@@ -67,9 +67,12 @@ def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
     li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    # No broadcast hint on customer: it scales linearly with SF (a
+    # forced hint would OOM the executors at the 100 TB design point).
+    # Catalyst's size estimate / AQE broadcasts it when it IS small.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -80,9 +83,13 @@ def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
 def q5_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
     """Flagship: star-schema 6-way join -> agg -> sort (TPC-H Q5 shape).
 
-    Fact tables (lineitem, orders) shuffle-join on their keys; all
-    dimension tables broadcast. Exercises scan->filter->join->agg->sort
-    in a single Catalyst plan.
+    Fact tables (lineitem, orders) shuffle-join on their keys.
+    Broadcast hints are FORCED only on the fixed-cardinality dims
+    (nation: 25 rows, region: 5 — constant at every SF); customer and
+    supplier scale linearly with the data, so their joins carry no
+    hint and Catalyst/AQE picks broadcast only while they actually fit
+    (it does at test SFs; at 100 TB they degrade gracefully to SMJ
+    instead of OOM-ing the broadcast build).
     """
     li, orders, cust = t["lineitem"], t["orders"], t["customer"]
     supp, nation, region = t["supplier"], t["nation"], t["region"]
@@ -93,8 +100,8 @@ def q5_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
-        .join(F.broadcast(cust), orders_f.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders_f.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         # TPC-H Q5 requires customer and supplier in the same nation.
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -127,7 +134,7 @@ def q10_returned_items(t: dict[str, DataFrame]) -> DataFrame:
     cust, nation = t["customer"], t["nation"]
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"))
@@ -203,9 +210,12 @@ def join_range(t: dict[str, DataFrame]) -> DataFrame:
     """
     p = t["part"]
     s = t["supplier"]
+    # supplier scales with SF — no forced broadcast; the mod-10 key
+    # keeps the join an equi-join either way and AQE broadcasts the
+    # supplier side only while it fits.
     return (
         p.join(
-            F.broadcast(s),
+            s,
             (p.p_size % 10 == s.s_suppkey % 10) & (p.p_retailprice > s.s_acctbal / 4),
             "inner",
         )

@@ -23,15 +23,18 @@ def q2_min_balance_supplier(t: dict[str, DataFrame]) -> DataFrame:
         t["lineitem"].select("l_partkey", "l_suppkey").distinct()
     )
     supp = t["supplier"]
+    # supplier and the per-part MIN frame both scale with SF: no
+    # forced broadcast (AQE broadcasts them while they fit; at 100 TB
+    # they fall back to shuffle joins instead of an OOM build).
     joined = supply.join(
-        F.broadcast(supp), supply.l_suppkey == supp.s_suppkey
+        supp, supply.l_suppkey == supp.s_suppkey
     ).select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
     min_bal = joined.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.min("s_acctbal").alias("min_bal")
     )
     return (
         joined.join(
-            F.broadcast(min_bal),
+            min_bal,
             (joined.l_partkey == min_bal.pk)
             & (joined.s_acctbal == min_bal.min_bal),
         )
@@ -58,8 +61,8 @@ def q7_nation_pair_volume(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -90,7 +93,7 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
     europe = region.filter(F.col("r_name") == "EUROPE")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(europe), F.col("cn_region") == europe.r_regionkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
@@ -117,8 +120,8 @@ def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
         - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(widgets, li.l_partkey == widgets.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").alias("ship_year"))
         .agg(dsum(profit, scale=6).alias("profit"))
@@ -216,7 +219,7 @@ def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
     max_rev = rev.agg(F.max("total_revenue").alias("mr"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("mr"))
-        .join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+        .join(supp, F.col("sk") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -231,9 +234,9 @@ def q16_supplier_counts(t: dict[str, DataFrame]) -> DataFrame:
         F.col("s_suppkey").alias("bad_sk")
     )
     return (
-        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        supply.join(part, supply.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad_suppliers),
+            bad_suppliers,
             supply.l_suppkey == F.col("bad_sk"),
             "left_anti",
         )
@@ -249,7 +252,7 @@ def q20_heavy_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     li, part, supp = t["lineitem"], t["part"], t["supplier"]
     widgets = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
     widget_qty = (
-        li.join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey)
+        li.join(widgets, li.l_partkey == widgets.p_partkey)
         .groupBy(F.col("l_suppkey").alias("wk"))
         .agg(dsum("l_quantity").alias("widget_qty"))
     )
@@ -259,7 +262,7 @@ def q20_heavy_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     return (
         widget_qty.join(total_qty, F.col("wk") == F.col("tk"))
         .filter(F.col("widget_qty") > 0.12 * F.col("total_qty"))
-        .join(F.broadcast(supp), F.col("wk") == supp.s_suppkey)
+        .join(supp, F.col("wk") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "widget_qty", "total_qty")
         .orderBy("s_suppkey")
     )
@@ -282,7 +285,7 @@ def q21_exclusive_return_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     )
     supp = t["supplier"]
     return (
-        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        culprits.join(supp, culprits.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_suppkey")

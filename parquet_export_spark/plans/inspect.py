@@ -49,6 +49,72 @@ def count_broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) BroadcastHashJoin", plan_string(df)))
 
 
+_TPCH_PREFIX = {
+    "c_": "customer",
+    "s_": "supplier",
+    "n_": "nation",
+    "r_": "region",
+    "p_": "part",
+    "o_": "orders",
+    "l_": "lineitem",
+}
+
+#: Tables whose row count is CONSTANT in SF (TPC-H: nation=25, region=5).
+#: Everything else — customer, supplier, part, orders, lineitem — grows
+#: linearly with the data, so a forced broadcast hint on a frame derived
+#: from them is an OOM at the 100 TB design point, not an optimization.
+FIXED_CARDINALITY_TABLES = {"nation", "region"}
+
+
+def broadcast_hint_subtrees(df: DataFrame) -> list[tuple[set[str], bool]]:
+    """For every ``ResolvedHint`` in the ANALYZED logical plan, return
+    ``(leaf_tables, has_global_aggregate)``:
+
+    - ``leaf_tables``: the TPC-H table names scanned under the hint
+      (mapped from each leaf relation's first output column prefix);
+    - ``has_global_aggregate``: True when the hinted subtree contains an
+      ungrouped ``Aggregate`` — such a frame is provably ≤1 row per
+      grouping-set regardless of SF, hence always broadcast-safe.
+
+    Used by tests/test_plans.py to enforce the 100 TB broadcast rule:
+    a FORCED hint is legitimate only on fixed-cardinality dims
+    (``FIXED_CARDINALITY_TABLES``) or globally-aggregated frames; for
+    anything that scales with the data the decision belongs to
+    Catalyst/AQE size estimates (graceful SMJ fallback, never a forced
+    OOM build).
+    """
+    import json as _json
+
+    nodes = _json.loads(df._jdf.queryExecution().analyzed().toJSON())
+
+    def subtree_end(i: int) -> int:
+        j = i + 1
+        for _ in range(int(nodes[i]["num-children"])):
+            j = subtree_end(j)
+        return j
+
+    out: list[tuple[set[str], bool]] = []
+    for i, n in enumerate(nodes):
+        if not n["class"].endswith(".ResolvedHint"):
+            continue
+        tables: set[str] = set()
+        global_agg = False
+        for k in range(i + 1, subtree_end(i)):
+            m = nodes[k]
+            cls = m["class"]
+            if cls.endswith(".LogicalRelation") or cls.endswith(
+                ".DataSourceV2Relation"
+            ):
+                first = m["output"][0][0]["name"] if m.get("output") else ""
+                tables.add(_TPCH_PREFIX.get(first[:2], first or "<unknown>"))
+            elif cls.endswith("logical.Aggregate") and not m.get(
+                "groupingExpressions"
+            ):
+                global_agg = True
+        out.append((tables, global_agg))
+    return out
+
+
 def executed_plan_string(df: DataFrame) -> str:
     """Final (post-AQE) physical plan: executes THIS DataFrame's own
     QueryExecution (collect) so its AdaptiveSparkPlan resolves to the

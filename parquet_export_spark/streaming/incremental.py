@@ -367,11 +367,14 @@ def enrich_stream(events: DataFrame, user_profile: DataFrame) -> DataFrame:
     with NO streaming state at all (unlike stream-stream joins there
     is nothing to watermark: the static side is always complete).
     This is the canonical serving-path lookup — profile tables, model
-    feature stores, allow/deny lists — and the broadcast keeps it
-    shuffle-free at any stream rate.
+    feature stores, allow/deny lists. No FORCED broadcast hint: a
+    per-user profile scales with the user base, so the per-micro-batch
+    re-plan chooses broadcast from the static side's actual size (it
+    does while the profile fits the threshold) and degrades to a
+    shuffle join instead of an OOM build when it doesn't.
     """
     return events.join(
-        F.broadcast(user_profile), "user_id", "left"
+        user_profile, "user_id", "left"
     ).select(
         "event_id",
         "ts",

@@ -3883,129 +3883,151 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
-# Registry ordering. The driver evaluates entries in registry order and caps
-# each round at the first 50, so verdict-hungry entries go first. Round-4
-# window — rotation target: no registry entry's latest verdict older than
-# two rounds. r3 covered the extension surface (its 50 entries are one
-# round old); this window refreshes the 63 entries last checked in r1/r2:
-#   1. queries touched this round: dup_spans (oracle now interpolates
-#      DUP_SPAN_NGRAM), the three KMeans/PQ-fit consumers (single-scan
-#      hash-ordered fit sample replaced the count+sample collect) and
-#      approx_percentiles (shared accuracy constant);
-#   2. all 26 entries whose only verdict is r1 — three rounds old
-#      otherwise, the oldest evidence in the registry;
-#   3. the TPC-H block (15 of 18 queries incl. q1/q3, last verdict r2)
-#      — the flagship relational surface.
-# Left outside the 50-cap: 19 unchanged r2-green entries (profile_columns,
-# dedup_exact_keep_first/keep_best, token_stats, quality_scores, lang_id,
-# fingerprints, train_eval_split, corpus_quality_filter, tfidf_top_terms,
-# funnel, asof_purchase_attribution, sessionize_batch, gapfill,
-# pivot/unpivot, grouping_sets, null_handling_funcs,
-# salted_agg_user_value) — each exactly two rounds old after r4, within
-# the freshness bar, and each with pytest coverage.
-# Long-run freshness policy: with the registry well past 100 entries
-# against a 50-entry driver cap, a strict "nothing older than two
-# rounds" bar is arithmetically impossible (N/50 > 2-round average). The standing
-# rotation rule, in priority order: (1) anything new or whose code/oracle
-# changed since its last verdict, (2) the oldest verdicts first,
-# (3) risk-ranked ties — custom/composed operators before plain
-# Catalyst shapes, oracle-bearing before rows-only (pytest carries the
-# rows-only evidence between driver verdicts). Every entry left outside
-# a window must be named in the comment with its family representative.
-# Registration rule (pinned by test_registry_no_array_outputs): no top-level
-# array/map columns in any registered output — the driver's pandas
-# canonicalizer cannot hash list cells.
+# Registry ordering + freshness policy (round 10).
+#
+# The driver evaluates entries in registry order and caps each round at the
+# first 50, so verdict-hungry entries go first. Standing rotation rule, in
+# priority order: (1) anything new or whose code/oracle changed since its
+# last verdict, (2) the oldest verdicts first, (3) risk-ranked ties —
+# custom/composed operators before plain Catalyst shapes, oracle-bearing
+# before rows-only (pytest carries the rows-only evidence between driver
+# verdicts). Every entry left outside a window must be named with its tier.
+#
+# FRESHNESS TIERS (r9 verdict #4 — the registry is 5x the window, so a
+# flat "nothing older than N rounds" bar is arithmetically impossible;
+# this codifies what was previously de-facto):
+#   - WINDOW: the 50 entries verdicted this round (_VERDICT_PRIORITY).
+#   - CHANGED: entries whose plan/oracle changed THIS round
+#     (tests/test_oracle_sweep.py ROUND_CHANGED) — each swept through the
+#     driver-style compare at sf0.001/0.01/0.1 every pytest run, and
+#     front-loaded for the NEXT round's window.
+#   - PENDING: changed in a recent round, triple-SF-swept since, but the
+#     latest driver verdict predates the change — must take a window slot
+#     within 3 rounds of the change (PENDING_VERDICT below).
+#   - FROZEN: unchanged for >= 3 rounds, driver-green at least once, and
+#     re-proven by the per-run pytest oracle compare — these cycle through
+#     windows opportunistically but carry no freshness deadline.
+#   - Everything else must hold a driver verdict no older than 3 rounds.
+# The partition is enforced by tests/test_freshness.py against the actual
+# CORRECTNESS_r*.json artifacts — the policy cannot silently drift.
+#
+# ROUND-10 WINDOW, per the r9 verdict's explicit 27+13+10 allocation:
+#   (a) all 27 round-9 oracle entries that have never held a driver
+#       verdict (rule 1; cross-checked against CORRECTNESS_r01..r09);
+#   (b) the 13 named r4-stale deferrals (rule 2 — oldest evidence);
+#   (c) 10 slots, rule 1 + rule 2 blended: the 7 TPC-H queries whose
+#       JOIN PLANS changed this round (broadcast-hint scoping + the q17
+#       semi-restrict restructure: q3/q5/q7/q8/q9/q10/q17 — the r9
+#       verdict requires their oracles stay green under the new plans)
+#       and the 3 oldest (r5) graph composites whose plans moved onto
+#       the persisted artifacts in r9 (graph_all_metrics,
+#       cc_doubling_trade_graph, cc_incremental_trade).
+# Left OUTSIDE the window, each named by tier:
+#   - CHANGED (r10 broadcast-hint family, triple-SF-swept this round,
+#     r11 window priority): q2_min_balance_supplier,
+#     q14_promo_revenue_share, q15_top_supplier, q16_supplier_counts,
+#     q18_large_orders_having, q19_disjunctive_predicates,
+#     q20_heavy_suppliers, q21_exclusive_return_suppliers, join_range.
+#   - PENDING (r9 artifact-probe plan changes, verdicts r5/r6, due by
+#     r12): butterfly_pairs_trade, hits_trade_graph, kcore_suppliers,
+#     pagerank_trade_graph, sessionize_batch, supplier_communities,
+#     supplier_graph_suite, triangle_count_suppliers.
+#   - FROZEN: the 72 names in FROZEN below.
+#   - fresh (r8/r9 verdicts, within the 3-round bar): the remaining 99.
+#   - rows-only gears (no oracle by construction; pytest-bounded):
+#     the r3 block (agg_approx_distinct, ann_lsh_buckets,
+#     ann_lsh_neighbors, approx_percentiles, fuzzy_dedup_keep, ivf_topk,
+#     label_pca, neardup_clusters, neardup_minhash_lsh, neardup_simhash,
+#     sample_fraction, semdedup_embedding), pq_topk, bpe_learn_merges,
+#     histogram_equidepth_approx, hll_rollup_users,
+#     ivf_probe_incremental, neardup_incremental, pq_probe_incremental,
+#     supplier_communities_approx.
+# Registration rule (pinned by test_registry_no_array_outputs): no
+# top-level array/map columns in any registered output — the driver's
+# pandas canonicalizer cannot hash list cells.
 # ---------------------------------------------------------------------------
+
+#: Bumped once per round, together with the window + ROUND_CHANGED
+#: rotation (tests/test_freshness.py pins it against the newest
+#: CORRECTNESS_r*.json artifact so it cannot go stale silently).
+CURRENT_ROUND = 10
+
 _VERDICT_PRIORITY = [
-    # ------------------------------------------------------------------
-    # ROUND-9 WINDOW, per the r8 verdict's explicit 35+5+10 allocation
-    # (the r8 round was a no-op, so this executes the rotation the r7
-    # verdict first mandated):
-    # (a) the 35 round-7 oracle-bearing operators that have NEVER held
-    #     a driver verdict (standing rule 1: new-first; live-import
-    #     cross-check against CORRECTNESS_r01..r08 unions),
-    # (b) the 5 named stale returns — join_inner, join_semi,
-    #     join_anti, sort_limit_offset (deferred since r3, promised
-    #     r8) and q1_pricing_summary (last verdicted r6),
-    # (c) 10 of the 23 oracle-bearing r4-stale entries (rule 2:
-    #     oldest oracle evidence left; rule 3 picks the most
-    #     custom/composed shapes first — cogroup UDF, span dedup,
-    #     iterative graph, CMS sketch, BPE, MERGE, codec kernels).
-    # 35 + 5 + 10 = 50, every slot oracle-bearing.
-    # Left OUTSIDE the window, each named per the standing policy:
-    #   r4-stale oracle entries deferred to r10 (13, all plain
-    #   aggregate/window/join Catalyst shapes re-proven by exact
-    #   oracles every pytest pass): agg_stats, bloom_prune_orders,
-    #   event_ohlc, label_centroid_sim, next_event_examples, pii_scan,
-    #   shard_for_training, token_diversity, value_gini_by_type,
-    #   value_outliers, vocab_coverage, window_range_frame,
-    #   winsorize_values.
-    #   rows-only gears (no oracle; a rows-only driver check would not
-    #   strengthen their pytest bounds): the r3 block
-    #   (agg_approx_distinct, ann_lsh_buckets, ann_lsh_neighbors,
-    #   approx_percentiles, fuzzy_dedup_keep, ivf_topk, label_pca,
-    #   neardup_clusters, neardup_minhash_lsh, neardup_simhash,
-    #   sample_fraction, semdedup_embedding), pq_topk (r4), and the
-    #   never-verdicted gears (bpe_learn_merges,
-    #   histogram_equidepth_approx, hll_rollup_users,
-    #   ivf_probe_incremental, neardup_incremental,
-    #   pq_probe_incremental, supplier_communities_approx, plus the
-    #   round-9 supplier_projection probe gear if registered).
-    #   r5/r6/r8-green entries: within the freshness bar.
-    #   Entries whose PLANS changed late in round 9 (the projection/
-    #   trade-edge artifact probes: supplier_communities,
-    #   triangle_count, clustering_coeff, kcore, supplier_graph_suite,
-    #   pagerank, cc, cc_doubling, sssp, graph_all_metrics, hits,
-    #   random_walks, assortativity) but that are NOT in this window:
-    #   rule 1 would front-load them, but the window was fixed by the
-    #   r8 verdict's explicit 35+5+10 allocation; their changed plans
-    #   are covered by the triple-SF sweep gate every pytest run
-    #   (tests/test_oracle_sweep.py ROUND_CHANGED) and they take r10
-    #   window priority, together with the operators REGISTERED
-    #   this round (tv_distance_pairs, markov_stationary_types,
-    #   zipf_slope_unigrams, lorenz_curve_deciles,
-    #   session_duration_histogram, dup_rate_by_source,
-    #   cross_source_overlap, and the late-round batch:
-    #   dau_mau_stickiness, new_returning_weekly,
-    #   cramers_v_type_decile, kaplan_meier_interorder,
-    #   atkinson_index_by_segment, spearman_corr_by_flag,
-    #   churn_retention_monthly, session_concurrency_hourly,
-    #   readability_scores, mann_whitney_auc_pairs,
-    #   weekly_mix_drift, forecast_backtest_mase, textrank_keywords,
-    #   quantile_transform_values, lift_curve_clicks_to_purchase,
-    #   roc_auc_clicks_to_purchase, and the four session consumers
-    #   whose plans moved onto the sessions_artifact probe
-    #   (sessionize_batch, session_entry_exit,
-    #   session_duration_histogram, session_concurrency_hourly) —
-    #   all in ROUND_CHANGED, so each already holds a triple-SF
-    #   sweep verdict every pytest pass; the new ones never
-    #   driver-verdicted).
-    # ------------------------------------------------------------------
-    # (a) round-7 operators, never driver-verdicted (r8 verdict #1):
-    "lpa_communities_suppliers", "link_prediction_suppliers",
-    "community_modularity_suppliers", "degree_distribution_suppliers",
-    "wasserstein_distance_pairs", "rfm_segments", "session_entry_exit",
-    "multitouch_attribution", "funnel_time_to_convert",
-    "user_path_topk", "user_activity_streaks", "value_migration_matrix",
-    "order_cadence_by_customer", "weekly_revenue_wow",
-    "odds_ratio_type_pairs", "simpson_diversity_by_user",
-    "pareto_share_by_segment", "hhi_concentration_by_segment",
-    "apdex_by_type", "fano_burstiness", "holt_linear_forecast",
-    "autocorr_hourly_counts", "seasonality_strength_hourly",
-    "stats_higher_moments", "local_peaks_hourly", "rake_keyphrases",
-    "ngram_novelty_scores", "novelty_incremental",
-    "robust_scale_features", "feature_hash_vectors", "value_clusters_1d",
-    "chi2_type_decile", "type_affinity_jaccard", "nearest_event_join",
-    "dup_family_size_histogram",
-    # (b) the five named stale returns:
-    "join_inner", "join_semi", "join_anti", "sort_limit_offset",
-    "q1_pricing_summary",
-    # (c) r4-stale block, most custom/composed 10 of 23:
-    "cogroup_user_funnel", "dup_spans", "sssp_trade_graph",
-    "cc_trade_graph", "heavy_hitters_cms", "bpe_token_counts",
-    "merge_upsert_orders", "ppm_image_features", "wav_audio_features",
-    "video_frame_features",
+    # (a) round-9 oracle entries, never driver-verdicted:
+    "spearman_corr_by_flag", "mann_whitney_auc_pairs",
+    "quantile_transform_values", "seasonal_hour_baseline_loo",
+    "hourly_value_percentiles", "quantile_transform_incremental",
+    "weekly_mix_drift", "cramers_v_type_decile",
+    "atkinson_index_by_segment", "tv_distance_pairs",
+    "lorenz_curve_deciles", "dup_rate_by_source", "cross_source_overlap",
+    "markov_stationary_types", "session_duration_histogram",
+    "zipf_slope_unigrams", "readability_scores", "textrank_keywords",
+    "dau_mau_stickiness", "new_returning_weekly",
+    "kaplan_meier_interorder", "forecast_backtest_mase",
+    "lift_curve_clicks_to_purchase", "roc_auc_clicks_to_purchase",
+    "churn_retention_monthly", "session_concurrency_hourly",
+    "harmonic_closeness_suppliers",
+    # (b) the 13 named r4-stale deferrals:
+    "agg_stats", "bloom_prune_orders", "event_ohlc",
+    "label_centroid_sim", "next_event_examples", "pii_scan",
+    "shard_for_training", "token_diversity", "value_gini_by_type",
+    "value_outliers", "vocab_coverage", "window_range_frame",
+    "winsorize_values",
+    # (c) plans changed this round (broadcast scoping / q17 restructure)
+    #     + the 3 oldest artifact-probe graph composites:
+    "q3_shipping_priority", "q5_revenue_by_nation",
+    "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q17_small_quantity_revenue",
+    "graph_all_metrics", "cc_doubling_trade_graph",
+    "cc_incremental_trade",
 ]
+
+#: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,
+#: re-proven by the per-run pytest oracle compare. No freshness
+#: deadline; they re-enter windows opportunistically when slots free up.
+FROZEN = frozenset({
+    "agg_cube", "agg_distinct", "apply_changefeed",
+    "asof_purchase_attribution", "assoc_rules_parts", "balance_classes",
+    "bigram_lm_scores", "conditional_funcs", "corpus_quality_filter",
+    "curate_corpus_pipeline", "cusum_alarms", "date_funcs_extra",
+    "dedup_exact_keep_first", "dedup_incremental", "dedup_keep_best",
+    "embedding_norms", "events_hourly_rollup", "filter_project",
+    "fingerprints", "funnel_signup_click_purchase", "fuzzy_join_parts",
+    "gapfill_daily_revenue", "grouping_sets_revenue", "histogram_bins",
+    "histogram_equidepth", "incremental_rollup",
+    "interpolate_hourly_values", "join_left_nulls", "knn_classify",
+    "lang_id", "match_click_bursts", "null_handling_funcs",
+    "ols_value_by_hour", "percentiles_exact", "pivot_segment_counts",
+    "profile_columns", "q12_priority_shipclass",
+    "q13_order_count_distribution", "q22_inactive_rich_customers",
+    "q4_order_priority_exists", "quality_scores", "remove_dup_spans",
+    "resolve_part_entities", "rolling_user_features",
+    "salted_agg_user_value", "salted_skew_join", "scalar_date_funcs",
+    "scalar_json_funcs", "scalar_math_funcs", "scalar_string_funcs",
+    "scd2_point_in_time", "self_retrieval_ranks", "set_ops_all",
+    "simjoin_prefix", "sliding_rollup", "snapshot_diff",
+    "source_capped_sample", "sql_segment_top_spenders",
+    "stats_correlation", "stats_moments", "string_funcs_extra",
+    "tfidf_top_terms", "token_stats", "train_eval_split", "twap_by_type",
+    "unpivot_segment_counts", "validate_lake", "value_mad_outliers",
+    "variant_json_funcs", "window_distribution_ranks", "window_lag_lead",
+    "window_rank_dense",
+})
+
+#: PENDING tier: {entry: round its plan/oracle last changed}. The entry
+#: was triple-SF-swept in that round but its latest driver verdict
+#: predates the change; it must take a window slot within 3 rounds of
+#: the change (enforced by tests/test_freshness.py).
+PENDING_VERDICT = {
+    "butterfly_pairs_trade": 9,
+    "hits_trade_graph": 9,
+    "kcore_suppliers": 9,
+    "pagerank_trade_graph": 9,
+    "sessionize_batch": 9,
+    "supplier_communities": 9,
+    "supplier_graph_suite": 9,
+    "triangle_count_suppliers": 9,
+}
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {
     k: v for k, v in REGISTRY.items() if k not in _VERDICT_PRIORITY

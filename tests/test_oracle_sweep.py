@@ -33,76 +33,56 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 9, changed (the round-7 block cleared at this rotation —
-    # all 35 of its oracle entries hold r9 verdict-window slots):
-    "ks_distance_pairs",  # loud in-plan ppm overflow guard (raise_error tier)
-    "wasserstein_distance_pairs",  # loud range-aware overflow guard
-    "fano_burstiness",  # loud overflow guard + corrected ansi claim
-    "apdex_by_type",  # ppm expression hoisted to shared APDEX_PPM_EXPR
-    # round 9: the projected-graph singles now PROBE the per-lake
-    # projection artifact instead of re-deriving it per call
-    # (supplier_communities_approx changed too, but is rows-only):
-    "supplier_communities",
-    "triangle_count_suppliers",
-    "clustering_coeff_suppliers",
-    "community_modularity_suppliers",
-    "degree_distribution_suppliers",
-    "link_prediction_suppliers",
-    "kcore_suppliers",
-    "supplier_graph_suite",
-    "lpa_communities_suppliers",
-    # round 9: the trade-graph family now probes the per-lake edge
-    # artifact (trade_edges_artifact) instead of re-joining
-    # orders |><| lineitem per call:
-    "pagerank_trade_graph",
-    "cc_trade_graph",
-    "cc_doubling_trade_graph",
-    "sssp_trade_graph",
-    "graph_all_metrics",
-    "hits_trade_graph",
-    "random_walks_suppliers",
-    "assortativity_trade_graph",
-    # round 9, new:
-    "tv_distance_pairs",
-    "markov_stationary_types",
-    "zipf_slope_unigrams",
-    "lorenz_curve_deciles",
-    "session_duration_histogram",
-    "dup_rate_by_source",
-    "cross_source_overlap",
-    "cc_incremental_trade",  # probes the stored lake-label artifact
-    "butterfly_pairs_trade",  # probes the stored trade-edge artifact
-    "dau_mau_stickiness",
-    "new_returning_weekly",
-    "cramers_v_type_decile",
-    "kaplan_meier_interorder",
-    "atkinson_index_by_segment",
-    "spearman_corr_by_flag",
-    "churn_retention_monthly",
-    "session_concurrency_hourly",
-    "readability_scores",
-    "mann_whitney_auc_pairs",
-    "weekly_mix_drift",
-    "forecast_backtest_mase",
-    # round 9: the four session consumers now PROBE the per-lake
-    # sessions_artifact instead of re-paying the sessionization
-    # windows per call (entry/exit moved from double row_number to
-    # min_by/max_by inside the artifact aggregate):
-    "sessionize_batch",
-    "session_entry_exit",
-    "session_duration_histogram",
-    "session_concurrency_hourly",
-    "textrank_keywords",
-    "quantile_transform_values",
-    "lift_curve_clicks_to_purchase",
-    "roc_auc_clicks_to_purchase",
-    "quantile_transform_incremental",
-    "hourly_value_percentiles",
-    "seasonal_hour_baseline_loo",
-    "harmonic_closeness_suppliers",
-    # refactored onto the shared _type_decile_cells core /
-    # TYPE_DECILE_CELLS_CTES_SQL constant (same expressions; re-swept
-    # because the oracle text moved):
+    # round 10: broadcast-hint scoping (forced hints dropped from every
+    # SF-scaling frame; Catalyst/AQE now owns the decision) — same
+    # results required under the new join plans, so the whole family
+    # re-sweeps at all three SFs. q3/q5/q7/q8/q9/q10/q17 additionally
+    # hold r10 verdict-window slots; the rest are front-loaded for r11.
+    "q2_min_balance_supplier",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",  # + semi-restrict restructure (standard Q17 plan)
+    "q18_large_orders_having",
+    "q19_disjunctive_predicates",
+    "q20_heavy_suppliers",
+    "q21_exclusive_return_suppliers",
+    "join_range",
+]
+
+#: Previous round's list (r9), kept for the PENDING-tier bookkeeping in
+#: tests/test_freshness.py: entries that changed in r9 and still carry a
+#: pre-change driver verdict appear in queries.PENDING_VERDICT with
+#: round 9 and must re-enter the window by r12.
+PREV_ROUND_CHANGED = [
+    "ks_distance_pairs", "wasserstein_distance_pairs", "fano_burstiness",
+    "apdex_by_type", "supplier_communities", "triangle_count_suppliers",
+    "clustering_coeff_suppliers", "community_modularity_suppliers",
+    "degree_distribution_suppliers", "link_prediction_suppliers",
+    "kcore_suppliers", "supplier_graph_suite", "lpa_communities_suppliers",
+    "pagerank_trade_graph", "cc_trade_graph", "cc_doubling_trade_graph",
+    "sssp_trade_graph", "graph_all_metrics", "hits_trade_graph",
+    "random_walks_suppliers", "assortativity_trade_graph",
+    "tv_distance_pairs", "markov_stationary_types", "zipf_slope_unigrams",
+    "lorenz_curve_deciles", "session_duration_histogram",
+    "dup_rate_by_source", "cross_source_overlap", "cc_incremental_trade",
+    "butterfly_pairs_trade", "dau_mau_stickiness", "new_returning_weekly",
+    "cramers_v_type_decile", "kaplan_meier_interorder",
+    "atkinson_index_by_segment", "spearman_corr_by_flag",
+    "churn_retention_monthly", "session_concurrency_hourly",
+    "readability_scores", "mann_whitney_auc_pairs", "weekly_mix_drift",
+    "forecast_backtest_mase", "sessionize_batch", "session_entry_exit",
+    "session_duration_histogram", "session_concurrency_hourly",
+    "textrank_keywords", "quantile_transform_values",
+    "lift_curve_clicks_to_purchase", "roc_auc_clicks_to_purchase",
+    "quantile_transform_incremental", "hourly_value_percentiles",
+    "seasonal_hour_baseline_loo", "harmonic_closeness_suppliers",
     "chi2_type_decile",
 ]
 
@@ -115,7 +95,12 @@ SF_DIRS = [
 
 def test_round_changed_names_are_registered_oracles():
     """The list must track real, oracle-bearing registry entries —
-    a renamed operator cannot silently drop out of the sweep."""
+    a renamed operator cannot silently drop out of the sweep — and
+    carry no duplicates (r9 advice: a doubled name re-runs its three
+    sweep legs for nothing and inflates the pass count)."""
+    assert len(ROUND_CHANGED) == len(set(ROUND_CHANGED)), sorted(
+        n for n in set(ROUND_CHANGED) if ROUND_CHANGED.count(n) > 1
+    )
     for name in ROUND_CHANGED:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle, f"{name} is rows-only"

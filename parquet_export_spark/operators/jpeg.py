@@ -415,12 +415,25 @@ def decode_jpeg(payload: bytes) -> dict:
     scan_comps: list[dict] = []
     scan_start = None
 
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG: fill bytes run to EOF")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        # Standalone (length-less) markers allowed between segments:
+        # TEM (0x01) and RSTn (0xD0-0xD7). Other encoders may emit
+        # them; skip the 2 marker bytes and continue scanning.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -520,6 +533,12 @@ def decode_jpeg(payload: bytes) -> dict:
                     if run != 15:
                         raise ValueError("invalid AC run/size symbol")
                     k += 16  # ZRL
+                    # ZRL past the block end is as corrupt as a long
+                    # run: reject loudly (module discipline — never
+                    # silently drop trailing coefficients). k == 64 is
+                    # legal only as the loop's natural exit.
+                    if k > 64:
+                        raise ValueError("AC coefficient index overflow")
                     continue
                 k += run
                 if k > 63:

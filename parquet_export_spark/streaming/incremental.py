@@ -1095,15 +1095,16 @@ def ks_drift_stream(
         # reference (side b) — the batch operator's RANGE-frame recipe
         tot_a = cum.groupBy("event_type").agg(F.sum("c").alias("na"))
         tot_b = ref.groupBy("event_type").agg(F.sum("c").alias("nb"))
-        # loud envelope check on the type-sized totals (doubles are
-        # exact far past the ~9.2e12 envelope, so the compare cannot
-        # itself overflow); tot_a derives from the checkpointed carry,
-        # so this extra action is one tiny job per micro-batch
+        # loud envelope check on the type-sized totals; tot_a derives
+        # from the checkpointed carry, so this extra action is one tiny
+        # job per micro-batch
         over = (
             tot_a.join(tot_b, "event_type")
             .filter(
-                F.col("na").cast("double") * F.col("nb").cast("double")
-                > float(_ks_envelope())
+                # division-form integer predicate: exact at the
+                # boundary (na*nb > B <=> nb > B div na), no float cast
+                (F.col("na") > 0)
+                & (F.col("nb") > F.expr(f"{_ks_envelope()} div na"))
             )
             .select("event_type", "na", "nb")
             .first()
@@ -1527,10 +1528,17 @@ def w1_drift_stream(
         )
         over = (
             tots.filter(
-                F.col("na").cast("double")
-                * F.col("nb").cast("double")
-                * F.greatest(F.col("rng"), F.lit(1)).cast("double")
-                > float(2**63 - 1)
+                # division-form integer predicate, chained twice so no
+                # intermediate product can wrap: na*nb*rng' > B
+                # <=> nb > (B div na) div rng'  (rng' = max(rng, 1));
+                # each step is exact for positive int64 operands.
+                (F.col("na") > 0)
+                & (
+                    F.col("nb")
+                    > F.expr(
+                        f"({2**63 - 1} div na) div greatest(rng, 1L)"
+                    )
+                )
             )
             .select("event_type", "na", "nb", "rng")
             .first()
@@ -1700,8 +1708,11 @@ def tv_drift_stream(
         tots = tot_a.join(tot_b, "event_type")
         over = (
             tots.filter(
-                F.col("na").cast("double") * F.col("nb").cast("double")
-                > float((2**63 - 1) // 2_000_000)
+                # division-form integer predicate (r9 advice): exact at
+                # the boundary, unlike a float product which can round
+                # by one ulp near 2^53; na*nb > B <=> nb > B div na.
+                (F.col("na") > 0)
+                & (F.col("nb") > F.expr(f"{(2**63 - 1) // 2_000_000} div na"))
             )
             .select("event_type", "na", "nb")
             .first()
@@ -1974,8 +1985,11 @@ def auc_drift_stream(
         tots = tot_a.join(tot_b, "event_type")
         over = (
             tots.filter(
-                F.col("na").cast("double") * F.col("nb").cast("double")
-                > float((2**63 - 1) // 2_000_000)
+                # division-form integer predicate (r9 advice): exact at
+                # the boundary, unlike a float product which can round
+                # by one ulp near 2^53; na*nb > B <=> nb > B div na.
+                (F.col("na") > 0)
+                & (F.col("nb") > F.expr(f"{(2**63 - 1) // 2_000_000} div na"))
             )
             .select("event_type", "na", "nb")
             .first()

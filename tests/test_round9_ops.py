@@ -2037,6 +2037,36 @@ def test_jpeg_rejects_unsupported_and_corrupt():
         J.decode_jpeg(bytes(bad))
 
 
+def test_jpeg_scanner_tolerates_fill_bytes_and_standalone_markers():
+    """B.1.1.2 latitude other encoders use (r9 advice): 0xFF fill
+    bytes may pad any marker, and standalone length-less markers (TEM
+    0x01, RSTn 0xD0-0xD7) may appear between segments. Both must parse
+    to the identical image; pathological all-FF tails stay loud."""
+    import numpy as np
+
+    J = _jpeg_mod()
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = J.encode_jpeg(img, 90)
+    base = J.decode_jpeg(good)["pixels"]
+
+    # fill bytes before the DQT marker: FF DB -> FF FF FF DB
+    dqt = good.find(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff\xff" + good[dqt:]
+    assert np.array_equal(J.decode_jpeg(padded)["pixels"], base)
+
+    # a standalone TEM marker between SOI and DQT
+    tem = good[:2] + b"\xff\x01" + good[2:]
+    assert np.array_equal(J.decode_jpeg(tem)["pixels"], base)
+
+    # both at once, plus an RST0 standalone marker
+    both = good[:2] + b"\xff\xd0" + good[2:dqt] + b"\xff" + good[dqt:]
+    assert np.array_equal(J.decode_jpeg(both)["pixels"], base)
+
+    # fill bytes running off the end must raise, not IndexError
+    with pytest.raises(ValueError, match="truncated|corrupt|marker"):
+        J.decode_jpeg(good[:2] + b"\xff\xff\xff")
+
+
 def test_jpeg_extend_matches_spec_table():
     """F.2.2.1 EXTEND on every size 1..10: the low-bit codes map to
     the two signed ranges the spec tabulates."""

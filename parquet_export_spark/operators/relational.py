@@ -377,6 +377,54 @@ def agg_approx_distinct(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: approx_count_distinct is requested at rsd=0.01; the registered
+#: self-check allows 5 standard deviations. HLL++ register state is a
+#: per-item max -> the estimate is a DETERMINISTIC function of the key
+#: SET (order- and partition-independent), so the boolean below is a
+#: fixed fact per dataset, pinned at 3 SFs by the sweep.
+HLL_SELF_CHECK_RTOL = 0.05
+
+
+def agg_approx_distinct_checked(t: dict[str, DataFrame]) -> DataFrame:
+    """The driver-checkable twin of :func:`agg_approx_distinct`
+    (round-10: shrinks the rows-only set — r9 verdict #3): one grouped
+    aggregate computes BOTH the HLL++ estimate and the exact
+    countDistinct, and the registered output carries the exact count
+    (value-hashed against the oracle) plus ``hll_rel_err_ok`` — the
+    driver thereby independently re-proves, every round, that Spark's
+    sketch estimate sits within its documented error envelope of a
+    value DuckDB computed exactly. The estimate itself stays out of
+    the hash (engine-specific bits); the pure sketch gear above
+    remains the 100 TB production path.
+    """
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= HLL_SELF_CHECK_RTOL * F.col("exact_orders")
+            ).alias("hll_rel_err_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_approx_distinct_oracle_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS hll_rel_err_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------

@@ -182,6 +182,76 @@ def approx_percentiles(
     )
 
 
+APPROX_PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def approx_percentiles_checked(
+    t: dict[str, DataFrame], accuracy: int = APPROX_PCTL_ACCURACY
+) -> DataFrame:
+    """Driver-checkable twin of :func:`approx_percentiles` (round-10,
+    r9 verdict #3): re-proves the Greenwald-Khanna rank-error CONTRACT
+    in-plan, per group and per quantile, so the driver's independent
+    hash covers the sketch every round.
+
+    For each group's sketch value v_q the plan counts ``#{x <= v_q}``
+    and ``#{x < v_q}``; GK guarantees v_q is an order statistic whose
+    rank r satisfies |r - q*n| <= eps*n (eps = 1/accuracy), hence
+    ``#{x <= v_q} >= (q-eps)*n`` and ``#{x < v_q} < (q+eps)*n`` — an
+    inequality pair that is EXACTLY true by contract (not
+    probabilistically), duplicates included, regardless of partition
+    layout or merge order. The oracle asserts the booleans TRUE and
+    value-checks n_rows; the sketch values stay out of the hash
+    (engine-specific). One extra group-keyed broadcast join + one
+    aggregate over the raw gear's plan.
+    """
+    li = maybe_fanout(t["lineitem"]).select("l_returnflag", "l_extendedprice")
+    probs = ", ".join(str(q) for q in APPROX_PCTL_QS)
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({probs}), {accuracy})"
+        ).alias("ps")
+    )
+    eps = 1.0 / accuracy
+    # the sketch frame is |distinct l_returnflag| rows — bounded by the
+    # flag domain (3), never by SF: broadcast is provably safe.
+    j = li.join(F.broadcast(sk), "l_returnflag")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i in range(len(APPROX_PCTL_QS)):
+        v = F.col("ps")[i]
+        aggs.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= v, 1).otherwise(0)
+            ).alias(f"le_{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") < v, 1).otherwise(0)
+            ).alias(f"lt_{i}")
+        )
+    g = j.groupBy("l_returnflag").agg(*aggs)
+    out = [F.col("l_returnflag"), F.col("n_rows")]
+    for i, q in enumerate(APPROX_PCTL_QS):
+        name = f"p{int(q * 100)}_rank_ok"
+        out.append(
+            (
+                (F.col(f"le_{i}") >= (q - eps) * F.col("n_rows") - 1.0)
+                & (F.col(f"lt_{i}") <= (q + eps) * F.col("n_rows") + 1.0)
+            ).alias(name)
+        )
+    return g.select(*out).orderBy("l_returnflag")
+
+
+def approx_percentiles_checked_oracle_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS p50_rank_ok,
+               TRUE AS p90_rank_ok,
+               TRUE AS p99_rank_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+
+
 # --------------------------------------------------------------------------
 # Count-Min sketch (heavy hitters) — completes the sketch family:
 # HLL (agg_approx_distinct), GK (approx_percentiles), MinHash, SimHash,
@@ -551,6 +621,64 @@ def hll_rollup_users(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: hll_sketch_agg default lgConfigK=12 -> rsd = 1.04/sqrt(4096) ~1.63%;
+#: the self-check allows ~3 standard deviations. DataSketches HLL state
+#: is register-wise max, so for a fixed key set the estimate is
+#: DETERMINISTIC and partition/order-independent — the boolean is a
+#: fixed per-dataset fact, pinned at 3 SFs by the sweep.
+HLL_ROLLUP_RTOL = 0.05
+
+
+def hll_rollup_users_checked(t: dict[str, DataFrame]) -> DataFrame:
+    """Driver-checkable twin of :func:`hll_rollup_users` (round-10, r9
+    verdict #3): the same per-day sketch -> union rollup, joined to an
+    exact ``countDistinct`` twin so the registered output is
+    value-hashable — per type, the exact user count and day count
+    (both value-checked against DuckDB) plus ``hll_ok``, the driver's
+    independent re-proof that the merged-sketch estimate sits within
+    its error envelope of the exact answer. The estimate itself stays
+    out of the hash (engine-specific). The pure sketch gear above is
+    the 100 TB production path — at scale you run THAT (the exact twin
+    re-scans raw events, which is exactly what sketches exist to
+    avoid); this entry is the verification harness for it.
+    """
+    e = t["events"]
+    day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
+    daily = e.groupBy(day.alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= HLL_ROLLUP_RTOL * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_rollup_users_checked_oracle_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS hll_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+
+
 def changefeed_orders(t: dict[str, DataFrame]) -> DataFrame:
     """Full-row CDC change feed between the current orders snapshot and
     the derived next one (see :func:`_next_orders_snapshot`): one
@@ -895,6 +1023,64 @@ def histogram_equidepth_approx(
         )
         .orderBy("bucket")
     )
+
+
+def histogram_equidepth_approx_checked(
+    t: dict[str, DataFrame], n_buckets: int = 20, accuracy: int = 10_000
+) -> DataFrame:
+    """Driver-checkable twin of :func:`histogram_equidepth_approx`
+    (round-10, r9 verdict #3): re-proves, per bucket and in-plan, the
+    two invariants the sketch histogram promises, so the driver's
+    independent hash covers the gear every round:
+
+    - ``depth_ok``: |count - n/K| <= 2*n/accuracy + largest tie run
+      (the GK rank-error bound on both bucket edges, plus ties-at-a-
+      boundary landing wholly in the lower bucket);
+    - ``ordered_ok``: bucket ranges are disjoint and ascending
+      (hi of bucket i strictly below lo of bucket i+1 — bucket id is a
+      function of the value, so equal values share a bucket).
+
+    The boundary VALUES stay out of the hash (engine-specific sketch);
+    the oracle enumerates bucket ids 1..K with both booleans TRUE. The
+    tie/total side input is one grouped aggregate collapsed to a 1-row
+    frame; the bucket ordering check is a lag window over K rows —
+    both bounded by construction at any SF.
+    """
+    from pyspark.sql import Window
+
+    base = histogram_equidepth_approx(t, n_buckets, accuracy)
+    o = t["orders"].select("o_totalprice")
+    side = (
+        o.groupBy("o_totalprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.max("c").alias("max_tie"))
+    )
+    w = Window.orderBy("bucket")
+    return (
+        base.crossJoin(F.broadcast(side))
+        .withColumn("prev_hi", F.lag("hi").over(w))
+        .select(
+            "bucket",
+            (
+                F.abs(F.col("n_orders") - F.col("n") / n_buckets)
+                <= 2.0 * F.col("n") / accuracy + F.col("max_tie")
+            ).alias("depth_ok"),
+            (
+                F.col("prev_hi").isNull()
+                | (F.col("prev_hi") < F.col("lo"))
+            ).alias("ordered_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def histogram_equidepth_approx_checked_oracle_sql(n_buckets: int = 20) -> str:
+    return f"""
+        SELECT CAST(generate_series AS INT) AS bucket,
+               TRUE AS depth_ok,
+               TRUE AS ordered_ok
+        FROM generate_series(1, {n_buckets}) ORDER BY bucket
+        """
 
 
 #: Benford's-law expected first-digit frequencies in integer ppm,

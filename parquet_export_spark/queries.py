@@ -538,8 +538,19 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     ),
-    "agg_approx_distinct": QuerySpec(_rel(R.agg_approx_distinct), None),
-    "approx_percentiles": QuerySpec(_rel(ST.approx_percentiles), None),
+    # round 10 (r9 verdict #3): the sketch gears' registered entries are
+    # their _checked twins — exact-twin columns value-hashed by the
+    # driver plus a contract/envelope boolean the oracle asserts TRUE,
+    # so the driver independently re-proves the sketch every round. The
+    # raw gears remain the 100 TB production path and keep their pytest
+    # quantitative bounds.
+    "agg_approx_distinct": QuerySpec(
+        _rel(R.agg_approx_distinct_checked), R.agg_approx_distinct_oracle_sql()
+    ),
+    "approx_percentiles": QuerySpec(
+        _rel(ST.approx_percentiles_checked),
+        ST.approx_percentiles_checked_oracle_sql(),
+    ),
     # ---------------- windows ----------------
     "window_topk_per_group": QuerySpec(
         _rel(R.window_topk_per_group),
@@ -1039,16 +1050,19 @@ REGISTRY.update(
             _rel(ST.benford_first_digit),
             ST.benford_first_digit_oracle_sql(),
         ),
-        # rows-only BY DESIGN (round-6 verdict #2): the production gear
-        # of histogram_equidepth — GK boundary sketch + broadcast
-        # map-side range assignment, no single-reducer sort anywhere.
-        # The sketch is engine-specific, so no cross-engine oracle can
-        # exist; the quantitative evidence is the pytest bound (every
-        # bucket count within 2*n/accuracy + max-tie-run of n/K vs the
-        # exact ntile baseline) and the plan pin (no ntile, no
-        # single-partition sort, partial approx_percentile).
+        # The production gear of histogram_equidepth — GK boundary
+        # sketch + broadcast map-side range assignment, no
+        # single-reducer sort anywhere. The boundary VALUES are
+        # engine-specific (no cross-engine value oracle can exist), so
+        # the registered entry is the _checked twin (round 10, r9
+        # verdict #3): bucket ids value-hashed, the depth bound
+        # (2*n/accuracy + max tie run vs n/K) and range-disjointness
+        # asserted in-plan as oracle-TRUE booleans. Quantitative pytest
+        # bound vs the exact ntile baseline + the no-global-sort plan
+        # pin still cover the raw gear.
         "histogram_equidepth_approx": QuerySpec(
-            _rel(ST.histogram_equidepth_approx), None
+            _rel(ST.histogram_equidepth_approx_checked),
+            ST.histogram_equidepth_approx_checked_oracle_sql(),
         ),
         "value_mad_outliers": QuerySpec(
             _rel(ST.value_mad_outliers),
@@ -3804,10 +3818,17 @@ REGISTRY.update(
             FROM pd ORDER BY doc_id
             """,
         ),
-        # Apache DataSketches HLL rollup — approximate by design, no SQL
-        # oracle; merge-consistency + error bound pinned in pytest
+        # Apache DataSketches HLL rollup. Registered as the _checked
+        # twin (round 10, r9 verdict #3): exact per-type user/day
+        # counts value-hashed by the driver plus the hll_ok envelope
+        # boolean — the estimate itself stays out of the hash
+        # (engine-specific bits). Merge-consistency + error bound stay
+        # pinned in pytest
         # (tests/test_queries_oracle.py::test_hll_rollup_merge_consistency).
-        "hll_rollup_users": QuerySpec(_rel(ST.hll_rollup_users), None),
+        "hll_rollup_users": QuerySpec(
+            _rel(ST.hll_rollup_users_checked),
+            ST.hll_rollup_users_checked_oracle_sql(),
+        ),
         # Iterative BPE vocabulary induction — no single-statement SQL
         # oracle exists for an iterative optimizer; the EXACT merge-table
         # parity against a sequential reference is pinned in pytest
@@ -3935,13 +3956,14 @@ REGISTRY.update(
 #   - FROZEN: the 72 names in FROZEN below.
 #   - fresh (r8/r9 verdicts, within the 3-round bar): the remaining 99.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     the r3 block (agg_approx_distinct, ann_lsh_buckets,
-#     ann_lsh_neighbors, approx_percentiles, fuzzy_dedup_keep, ivf_topk,
+#     ann_lsh_buckets, ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk,
 #     label_pca, neardup_clusters, neardup_minhash_lsh, neardup_simhash,
-#     sample_fraction, semdedup_embedding), pq_topk, bpe_learn_merges,
-#     histogram_equidepth_approx, hll_rollup_users,
+#     sample_fraction, semdedup_embedding, pq_topk, bpe_learn_merges,
 #     ivf_probe_incremental, neardup_incremental, pq_probe_incremental,
-#     supplier_communities_approx.
+#     supplier_communities_approx. (agg_approx_distinct,
+#     approx_percentiles, histogram_equidepth_approx and
+#     hll_rollup_users left this tier in r10: their registered entries
+#     are now _checked twins with exact-twin oracles — r9 verdict #3.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.

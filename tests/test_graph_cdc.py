@@ -691,6 +691,31 @@ def test_supplier_graph_suite_equals_singles(spark):
     assert set(tri) <= set(comm) and set(core) <= set(comm)
 
 
+def test_supplier_communities_approx_matches_exact_labels(spark):
+    """r9 verdict #3: the GK-threshold production gear pinned against
+    the exact-quantile gear's LABELS on the sf0.001 lake — on this
+    fixture the sketch threshold admits the identical edge set, so the
+    community structure must be identical, not merely close. (The
+    entry itself stays rows-only: the GK sketch merge is
+    engine-specific and its threshold is only GUARANTEED within rank
+    error — label identity is a per-fixture fact, not a contract, so
+    no cross-engine value oracle can exist; this pin plus the
+    rank-error bound is the evidence.)"""
+    from parquet_export_spark.sources.lake import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    exact = {
+        r.supplier: (r.community, r.community_size)
+        for r in G.supplier_communities(t).collect()
+    }
+    approx = {
+        r.supplier: (r.community, r.community_size)
+        for r in G.supplier_communities(t, exact_quantile=False).collect()
+    }
+    assert approx == exact
+    assert len(exact) > 0
+
+
 def test_hits_integer_recursion_parity(spark):
     """hits_trade_graph vs a plain-Python replica of the same integer
     recursion on an engineered bipartite graph: supplier 1 is bought

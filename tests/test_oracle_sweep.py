@@ -54,6 +54,13 @@ ROUND_CHANGED = [
     "q20_heavy_suppliers",
     "q21_exclusive_return_suppliers",
     "join_range",
+    # round 10: sketch gears re-registered as _checked twins with
+    # exact-twin oracles (r9 verdict #3) — new oracle text + output
+    # shape, so the full triple-SF sweep applies:
+    "agg_approx_distinct",
+    "approx_percentiles",
+    "histogram_equidepth_approx",
+    "hll_rollup_users",
 ]
 
 #: Previous round's list (r9), kept for the PENDING-tier bookkeeping in

@@ -232,13 +232,14 @@ def test_supplier_communities_approx_registered(spark, sf_dir):
     df = spec.fn(spark, sf_dir)
     assert df.columns == ["supplier", "community", "community_size"]
     assert df.count() > 0
+    # round 10: the histogram entry is the _checked twin — bucket ids
+    # value-hashed, depth/ordering contract booleans oracle-asserted.
     spec_h = REGISTRY["histogram_equidepth_approx"]
-    assert spec_h.oracle is None
+    assert spec_h.oracle is not None
     assert spec_h.fn(spark, sf_dir).columns == [
         "bucket",
-        "n_orders",
-        "lo",
-        "hi",
+        "depth_ok",
+        "ordered_ok",
     ]
 
 

@@ -2755,6 +2755,114 @@ def harmonic_closeness_suppliers(
     return result
 
 
+def harmonic_closeness_exact2_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    strong: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT bounded-radius harmonic closeness over ALL sources — the
+    exact member of the centrality family the k-source gear
+    (:func:`harmonic_closeness_suppliers`) is pinned against (round-10,
+    r9 verdict #5).
+
+    Two axes of approximation exist for closeness at scale: WHICH
+    sources (sampling) and HOW FAR (radius). This gear removes the
+    sampling axis entirely — every node is a source — and fixes the
+    radius at 2, so every value is an exact integer fact about the
+    graph: harmonic2(v) = SCALE·|N1(v)| + (SCALE div 2)·|N2(v)|, where
+    N1 is the neighbor set and N2 the set at distance exactly 2
+    (2-hop wedge closure minus direct edges minus self). Bounded-radius
+    closeness is the standard scale formulation (the full-radius
+    variant is all-pairs BFS — quadratic state no matter the engine);
+    on the DENSE projected supplier graph the 2-ball already covers
+    most reachable mass, so ranks track the full-radius metric — the
+    rank-correlation pin in pytest quantifies exactly that.
+
+    Plan shape: pure set algebra, NO iteration — one wedge self-join
+    of the (degree-capped, persisted) projection, one distinct, one
+    anti (EXCEPT) against the edge list, two grouped counts. Catalyst
+    sees the whole thing; nothing to checkpoint. The same algebra is
+    the oracle verbatim (flat CTEs, not even unrolled loops).
+
+    Output: (node, n_within_2, harmonic2_scaled), node-ordered; nodes
+    with no surviving projection edge are absent (consistent with the
+    sampled gear).
+    """
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
+    edges = strong.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        strong.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    e = _edge_cache(edges)
+    try:
+        wedge = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("b.dst") != F.col("a.src"))
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+            .distinct()
+        )
+        d2 = wedge.subtract(e.select("src", "dst"))
+        n1 = e.groupBy("src").agg(F.count(F.lit(1)).alias("n1"))
+        n2 = d2.groupBy("src").agg(F.count(F.lit(1)).alias("n2"))
+        result = (
+            n1.join(n2, "src", "left")
+            .na.fill({"n2": 0})
+            .select(
+                F.col("src").alias("node"),
+                (F.col("n1") + F.col("n2"))
+                .cast("long")
+                .alias("n_within_2"),
+                (
+                    F.lit(HARMONIC_SCALE) * F.col("n1")
+                    + F.lit(HARMONIC_SCALE // 2) * F.col("n2")
+                )
+                .cast("long")
+                .alias("harmonic2_scaled"),
+            )
+            .orderBy("node")
+            .localCheckpoint()
+        )
+    finally:
+        e.unpersist()
+    return result
+
+
+def harmonic_closeness_exact2_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+) -> str:
+    """DuckDB replay: shared projection CTEs + the identical wedge /
+    EXCEPT / count algebra — flat SQL, no unrolled iteration."""
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+        + f""",
+        d2 AS (
+          SELECT DISTINCT a.src AS src, b.dst AS dst
+          FROM edges a JOIN edges b ON a.dst = b.src
+          WHERE b.dst <> a.src
+          EXCEPT
+          SELECT src, dst FROM edges),
+        n1 AS (SELECT src, COUNT(*) AS n1 FROM edges GROUP BY src),
+        n2 AS (SELECT src, COUNT(*) AS n2 FROM d2 GROUP BY src)
+        SELECT n1.src AS node,
+               CAST(n1.n1 + COALESCE(n2.n2, 0) AS BIGINT) AS n_within_2,
+               CAST({HARMONIC_SCALE} * n1.n1
+                    + {HARMONIC_SCALE // 2} * COALESCE(n2.n2, 0)
+                    AS BIGINT) AS harmonic2_scaled
+        FROM n1 LEFT JOIN n2 ON n1.src = n2.src
+        ORDER BY node
+        """
+    )
+
+
 def _harmonic_chain(k: int, n_hops: int) -> list[str]:
     out = [
         f"""

@@ -3391,6 +3391,16 @@ REGISTRY.update(
             _graph_probe(G.harmonic_closeness_suppliers),
             G.harmonic_closeness_oracle_sql(),
         ),
+        # The EXACT member of the centrality family (round-10, r9
+        # verdict #5): all-sources bounded-radius harmonic closeness —
+        # pure wedge/EXCEPT set algebra over the projection artifact,
+        # flat-SQL oracle, every value an exact integer. The k-source
+        # gear above is pinned against it by rank correlation in
+        # pytest (test_graph_cdc.py).
+        "harmonic_closeness_exact2_suppliers": QuerySpec(
+            _graph_probe(G.harmonic_closeness_exact2_suppliers),
+            G.harmonic_closeness_exact2_oracle_sql(),
+        ),
         # Link prediction (common-neighbors / Jaccard / resource
         # allocation): one shared-neighbor-keyed wedge join, anti-join
         # off the checkpointed edge list, all-integer ppm scores (RA

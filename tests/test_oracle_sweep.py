@@ -61,6 +61,8 @@ ROUND_CHANGED = [
     "approx_percentiles",
     "histogram_equidepth_approx",
     "hll_rollup_users",
+    # round 10, new: exact bounded-radius closeness (r9 verdict #5):
+    "harmonic_closeness_exact2_suppliers",
 ]
 
 #: Previous round's list (r9), kept for the PENDING-tier bookkeeping in

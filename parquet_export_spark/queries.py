@@ -3954,11 +3954,16 @@ REGISTRY.update(
 #       the persisted artifacts in r9 (graph_all_metrics,
 #       cc_doubling_trade_graph, cc_incremental_trade).
 # Left OUTSIDE the window, each named by tier:
-#   - CHANGED (r10 broadcast-hint family, triple-SF-swept this round,
-#     r11 window priority): q2_min_balance_supplier,
-#     q14_promo_revenue_share, q15_top_supplier, q16_supplier_counts,
-#     q18_large_orders_having, q19_disjunctive_predicates,
-#     q20_heavy_suppliers, q21_exclusive_return_suppliers, join_range.
+#   - CHANGED (r10, triple-SF-swept this round, r11 window priority):
+#     the broadcast-hint family outside the window
+#     (q2_min_balance_supplier, q14_promo_revenue_share,
+#     q15_top_supplier, q16_supplier_counts, q18_large_orders_having,
+#     q19_disjunctive_predicates, q20_heavy_suppliers,
+#     q21_exclusive_return_suppliers, join_range) and the five oracle
+#     entries BORN this round after the window was fixed
+#     (agg_approx_distinct, approx_percentiles,
+#     histogram_equidepth_approx, hll_rollup_users — the _checked
+#     sketch-twin conversions — and harmonic_closeness_exact2_suppliers).
 #   - PENDING (r9 artifact-probe plan changes, verdicts r5/r6, due by
 #     r12): butterfly_pairs_trade, hits_trade_graph, kcore_suppliers,
 #     pagerank_trade_graph, sessionize_batch, supplier_communities,

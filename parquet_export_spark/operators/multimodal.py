@@ -672,6 +672,49 @@ register_decoder("image/jpeg", make_jpeg_decoder())
 register_decoder("video/x-pgm-stream", decode_pgm_stream)
 
 
+def make_pillow_decoder():
+    """OPTIONAL integration example for the decoder registry (round-10
+    stretch): a Pillow-backed decoder with the exact contract the
+    registry expects — ``bytes -> {width, height, channels, pixels}``,
+    loud ``ValueError`` on undecodable payloads. This is how a real
+    deployment swaps the pure-numpy reference codecs for a C-backed
+    library WITHOUT touching any pipeline code:
+
+        from parquet_export_spark.operators import multimodal as M
+        M.register_decoder("image/jpeg", M.make_pillow_decoder())
+        # every decoded_features / image-features query now routes
+        # JPEG payloads through Pillow — same schema, same plan.
+
+    Raises ``ImportError`` when Pillow is not installed (this sandbox
+    ships without imaging libraries — the skip-gated test in
+    tests/test_extensions.py proves the wiring wherever Pillow
+    exists; the pure-numpy codecs remain the always-available
+    correctness surface).
+    """
+    import io
+
+    import numpy as np
+    from PIL import Image  # ImportError here is the gate, by design
+
+    def decode(payload: bytes) -> dict:
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+        except Exception as exc:  # noqa: BLE001 — narrow at the boundary
+            raise ValueError(f"Pillow could not decode payload: {exc}") from exc
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB" if len(img.getbands()) >= 3 else "L")
+        arr = np.asarray(img)
+        return {
+            "width": img.width,
+            "height": img.height,
+            "channels": 1 if arr.ndim == 2 else arr.shape[2],
+            "pixels": arr,
+        }
+
+    return decode
+
+
 def with_pgm_payload(docs: DataFrame) -> DataFrame:
     """Build REAL binary PGM images from the documents table, JVM-side:
     width/height derive from n_chars, the raster is the text rpad'ed

@@ -237,6 +237,11 @@ HEADLINE = [
     # that was previously unbenched
     "harmonic_closeness_exact2_suppliers",
     "agg_approx_distinct",
+    "kendall_tau_qty_discount",
+    "mann_kendall_trend_daily",
+    "leadlag_corr_types",
+    "wow_audience_overlap",
+    "conversion_ztest_by_click_tier",
 ]
 
 

@@ -4548,3 +4548,226 @@ def roc_auc_oracle_sql() -> str:
                    AS auc_ppm
         FROM stepped
         """
+
+
+# --------------------------------------------------------------------------
+# Round-10: audience stability + funnel significance
+# --------------------------------------------------------------------------
+
+
+def wow_audience_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week audience overlap per event type: how much of
+    last week's active-user set came back this week, and how similar
+    the two sets are (Jaccard). new_returning_weekly answers
+    "first-ever week or not" GLOBALLY; this measures SET stability
+    per type and adjacent-week pair — the audience-churn twin of
+    weekly_mix_drift's volume view (volumes can hold steady while the
+    underlying audience rotates completely; this catches that).
+
+    Exact integers throughout: the fact collapses once to DISTINCT
+    (type, epoch-week, user) — the weekly_revenue_wow week convention
+    (days-since-epoch div 7) — then one self-join on (type, user,
+    week+1) counts intersections, and weekly set sizes come from the
+    same frame. jaccard_ppm = inter*1e6 div (|prev ∪ cur|);
+    retention_ppm = inter*1e6 div |prev|. Only weeks WITH a
+    predecessor appear (both engines build from the intersection
+    side, zero-filled against the size table).
+
+    Scale shape: one distinct-collapse shuffle (user-keyed), one
+    self-join on (type, user) — co-partitioned by the same key — and
+    two type/week-bounded aggregates; no windows over the fact.
+
+    Output: (event_type, week, prev_users, cur_users, inter_users,
+    retention_ppm, jaccard_ppm), type/week-ordered.
+    """
+    uw = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT) div 7"
+            ).alias("week"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = uw.groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    prev, cur = uw.alias("p"), uw.alias("c")
+    inter = (
+        prev.join(
+            cur,
+            (F.col("p.event_type") == F.col("c.event_type"))
+            & (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.week") == F.col("p.week") + 1),
+        )
+        .groupBy(
+            F.col("p.event_type").alias("event_type"),
+            F.col("c.week").alias("week"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_users"))
+    )
+    p_sz = sizes.select(
+        "event_type",
+        (F.col("week") + 1).alias("week"),
+        F.col("n_users").alias("prev_users"),
+    )
+    c_sz = sizes.select(
+        "event_type", "week", F.col("n_users").alias("cur_users")
+    )
+    return (
+        p_sz.join(c_sz, ["event_type", "week"])
+        .join(inter, ["event_type", "week"], "left")
+        .na.fill({"inter_users": 0})
+        .select(
+            "event_type",
+            "week",
+            F.col("prev_users").cast("long").alias("prev_users"),
+            F.col("cur_users").cast("long").alias("cur_users"),
+            F.col("inter_users").cast("long").alias("inter_users"),
+            F.expr("inter_users * 1000000 div prev_users").alias(
+                "retention_ppm"
+            ),
+            F.expr(
+                "inter_users * 1000000"
+                " div (prev_users + cur_users - inter_users)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+def wow_audience_overlap_oracle_sql() -> str:
+    return """
+        WITH uw AS MATERIALIZED (
+          SELECT DISTINCT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) // 7 AS week,
+                 user_id
+          FROM events),
+        sizes AS MATERIALIZED (
+          SELECT event_type, week, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM uw GROUP BY 1, 2),
+        inter AS (
+          SELECT p.event_type, c.week,
+                 CAST(COUNT(*) AS BIGINT) AS inter_users
+          FROM uw p JOIN uw c
+            ON p.event_type = c.event_type
+           AND p.user_id = c.user_id
+           AND c.week = p.week + 1
+          GROUP BY 1, 2)
+        SELECT s_prev.event_type,
+               s_cur.week,
+               s_prev.n_users AS prev_users,
+               s_cur.n_users AS cur_users,
+               COALESCE(i.inter_users, 0) AS inter_users,
+               COALESCE(i.inter_users, 0) * 1000000 // s_prev.n_users
+                   AS retention_ppm,
+               COALESCE(i.inter_users, 0) * 1000000
+                   // (s_prev.n_users + s_cur.n_users
+                       - COALESCE(i.inter_users, 0)) AS jaccard_ppm
+        FROM sizes s_prev
+        JOIN sizes s_cur
+          ON s_cur.event_type = s_prev.event_type
+         AND s_cur.week = s_prev.week + 1
+        LEFT JOIN inter i
+          ON i.event_type = s_prev.event_type AND i.week = s_cur.week
+        ORDER BY s_prev.event_type, s_cur.week
+        """
+
+
+def conversion_ztest_by_click_tier(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-proportion z-test per engagement tier: does a user's click
+    count SIGNIFICANTLY separate buyers from the rest? The hypothesis-
+    testing member of the funnel family — lift_curve ranks tiers,
+    roc_auc scores the predictor once; this asks, per tier, whether
+    the conversion-rate difference (tier vs all other users) clears
+    sampling noise, via the textbook pooled two-proportion statistic
+
+        z = (p1 - p2) / sqrt(p*(1-p)*(1/n1 + 1/n2)),
+
+    p1 = tier conversion, p2 = rest conversion, p pooled. Inputs to
+    the double stage are exact user COUNTS (int64->double exact below
+    2^53 — structural at any plausible user base, no guard tier
+    needed); the presented rate is integer ppm, the z ROUND(9) with
+    the identical expression in both engines. Degenerate pools
+    (p in {0,1} or an empty rest) yield NULL via NULLIF.
+
+    Scale shape: one user aggregate (the roc_auc frame), one
+    support-bounded tier aggregate, map-side arithmetic after.
+
+    Output: (n_clicks, n_users, buyers, conv_ppm, z), tier-ordered.
+    """
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("n_clicks"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("is_buyer"),
+        )
+    )
+    tiers = users.groupBy("n_clicks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("is_buyer").cast("long").alias("buyers"),
+    )
+    tot = tiers.agg(
+        F.sum("n_users").alias("nn"), F.sum("buyers").alias("bb")
+    )
+    z = (
+        "round("
+        " (CAST(buyers AS DOUBLE) / n_users"
+        "  - CAST(bb - buyers AS DOUBLE) / nullif(nn - n_users, 0))"
+        " / nullif(sqrt((CAST(bb AS DOUBLE) / nn)"
+        "               * (1.0D - CAST(bb AS DOUBLE) / nn)"
+        "               * (1.0D / n_users"
+        "                  + 1.0D / nullif(nn - n_users, 0))), 0.0D), 9)"
+    )
+    return (
+        tiers.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_clicks").cast("long").alias("n_clicks"),
+            "n_users",
+            "buyers",
+            F.expr("buyers * 1000000 div n_users").alias("conv_ppm"),
+            F.expr(z).alias("z"),
+        )
+        .orderBy("n_clicks")
+    )
+
+
+def conversion_ztest_oracle_sql() -> str:
+    return """
+        WITH users AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_clicks,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS is_buyer
+          FROM events GROUP BY 1),
+        tiers AS (
+          SELECT n_clicks, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(is_buyer) AS BIGINT) AS buyers
+          FROM users GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nn,
+                       CAST(SUM(buyers) AS BIGINT) AS bb
+                FROM tiers)
+        SELECT n_clicks, n_users, buyers,
+               buyers * 1000000 // n_users AS conv_ppm,
+               ROUND(
+                 (CAST(buyers AS DOUBLE) / n_users
+                  - CAST(bb - buyers AS DOUBLE) / NULLIF(nn - n_users, 0))
+                 / NULLIF(sqrt((CAST(bb AS DOUBLE) / nn)
+                               * (1.0 - CAST(bb AS DOUBLE) / nn)
+                               * (1.0 / n_users
+                                  + 1.0 / NULLIF(nn - n_users, 0))), 0.0),
+                 9) AS z
+        FROM tiers CROSS JOIN tot
+        ORDER BY n_clicks
+        """

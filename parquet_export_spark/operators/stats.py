@@ -4727,3 +4727,473 @@ def seasonal_hour_baseline_oracle_sql() -> str:
         JOIN totals t USING (event_type, how)
         ORDER BY k.event_type, k.hour_idx
         """
+
+
+# --------------------------------------------------------------------------
+# Round-10: rank/trend/lead-lag statistics batch — Kendall tau-b over
+# bounded supports, Mann-Kendall trend, cross-type lead-lag correlation.
+# --------------------------------------------------------------------------
+
+
+def kendall_tau_qty_discount(t: dict[str, DataFrame]) -> DataFrame:
+    """Kendall tau-b between quantity and discount per return flag —
+    the third rank-correlation member next to Pearson
+    (``stats_correlation``) and Spearman (``spearman_corr_by_flag``),
+    chosen over Spearman when the pair count (not the rank difference)
+    is the story: tau has a direct probabilistic reading
+    (P[concordant] - P[discordant]).
+
+    Exactness comes from the VARIABLE CHOICE: quantity (~50 distinct
+    cents) x discount (~11 distinct ppc) have a bounded joint support,
+    so the full contingency table is a few hundred cells per flag and
+    every pair statistic is a closed-form integer over cell-count
+    products — never an O(n^2) row self-join:
+
+    - concordant/discordant: one cell self-join with a.qx < b.qx
+      (each unordered x-distinct pair once), classified by dx order;
+    - tie terms: marginal counts, n1 = sum t(t-1)/2 over qx marginals,
+      n2 likewise for dx;
+    - tau_b = (C - D) / (sqrt(n0-n1) * sqrt(n0-n2)), n0 = n(n-1)/2.
+
+    All sums in DECIMAL(38,0) (exact at any SF); the presented tau
+    casts each factor through int64 -> double (the spearman_corr
+    discipline — DuckDB's 128-bit->double is not correctly rounded,
+    int64->double is, in both engines) behind the same loud
+    raise_error envelope (safe to ~9.6e7 rows/flag; past that the
+    plan raises with remediation instead of wobbling the 9th digit).
+
+    Scale shape: one (flag, qx, dx) aggregate collapses the fact
+    table; everything after runs on <= ~550 cells/flag.
+
+    Output: (l_returnflag, n_rows, concordant, discordant,
+    tau_b).
+    """
+    e = t["lineitem"].select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias("qx"),
+        F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)").alias("dx"),
+    )
+    cells = e.groupBy("l_returnflag", "qx", "dx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+            & (F.col("a.qx") < F.col("b.qx")),
+        )
+        .groupBy(F.col("a.l_returnflag").alias("l_returnflag"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.dx") > F.col("a.dx"),
+                    F.expr("CAST(a.cnt AS DECIMAL(38,0)) * b.cnt"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("b.dx") < F.col("a.dx"),
+                    F.expr("CAST(a.cnt AS DECIMAL(38,0)) * b.cnt"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("disc"),
+        )
+    )
+    n_tot = cells.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    tie_q = (
+        cells.groupBy("l_returnflag", "qx")
+        .agg(F.sum("cnt").alias("tq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("CAST(tq AS DECIMAL(38,0)) * (tq - 1)")).alias(
+                "tie2_q"
+            )
+        )
+    )
+    tie_d = (
+        cells.groupBy("l_returnflag", "dx")
+        .agg(F.sum("cnt").alias("td"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("CAST(td AS DECIMAL(38,0)) * (td - 1)")).alias(
+                "tie2_d"
+            )
+        )
+    )
+    g = (
+        pairs.join(F.broadcast(n_tot), "l_returnflag")
+        .join(F.broadcast(tie_q), "l_returnflag")
+        .join(F.broadcast(tie_d), "l_returnflag")
+        # doubled terms keep everything integral: 2*n0 = n(n-1),
+        # 2*n1 = tie2_q, 2*n2 = tie2_d
+        .withColumn("two_n0", F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+    )
+    guard = (
+        "CASE WHEN conc > CAST(9223372036854775807 AS DECIMAL(38,0))"
+        " OR disc > CAST(9223372036854775807 AS DECIMAL(38,0))"
+        " OR two_n0 - tie2_q > CAST(9007199254740992 AS DECIMAL(38,0))"
+        " OR two_n0 - tie2_d > CAST(9007199254740992 AS DECIMAL(38,0))"
+        " THEN raise_error(concat("
+        "'kendall_tau_qty_discount presentation envelope exceeded:"
+        " group ', l_returnflag, ' has n = ', CAST(n AS STRING),"
+        " ' rows (safe to ~9.6e7/flag: each doubled denominator factor"
+        " must stay below 2^53 so its int64->double cast is exact)."
+        " Pre-aggregate or sample before correlating.')) ELSE {expr} END"
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            F.expr(guard.format(expr="CAST(conc AS BIGINT)")).alias(
+                "concordant"
+            ),
+            F.expr(guard.format(expr="CAST(disc AS BIGINT)")).alias(
+                "discordant"
+            ),
+            F.expr(
+                guard.format(
+                    expr=(
+                        "round(CAST(CAST(conc - disc AS BIGINT) AS DOUBLE)"
+                        " / nullif("
+                        "   sqrt(CAST(CAST(two_n0 - tie2_q AS BIGINT)"
+                        "             AS DOUBLE) / 2.0D)"
+                        " * sqrt(CAST(CAST(two_n0 - tie2_d AS BIGINT)"
+                        "             AS DOUBLE) / 2.0D), 0.0D), 9)"
+                    )
+                )
+            ).alias("tau_b"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def kendall_tau_oracle_sql() -> str:
+    """DuckDB replay: identical cell algebra, HUGEINT exact sums, the
+    same through-int64 presentation casts and /2 placement (the sqrt
+    operand expressions must be BITWISE identical for ROUND(9) parity)."""
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT l_returnflag,
+                 CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+                 CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dx
+          FROM lineitem),
+        cells AS MATERIALIZED (
+          SELECT l_returnflag, qx, dx, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2, 3),
+        pairs AS (
+          SELECT a.l_returnflag,
+                 SUM(CASE WHEN b.dx > a.dx
+                          THEN CAST(a.cnt AS HUGEINT) * b.cnt
+                          ELSE 0 END) AS conc,
+                 SUM(CASE WHEN b.dx < a.dx
+                          THEN CAST(a.cnt AS HUGEINT) * b.cnt
+                          ELSE 0 END) AS disc
+          FROM cells a JOIN cells b
+            ON a.l_returnflag = b.l_returnflag AND a.qx < b.qx
+          GROUP BY 1),
+        nt AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+               FROM cells GROUP BY 1),
+        tq AS (SELECT l_returnflag,
+                      SUM(CAST(tqc AS HUGEINT) * (tqc - 1)) AS tie2_q
+               FROM (SELECT l_returnflag, qx, SUM(cnt) AS tqc
+                     FROM cells GROUP BY 1, 2) GROUP BY 1),
+        td AS (SELECT l_returnflag,
+                      SUM(CAST(tdc AS HUGEINT) * (tdc - 1)) AS tie2_d
+               FROM (SELECT l_returnflag, dx, SUM(cnt) AS tdc
+                     FROM cells GROUP BY 1, 2) GROUP BY 1),
+        g AS (
+          SELECT p.l_returnflag, p.conc, p.disc, nt.n,
+                 tq.tie2_q, td.tie2_d,
+                 CAST(nt.n AS HUGEINT) * (nt.n - 1) AS two_n0
+          FROM pairs p
+          JOIN nt USING (l_returnflag)
+          JOIN tq USING (l_returnflag)
+          JOIN td USING (l_returnflag))
+        SELECT l_returnflag,
+               n AS n_rows,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               ROUND(CAST(CAST(conc - disc AS BIGINT) AS DOUBLE)
+                     / NULLIF(
+                         sqrt(CAST(CAST(two_n0 - tie2_q AS BIGINT)
+                                   AS DOUBLE) / 2.0)
+                       * sqrt(CAST(CAST(two_n0 - tie2_d AS BIGINT)
+                                   AS DOUBLE) / 2.0), 0.0), 9)
+                   AS tau_b
+        FROM g ORDER BY l_returnflag
+        """
+
+
+def mann_kendall_trend_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series per
+    type — the nonparametric "is this metric drifting?" monitor
+    (CUSUM alarms on level shifts; MK detects MONOTONE trend without
+    assuming a distribution or fitting a line first; the
+    ``ols_value_by_hour`` slope says how steep, MK says how sure).
+
+    S = sum over day pairs i<j of sign(c_j - c_i) — computed from the
+    per-day count series via one self-join whose size is CALENDAR-
+    bounded (days^2, not rows^2: ~7e5 pairs for two years, constant
+    in SF). Tie-corrected variance numerator
+    VARNUM = m(m-1)(2m+5) - sum t(t-1)(2t+5) over count-value tie
+    groups (Var(S) = VARNUM/18); the normal approximation
+    z = (S -/+ 1)/sqrt(VARNUM/18) with the textbook continuity
+    correction. All inputs to the double stage are exact int64 far
+    below 2^53 (m is calendar-bounded: m=10^4 days -> m^3 = 1e12), so
+    ROUND(9) parity holds with no guard tier needed — the envelope is
+    structural, not data-sized.
+
+    Output: (event_type, m_days, s_stat, varnum, mk_z), type-ordered.
+    """
+    e = t["events"].select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day"),
+    )
+    daily = (
+        e.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.expr("CAST(sign(b.c - a.c) AS BIGINT)")).alias("s_stat")
+        )
+    )
+    m = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("tc * (tc - 1) * (2 * tc + 5)")).alias("tie_term")
+        )
+    )
+    return (
+        s.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .withColumn(
+            "varnum", F.expr("m * (m - 1) * (2 * m + 5) - tie_term")
+        )
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("m_days"),
+            "s_stat",
+            F.col("varnum").cast("long").alias("varnum"),
+            F.expr(
+                "round(CASE WHEN varnum = 0 THEN NULL"
+                " WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0D)"
+                "      / sqrt(CAST(varnum AS DOUBLE) / 18.0D)"
+                " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0D)"
+                "      / sqrt(CAST(varnum AS DOUBLE) / 18.0D)"
+                " ELSE 0.0D END, 9)"
+            ).alias("mk_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mann_kendall_oracle_sql() -> str:
+    return """
+        WITH e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day
+          FROM events),
+        daily AS MATERIALIZED (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+        s AS (
+          SELECT a.event_type,
+                 CAST(SUM(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT)
+                     AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY 1),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m
+              FROM daily GROUP BY 1),
+        ties AS (
+          SELECT event_type,
+                 CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                     AS tie_term
+          FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tc
+                FROM daily GROUP BY 1, 2) GROUP BY 1),
+        g AS (
+          SELECT s.event_type, s.s_stat, m.m,
+                 m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie_term AS varnum
+          FROM s JOIN m USING (event_type) JOIN ties USING (event_type))
+        SELECT event_type,
+               m AS m_days,
+               s_stat,
+               CAST(varnum AS BIGINT) AS varnum,
+               ROUND(CASE WHEN varnum = 0 THEN NULL
+                     WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                          / sqrt(CAST(varnum AS DOUBLE) / 18.0)
+                     WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                          / sqrt(CAST(varnum AS DOUBLE) / 18.0)
+                     ELSE 0.0 END, 9) AS mk_z
+        FROM g ORDER BY event_type
+        """
+
+
+LEADLAG_LAGS = (-2, -1, 0, 1, 2)
+
+
+def leadlag_corr_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Lead-lag cross-correlation between event types' hourly value
+    series: for every unordered type pair (A < B) and lag L in
+    ``LEADLAG_LAGS``, the Pearson correlation of A's hour-h cents
+    total against B's hour-(h+L) total — does type A LEAD type B
+    (peak at L>0), lag it, or move synchronously (peak at 0)? The
+    cross-series member of the time-series family (autocorr_hourly
+    correlates a series with itself; this correlates pairs).
+
+    Exactness: the fact table collapses ONCE to (type, hour, int64
+    cents); every pair/lag statistic is computed from that support via
+    one hour-aligned join (|types|^2/2 x |hours| x |lags| rows — hour
+    count is calendar-bounded, so the join is O(SF) only through the
+    first collapse). Moments are DECIMAL(38,0)-exact; the presented
+    correlation casts each moment through int64 -> double behind the
+    spearman/kendall loud-envelope tier (safe while every moment fits
+    int64 — ~$3e5 of value per type-hour at two years of hours; past
+    that the plan raises and says to rescale cents to dollars).
+
+    Hours where a type is absent contribute nothing (inner join — the
+    correlation is over co-observed hours, n_hours reported).
+
+    Output: (type_a, type_b, lag, n_hours, corr), pair/lag-ordered.
+    """
+    e = t["events"].select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) * 24 + hour(ts)"
+        ).alias("how"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    hourly = (
+        e.groupBy("event_type", "how")
+        .agg(F.sum("cents").alias("v"))
+        .localCheckpoint()
+    )
+    lags = F.explode(
+        F.array(*[F.lit(lag) for lag in LEADLAG_LAGS])
+    ).alias("lag")
+    a = hourly.select(
+        F.col("event_type").alias("type_a"),
+        F.col("how").alias("how_a"),
+        F.col("v").alias("x"),
+        lags,
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("how").alias("how_b"),
+        F.col("v").alias("y"),
+    )
+    j = a.join(
+        b,
+        (F.col("type_a") < F.col("type_b"))
+        & (F.col("how_b") == F.col("how_a") + F.col("lag")),
+    )
+    g = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    imax = "CAST(9223372036854775807 AS DECIMAL(38,0))"
+    guard = (
+        f"CASE WHEN abs(sx) > {imax} OR abs(sy) > {imax}"
+        f" OR abs(sxy) > {imax} OR sxx > {imax} OR syy > {imax}"
+        " THEN raise_error(concat("
+        "'leadlag_corr_types presentation envelope exceeded for pair ',"
+        " type_a, '/', type_b, ': a cents moment no longer fits int64"
+        " (the exact decimal sums are fine, but ROUND-parity needs the"
+        " int64->double lane). Rescale cents to a coarser unit before"
+        " correlating.')) ELSE {expr} END"
+    )
+    corr = (
+        "round("
+        " (CAST(n AS DOUBLE) * CAST(CAST(sxy AS BIGINT) AS DOUBLE)"
+        "  - CAST(CAST(sx AS BIGINT) AS DOUBLE)"
+        "    * CAST(CAST(sy AS BIGINT) AS DOUBLE))"
+        " / nullif("
+        "   sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS BIGINT) AS DOUBLE)"
+        "        - CAST(CAST(sx AS BIGINT) AS DOUBLE)"
+        "          * CAST(CAST(sx AS BIGINT) AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS BIGINT) AS DOUBLE)"
+        "        - CAST(CAST(sy AS BIGINT) AS DOUBLE)"
+        "          * CAST(CAST(sy AS BIGINT) AS DOUBLE)), 0.0D), 9)"
+    )
+    return (
+        g.select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_hours"),
+            F.expr(guard.format(expr=corr)).alias("corr"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+def leadlag_corr_oracle_sql() -> str:
+    lags = ", ".join(f"({lag})" for lag in LEADLAG_LAGS)
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) * 24
+                 + hour(ts) AS how,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        hourly AS MATERIALIZED (
+          SELECT event_type, how, CAST(SUM(cents) AS BIGINT) AS v
+          FROM e GROUP BY 1, 2),
+        lags(lag) AS (VALUES {lags}),
+        j AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 l.lag, a.v AS x, b.v AS y
+          FROM hourly a
+          CROSS JOIN lags l
+          JOIN hourly b
+            ON a.event_type < b.event_type
+           AND b.how = a.how + l.lag),
+        g AS (
+          SELECT type_a, type_b, lag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM j GROUP BY 1, 2, 3)
+        SELECT type_a, type_b, CAST(lag AS INT) AS lag, n AS n_hours,
+               ROUND(
+                 (CAST(n AS DOUBLE) * CAST(CAST(sxy AS BIGINT) AS DOUBLE)
+                  - CAST(CAST(sx AS BIGINT) AS DOUBLE)
+                    * CAST(CAST(sy AS BIGINT) AS DOUBLE))
+                 / NULLIF(
+                     sqrt(CAST(n AS DOUBLE)
+                          * CAST(CAST(sxx AS BIGINT) AS DOUBLE)
+                          - CAST(CAST(sx AS BIGINT) AS DOUBLE)
+                            * CAST(CAST(sx AS BIGINT) AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE)
+                          * CAST(CAST(syy AS BIGINT) AS DOUBLE)
+                          - CAST(CAST(sy AS BIGINT) AS DOUBLE)
+                            * CAST(CAST(sy AS BIGINT) AS DOUBLE)), 0.0),
+                 9) AS corr
+        FROM g ORDER BY type_a, type_b, lag
+        """

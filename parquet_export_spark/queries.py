@@ -804,6 +804,27 @@ REGISTRY.update(
         "spearman_corr_by_flag": QuerySpec(
             _rel(ST.spearman_corr_by_flag), ST.spearman_oracle_sql()
         ),
+        # Round-10 rank/trend/lead-lag batch:
+        # Kendall tau-b completes the correlation triple (Pearson /
+        # Spearman / Kendall): bounded (quantity x discount) joint
+        # support -> closed-form integer pair algebra on <=550 cells
+        # per flag, spearman's guarded through-int64 presentation.
+        "kendall_tau_qty_discount": QuerySpec(
+            _rel(ST.kendall_tau_qty_discount), ST.kendall_tau_oracle_sql()
+        ),
+        # Mann-Kendall monotone-trend test per type: calendar-bounded
+        # day-pair sign sum + tie-corrected variance, all-int64 by
+        # structure (m^3 at 10^4 days ~ 1e12), continuity-corrected z.
+        "mann_kendall_trend_daily": QuerySpec(
+            _rel(ST.mann_kendall_trend_daily), ST.mann_kendall_oracle_sql()
+        ),
+        # Cross-type lead-lag correlation at lags -2..2: one
+        # (type,hour,cents) collapse, hour-aligned pair join bounded by
+        # calendar x types^2, DECIMAL-exact moments, guarded
+        # through-int64 ROUND(9) Pearson.
+        "leadlag_corr_types": QuerySpec(
+            _rel(ST.leadlag_corr_types), ST.leadlag_corr_oracle_sql()
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """
@@ -2954,6 +2975,20 @@ REGISTRY.update(
         # once, first-week min-table joined back user-keyed.
         "new_returning_weekly": QuerySpec(
             _rel(A.new_returning_weekly), A.new_returning_oracle_sql()
+        ),
+        # Round-10: WoW audience overlap per type — set stability
+        # (retention + Jaccard, integer ppm) where new_returning is
+        # global first-week; one distinct collapse + user-keyed
+        # self-join, no fact windows.
+        "wow_audience_overlap": QuerySpec(
+            _rel(A.wow_audience_overlap), A.wow_audience_overlap_oracle_sql()
+        ),
+        # Round-10: two-proportion z-test per click tier — the
+        # hypothesis-testing member of the funnel family; exact count
+        # inputs, structural int64->double envelope, ROUND(9) z.
+        "conversion_ztest_by_click_tier": QuerySpec(
+            _rel(A.conversion_ztest_by_click_tier),
+            A.conversion_ztest_oracle_sql(),
         ),
         # Session entry/exit transition grid: the SHARED _sessionized
         # core (one definition with sessionize_batch, Python and SQL),

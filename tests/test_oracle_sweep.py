@@ -63,6 +63,12 @@ ROUND_CHANGED = [
     "hll_rollup_users",
     # round 10, new: exact bounded-radius closeness (r9 verdict #5):
     "harmonic_closeness_exact2_suppliers",
+    # round 10, new operator batch (rank/trend/lead-lag + behavioral):
+    "kendall_tau_qty_discount",
+    "mann_kendall_trend_daily",
+    "leadlag_corr_types",
+    "wow_audience_overlap",
+    "conversion_ztest_by_click_tier",
 ]
 
 #: Previous round's list (r9), kept for the PENDING-tier bookkeeping in

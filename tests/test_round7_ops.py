@@ -215,17 +215,30 @@ def test_bench_emit_slowest20_then_total(capsys):
         json.loads(ln)
         for ln in capsys.readouterr().out.strip().splitlines()
     ]
-    # total is LAST (driver-tail contract), slowest20 immediately before
+    # total is LAST (driver-tail contract); the positional full map
+    # (timings_cs, round-10) immediately before it, slowest20 before
+    # that — so tail truncation eats the redundant named summary
+    # before the full map, and the map before the total.
     assert lines[-1]["metric"] == "headline_queries_total_sec"
-    s20 = lines[-2]
+    tcs = lines[-2]
+    assert tcs["metric"] == "timings_cs"
+    assert tcs["n"] == len(timings)
+    # positional: centisecond ints in emission order
+    assert tcs["t"] == [int(round(v * 100)) for v in timings.values()]
+    s20 = lines[-3]
     assert s20["metric"] == "slowest20"
     assert len(s20["queries"]) == 20
     assert min(s20["queries"].values()) >= max(
         v for k, v in timings.items() if k not in s20["queries"]
     )
-    # the two trailer lines always fit the driver's 2000-byte tail,
-    # independent of registry size
-    assert len(json.dumps(s20)) + len(json.dumps(lines[-1])) < 1800
+    # the tail-critical trailer lines fit the driver's 2000-byte tail
+    # together, at 200 registry entries
+    assert (
+        len(json.dumps(s20))
+        + len(json.dumps(tcs, separators=(",", ":")))
+        + len(json.dumps(lines[-1]))
+        < 2000
+    )
     # chunks reassemble to the full map
     chunks = [l for l in lines if l["metric"] == "headline_queries_chunk"]
     merged = {}

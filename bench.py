@@ -242,6 +242,8 @@ HEADLINE = [
     "leadlag_corr_types",
     "wow_audience_overlap",
     "conversion_ztest_by_click_tier",
+    "theil_sen_slope_daily",
+    "runs_test_daily",
 ]
 
 

@@ -4926,6 +4926,39 @@ def kendall_tau_oracle_sql() -> str:
         """
 
 
+def _daily_type_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """The ONE daily-count series core shared by the trend family
+    (mann_kendall_trend_daily / theil_sen_slope_daily /
+    runs_test_daily — the drift rule): events collapsed to
+    (event_type, epoch-day, count), checkpointed because every
+    consumer fans it out to a self-join or window plus marginals."""
+    e = t["events"].select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day"),
+    )
+    return (
+        e.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+
+
+#: DuckDB CTE text of the SAME daily collapse (one definition for the
+#: trend family's oracles).
+DAILY_TYPE_COUNTS_CTE_SQL = """
+        e AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day
+          FROM events),
+        daily AS MATERIALIZED (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2)
+"""
+
+
 def mann_kendall_trend_daily(t: dict[str, DataFrame]) -> DataFrame:
     """Mann-Kendall trend test on the daily event-count series per
     type — the nonparametric "is this metric drifting?" monitor
@@ -4947,17 +4980,7 @@ def mann_kendall_trend_daily(t: dict[str, DataFrame]) -> DataFrame:
 
     Output: (event_type, m_days, s_stat, varnum, mk_z), type-ordered.
     """
-    e = t["events"].select(
-        "event_type",
-        F.expr(
-            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
-        ).alias("day"),
-    )
-    daily = (
-        e.groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+    daily = _daily_type_counts(t)
     a, b = daily.alias("a"), daily.alias("b")
     s = (
         a.join(
@@ -5004,15 +5027,8 @@ def mann_kendall_trend_daily(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def mann_kendall_oracle_sql() -> str:
-    return """
-        WITH e AS MATERIALIZED (
-          SELECT event_type,
-                 CAST(date_diff('day', DATE '1970-01-01',
-                                CAST(ts AS DATE)) AS BIGINT) AS day
-          FROM events),
-        daily AS MATERIALIZED (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
-          FROM e GROUP BY 1, 2),
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
         s AS (
           SELECT a.event_type,
                  CAST(SUM(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT)
@@ -5196,4 +5212,214 @@ def leadlag_corr_oracle_sql() -> str:
                             * CAST(CAST(sy AS BIGINT) AS DOUBLE)), 0.0),
                  9) AS corr
         FROM g ORDER BY type_a, type_b, lag
+        """
+
+
+def theil_sen_slope_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil-Sen robust trend slope of the daily count series per
+    type — the estimator companion to ``mann_kendall_trend_daily``'s
+    test (the classic pairing: MK says IS there a monotone trend,
+    Theil-Sen says how steep, robustly): the median of all pairwise
+    slopes (c_j - c_i)/(day_j - day_i), immune to the outlier days
+    that swing the least-squares line (``ols_value_by_hour``).
+
+    Determinism: each pairwise slope is ONE double division of two
+    exact small ints — bit-identical in both engines — and the
+    median is the LOWER order statistic (never interpolated, pitfall
+    17) under the total order (slope, day_i, day_j), so ties pick the
+    same pair everywhere. The pair set is CALENDAR-bounded (days^2,
+    constant in SF) — the window sort is over ~2.7e5 pairs per type
+    at two years, regardless of fact size.
+
+    Output: (event_type, n_days, n_pairs, sen_slope), type-ordered;
+    sen_slope ROUND(9) for presentation only (selection happens on
+    the unrounded total order).
+    """
+    from pyspark.sql import Window
+
+    daily = _daily_type_counts(t)
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("di"),
+            F.col("b.day").alias("dj"),
+            F.expr(
+                "CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)"
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    np_ = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    md = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        ranked.join(F.broadcast(np_), "event_type")
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .join(F.broadcast(md), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.expr("round(slope, 9)").alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_oracle_sql() -> str:
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        slopes AS (
+          SELECT a.event_type,
+                 a.day AS di, b.day AS dj,
+                 CAST(b.c - a.c AS DOUBLE)
+                     / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day),
+        ranked AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY slope, di, dj)
+                      AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS n_pairs
+          FROM slopes),
+        md AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1)
+        SELECT r.event_type, md.n_days, r.n_pairs,
+               ROUND(r.slope, 9) AS sen_slope
+        FROM ranked r JOIN md USING (event_type)
+        WHERE r.rn = (r.n_pairs + 1) // 2
+        ORDER BY r.event_type
+        """
+
+
+def runs_test_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Wald-Wolfowitz runs test on the day-over-day direction of each
+    type's count series: too FEW runs of consecutive ups/downs means
+    momentum (trend/autocorrelation), too MANY means oscillation —
+    the randomness check that complements Mann-Kendall (a series can
+    be trend-free yet strongly non-random). Zero deltas (flat days)
+    are excluded, the textbook convention.
+
+    All inputs exact and calendar-bounded: directions from ONE lag
+    window over the daily series (days rows per type), run count R =
+    1 + #{direction changes} via a second lag, n_up/n_down exact
+    counts. Under H0, E[R] = 1 + 2*n1*n2/n and
+    Var = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)); the presented
+    z = (R - E[R])/sqrt(Var) is double arithmetic over ints far below
+    2^53 (n is a day count), ROUND(9), NULL for degenerate series
+    (n1 = 0 or n2 = 0 or n < 2).
+
+    Output: (event_type, n_moves, n_up, n_down, n_runs, runs_z).
+    """
+    from pyspark.sql import Window
+
+    daily = _daily_type_counts(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    moves = (
+        daily.withColumn("prev_c", F.lag("c").over(w))
+        .filter(F.col("prev_c").isNotNull() & (F.col("c") != F.col("prev_c")))
+        .select(
+            "event_type",
+            "day",
+            F.expr("CASE WHEN c > prev_c THEN 1 ELSE -1 END").alias("dir"),
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    runs = (
+        moves.withColumn("prev_dir", F.lag("dir").over(w2))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_moves"),
+            F.sum(F.when(F.col("dir") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_up"),
+            F.sum(F.when(F.col("dir") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_down"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev_dir").isNotNull()
+                        & (F.col("dir") != F.col("prev_dir")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
+    )
+    z = (
+        "round(CASE WHEN n_up = 0 OR n_down = 0 OR n_moves < 2 THEN NULL"
+        " ELSE (CAST(n_runs AS DOUBLE)"
+        "       - (1.0D + 2.0D * n_up * n_down / n_moves))"
+        "      / nullif(sqrt((2.0D * n_up * n_down"
+        "                     * (2.0D * n_up * n_down - n_moves))"
+        "                    / (CAST(n_moves AS DOUBLE) * n_moves"
+        "                       * (n_moves - 1))), 0.0D) END, 9)"
+    )
+    return (
+        runs.select(
+            "event_type",
+            "n_moves",
+            "n_up",
+            "n_down",
+            "n_runs",
+            F.expr(z).alias("runs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def runs_test_oracle_sql() -> str:
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        moves AS (
+          SELECT event_type, day,
+                 CASE WHEN c > prev_c THEN 1 ELSE -1 END AS dir
+          FROM (SELECT event_type, day, c,
+                       LAG(c) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS prev_c
+                FROM daily)
+          WHERE prev_c IS NOT NULL AND c <> prev_c),
+        runs AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_moves,
+                 CAST(SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_up,
+                 CAST(SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_down,
+                 CAST(1 + SUM(CASE WHEN prev_dir IS NOT NULL
+                                    AND dir <> prev_dir
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+          FROM (SELECT *,
+                       LAG(dir) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS prev_dir
+                FROM moves)
+          GROUP BY 1)
+        SELECT event_type, n_moves, n_up, n_down, n_runs,
+               ROUND(CASE WHEN n_up = 0 OR n_down = 0 OR n_moves < 2
+                     THEN NULL
+                     ELSE (CAST(n_runs AS DOUBLE)
+                           - (1.0 + 2.0 * n_up * n_down / n_moves))
+                          / NULLIF(sqrt((2.0 * n_up * n_down
+                                         * (2.0 * n_up * n_down
+                                            - n_moves))
+                                        / (CAST(n_moves AS DOUBLE)
+                                           * n_moves * (n_moves - 1))),
+                                   0.0) END, 9) AS runs_z
+        FROM runs ORDER BY event_type
         """

@@ -818,6 +818,19 @@ REGISTRY.update(
         "mann_kendall_trend_daily": QuerySpec(
             _rel(ST.mann_kendall_trend_daily), ST.mann_kendall_oracle_sql()
         ),
+        # Theil-Sen robust slope: MK's estimator companion — lower-
+        # median order statistic of calendar-bounded pairwise slopes
+        # under a (slope, di, dj) total order; shares the
+        # _daily_type_counts core.
+        "theil_sen_slope_daily": QuerySpec(
+            _rel(ST.theil_sen_slope_daily), ST.theil_sen_oracle_sql()
+        ),
+        # Wald-Wolfowitz runs test: randomness of day-over-day moves —
+        # two lag windows over the calendar-bounded daily series, exact
+        # run/up/down counts, ROUND(9) z; same shared core.
+        "runs_test_daily": QuerySpec(
+            _rel(ST.runs_test_daily), ST.runs_test_oracle_sql()
+        ),
         # Cross-type lead-lag correlation at lags -2..2: one
         # (type,hour,cents) collapse, hour-aligned pair join bounded by
         # calendar x types^2, DECIMAL-exact moments, guarded

@@ -69,6 +69,8 @@ ROUND_CHANGED = [
     "leadlag_corr_types",
     "wow_audience_overlap",
     "conversion_ztest_by_click_tier",
+    "theil_sen_slope_daily",
+    "runs_test_daily",
 ]
 
 #: Previous round's list (r9), kept for the PENDING-tier bookkeeping in

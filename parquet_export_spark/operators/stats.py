@@ -4980,7 +4980,15 @@ def mann_kendall_trend_daily(t: dict[str, DataFrame]) -> DataFrame:
 
     Output: (event_type, m_days, s_stat, varnum, mk_z), type-ordered.
     """
-    daily = _daily_type_counts(t)
+    return mk_trend_from_daily(_daily_type_counts(t))
+
+
+def mk_trend_from_daily(daily: DataFrame) -> DataFrame:
+    """The ONE Mann-Kendall scoring definition, off any checkpointed
+    (event_type, day, c) frame — shared by the batch operator above
+    and the streaming monitor twin (streaming/incremental.py
+    mk_trend_stream), so batch/stream score drift is structurally
+    impossible (the monitor-family drift rule)."""
     a, b = daily.alias("a"), daily.alias("b")
     s = (
         a.join(
@@ -5002,8 +5010,13 @@ def mann_kendall_trend_daily(t: dict[str, DataFrame]) -> DataFrame:
             F.sum(F.expr("tc * (tc - 1) * (2 * tc + 5)")).alias("tie_term")
         )
     )
+    # build from m (every type with >= 1 observed day), LEFT-joining
+    # the pair sum: a single-day series legitimately reports
+    # s_stat = 0, varnum = 0, mk_z NULL — dropping it would make the
+    # monitor twin silent exactly when a type first appears.
     return (
-        s.join(F.broadcast(m), "event_type")
+        m.join(s, "event_type", "left")
+        .na.fill({"s_stat": 0})
         .join(F.broadcast(ties), "event_type")
         .withColumn(
             "varnum", F.expr("m * (m - 1) * (2 * m + 5) - tie_term")
@@ -5045,9 +5058,10 @@ def mann_kendall_oracle_sql() -> str:
           FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tc
                 FROM daily GROUP BY 1, 2) GROUP BY 1),
         g AS (
-          SELECT s.event_type, s.s_stat, m.m,
+          SELECT m.event_type, COALESCE(s.s_stat, 0) AS s_stat, m.m,
                  m.m * (m.m - 1) * (2 * m.m + 5) - ties.tie_term AS varnum
-          FROM s JOIN m USING (event_type) JOIN ties USING (event_type))
+          FROM m LEFT JOIN s USING (event_type)
+          JOIN ties USING (event_type))
         SELECT event_type,
                m AS m_days,
                s_stat,

@@ -1792,6 +1792,117 @@ def read_tv_drift(spark, artifact_dir: str):
     )
 
 
+def mk_trend_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous Mann-Kendall trend monitoring — the TREND member of
+    the streaming monitor family (KS/W1/TV ask "did the distribution
+    move", CUSUM "did the level shift"; MK asks "is the daily volume
+    MONOTONICALLY drifting, and how sure are we"). Per micro-batch:
+    merge the batch's (type, epoch-day) counts into the carried daily
+    series — the state is CALENDAR-bounded (types x days, independent
+    of row rate) — and re-score the WHOLE carried series with the
+    batch operator's own definition
+    (operators/stats.py::mk_trend_from_daily — one scoring function,
+    so batch/stream drift is structurally impossible). The per-round
+    day-pair join is days^2-bounded, again independent of row rate;
+    incremental never re-reads event history, only the compact carry.
+
+    Replay idempotence + keep-two compaction: the shared recipe
+    (overwritten ``mk/batch_<id>`` + ``carry/batch_<id>``, read the
+    highest carry below own id) — pinned by the parametrized monitor
+    lifecycle test alongside the other eleven.
+
+    Output rows per batch: (batch_id, event_type, m_days, s_stat,
+    varnum, mk_z) via :func:`read_mk_trend`.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.stats import mk_trend_from_daily
+
+    out_base = artifact_dir.rstrip("/") + "/mk"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                    " AS BIGINT)"
+                ).alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, day long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "day")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        (
+            mk_trend_from_daily(cum)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type", "m_days", "s_stat", "varnum", "mk_z",
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mk_trend(spark, artifact_dir: str):
+    """Per-batch Mann-Kendall scores emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/mk")
+        .select(
+            "batch_id", "event_type", "m_days", "s_stat", "varnum", "mk_z"
+        )
+    )
+
+
 def growth_accounting_stream(
     events_stream: DataFrame,
     artifact_dir: str,

@@ -1168,8 +1168,8 @@ def test_w1_drift_stream_two_batches_exact(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # ONE parametrized replay-idempotence + keep-two-compaction pin for all
-# ELEVEN monitors (round-8 verdict #5; tv_drift, growth-accounting
-# and auc_drift joined in round 9): the shared foreachBatch carry
+# TWELVE monitors (round-8 verdict #5; tv_drift, growth-accounting
+# and auc_drift joined in round 9; mk_trend in round 10): the shared foreachBatch carry
 # recipe promises (a) a re-run against the same checkpoint changes
 # nothing, and (b) after a third batch the persisted state tree holds
 # only the two most recent copies (replay of the last uncommitted
@@ -1309,6 +1309,13 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_auc_drift(spark, art)),
             art + "/carry",
         )
+    if name == "mk_trend":
+        return (
+            ev, ev_batches, land, ckpt,
+            lambda s: I.mk_trend_stream(s, art, ckpt),
+            lambda: snap(I.read_mk_trend(spark, art)),
+            art + "/carry",
+        )
     if name == "growth":
         return (
             ev, ev_batches, land, ckpt,
@@ -1338,7 +1345,7 @@ def _monitor_spec(name, spark, tmp_path):
     [
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
-        "growth", "auc_drift",
+        "growth", "auc_drift", "mk_trend",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1583,3 +1590,80 @@ def test_auc_drift_stream_two_batches_exact(spark, tmp_path):
     }
     assert ppma == 500_000      # matching prefix: exactly no dominance
     assert ppmb > 500_000       # upward shift: stream dominates
+
+
+def test_mk_trend_stream_matches_batch_on_prefix(spark, tmp_path):
+    """The monitor-family MATH pin for mk_trend_stream: after each
+    micro-batch, the emitted scores must EQUAL the batch operator run
+    on the concatenated prefix — trivially true by construction (one
+    shared scoring function, mk_trend_from_daily), asserted anyway so
+    a future fork of either path fails here."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators import stats as ST
+
+    land = str(tmp_path / "landing")
+    art = str(tmp_path / "art")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(lo, hi, per_day):
+        out = []
+        for d in range(lo, hi):
+            for k in range(per_day(d)):
+                out.append(
+                    (
+                        d * 100 + k,
+                        t0 + timedelta(days=d, minutes=k),
+                        k % 5,
+                        "probe" if d % 2 == 0 else "other",
+                        1.0,
+                        "{}",
+                    )
+                )
+        return out
+
+    # batch 1: rising counts; batch 2: extends the series downward
+    b1 = rows(0, 6, lambda d: 2 + d)
+    b2 = rows(6, 10, lambda d: max(1, 12 - d))
+
+    def run_once():
+        q = I.mk_trend_stream(
+            spark.readStream.schema(schema).parquet(land), art, ckpt
+        )
+        q.awaitTermination()
+
+    def batch_scores(prefix):
+        df = spark.createDataFrame(prefix, schema)
+        return sorted(
+            tuple(r)
+            for r in ST.mann_kendall_trend_daily({"events": df}).collect()
+        )
+
+    def stream_scores(batch_id):
+        return sorted(
+            tuple(r)[1:]
+            for r in I.read_mk_trend(spark, art)
+            .filter(F.col("batch_id") == batch_id)
+            .collect()
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    assert stream_scores(0) == batch_scores(b1)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    assert stream_scores(1) == batch_scores(b1 + b2)
+    # and the trend family's monotone story holds: the rising-then-
+    # falling "probe" series must have moved its S statistic
+    full = {r[0]: r for r in stream_scores(1)}
+    assert "probe" in full and "other" in full

@@ -3990,43 +3990,35 @@ REGISTRY.update(
 # The partition is enforced by tests/test_freshness.py against the actual
 # CORRECTNESS_r*.json artifacts — the policy cannot silently drift.
 #
-# ROUND-10 WINDOW, per the r9 verdict's explicit 27+13+10 allocation:
-#   (a) all 27 round-9 oracle entries that have never held a driver
-#       verdict (rule 1; cross-checked against CORRECTNESS_r01..r09);
-#   (b) the 13 named r4-stale deferrals (rule 2 — oldest evidence);
-#   (c) 10 slots, rule 1 + rule 2 blended: the 7 TPC-H queries whose
-#       JOIN PLANS changed this round (broadcast-hint scoping + the q17
-#       semi-restrict restructure: q3/q5/q7/q8/q9/q10/q17 — the r9
-#       verdict requires their oracles stay green under the new plans)
-#       and the 3 oldest (r5) graph composites whose plans moved onto
-#       the persisted artifacts in r9 (graph_all_metrics,
-#       cc_doubling_trade_graph, cc_incremental_trade).
+# ROUND-11 WINDOW, per the r10 verdict's task #1 (12 first-verdict
+# entries + fill-to-50 from the oldest tiers):
+#   (a) all 12 oracle entries with NO driver verdict under their
+#       registered name (the 10 round-10 additions plus the two
+#       converted sketch twins agg_approx_distinct/approx_percentiles,
+#       whose only prior verdicts were as the raw sketch gears) —
+#       closes the registry to 100% driver-verified oracle coverage;
+#   (b) the 8 PENDING r9 artifact-probe entries (due by r12; draining
+#       them now clears the PENDING book entirely);
+#   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
+#       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
+#       join_range) — triple-SF-swept in r10, verdicts still pre-change;
+#   (d) 21 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. remove_dup_spans below.
 # Left OUTSIDE the window, each named by tier:
-#   - CHANGED (r10, triple-SF-swept this round, r11 window priority):
-#     the broadcast-hint family outside the window
-#     (q2_min_balance_supplier, q14_promo_revenue_share,
-#     q15_top_supplier, q16_supplier_counts, q18_large_orders_having,
-#     q19_disjunctive_predicates, q20_heavy_suppliers,
-#     q21_exclusive_return_suppliers, join_range) and the five oracle
-#     entries BORN this round after the window was fixed
-#     (agg_approx_distinct, approx_percentiles,
-#     histogram_equidepth_approx, hll_rollup_users — the _checked
-#     sketch-twin conversions — and harmonic_closeness_exact2_suppliers).
-#   - PENDING (r9 artifact-probe plan changes, verdicts r5/r6, due by
-#     r12): butterfly_pairs_trade, hits_trade_graph, kcore_suppliers,
-#     pagerank_trade_graph, sessionize_batch, supplier_communities,
-#     supplier_graph_suite, triangle_count_suppliers.
-#   - FROZEN: the 72 names in FROZEN below.
-#   - fresh (r8/r9 verdicts, within the 3-round bar): the remaining 99.
+#   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
+#     born or changed this round after the rotation; triple-SF-swept
+#     every pytest run, front-loaded for the r12 window.
+#   - PENDING: empty once this window lands (the 8 r9 entries take
+#     slots above; no r10 change is left unverdicted).
+#   - FROZEN: the names in FROZEN below (less the 21 refreshed in (d),
+#     which stay frozen — a refresh does not unfreeze).
+#   - fresh (r8/r9/r10 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
 #     ann_lsh_buckets, ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk,
 #     label_pca, neardup_clusters, neardup_minhash_lsh, neardup_simhash,
 #     sample_fraction, semdedup_embedding, pq_topk, bpe_learn_merges,
-#     ivf_probe_incremental, neardup_incremental, pq_probe_incremental,
-#     supplier_communities_approx. (agg_approx_distinct,
-#     approx_percentiles, histogram_equidepth_approx and
-#     hll_rollup_users left this tier in r10: their registered entries
-#     are now _checked twins with exact-twin oracles — r9 verdict #3.)
+#     bpe_encode_corpus, ivf_probe_incremental, neardup_incremental,
+#     pq_probe_incremental, supplier_communities_approx.
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4035,36 +4027,38 @@ REGISTRY.update(
 #: Bumped once per round, together with the window + ROUND_CHANGED
 #: rotation (tests/test_freshness.py pins it against the newest
 #: CORRECTNESS_r*.json artifact so it cannot go stale silently).
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 _VERDICT_PRIORITY = [
-    # (a) round-9 oracle entries, never driver-verdicted:
-    "spearman_corr_by_flag", "mann_whitney_auc_pairs",
-    "quantile_transform_values", "seasonal_hour_baseline_loo",
-    "hourly_value_percentiles", "quantile_transform_incremental",
-    "weekly_mix_drift", "cramers_v_type_decile",
-    "atkinson_index_by_segment", "tv_distance_pairs",
-    "lorenz_curve_deciles", "dup_rate_by_source", "cross_source_overlap",
-    "markov_stationary_types", "session_duration_histogram",
-    "zipf_slope_unigrams", "readability_scores", "textrank_keywords",
-    "dau_mau_stickiness", "new_returning_weekly",
-    "kaplan_meier_interorder", "forecast_backtest_mase",
-    "lift_curve_clicks_to_purchase", "roc_auc_clicks_to_purchase",
-    "churn_retention_monthly", "session_concurrency_hourly",
-    "harmonic_closeness_suppliers",
-    # (b) the 13 named r4-stale deferrals:
-    "agg_stats", "bloom_prune_orders", "event_ohlc",
-    "label_centroid_sim", "next_event_examples", "pii_scan",
-    "shard_for_training", "token_diversity", "value_gini_by_type",
-    "value_outliers", "vocab_coverage", "window_range_frame",
-    "winsorize_values",
-    # (c) plans changed this round (broadcast scoping / q17 restructure)
-    #     + the 3 oldest artifact-probe graph composites:
-    "q3_shipping_priority", "q5_revenue_by_nation",
-    "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q17_small_quantity_revenue",
-    "graph_all_metrics", "cc_doubling_trade_graph",
-    "cc_incremental_trade",
+    # (a) the 12 oracle entries never driver-verdicted under their
+    #     registered names (10 born in r10 + the 2 sketch-twin
+    #     conversions) — completes 100% driver-verified coverage:
+    "kendall_tau_qty_discount", "mann_kendall_trend_daily",
+    "theil_sen_slope_daily", "runs_test_daily", "leadlag_corr_types",
+    "histogram_equidepth_approx", "wow_audience_overlap",
+    "conversion_ztest_by_click_tier",
+    "harmonic_closeness_exact2_suppliers", "hll_rollup_users",
+    "agg_approx_distinct", "approx_percentiles",
+    # (b) the 8 PENDING r9 artifact-probe entries (drains the book):
+    "butterfly_pairs_trade", "hits_trade_graph", "kcore_suppliers",
+    "pagerank_trade_graph", "sessionize_batch", "supplier_communities",
+    "supplier_graph_suite", "triangle_count_suppliers",
+    # (c) the 9 r10 broadcast-hint-family queries left outside the r10
+    #     window (plans changed r10; verdicts must move post-change):
+    "q2_min_balance_supplier", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_counts",
+    "q18_large_orders_having", "q19_disjunctive_predicates",
+    "q20_heavy_suppliers", "q21_exclusive_return_suppliers",
+    "join_range",
+    # (d) 21 opportunistic FROZEN refreshes, oldest (r5) evidence first:
+    "agg_distinct", "apply_changefeed", "assoc_rules_parts",
+    "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
+    "cusum_alarms", "date_funcs_extra", "dedup_incremental",
+    "events_hourly_rollup", "filter_project", "fuzzy_join_parts",
+    "histogram_equidepth", "incremental_rollup",
+    "interpolate_hourly_values", "join_left_nulls", "knn_classify",
+    "match_click_bursts", "ols_value_by_hour", "percentiles_exact",
+    "remove_dup_spans",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,
@@ -4102,7 +4096,9 @@ FROZEN = frozenset({
 #: PENDING tier: {entry: round its plan/oracle last changed}. The entry
 #: was triple-SF-swept in that round but its latest driver verdict
 #: predates the change; it must take a window slot within 3 rounds of
-#: the change (enforced by tests/test_freshness.py).
+#: the change (enforced by tests/test_freshness.py). All 8 r9 entries
+#: hold r11 window slots above — the book clears when that verdict
+#: lands.
 PENDING_VERDICT = {
     "butterfly_pairs_trade": 9,
     "hits_trade_graph": 9,

@@ -46,14 +46,27 @@ def _last_verdicts() -> dict[str, int]:
 
 
 def test_current_round_tracks_artifacts():
-    """CURRENT_ROUND must be exactly one past the newest CORRECTNESS
-    artifact — a stale bump voids every deadline below."""
+    """CURRENT_ROUND must track the newest CORRECTNESS artifact — a
+    stale bump voids every deadline below. Two states are legal
+    (r10 advice — the driver drops the round-N artifact BEFORE the
+    round-N+1 rotation commits, so requiring exactly max+1 turned the
+    suite red in the gap): max+1 (normal, post-rotation) or max (the
+    current round's artifact just landed, rotation pending)."""
     rounds = [
         int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
     ]
     assert rounds, "driver artifacts missing"
-    assert CURRENT_ROUND == max(rounds) + 1
+    assert CURRENT_ROUND in (max(rounds), max(rounds) + 1)
+
+
+def test_sweep_lists_carry_no_duplicates():
+    """r10 verdict #3: duplicate names in ROUND_CHANGED /
+    PREV_ROUND_CHANGED re-run sweep legs for nothing and corrupt the
+    bookkeeping counts — enforced here, not re-advised."""
+    for lst in (ROUND_CHANGED, PREV_ROUND_CHANGED, _VERDICT_PRIORITY):
+        dupes = [n for n in set(lst) if lst.count(n) > 1]
+        assert not dupes, sorted(dupes)
 
 
 def test_window_is_fifty_oracle_bearing_and_first():

@@ -33,75 +33,35 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 10: broadcast-hint scoping (forced hints dropped from every
-    # SF-scaling frame; Catalyst/AQE now owns the decision) — same
-    # results required under the new join plans, so the whole family
-    # re-sweeps at all three SFs. q3/q5/q7/q8/q9/q10/q17 additionally
-    # hold r10 verdict-window slots; the rest are front-loaded for r11.
-    "q2_min_balance_supplier",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",  # + semi-restrict restructure (standard Q17 plan)
-    "q18_large_orders_having",
-    "q19_disjunctive_predicates",
-    "q20_heavy_suppliers",
-    "q21_exclusive_return_suppliers",
-    "join_range",
-    # round 10: sketch gears re-registered as _checked twins with
-    # exact-twin oracles (r9 verdict #3) — new oracle text + output
-    # shape, so the full triple-SF sweep applies:
-    "agg_approx_distinct",
-    "approx_percentiles",
-    "histogram_equidepth_approx",
-    "hll_rollup_users",
-    # round 10, new: exact bounded-radius closeness (r9 verdict #5):
-    "harmonic_closeness_exact2_suppliers",
-    # round 10, new operator batch (rank/trend/lead-lag + behavioral):
-    "kendall_tau_qty_discount",
-    "mann_kendall_trend_daily",
-    "leadlag_corr_types",
-    "wow_audience_overlap",
-    "conversion_ztest_by_click_tier",
-    "theil_sen_slope_daily",
-    "runs_test_daily",
+    # round 11: populated as this round's work lands. Every entry added
+    # below is triple-SF-swept on each pytest run and front-loaded for
+    # the r12 verdict window.
 ]
 
-#: Previous round's list (r9), kept for the PENDING-tier bookkeeping in
-#: tests/test_freshness.py: entries that changed in r9 and still carry a
-#: pre-change driver verdict appear in queries.PENDING_VERDICT with
-#: round 9 and must re-enter the window by r12.
-PREV_ROUND_CHANGED = [
-    "ks_distance_pairs", "wasserstein_distance_pairs", "fano_burstiness",
-    "apdex_by_type", "supplier_communities", "triangle_count_suppliers",
-    "clustering_coeff_suppliers", "community_modularity_suppliers",
-    "degree_distribution_suppliers", "link_prediction_suppliers",
-    "kcore_suppliers", "supplier_graph_suite", "lpa_communities_suppliers",
-    "pagerank_trade_graph", "cc_trade_graph", "cc_doubling_trade_graph",
-    "sssp_trade_graph", "graph_all_metrics", "hits_trade_graph",
-    "random_walks_suppliers", "assortativity_trade_graph",
-    "tv_distance_pairs", "markov_stationary_types", "zipf_slope_unigrams",
-    "lorenz_curve_deciles", "session_duration_histogram",
-    "dup_rate_by_source", "cross_source_overlap", "cc_incremental_trade",
-    "butterfly_pairs_trade", "dau_mau_stickiness", "new_returning_weekly",
-    "cramers_v_type_decile", "kaplan_meier_interorder",
-    "atkinson_index_by_segment", "spearman_corr_by_flag",
-    "churn_retention_monthly", "session_concurrency_hourly",
-    "readability_scores", "mann_whitney_auc_pairs", "weekly_mix_drift",
-    "forecast_backtest_mase", "sessionize_batch", "session_entry_exit",
-    "session_duration_histogram", "session_concurrency_hourly",
-    "textrank_keywords", "quantile_transform_values",
-    "lift_curve_clicks_to_purchase", "roc_auc_clicks_to_purchase",
-    "quantile_transform_incremental", "hourly_value_percentiles",
-    "seasonal_hour_baseline_loo", "harmonic_closeness_suppliers",
-    "chi2_type_decile",
-]
+#: Previous round's list (r10), kept for the PENDING-tier bookkeeping in
+#: tests/test_freshness.py. Deduplicated AT DEFINITION via dict.fromkeys
+#: (r10 advice: a doubled name re-runs sweep legs for nothing and
+#: corrupts bookkeeping counts) — the companion invariant test enforces
+#: no-duplicates on both lists every run.
+PREV_ROUND_CHANGED = list(dict.fromkeys([
+    # broadcast-hint scoping family (r10 plan change; q3/q5/q7/q8/q9/
+    # q10/q17 verdicted in r10, the rest hold r11 window slots):
+    "q2_min_balance_supplier", "q3_shipping_priority",
+    "q5_revenue_by_nation", "q7_nation_pair_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders_having",
+    "q19_disjunctive_predicates", "q20_heavy_suppliers",
+    "q21_exclusive_return_suppliers", "join_range",
+    # sketch-twin conversions + r10-born operators (all hold r11
+    # window slots):
+    "agg_approx_distinct", "approx_percentiles",
+    "histogram_equidepth_approx", "hll_rollup_users",
+    "harmonic_closeness_exact2_suppliers", "kendall_tau_qty_discount",
+    "mann_kendall_trend_daily", "leadlag_corr_types",
+    "wow_audience_overlap", "conversion_ztest_by_click_tier",
+    "theil_sen_slope_daily", "runs_test_daily",
+]))
 
 SF_DIRS = [
     "/root/testdata/sf0.001",

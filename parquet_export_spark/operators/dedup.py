@@ -1071,6 +1071,176 @@ def neardup_incremental(
     return neardup_incremental_check(batch, sigs, bands, threshold)
 
 
+def neardup_incremental_checked(
+    t: dict[str, DataFrame],
+    batch_mod: int = INCR_BATCH_MOD,
+    threshold: float = NEARDUP_INCR_THRESHOLD,
+) -> DataFrame:
+    """Driver-checkable twin of :func:`neardup_incremental` (round-11,
+    r10 verdict #4 — the same conversion recipe as the r10 sketch
+    twins): the rows-only gear's pytest evidence, promoted into the
+    plan so the driver's independent DuckDB hash re-verifies it every
+    round.
+
+    Three facts per batch document, each engine-independent:
+
+    - ``agrees_full_recompute`` — the incremental check against the
+      lake's stored MinHash artifact returns EXACTLY the row a
+      from-scratch full-corpus recompute returns (sign everything at
+      once, band, estimate, same keeper rules). Signatures are a pure
+      per-document function (fixed-seed shingle hashing, no corpus
+      state), so incremental == full is a determinism CONTRACT, not a
+      probabilistic bound; asserted per row via null-safe equality on
+      all six output fields.
+    - ``near_covers_exact`` — a batch doc whose text byte-matches a
+      lake doc MUST be flagged ``dup_of_lake``: identical text gives
+      identical signatures, identical band buckets, and lane agreement
+      exactly 1.0 >= threshold. Exact duplication is SQL-expressible
+      (md5 equi-join), so this boolean ties the engine-specific
+      MinHash gate to an oracle-computable ground truth.
+    - ``exact_dup_in_lake`` — the md5 ground-truth bit itself,
+      value-hashed by the oracle (the only non-constant payload
+      column, deliberately: signature-derived values stay out of the
+      hash).
+
+    The keep/lake-match VALUES remain rows-only (engine-specific
+    hashing); their quantitative quality bounds stay in pytest
+    (tests/test_extensions.py). Cost over the raw gear: one extra
+    whole-corpus signing + band self-join — the price of the in-plan
+    reference, paid only by this twin, never by the production check
+    path (which scans the stored artifact alone)."""
+    docs = t["documents"].select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % batch_mod == 0)
+    lake = docs.filter(F.col("doc_id") % batch_mod != 0)
+    sigs, bands = lake_minhash_artifact(lake)
+    incr = neardup_incremental_check(batch, sigs, bands, threshold)
+
+    # from-scratch reference, entirely in-plan: sign the WHOLE corpus
+    # once, band it, estimate over candidate pairs, apply the same
+    # keeper rules with DataFrame ops.
+    sig_all = minhash_signatures(docs).select("doc_id", "sig")
+    bands_all = _band_rows(sig_all)
+    cand = (
+        bands_all.alias("x")
+        .join(
+            bands_all.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    est = F.expr(
+        f"aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),"
+        f" 0, (a, v) -> a + v) / cast({N_HASHES} as double)"
+    )
+    pairs = (
+        cand.join(
+            sig_all.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")),
+            "a",
+        )
+        .join(
+            sig_all.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")),
+            "b",
+        )
+        .select("a", "b", est.alias("est"))
+        .filter(F.col("est") >= threshold)
+        .withColumn("a_in_batch", F.col("a") % batch_mod == 0)
+        .withColumn("b_in_batch", F.col("b") % batch_mod == 0)
+    )
+    # batch-vs-lake edges, oriented (batch doc, lake doc):
+    bl = pairs.filter(
+        F.col("a_in_batch") != F.col("b_in_batch")
+    ).select(
+        F.when(F.col("a_in_batch"), F.col("a")).otherwise(F.col("b")).alias("doc_id"),
+        F.when(F.col("a_in_batch"), F.col("b")).otherwise(F.col("a")).alias("lake_id"),
+        "est",
+    )
+    lake_full = bl.groupBy("doc_id").agg(
+        F.min("lake_id").alias("f_lake_match_id"),
+        F.expr("min_by(est, lake_id)").alias("f_lake_est"),
+    )
+    batch_full = (
+        pairs.filter(F.col("a_in_batch") & F.col("b_in_batch"))
+        .groupBy(F.col("b").alias("doc_id"))
+        .agg(F.min("a").alias("f_batch_match_id"))
+    )
+    full = (
+        batch.select("doc_id")
+        .join(lake_full, "doc_id", "left")
+        .join(batch_full, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("f_lake_match_id").isNotNull().alias("f_dup_of_lake"),
+            "f_lake_match_id",
+            "f_lake_est",
+            F.col("f_batch_match_id").isNotNull().alias("f_dup_in_batch"),
+            "f_batch_match_id",
+            (
+                F.col("f_lake_match_id").isNull()
+                & F.col("f_batch_match_id").isNull()
+            ).alias("f_keep"),
+        )
+    )
+    # exact-duplication ground truth (SQL-expressible, hashed):
+    lake_hashes = (
+        lake.select(F.md5("text").alias("content_hash")).distinct()
+        .withColumn("in_lake", F.lit(True))
+    )
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(lake_hashes, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_lake"), F.lit(False)).alias(
+                "exact_dup_in_lake"
+            ),
+        )
+    )
+    agrees = (
+        F.col("dup_of_lake").eqNullSafe(F.col("f_dup_of_lake"))
+        & F.col("lake_match_id").eqNullSafe(F.col("f_lake_match_id"))
+        & F.col("lake_est").eqNullSafe(F.col("f_lake_est"))
+        & F.col("dup_in_batch").eqNullSafe(F.col("f_dup_in_batch"))
+        & F.col("batch_match_id").eqNullSafe(F.col("f_batch_match_id"))
+        & F.col("keep").eqNullSafe(F.col("f_keep"))
+    )
+    return (
+        incr.join(full, "doc_id")
+        .join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "exact_dup_in_lake",
+            agrees.alias("agrees_full_recompute"),
+            (~F.col("exact_dup_in_lake") | F.col("dup_of_lake")).alias(
+                "near_covers_exact"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def neardup_incremental_checked_oracle_sql(
+    batch_mod: int = INCR_BATCH_MOD,
+) -> str:
+    """DuckDB side: the md5 ground truth is replayed exactly; the two
+    contract booleans are asserted TRUE (their truth is established
+    in-plan — determinism and coverage are contracts, not
+    estimates)."""
+    return f"""
+        WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        b AS (SELECT doc_id, h FROM d WHERE doc_id % {batch_mod} = 0),
+        l AS (SELECT DISTINCT h FROM d WHERE doc_id % {batch_mod} <> 0)
+        SELECT b.doc_id AS doc_id,
+               EXISTS (SELECT 1 FROM l WHERE l.h = b.h)
+                   AS exact_dup_in_lake,
+               TRUE AS agrees_full_recompute,
+               TRUE AS near_covers_exact
+        FROM b ORDER BY doc_id
+        """
+
+
 #: entity-resolution parameters — shared with the oracle SQL.
 ER_MAX_DIST = 2
 ER_CC_ITERS = 6

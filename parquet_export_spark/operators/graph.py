@@ -1105,6 +1105,37 @@ SUPPLIER_COMMUNITY_PCTL = 0.9
 QUANTILE_SKETCH_ACCURACY = 10_000
 
 
+def _supplier_pair_weights(
+    t: dict[str, DataFrame], max_degree: int = BUTTERFLY_MAX_DEGREE
+) -> DataFrame:
+    """The un-thresholded projection pair table ``(s1, s2, n)`` —
+    extracted verbatim from :func:`_supplier_strong_pairs` (round-11,
+    pure code motion: identical plan) so the approx-gear checked twin
+    can compute BOTH threshold gears over one localCheckpointed pair
+    frame instead of re-running the projection self-join twice."""
+    from pyspark.sql import Window
+
+    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
+    cs = (
+        o.join(li, "ok")
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_ok = cs.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+    ).filter(F.col("deg") <= max_degree)
+    a = deg_ok.select("c", F.col("s").alias("s1"))
+    b = deg_ok.select("c", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.localCheckpoint()
+
+
 def _supplier_strong_pairs(
     t: dict[str, DataFrame],
     pctl: float = SUPPLIER_COMMUNITY_PCTL,
@@ -1132,27 +1163,7 @@ def _supplier_strong_pairs(
     pins the production gear sketch-only; the pytest bound pins its
     rank error against the exact gear.
     """
-    from pyspark.sql import Window
-
-    o = t["orders"].select(F.col("o_orderkey").alias("ok"), "o_custkey")
-    li = t["lineitem"].select(F.col("l_orderkey").alias("ok"), "l_suppkey")
-    cs = (
-        o.join(li, "ok")
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    deg_ok = cs.withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("c"))
-    ).filter(F.col("deg") <= max_degree)
-    a = deg_ok.select("c", F.col("s").alias("s1"))
-    b = deg_ok.select("c", F.col("s").alias("s2"))
-    pairs = (
-        a.join(b, "c")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pairs = pairs.localCheckpoint()
+    pairs = _supplier_pair_weights(t, max_degree)
     if exact_quantile:
         th_expr = F.expr(f"percentile(n, {pctl})")
     else:
@@ -1295,6 +1306,137 @@ def supplier_communities_oracle_sql(
         + """
         SELECT supplier, community, community_size FROM comm
         ORDER BY supplier
+        """
+    )
+
+
+def supplier_communities_approx_checked(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+) -> DataFrame:
+    """Driver-checkable twin of the approx-threshold production gear
+    (round-11, r10 verdict #4): the pytest rank-error evidence promoted
+    into the plan, so the driver's DuckDB hash covers the sketch gear
+    every round.
+
+    Payload rows are the EXACT gear's labels (supplier, community,
+    community_size — replayed verbatim by the existing communities
+    oracle). Two booleans ride along, both asserted TRUE by the oracle:
+
+    - ``th_rank_ok`` — the GK contract on the sketch threshold:
+      approx_percentile returns an OBSERVED pair weight whose rank r
+      satisfies |r - pctl*n| <= n/accuracy, so
+      ``#{n <= th_approx} >= (pctl-eps)*n - 1`` and
+      ``#{n < th_approx} <= (pctl+eps)*n + 1`` hold EXACTLY by
+      contract (ties and merge order included) — the
+      approx_percentiles_checked inequality pair, applied to the
+      projection's weight distribution.
+    - ``labels_match_when_th_equal`` — whenever the sketch lands on
+      the exact interpolated threshold (the common case on this
+      tie-heavy integer weight distribution at eps = 1e-4), the
+      production gear's COMMUNITY PARTITION must equal the exact
+      gear's, label for label and size for size (full-outer null-safe
+      comparison, zero mismatches); when the thresholds differ the
+      edge sets legitimately differ and the clause is vacuous (the
+      quantitative rank bound above still pins the sketch).
+
+    Both doubling chains run over the ONE localCheckpointed pair
+    frame — the projection self-join is paid once."""
+    pairs = _supplier_pair_weights(t, max_degree)
+    th = pairs.agg(
+        F.expr(f"percentile(n, {pctl})").alias("th_exact"),
+        F.expr(
+            f"approx_percentile(n, {pctl}, {QUANTILE_SKETCH_ACCURACY})"
+        ).alias("th_approx"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    eps = 1.0 / QUANTILE_SKETCH_ACCURACY
+    wth = pairs.crossJoin(F.broadcast(th))
+    rank = wth.agg(
+        F.sum(
+            F.when(F.col("n") <= F.col("th_approx"), 1).otherwise(0)
+        ).alias("le"),
+        F.sum(F.when(F.col("n") < F.col("th_approx"), 1).otherwise(0)).alias(
+            "lt"
+        ),
+        F.first("th_exact").alias("th_exact"),
+        F.first("th_approx").alias("th_approx"),
+        F.first("n_pairs").alias("np"),
+    ).select(
+        (
+            (F.col("le") >= (pctl - eps) * F.col("np") - 1.0)
+            & (F.col("lt") <= (pctl + eps) * F.col("np") + 1.0)
+        ).alias("th_rank_ok"),
+        (F.col("th_exact") == F.col("th_approx")).alias("th_equal"),
+    )
+    lab_exact = supplier_communities(
+        t,
+        n_iter=n_iter,
+        strong=wth.filter(F.col("n") >= F.col("th_exact")).select("s1", "s2"),
+    )
+    lab_approx = supplier_communities(
+        t,
+        n_iter=n_iter,
+        strong=wth.filter(F.col("n") >= F.col("th_approx")).select(
+            "s1", "s2"
+        ),
+    )
+    e, a = lab_exact.alias("e"), lab_approx.alias("a")
+    mism = (
+        e.join(a, F.col("e.supplier") == F.col("a.supplier"), "full")
+        .select(
+            (
+                F.col("e.supplier").eqNullSafe(F.col("a.supplier"))
+                & F.col("e.community").eqNullSafe(F.col("a.community"))
+                & F.col("e.community_size").eqNullSafe(
+                    F.col("a.community_size")
+                )
+            ).alias("same")
+        )
+        .agg(
+            F.sum(F.when(F.col("same"), 0).otherwise(1)).alias("n_mismatch")
+        )
+    )
+    checks = rank.crossJoin(F.broadcast(mism)).select(
+        "th_rank_ok",
+        (~F.col("th_equal") | (F.col("n_mismatch") == 0)).alias(
+            "labels_match_when_th_equal"
+        ),
+    )
+    return (
+        lab_exact.crossJoin(F.broadcast(checks))
+        .select(
+            "supplier",
+            "community",
+            "community_size",
+            "th_rank_ok",
+            "labels_match_when_th_equal",
+        )
+        .orderBy("supplier")
+    )
+
+
+def supplier_communities_approx_checked_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    n_iter: int = CC_DOUBLE_ITERS,
+) -> str:
+    """DuckDB replay of the EXACT gear's labels plus TRUE assertions
+    for the two in-plan contract booleans."""
+    head = [
+        _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+    ] + _ccd_chain(n_iter)
+    return (
+        "WITH "
+        + ",".join(head)
+        + _comm_sql(n_iter)
+        + """
+        SELECT supplier, community, community_size,
+               TRUE AS th_rank_ok, TRUE AS labels_match_when_th_equal
+        FROM comm ORDER BY supplier
         """
     )
 

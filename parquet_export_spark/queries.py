@@ -3390,18 +3390,17 @@ REGISTRY.update(
             # chain, replayed with MATERIALIZED CTEs.
             G.supplier_communities_oracle_sql(),
         ),
-        # rows-only BY DESIGN (round-6 verdict #3): the PRODUCTION gear
-        # of supplier_communities — identical projection and doubling-CC
-        # chain, but the pair-weight edge threshold comes from a
-        # bounded GK sketch (approx_percentile) instead of the exact
-        # interpolated percentile whose final merge buffer holds every
-        # distinct pair weight in one task. Engine-specific sketch ->
-        # no oracle; evidence is the pytest rank-error bound vs the
-        # exact gear and the plan pin (sketch-only aggregate on the
-        # production path).
+        # the PRODUCTION (GK-sketch-threshold) gear of
+        # supplier_communities — registered as the _checked twin
+        # (round-11, r10 verdict #4): exact-gear labels value-hashed
+        # via the shared communities oracle, the sketch threshold's GK
+        # rank contract and the labels-equal-when-thresholds-equal
+        # pin asserted in-plan as oracle-TRUE booleans. The raw
+        # production gear keeps its plan pin (sketch-only aggregate)
+        # and pytest rank-error bound.
         "supplier_communities_approx": QuerySpec(
-            _graph_probe(G.supplier_communities, exact_quantile=False),
-            None,
+            _rel(G.supplier_communities_approx_checked),
+            G.supplier_communities_approx_checked_oracle_sql(),
         ),
         # Degree-oriented exact triangle counting on the shared
         # supplier projection (one definition with supplier_communities
@@ -3729,11 +3728,17 @@ REGISTRY.update(
             ORDER BY n.doc_id
             """,
         ),
-        # incremental MinHash near-dup: approximate (banding +
-        # signature-estimated Jaccard) -> rows-only; the keep/drop
-        # contract vs a recomputed-from-scratch full-corpus reference
-        # and the never-re-sign-history plan audit live in pytest.
-        "neardup_incremental": QuerySpec(_rel(D.neardup_incremental), None),
+        # incremental MinHash near-dup — registered as the _checked
+        # twin (round-11, r10 verdict #4): the incremental-vs-full-
+        # recompute determinism contract and the exact-dup coverage
+        # bit proved IN-PLAN as oracle-TRUE booleans, with the md5
+        # ground-truth column value-hashed; the raw gear keeps its
+        # pytest keep/drop bound and the never-re-sign-history plan
+        # audit.
+        "neardup_incremental": QuerySpec(
+            _rel(D.neardup_incremental_checked),
+            D.neardup_incremental_checked_oracle_sql(),
+        ),
         "validate_lake": QuerySpec(
             _rel(ST.validate_lake_constraints),
             f"""
@@ -4002,8 +4007,10 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 21 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. remove_dup_spans below.
+#   (d) 19 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. ols_value_by_hour below;
+#   (e) the 2 rows-only gears converted to _checked twins this round
+#       (neardup_incremental, supplier_communities_approx).
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4017,8 +4024,11 @@ REGISTRY.update(
 #     ann_lsh_buckets, ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk,
 #     label_pca, neardup_clusters, neardup_minhash_lsh, neardup_simhash,
 #     sample_fraction, semdedup_embedding, pq_topk, bpe_learn_merges,
-#     bpe_encode_corpus, ivf_probe_incremental, neardup_incremental,
-#     pq_probe_incremental, supplier_communities_approx.
+#     bpe_encode_corpus, ivf_probe_incremental, pq_probe_incremental.
+#     (neardup_incremental and supplier_communities_approx left this
+#     tier in r11: registered entries are now _checked twins with
+#     in-plan contract booleans + hashable ground-truth payloads —
+#     r10 verdict #4.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4057,8 +4067,11 @@ _VERDICT_PRIORITY = [
     "events_hourly_rollup", "filter_project", "fuzzy_join_parts",
     "histogram_equidepth", "incremental_rollup",
     "interpolate_hourly_values", "join_left_nulls", "knn_classify",
-    "match_click_bursts", "ols_value_by_hour", "percentiles_exact",
-    "remove_dup_spans",
+    "match_click_bursts", "ols_value_by_hour",
+    # (e) rows-only gears converted to _checked twins THIS round (r10
+    #     verdict #4) — new oracles, never driver-verdicted, verdict
+    #     them immediately rather than deferring to r12:
+    "neardup_incremental", "supplier_communities_approx",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

@@ -36,6 +36,12 @@ ROUND_CHANGED = [
     # round 11: populated as this round's work lands. Every entry added
     # below is triple-SF-swept on each pytest run and front-loaded for
     # the r12 verdict window.
+    #
+    # rows-only gears converted to _checked twins with oracles (r10
+    # verdict #4) — new oracle text + output shape; both also hold
+    # r11 window slots:
+    "neardup_incremental",
+    "supplier_communities_approx",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -228,10 +228,21 @@ def test_supplier_communities_approx_registered(spark, sf_dir):
     from parquet_export_spark.queries import REGISTRY
 
     spec = REGISTRY["supplier_communities_approx"]
-    assert spec.oracle is None  # rows-only by design (sketch gear)
+    # round 11: registered as the _checked twin — exact-gear labels
+    # value-hashed, GK rank contract + labels-equal-when-th-equal
+    # booleans oracle-asserted.
+    assert spec.oracle is not None
     df = spec.fn(spark, sf_dir)
-    assert df.columns == ["supplier", "community", "community_size"]
-    assert df.count() > 0
+    assert df.columns == [
+        "supplier",
+        "community",
+        "community_size",
+        "th_rank_ok",
+        "labels_match_when_th_equal",
+    ]
+    rows = df.collect()
+    assert rows
+    assert all(r.th_rank_ok and r.labels_match_when_th_equal for r in rows)
     # round 10: the histogram entry is the _checked twin — bucket ids
     # value-hashed, depth/ordering contract booleans oracle-asserted.
     spec_h = REGISTRY["histogram_equidepth_approx"]

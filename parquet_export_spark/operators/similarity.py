@@ -513,6 +513,88 @@ def ivf_probe_incremental(
     )
 
 
+def _probe_refit_parity(
+    spine: DataFrame, probe: DataFrame, refit: DataFrame
+) -> DataFrame:
+    """Shared parity check for the stored-index probe twins (round-11,
+    r10 verdict #5): per query, the probe frame must equal the refit
+    frame row for row — same neighbor, same rounded similarity, same
+    rank, no extra and no missing rows (full-outer on (query_id, rank)
+    so a surplus on EITHER side counts as a mismatch). Returns one row
+    per spine query: (query_id, probe_matches_refit)."""
+    p = probe.select(
+        "query_id",
+        "rank",
+        F.col("neighbor_id").alias("p_n"),
+        F.col("sim").alias("p_s"),
+    )
+    r = refit.select(
+        "query_id",
+        "rank",
+        F.col("neighbor_id").alias("r_n"),
+        F.col("sim").alias("r_s"),
+    )
+    mism = (
+        p.join(r, ["query_id", "rank"], "full")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_n").eqNullSafe(F.col("r_n"))
+                    & F.col("p_s").eqNullSafe(F.col("r_s")),
+                    0,
+                ).otherwise(1)
+            ).alias("n_mismatch")
+        )
+    )
+    return (
+        spine.join(mism, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_mismatch"), F.lit(0)) == 0).alias(
+                "probe_matches_refit"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ivf_probe_incremental_checked(
+    t: dict[str, DataFrame],
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Driver-checkable twin of :func:`ivf_probe_incremental` (round-11,
+    r10 verdict #5): the probe gear's DETERMINISTIC static-data
+    contract — probe against the stored index == the refit path
+    (:func:`ivf_topk`) EXACTLY, because the centers fit is
+    deterministic (bounded hash-ordered sample + seeded k-means) and
+    assignment/routing share one set of argmin/tie-break rules — is
+    asserted IN-PLAN per query, so the driver's DuckDB hash covers the
+    ANN gear class every round. The query spine (vec_id < n_queries)
+    is SQL-expressible, so the oracle replays the rows and asserts the
+    boolean TRUE. Neighbor ids/sims stay out of the hash
+    (quantizer-dependent); their quality bounds stay in pytest."""
+    emb = t["embeddings"]
+    spine = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return _probe_refit_parity(
+        spine,
+        ivf_probe_incremental(t, n_queries, k, n_cells, n_probe),
+        ivf_topk(t, n_queries, k, n_cells, n_probe),
+    )
+
+
+def ivf_probe_incremental_checked_oracle_sql(n_queries: int = 5) -> str:
+    return f"""
+        SELECT vec_id AS query_id, TRUE AS probe_matches_refit
+        FROM embeddings WHERE vec_id < {n_queries} ORDER BY query_id
+        """
+
+
 # --------------------------------------------------------------------------
 # LSH ANN (scale path; rows-only)
 # --------------------------------------------------------------------------
@@ -1132,3 +1214,30 @@ def pq_probe_incremental(
         F.col("embedding").alias("q_emb"),
     )
     return pq_probe_index(queries, books_df, codes, emb, k=k)
+
+
+def pq_probe_incremental_checked(
+    t: dict[str, DataFrame], n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Driver-checkable twin of :func:`pq_probe_incremental` (round-11,
+    r10 verdict #5 — the :func:`ivf_probe_incremental_checked` recipe):
+    stored-PQ probe == refit path (:func:`pq_topk`) exactly on static
+    data (deterministic codebook fit, same stored codes, same ADC
+    ranking and tie-breaks), asserted in-plan per query over the
+    SQL-expressible query spine."""
+    emb = t["embeddings"]
+    spine = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return _probe_refit_parity(
+        spine,
+        pq_probe_incremental(t, n_queries, k),
+        pq_topk(t, n_queries, k),
+    )
+
+
+def pq_probe_incremental_checked_oracle_sql(n_queries: int = 5) -> str:
+    return f"""
+        SELECT vec_id AS query_id, TRUE AS probe_matches_refit
+        FROM embeddings WHERE vec_id < {n_queries} ORDER BY query_id
+        """

@@ -1317,16 +1317,21 @@ REGISTRY.update(
         "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
         "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
         "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
-        # probe-vs-refit parity vs ivf_topk pinned in pytest
-        # (tests/test_round7_ops.py); plan audit against a
-        # parquet-backed artifact in tests/test_plans.py.
+        # registered as the _checked twin (round-11, r10 verdict #5):
+        # the deterministic probe-== -refit contract asserted in-plan
+        # per query over the SQL-expressible query spine; the raw
+        # probe gear keeps its pytest parity pin
+        # (tests/test_round7_ops.py) and the parquet-backed plan audit
+        # (tests/test_plans.py).
         "ivf_probe_incremental": QuerySpec(
-            _rel(S.ivf_probe_incremental), None
+            _rel(S.ivf_probe_incremental_checked),
+            S.ivf_probe_incremental_checked_oracle_sql(),
         ),
-        # stored-PQ probe: books+codes persisted, ADC over stored
-        # codes, exact rerank only; parity vs pq_topk in pytest.
+        # stored-PQ probe — same _checked conversion: probe == refit
+        # asserted in-plan; ADC/rerank quality bounds stay in pytest.
         "pq_probe_incremental": QuerySpec(
-            _rel(S.pq_probe_incremental), None
+            _rel(S.pq_probe_incremental_checked),
+            S.pq_probe_incremental_checked_oracle_sql(),
         ),
         "pq_topk": QuerySpec(_rel(S.pq_topk), None),
         "label_pca": QuerySpec(_rel(S.label_pca), None),
@@ -4007,10 +4012,12 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 19 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. ols_value_by_hour below;
-#   (e) the 2 rows-only gears converted to _checked twins this round
-#       (neardup_incremental, supplier_communities_approx).
+#   (d) 17 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. knn_classify below;
+#   (e) the 4 rows-only gears converted to _checked twins this round
+#       (neardup_incremental, supplier_communities_approx,
+#       ivf_probe_incremental, pq_probe_incremental — r10 verdict
+#       #4/#5).
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4024,11 +4031,11 @@ REGISTRY.update(
 #     ann_lsh_buckets, ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk,
 #     label_pca, neardup_clusters, neardup_minhash_lsh, neardup_simhash,
 #     sample_fraction, semdedup_embedding, pq_topk, bpe_learn_merges,
-#     bpe_encode_corpus, ivf_probe_incremental, pq_probe_incremental.
-#     (neardup_incremental and supplier_communities_approx left this
-#     tier in r11: registered entries are now _checked twins with
-#     in-plan contract booleans + hashable ground-truth payloads —
-#     r10 verdict #4.)
+#     bpe_encode_corpus. (neardup_incremental,
+#     supplier_communities_approx, ivf_probe_incremental and
+#     pq_probe_incremental left this tier in r11: registered entries
+#     are now _checked twins with in-plan contract booleans +
+#     hashable ground-truth payloads — r10 verdict #4/#5.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4067,11 +4074,11 @@ _VERDICT_PRIORITY = [
     "events_hourly_rollup", "filter_project", "fuzzy_join_parts",
     "histogram_equidepth", "incremental_rollup",
     "interpolate_hourly_values", "join_left_nulls", "knn_classify",
-    "match_click_bursts", "ols_value_by_hour",
     # (e) rows-only gears converted to _checked twins THIS round (r10
-    #     verdict #4) — new oracles, never driver-verdicted, verdict
-    #     them immediately rather than deferring to r12:
+    #     verdict #4/#5) — new oracles, never driver-verdicted,
+    #     verdict them immediately rather than deferring to r12:
     "neardup_incremental", "supplier_communities_approx",
+    "ivf_probe_incremental", "pq_probe_incremental",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

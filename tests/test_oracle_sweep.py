@@ -38,10 +38,12 @@ ROUND_CHANGED = [
     # the r12 verdict window.
     #
     # rows-only gears converted to _checked twins with oracles (r10
-    # verdict #4) — new oracle text + output shape; both also hold
-    # r11 window slots:
+    # verdict #4/#5) — new oracle text + output shape; all four also
+    # hold r11 window slots:
     "neardup_incremental",
     "supplier_communities_approx",
+    "ivf_probe_incremental",
+    "pq_probe_incremental",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

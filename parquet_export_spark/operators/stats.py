@@ -1045,11 +1045,29 @@ def histogram_equidepth_approx_checked(
     tie/total side input is one grouped aggregate collapsed to a 1-row
     frame; the bucket ordering check is a lag window over K rows —
     both bounded by construction at any SF.
+
+    Round-11 (r10 advice): the plan LEFT-joins a generated 1..K bucket
+    spine, so the output always carries exactly K rows even when the
+    sketch returns DUPLICATE boundaries (possible on a low-cardinality
+    column) and a bucket id is skipped by the 1 + #{boundaries < x}
+    assignment. An absorbed (empty) bucket passes the SAME depth bound
+    it would carry with rows: boundaries b_{i-1} = b_i = v force v's
+    tie run to span the bucket's rank width — #{x <= v} >= i*n/K -
+    eps*n and #{x < v} <= (i-1)*n/K + eps*n give tie(v) >= n/K -
+    2*eps*n, hence |0 - n/K| <= 2n/accuracy + max_tie holds EXACTLY by
+    the GK contract, not by special-casing. Its ordering clause is
+    vacuous (no range), and the next non-empty bucket is checked
+    against the last non-null hi, so disjointness still chains across
+    the gap.
     """
     from pyspark.sql import Window
 
     base = histogram_equidepth_approx(t, n_buckets, accuracy)
     o = t["orders"].select("o_totalprice")
+    spark = o.sparkSession
+    spine = spark.range(1, n_buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
     side = (
         o.groupBy("o_totalprice")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1057,16 +1075,23 @@ def histogram_equidepth_approx_checked(
     )
     w = Window.orderBy("bucket")
     return (
-        base.crossJoin(F.broadcast(side))
-        .withColumn("prev_hi", F.lag("hi").over(w))
+        spine.join(base, "bucket", "left")
+        .crossJoin(F.broadcast(side))
+        .withColumn(
+            "prev_hi",
+            F.last("hi", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
         .select(
             "bucket",
             (
-                F.abs(F.col("n_orders") - F.col("n") / n_buckets)
+                F.abs(F.coalesce(F.col("n_orders"), F.lit(0)) - F.col("n") / n_buckets)
                 <= 2.0 * F.col("n") / accuracy + F.col("max_tie")
             ).alias("depth_ok"),
             (
                 F.col("prev_hi").isNull()
+                | F.col("lo").isNull()
                 | (F.col("prev_hi") < F.col("lo"))
             ).alias("ordered_ok"),
         )
@@ -5094,9 +5119,14 @@ def leadlag_corr_types(t: dict[str, DataFrame]) -> DataFrame:
     count is calendar-bounded, so the join is O(SF) only through the
     first collapse). Moments are DECIMAL(38,0)-exact; the presented
     correlation casts each moment through int64 -> double behind the
-    spearman/kendall loud-envelope tier (safe while every moment fits
-    int64 — ~$3e5 of value per type-hour at two years of hours; past
-    that the plan raises and says to rescale cents to dollars).
+    spearman/kendall loud-envelope tier. Precision contract (r10
+    advice, stated exactly): moments up to 2^53 convert EXACTLY;
+    between 2^53 and int64-max the conversion rounds, but both engines
+    apply the same correctly-rounded IEEE int64->double, so the
+    cross-engine ROUND(corr, 9) PARITY the oracle hashes is preserved
+    over the guard's whole range — the guard bounds parity, not
+    exactness. Past int64 (~$3e5 of value per type-hour at two years
+    of hours) the plan raises and says to rescale cents to dollars.
 
     Hours where a type is absent contribute nothing (inner join — the
     correlation is over co-observed hours, n_hours reported).

@@ -44,6 +44,11 @@ ROUND_CHANGED = [
     "supplier_communities_approx",
     "ivf_probe_incremental",
     "pq_probe_incremental",
+    # r10 advice: the checked twin now left-joins a 1..K bucket spine
+    # so duplicate sketch boundaries can never drop an oracle row —
+    # plan change, so the full triple-SF sweep applies (the entry also
+    # holds an r11 first-verdict window slot):
+    "histogram_equidepth_approx",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -244,6 +244,13 @@ HEADLINE = [
     "conversion_ztest_by_click_tier",
     "theil_sen_slope_daily",
     "runs_test_daily",
+    # round-11 batch:
+    "changepoint_scan_daily",
+    "weighted_median_price_by_segment",
+    "wow_mix_rate_decomposition",
+    "share_of_parent_rollup",
+    "clamped_running_balance",
+    "prorate_discount_cents",
 ]
 
 

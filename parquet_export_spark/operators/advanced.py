@@ -4771,3 +4771,219 @@ def conversion_ztest_oracle_sql() -> str:
         FROM tiers CROSS JOIN tot
         ORDER BY n_clicks
         """
+
+
+# --------------------------------------------------------------------------
+# Scan algebra (round 11): running aggregates that are NOT plain windows
+# --------------------------------------------------------------------------
+
+#: deterministic supplier slice for the ledger demo — the synthetic
+#: lake has no true debit/credit stream, so returns play the debits;
+#: the slice keeps the registered output SF-proportional but small.
+BALANCE_SUPP_MOD = 10
+
+
+def clamped_running_balance(
+    t: dict[str, DataFrame], supp_mod: int = BALANCE_SUPP_MOD
+) -> DataFrame:
+    """Floor-at-zero running inventory balance per supplier — the
+    ledger recurrence s_d = max(0, s_{d-1} + net_d) (a warehouse
+    cannot ship stock it does not have), which a plain cumulative
+    window CANNOT express: the clamp makes each step depend on the
+    clamped previous value, not on the raw prefix sum.
+
+    The Spark-first trick is the closed form
+
+        s_d = S_d - min(0, min_{j <= d} S_j)
+
+    (S = unclamped prefix sum): every time the raw sum dips to a new
+    minimum below zero, the clamp 'absorbs' exactly that dip, so the
+    clamped balance is the raw sum minus the deepest dip so far.
+    Proof sketch: both sides satisfy the recurrence — if S_d is a new
+    negative minimum, both give 0; otherwise both add net_d to the
+    previous value. Two stacked windows (running sum, running min)
+    turn a seemingly-stateful scan into pure window algebra — no UDF,
+    no applyInPandas, whole-stage codegen end to end; the same shape
+    Kadane-style problems (user_activity_streaks) use.
+
+    Flows: shipped quantity counts IN (replenishment), returned
+    ('R') quantity counts OUT — a deterministic stand-in stream.
+    Everything is exact int64.
+    """
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_suppkey") % supp_mod == 0)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE),"
+                " DATE '1970-01-01') AS BIGINT)"
+            ).alias("day"),
+            F.expr(
+                "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
+                " * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END"
+            ).alias("signed_qty"),
+        )
+    )
+    daily = li.groupBy("suppkey", "day").agg(
+        F.sum("signed_qty").alias("net_qty")
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("raw_sum", F.sum("net_qty").over(w))
+        .withColumn("dip", F.least(F.lit(0), F.min("raw_sum").over(w)))
+        .select(
+            "suppkey",
+            "day",
+            "net_qty",
+            (F.col("raw_sum") - F.col("dip")).alias("balance"),
+        )
+        .orderBy("suppkey", "day")
+    )
+
+
+def clamped_running_balance_oracle_sql(
+    supp_mod: int = BALANCE_SUPP_MOD,
+) -> str:
+    return f"""
+        WITH li AS (
+          SELECT l_suppkey AS suppkey,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) AS BIGINT)
+                     AS day,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                 * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END
+                     AS signed_qty
+          FROM lineitem WHERE l_suppkey % {supp_mod} = 0),
+        daily AS (
+          SELECT suppkey, day, SUM(signed_qty) AS net_qty
+          FROM li GROUP BY 1, 2),
+        sums AS (
+          SELECT suppkey, day, net_qty,
+                 SUM(net_qty) OVER (PARTITION BY suppkey ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS raw_sum
+          FROM daily),
+        pre AS (
+          SELECT suppkey, day, net_qty, raw_sum,
+                 LEAST(0, MIN(raw_sum) OVER (
+                     PARTITION BY suppkey ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS dip
+          FROM sums)
+        SELECT suppkey, day,
+               CAST(net_qty AS BIGINT) AS net_qty,
+               CAST(raw_sum - dip AS BIGINT) AS balance
+        FROM pre ORDER BY suppkey, day
+        """
+
+
+#: deterministic order slice for the proration demo (every line of a
+#: sliced order is kept — the allocation is only meaningful whole).
+PRORATE_ORDER_MOD = 100
+
+
+def prorate_discount_cents(
+    t: dict[str, DataFrame], order_mod: int = PRORATE_ORDER_MOD
+) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of an order-level
+    rebate across its line items, EXACT to the cent — the financial
+    proration every billing/revenue system needs: naive
+    round(budget * w_i / W) per line leaks or invents cents; the
+    largest-remainder method guarantees sum(alloc) == budget
+    per order, deterministically.
+
+    Budget: a 1%-of-order rebate, floor(o_totalprice + 0.5) cents
+    (totalprice is dollars, so dollars ~= cents/100). Integer-exact
+    pipeline: base_i = (budget * w_i) DIV W, remainder rank by
+    ((budget * w_i) MOD W) descending with (line number, weight
+    descending) as the deterministic tie-break, and the leftover
+    r = budget - sum(base) cents (always < line count) go one each to
+    the top-r remainders. budget * w_i peaks ~5e12 — comfortably
+    int64 at ANY scale factor (per-order magnitudes do not grow with
+    SF). The weight term in the tie-break matters because the
+    synthetic lake carries DUPLICATE (orderkey, linenumber) pairs:
+    two copies with equal remainders but different weights have
+    different bases, so the rank must pick one deterministically
+    (rows tied on all three keys are byte-identical and the output
+    multiset is invariant under their order).
+
+    Scale shape: one window pair per order (sum for W/base-sum, rank
+    over remainders) on an order-sliced input; partitioning by order
+    key means the allocation never shuffles more than its own order's
+    lines.
+    """
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % order_mod == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("line"),
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    o = t["orders"].filter(F.col("o_orderkey") % order_mod == 0).select(
+        F.col("o_orderkey").alias("ok"),
+        F.expr("CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)").alias("budget"),
+    )
+    wo = Window.partitionBy("ok")
+    base = (
+        li.join(o, "ok")
+        .withColumn("tot_w", F.sum("w").over(wo))
+        .withColumn("base", F.expr("budget * w DIV tot_w"))
+        .withColumn("rem", F.expr("budget * w % tot_w"))
+        .withColumn("leftover", F.col("budget") - F.sum("base").over(wo))
+    )
+    wr = Window.partitionBy("ok").orderBy(
+        F.desc("rem"), "line", F.desc("w")
+    )
+    return (
+        base.withColumn("rr", F.row_number().over(wr))
+        .select(
+            F.col("ok").alias("orderkey"),
+            F.col("line").alias("linenumber"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc_cents"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
+def prorate_discount_cents_oracle_sql(
+    order_mod: int = PRORATE_ORDER_MOD,
+) -> str:
+    return f"""
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_linenumber AS line,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+          FROM lineitem WHERE l_orderkey % {order_mod} = 0),
+        o AS (
+          SELECT o_orderkey AS ok,
+                 CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS budget
+          FROM orders WHERE o_orderkey % {order_mod} = 0),
+        base AS (
+          SELECT li.ok, li.line, li.w, o.budget,
+                 (o.budget * li.w) // SUM(li.w) OVER wo AS base,
+                 (o.budget * li.w) % SUM(li.w) OVER wo AS rem
+          FROM li JOIN o ON li.ok = o.ok
+          WINDOW wo AS (PARTITION BY li.ok)),
+        lo AS (
+          SELECT *,
+                 budget - SUM(base) OVER (PARTITION BY ok) AS leftover,
+                 ROW_NUMBER() OVER (PARTITION BY ok
+                                    ORDER BY rem DESC, line, w DESC)
+                     AS rr
+          FROM base)
+        SELECT ok AS orderkey, line AS linenumber,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_cents
+        FROM lo ORDER BY orderkey, linenumber
+        """

@@ -5467,3 +5467,418 @@ def runs_test_oracle_sql() -> str:
                                    0.0) END, 9) AS runs_z
         FROM runs ORDER BY event_type
         """
+
+
+# --------------------------------------------------------------------------
+# Offline change-point scan (round 11) — the segmentation member of the
+# time-series family: CUSUM (cusum_alarms) raises ONLINE drift alarms,
+# Mann-Kendall says whether a monotone trend exists; this answers the
+# offline question "WHERE did the level shift?" — the first split of
+# binary segmentation, scanned exactly.
+# --------------------------------------------------------------------------
+
+
+def changepoint_scan_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact change-point scan over each event type's daily revenue
+    series: for every admissible split point (after day d, both
+    segments non-empty) the between-segment sum-of-squares gain
+
+        gain(d) = (S_L*n - S*n_L)^2 / (n * n_L * n_R)
+
+    — the amount total SSE drops if the series is modeled as two
+    means instead of one; argmax(gain) is the binary-segmentation
+    change point. The scan is O(days) after ONE calendar-bounded
+    collapse: prefix sums via a window over the (type, day, cents)
+    series — never a pair join (contrast mann_kendall's day-pair S,
+    which needs pairs by definition).
+
+    EXACT INTEGER LANES: the gain is emitted as the two integer
+    columns ``gain_num`` = (S_L*n - S*n_L)^2 (cents sums ~1e11 times
+    day counts ~1e3, squared ~1e28 — computed DECIMAL(38,0)/HUGEINT
+    and presented AS A STRING, because the value exceeds int64 and
+    the two engines' client paths diverge on wide decimals: Spark
+    hands pandas a Decimal object, DuckDB renders HUGEINT as float64
+    — the digits-as-text lane is the one representation both engines
+    agree on exactly) and ``gain_den`` = n*n_L*n_R (int64). No
+    division ever happens, so no float crosses the oracle hash and
+    the argmax is a downstream exact comparison (a/b vs c/d by
+    cross-multiply) any consumer can do losslessly. The scan PROFILE
+    is the registered output (one row per admissible split, ordered)
+    — it carries strictly more information than the argmax and
+    avoids hashing an argmax whose near-ties would be engine-fragile.
+
+    100 TB shape: the only SF-proportional work is the first
+    collapse to (type, day); everything after is windows over a
+    calendar-bounded frame (types x days).
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("v")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    pre = (
+        daily.withColumn("n_left", F.count(F.lit(1)).over(w_ord))
+        .withColumn(
+            "s_left", F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).over(w_ord)
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "s", F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).over(w_all)
+        )
+        .filter(F.col("n_left") < F.col("n"))
+    )
+    d = F.expr("s_left * n - s * n_left")
+    return pre.select(
+        "event_type",
+        "day",
+        "n_left",
+        (d * d).cast("decimal(38,0)").cast("string").alias("gain_num"),
+        F.expr("n * n_left * (n - n_left)").cast("long").alias("gain_den"),
+    ).orderBy("event_type", "day")
+
+
+def changepoint_scan_daily_oracle_sql() -> str:
+    return """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) AS day,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        daily AS (
+          SELECT event_type, day, SUM(cents) AS v
+          FROM e GROUP BY 1, 2),
+        pre AS (
+          SELECT event_type, day,
+                 CAST(COUNT(*) OVER wo AS BIGINT) AS n_left,
+                 CAST(SUM(v) OVER wo AS HUGEINT) AS s_left,
+                 CAST(COUNT(*) OVER wa AS BIGINT) AS n,
+                 CAST(SUM(v) OVER wa AS HUGEINT) AS s
+          FROM daily
+          WINDOW wo AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW),
+                 wa AS (PARTITION BY event_type))
+        SELECT event_type, day, n_left,
+               CAST(CAST((s_left * n - s * n_left)
+                         * (s_left * n - s * n_left)
+                    AS HUGEINT) AS VARCHAR) AS gain_num,
+               CAST(n * n_left * (n - n_left) AS BIGINT) AS gain_den
+        FROM pre
+        WHERE n_left < n
+        ORDER BY event_type, day
+        """
+
+
+def weighted_median_price_by_segment(t: dict[str, DataFrame]) -> DataFrame:
+    """Quantity-weighted median of line-item price per market segment
+    — the robust 'typical traded price' a pricing dashboard wants
+    (the unweighted member is ``percentiles_exact``; weighting by
+    quantity makes a 1000-unit line count 1000x a 1-unit line without
+    exploding rows).
+
+    Definition (deterministic, both engines): values are exact cents,
+    weights exact integer units; the LOWER weighted median is the
+    smallest value v with 2 * cumweight(<= v) >= W. Equal values
+    merge in the collapse, so no tie-break is ever needed beyond the
+    value order itself.
+
+    Scale shape: ONE SF-proportional collapse to (segment, cents,
+    weight) — at most |distinct prices| rows per segment afterwards —
+    then a cumulative window per segment. The per-segment sort is the
+    information-theoretic floor for an exact weighted median; the
+    100 TB relaxation is the same two-gear story as
+    percentiles_exact vs approx_percentiles (a weighted GK sketch),
+    deliberately not duplicated here.
+    """
+    from pyspark.sql import Window
+
+    c = t["customer"].select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias("w"),
+    )
+    g = (
+        li.join(o, "ok")
+        .join(c, "ck")
+        .groupBy("c_mktsegment", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy("c_mktsegment")
+    win = Window.partitionBy("c_mktsegment").orderBy("cents")
+    return (
+        g.withColumn("cum", F.sum("w").over(ws))
+        .withColumn("tot", F.sum("w").over(wa))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("tot").alias("total_weight"),
+            F.col("cents").alias("weighted_median_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def weighted_median_price_by_segment_oracle_sql() -> str:
+    return """
+        WITH li AS (
+          SELECT c.c_mktsegment,
+                 CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS cents,
+                 CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (
+          SELECT c_mktsegment, cents, SUM(w) AS w
+          FROM li GROUP BY 1, 2),
+        cum AS (
+          SELECT c_mktsegment, cents,
+                 SUM(w) OVER (PARTITION BY c_mktsegment ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+                 SUM(w) OVER (PARTITION BY c_mktsegment) AS tot
+          FROM g),
+        hit AS (
+          SELECT c_mktsegment, cents, tot,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY cents) AS rn
+          FROM cum WHERE 2 * cum >= tot)
+        SELECT c_mktsegment,
+               CAST(tot AS BIGINT) AS total_weight,
+               cents AS weighted_median_cents
+        FROM hit WHERE rn = 1 ORDER BY c_mktsegment
+        """
+
+
+def wow_mix_rate_decomposition(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week revenue-change DECOMPOSITION per event type —
+    the analyst question behind every 'revenue moved, why?' thread:
+    how much of this week's change is more/fewer events (volume
+    effect), a higher/lower average ticket (rate effect), and the
+    cross term (interaction)?
+
+        delta_cents = (n_w - n_p) * r_p          -- volume
+                    + n_p * (r_w - r_p)          -- rate
+                    + (n_w - n_p) * (r_w - r_p)  -- interaction
+
+    with r = cents/count; the identity is algebraically exact, so
+    the three effects reconstruct delta_cents up to float rounding.
+
+    Precision contract: counts and cents sums are EXACT int64 well
+    under 2^53 (weekly per-type cents ~1e9 at sf0.1; 2^53 headroom
+    reaches ~SF 1e6), so the int64 -> double conversions are exact
+    and every later step is IEEE +,-,*,/ — deterministic bit-for-bit
+    in BOTH engines on identical operands. The effects therefore
+    cross the oracle hash as RAW doubles, deliberately WITHOUT the
+    ROUND(9) presentation the libm-adjacent entries use: here the
+    unrounded values are already bit-identical, and it is ROUND
+    itself that diverges (Spark rounds via exact BigDecimal HALF_UP,
+    DuckDB via scaled float round — at sf0.01 a real value landed a
+    1-ulp boundary apart, and zero rows came back -0.0 on one engine
+    only). Rounding would INTRODUCE the only engine divergence this
+    plan can have. The exact lanes (n, cents, both weeks) ride along
+    for lossless downstream use.
+
+    Scale shape: one collapse to (week, type) — calendar x domain
+    bounded — then a per-type lag; no self-join, no fact-side window.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"].select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " DIV 7"
+        ).alias("week"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    wk = e.groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    j = (
+        wk.withColumn("prev_week", F.lag("week").over(w))
+        .withColumn("n_p", F.lag("n").over(w))
+        .withColumn("s_p", F.lag("s").over(w))
+        .filter(F.col("prev_week") == F.col("week") - 1)
+    )
+    r_w = F.col("s").cast("double") / F.col("n")
+    r_p = F.col("s_p").cast("double") / F.col("n_p")
+    return j.select(
+        "event_type",
+        "week",
+        F.col("n").alias("n_cur"),
+        F.col("n_p").alias("n_prev"),
+        F.col("s").alias("cents_cur"),
+        F.col("s_p").alias("cents_prev"),
+        (F.col("s") - F.col("s_p")).alias("delta_cents"),
+        ((F.col("n") - F.col("n_p")) * r_p).alias("volume_effect"),
+        (F.col("n_p") * (r_w - r_p)).alias("rate_effect"),
+        ((F.col("n") - F.col("n_p")) * (r_w - r_p)).alias(
+            "interaction_effect"
+        ),
+    ).orderBy("event_type", "week")
+
+
+def wow_mix_rate_decomposition_oracle_sql() -> str:
+    return """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS BIGINT) // 7 AS week,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        wk AS (
+          SELECT event_type, week,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s
+          FROM e GROUP BY 1, 2),
+        j AS (
+          SELECT *,
+                 LAG(week) OVER w AS prev_week,
+                 LAG(n) OVER w AS n_p,
+                 LAG(s) OVER w AS s_p
+          FROM wk
+          WINDOW w AS (PARTITION BY event_type ORDER BY week))
+        SELECT event_type, week,
+               n AS n_cur, n_p AS n_prev,
+               s AS cents_cur, s_p AS cents_prev,
+               s - s_p AS delta_cents,
+               (n - n_p) * (CAST(s_p AS DOUBLE) / n_p)
+                   AS volume_effect,
+               n_p * (CAST(s AS DOUBLE) / n
+                      - CAST(s_p AS DOUBLE) / n_p)
+                   AS rate_effect,
+               (n - n_p) * (CAST(s AS DOUBLE) / n
+                            - CAST(s_p AS DOUBLE) / n_p)
+                   AS interaction_effect
+        FROM j WHERE prev_week = week - 1
+        ORDER BY event_type, week
+        """
+
+
+def share_of_parent_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Share-of-parent at every level of the geography hierarchy —
+    the drill-down readout a revenue dashboard renders next to a
+    ROLLUP: each nation's revenue as a share of its region AND of the
+    grand total (grouping_sets_revenue gives the LEVEL subtotals;
+    this gives the RATIOS between adjacent levels, which is what the
+    reader actually wants).
+
+    Exact lanes: revenue is summed in int64 cents per nation (one
+    fact-side aggregate); region and grand totals come from windows
+    over the ~25-row nation frame, so the hierarchy math is free.
+    Shares are int64 -> double divisions of exact operands — IEEE
+    deterministic in both engines (the wow_mix_rate_decomposition
+    precision contract) — presented at ROUND 9.
+    """
+    from pyspark.sql import Window
+
+    c = t["customer"].select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    o = t["orders"].select(
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    n = t["nation"].select(
+        F.col("n_nationkey").alias("nk"),
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("rk"),
+    )
+    r = t["region"].select(
+        F.col("r_regionkey").alias("rk"), F.col("r_name").alias("region")
+    )
+    nat = (
+        o.join(c, "ck")
+        .groupBy("nk")
+        .agg(F.sum("cents").alias("nation_cents"))
+        .join(n, "nk")
+        .join(r, "rk")
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return (
+        nat.withColumn("region_cents", F.sum("nation_cents").over(w_reg))
+        .withColumn("total_cents", F.sum("nation_cents").over(w_all))
+        .select(
+            "region",
+            "nation",
+            "nation_cents",
+            "region_cents",
+            "total_cents",
+            F.round(
+                F.col("nation_cents").cast("double")
+                / F.col("region_cents"),
+                9,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("nation_cents").cast("double") / F.col("total_cents"),
+                9,
+            ).alias("share_of_total"),
+            F.round(
+                F.col("region_cents").cast("double") / F.col("total_cents"),
+                9,
+            ).alias("region_share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def share_of_parent_rollup_oracle_sql() -> str:
+    return """
+        WITH nat AS (
+          SELECT n.n_regionkey AS rk, n.n_name AS nation,
+                 SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS nation_cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2),
+        j AS (
+          SELECT r.r_name AS region, nat.nation,
+                 CAST(nat.nation_cents AS BIGINT) AS nation_cents,
+                 CAST(SUM(nat.nation_cents)
+                      OVER (PARTITION BY r.r_name) AS BIGINT)
+                     AS region_cents,
+                 CAST(SUM(nat.nation_cents) OVER () AS BIGINT)
+                     AS total_cents
+          FROM nat JOIN region r ON nat.rk = r.r_regionkey)
+        SELECT region, nation, nation_cents, region_cents, total_cents,
+               ROUND(CAST(nation_cents AS DOUBLE) / region_cents, 9)
+                   AS share_of_region,
+               ROUND(CAST(nation_cents AS DOUBLE) / total_cents, 9)
+                   AS share_of_total,
+               ROUND(CAST(region_cents AS DOUBLE) / total_cents, 9)
+                   AS region_share_of_total
+        FROM j ORDER BY region, nation
+        """

@@ -838,6 +838,33 @@ REGISTRY.update(
         "leadlag_corr_types": QuerySpec(
             _rel(ST.leadlag_corr_types), ST.leadlag_corr_oracle_sql()
         ),
+        # Round-11 batch — exact-lane analytics the surface lacked:
+        # offline change-point scan profile: between-segment SSE gain
+        # per admissible split, emitted as EXACT integer num/den lanes
+        # (no division ever) over the calendar-bounded daily collapse.
+        "changepoint_scan_daily": QuerySpec(
+            _rel(ST.changepoint_scan_daily),
+            ST.changepoint_scan_daily_oracle_sql(),
+        ),
+        # quantity-weighted exact median per segment (lower-median
+        # rule, one collapse + per-segment cumulative window).
+        "weighted_median_price_by_segment": QuerySpec(
+            _rel(ST.weighted_median_price_by_segment),
+            ST.weighted_median_price_by_segment_oracle_sql(),
+        ),
+        # WoW revenue-change decomposition into volume/rate/interaction
+        # effects — exact int64 lanes + IEEE-deterministic divisions at
+        # ROUND 9 (the leadlag precision contract).
+        "wow_mix_rate_decomposition": QuerySpec(
+            _rel(ST.wow_mix_rate_decomposition),
+            ST.wow_mix_rate_decomposition_oracle_sql(),
+        ),
+        # share-of-parent at each geography level: nation->region->
+        # total ratios over one fact-side cents aggregate.
+        "share_of_parent_rollup": QuerySpec(
+            _rel(ST.share_of_parent_rollup),
+            ST.share_of_parent_rollup_oracle_sql(),
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """
@@ -3088,6 +3115,22 @@ REGISTRY.update(
             _rel(A.user_activity_streaks),
             A.user_activity_streaks_oracle_sql(),
         ),
+        # Round-11 scan algebra: floor-at-zero ledger balance via the
+        # prefix-sum-minus-deepest-dip closed form — a clamped
+        # recurrence a plain cumulative window cannot express, done
+        # with two stacked windows and zero UDFs; exact int64.
+        "clamped_running_balance": QuerySpec(
+            _rel(A.clamped_running_balance),
+            A.clamped_running_balance_oracle_sql(),
+        ),
+        # Round-11: largest-remainder cent proration — per-order
+        # integer-exact Hamilton allocation (sum(alloc) == budget per
+        # order by construction, remainder ranked with a line-number
+        # tie-break).
+        "prorate_discount_cents": QuerySpec(
+            _rel(A.prorate_discount_cents),
+            A.prorate_discount_cents_oracle_sql(),
+        ),
         # Simpson diversity (1 - sum p²): the ln-free diversity index
         # — exact int64 cross-products, one IEEE divide.
         "simpson_diversity_by_user": QuerySpec(
@@ -4012,12 +4055,16 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 17 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. knn_classify below;
+#   (d) 11 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. filter_project below;
 #   (e) the 4 rows-only gears converted to _checked twins this round
 #       (neardup_incremental, supplier_communities_approx,
 #       ivf_probe_incremental, pq_probe_incremental — r10 verdict
-#       #4/#5).
+#       #4/#5);
+#   (f) the 6 round-11 new operators (changepoint scan, weighted
+#       median, WoW decomposition, share-of-parent, clamped balance,
+#       proration) — born before this window was finalized, so they
+#       take first-verdict slots now instead of waiting for r12.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4071,14 +4118,16 @@ _VERDICT_PRIORITY = [
     "agg_distinct", "apply_changefeed", "assoc_rules_parts",
     "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
     "cusum_alarms", "date_funcs_extra", "dedup_incremental",
-    "events_hourly_rollup", "filter_project", "fuzzy_join_parts",
-    "histogram_equidepth", "incremental_rollup",
-    "interpolate_hourly_values", "join_left_nulls", "knn_classify",
+    "events_hourly_rollup", "filter_project",
     # (e) rows-only gears converted to _checked twins THIS round (r10
     #     verdict #4/#5) — new oracles, never driver-verdicted,
     #     verdict them immediately rather than deferring to r12:
     "neardup_incremental", "supplier_communities_approx",
     "ivf_probe_incremental", "pq_probe_incremental",
+    # (f) round-11 new operators, first verdicts:
+    "changepoint_scan_daily", "weighted_median_price_by_segment",
+    "wow_mix_rate_decomposition", "share_of_parent_rollup",
+    "clamped_running_balance", "prorate_discount_cents",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

@@ -49,6 +49,13 @@ ROUND_CHANGED = [
     # plan change, so the full triple-SF sweep applies (the entry also
     # holds an r11 first-verdict window slot):
     "histogram_equidepth_approx",
+    # round-11 new-operator batch (exact-lane analytics):
+    "changepoint_scan_daily",
+    "weighted_median_price_by_segment",
+    "wow_mix_rate_decomposition",
+    "share_of_parent_rollup",
+    "clamped_running_balance",
+    "prorate_discount_cents",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -1,0 +1,271 @@
+"""Round-11 additions: independent Python differentials for the
+exact-lane analytics batch (changepoint scan, weighted median, WoW
+mix/rate decomposition, share-of-parent, clamped ledger balance,
+largest-remainder proration).
+
+Every reference here recomputes the operator's answer from raw rows in
+plain Python (Fraction/int arithmetic where the operator claims
+exactness) — the same evidence class as the DuckDB oracles but with
+independently-written logic, so a shared misreading of the definition
+cannot pass both gates.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from parquet_export_spark.operators import advanced as A
+from parquet_export_spark.operators import stats as ST
+from parquet_export_spark.sources.lake import load_tables
+
+
+def _tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# clamped_running_balance: brute-force recurrence replay
+# ---------------------------------------------------------------------------
+
+
+def test_clamped_balance_matches_recurrence(spark, sf_dir):
+    """The closed form S_d - min(0, min_prefix) must equal the literal
+    recurrence s_d = max(0, s_prev + net_d) replayed in Python."""
+    t = _tables(spark, sf_dir)
+    rows = A.clamped_running_balance(t).collect()
+    assert rows
+    state: dict[int, int] = {}
+    neg_seen = False
+    for r in rows:  # operator output is (suppkey, day)-ordered
+        s = max(0, state.get(r.suppkey, 0) + r.net_qty)
+        if r.net_qty < 0:
+            neg_seen = True
+        assert s == r.balance, (r.suppkey, r.day, s, r.balance)
+        state[r.suppkey] = s
+    # the differential is vacuous unless the clamp direction is
+    # exercised: returns must actually drive some balance downward
+    assert neg_seen
+
+
+def test_clamped_balance_clamp_actually_binds(spark, sf_dir):
+    """At least one supplier-day must differ from the UNCLAMPED prefix
+    sum (else the closed form was never distinguished from a plain
+    cumulative window and the test proves nothing)."""
+    t = _tables(spark, sf_dir)
+    rows = A.clamped_running_balance(t).collect()
+    raw: dict[int, int] = {}
+    diverged = False
+    for r in rows:
+        raw[r.suppkey] = raw.get(r.suppkey, 0) + r.net_qty
+        if raw[r.suppkey] != r.balance:
+            diverged = True
+    assert diverged
+
+
+# ---------------------------------------------------------------------------
+# prorate_discount_cents: conservation + independent largest-remainder
+# ---------------------------------------------------------------------------
+
+
+def test_proration_conserves_budget_and_matches_reference(spark, sf_dir):
+    """MULTISET comparison: the synthetic lake carries duplicate
+    (orderkey, linenumber) pairs, and among fully-tied rows (same
+    line, same remainder) the +1-cent assignment may land on either
+    copy — the output multiset is identical either way, which is
+    exactly what the order-insensitive driver hash checks too."""
+    from collections import Counter
+
+    t = _tables(spark, sf_dir)
+    out = A.prorate_discount_cents(t).collect()
+    assert out
+    got = Counter((r.orderkey, r.linenumber, r.alloc_cents) for r in out)
+    got_sums = Counter()
+    for r in out:
+        got_sums[r.orderkey] += r.alloc_cents
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % A.PRORATE_ORDER_MOD == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    )
+    budgets = {
+        r.o_orderkey: int(r.o_totalprice + 0.5)
+        for r in t["orders"]
+        .filter(F.col("o_orderkey") % A.PRORATE_ORDER_MOD == 0)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    per_order: dict[int, list[tuple[int, int]]] = {}
+    for r in li:
+        w = int(r.l_extendedprice * 100 + 0.5)
+        per_order.setdefault(r.l_orderkey, []).append((r.l_linenumber, w))
+    want = Counter()
+    for ok, lines in per_order.items():
+        budget = budgets[ok]
+        W = sum(w for _, w in lines)
+        items = [
+            (ln, w, budget * w // W, budget * w % W) for ln, w in lines
+        ]
+        leftover = budget - sum(b for _, _, b, _ in items)
+        ranked = sorted(
+            range(len(items)),
+            key=lambda i: (-items[i][3], items[i][0], -items[i][1], i),
+        )
+        allocs = [b for _, _, b, _ in items]
+        for i in ranked[:leftover]:
+            allocs[i] += 1
+        # conservation: exact to the cent, every order
+        assert sum(allocs) == budget, ok
+        assert got_sums[ok] == budget, ok
+        for (ln, _, _, _), a in zip(items, allocs):
+            want[(ok, ln, a)] += 1
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# weighted_median_price_by_segment: Fraction-free integer reference
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_matches_reference(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    got = {
+        r.c_mktsegment: (r.total_weight, r.weighted_median_cents)
+        for r in ST.weighted_median_price_by_segment(t).collect()
+    }
+    assert got
+    rows = (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict[str, dict[int, int]] = {}
+    for r in rows:
+        cents = int(r.l_extendedprice * 100 + 0.5)
+        w = int(r.l_quantity + 0.5)
+        acc.setdefault(r.c_mktsegment, {})
+        acc[r.c_mktsegment][cents] = acc[r.c_mktsegment].get(cents, 0) + w
+    for seg, vals in acc.items():
+        W = sum(vals.values())
+        cum = 0
+        med = None
+        for v in sorted(vals):
+            cum += vals[v]
+            if 2 * cum >= W:
+                med = v
+                break
+        assert got[seg] == (W, med), seg
+
+
+# ---------------------------------------------------------------------------
+# changepoint_scan_daily: Fraction argmax + exact-lane replay
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_gain_lanes_match_fraction_reference(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    out = ST.changepoint_scan_daily(t).collect()
+    assert out
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("day"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.v))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = sum(v for _, v in pts)
+        s_l, n_l = 0, 0
+        for day, v in pts[:-1]:
+            s_l += v
+            n_l += 1
+            d = s_l * n - s * n_l
+            want[(et, day)] = (str(d * d), n * n_l * (n - n_l))
+    assert len(out) == len(want)
+    for r in out:
+        assert want[(r.event_type, r.day)] == (r.gain_num, r.gain_den)
+    # the gain profile must be usable for an EXACT argmax downstream:
+    # cross-multiplied Fraction comparison never overflows/rounds
+    for et, pts in series.items():
+        cands = [
+            (Fraction(int(num), den), day)
+            for (e, day), (num, den) in want.items()
+            if e == et
+        ]
+        assert max(cands)[0] >= 0
+
+
+# ---------------------------------------------------------------------------
+# wow_mix_rate_decomposition: identity + exact lanes
+# ---------------------------------------------------------------------------
+
+
+def test_wow_decomposition_identity_and_lanes(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST.wow_mix_rate_decomposition(t).collect()
+    assert rows
+    for r in rows:
+        # the three effects reconstruct delta exactly in rationals
+        vol = Fraction(r.n_cur - r.n_prev) * Fraction(r.cents_prev, r.n_prev)
+        rate = Fraction(r.n_prev) * (
+            Fraction(r.cents_cur, r.n_cur) - Fraction(r.cents_prev, r.n_prev)
+        )
+        inter = Fraction(r.n_cur - r.n_prev) * (
+            Fraction(r.cents_cur, r.n_cur) - Fraction(r.cents_prev, r.n_prev)
+        )
+        assert vol + rate + inter == r.delta_cents
+        # the emitted doubles are the IEEE images of those rationals'
+        # defining expressions — spot-check within float slack
+        assert abs(float(vol) - r.volume_effect) < 1e-6 * max(
+            1.0, abs(float(vol))
+        )
+        assert abs(float(rate) - r.rate_effect) < 1e-6 * max(
+            1.0, abs(float(rate))
+        )
+
+
+# ---------------------------------------------------------------------------
+# share_of_parent_rollup: partition-of-unity at every level
+# ---------------------------------------------------------------------------
+
+
+def test_share_rollup_partitions_sum_exactly(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST.share_of_parent_rollup(t).collect()
+    assert rows
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    total = {r.total_cents for r in rows}
+    assert len(total) == 1
+    total = total.pop()
+    # exact integer partition: nations sum to their region, regions to
+    # the grand total
+    assert (
+        sum(rs[0].region_cents for rs in by_region.values()) == total
+    )
+    for region, rs in by_region.items():
+        assert len({r.region_cents for r in rs}) == 1
+        assert sum(r.nation_cents for r in rs) == rs[0].region_cents
+        for r in rs:
+            assert 0.0 < r.share_of_region <= 1.0

@@ -2181,3 +2181,199 @@ def read_auc_drift(spark, artifact_dir: str):
             "u2", "auc_ppm",
         )
     )
+
+
+def balance_stream(
+    lineitem_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+    supp_mod: int | None = None,
+):
+    """Continuous floor-at-zero ledger balances — the streaming twin
+    of ``operators.advanced.clamped_running_balance``, extending the
+    monitor family with its first SCAN-carry member (ewma carries the
+    last K values; cusum a running statistic; this carries a
+    RECURRENCE state).
+
+    Why the carry is exactly (last day, that day's net so far, the
+    balance BEFORE that day) per supplier: the clamped recurrence
+    s_d = max(0, s_{d-1} + net_d) depends on history only through the
+    previous balance, EXCEPT that a calendar day may straddle a
+    micro-batch boundary — and max(0, s+a+b) differs from
+    max(0, max(0, s+a)+b), so the clamp must never be applied to a
+    partial day. Holding the last day OPEN in the carry (its net
+    re-merged with any late rows for the same day, its balance not
+    yet folded in) makes day-straddling batches exact instead of
+    approximately right.
+
+    Each micro-batch: collapse to (suppkey, day, net); guard loudly
+    against days BEFORE the open carry day (out-of-order feed —
+    monitors must fail, not silently corrupt the ledger); merge the
+    open day; replay the closed form s = (s0 + cum) - least(0,
+    running_min(s0 + cum)) over the merged frame (bal_before as the
+    algebraic initial value — no synthetic rows); re-emit every
+    recomputed (suppkey, day) with the batch id so readers take the
+    LATEST value per key (an open day's balance legitimately changes
+    as its rows complete). Carry/compaction: the shared recipe —
+    overwritten ``carry_<id>`` trees, read highest-below-own-id, keep
+    the two newest.
+
+    The two-micro-batch pytest splits a batch INSIDE a dip AND inside
+    a calendar day, and pins every (suppkey, day, balance) equal to
+    the batch operator over the concatenated input.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.advanced import BALANCE_SUPP_MOD
+
+    mod = BALANCE_SUPP_MOD if supp_mod is None else supp_mod
+    out_base = artifact_dir.rstrip("/") + "/balance"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        daily = (
+            batch_df.filter(F.col("l_suppkey") % mod == 0)
+            .select(
+                F.col("l_suppkey").alias("suppkey"),
+                F.expr(
+                    "CAST(datediff(CAST(l_shipdate AS DATE),"
+                    " DATE '1970-01-01') AS BIGINT)"
+                ).alias("day"),
+                F.expr(
+                    "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
+                    " * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END"
+                ).alias("net"),
+            )
+            .groupBy("suppkey", "day")
+            .agg(F.sum("net").alias("net"))
+            .localCheckpoint()
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "suppkey long, cday long, cnet long, cbal long"
+            )
+        carry = carry.localCheckpoint()
+        # loud out-of-order guard: a day strictly before the open
+        # carry day can no longer be merged exactly
+        stale = (
+            daily.join(carry, "suppkey")
+            .filter(F.col("day") < F.col("cday"))
+            .count()
+        )
+        if stale:
+            raise ValueError(
+                f"balance_stream batch {batch_id}: {stale} day rows"
+                " arrived BEFORE the open ledger day — the feed must be"
+                " day-monotone per supplier"
+            )
+        merged = (
+            daily.unionByName(
+                carry.select(
+                    "suppkey",
+                    F.col("cday").alias("day"),
+                    F.col("cnet").alias("net"),
+                )
+            )
+            .groupBy("suppkey", "day")
+            .agg(F.sum("net").alias("net"))
+            .join(
+                carry.select("suppkey", "cbal", "cday"), "suppkey", "left"
+            )
+            .select(
+                "suppkey",
+                "day",
+                "net",
+                F.coalesce("cbal", F.lit(0)).alias("s0"),
+            )
+        )
+        w_run = (
+            Window.partitionBy("suppkey")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        scored = (
+            merged.withColumn(
+                "raw", F.col("s0") + F.sum("net").over(w_run)
+            )
+            .withColumn("dip", F.least(F.lit(0), F.min("raw").over(w_run)))
+            .withColumn("balance", F.col("raw") - F.col("dip"))
+        )
+        scored.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "suppkey",
+            "day",
+            F.col("net").alias("net_qty"),
+            "balance",
+        ).write.mode("overwrite").parquet(
+            fs.join(out_base, f"batch_{batch_id}")
+        )
+        # new carry: the last (still-open) day + the balance before it
+        w_desc = Window.partitionBy("suppkey").orderBy(F.desc("day"))
+        w_lag = Window.partitionBy("suppkey").orderBy("day")
+        nxt = (
+            scored.withColumn(
+                "prev_bal",
+                F.coalesce(F.lag("balance").over(w_lag), F.col("s0")),
+            )
+            .withColumn("rk", F.row_number().over(w_desc))
+            .filter(F.col("rk") == 1)
+            .select(
+                "suppkey",
+                F.col("day").alias("cday"),
+                F.col("net").alias("cnet"),
+                F.col("prev_bal").alias("cbal"),
+            )
+        )
+        nxt.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        lineitem_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_balances(spark, artifact_dir: str):
+    """Latest ledger row per (suppkey, day): an open day is re-emitted
+    by every batch that touches it, so the max-batch row wins."""
+    from pyspark.sql import Window
+
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/balance")
+    )
+    w = Window.partitionBy("suppkey", "day").orderBy(F.desc("batch_id"))
+    return (
+        raw.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("suppkey", "day", "net_qty", "balance")
+    )

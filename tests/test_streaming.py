@@ -1323,6 +1323,31 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_growth_accounting(spark, art)),
             art + "/seen",
         )
+    if name == "balance":
+        from datetime import datetime
+
+        schema = (
+            "l_orderkey long, l_linenumber int, l_suppkey long,"
+            " l_shipdate timestamp_ntz, l_quantity double,"
+            " l_returnflag string"
+        )
+        batches = [
+            [
+                (1, 1, 10, datetime(2024, 5, 1), 5.0, "N"),
+                (2, 1, 10, datetime(2024, 5, 2), 4.0, "R"),
+            ],
+            [
+                (3, 1, 10, datetime(2024, 5, 2), 5.0, "R"),
+                (4, 1, 10, datetime(2024, 5, 3), 3.0, "N"),
+            ],
+            [(5, 1, 10, datetime(2024, 5, 4), 2.0, "N")],
+        ]
+        return (
+            schema, batches, land, ckpt,
+            lambda s: I.balance_stream(s, art, ckpt, supp_mod=1),
+            lambda: snap(I.read_balances(spark, art)),
+            art + "/carry",
+        )
     if name == "neardup_gate":
         schema = "doc_id long, text string"
         batches = [
@@ -1345,7 +1370,7 @@ def _monitor_spec(name, spark, tmp_path):
     [
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
-        "growth", "auc_drift", "mk_trend",
+        "growth", "auc_drift", "mk_trend", "balance",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1667,3 +1692,91 @@ def test_mk_trend_stream_matches_batch_on_prefix(spark, tmp_path):
     # falling "probe" series must have moved its S statistic
     full = {r[0]: r for r in stream_scores(1)}
     assert "probe" in full and "other" in full
+
+
+def test_balance_stream_two_batches_matches_batch_operator(spark, tmp_path):
+    """Streaming ledger: after two micro-batches every (suppkey, day)
+    balance must equal the batch operator over the CONCATENATED rows.
+    The batch boundary is placed (a) INSIDE a dip — the clamp binds
+    across the carry — and (b) INSIDE a calendar day — the open-day
+    carry must merge the day's remaining rows before clamping."""
+    from datetime import datetime
+
+    from parquet_export_spark.operators import advanced as A
+
+    land = str(tmp_path / "li_landing")
+    art = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_shipdate timestamp_ntz, l_quantity double,"
+        " l_returnflag string"
+    )
+
+    def d(day):
+        return datetime(2024, 5, day)
+
+    # supplier 10: ship 5 on day 1; return 9 on day 2 split ACROSS the
+    # batches (4 in b1, 5 in b2 — partial-day clamp would give the
+    # wrong answer); ship 3 on day 3. supplier 20: dip below zero
+    # entirely inside batch 2.
+    b1 = [
+        (1, 1, 10, d(1), 5.0, "N"),
+        (2, 1, 10, d(2), 4.0, "R"),
+        (3, 1, 20, d(1), 2.0, "N"),
+    ]
+    b2 = [
+        (4, 1, 10, d(2), 5.0, "R"),
+        (5, 1, 10, d(3), 3.0, "N"),
+        (6, 1, 20, d(2), 7.0, "R"),
+        (7, 1, 20, d(3), 4.0, "N"),
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.balance_stream(stream, art, ckpt, supp_mod=1)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = {
+        (r.suppkey, r.day): (r.net_qty, r.balance)
+        for r in I.read_balances(spark, art).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r.suppkey, r.day): (r.net_qty, r.balance)
+        for r in A.clamped_running_balance(
+            {"lineitem": full}, supp_mod=1
+        ).collect()
+    }
+    assert got == want and len(got) == 6
+    # the engineered shapes actually bound: supplier 10's day-2 net is
+    # -9 total (clamp to 0), supplier 20 dips then recovers to 4
+    day2 = int(
+        (datetime(2024, 5, 2) - datetime(1970, 1, 1)).days
+    )
+    assert got[(10, day2)] == (-9, 0)
+    assert got[(20, day2 + 1)][1] == 4
+
+    # replay with no new input: outputs unchanged (idempotence), and
+    # carry compaction keeps at most the two newest trees
+    run_once()
+    again = {
+        (r.suppkey, r.day): (r.net_qty, r.balance)
+        for r in I.read_balances(spark, art).collect()
+    }
+    assert again == got
+    import pathlib
+
+    carries = sorted(
+        p.name for p in (pathlib.Path(art) / "carry").glob("batch_*")
+    )
+    assert len(carries) <= 2

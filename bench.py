@@ -251,6 +251,7 @@ HEADLINE = [
     "share_of_parent_rollup",
     "clamped_running_balance",
     "prorate_discount_cents",
+    "markov_removal_attribution",
 ]
 
 

@@ -4987,3 +4987,255 @@ def prorate_discount_cents_oracle_sql(
                     AS BIGINT) AS alloc_cents
         FROM lo ORDER BY orderkey, linenumber
         """
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (round 11) — the data-driven member
+# of the attribution family: asof (last-touch), multitouch (linear),
+# and now removal effect (how much conversion DISAPPEARS if a channel's
+# node is cut from the journey graph).
+# --------------------------------------------------------------------------
+
+REMOVAL_ITERS = 12
+REMOVAL_SCALE = 1_000_000
+
+
+def markov_removal_attribution(
+    t: dict[str, DataFrame],
+    n_iter: int = REMOVAL_ITERS,
+    scale: int = REMOVAL_SCALE,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution over user journeys —
+    the classic data-driven alternative to positional rules: build the
+    first-order journey chain (START -> event states -> CONVERT on
+    purchase / NULL on abandonment), compute the probability of
+    reaching CONVERT, then re-compute it with each channel's node
+    REMOVED; the relative conversion drop is that channel's credit.
+
+    Journey grammar (deterministic, shared verbatim with the oracle):
+    a user's stream splits AFTER each purchase (journey id = count of
+    strictly-earlier purchases); within a journey, transitions are
+    START -> s_1, s_i -> s_{i+1} with 'purchase' mapped to the
+    absorbing CONVERT, and the final state of an unconverted journey
+    emits s_last -> NULL. Removing channel c simply FILTERS c's
+    out-rows: paths into c still happen but die there (v(c) stays 0
+    with no special-casing — exactly the removal-effect semantics).
+
+    Exactness (the markov_stationary_types integer-sweep recipe,
+    lifted to a (channel, node)-keyed vector so ONE plan runs the
+    full chain and every removal chain simultaneously): v_0 = scale
+    at CONVERT; v_{k+1}(ch, i) = sum_j c_ij * v_k(ch, j) div rt_i
+    with per-term floor division — bit-identical cross-engine,
+    replayed by unrolled MATERIALIZED CTEs. v_K(START) is the
+    probability of converting WITHIN n_iter steps, scaled to ppm;
+    per-term floors leak mass monotonically downward, and a removal
+    chain's value can never exceed the full chain's (same floors over
+    a subset of paths), so removal_effect_ppm >= 0 structurally.
+    The loud int64 envelope from the stationary operator applies
+    unchanged: cell counts must stay <= (2^63-1) div scale.
+
+    Plan: one user-window pass over the fact table, then n_iter joins
+    of a (channels x states)-sized vector against a channels x
+    states^2-bounded edge frame. Nothing fact-sized ever re-joins.
+
+    Output per real channel: (channel, conv_full_ppm,
+    conv_removed_ppm, removal_effect_ppm), channel-ordered.
+    """
+    ev = t["events"]
+    w_hist = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_hist),
+            F.lit(0),
+        ),
+    )
+    mapped = base.withColumn(
+        "state",
+        F.when(
+            F.col("event_type") == "purchase", F.lit("__convert__")
+        ).otherwise(F.col("event_type")),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wj_desc = Window.partitionBy("user_id", "journey").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    steps = mapped.withColumn(
+        "prev", F.coalesce(F.lag("state").over(wj), F.lit("__start__"))
+    )
+    pairs = steps.select(F.col("prev").alias("i"), F.col("state").alias("j"))
+    tails = (
+        steps.withColumn("rd", F.row_number().over(wj_desc))
+        .filter((F.col("rd") == 1) & (F.col("state") != "__convert__"))
+        .select(F.col("state").alias("i"), F.lit("__null__").alias("j"))
+    )
+    cnt = (
+        pairs.unionByName(tails)
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rowtot = cnt.groupBy("i").agg(F.sum("c").alias("rt"))
+    guard_max = (2**63 - 1) // scale
+    trans = (
+        cnt.join(rowtot, "i")
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"CASE WHEN c > {guard_max}L THEN raise_error(concat("
+                "'markov_removal_attribution int64 envelope exceeded: ',"
+                " CAST(c AS STRING), ' transitions in one cell > "
+                f"{guard_max} safe maximum at scale={scale}. Lift the"
+                " sweep to decimal(38,0).')) ELSE c END"
+            ).alias("c"),
+            "rt",
+        )
+        .localCheckpoint()
+    )
+    channels = (
+        mapped.filter(F.col("state") != "__convert__")
+        .select(F.col("state").alias("ch"))
+        .distinct()
+    )
+    spark = ev.sparkSession
+    chains = channels.unionByName(
+        spark.createDataFrame([("__none__",)], ["ch"])
+    ).localCheckpoint()
+    trans_ch = chains.crossJoin(trans).filter(
+        (F.col("ch") == "__none__") | (F.col("i") != F.col("ch"))
+    )
+    v0 = chains.select(
+        "ch",
+        F.lit("__convert__").alias("node"),
+        F.lit(scale).cast("long").alias("v"),
+    )
+    v = v0
+    for _ in range(n_iter):
+        stepped = (
+            trans_ch.join(
+                v, (trans_ch["ch"] == v["ch"]) & (trans_ch["j"] == v["node"])
+            )
+            .groupBy(trans_ch["ch"].alias("ch"), F.col("i").alias("node"))
+            .agg(F.sum(F.expr("c * v div rt")).cast("long").alias("v"))
+        )
+        v = stepped.unionByName(v0)
+    conv = v.filter(F.col("node") == "__start__").select(
+        "ch", F.col("v").alias("conv")
+    )
+    full = conv.filter(F.col("ch") == "__none__").select(
+        F.col("conv").alias("full_conv")
+    )
+    # LEFT join from the channel list: the vector is SPARSE, so a
+    # removal chain whose START value is zero has no conv row at all —
+    # it must still report conv_removed_ppm = 0, not vanish.
+    return (
+        chains.filter(F.col("ch") != "__none__")
+        .join(conv, "ch", "left")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("ch").alias("channel"),
+            F.col("full_conv").alias("conv_full_ppm"),
+            F.coalesce("conv", F.lit(0)).alias("conv_removed_ppm"),
+            F.expr(
+                f"(full_conv - coalesce(conv, 0L)) * {scale}L"
+                " div NULLIF(full_conv, 0L)"
+            ).alias("removal_effect_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+def markov_removal_attribution_oracle_sql(
+    n_iter: int = REMOVAL_ITERS, scale: int = REMOVAL_SCALE
+) -> str:
+    """DuckDB replay: shared journey grammar + the (channel, node)
+    vector swept through unrolled MATERIALIZED CTEs with identical
+    per-term ``c * v // rt`` floors."""
+    parts = [
+        f"""
+        WITH base AS (
+            SELECT user_id, ts, event_id, event_type,
+                   COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0)
+                       AS journey
+            FROM events),
+        mapped AS (
+            SELECT user_id, ts, event_id, journey,
+                   CASE WHEN event_type = 'purchase'
+                        THEN '__convert__' ELSE event_type END AS state
+            FROM base),
+        steps AS MATERIALIZED (
+            SELECT user_id, journey, state,
+                   COALESCE(LAG(state) OVER wj, '__start__') AS prev,
+                   ROW_NUMBER() OVER wjd AS rd
+            FROM mapped
+            WINDOW wj AS (PARTITION BY user_id, journey
+                          ORDER BY ts, event_id),
+                   wjd AS (PARTITION BY user_id, journey
+                           ORDER BY ts DESC, event_id DESC)),
+        pairs AS (
+            SELECT prev AS i, state AS j FROM steps
+            UNION ALL
+            SELECT state AS i, '__null__' AS j
+            FROM steps WHERE rd = 1 AND state <> '__convert__'),
+        cnt AS MATERIALIZED (
+            SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs GROUP BY i, j),
+        trans AS MATERIALIZED (
+            SELECT cnt.i, cnt.j, cnt.c, rt.rt
+            FROM cnt JOIN (SELECT i, CAST(SUM(c) AS BIGINT) AS rt
+                           FROM cnt GROUP BY i) rt USING (i)),
+        chains AS MATERIALIZED (
+            SELECT DISTINCT state AS ch FROM mapped
+            WHERE state <> '__convert__'
+            UNION ALL SELECT '__none__'),
+        trans_ch AS MATERIALIZED (
+            SELECT chains.ch, trans.i, trans.j, trans.c, trans.rt
+            FROM chains CROSS JOIN trans
+            WHERE chains.ch = '__none__' OR trans.i <> chains.ch),
+        v0 AS MATERIALIZED (
+            SELECT ch, '__convert__' AS node,
+                   CAST({scale} AS BIGINT) AS v
+            FROM chains)
+        """
+    ]
+    prev = "v0"
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        , v{k} AS MATERIALIZED (
+            SELECT t.ch, t.i AS node,
+                   CAST(SUM(t.c * v.v // t.rt) AS BIGINT) AS v
+            FROM trans_ch t
+            JOIN {prev} v ON v.ch = t.ch AND v.node = t.j
+            GROUP BY t.ch, t.i
+            UNION ALL
+            SELECT ch, '__convert__', CAST({scale} AS BIGINT)
+            FROM chains)
+        """)
+        prev = f"v{k}"
+    parts.append(f"""
+        , conv AS (
+            SELECT ch, v AS conv FROM {prev} WHERE node = '__start__'),
+        fullc AS (
+            SELECT conv AS full_conv FROM conv WHERE ch = '__none__')
+        SELECT ch AS channel,
+               f.full_conv AS conv_full_ppm,
+               CAST(COALESCE(c.conv, 0) AS BIGINT) AS conv_removed_ppm,
+               CAST((f.full_conv - COALESCE(c.conv, 0)) * {scale}
+                    // NULLIF(f.full_conv, 0) AS BIGINT)
+                   AS removal_effect_ppm
+        FROM chains LEFT JOIN conv c USING (ch) CROSS JOIN fullc f
+        WHERE ch <> '__none__'
+        ORDER BY channel
+        """)
+    return "".join(parts)

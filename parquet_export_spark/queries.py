@@ -3115,6 +3115,15 @@ REGISTRY.update(
             _rel(A.user_activity_streaks),
             A.user_activity_streaks_oracle_sql(),
         ),
+        # Round-11: Markov removal-effect attribution — the data-driven
+        # member of the attribution family (asof = last-touch,
+        # multitouch = linear): journey chain + per-channel removal
+        # sweeps as ONE (channel, node)-keyed integer fixed-point,
+        # replayed by unrolled MATERIALIZED CTEs.
+        "markov_removal_attribution": QuerySpec(
+            _rel(A.markov_removal_attribution),
+            A.markov_removal_attribution_oracle_sql(),
+        ),
         # Round-11 scan algebra: floor-at-zero ledger balance via the
         # prefix-sum-minus-deepest-dip closed form — a clamped
         # recurrence a plain cumulative window cannot express, done
@@ -4055,16 +4064,17 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 11 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. filter_project below;
+#   (d) 10 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. events_hourly_rollup below;
 #   (e) the 4 rows-only gears converted to _checked twins this round
 #       (neardup_incremental, supplier_communities_approx,
 #       ivf_probe_incremental, pq_probe_incremental — r10 verdict
 #       #4/#5);
-#   (f) the 6 round-11 new operators (changepoint scan, weighted
+#   (f) the 7 round-11 new operators (changepoint scan, weighted
 #       median, WoW decomposition, share-of-parent, clamped balance,
-#       proration) — born before this window was finalized, so they
-#       take first-verdict slots now instead of waiting for r12.
+#       proration, Markov removal attribution) — born before this
+#       window was finalized, so they take first-verdict slots now
+#       instead of waiting for r12.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4118,7 +4128,7 @@ _VERDICT_PRIORITY = [
     "agg_distinct", "apply_changefeed", "assoc_rules_parts",
     "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
     "cusum_alarms", "date_funcs_extra", "dedup_incremental",
-    "events_hourly_rollup", "filter_project",
+    "events_hourly_rollup",
     # (e) rows-only gears converted to _checked twins THIS round (r10
     #     verdict #4/#5) — new oracles, never driver-verdicted,
     #     verdict them immediately rather than deferring to r12:
@@ -4128,6 +4138,7 @@ _VERDICT_PRIORITY = [
     "changepoint_scan_daily", "weighted_median_price_by_segment",
     "wow_mix_rate_decomposition", "share_of_parent_rollup",
     "clamped_running_balance", "prorate_discount_cents",
+    "markov_removal_attribution",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

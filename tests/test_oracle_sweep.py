@@ -56,6 +56,7 @@ ROUND_CHANGED = [
     "share_of_parent_rollup",
     "clamped_running_balance",
     "prorate_discount_cents",
+    "markov_removal_attribution",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

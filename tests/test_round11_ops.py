@@ -269,3 +269,74 @@ def test_share_rollup_partitions_sum_exactly(spark, sf_dir):
         assert sum(r.nation_cents for r in rs) == rs[0].region_cents
         for r in rs:
             assert 0.0 < r.share_of_region <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# markov_removal_attribution: full pure-Python journey/sweep replay
+# ---------------------------------------------------------------------------
+
+
+def test_markov_removal_matches_python_replay(spark, sf_dir):
+    """Independent replay: journeys, transition counts, and the
+    integer fixed-point sweeps recomputed from raw event rows in
+    plain Python dicts — every ppm must match bit-for-bit (the
+    operator claims integer-exact determinism, so no tolerance)."""
+    t = _tables(spark, sf_dir)
+    got = {
+        r.channel: (
+            r.conv_full_ppm,
+            r.conv_removed_ppm,
+            r.removal_effect_ppm,
+        )
+        for r in A.markov_removal_attribution(t).collect()
+    }
+    assert got
+    ev = sorted(
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    # journeys + transitions
+    from collections import Counter, defaultdict
+
+    cnt: Counter = Counter()
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.event_type)
+    states = set()
+    for seq in by_user.values():
+        prev = "__start__"
+        for et in seq:
+            s = "__convert__" if et == "purchase" else et
+            if s != "__convert__":
+                states.add(s)
+            cnt[(prev, s)] += 1
+            prev = "__start__" if s == "__convert__" else s
+        if prev != "__start__":
+            cnt[(prev, "__null__")] += 1
+    rt: Counter = Counter()
+    for (i, _), c in cnt.items():
+        rt[i] += c
+    scale, K = A.REMOVAL_SCALE, A.REMOVAL_ITERS
+
+    def sweep(removed):
+        v = {"__convert__": scale}
+        for _ in range(K):
+            nv = {}
+            for (i, j), c in cnt.items():
+                if i == removed:
+                    continue
+                nv[i] = nv.get(i, 0) + c * v.get(j, 0) // rt[i]
+            nv["__convert__"] = scale
+            v = nv
+        return v.get("__start__", 0)
+
+    full = sweep(None)
+    for ch in states:
+        removed = sweep(ch)
+        effect = (
+            (full - removed) * scale // full if full else None
+        )
+        assert got[ch] == (full, removed, effect), ch
+    assert set(got) == states

@@ -252,6 +252,7 @@ HEADLINE = [
     "clamped_running_balance",
     "prorate_discount_cents",
     "markov_removal_attribution",
+    "interval_overlap_join",
 ]
 
 

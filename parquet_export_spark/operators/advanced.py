@@ -5239,3 +5239,141 @@ def markov_removal_attribution_oracle_sql(
         ORDER BY channel
         """)
     return "".join(parts)
+
+
+#: grid cell width for the interval join, sized to the DATA's interval
+#: distribution: the synthetic fulfillment windows average ~710 days
+#: (measured), so 90-day cells keep the explode factor ~8; a 7-day grid
+#: would inflate the grid frame ~100x for the same answer. At 100 TB
+#: this is the one tuning knob the pattern has — cell ~= typical
+#: interval length.
+OVERLAP_BUCKET_DAYS = 90
+#: deterministic customer slice: with ~2-year windows, most of a
+#: customer's orders mutually overlap, so the full output is
+#: O(customers x orders_per_customer^2); the slice keeps the registered
+#: entry's compare cost bounded while exercising every plan feature.
+OVERLAP_CUST_MOD = 10
+
+
+def interval_overlap_join(
+    t: dict[str, DataFrame],
+    bucket_days: int = OVERLAP_BUCKET_DAYS,
+    cust_mod: int = OVERLAP_CUST_MOD,
+) -> DataFrame:
+    """Interval-OVERLAP self-join: pairs of the same customer's orders
+    whose fulfillment windows [order day, last ship day] overlap —
+    the 'how often does this account have two orders in flight'
+    question, and the canonical INTERVAL JOIN shape (join_range is a
+    banded theta join on points; this joins intervals to intervals).
+
+    Scale pattern (the reason this entry exists): a naive interval
+    self-join is a per-key cartesian with a range residual. The plan
+    here is the GRID join: each interval explodes into the
+    ``bucket_days``-day cells it touches (explode factor = interval
+    length / cell width — bounded by fulfillment spans, not by SF),
+    pairs meet as a plain EQUI-join on (custkey, cell) —
+    shuffle-friendly, AQE-sizable — and the classic dedup-free trick
+    assigns each pair to exactly ONE cell, the cell containing the
+    overlap's START (cell == greatest(s_a, s_b) div bucket_days): no
+    DISTINCT pass, no duplicate pairs, no second shuffle. The grid
+    frame is localCheckpointed so join planning sees its TRUE
+    post-explode size — Catalyst's pre-explode estimate is tiny and
+    (measured, sf0.01) tips the planner into broadcasting a frame
+    that then OOMs the driver; honest stats hand the decision back to
+    AQE. The DuckDB oracle deliberately states the semantics as the
+    naive range predicate — same answer, different plan, which is
+    exactly the point.
+
+    Output per overlapping pair (a.orderkey < b.orderkey):
+    (custkey, orderkey_a, orderkey_b, overlap_days), fully ordered.
+    Exact integer day arithmetic end to end.
+    """
+    o = (
+        t["orders"]
+        .filter(F.col("o_custkey") % cust_mod == 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE),"
+                " DATE '1970-01-01') AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"),
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)"
+        ).alias("ship"),
+    )
+    iv = (
+        o.join(li, "ok")
+        .groupBy("ok", "ck", "s")
+        .agg(F.greatest(F.max("ship"), F.first("s")).alias("e"))
+    )
+    g = iv.select(
+        "ck",
+        "ok",
+        "s",
+        "e",
+        F.explode(
+            F.expr(f"sequence(s div {bucket_days}, e div {bucket_days})")
+        ).alias("wk"),
+    ).localCheckpoint()
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.wk") == F.col("b.wk"))
+        & (F.col("a.ok") < F.col("b.ok"))
+        # true overlap…
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # …counted exactly once: only in the overlap-start cell
+        & (
+            F.col("a.wk")
+            == F.expr(f"greatest(a.s, b.s) div {bucket_days}")
+        ),
+    )
+    return pairs.select(
+        F.col("a.ck").alias("custkey"),
+        F.col("a.ok").alias("orderkey_a"),
+        F.col("b.ok").alias("orderkey_b"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+            + 1
+        ).alias("overlap_days"),
+    ).orderBy("custkey", "orderkey_a", "orderkey_b")
+
+
+def interval_overlap_join_oracle_sql(
+    cust_mod: int = OVERLAP_CUST_MOD,
+) -> str:
+    """Semantics stated naively: per-customer interval range self-join
+    (the grid plan must return exactly this)."""
+    return f"""
+        WITH iv AS (
+          SELECT o.o_orderkey AS ok, o.o_custkey AS ck,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                     AS s,
+                 GREATEST(
+                   MAX(CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(l.l_shipdate AS DATE)) AS BIGINT)),
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o.o_orderdate AS DATE)) AS BIGINT))
+                     AS e
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_custkey % {cust_mod} = 0
+          GROUP BY 1, 2, 3)
+        SELECT a.ck AS custkey,
+               a.ok AS orderkey_a,
+               b.ok AS orderkey_b,
+               LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS overlap_days
+        FROM iv a JOIN iv b
+          ON a.ck = b.ck AND a.ok < b.ok
+         AND a.s <= b.e AND b.s <= a.e
+        ORDER BY custkey, orderkey_a, orderkey_b
+        """

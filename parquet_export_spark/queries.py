@@ -3115,6 +3115,14 @@ REGISTRY.update(
             _rel(A.user_activity_streaks),
             A.user_activity_streaks_oracle_sql(),
         ),
+        # Round-11: interval-OVERLAP self-join via the dedup-free GRID
+        # plan (7-day buckets, pair counted only in its overlap-start
+        # bucket — no DISTINCT, one equi-shuffle); the oracle states
+        # the naive range-predicate semantics the grid must reproduce.
+        "interval_overlap_join": QuerySpec(
+            _rel(A.interval_overlap_join),
+            A.interval_overlap_join_oracle_sql(),
+        ),
         # Round-11: Markov removal-effect attribution — the data-driven
         # member of the attribution family (asof = last-touch,
         # multitouch = linear): journey chain + per-channel removal
@@ -4064,17 +4072,17 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 10 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. events_hourly_rollup below;
+#   (d) 9 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. dedup_incremental below;
 #   (e) the 4 rows-only gears converted to _checked twins this round
 #       (neardup_incremental, supplier_communities_approx,
 #       ivf_probe_incremental, pq_probe_incremental — r10 verdict
 #       #4/#5);
-#   (f) the 7 round-11 new operators (changepoint scan, weighted
+#   (f) the 8 round-11 new operators (changepoint scan, weighted
 #       median, WoW decomposition, share-of-parent, clamped balance,
-#       proration, Markov removal attribution) — born before this
-#       window was finalized, so they take first-verdict slots now
-#       instead of waiting for r12.
+#       proration, Markov removal attribution, interval-overlap grid
+#       join) — born before this window was finalized, so they take
+#       first-verdict slots now instead of waiting for r12.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4128,7 +4136,6 @@ _VERDICT_PRIORITY = [
     "agg_distinct", "apply_changefeed", "assoc_rules_parts",
     "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
     "cusum_alarms", "date_funcs_extra", "dedup_incremental",
-    "events_hourly_rollup",
     # (e) rows-only gears converted to _checked twins THIS round (r10
     #     verdict #4/#5) — new oracles, never driver-verdicted,
     #     verdict them immediately rather than deferring to r12:
@@ -4138,7 +4145,7 @@ _VERDICT_PRIORITY = [
     "changepoint_scan_daily", "weighted_median_price_by_segment",
     "wow_mix_rate_decomposition", "share_of_parent_rollup",
     "clamped_running_balance", "prorate_discount_cents",
-    "markov_removal_attribution",
+    "markov_removal_attribution", "interval_overlap_join",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

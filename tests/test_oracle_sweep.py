@@ -57,6 +57,7 @@ ROUND_CHANGED = [
     "clamped_running_balance",
     "prorate_discount_cents",
     "markov_removal_attribution",
+    "interval_overlap_join",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

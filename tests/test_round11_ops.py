@@ -340,3 +340,70 @@ def test_markov_removal_matches_python_replay(spark, sf_dir):
         )
         assert got[ch] == (full, removed, effect), ch
     assert set(got) == states
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join: grid plan vs naive Spark range join + pair math
+# ---------------------------------------------------------------------------
+
+
+def test_interval_grid_join_matches_naive_plan(spark, sf_dir):
+    """The dedup-free grid join must return EXACTLY the naive
+    per-customer range self-join's pairs — each exactly once (the
+    overlap-start-cell trick is where duplicate/dropped-pair bugs
+    live, e.g. at cell boundaries and for containment-shaped
+    overlaps), with exact overlap lengths."""
+    t = _tables(spark, sf_dir)
+    got = [
+        (r.custkey, r.orderkey_a, r.orderkey_b, r.overlap_days)
+        for r in A.interval_overlap_join(t).collect()
+    ]
+    assert got
+    assert len(got) == len(set(got))  # no duplicate pairs, ever
+    # naive reference plan in Spark itself (the oracle re-proves the
+    # same in DuckDB; this differential isolates the GRID logic)
+    o = (
+        t["orders"]
+        .filter(F.col("o_custkey") % A.OVERLAP_CUST_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE),"
+                " DATE '1970-01-01') AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"),
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)"
+        ).alias("ship"),
+    )
+    iv = [
+        (r.ck, r.ok, r.s, r.e)
+        for r in o.join(li, "ok")
+        .groupBy("ok", "ck", "s")
+        .agg(F.greatest(F.max("ship"), F.first("s")).alias("e"))
+        .collect()
+    ]
+    from collections import defaultdict
+
+    by_c = defaultdict(list)
+    for ck, ok, s, e in iv:
+        by_c[ck].append((ok, s, e))
+    want = []
+    for ck, items in by_c.items():
+        items.sort()
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                (oa, sa, ea), (ob, sb, eb) = items[x], items[y]
+                if sa <= eb and sb <= ea:
+                    want.append(
+                        (ck, oa, ob, min(ea, eb) - max(sa, sb) + 1)
+                    )
+    assert sorted(got) == sorted(want)
+    # non-vacuity: some pair must span a 90-day cell boundary (the
+    # trick's hard case) — with ~2-year windows this always holds
+    assert any(d > A.OVERLAP_BUCKET_DAYS for _, _, _, d in got)

@@ -253,6 +253,7 @@ HEADLINE = [
     "prorate_discount_cents",
     "markov_removal_attribution",
     "interval_overlap_join",
+    "key_skew_report",
 ]
 
 

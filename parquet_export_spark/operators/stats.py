@@ -5882,3 +5882,101 @@ def share_of_parent_rollup_oracle_sql() -> str:
                    AS region_share_of_total
         FROM j ORDER BY region, nation
         """
+
+
+#: heavy-key report size — the keys an engineer actually reads.
+SKEW_TOP_K = 10
+
+
+def key_skew_report(t: dict[str, DataFrame], top_k: int = SKEW_TOP_K) -> DataFrame:
+    """Join/shuffle-key skew diagnostics for orders.o_custkey — the
+    report an engineer pulls BEFORE deciding whether a join needs
+    salting (the repo's salted_skew_join / salted_agg_user_value are
+    the cures; this is the diagnosis): per-key cardinality profile
+    plus the top heavy keys.
+
+    One row per heavy key (rank 1..top_k by count, key ascending on
+    ties) carrying the GLOBAL profile alongside: n_rows, n_keys,
+    mean-per-key (exact integer div), max count, exact P99 of the
+    per-key count distribution (lower order statistic at ceil(0.99*K)
+    — a rank pick, never interpolated: pitfall 17), and the skew
+    ratio max/mean in integer ppm. skew_ppm >> 1e6 says salt; ~1e6
+    says the keys are uniform and salting would only add shuffle.
+
+    Scale shape: ONE fact-side count aggregate; everything after runs
+    on the (n_keys)-sized frame — rank windows and a single-row
+    profile crossJoined back (broadcast, 1 row). Exact int64
+    arithmetic end to end.
+    """
+    from pyspark.sql import Window
+
+    per_key = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    prof = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_count"),
+    )
+    w_rank = Window.orderBy(F.desc("c"), "key")
+    w_stat = Window.orderBy("c")
+    # exact lower order statistic at rank ceil(0.99 * K)
+    p99 = (
+        per_key.withColumn("rn", F.row_number().over(w_stat))
+        .crossJoin(F.broadcast(prof.select("n_keys")))
+        .filter(F.col("rn") == F.expr("CAST(CEIL(0.99 * n_keys) AS BIGINT)"))
+        .select(F.col("c").alias("p99_count"))
+    )
+    return (
+        per_key.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(prof))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "rank",
+            F.col("key").alias("heavy_key"),
+            F.col("c").alias("key_count"),
+            "n_rows",
+            "n_keys",
+            F.expr("n_rows div n_keys").alias("mean_count"),
+            "max_count",
+            "p99_count",
+            F.expr(
+                "max_count * 1000000L div (n_rows div n_keys)"
+            ).alias("skew_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+def key_skew_report_oracle_sql(top_k: int = SKEW_TOP_K) -> str:
+    return f"""
+        WITH per_key AS (
+          SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        prof AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_count
+          FROM per_key),
+        p99 AS (
+          SELECT c AS p99_count
+          FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn
+                FROM per_key) x, prof
+          WHERE rn = CAST(CEIL(0.99 * n_keys) AS BIGINT)),
+        ranked AS (
+          SELECT key, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rank
+          FROM per_key)
+        SELECT rank, key AS heavy_key, c AS key_count,
+               n_rows, n_keys,
+               n_rows // n_keys AS mean_count,
+               max_count, p99_count,
+               max_count * 1000000 // (n_rows // n_keys) AS skew_ppm
+        FROM ranked, prof, p99
+        WHERE rank <= {top_k}
+        ORDER BY rank
+        """

@@ -865,6 +865,12 @@ REGISTRY.update(
             _rel(ST.share_of_parent_rollup),
             ST.share_of_parent_rollup_oracle_sql(),
         ),
+        # shuffle-key skew diagnostics (the report BEFORE the
+        # salted_skew_join cure): heavy keys + exact per-key count
+        # profile, one fact-side aggregate.
+        "key_skew_report": QuerySpec(
+            _rel(ST.key_skew_report), ST.key_skew_report_oracle_sql()
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """
@@ -4072,17 +4078,18 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 9 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. dedup_incremental below;
+#   (d) 8 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. date_funcs_extra below;
 #   (e) the 4 rows-only gears converted to _checked twins this round
 #       (neardup_incremental, supplier_communities_approx,
 #       ivf_probe_incremental, pq_probe_incremental — r10 verdict
 #       #4/#5);
-#   (f) the 8 round-11 new operators (changepoint scan, weighted
+#   (f) the 9 round-11 new operators (changepoint scan, weighted
 #       median, WoW decomposition, share-of-parent, clamped balance,
 #       proration, Markov removal attribution, interval-overlap grid
-#       join) — born before this window was finalized, so they take
-#       first-verdict slots now instead of waiting for r12.
+#       join, key-skew report) — born before this window was
+#       finalized, so they take first-verdict slots now instead of
+#       waiting for r12.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4135,7 +4142,7 @@ _VERDICT_PRIORITY = [
     # (d) 21 opportunistic FROZEN refreshes, oldest (r5) evidence first:
     "agg_distinct", "apply_changefeed", "assoc_rules_parts",
     "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
-    "cusum_alarms", "date_funcs_extra", "dedup_incremental",
+    "cusum_alarms", "date_funcs_extra",
     # (e) rows-only gears converted to _checked twins THIS round (r10
     #     verdict #4/#5) — new oracles, never driver-verdicted,
     #     verdict them immediately rather than deferring to r12:
@@ -4146,6 +4153,7 @@ _VERDICT_PRIORITY = [
     "wow_mix_rate_decomposition", "share_of_parent_rollup",
     "clamped_running_balance", "prorate_discount_cents",
     "markov_removal_attribution", "interval_overlap_join",
+    "key_skew_report",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

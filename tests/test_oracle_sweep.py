@@ -58,6 +58,7 @@ ROUND_CHANGED = [
     "prorate_discount_cents",
     "markov_removal_attribution",
     "interval_overlap_join",
+    "key_skew_report",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -148,6 +148,16 @@ SHOWCASE = [
     "cramers_v_type_decile",
     "atkinson_index_by_segment",
     "readability_scores",
+    # round-11 batch: dedup-free grid interval join (one equi-shuffle,
+    # checkpointed post-explode stats), two-stacked-window clamped
+    # scan (no UDF), channel-vectorized integer fixed-point (nothing
+    # fact-sized re-joins), prefix-window change-point profile (no
+    # pair join), per-order-partitioned largest-remainder allocation
+    "interval_overlap_join",
+    "clamped_running_balance",
+    "markov_removal_attribution",
+    "changepoint_scan_daily",
+    "prorate_discount_cents",
 ]
 
 HEADER = """\

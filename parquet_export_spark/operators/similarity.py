@@ -1241,3 +1241,35 @@ def pq_probe_incremental_checked_oracle_sql(n_queries: int = 5) -> str:
         SELECT vec_id AS query_id, TRUE AS probe_matches_refit
         FROM embeddings WHERE vec_id < {n_queries} ORDER BY query_id
         """
+
+
+def ann_lsh_buckets_oracle_sql(n_planes: int = N_PLANES) -> str:
+    """DuckDB replay of the sign-random-projection buckets (round-11:
+    this gear LEFT the rows-only tier): the projection planes are
+    fixed PLAN LITERALS, and the whole computation is IEEE-basic —
+    float->double widening (exact), per-element multiply, and a
+    left fold in ARRAY ORDER — so both engines produce bit-identical
+    dot products and therefore identical sign bits. Order parity:
+    Spark's ``aggregate(zip_with(...), 0D, +)`` folds
+    0.0 + p_0 + p_1 + ...; DuckDB's ``list_reduce`` seeds from the
+    FIRST element, so the 0.0 is prepended — same sequence of
+    additions. Weight literals go through CAST('<repr>' AS DOUBLE)
+    (string parse, correctly rounded, repr round-trips) rather than
+    bare decimal literals, whose DECIMAL->DOUBLE path is the
+    not-correctly-rounded-past-64-bits lane the spearman entry
+    documented."""
+    terms = []
+    for p in range(n_planes):
+        ws = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _PLANES[p])
+        dot = (
+            "list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip(embedding, [{ws}]), "
+            "s -> CAST(s[1] AS DOUBLE) * s[2])), "
+            "(acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return (
+        "SELECT vec_id, label, CAST("
+        + " + ".join(terms)
+        + " AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+    )

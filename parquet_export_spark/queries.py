@@ -1347,7 +1347,14 @@ REGISTRY.update(
             WHERE rn = 1 ORDER BY vec_id
             """,
         ),
-        "ann_lsh_buckets": QuerySpec(_rel(S.ann_lsh_buckets), None),
+        # round-11: LEFT the rows-only tier — the planes are plan
+        # literals and the fold is order-fixed IEEE arithmetic, so the
+        # bucket ids are bit-identical cross-engine and DuckDB replays
+        # them verbatim (ordered list_reduce + string-parsed double
+        # literals; see the oracle's docstring).
+        "ann_lsh_buckets": QuerySpec(
+            _rel(S.ann_lsh_buckets), S.ann_lsh_buckets_oracle_sql()
+        ),
         "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
         "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
         # registered as the _checked twin (round-11, r10 verdict #5):
@@ -4078,8 +4085,8 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 8 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. date_funcs_extra below;
+#   (d) 7 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. cusum_alarms below;
 #   (e) the 4 rows-only gears converted to _checked twins this round
 #       (neardup_incremental, supplier_communities_approx,
 #       ivf_probe_incremental, pq_probe_incremental — r10 verdict
@@ -4087,9 +4094,11 @@ REGISTRY.update(
 #   (f) the 9 round-11 new operators (changepoint scan, weighted
 #       median, WoW decomposition, share-of-parent, clamped balance,
 #       proration, Markov removal attribution, interval-overlap grid
-#       join, key-skew report) — born before this window was
-#       finalized, so they take first-verdict slots now instead of
-#       waiting for r12.
+#       join, key-skew report) plus ann_lsh_buckets (left the
+#       rows-only tier this round: plan-literal planes + ordered-fold
+#       IEEE parity made a verbatim DuckDB replay possible) — all born
+#       before this window was finalized, so they take first-verdict
+#       slots now instead of waiting for r12.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
 #     born or changed this round after the rotation; triple-SF-swept
@@ -4100,10 +4109,12 @@ REGISTRY.update(
 #     which stay frozen — a refresh does not unfreeze).
 #   - fresh (r8/r9/r10 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     ann_lsh_buckets, ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk,
-#     label_pca, neardup_clusters, neardup_minhash_lsh, neardup_simhash,
+#     ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk, label_pca,
+#     neardup_clusters, neardup_minhash_lsh, neardup_simhash,
 #     sample_fraction, semdedup_embedding, pq_topk, bpe_learn_merges,
-#     bpe_encode_corpus. (neardup_incremental,
+#     bpe_encode_corpus. (ann_lsh_buckets left this tier in r11: its
+#     plan-literal planes + order-fixed IEEE fold are bit-identical
+#     cross-engine, so the oracle replays the buckets verbatim.) (neardup_incremental,
 #     supplier_communities_approx, ivf_probe_incremental and
 #     pq_probe_incremental left this tier in r11: registered entries
 #     are now _checked twins with in-plan contract booleans +
@@ -4142,7 +4153,7 @@ _VERDICT_PRIORITY = [
     # (d) 21 opportunistic FROZEN refreshes, oldest (r5) evidence first:
     "agg_distinct", "apply_changefeed", "assoc_rules_parts",
     "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
-    "cusum_alarms", "date_funcs_extra",
+    "cusum_alarms",
     # (e) rows-only gears converted to _checked twins THIS round (r10
     #     verdict #4/#5) — new oracles, never driver-verdicted,
     #     verdict them immediately rather than deferring to r12:
@@ -4153,7 +4164,7 @@ _VERDICT_PRIORITY = [
     "wow_mix_rate_decomposition", "share_of_parent_rollup",
     "clamped_running_balance", "prorate_discount_cents",
     "markov_removal_attribution", "interval_overlap_join",
-    "key_skew_report",
+    "key_skew_report", "ann_lsh_buckets",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

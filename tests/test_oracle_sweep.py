@@ -59,6 +59,10 @@ ROUND_CHANGED = [
     "markov_removal_attribution",
     "interval_overlap_join",
     "key_skew_report",
+    # rows-only gear converted in r11: the LSH bucket ids are
+    # bit-identical cross-engine (plan-literal planes, ordered fold),
+    # so the gear now carries a verbatim DuckDB replay oracle:
+    "ann_lsh_buckets",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -441,6 +441,13 @@ def neardup_minhash_lsh(
     signature slice). Verification: exact shingle Jaccard on the
     candidate pairs only. Output columns match
     ``neardup_jaccard_blocked`` (doc_a, doc_b, jaccard).
+
+    Rows-only BY CONSTRUCTION: the candidate SET is a function of
+    xxhash64-derived MinHash signatures — a Spark-internal hash DuckDB
+    cannot replay — so no SQL oracle can reproduce which pairs are
+    even looked at. The verified Jaccard values themselves are exact
+    (the oracle-checked ``neardup_jaccard_blocked`` carries that
+    evidence); recall/precision bounds live in pytest.
     """
     sig = minhash_signatures(t["documents"])
     bands = _band_rows(sig, n_bands)
@@ -647,7 +654,12 @@ def simhash_signatures(docs: DataFrame, bits: int = 63) -> DataFrame:
 def neardup_simhash(t: dict[str, DataFrame], max_hamming: int = 8) -> DataFrame:
     """Candidate pairs by SimHash banding (4 x 16-bit chunks: any equal
     chunk -> candidate; guaranteed to catch hamming <= 3, probabilistic
-    above), verified by exact Hamming distance <= max_hamming."""
+    above), verified by exact Hamming distance <= max_hamming.
+
+    Rows-only BY CONSTRUCTION: the SimHash bits hash token features
+    with Spark-internal hashing (xxhash64), so neither the candidate
+    set nor the fingerprints are replayable in DuckDB; the hamming <=3
+    completeness guarantee and precision bounds are pytest evidence."""
     sig = simhash_signatures(t["documents"])
     chunks = sig.select(
         "doc_id",

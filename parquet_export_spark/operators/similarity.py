@@ -655,6 +655,14 @@ def ann_lsh_neighbors(
     a candidate pair needs a full bucket match in at least one table —
     recall amplifies with n_tables while each table's equi-join stays
     selective. The exact-cosine verification keeps precision at 1.
+
+    Rows-only BY CHOICE (contrast ``ann_lsh_buckets``, which the r11
+    oracle replays verbatim): the multi-table bucketing runs in the
+    Arrow-batched numpy kernel whose matmul uses pairwise summation —
+    deliberately NOT the left-fold IEEE lane the oracles require,
+    because this gear's pair volume is where interpreted HOF lambdas
+    stop being free. Candidate-recall and precision-1 bounds are
+    pytest evidence.
     """
     emb = t["embeddings"]
     # All n_tables × planes_per_table projections in ONE numpy matmul

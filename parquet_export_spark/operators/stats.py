@@ -5523,6 +5523,17 @@ def changepoint_scan_daily(t: dict[str, DataFrame]) -> DataFrame:
     daily = e.groupBy("event_type", "day").agg(
         F.sum("cents").alias("v")
     )
+    return changepoint_from_daily(daily)
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The scan core over a (event_type, day, v) daily frame — ONE
+    scoring function shared by the batch operator and the streaming
+    monitor (``streaming.incremental.changepoint_stream``), so
+    batch/stream drift is structurally impossible (the
+    mk_trend_from_daily convention)."""
+    from pyspark.sql import Window
+
     w_ord = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -2377,3 +2377,113 @@ def read_balances(spark, artifact_dir: str):
         .filter(F.col("rk") == 1)
         .select("suppkey", "day", "net_qty", "balance")
     )
+
+
+def changepoint_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous change-point scanning — the SEGMENTATION member of
+    the monitor family (CUSUM alarms that the level shifted; this
+    keeps answering WHERE, over the whole history seen so far). Per
+    micro-batch: merge the batch's (type, epoch-day) cents sums into
+    the carried daily series — CALENDAR-bounded state, independent of
+    row rate (the mk_trend_stream recipe) — and re-emit the full
+    exact gain profile via the batch operator's own scoring core
+    (``operators.stats.changepoint_from_daily``: one function, so
+    batch/stream drift is structurally impossible). The profile is
+    days-bounded per type; the num/den integer lanes ride through
+    unchanged, so a reader can run the same exact Fraction argmax the
+    batch consumers use.
+
+    Shared replay-idempotence + keep-two carry compaction recipe;
+    lifecycle-pinned with the other monitors.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.stats import changepoint_from_daily
+
+    out_base = artifact_dir.rstrip("/") + "/cpt"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                    " AS BIGINT)"
+                ).alias("day"),
+                F.expr(
+                    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+                ).alias("v"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.sum("v").alias("v"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, day long, v long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "day")
+            .agg(F.sum("v").alias("v"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        (
+            changepoint_from_daily(cum)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type", "day", "n_left", "gain_num", "gain_den",
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_changepoints(spark, artifact_dir: str):
+    """Per-batch change-point gain profiles emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/cpt")
+        .select(
+            "batch_id", "event_type", "day", "n_left",
+            "gain_num", "gain_den",
+        )
+    )

@@ -1316,6 +1316,26 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_mk_trend(spark, art)),
             art + "/carry",
         )
+    if name == "changepoint":
+        # day-grain series: the scan needs >= 2 days per type, which
+        # the minute-grain ev_batches never produce
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 5, 1)
+        day_batches = [
+            [(i, t0 + timedelta(days=i), 1, "probe", 10.0, "{}")
+             for i in range(4)],
+            [(10 + i, t0 + timedelta(days=4 + i), 1, "probe", 50.0, "{}")
+             for i in range(4)],
+            [(20 + i, t0 + timedelta(days=8 + i), 1, "probe", 50.0, "{}")
+             for i in range(2)],
+        ]
+        return (
+            ev, day_batches, land, ckpt,
+            lambda s: I.changepoint_stream(s, art, ckpt),
+            lambda: snap(I.read_changepoints(spark, art)),
+            art + "/carry",
+        )
     if name == "growth":
         return (
             ev, ev_batches, land, ckpt,
@@ -1370,7 +1390,7 @@ def _monitor_spec(name, spark, tmp_path):
     [
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
-        "growth", "auc_drift", "mk_trend", "balance",
+        "growth", "auc_drift", "mk_trend", "balance", "changepoint",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1780,3 +1800,79 @@ def test_balance_stream_two_batches_matches_batch_operator(spark, tmp_path):
         p.name for p in (pathlib.Path(art) / "carry").glob("batch_*")
     )
     assert len(carries) <= 2
+
+
+def test_changepoint_stream_matches_batch_on_prefix(spark, tmp_path):
+    """Monitor-family MATH pin: after each micro-batch the emitted
+    gain profile must equal the batch operator over the concatenated
+    prefix — exact string/integer lanes, so equality is literal."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators import stats as ST
+
+    land = str(tmp_path / "events_landing")
+    art = str(tmp_path / "cpt")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 6, 1)
+    # engineered level shift: 10 days at ~10, then 10 days at ~50
+    rows = [
+        (i, t0 + timedelta(days=i, hours=3), 1, "probe",
+         10.0 if i < 10 else 50.0, "{}")
+        for i in range(20)
+    ] + [
+        (100 + i, t0 + timedelta(days=i, hours=5), 2, "other",
+         5.0 + i, "{}")
+        for i in range(6)
+    ]
+    b1 = [r for r in rows if r[0] in set(range(12)) | {100, 101, 102}]
+    b2 = [r for r in rows if r[0] not in {x[0] for x in b1}]
+
+    def run_once():
+        q = I.changepoint_stream(
+            spark.readStream.schema(schema).parquet(land), art, ckpt
+        )
+        q.awaitTermination()
+
+    def batch_profile(prefix):
+        df = spark.createDataFrame(prefix, schema)
+        return sorted(
+            tuple(r)
+            for r in ST.changepoint_scan_daily({"events": df}).collect()
+        )
+
+    def stream_profile(batch_id):
+        return sorted(
+            tuple(r)[1:]
+            for r in I.read_changepoints(spark, art)
+            .filter(F.col("batch_id") == batch_id)
+            .collect()
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    assert stream_profile(0) == batch_profile(b1)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    prof = stream_profile(1)
+    assert prof == batch_profile(b1 + b2)
+    # the engineered shift is FOUND: the exact Fraction argmax for
+    # "probe" lands on the last low day (split between day 9 and 10)
+    from fractions import Fraction
+
+    probe = [
+        (Fraction(int(num), den), day)
+        for (et, day, _nl, num, den) in prof
+        if et == "probe"
+    ]
+    best_day = max(probe)[1]
+    want_day = (t0 + timedelta(days=9)).date()
+    assert best_day == (want_day - datetime(1970, 1, 1).date()).days

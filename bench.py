@@ -254,6 +254,8 @@ HEADLINE = [
     "markov_removal_attribution",
     "interval_overlap_join",
     "key_skew_report",
+    "welch_ttest_pairs",
+    "anova_oneway_types",
 ]
 
 

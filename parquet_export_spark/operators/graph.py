@@ -1315,6 +1315,7 @@ def supplier_communities_approx_checked(
     pctl: float = SUPPLIER_COMMUNITY_PCTL,
     max_degree: int = BUTTERFLY_MAX_DEGREE,
     n_iter: int = CC_DOUBLE_ITERS,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Driver-checkable twin of the approx-threshold production gear
     (round-11, r10 verdict #4): the pytest rank-error evidence promoted
@@ -1343,8 +1344,14 @@ def supplier_communities_approx_checked(
       quantitative rank bound above still pins the sketch).
 
     Both doubling chains run over the ONE localCheckpointed pair
-    frame — the projection self-join is paid once."""
-    pairs = _supplier_pair_weights(t, max_degree)
+    frame — the projection self-join is paid once per frame; callers
+    that hold the per-lake pair-weight artifact pass it via
+    ``pairs=`` (the ``strong=`` probe convention applied to the
+    WEIGHTED frame this twin uniquely needs — the registry wires the
+    per-lake cache in, so any session calling the twin repeatedly,
+    e.g. multi-SF sweeps, pays the projection once per lake)."""
+    if pairs is None:
+        pairs = _supplier_pair_weights(t, max_degree)
     th = pairs.agg(
         F.expr(f"percentile(n, {pctl})").alias("th_exact"),
         F.expr(

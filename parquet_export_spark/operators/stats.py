@@ -5991,3 +5991,248 @@ def key_skew_report_oracle_sql(top_k: int = SKEW_TOP_K) -> str:
         WHERE rank <= {top_k}
         ORDER BY rank
         """
+
+
+#: loud envelope for the welch/anova second-moment lane: sum(cents^2)
+#: must stay exact in int64. cents ~1e5 per event gives 1e16 at sf0.1
+#: — int64 holds to 9.2e18 (~SF 100 here); past that the raise says
+#: to lift the moment to decimal(38,0).
+SQ_MOMENT_MAX = 2**63 - 1
+
+
+def _cents_moments_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Shared (event_type, n, s, s2) exact-moment collapse for the
+    classical mean-comparison tests (Welch t, one-way ANOVA): int64
+    cents sums and second moments with a LOUD overflow guard on s2
+    (the markov/leadlag raise_error tier). int64 -> double conversion
+    is correctly rounded in BOTH engines (the spearman r9 finding), so
+    every downstream statistic is an IEEE-deterministic chain over
+    identical operands and crosses the oracle hash as RAW doubles (the
+    wow_mix_rate_decomposition presentation rule)."""
+    e = t["events"].select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.expr("c * c")).alias("s2_raw"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "s",
+            F.expr(
+                f"CASE WHEN s2_raw > {SQ_MOMENT_MAX // 2}L THEN"
+                " raise_error(concat('cents second moment ',"
+                " CAST(s2_raw AS STRING), ' leaves the int64 exact"
+                " lane — lift _cents_moments_by_type to"
+                " decimal(38,0)')) ELSE s2_raw END"
+            ).alias("s2"),
+        )
+    )
+
+
+#: DuckDB text of the SAME collapse (one definition per drift rule).
+_CENTS_MOMENTS_CTE_SQL = """
+        m AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM (SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events)
+          GROUP BY event_type)
+"""
+
+
+def welch_ttest_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Welch's unequal-variance t between every event-type pair's
+    cents values — the parametric member of the two-sample family
+    (mann_whitney compares ranks, ks/w1/tv whole distributions,
+    conversion_ztest proportions; Welch compares MEANS without the
+    pooled-variance assumption plain Student's t makes).
+
+    One exact-moment collapse, then a types^2/2-bounded pair join:
+    mean = s/n and sample variance = (s2 - s*(s/n)) / (n-1), computed
+    ENTIRELY in the int64 -> double lane (the textbook n*s2 - s^2
+    decimal numerator reaches ~1e22, and DECIMAL(38) -> DOUBLE is the
+    not-correctly-rounded DuckDB cast the spearman entry documented;
+    s2 is int64 by the loud guard and int64 -> double is correctly
+    rounded in both engines), then the Welch statistic and the
+    Welch-Satterthwaite degrees of freedom. Every step after the
+    exact lanes is IEEE +,-,*,/,sqrt on identical operands, so the
+    RAW doubles hash cross-engine (no ROUND; it is the only thing
+    that could diverge — measured in wow_mix_rate_decomposition).
+
+    Output per pair (type_a < type_b): n/mean/var per side, welch_t,
+    welch_df. Degenerate pairs (n < 2 or both variances zero) carry
+    NULL t/df rather than a division blow-up.
+    """
+    m = _cents_moments_by_type(t)
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("s2").alias("s2a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("s2").alias("s2b"),
+    )
+    j = a.join(b, F.col("type_a") < F.col("type_b"))
+    # variance via the int64 -> double lane ONLY: the textbook
+    # (n*s2 - s^2) / (n*(n-1)) decimal form reaches ~1e22, and the
+    # DECIMAL(38) -> DOUBLE cast is the NOT-correctly-rounded DuckDB
+    # lane the spearman entry documented. s2 (<= int64 by the guard)
+    # and s (< 2^53) convert exactly-or-correctly-rounded in both
+    # engines, so (s2 - s*(s/n)) / (n-1) is an IEEE-deterministic
+    # chain — deterministic cancellation, bit-identical cross-engine.
+    var = (
+        "(CAST({s2} AS DOUBLE) -"
+        " CAST({s} AS DOUBLE) * (CAST({s} AS DOUBLE) / {n}))"
+        " / ({n} - 1)"
+    )
+    va, vb = var.format(n="na", s="sa", s2="s2a"), var.format(
+        n="nb", s="sb", s2="s2b"
+    )
+    se2 = f"(({va}) / na + ({vb}) / nb)"
+    return j.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.expr("CAST(sa AS DOUBLE) / na").alias("mean_a"),
+        F.expr("CAST(sb AS DOUBLE) / nb").alias("mean_b"),
+        F.expr(f"CASE WHEN na >= 2 THEN {va} END").alias("var_a"),
+        F.expr(f"CASE WHEN nb >= 2 THEN {vb} END").alias("var_b"),
+        F.expr(
+            f"CASE WHEN na >= 2 AND nb >= 2 AND {se2} > 0 THEN"
+            f" (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+            f" / sqrt({se2}) END"
+        ).alias("welch_t"),
+        F.expr(
+            f"CASE WHEN na >= 2 AND nb >= 2 AND {se2} > 0 THEN"
+            f" ({se2}) * ({se2}) /"
+            f" ((({va}) / na) * (({va}) / na) / (na - 1)"
+            f"  + (({vb}) / nb) * (({vb}) / nb) / (nb - 1)) END"
+        ).alias("welch_df"),
+    ).orderBy("type_a", "type_b")
+
+
+def welch_ttest_pairs_oracle_sql() -> str:
+    var = (
+        "(CAST({s2} AS DOUBLE) -"
+        " CAST({s} AS DOUBLE) * (CAST({s} AS DOUBLE) / {n}))"
+        " / ({n} - 1)"
+    )
+    va, vb = var.format(n="na", s="sa", s2="s2a"), var.format(
+        n="nb", s="sb", s2="s2b"
+    )
+    se2 = f"(({va}) / na + ({vb}) / nb)"
+    return f"""
+        WITH {_CENTS_MOMENTS_CTE_SQL},
+        a AS (SELECT event_type AS type_a, n AS na, s AS sa, s2 AS s2a
+              FROM m),
+        b AS (SELECT event_type AS type_b, n AS nb, s AS sb, s2 AS s2b
+              FROM m)
+        SELECT type_a, type_b, na, nb,
+               CAST(sa AS DOUBLE) / na AS mean_a,
+               CAST(sb AS DOUBLE) / nb AS mean_b,
+               CASE WHEN na >= 2 THEN {va} END AS var_a,
+               CASE WHEN nb >= 2 THEN {vb} END AS var_b,
+               CASE WHEN na >= 2 AND nb >= 2 AND {se2} > 0 THEN
+                 (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                 / sqrt({se2}) END AS welch_t,
+               CASE WHEN na >= 2 AND nb >= 2 AND {se2} > 0 THEN
+                 ({se2}) * ({se2}) /
+                 ((({va}) / na) * (({va}) / na) / (na - 1)
+                  + (({vb}) / nb) * (({vb}) / nb) / (nb - 1)) END
+                   AS welch_df
+        FROM a JOIN b ON type_a < type_b
+        ORDER BY type_a, type_b
+        """
+
+
+def anova_oneway_types(t: dict[str, DataFrame]) -> DataFrame:
+    """One-way ANOVA F across event types' cents values — the k-group
+    member of the mean-comparison family (welch_ttest_pairs is the
+    pairwise member; ANOVA answers 'do the k means differ AT ALL'
+    before anyone goes pair-hunting).
+
+    From the shared exact-moment collapse: SSB = sum_g s_g*(s_g/n_g)
+    - s*(s/n) and SSW = s2_tot - sum_g s_g*(s_g/n_g). The sum over
+    GROUPS is the one order-sensitive float fold in the plan, so it
+    runs over the type-SORTED term array (Spark array_sort +
+    aggregate, DuckDB ORDER BY list + prepended-seed list_reduce —
+    the cramers_v left-fold parity recipe: identical addition order,
+    bit-identical result). Totals stay in int64 exact lanes (s2_tot
+    summed in DECIMAL behind a loud int64 gate); every division and
+    the F ratio are IEEE-deterministic, hashed as RAW doubles.
+
+    Output: ONE row — k, n_total, ss_between, ss_within, f_stat
+    (NULL on degenerate k < 2 or zero within-variance).
+    """
+    m = _cents_moments_by_type(t)
+    term = "CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)"
+    g = m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("s_tot"),
+        F.expr(
+            f"CASE WHEN CAST(SUM(CAST(s2 AS DECIMAL(38,0))) AS"
+            f" DECIMAL(38,0)) > {SQ_MOMENT_MAX}"
+            " THEN raise_error('anova s2 total leaves the int64 exact"
+            " lane — lift _cents_moments_by_type to decimal(38,0)')"
+            " ELSE CAST(SUM(CAST(s2 AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("s2_tot"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type,"
+            f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("sum_terms"),
+    )
+    ssb = "(sum_terms - CAST(s_tot AS DOUBLE) * (CAST(s_tot AS DOUBLE) / n_total))"
+    ssw = "(CAST(s2_tot AS DOUBLE) - sum_terms)"
+    return g.select(
+        "k",
+        "n_total",
+        F.expr(ssb).alias("ss_between"),
+        F.expr(ssw).alias("ss_within"),
+        F.expr(
+            f"CASE WHEN k >= 2 AND n_total > k AND {ssw} > 0 THEN"
+            f" ({ssb} / (k - 1)) / ({ssw} / (n_total - k)) END"
+        ).alias("f_stat"),
+    )
+
+
+def anova_oneway_types_oracle_sql() -> str:
+    term = "CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)"
+    ssb = (
+        "(sum_terms - CAST(s_tot AS DOUBLE)"
+        " * (CAST(s_tot AS DOUBLE) / n_total))"
+    )
+    ssw = "(CAST(s2_tot AS DOUBLE) - sum_terms)"
+    return f"""
+        WITH {_CENTS_MOMENTS_CTE_SQL},
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(SUM(s) AS BIGINT) AS s_tot,
+                 CAST(SUM(s2) AS BIGINT) AS s2_tot,
+                 list_reduce(list_prepend(0.0,
+                     list({term} ORDER BY event_type)),
+                     (acc, x) -> acc + x) AS sum_terms
+          FROM m)
+        SELECT k, n_total,
+               {ssb} AS ss_between,
+               {ssw} AS ss_within,
+               CASE WHEN k >= 2 AND n_total > k AND {ssw} > 0 THEN
+                 ({ssb} / (k - 1)) / ({ssw} / (n_total - k)) END
+                   AS f_stat
+        FROM g
+        """

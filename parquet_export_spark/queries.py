@@ -72,6 +72,24 @@ def _supplier_projection(
     return strong
 
 
+#: per-lake UN-thresholded pair-weight artifact — the weighted frame
+#: the approx-communities checked twin needs (it compares BOTH
+#: threshold gears, so the thresholded _PROJECTION_ARTIFACTS entries
+#: cannot serve it). Same caching contract.
+_PAIR_WEIGHT_ARTIFACTS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _supplier_pair_weights_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _PAIR_WEIGHT_ARTIFACTS.get(key)
+    if pairs is None:
+        pairs = G._supplier_pair_weights(load_tables(spark, sf_dir))
+        _PAIR_WEIGHT_ARTIFACTS[key] = pairs
+    return pairs
+
+
 #: per-lake trade-graph edge artifacts — same contract as
 #: _PROJECTION_ARTIFACTS, for the OTHER shared graph input (the
 #: node-encoded symmetric distinct-pair edge list every trade-graph
@@ -870,6 +888,19 @@ REGISTRY.update(
         # profile, one fact-side aggregate.
         "key_skew_report": QuerySpec(
             _rel(ST.key_skew_report), ST.key_skew_report_oracle_sql()
+        ),
+        # Welch's unequal-variance t per type pair — the parametric
+        # mean-comparison member; exact-moment collapse + all-IEEE
+        # statistic chain, RAW doubles (no ROUND).
+        "welch_ttest_pairs": QuerySpec(
+            _rel(ST.welch_ttest_pairs), ST.welch_ttest_pairs_oracle_sql()
+        ),
+        # One-way ANOVA across types: the k-group companion; the one
+        # order-sensitive group fold runs over a type-sorted array in
+        # both engines (left-fold parity).
+        "anova_oneway_types": QuerySpec(
+            _rel(ST.anova_oneway_types),
+            ST.anova_oneway_types_oracle_sql(),
         ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
@@ -3477,7 +3508,10 @@ REGISTRY.update(
         # production gear keeps its plan pin (sketch-only aggregate)
         # and pytest rank-error bound.
         "supplier_communities_approx": QuerySpec(
-            _rel(G.supplier_communities_approx_checked),
+            lambda spark, sf_dir: G.supplier_communities_approx_checked(
+                load_tables(spark, sf_dir),
+                pairs=_supplier_pair_weights_cached(spark, sf_dir),
+            ),
             G.supplier_communities_approx_checked_oracle_sql(),
         ),
         # Degree-oriented exact triangle counting on the shared
@@ -4085,16 +4119,17 @@ REGISTRY.update(
 #   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
 #       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
 #       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 7 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. cusum_alarms below;
+#   (d) 5 opportunistic FROZEN refreshes, oldest evidence first (all
+#       r5 verdicts): agg_distinct .. bigram_lm_scores below;
 #   (e) the 4 rows-only gears converted to _checked twins this round
 #       (neardup_incremental, supplier_communities_approx,
 #       ivf_probe_incremental, pq_probe_incremental — r10 verdict
 #       #4/#5);
-#   (f) the 9 round-11 new operators (changepoint scan, weighted
+#   (f) the 11 round-11 new operators (changepoint scan, weighted
 #       median, WoW decomposition, share-of-parent, clamped balance,
 #       proration, Markov removal attribution, interval-overlap grid
-#       join, key-skew report) plus ann_lsh_buckets (left the
+#       join, key-skew report, Welch t pairs, one-way ANOVA) plus
+#       ann_lsh_buckets (left the
 #       rows-only tier this round: plan-literal planes + ordered-fold
 #       IEEE parity made a verbatim DuckDB replay possible) — all born
 #       before this window was finalized, so they take first-verdict
@@ -4152,8 +4187,7 @@ _VERDICT_PRIORITY = [
     "join_range",
     # (d) 21 opportunistic FROZEN refreshes, oldest (r5) evidence first:
     "agg_distinct", "apply_changefeed", "assoc_rules_parts",
-    "balance_classes", "bigram_lm_scores", "curate_corpus_pipeline",
-    "cusum_alarms",
+    "balance_classes", "bigram_lm_scores",
     # (e) rows-only gears converted to _checked twins THIS round (r10
     #     verdict #4/#5) — new oracles, never driver-verdicted,
     #     verdict them immediately rather than deferring to r12:
@@ -4165,6 +4199,7 @@ _VERDICT_PRIORITY = [
     "clamped_running_balance", "prorate_discount_cents",
     "markov_removal_attribution", "interval_overlap_join",
     "key_skew_report", "ann_lsh_buckets",
+    "welch_ttest_pairs", "anova_oneway_types",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

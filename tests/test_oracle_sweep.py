@@ -63,6 +63,10 @@ ROUND_CHANGED = [
     # bit-identical cross-engine (plan-literal planes, ordered fold),
     # so the gear now carries a verbatim DuckDB replay oracle:
     "ann_lsh_buckets",
+    # classical mean-comparison members (exact-moment collapse, raw
+    # IEEE statistic lanes):
+    "welch_ttest_pairs",
+    "anova_oneway_types",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

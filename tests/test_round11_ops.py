@@ -407,3 +407,43 @@ def test_interval_grid_join_matches_naive_plan(spark, sf_dir):
     # non-vacuity: some pair must span a 90-day cell boundary (the
     # trick's hard case) — with ~2-year windows this always holds
     assert any(d > A.OVERLAP_BUCKET_DAYS for _, _, _, d in got)
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest_pairs: scipy-free Python replay (identical lane order)
+# ---------------------------------------------------------------------------
+
+
+def test_welch_pairs_match_python_replay(spark, sf_dir):
+    """Every pair's t/df replayed in plain Python floats using the
+    SAME operation order the plan declares — equality is exact
+    (both are the identical IEEE chain), not a tolerance check."""
+    t = _tables(spark, sf_dir)
+    rows = ST.welch_ttest_pairs(t).collect()
+    assert rows
+    ev = t["events"].select("event_type", "value").collect()
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0, 0])  # n, s, s2
+    for r in ev:
+        c = int(r.value * 100 + 0.5)
+        a = acc[r.event_type]
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+    def var(n, s, s2):
+        return (float(s2) - float(s) * (float(s) / n)) / (n - 1)
+
+    for r in rows:
+        na, sa, s2a = acc[r.type_a]
+        nb, sb, s2b = acc[r.type_b]
+        assert (r.na, r.nb) == (na, nb)
+        assert r.mean_a == float(sa) / na
+        va, vb = var(na, sa, s2a), var(nb, sb, s2b)
+        assert r.var_a == va and r.var_b == vb
+        se2 = va / na + vb / nb
+        assert r.welch_t == (float(sa) / na - float(sb) / nb) / se2**0.5
+        assert r.welch_df == (se2 * se2) / (
+            (va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1)
+        )

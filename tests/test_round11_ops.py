@@ -447,3 +447,193 @@ def test_welch_pairs_match_python_replay(spark, sf_dir):
             (va / na) * (va / na) / (na - 1)
             + (vb / nb) * (vb / nb) / (nb - 1)
         )
+
+
+# ---------------------------------------------------------------------------
+# Engineered adversarial fixtures for the round-11 batch: the edge
+# shapes the synthetic lake never produces (the round-4 adversarial
+# convention, applied batch-locally).
+# ---------------------------------------------------------------------------
+
+
+def _docs_events(spark, rows):
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    return {"events": spark.createDataFrame(rows, schema)}
+
+
+def test_proration_edge_shapes(spark):
+    """Single-line order (alloc == whole budget), equal-weight
+    remainder ties (line-number order decides), and a budget smaller
+    than the line count (only the top remainders get a cent)."""
+    from datetime import datetime  # noqa: F401
+
+    li_schema = (
+        "l_orderkey long, l_linenumber int, l_extendedprice double"
+    )
+    o_schema = "o_orderkey long, o_totalprice double"
+    # order 0: single line. order 100: three equal lines, budget 2.
+    li = spark.createDataFrame(
+        [(0, 5, 123.0), (100, 1, 50.0), (100, 2, 50.0), (100, 3, 50.0)],
+        li_schema,
+    )
+    o = spark.createDataFrame([(0, 157737.6), (100, 2.4)], o_schema)
+    out = {
+        (r.orderkey, r.linenumber): r.alloc_cents
+        for r in A.prorate_discount_cents(
+            {"lineitem": li, "orders": o}, order_mod=100
+        ).collect()
+    }
+    # single line: base = budget * w div w = budget (=158 cents? no:
+    # floor(157737.6 + 0.5) = 157738), remainder handling vacuous
+    assert out[(0, 5)] == 157738
+    # budget 2 (floor(2.4+0.5)=2) over three equal remainders (2*50/150
+    # -> base 0 rem equal): lines 1 and 2 get the cents, line 3 none
+    assert (out[(100, 1)], out[(100, 2)], out[(100, 3)]) == (1, 1, 0)
+
+
+def test_clamped_balance_edge_shapes(spark):
+    """Opening with returns (clamp binds at day one) and zero-net
+    days (balance carries flat)."""
+    from datetime import datetime
+
+    schema = (
+        "l_suppkey long, l_shipdate timestamp_ntz, l_quantity double,"
+        " l_returnflag string"
+    )
+    li = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 1), 7.0, "R"),   # open with a return
+            (0, datetime(2024, 1, 2), 3.0, "N"),
+            (0, datetime(2024, 1, 3), 2.0, "N"),
+            (0, datetime(2024, 1, 3), 2.0, "R"),   # zero-net day
+        ],
+        schema,
+    )
+    got = {
+        r.day: (r.net_qty, r.balance)
+        for r in A.clamped_running_balance(
+            {"lineitem": li}, supp_mod=1
+        ).collect()
+    }
+    days = sorted(got)
+    assert [got[d] for d in days] == [(-7, 0), (3, 3), (0, 3)]
+
+
+def test_changepoint_edge_shapes(spark):
+    """A constant series scans to all-zero gains (exact '0' lanes); a
+    single-day type emits NO admissible split."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(days=i), 1, "flat", 10.0, "{}")
+        for i in range(5)
+    ] + [(99, t0, 2, "oneday", 5.0, "{}")]
+    out = ST.changepoint_scan_daily(_docs_events(spark, rows)).collect()
+    assert all(r.event_type == "flat" for r in out)
+    assert len(out) == 4  # n-1 admissible splits
+    assert all(r.gain_num == "0" for r in out)
+
+
+def test_weighted_median_lower_rule(spark):
+    """Even split: 2*cum == W exactly at the smaller value — the
+    LOWER median rule must pick it, not interpolate."""
+    li = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 20.0, 5.0)],
+        "l_orderkey long, l_extendedprice double, l_quantity double",
+    )
+    o = spark.createDataFrame([(1, 7)], "o_orderkey long, o_custkey long")
+    c = spark.createDataFrame(
+        [(7, "SEG")], "c_custkey long, c_mktsegment string"
+    )
+    rows = ST.weighted_median_price_by_segment(
+        {"lineitem": li, "orders": o, "customer": c}
+    ).collect()
+    assert [(r.c_mktsegment, r.total_weight, r.weighted_median_cents)
+            for r in rows] == [("SEG", 10, 1000)]
+
+
+def test_interval_join_touching_vs_disjoint(spark):
+    """Inclusive-day semantics: windows sharing exactly one day
+    overlap (1 day); windows one day apart do not pair at all —
+    including across a 90-day grid-cell boundary."""
+    from datetime import datetime
+
+    B = A.OVERLAP_BUCKET_DAYS
+    d0 = datetime(1970, 1, 1)
+
+    def day(n):
+        from datetime import timedelta
+
+        return d0 + timedelta(days=n)
+
+    o_schema = "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz"
+    li_schema = "l_orderkey long, l_shipdate timestamp_ntz"
+    # orders for customer 0: [B-3, B+1] and [B+1, B+5] touch AT the
+    # cell boundary; [B+7, B+8] is disjoint from both
+    o = spark.createDataFrame(
+        [(1, 0, day(B - 3)), (2, 0, day(B + 1)), (3, 0, day(B + 7))],
+        o_schema,
+    )
+    li = spark.createDataFrame(
+        [(1, day(B + 1)), (2, day(B + 5)), (3, day(B + 8))], li_schema
+    )
+    got = [
+        (r.orderkey_a, r.orderkey_b, r.overlap_days)
+        for r in A.interval_overlap_join(
+            {"orders": o, "lineitem": li}, cust_mod=1
+        ).collect()
+    ]
+    assert got == [(1, 2, 1)]
+
+
+def test_markov_purchase_first_journeys(spark):
+    """A user whose every journey is a bare purchase: the chain is
+    START -> CONVERT only, so conversion is certain (scale ppm) and
+    there are no removable channels from that user; a second user
+    contributes one channel."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase", 1.0, "{}"),
+        (2, t0 + timedelta(hours=1), 1, "purchase", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + timedelta(hours=1), 2, "purchase", 1.0, "{}"),
+    ]
+    out = {
+        r.channel: (r.conv_full_ppm, r.conv_removed_ppm)
+        for r in A.markov_removal_attribution(
+            _docs_events(spark, rows)
+        ).collect()
+    }
+    assert set(out) == {"view"}
+    full, removed = out["view"]
+    # full chain: START->CONVERT 2/3, START->view->CONVERT 1/3 => 1.0
+    assert full == A.REMOVAL_SCALE - 1 or full == A.REMOVAL_SCALE
+    # removing view keeps the 2/3 direct conversions (floor division:
+    # 2/3 of scale)
+    assert removed == A.REMOVAL_SCALE * 2 // 3
+
+
+def test_welch_degenerate_zero_variance(spark):
+    """Two constant equal-valued types: var 0 both sides -> the t and
+    df are NULL (no division blow-up), means still reported."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 5.0, "{}"),
+        (2, t0, 1, "a", 5.0, "{}"),
+        (3, t0, 1, "b", 5.0, "{}"),
+        (4, t0, 1, "b", 5.0, "{}"),
+    ]
+    r = ST.welch_ttest_pairs(_docs_events(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.var_a == 0.0 and row.var_b == 0.0
+    assert row.welch_t is None and row.welch_df is None
+    assert row.mean_a == row.mean_b == 500.0

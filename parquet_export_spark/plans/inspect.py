@@ -127,3 +127,30 @@ def executed_plan_string(df: DataFrame) -> str:
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle Exchange operators (broadcast exchanges excluded)."""
     return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))
+
+
+#: scale-lint findings: plan-text patterns that are NEVER acceptable in
+#: a registered query at 100 TB. Deliberately short — each rule must be
+#: a true always-wrong, not a heuristic (heuristics live in the
+#: per-query pins of tests/test_plans.py):
+#: - CartesianProduct: the non-broadcast cross join. Every legitimate
+#:   cross join in the repo broadcasts a provably tiny side, which
+#:   compiles to BroadcastNestedLoopJoin instead.
+#: - BatchEvalPython: a row-at-a-time Python UDF (the repo's contract
+#:   is Arrow-vectorized only: ArrowEvalPython / mapInPandas /
+#:   FlatMapGroupsInPandas are the allowed Python surfaces).
+_LINT_RULES = (
+    ("CartesianProduct", r"\(\d+\) CartesianProduct"),
+    ("BatchEvalPython", r"\(\d+\) BatchEvalPython"),
+)
+
+
+def lint_plan(df: DataFrame) -> list[str]:
+    """Names of violated scale-lint rules for this plan (empty = clean).
+
+    Used by tests/test_plan_lint.py to sweep EVERY registry entry —
+    the systemic backstop behind the per-query plan pins: a new
+    operator cannot land a non-broadcast cartesian or a row-at-a-time
+    Python UDF without turning the suite red."""
+    s = plan_string(df)
+    return [name for name, pat in _LINT_RULES if re.search(pat, s)]

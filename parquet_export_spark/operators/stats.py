@@ -6236,3 +6236,294 @@ def anova_oneway_types_oracle_sql() -> str:
                    AS f_stat
         FROM g
         """
+
+
+def _pair_common_support(t: dict[str, DataFrame]) -> DataFrame:
+    """Shared (type_a, type_b, n_a, n_b, cents, ca, cb) INNER common
+    support for the pmf-overlap distances (Hellinger/Bhattacharyya):
+    buckets where EITHER side is zero contribute nothing to a
+    sqrt(p*q)-style overlap term, so unlike the tv_distance_pairs
+    union support this is a plain equi-join on cents — the cheapest
+    possible pair support. Bucket count is DOMAIN-bounded (distinct
+    cents <= value-range * 100, ~18k at sf0.1, ~56k at any SF), not
+    row-bounded, so the per-pair arrays downstream stay O(domain) at
+    100 TB."""
+    e = t["events"]
+    counts = (
+        e.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("event_type").alias("ta"), F.col("n").alias("na")
+        )
+        .crossJoin(
+            totals.select(
+                F.col("event_type").alias("tb"), F.col("n").alias("nb")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    a = counts.select(
+        F.col("event_type").alias("ta"), "cents", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("event_type").alias("tb"), "cents", F.col("c").alias("cb")
+    )
+    return pairs.join(a, "ta").join(b, ["tb", "cents"])
+
+
+def hellinger_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient between every
+    event-type pair's cents pmfs — the GEOMETRIC member of the drift
+    family (KS: sup CDF gap; W1: integrated CDF gap; TV: half-L1 on
+    pmfs; Hellinger: L2 between sqrt-pmfs, H^2 = 1 - BC with
+    BC = sum_x sqrt(p_a * p_b)). BC is the natural "how much do the
+    two value distributions OVERLAP" score (1 identical, 0 disjoint),
+    and H is a proper bounded metric — the right alarm when a
+    downstream consumer needs triangle-inequality guarantees (e.g.
+    drift-based routing).
+
+    Determinism without ROUND: unlike ln (the collocations_pmi 1-ulp
+    lesson), sqrt IS correctly rounded by IEEE 754 in both engines, so
+    term = sqrt(double(ca) * double(cb)) is a bit-identical chain
+    (ca, cb < 2^53 convert exactly; one multiply, one sqrt — each a
+    single correctly-rounded operation). The only order-sensitive step
+    is the sum over buckets, which runs as the anova cents-sorted
+    left fold in BOTH engines (Spark array_sort + aggregate, DuckDB
+    ORDER BY list + prepended-seed list_reduce) — identical addition
+    order, so bc and hellinger hash cross-engine as RAW doubles.
+
+    Plan: one fact aggregate to (type, cents), one broadcast-sized
+    totals cross (5 types -> 10 pair rows), one equi-join on cents for
+    the common support, one pair-grouped sorted fold. The fold array
+    is domain-bounded (<= distinct cents), never row-bounded.
+
+    Output: (type_a, type_b, n_a, n_b, common_buckets, bc_coeff,
+    hellinger), ordered by pair.
+    """
+    s = _pair_common_support(t)
+    term = "sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+    g = s.groupBy("ta", "tb", "na", "nb").agg(
+        F.count(F.lit(1)).alias("common_buckets"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(cents,"
+            f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("sum_sqrt"),
+    )
+    bc = "(sum_sqrt / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+    return g.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "common_buckets",
+        F.expr(bc).alias("bc_coeff"),
+        F.expr(f"sqrt(greatest(0D, 1D - {bc}))").alias("hellinger"),
+    ).orderBy("type_a", "type_b")
+
+
+def hellinger_pairs_oracle_sql() -> str:
+    """DuckDB replay: same counts/pairs/common-support collapse; the
+    bucket fold is the cents-ordered prepended-seed list_reduce
+    (left-fold parity with Spark's aggregate), every scalar step a
+    correctly-rounded IEEE op — RAW double hash, no ROUND."""
+    return """
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        totals AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ta, a.n AS na,
+                 b.event_type AS tb, b.n AS nb
+          FROM totals a JOIN totals b ON a.event_type < b.event_type),
+        support AS MATERIALIZED (
+          SELECT p.ta, p.tb, p.na, p.nb, ca.cents,
+                 ca.c AS ca, cb.c AS cb
+          FROM pairs p
+          JOIN counts ca ON ca.event_type = p.ta
+          JOIN counts cb ON cb.event_type = p.tb
+                        AND cb.cents = ca.cents),
+        g AS (
+          SELECT ta, tb, na, nb,
+                 CAST(COUNT(*) AS BIGINT) AS common_buckets,
+                 list_reduce(list_prepend(0.0,
+                     list(sqrt(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))
+                          ORDER BY cents)),
+                     (acc, x) -> acc + x) AS sum_sqrt
+          FROM support GROUP BY ta, tb, na, nb)
+        SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+               common_buckets,
+               sum_sqrt / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   AS bc_coeff,
+               sqrt(greatest(0.0, 1.0 -
+                 sum_sqrt / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+                   AS hellinger
+        FROM g
+        ORDER BY type_a, type_b
+        """
+
+
+def jensen_shannon_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Jensen-Shannon divergence (nats) + JS distance between every
+    event-type pair's cents pmfs — the information-theoretic member of
+    the drift family and the standard bounded symmetrization of KL
+    (KL itself blows up on disjoint support, which real drift has;
+    JSD = (1/2) KL(p||m) + (1/2) KL(q||m) with m the midpoint is
+    always <= ln 2, and sqrt(JSD) is a metric).
+
+    Support: the tv_distance_pairs UNION support (buckets where either
+    side is non-zero — a one-sided bucket contributes p*ln 2, not 0).
+    Per bucket, with p = ca/na and q = cb/nb:
+      term = [ca>0] p*ln(2p/(p+q)) + [cb>0] q*ln(2q/(p+q))
+    and jsd = (cents-sorted left fold of terms) / 2.
+
+    Presentation: ln is NOT correctly rounded and the JVM/DuckDB libm
+    disagree in the last ulp (the collocations_pmi measurement), so
+    this entry uses the bm25/readability ROUND(9) lane. The accumulated
+    cross-engine error is ~1e-17 absolute per pair (1-ulp on ~1e-5
+    terms over a domain-bounded <=~56k-bucket fold) against a 5e-10
+    rounding boundary — nine decimals is conservative by seven orders
+    of magnitude.
+
+    Plan: identical shape to tv_distance_pairs (one fact aggregate,
+    one broadcast-sized pair cross, union support, one pair-grouped
+    sorted fold); the fold array is domain-bounded.
+
+    Output: (type_a, type_b, n_a, n_b, support_buckets, jsd_nats,
+    js_distance), ROUND(9) on the two statistics, ordered by pair.
+    """
+    e = t["events"]
+    counts = (
+        e.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("event_type").alias("ta"), F.col("n").alias("na")
+        )
+        .crossJoin(
+            totals.select(
+                F.col("event_type").alias("tb"), F.col("n").alias("nb")
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    side_a = pairs.join(
+        counts.select(
+            F.col("event_type").alias("ta"),
+            "cents",
+            F.col("c").alias("ca"),
+        ),
+        "ta",
+    ).select("ta", "tb", "na", "nb", "cents", "ca", F.lit(0).alias("cb"))
+    side_b = pairs.join(
+        counts.select(
+            F.col("event_type").alias("tb"),
+            "cents",
+            F.col("c").alias("cb"),
+        ),
+        "tb",
+    ).select("ta", "tb", "na", "nb", "cents", F.lit(0).alias("ca"), "cb")
+    support = (
+        side_a.unionByName(side_b)
+        .groupBy("ta", "tb", "na", "nb", "cents")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    p = "(CAST(ca AS DOUBLE) / na)"
+    q = "(CAST(cb AS DOUBLE) / nb)"
+    term = (
+        f"(CASE WHEN ca > 0 THEN {p} * ln(2D * {p} / ({p} + {q}))"
+        f" ELSE 0D END)"
+        f" + (CASE WHEN cb > 0 THEN {q} * ln(2D * {q} / ({p} + {q}))"
+        f" ELSE 0D END)"
+    )
+    g = support.groupBy("ta", "tb", "na", "nb").agg(
+        F.count(F.lit(1)).alias("support_buckets"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(cents,"
+            f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("sum_terms"),
+    )
+    return g.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "support_buckets",
+        F.round(F.expr("sum_terms / 2D"), 9).alias("jsd_nats"),
+        F.round(
+            F.expr("sqrt(greatest(0D, sum_terms / 2D))"), 9
+        ).alias("js_distance"),
+    ).orderBy("type_a", "type_b")
+
+
+def jensen_shannon_oracle_sql() -> str:
+    """DuckDB replay of the union support + cents-ordered fold;
+    ROUND(9) presentation absorbs the engine-dependent last ulp of
+    ln (see jensen_shannon_pairs docstring)."""
+    p = "(CAST(ca AS DOUBLE) / na)"
+    q = "(CAST(cb AS DOUBLE) / nb)"
+    term = (
+        f"(CASE WHEN ca > 0 THEN {p} * ln(2.0 * {p} / ({p} + {q}))"
+        f" ELSE 0.0 END)"
+        f" + (CASE WHEN cb > 0 THEN {q} * ln(2.0 * {q} / ({p} + {q}))"
+        f" ELSE 0.0 END)"
+    )
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        totals AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS ta, a.n AS na,
+                 b.event_type AS tb, b.n AS nb
+          FROM totals a JOIN totals b ON a.event_type < b.event_type),
+        support AS MATERIALIZED (
+          SELECT ta, tb, na, nb, cents,
+                 CAST(SUM(ca) AS BIGINT) AS ca,
+                 CAST(SUM(cb) AS BIGINT) AS cb
+          FROM (
+            SELECT p.ta, p.tb, p.na, p.nb, c.cents, c.c AS ca, 0 AS cb
+            FROM pairs p JOIN counts c ON c.event_type = p.ta
+            UNION ALL
+            SELECT p.ta, p.tb, p.na, p.nb, c.cents, 0, c.c
+            FROM pairs p JOIN counts c ON c.event_type = p.tb)
+          GROUP BY ta, tb, na, nb, cents),
+        g AS (
+          SELECT ta, tb, na, nb,
+                 CAST(COUNT(*) AS BIGINT) AS support_buckets,
+                 list_reduce(list_prepend(0.0,
+                     list({term} ORDER BY cents)),
+                     (acc, x) -> acc + x) AS sum_terms
+          FROM support GROUP BY ta, tb, na, nb)
+        SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+               support_buckets,
+               ROUND(sum_terms / 2.0, 9) AS jsd_nats,
+               ROUND(sqrt(greatest(0.0, sum_terms / 2.0)), 9)
+                   AS js_distance
+        FROM g
+        ORDER BY type_a, type_b
+        """

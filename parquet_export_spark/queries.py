@@ -902,6 +902,19 @@ REGISTRY.update(
             _rel(ST.anova_oneway_types),
             ST.anova_oneway_types_oracle_sql(),
         ),
+        # Hellinger distance + Bhattacharyya overlap per type pair —
+        # the geometric drift member; sqrt is correctly rounded in
+        # both engines, so with the cents-sorted bucket fold the
+        # statistics hash as RAW doubles.
+        "hellinger_pairs": QuerySpec(
+            _rel(ST.hellinger_pairs), ST.hellinger_pairs_oracle_sql()
+        ),
+        # Jensen-Shannon divergence/distance per type pair — the
+        # information-theoretic drift member; ln is libm-divergent, so
+        # this entry rides the bm25 ROUND(9) presentation lane.
+        "jensen_shannon_pairs": QuerySpec(
+            _rel(ST.jensen_shannon_pairs), ST.jensen_shannon_oracle_sql()
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """

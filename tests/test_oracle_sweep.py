@@ -67,6 +67,11 @@ ROUND_CHANGED = [
     # IEEE statistic lanes):
     "welch_ttest_pairs",
     "anova_oneway_types",
+    # pmf-distance completions of the drift family: Hellinger /
+    # Bhattacharyya (RAW-double, sqrt-only chain) and Jensen-Shannon
+    # (ROUND(9), libm-ln lane):
+    "hellinger_pairs",
+    "jensen_shannon_pairs",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

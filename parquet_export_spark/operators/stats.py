@@ -6527,3 +6527,200 @@ def jensen_shannon_oracle_sql() -> str:
         FROM g
         ORDER BY type_a, type_b
         """
+
+
+def cohens_d_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohen's d + Hedges' g effect size between every event-type
+    pair's cents means — the EFFECT-SIZE companion to welch_ttest_pairs
+    (a t statistic says "significant"; d says "by how many pooled
+    standard deviations", which is what survives a 100x sample-size
+    change; g applies the small-sample bias correction
+    J = 1 - 3/(4m - 9), m = na + nb, the standard rational
+    approximation of the exact gamma-ratio factor).
+
+    Same exact-moment collapse and int64 -> double variance lane as
+    welch_ttest_pairs (_cents_moments_by_type; variance as
+    (s2 - s*(s/n)) / (n-1) to stay off the not-correctly-rounded
+    DECIMAL(38)->DOUBLE DuckDB cast). The pooled sd adds one sqrt —
+    correctly rounded IEEE — so d, J and g are deterministic chains
+    over identical operands and hash as RAW doubles.
+
+    Output per pair (type_a < type_b): n/mean per side, sd_pooled,
+    cohens_d, hedges_g; degenerate pairs (m <= 2 or zero pooled
+    variance) carry NULLs.
+    """
+    m = _cents_moments_by_type(t)
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("s2").alias("s2a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("s2").alias("s2b"),
+    )
+    j = a.join(b, F.col("type_a") < F.col("type_b"))
+    ssd = (
+        "(CAST({s2} AS DOUBLE) -"
+        " CAST({s} AS DOUBLE) * (CAST({s} AS DOUBLE) / {n}))"
+    )
+    ssa, ssb_ = ssd.format(s="sa", s2="s2a", n="na"), ssd.format(
+        s="sb", s2="s2b", n="nb"
+    )
+    sp = f"sqrt((({ssa}) + ({ssb_})) / (na + nb - 2))"
+    d = f"(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / ({sp})"
+    jf = "(1D - 3D / (4D * (na + nb) - 9D))"
+    ok = f"(na + nb > 2 AND (({ssa}) + ({ssb_})) > 0)"
+    return j.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.expr("CAST(sa AS DOUBLE) / na").alias("mean_a"),
+        F.expr("CAST(sb AS DOUBLE) / nb").alias("mean_b"),
+        F.expr(f"CASE WHEN {ok} THEN {sp} END").alias("sd_pooled"),
+        F.expr(f"CASE WHEN {ok} THEN {d} END").alias("cohens_d"),
+        F.expr(f"CASE WHEN {ok} THEN ({d}) * {jf} END").alias("hedges_g"),
+    ).orderBy("type_a", "type_b")
+
+
+def cohens_d_pairs_oracle_sql() -> str:
+    ssd = (
+        "(CAST({s2} AS DOUBLE) -"
+        " CAST({s} AS DOUBLE) * (CAST({s} AS DOUBLE) / {n}))"
+    )
+    ssa, ssb_ = ssd.format(s="sa", s2="s2a", n="na"), ssd.format(
+        s="sb", s2="s2b", n="nb"
+    )
+    sp = f"sqrt((({ssa}) + ({ssb_})) / (na + nb - 2))"
+    d = f"(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / ({sp})"
+    jf = "(1.0 - 3.0 / (4.0 * (na + nb) - 9.0))"
+    ok = f"(na + nb > 2 AND (({ssa}) + ({ssb_})) > 0)"
+    return f"""
+        WITH {_CENTS_MOMENTS_CTE_SQL},
+        a AS (SELECT event_type AS type_a, n AS na, s AS sa, s2 AS s2a
+              FROM m),
+        b AS (SELECT event_type AS type_b, n AS nb, s AS sb, s2 AS s2b
+              FROM m)
+        SELECT type_a, type_b, na, nb,
+               CAST(sa AS DOUBLE) / na AS mean_a,
+               CAST(sb AS DOUBLE) / nb AS mean_b,
+               CASE WHEN {ok} THEN {sp} END AS sd_pooled,
+               CASE WHEN {ok} THEN {d} END AS cohens_d,
+               CASE WHEN {ok} THEN ({d}) * {jf} END AS hedges_g
+        FROM a JOIN b ON type_a < type_b
+        ORDER BY type_a, type_b
+        """
+
+
+def grubbs_test_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Grubbs' max-outlier statistic on each type's daily-count series
+    — the single-point member of the anomaly bench (CUSUM finds level
+    SHIFTS, changepoint_scan segment means, MK monotone trend; Grubbs
+    asks "is the single most extreme day inconsistent with the rest?"
+    via G = max|c - mean| / sd).
+
+    Off the shared _daily_type_counts collapse. Moments stay int64
+    with a LOUD guard on sum(c^2) (daily counts reach ~5.5e7/day at
+    the 100 TB SF, c^2 ~ 3e15, x365 days ~ 1e18 — inside int64 but
+    close enough to deserve the raise); mean and sample variance use
+    the welch int64 -> double lane. The deviation max is a MAX over
+    per-day deterministic doubles (order-independent), and the
+    flagged day is the MIN day achieving it (exact double equality on
+    identical chains — deterministic tie-break). G adds one sqrt:
+    RAW-double hashable end to end.
+
+    Output per type: n_days, mean_c, sd_c, max_dev, grubbs_g,
+    outlier_day, outlier_count (NULL stats when n < 3 or sd == 0).
+    """
+    daily = _daily_type_counts(t)
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.expr(
+            f"CASE WHEN SUM(c * c) > {SQ_MOMENT_MAX // 2}L THEN"
+            " raise_error('grubbs daily second moment leaves the"
+            " int64 exact lane — lift to decimal(38,0)')"
+            " ELSE SUM(c * c) END"
+        ).alias("s2"),
+    )
+    var = (
+        "((CAST(s2 AS DOUBLE) -"
+        " CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1))"
+    )
+    dev = "abs(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+    j = daily.join(m, "event_type").select(
+        "event_type", "day", "c", "n", "s", "s2", F.expr(dev).alias("dev")
+    )
+    g = j.groupBy("event_type", "n", "s", "s2").agg(
+        F.max("dev").alias("max_dev"),
+        F.expr("min_by(struct(day, c), struct(-dev, day)).day").alias(
+            "outlier_day"
+        ),
+        F.expr("min_by(struct(day, c), struct(-dev, day)).c").alias(
+            "outlier_count"
+        ),
+    )
+    ok = f"(n >= 3 AND {var} > 0)"
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(s AS DOUBLE) / n").alias("mean_c"),
+        F.expr(f"CASE WHEN {ok} THEN sqrt({var}) END").alias("sd_c"),
+        "max_dev",
+        F.expr(
+            f"CASE WHEN {ok} THEN max_dev / sqrt({var}) END"
+        ).alias("grubbs_g"),
+        "outlier_day",
+        "outlier_count",
+    ).orderBy("event_type")
+
+
+def grubbs_test_daily_oracle_sql() -> str:
+    """DuckDB replay: same daily collapse, same int64 moment lane.
+    DuckDB's arg_min takes no struct ordering key, so the tie-break is
+    spelled as its equivalent filter form: among rows with
+    dev = max_dev (exact double equality on identical chains), take
+    MIN(day) and that day's count — precisely what Spark's
+    min_by(struct(day, c), struct(-dev, day)) picks."""
+    var = (
+        "((CAST(s2 AS DOUBLE) -"
+        " CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1))"
+    )
+    dev = "abs(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+    ok = f"(n >= 3 AND {var} > 0)"
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM daily GROUP BY event_type),
+        j AS (
+          SELECT d.event_type, d.day, d.c, m.n, m.s, m.s2,
+                 {dev} AS dev
+          FROM daily d JOIN m ON m.event_type = d.event_type),
+        g AS (
+          SELECT event_type, n, s, s2, MAX(dev) AS max_dev
+          FROM j GROUP BY event_type, n, s, s2),
+        pick AS (
+          SELECT j.event_type,
+                 CAST(MIN(j.day) AS BIGINT) AS outlier_day,
+                 arg_min(j.c, j.day) AS outlier_count
+          FROM j JOIN g ON g.event_type = j.event_type
+                       AND j.dev = g.max_dev
+          GROUP BY j.event_type)
+        SELECT g.event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(s AS DOUBLE) / n AS mean_c,
+               CASE WHEN {ok} THEN sqrt({var}) END AS sd_c,
+               max_dev,
+               CASE WHEN {ok} THEN max_dev / sqrt({var}) END AS grubbs_g,
+               outlier_day,
+               CAST(outlier_count AS BIGINT) AS outlier_count
+        FROM g JOIN pick ON pick.event_type = g.event_type
+        ORDER BY g.event_type
+        """

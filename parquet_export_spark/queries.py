@@ -915,6 +915,18 @@ REGISTRY.update(
         "jensen_shannon_pairs": QuerySpec(
             _rel(ST.jensen_shannon_pairs), ST.jensen_shannon_oracle_sql()
         ),
+        # Cohen's d / Hedges' g per type pair — the effect-size
+        # companion to welch_ttest_pairs; same exact-moment collapse,
+        # one extra sqrt, RAW-double hash.
+        "cohens_d_pairs": QuerySpec(
+            _rel(ST.cohens_d_pairs), ST.cohens_d_pairs_oracle_sql()
+        ),
+        # Grubbs max-outlier statistic per type's daily-count series —
+        # the single-point anomaly member; int64 moment lane + min_by/
+        # arg_min deterministic tie-break on the flagged day.
+        "grubbs_test_daily": QuerySpec(
+            _rel(ST.grubbs_test_daily), ST.grubbs_test_daily_oracle_sql()
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """

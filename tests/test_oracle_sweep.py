@@ -72,6 +72,10 @@ ROUND_CHANGED = [
     # (ROUND(9), libm-ln lane):
     "hellinger_pairs",
     "jensen_shannon_pairs",
+    # effect-size + single-point-outlier members of the mean/anomaly
+    # families (exact-moment collapses, RAW-double statistic lanes):
+    "cohens_d_pairs",
+    "grubbs_test_daily",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

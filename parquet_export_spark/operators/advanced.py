@@ -5377,3 +5377,396 @@ def interval_overlap_join_oracle_sql(
          AND a.s <= b.e AND b.s <= a.e
         ORDER BY custkey, orderkey_a, orderkey_b
         """
+
+
+def nelson_aalen_interorder(t: dict[str, DataFrame]) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of the customer inter-order wait
+    — the additive sibling of kaplan_meier_interorder (same subjects:
+    every consecutive order gap an observed event, every customer's
+    open final gap right-censored). KM estimates survival as a
+    product; NA estimates the cumulative hazard H(t) = Σ_{t_i<=t}
+    d_i/n_i directly, with the standard variance estimator
+    Σ d_i/n_i² — the pair a reliability review reads together (H's
+    slope IS the hazard rate; a straightening H curve means churn
+    risk stabilizing).
+
+    Determinism: the cumulative sums use the KM sorted-array prefix
+    FOLD, not a window running sum — measured here: DuckDB evaluates
+    windowed SUM over doubles with a segment TREE (pairwise
+    combination), so its addition order differs from Spark's
+    sequential accumulator and the raw doubles drift in the last ulp.
+    The per-death-row fold over the duration-sorted slice is
+    left-to-right in both engines (Spark aggregate(slice(...), 0D),
+    DuckDB list_reduce over a[1:i] — Spark's leading 0+x1 is exact),
+    so both chains are bit-identical and hash as RAW doubles. Each
+    term d_i/n_i is one correctly-rounded int64->double division;
+    risk sets are the KM descending int64 cumulative over the
+    DURATION SUPPORT (calendar-span-bounded, never order volume; the
+    O(k²) fold is the KM-documented span-bounded codegen loop).
+
+    Output: one row per death time (dur_days, n_at_risk, d_events,
+    censored_here, na_cum_hazard, na_var).
+    """
+    days = (
+        t["orders"]
+        .select("o_custkey", F.col("o_orderdate").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    events = (
+        days.select(
+            F.datediff("day", F.lag("day").over(w)).cast("long").alias("dur")
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("dur", F.lit(1).alias("obs"))
+    )
+    maxd = days.agg(F.max("day").alias("md"))
+    cens = (
+        days.groupBy("o_custkey")
+        .agg(F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("md", "last_day").cast("long").alias("dur"),
+            F.lit(0).alias("obs"),
+        )
+    )
+    per_dur = (
+        events.unionAll(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum(F.when(F.col("obs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+            F.sum(F.when(F.col("obs") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    wd = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_dur.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(wd).cast("long")
+    )
+    dead = risk.filter(F.col("d") > 0)
+    g = dead.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur", "n_at_risk", "d", "c"))
+        ).alias("arr")
+    )
+    return (
+        g.select(
+            F.posexplode(
+                F.expr(
+                    "transform(arr, (x, i) -> struct("
+                    " x.dur AS dur_days,"
+                    " x.n_at_risk AS n_at_risk,"
+                    " x.d AS d_events,"
+                    " x.c AS censored_here,"
+                    " aggregate(slice(arr, 1, i + 1), 0D,"
+                    "   (acc, y) -> acc + CAST(y.d AS DOUBLE)"
+                    "     / CAST(y.n_at_risk AS DOUBLE))"
+                    "   AS na_cum_hazard,"
+                    " aggregate(slice(arr, 1, i + 1), 0D,"
+                    "   (acc, y) -> acc + CAST(y.d AS DOUBLE)"
+                    "     / (CAST(y.n_at_risk AS DOUBLE)"
+                    "        * CAST(y.n_at_risk AS DOUBLE)))"
+                    "   AS na_var))"
+                )
+            ).alias("pos", "r")
+        )
+        .select("r.*")
+        .orderBy("dur_days")
+    )
+
+
+def nelson_aalen_oracle_sql() -> str:
+    """DuckDB replay: the kaplan_meier subject/risk CTEs, then the
+    same duration-ordered prefix folds via list_reduce over the
+    ordered slice (left-fold parity — NOT a window SUM, whose
+    segment-tree addition order diverges; see operator docstring)."""
+    return """
+        WITH days AS MATERIALIZED (
+          SELECT DISTINCT o_custkey, o_orderdate AS day FROM orders),
+        gaps AS (
+          SELECT date_diff('day',
+                           LAG(day) OVER (PARTITION BY o_custkey
+                                          ORDER BY day), day) AS dur
+          FROM days),
+        events AS (
+          SELECT CAST(dur AS BIGINT) AS dur, 1 AS obs
+          FROM gaps WHERE dur IS NOT NULL),
+        maxd AS (SELECT MAX(day) AS md FROM days),
+        cens AS (
+          SELECT CAST(date_diff('day', last_day, md) AS BIGINT) AS dur,
+                 0 AS obs
+          FROM (SELECT o_custkey, MAX(day) AS last_day
+                FROM days GROUP BY o_custkey), maxd),
+        per_dur AS (
+          SELECT dur,
+                 CAST(SUM(CASE WHEN obs = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d,
+                 CAST(SUM(CASE WHEN obs = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+          FROM (SELECT * FROM events UNION ALL SELECT * FROM cens)
+          GROUP BY dur),
+        risk AS (
+          SELECT dur, d, c,
+                 CAST(SUM(d + c) OVER (ORDER BY dur DESC
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS n_at_risk
+          FROM per_dur),
+        arr AS (
+          SELECT list({'dur': dur, 'n': n_at_risk, 'd': d, 'c': c}
+                      ORDER BY dur) AS a
+          FROM risk WHERE d > 0),
+        expanded AS (
+          SELECT unnest(list_transform(a, (x, i) -> {
+                   'dur_days': x.dur,
+                   'n_at_risk': x.n,
+                   'd_events': x.d,
+                   'censored_here': x.c,
+                   'na_cum_hazard': list_reduce(list_prepend(0.0,
+                       list_transform(a[1:i],
+                         y -> CAST(y.d AS DOUBLE)
+                              / CAST(y.n AS DOUBLE))),
+                       (p, q) -> p + q),
+                   'na_var': list_reduce(list_prepend(0.0,
+                       list_transform(a[1:i],
+                         y -> CAST(y.d AS DOUBLE)
+                              / (CAST(y.n AS DOUBLE)
+                                 * CAST(y.n AS DOUBLE)))),
+                       (p, q) -> p + q)})) AS r
+          FROM arr)
+        SELECT r.dur_days AS dur_days,
+               r.n_at_risk AS n_at_risk,
+               r.d_events AS d_events,
+               r.censored_here AS censored_here,
+               r.na_cum_hazard AS na_cum_hazard,
+               r.na_var AS na_var
+        FROM expanded ORDER BY dur_days
+        """
+
+
+def logrank_test_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-group log-rank test: do BUILDING-segment customers have a
+    different inter-order wait distribution than everyone else? The
+    hypothesis-test capstone of the survival family (KM/NA describe
+    curves; log-rank decides whether two curves differ, weighting
+    each death time by its hypergeometric variance — the standard
+    clinical/churn A-vs-B machinery).
+
+    Subjects are the kaplan_meier construction labelled by customer
+    segment (group a = BUILDING, b = rest). Per death time with
+    pooled deaths d and group-a risk n_a of n: E_a = d*n_a/n and
+    V_a = d*(n_a/n)*(n_b/n)*(n-d)/(n-1); the statistic is
+    (Σ(d_a - E_a))² / ΣV_a ~ χ²(1).
+
+    Exact lanes: risk sets are zero-filled int64 descending
+    cumulatives per group over the shared duration support. The two
+    order-sensitive float sums run as ONE duration-sorted left fold
+    over collected (dur, o_minus_e, v) structs (the anova recipe) —
+    every term an IEEE chain over int64-exact doubles (products
+    d*n_a <= ~1e10, far inside the 2^53 exact window), so the χ²
+    hashes RAW.
+
+    Output: ONE row — (n_death_times, subjects_a, subjects_b,
+    deaths_a, expected_a, o_minus_e_a, var_sum, logrank_chi2).
+    """
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ga"),
+    )
+    days = (
+        t["orders"]
+        .select("o_custkey", F.col("o_orderdate").alias("day"))
+        .distinct()
+        .join(cust, "o_custkey")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    events = (
+        days.select(
+            "ga",
+            F.datediff("day", F.lag("day").over(w)).cast("long").alias("dur"),
+        )
+        .filter(F.col("dur").isNotNull())
+        .select("ga", "dur", F.lit(1).alias("obs"))
+    )
+    maxd = days.agg(F.max("day").alias("md"))
+    cens = (
+        days.groupBy("o_custkey", "ga")
+        .agg(F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "ga",
+            F.datediff("md", "last_day").cast("long").alias("dur"),
+            F.lit(0).alias("obs"),
+        )
+    )
+    per_dur = (
+        events.unionAll(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum(F.expr("CASE WHEN ga = 1 AND obs = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("da"),
+            F.sum(F.expr("CASE WHEN ga = 0 AND obs = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("db"),
+            F.sum(F.expr("CASE WHEN ga = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("ta"),
+            F.sum(F.expr("CASE WHEN ga = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("tb"),
+        )
+    )
+    wd = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_dur.select(
+        "dur",
+        "da",
+        "db",
+        F.sum("ta").over(wd).cast("long").alias("na"),
+        F.sum("tb").over(wd).cast("long").alias("nb"),
+    ).filter((F.col("da") + F.col("db")) > 0)
+    # per-death-time hypergeometric terms (all int64-exact doubles)
+    e_a = (
+        "(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)"
+        " / CAST(na + nb AS DOUBLE))"
+    )
+    v_a = (
+        "(CASE WHEN na + nb > 1 THEN"
+        " CAST(da + db AS DOUBLE)"
+        " * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (CAST(na + nb - da - db AS DOUBLE)"
+        "    / CAST(na + nb - 1 AS DOUBLE)) ELSE 0D END)"
+    )
+    g = risk.agg(
+        F.count(F.lit(1)).alias("n_death_times"),
+        F.sum("da").cast("long").alias("deaths_a"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(dur,"
+            f" CAST(da AS DOUBLE) - {e_a} AS ome, {v_a} AS v,"
+            f" {e_a} AS ea))), struct(0D AS ome, 0D AS v, 0D AS ea),"
+            " (acc, x) -> struct(acc.ome + x.ome AS ome,"
+            " acc.v + x.v AS v, acc.ea + x.ea AS ea))"
+        ).alias("sums"),
+    )
+    subj = (
+        per_dur.agg(
+            F.sum("ta").cast("long").alias("subjects_a"),
+            F.sum("tb").cast("long").alias("subjects_b"),
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(subj))
+        .select(
+            "n_death_times",
+            "subjects_a",
+            "subjects_b",
+            "deaths_a",
+            F.col("sums.ea").alias("expected_a"),
+            F.col("sums.ome").alias("o_minus_e_a"),
+            F.col("sums.v").alias("var_sum"),
+            F.expr(
+                "CASE WHEN sums.v > 0 THEN"
+                " sums.ome * sums.ome / sums.v END"
+            ).alias("logrank_chi2"),
+        )
+    )
+
+
+def logrank_test_oracle_sql() -> str:
+    """DuckDB replay: same labelled subjects, zero-filled per-group
+    descending risk cumulatives, ONE duration-ordered prepended-seed
+    list_reduce over (o_minus_e, v, e) structs — left-fold parity
+    with Spark's aggregate, RAW-double χ²."""
+    e_a = (
+        "(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)"
+        " / CAST(na + nb AS DOUBLE))"
+    )
+    v_a = (
+        "(CASE WHEN na + nb > 1 THEN"
+        " CAST(da + db AS DOUBLE)"
+        " * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (CAST(na + nb - da - db AS DOUBLE)"
+        "    / CAST(na + nb - 1 AS DOUBLE)) ELSE 0.0 END)"
+    )
+    return f"""
+        WITH cust AS (
+          SELECT c_custkey AS o_custkey,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS ga
+          FROM customer),
+        days AS MATERIALIZED (
+          SELECT d.o_custkey, d.day, cust.ga
+          FROM (SELECT DISTINCT o_custkey, o_orderdate AS day
+                FROM orders) d
+          JOIN cust ON cust.o_custkey = d.o_custkey),
+        gaps AS (
+          SELECT ga, date_diff('day',
+                   LAG(day) OVER (PARTITION BY o_custkey ORDER BY day),
+                   day) AS dur
+          FROM days),
+        events AS (
+          SELECT ga, CAST(dur AS BIGINT) AS dur, 1 AS obs
+          FROM gaps WHERE dur IS NOT NULL),
+        maxd AS (SELECT MAX(day) AS md FROM days),
+        cens AS (
+          SELECT ga, CAST(date_diff('day', last_day, md) AS BIGINT)
+                   AS dur, 0 AS obs
+          FROM (SELECT o_custkey, ga, MAX(day) AS last_day
+                FROM days GROUP BY o_custkey, ga), maxd),
+        per_dur AS (
+          SELECT dur,
+                 CAST(SUM(CASE WHEN ga = 1 AND obs = 1 THEN 1 ELSE 0
+                          END) AS BIGINT) AS da,
+                 CAST(SUM(CASE WHEN ga = 0 AND obs = 1 THEN 1 ELSE 0
+                          END) AS BIGINT) AS db,
+                 CAST(SUM(CASE WHEN ga = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ta,
+                 CAST(SUM(CASE WHEN ga = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tb
+          FROM (SELECT * FROM events UNION ALL SELECT * FROM cens)
+          GROUP BY dur),
+        risk AS (
+          SELECT dur, da, db,
+                 CAST(SUM(ta) OVER (ORDER BY dur DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS na,
+                 CAST(SUM(tb) OVER (ORDER BY dur DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS nb
+          FROM per_dur),
+        dead AS (SELECT * FROM risk WHERE da + db > 0),
+        folded AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_death_times,
+                 CAST(SUM(da) AS BIGINT) AS deaths_a,
+                 list_reduce(list_prepend(
+                     {{'ome': 0.0, 'v': 0.0, 'ea': 0.0}},
+                     list({{'ome': CAST(da AS DOUBLE) - {e_a},
+                            'v': {v_a}, 'ea': {e_a}}} ORDER BY dur)),
+                     (acc, x) -> {{'ome': acc.ome + x.ome,
+                                   'v': acc.v + x.v,
+                                   'ea': acc.ea + x.ea}}) AS sums
+          FROM dead),
+        subj AS (
+          SELECT CAST(SUM(ta) AS BIGINT) AS subjects_a,
+                 CAST(SUM(tb) AS BIGINT) AS subjects_b
+          FROM per_dur)
+        SELECT n_death_times, subjects_a, subjects_b, deaths_a,
+               sums.ea AS expected_a,
+               sums.ome AS o_minus_e_a,
+               sums.v AS var_sum,
+               CASE WHEN sums.v > 0 THEN
+                 sums.ome * sums.ome / sums.v END AS logrank_chi2
+        FROM folded, subj
+        """

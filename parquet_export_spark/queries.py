@@ -3134,6 +3134,20 @@ REGISTRY.update(
             _rel(A.kaplan_meier_interorder),
             A.kaplan_meier_oracle_sql(),
         ),
+        # Nelson-Aalen cumulative hazard: KM's additive sibling —
+        # running double sums replace the O(k²) product fold (a sum
+        # only needs identical accumulation order), RAW-double hash.
+        "nelson_aalen_interorder": QuerySpec(
+            _rel(A.nelson_aalen_interorder),
+            A.nelson_aalen_oracle_sql(),
+        ),
+        # Two-group log-rank test (BUILDING vs rest inter-order
+        # waits): hypergeometric O-E/V terms per death time, one
+        # duration-sorted struct fold, RAW-double χ².
+        "logrank_test_segments": QuerySpec(
+            _rel(A.logrank_test_segments),
+            A.logrank_test_oracle_sql(),
+        ),
         # MASE forecast backtest: the holt fold (one definition)
         # scored against the in-sample seasonal naive on a 20%
         # holdout, all-int64 behind two division-form guards; oracle

@@ -76,6 +76,9 @@ ROUND_CHANGED = [
     # families (exact-moment collapses, RAW-double statistic lanes):
     "cohens_d_pairs",
     "grubbs_test_daily",
+    # survival-family completions over the KM subjects construction:
+    "nelson_aalen_interorder",
+    "logrank_test_segments",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -13,7 +13,7 @@ matching DuckDB's ``quantile_cont``.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parquet_export_spark.functions.scalar import dsum
@@ -6723,4 +6723,279 @@ def grubbs_test_daily_oracle_sql() -> str:
                CAST(outlier_count AS BIGINT) AS outlier_count
         FROM g JOIN pick ON pick.event_type = g.event_type
         ORDER BY g.event_type
+        """
+
+
+def ols_discount_qty_by_brand(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-brand closed-form OLS of quantity on discount percent —
+    GROUPED regression: thousands of independent small regressions in
+    ONE aggregation pass ("does discounting move volume, and for
+    which brands?"). ols_value_by_hour fits one global line; this is
+    the map-side-combinable many-models shape a feature pipeline
+    actually runs (one shuffle keyed by brand, no iteration — the
+    closed form IS the fit).
+
+    Exact lanes: x = discount percent (TPC-H discounts are exact
+    hundredths, 0..10 after the cents rounding trick), y = quantity
+    (int <= 50). All five moments (n, Σx, Σy, Σxy, Σx²) are int64
+    (Σxy <= 500n — exact to n ~ 1.8e16 rows per brand, loudly guarded
+    via the division-form predicate). slope = (nΣxy - ΣxΣy) /
+    (nΣx² - (Σx)²) evaluated in the int64->double lane: each int64
+    converts correctly-rounded, each product/subtract/divide is one
+    IEEE op over identical operands in both engines — deterministic
+    even where the big-n cancellation loses precision, because BOTH
+    engines lose it identically. RAW-double hash.
+
+    Output per brand: n, x/y sums, slope, intercept (NULL when the
+    brand has a single discount level — zero x-variance).
+    """
+    li = t["lineitem"].select(
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)").alias("x"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+    p = t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    m = (
+        li.join(p, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.expr(
+                # division-form guard: Σxy <= 500n must stay int64 —
+                # n > (2^63-1)/500 would let it wrap under ansi=false.
+                f"CASE WHEN COUNT(*) > {(2**63 - 1) // 500}L THEN"
+                " raise_error('ols_discount_qty_by_brand moment leaves"
+                " the int64 exact lane — lift Σxy to decimal(38,0)')"
+                " ELSE SUM(x * y) END"
+            ).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+        )
+    )
+    den = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    slope = f"({num} / {den})"
+    return m.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(f"CASE WHEN {den} > 0 THEN {slope} END").alias("slope"),
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" (CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))"
+            f" / CAST(n AS DOUBLE) END"
+        ).alias("intercept"),
+    ).orderBy("p_brand")
+
+
+def ols_discount_qty_by_brand_oracle_sql() -> str:
+    den = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    slope = f"({num} / {den})"
+    return f"""
+        WITH m AS MATERIALIZED (
+          SELECT p.p_brand,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM (SELECT l_partkey,
+                       CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+                         AS x,
+                       CAST(l_quantity AS BIGINT) AS y
+                FROM lineitem) li
+          JOIN part p ON p.p_partkey = li.l_partkey
+          GROUP BY p.p_brand)
+        SELECT p_brand, n, sx, sy, sxy, sxx,
+               CASE WHEN {den} > 0 THEN {slope} END AS slope,
+               CASE WHEN {den} > 0 THEN
+                 (CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
+        FROM m
+        ORDER BY p_brand
+        """
+
+
+def decision_stump_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Gini-optimal decision stump: the single best value threshold
+    separating purchase events from the rest — the primitive inside
+    every tree/GBM fit ("which split of this feature most purifies
+    the label?"), run at scale as pure relational algebra: label
+    counts per cents bucket, one cumulative pass over the
+    DOMAIN-bounded support, one argmin.
+
+    Gini is the RATIONAL impurity (chi2_type_decile's lesson: entropy
+    needs ln, Gini doesn't) — candidates split at x <= t over distinct
+    cents t. Counts are exact int64 cumulatives; each candidate's
+    weighted impurity
+      ((nl)(1 - pl² - ql²) + (nr)(1 - pr² - qr²)) / n
+    is an IEEE chain over int64->double ratios (the posL² ~ n² pitfall
+    never materializes: ratios divide FIRST, so nothing exceeds
+    int64). The winner is min impurity with min-threshold tie-break —
+    exact double equality on identical chains, the grubbs discipline.
+
+    Output: ONE row — (n, n_pos, base_gini, best_threshold_cents,
+    n_left, pos_left, split_gini, gini_gain).
+    """
+    e = t["events"].select(
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END"
+        ).alias("pos"),
+    )
+    support = e.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("p")
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = support.select(
+        "cents",
+        F.sum("cnt").over(wc).cast("long").alias("nl"),
+        F.sum("p").over(wc).cast("long").alias("pl"),
+    )
+    tot = support.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+    )
+    # ratios FIRST (int64->double correctly rounded), then squares
+    gini_side = (
+        "(CAST({nn} AS DOUBLE) * (1D"
+        " - (CAST({pp} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+        "   * (CAST({pp} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+        " - (CAST({nn} - {pp} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+        "   * (CAST({nn} - {pp} AS DOUBLE) / CAST({nn} AS DOUBLE))))"
+    )
+    gl = gini_side.format(nn="nl", pp="pl")
+    gr = gini_side.format(nn="(n - nl)", pp="(n_pos - pl)")
+    # the CASE duplicates the filter predicate on purpose: whole-stage
+    # codegen may fuse filter+project+partial-agg into one stage and
+    # evaluate the projection speculatively, which under the ANSI
+    # default turns the excluded nl=n row into DIVIDE_BY_ZERO — the
+    # guard makes the expression total (NULL never survives the
+    # filter, so semantics are unchanged).
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") < F.col("n")) & (F.col("nl") > 0))
+        .select(
+            "cents",
+            "nl",
+            "pl",
+            "n",
+            "n_pos",
+            F.expr(
+                f"CASE WHEN nl > 0 AND nl < n THEN"
+                f" ({gl} + {gr}) / CAST(n AS DOUBLE) END"
+            ).alias("imp"),
+        )
+    )
+    best = cand.agg(F.min("imp").alias("split_gini"))
+    pick = (
+        cand.join(F.broadcast(best), cand["imp"] == best["split_gini"])
+        .groupBy("n", "n_pos", "split_gini")
+        .agg(
+            F.min("cents").alias("best_threshold_cents"),
+            F.expr("min_by(nl, cents)").alias("n_left"),
+            F.expr("min_by(pl, cents)").alias("pos_left"),
+        )
+    )
+    base = (
+        "(1D - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+        "     * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+        "     - (CAST(n - n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+        "     * (CAST(n - n_pos AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return pick.select(
+        "n",
+        "n_pos",
+        F.expr(base).alias("base_gini"),
+        "best_threshold_cents",
+        "n_left",
+        "pos_left",
+        "split_gini",
+        F.expr(f"{base} - split_gini").alias("gini_gain"),
+    )
+
+
+def decision_stump_purchase_oracle_sql() -> str:
+    """DuckDB replay: same support cumulatives (INTEGER window sums
+    are exact in any combination order, unlike the nelson_aalen
+    double-window lesson), same ratio-first impurity chain, argmin
+    via the filter-equality form with min-threshold tie-break."""
+    gini_side = (
+        "(CAST({nn} AS DOUBLE) * (1.0"
+        " - (CAST({pp} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+        "   * (CAST({pp} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+        " - (CAST({nn} - {pp} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+        "   * (CAST({nn} - {pp} AS DOUBLE) / CAST({nn} AS DOUBLE))))"
+    )
+    gl = gini_side.format(nn="nl", pp="pl")
+    gr = gini_side.format(nn="(n - nl)", pp="(n_pos - pl)")
+    base = (
+        "(1.0 - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+        "     * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+        "     - (CAST(n - n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+        "     * (CAST(n - n_pos AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos
+          FROM events),
+        support AS MATERIALIZED (
+          SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(pos) AS BIGINT) AS p
+          FROM e GROUP BY cents),
+        cum AS (
+          SELECT cents,
+                 CAST(SUM(cnt) OVER (ORDER BY cents
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS nl,
+                 CAST(SUM(p) OVER (ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS pl
+          FROM support),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(p) AS BIGINT) AS n_pos
+          FROM support),
+        cand AS (
+          SELECT cents, nl, pl, n, n_pos,
+                 ({gl} + {gr}) / CAST(n AS DOUBLE) AS imp
+          FROM cum, tot
+          WHERE nl < n AND nl > 0),
+        best AS (SELECT MIN(imp) AS split_gini FROM cand),
+        pick AS (
+          SELECT c.n, c.n_pos, b.split_gini,
+                 CAST(MIN(c.cents) AS BIGINT) AS best_threshold_cents,
+                 arg_min(c.nl, c.cents) AS n_left,
+                 arg_min(c.pl, c.cents) AS pos_left
+          FROM cand c JOIN best b ON c.imp = b.split_gini
+          GROUP BY c.n, c.n_pos, b.split_gini)
+        SELECT n, n_pos,
+               {base} AS base_gini,
+               best_threshold_cents,
+               CAST(n_left AS BIGINT) AS n_left,
+               CAST(pos_left AS BIGINT) AS pos_left,
+               split_gini,
+               {base} - split_gini AS gini_gain
+        FROM pick
         """

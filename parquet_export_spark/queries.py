@@ -927,6 +927,20 @@ REGISTRY.update(
         "grubbs_test_daily": QuerySpec(
             _rel(ST.grubbs_test_daily), ST.grubbs_test_daily_oracle_sql()
         ),
+        # Grouped closed-form OLS (quantity on discount pct per
+        # brand): many-models-in-one-pass shape, int64 moments with a
+        # division-form guard, int64->double statistic lane.
+        "ols_discount_qty_by_brand": QuerySpec(
+            _rel(ST.ols_discount_qty_by_brand),
+            ST.ols_discount_qty_by_brand_oracle_sql(),
+        ),
+        # Gini-optimal decision stump for the purchase label over the
+        # cents domain — the tree-fit primitive as relational algebra:
+        # domain-bounded candidate cumulatives + argmin.
+        "decision_stump_purchase": QuerySpec(
+            _rel(ST.decision_stump_purchase),
+            ST.decision_stump_purchase_oracle_sql(),
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """

@@ -79,6 +79,9 @@ ROUND_CHANGED = [
     # survival-family completions over the KM subjects construction:
     "nelson_aalen_interorder",
     "logrank_test_segments",
+    # grouped regression + tree-split primitive (exact moment lanes):
+    "ols_discount_qty_by_brand",
+    "decision_stump_purchase",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -5770,3 +5770,136 @@ def logrank_test_oracle_sql() -> str:
                  sums.ome * sums.ome / sums.v END AS logrank_chi2
         FROM folded, subj
         """
+
+
+def transition_entropy_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Entropy decomposition of the per-user event-type chain: the
+    marginal next-state entropy H(next), the conditional entropy
+    H(next|current), and their difference — the mutual information
+    I(current; next), i.e. how many nats of the next action the
+    current one already tells you. The one-number answer to "is user
+    behavior actually SEQUENTIAL or are the transition-matrix rows
+    all the same?" (event_transition_matrix shows the rows; this
+    scores them).
+
+    Transitions are the event_transition_matrix pairs verbatim (same
+    user-window, same ts/event_id tie-break). The state space is
+    TYPES² (25 cells) — the entropy sums run as ONE (current, next)-
+    sorted left fold over the cell structs (the anova recipe), each
+    term (c_ij/N)·ln(c_ij/c_i) an IEEE chain over int64-exact
+    doubles. ln rides the bm25/jensen_shannon ROUND(9) presentation
+    lane (libm last-ulp divergence; 25 terms leave the boundary seven
+    orders of magnitude away).
+
+    Plan: one user-keyed window shuffle, one 25-row aggregate, two
+    marginal re-aggregates of the 25-row frame, one fold. Output: ONE
+    row — (n_transitions, n_states, h_next, h_next_given_current,
+    mutual_info), entropies ROUND(9) nats.
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cells = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("c").alias("ci"))
+    col_tot = cells.groupBy("next_type").agg(F.sum("c").alias("cj"))
+    n_tot = cells.agg(F.sum("c").alias("n")).withColumn(
+        "k", F.lit(1)
+    )
+    j = (
+        cells.join(row_tot, "event_type")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(n_tot), "k")
+    )
+    cond_term = (
+        "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(ci AS DOUBLE))"
+    )
+    hcond = j.agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_states"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(event_type,"
+            f" next_type, {cond_term} AS term))), 0D,"
+            " (acc, x) -> acc + x.term)"
+        ).alias("neg_hc"),
+    )
+    marg_term = (
+        "(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    hmarg = (
+        col_tot.withColumn("k", F.lit(1))
+        .join(F.broadcast(n_tot), "k")
+        .agg(
+            F.expr(
+                f"aggregate(array_sort(collect_list(struct(next_type,"
+                f" {marg_term} AS term))), 0D,"
+                " (acc, x) -> acc + x.term)"
+            ).alias("neg_hm")
+        )
+    )
+    return hcond.crossJoin(F.broadcast(hmarg)).select(
+        "n_transitions",
+        "n_states",
+        F.round(F.expr("-neg_hm"), 9).alias("h_next"),
+        F.round(F.expr("-neg_hc"), 9).alias("h_next_given_current"),
+        F.round(F.expr("neg_hc - neg_hm"), 9).alias("mutual_info"),
+    )
+
+
+def transition_entropy_oracle_sql() -> str:
+    """DuckDB replay: same transition cells, same sorted folds
+    (prepended-seed list_reduce), ROUND(9) ln lane."""
+    cond_term = (
+        "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(ci AS DOUBLE))"
+    )
+    marg_term = (
+        "(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(cj AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   AS next_type
+          FROM events),
+        cells AS MATERIALIZED (
+          SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+        row_tot AS (
+          SELECT event_type, CAST(SUM(c) AS BIGINT) AS ci
+          FROM cells GROUP BY event_type),
+        col_tot AS (
+          SELECT next_type, CAST(SUM(c) AS BIGINT) AS cj
+          FROM cells GROUP BY next_type),
+        n_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        hcond AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_transitions,
+                 CAST(COUNT(*) AS BIGINT) AS n_states,
+                 list_reduce(list_prepend(0.0,
+                     list({cond_term}
+                          ORDER BY cells.event_type, cells.next_type)),
+                     (acc, x) -> acc + x) AS neg_hc
+          FROM cells
+          JOIN row_tot ON row_tot.event_type = cells.event_type
+          CROSS JOIN n_tot),
+        hmarg AS (
+          SELECT list_reduce(list_prepend(0.0,
+                     list({marg_term} ORDER BY next_type)),
+                     (acc, x) -> acc + x) AS neg_hm
+          FROM col_tot CROSS JOIN n_tot)
+        SELECT n_transitions, n_states,
+               ROUND(-neg_hm, 9) AS h_next,
+               ROUND(-neg_hc, 9) AS h_next_given_current,
+               ROUND(neg_hc - neg_hm, 9) AS mutual_info
+        FROM hcond, hmarg
+        """

@@ -3060,3 +3060,124 @@ def harmonic_closeness_oracle_sql(
         ORDER BY node
         """
     )
+
+
+#: rich-club degree grid: power-of-two thresholds matching the
+#: degree_distribution bins — domain-bounded (log2 of any plausible
+#: max degree), never data-sized.
+RICH_CLUB_GRID = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def rich_club_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    strong: DataFrame | None = None,
+) -> DataFrame:
+    """Rich-club coefficient of the projected supplier graph: for each
+    degree threshold k, the edge density among nodes of degree > k —
+    φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k) means high-degree
+    suppliers preferentially interconnect (a hub oligopoly — the
+    topology PageRank/k-core scores are ABOUT); flat-or-falling means
+    hubs are mere aggregators. Complements degree_distribution (who is
+    big) with who-the-big-talk-to.
+
+    Thresholds are the power-of-two grid of the degree bins (8 rows —
+    a CONSTANT-factor fan-out of node and edge tables, never a
+    quadratic term: candidate edges are the EXISTING projected edges
+    filtered by endpoint degree, so the all-pairs density denominator
+    is pure arithmetic). Counts are exact int64; the density is one
+    int64->double IEEE division per grid row — both factors < 2^53
+    (N_k is node-scale), deterministic cross-engine, RAW-double hash.
+
+    Plan: node-sized degree aggregate, two degree joins onto the
+    projected edge list (AQE broadcasts the degree side when it
+    fits), an 8-row grid cross, two grouped counts, one join. Output:
+    (k_degree, n_nodes, n_edges, rich_club_phi) for grid rows with
+    N_k >= 2.
+    """
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
+    spark = strong.sparkSession
+    deg = (
+        strong.select(F.col("s1").alias("node"))
+        .unionByName(strong.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    grid = spark.createDataFrame(
+        [(k,) for k in RICH_CLUB_GRID], "k_degree BIGINT"
+    )
+    nodes_k = (
+        deg.crossJoin(F.broadcast(grid))
+        .filter(F.col("deg") > F.col("k_degree"))
+        .groupBy("k_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    d1 = deg.select(F.col("node").alias("s1"), F.col("deg").alias("dg1"))
+    d2 = deg.select(F.col("node").alias("s2"), F.col("deg").alias("dg2"))
+    ewd = strong.join(d1, "s1").join(d2, "s2")
+    edges_k = (
+        ewd.crossJoin(F.broadcast(grid))
+        .filter(
+            (F.col("dg1") > F.col("k_degree"))
+            & (F.col("dg2") > F.col("k_degree"))
+        )
+        .groupBy("k_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        nodes_k.join(edges_k, "k_degree", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k_degree",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                "2D * CAST(coalesce(n_edges, 0) AS DOUBLE)"
+                " / (CAST(n_nodes AS DOUBLE)"
+                "    * CAST(n_nodes - 1 AS DOUBLE))"
+            ).alias("rich_club_phi"),
+        )
+        .orderBy("k_degree")
+    )
+
+
+def rich_club_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+) -> str:
+    """DuckDB replay: shared projection fragments + the same 8-row
+    grid (UNNEST literal), exact counts, one IEEE division."""
+    grid = ", ".join(str(k) for k in RICH_CLUB_GRID)
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + _SUPPLIER_EDGES_SQL
+        + f""",
+        nd AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src),
+        grid AS (SELECT UNNEST([{grid}]) AS k_degree),
+        nodes_k AS (
+          SELECT k_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM nd, grid WHERE deg > k_degree GROUP BY k_degree),
+        edges_k AS (
+          SELECT g.k_degree, CAST(COUNT(*) AS BIGINT) AS n_edges
+          FROM strong e
+          JOIN nd a ON a.node = e.s1
+          JOIN nd b ON b.node = e.s2
+          CROSS JOIN grid g
+          WHERE a.deg > g.k_degree AND b.deg > g.k_degree
+          GROUP BY g.k_degree)
+        SELECT n.k_degree,
+               n.n_nodes,
+               CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+               2.0 * CAST(COALESCE(e.n_edges, 0) AS DOUBLE)
+                 / (CAST(n.n_nodes AS DOUBLE)
+                    * CAST(n.n_nodes - 1 AS DOUBLE)) AS rich_club_phi
+        FROM nodes_k n LEFT JOIN edges_k e ON e.k_degree = n.k_degree
+        WHERE n.n_nodes >= 2
+        ORDER BY n.k_degree
+        """
+    )

@@ -3162,6 +3162,14 @@ REGISTRY.update(
             _rel(A.logrank_test_segments),
             A.logrank_test_oracle_sql(),
         ),
+        # Entropy decomposition of the event-type chain: H(next),
+        # H(next|current) and their mutual information off the
+        # event_transition_matrix pairs — 25-cell sorted folds,
+        # ROUND(9) ln lane.
+        "transition_entropy_types": QuerySpec(
+            _rel(A.transition_entropy_types),
+            A.transition_entropy_oracle_sql(),
+        ),
         # MASE forecast backtest: the holt fold (one definition)
         # scored against the in-sample seasonal naive on a 20%
         # holdout, all-int64 behind two division-form guards; oracle
@@ -3591,6 +3599,14 @@ REGISTRY.update(
         ),
         # Power-of-two degree histogram via exact bit length
         # (length(bin(deg)) - 1 — floor(log2) with no libm anywhere).
+        # Rich-club coefficient over the projected supplier graph:
+        # degree-thresholded edge density on the power-of-two grid —
+        # constant-factor grid fan-out, exact counts, one IEEE
+        # division per row (RAW doubles).
+        "rich_club_suppliers": QuerySpec(
+            _graph_probe(G.rich_club_suppliers),
+            G.rich_club_oracle_sql(),
+        ),
         "degree_distribution_suppliers": QuerySpec(
             _graph_probe(G.degree_distribution_suppliers),
             G.degree_distribution_oracle_sql(),

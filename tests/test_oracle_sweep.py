@@ -82,6 +82,9 @@ ROUND_CHANGED = [
     # grouped regression + tree-split primitive (exact moment lanes):
     "ols_discount_qty_by_brand",
     "decision_stump_purchase",
+    # graph topology + sequence-information members:
+    "rich_club_suppliers",
+    "transition_entropy_types",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

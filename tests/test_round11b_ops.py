@@ -1,0 +1,482 @@
+"""Round-11 second batch: independent Python differentials for the
+distribution-distance / effect-size / survival / grouped-regression /
+tree-split / graph-topology / sequence-information operators.
+
+Same evidence class as tests/test_round11_ops.py: every reference here
+recomputes the operator's answer from raw rows in plain Python
+(Fraction / math where exactness is claimed), independently of both
+the Spark plan and the DuckDB oracle text, so a shared misreading of a
+definition cannot pass both gates.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+from parquet_export_spark.operators import advanced as A
+from parquet_export_spark.operators import graph as G
+from parquet_export_spark.operators import stats as ST
+from parquet_export_spark.sources.lake import load_tables
+
+
+def _tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def _cents_by_type(t):
+    rows = (
+        t["events"].selectExpr(
+            "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c"
+        )
+    ).collect()
+    by_type: dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        by_type[r.event_type][r.c] += 1
+    return by_type
+
+
+# ---------------------------------------------------------------------------
+# hellinger_pairs / jensen_shannon_pairs: brute-force pmf replay
+# ---------------------------------------------------------------------------
+
+
+def test_hellinger_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    by_type = _cents_by_type(t)
+    out = {
+        (r.type_a, r.type_b): r
+        for r in ST.hellinger_pairs(t).collect()
+    }
+    types = sorted(by_type)
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            ca, cb = by_type[ta], by_type[tb]
+            na, nb = sum(ca.values()), sum(cb.values())
+            common = set(ca) & set(cb)
+            bc = sum(
+                math.sqrt(ca[x] * cb[x]) for x in sorted(common)
+            ) / math.sqrt(na * nb)
+            r = out[(ta, tb)]
+            assert r.n_a == na and r.n_b == nb
+            assert r.common_buckets == len(common)
+            assert abs(r.bc_coeff - bc) < 1e-12
+            assert abs(r.hellinger - math.sqrt(max(0.0, 1.0 - bc))) < 1e-12
+            assert 0.0 <= r.bc_coeff <= 1.0 + 1e-12
+            assert -1e-12 <= r.hellinger <= 1.0 + 1e-12
+
+
+def test_jensen_shannon_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    by_type = _cents_by_type(t)
+    out = {
+        (r.type_a, r.type_b): r
+        for r in ST.jensen_shannon_pairs(t).collect()
+    }
+    types = sorted(by_type)
+    ln2 = math.log(2.0)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            ca, cb = by_type[ta], by_type[tb]
+            na, nb = sum(ca.values()), sum(cb.values())
+            support = set(ca) | set(cb)
+            s = 0.0
+            for x in sorted(support):
+                p, q = ca.get(x, 0) / na, cb.get(x, 0) / nb
+                if p > 0:
+                    s += p * math.log(2 * p / (p + q))
+                if q > 0:
+                    s += q * math.log(2 * q / (p + q))
+            jsd = s / 2
+            r = out[(ta, tb)]
+            assert r.support_buckets == len(support)
+            assert abs(r.jsd_nats - jsd) < 1e-8
+            assert abs(r.js_distance - math.sqrt(max(0.0, jsd))) < 1e-8
+            # the divergence bound that makes JS the bounded KL fix
+            assert -1e-9 <= r.jsd_nats <= ln2 + 1e-9
+
+
+def test_hellinger_identical_and_disjoint_limits(spark):
+    """Engineered limits: identical pmfs -> BC 1 / H 0; disjoint
+    pmfs -> no common support row shape (BC term absent entirely)."""
+    rows = [("a", 1.00, i) for i in range(6)] + [
+        ("b", 1.00, i) for i in range(6)
+    ] + [("c", 9.99, i) for i in range(4)]
+    df = spark.createDataFrame(
+        [(ty, v, f"u{i}") for ty, v, i in rows],
+        "event_type string, value double, user_id string",
+    )
+    out = {
+        (r.type_a, r.type_b): r
+        for r in ST.hellinger_pairs({"events": df}).collect()
+    }
+    ab = out[("a", "b")]
+    assert abs(ab.bc_coeff - 1.0) < 1e-15 and abs(ab.hellinger) < 1e-7
+    # a vs c share no bucket: inner common support drops the pair row
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+# ---------------------------------------------------------------------------
+# cohens_d_pairs: textbook replay + invariants
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_d_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    by_type = _cents_by_type(t)
+    out = {
+        (r.type_a, r.type_b): r for r in ST.cohens_d_pairs(t).collect()
+    }
+    types = sorted(by_type)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            ca, cb = by_type[ta], by_type[tb]
+            xs = [c for c, k in ca.items() for _ in range(k)]
+            ys = [c for c, k in cb.items() for _ in range(k)]
+            na, nb = len(xs), len(ys)
+            ma, mb = sum(xs) / na, sum(ys) / nb
+            ssa = sum((x - ma) ** 2 for x in xs)
+            ssb = sum((y - mb) ** 2 for y in ys)
+            sp = math.sqrt((ssa + ssb) / (na + nb - 2))
+            d = (ma - mb) / sp
+            jf = 1 - 3 / (4 * (na + nb) - 9)
+            r = out[(ta, tb)]
+            assert abs(r.sd_pooled - sp) < 1e-6 * sp
+            assert abs(r.cohens_d - d) < 1e-9 + 1e-9 * abs(d)
+            assert abs(r.hedges_g - d * jf) < 1e-9 + 1e-9 * abs(d)
+            # |g| < |d| always (J < 1): the correction shrinks
+            assert abs(r.hedges_g) < abs(r.cohens_d) or r.cohens_d == 0
+
+
+# ---------------------------------------------------------------------------
+# grubbs_test_daily: brute-force replay
+# ---------------------------------------------------------------------------
+
+
+def test_grubbs_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST._daily_type_counts(t).collect()
+    series: dict[str, dict[int, int]] = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r.c
+    out = {r.event_type: r for r in ST.grubbs_test_daily(t).collect()}
+    assert set(out) == set(series)
+    for ty, days in series.items():
+        cs = list(days.values())
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum((c - mean) ** 2 for c in cs) / (n - 1)
+        maxdev = max(abs(c - mean) for c in cs)
+        # min day achieving the max deviation (the operator tie-break)
+        best_day = min(
+            d for d, c in days.items() if abs(c - mean) == maxdev
+        )
+        r = out[ty]
+        assert r.n_days == n
+        assert abs(r.mean_c - mean) < 1e-9
+        assert abs(r.sd_c - math.sqrt(var)) < 1e-9
+        assert abs(r.grubbs_g - maxdev / math.sqrt(var)) < 1e-9
+        assert r.outlier_day == best_day
+        assert r.outlier_count == days[best_day]
+
+
+def test_grubbs_flags_engineered_spike(spark):
+    """A flat series with one engineered spike day must flag exactly
+    that day with a large G."""
+    rows = []
+    for d in range(1, 31):
+        n = 50 if d != 17 else 500
+        rows += [
+            ("click", f"2024-01-{d:02d} 00:00:{s % 60:02d}", f"u{s}", 1.0)
+            for s in range(n)
+        ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string, user_id string, value double"
+    ).selectExpr(
+        "event_type",
+        "CAST(ts_s AS TIMESTAMP) AS ts",
+        "user_id",
+        "value",
+    )
+    out = ST.grubbs_test_daily({"events": df}).collect()
+    assert len(out) == 1
+    r = out[0]
+    spike_day = (
+        df.selectExpr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " AS day"
+        )
+        .groupBy("day")
+        .count()
+        .orderBy("count", ascending=False)
+        .first()
+        .day
+    )
+    assert r.outlier_day == spike_day and r.outlier_count == 500
+    assert r.grubbs_g > 5.0
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen / logrank: textbook survival replays
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    km = {r.dur_days: r for r in A.kaplan_meier_interorder(t).collect()}
+    na = {r.dur_days: r for r in A.nelson_aalen_interorder(t).collect()}
+    # same subjects -> same death times, risk sets, death counts
+    assert set(km) == set(na)
+    h = 0.0
+    v = 0.0
+    for dur in sorted(na):
+        r = na[dur]
+        assert r.n_at_risk == km[dur].n_at_risk
+        assert r.d_events == km[dur].d_events
+        h += r.d_events / r.n_at_risk
+        v += r.d_events / (r.n_at_risk * r.n_at_risk)
+        assert abs(r.na_cum_hazard - h) < 1e-9
+        assert abs(r.na_var - v) < 1e-12
+    # exp(-H) >= KM survival pointwise (standard estimator inequality,
+    # strict once any d > 1/n step occurred) — a cross-operator sanity
+    # tie between the two implementations
+    for dur in sorted(na):
+        assert math.exp(-na[dur].na_cum_hazard) >= km[dur].survival - 1e-6
+
+
+def test_logrank_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    out = A.logrank_test_segments(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    # rebuild subjects in Python
+    seg = {
+        x.c_custkey: (1 if x.c_mktsegment == "BUILDING" else 0)
+        for x in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+    days = defaultdict(set)
+    for x in (
+        t["orders"].select("o_custkey", "o_orderdate").distinct().collect()
+    ):
+        days[x.o_custkey].add(x.o_orderdate)
+    maxd = max(d for s in days.values() for d in s)
+    subj = []  # (group, dur, observed)
+    for ck, ds in days.items():
+        ordered = sorted(ds)
+        g = seg[ck]
+        for a, b in zip(ordered, ordered[1:]):
+            subj.append((g, (b - a).days, 1))
+        subj.append((g, (maxd - ordered[-1]).days, 0))
+    assert r.subjects_a == sum(1 for g, _, _ in subj if g == 1)
+    assert r.subjects_b == sum(1 for g, _, _ in subj if g == 0)
+    # risk sets / death counts per duration
+    durs = sorted({d for _, d, o in subj if o == 1})
+    ome = Fraction(0)
+    e_tot = Fraction(0)
+    var = Fraction(0)
+    for dt in durs:
+        na_ = sum(1 for g, d, _ in subj if g == 1 and d >= dt)
+        nb_ = sum(1 for g, d, _ in subj if g == 0 and d >= dt)
+        da = sum(1 for g, d, o in subj if g == 1 and d == dt and o == 1)
+        db = sum(1 for g, d, o in subj if g == 0 and d == dt and o == 1)
+        n, dd = na_ + nb_, da + db
+        e = Fraction(dd * na_, n)
+        ome += da - e
+        e_tot += e
+        if n > 1:
+            var += (
+                Fraction(dd)
+                * Fraction(na_, n)
+                * Fraction(nb_, n)
+                * Fraction(n - dd, n - 1)
+            )
+    assert r.n_death_times == len(durs)
+    assert abs(r.o_minus_e_a - float(ome)) < 1e-6
+    assert abs(r.expected_a - float(e_tot)) < 1e-6
+    assert abs(r.var_sum - float(var)) < 1e-6
+    assert abs(r.logrank_chi2 - float(ome) ** 2 / float(var)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ols_discount_qty_by_brand: Fraction replay
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_ols_matches_fraction_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .join(
+            t["part"].selectExpr("p_partkey AS l_partkey", "p_brand"),
+            "l_partkey",
+        )
+        .selectExpr(
+            "p_brand",
+            "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x",
+            "CAST(l_quantity AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in li:
+        a = agg[r.p_brand]
+        a[0] += 1
+        a[1] += r.x
+        a[2] += r.y
+        a[3] += r.x * r.y
+        a[4] += r.x * r.x
+    out = {r.p_brand: r for r in ST.ols_discount_qty_by_brand(t).collect()}
+    assert set(out) == set(agg)
+    for brand, (n, sx, sy, sxy, sxx) in agg.items():
+        r = out[brand]
+        assert (r.n, r.sx, r.sy, r.sxy, r.sxx) == (n, sx, sy, sxy, sxx)
+        den = n * sxx - sx * sx
+        if den > 0:
+            slope = Fraction(n * sxy - sx * sy, den)
+            intercept = (Fraction(sy) - slope * sx) / n
+            assert abs(r.slope - float(slope)) < 1e-9 + 1e-9 * abs(
+                float(slope)
+            )
+            assert abs(r.intercept - float(intercept)) < 1e-9
+        else:
+            assert r.slope is None and r.intercept is None
+
+
+# ---------------------------------------------------------------------------
+# decision_stump_purchase: exhaustive Fraction argmin replay
+# ---------------------------------------------------------------------------
+
+
+def test_stump_matches_exhaustive_fraction_argmin(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = (
+        t["events"]
+        .selectExpr(
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos",
+        )
+        .collect()
+    )
+    support = Counter()
+    posc = Counter()
+    for r in rows:
+        support[r.cents] += 1
+        posc[r.cents] += r.pos
+    n = sum(support.values())
+    n_pos = sum(posc.values())
+
+    def gini(nn, pp):
+        if nn == 0:
+            return Fraction(0)
+        p = Fraction(pp, nn)
+        q = Fraction(nn - pp, nn)
+        return Fraction(nn) * (1 - p * p - q * q)
+
+    best = None
+    nl = pl = 0
+    for c in sorted(support):
+        nl += support[c]
+        pl += posc[c]
+        if 0 < nl < n:
+            imp = (gini(nl, pl) + gini(n - nl, n_pos - pl)) / n
+            if best is None or imp < best[0] or (
+                imp == best[0] and c < best[1]
+            ):
+                best = (imp, c, nl, pl)
+    out = ST.decision_stump_purchase(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.n_pos) == (n, n_pos)
+    assert r.best_threshold_cents == best[1]
+    assert (r.n_left, r.pos_left) == (best[2], best[3])
+    assert abs(r.split_gini - float(best[0])) < 1e-12
+    base = float(gini(n, n_pos) / n)
+    assert abs(r.base_gini - base) < 1e-12
+    assert abs(r.gini_gain - (base - float(best[0]))) < 1e-12
+    assert r.gini_gain >= -1e-12
+
+
+def test_stump_perfectly_separable_fixture(spark):
+    """Engineered perfect split: all purchases below 5.00, all clicks
+    above — the stump must find the boundary and reach zero impurity."""
+    rows = [("purchase", 1.00 + i * 0.5, f"a{i}") for i in range(8)] + [
+        ("click", 9.00 + i * 0.5, f"b{i}") for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, user_id string"
+    )
+    r = ST.decision_stump_purchase({"events": df}).collect()[0]
+    assert r.best_threshold_cents == 450  # last purchase bucket
+    assert r.split_gini == 0.0
+    assert abs(r.gini_gain - r.base_gini) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# rich_club_suppliers: brute-force replay over the projection
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    strong = G._supplier_strong_pairs(t).collect()
+    deg = Counter()
+    for e in strong:
+        deg[e.s1] += 1
+        deg[e.s2] += 1
+    out = {r.k_degree: r for r in G.rich_club_suppliers(t).collect()}
+    for k in G.RICH_CLUB_GRID:
+        nodes = {v for v, d in deg.items() if d > k}
+        if len(nodes) < 2:
+            assert k not in out
+            continue
+        ek = sum(1 for e in strong if e.s1 in nodes and e.s2 in nodes)
+        r = out[k]
+        assert r.n_nodes == len(nodes) and r.n_edges == ek
+        phi = 2 * ek / (len(nodes) * (len(nodes) - 1))
+        assert abs(r.rich_club_phi - phi) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# transition_entropy_types: brute-force replay + information bounds
+# ---------------------------------------------------------------------------
+
+
+def test_transition_entropy_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    pairs = (
+        t["events"]
+        .selectExpr("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    byu = defaultdict(list)
+    for r in pairs:
+        byu[r.user_id].append((r.ts, r.event_id, r.event_type))
+    cells = Counter()
+    for seq in byu.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cells[(a, b)] += 1
+    n = sum(cells.values())
+    row = Counter()
+    col = Counter()
+    for (a, b), c in cells.items():
+        row[a] += c
+        col[b] += c
+    hc = -sum(
+        (c / n) * math.log(c / row[a]) for (a, _), c in cells.items()
+    )
+    hm = -sum((c / n) * math.log(c / n) for c in col.values())
+    out = A.transition_entropy_types(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_transitions == n and r.n_states == len(cells)
+    assert abs(r.h_next - hm) < 1e-8
+    assert abs(r.h_next_given_current - hc) < 1e-8
+    assert abs(r.mutual_info - (hm - hc)) < 1e-8
+    # information-theory invariants: 0 <= H(next|cur) <= H(next),
+    # MI >= 0, H(next) <= ln(k)
+    assert -1e-9 <= r.mutual_info
+    assert r.h_next_given_current <= r.h_next + 1e-9
+    assert r.h_next <= math.log(max(len(col), 1)) + 1e-9

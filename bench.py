@@ -256,6 +256,17 @@ HEADLINE = [
     "key_skew_report",
     "welch_ttest_pairs",
     "anova_oneway_types",
+    # round-11 second batch:
+    "hellinger_pairs",
+    "jensen_shannon_pairs",
+    "cohens_d_pairs",
+    "grubbs_test_daily",
+    "nelson_aalen_interorder",
+    "logrank_test_segments",
+    "ols_discount_qty_by_brand",
+    "decision_stump_purchase",
+    "rich_club_suppliers",
+    "transition_entropy_types",
 ]
 
 

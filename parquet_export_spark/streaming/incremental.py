@@ -2487,3 +2487,165 @@ def read_changepoints(spark, artifact_dir: str):
             "gain_num", "gain_den",
         )
     )
+
+
+def js_drift_stream(
+    events_stream: DataFrame,
+    ref_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous Jensen-Shannon drift monitoring — the INFORMATION
+    member completing the streaming drift quartet against the SAME
+    frozen ``write_ks_reference`` histogram: KS alarms that the
+    distribution moved somewhere, W1 reports how far value mass
+    traveled, TV how much mass sits in different buckets, JS how many
+    NATS of divergence the move represents (bounded <= ln 2, defined
+    on disjoint support where raw KL blows up — the standard drift
+    score when downstream consumers threshold in information units).
+
+    Per micro-batch: merge the batch histogram into the carried
+    per-(type, cents) histogram (identical value-range-bounded state
+    as the KS/W1/TV monitors; own tree so the four compact
+    independently), then run the batch ``jensen_shannon_pairs`` term
+    recipe between the cumulative stream pmf and the reference pmf —
+    a cents-sorted left fold per type, each term an IEEE chain over
+    int64-exact doubles, ln riding the bm25/JS ROUND(9) presentation
+    lane (the parity contract is the sequential-Python twin test, not
+    a cross-engine hash, but the same lane keeps batch/stream
+    numerics identical by construction).
+
+    No int64 overflow envelope exists here AT ALL: every term is
+    ratio-first double arithmetic, so unlike TV's cross-multiplied
+    ppm lane there is no product to wrap — the monitor is safe at any
+    count the int64 histogram itself can hold.
+
+    Replay idempotence + compaction: the shared recipe (overwritten
+    ``js/batch_<id>`` + ``carry_<id>``, read highest carry below own
+    id, keep-two) — pinned alongside the other monitors by the
+    parametrized lifecycle test.
+    """
+    from parquet_export_spark.export import fs
+
+    out_base = artifact_dir.rstrip("/") + "/js"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(FLOOR(value*100 + 0.5) AS BIGINT)"
+                ).alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, cents long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        ref = spark.read.parquet(ref_dir)
+        tot_a = cum.groupBy("event_type").agg(F.sum("c").alias("na"))
+        tot_b = ref.groupBy("event_type").agg(F.sum("c").alias("nb"))
+        tots = tot_a.join(tot_b, "event_type")
+        side_a = cum.select(
+            "event_type", "cents", F.col("c").alias("ca"),
+            F.lit(0).alias("cb"),
+        )
+        side_b = ref.select(
+            "event_type", "cents", F.lit(0).alias("ca"),
+            F.col("c").alias("cb"),
+        )
+        support = (
+            side_a.unionByName(side_b)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        )
+        p = "(CAST(ca AS DOUBLE) / na)"
+        q = "(CAST(cb AS DOUBLE) / nb)"
+        term = (
+            f"(CASE WHEN ca > 0 THEN {p} * ln(2D * {p} / ({p} + {q}))"
+            f" ELSE 0D END)"
+            f" + (CASE WHEN cb > 0 THEN {q} * ln(2D * {q} / ({p} + {q}))"
+            f" ELSE 0D END)"
+        )
+        (
+            support.join(tots, "event_type")
+            .groupBy("event_type", "na", "nb")
+            .agg(
+                F.count(F.lit(1)).alias("support_buckets"),
+                F.expr(
+                    f"aggregate(array_sort(collect_list(struct(cents,"
+                    f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+                ).alias("sum_terms"),
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type",
+                F.col("na").cast("long").alias("n_stream"),
+                F.col("nb").cast("long").alias("n_ref"),
+                F.col("support_buckets").cast("long").alias(
+                    "support_buckets"
+                ),
+                F.round(F.expr("sum_terms / 2D"), 9).alias("jsd_nats"),
+                F.round(
+                    F.expr("sqrt(greatest(0D, sum_terms / 2D))"), 9
+                ).alias("js_distance"),
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_js_drift(spark, artifact_dir: str):
+    """Per-batch cumulative JS drift emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/js")
+        .select(
+            "batch_id", "event_type", "n_stream", "n_ref",
+            "support_buckets", "jsd_nats", "js_distance",
+        )
+    )

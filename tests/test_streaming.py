@@ -1295,6 +1295,20 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_tv_drift(spark, art)),
             art + "/carry",
         )
+    if name == "js_drift":
+        I.write_ks_reference(
+            spark.createDataFrame(
+                _mon_rows(1000, 1020, 10.0) + _mon_rows(1020, 1040, 20.0),
+                ev,
+            ),
+            ref,
+        )
+        return (
+            ev, ev_batches, land, ckpt,
+            lambda s: I.js_drift_stream(s, ref, art, ckpt),
+            lambda: snap(I.read_js_drift(spark, art)),
+            art + "/carry",
+        )
     if name == "auc_drift":
         I.write_ks_reference(
             spark.createDataFrame(
@@ -1391,6 +1405,7 @@ def _monitor_spec(name, spark, tmp_path):
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
         "growth", "auc_drift", "mk_trend", "balance", "changepoint",
+        "js_drift",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1431,6 +1446,78 @@ def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
         assert 1 <= len(kept) <= 2, kept
         # and the survivors are the two MOST RECENT states
         assert kept[-1] == "batch_2", kept
+
+
+def test_js_drift_stream_two_batches_exact(spark, tmp_path):
+    """Streaming JS vs a frozen reference: after each micro-batch the
+    emitted jsd_nats must equal a sequential Python recomputation over
+    the concatenated prefix (zero divergence on a reference-matching
+    prefix, positive and <= ln 2 after a bucket flood)."""
+    import math
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path / "landing")
+    ref_dir = str(tmp_path / "ref")
+    art = str(tmp_path / "jsart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+
+    def rows(ids, vals, typ):
+        return [
+            (i, t0 + timedelta(minutes=i), 1, typ, v, "{}")
+            for i, v in zip(ids, vals)
+        ]
+
+    ref_rows = rows(range(1000, 1040), [10.0] * 20 + [20.0] * 20, "probe")
+    I.write_ks_reference(spark.createDataFrame(ref_rows, schema), ref_dir)
+    b1 = rows(range(20), [10.0] * 10 + [20.0] * 10, "probe")
+    b2 = rows(range(20, 50), [30.0] * 30, "probe")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = I.js_drift_stream(stream, ref_dir, art, ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    def js_python(stream_rows):
+        from collections import Counter
+
+        sa = Counter(int(r[4] * 100 + 0.5) for r in stream_rows)
+        sb = Counter(int(r[4] * 100 + 0.5) for r in ref_rows)
+        na, nb = sum(sa.values()), sum(sb.values())
+        s = 0.0
+        for x in sorted(set(sa) | set(sb)):
+            p, q = sa.get(x, 0) / na, sb.get(x, 0) / nb
+            if p > 0:
+                s += p * math.log(2 * p / (p + q))
+            if q > 0:
+                s += q * math.log(2 * q / (p + q))
+        return round(s / 2, 9)
+
+    got = {
+        r.batch_id: (r.n_stream, r.n_ref, r.jsd_nats, r.js_distance)
+        for r in I.read_js_drift(spark, art).collect()
+    }
+    assert got[0][:2] == (len(b1), len(ref_rows))
+    assert got[0][2] == js_python(b1)
+    assert got[1][2] == js_python(b1 + b2)
+    # prefix 1 matches the reference pmf exactly -> zero divergence;
+    # the flood registers positive and bounded by ln 2
+    assert got[0][2] == 0.0
+    assert 0.0 < got[1][2] <= math.log(2.0) + 1e-9
+    assert abs(got[1][3] - round(math.sqrt(got[1][2]), 9)) < 5e-10
 
 
 def test_tv_drift_stream_two_batches_exact(spark, tmp_path):

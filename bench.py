@@ -267,6 +267,8 @@ HEADLINE = [
     "decision_stump_purchase",
     "rich_club_suppliers",
     "transition_entropy_types",
+    "kruskal_wallis_types",
+    "permutation_entropy_daily",
 ]
 
 

@@ -6999,3 +6999,300 @@ def decision_stump_purchase_oracle_sql() -> str:
                {base} - split_gini AS gini_gain
         FROM pick
         """
+
+
+#: kruskal-wallis tie-lane envelope: the correction needs N^3 - N in
+#: int64, which binds at N ~ 2^21 ... 2e6 pooled samples — the same
+#: order as the TV/KS ppm envelopes; past it the raise says to lift
+#: the tie lane to decimal(38,0) end to end.
+KW_N_MAX = 2_097_000
+
+
+def kruskal_wallis_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Kruskal-Wallis H across event types' cents values — the
+    RANK-based k-group test completing the comparison matrix:
+    anova_oneway compares k MEANS (parametric), mann_whitney compares
+    two groups by ranks, KW asks "do the k distributions differ in
+    location" without normality. The right first test when value
+    distributions are the heavy-tailed mess real event data is.
+
+    Exact rank algebra on the DOMAIN-bounded support — no row ever
+    gets an individual rank: with per-(type, cents) counts c and the
+    pooled per-cents total tot, the DOUBLED average rank of bucket v
+    is avg2_v = 2·cum_before_v + tot_v + 1 (integral by construction)
+    and each type's doubled rank sum is R2_g = Σ_v c_gv·avg2_v —
+    int64 exact (≤ N·(2N+1), guarded by the loud N ≤ ~2e6 envelope
+    the tie lane needs anyway). H = 12/(N(N+1)) · Σ_g (R2_g/2)²/n_g
+    − 3(N+1): the group fold runs type-sorted (the anova recipe);
+    every scalar step is an IEEE chain over int64-exact doubles —
+    RAW-double hash. Tie correction 1 − Σ(tot³−tot)/(N³−N)
+    accumulates in decimal behind a loud int64 gate (the anova s2_tot
+    tier), so the division is again int64→double.
+
+    Output: ONE row — (n_total, k, tie_num, h_stat, h_corrected);
+    NULLs on degenerate k < 2 or all-tied (zero correction
+    denominator).
+    """
+    counts = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pooled = counts.groupBy("cents").agg(F.sum("c").alias("tot"))
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pooled.select(
+        "cents",
+        "tot",
+        (F.sum("tot").over(wc) - F.col("tot")).alias("cum_before"),
+    ).select(
+        "cents",
+        "tot",
+        F.expr("2 * cum_before + tot + 1").alias("avg2"),
+    )
+    per_type = (
+        counts.join(ranked, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.expr("c * avg2")).cast("long").alias("r2g"),
+        )
+    )
+    ties = pooled.agg(
+        F.sum("tot").cast("long").alias("n_total"),
+        F.expr(
+            "CASE WHEN CAST(SUM(CAST(tot AS DECIMAL(38,0))"
+            " * CAST(tot AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0))"
+            f" - CAST(tot AS DECIMAL(38,0))) AS DECIMAL(38,0)) >"
+            f" {SQ_MOMENT_MAX} THEN"
+            " raise_error('kruskal_wallis tie numerator leaves the"
+            " int64 exact lane — lift the tie lane to decimal(38,0)')"
+            " ELSE CAST(SUM(CAST(tot AS DECIMAL(38,0))"
+            " * CAST(tot AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0))"
+            " - CAST(tot AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("tie_num"),
+    )
+    term = (
+        "(CAST(r2g AS DOUBLE) / 2D) * (CAST(r2g AS DOUBLE) / 2D)"
+        " / CAST(ng AS DOUBLE)"
+    )
+    g = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(event_type,"
+            f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("sum_terms"),
+    )
+    j = g.crossJoin(F.broadcast(ties))
+    nn = "CAST(n_total AS DOUBLE)"
+    h = f"(12D / ({nn} * ({nn} + 1D)) * sum_terms - 3D * ({nn} + 1D))"
+    corr = (
+        "(1D - CAST(tie_num AS DOUBLE)"
+        " / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)"
+        "    * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))"
+    )
+    return j.select(
+        F.expr(
+            f"CASE WHEN n_total > {KW_N_MAX}L THEN"
+            " raise_error('kruskal_wallis N exceeds the int64 tie-lane"
+            " envelope (~2e6 pooled samples) — lift the tie lane to"
+            " decimal(38,0)') ELSE n_total END"
+        ).alias("n_total"),
+        "k",
+        "tie_num",
+        F.expr(f"CASE WHEN k >= 2 THEN {h} END").alias("h_stat"),
+        F.expr(
+            f"CASE WHEN k >= 2 AND {corr} > 0 THEN {h} / {corr} END"
+        ).alias("h_corrected"),
+    )
+
+
+def kruskal_wallis_oracle_sql() -> str:
+    """DuckDB replay: same support rank algebra (integer window
+    cumulatives are order-safe, unlike the nelson_aalen double-window
+    lesson), type-sorted group fold, decimal-gated tie lane."""
+    term = (
+        "(CAST(r2g AS DOUBLE) / 2.0) * (CAST(r2g AS DOUBLE) / 2.0)"
+        " / CAST(ng AS DOUBLE)"
+    )
+    nn = "CAST(n_total AS DOUBLE)"
+    h = f"(12.0 / ({nn} * ({nn} + 1.0)) * sum_terms - 3.0 * ({nn} + 1.0))"
+    corr = (
+        "(1.0 - CAST(tie_num AS DOUBLE)"
+        " / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)"
+        "    * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))"
+    )
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        pooled AS MATERIALIZED (
+          SELECT cents, CAST(SUM(c) AS BIGINT) AS tot
+          FROM counts GROUP BY cents),
+        ranked AS (
+          SELECT cents, tot,
+                 2 * (CAST(SUM(tot) OVER (ORDER BY cents
+                                          ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) - tot) + tot + 1 AS avg2
+          FROM pooled),
+        per_type AS (
+          SELECT event_type,
+                 CAST(SUM(c) AS BIGINT) AS ng,
+                 CAST(SUM(c * avg2) AS BIGINT) AS r2g
+          FROM counts JOIN ranked USING (cents)
+          GROUP BY event_type),
+        ties AS (
+          SELECT CAST(SUM(tot) AS BIGINT) AS n_total,
+                 CAST(SUM(tot * CAST(tot AS HUGEINT) * tot - tot)
+                      AS BIGINT) AS tie_num
+          FROM pooled),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 list_reduce(list_prepend(0.0,
+                     list({term} ORDER BY event_type)),
+                     (acc, x) -> acc + x) AS sum_terms
+          FROM per_type)
+        SELECT n_total, k, tie_num,
+               CASE WHEN k >= 2 THEN {h} END AS h_stat,
+               CASE WHEN k >= 2 AND {corr} > 0 THEN {h} / {corr} END
+                   AS h_corrected
+        FROM g, ties
+        """
+
+
+def permutation_entropy_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Permutation entropy (order 3) of each type's daily-count series
+    — the COMPLEXITY member of the time-series bench: MK asks "is it
+    trending", runs-test "is it random in direction", changepoint
+    "where did the level shift"; PE asks "how PREDICTABLE is the
+    local shape" by the entropy of consecutive-triple ordinal
+    patterns (Bandt-Pompe). Low PE = rigid motifs (seasonality,
+    ramps); PE near ln 6 = pattern-free noise.
+
+    Ties break by POSITION (earlier day ranks lower — the standard
+    stable convention): rank_i = #{j: c_j < c_i} + #{j < i: c_j = c_i}
+    — pure integer comparisons, identical in both engines. Triples
+    are consecutive in SERIES order (gaps documented as adjacency in
+    the observed series, the _daily_type_counts contract). The ≤6
+    pattern frequencies fold type-and-pattern-sorted; ln rides the
+    ROUND(9) lane (jensen_shannon discipline).
+
+    Plan: the shared daily collapse, one type-keyed double-lead
+    window, one (type, pattern) aggregate (≤ 6·types rows), one fold.
+    Output per type: (event_type, n_triples, n_patterns,
+    perm_entropy, pe_normalized), entropy in nats ROUND(9),
+    normalized by ln 6.
+    """
+    daily = _daily_type_counts(t)
+    w = Window.partitionBy("event_type").orderBy("day")
+    triples = (
+        daily.select(
+            "event_type",
+            F.col("c").alias("c1"),
+            F.lead("c", 1).over(w).alias("c2"),
+            F.lead("c", 2).over(w).alias("c3"),
+        )
+        .filter(F.col("c3").isNotNull())
+    )
+    pat = (
+        "( (CASE WHEN c2 < c1 THEN 1 ELSE 0 END)"
+        "  + (CASE WHEN c3 < c1 THEN 1 ELSE 0 END) ) * 100"
+        " + ( (CASE WHEN c1 < c2 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c3 < c2 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c1 = c2 THEN 1 ELSE 0 END) ) * 10"
+        " + ( (CASE WHEN c1 < c3 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c2 < c3 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c1 = c3 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c2 = c3 THEN 1 ELSE 0 END) )"
+    )
+    pc = (
+        triples.select("event_type", F.expr(pat).alias("pattern"))
+        .groupBy("event_type", "pattern")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    tot = pc.groupBy("event_type").agg(F.sum("pc").alias("n"))
+    term = (
+        "(CAST(pc AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(pc AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    g = (
+        pc.join(tot, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            F.expr(
+                f"aggregate(array_sort(collect_list(struct(pattern,"
+                f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+            ).alias("neg_h"),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_triples"),
+        "n_patterns",
+        F.round(F.expr("-neg_h"), 9).alias("perm_entropy"),
+        F.round(F.expr("-neg_h / ln(6D)"), 9).alias("pe_normalized"),
+    ).orderBy("event_type")
+
+
+def permutation_entropy_oracle_sql() -> str:
+    """DuckDB replay: same daily collapse, same positional-tie ordinal
+    encoding, pattern-sorted fold, ROUND(9) ln lane."""
+    pat = (
+        "( (CASE WHEN c2 < c1 THEN 1 ELSE 0 END)"
+        "  + (CASE WHEN c3 < c1 THEN 1 ELSE 0 END) ) * 100"
+        " + ( (CASE WHEN c1 < c2 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c3 < c2 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c1 = c2 THEN 1 ELSE 0 END) ) * 10"
+        " + ( (CASE WHEN c1 < c3 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c2 < c3 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c1 = c3 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c2 = c3 THEN 1 ELSE 0 END) )"
+    )
+    term = (
+        "(CAST(pc AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(pc AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        triples AS (
+          SELECT event_type, c1, c2, c3 FROM (
+            SELECT event_type, c AS c1,
+                   LEAD(c, 1) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS c2,
+                   LEAD(c, 2) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS c3
+            FROM daily)
+          WHERE c3 IS NOT NULL),
+        pc AS (
+          SELECT event_type, {pat} AS pattern,
+                 CAST(COUNT(*) AS BIGINT) AS pc
+          FROM triples GROUP BY event_type, {pat}),
+        tot AS (
+          SELECT event_type, CAST(SUM(pc) AS BIGINT) AS n
+          FROM pc GROUP BY event_type),
+        g AS (
+          SELECT pc.event_type, n,
+                 CAST(COUNT(*) AS BIGINT) AS n_patterns,
+                 list_reduce(list_prepend(0.0,
+                     list({term} ORDER BY pattern)),
+                     (acc, x) -> acc + x) AS neg_h
+          FROM pc JOIN tot ON tot.event_type = pc.event_type
+          GROUP BY pc.event_type, n)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_triples,
+               n_patterns,
+               ROUND(-neg_h, 9) AS perm_entropy,
+               ROUND(-neg_h / ln(6.0), 9) AS pe_normalized
+        FROM g
+        ORDER BY event_type
+        """

@@ -941,6 +941,20 @@ REGISTRY.update(
             _rel(ST.decision_stump_purchase),
             ST.decision_stump_purchase_oracle_sql(),
         ),
+        # Kruskal-Wallis H across types: the rank-based k-group test —
+        # support-level doubled-average-rank algebra, decimal-gated
+        # tie lane, type-sorted group fold, RAW-double H.
+        "kruskal_wallis_types": QuerySpec(
+            _rel(ST.kruskal_wallis_types),
+            ST.kruskal_wallis_oracle_sql(),
+        ),
+        # Bandt-Pompe permutation entropy (order 3) per type's daily
+        # series — positional tie-break ordinal patterns, ≤6-cell
+        # folds, ROUND(9) ln lane.
+        "permutation_entropy_daily": QuerySpec(
+            _rel(ST.permutation_entropy_daily),
+            ST.permutation_entropy_oracle_sql(),
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """

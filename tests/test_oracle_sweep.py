@@ -85,6 +85,9 @@ ROUND_CHANGED = [
     # graph topology + sequence-information members:
     "rich_club_suppliers",
     "transition_entropy_types",
+    # rank-based k-group test + series-complexity members:
+    "kruskal_wallis_types",
+    "permutation_entropy_daily",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -480,3 +480,128 @@ def test_transition_entropy_matches_python_replay(spark, sf_dir):
     assert -1e-9 <= r.mutual_info
     assert r.h_next_given_current <= r.h_next + 1e-9
     assert r.h_next <= math.log(max(len(col), 1)) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis_types: scipy-free textbook replay
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    by_type = _cents_by_type(t)
+    pooled = Counter()
+    for c in by_type.values():
+        pooled.update(c)
+    n = sum(pooled.values())
+    # average rank per value (1-based, midrank for ties)
+    avg_rank = {}
+    cum = 0
+    for v in sorted(pooled):
+        tot = pooled[v]
+        avg_rank[v] = cum + (tot + 1) / 2
+        cum += tot
+    sum_terms = 0.0
+    for ty in sorted(by_type):
+        rg = sum(c * avg_rank[v] for v, c in by_type[ty].items())
+        ng = sum(by_type[ty].values())
+        sum_terms += rg * rg / ng
+    h = 12 / (n * (n + 1)) * sum_terms - 3 * (n + 1)
+    tie = sum(c**3 - c for c in pooled.values())
+    corr = 1 - tie / (n**3 - n)
+    out = ST.kruskal_wallis_types(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_total == n and r.k == len(by_type)
+    assert r.tie_num == tie
+    assert abs(r.h_stat - h) < 1e-6
+    assert abs(r.h_corrected - h / corr) < 1e-6
+    # tie correction inflates H (corr < 1 whenever ties exist)
+    if tie > 0:
+        assert r.h_corrected > r.h_stat - 1e-12
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    """Two identical distributions -> H == 0 exactly (every rank sum
+    is the expected one)."""
+    rows = [("a", float(v), f"u{i}") for i, v in enumerate([1, 2, 3] * 4)]
+    rows += [("b", float(v), f"v{i}") for i, v in enumerate([1, 2, 3] * 4)]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, user_id string"
+    )
+    r = ST.kruskal_wallis_types({"events": df}).collect()[0]
+    assert abs(r.h_stat) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# permutation_entropy_daily: brute-force ordinal replay
+# ---------------------------------------------------------------------------
+
+
+def _ordinal_pattern(c1, c2, c3):
+    cs = [c1, c2, c3]
+    ranks = []
+    for i, ci in enumerate(cs):
+        r = sum(1 for cj in cs if cj < ci) + sum(
+            1 for j in range(i) if cs[j] == ci
+        )
+        ranks.append(r)
+    return ranks[0] * 100 + ranks[1] * 10 + ranks[2]
+
+
+def test_permutation_entropy_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST._daily_type_counts(t).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r.c
+    out = {r.event_type: r for r in ST.permutation_entropy_daily(t).collect()}
+    for ty, days in series.items():
+        cs = [days[d] for d in sorted(days)]
+        pats = Counter(
+            _ordinal_pattern(a, b, c) for a, b, c in zip(cs, cs[1:], cs[2:])
+        )
+        n = sum(pats.values())
+        if n == 0:
+            assert ty not in out
+            continue
+        h = -sum((c / n) * math.log(c / n) for c in pats.values())
+        r = out[ty]
+        assert r.n_triples == n and r.n_patterns == len(pats)
+        assert abs(r.perm_entropy - h) < 1e-8
+        assert abs(r.pe_normalized - h / math.log(6)) < 1e-8
+        # entropy of <=6 patterns is bounded by ln 6
+        assert -1e-9 <= r.perm_entropy <= math.log(6) + 1e-9
+
+
+def test_permutation_entropy_monotone_vs_noise(spark):
+    """A strictly increasing series has ONE ordinal pattern (PE = 0);
+    an engineered alternating series has two."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(ty, counts):
+        rows = []
+        eid = 0
+        for d, k in enumerate(counts):
+            for _ in range(k):
+                rows.append((eid, t0 + timedelta(days=d), 1, ty, 1.0, "{}"))
+                eid += 1
+        return rows
+
+    ramp = mk("ramp", [1, 2, 3, 4, 5, 6, 7, 8])
+    saw = mk("saw", [1, 5, 1, 5, 1, 5, 1, 5])
+    df = spark.createDataFrame(
+        ramp + saw,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r.event_type: r
+        for r in ST.permutation_entropy_daily({"events": df}).collect()
+    }
+    assert out["ramp"].n_patterns == 1
+    assert out["ramp"].perm_entropy == 0.0
+    assert out["saw"].n_patterns == 2
+    assert out["saw"].perm_entropy > 0.5

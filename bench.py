@@ -269,6 +269,8 @@ HEADLINE = [
     "transition_entropy_types",
     "kruskal_wallis_types",
     "permutation_entropy_daily",
+    "brown_forsythe_types",
+    "goertzel_weekly_power",
 ]
 
 

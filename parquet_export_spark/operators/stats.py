@@ -7296,3 +7296,297 @@ def permutation_entropy_oracle_sql() -> str:
         FROM g
         ORDER BY event_type
         """
+
+
+def brown_forsythe_types(t: dict[str, DataFrame]) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types —
+    the ASSUMPTION CHECK for the mean-comparison family: plain ANOVA
+    assumes equal group variances; Brown-Forsythe tests exactly that
+    by running the one-way ANOVA on |x − median_g| (median, not mean
+    — the robustness modification that made Levene's test usable on
+    skewed data). Read it BEFORE anova_oneway_types: a large W here
+    says reach for welch_ttest_pairs instead.
+
+    Fully exact lanes, no ln and no ROUND anywhere: the per-type
+    LOWER median comes off the (type, cents) support by the
+    weighted_median rule (smallest value with 2·cum ≥ n — merged
+    equal values, no tie rule needed); deviations z = |cents − med_g|
+    are INTEGERS, so the ANOVA moments (n, Σz, Σz²) are int64 exact
+    behind the anova overflow gate, and SSB/SSW/W follow the
+    anova_oneway_types recipe verbatim (type-sorted group fold,
+    int64→double statistic chain) — RAW-double hash.
+
+    Plan: one fact aggregate to the domain-bounded support, one
+    per-type cumulative window (support-sized), one moment aggregate,
+    one fold. Output: ONE row — (k, n_total, ss_between, ss_within,
+    w_stat).
+    """
+    counts = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy("event_type")
+    win = Window.partitionBy("event_type").orderBy("cents")
+    med = (
+        counts.withColumn("cum", F.sum("c").over(ws))
+        .withColumn("tot", F.sum("c").over(wa))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("cents").alias("med"))
+    )
+    m = (
+        counts.join(med, "event_type")
+        .select(
+            "event_type",
+            "c",
+            F.expr("abs(cents - med)").alias("z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.expr("c * z")).alias("s"),
+            F.expr(
+                f"CASE WHEN SUM(c * z * z) > {SQ_MOMENT_MAX // 2}L THEN"
+                " raise_error('brown_forsythe deviation second moment"
+                " leaves the int64 exact lane — lift to decimal(38,0)')"
+                " ELSE SUM(c * z * z) END"
+            ).alias("s2"),
+        )
+    )
+    term = "CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)"
+    g = m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("s_tot"),
+        F.expr(
+            f"CASE WHEN CAST(SUM(CAST(s2 AS DECIMAL(38,0))) AS"
+            f" DECIMAL(38,0)) > {SQ_MOMENT_MAX}"
+            " THEN raise_error('brown_forsythe s2 total leaves the"
+            " int64 exact lane — lift to decimal(38,0)')"
+            " ELSE CAST(SUM(CAST(s2 AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("s2_tot"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(event_type,"
+            f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("sum_terms"),
+    )
+    ssb = (
+        "(sum_terms - CAST(s_tot AS DOUBLE)"
+        " * (CAST(s_tot AS DOUBLE) / n_total))"
+    )
+    ssw = "(CAST(s2_tot AS DOUBLE) - sum_terms)"
+    return g.select(
+        "k",
+        "n_total",
+        F.expr(ssb).alias("ss_between"),
+        F.expr(ssw).alias("ss_within"),
+        F.expr(
+            f"CASE WHEN k >= 2 AND n_total > k AND {ssw} > 0 THEN"
+            f" ({ssb} / (k - 1)) / ({ssw} / (n_total - k)) END"
+        ).alias("w_stat"),
+    )
+
+
+def brown_forsythe_oracle_sql() -> str:
+    term = "CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)"
+    ssb = (
+        "(sum_terms - CAST(s_tot AS DOUBLE)"
+        " * (CAST(s_tot AS DOUBLE) / n_total))"
+    )
+    ssw = "(CAST(s2_tot AS DOUBLE) - sum_terms)"
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, cents, c,
+                 CAST(SUM(c) OVER (PARTITION BY event_type
+                                   ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS tot
+          FROM counts),
+        med AS (
+          SELECT event_type, MIN(cents) AS med
+          FROM ranked WHERE 2 * cum >= tot GROUP BY event_type),
+        m AS (
+          SELECT counts.event_type,
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(c * abs(cents - med)) AS BIGINT) AS s,
+                 CAST(SUM(c * abs(cents - med) * abs(cents - med))
+                      AS BIGINT) AS s2
+          FROM counts JOIN med ON med.event_type = counts.event_type
+          GROUP BY counts.event_type),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(SUM(s) AS BIGINT) AS s_tot,
+                 CAST(SUM(s2) AS BIGINT) AS s2_tot,
+                 list_reduce(list_prepend(0.0,
+                     list({term} ORDER BY event_type)),
+                     (acc, x) -> acc + x) AS sum_terms
+          FROM m)
+        SELECT k, n_total,
+               {ssb} AS ss_between,
+               {ssw} AS ss_within,
+               CASE WHEN k >= 2 AND n_total > k AND {ssw} > 0 THEN
+                 ({ssb} / (k - 1)) / ({ssw} / (n_total - k)) END
+                   AS w_stat
+        FROM g
+        """
+
+
+#: Goertzel coefficient 2·cos(2π/7) as a SHARED LITERAL in both plan
+#: texts — no runtime cos() call exists anywhere, so the libm last-ulp
+#: divergence (the collocations_pmi lesson) cannot enter the chain.
+GOERTZEL_WEEKLY_COEFF = "1.2469796037174672"
+
+
+def goertzel_weekly_power(t: dict[str, DataFrame]) -> DataFrame:
+    """Single-bin Goertzel power at the weekly frequency for each
+    type's ZERO-FILLED daily series — the cheapest possible "is there
+    a 7-day cycle" probe: one O(days) second-order recurrence per
+    type instead of an FFT (the classic single-tone detector).
+    seasonality_strength_hourly scores the hour-of-week profile;
+    this measures periodicity in the FREQUENCY domain, catching
+    cycles whose phase drifts across the profile buckets.
+
+    Numerics: the coefficient 2·cos(2π/7) is a shared plan LITERAL
+    (no runtime cos — see GOERTZEL_WEEKLY_COEFF), the series is
+    mean-centered (x_k = c_k − s/n, an int64→double chain), and the
+    recurrence s_k = x_k + C·s1 − s2 is a strictly sequential
+    day-sorted struct fold — multiply/add/subtract only, every step
+    correctly rounded over identical operands, so power and amplitude
+    hash as RAW doubles. Gaps are TRUE ZEROS via a calendar sequence
+    (uniform sampling is what gives the frequency meaning — the
+    local_peaks dense-grid rule).
+
+    Plan: the shared daily collapse, one per-type min/max + sequence
+    explode (calendar-bounded), one day-sorted fold. Output per type:
+    (event_type, n_days, mean_c, weekly_power, weekly_amplitude)
+    where amplitude = 2·sqrt(power)/n is the fitted sine magnitude in
+    events/day.
+    """
+    daily = _daily_type_counts(t)
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("c").alias("s"),
+    ).select(
+        "event_type",
+        "s",
+        F.expr("CAST(d1 - d0 + 1 AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(s AS DOUBLE) / CAST(d1 - d0 + 1 AS DOUBLE)"
+        ).alias("mean_c"),
+        "d0",
+        "d1",
+    )
+    grid = span.select(
+        "event_type",
+        "s",
+        "n_days",
+        "mean_c",
+        F.expr("explode(sequence(d0, d1))").alias("day"),
+    )
+    filled = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "s",
+            "n_days",
+            "mean_c",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    C = GOERTZEL_WEEKLY_COEFF
+    g = filled.groupBy("event_type", "s", "n_days", "mean_c").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(day, c))),"
+            " struct(CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2),"
+            " (acc, v) -> struct("
+            f" (CAST(v.c AS DOUBLE) - mean_c) + {C}D * acc.s1 - acc.s2"
+            " AS s1, acc.s1 AS s2))"
+        ).alias("st"),
+    )
+    power = f"(st.s1 * st.s1 + st.s2 * st.s2 - {C}D * st.s1 * st.s2)"
+    return g.select(
+        "event_type",
+        "n_days",
+        "mean_c",
+        F.expr(power).alias("weekly_power"),
+        F.expr(
+            f"2D * sqrt(greatest(0D, {power})) / CAST(n_days AS DOUBLE)"
+        ).alias("weekly_amplitude"),
+    ).orderBy("event_type")
+
+
+def goertzel_weekly_power_oracle_sql() -> str:
+    """DuckDB replay: generate_series zero-fill, same literal
+    coefficient, same day-ordered struct-fold recurrence (left-fold
+    parity; no runtime cos on either side). Two measured DuckDB traps
+    pinned here: (1) a bare 16-digit decimal literal types as
+    DECIMAL(17,16) and runs the whole recurrence in decimal
+    arithmetic (wildly different values, then overflow at |s1| ~ 92)
+    — hence CAST(.. AS DOUBLE) around the coefficient; (2) a STRUCT
+    accumulator in list_reduce ALIASES fields when one output field
+    references a different field of acc (acc.s1 inside the s2 slot
+    resolved to the NEW s1 — measured s1 == s2 on every fold), so the
+    two-term Goertzel state rides a [s1, s2] LIST accumulator, which
+    is bit-exact. Folds whose every output field references only its
+    OWN acc field (logrank, anova) are unaffected."""
+    C = f"CAST({GOERTZEL_WEEKLY_COEFF} AS DOUBLE)"
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        span AS (
+          SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days,
+                 CAST(SUM(c) AS DOUBLE)
+                   / CAST(MAX(day) - MIN(day) + 1 AS DOUBLE) AS mean_c
+          FROM daily GROUP BY event_type),
+        grid AS (
+          SELECT span.event_type, span.s, span.n_days, span.mean_c,
+                 gs.day
+          FROM span, UNNEST(range(span.d0, span.d1 + 1)) AS gs(day)),
+        filled AS (
+          SELECT g.event_type, g.day, g.s, g.n_days, g.mean_c,
+                 COALESCE(d.c, 0) AS c
+          FROM grid g
+          LEFT JOIN daily d ON d.event_type = g.event_type
+                           AND d.day = g.day),
+        folded AS (
+          SELECT event_type, s, n_days, mean_c,
+                 list_reduce(list_prepend(
+                     [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                     list([CAST(c AS DOUBLE), CAST(0.0 AS DOUBLE)]
+                          ORDER BY day)),
+                     (acc, v) ->
+                       [(v[1] - mean_c) + {C} * acc[1] - acc[2],
+                        acc[1]]) AS st
+          FROM filled GROUP BY event_type, s, n_days, mean_c)
+        SELECT event_type, n_days, mean_c,
+               (st[1] * st[1] + st[2] * st[2]
+                - {C} * st[1] * st[2]) AS weekly_power,
+               2.0 * sqrt(greatest(0.0,
+                 st[1] * st[1] + st[2] * st[2]
+                 - {C} * st[1] * st[2])) / CAST(n_days AS DOUBLE)
+                   AS weekly_amplitude
+        FROM folded
+        ORDER BY event_type
+        """

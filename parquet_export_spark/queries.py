@@ -955,6 +955,20 @@ REGISTRY.update(
             _rel(ST.permutation_entropy_daily),
             ST.permutation_entropy_oracle_sql(),
         ),
+        # Brown-Forsythe variance-homogeneity W: the ANOVA assumption
+        # check — integer deviations from per-type lower medians, the
+        # anova moment/fold recipe verbatim, RAW-double W.
+        "brown_forsythe_types": QuerySpec(
+            _rel(ST.brown_forsythe_types),
+            ST.brown_forsythe_oracle_sql(),
+        ),
+        # Single-bin Goertzel power at the weekly frequency over the
+        # zero-filled daily series — shared literal coefficient (no
+        # runtime cos), day-sorted recurrence fold, RAW doubles.
+        "goertzel_weekly_power": QuerySpec(
+            _rel(ST.goertzel_weekly_power),
+            ST.goertzel_weekly_power_oracle_sql(),
+        ),
         "percentiles_exact": QuerySpec(
             _rel(ST.percentiles_exact),
             """

@@ -88,6 +88,9 @@ ROUND_CHANGED = [
     # rank-based k-group test + series-complexity members:
     "kruskal_wallis_types",
     "permutation_entropy_daily",
+    # variance-homogeneity check + frequency-domain seasonality probe:
+    "brown_forsythe_types",
+    "goertzel_weekly_power",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

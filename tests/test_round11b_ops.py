@@ -605,3 +605,113 @@ def test_permutation_entropy_monotone_vs_noise(spark):
     assert out["ramp"].perm_entropy == 0.0
     assert out["saw"].n_patterns == 2
     assert out["saw"].perm_entropy > 0.5
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe_types: scipy-free replay off the median deviations
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    by_type = _cents_by_type(t)
+    # per-type lower median by the weighted_median rule
+    devs = {}
+    for ty, cnt in by_type.items():
+        n = sum(cnt.values())
+        cum = 0
+        med = None
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if 2 * cum >= n:
+                med = v
+                break
+        devs[ty] = Counter(
+            {abs(v - med): 0 for v in cnt}
+        )
+        for v, c in cnt.items():
+            devs[ty][abs(v - med)] += c
+    k = len(devs)
+    n_total = sum(sum(c.values()) for c in devs.values())
+    s_tot = sum(z * c for d in devs.values() for z, c in d.items())
+    s2_tot = sum(z * z * c for d in devs.values() for z, c in d.items())
+    sum_terms = 0.0
+    for ty in sorted(devs):
+        ng = sum(devs[ty].values())
+        sg = sum(z * c for z, c in devs[ty].items())
+        sum_terms += sg * (sg / ng)
+    ssb = sum_terms - s_tot * (s_tot / n_total)
+    ssw = s2_tot - sum_terms
+    w = (ssb / (k - 1)) / (ssw / (n_total - k))
+    out = ST.brown_forsythe_types(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == k and r.n_total == n_total
+    assert abs(r.ss_between - ssb) < 1e-6 * max(1.0, abs(ssb))
+    assert abs(r.ss_within - ssw) < 1e-6 * max(1.0, abs(ssw))
+    assert abs(r.w_stat - w) < 1e-9 + 1e-9 * abs(w)
+    assert r.ss_within >= 0 and r.ss_between >= -1e-6
+
+
+# ---------------------------------------------------------------------------
+# goertzel_weekly_power: DFT-bin replay + engineered sine fixture
+# ---------------------------------------------------------------------------
+
+
+def test_goertzel_matches_python_recurrence(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST._daily_type_counts(t).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r.c
+    out = {r.event_type: r for r in ST.goertzel_weekly_power(t).collect()}
+    C = 2 * math.cos(2 * math.pi / 7)
+    for ty, days in series.items():
+        d0, d1 = min(days), max(days)
+        n = d1 - d0 + 1
+        s = sum(days.values())
+        mean = s / n
+        s1 = s2 = 0.0
+        for d in range(d0, d1 + 1):
+            x = days.get(d, 0) - mean
+            s1, s2 = x + C * s1 - s2, s1
+        power = s1 * s1 + s2 * s2 - C * s1 * s2
+        r = out[ty]
+        assert r.n_days == n
+        assert abs(r.mean_c - mean) < 1e-9
+        assert abs(r.weekly_power - power) < 1e-6 * max(1.0, power)
+        assert r.weekly_power >= -1e-9
+        assert abs(
+            r.weekly_amplitude - 2 * math.sqrt(max(0.0, power)) / n
+        ) < 1e-9
+
+
+def test_goertzel_detects_engineered_weekly_cycle(spark):
+    """A pure 7-day cycle over 10 weeks must recover its amplitude
+    (~2 sin events/day) while a flat series reads ~0."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(70):
+        k_cyc = 10 + round(5 * math.sin(2 * math.pi * d / 7))
+        for ty, k in (("cyc", k_cyc), ("flat", 10)):
+            for _ in range(k):
+                rows.append(
+                    (eid, t0 + timedelta(days=d), 1, ty, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r.event_type: r
+        for r in ST.goertzel_weekly_power({"events": df}).collect()
+    }
+    # N=70 is an exact multiple of 7, so the bin is leakage-free:
+    # amplitude ~ the constructed 5 (rounded sine loses a little)
+    assert 4.0 < out["cyc"].weekly_amplitude < 6.0
+    assert out["flat"].weekly_amplitude < 1e-6

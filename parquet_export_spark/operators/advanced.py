@@ -5903,3 +5903,123 @@ def transition_entropy_oracle_sql() -> str:
                ROUND(neg_hc - neg_hm, 9) AS mutual_info
         FROM hcond, hmarg
         """
+
+
+def cochran_armitage_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Cochran-Armitage trend test: is conversion MONOTONE in
+    engagement? conversion_ztest_by_click_tier asks, per tier,
+    "different from the rest?"; this asks the single sharper question
+    a growth team actually has — does buying probability TREND with
+    click count — using the click count itself as the ordered score
+    (the canonical dose-response statistic):
+
+        T = Σ b_i·x_i − B·(Σ n_i·x_i)/N
+        Var = (B/N)(1 − B/N)·[Σ n_i·x_i² − (Σ n_i·x_i)²/N]
+        z = T / sqrt(Var)
+
+    over tiers i with score x_i = n_clicks, n_i users, b_i buyers.
+
+    Exact lanes: the five sufficient statistics (N, B, Σnx, Σnx²,
+    Σbx) are int64 sums off the tier frame (x ≤ per-user click
+    counts; the x² lane carries a LOUD division-form guard — at
+    Σ n·x² past int64 the raise says to rescale scores to deciles).
+    Everything after is one int64→double IEEE chain over identical
+    operands — RAW-double hash, no ROUND (the wow_mix rule: nothing
+    libm touches the chain; sqrt is correctly rounded).
+
+    Plan: the roc_auc user aggregate, a support-bounded tier
+    aggregate, ONE scalar row of five longs — map-side arithmetic
+    after. Output: (n_users, buyers, sum_nx, sum_nx2, sum_bx,
+    ca_t, ca_var, ca_z).
+    """
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("is_buyer"),
+        )
+    )
+    tiers = users.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_buyer").alias("b")
+    )
+    m = tiers.agg(
+        F.sum("n").cast("long").alias("n_users"),
+        F.sum("b").cast("long").alias("buyers"),
+        F.sum(F.expr("n * x")).cast("long").alias("sum_nx"),
+        F.expr(
+            # division-form guard: Σ n·x² wraps silently under
+            # ansi=false once max(x)² > (2^63-1)/N per tier; rescale
+            # scores (deciles) past the envelope.
+            "CASE WHEN SUM(CASE WHEN x > 0 AND n > (9223372036854775807"
+            " div (x * x)) THEN 1 ELSE 0 END) > 0 THEN"
+            " raise_error('cochran_armitage score second moment leaves"
+            " the int64 exact lane — rescale scores to deciles')"
+            " ELSE CAST(SUM(n * x * x) AS BIGINT) END"
+        ).alias("sum_nx2"),
+        F.sum(F.expr("b * x")).cast("long").alias("sum_bx"),
+    )
+    tt = (
+        "(CAST(sum_bx AS DOUBLE) - CAST(buyers AS DOUBLE)"
+        " * (CAST(sum_nx AS DOUBLE) / CAST(n_users AS DOUBLE)))"
+    )
+    pv = (
+        "((CAST(buyers AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " * (1D - CAST(buyers AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " * (CAST(sum_nx2 AS DOUBLE) - CAST(sum_nx AS DOUBLE)"
+        "    * (CAST(sum_nx AS DOUBLE) / CAST(n_users AS DOUBLE))))"
+    )
+    return m.select(
+        "n_users",
+        "buyers",
+        "sum_nx",
+        "sum_nx2",
+        "sum_bx",
+        F.expr(tt).alias("ca_t"),
+        F.expr(pv).alias("ca_var"),
+        F.expr(
+            f"CASE WHEN {pv} > 0 THEN {tt} / sqrt({pv}) END"
+        ).alias("ca_z"),
+    )
+
+
+def cochran_armitage_oracle_sql() -> str:
+    tt = (
+        "(CAST(sum_bx AS DOUBLE) - CAST(buyers AS DOUBLE)"
+        " * (CAST(sum_nx AS DOUBLE) / CAST(n_users AS DOUBLE)))"
+    )
+    pv = (
+        "((CAST(buyers AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " * (1.0 - CAST(buyers AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " * (CAST(sum_nx2 AS DOUBLE) - CAST(sum_nx AS DOUBLE)"
+        "    * (CAST(sum_nx AS DOUBLE) / CAST(n_users AS DOUBLE))))"
+    )
+    return f"""
+        WITH users AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END) AS BIGINT) AS x,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS is_buyer
+          FROM events GROUP BY 1),
+        tiers AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(is_buyer) AS BIGINT) AS b
+          FROM users GROUP BY 1),
+        m AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+                 CAST(SUM(b) AS BIGINT) AS buyers,
+                 CAST(SUM(n * x) AS BIGINT) AS sum_nx,
+                 CAST(SUM(n * x * x) AS BIGINT) AS sum_nx2,
+                 CAST(SUM(b * x) AS BIGINT) AS sum_bx
+          FROM tiers)
+        SELECT n_users, buyers, sum_nx, sum_nx2, sum_bx,
+               {tt} AS ca_t,
+               {pv} AS ca_var,
+               CASE WHEN {pv} > 0 THEN {tt} / sqrt({pv}) END AS ca_z
+        FROM m
+        """

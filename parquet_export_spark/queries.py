@@ -3190,6 +3190,13 @@ REGISTRY.update(
             _rel(A.logrank_test_segments),
             A.logrank_test_oracle_sql(),
         ),
+        # Cochran-Armitage trend: is conversion monotone in click
+        # count — five int64 sufficient statistics, one IEEE chain,
+        # RAW-double z.
+        "cochran_armitage_trend": QuerySpec(
+            _rel(A.cochran_armitage_trend),
+            A.cochran_armitage_oracle_sql(),
+        ),
         # Entropy decomposition of the event-type chain: H(next),
         # H(next|current) and their mutual information off the
         # event_transition_matrix pairs — 25-cell sorted folds,

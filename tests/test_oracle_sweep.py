@@ -91,6 +91,8 @@ ROUND_CHANGED = [
     # variance-homogeneity check + frequency-domain seasonality probe:
     "brown_forsythe_types",
     "goertzel_weekly_power",
+    # dose-response funnel member:
+    "cochran_armitage_trend",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

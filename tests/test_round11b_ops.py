@@ -715,3 +715,75 @@ def test_goertzel_detects_engineered_weekly_cycle(spark):
     # amplitude ~ the constructed 5 (rounded sine loses a little)
     assert 4.0 < out["cyc"].weekly_amplitude < 6.0
     assert out["flat"].weekly_amplitude < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage_trend: Fraction replay + engineered monotone fixture
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_armitage_matches_fraction_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    users = {}
+    for r in t["events"].select("user_id", "event_type").collect():
+        x, b = users.get(r.user_id, (0, 0))
+        users[r.user_id] = (
+            x + (1 if r.event_type == "click" else 0),
+            max(b, 1 if r.event_type == "purchase" else 0),
+        )
+    n = len(users)
+    bb = sum(b for _, b in users.values())
+    sum_nx = sum(x for x, _ in users.values())
+    sum_nx2 = sum(x * x for x, _ in users.values())
+    sum_bx = sum(x * b for x, b in users.values())
+    tt = Fraction(sum_bx) - Fraction(bb * sum_nx, n)
+    var = (
+        Fraction(bb, n)
+        * (1 - Fraction(bb, n))
+        * (Fraction(sum_nx2) - Fraction(sum_nx * sum_nx, n))
+    )
+    out = A.cochran_armitage_trend(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_users, r.buyers, r.sum_nx, r.sum_nx2, r.sum_bx) == (
+        n, bb, sum_nx, sum_nx2, sum_bx,
+    )
+    assert abs(r.ca_t - float(tt)) < 1e-9 * max(1.0, abs(float(tt)))
+    assert abs(r.ca_var - float(var)) < 1e-9 * max(1.0, float(var))
+    if var > 0:
+        z = float(tt) / math.sqrt(float(var))
+        assert abs(r.ca_z - z) < 1e-9 + 1e-9 * abs(z)
+    else:
+        # degenerate pool (every user a buyer, or none): z must be
+        # NULL, not a division blow-up
+        assert r.ca_z is None
+
+
+def test_cochran_armitage_engineered_monotone_trend(spark):
+    """Conversion engineered to rise with click count -> strongly
+    positive z; flat conversion -> |z| small."""
+    rows = []
+    eid = 0
+    for uid in range(300):
+        clicks = uid % 3  # tiers 0,1,2
+        buys = 1 if (uid % 10) < 2 + 3 * clicks else 0  # 20/50/80%
+        for _ in range(clicks):
+            rows.append((eid, "2024-01-01 00:00:00", f"u{uid}", "click", 1.0))
+            eid += 1
+        if buys:
+            rows.append(
+                (eid, "2024-01-01 00:00:01", f"u{uid}", "purchase", 1.0)
+            )
+            eid += 1
+        rows.append((eid, "2024-01-01 00:00:02", f"u{uid}", "view", 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id string, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    r = A.cochran_armitage_trend({"events": df}).collect()[0]
+    assert r.ca_z > 5.0

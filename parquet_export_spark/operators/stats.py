@@ -7481,7 +7481,14 @@ def goertzel_weekly_power(t: dict[str, DataFrame]) -> DataFrame:
     where amplitude = 2·sqrt(power)/n is the fitted sine magnitude in
     events/day.
     """
-    daily = _daily_type_counts(t)
+    return goertzel_from_daily(_daily_type_counts(t))
+
+
+def goertzel_from_daily(daily: DataFrame) -> DataFrame:
+    """The ONE weekly-Goertzel scoring function, shared by the batch
+    registry entry and the streaming monitor (the mk_trend_from_daily
+    contract: a single scorer makes batch/stream drift structurally
+    impossible). Input: a (event_type, day, c) daily-count frame."""
     span = daily.groupBy("event_type").agg(
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),

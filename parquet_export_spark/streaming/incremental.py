@@ -2649,3 +2649,114 @@ def read_js_drift(spark, artifact_dir: str):
             "support_buckets", "jsd_nats", "js_distance",
         )
     )
+
+
+def goertzel_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous weekly-periodicity monitoring — the FREQUENCY member
+    of the monitor family (MK: monotone trend; changepoint: level
+    shifts; CUSUM: drift; Goertzel: is a 7-day cycle emerging or
+    collapsing in the daily volume — the alarm for "our traffic just
+    lost its weekly rhythm", which every volume-level monitor is
+    blind to).
+
+    The mk_trend_stream recipe verbatim: merge each micro-batch's
+    (type, epoch-day) counts into the carried daily series
+    (CALENDAR-bounded state, independent of row rate) and re-score
+    the WHOLE carried series with the batch operator's own scorer
+    (operators/stats.py::goertzel_from_daily — one scoring function,
+    so batch/stream drift is structurally impossible; it zero-fills
+    the span and runs the literal-coefficient recurrence). O(days)
+    per round, no event history ever re-read.
+
+    Replay idempotence + compaction: the shared carry recipe, pinned
+    by the parametrized lifecycle test.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.stats import goertzel_from_daily
+
+    out_base = artifact_dir.rstrip("/") + "/goertzel"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                    " AS BIGINT)"
+                ).alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, day long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "day")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        (
+            goertzel_from_daily(cum)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type", "n_days", "mean_c",
+                "weekly_power", "weekly_amplitude",
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_goertzel(spark, artifact_dir: str):
+    """Per-batch weekly-power scores emitted so far."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/goertzel")
+        .select(
+            "batch_id", "event_type", "n_days", "mean_c",
+            "weekly_power", "weekly_amplitude",
+        )
+    )

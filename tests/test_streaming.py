@@ -1350,6 +1350,26 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_changepoints(spark, art)),
             art + "/carry",
         )
+    if name == "goertzel":
+        # day-grain series like changepoint: the scorer needs a
+        # multi-day span per type
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 5, 1)
+        day_batches = [
+            [(i, t0 + timedelta(days=i), 1, "probe", 10.0, "{}")
+             for i in range(4)],
+            [(10 + i, t0 + timedelta(days=4 + i), 1, "probe", 50.0, "{}")
+             for i in range(4)],
+            [(20 + i, t0 + timedelta(days=8 + i), 1, "probe", 50.0, "{}")
+             for i in range(2)],
+        ]
+        return (
+            ev, day_batches, land, ckpt,
+            lambda s: I.goertzel_stream(s, art, ckpt),
+            lambda: snap(I.read_goertzel(spark, art)),
+            art + "/carry",
+        )
     if name == "growth":
         return (
             ev, ev_batches, land, ckpt,
@@ -1405,7 +1425,7 @@ def _monitor_spec(name, spark, tmp_path):
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
         "growth", "auc_drift", "mk_trend", "balance", "changepoint",
-        "js_drift",
+        "js_drift", "goertzel",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1446,6 +1466,75 @@ def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
         assert 1 <= len(kept) <= 2, kept
         # and the survivors are the two MOST RECENT states
         assert kept[-1] == "batch_2", kept
+
+
+def test_goertzel_stream_equals_batch_twin(spark, tmp_path):
+    """After the final micro-batch, the streamed weekly-power row must
+    BIT-EQUAL goertzel_from_daily over the concatenated events (one
+    scorer, so this pins the carry merge, not the math)."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators import stats as ST
+
+    land = str(tmp_path / "landing")
+    art = str(tmp_path / "gzart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+    # 3 weeks with an engineered weekly shape, split mid-week across
+    # batches (the carry must stitch days, not restart them)
+    rows = []
+    eid = 0
+    for d in range(21):
+        for _ in range(10 + (3 if d % 7 in (5, 6) else 0)):
+            rows.append(
+                (eid, t0 + timedelta(days=d, minutes=eid % 60), 1,
+                 "probe", 1.0, "{}")
+            )
+            eid += 1
+    batches = [rows[: len(rows) // 3], rows[len(rows) // 3 :]]
+
+    def run_once():
+        q = I.goertzel_stream(
+            spark.readStream.schema(schema).parquet(land), art, ckpt
+        )
+        q.awaitTermination()
+
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        run_once()
+
+    daily = (
+        spark.createDataFrame(rows, schema)
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS"
+            " BIGINT) AS day",
+        )
+        .groupBy("event_type", "day")
+        .count()
+        .withColumnRenamed("count", "c")
+    )
+    expect = {
+        r.event_type: (r.n_days, r.mean_c, r.weekly_power,
+                       r.weekly_amplitude)
+        for r in ST.goertzel_from_daily(daily).collect()
+    }
+    last = max(r.batch_id for r in I.read_goertzel(spark, art).collect())
+    got = {
+        r.event_type: (r.n_days, r.mean_c, r.weekly_power,
+                       r.weekly_amplitude)
+        for r in I.read_goertzel(spark, art).collect()
+        if r.batch_id == last
+    }
+    assert got == expect
+    # and the engineered weekend bump is actually detected
+    assert got["probe"][3] > 1.0
 
 
 def test_js_drift_stream_two_batches_exact(spark, tmp_path):

@@ -7597,3 +7597,169 @@ def goertzel_weekly_power_oracle_sql() -> str:
         FROM folded
         ORDER BY event_type
         """
+
+
+#: variance-ratio aggregation horizons (non-overlapping blocks):
+#: powers of two like the rich-club grid — domain-bounded, and each
+#: horizon's block count is span/q, so the grid adds a constant
+#: factor to a calendar-bounded frame.
+VR_HORIZONS = [2, 4, 8]
+
+
+def variance_ratio_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Lo-MacKinlay-style variance ratio of each type's daily-count
+    series at horizons q ∈ {2,4,8} — the PERSISTENCE member of the
+    time-series bench: VR(q) = Var(non-overlapping q-day sums) /
+    (q·Var(daily)) reads ≈1 for iid volume, >1 when shocks persist
+    (trending/positively autocorrelated traffic), <1 when they mean-
+    revert. MK says whether level drifts; VR says how shocks
+    PROPAGATE — the diagnostic that decides whether a daily forecast
+    can be built from independent-day models at all.
+
+    Exact lanes throughout: the series is zero-filled over the span
+    (uniform sampling, the goertzel rule), block sums are int64, both
+    variances ride the welch int64→double moment lane ((s2 − s·(s/n))
+    / (n−1) — never the decimal cast), and VR is one more IEEE
+    division — RAW-double hash, no ROUND. Only COMPLETE blocks enter
+    (a ragged tail block would bias the q-sum variance).
+
+    Plan: the shared daily collapse, a calendar-bounded zero-fill,
+    one (type, q, block) aggregate over the 3-horizon grid (constant
+    fan-out), one (type, q) moment aggregate. Output per (type, q):
+    (event_type, q, n_days, n_blocks, var_1, var_q, vr).
+    """
+    daily = _daily_type_counts(t)
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        "d0",
+        F.expr("explode(sequence(d0, d1))").alias("day"),
+    )
+    filled = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "d0",
+            "day",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    base = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.expr(
+            f"CASE WHEN SUM(c * c) > {SQ_MOMENT_MAX // 2}L THEN"
+            " raise_error('variance_ratio daily second moment leaves"
+            " the int64 exact lane — lift to decimal(38,0)')"
+            " ELSE SUM(c * c) END"
+        ).alias("s2_1"),
+    )
+    qs = filled.sparkSession.createDataFrame(
+        [(q,) for q in VR_HORIZONS], "q BIGINT"
+    )
+    blocks = (
+        filled.crossJoin(F.broadcast(qs))
+        .groupBy("event_type", "q", F.expr("(day - d0) div q").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("c").alias("bs"),
+        )
+        .filter(F.col("bn") == F.col("q"))
+    )
+    qm = blocks.groupBy("event_type", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("bs").alias("sq"),
+        F.expr(
+            f"CASE WHEN SUM(bs * bs) > {SQ_MOMENT_MAX // 2}L THEN"
+            " raise_error('variance_ratio block second moment leaves"
+            " the int64 exact lane — lift to decimal(38,0)')"
+            " ELSE SUM(bs * bs) END"
+        ).alias("s2_q"),
+    )
+    var = (
+        "((CAST({s2} AS DOUBLE) -"
+        " CAST({s} AS DOUBLE) * (CAST({s} AS DOUBLE) / {n}))"
+        " / ({n} - 1))"
+    )
+    v1 = var.format(s2="s2_1", s="s1", n="n_days")
+    vq = var.format(s2="s2_q", s="sq", n="n_blocks")
+    return (
+        base.join(qm, "event_type")
+        .select(
+            "event_type",
+            "q",
+            "n_days",
+            "n_blocks",
+            F.expr(
+                f"CASE WHEN n_days >= 2 THEN {v1} END"
+            ).alias("var_1"),
+            F.expr(
+                f"CASE WHEN n_blocks >= 2 THEN {vq} END"
+            ).alias("var_q"),
+            F.expr(
+                f"CASE WHEN n_days >= 2 AND n_blocks >= 2 AND {v1} > 0"
+                f" THEN {vq} / (q * {v1}) END"
+            ).alias("vr"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+def variance_ratio_oracle_sql() -> str:
+    """DuckDB replay: same zero-fill, same complete-block rule, same
+    int64 moment lanes and welch variance form."""
+    grid = ", ".join(str(q) for q in VR_HORIZONS)
+    var = (
+        "((CAST({s2} AS DOUBLE) -"
+        " CAST({s} AS DOUBLE) * (CAST({s} AS DOUBLE) / {n}))"
+        " / ({n} - 1))"
+    )
+    v1 = var.format(s2="s2_1", s="s1", n="n_days")
+    vq = var.format(s2="s2_q", s="sq", n="n_blocks")
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        span AS (
+          SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM daily GROUP BY event_type),
+        grid AS (
+          SELECT s.event_type, s.d0, gs.day
+          FROM span s, UNNEST(range(s.d0, s.d1 + 1)) AS gs(day)),
+        filled AS MATERIALIZED (
+          SELECT g.event_type, g.d0, g.day, COALESCE(d.c, 0) AS c
+          FROM grid g
+          LEFT JOIN daily d ON d.event_type = g.event_type
+                           AND d.day = g.day),
+        base AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(c) AS BIGINT) AS s1,
+                 CAST(SUM(c * c) AS BIGINT) AS s2_1
+          FROM filled GROUP BY event_type),
+        qs AS (SELECT UNNEST([{grid}]) AS q),
+        blocks AS (
+          SELECT event_type, q, (day - d0) // q AS b,
+                 CAST(COUNT(*) AS BIGINT) AS bn,
+                 CAST(SUM(c) AS BIGINT) AS bs
+          FROM filled, qs
+          GROUP BY event_type, q, (day - d0) // q),
+        qm AS (
+          SELECT event_type, q,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(bs) AS BIGINT) AS sq,
+                 CAST(SUM(bs * bs) AS BIGINT) AS s2_q
+          FROM blocks WHERE bn = q
+          GROUP BY event_type, q),
+        j AS (
+          SELECT base.event_type, qm.q, base.n_days, qm.n_blocks,
+                 base.s1, base.s2_1, qm.sq, qm.s2_q
+          FROM base JOIN qm ON qm.event_type = base.event_type)
+        SELECT event_type, q, n_days, n_blocks,
+               CASE WHEN n_days >= 2 THEN {v1} END AS var_1,
+               CASE WHEN n_blocks >= 2 THEN {vq} END AS var_q,
+               CASE WHEN n_days >= 2 AND n_blocks >= 2 AND {v1} > 0
+                 THEN {vq} / (q * {v1}) END AS vr
+        FROM j
+        ORDER BY event_type, q
+        """

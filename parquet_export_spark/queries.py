@@ -955,6 +955,13 @@ REGISTRY.update(
             _rel(ST.permutation_entropy_daily),
             ST.permutation_entropy_oracle_sql(),
         ),
+        # Lo-MacKinlay variance ratio at q in {2,4,8}: how daily
+        # shocks propagate — zero-filled span, complete non-overlap
+        # blocks, welch moment lanes, RAW-double VR.
+        "variance_ratio_daily": QuerySpec(
+            _rel(ST.variance_ratio_daily),
+            ST.variance_ratio_oracle_sql(),
+        ),
         # Brown-Forsythe variance-homogeneity W: the ANOVA assumption
         # check — integer deviations from per-type lower medians, the
         # anova moment/fold recipe verbatim, RAW-double W.

@@ -93,6 +93,8 @@ ROUND_CHANGED = [
     "goertzel_weekly_power",
     # dose-response funnel member:
     "cochran_armitage_trend",
+    # shock-persistence member of the time-series bench:
+    "variance_ratio_daily",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

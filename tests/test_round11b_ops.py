@@ -787,3 +787,79 @@ def test_cochran_armitage_engineered_monotone_trend(spark):
     )
     r = A.cochran_armitage_trend({"events": df}).collect()[0]
     assert r.ca_z > 5.0
+
+
+# ---------------------------------------------------------------------------
+# variance_ratio_daily: Fraction replay + engineered persistence fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_variance_ratio_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST._daily_type_counts(t).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r.c
+    out = {
+        (r.event_type, r.q): r
+        for r in ST.variance_ratio_daily(t).collect()
+    }
+    for ty, days in series.items():
+        d0, d1 = min(days), max(days)
+        xs = [days.get(d, 0) for d in range(d0, d1 + 1)]
+        n = len(xs)
+
+        def var(v):
+            m = sum(v) / len(v)
+            return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+        for q in ST.VR_HORIZONS:
+            blocks = [
+                sum(xs[i : i + q])
+                for i in range(0, len(xs) - q + 1, q)
+                if len(xs[i : i + q]) == q
+            ]
+            r = out[(ty, q)]
+            assert r.n_days == n
+            assert r.n_blocks == len(blocks)
+            if n >= 2:
+                assert abs(r.var_1 - var(xs)) < 1e-9 * max(1.0, var(xs))
+            if len(blocks) >= 2 and var(xs) > 0:
+                vq = var(blocks)
+                assert abs(r.var_q - vq) < 1e-9 * max(1.0, vq)
+                assert abs(r.vr - vq / (q * var(xs))) < 1e-9
+
+
+def test_variance_ratio_engineered_persistence(spark):
+    """Per-day-iid-vs-trending fixtures: an alternating series mean-
+    reverts (VR(2) << 1); a two-regime series has persistent shocks
+    (VR(2) >> 1)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(ty, counts):
+        rows = []
+        eid = 0
+        for d, k in enumerate(counts):
+            for _ in range(k):
+                rows.append(
+                    (hash((ty, eid)) % (1 << 40), t0 + timedelta(days=d),
+                     1, ty, 1.0, "{}")
+                )
+                eid += 1
+        return rows
+
+    revert = mk("revert", [2, 18] * 16)          # alternating
+    trend = mk("trend", [2] * 16 + [18] * 16)    # regime shift
+    df = spark.createDataFrame(
+        revert + trend,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r.event_type, r.q): r
+        for r in ST.variance_ratio_daily({"events": df}).collect()
+    }
+    assert out[("revert", 2)].vr < 0.1      # adjacent days cancel
+    assert out[("trend", 2)].vr > 1.5       # adjacent days reinforce

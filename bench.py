@@ -271,6 +271,8 @@ HEADLINE = [
     "permutation_entropy_daily",
     "brown_forsythe_types",
     "goertzel_weekly_power",
+    "cochran_armitage_trend",
+    "variance_ratio_daily",
 ]
 
 

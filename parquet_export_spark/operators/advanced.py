@@ -6023,3 +6023,118 @@ def cochran_armitage_oracle_sql() -> str:
                CASE WHEN {pv} > 0 THEN {tt} / sqrt({pv}) END AS ca_z
         FROM m
         """
+
+
+def mcnemar_weekly_conversion(t: dict[str, DataFrame]) -> DataFrame:
+    """McNemar's test on week-over-week PAIRED conversion: among users
+    active in BOTH of two adjacent weeks, did the conversion rate
+    change — scored on the discordant pairs only ((converted week w,
+    not w+1) vs (not w, converted w+1)), which is what makes it the
+    PAIRED member of the test family: every independent-sample member
+    (welch/z/KW) would double-count the stable users who convert (or
+    don't) in both weeks; McNemar conditions them out. The right test
+    for "did the checkout change between these two weeks ACTUALLY
+    move our repeat users", immune to week-to-week audience churn by
+    construction (non-both-active users never enter).
+
+    Weeks are epoch-week integers (days-since-epoch div 7 — the
+    weekly_revenue_wow convention, tz-free and engine-identical);
+    adjacency is CALENDAR (week w joined to w+1 exactly, the gap
+    rule). Counts are exact int64; the continuity-corrected statistic
+    (|b − c| − 1)² / (b + c) is one int64→double IEEE division —
+    RAW-double hash, NULL when no discordant pairs exist.
+
+    Plan: one DISTINCT (user, week, converted) collapse, one
+    user-keyed self-join on (user, week+1), one week-pair aggregate.
+    Output per adjacent pair: (week, n_paired, n_both_conv, b_lost,
+    c_gained, mcnemar_chi2).
+    """
+    uw = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " div 7 AS BIGINT)"
+            ).alias("week"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("p"),
+        )
+        .groupBy("user_id", "week")
+        .agg(F.max("p").alias("conv"))
+    )
+    nxt = uw.select(
+        "user_id",
+        (F.col("week") - 1).alias("week"),
+        F.col("conv").alias("conv_next"),
+    )
+    pairs = uw.join(nxt, ["user_id", "week"])
+    g = pairs.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paired"),
+        F.sum(
+            F.expr("CASE WHEN conv = 1 AND conv_next = 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_both_conv"),
+        F.sum(
+            F.expr("CASE WHEN conv = 1 AND conv_next = 0 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("b_lost"),
+        F.sum(
+            F.expr("CASE WHEN conv = 0 AND conv_next = 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("c_gained"),
+    )
+    chi2 = (
+        "(CAST((abs(b_lost - c_gained) - 1)"
+        " * (abs(b_lost - c_gained) - 1) AS DOUBLE)"
+        " / CAST(b_lost + c_gained AS DOUBLE))"
+    )
+    return g.select(
+        "week",
+        "n_paired",
+        "n_both_conv",
+        "b_lost",
+        "c_gained",
+        F.expr(
+            f"CASE WHEN b_lost + c_gained > 0 THEN {chi2} END"
+        ).alias("mcnemar_chi2"),
+    ).orderBy("week")
+
+
+def mcnemar_weekly_oracle_sql() -> str:
+    return """
+        WITH uw AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) // 7 AS BIGINT)
+                   AS week,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS conv
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.week, a.conv, b.conv AS conv_next
+          FROM uw a JOIN uw b ON b.user_id = a.user_id
+                             AND b.week = a.week + 1),
+        g AS (
+          SELECT week,
+                 CAST(COUNT(*) AS BIGINT) AS n_paired,
+                 CAST(SUM(CASE WHEN conv = 1 AND conv_next = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_both_conv,
+                 CAST(SUM(CASE WHEN conv = 1 AND conv_next = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b_lost,
+                 CAST(SUM(CASE WHEN conv = 0 AND conv_next = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c_gained
+          FROM pairs GROUP BY week)
+        SELECT week, n_paired, n_both_conv, b_lost, c_gained,
+               CASE WHEN b_lost + c_gained > 0 THEN
+                 CAST((abs(b_lost - c_gained) - 1)
+                      * (abs(b_lost - c_gained) - 1) AS DOUBLE)
+                 / CAST(b_lost + c_gained AS DOUBLE) END
+                   AS mcnemar_chi2
+        FROM g
+        ORDER BY week
+        """

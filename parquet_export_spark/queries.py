@@ -3197,6 +3197,13 @@ REGISTRY.update(
             _rel(A.logrank_test_segments),
             A.logrank_test_oracle_sql(),
         ),
+        # McNemar's paired test on week-over-week conversion among
+        # both-weeks-active users — discordant pairs only, exact
+        # counts, one IEEE division, RAW-double chi2.
+        "mcnemar_weekly_conversion": QuerySpec(
+            _rel(A.mcnemar_weekly_conversion),
+            A.mcnemar_weekly_oracle_sql(),
+        ),
         # Cochran-Armitage trend: is conversion monotone in click
         # count — five int64 sufficient statistics, one IEEE chain,
         # RAW-double z.

@@ -95,6 +95,8 @@ ROUND_CHANGED = [
     "cochran_armitage_trend",
     # shock-persistence member of the time-series bench:
     "variance_ratio_daily",
+    # the PAIRED-sample test member (week-over-week conversion):
+    "mcnemar_weekly_conversion",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

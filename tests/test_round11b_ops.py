@@ -863,3 +863,65 @@ def test_variance_ratio_engineered_persistence(spark):
     }
     assert out[("revert", 2)].vr < 0.1      # adjacent days cancel
     assert out[("trend", 2)].vr > 1.5       # adjacent days reinforce
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_weekly_conversion: paired replay + engineered discordance
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    uw = {}
+    for r in t["events"].select("user_id", "ts", "event_type").collect():
+        week = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days // 7
+        k = (r.user_id, week)
+        uw[k] = max(uw.get(k, 0), 1 if r.event_type == "purchase" else 0)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, both, b, c
+    for (u, w), conv in uw.items():
+        nxt = uw.get((u, w + 1))
+        if nxt is None:
+            continue
+        a = agg[w]
+        a[0] += 1
+        if conv and nxt:
+            a[1] += 1
+        elif conv and not nxt:
+            a[2] += 1
+        elif not conv and nxt:
+            a[3] += 1
+    out = {r.week: r for r in A.mcnemar_weekly_conversion(t).collect()}
+    assert set(out) == set(agg)
+    for w, (n, both, b, c) in agg.items():
+        r = out[w]
+        assert (r.n_paired, r.n_both_conv, r.b_lost, r.c_gained) == (
+            n, both, b, c,
+        )
+        if b + c > 0:
+            chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+            assert abs(r.mcnemar_chi2 - chi2) < 1e-12
+        else:
+            assert r.mcnemar_chi2 is None
+
+
+def test_mcnemar_engineered_oneway_loss(spark):
+    """Everyone converts in week 0, nobody in week 1 -> b = n, c = 0,
+    chi2 = (n-1)^2/n; and a stable cohort yields no discordance."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 5)  # inside one epoch week
+    rows = []
+    eid = 0
+    for uid in range(20):
+        rows.append((eid, t0, uid, "purchase", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + timedelta(days=7), uid, "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = A.mcnemar_weekly_conversion({"events": df}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_paired, r.b_lost, r.c_gained) == (20, 20, 0)
+    assert abs(r.mcnemar_chi2 - (19 * 19) / 20) < 1e-12

@@ -6138,3 +6138,206 @@ def mcnemar_weekly_oracle_sql() -> str:
         FROM g
         ORDER BY week
         """
+
+
+def mantel_haenszel_click_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio for click→purchase across
+    user-value quintile strata — the CONFOUNDING-CONTROL member of
+    the test family: the crude OR mixes "big spenders click more AND
+    buy more"; MH pools the five within-stratum 2×2 tables
+    (OR_MH = Σ a_i·d_i/n_i / Σ b_i·c_i/n_i), so a spend-level
+    confounder can no longer manufacture (or mask) the association —
+    the textbook Simpson's-paradox guard, read NEXT TO the crude OR.
+
+    Strata are value quintiles by the rank-based integer boundary
+    rule every quantile operator here uses (b_q = min v with
+    cum ≥ ceil(q·n/5), pitfall 17 — tie-stable, engine-identical);
+    stratum(u) = 1 + Σ_q [v_u > b_q]. Cells are exact int64 user
+    counts; each stratum's a·d/n and b·c/n terms are int64→double
+    IEEE chains (products < 2^53 at any plausible per-stratum user
+    count), folded stratum-sorted (the anova recipe); the two ORs are
+    single divisions — RAW-double hash, NULL on zero denominators.
+
+    Plan: one user aggregate (value cents, clicked, purchased), one
+    domain-bounded support cumulative for the four boundaries (a
+    broadcast-sized frame), one stratum 2×2 aggregate (5 rows), two
+    folds. Output: ONE row — (n_users, n_strata, a_tot, b_tot, c_tot,
+    d_tot, or_crude, mh_num, mh_den, or_mh).
+    """
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+            ).alias("v"),
+            F.max(
+                F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")
+            ).alias("clicked"),
+            F.max(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+                )
+            ).alias("bought"),
+        )
+        .localCheckpoint()
+    )
+    support = users.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = support.select(
+        "v", F.sum("c").over(wv).alias("cum")
+    ).crossJoin(
+        F.broadcast(support.agg(F.sum("c").alias("n")))
+    )
+    bounds = ranked.agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= CAST(ceil({q} * n / 5.0) AS BIGINT)"
+                    " THEN v END"
+                )
+            ).alias(f"b{q}")
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    strat = users.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN v > b2 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN v > b3 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN v > b4 THEN 1 ELSE 0 END)"
+        ).alias("stratum"),
+        "clicked",
+        "bought",
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.sum(F.expr("clicked * bought")).cast("long").alias("a"),
+        F.sum(F.expr("clicked * (1 - bought)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - clicked) * bought")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - clicked) * (1 - bought)"))
+        .cast("long")
+        .alias("d"),
+    )
+    num = (
+        "CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        " / CAST(a + b + c + d AS DOUBLE)"
+    )
+    den = (
+        "CAST(b AS DOUBLE) * CAST(c AS DOUBLE)"
+        " / CAST(a + b + c + d AS DOUBLE)"
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.expr("a + b + c + d")).cast("long").alias("n_users"),
+        F.sum("a").cast("long").alias("a_tot"),
+        F.sum("b").cast("long").alias("b_tot"),
+        F.sum("c").cast("long").alias("c_tot"),
+        F.sum("d").cast("long").alias("d_tot"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(stratum,"
+            f" {num} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("mh_num"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(stratum,"
+            f" {den} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("mh_den"),
+    )
+    return g.select(
+        "n_users",
+        "n_strata",
+        "a_tot",
+        "b_tot",
+        "c_tot",
+        "d_tot",
+        F.expr(
+            "CASE WHEN b_tot > 0 AND c_tot > 0 THEN"
+            " (CAST(a_tot AS DOUBLE) * CAST(d_tot AS DOUBLE))"
+            " / (CAST(b_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)) END"
+        ).alias("or_crude"),
+        "mh_num",
+        "mh_den",
+        F.expr(
+            "CASE WHEN mh_den > 0 THEN mh_num / mh_den END"
+        ).alias("or_mh"),
+    )
+
+
+def mantel_haenszel_oracle_sql() -> str:
+    num = (
+        "CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        " / CAST(a + b + c + d AS DOUBLE)"
+    )
+    den = (
+        "CAST(b AS DOUBLE) * CAST(c AS DOUBLE)"
+        " / CAST(a + b + c + d AS DOUBLE)"
+    )
+    return f"""
+        WITH users AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS v,
+                 CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END) AS BIGINT) AS clicked,
+                 CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS bought
+          FROM events GROUP BY 1),
+        support AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM users GROUP BY v),
+        ranked AS (
+          SELECT v,
+                 CAST(SUM(c) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum,
+                 (SELECT CAST(SUM(c) AS BIGINT) FROM support) AS n
+          FROM support),
+        bounds AS (
+          SELECT
+            MIN(CASE WHEN cum >= CAST(ceil(1 * n / 5.0) AS BIGINT)
+                THEN v END) AS b1,
+            MIN(CASE WHEN cum >= CAST(ceil(2 * n / 5.0) AS BIGINT)
+                THEN v END) AS b2,
+            MIN(CASE WHEN cum >= CAST(ceil(3 * n / 5.0) AS BIGINT)
+                THEN v END) AS b3,
+            MIN(CASE WHEN cum >= CAST(ceil(4 * n / 5.0) AS BIGINT)
+                THEN v END) AS b4
+          FROM ranked),
+        strat AS (
+          SELECT 1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v > b3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v > b4 THEN 1 ELSE 0 END) AS stratum,
+                 clicked, bought
+          FROM users, bounds),
+        cells AS (
+          SELECT stratum,
+                 CAST(SUM(clicked * bought) AS BIGINT) AS a,
+                 CAST(SUM(clicked * (1 - bought)) AS BIGINT) AS b,
+                 CAST(SUM((1 - clicked) * bought) AS BIGINT) AS c,
+                 CAST(SUM((1 - clicked) * (1 - bought)) AS BIGINT) AS d
+          FROM strat GROUP BY stratum),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                 CAST(SUM(a + b + c + d) AS BIGINT) AS n_users,
+                 CAST(SUM(a) AS BIGINT) AS a_tot,
+                 CAST(SUM(b) AS BIGINT) AS b_tot,
+                 CAST(SUM(c) AS BIGINT) AS c_tot,
+                 CAST(SUM(d) AS BIGINT) AS d_tot,
+                 list_reduce(list_prepend(0.0,
+                     list({num} ORDER BY stratum)),
+                     (acc, x) -> acc + x) AS mh_num,
+                 list_reduce(list_prepend(0.0,
+                     list({den} ORDER BY stratum)),
+                     (acc, x) -> acc + x) AS mh_den
+          FROM cells)
+        SELECT n_users, n_strata, a_tot, b_tot, c_tot, d_tot,
+               CASE WHEN b_tot > 0 AND c_tot > 0 THEN
+                 (CAST(a_tot AS DOUBLE) * CAST(d_tot AS DOUBLE))
+                 / (CAST(b_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)) END
+                   AS or_crude,
+               mh_num, mh_den,
+               CASE WHEN mh_den > 0 THEN mh_num / mh_den END AS or_mh
+        FROM g
+        """

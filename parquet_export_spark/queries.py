@@ -3197,6 +3197,13 @@ REGISTRY.update(
             _rel(A.logrank_test_segments),
             A.logrank_test_oracle_sql(),
         ),
+        # Mantel-Haenszel pooled OR for click->purchase across value-
+        # quintile strata — the confounding-control member; rank-based
+        # boundary strata, exact 2x2 cells, stratum-sorted folds.
+        "mantel_haenszel_click_purchase": QuerySpec(
+            _rel(A.mantel_haenszel_click_purchase),
+            A.mantel_haenszel_oracle_sql(),
+        ),
         # McNemar's paired test on week-over-week conversion among
         # both-weeks-active users — discordant pairs only, exact
         # counts, one IEEE division, RAW-double chi2.

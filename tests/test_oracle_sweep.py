@@ -97,6 +97,8 @@ ROUND_CHANGED = [
     "variance_ratio_daily",
     # the PAIRED-sample test member (week-over-week conversion):
     "mcnemar_weekly_conversion",
+    # the confounding-control member (stratified pooled odds ratio):
+    "mantel_haenszel_click_purchase",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

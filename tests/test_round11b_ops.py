@@ -925,3 +925,57 @@ def test_mcnemar_engineered_oneway_loss(spark):
     r = out[0]
     assert (r.n_paired, r.b_lost, r.c_gained) == (20, 20, 0)
     assert abs(r.mcnemar_chi2 - (19 * 19) / 20) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# mantel_haenszel_click_purchase: Fraction replay of strata + pooled OR
+# ---------------------------------------------------------------------------
+
+
+def test_mantel_haenszel_matches_fraction_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    users = {}
+    for r in t["events"].select("user_id", "event_type", "value").collect():
+        v, ck, by = users.get(r.user_id, (0, 0, 0))
+        users[r.user_id] = (
+            v + int(math.floor(r.value * 100 + 0.5)),
+            max(ck, 1 if r.event_type == "click" else 0),
+            max(by, 1 if r.event_type == "purchase" else 0),
+        )
+    n = len(users)
+    vals = sorted(v for v, _, _ in users.values())
+    # rank-based boundaries: min v with cum >= ceil(q*n/5)
+    bounds = []
+    for q in (1, 2, 3, 4):
+        k = math.ceil(q * n / 5)
+        bounds.append(vals[k - 1])
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for v, ck, by in users.values():
+        s = 1 + sum(1 for b in bounds if v > b)
+        i = (1 - ck) * 2 + (1 - by)  # a=0, b=1, c=2, d=3
+        cells[s][i] += 1
+    num = Fraction(0)
+    den = Fraction(0)
+    for s in sorted(cells):
+        a, b, c, d = cells[s]
+        tot = a + b + c + d
+        num += Fraction(a * d, tot)
+        den += Fraction(b * c, tot)
+    out = A.mantel_haenszel_click_purchase(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_users == n and r.n_strata == len(cells)
+    a_tot = sum(c[0] for c in cells.values())
+    b_tot = sum(c[1] for c in cells.values())
+    c_tot = sum(c[2] for c in cells.values())
+    d_tot = sum(c[3] for c in cells.values())
+    assert (r.a_tot, r.b_tot, r.c_tot, r.d_tot) == (
+        a_tot, b_tot, c_tot, d_tot,
+    )
+    assert abs(r.mh_num - float(num)) < 1e-9 * max(1.0, float(num))
+    assert abs(r.mh_den - float(den)) < 1e-9 * max(1.0, float(den))
+    if den > 0:
+        assert abs(r.or_mh - float(num / den)) < 1e-6
+    if b_tot > 0 and c_tot > 0:
+        crude = a_tot * d_tot / (b_tot * c_tot)
+        assert abs(r.or_crude - crude) < 1e-9 * max(1.0, crude)

@@ -273,6 +273,8 @@ HEADLINE = [
     "goertzel_weekly_power",
     "cochran_armitage_trend",
     "variance_ratio_daily",
+    "mcnemar_weekly_conversion",
+    "mantel_haenszel_click_purchase",
 ]
 
 

@@ -7763,3 +7763,157 @@ def variance_ratio_oracle_sql() -> str:
         FROM j
         ORDER BY event_type, q
         """
+
+
+def friedman_types_weekly(t: dict[str, DataFrame]) -> DataFrame:
+    """Friedman test + Kendall's W over weekly blocks: do the event
+    types keep the SAME volume ranking week after week? The
+    REPEATED-MEASURES member of the test family — kruskal_wallis
+    pools all samples as independent; Friedman blocks by week, so a
+    global volume trend (every type grows) cancels and only the
+    ORDERING signal remains. Kendall's W = χ²_F / (b(k−1)) rescales
+    it to [0,1] concordance ("how locked-in is the ranking").
+
+    Blocks are COMPLETE epoch weeks only (every type present — the
+    standard complete-block requirement; partial first/last weeks
+    drop out). Within-week average ranks use the doubled-rank trick
+    (r2 = 2·minrank + ties − 1, integral by construction) computed by
+    two rank windows over the (week, type, count) frame — k·weeks
+    rows, CALENDAR-bounded. Doubled rank sums per type are int64
+    exact; χ²_F = 12/(b·k·(k+1)) · Σ_j (R2_j/2)² − 3·b·(k+1) folds
+    type-sorted (the anova recipe) — RAW-double hash, no ROUND
+    (average-rank form without the tie-denominator adjustment, the
+    definition both engines replay identically; stated here so the
+    contract is explicit).
+
+    Output: ONE row — (b_weeks, k_types, friedman_chi2, kendalls_w);
+    NULL on degenerate b = 0 or k < 2.
+    """
+    wk = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " div 7 AS BIGINT)"
+            ).alias("week"),
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # global k stays IN the plan (a 1-row broadcast), not a driver
+    # action — the complete-block filter compares each week's type
+    # count against it
+    kf = wk.agg(
+        F.countDistinct("event_type").cast("long").alias("k_all")
+    )
+    complete = (
+        wk.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("kt"))
+        .crossJoin(F.broadcast(kf))
+        .filter(F.col("kt") == F.col("k_all"))
+        .select("week")
+    )
+    ranked = (
+        wk.join(complete, "week")
+        .withColumn(
+            "minrank",
+            F.rank().over(Window.partitionBy("week").orderBy("c")),
+        )
+        .withColumn(
+            "ties",
+            F.count(F.lit(1)).over(Window.partitionBy("week", "c")),
+        )
+        .select(
+            "week",
+            "event_type",
+            F.expr("2 * minrank + ties - 1").alias("r2"),
+        )
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2sum"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    term = (
+        "(CAST(r2sum AS DOUBLE) / 2D) * (CAST(r2sum AS DOUBLE) / 2D)"
+    )
+    g = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("k_types"),
+        F.max("b").cast("long").alias("b_weeks"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(event_type,"
+            f" {term} AS term))), 0D, (acc, x) -> acc + x.term)"
+        ).alias("sum_sq"),
+    )
+    chi2 = (
+        "(12D / (CAST(b_weeks AS DOUBLE) * CAST(k_types AS DOUBLE)"
+        " * (CAST(k_types AS DOUBLE) + 1D)) * sum_sq"
+        " - 3D * CAST(b_weeks AS DOUBLE)"
+        " * (CAST(k_types AS DOUBLE) + 1D))"
+    )
+    return g.select(
+        "b_weeks",
+        "k_types",
+        F.expr(
+            f"CASE WHEN b_weeks > 0 AND k_types >= 2 THEN {chi2} END"
+        ).alias("friedman_chi2"),
+        F.expr(
+            f"CASE WHEN b_weeks > 0 AND k_types >= 2 THEN"
+            f" {chi2} / (CAST(b_weeks AS DOUBLE)"
+            f" * (CAST(k_types AS DOUBLE) - 1D)) END"
+        ).alias("kendalls_w"),
+    )
+
+
+def friedman_types_weekly_oracle_sql() -> str:
+    """DuckDB replay: same complete-block filter, same doubled
+    average ranks from RANK() + tie counts, type-sorted fold."""
+    term = (
+        "(CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0)"
+    )
+    chi2 = (
+        "(12.0 / (CAST(b_weeks AS DOUBLE) * CAST(k_types AS DOUBLE)"
+        " * (CAST(k_types AS DOUBLE) + 1.0)) * sum_sq"
+        " - 3.0 * CAST(b_weeks AS DOUBLE)"
+        " * (CAST(k_types AS DOUBLE) + 1.0))"
+    )
+    return f"""
+        WITH wk AS MATERIALIZED (
+          SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) // 7 AS BIGINT)
+                   AS week,
+                 event_type,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        k_tot AS (
+          SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+          FROM wk),
+        complete AS (
+          SELECT week FROM wk, k_tot
+          GROUP BY week, k HAVING COUNT(*) = k),
+        ranked AS (
+          SELECT w.week, w.event_type,
+                 2 * RANK() OVER (PARTITION BY w.week ORDER BY w.c)
+                 + COUNT(*) OVER (PARTITION BY w.week, w.c) - 1 AS r2
+          FROM wk w JOIN complete USING (week)),
+        per_type AS (
+          SELECT event_type,
+                 CAST(SUM(r2) AS BIGINT) AS r2sum,
+                 CAST(COUNT(*) AS BIGINT) AS b
+          FROM ranked GROUP BY event_type),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k_types,
+                 CAST(MAX(b) AS BIGINT) AS b_weeks,
+                 list_reduce(list_prepend(0.0,
+                     list({term} ORDER BY event_type)),
+                     (acc, x) -> acc + x) AS sum_sq
+          FROM per_type)
+        SELECT b_weeks, k_types,
+               CASE WHEN b_weeks > 0 AND k_types >= 2 THEN {chi2} END
+                   AS friedman_chi2,
+               CASE WHEN b_weeks > 0 AND k_types >= 2 THEN
+                 {chi2} / (CAST(b_weeks AS DOUBLE)
+                           * (CAST(k_types AS DOUBLE) - 1.0)) END
+                   AS kendalls_w
+        FROM g
+        """

@@ -3197,6 +3197,13 @@ REGISTRY.update(
             _rel(A.logrank_test_segments),
             A.logrank_test_oracle_sql(),
         ),
+        # Friedman test + Kendall's W over complete weekly blocks:
+        # the repeated-measures member — doubled within-week average
+        # ranks, type-sorted fold, RAW-double chi2/W.
+        "friedman_types_weekly": QuerySpec(
+            _rel(ST.friedman_types_weekly),
+            ST.friedman_types_weekly_oracle_sql(),
+        ),
         # Mantel-Haenszel pooled OR for click->purchase across value-
         # quintile strata — the confounding-control member; rank-based
         # boundary strata, exact 2x2 cells, stratum-sorted folds.

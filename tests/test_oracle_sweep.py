@@ -99,6 +99,8 @@ ROUND_CHANGED = [
     "mcnemar_weekly_conversion",
     # the confounding-control member (stratified pooled odds ratio):
     "mantel_haenszel_click_purchase",
+    # the repeated-measures member (weekly blocks):
+    "friedman_types_weekly",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

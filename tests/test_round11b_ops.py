@@ -979,3 +979,65 @@ def test_mantel_haenszel_matches_fraction_replay(spark, sf_dir):
     if b_tot > 0 and c_tot > 0:
         crude = a_tot * d_tot / (b_tot * c_tot)
         assert abs(r.or_crude - crude) < 1e-9 * max(1.0, crude)
+
+
+# ---------------------------------------------------------------------------
+# friedman_types_weekly: scipy-free blocked-rank replay
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    wk = defaultdict(dict)
+    for r in t["events"].select("event_type", "ts").collect():
+        week = (
+            r.ts.date() - __import__("datetime").date(1970, 1, 1)
+        ).days // 7
+        wk[week][r.event_type] = wk[week].get(r.event_type, 0) + 1
+    k_all = len({ty for d in wk.values() for ty in d})
+    blocks = {w: d for w, d in wk.items() if len(d) == k_all}
+    b = len(blocks)
+    rsum = Counter()
+    for d in blocks.values():
+        vals = sorted(d.values())
+        for ty, c in d.items():
+            minrank = vals.index(c) + 1
+            ties = vals.count(c)
+            rsum[ty] += minrank + (ties - 1) / 2
+    k = k_all
+    sum_sq = sum(v * v for v in rsum.values())
+    chi2 = 12 / (b * k * (k + 1)) * sum_sq - 3 * b * (k + 1)
+    w_stat = chi2 / (b * (k - 1))
+    out = ST.friedman_types_weekly(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.b_weeks, r.k_types) == (b, k)
+    assert abs(r.friedman_chi2 - chi2) < 1e-9 * max(1.0, abs(chi2))
+    assert abs(r.kendalls_w - w_stat) < 1e-9
+    assert -1e-9 <= r.kendalls_w <= 1.0 + 1e-9
+
+
+def test_friedman_locked_vs_shuffled_ranking(spark):
+    """A fixture where type volumes keep the same strict order every
+    week must reach W = 1 exactly; Friedman chi2 = b(k-1)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 5)
+    rows = []
+    eid = 0
+    for w in range(6):
+        for ty, k in (("a", 2), ("b", 5), ("c", 9)):
+            for _ in range(k):
+                rows.append(
+                    (eid, t0 + timedelta(weeks=w), 1, ty, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = ST.friedman_types_weekly({"events": df}).collect()[0]
+    assert (r.b_weeks, r.k_types) == (6, 3)
+    assert abs(r.kendalls_w - 1.0) < 1e-12
+    assert abs(r.friedman_chi2 - 6 * 2) < 1e-12

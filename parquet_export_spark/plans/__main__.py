@@ -158,6 +158,16 @@ SHOWCASE = [
     "markov_removal_attribution",
     "changepoint_scan_daily",
     "prorate_discount_cents",
+    # round-11b: inner common-support pair distance (cheapest member
+    # of the drift family — no union, no window), quintile-boundary
+    # broadcast stratification (one support cumulative, never a fact
+    # window), constant-grid block aggregation (3-horizon fan-out of
+    # a calendar-bounded frame), degree-thresholded grid density over
+    # existing projected edges
+    "hellinger_pairs",
+    "mantel_haenszel_click_purchase",
+    "variance_ratio_daily",
+    "rich_club_suppliers",
 ]
 
 HEADER = """\

@@ -7917,3 +7917,134 @@ def friedman_types_weekly_oracle_sql() -> str:
                    AS kendalls_w
         FROM g
         """
+
+
+def uncertainty_coeff_type_decile(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil's uncertainty coefficients of the event_type ×
+    value-decile contingency table — the ASYMMETRIC companion to
+    cramers_v_type_decile: V says how strongly the two variables
+    associate; U(type|decile) = MI/H(type) says what fraction of the
+    TYPE's entropy the decile explains (and vice versa), which is the
+    feature-selection question ("does knowing the value bucket tell
+    me the event type, or only the other way around?"). Same shared
+    ``_type_decile_cells`` core (the drift rule), third consumer.
+
+    MI = Σ_present (o/n)·ln(o·n/(rt·ct)) — absent cells contribute
+    exactly 0 (o = 0), so the present-cell frame is complete by
+    construction, unlike the χ² sum where absent cells carry their
+    expectation. Marginal entropies fold over small DISTINCT marginal
+    frames (types rows / 10 rows). All folds are sorted (the
+    cramers_v left-fold recipe); ln rides the ROUND(9) lane. No
+    overflow lane exists: the o·n and rt·ct products are computed as
+    DOUBLE products of correctly-rounded int64 conversions (never an
+    int64 multiply), deterministic at any n.
+
+    Output: ONE row — (n, n_cells, h_type, h_decile, mutual_info,
+    u_type_given_decile, u_decile_given_type), ROUND(9) entropies,
+    NULL coefficients on degenerate zero marginal entropy.
+    """
+    cells = _type_decile_cells(t)
+    mi_term = (
+        "(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln((CAST(observed AS DOUBLE) * CAST(n AS DOUBLE))"
+        " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))"
+    )
+    mi = cells.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct(event_type,"
+            f" decile, {mi_term} AS term))), 0D,"
+            " (acc, x) -> acc + x.term)"
+        ).alias("mi"),
+    )
+    ent_term = (
+        "(CAST({m} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST({m} AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    ht = (
+        cells.select("event_type", "rt", "n")
+        .distinct()
+        .agg(
+            F.expr(
+                f"aggregate(array_sort(collect_list(struct(event_type,"
+                f" {ent_term.format(m='rt')} AS term))), 0D,"
+                " (acc, x) -> acc + x.term)"
+            ).alias("neg_ht")
+        )
+    )
+    hd = (
+        cells.select("decile", "ct", "n")
+        .distinct()
+        .agg(
+            F.expr(
+                f"aggregate(array_sort(collect_list(struct(decile,"
+                f" {ent_term.format(m='ct')} AS term))), 0D,"
+                " (acc, x) -> acc + x.term)"
+            ).alias("neg_hd")
+        )
+    )
+    g = mi.crossJoin(F.broadcast(ht)).crossJoin(F.broadcast(hd))
+    return g.select(
+        "n",
+        "n_cells",
+        F.round(F.expr("-neg_ht"), 9).alias("h_type"),
+        F.round(F.expr("-neg_hd"), 9).alias("h_decile"),
+        F.round("mi", 9).alias("mutual_info"),
+        F.round(
+            F.expr("CASE WHEN -neg_ht > 0 THEN mi / (-neg_ht) END"), 9
+        ).alias("u_type_given_decile"),
+        F.round(
+            F.expr("CASE WHEN -neg_hd > 0 THEN mi / (-neg_hd) END"), 9
+        ).alias("u_decile_given_type"),
+    )
+
+
+def uncertainty_coeff_oracle_sql() -> str:
+    """DuckDB replay off the shared contingency CTEs; DISTINCT
+    marginal lists, sorted folds, ROUND(9) ln lane."""
+    mi_term = (
+        "(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln((CAST(observed AS DOUBLE) * CAST(n AS DOUBLE))"
+        " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))"
+    )
+    return f"""
+        WITH {TYPE_DECILE_CELLS_CTES_SQL},
+        cells AS (
+          SELECT o.event_type, o.decile, o.observed, rt.rt, ct.ct,
+                 tot.n
+          FROM obs o
+          JOIN rt ON rt.event_type = o.event_type
+          JOIN ct ON ct.decile = o.decile
+          CROSS JOIN tot),
+        g AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 list_reduce(list_prepend(0.0,
+                     list({mi_term} ORDER BY event_type, decile)),
+                     (acc, x) -> acc + x) AS mi
+          FROM cells),
+        ht AS (
+          SELECT list_reduce(list_prepend(0.0,
+                     list((CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                          ORDER BY event_type)),
+                     (acc, x) -> acc + x) AS neg_ht
+          FROM (SELECT DISTINCT event_type, rt, n FROM cells)),
+        hd AS (
+          SELECT list_reduce(list_prepend(0.0,
+                     list((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                          ORDER BY decile)),
+                     (acc, x) -> acc + x) AS neg_hd
+          FROM (SELECT DISTINCT decile, ct, n FROM cells))
+        SELECT n, n_cells,
+               ROUND(-neg_ht, 9) AS h_type,
+               ROUND(-neg_hd, 9) AS h_decile,
+               ROUND(mi, 9) AS mutual_info,
+               ROUND(CASE WHEN -neg_ht > 0 THEN
+                 mi / (-neg_ht) END, 9) AS u_type_given_decile,
+               ROUND(CASE WHEN -neg_hd > 0 THEN
+                 mi / (-neg_hd) END, 9) AS u_decile_given_type
+        FROM g, ht, hd
+        """

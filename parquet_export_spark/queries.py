@@ -3197,6 +3197,13 @@ REGISTRY.update(
             _rel(A.logrank_test_segments),
             A.logrank_test_oracle_sql(),
         ),
+        # Theil's uncertainty coefficients over the shared type x
+        # decile contingency core — the asymmetric companion to
+        # cramers_v; sorted MI/marginal-entropy folds, ROUND(9) ln.
+        "uncertainty_coeff_type_decile": QuerySpec(
+            _rel(ST.uncertainty_coeff_type_decile),
+            ST.uncertainty_coeff_oracle_sql(),
+        ),
         # Friedman test + Kendall's W over complete weekly blocks:
         # the repeated-measures member — doubled within-week average
         # ranks, type-sorted fold, RAW-double chi2/W.

@@ -101,6 +101,8 @@ ROUND_CHANGED = [
     "mantel_haenszel_click_purchase",
     # the repeated-measures member (weekly blocks):
     "friedman_types_weekly",
+    # asymmetric categorical association (third contingency consumer):
+    "uncertainty_coeff_type_decile",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

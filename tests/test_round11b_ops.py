@@ -1041,3 +1041,38 @@ def test_friedman_locked_vs_shuffled_ranking(spark):
     assert (r.b_weeks, r.k_types) == (6, 3)
     assert abs(r.kendalls_w - 1.0) < 1e-12
     assert abs(r.friedman_chi2 - 6 * 2) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# uncertainty_coeff_type_decile: MI/entropy replay off the same cells
+# ---------------------------------------------------------------------------
+
+
+def test_uncertainty_coeff_matches_python_replay(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    cells = {
+        (r.event_type, r.decile): (r.observed, r.rt, r.ct, r.n)
+        for r in ST._type_decile_cells(t).collect()
+    }
+    n = next(iter(cells.values()))[3]
+    mi = sum(
+        (o / n) * math.log(o * n / (rt * ct))
+        for (o, rt, ct, _) in cells.values()
+    )
+    row = {ty: rt for (ty, _), (_, rt, _, _) in cells.items()}
+    col = {de: ct for (_, de), (_, _, ct, _) in cells.items()}
+    ht = -sum((v / n) * math.log(v / n) for v in row.values())
+    hd = -sum((v / n) * math.log(v / n) for v in col.values())
+    out = ST.uncertainty_coeff_type_decile(t).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == n and r.n_cells == len(cells)
+    assert abs(r.h_type - ht) < 1e-8
+    assert abs(r.h_decile - hd) < 1e-8
+    assert abs(r.mutual_info - mi) < 1e-8
+    assert abs(r.u_type_given_decile - mi / ht) < 1e-8
+    assert abs(r.u_decile_given_type - mi / hd) < 1e-8
+    # information bounds: 0 <= MI <= min(H); U in [0, 1]
+    assert -1e-9 <= r.mutual_info <= min(ht, hd) + 1e-9
+    assert -1e-9 <= r.u_type_given_decile <= 1.0 + 1e-9
+    assert -1e-9 <= r.u_decile_given_type <= 1.0 + 1e-9

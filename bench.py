@@ -275,6 +275,9 @@ HEADLINE = [
     "variance_ratio_daily",
     "mcnemar_weekly_conversion",
     "mantel_haenszel_click_purchase",
+    "friedman_types_weekly",
+    "uncertainty_coeff_type_decile",
+    "ktruss_suppliers",
 ]
 
 

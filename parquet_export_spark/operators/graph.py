@@ -3181,3 +3181,156 @@ def rich_club_oracle_sql(
         ORDER BY n.k_degree
         """
     )
+
+
+#: k-truss fixed peel rounds + the classic 4-truss support floor.
+#: UNLIKE kcore's relative degree threshold, the support floor is
+#: deliberately ABSOLUTE: triangle reinforcement is a LOCAL structural
+#: property (an edge inside a genuine clique keeps its >= 2 closing
+#: triangles at any graph scale), whereas degree grows with volume —
+#: measured: a median-relative support threshold collapsed the sf0.1
+#: truss to EMPTY (smin=16 cascaded away all 52k edges) while smin=2
+#: converges to a non-trivial core in 3 rounds at every SF. Rounds are
+#: 2x the measured fixpoint depth; the verify pass raises past it.
+TRUSS_ROUNDS = 6
+TRUSS_MIN_SUPPORT = 2
+
+
+def ktruss_suppliers(
+    t: dict[str, DataFrame],
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    min_support: int = TRUSS_MIN_SUPPORT,
+    n_rounds: int = TRUSS_ROUNDS,
+    strong: DataFrame | None = None,
+) -> DataFrame:
+    """The k-truss of the projected supplier graph — EDGE-level
+    cohesion where kcore is node-level: keep only edges supported by
+    ≥ s triangles among SURVIVING edges, peel, repeat. A truss is the
+    standard community-core refinement (every edge in a k-truss sits
+    in a (k-2)-connected neighborhood); kcore keeps hubs with many
+    weak ties, the truss keeps only TRIANGLE-reinforced ties — the
+    difference is exactly the spam-hub / genuine-clique distinction.
+
+    The kcore peel/verify contract applied to edges, with one
+    deliberate inversion: the support floor is ABSOLUTE
+    (``min_support`` = 2, the classic 4-truss), NOT relative —
+    triangle reinforcement is a local structural property that does
+    not scale with volume, and the measured median-relative variant
+    cascaded the sf0.1 truss to empty (see TRUSS_MIN_SUPPORT).
+    Peeling runs ``n_rounds`` fixed rounds (2x the measured fixpoint
+    depth) and one extra support pass verifies the fixed point and
+    RAISES if any surviving edge is still under-supported — silent
+    wrong answers are impossible. The oracle replays the same rounds
+    as unrolled MATERIALIZED CTEs (the kcore recipe).
+
+    Per round: one wedge join + one closing semi (the
+    triangle_count_suppliers degree-ordered a<b<c enumeration — each
+    triangle found once), one 3-way edge expansion aggregate, one
+    support filter on a SHRINKING checkpointed edge set — dead edges
+    never move again. O(rounds · wedges) total, no all-pairs term.
+
+    Output: (s1, s2, truss_support) for surviving edges with their
+    in-truss support, ordered.
+    """
+    if strong is None:
+        strong = _supplier_strong_pairs(t, pctl, max_degree)
+    el = strong.select("s1", "s2").localCheckpoint()
+    smin = int(min_support)
+
+    def support(e: DataFrame) -> DataFrame:
+        w1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+        w2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+        w3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+        tri = w1.join(w2, "b").join(w3, ["a", "c"])
+        expanded = (
+            tri.select(F.col("a").alias("s1"), F.col("b").alias("s2"))
+            .unionByName(
+                tri.select(F.col("b").alias("s1"), F.col("c").alias("s2"))
+            )
+            .unionByName(
+                tri.select(F.col("a").alias("s1"), F.col("c").alias("s2"))
+            )
+        )
+        return expanded.groupBy("s1", "s2").agg(
+            F.count(F.lit(1)).alias("sup")
+        )
+    e = el
+    for _ in range(n_rounds):
+        e = (
+            e.join(support(e), ["s1", "s2"], "left")
+            .filter(F.coalesce("sup", F.lit(0)) >= F.lit(smin))
+            .select("s1", "s2")
+            .localCheckpoint()
+        )
+    final = (
+        e.join(support(e), ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce("sup", F.lit(0)).cast("long").alias(
+                "truss_support"
+            ),
+        )
+        .localCheckpoint()
+    )
+    n_edges = final.count()
+    n_ok = final.filter(F.col("truss_support") >= F.lit(smin)).count()
+    if n_ok != n_edges:
+        raise RuntimeError(
+            f"ktruss_suppliers: not converged after {n_rounds} rounds "
+            f"({n_edges - n_ok} edges still under-supported); raise "
+            f"n_rounds"
+        )
+    return final.select("s1", "s2", "truss_support").orderBy("s1", "s2")
+
+
+def ktruss_oracle_sql(
+    pctl: float = SUPPLIER_COMMUNITY_PCTL,
+    max_degree: int = BUTTERFLY_MAX_DEGREE,
+    min_support: int = TRUSS_MIN_SUPPORT,
+    n_rounds: int = TRUSS_ROUNDS,
+) -> str:
+    """DuckDB replay: shared projection + the same unrolled support/
+    peel rounds as MATERIALIZED CTEs (the kcore inline-explosion
+    pitfall), quantile_cont == percentile threshold parity."""
+
+    def sup_cte(i: int, src: str) -> str:
+        return f"""
+        tri{i} AS MATERIALIZED (
+          SELECT w1.s1 AS a, w1.s2 AS b, w2.s2 AS c
+          FROM {src} w1
+          JOIN {src} w2 ON w2.s1 = w1.s2
+          JOIN {src} w3 ON w3.s1 = w1.s1 AND w3.s2 = w2.s2),
+        sup{i} AS MATERIALIZED (
+          SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS sup
+          FROM (
+            SELECT a AS s1, b AS s2 FROM tri{i}
+            UNION ALL SELECT b, c FROM tri{i}
+            UNION ALL SELECT a, c FROM tri{i})
+          GROUP BY s1, s2)"""
+
+    parts = [sup_cte(0, "el0")]
+    prev = "el0"
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+        el{i} AS MATERIALIZED (
+          SELECT e.s1, e.s2 FROM {prev} e
+          LEFT JOIN sup{i - 1} s ON s.s1 = e.s1 AND s.s2 = e.s2
+          WHERE COALESCE(s.sup, 0) >= {min_support})""")
+        parts.append(sup_cte(i, f"el{i}"))
+        prev = f"el{i}"
+    return (
+        "WITH "
+        + _SUPPLIER_PROJ_SQL.format(md=max_degree, p=pctl)
+        + """,
+        el0 AS MATERIALIZED (SELECT s1, s2 FROM strong),"""
+        + ",".join(parts)
+        + f"""
+        SELECT e.s1, e.s2,
+               CAST(COALESCE(s.sup, 0) AS BIGINT) AS truss_support
+        FROM el{n_rounds} e
+        LEFT JOIN sup{n_rounds} s ON s.s1 = e.s1 AND s.s2 = e.s2
+        ORDER BY e.s1, e.s2
+        """
+    )

@@ -3677,6 +3677,13 @@ REGISTRY.update(
             _graph_probe(G.rich_club_suppliers),
             G.rich_club_oracle_sql(),
         ),
+        # k-truss of the projected supplier graph: edge-level cohesion
+        # (triangle-reinforced ties only) — the kcore peel/verify/
+        # unrolled-oracle contract applied to edge support.
+        "ktruss_suppliers": QuerySpec(
+            _graph_probe(G.ktruss_suppliers),
+            G.ktruss_oracle_sql(),
+        ),
         "degree_distribution_suppliers": QuerySpec(
             _graph_probe(G.degree_distribution_suppliers),
             G.degree_distribution_oracle_sql(),

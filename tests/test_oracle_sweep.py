@@ -103,6 +103,8 @@ ROUND_CHANGED = [
     "friedman_types_weekly",
     # asymmetric categorical association (third contingency consumer):
     "uncertainty_coeff_type_decile",
+    # edge-cohesion graph member (kcore contract on triangle support):
+    "ktruss_suppliers",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -1076,3 +1076,41 @@ def test_uncertainty_coeff_matches_python_replay(spark, sf_dir):
     assert -1e-9 <= r.mutual_info <= min(ht, hd) + 1e-9
     assert -1e-9 <= r.u_type_given_decile <= 1.0 + 1e-9
     assert -1e-9 <= r.u_decile_given_type <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ktruss_suppliers: Python peel-to-fixpoint replay
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_matches_python_fixpoint(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    edges = {
+        (r.s1, r.s2) for r in G._supplier_strong_pairs(t).collect()
+    }
+
+    def supports(es):
+        adj = defaultdict(set)
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = Counter()
+        for a, b in es:
+            sup[(a, b)] = len(adj[a] & adj[b])
+        return sup
+
+    cur = set(edges)
+    while True:
+        sup = supports(cur)
+        keep = {e for e in cur if sup[e] >= G.TRUSS_MIN_SUPPORT}
+        if keep == cur:
+            break
+        cur = keep
+    out = {(r.s1, r.s2): r.truss_support
+           for r in G.ktruss_suppliers(t).collect()}
+    assert set(out) == cur
+    final_sup = supports(cur)
+    for e, s in out.items():
+        assert s == final_sup[e]
+        # the truss property itself
+        assert s >= G.TRUSS_MIN_SUPPORT

@@ -8048,3 +8048,196 @@ def uncertainty_coeff_oracle_sql() -> str:
                  mi / (-neg_hd) END, 9) AS u_decile_given_type
         FROM g, ht, hd
         """
+
+
+#: Holt-Winters additive coefficients as SHARED PLAN LITERALS (the
+#: goertzel rule: no runtime transcendental, no decimal-literal trap —
+#: every oracle occurrence is CAST(.. AS DOUBLE)).
+HW_ALPHA = "0.3"
+HW_BETA = "0.05"
+HW_GAMMA = "0.2"
+
+
+def holt_winters_weekly(t: dict[str, DataFrame]) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 7-day seasonality) over
+    each type's zero-filled daily series, with a 7-day forecast — the
+    SEASONAL member of the forecast family (holt_linear_forecast has
+    level+trend only; forecast_backtest_mase scores; this is the model
+    a weekly-rhythm series actually needs). One O(days) recurrence per
+    type — the classical smoother as a single relational fold, no UDF,
+    no iteration framework.
+
+    State is the 9-double vector [level, trend, s0..s6] carried as a
+    LIST accumulator — NOT a struct: the measured DuckDB list_reduce
+    struct-accumulator field-aliasing bug (SCALE.md round-11b) makes
+    any multi-field struct state unsafe when fields cross-reference.
+    Per day t (i = (day − d0) mod 7, x = count):
+
+        level' = α(x − s_i) + (1−α)(level + trend)
+        trend' = β(level' − level) + (1−β)trend
+        s_i'   = γ(x − level') + (1−γ)s_i
+
+    with α/β/γ shared plan literals, init level = series mean,
+    trend = 0, s = 0 (a deterministic convention both engines state
+    identically; the burn-in decays at (1−α)^t). level' recurs
+    inside trend' and s_i' as the VERBATIM repeated expression — both
+    engines re-evaluate the identical IEEE chain, so repetition costs
+    ops, not determinism. Forecast F_h = level + h·trend +
+    s[(last_i + h) mod 7], h = 1..7. Everything is +,−,×,/ over
+    identical operands in identical order — RAW-double hash, no
+    ROUND anywhere.
+
+    Indexing traps pinned: Spark element_at and DuckDB [] are both
+    1-based, but Spark's transform lambda index is 0-based while
+    DuckDB's list_transform index is 1-based — the two texts differ
+    by exactly that offset and nothing else.
+
+    Output: (event_type, n_days, level, trend, horizon, forecast),
+    7 rows per type.
+    """
+    daily = _daily_type_counts(t)
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("c").alias("s"),
+    ).select(
+        "event_type",
+        "d0",
+        "d1",
+        F.expr("CAST(d1 - d0 + 1 AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(s AS DOUBLE) / CAST(d1 - d0 + 1 AS DOUBLE)"
+        ).alias("mean_c"),
+    )
+    grid = span.select(
+        "event_type",
+        "d0",
+        "d1",
+        "n_days",
+        "mean_c",
+        F.expr("explode(sequence(d0, d1))").alias("day"),
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "d0",
+        "d1",
+        "n_days",
+        "mean_c",
+        "day",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    A, B, GG = f"{HW_ALPHA}D", f"{HW_BETA}D", f"{HW_GAMMA}D"
+    # shorthand inside the fold lambda: st = [lvl, tr, s0..s6]
+    lvl = "element_at(st, 1)"
+    tr = "element_at(st, 2)"
+    si = "element_at(st, 3 + CAST((x.day - d0) % 7 AS INT))"
+    lvl_new = (
+        f"({A} * (CAST(x.c AS DOUBLE) - {si})"
+        f" + (1D - {A}) * ({lvl} + {tr}))"
+    )
+    tr_new = f"({B} * ({lvl_new} - {lvl}) + (1D - {B}) * {tr})"
+    s_new = f"({GG} * (CAST(x.c AS DOUBLE) - {lvl_new}) + (1D - {GG}) * {si})"
+    fold = (
+        "aggregate(array_sort(collect_list(struct(day, c))),"
+        " array(mean_c, 0D, 0D, 0D, 0D, 0D, 0D, 0D, 0D),"
+        " (st, x) -> transform(st, (v, j) -> CASE"
+        f" WHEN j = 0 THEN {lvl_new}"
+        f" WHEN j = 1 THEN {tr_new}"
+        f" WHEN j = 2 + CAST((x.day - d0) % 7 AS INT) THEN {s_new}"
+        " ELSE v END))"
+    )
+    g = filled.groupBy(
+        "event_type", "d0", "d1", "n_days", "mean_c"
+    ).agg(F.expr(fold).alias("st"))
+    h = g.select(
+        "event_type",
+        "n_days",
+        "d0",
+        "d1",
+        F.expr("element_at(st, 1)").alias("level"),
+        F.expr("element_at(st, 2)").alias("trend"),
+        "st",
+        F.expr("explode(sequence(1, 7))").alias("horizon"),
+    )
+    return h.select(
+        "event_type",
+        "n_days",
+        "level",
+        "trend",
+        F.col("horizon").cast("long").alias("horizon"),
+        F.expr(
+            "level + CAST(horizon AS DOUBLE) * trend"
+            " + element_at(st, 3 + CAST(((d1 - d0) % 7 + horizon) % 7"
+            " AS INT))"
+        ).alias("forecast"),
+    ).orderBy("event_type", "horizon")
+
+
+def holt_winters_weekly_oracle_sql() -> str:
+    """DuckDB replay: same zero-fill, same list-state fold (1-based
+    list_transform index — the only textual difference), same shared
+    CAST(..) literal coefficients, RAW doubles."""
+    A = f"CAST({HW_ALPHA} AS DOUBLE)"
+    B = f"CAST({HW_BETA} AS DOUBLE)"
+    GG = f"CAST({HW_GAMMA} AS DOUBLE)"
+    lvl = "acc[1]"
+    tr = "acc[2]"
+    si = "acc[3 + CAST((x.d - d0) % 7 AS INT)]"
+    lvl_new = (
+        f"({A} * (x.c - {si}) + (1.0 - {A}) * ({lvl} + {tr}))"
+    )
+    tr_new = f"({B} * ({lvl_new} - {lvl}) + (1.0 - {B}) * {tr})"
+    s_new = f"({GG} * (x.c - {lvl_new}) + (1.0 - {GG}) * {si})"
+    return f"""
+        WITH {DAILY_TYPE_COUNTS_CTE_SQL},
+        span AS (
+          SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+                 CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days,
+                 CAST(SUM(c) AS DOUBLE)
+                   / CAST(MAX(day) - MIN(day) + 1 AS DOUBLE) AS mean_c
+          FROM daily GROUP BY event_type),
+        grid AS (
+          SELECT s.event_type, s.d0, s.d1, s.n_days, s.mean_c, gs.day
+          FROM span s, UNNEST(range(s.d0, s.d1 + 1)) AS gs(day)),
+        filled AS MATERIALIZED (
+          SELECT g.event_type, g.d0, g.d1, g.n_days, g.mean_c, g.day,
+                 COALESCE(d.c, 0) AS c
+          FROM grid g
+          LEFT JOIN daily d ON d.event_type = g.event_type
+                           AND d.day = g.day),
+        folded AS (
+          SELECT event_type, d0, d1, n_days,
+                 list_reduce(list_prepend(
+                     [mean_c, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                     list([CAST(day AS DOUBLE), CAST(c AS DOUBLE),
+                           CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE)] ORDER BY day)),
+                     (acc, el) -> list_transform(acc, (v, j) -> CASE
+                       WHEN j = 1 THEN {lvl_new.replace("x.d", "el[1]").replace("x.c", "el[2]")}
+                       WHEN j = 2 THEN {tr_new.replace("x.d", "el[1]").replace("x.c", "el[2]")}
+                       WHEN j = 3 + CAST((el[1] - d0) % 7 AS INT)
+                         THEN {s_new.replace("x.d", "el[1]").replace("x.c", "el[2]")}
+                       ELSE v END)) AS st
+          FROM filled GROUP BY event_type, d0, d1, n_days, mean_c),
+        h AS (
+          SELECT f.event_type, f.n_days, f.d0, f.d1,
+                 f.st[1] AS level, f.st[2] AS trend, f.st,
+                 hz.horizon
+          FROM folded f,
+               UNNEST(range(1, 8)) AS hz(horizon))
+        SELECT event_type,
+               n_days,
+               level,
+               trend,
+               CAST(horizon AS BIGINT) AS horizon,
+               level + CAST(horizon AS DOUBLE) * trend
+                 + st[3 + CAST(((d1 - d0) % 7 + horizon) % 7 AS INT)]
+                   AS forecast
+        FROM h
+        ORDER BY event_type, horizon
+        """

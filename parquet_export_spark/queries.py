@@ -955,6 +955,14 @@ REGISTRY.update(
             _rel(ST.permutation_entropy_daily),
             ST.permutation_entropy_oracle_sql(),
         ),
+        # Additive Holt-Winters with weekly seasonality + 7-day
+        # forecast: the classical smoother as ONE relational fold —
+        # list-state accumulator (struct-aliasing-safe), literal
+        # coefficients, RAW doubles.
+        "holt_winters_weekly": QuerySpec(
+            _rel(ST.holt_winters_weekly),
+            ST.holt_winters_weekly_oracle_sql(),
+        ),
         # Lo-MacKinlay variance ratio at q in {2,4,8}: how daily
         # shocks propagate — zero-filled span, complete non-overlap
         # blocks, welch moment lanes, RAW-double VR.

@@ -105,6 +105,8 @@ ROUND_CHANGED = [
     "uncertainty_coeff_type_decile",
     # edge-cohesion graph member (kcore contract on triangle support):
     "ktruss_suppliers",
+    # seasonal forecast capstone (one relational fold, list state):
+    "holt_winters_weekly",
 ]
 
 #: Previous round's list (r10), kept for the PENDING-tier bookkeeping in

@@ -1114,3 +1114,69 @@ def test_ktruss_matches_python_fixpoint(spark, sf_dir):
         assert s == final_sup[e]
         # the truss property itself
         assert s >= G.TRUSS_MIN_SUPPORT
+
+
+# ---------------------------------------------------------------------------
+# holt_winters_weekly: sequential-Python smoother replay
+# ---------------------------------------------------------------------------
+
+
+def test_holt_winters_matches_python_recurrence(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    rows = ST._daily_type_counts(t).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r.c
+    out = defaultdict(dict)
+    for r in ST.holt_winters_weekly(t).collect():
+        out[r.event_type][r.horizon] = r
+    A, B, GG = 0.3, 0.05, 0.2
+    for ty, days in series.items():
+        d0, d1 = min(days), max(days)
+        n = d1 - d0 + 1
+        mean = sum(days.values()) / n
+        lvl, tr = mean, 0.0
+        s = [0.0] * 7
+        for d in range(d0, d1 + 1):
+            x = float(days.get(d, 0))
+            i = (d - d0) % 7
+            lvl_new = A * (x - s[i]) + (1 - A) * (lvl + tr)
+            tr_new = B * (lvl_new - lvl) + (1 - B) * tr
+            s[i] = GG * (x - lvl_new) + (1 - GG) * s[i]
+            lvl, tr = lvl_new, tr_new
+        for h in range(1, 8):
+            f = lvl + h * tr + s[((d1 - d0) % 7 + h) % 7]
+            r = out[ty][h]
+            assert r.n_days == n
+            assert abs(r.level - lvl) < 1e-9 * max(1.0, abs(lvl))
+            assert abs(r.trend - tr) < 1e-9 * max(1.0, abs(tr))
+            assert abs(r.forecast - f) < 1e-9 * max(1.0, abs(f))
+
+
+def test_holt_winters_locks_onto_pure_weekly_cycle(spark):
+    """A long pure 7-day cycle: the fitted seasonal forecasts must
+    track the cycle shape (high day forecast > low day forecast by
+    roughly the constructed gap), trend ~ 0."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(98):  # 14 weeks
+        k = 20 if d % 7 == 3 else 5
+        for _ in range(k):
+            rows.append((eid, t0 + timedelta(days=d), 1, "cyc", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.horizon: r for r in
+           ST.holt_winters_weekly({"events": df}).collect()}
+    assert abs(out[1].trend) < 0.2
+    fcasts = [out[h].forecast for h in range(1, 8)]
+    # exactly one peak day, roughly 15 above the floor
+    peak, floor = max(fcasts), min(fcasts)
+    assert 10 < peak - floor < 20
+    assert sum(1 for f in fcasts if f > (peak + floor) / 2) == 1

@@ -278,6 +278,7 @@ HEADLINE = [
     "friedman_types_weekly",
     "uncertainty_coeff_type_decile",
     "ktruss_suppliers",
+    "holt_winters_weekly",
 ]
 
 

@@ -8095,7 +8095,14 @@ def holt_winters_weekly(t: dict[str, DataFrame]) -> DataFrame:
     Output: (event_type, n_days, level, trend, horizon, forecast),
     7 rows per type.
     """
-    daily = _daily_type_counts(t)
+    return holt_winters_from_daily(_daily_type_counts(t))
+
+
+def holt_winters_from_daily(daily: DataFrame) -> DataFrame:
+    """The ONE Holt-Winters scoring function, shared by the batch
+    registry entry and the streaming forecast monitor (the
+    mk_trend_from_daily / goertzel_from_daily contract). Input: a
+    (event_type, day, c) daily-count frame."""
     span = daily.groupBy("event_type").agg(
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),

@@ -2760,3 +2760,111 @@ def read_goertzel(spark, artifact_dir: str):
             "weekly_power", "weekly_amplitude",
         )
     )
+
+
+def hw_forecast_stream(
+    events_stream: DataFrame,
+    artifact_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuously refreshed Holt-Winters 7-day forecast — the
+    FORECAST member of the monitor family, and the production shape
+    of the batch operator (a forecast is only useful if it refreshes
+    as data lands): merge each micro-batch's (type, epoch-day) counts
+    into the calendar-bounded daily carry, re-fit the whole carried
+    series through the ONE shared scorer
+    (operators/stats.py::holt_winters_from_daily — the
+    mk/goertzel single-scorer contract, so batch/stream drift is
+    structurally impossible), and emit the refreshed 7-row horizon
+    table per type. O(days) per round; event history never re-read.
+
+    Replay idempotence + compaction: the shared carry recipe, pinned
+    by the parametrized lifecycle test.
+    """
+    from parquet_export_spark.export import fs
+    from parquet_export_spark.operators.stats import (
+        holt_winters_from_daily,
+    )
+
+    out_base = artifact_dir.rstrip("/") + "/hw"
+    carry_base = artifact_dir.rstrip("/") + "/carry"
+
+    def _carry(spark, batch_id: int):
+        if not fs.exists(spark, carry_base):
+            return None
+        prior = [
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            fs.join(carry_base, f"batch_{max(prior)}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                    " AS BIGINT)"
+                ).alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        carry = _carry(spark, batch_id)
+        if carry is None:
+            carry = spark.createDataFrame(
+                [], "event_type string, day long, c long"
+            )
+        cum = (
+            bc.unionByName(carry)
+            .groupBy("event_type", "day")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        cum.write.mode("overwrite").parquet(
+            fs.join(carry_base, f"batch_{batch_id}")
+        )
+        (
+            holt_winters_from_daily(cum)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "event_type", "n_days", "level", "trend",
+                "horizon", "forecast",
+            )
+            .write.mode("overwrite")
+            .parquet(fs.join(out_base, f"batch_{batch_id}"))
+        )
+        done = sorted(
+            int(d.split("_", 1)[1])
+            for d in fs.list_dir_names(spark, carry_base)
+            if d.startswith("batch_") and int(d.split("_", 1)[1]) <= batch_id
+        )
+        for old in done[:-2]:
+            fs.delete(
+                spark, fs.join(carry_base, f"batch_{old}"), recursive=True
+            )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hw_forecast(spark, artifact_dir: str):
+    """Per-batch refreshed Holt-Winters horizon tables."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(artifact_dir.rstrip("/") + "/hw")
+        .select(
+            "batch_id", "event_type", "n_days", "level", "trend",
+            "horizon", "forecast",
+        )
+    )

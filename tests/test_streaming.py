@@ -1370,6 +1370,24 @@ def _monitor_spec(name, spark, tmp_path):
             lambda: snap(I.read_goertzel(spark, art)),
             art + "/carry",
         )
+    if name == "hw_forecast":
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2024, 5, 1)
+        day_batches = [
+            [(i, t0 + timedelta(days=i), 1, "probe", 10.0, "{}")
+             for i in range(4)],
+            [(10 + i, t0 + timedelta(days=4 + i), 1, "probe", 50.0, "{}")
+             for i in range(4)],
+            [(20 + i, t0 + timedelta(days=8 + i), 1, "probe", 50.0, "{}")
+             for i in range(2)],
+        ]
+        return (
+            ev, day_batches, land, ckpt,
+            lambda s: I.hw_forecast_stream(s, art, ckpt),
+            lambda: snap(I.read_hw_forecast(spark, art)),
+            art + "/carry",
+        )
     if name == "growth":
         return (
             ev, ev_batches, land, ckpt,
@@ -1425,7 +1443,7 @@ def _monitor_spec(name, spark, tmp_path):
         "cusum", "ks_drift", "ewma", "cc_labels",
         "hll", "apdex", "w1_drift", "neardup_gate", "tv_drift",
         "growth", "auc_drift", "mk_trend", "balance", "changepoint",
-        "js_drift", "goertzel",
+        "js_drift", "goertzel", "hw_forecast",
     ],
 )
 def test_monitor_replay_idempotence_and_compaction(spark, tmp_path, name):
@@ -1535,6 +1553,70 @@ def test_goertzel_stream_equals_batch_twin(spark, tmp_path):
     assert got == expect
     # and the engineered weekend bump is actually detected
     assert got["probe"][3] > 1.0
+
+
+def test_hw_forecast_stream_equals_batch_twin(spark, tmp_path):
+    """After the final micro-batch the streamed horizon table must
+    BIT-EQUAL holt_winters_from_daily over the concatenated events
+    (one scorer — this pins the carry merge)."""
+    from datetime import datetime, timedelta
+
+    from parquet_export_spark.operators import stats as ST
+
+    land = str(tmp_path / "landing")
+    art = str(tmp_path / "hwart")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for d in range(28):
+        for _ in range(8 + (4 if d % 7 == 2 else 0)):
+            rows.append(
+                (eid, t0 + timedelta(days=d, minutes=eid % 60), 1,
+                 "probe", 1.0, "{}")
+            )
+            eid += 1
+    batches = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+
+    def run_once():
+        q = I.hw_forecast_stream(
+            spark.readStream.schema(schema).parquet(land), art, ckpt
+        )
+        q.awaitTermination()
+
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        run_once()
+
+    daily = (
+        spark.createDataFrame(rows, schema)
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS"
+            " BIGINT) AS day",
+        )
+        .groupBy("event_type", "day")
+        .count()
+        .withColumnRenamed("count", "c")
+    )
+    expect = {
+        (r.event_type, r.horizon): (r.n_days, r.level, r.trend, r.forecast)
+        for r in ST.holt_winters_from_daily(daily).collect()
+    }
+    all_rows = I.read_hw_forecast(spark, art).collect()
+    last = max(r.batch_id for r in all_rows)
+    got = {
+        (r.event_type, r.horizon): (r.n_days, r.level, r.trend, r.forecast)
+        for r in all_rows
+        if r.batch_id == last
+    }
+    assert got == expect
 
 
 def test_js_drift_stream_two_batches_exact(spark, tmp_path):

@@ -291,7 +291,7 @@ HEADLINE = [
 CHUNK = 40
 
 
-def _emit(timings: dict[str, float], sf) -> None:
+def _emit(timings: dict[str, float], sf, cpu_probe=None) -> None:
     """Print the per-query map in fixed-size chunks, then the total.
 
     The driver captures a bounded TAIL of stdout, so the LAST line must
@@ -363,6 +363,11 @@ def _emit(timings: dict[str, float], sf) -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                # Fixed-work machine-speed calibration (round-12, r11
+                # verdict #1): divide per-entry by jvm_sec before
+                # comparing across rounds — load-band days and real
+                # plan regressions become machine-distinguishable.
+                "cpu_probe": cpu_probe,
                 # Null-round tripwire (round-8 verdict, "What's wrong"
                 # #3): the commit the bench actually ran against, so a
                 # round whose artifacts were produced off an unchanged
@@ -371,6 +376,47 @@ def _emit(timings: dict[str, float], sf) -> None:
             }
         )
     )
+
+
+def _cpu_probe(spark) -> dict[str, float]:
+    """Fixed-work machine-speed probe, reported in the bench trailer.
+
+    Round-12 (r11 verdict #1): the r11 per-entry reading moved 0.98 ->
+    1.30 s and 'external load vs regression' could not be settled
+    because no run carried its own speed calibration. Two deterministic
+    workloads, identical every round, timed immediately before the
+    query loop:
+
+    - ``jvm_sec``: sum(xxhash64(id)) over range(2e8) — whole-stage
+      codegen, all cores; measures the JVM/parallel throughput every
+      query depends on.
+    - ``py_sec``: a fixed single-thread CPython hash loop; measures
+      scalar speed (driver-side and scheduling overheads).
+
+    Cross-round per-entry comparisons should be read as
+    (total / n) / jvm_sec ratios: same-machine same-speed rounds
+    cancel, a hypervisor-slow day shows up as a proportionally slow
+    probe, and a real plan regression shows up as per-entry moving
+    while the probe holds. min-of-2 each, GC'd first — the probe must
+    not inherit warmup garbage."""
+    import hashlib
+
+    spark._jvm.System.gc()
+    jvm = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(xxhash64(id)) AS s"
+        ).collect()
+        jvm = min(jvm, time.perf_counter() - t0)
+    py = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        h = b"spark-graft-cpu-probe"
+        for _ in range(60_000):
+            h = hashlib.md5(h).digest()
+        py = min(py, time.perf_counter() - t0)
+    return {"jvm_sec": round(jvm, 3), "py_sec": round(py, 4)}
 
 
 def _head_commit() -> str:
@@ -432,6 +478,7 @@ def main() -> None:
     REGISTRY[headline[0]].fn(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    cpu_probe = _cpu_probe(spark)
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -457,7 +504,7 @@ def main() -> None:
     # size-bounded zstd parquet + manifest over the largest tables.
     # (skipped when an argv filter selects specific queries)
     if only:
-        _emit(timings, sf)
+        _emit(timings, sf, cpu_probe)
         return
     import shutil
     import tempfile
@@ -526,7 +573,7 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["versioned_snapshot_cycle"] = round(best, 3)
 
-    _emit(timings, sf)
+    _emit(timings, sf, cpu_probe)
 
 
 if __name__ == "__main__":

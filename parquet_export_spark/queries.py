@@ -500,7 +500,14 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY l_orderkey, pos
         """,
     ),
-    "sample_fraction": QuerySpec(_rel(R.sample_fraction), None),
+    # round-12 (r11 verdict #4): the registered entry is the checked
+    # twin — content-addressed md5-prefix membership, FULL-replay
+    # oracle (exact sample composition hashed every round). The RNG
+    # gear (R.sample_fraction) stays as the partitioning-coupled API.
+    "sample_fraction": QuerySpec(
+        _rel(R.sample_fraction_checked),
+        R.sample_fraction_checked_oracle_sql(),
+    ),
     "sort_limit_offset": QuerySpec(
         _rel(R.sort_limit_offset),
         """
@@ -1381,8 +1388,18 @@ REGISTRY.update(
             ORDER BY doc_a, doc_b
             """,
         ),
-        "neardup_minhash_lsh": QuerySpec(_rel(D.neardup_minhash_lsh), None),
-        "neardup_simhash": QuerySpec(_rel(D.neardup_simhash), None),
+        # round-12 (r11 verdict #4): registered entries are the checked
+        # twins — oracle-replayable ground truth + in-plan contract
+        # booleans (the neardup_incremental recipe). The raw gears stay
+        # the composed production path (fuzzy_dedup_keep et al.).
+        "neardup_minhash_lsh": QuerySpec(
+            _rel(D.neardup_minhash_lsh_checked),
+            D.neardup_minhash_lsh_checked_oracle_sql(),
+        ),
+        "neardup_simhash": QuerySpec(
+            _rel(D.neardup_simhash_checked),
+            D.neardup_simhash_checked_oracle_sql(),
+        ),
         "neardup_clusters": QuerySpec(_rel(D.neardup_clusters), None),
         "fuzzy_dedup_keep": QuerySpec(_rel(D.fuzzy_dedup_keep), None),
         # Exact UNBLOCKED Jaccard self-join via prefix filtering; the
@@ -4261,53 +4278,49 @@ REGISTRY.update(
 # The partition is enforced by tests/test_freshness.py against the actual
 # CORRECTNESS_r*.json artifacts — the policy cannot silently drift.
 #
-# ROUND-11 WINDOW, per the r10 verdict's task #1 (12 first-verdict
-# entries + fill-to-50 from the oldest tiers):
-#   (a) all 12 oracle entries with NO driver verdict under their
-#       registered name (the 10 round-10 additions plus the two
-#       converted sketch twins agg_approx_distinct/approx_percentiles,
-#       whose only prior verdicts were as the raw sketch gears) —
-#       closes the registry to 100% driver-verified oracle coverage;
-#   (b) the 8 PENDING r9 artifact-probe entries (due by r12; draining
-#       them now clears the PENDING book entirely);
-#   (c) the 9 r10-CHANGED broadcast-hint-family queries that did not
-#       fit the r10 window (q2/q14/q15/q16/q18/q19/q20/q21 +
-#       join_range) — triple-SF-swept in r10, verdicts still pre-change;
-#   (d) 5 opportunistic FROZEN refreshes, oldest evidence first (all
-#       r5 verdicts): agg_distinct .. bigram_lm_scores below;
-#   (e) the 4 rows-only gears converted to _checked twins this round
-#       (neardup_incremental, supplier_communities_approx,
-#       ivf_probe_incremental, pq_probe_incremental — r10 verdict
-#       #4/#5);
-#   (f) the 11 round-11 new operators (changepoint scan, weighted
-#       median, WoW decomposition, share-of-parent, clamped balance,
-#       proration, Markov removal attribution, interval-overlap grid
-#       join, key-skew report, Welch t pairs, one-way ANOVA) plus
-#       ann_lsh_buckets (left the
-#       rows-only tier this round: plan-literal planes + ordered-fold
-#       IEEE parity made a verbatim DuckDB replay possible) — all born
-#       before this window was finalized, so they take first-verdict
-#       slots now instead of waiting for r12.
+# ROUND-12 WINDOW, per the r11 verdict's task #2 (rotate to the 23
+# never-verdicted entries) and task #4 (new checked twins take slots
+# immediately, the r11 (f) precedent):
+#   (a) the 22 late-round-11 oracle entries with NO driver verdict —
+#       the classical-stats/graph batch (hellinger_pairs ..
+#       holt_winters_weekly below) — once green, EVERY oracle-bearing
+#       entry in the registry has been driver-verified at least once
+#       (287/287 lifetime, the r11 verdict's stated goal). Note
+#       ktruss_suppliers is in this group AND r12-CHANGED (adaptive
+#       early-exit peel, r11 verdict #3): its first verdict lands
+#       post-change, exactly as the rotation rule requires;
+#   (b) ONE rows-only slot: bpe_learn_merges — never even rows-checked
+#       by the driver (r11 verdict, What's missing #1). Deliberate
+#       exception to the oracle-bearing window rule, declared in
+#       WINDOW_ROWS_ONLY and enforced by tests/test_freshness.py: the
+#       driver records the weaker rows-only check, which is still
+#       strictly more evidence than no driver contact at all;
+#   (c) the 3 rows-only gears converted to _checked twins THIS round
+#       (r11 verdict #4): neardup_minhash_lsh (blocked exact-Jaccard
+#       ground truth + in-plan recall floor), neardup_simhash
+#       (key-addressed slice pairs + per-pair pigeonhole contract),
+#       sample_fraction (content-addressed md5 membership, FULL
+#       replay) — born before this window was finalized, so they take
+#       first-verdict slots now (the r11 (e)/(f) precedent);
+#   (d) 24 opportunistic FROZEN refreshes, oldest evidence first (all
+#       carry r5 verdicts): curate_corpus_pipeline .. snapshot_diff
+#       below. They stay frozen — a refresh does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
-#   - CHANGED (r11): tests/test_oracle_sweep.py ROUND_CHANGED — entries
-#     born or changed this round after the rotation; triple-SF-swept
-#     every pytest run, front-loaded for the r12 window.
-#   - PENDING: empty once this window lands (the 8 r9 entries take
-#     slots above; no r10 change is left unverdicted).
-#   - FROZEN: the names in FROZEN below (less the 21 refreshed in (d),
-#     which stay frozen — a refresh does not unfreeze).
-#   - fresh (r8/r9/r10 verdicts, within the 3-round bar): the rest.
+#   - CHANGED (r12): tests/test_oracle_sweep.py ROUND_CHANGED — the
+#     window members of (a)/(c) whose plan or oracle changed this
+#     round, triple-SF-swept every pytest run.
+#   - PENDING: empty — the 8 r9 entries drained green in r11; every
+#     r11-changed entry is either r11-verdicted or in this window.
+#   - FROZEN: the names in FROZEN below (less the 24 refreshed in (d)).
+#   - fresh (r9/r10/r11 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
 #     ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk, label_pca,
-#     neardup_clusters, neardup_minhash_lsh, neardup_simhash,
-#     sample_fraction, semdedup_embedding, pq_topk, bpe_learn_merges,
-#     bpe_encode_corpus. (ann_lsh_buckets left this tier in r11: its
-#     plan-literal planes + order-fixed IEEE fold are bit-identical
-#     cross-engine, so the oracle replays the buckets verbatim.) (neardup_incremental,
-#     supplier_communities_approx, ivf_probe_incremental and
-#     pq_probe_incremental left this tier in r11: registered entries
-#     are now _checked twins with in-plan contract booleans +
-#     hashable ground-truth payloads — r10 verdict #4/#5.)
+#     neardup_clusters, semdedup_embedding, pq_topk, bpe_learn_merges
+#     (windowed this round, slot (b)), bpe_encode_corpus — 9 total.
+#     (neardup_minhash_lsh, neardup_simhash and sample_fraction left
+#     this tier in r12: registered entries are now _checked twins —
+#     slot (c) above; each REMAINING entry's docstring states why no
+#     oracle exists, commit 8bd7b59.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4316,44 +4329,43 @@ REGISTRY.update(
 #: Bumped once per round, together with the window + ROUND_CHANGED
 #: rotation (tests/test_freshness.py pins it against the newest
 #: CORRECTNESS_r*.json artifact so it cannot go stale silently).
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
+
+#: Rows-only entries holding a deliberate window slot this round (the
+#: driver records the weaker rows-only check for these — still a first
+#: driver contact; tests/test_freshness.py admits exactly this set):
+WINDOW_ROWS_ONLY = frozenset({"bpe_learn_merges"})
 
 _VERDICT_PRIORITY = [
-    # (a) the 12 oracle entries never driver-verdicted under their
-    #     registered names (10 born in r10 + the 2 sketch-twin
-    #     conversions) — completes 100% driver-verified coverage:
-    "kendall_tau_qty_discount", "mann_kendall_trend_daily",
-    "theil_sen_slope_daily", "runs_test_daily", "leadlag_corr_types",
-    "histogram_equidepth_approx", "wow_audience_overlap",
-    "conversion_ztest_by_click_tier",
-    "harmonic_closeness_exact2_suppliers", "hll_rollup_users",
-    "agg_approx_distinct", "approx_percentiles",
-    # (b) the 8 PENDING r9 artifact-probe entries (drains the book):
-    "butterfly_pairs_trade", "hits_trade_graph", "kcore_suppliers",
-    "pagerank_trade_graph", "sessionize_batch", "supplier_communities",
-    "supplier_graph_suite", "triangle_count_suppliers",
-    # (c) the 9 r10 broadcast-hint-family queries left outside the r10
-    #     window (plans changed r10; verdicts must move post-change):
-    "q2_min_balance_supplier", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_counts",
-    "q18_large_orders_having", "q19_disjunctive_predicates",
-    "q20_heavy_suppliers", "q21_exclusive_return_suppliers",
-    "join_range",
-    # (d) 21 opportunistic FROZEN refreshes, oldest (r5) evidence first:
-    "agg_distinct", "apply_changefeed", "assoc_rules_parts",
-    "balance_classes", "bigram_lm_scores",
-    # (e) rows-only gears converted to _checked twins THIS round (r10
-    #     verdict #4/#5) — new oracles, never driver-verdicted,
-    #     verdict them immediately rather than deferring to r12:
-    "neardup_incremental", "supplier_communities_approx",
-    "ivf_probe_incremental", "pq_probe_incremental",
-    # (f) round-11 new operators, first verdicts:
-    "changepoint_scan_daily", "weighted_median_price_by_segment",
-    "wow_mix_rate_decomposition", "share_of_parent_rollup",
-    "clamped_running_balance", "prorate_discount_cents",
-    "markov_removal_attribution", "interval_overlap_join",
-    "key_skew_report", "ann_lsh_buckets",
-    "welch_ttest_pairs", "anova_oneway_types",
+    # (a) the 22 late-r11 oracle entries never driver-verdicted — once
+    #     green, 287-of-287 lifetime oracle coverage (r11 verdict #2):
+    "hellinger_pairs", "jensen_shannon_pairs", "cohens_d_pairs",
+    "grubbs_test_daily", "nelson_aalen_interorder",
+    "logrank_test_segments", "ols_discount_qty_by_brand",
+    "decision_stump_purchase", "rich_club_suppliers",
+    "transition_entropy_types", "kruskal_wallis_types",
+    "permutation_entropy_daily", "brown_forsythe_types",
+    "goertzel_weekly_power", "cochran_armitage_trend",
+    "variance_ratio_daily", "mcnemar_weekly_conversion",
+    "mantel_haenszel_click_purchase", "friedman_types_weekly",
+    "uncertainty_coeff_type_decile", "ktruss_suppliers",
+    "holt_winters_weekly",
+    # (b) the one rows-only slot (WINDOW_ROWS_ONLY): never
+    #     driver-contacted at all; rows-only check is due.
+    "bpe_learn_merges",
+    # (c) rows-only gears converted to _checked twins THIS round (r11
+    #     verdict #4) — new oracles, first verdicts now:
+    "neardup_minhash_lsh", "neardup_simhash", "sample_fraction",
+    # (d) 24 opportunistic FROZEN refreshes, oldest (r5) evidence first:
+    "curate_corpus_pipeline", "cusum_alarms", "date_funcs_extra",
+    "dedup_incremental", "events_hourly_rollup", "filter_project",
+    "fuzzy_join_parts", "histogram_equidepth", "incremental_rollup",
+    "interpolate_hourly_values", "join_left_nulls", "knn_classify",
+    "match_click_bursts", "ols_value_by_hour", "percentiles_exact",
+    "remove_dup_spans", "resolve_part_entities",
+    "rolling_user_features", "salted_skew_join", "scd2_point_in_time",
+    "self_retrieval_ranks", "simjoin_prefix", "sliding_rollup",
+    "snapshot_diff",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,
@@ -4386,24 +4398,39 @@ FROZEN = frozenset({
     "unpivot_segment_counts", "validate_lake", "value_mad_outliers",
     "variant_json_funcs", "window_distribution_ranks", "window_lag_lead",
     "window_rank_dense",
+    # r12 freeze cohort: the 48 r8-verdicted entries aged past the
+    # 3-round bar at this rotation — all unchanged since r8 (none in
+    # any ROUND_CHANGED since), all driver-green, all re-proven by the
+    # per-run pytest oracle compare. They cycle back through windows
+    # opportunistically (the r5 cohort is being refreshed this round).
+    "agg_rollup", "anomaly_suite_events", "array_collect_funcs",
+    "assortativity_trade_graph", "benford_first_digit", "bm25_scores",
+    "byte_histograms", "chunk_documents", "clustering_coeff_suppliers",
+    "collocations_pmi", "containment_join", "cosine_topk",
+    "decile_features_events", "decontaminate_train", "dedup_canonical",
+    "dedup_exact", "event_transition_matrix", "ewma_halflife_values",
+    "interarrival_gap_histogram", "ks_distance_pairs",
+    "lang_quality_summary", "lateral_explode_items", "mixture_weights",
+    "multimodal_features", "neardup_embedding",
+    "neardup_jaccard_blocked", "neardup_ngram_jaccard",
+    "pack_sequences", "pareto_frontier_orders", "pgm_image_features",
+    "phash_pgm_dedup", "q11_important_parts", "q6_forecast_revenue",
+    "quality_weighted_sample", "random_walks_suppliers",
+    "remove_contained_docs", "repetition_ratios", "retention_cohorts",
+    "scd2_user_state", "seasonal_decompose_hourly", "set_ops",
+    "sql_cohort_ltv", "stratified_sample", "target_encode_loo",
+    "unigram_freq_quality", "window_running_sum",
+    "window_topk_per_group", "winnowing_fingerprints",
 })
 
 #: PENDING tier: {entry: round its plan/oracle last changed}. The entry
 #: was triple-SF-swept in that round but its latest driver verdict
 #: predates the change; it must take a window slot within 3 rounds of
-#: the change (enforced by tests/test_freshness.py). All 8 r9 entries
-#: hold r11 window slots above — the book clears when that verdict
-#: lands.
-PENDING_VERDICT = {
-    "butterfly_pairs_trade": 9,
-    "hits_trade_graph": 9,
-    "kcore_suppliers": 9,
-    "pagerank_trade_graph": 9,
-    "sessionize_batch": 9,
-    "supplier_communities": 9,
-    "supplier_graph_suite": 9,
-    "triangle_count_suppliers": 9,
-}
+#: the change (enforced by tests/test_freshness.py). EMPTY since r12:
+#: the 8 r9 artifact-probe entries drained green in the r11 window, and
+#: every r11-changed entry either carries an r11 verdict or holds an
+#: r12 window slot above.
+PENDING_VERDICT: dict[str, int] = {}
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {
     k: v for k, v in REGISTRY.items() if k not in _VERDICT_PRIORITY

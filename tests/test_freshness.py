@@ -29,6 +29,7 @@ from parquet_export_spark.queries import (
     FROZEN,
     PENDING_VERDICT,
     REGISTRY,
+    WINDOW_ROWS_ONLY,
     _VERDICT_PRIORITY,
 )
 from tests.test_oracle_sweep import PREV_ROUND_CHANGED, ROUND_CHANGED
@@ -70,10 +71,22 @@ def test_sweep_lists_carry_no_duplicates():
 
 
 def test_window_is_fifty_oracle_bearing_and_first():
+    """Every slot is oracle-bearing EXCEPT the declared
+    WINDOW_ROWS_ONLY exceptions (r12: bpe_learn_merges takes its first
+    driver contact as a rows-only check, r11 verdict #2) — the
+    exception set must be explicit, in the window, and genuinely
+    rows-only, so a slot can never silently downgrade."""
     assert len(_VERDICT_PRIORITY) == 50
     assert len(set(_VERDICT_PRIORITY)) == 50
     for name in _VERDICT_PRIORITY:
-        assert REGISTRY[name].oracle, f"{name} holds a slot but is rows-only"
+        assert REGISTRY[name].oracle or name in WINDOW_ROWS_ONLY, (
+            f"{name} holds a slot but is rows-only and undeclared"
+        )
+    for name in WINDOW_ROWS_ONLY:
+        assert name in _VERDICT_PRIORITY, f"{name} declared but unslotted"
+        assert not REGISTRY[name].oracle, (
+            f"{name} declared rows-only but carries an oracle"
+        )
     # the reorder actually happened: window names lead the registry
     assert list(REGISTRY)[:50] == _VERDICT_PRIORITY
 

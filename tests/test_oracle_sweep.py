@@ -33,105 +33,54 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 11: populated as this round's work lands. Every entry added
-    # below is triple-SF-swept on each pytest run and front-loaded for
-    # the r12 verdict window.
+    # round 12: populated as this round's work lands. Every entry added
+    # below is triple-SF-swept on each pytest run.
     #
-    # rows-only gears converted to _checked twins with oracles (r10
-    # verdict #4/#5) — new oracle text + output shape; all four also
-    # hold r11 window slots:
-    "neardup_incremental",
-    "supplier_communities_approx",
-    "ivf_probe_incremental",
-    "pq_probe_incremental",
-    # r10 advice: the checked twin now left-joins a 1..K bucket spine
-    # so duplicate sketch boundaries can never drop an oracle row —
-    # plan change, so the full triple-SF sweep applies (the entry also
-    # holds an r11 first-verdict window slot):
-    "histogram_equidepth_approx",
-    # round-11 new-operator batch (exact-lane analytics):
-    "changepoint_scan_daily",
-    "weighted_median_price_by_segment",
-    "wow_mix_rate_decomposition",
-    "share_of_parent_rollup",
-    "clamped_running_balance",
-    "prorate_discount_cents",
-    "markov_removal_attribution",
-    "interval_overlap_join",
-    "key_skew_report",
-    # rows-only gear converted in r11: the LSH bucket ids are
-    # bit-identical cross-engine (plan-literal planes, ordered fold),
-    # so the gear now carries a verbatim DuckDB replay oracle:
-    "ann_lsh_buckets",
-    # classical mean-comparison members (exact-moment collapse, raw
-    # IEEE statistic lanes):
-    "welch_ttest_pairs",
-    "anova_oneway_types",
-    # pmf-distance completions of the drift family: Hellinger /
-    # Bhattacharyya (RAW-double, sqrt-only chain) and Jensen-Shannon
-    # (ROUND(9), libm-ln lane):
-    "hellinger_pairs",
-    "jensen_shannon_pairs",
-    # effect-size + single-point-outlier members of the mean/anomaly
-    # families (exact-moment collapses, RAW-double statistic lanes):
-    "cohens_d_pairs",
-    "grubbs_test_daily",
-    # survival-family completions over the KM subjects construction:
-    "nelson_aalen_interorder",
-    "logrank_test_segments",
-    # grouped regression + tree-split primitive (exact moment lanes):
-    "ols_discount_qty_by_brand",
-    "decision_stump_purchase",
-    # graph topology + sequence-information members:
-    "rich_club_suppliers",
-    "transition_entropy_types",
-    # rank-based k-group test + series-complexity members:
-    "kruskal_wallis_types",
-    "permutation_entropy_daily",
-    # variance-homogeneity check + frequency-domain seasonality probe:
-    "brown_forsythe_types",
-    "goertzel_weekly_power",
-    # dose-response funnel member:
-    "cochran_armitage_trend",
-    # shock-persistence member of the time-series bench:
-    "variance_ratio_daily",
-    # the PAIRED-sample test member (week-over-week conversion):
-    "mcnemar_weekly_conversion",
-    # the confounding-control member (stratified pooled odds ratio):
-    "mantel_haenszel_click_purchase",
-    # the repeated-measures member (weekly blocks):
-    "friedman_types_weekly",
-    # asymmetric categorical association (third contingency consumer):
-    "uncertainty_coeff_type_decile",
-    # edge-cohesion graph member (kcore contract on triangle support):
+    # r11 verdict #3: the k-truss peel now exits at the detected
+    # fixpoint instead of running all 6 capped rounds — a PLAN change
+    # (same result by peel monotonicity; the oracle still replays the
+    # full cap). Also holds an r12 first-verdict window slot, so the
+    # verdict lands post-change as the rotation rule requires:
     "ktruss_suppliers",
-    # seasonal forecast capstone (one relational fold, list state):
-    "holt_winters_weekly",
+    # rows-only gears converted to _checked twins with oracles (r11
+    # verdict #4) — new oracle text + output shape; all three also
+    # hold r12 window slots:
+    "neardup_minhash_lsh",
+    "neardup_simhash",
+    "sample_fraction",
 ]
 
-#: Previous round's list (r10), kept for the PENDING-tier bookkeeping in
+#: Previous round's list (r11), kept for the PENDING-tier bookkeeping in
 #: tests/test_freshness.py. Deduplicated AT DEFINITION via dict.fromkeys
 #: (r10 advice: a doubled name re-runs sweep legs for nothing and
 #: corrupts bookkeeping counts) — the companion invariant test enforces
 #: no-duplicates on both lists every run.
 PREV_ROUND_CHANGED = list(dict.fromkeys([
-    # broadcast-hint scoping family (r10 plan change; q3/q5/q7/q8/q9/
-    # q10/q17 verdicted in r10, the rest hold r11 window slots):
-    "q2_min_balance_supplier", "q3_shipping_priority",
-    "q5_revenue_by_nation", "q7_nation_pair_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders_having",
-    "q19_disjunctive_predicates", "q20_heavy_suppliers",
-    "q21_exclusive_return_suppliers", "join_range",
-    # sketch-twin conversions + r10-born operators (all hold r11
-    # window slots):
-    "agg_approx_distinct", "approx_percentiles",
-    "histogram_equidepth_approx", "hll_rollup_users",
-    "harmonic_closeness_exact2_suppliers", "kendall_tau_qty_discount",
-    "mann_kendall_trend_daily", "leadlag_corr_types",
-    "wow_audience_overlap", "conversion_ztest_by_click_tier",
-    "theil_sen_slope_daily", "runs_test_daily",
+    # r10-verdict twin conversions + the bucket-spine fix (all
+    # verdicted green in r11):
+    "neardup_incremental", "supplier_communities_approx",
+    "ivf_probe_incremental", "pq_probe_incremental",
+    "histogram_equidepth_approx",
+    # early-r11 new-operator batch (verdicted green in r11):
+    "changepoint_scan_daily", "weighted_median_price_by_segment",
+    "wow_mix_rate_decomposition", "share_of_parent_rollup",
+    "clamped_running_balance", "prorate_discount_cents",
+    "markov_removal_attribution", "interval_overlap_join",
+    "key_skew_report", "ann_lsh_buckets",
+    "welch_ttest_pairs", "anova_oneway_types",
+    # late-r11 classical-stats/graph batch (r12 window slots — their
+    # first verdicts land this round):
+    "hellinger_pairs", "jensen_shannon_pairs", "cohens_d_pairs",
+    "grubbs_test_daily", "nelson_aalen_interorder",
+    "logrank_test_segments", "ols_discount_qty_by_brand",
+    "decision_stump_purchase", "rich_club_suppliers",
+    "transition_entropy_types", "kruskal_wallis_types",
+    "permutation_entropy_daily", "brown_forsythe_types",
+    "goertzel_weekly_power", "cochran_armitage_trend",
+    "variance_ratio_daily", "mcnemar_weekly_conversion",
+    "mantel_haenszel_click_purchase", "friedman_types_weekly",
+    "uncertainty_coeff_type_decile", "ktruss_suppliers",
+    "holt_winters_weekly",
 ]))
 
 SF_DIRS = [

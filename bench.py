@@ -573,6 +573,41 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["versioned_snapshot_cycle"] = round(best, 3)
 
+    # Partitioned-lake export (round-12, r11 verdict #5: extend BENCH
+    # beyond the two export rows with the hive-partitioned posture —
+    # the data-skipping layout the reference's flat prefixes lack):
+    # events at sf0.1 partitioned by day + manifest + ONE pruned
+    # read-back (a single day's partition through the noop sink — the
+    # read cost a partition-pruning consumer actually pays).
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="bench_pexport_")
+        try:
+            spark._jvm.System.gc()
+            ev = load_tables(spark, sf_dir)["events"].withColumn(
+                "day", F.to_date("ts")
+            )
+            spec = TableSpec(
+                name="events", datatypes={}, rows_per_file=100_000
+            )
+            t0 = time.perf_counter()
+            files = write_table(
+                ev, out_dir, spec, partition_by=["day"]
+            )
+            write_manifest(out_dir, {"events": files})
+            one_day = ev.select(F.min("day")).first()[0]
+            (
+                spark.read.parquet(out_dir + "/events")
+                .filter(F.col("day") == F.lit(one_day))
+                .write.format("noop").mode("overwrite").save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    timings["partitioned_export_events"] = round(best, 3)
+
     _emit(timings, sf, cpu_probe)
 
 

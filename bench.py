@@ -279,6 +279,11 @@ HEADLINE = [
     "uncertainty_coeff_type_decile",
     "ktruss_suppliers",
     "holt_winters_weekly",
+    # round-12 batch: the two checked twins not already headline
+    # members under their gear names (neardup_minhash_lsh was; these
+    # two gears were previously unbenched rows-only):
+    "neardup_simhash",
+    "sample_fraction",
 ]
 
 

@@ -601,13 +601,22 @@ def test_verdict_window_invariants():
     rotation policy promises: exactly 50 slots, the registry's first
     50 ARE the priority list, and (since round 6) every slot is
     oracle-bearing — a rows-only slot returns err: no_oracle and
-    wastes its hash (the r5 verdict's finding #1)."""
-    from parquet_export_spark.queries import REGISTRY, _VERDICT_PRIORITY
+    wastes its hash (the r5 verdict's finding #1). Round-12 carve-out:
+    a slot may be rows-only ONLY if declared in WINDOW_ROWS_ONLY (the
+    r11 verdict #2 directive — bpe_learn_merges takes its FIRST driver
+    contact as a rows-only check; a weaker check is not a wasted hash
+    when the alternative is no driver evidence at all). The exception
+    set's own invariants live in tests/test_freshness.py."""
+    from parquet_export_spark.queries import (
+        REGISTRY,
+        WINDOW_ROWS_ONLY,
+        _VERDICT_PRIORITY,
+    )
 
     assert len(_VERDICT_PRIORITY) == 50
     assert list(REGISTRY)[:50] == _VERDICT_PRIORITY
     rows_only = [n for n in _VERDICT_PRIORITY if REGISTRY[n].oracle is None]
-    assert rows_only == []
+    assert set(rows_only) == set(WINDOW_ROWS_ONLY)
 
 
 def test_assortativity_matches_numpy(spark):

@@ -168,6 +168,17 @@ SHOWCASE = [
     "mantel_haenszel_click_purchase",
     "variance_ratio_daily",
     "rich_club_suppliers",
+    # round-12: the checked twins — certificate plans that join an
+    # oracle-replayable ground truth against the approximate gear's
+    # own output inside one plan. (neardup_minhash_lsh is already a
+    # SHOWCASE member above; its section now shows the twin — blocked
+    # exact-Jaccard vs LSH with a broadcast recall constant.)
+    # neardup_simhash: key-addressed slice pairs vs the banded gear
+    # via one BroadcastNestedLoopJoin — the sanctioned bounded cross
+    # join. sample_fraction: md5-prefix membership as a pure pushed
+    # filter-projection whose only exchange is the presentation sort.
+    "neardup_simhash",
+    "sample_fraction",
 ]
 
 HEADER = """\

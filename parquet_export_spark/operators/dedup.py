@@ -651,8 +651,20 @@ def neardup_clusters(
     small-diameter graphs: each round joins labels across edges and
     keeps the minimum; AQE localCheckpoint truncates the growing plan.
     Near-dup graphs have tiny diameters (dupes of a common source), so
-    convergence is a handful of rounds. Non-SQL-expressible (iterative)
-    -> rows-only driver check; correctness pinned by unit test.
+    convergence is a handful of rounds.
+
+    FULL-replay oracle since round 12 (left the rows-only tier): the
+    whole pipeline is deterministic — the pair graph is the
+    oracle-proven exact blocked Jaccard, and min-label propagation is
+    replayable as ``max_iter`` unrolled MATERIALIZED CTEs (the
+    kcore/ktruss recipe). No convergence assumption is needed for
+    parity: both engines apply the identical update
+    ``label <- least(label, min(neighbor labels))`` exactly
+    ``max_iter`` times (Spark's early exit only skips rounds that are
+    provably no-ops — if no label changed in round k, every label is
+    already <= its neighborhood minimum, so round k+1 recomputes the
+    same fixpoint), hence equality holds round-by-round by induction
+    even on a hypothetical graph that hasn't converged by the cap.
     """
     pairs = neardup_jaccard_blocked(
         t, threshold=threshold, presentation_sort=False
@@ -665,6 +677,81 @@ def neardup_clusters(
         .withColumn("is_cluster_root", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+def _ratio_num(threshold: float) -> int:
+    """Integer numerator of the size-ratio prefilter (J >= t needs
+    min(|a|,|b|) >= t*max(|a|,|b|)) — exact for the registered 4/5
+    threshold, floor-conservative (never over-prunes) otherwise."""
+    return 4 if abs(threshold - 0.8) < 1e-12 else int(threshold * 1000)
+
+
+def _ratio_den(threshold: float) -> int:
+    return 5 if abs(threshold - 0.8) < 1e-12 else 1000
+
+
+def neardup_clusters_oracle_sql(
+    threshold: float = 0.8,
+    max_iter: int = 15,
+    max_block_size: int = JACCARD_MAX_BLOCK,
+) -> str:
+    """DuckDB replay of :func:`neardup_clusters`, verbatim: the exact
+    blocked word-set Jaccard pair graph (the neardup_jaccard_blocked
+    oracle shape at the cluster threshold), direction-doubled, then
+    ``max_iter`` unrolled min-label rounds as MATERIALIZED CTEs — the
+    same update Spark's ``_connected_components`` applies per round.
+    See the operator docstring for why a fixed unroll equals the
+    adaptive loop with no convergence assumption."""
+
+    def round_cte(i: int) -> str:
+        return f"""
+        l{i} AS MATERIALIZED (
+          SELECT n.doc_id,
+                 LEAST(n.label, COALESCE(m.nbr, n.label)) AS label
+          FROM l{i - 1} n
+          LEFT JOIN (
+            SELECT e.doc_a AS doc_id, MIN(l.label) AS nbr
+            FROM edges e JOIN l{i - 1} l ON l.doc_id = e.doc_b
+            GROUP BY e.doc_a) m ON m.doc_id = n.doc_id)"""
+
+    rounds = ",".join(round_cte(i) for i in range(1, max_iter + 1))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS s
+          FROM documents),
+        ok AS (
+          SELECT lang, source FROM documents
+          GROUP BY lang, source HAVING COUNT(*) <= {max_block_size}),
+        pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       AS jaccard
+            FROM toks a
+            JOIN toks b ON a.lang = b.lang AND a.source = b.source
+                        AND a.doc_id < b.doc_id
+                        AND len(a.s) * {_ratio_den(threshold)}
+                            >= len(b.s) * {_ratio_num(threshold)}
+                        AND len(b.s) * {_ratio_den(threshold)}
+                            >= len(a.s) * {_ratio_num(threshold)}
+            JOIN ok ON a.lang = ok.lang AND a.source = ok.source)
+          WHERE jaccard >= {threshold}),
+        edges AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM pairs
+          UNION ALL
+          SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+        l0 AS MATERIALIZED (
+          SELECT doc_id, doc_id AS label FROM documents),
+        {rounds}
+        SELECT doc_id,
+               label AS cluster_id,
+               doc_id = label AS is_cluster_root
+        FROM l{max_iter}
+        ORDER BY doc_id
+        """
 
 
 def _connected_components(

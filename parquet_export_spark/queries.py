@@ -1400,7 +1400,15 @@ REGISTRY.update(
             _rel(D.neardup_simhash_checked),
             D.neardup_simhash_checked_oracle_sql(),
         ),
-        "neardup_clusters": QuerySpec(_rel(D.neardup_clusters), None),
+        # round-12: left the rows-only tier WITHOUT a twin — the whole
+        # pipeline was already deterministic (exact blocked-Jaccard
+        # pairs + min-label CC), so the oracle replays it verbatim via
+        # max_iter unrolled MATERIALIZED CTE rounds (the kcore recipe;
+        # fixed unroll == adaptive loop with no convergence assumption,
+        # see the operator docstring).
+        "neardup_clusters": QuerySpec(
+            _rel(D.neardup_clusters), D.neardup_clusters_oracle_sql()
+        ),
         "fuzzy_dedup_keep": QuerySpec(_rel(D.fuzzy_dedup_keep), None),
         # Exact UNBLOCKED Jaccard self-join via prefix filtering; the
         # oracle replays the same exact algorithm under a DIFFERENT
@@ -4315,12 +4323,15 @@ REGISTRY.update(
 #   - fresh (r9/r10/r11 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
 #     ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk, label_pca,
-#     neardup_clusters, semdedup_embedding, pq_topk, bpe_learn_merges
-#     (windowed this round, slot (b)), bpe_encode_corpus — 9 total.
+#     semdedup_embedding, pq_topk, bpe_learn_merges (windowed this
+#     round, slot (b)), bpe_encode_corpus — 8 total.
 #     (neardup_minhash_lsh, neardup_simhash and sample_fraction left
 #     this tier in r12: registered entries are now _checked twins —
-#     slot (c) above; each REMAINING entry's docstring states why no
-#     oracle exists, commit 8bd7b59.)
+#     slot (c) above. neardup_clusters also left in r12, with a FULL
+#     verbatim-replay oracle — unrolled min-label CC over the exact
+#     blocked-Jaccard graph; it rides ROUND_CHANGED for its first
+#     post-oracle verdict in r13. Each REMAINING entry's docstring
+#     states why no oracle exists, commit 8bd7b59.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.

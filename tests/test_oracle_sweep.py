@@ -48,6 +48,12 @@ ROUND_CHANGED = [
     "neardup_minhash_lsh",
     "neardup_simhash",
     "sample_fraction",
+    # left the rows-only tier with a FULL-replay oracle (no twin
+    # needed — the pipeline was already deterministic): unrolled
+    # min-label CC over the exact blocked-Jaccard pair graph. Born
+    # after the r12 window was finalized, so it rides the sweep now
+    # and takes window priority in r13:
+    "neardup_clusters",
 ]
 
 #: Previous round's list (r11), kept for the PENDING-tier bookkeeping in

@@ -838,9 +838,12 @@ def fuzzy_dedup_keep(
     stages, not demos: candidates never enumerate all pairs (banding),
     verification touches candidates only, and the component loop is
     the standard small-diameter label propagation. Iterative +
-    approximate -> rows-only driver check; the keep/drop contract
-    (no two survivors form a verified pair; every dropped doc's root
-    survives) is pinned in pytest.
+    approximate -> the keep LIST is engine-specific; the keep/drop
+    contract (no two survivors form a verified pair; every dropped
+    doc's root survives) is pinned in pytest AND — since round 12 —
+    asserted in-plan by :func:`fuzzy_dedup_keep_checked`, the
+    REGISTERED driver entry. This raw gear remains the production
+    keep-list API.
     """
     pairs = neardup_minhash_lsh(
         t, threshold=threshold, presentation_sort=False
@@ -862,6 +865,133 @@ def fuzzy_dedup_keep(
         .select("doc_id", "lang", "source", "n_chars", "n_dups_removed")
         .orderBy("doc_id")
     )
+
+
+def fuzzy_dedup_keep_checked(
+    t: dict[str, DataFrame], threshold: float = 0.5, max_iter: int = 15
+) -> DataFrame:
+    """Driver-checkable twin of :func:`fuzzy_dedup_keep` (round-12,
+    r11 verdict #4 follow-through): the composed pipeline's keep/drop
+    CONTRACT, promoted from pytest into the plan so the driver's
+    DuckDB hash re-verifies it every round.
+
+    One row per document (the SQL-replayable spine), with the md5
+    duplicate-group size as the hashed payload and four contract
+    booleans whose truth is established in-plan from the pipeline's
+    own intermediates:
+
+    - ``survivor_minimal`` — a surviving doc participates in NO
+      verified pair with a smaller doc_id: any such pair (a, d) with
+      a < d forces label(d) <= a < d after the first propagation
+      round, so d cannot be its own cluster root. Deterministic
+      consequence of min-label CC, asserted per row.
+    - ``absorbed_linked`` — a dropped doc participates in at least
+      one verified pair: a pair-free doc keeps its own label every
+      round and must survive. The two booleans together pin the
+      keep/drop rule from both sides.
+    - ``exact_group_single_survivor`` — byte-identical texts carry
+      identical shingle sets, hence identical MinHash signatures,
+      hence share every band bucket: the verified pair (J = 1.0 >=
+      threshold) is GUARANTEED, so an md5 duplicate group always
+      collapses into one cluster and at most one member survives.
+      Ties the engine-specific clustering to oracle-computable
+      ground truth (the md5 group structure).
+    - ``mass_conserved`` — constant: #survivors + sum(n_dups_removed)
+      equals the corpus size (every cluster contributes its root plus
+      size-1 absorbed docs; nothing is lost or double-counted).
+
+    WHICH docs survive stays rows-only (LSH candidates are xxhash64-
+    derived); this twin bounds the composition from the replayable
+    side. The raw gear remains the production keep-list API."""
+    docs = t["documents"]
+    pairs = neardup_minhash_lsh(
+        t, threshold=threshold, presentation_sort=False
+    ).select("doc_a", "doc_b").localCheckpoint()
+    labels = _connected_components(
+        docs.select("doc_id"), pairs, max_iter
+    )
+    surv_flag = labels.select(
+        "doc_id", (F.col("doc_id") == F.col("label")).alias("is_surv")
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    survivors = (
+        labels.filter(F.col("doc_id") == F.col("label"))
+        .join(sizes, "label")
+        .select(
+            "doc_id", (F.col("cluster_size") - 1).alias("n_dups_removed")
+        )
+    )
+    has_smaller = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("smaller_partner", F.lit(True))
+    )
+    has_any = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("linked", F.lit(True))
+    )
+    mass = (
+        survivors.agg(
+            (F.count(F.lit(1)) + F.sum("n_dups_removed")).alias("covered")
+        )
+        .crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+        .select(
+            (F.col("covered") == F.col("n_docs")).alias("mass_conserved")
+        )
+    )
+    g = docs.select("doc_id", F.md5("text").alias("h"))
+    groups = (
+        g.join(surv_flag, "doc_id")
+        .groupBy("h")
+        .agg(
+            F.sum(F.col("is_surv").cast("int")).alias("n_surv"),
+            F.count(F.lit(1)).cast("long").alias("g_size"),
+        )
+    )
+    return (
+        g.join(groups, "h")
+        .join(surv_flag, "doc_id")
+        .join(has_smaller, "doc_id", "left")
+        .join(has_any, "doc_id", "left")
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "doc_id",
+            F.col("g_size").alias("exact_dup_group_size"),
+            (
+                ~F.col("is_surv") | F.col("smaller_partner").isNull()
+            ).alias("survivor_minimal"),
+            (
+                F.col("is_surv") | F.col("linked").isNotNull()
+            ).alias("absorbed_linked"),
+            (F.col("n_surv") <= 1).alias("exact_group_single_survivor"),
+            "mass_conserved",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fuzzy_dedup_keep_checked_oracle_sql() -> str:
+    """DuckDB side: replay the md5 group spine; assert the four
+    in-plan contracts TRUE."""
+    return """
+        WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+        s AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS g_size
+              FROM g GROUP BY h)
+        SELECT g.doc_id,
+               s.g_size AS exact_dup_group_size,
+               TRUE AS survivor_minimal,
+               TRUE AS absorbed_linked,
+               TRUE AS exact_group_single_survivor,
+               TRUE AS mass_conserved
+        FROM g JOIN s USING (h)
+        ORDER BY doc_id
+        """
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 63) -> DataFrame:

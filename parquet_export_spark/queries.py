@@ -1409,7 +1409,15 @@ REGISTRY.update(
         "neardup_clusters": QuerySpec(
             _rel(D.neardup_clusters), D.neardup_clusters_oracle_sql()
         ),
-        "fuzzy_dedup_keep": QuerySpec(_rel(D.fuzzy_dedup_keep), None),
+        # round-12: registered entry is the checked twin — the
+        # composed pipeline's keep/drop contract (survivor-minimal /
+        # absorbed-linked / exact-group-single-survivor / mass
+        # conservation) asserted in-plan over the md5 group spine;
+        # WHICH docs survive stays engine-specific (LSH candidates).
+        "fuzzy_dedup_keep": QuerySpec(
+            _rel(D.fuzzy_dedup_keep_checked),
+            D.fuzzy_dedup_keep_checked_oracle_sql(),
+        ),
         # Exact UNBLOCKED Jaccard self-join via prefix filtering; the
         # oracle replays the same exact algorithm under a DIFFERENT
         # global token order (strings vs hashed longs) — prefix
@@ -4322,16 +4330,17 @@ REGISTRY.update(
 #   - FROZEN: the names in FROZEN below (less the 24 refreshed in (d)).
 #   - fresh (r9/r10/r11 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     ann_lsh_neighbors, fuzzy_dedup_keep, ivf_topk, label_pca,
-#     semdedup_embedding, pq_topk, bpe_learn_merges (windowed this
-#     round, slot (b)), bpe_encode_corpus — 8 total.
-#     (neardup_minhash_lsh, neardup_simhash and sample_fraction left
-#     this tier in r12: registered entries are now _checked twins —
-#     slot (c) above. neardup_clusters also left in r12, with a FULL
-#     verbatim-replay oracle — unrolled min-label CC over the exact
-#     blocked-Jaccard graph; it rides ROUND_CHANGED for its first
-#     post-oracle verdict in r13. Each REMAINING entry's docstring
-#     states why no oracle exists, commit 8bd7b59.)
+#     ann_lsh_neighbors, ivf_topk, label_pca, semdedup_embedding,
+#     pq_topk, bpe_learn_merges (windowed this round, slot (b)),
+#     bpe_encode_corpus — 7 total.
+#     (Five left this tier in r12: neardup_minhash_lsh,
+#     neardup_simhash, sample_fraction and fuzzy_dedup_keep as
+#     _checked twins — slot (c) / ROUND_CHANGED — and
+#     neardup_clusters with a FULL verbatim-replay oracle (unrolled
+#     min-label CC over the exact blocked-Jaccard graph). The two
+#     post-window conversions ride ROUND_CHANGED for first verdicts
+#     in r13. Each REMAINING entry's docstring states why no oracle
+#     exists, commit 8bd7b59.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.

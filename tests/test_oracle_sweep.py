@@ -54,6 +54,10 @@ ROUND_CHANGED = [
     # after the r12 window was finalized, so it rides the sweep now
     # and takes window priority in r13:
     "neardup_clusters",
+    # checked-twin conversion of the composed fuzzy-dedup pipeline
+    # (keep/drop contract in-plan over the md5 group spine); same
+    # post-window-finalization timing — sweeps now, r13 window slot:
+    "fuzzy_dedup_keep",
 ]
 
 #: Previous round's list (r11), kept for the PENDING-tier bookkeeping in

@@ -279,11 +279,13 @@ HEADLINE = [
     "uncertainty_coeff_type_decile",
     "ktruss_suppliers",
     "holt_winters_weekly",
-    # round-12 batch: the two checked twins not already headline
-    # members under their gear names (neardup_minhash_lsh was; these
-    # two gears were previously unbenched rows-only):
+    # round-12 batch: the checked twins / oracle conversions not
+    # already headline members under their gear names
+    # (neardup_minhash_lsh and fuzzy_dedup_keep were; these gears
+    # were previously unbenched rows-only):
     "neardup_simhash",
     "sample_fraction",
+    "neardup_clusters",
 ]
 
 

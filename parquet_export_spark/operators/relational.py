@@ -314,7 +314,20 @@ def sample_fraction_checked(
     concentration around 10%.
 
     At 100 TB: one projection + filter, no shuffle (the presentation
-    sort is registry-only), pushes down to the scan."""
+    sort is registry-only), pushes down to the scan.
+
+    ``fraction`` must sit in [0, 1): the threshold is the first 4 hex
+    digits of the md5, so fraction >= 1.0 would format a 5-char
+    threshold ('10000') that a 4-char prefix compared lexicographically
+    admits only ~6.25% of — a silent mis-sample (r12 advice). Guarded
+    loudly here AND in the oracle builder so both sides fail the same
+    way instead of quietly diverging from the caller's intent."""
+    if not (0.0 <= fraction < 1.0):
+        raise ValueError(
+            f"fraction must be in [0, 1), got {fraction}: the 4-hex-digit "
+            "md5 prefix rule cannot express a >= 1.0 fraction (use the "
+            "identity projection instead of a sample)"
+        )
     key = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),
@@ -336,7 +349,14 @@ def sample_fraction_checked(
 
 
 def sample_fraction_checked_oracle_sql(fraction: float = 0.1) -> str:
-    """DuckDB side: the identical md5-prefix rule — full replay."""
+    """DuckDB side: the identical md5-prefix rule — full replay.
+    Same [0, 1) guard as the Spark twin (r12 advice): a >= 1.0 fraction
+    formats a 5-char threshold the 4-char prefix mis-compares against."""
+    if not (0.0 <= fraction < 1.0):
+        raise ValueError(
+            f"fraction must be in [0, 1), got {fraction}: the 4-hex-digit "
+            "md5 prefix rule cannot express a >= 1.0 fraction"
+        )
     thresh = f"{int(fraction * 0x10000):04x}"
     return f"""
         SELECT l_orderkey, l_linenumber, l_quantity,

@@ -142,10 +142,11 @@ def test_minhash_checked_identical_docs_are_caught(spark):
 
 def test_simhash_checked_contracts_hold_on_fixture(spark, tables):
     rows = D.neardup_simhash_checked(tables).collect()
+    # r13: the slice mod is derived from the corpus count (constant
+    # certificate budget at any scale) — recompute it the same way.
+    mod = D._simhash_check_mod(tables["documents"].count())
     n_docs = (
-        tables["documents"]
-        .filter(F.col("doc_id") % D.SIMHASH_CHECK_MOD == 0)
-        .count()
+        tables["documents"].filter(F.col("doc_id") % mod == 0).count()
     )
     assert len(rows) == n_docs * (n_docs - 1) // 2
     for r in rows:
@@ -155,9 +156,11 @@ def test_simhash_checked_contracts_hold_on_fixture(spark, tables):
 
 
 def test_simhash_checked_duplicate_slice_docs(spark):
-    """Duplicate texts ON the slice (doc_ids % 20 == 0) must surface as
-    exact_same_text rows whose contracts bind: identical text ->
-    hamming 0 -> candidate -> gear pair with hamming 0."""
+    """Duplicate texts ON the slice (explicit sample_mod=20 override)
+    must surface as exact_same_text rows whose contracts bind:
+    identical text -> hamming 0 -> candidate -> gear pair with
+    hamming 0. The off-slice doc pins that the key-addressed slice
+    rule still excludes non-multiples when a mod is given."""
     dup = "repeated content for the simhash certificate " * 4
     rows = [
         (20, "en", "s", dup),
@@ -170,7 +173,9 @@ def test_simhash_checked_duplicate_slice_docs(spark):
     )
     out = {
         (r.doc_a, r.doc_b): r
-        for r in D.neardup_simhash_checked({"documents": docs}).collect()
+        for r in D.neardup_simhash_checked(
+            {"documents": docs}, sample_mod=20
+        ).collect()
     }
     assert set(out) == {(20, 40), (20, 60), (40, 60)}
     assert out[(20, 40)].exact_same_text

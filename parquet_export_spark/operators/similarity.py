@@ -703,6 +703,273 @@ def ann_lsh_neighbors(
     )
 
 
+#: Target size of the ANN certificate slices (LSH + SemDeDup twins):
+#: the sample mod is derived from the corpus count — exact integer
+#: ceil, same rule in both engines — so the slice holds ~320 vectors
+#: (<= ~51k reference pairs) at ANY corpus size. Same recipe as the
+#: simhash certificate (dedup.SIMHASH_CHECK_TARGET).
+ANN_CHECK_TARGET = 320
+
+#: Sign-certainty margin for the dual-lane bucket parity contract: the
+#: numpy kernel sums plane dots pairwise, the JVM fold sequentially —
+#: for 64 doubles of ~unit magnitude the lanes differ by <~1e-13, so a
+#: fold dot at least 1e-9 from zero PROVES both lanes agree on the
+#: sign. A plane dot inside the margin excuses the doc's parity bit
+#: (measure-zero on real embeddings) instead of hash-flapping on it.
+ANN_SIGN_MARGIN = 1e-9
+
+#: Value-agreement tolerance between the gear's numpy cosine (pairwise
+#: summation) and the fold-lane cosine both engines replay; same
+#: error-bound argument as the sign margin, applied after round-to-9.
+ANN_SIM_TOL = 1e-9
+
+
+def _ann_check_mod(n_vecs: int) -> int:
+    return max(1, -(-n_vecs // ANN_CHECK_TARGET))
+
+
+def _and_all(*cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _or_any(*cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _fold_table_bucket(emb_col: str, table: int, planes_per_table: int):
+    """JVM fold-lane bucket id for ONE LSH table — the
+    :func:`ann_lsh_buckets` expression restricted to the table's plane
+    slice (planes ``table*P .. table*P+P-1``, matching the kernel's
+    row-major reshape). Bit-identical cross-engine (the r11
+    ann_lsh_buckets oracle proved the lane), so the twin's
+    ``same_bucket_*`` columns are REPLAYABLE payload, not constants."""
+    exprs = []
+    for b in range(planes_per_table):
+        weights = ", ".join(f"{w}D" for w in _PLANES[table * planes_per_table + b])
+        dot = (
+            f"aggregate(zip_with({emb_col}, array({weights}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
+        )
+        exprs.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr(" + ".join(exprs)).cast("long")
+
+
+def _fold_min_abs_dot(emb_col: str, n_planes: int):
+    """min over the first ``n_planes`` planes of |fold dot| — the
+    sign-certainty witness for :data:`ANN_SIGN_MARGIN`."""
+    dots = []
+    for p in range(n_planes):
+        weights = ", ".join(f"{w}D" for w in _PLANES[p])
+        dots.append(
+            f"abs(aggregate(zip_with({emb_col}, array({weights}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v))"
+        )
+    return F.expr("least(" + ", ".join(dots) + ")")
+
+
+def ann_lsh_neighbors_checked(
+    t: dict[str, DataFrame],
+    threshold: float = 0.4,
+    n_tables: int = 2,
+    planes_per_table: int = 6,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Driver-checkable twin of :func:`ann_lsh_neighbors` (round 13,
+    r12 verdict #4 — the checked-twin recipe): the gear's determinism
+    and within-bucket completeness/precision contracts, promoted into
+    the plan so the driver's DuckDB hash re-verifies them every round.
+
+    Why NOT a recall-floor certificate (the minhash twin's shape): the
+    fixture corpus has no high-cosine pairs (max ~0.6 at sf0.1), and
+    sign-LSH catch probability at the gear's 0.4 verify threshold is
+    ~0.14 by design — a floor there would be coin-flip bookkeeping,
+    exactly what the minhash twin's docstring warns against. What IS
+    deterministic about this gear: the bucket bits themselves (fold
+    lane — proven bit-identical cross-engine by the r11
+    ann_lsh_buckets oracle), and membership/precision GIVEN the
+    buckets. So the twin certifies those, per pair over a
+    key-addressed slice (vec_id % sample_mod == 0; mod derived from
+    the corpus count exactly like the simhash certificate, constant
+    ~51k-pair budget at any scale):
+
+    - ``sim`` — fold-lane cosine (round 9), the replayable payload.
+    - ``same_bucket_any`` — the pair shares a fold-lane bucket in at
+      least one table: REPLAYABLE (DuckDB recomputes the plane dots
+      from literals), so the hash pins the actual banding geometry,
+      not a constant.
+    - ``kernel_matches_fold`` — the gear's numpy-kernel buckets equal
+      the fold-lane buckets for both endpoints (sign-margin guarded):
+      the two independent computational lanes agree, which is what
+      makes ``same_bucket_any`` a faithful model of the gear's
+      candidate rule.
+    - ``lsh_complete`` — a certain, same-fold-bucket pair with sim >=
+      threshold + tol MUST be in the gear's output (completeness
+      within buckets is deterministic — only cross-bucket recall is
+      probabilistic).
+    - ``lsh_precise`` — every gear pair on the slice shares a bucket
+      (when certain), carries sim >= threshold - tol, and its reported
+      value agrees with the fold recomputation within tol (numpy
+      pairwise vs sequential fold).
+
+    The gear runs on the FULL corpus (the twin certifies the shipped
+    operator); only the reference enumeration is slice-bounded."""
+    emb = t["embeddings"]
+    if sample_mod is None:
+        # bounded metadata action — same budget class as the index fits
+        sample_mod = _ann_check_mod(emb.count())
+    n_planes = n_tables * planes_per_table
+    kernel = _bucket_kernel(n_tables, planes_per_table)
+    docs = (
+        emb.filter(F.col("vec_id") % sample_mod == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            kernel(F.col("embedding")).alias("kb"),
+            *[
+                _fold_table_bucket("embedding", k, planes_per_table).alias(
+                    f"fb{k}"
+                )
+                for k in range(n_tables)
+            ],
+            _fold_min_abs_dot("embedding", n_planes).alias("margin"),
+        )
+        .withColumn(
+            "lane_ok",
+            (F.col("margin") < ANN_SIGN_MARGIN)
+            | _and_all(
+                *[F.col("kb")[k] == F.col(f"fb{k}") for k in range(n_tables)]
+            ),
+        )
+        .withColumn("certain", F.col("margin") >= ANN_SIGN_MARGIN)
+    )
+    a = docs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("lane_ok").alias("lane_a"),
+        F.col("certain").alias("cert_a"),
+        *[F.col(f"fb{k}").alias(f"fa{k}") for k in range(n_tables)],
+    )
+    b = docs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("lane_ok").alias("lane_b"),
+        F.col("certain").alias("cert_b"),
+        *[F.col(f"fb{k}").alias(f"fb{k}") for k in range(n_tables)],
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(_cosine("emb_a", "emb_b"), 9)
+    same_bucket = _or_any(
+        *[F.col(f"fa{k}") == F.col(f"fb{k}") for k in range(n_tables)]
+    )
+    gear = ann_lsh_neighbors(
+        t, threshold, n_tables, planes_per_table
+    ).withColumnRenamed("sim", "gear_sim")
+    both_certain = F.col("cert_a") & F.col("cert_b")
+    caught = F.col("gear_sim").isNotNull()
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("same_bucket_any", same_bucket)
+        .join(gear, ["vec_a", "vec_b"], "left")
+        .select(
+            "vec_a",
+            "vec_b",
+            "sim",
+            "same_bucket_any",
+            (F.col("lane_a") & F.col("lane_b")).alias("kernel_matches_fold"),
+            (
+                ~(
+                    both_certain
+                    & F.col("same_bucket_any")
+                    & (F.col("sim") >= F.lit(threshold) + F.lit(ANN_SIM_TOL))
+                )
+                | caught
+            ).alias("lsh_complete"),
+            (
+                ~caught
+                | (
+                    (F.abs(F.col("gear_sim") - F.col("sim")) <= ANN_SIM_TOL)
+                    & (F.col("sim") >= F.lit(threshold) - F.lit(ANN_SIM_TOL))
+                    & (F.col("same_bucket_any") | ~both_certain)
+                )
+            ).alias("lsh_precise"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _table_bucket_sql(emb: str, table: int, planes_per_table: int) -> str:
+    """DuckDB replay of :func:`_fold_table_bucket` — the
+    ann_lsh_buckets oracle's ordered list_reduce + string-parsed
+    double literals, restricted to one table's plane slice."""
+    terms = []
+    for b in range(planes_per_table):
+        ws = ", ".join(
+            f"CAST('{w!r}' AS DOUBLE)"
+            for w in _PLANES[table * planes_per_table + b]
+        )
+        dot = (
+            "list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip({emb}, [{ws}]), "
+            "s -> CAST(s[1] AS DOUBLE) * s[2])), "
+            "(acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+#: DuckDB twin of ``_DOT`` / the registry's _DOT_SQL — duplicated here
+#: (oracle builders live beside their gears; importing the registry
+#: module from an operators module would be a cycle).
+_DOT_SQL_S = (
+    "list_sum(list_transform(range(1, 65), i ->"
+    " CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_sql_s(a: str, b: str) -> str:
+    return (
+        f"ROUND({_DOT_SQL_S.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL_S.format(a=a, b=a)}) * sqrt({_DOT_SQL_S.format(a=b, b=b)})), 9)"
+    )
+
+
+def ann_lsh_neighbors_checked_oracle_sql(
+    n_tables: int = 2, planes_per_table: int = 6
+) -> str:
+    """DuckDB side: derive the same slice mod from the same count,
+    replay the fold-lane cosine AND the fold-lane per-table buckets
+    (plane literals — the ann_lsh_buckets lane), assert the three
+    in-plan contracts TRUE."""
+    buckets = ", ".join(
+        f"{_table_bucket_sql('embedding', k, planes_per_table)} AS fb{k}"
+        for k in range(n_tables)
+    )
+    same = " OR ".join(f"a.fb{k} = b.fb{k}" for k in range(n_tables))
+    return f"""
+        WITH m AS (
+          SELECT GREATEST(1, (COUNT(*) + {ANN_CHECK_TARGET - 1})
+                             // {ANN_CHECK_TARGET}) AS md
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, embedding, {buckets}
+          FROM embeddings, m WHERE vec_id % m.md = 0)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos_sql_s('a.embedding', 'b.embedding')} AS sim,
+               ({same}) AS same_bucket_any,
+               TRUE AS kernel_matches_fold,
+               TRUE AS lsh_complete,
+               TRUE AS lsh_precise
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        ORDER BY vec_a, vec_b
+        """
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: cluster-then-prune semantic dedup (scale path; rows-only)
 # --------------------------------------------------------------------------
@@ -731,6 +998,28 @@ def semdedup_embedding(
 
     Returns survivors: (vec_id, cell, n_cell_mates).
     """
+    _centers, assigned, dropped = _semdedup_parts(
+        t, n_cells, threshold, max_block_size
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cell", "n_cell_mates")
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_parts(
+    t: dict[str, DataFrame],
+    n_cells: int,
+    threshold: float,
+    max_block_size: int,
+) -> tuple[np.ndarray, DataFrame, DataFrame]:
+    """The SemDeDup pipeline's intermediates, shared by the gear and
+    its checked twin (round 13): the fitted ``(k, dim)`` centers, the
+    capped assigned frame (vec_id, embedding, cell, nrm,
+    n_cell_mates), and the dropped-vec frame (vec_id). Splitting these
+    out lets the twin assert its contracts against the EXACT frames
+    the gear ships, not a re-derivation."""
     from pyspark.sql import Window
 
     emb = t["embeddings"]
@@ -765,11 +1054,206 @@ def semdedup_embedding(
         .select(F.col("va").alias("vec_id"))
         .distinct()
     )
-    return (
+    return centers, assigned, dropped
+
+
+def _fold_cell_scores(emb_col: str, centers: np.ndarray):
+    """JVM fold-lane euclidean-argmin scores against center LITERALS —
+    the independent second lane for the assignment-parity contract.
+    Per cell j the score is -2*(x . c_j) + ||c_j||^2 (the ||x||^2 term
+    is constant per row, exactly as the numpy kernel drops it); the
+    dot folds sequentially over plan literals, so any disagreement
+    with the kernel's pairwise matmul is bounded by a few ulps —
+    outside :data:`ANN_SIGN_MARGIN`-sized argmin gaps the two lanes
+    MUST pick the same cell."""
+    scores = []
+    for j in range(len(centers)):
+        c = centers[j].astype("float64")
+        c_sq = repr(float((c**2).sum()))
+        ws = ", ".join(f"{float(w)!r}D" for w in c)
+        dot = (
+            f"aggregate(zip_with({emb_col}, array({ws}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
+        )
+        scores.append(f"(-2D * ({dot}) + {c_sq}D)")
+    return F.expr("array(" + ", ".join(scores) + ")")
+
+
+def semdedup_embedding_checked(
+    t: dict[str, DataFrame],
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    max_block_size: int = 10_000,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Driver-checkable twin of :func:`semdedup_embedding` (round 13,
+    r12 verdict #4 — the cluster-assignment / keep-drop contract): the
+    gear's pytest keep/drop property and its quantizer plumbing,
+    promoted into the plan so the driver's DuckDB hash re-verifies
+    them every round.
+
+    One row per vector of a key-addressed slice (vec_id % sample_mod
+    == 0; mod derived from the corpus count — exact integer ceil, same
+    rule in the oracle text — so the reference stays ~320 rows at any
+    scale):
+
+    - ``n_near_lower_slice`` — how many LOWER-id slice vectors sit at
+      fold-cosine >= threshold (round 9): the replayable payload,
+      recomputed by DuckDB over the same slice, pinning the actual
+      similarity geometry rather than a constant.
+    - ``assign_parity`` — the gear's numpy argmin cell equals an
+      independent JVM fold-lane argmin over center literals
+      (:func:`_fold_cell_scores`; first-index tie-break both sides),
+      unless the two best cells sit within :data:`ANN_SIGN_MARGIN` of
+      each other (lane-difference headroom, measure-zero in practice).
+      This is the quantizer contract: probe-style assignment is a pure
+      deterministic function of the fitted centers.
+    - ``dropped_justified`` — a slice vector the gear dropped has at
+      least one lower-id SAME-CELL mate at sim >= threshold, verified
+      against the gear's own assigned frame with the gear's own exact
+      sim expression (same fold lane, no tolerance needed).
+    - ``kept_consistent`` — the converse: a surviving slice vector has
+      NO such mate. Together they pin the keep/drop rule from both
+      sides (the pytest property, now hash-checked each round).
+    - ``mass_partitioned`` — constant: #survivors + #dropped equals
+      the capped population (no vector lost or double-counted between
+      the anti-join and the dropped set).
+
+    WHICH vectors survive stays engine-specific (the k-means centers
+    come from a numpy fit); this twin bounds the pipeline from the
+    replayable side. Cost: the gear itself + one slice-vs-cell-mates
+    join, bounded by max_block_size per slice row by contract."""
+    emb = t["embeddings"]
+    if sample_mod is None:
+        sample_mod = _ann_check_mod(emb.count())
+    centers, assigned, dropped = _semdedup_parts(
+        t, n_cells, threshold, max_block_size
+    )
+    assigned = assigned.localCheckpoint()
+    dropped_marked = dropped.withColumn("is_dropped", F.lit(True))
+    # slice spine with both assignment lanes
+    gap_guard = F.expr(
+        "sorted_scores[1] - sorted_scores[0]"
+    ) < ANN_SIGN_MARGIN
+    spine = (
+        assigned.filter(F.col("vec_id") % sample_mod == 0)
+        .withColumn("fold_scores", _fold_cell_scores("embedding", centers))
+        .withColumn("sorted_scores", F.array_sort("fold_scores"))
+        .withColumn(
+            "fold_cell",
+            F.expr(
+                "array_position(fold_scores, array_min(fold_scores)) - 1"
+            ).cast("int"),
+        )
+        .withColumn(
+            "assign_parity",
+            (F.col("cell") == F.col("fold_cell")) | gap_guard,
+        )
+        .select(
+            "vec_id", "embedding", "cell", "nrm", "assign_parity"
+        )
+    )
+    # replayable payload: lower-id slice mates at fold sim >= threshold
+    sa = spine.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    sb = spine.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    near_counts = (
+        sa.join(F.broadcast(sb), F.col("vb") < F.col("va"))
+        .filter(F.round(_cosine("ea", "eb"), 9) >= threshold)
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_lower_slice"))
+    )
+    # keep/drop contract: lower-id same-cell mates at the gear's own
+    # exact sim expression (cell blocks are <= max_block_size rows by
+    # the gear's cap, so this join is bounded per slice row)
+    mates = assigned.select(
+        "cell",
+        F.col("vec_id").alias("mb"),
+        F.col("embedding").alias("emb_m"),
+        F.col("nrm").alias("nrm_m"),
+    )
+    mate_sim = F.expr(_DOT.format(a="embedding", b="emb_m")) / (
+        F.col("nrm") * F.col("nrm_m")
+    )
+    has_near_mate = (
+        spine.join(mates, "cell")
+        .filter(F.col("mb") < F.col("vec_id"))
+        .filter(mate_sim >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("near_mate", F.lit(True))
+    )
+    # the gear's OWN survivor construction (anti-join) against the
+    # independent dropped count: catches a dropped id outside the
+    # capped population or a double-count between the two frames
+    n_surv = (
         assigned.join(dropped, "vec_id", "left_anti")
-        .select("vec_id", "cell", "n_cell_mates")
+        .agg(F.count(F.lit(1)).alias("n_surv"))
+    )
+    mass = (
+        assigned.agg(F.count(F.lit(1)).alias("n_pop"))
+        .crossJoin(F.broadcast(n_surv))
+        .crossJoin(
+            F.broadcast(dropped.agg(F.count(F.lit(1)).alias("n_drop")))
+        )
+        .select(
+            (F.col("n_surv") + F.col("n_drop") == F.col("n_pop")).alias(
+                "mass_partitioned"
+            )
+        )
+    )
+    return (
+        spine.join(near_counts, "vec_id", "left")
+        .join(dropped_marked, "vec_id", "left")
+        .join(has_near_mate, "vec_id", "left")
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "vec_id",
+            F.coalesce("n_near_lower_slice", F.lit(0).cast("long")).alias(
+                "n_near_lower_slice"
+            ),
+            "assign_parity",
+            (
+                F.col("is_dropped").isNull() | F.col("near_mate").isNotNull()
+            ).alias("dropped_justified"),
+            (
+                F.col("is_dropped").isNotNull() | F.col("near_mate").isNull()
+            ).alias("kept_consistent"),
+            "mass_partitioned",
+        )
         .orderBy("vec_id")
     )
+
+
+def semdedup_embedding_checked_oracle_sql(threshold: float = 0.95) -> str:
+    """DuckDB side: derive the same slice mod from the same count,
+    replay the lower-id near-mate counts over the fold-lane cosine,
+    assert the four in-plan contracts TRUE."""
+    return f"""
+        WITH m AS (
+          SELECT GREATEST(1, (COUNT(*) + {ANN_CHECK_TARGET - 1})
+                             // {ANN_CHECK_TARGET}) AS md
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, embedding FROM embeddings, m
+          WHERE vec_id % m.md = 0),
+        near AS (
+          SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_near_lower_slice
+          FROM s a JOIN s b ON b.vec_id < a.vec_id
+          WHERE {_cos_sql_s('a.embedding', 'b.embedding')} >= {threshold}
+          GROUP BY a.vec_id)
+        SELECT s.vec_id,
+               COALESCE(near.n_near_lower_slice, 0) AS n_near_lower_slice,
+               TRUE AS assign_parity,
+               TRUE AS dropped_justified,
+               TRUE AS kept_consistent,
+               TRUE AS mass_partitioned
+        FROM s LEFT JOIN near ON near.vec_id = s.vec_id
+        ORDER BY s.vec_id
+        """
 
 
 # --------------------------------------------------------------------------

@@ -1501,7 +1501,18 @@ REGISTRY.update(
         "ann_lsh_buckets": QuerySpec(
             _rel(S.ann_lsh_buckets), S.ann_lsh_buckets_oracle_sql()
         ),
-        "ann_lsh_neighbors": QuerySpec(_rel(S.ann_lsh_neighbors), None),
+        # round-13 (r12 verdict #4): registered entry is the checked
+        # twin — fold-lane bucket replay (the ann_lsh_buckets lane) +
+        # dual-lane kernel parity + within-bucket completeness and
+        # precision contracts over a count-derived slice. A recall
+        # floor would be vacuous here (no high-cosine fixture pairs;
+        # catch at the 0.4 threshold is ~0.14 BY DESIGN), so the twin
+        # certifies what IS deterministic; brute-force-recall bounds
+        # stay in pytest. The raw gear remains the production pair API.
+        "ann_lsh_neighbors": QuerySpec(
+            _rel(S.ann_lsh_neighbors_checked),
+            S.ann_lsh_neighbors_checked_oracle_sql(),
+        ),
         "ivf_topk": QuerySpec(_rel(S.ivf_topk), None),
         # registered as the _checked twin (round-11, r10 verdict #5):
         # the deterministic probe-== -refit contract asserted in-plan
@@ -2088,8 +2099,16 @@ REGISTRY.update(
         # production default 0.95 would drop nothing and certify only a
         # pass-through (the q11 vacuity lesson). 0.45 prunes a real
         # subset; the keep/drop contract is pinned in pytest.
+        # round-13 (r12 verdict #4): registered entry is the checked
+        # twin — quantizer assignment parity (numpy argmin == JVM
+        # fold-literal argmin), the keep/drop property asserted in-plan
+        # from the gear's own intermediates, and a replayable lower-id
+        # near-mate count payload over a count-derived slice. WHICH
+        # vectors survive stays engine-specific (numpy k-means fit);
+        # the raw gear remains the production survivor API.
         "semdedup_embedding": QuerySpec(
-            _rel(lambda t: S.semdedup_embedding(t, threshold=0.45)), None
+            _rel(lambda t: S.semdedup_embedding_checked(t, threshold=0.45)),
+            S.semdedup_embedding_checked_oracle_sql(threshold=0.45),
         ),
         # n-gram width shared with the operator via D.DUP_SPAN_NGRAM so
         # the two sides cannot silently desynchronize.

@@ -275,3 +275,134 @@ def test_connected_components_default_keeps_fixed_unroll_semantics(spark):
     }
     # after exactly one round every node holds min(self, neighbors)
     assert labels == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_neighbors_checked (rows-only -> checked twin, r12 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def _emb_rows(spark, vecs):
+    return spark.createDataFrame(
+        [(i, float(i % 3), [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, label double, embedding array<float>",
+    )
+
+
+def test_ann_twin_identical_vectors_bind_all_contracts(spark):
+    """Identical embeddings share every sign bit -> same bucket in
+    every table -> the gear MUST emit the pair with sim 1.0; the twin
+    row must carry same_bucket_any=true and live contracts. Proves the
+    booleans are computed from real joins: the gear's output is
+    independently checked to contain the pair."""
+    import random
+
+    from parquet_export_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    vecs = [(0, base), (1, base)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 6)
+    ]
+    t = {"embeddings": _emb_rows(spark, vecs)}
+    gear = {(r.vec_a, r.vec_b) for r in S.ann_lsh_neighbors(t).collect()}
+    assert (0, 1) in gear
+    out = {
+        (r.vec_a, r.vec_b): r
+        for r in S.ann_lsh_neighbors_checked(t, sample_mod=1).collect()
+    }
+    assert len(out) == 15  # C(6,2)
+    r = out[(0, 1)]
+    assert r.sim == 1.0 and r.same_bucket_any
+    for row in out.values():
+        assert row.kernel_matches_fold, (row.vec_a, row.vec_b)
+        assert row.lsh_complete, (row.vec_a, row.vec_b)
+        assert row.lsh_precise, (row.vec_a, row.vec_b)
+
+
+def test_ann_twin_fold_buckets_match_kernel_on_fixture(spark, tables):
+    """Dual-lane parity over the real fixture slice: every row's
+    kernel_matches_fold must hold (numpy pairwise vs JVM fold sign
+    agreement outside the 1e-9 margin)."""
+    from parquet_export_spark.operators import similarity as S
+
+    rows = S.ann_lsh_neighbors_checked(tables).collect()
+    assert rows
+    assert all(r.kernel_matches_fold for r in rows)
+    assert all(r.lsh_complete and r.lsh_precise for r in rows)
+    # non-vacuity: the slice must actually contain same-bucket pairs
+    assert any(r.same_bucket_any for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_embedding_checked (rows-only -> checked twin, r12 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_twin_duplicate_vector_is_dropped_and_justified(spark):
+    """An identical lower-id vector forces: same argmin cell, sim 1.0
+    >= threshold, hence the higher id is dropped — dropped_justified
+    and kept_consistent must both bind, the survivor set (gear lane)
+    must exclude the higher id, and the replayable near count must see
+    the duplicate."""
+    import random
+
+    from parquet_export_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    vecs = [(0, base), (1, base)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 8)
+    ]
+    t = {"embeddings": _emb_rows(spark, vecs)}
+    surv = {r.vec_id for r in S.semdedup_embedding(t, threshold=0.95).collect()}
+    assert 0 in surv and 1 not in surv
+    out = {
+        r.vec_id: r
+        for r in S.semdedup_embedding_checked(
+            t, threshold=0.95, sample_mod=1
+        ).collect()
+    }
+    assert set(out) == set(range(8))
+    assert out[1].n_near_lower_slice >= 1
+    for r in out.values():
+        assert r.assign_parity, r.vec_id
+        assert r.dropped_justified, r.vec_id
+        assert r.kept_consistent, r.vec_id
+        assert r.mass_partitioned, r.vec_id
+
+
+def test_semdedup_twin_fixture_contracts_and_payload(spark, tables):
+    """Fixture run at the registered 0.45 threshold: all four
+    contracts hold and the payload is the actual lower-id slice near
+    count (recomputed here driver-side from the collected slice)."""
+    import numpy as np
+
+    from parquet_export_spark.operators import similarity as S
+
+    out = S.semdedup_embedding_checked(tables, threshold=0.45).collect()
+    assert out
+    assert all(
+        r.assign_parity
+        and r.dropped_justified
+        and r.kept_consistent
+        and r.mass_partitioned
+        for r in out
+    )
+    emb = tables["embeddings"]
+    mod = S._ann_check_mod(emb.count())
+    sl = sorted(
+        (r.vec_id, np.array(r.embedding, dtype="float64"))
+        for r in emb.filter(F.col("vec_id") % mod == 0).collect()
+    )
+    got = {r.vec_id: r.n_near_lower_slice for r in out}
+    for i, (vid, v) in enumerate(sl):
+        cnt = 0
+        for _, (wid, w) in enumerate(sl[:i]):
+            sim = round(
+                float(v @ w)
+                / (float(np.sqrt(v @ v)) * float(np.sqrt(w @ w))),
+                9,
+            )
+            cnt += sim >= 0.45
+        assert got[vid] == cnt, vid

@@ -4313,53 +4313,46 @@ REGISTRY.update(
 # The partition is enforced by tests/test_freshness.py against the actual
 # CORRECTNESS_r*.json artifacts — the policy cannot silently drift.
 #
-# ROUND-12 WINDOW, per the r11 verdict's task #2 (rotate to the 23
-# never-verdicted entries) and task #4 (new checked twins take slots
-# immediately, the r11 (f) precedent):
-#   (a) the 22 late-round-11 oracle entries with NO driver verdict —
-#       the classical-stats/graph batch (hellinger_pairs ..
-#       holt_winters_weekly below) — once green, EVERY oracle-bearing
-#       entry in the registry has been driver-verified at least once
-#       (287/287 lifetime, the r11 verdict's stated goal). Note
-#       ktruss_suppliers is in this group AND r12-CHANGED (adaptive
-#       early-exit peel, r11 verdict #3): its first verdict lands
-#       post-change, exactly as the rotation rule requires;
-#   (b) ONE rows-only slot: bpe_learn_merges — never even rows-checked
-#       by the driver (r11 verdict, What's missing #1). Deliberate
-#       exception to the oracle-bearing window rule, declared in
-#       WINDOW_ROWS_ONLY and enforced by tests/test_freshness.py: the
-#       driver records the weaker rows-only check, which is still
-#       strictly more evidence than no driver contact at all;
-#   (c) the 3 rows-only gears converted to _checked twins THIS round
-#       (r11 verdict #4): neardup_minhash_lsh (blocked exact-Jaccard
-#       ground truth + in-plan recall floor), neardup_simhash
-#       (key-addressed slice pairs + per-pair pigeonhole contract),
-#       sample_fraction (content-addressed md5 membership, FULL
-#       replay) — born before this window was finalized, so they take
-#       first-verdict slots now (the r11 (e)/(f) precedent);
-#   (d) 24 opportunistic FROZEN refreshes, oldest evidence first (all
-#       carry r5 verdicts): curate_corpus_pipeline .. snapshot_diff
-#       below. They stay frozen — a refresh does not unfreeze.
+# ROUND-13 WINDOW, per the r12 verdict's task #2 (fuzzy_dedup_keep +
+# neardup_clusters take the priority slots promised in
+# tests/test_oracle_sweep.py), task #1/#3 (the simhash rework lands
+# this round, so its first post-change verdict does too) and task #4
+# (two more rows-only -> checked-twin conversions take slots
+# immediately, the r11 (f) / r12 (c) precedent):
+#   (a) fuzzy_dedup_keep and neardup_clusters — their oracles were
+#       born AFTER the r12 window froze (r12 ROUND_CHANGED; triple-SF
+#       green since), so these are the registry's last two
+#       oracle-bearing entries without a post-oracle driver verdict:
+#       once green, lifetime driver-green coverage is 294/294;
+#   (b) neardup_simhash — CHANGED this round (Manku block-pair
+#       banding + the bucket cap + count-derived certificate mod, the
+#       r12 verdict's #1/#3); the verdict lands post-change exactly as
+#       the rotation rule requires (the r12 ktruss precedent);
+#   (c) the 2 rows-only gears converted to _checked twins THIS round
+#       (r12 verdict #4): ann_lsh_neighbors (fold-lane bucket replay +
+#       dual-lane parity + within-bucket completeness/precision),
+#       semdedup_embedding (quantizer assignment parity + keep/drop
+#       contract + replayable near-mate counts) — born before this
+#       window was finalized, so they take first-verdict slots now;
+#   (d) 45 opportunistic FROZEN refreshes, oldest evidence first: the
+#       9 remaining r5-verdicted entries, the whole 34-entry r6
+#       cohort, and the 2 alphabetically-first r8 entries. They stay
+#       frozen — a refresh does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
-#   - CHANGED (r12): tests/test_oracle_sweep.py ROUND_CHANGED — the
-#     window members of (a)/(c) whose plan or oracle changed this
-#     round, triple-SF-swept every pytest run.
-#   - PENDING: empty — the 8 r9 entries drained green in r11; every
-#     r11-changed entry is either r11-verdicted or in this window.
-#   - FROZEN: the names in FROZEN below (less the 24 refreshed in (d)).
-#   - fresh (r9/r10/r11 verdicts, within the 3-round bar): the rest.
+#   - CHANGED (r13): tests/test_oracle_sweep.py ROUND_CHANGED — the
+#     window members of (b)/(c), triple-SF-swept every pytest run.
+#   - PENDING: empty — every r12-changed entry is either r12-verdicted
+#     or holds a window slot above.
+#   - FROZEN: the names in FROZEN below (less the 45 refreshed in
+#     (d)), now including the 50-entry r9 cohort that ages past the
+#     3-round bar at this rotation (the r12 freeze precedent).
+#   - fresh (r10/r11/r12 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     ann_lsh_neighbors, ivf_topk, label_pca, semdedup_embedding,
-#     pq_topk, bpe_learn_merges (windowed this round, slot (b)),
-#     bpe_encode_corpus — 7 total.
-#     (Five left this tier in r12: neardup_minhash_lsh,
-#     neardup_simhash, sample_fraction and fuzzy_dedup_keep as
-#     _checked twins — slot (c) / ROUND_CHANGED — and
-#     neardup_clusters with a FULL verbatim-replay oracle (unrolled
-#     min-label CC over the exact blocked-Jaccard graph). The two
-#     post-window conversions ride ROUND_CHANGED for first verdicts
-#     in r13. Each REMAINING entry's docstring states why no oracle
-#     exists, commit 8bd7b59.)
+#     ivf_topk, pq_topk, label_pca, bpe_learn_merges (rows-only
+#     driver-checked r12), bpe_encode_corpus — 5 total.
+#     (Two more left this tier in r13: ann_lsh_neighbors and
+#     semdedup_embedding as _checked twins — slot (c). Each REMAINING
+#     entry's docstring states why no oracle exists.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4368,43 +4361,47 @@ REGISTRY.update(
 #: Bumped once per round, together with the window + ROUND_CHANGED
 #: rotation (tests/test_freshness.py pins it against the newest
 #: CORRECTNESS_r*.json artifact so it cannot go stale silently).
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 #: Rows-only entries holding a deliberate window slot this round (the
 #: driver records the weaker rows-only check for these — still a first
-#: driver contact; tests/test_freshness.py admits exactly this set):
-WINDOW_ROWS_ONLY = frozenset({"bpe_learn_merges"})
+#: driver contact; tests/test_freshness.py admits exactly this set).
+#: EMPTY in r13: every remaining rows-only gear has driver contact
+#: (bpe_learn_merges got its rows-only check in r12), so all 50 slots
+#: carry oracles.
+WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 _VERDICT_PRIORITY = [
-    # (a) the 22 late-r11 oracle entries never driver-verdicted — once
-    #     green, 287-of-287 lifetime oracle coverage (r11 verdict #2):
-    "hellinger_pairs", "jensen_shannon_pairs", "cohens_d_pairs",
-    "grubbs_test_daily", "nelson_aalen_interorder",
-    "logrank_test_segments", "ols_discount_qty_by_brand",
-    "decision_stump_purchase", "rich_club_suppliers",
-    "transition_entropy_types", "kruskal_wallis_types",
-    "permutation_entropy_daily", "brown_forsythe_types",
-    "goertzel_weekly_power", "cochran_armitage_trend",
-    "variance_ratio_daily", "mcnemar_weekly_conversion",
-    "mantel_haenszel_click_purchase", "friedman_types_weekly",
-    "uncertainty_coeff_type_decile", "ktruss_suppliers",
-    "holt_winters_weekly",
-    # (b) the one rows-only slot (WINDOW_ROWS_ONLY): never
-    #     driver-contacted at all; rows-only check is due.
-    "bpe_learn_merges",
-    # (c) rows-only gears converted to _checked twins THIS round (r11
+    # (a) the last 2 oracle-bearing entries without a post-oracle
+    #     driver verdict (r12 verdict #2) — once green, 294/294:
+    "fuzzy_dedup_keep", "neardup_clusters",
+    # (b) changed this round (r12 verdict #1/#3) — post-change verdict:
+    "neardup_simhash",
+    # (c) rows-only gears converted to _checked twins THIS round (r12
     #     verdict #4) — new oracles, first verdicts now:
-    "neardup_minhash_lsh", "neardup_simhash", "sample_fraction",
-    # (d) 24 opportunistic FROZEN refreshes, oldest (r5) evidence first:
-    "curate_corpus_pipeline", "cusum_alarms", "date_funcs_extra",
-    "dedup_incremental", "events_hourly_rollup", "filter_project",
-    "fuzzy_join_parts", "histogram_equidepth", "incremental_rollup",
-    "interpolate_hourly_values", "join_left_nulls", "knn_classify",
-    "match_click_bursts", "ols_value_by_hour", "percentiles_exact",
-    "remove_dup_spans", "resolve_part_entities",
-    "rolling_user_features", "salted_skew_join", "scd2_point_in_time",
-    "self_retrieval_ranks", "simjoin_prefix", "sliding_rollup",
-    "snapshot_diff",
+    "ann_lsh_neighbors", "semdedup_embedding",
+    # (d) 45 opportunistic FROZEN refreshes, oldest evidence first —
+    #     the 9 remaining r5-verdicted entries:
+    "source_capped_sample", "sql_segment_top_spenders", "stats_moments",
+    "string_funcs_extra", "twap_by_type", "validate_lake",
+    "value_mad_outliers", "variant_json_funcs",
+    "window_distribution_ranks",
+    #     the whole 34-entry r6 cohort:
+    "agg_cube", "asof_purchase_attribution", "conditional_funcs",
+    "corpus_quality_filter", "dedup_exact_keep_first", "dedup_keep_best",
+    "embedding_norms", "fingerprints", "funnel_signup_click_purchase",
+    "gapfill_daily_revenue", "grouping_sets_revenue", "histogram_bins",
+    "lang_id", "null_handling_funcs", "pivot_segment_counts",
+    "profile_columns", "q12_priority_shipclass",
+    "q13_order_count_distribution", "q22_inactive_rich_customers",
+    "q4_order_priority_exists", "quality_scores",
+    "salted_agg_user_value", "scalar_date_funcs", "scalar_json_funcs",
+    "scalar_math_funcs", "scalar_string_funcs", "set_ops_all",
+    "stats_correlation", "tfidf_top_terms", "token_stats",
+    "train_eval_split", "unpivot_segment_counts", "window_lag_lead",
+    "window_rank_dense",
+    #     and the 2 alphabetically-first r8 entries:
+    "agg_rollup", "anomaly_suite_events",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,
@@ -4460,6 +4457,32 @@ FROZEN = frozenset({
     "sql_cohort_ltv", "stratified_sample", "target_encode_loo",
     "unigram_freq_quality", "window_running_sum",
     "window_topk_per_group", "winnowing_fingerprints",
+    # r13 freeze cohort: the 50 r9-verdicted entries aged past the
+    # 3-round bar at this rotation — all unchanged since r9 (none in
+    # any ROUND_CHANGED since), all driver-green, all re-proven by the
+    # per-run pytest oracle compare. They cycle back through windows
+    # opportunistically (this round refreshes the r5 + r6 cohorts).
+    "apdex_by_type", "autocorr_hourly_counts", "bpe_token_counts",
+    "cc_trade_graph", "chi2_type_decile", "cogroup_user_funnel",
+    "community_modularity_suppliers", "degree_distribution_suppliers",
+    "dup_family_size_histogram", "dup_spans", "fano_burstiness",
+    "feature_hash_vectors", "funnel_time_to_convert",
+    "heavy_hitters_cms", "hhi_concentration_by_segment",
+    "holt_linear_forecast", "join_anti", "join_inner", "join_semi",
+    "link_prediction_suppliers", "local_peaks_hourly",
+    "lpa_communities_suppliers", "merge_upsert_orders",
+    "multitouch_attribution", "nearest_event_join",
+    "ngram_novelty_scores", "novelty_incremental",
+    "odds_ratio_type_pairs", "order_cadence_by_customer",
+    "pareto_share_by_segment", "ppm_image_features",
+    "q1_pricing_summary", "rake_keyphrases", "rfm_segments",
+    "robust_scale_features", "seasonality_strength_hourly",
+    "session_entry_exit", "simpson_diversity_by_user",
+    "sort_limit_offset", "sssp_trade_graph", "stats_higher_moments",
+    "type_affinity_jaccard", "user_activity_streaks", "user_path_topk",
+    "value_clusters_1d", "value_migration_matrix",
+    "video_frame_features", "wasserstein_distance_pairs",
+    "wav_audio_features", "weekly_revenue_wow",
 })
 
 #: PENDING tier: {entry: round its plan/oracle last changed}. The entry

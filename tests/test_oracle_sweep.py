@@ -33,64 +33,34 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 12: populated as this round's work lands. Every entry added
+    # round 13: populated as this round's work lands. Every entry added
     # below is triple-SF-swept on each pytest run.
     #
-    # r11 verdict #3: the k-truss peel now exits at the detected
-    # fixpoint instead of running all 6 capped rounds — a PLAN change
-    # (same result by peel monotonicity; the oracle still replays the
-    # full cap). Also holds an r12 first-verdict window slot, so the
-    # verdict lands post-change as the rotation rule requires:
-    "ktruss_suppliers",
-    # rows-only gears converted to _checked twins with oracles (r11
-    # verdict #4) — new oracle text + output shape; all three also
-    # hold r12 window slots:
-    "neardup_minhash_lsh",
+    # r12 verdict #1/#3: the simhash gear's banding reworked to capped
+    # Manku block-pair tables (a PLAN change on the production gear)
+    # and the certificate slice mod now derives from the corpus count
+    # (an ORACLE change: the mod CTE). Holds the r13 post-change
+    # window slot, the r12 ktruss precedent:
     "neardup_simhash",
-    "sample_fraction",
-    # left the rows-only tier with a FULL-replay oracle (no twin
-    # needed — the pipeline was already deterministic): unrolled
-    # min-label CC over the exact blocked-Jaccard pair graph. Born
-    # after the r12 window was finalized, so it rides the sweep now
-    # and takes window priority in r13:
-    "neardup_clusters",
-    # checked-twin conversion of the composed fuzzy-dedup pipeline
-    # (keep/drop contract in-plan over the md5 group spine); same
-    # post-window-finalization timing — sweeps now, r13 window slot:
-    "fuzzy_dedup_keep",
+    # rows-only gears converted to _checked twins with oracles (r12
+    # verdict #4) — new oracle text + output shape; both also hold
+    # r13 first-verdict window slots:
+    "ann_lsh_neighbors",
+    "semdedup_embedding",
 ]
 
-#: Previous round's list (r11), kept for the PENDING-tier bookkeeping in
+#: Previous round's list (r12), kept for the PENDING-tier bookkeeping in
 #: tests/test_freshness.py. Deduplicated AT DEFINITION via dict.fromkeys
 #: (r10 advice: a doubled name re-runs sweep legs for nothing and
 #: corrupts bookkeeping counts) — the companion invariant test enforces
 #: no-duplicates on both lists every run.
 PREV_ROUND_CHANGED = list(dict.fromkeys([
-    # r10-verdict twin conversions + the bucket-spine fix (all
-    # verdicted green in r11):
-    "neardup_incremental", "supplier_communities_approx",
-    "ivf_probe_incremental", "pq_probe_incremental",
-    "histogram_equidepth_approx",
-    # early-r11 new-operator batch (verdicted green in r11):
-    "changepoint_scan_daily", "weighted_median_price_by_segment",
-    "wow_mix_rate_decomposition", "share_of_parent_rollup",
-    "clamped_running_balance", "prorate_discount_cents",
-    "markov_removal_attribution", "interval_overlap_join",
-    "key_skew_report", "ann_lsh_buckets",
-    "welch_ttest_pairs", "anova_oneway_types",
-    # late-r11 classical-stats/graph batch (r12 window slots — their
-    # first verdicts land this round):
-    "hellinger_pairs", "jensen_shannon_pairs", "cohens_d_pairs",
-    "grubbs_test_daily", "nelson_aalen_interorder",
-    "logrank_test_segments", "ols_discount_qty_by_brand",
-    "decision_stump_purchase", "rich_club_suppliers",
-    "transition_entropy_types", "kruskal_wallis_types",
-    "permutation_entropy_daily", "brown_forsythe_types",
-    "goertzel_weekly_power", "cochran_armitage_trend",
-    "variance_ratio_daily", "mcnemar_weekly_conversion",
-    "mantel_haenszel_click_purchase", "friedman_types_weekly",
-    "uncertainty_coeff_type_decile", "ktruss_suppliers",
-    "holt_winters_weekly",
+    # r11-verdict #3/#4 work, all r12-verdicted green:
+    "ktruss_suppliers", "neardup_minhash_lsh", "neardup_simhash",
+    "sample_fraction",
+    # post-r12-window oracle births — r12 triple-SF-swept, r13 window
+    # priority slots (their first post-oracle verdicts land now):
+    "neardup_clusters", "fuzzy_dedup_keep",
 ]))
 
 SF_DIRS = [

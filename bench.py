@@ -605,12 +605,33 @@ def main() -> None:
             )
             write_manifest(out_dir, {"events": files})
             one_day = ev.select(F.min("day")).first()[0]
-            (
-                spark.read.parquet(out_dir + "/events")
-                .filter(F.col("day") == F.lit(one_day))
-                .write.format("noop").mode("overwrite").save()
+            pruned = spark.read.parquet(out_dir + "/events").filter(
+                F.col("day") == F.lit(one_day)
             )
+            pruned.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # Pruned-read ASSERTION (round-13, r12 verdict #6: driver-
+            # contract depth on the partitioned posture): the day
+            # filter must reach the scan as a PARTITION filter, so the
+            # scan enumerates only the one day=... directory. A layout
+            # or filter regression that silently fell back to a full
+            # scan would still "pass" on wall-clock alone; this makes
+            # it loud. (inputFiles() can't carry this check — it lists
+            # the relation's files BEFORE pruning; the executed plan's
+            # PartitionFilters segment is the authoritative signal.)
+            plan = pruned._jdf.queryExecution().executedPlan().toString()
+            seg_start = plan.find("PartitionFilters: [")
+            seg = (
+                plan[seg_start : plan.index("]", seg_start) + 1]
+                if seg_start >= 0
+                else ""
+            )
+            if "day" not in seg:
+                raise RuntimeError(
+                    "partition pruning regressed: the day predicate is "
+                    "not a PartitionFilter on the pruned read "
+                    f"(scan segment: {seg or 'absent'})"
+                )
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["partitioned_export_events"] = round(best, 3)

@@ -179,6 +179,16 @@ SHOWCASE = [
     # filter-projection whose only exchange is the presentation sort.
     "neardup_simhash",
     "sample_fraction",
+    # round-13: the two new checked twins. ann_lsh_neighbors: the
+    # fold-lane per-table buckets as replayable payload + dual-lane
+    # parity + gear membership, all inside one certificate plan
+    # (slice all-pairs via the sanctioned BroadcastNestedLoopJoin).
+    # semdedup_embedding: quantizer assignment parity against center
+    # LITERALS + the keep/drop contract joined from the gear's own
+    # assigned/dropped frames. (neardup_simhash's section now shows
+    # the r13 cap-aware twin over the Manku block-pair gear.)
+    "ann_lsh_neighbors",
+    "semdedup_embedding",
 ]
 
 HEADER = """\

@@ -1487,6 +1487,137 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
     )
 
 
+#: Tolerance for the label_pca twin's parsed-vector contracts: pc1 is
+#: serialized at 6 decimals, so the unit-norm residual of the parsed
+#: components is <= ~2e-5 and directional variances move by <= ~2e-5
+#: relative — 1e-4 (norm) / 1e-3 (variance ratios) leave an order of
+#: magnitude of headroom while still failing loudly on any real defect
+#: (a non-eigenvector direction loses to a probe by >> 1e-3 on this
+#: geometry).
+LABEL_PCA_TOL = 1e-4
+LABEL_PCA_VAR_TOL = 1e-3
+
+
+def label_pca_checked(
+    t: dict[str, DataFrame],
+    cap: int = LABEL_PCA_CAP,
+    tol: float = LABEL_PCA_TOL,
+    var_tol: float = LABEL_PCA_VAR_TOL,
+) -> DataFrame:
+    """Driver-checkable twin of :func:`label_pca` (round 13 — the
+    checked-twin recipe): eigendecomposition itself is not
+    SQL-expressible, but the OPTIMALITY of its output is testable
+    in-plan without any eigensolver, so the certificate asserts the
+    math the gear exists to compute:
+
+    - ``n_vectors`` / ``n_fit`` — the gear's own reported group sizes,
+      hashed against DuckDB's COUNT(*) / LEAST(COUNT(*), cap): the
+      replayable payload (a miscounted or dropped group mismatches).
+    - ``unit_norm`` — the serialized pc1 parses back to a unit vector
+      (|sum of squares - 1| <= tol).
+    - ``sign_positive`` — the largest-magnitude component is positive
+      (the gear's documented sign convention — determinism depends on
+      it).
+    - ``pc1_dominates_probes`` — sample variance of the data projected
+      on pc1 is >= its variance along each of 3 fixed unit probe
+      directions (plan literals): the defining property of the top
+      eigenvector, checked variationally. Var(x . d) needs no
+      centering join (shifting by a constant leaves variance alone),
+      so this is one broadcast join + var_samp per direction.
+    - ``evr_consistent`` — the gear's explained_var_ratio equals
+      Var(x . pc1) / trace(cov) within var_tol, where the trace is
+      recomputed in-plan as the sum of per-dimension sample variances
+      (posexplode + var_samp): pins the reported ratio to the data,
+      not to the kernel's internal eigenvalues.
+
+    Contracts that depend on the fit sample are guarded to groups
+    where n_vectors <= cap (the fixture always is; an over-cap group
+    fits on a subsample the full-group variance cannot judge).
+    WHICH direction pc1 is stays rows-only (numpy eigh); this twin
+    bounds it by its optimality certificate instead."""
+    gear = label_pca(t, cap).withColumn(
+        "pc", F.expr("transform(split(pc1, ' '), x -> CAST(x AS DOUBLE))")
+    )
+    emb = t["embeddings"]
+    # three fixed unit probe directions from the shared plane pool
+    probes = []
+    for p in range(3):
+        v = np.array(_PLANES[p], dtype="float64")
+        v = v / np.linalg.norm(v)
+        probes.append("array(" + ", ".join(f"{float(c)!r}D" for c in v) + ")")
+    dots = emb.join(
+        F.broadcast(gear.select("label", "pc")), "label"
+    ).select(
+        "label",
+        F.expr(_DOT.format(a="embedding", b="pc")).alias("dp"),
+        *[
+            F.expr(_DOT.format(a="embedding", b=probes[i])).alias(f"dq{i}")
+            for i in range(3)
+        ],
+    )
+    dir_var = dots.groupBy("label").agg(
+        F.var_samp("dp").alias("vp"),
+        *[F.var_samp(f"dq{i}").alias(f"vq{i}") for i in range(3)],
+    )
+    trace = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.var_samp(F.col("v").cast("double")).alias("dv"))
+        .groupBy("label")
+        .agg(F.sum("dv").alias("tv"))
+    )
+    sq = F.expr("aggregate(pc, 0D, (a, x) -> a + x * x)")
+    sign_ok = F.expr(
+        "exists(pc, x -> abs(x) = array_max(transform(pc, y -> abs(y)))"
+        " AND x > 0)"
+    )
+    fit_is_whole_group = F.col("n_vectors") <= F.lit(cap)
+    small = F.col("n_vectors") < 2
+    dominates = _and_all(
+        *[
+            F.col("vp") + F.lit(var_tol) * F.col("tv") >= F.col(f"vq{i}")
+            for i in range(3)
+        ]
+    )
+    evr_ok = (
+        F.abs(F.col("explained_var_ratio") - F.col("vp") / F.col("tv"))
+        <= var_tol
+    )
+    return (
+        gear.join(dir_var, "label")
+        .join(trace, "label")
+        .select(
+            "label",
+            "n_vectors",
+            "n_fit",
+            (F.abs(sq - 1) <= tol).alias("unit_norm"),
+            sign_ok.alias("sign_positive"),
+            (
+                ~fit_is_whole_group | small | (F.col("tv") <= 0) | dominates
+            ).alias("pc1_dominates_probes"),
+            (
+                ~fit_is_whole_group | small | (F.col("tv") <= 0) | evr_ok
+            ).alias("evr_consistent"),
+        )
+        .orderBy("label")
+    )
+
+
+def label_pca_checked_oracle_sql(cap: int = LABEL_PCA_CAP) -> str:
+    """DuckDB side: replay the per-label group sizes and the cap rule;
+    assert the four in-plan contracts TRUE."""
+    return f"""
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(LEAST(COUNT(*), {cap}) AS BIGINT) AS n_fit,
+               TRUE AS unit_norm,
+               TRUE AS sign_positive,
+               TRUE AS pc1_dominates_probes,
+               TRUE AS evr_consistent
+        FROM embeddings GROUP BY label ORDER BY label
+        """
+
+
 #: deterministic probe slice + neighborhood size for knn_classify.
 KNN_PROBE_MOD = 20
 KNN_K = 15

@@ -1531,7 +1531,16 @@ REGISTRY.update(
             S.pq_probe_incremental_checked_oracle_sql(),
         ),
         "pq_topk": QuerySpec(_rel(S.pq_topk), None),
-        "label_pca": QuerySpec(_rel(S.label_pca), None),
+        # round-13 (r12 verdict #4, third conversion): registered
+        # entry is the checked twin — the eigensolver itself is not
+        # SQL-expressible, but its output's OPTIMALITY is: unit norm,
+        # the sign convention, variational dominance over fixed probe
+        # directions, and explained-variance consistency against the
+        # in-plan covariance trace, with the group sizes as replayable
+        # payload. The raw gear remains the grouped-map PCA API.
+        "label_pca": QuerySpec(
+            _rel(S.label_pca_checked), S.label_pca_checked_oracle_sql()
+        ),
         # ---------------- text analysis ----------------
         "token_stats": QuerySpec(
             _rel(X.token_stats),
@@ -4328,15 +4337,18 @@ REGISTRY.update(
 #       banding + the bucket cap + count-derived certificate mod, the
 #       r12 verdict's #1/#3); the verdict lands post-change exactly as
 #       the rotation rule requires (the r12 ktruss precedent);
-#   (c) the 2 rows-only gears converted to _checked twins THIS round
+#   (c) the 3 rows-only gears converted to _checked twins THIS round
 #       (r12 verdict #4): ann_lsh_neighbors (fold-lane bucket replay +
 #       dual-lane parity + within-bucket completeness/precision),
 #       semdedup_embedding (quantizer assignment parity + keep/drop
-#       contract + replayable near-mate counts) — born before this
-#       window was finalized, so they take first-verdict slots now;
-#   (d) 45 opportunistic FROZEN refreshes, oldest evidence first: the
+#       contract + replayable near-mate counts), label_pca
+#       (eigenvector optimality asserted variationally: unit norm,
+#       sign convention, probe dominance, evr-vs-trace consistency) —
+#       born before this window was finalized, so they take
+#       first-verdict slots now;
+#   (d) 44 opportunistic FROZEN refreshes, oldest evidence first: the
 #       9 remaining r5-verdicted entries, the whole 34-entry r6
-#       cohort, and the 2 alphabetically-first r8 entries. They stay
+#       cohort, and the alphabetically-first r8 entry. They stay
 #       frozen — a refresh does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r13): tests/test_oracle_sweep.py ROUND_CHANGED — the
@@ -4348,11 +4360,15 @@ REGISTRY.update(
 #     3-round bar at this rotation (the r12 freeze precedent).
 #   - fresh (r10/r11/r12 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     ivf_topk, pq_topk, label_pca, bpe_learn_merges (rows-only
-#     driver-checked r12), bpe_encode_corpus — 5 total.
-#     (Two more left this tier in r13: ann_lsh_neighbors and
-#     semdedup_embedding as _checked twins — slot (c). Each REMAINING
-#     entry's docstring states why no oracle exists.)
+#     ivf_topk, pq_topk, bpe_learn_merges (rows-only driver-checked
+#     r12), bpe_encode_corpus — 4 total.
+#     (Three more left this tier in r13: ann_lsh_neighbors,
+#     semdedup_embedding and label_pca as _checked twins — slot (c).
+#     Each REMAINING entry's docstring states why no oracle exists:
+#     the IVF/PQ top-k NEIGHBOR LISTS are quantizer-dependent — their
+#     determinism is already oracle-pinned class-wide by the
+#     probe-==-refit twins — and BPE merge learning/encoding is a
+#     sequential merge-table iteration.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4378,8 +4394,10 @@ _VERDICT_PRIORITY = [
     # (b) changed this round (r12 verdict #1/#3) — post-change verdict:
     "neardup_simhash",
     # (c) rows-only gears converted to _checked twins THIS round (r12
-    #     verdict #4) — new oracles, first verdicts now:
-    "ann_lsh_neighbors", "semdedup_embedding",
+    #     verdict #4) — new oracles, first verdicts now (label_pca's
+    #     slot displaces the second r8 refresh, anomaly_suite_events —
+    #     twins-take-slots outranks an opportunistic FROZEN refresh):
+    "ann_lsh_neighbors", "semdedup_embedding", "label_pca",
     # (d) 45 opportunistic FROZEN refreshes, oldest evidence first —
     #     the 9 remaining r5-verdicted entries:
     "source_capped_sample", "sql_segment_top_spenders", "stats_moments",
@@ -4400,8 +4418,8 @@ _VERDICT_PRIORITY = [
     "stats_correlation", "tfidf_top_terms", "token_stats",
     "train_eval_split", "unpivot_segment_counts", "window_lag_lead",
     "window_rank_dense",
-    #     and the 2 alphabetically-first r8 entries:
-    "agg_rollup", "anomaly_suite_events",
+    #     and the alphabetically-first r8 entry:
+    "agg_rollup",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,

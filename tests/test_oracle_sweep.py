@@ -43,10 +43,11 @@ ROUND_CHANGED = [
     # window slot, the r12 ktruss precedent:
     "neardup_simhash",
     # rows-only gears converted to _checked twins with oracles (r12
-    # verdict #4) — new oracle text + output shape; both also hold
-    # r13 first-verdict window slots:
+    # verdict #4) — new oracle text + output shape; all three also
+    # hold r13 first-verdict window slots:
     "ann_lsh_neighbors",
     "semdedup_embedding",
+    "label_pca",
 ]
 
 #: Previous round's list (r12), kept for the PENDING-tier bookkeeping in

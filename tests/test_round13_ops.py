@@ -406,3 +406,62 @@ def test_semdedup_twin_fixture_contracts_and_payload(spark, tables):
             )
             cnt += sim >= 0.45
         assert got[vid] == cnt, vid
+
+
+# ---------------------------------------------------------------------------
+# label_pca_checked (rows-only -> checked twin, r12 verdict #4, 3rd)
+# ---------------------------------------------------------------------------
+
+
+def test_label_pca_twin_degenerate_line_binds_contracts(spark):
+    """Embeddings collapsed onto one line: pc1 must BE that line
+    (variance along it dominates any probe by construction and evr
+    ~ 1.0), so all four contracts bind non-vacuously; a second healthy
+    label rides along."""
+    import random
+
+    import numpy as np
+
+    from parquet_export_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    d = np.zeros(64)
+    d[0], d[7] = 3.0, 4.0  # direction (0.6, 0.8) after normalization
+    rows = []
+    for i in range(12):  # label 0: exact line through the origin
+        rows.append((i, 0, list((((i % 7) - 3.0) / 2.0) * d / 5.0)))
+    for i in range(12, 24):  # label 1: isotropic cloud
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(
+        [(i, lab, [float(x) for x in v]) for i, lab, v in rows],
+        "vec_id long, label int, embedding array<float>",
+    )
+    t = {"embeddings": emb}
+    out = {r.label: r for r in S.label_pca_checked(t).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.unit_norm, r.label
+        assert r.sign_positive, r.label
+        assert r.pc1_dominates_probes, r.label
+        assert r.evr_consistent, r.label
+    assert out[0].n_vectors == 12 and out[0].n_fit == 12
+    # the degenerate label's gear row really reports evr ~ 1 and the
+    # known direction (non-vacuity of the consistency contract)
+    g = {r.label: r for r in S.label_pca(t).collect()}
+    assert g[0].explained_var_ratio > 0.999
+    pc = [float(x) for x in g[0].pc1.split(" ")]
+    assert abs(abs(pc[0]) - 0.6) < 1e-4 and abs(abs(pc[7]) - 0.8) < 1e-4
+
+
+def test_label_pca_twin_fixture_contracts(spark, tables):
+    from parquet_export_spark.operators import similarity as S
+
+    out = S.label_pca_checked(tables).collect()
+    assert out
+    for r in out:
+        assert (
+            r.unit_norm
+            and r.sign_positive
+            and r.pc1_dominates_probes
+            and r.evr_consistent
+        ), r.label

@@ -189,6 +189,10 @@ SHOWCASE = [
     # the r13 cap-aware twin over the Manku block-pair gear.)
     "ann_lsh_neighbors",
     "semdedup_embedding",
+    # label_pca twin: the grouped-map eigensolver certified
+    # variationally — Var(x . pc1) vs probe literals via one broadcast
+    # of the 10-row gear output, trace via posexplode + var_samp.
+    "label_pca",
 ]
 
 HEADER = """\

@@ -1180,7 +1180,13 @@ def neardup_simhash(
     from pyspark.sql import Window
 
     if sig is None:
-        sig = simhash_signatures(t["documents"])
+        # materialize the signatures once: the banding self-join's two
+        # branches would otherwise each re-run the O(63·tokens)
+        # signature aggregate — the gear's dominant cost — because the
+        # window above the exchange defeats ReusedExchange (plan
+        # audit, round 13). The checkpoint holds n slim rows; the
+        # twin passes its own checkpointed frame through ``sig``.
+        sig = simhash_signatures(t["documents"]).localCheckpoint()
     n = _fanout_partitions(sig)
     keyed = _simhash_keyed(sig).repartition(n, "combo", "key")
     bucket_n = F.count(F.lit(1)).over(Window.partitionBy("combo", "key"))

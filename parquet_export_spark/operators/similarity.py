@@ -1028,11 +1028,16 @@ def _semdedup_parts(
         "vec_id", "embedding", _assign_cells(emb, centers).alias("cell")
     ).withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))))
     cell_n = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    # materialize the capped assignment once: it feeds BOTH self-join
+    # branches plus the survivor anti-join, and the cell-count window
+    # above the exchange defeats ReusedExchange (the simhash-gear plan
+    # audit, round 13) — without this the Arrow kernel and the window
+    # would re-run per consumer.
     assigned = (
         assigned.repartition("cell")
         .withColumn("n_cell_mates", cell_n)
         .filter(F.col("n_cell_mates") <= max_block_size)
-    )
+    ).localCheckpoint()
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("va"),
@@ -1128,8 +1133,7 @@ def semdedup_embedding_checked(
         sample_mod = _ann_check_mod(emb.count())
     centers, assigned, dropped = _semdedup_parts(
         t, n_cells, threshold, max_block_size
-    )
-    assigned = assigned.localCheckpoint()
+    )  # assigned arrives checkpointed (see _semdedup_parts)
     dropped_marked = dropped.withColumn("is_dropped", F.lit(True))
     # slice spine with both assignment lanes
     gap_guard = F.expr(

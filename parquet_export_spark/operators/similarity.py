@@ -1413,6 +1413,116 @@ def pq_topk(
     )
 
 
+#: Recall floor for the pq_topk certificate: per query, the PQ+rerank
+#: pipeline must recover at least this fraction of the exact top-k.
+#: The pipeline is fully deterministic per fixture (seeded sample-fit
+#: codebooks, tie-broken ranks), so the measured recall is a FIXED
+#: number per SF — 1.0 at sf0.001/0.01 and min 0.8 across the 5
+#: queries at sf0.1 (rerank=48) — and a 0.7 floor has a full
+#: neighbor of headroom with zero run-to-run variance; it fails only
+#: on a real quantizer/rerank defect.
+PQ_CHECK_RECALL_FLOOR = 0.7
+
+
+def pq_topk_checked(
+    t: dict[str, DataFrame],
+    n_queries: int = 5,
+    k: int = 10,
+    rerank: int = 48,
+    recall_floor: float = PQ_CHECK_RECALL_FLOOR,
+) -> DataFrame:
+    """Driver-checkable twin of :func:`pq_topk` (round 13 — fourth
+    rows-only conversion): the gear's pytest recall evidence, promoted
+    into the plan so the driver's DuckDB hash re-verifies it every
+    round.
+
+    One row per EXACT top-k member — the :func:`cosine_topk`
+    construction, whose (query_id, neighbor_id, sim, rank) the DuckDB
+    oracle replays verbatim (the oracle-proven IEEE fold lane), so the
+    certificate's payload is the full exact ground truth, not a
+    constant — with three contracts:
+
+    - ``recall_meets_floor`` — per query: the PQ pipeline recovered at
+      least ``recall_floor`` of the exact top-k. Meaningful because
+      the whole pipeline is deterministic (seeded codebooks on a
+      hash-ordered fit sample): the measured recall per fixture is a
+      fixed number with headroom above the floor, not a random
+      variable.
+    - ``pq_value_agrees`` — when the gear did emit this neighbor, its
+      reported sim equals the exact fold cosine within 1e-9 (the
+      gear's rerank computes exact cosine in the Arrow kernel —
+      pairwise summation vs the fold differs only in the last ulps).
+    - ``pq_count_ok`` — the gear returned exactly ``k`` rows for this
+      query (the top-k contract itself).
+
+    WHICH neighbors PQ recovers stays rows-only (4-bit code
+    granularity); this twin bounds the pipeline against the exact
+    baseline every round. ``ivf_topk`` deliberately gets NO such
+    floor: probing 2 of 8 cells makes its recall 0.3-0.9 BY DESIGN
+    (measured), so a floor would be either vacuous or flappy — its
+    determinism is pinned by the probe-==-refit twin instead."""
+    exact = cosine_topk(t, n_queries, k)
+    gear = pq_topk(t, n_queries, k, rerank).select(
+        "query_id",
+        "neighbor_id",
+        F.col("sim").alias("pq_sim"),
+    )
+    j = exact.join(gear, ["query_id", "neighbor_id"], "left").withColumn(
+        "caught", F.col("pq_sim").isNotNull()
+    )
+    recall = j.groupBy("query_id").agg(
+        (
+            F.sum(F.col("caught").cast("int")).cast("double") / F.lit(k)
+            >= F.lit(recall_floor)
+        ).alias("recall_meets_floor")
+    )
+    counts = gear.groupBy("query_id").agg(
+        (F.count(F.lit(1)) == k).alias("pq_count_ok")
+    )
+    return (
+        j.join(F.broadcast(recall), "query_id")
+        .join(F.broadcast(counts), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "rank",
+            "recall_meets_floor",
+            (
+                ~F.col("caught")
+                | (F.abs(F.col("pq_sim") - F.col("sim")) <= 1e-9)
+            ).alias("pq_value_agrees"),
+            "pq_count_ok",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_checked_oracle_sql(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB side: replay the exact top-k spine (the cosine_topk
+    oracle shape — fold-lane cosine, rank ties on neighbor id), assert
+    the three in-plan contracts TRUE."""
+    return f"""
+        SELECT query_id, neighbor_id, sim, rank,
+               TRUE AS recall_meets_floor,
+               TRUE AS pq_value_agrees,
+               TRUE AS pq_count_ok
+        FROM (
+            SELECT query_id, neighbor_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       {_cos_sql_s('q.embedding', 'e.embedding')} AS sim
+                FROM embeddings e
+                JOIN (SELECT * FROM embeddings
+                      WHERE vec_id < {n_queries}) q
+                  ON e.vec_id != q.vec_id))
+        WHERE rank <= {k} ORDER BY query_id, rank
+        """
+
+
 # --------------------------------------------------------------------------
 # Grouped-map analytics (applyInPandas)
 # --------------------------------------------------------------------------

@@ -1530,7 +1530,18 @@ REGISTRY.update(
             _rel(S.pq_probe_incremental_checked),
             S.pq_probe_incremental_checked_oracle_sql(),
         ),
-        "pq_topk": QuerySpec(_rel(S.pq_topk), None),
+        # round-13 (fourth conversion, post-window — rides
+        # ROUND_CHANGED to an r14 first-verdict slot, the r12
+        # neardup_clusters precedent): registered entry is the checked
+        # twin — the exact cosine_topk ground truth as replayable
+        # payload plus a deterministic per-query recall floor, value
+        # agreement, and the k-rows contract. ivf_topk deliberately
+        # stays rows-only: 2-of-8-cell probing makes its recall 0.3-0.9
+        # BY DESIGN (a floor would be vacuous or flappy); its
+        # determinism is pinned by the probe-==-refit twin.
+        "pq_topk": QuerySpec(
+            _rel(S.pq_topk_checked), S.pq_topk_checked_oracle_sql()
+        ),
         # round-13 (r12 verdict #4, third conversion): registered
         # entry is the checked twin — the eigensolver itself is not
         # SQL-expressible, but its output's OPTIMALITY is: unit norm,
@@ -4360,15 +4371,18 @@ REGISTRY.update(
 #     3-round bar at this rotation (the r12 freeze precedent).
 #   - fresh (r10/r11/r12 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     ivf_topk, pq_topk, bpe_learn_merges (rows-only driver-checked
-#     r12), bpe_encode_corpus — 4 total.
-#     (Three more left this tier in r13: ann_lsh_neighbors,
-#     semdedup_embedding and label_pca as _checked twins — slot (c).
-#     Each REMAINING entry's docstring states why no oracle exists:
-#     the IVF/PQ top-k NEIGHBOR LISTS are quantizer-dependent — their
-#     determinism is already oracle-pinned class-wide by the
-#     probe-==-refit twins — and BPE merge learning/encoding is a
-#     sequential merge-table iteration.)
+#     ivf_topk, bpe_learn_merges (rows-only driver-checked r12),
+#     bpe_encode_corpus — 3 total.
+#     (FOUR left this tier in r13: ann_lsh_neighbors,
+#     semdedup_embedding, label_pca as _checked twins — slot (c) —
+#     and pq_topk post-window with a deterministic recall-floor
+#     certificate over the exact cosine_topk spine, riding
+#     ROUND_CHANGED to an r14 slot. Each REMAINING entry's docstring
+#     states why no oracle exists: ivf_topk's 2-of-8-cell probing
+#     makes recall 0.3-0.9 BY DESIGN — a floor would be vacuous or
+#     flappy; determinism is pinned class-wide by the probe-==-refit
+#     twins — and BPE merge learning/encoding is a sequential
+#     merge-table iteration.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.

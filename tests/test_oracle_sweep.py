@@ -48,6 +48,11 @@ ROUND_CHANGED = [
     "ann_lsh_neighbors",
     "semdedup_embedding",
     "label_pca",
+    # fourth conversion, born AFTER the r13 window was finalized (the
+    # r12 neardup_clusters/fuzzy_dedup_keep timing): the pq_topk
+    # recall-floor certificate over the exact cosine_topk spine.
+    # Rides the triple-SF sweep now, takes r14 window priority.
+    "pq_topk",
 ]
 
 #: Previous round's list (r12), kept for the PENDING-tier bookkeeping in

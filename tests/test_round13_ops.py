@@ -465,3 +465,43 @@ def test_label_pca_twin_fixture_contracts(spark, tables):
             and r.pc1_dominates_probes
             and r.evr_consistent
         ), r.label
+
+
+# ---------------------------------------------------------------------------
+# pq_topk_checked (rows-only -> checked twin, 4th conversion)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_twin_contracts_and_exact_spine(spark, tables):
+    """The twin's spine must BE the exact cosine_topk rows, and all
+    three contracts must hold; non-vacuity: the gear's overlap with
+    the exact set is recomputed driver-side and must really clear the
+    floor."""
+    from parquet_export_spark.operators import similarity as S
+
+    out = S.pq_topk_checked(tables).collect()
+    exact = S.cosine_topk(tables).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.sim) for r in out] == [
+        (r.query_id, r.rank, r.neighbor_id, r.sim) for r in exact
+    ]
+    for r in out:
+        assert r.recall_meets_floor and r.pq_value_agrees and r.pq_count_ok
+    got = {}
+    for r in S.pq_topk(tables).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = {}
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q in want:
+        overlap = len(want[q] & got.get(q, set())) / len(want[q])
+        assert overlap >= S.PQ_CHECK_RECALL_FLOOR, (q, overlap)
+
+
+def test_pq_twin_floor_flips_on_impossible_floor(spark, tables):
+    """recall_meets_floor is computed from the real join: demanding a
+    floor above 1.0 must flip it false on every row (proves the
+    boolean is live, not a literal)."""
+    from parquet_export_spark.operators import similarity as S
+
+    out = S.pq_topk_checked(tables, recall_floor=1.1).collect()
+    assert out and all(not r.recall_meets_floor for r in out)

@@ -1044,6 +1044,81 @@ def bpe_encode_corpus(
     )
 
 
+def bpe_encode_corpus_checked(
+    t: dict[str, DataFrame], n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Driver-checkable twin of :func:`bpe_encode_corpus` (round 13 —
+    fifth rows-only conversion): the exact token COUNTS stay
+    engine-specific (iterative merge application), but three
+    deterministic properties of greedy BPE are testable in-plan, per
+    document, with a fully replayable spine:
+
+    - ``n_words`` / ``n_chars`` — the gear's own reported counts,
+      hashed against DuckDB's recomputation from the raw text (the
+      replayable payload).
+    - ``bounds_ok`` — n_words <= n_bpe_tokens <= #non-space chars:
+      every word encodes to between 1 symbol and len(word) symbols
+      under ANY merge table. A kernel that dropped or double-counted
+      a word breaks the bound.
+    - ``merge_monotone`` — encoding with the full merge table yields
+      <= tokens than with the first half of the table. Sound because
+      BOTH stages are prefix-stable: merge i of the greedy learner
+      depends only on merges < i (so learning n/2 merges reproduces
+      the first n/2 of the n-merge table verbatim), and rank-order
+      application means the half-table encoding IS the full
+      encoding's intermediate symbol state — the remaining merges can
+      only combine symbols further.
+    - ``zero_iff_empty`` — a document encodes to zero tokens exactly
+      when it has zero words.
+
+    Cost: one extra (half-table) corpus kernel pass + the bounded
+    merge-learn collect, paid by the certificate only."""
+    full = bpe_encode_corpus(t, n_merges)
+    half = bpe_encode_corpus(t, max(n_merges // 2, 0)).select(
+        "doc_id", F.col("n_bpe_tokens").alias("half_tokens")
+    )
+    nonspace = t["documents"].select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+    )
+    return (
+        full.join(half, "doc_id")
+        .join(nonspace, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            (
+                (F.col("n_words") <= F.col("n_bpe_tokens"))
+                & (F.col("n_bpe_tokens") <= F.col("n_nonspace"))
+            ).alias("bounds_ok"),
+            (F.col("n_bpe_tokens") <= F.col("half_tokens")).alias(
+                "merge_monotone"
+            ),
+            (
+                (F.col("n_words") == 0) == (F.col("n_bpe_tokens") == 0)
+            ).alias("zero_iff_empty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_corpus_checked_oracle_sql() -> str:
+    """DuckDB side: recompute the word/char spine from the raw text,
+    assert the three in-plan contracts TRUE."""
+    return """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) AS INTEGER)
+                   AS n_words,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               TRUE AS bounds_ok,
+               TRUE AS merge_monotone,
+               TRUE AS zero_iff_empty
+        FROM documents ORDER BY doc_id
+        """
+
+
 #: deterministic probe slice for the self-retrieval evaluation.
 RETRIEVAL_QUERY_MOD = 50
 RETRIEVAL_QUERY_TERMS = 5

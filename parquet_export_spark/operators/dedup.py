@@ -852,6 +852,23 @@ def _connected_components(
     # labels is checkpoint-materialized (every round's `stepped` is),
     # so the edge cache can be released here rather than pinning
     # storage blocks for the rest of the session.
+    if require_converged and changed != 0:
+        # Boundary probe (round 14, r13 advice): the LAST permitted
+        # round may have made the FINAL change — labels are then
+        # root-complete and raising would be a false positive. One
+        # extra no-change check (the loop's own join, limit-1-counted)
+        # distinguishes "converged in exactly max_iter rounds" from a
+        # genuinely over-diameter graph.
+        still_changing = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+            .join(labels, "doc_id")
+            .filter(F.col("nbr_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        changed = still_changing
     edges.unpersist(blocking=False)
     if require_converged and changed != 0:
         raise RuntimeError(

@@ -1124,6 +1124,20 @@ def semdedup_embedding_checked(
       the capped population (no vector lost or double-counted between
       the anti-join and the dropped set).
 
+    Spine population (round 14, advice fix): the slice is drawn from
+    ALL embeddings — the exact population the oracle's
+    ``vec_id % md = 0`` CTE enumerates — NOT from the gear's capped
+    assigned frame. A cell that exceeds ``max_block_size`` is excluded
+    from the gear's exact scan by contract, so its slice vectors carry
+    no cell assignment; for those rows the three cell-dependent
+    contracts (``assign_parity``, ``dropped_justified``,
+    ``kept_consistent``) are vacuously TRUE via the left-join null
+    guards below (the capped-vs-oracle row sets previously diverged
+    exactly in that over-cap regime — a guaranteed driver false
+    alarm at the scale the certificate exists to cover). The
+    ``n_near_lower_slice`` payload is population-independent (pure
+    slice geometry) and stays replayable either way.
+
     WHICH vectors survive stays engine-specific (the k-means centers
     come from a numpy fit); this twin bounds the pipeline from the
     replayable side. Cost: the gear itself + one slice-vs-cell-mates
@@ -1135,12 +1149,18 @@ def semdedup_embedding_checked(
         t, n_cells, threshold, max_block_size
     )  # assigned arrives checkpointed (see _semdedup_parts)
     dropped_marked = dropped.withColumn("is_dropped", F.lit(True))
-    # slice spine with both assignment lanes
+    # slice spine from the FULL corpus (the oracle's population);
+    # cell/nrm arrive by left join from the gear's capped frame and
+    # are NULL for slice vectors in over-cap cells
     gap_guard = F.expr(
         "sorted_scores[1] - sorted_scores[0]"
     ) < ANN_SIGN_MARGIN
     spine = (
-        assigned.filter(F.col("vec_id") % sample_mod == 0)
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") % sample_mod == 0)
+        .join(
+            assigned.select("vec_id", "cell", "nrm"), "vec_id", "left"
+        )
         .withColumn("fold_scores", _fold_cell_scores("embedding", centers))
         .withColumn("sorted_scores", F.array_sort("fold_scores"))
         .withColumn(
@@ -1151,7 +1171,9 @@ def semdedup_embedding_checked(
         )
         .withColumn(
             "assign_parity",
-            (F.col("cell") == F.col("fold_cell")) | gap_guard,
+            F.col("cell").isNull()
+            | (F.col("cell") == F.col("fold_cell"))
+            | gap_guard,
         )
         .select(
             "vec_id", "embedding", "cell", "nrm", "assign_parity"
@@ -1545,22 +1567,31 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
     mode-collapsed content, the vector-space analog of the repetition
     gates.
 
-    Scale contract: one shuffle on ``label``; each group is capped at
-    ``cap`` rows (deterministic min-vec_id sample) before the O(dim²·n)
-    covariance, so a hot label bounds worker memory exactly like the
-    fit caps elsewhere. Output is scalars + a stringified unit vector
-    (registration rule: no array columns). Deterministic: rows are
-    sorted by vec_id before accumulation, the eigenvector sign is
-    fixed by its largest-magnitude component, and values are rounded.
-    Non-SQL -> rows-only driver check; pinned against an independent
-    numpy computation in pytest.
+    Scale contract: the cap is applied BEFORE the grouped map (round
+    14, r13 verdict #1 — an in-kernel ``.head(cap)`` would bound the
+    covariance math but not the materialization: ``applyInPandas``
+    loads the whole group into one Arrow batch first, so a hot label
+    with 10^8 vectors would OOM its worker). Instead a ``row_number``
+    window on (label, vec_id) — the SAME shuffle key the grouped map
+    needs, and WindowExec streams its running frame with external-sort
+    spill, never buffering the group — filters to the ``cap``
+    smallest-vec_id rows per label, so the Arrow batch the kernel sees
+    is <= ``cap`` rows BY PLAN. ``n_vectors`` (the uncapped group
+    size) comes from a separate map-side-combinable
+    ``groupBy(label).count()`` joined onto the one-row-per-label fit
+    output. Output is scalars + a stringified unit vector
+    (registration rule: no array columns). Deterministic: the window
+    order and the kernel's sort agree (vec_id), the eigenvector sign
+    is fixed by its largest-magnitude component, and values are
+    rounded. The cap location is pinned by a plan test (the window +
+    filter must sit UPSTREAM of FlatMapGroupsInPandas).
     """
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
             T.StructField("label", T.IntegerType()),
-            T.StructField("n_vectors", T.LongType()),
             T.StructField("n_fit", T.LongType()),
             T.StructField("explained_var_ratio", T.DoubleType()),
             T.StructField("pc1", T.StringType()),
@@ -1568,8 +1599,7 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
     )
 
     def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        n_all = len(pdf)
-        pdf = pdf.sort_values("vec_id").head(cap)
+        pdf = pdf.sort_values("vec_id")
         x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         x = x - x.mean(axis=0)
         cov = (x.T @ x) / max(len(x) - 1, 1)
@@ -1584,7 +1614,6 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
             [
                 {
                     "label": int(key[0]),
-                    "n_vectors": n_all,
                     "n_fit": len(pdf),
                     "explained_var_ratio": round(evr, 6),
                     "pc1": " ".join(f"{c:.6f}" for c in pc),
@@ -1592,11 +1621,27 @@ def label_pca(t: dict[str, DataFrame], cap: int = LABEL_PCA_CAP) -> DataFrame:
             ]
         )
 
+    emb = t["embeddings"].select("label", "vec_id", "embedding")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    capped = (
+        emb.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
     return (
-        t["embeddings"]
-        .select("label", "vec_id", "embedding")
-        .groupBy("label")
+        capped.groupBy("label")
         .applyInPandas(fit, schema)
+        .join(counts, "label")
+        .select(
+            "label", "n_vectors", "n_fit", "explained_var_ratio", "pc1"
+        )
         .orderBy("label")
     )
 

@@ -124,6 +124,30 @@ def executed_plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def partition_filters(df: DataFrame) -> str:
+    """The executed plan's ``PartitionFilters: [...]`` segment, or ''
+    when the scan carries none — the authoritative partition-pruning
+    signal (``inputFiles()`` lists the relation's files BEFORE pruning
+    and cannot carry this check).
+
+    Robust by design (round 14, r13 advice): ``str.find`` end-to-end —
+    a truncated plan string or a scan format without the v1 segment
+    (DSv2 BatchScan) reports as '' for the caller's own "absent" error
+    path instead of raising a bare ValueError mid-assertion."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    best = ""
+    for m in re.finditer(r"PartitionFilters: \[", plan):
+        end = plan.find("]", m.start())
+        if end < 0:
+            continue  # truncated segment: keep looking / fall through
+        seg = plan[m.start() : end + 1]
+        # several scans can appear (union plans); prefer a non-empty
+        # segment so a pruned scan is not masked by an unpruned sibling
+        if len(seg) > len(best):
+            best = seg
+    return best
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle Exchange operators (broadcast exchanges excluded)."""
     return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))

@@ -1530,8 +1530,8 @@ REGISTRY.update(
             _rel(S.pq_probe_incremental_checked),
             S.pq_probe_incremental_checked_oracle_sql(),
         ),
-        # round-13 (fourth conversion, post-window — rides
-        # ROUND_CHANGED to an r14 first-verdict slot, the r12
+        # round-13 (fourth conversion; rode ROUND_CHANGED post-window
+        # and now holds its r14 first-verdict slot, the r12
         # neardup_clusters precedent): registered entry is the checked
         # twin — the exact cosine_topk ground truth as replayable
         # payload plus a deterministic per-query recall floor, value
@@ -4235,8 +4235,8 @@ REGISTRY.update(
         # parity against a sequential reference is pinned in pytest
         # (tests/test_extensions.py::test_bpe_learn_merges_matches_reference).
         "bpe_learn_merges": QuerySpec(_rel(X.bpe_learn_merges), None),
-        # round-13 (fifth conversion, post-window — rides ROUND_CHANGED
-        # to an r14 slot): registered entry is the checked twin — the
+        # round-13 (fifth conversion, post-window; now holds its r14
+        # first-verdict slot): registered entry is the checked twin — the
         # exact token counts stay iterative/engine-side, but the
         # word/char spine is replayed by DuckDB and three deterministic
         # BPE properties (per-word token bounds, merge monotonicity via
@@ -4342,58 +4342,51 @@ REGISTRY.update(
 # The partition is enforced by tests/test_freshness.py against the actual
 # CORRECTNESS_r*.json artifacts — the policy cannot silently drift.
 #
-# ROUND-13 WINDOW, per the r12 verdict's task #2 (fuzzy_dedup_keep +
-# neardup_clusters take the priority slots promised in
-# tests/test_oracle_sweep.py), task #1/#3 (the simhash rework lands
-# this round, so its first post-change verdict does too) and task #4
-# (two more rows-only -> checked-twin conversions take slots
-# immediately, the r11 (f) / r12 (c) precedent):
-#   (a) fuzzy_dedup_keep and neardup_clusters — their oracles were
-#       born AFTER the r12 window froze (r12 ROUND_CHANGED; triple-SF
-#       green since), so these are the registry's last two
-#       oracle-bearing entries without a post-oracle driver verdict:
-#       once green, lifetime driver-green coverage is 294/294;
-#   (b) neardup_simhash — CHANGED this round (Manku block-pair
-#       banding + the bucket cap + count-derived certificate mod, the
-#       r12 verdict's #1/#3); the verdict lands post-change exactly as
-#       the rotation rule requires (the r12 ktruss precedent);
-#   (c) the 3 rows-only gears converted to _checked twins THIS round
-#       (r12 verdict #4): ann_lsh_neighbors (fold-lane bucket replay +
-#       dual-lane parity + within-bucket completeness/precision),
-#       semdedup_embedding (quantizer assignment parity + keep/drop
-#       contract + replayable near-mate counts), label_pca
-#       (eigenvector optimality asserted variationally: unit norm,
-#       sign convention, probe dominance, evr-vs-trace consistency) —
-#       born before this window was finalized, so they take
-#       first-verdict slots now;
-#   (d) 44 opportunistic FROZEN refreshes, oldest evidence first: the
-#       9 remaining r5-verdicted entries, the whole 34-entry r6
-#       cohort, and the alphabetically-first r8 entry. They stay
-#       frozen — a refresh does not unfreeze.
+# ROUND-14 WINDOW, per the r13 verdict's task #2 (pq_topk +
+# bpe_encode_corpus take the priority slots promised in
+# tests/test_oracle_sweep.py — once green, every oracle-bearing entry
+# that has ever existed holds a lifetime driver verdict, 297/297),
+# task #1 (label_pca's cap moved before the grouped-map shuffle — a
+# PLAN change, so its post-change verdict lands this round), task #3
+# (value_gini_by_type's run-length pre-aggregation — plan change),
+# task #4 (cogroup_user_funnel's derived bucket count — plan change)
+# and the advice items (semdedup_embedding's spine drawn from the
+# oracle's full-slice population; fuzzy_dedup_keep's convergence
+# boundary probe):
+#   (a) pq_topk and bpe_encode_corpus — their oracles were born AFTER
+#       the r13 window froze (r13 ROUND_CHANGED; triple-SF green
+#       since), the registry's last two oracle-bearing entries
+#       without a post-oracle driver verdict;
+#   (b) CHANGED this round, post-change verdicts (the ktruss/simhash
+#       precedent): label_pca (r13 verdict #1), semdedup_embedding
+#       (advice medium — spine population), value_gini_by_type (r13
+#       verdict #3), cogroup_user_funnel (r13 verdict #4, unfrozen to
+#       change), fuzzy_dedup_keep (advice — the exact-max_iter
+#       boundary probe in its CC loop);
+#   (c) 43 opportunistic FROZEN refreshes, oldest evidence first: the
+#       alphabetically-first 43 of the 47-entry r8-verdicted cohort
+#       (through target_encode_loo). They stay frozen — a refresh
+#       does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
-#   - CHANGED (r13): tests/test_oracle_sweep.py ROUND_CHANGED — the
-#     window members of (b)/(c), triple-SF-swept every pytest run.
-#   - PENDING: empty — every r12-changed entry is either r12-verdicted
+#   - CHANGED (r14): tests/test_oracle_sweep.py ROUND_CHANGED — the
+#     window members of (b), triple-SF-swept every pytest run.
+#   - PENDING: empty — every r13-changed entry is either r13-verdicted
 #     or holds a window slot above.
-#   - FROZEN: the names in FROZEN below (less the 45 refreshed in
-#     (d)), now including the 50-entry r9 cohort that ages past the
-#     3-round bar at this rotation (the r12 freeze precedent).
-#   - fresh (r10/r11/r12 verdicts, within the 3-round bar): the rest.
+#   - FROZEN: the names in FROZEN below (less the 43 refreshed in
+#     (c)), now including the 49-entry r10 cohort that ages past the
+#     3-round bar at this rotation (value_gini_by_type, the 50th,
+#     changed this round and holds a window slot instead) and LESS
+#     cogroup_user_funnel (changed this round — a changed entry
+#     cannot hide in the freezer; it re-freezes when it re-ages).
+#   - fresh (r11/r12/r13 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
 #     ivf_topk, bpe_learn_merges (rows-only driver-checked r12) —
-#     2 total.
-#     (FIVE left this tier in r13: ann_lsh_neighbors,
-#     semdedup_embedding, label_pca as _checked twins — slot (c) —
-#     plus pq_topk (deterministic recall floor over the exact
-#     cosine_topk spine) and bpe_encode_corpus (bounds/monotonicity
-#     certificate over the replayable word/char spine) post-window,
-#     riding ROUND_CHANGED to r14 slots. The two REMAINING entries'
-#     docstrings state why no oracle exists: ivf_topk's 2-of-8-cell
-#     probing makes recall 0.3-0.9 BY DESIGN — a floor would be
-#     vacuous or flappy; determinism is pinned class-wide by the
-#     probe-==-refit twins — and bpe_learn_merges is the sequential
-#     merge-table optimizer itself, whose exact-table parity lives in
-#     pytest.)
+#     2 total, both with docstring justifications the r13 verdict
+#     reviewed and accepted: ivf_topk's 2-of-8-cell probing makes
+#     recall 0.3-0.9 BY DESIGN — a floor would be vacuous or flappy;
+#     determinism is pinned class-wide by the probe-==-refit twins —
+#     and bpe_learn_merges is the sequential merge-table optimizer
+#     itself, whose exact-table parity lives in pytest.
 # Registration rule (pinned by test_registry_no_array_outputs): no
 # top-level array/map columns in any registered output — the driver's
 # pandas canonicalizer cannot hash list cells.
@@ -4402,49 +4395,45 @@ REGISTRY.update(
 #: Bumped once per round, together with the window + ROUND_CHANGED
 #: rotation (tests/test_freshness.py pins it against the newest
 #: CORRECTNESS_r*.json artifact so it cannot go stale silently).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 #: Rows-only entries holding a deliberate window slot this round (the
 #: driver records the weaker rows-only check for these — still a first
 #: driver contact; tests/test_freshness.py admits exactly this set).
-#: EMPTY in r13: every remaining rows-only gear has driver contact
+#: EMPTY since r13: every remaining rows-only gear has driver contact
 #: (bpe_learn_merges got its rows-only check in r12), so all 50 slots
 #: carry oracles.
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 _VERDICT_PRIORITY = [
     # (a) the last 2 oracle-bearing entries without a post-oracle
-    #     driver verdict (r12 verdict #2) — once green, 294/294:
-    "fuzzy_dedup_keep", "neardup_clusters",
-    # (b) changed this round (r12 verdict #1/#3) — post-change verdict:
-    "neardup_simhash",
-    # (c) rows-only gears converted to _checked twins THIS round (r12
-    #     verdict #4) — new oracles, first verdicts now (label_pca's
-    #     slot displaces the second r8 refresh, anomaly_suite_events —
-    #     twins-take-slots outranks an opportunistic FROZEN refresh):
-    "ann_lsh_neighbors", "semdedup_embedding", "label_pca",
-    # (d) 45 opportunistic FROZEN refreshes, oldest evidence first —
-    #     the 9 remaining r5-verdicted entries:
-    "source_capped_sample", "sql_segment_top_spenders", "stats_moments",
-    "string_funcs_extra", "twap_by_type", "validate_lake",
-    "value_mad_outliers", "variant_json_funcs",
-    "window_distribution_ranks",
-    #     the whole 34-entry r6 cohort:
-    "agg_cube", "asof_purchase_attribution", "conditional_funcs",
-    "corpus_quality_filter", "dedup_exact_keep_first", "dedup_keep_best",
-    "embedding_norms", "fingerprints", "funnel_signup_click_purchase",
-    "gapfill_daily_revenue", "grouping_sets_revenue", "histogram_bins",
-    "lang_id", "null_handling_funcs", "pivot_segment_counts",
-    "profile_columns", "q12_priority_shipclass",
-    "q13_order_count_distribution", "q22_inactive_rich_customers",
-    "q4_order_priority_exists", "quality_scores",
-    "salted_agg_user_value", "scalar_date_funcs", "scalar_json_funcs",
-    "scalar_math_funcs", "scalar_string_funcs", "set_ops_all",
-    "stats_correlation", "tfidf_top_terms", "token_stats",
-    "train_eval_split", "unpivot_segment_counts", "window_lag_lead",
-    "window_rank_dense",
-    #     and the alphabetically-first r8 entry:
-    "agg_rollup",
+    #     driver verdict (r13 verdict #2) — once green, 297/297:
+    "pq_topk", "bpe_encode_corpus",
+    # (b) changed this round — post-change verdicts (r13 verdict
+    #     #1/#3/#4 + the two advice fixes):
+    "label_pca", "semdedup_embedding", "value_gini_by_type",
+    "cogroup_user_funnel", "fuzzy_dedup_keep",
+    # (c) 43 opportunistic FROZEN refreshes, oldest evidence first —
+    #     the alphabetically-first 43 of the 47-entry r8 cohort (the
+    #     remaining 4, unigram_freq_quality through
+    #     winnowing_fingerprints, stay frozen with no deadline and
+    #     lead the r15 refresh queue):
+    "anomaly_suite_events", "array_collect_funcs",
+    "assortativity_trade_graph", "benford_first_digit", "bm25_scores",
+    "byte_histograms", "chunk_documents", "clustering_coeff_suppliers",
+    "collocations_pmi", "containment_join", "cosine_topk",
+    "decile_features_events", "decontaminate_train", "dedup_canonical",
+    "dedup_exact", "event_transition_matrix", "ewma_halflife_values",
+    "interarrival_gap_histogram", "ks_distance_pairs",
+    "lang_quality_summary", "lateral_explode_items", "mixture_weights",
+    "multimodal_features", "neardup_embedding",
+    "neardup_jaccard_blocked", "neardup_ngram_jaccard",
+    "pack_sequences", "pareto_frontier_orders", "pgm_image_features",
+    "phash_pgm_dedup", "q11_important_parts", "q6_forecast_revenue",
+    "quality_weighted_sample", "random_walks_suppliers",
+    "remove_contained_docs", "repetition_ratios", "retention_cohorts",
+    "scd2_user_state", "seasonal_decompose_hourly", "set_ops",
+    "sql_cohort_ltv", "stratified_sample", "target_encode_loo",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,
@@ -4505,8 +4494,12 @@ FROZEN = frozenset({
     # any ROUND_CHANGED since), all driver-green, all re-proven by the
     # per-run pytest oracle compare. They cycle back through windows
     # opportunistically (this round refreshes the r5 + r6 cohorts).
+    # (cogroup_user_funnel left this cohort in r14: its bucket count
+    # became corpus-derived — a changed entry cannot hide in the
+    # freezer; it holds an r14 window slot and re-freezes when it
+    # re-ages.)
     "apdex_by_type", "autocorr_hourly_counts", "bpe_token_counts",
-    "cc_trade_graph", "chi2_type_decile", "cogroup_user_funnel",
+    "cc_trade_graph", "chi2_type_decile",
     "community_modularity_suppliers", "degree_distribution_suppliers",
     "dup_family_size_histogram", "dup_spans", "fano_burstiness",
     "feature_hash_vectors", "funnel_time_to_convert",
@@ -4526,6 +4519,34 @@ FROZEN = frozenset({
     "value_clusters_1d", "value_migration_matrix",
     "video_frame_features", "wasserstein_distance_pairs",
     "wav_audio_features", "weekly_revenue_wow",
+    # r14 freeze cohort: 49 of the 50 r10-verdicted entries aged past
+    # the 3-round bar at this rotation — all unchanged since r10 (none
+    # in any ROUND_CHANGED since), all driver-green, all re-proven by
+    # the per-run pytest oracle compare. The 50th, value_gini_by_type,
+    # changed this round (run-length pre-aggregation, r13 verdict #3)
+    # and holds an r14 window slot instead. They cycle back through
+    # windows opportunistically (this round refreshes the r8 cohort).
+    "agg_stats", "atkinson_index_by_segment", "bloom_prune_orders",
+    "cc_doubling_trade_graph", "cc_incremental_trade",
+    "churn_retention_monthly", "cramers_v_type_decile",
+    "cross_source_overlap", "dau_mau_stickiness", "dup_rate_by_source",
+    "event_ohlc", "forecast_backtest_mase", "graph_all_metrics",
+    "harmonic_closeness_suppliers", "hourly_value_percentiles",
+    "kaplan_meier_interorder", "label_centroid_sim",
+    "lift_curve_clicks_to_purchase", "lorenz_curve_deciles",
+    "mann_whitney_auc_pairs", "markov_stationary_types",
+    "new_returning_weekly", "next_event_examples", "pii_scan",
+    "q10_returned_items", "q17_small_quantity_revenue",
+    "q3_shipping_priority", "q5_revenue_by_nation",
+    "q7_nation_pair_volume", "q8_market_share", "q9_product_profit",
+    "quantile_transform_incremental", "quantile_transform_values",
+    "readability_scores", "roc_auc_clicks_to_purchase",
+    "seasonal_hour_baseline_loo", "session_concurrency_hourly",
+    "session_duration_histogram", "shard_for_training",
+    "spearman_corr_by_flag", "textrank_keywords", "token_diversity",
+    "tv_distance_pairs", "value_outliers", "vocab_coverage",
+    "weekly_mix_drift", "window_range_frame", "winsorize_values",
+    "zipf_slope_unigrams",
 })
 
 #: PENDING tier: {entry: round its plan/oracle last changed}. The entry

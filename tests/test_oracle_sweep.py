@@ -33,43 +33,44 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 13: populated as this round's work lands. Every entry added
+    # round 14: populated as this round's work lands. Every entry added
     # below is triple-SF-swept on each pytest run.
     #
-    # r12 verdict #1/#3: the simhash gear's banding reworked to capped
-    # Manku block-pair tables (a PLAN change on the production gear)
-    # and the certificate slice mod now derives from the corpus count
-    # (an ORACLE change: the mod CTE). Holds the r13 post-change
-    # window slot, the r12 ktruss precedent:
-    "neardup_simhash",
-    # rows-only gears converted to _checked twins with oracles (r12
-    # verdict #4) — new oracle text + output shape; all three also
-    # hold r13 first-verdict window slots:
-    "ann_lsh_neighbors",
-    "semdedup_embedding",
+    # r13 verdict #1: label_pca's group cap moved BEFORE the
+    # grouped-map shuffle (row_number window + filter upstream of
+    # FlatMapGroupsInPandas; n_vectors from a separate count join) —
+    # a PLAN change, oracle unchanged:
     "label_pca",
-    # fourth + fifth conversions, born AFTER the r13 window was
-    # finalized (the r12 neardup_clusters/fuzzy_dedup_keep timing):
-    # the pq_topk recall-floor certificate over the exact cosine_topk
-    # spine, and the bpe_encode_corpus bounds/monotonicity certificate
-    # over the replayable word/char spine. Both ride the triple-SF
-    # sweep now and take r14 window priority.
-    "pq_topk",
-    "bpe_encode_corpus",
+    # r13 advice (medium): the twin's slice spine now drawn from ALL
+    # embeddings (the oracle's population), cell-dependent contracts
+    # vacuously TRUE for slice vectors in over-cap cells:
+    "semdedup_embedding",
+    # r13 verdict #3: the hot-group fix implemented — exact
+    # (micro-value, count) pre-aggregation before the UDAF, Gini over
+    # run-lengths (support-bounded kernel input, identical ppb):
+    "value_gini_by_type",
+    # r13 verdict #4: n_buckets derived from a bounded count action
+    # (ceil(relevant/100k), parallelism floor) instead of fixed 64;
+    # output invariant under bucketing, oracle unchanged:
+    "cogroup_user_funnel",
+    # r13 advice: the exact-max_iter convergence boundary in the CC
+    # loop no longer raises a false positive (one extra no-change
+    # probe before the require_converged RuntimeError):
+    "fuzzy_dedup_keep",
 ]
 
-#: Previous round's list (r12), kept for the PENDING-tier bookkeeping in
+#: Previous round's list (r13), kept for the PENDING-tier bookkeeping in
 #: tests/test_freshness.py. Deduplicated AT DEFINITION via dict.fromkeys
 #: (r10 advice: a doubled name re-runs sweep legs for nothing and
 #: corrupts bookkeeping counts) — the companion invariant test enforces
 #: no-duplicates on both lists every run.
 PREV_ROUND_CHANGED = list(dict.fromkeys([
-    # r11-verdict #3/#4 work, all r12-verdicted green:
-    "ktruss_suppliers", "neardup_minhash_lsh", "neardup_simhash",
-    "sample_fraction",
-    # post-r12-window oracle births — r12 triple-SF-swept, r13 window
+    # r12-verdict #1/#3/#4 work, all r13-verdicted green:
+    "neardup_simhash", "ann_lsh_neighbors", "semdedup_embedding",
+    "label_pca",
+    # post-r13-window oracle births — r13 triple-SF-swept, r14 window
     # priority slots (their first post-oracle verdicts land now):
-    "neardup_clusters", "fuzzy_dedup_keep",
+    "pq_topk", "bpe_encode_corpus",
 ]))
 
 SF_DIRS = [

@@ -1360,3 +1360,36 @@ def test_unhinted_dimensions_still_broadcast_locally(spark, sf_dir):
     SF-scaling frames."""
     df = q("q5_revenue_by_nation", spark, sf_dir)
     assert P.count_broadcast_joins(df) >= 4
+
+
+def test_partitioned_export_read_back_prunes(spark, tmp_path):
+    """The partitioned-lake posture's pruning contract, suite-side
+    (round 14, r13 verdict #5 — promoted from bench.py's export
+    assertion so a layout/filter regression fails pytest too): a
+    day-partitioned export read back with a day predicate must carry
+    that predicate as a PartitionFilter on the scan — the executed
+    plan's segment, not inputFiles(), is the authoritative signal —
+    while a non-partitioned scan reports '' (the helper's 'absent'
+    path, r13 advice: no bare ValueError on missing brackets)."""
+    from parquet_export_spark.export.writer import write_table
+    from parquet_export_spark.tables import TableSpec
+
+    ev = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 4).cast("int")).alias("day"),
+        (F.col("id") * 2).alias("value"),
+    )
+    spec = TableSpec(name="events_p", datatypes={}, rows_per_file=1000)
+    write_table(ev, str(tmp_path), spec, partition_by=["day"])
+    pruned = spark.read.parquet(str(tmp_path) + "/events_p").filter(
+        F.col("day") == F.lit("2024-01-02").cast("date")
+    )
+    assert pruned.count() == 50
+    seg = P.partition_filters(pruned)
+    assert seg.startswith("PartitionFilters: [") and "day" in seg, seg
+    # the 'absent' lane: an unpartitioned scan of the same data
+    flat = spark.read.parquet(str(tmp_path) + "/events_p")
+    flat.count()
+    assert "day" not in P.partition_filters(
+        flat.filter(F.col("value") > 100)
+    )

@@ -286,6 +286,12 @@ HEADLINE = [
     "neardup_simhash",
     "sample_fraction",
     "neardup_clusters",
+    # round-14: the fifth r13 twin conversion gets its first bench
+    # record alongside its first driver verdict (pq_topk, the fourth,
+    # was already a headline member under its gear name). Appended at
+    # the END so earlier positions in timings_cs stay comparable
+    # across rounds:
+    "bpe_encode_corpus",
 ]
 
 

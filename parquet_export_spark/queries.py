@@ -4369,7 +4369,9 @@ REGISTRY.update(
 #       does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r14): tests/test_oracle_sweep.py ROUND_CHANGED — the
-#     window members of (b), triple-SF-swept every pytest run.
+#     window members of (b) plus bpe_encode_corpus from (a) (its
+#     twin's half pass now slices the learned table instead of
+#     re-running the learner), triple-SF-swept every pytest run.
 #   - PENDING: empty — every r13-changed entry is either r13-verdicted
 #     or holds a window slot above.
 #   - FROZEN: the names in FROZEN below (less the 43 refreshed in

@@ -57,6 +57,12 @@ ROUND_CHANGED = [
     # loop no longer raises a false positive (one extra no-change
     # probe before the require_converged RuntimeError):
     "fuzzy_dedup_keep",
+    # r14 perf: the twin's half-table pass now encodes against the
+    # learned table's first-half SLICE instead of re-running the
+    # iterative learner at n/2 (licensed by the pytest-pinned
+    # prefix-stability property; 15.0 s -> 10.3 s at sf0.1). Plan
+    # change on the registered twin; already holds window slot 2:
+    "bpe_encode_corpus",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

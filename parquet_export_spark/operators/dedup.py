@@ -549,7 +549,14 @@ def neardup_minhash_lsh_checked(
     shingles + the gear itself — paid by the certificate only, never
     by the production path. The ground-truth side is block-capped
     (``max_block_size``) exactly like the exact baseline, so the twin
-    inherits its scale guard; the gear side stays unblocked."""
+    inherits its scale guard; the gear side stays unblocked.
+
+    The joined pair frame (bounded: ground-truth pairs over capped
+    blocks) feeds both the recall aggregate and the final select, so
+    it is materialized once (round 14 — the _semdedup_parts
+    precedent): without the checkpoint each branch re-ran BOTH corpus
+    pipelines, the exact-Jaccard pass and the LSH gear (19 parquet
+    scans in the executed plan)."""
     docs = t["documents"]
     capped = _capped_blocks(docs, max_block_size)
     toks = _shingles(capped).join(
@@ -561,7 +568,7 @@ def neardup_minhash_lsh_checked(
     ).withColumnRenamed("jaccard", "lsh_jaccard")
     joined = exact.join(lsh, ["doc_a", "doc_b"], "left").withColumn(
         "caught", F.col("lsh_jaccard").isNotNull()
-    )
+    ).localCheckpoint()
     recall_ok = joined.agg(
         (
             F.avg(F.col("caught").cast("double")) >= F.lit(recall_floor)

@@ -818,7 +818,14 @@ def ann_lsh_neighbors_checked(
       pairwise vs sequential fold).
 
     The gear runs on the FULL corpus (the twin certifies the shipped
-    operator); only the reference enumeration is slice-bounded."""
+    operator); only the reference enumeration is slice-bounded.
+
+    The slice frame (``docs``, ~constant rows by the derived mod)
+    feeds both sides of the pair self-join, so it is materialized
+    once (round 14 — the _semdedup_parts precedent): without the
+    checkpoint each side re-scanned the corpus and re-ran the numpy
+    bucket kernel + fold lanes (14 Arrow/kernel nodes, 10 parquet
+    scans in the executed plan)."""
     emb = t["embeddings"]
     if sample_mod is None:
         # bounded metadata action — same budget class as the index fits
@@ -847,7 +854,7 @@ def ann_lsh_neighbors_checked(
             ),
         )
         .withColumn("certain", F.col("margin") >= ANN_SIGN_MARGIN)
-    )
+    ).localCheckpoint()
     a = docs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -1155,11 +1162,21 @@ def semdedup_embedding_checked(
     gap_guard = F.expr(
         "sorted_scores[1] - sorted_scores[0]"
     ) < ANN_SIGN_MARGIN
+    # the right side is pre-filtered to the SAME slice and broadcast:
+    # joining the ~constant-size spine against the corpus-sized
+    # assigned frame directly would shuffle the corpus to serve a few
+    # hundred rows (assigned is checkpointed, so the slice filter is a
+    # cheap scan, never a recompute of the assignment kernel)
     spine = (
         emb.select("vec_id", "embedding")
         .filter(F.col("vec_id") % sample_mod == 0)
         .join(
-            assigned.select("vec_id", "cell", "nrm"), "vec_id", "left"
+            F.broadcast(
+                assigned.filter(F.col("vec_id") % sample_mod == 0)
+                .select("vec_id", "cell", "nrm")
+            ),
+            "vec_id",
+            "left",
         )
         .withColumn("fold_scores", _fold_cell_scores("embedding", centers))
         .withColumn("sorted_scores", F.array_sort("fold_scores"))
@@ -1482,13 +1499,21 @@ def pq_topk_checked(
     baseline every round. ``ivf_topk`` deliberately gets NO such
     floor: probing 2 of 8 cells makes its recall 0.3-0.9 BY DESIGN
     (measured), so a floor would be either vacuous or flappy — its
-    determinism is pinned by the probe-==-refit twin instead."""
-    exact = cosine_topk(t, n_queries, k)
+    determinism is pinned by the probe-==-refit twin instead.
+
+    Both input frames are n_queries*k rows and feed MULTIPLE plan
+    branches (j twice, gear three times counting the recall and
+    count aggregates), so each is materialized once (round 14 — the
+    r13 _semdedup_parts precedent): without the checkpoint every
+    consumer branch re-ran the full corpus ADC/top-k kernels (12
+    ArrowEvalPython nodes, 20 parquet scans in the executed plan; 0
+    corpus re-scans after)."""
+    exact = cosine_topk(t, n_queries, k).localCheckpoint()
     gear = pq_topk(t, n_queries, k, rerank).select(
         "query_id",
         "neighbor_id",
         F.col("sim").alias("pq_sim"),
-    )
+    ).localCheckpoint()
     j = exact.join(gear, ["query_id", "neighbor_id"], "left").withColumn(
         "caught", F.col("pq_sim").isNotNull()
     )
@@ -1693,10 +1718,17 @@ def label_pca_checked(
     where n_vectors <= cap (the fixture always is; an over-cap group
     fits on a subsample the full-group variance cannot judge).
     WHICH direction pc1 is stays rows-only (numpy eigh); this twin
-    bounds it by its optimality certificate instead."""
+    bounds it by its optimality certificate instead.
+
+    The gear output (one row per label) feeds THREE plan branches
+    (the dots broadcast, the final join spine, and the contracts'
+    column sources), so it is materialized once (round 14 — the
+    _semdedup_parts precedent): without the checkpoint each branch
+    re-ran the whole grouped-map PCA pass over the corpus (4
+    FlatMapGroupsInPandas nodes in the executed plan; 1 after)."""
     gear = label_pca(t, cap).withColumn(
         "pc", F.expr("transform(split(pc1, ' '), x -> CAST(x AS DOUBLE))")
-    )
+    ).localCheckpoint()
     emb = t["embeddings"]
     # three fixed unit probe directions from the shared plane pool
     probes = []

@@ -4369,9 +4369,11 @@ REGISTRY.update(
 #       does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
 #   - CHANGED (r14): tests/test_oracle_sweep.py ROUND_CHANGED — the
-#     window members of (b) plus bpe_encode_corpus from (a) (its
-#     twin's half pass now slices the learned table instead of
-#     re-running the learner), triple-SF-swept every pytest run.
+#     window members of (b) plus both (a) entries (bpe_encode_corpus:
+#     the twin's half pass now slices the learned table instead of
+#     re-running the learner; pq_topk: its two tiny input frames are
+#     checkpointed so consumer branches stop re-running the corpus
+#     kernels), triple-SF-swept every pytest run.
 #   - PENDING: empty — every r13-changed entry is either r13-verdicted
 #     or holds a window slot above.
 #   - FROZEN: the names in FROZEN below (less the 43 refreshed in
@@ -4554,11 +4556,16 @@ FROZEN = frozenset({
 #: PENDING tier: {entry: round its plan/oracle last changed}. The entry
 #: was triple-SF-swept in that round but its latest driver verdict
 #: predates the change; it must take a window slot within 3 rounds of
-#: the change (enforced by tests/test_freshness.py). EMPTY since r12:
-#: the 8 r9 artifact-probe entries drained green in the r11 window, and
-#: every r11-changed entry either carries an r11 verdict or holds an
-#: r12 window slot above.
-PENDING_VERDICT: dict[str, int] = {}
+#: the change (enforced by tests/test_freshness.py).
+#: r14: the registry-wide plan-node audit found two more twins whose
+#: multi-branch consumption re-ran corpus pipelines (the pq_topk /
+#: label_pca class); both got a bounded-frame checkpoint AFTER the r14
+#: window was fixed, so they ride the triple-SF sweep now and take r15
+#: window priority:
+PENDING_VERDICT: dict[str, int] = {
+    "ann_lsh_neighbors": 14,
+    "neardup_minhash_lsh": 14,
+}
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {
     k: v for k, v in REGISTRY.items() if k not in _VERDICT_PRIORITY

@@ -63,6 +63,22 @@ ROUND_CHANGED = [
     # prefix-stability property; 15.0 s -> 10.3 s at sf0.1). Plan
     # change on the registered twin; already holds window slot 2:
     "bpe_encode_corpus",
+    # r14 perf: the twin's two n_queries*k-row input frames are
+    # localCheckpointed — each fed 2-3 plan branches, so every
+    # consumer re-ran the full corpus ADC/top-k kernels (12
+    # ArrowEvalPython nodes / 20 parquet scans -> 0 downstream).
+    # Plan change; already holds window slot 1:
+    "pq_topk",
+    # r14 perf, same class, found by the registry-wide plan-node
+    # audit: the ann twin's slice frame fed both self-join sides
+    # (14 kernel nodes -> 10), and the minhash twin's joined pair
+    # frame fed the recall aggregate AND the final select — each
+    # branch re-ran BOTH corpus pipelines (19 parquet scans -> 0
+    # downstream). Both checkpoint a bounded frame; plan changes on
+    # non-window entries, so both enter PENDING_VERDICT (r15 window
+    # priority):
+    "ann_lsh_neighbors",
+    "neardup_minhash_lsh",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

@@ -1393,3 +1393,30 @@ def test_partitioned_export_read_back_prunes(spark, tmp_path):
     assert "day" not in P.partition_filters(
         flat.filter(F.col("value") > 100)
     )
+
+
+def test_certificate_frames_materialize_once(spark, sf_dir):
+    """Round-14 regression pins for the branch-recompute class: a
+    bounded certificate frame consumed by several plan branches must
+    be checkpoint-materialized, so the executed plan DOWNSTREAM of the
+    checkpoints carries none of the upstream corpus work. Each pin is
+    a hard zero — the corpus kernels/scans run exactly once, at
+    materialization time, regardless of how many branches consume the
+    frame (the defect was invisible at test SF and linear-in-corpus
+    at scale)."""
+    cases = {
+        # twin: (pattern that must NOT appear downstream)
+        "pq_topk": r"ArrowEvalPython|Scan parquet",
+        "neardup_minhash_lsh": r"Scan parquet",
+        "label_pca": r"FlatMapGroupsInPandas",
+    }
+    for name, pat in cases.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = len(re.findall(pat, plan))
+        assert hits == 0, (
+            f"{name}: {hits} upstream node(s) re-appear downstream of "
+            f"the certificate checkpoint — a consumer branch is "
+            f"re-running the corpus pipeline"
+        )

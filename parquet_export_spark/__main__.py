@@ -71,14 +71,39 @@ def _gen_queries_md(out_path: str) -> int:
         "| Query | Module | Oracle | Purpose |",
         "|---|---|---|---|",
     ]
+    # Registry entries are named after their operator function, so the
+    # documented callable resolves by NAME against the operators
+    # package (`<name>_checked` first — twins keep the registry name
+    # but run the certificate variant).  The closure walk below is the
+    # fallback for entries whose name is registry-local (pure-SQL
+    # entries, composed suites).
+    import importlib
+    import pkgutil
+
+    import parquet_export_spark.operators as _ops_pkg
+
+    by_name: dict[str, object] = {}
+    for m in pkgutil.iter_modules(_ops_pkg.__path__):
+        mod_obj = importlib.import_module(f"{_ops_pkg.__name__}.{m.name}")
+        for attr, v in vars(mod_obj).items():
+            if callable(v) and getattr(v, "__doc__", None) and getattr(
+                v, "__module__", ""
+            ) == mod_obj.__name__:
+                by_name.setdefault(attr, v)
+
     for name, spec in REGISTRY.items():
-        op = spec.fn
-        if op.__closure__:
-            for cell in op.__closure__:
-                v = cell.cell_contents
-                if callable(v) and getattr(v, "__doc__", None):
-                    op = v
+        op = by_name.get(f"{name}_checked") or by_name.get(name)
+        if op is None:
+            op = spec.fn
+            queue = [spec.fn]
+            while queue:
+                cand = queue.pop(0)
+                if getattr(cand, "__doc__", None):
+                    op = cand
                     break
+                for cell in cand.__closure__ or ():
+                    if callable(cell.cell_contents):
+                        queue.append(cell.cell_contents)
         mod = op.__module__.rsplit(".", 1)[-1]
         doc = (op.__doc__ or "").strip().splitlines()
         purpose = doc[0].rstrip(".") if doc else ""

@@ -151,7 +151,41 @@ def main(argv: list[str] | None = None) -> int:
         "violation",
     )
     val.add_argument("--lake", required=True, help="lake directory")
+    aud = sub.add_parser(
+        "plan-audit",
+        help="branch-recompute audit: run registry entries and flag "
+        "duplicate kernel/scan nodes in the executed plan "
+        "(plans.inspect.duplicate_hot_nodes)",
+    )
+    aud.add_argument("names", nargs="*", help="registry entries (default: all)")
+    aud.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+    )
     args = parser.parse_args(argv)
+
+    if args.cmd == "plan-audit":
+        import json as _json
+
+        from parquet_export_spark.plans.inspect import duplicate_hot_nodes
+        from parquet_export_spark.queries import REGISTRY
+
+        spark = get_spark(app_name="parquet-export-plan-audit")
+        names = args.names or list(REGISTRY)
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            parser.error(f"unknown registry entries: {unknown}")
+        flagged = {}
+        for nm in names:
+            try:
+                dups = duplicate_hot_nodes(REGISTRY[nm].fn(spark, args.sf_dir))
+            except Exception as e:  # noqa: BLE001 — audit must finish the sweep
+                dups = {f"ERROR {type(e).__name__}": 1, str(e)[:200]: 1}
+            if dups:
+                flagged[nm] = dups
+            print(f"{nm}\t{'FLAGGED' if dups else 'clean'}", file=sys.stderr)
+        print(_json.dumps(flagged, indent=1, sort_keys=True))
+        return 1 if flagged else 0
 
     if args.cmd == "validate":
         from parquet_export_spark.operators.stats import (

@@ -148,6 +148,46 @@ def partition_filters(df: DataFrame) -> str:
     return best
 
 
+#: node classes whose duplicate instantiation means a whole upstream
+#: pipeline re-executes per consumer branch (the round-14 twin-sweep
+#: defect class): Python kernels and source scans.
+_HOT_NODE_MARKERS = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInPandas",
+    "MapInArrow",
+    "BatchEvalPython",
+    "Scan parquet",
+)
+_TREE_ART = re.compile(r"^[\s:+\-*()\d]*")
+_CODEGEN_ID = re.compile(r"\*\(\d+\)")
+
+
+def duplicate_hot_nodes(df: DataFrame) -> dict[str, int]:
+    """Exact-duplicate kernel/scan node lines in the executed plan —
+    the branch-recompute signature (round 14).
+
+    A DataFrame consumed by several plan branches without an exchange
+    reuse or checkpoint re-executes its whole upstream pipeline per
+    branch; because Spark keeps the frame's expression IDs, the
+    duplicated subtree prints IDENTICAL node lines (modulo tree art
+    and codegen stage ids), while the same kernel legitimately applied
+    to different inputs gets fresh IDs and does not collide. Only the
+    AQE FINAL plan section is scanned — the "Initial Plan" echo would
+    double-count every node. Executes the frame (collect); small-SF
+    audit use only. Empty dict = clean."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    counts: dict[str, int] = {}
+    for raw in plan.splitlines():
+        line = _CODEGEN_ID.sub("", _TREE_ART.sub("", raw)).strip()
+        if any(m in line for m in _HOT_NODE_MARKERS):
+            counts[line] = counts.get(line, 0) + 1
+    return {line: n for line, n in counts.items() if n > 1}
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle Exchange operators (broadcast exchanges excluded)."""
     return len(re.findall(r"\(\d+\) Exchange\b", plan_string(df)))

@@ -1420,3 +1420,23 @@ def test_certificate_frames_materialize_once(spark, sf_dir):
             f"the certificate checkpoint — a consumer branch is "
             f"re-running the corpus pipeline"
         )
+
+
+def test_no_duplicate_hot_nodes_in_sweep_twins(spark, sf_dir):
+    """Round-14 generalized branch-recompute detector: exact-duplicate
+    kernel/scan node lines in the executed FINAL plan mean the same
+    logical frame was instantiated twice — a consumer branch re-running
+    its upstream pipeline. Swept here over the seven twins the r14
+    audit fixed (the fleet-wide sweep is `python -m parquet_export_spark
+    plan-audit`, run per-round; this pin keeps the fixed class fixed)."""
+    names = [
+        "pq_topk", "label_pca", "ann_lsh_neighbors",
+        "neardup_minhash_lsh", "semdedup_embedding",
+        "bpe_encode_corpus", "fuzzy_dedup_keep",
+    ]
+    bad = {}
+    for name in names:
+        dups = P.duplicate_hot_nodes(REGISTRY[name].fn(spark, sf_dir))
+        if dups:
+            bad[name] = dups
+    assert not bad, bad

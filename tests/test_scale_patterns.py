@@ -84,7 +84,10 @@ def test_operator_collect_whitelist():
     `bpe_learn_merges`' per-iteration argmax (`limit(1).collect()`,
     exactly one row per merge round), `bpe_encode_corpus`'s
     merge-table collect (n_merges rows — vocabulary metadata shipped
-    into the encode kernel), and round-7's `pq_probe_index` (the
+    into the encode kernel; the `_checked` twin carries the same
+    bounded collect, learning the full table once and slicing its
+    n/2-row prefix for the half-table lane), and round-7's
+    `pq_probe_index` (the
     STORED codebook table, m*kc index-metadata rows, plus the same
     bounded query-side collect as pq_topk — the artifact-probe shape
     cannot avoid materializing the LUT inputs it broadcasts). A new
@@ -100,6 +103,11 @@ def test_operator_collect_whitelist():
         ("similarity.py", "pq_probe_index"),
         ("text.py", "bpe_learn_merges"),
         ("text.py", "bpe_encode_corpus"),
+        # the twin's own merge-table collect (n_merges rows): it
+        # learns the FULL table once and slices the first n/2 rows
+        # for the half-table certificate lane instead of re-running
+        # the iterative learner (round 14)
+        ("text.py", "bpe_encode_corpus_checked"),
     }
     found = set()
     op_dir = pathlib.Path(ops.__file__).parent

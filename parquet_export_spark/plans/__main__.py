@@ -216,12 +216,22 @@ def main() -> None:
         scans = [sorted(s) for s in P.read_schemas(df)]
         filters = [f for f in P.pushed_filters(df) if f and f != "[]"]
         plan = P.plan_string(df)
+        note = ""
+        if "Scan ExistingRDD" in plan:
+            note = (
+                "- note: reads localCheckpointed frame(s) — the upstream "
+                "corpus pipeline is materialized ONCE at checkpoint time "
+                "(round-14 once-only contract, pinned by "
+                "test_certificate_frames_materialize_once); the visible "
+                "plan is only the post-materialization consumer\n"
+            )
         sections.append(
             f"## {name}\n\n"
             f"- broadcast joins: {P.count_broadcast_joins(df)},"
             f" shuffle exchanges: {P.count_shuffles(df)}\n"
             f"- scan column sets: {scans}\n"
-            f"- pushed filters: {filters[:3]}{' …' if len(filters) > 3 else ''}\n\n"
+            f"- pushed filters: {filters[:3]}{' …' if len(filters) > 3 else ''}\n"
+            f"{note}\n"
             f"```\n{plan.strip()}\n```\n"
         )
     with open(out_path, "w") as fh:

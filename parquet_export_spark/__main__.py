@@ -162,14 +162,28 @@ def main(argv: list[str] | None = None) -> int:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
     )
+    aud.add_argument(
+        "--tier",
+        choices=["hot", "exec"],
+        default="hot",
+        help="hot = kernel/scan duplicates (always-wrong); exec = "
+        "join/aggregate/window duplicates (review signal — see "
+        "plans.inspect.duplicate_exec_nodes)",
+    )
     args = parser.parse_args(argv)
 
     if args.cmd == "plan-audit":
         import json as _json
 
-        from parquet_export_spark.plans.inspect import duplicate_hot_nodes
+        from parquet_export_spark.plans.inspect import (
+            duplicate_exec_nodes,
+            duplicate_hot_nodes,
+        )
         from parquet_export_spark.queries import REGISTRY
 
+        detector = (
+            duplicate_exec_nodes if args.tier == "exec" else duplicate_hot_nodes
+        )
         spark = get_spark(app_name="parquet-export-plan-audit")
         names = args.names or list(REGISTRY)
         unknown = [n for n in names if n not in REGISTRY]
@@ -178,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
         flagged = {}
         for nm in names:
             try:
-                dups = duplicate_hot_nodes(REGISTRY[nm].fn(spark, args.sf_dir))
+                dups = detector(REGISTRY[nm].fn(spark, args.sf_dir))
             except Exception as e:  # noqa: BLE001 — audit must finish the sweep
                 dups = {f"ERROR {type(e).__name__}": 1, str(e)[:200]: 1}
             if dups:

@@ -623,7 +623,10 @@ def markov_stationary_types(
         )
         .localCheckpoint()  # types²-bounded; every sweep re-reads it
     )
-    states = ev.select("event_type").distinct()
+    # states is types-sized and feeds TWO branches (r0 init + the final
+    # presentation join); checkpoint it so the corpus-wide distinct
+    # runs once, not per branch (optimization r14, guide §2.4).
+    states = ev.select("event_type").distinct().localCheckpoint()
     n_states = states.agg(F.count(F.lit(1)).alias("k"))
     r = states.crossJoin(F.broadcast(n_states)).select(
         F.col("event_type").alias("node"),
@@ -635,11 +638,16 @@ def markov_stationary_types(
             .groupBy(F.col("j").alias("node"))
             .agg(F.sum(F.expr("r * c div rt")).cast("long").alias("r"))
         )
+    # out_transitions re-reads the CHECKPOINTED trans (rt repeats per
+    # i-row; one distinct collapses it) instead of re-running the
+    # lead-window fact pass behind cnt/rowtot a second time
+    # (optimization r14, guide §2.4 — remove passes).
     return (
         states.join(
-            rowtot.select(
-                F.col("event_type"), F.col("rt").alias("out_transitions")
-            ),
+            trans.select(
+                F.col("i").alias("event_type"),
+                F.col("rt").alias("out_transitions"),
+            ).distinct(),
             "event_type",
             "left",
         )
@@ -5130,9 +5138,17 @@ def markov_removal_attribution(
         )
         .localCheckpoint()
     )
+    # channels derive from the CHECKPOINTED transition table, not a
+    # second windowed fact pass (optimization r14, guide §2.4 — remove
+    # passes): trans's i-values are exactly {__start__} ∪ {channels},
+    # because every occurrence of a non-convert state emits an out-row
+    # (the next event's pair, or the journey tail), while __convert__
+    # is always journey-final so it never appears as i. The previous
+    # form re-ran the user-window + distinct over events just to list
+    # the states the tiny trans frame already names.
     channels = (
-        mapped.filter(F.col("state") != "__convert__")
-        .select(F.col("state").alias("ch"))
+        trans.select(F.col("i").alias("ch"))
+        .filter(F.col("ch") != "__start__")
         .distinct()
     )
     spark = ev.sparkSession
@@ -5157,8 +5173,15 @@ def markov_removal_attribution(
             .agg(F.sum(F.expr("c * v div rt")).cast("long").alias("v"))
         )
         v = stepped.unionByName(v0)
-    conv = v.filter(F.col("node") == "__start__").select(
-        "ch", F.col("v").alias("conv")
+    # conv is (channels+1)-sized and feeds TWO branches (the per-channel
+    # join and the full-chain broadcast); without materialization each
+    # branch re-executes the whole n_iter sweep chain (optimization
+    # r14, the branch-recompute class the twin sweep fixed — here over
+    # checkpointed-but-tiny inputs, so the waste was 2x the sweep).
+    conv = (
+        v.filter(F.col("node") == "__start__")
+        .select("ch", F.col("v").alias("conv"))
+        .localCheckpoint()
     )
     full = conv.filter(F.col("ch") == "__none__").select(
         F.col("conv").alias("full_conv")

@@ -1873,7 +1873,12 @@ def kcore_suppliers(
         k_expr = F.expr(
             f"approx_percentile(deg, {deg_pctl}, {QUANTILE_SKETCH_ACCURACY})"
         )
-    kval = deg0.agg(F.ceil(k_expr).cast("long").alias("k"))
+    # kval is 1-row but its subtree is an EDGE-sized aggregate + the
+    # percentile merge; it feeds the alive filter of every peel round
+    # (and the final verify), so without materialization each round
+    # re-runs the degree aggregate + quantile over the original edge
+    # list (optimization r14, guide §2.4 — n_rounds redundant passes).
+    kval = deg0.agg(F.ceil(k_expr).cast("long").alias("k")).localCheckpoint()
     alive = (
         deg0.crossJoin(F.broadcast(kval))
         .filter(F.col("deg") >= F.col("k"))

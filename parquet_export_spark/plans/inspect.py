@@ -177,13 +177,67 @@ def duplicate_hot_nodes(df: DataFrame) -> dict[str, int]:
     AQE FINAL plan section is scanned — the "Initial Plan" echo would
     double-count every node. Executes the frame (collect); small-SF
     audit use only. Empty dict = clean."""
+    return _duplicate_nodes(df, _HOT_NODE_MARKERS)
+
+
+#: second-tier markers (optimization round 14): exact-duplicate JOIN /
+#: AGGREGATE / WINDOW / GENERATE node lines mean a non-materialized
+#: subtree above the leaves is instantiated per consumer branch. Unlike
+#: the hot tier this is a REVIEW signal, not an always-wrong: a
+#: duplicated final-aggregate directly over a ReusedExchange re-runs
+#: only the node-sized post-shuffle reduction, which can be cheaper
+#: than materializing it. Used by the plan-audit CLI's ``--tier exec``
+#: sweep to FIND candidates; each finding is judged (and, when real,
+#: fixed + micro-benched) by hand.
+_EXEC_NODE_MARKERS = (
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "Generate",
+    "Expand",
+)
+
+
+def duplicate_exec_nodes(df: DataFrame) -> dict[str, int]:
+    """duplicate_hot_nodes with the wider exec-node marker set — the
+    same exact-duplicate-line detection applied to joins, aggregates,
+    windows and generators, so branch recompute of subtrees built over
+    CHECKPOINTED leaves (invisible to the scan/kernel tier) also
+    surfaces. Executes the frame (collect); small-SF audit use only.
+
+    Two line classes are EXCLUDED as measured false positives (the
+    r14 fleet sweep's only hits, every one benign):
+
+    - ``functions=[]`` aggregates: a single distinct prints an
+      IDENTICAL partial/final line pair (no ``partial_`` prefix exists
+      when the function list is empty), so x2 is one operator, not two;
+    - ``BroadcastNestedLoopJoin`` lines carry no expression IDs at all,
+      so two DIFFERENT tiny-frame broadcast joins collide on text.
+    """
+    dups = _duplicate_nodes(df, _EXEC_NODE_MARKERS)
+    out: dict[str, int] = {}
+    for line, n in dups.items():
+        if "BroadcastNestedLoopJoin" in line:
+            continue
+        if "functions=[]" in line and n <= 2:
+            continue
+        out[line] = n
+    return out
+
+
+def _duplicate_nodes(df: DataFrame, markers: tuple[str, ...]) -> dict[str, int]:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     counts: dict[str, int] = {}
     for raw in plan.splitlines():
         line = _CODEGEN_ID.sub("", _TREE_ART.sub("", raw)).strip()
-        if any(m in line for m in _HOT_NODE_MARKERS):
+        if any(m in line for m in markers):
             counts[line] = counts.get(line, 0) + 1
     return {line: n for line, n in counts.items() if n > 1}
 

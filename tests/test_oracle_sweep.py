@@ -79,6 +79,19 @@ ROUND_CHANGED = [
     # priority):
     "ann_lsh_neighbors",
     "neardup_minhash_lsh",
+    # r14 optimization phase, guide §2.4 (remove passes): the removal-
+    # attribution channel list now derives from the checkpointed trans
+    # frame (its i-values are {__start__} ∪ channels by the journey
+    # grammar) instead of a second user-window fact pass, and the tiny
+    # conv frame is checkpointed so its two consumer branches stop
+    # re-running the n_iter sweep chain. Plan change, oracle unchanged:
+    "markov_removal_attribution",
+    # r14 optimization phase, same class: states checkpointed (fed r0
+    # AND the final join — two corpus-wide distincts), out_transitions
+    # re-read from the checkpointed trans instead of re-running the
+    # lead-window fact pass behind rowtot. Plan change, oracle
+    # unchanged:
+    "markov_stationary_types",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

@@ -257,6 +257,14 @@ def _cc_minlabel_core(e: DataFrame, n_iter: int) -> DataFrame:
         "l", F.col("node")
     )
     for i in range(n_iter):
+        # union-then-aggregate KEPT here (r14 A/B, twice): the
+        # aggregate-then-join shape used by _cc_doubling_core/_sssp_core
+        # adds a node-sized sort-merge join per round, which only pays
+        # off under the concurrency of graph_all_metrics (lower exchange
+        # volume when loops share the cores); solo, this single-loop
+        # gear measured 4.4 s -> 5.0-5.7 s with it. The union form's one
+        # aggregate does the neighbor-min AND the self-min in a single
+        # exchange with map-side partial min.
         neigh = e.join(labels, e["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "l"
         )
@@ -284,8 +292,9 @@ def _cc_doubling_core(e: DataFrame, n_iter: int) -> DataFrame:
     non-increasing, bounded by the component minimum — so the fixed
     point is the true component labeling, reached in O(log d) rounds.
 
-    Plan shape per round: one edge-cache join + one min-aggregate
-    (same as min-label) + one node-sized self-join for the jump. The
+    Plan shape per round: one edge-cache join + one neighbor
+    min-aggregate + one node-sized label left-join (the hop) + one
+    node-sized self-join for the jump. The
     hop result is eagerly checkpointed EVERY round: the jump references
     it twice (both self-join sides), so without truncation the lineage
     would double per round (2^k plan blowup), and the checkpoint also
@@ -295,13 +304,27 @@ def _cc_doubling_core(e: DataFrame, n_iter: int) -> DataFrame:
         "l", F.col("node")
     )
     for _ in range(n_iter):
-        neigh = e.join(labels, e["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "l"
+        # aggregate-then-join hop (optimization r14, guide §2.3 —
+        # shuffle fewer bytes): only the neighbor min-aggregate
+        # exchanges; the label side joins on its own (node) layout
+        # instead of re-shuffling through a union+aggregate every
+        # round. Identical values by definition: min over {l(n)} ∪
+        # {l(m)} == least(l(n), min_m l(m)), and every neigh node is in
+        # labels (symmetrized graph), so the left join is total. Worth
+        # it HERE (A/B'd twice) because this core runs concurrently
+        # with _sssp_core under graph_all_metrics, where exchange
+        # volume is the contended resource (12.2-13.3 s -> 8.1-8.5 s);
+        # the solo single-loop gear keeps the union shape — see
+        # _cc_minlabel_core.
+        neigh_min = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("l").alias("nl"))
         )
         hop = (
-            neigh.unionByName(labels.select("node", "l"))
-            .groupBy("node")
-            .agg(F.min("l").alias("l"))
+            labels.join(neigh_min, "node", "left").select(
+                "node", F.least("l", F.coalesce("nl", "l")).alias("l")
+            )
         ).localCheckpoint()
         jump = hop.select(
             F.col("node").alias("jnode"), F.col("l").alias("jl")
@@ -332,14 +355,21 @@ def _sssp_core(e: DataFrame, n_iter: int) -> DataFrame:
     )
     dist = src_row.select("node", F.lit(0).cast("long").alias("d"))
     for i in range(n_iter):
-        neigh = e.join(dist, e["src"] == dist["node"]).select(
-            F.col("dst").alias("node"),
-            (F.col("d") + 1).alias("d"),
+        # aggregate-then-join relaxation (optimization r14, guide §2.3
+        # — the _cc_doubling_core hop shape): only the neighbor
+        # aggregate exchanges; the reached set joins on its own (node)
+        # layout. FULL outer because the frontier GROWS (neighbor nodes
+        # may be newly reached); least() skips nulls, so min(d(n),
+        # 1 + min_m d(m)) falls out identically on both one-sided
+        # cases. Kept for the same reason as the doubling hop: this
+        # core runs concurrently under graph_all_metrics.
+        neigh_min = (
+            e.join(dist, e["src"] == dist["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("d") + 1).alias("nd"))
         )
-        dist = (
-            neigh.unionByName(dist)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
+        dist = dist.join(neigh_min, "node", "full").select(
+            "node", F.least("d", "nd").alias("d")
         )
         if (i + 1) % 2 == 0 and i + 1 < n_iter:
             dist = dist.localCheckpoint()

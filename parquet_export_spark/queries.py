@@ -4501,10 +4501,14 @@ FROZEN = frozenset({
     # (cogroup_user_funnel left this cohort in r14: its bucket count
     # became corpus-derived — a changed entry cannot hide in the
     # freezer; it holds an r14 window slot and re-freezes when it
-    # re-ages.)
+    # re-ages. sssp_trade_graph and community_modularity_suppliers left
+    # in the r14 OPTIMIZATION phase: the _sssp_core relaxation /
+    # _cc_doubling_core hop went aggregate-then-join — plan changes, so
+    # both ride the triple-SF sweep now and sit in PENDING_VERDICT for
+    # the r15 window.)
     "apdex_by_type", "autocorr_hourly_counts", "bpe_token_counts",
     "cc_trade_graph", "chi2_type_decile",
-    "community_modularity_suppliers", "degree_distribution_suppliers",
+    "degree_distribution_suppliers",
     "dup_family_size_histogram", "dup_spans", "fano_burstiness",
     "feature_hash_vectors", "funnel_time_to_convert",
     "heavy_hitters_cms", "hhi_concentration_by_segment",
@@ -4518,7 +4522,7 @@ FROZEN = frozenset({
     "q1_pricing_summary", "rake_keyphrases", "rfm_segments",
     "robust_scale_features", "seasonality_strength_hourly",
     "session_entry_exit", "simpson_diversity_by_user",
-    "sort_limit_offset", "sssp_trade_graph", "stats_higher_moments",
+    "sort_limit_offset", "stats_higher_moments",
     "type_affinity_jaccard", "user_activity_streaks", "user_path_topk",
     "value_clusters_1d", "value_migration_matrix",
     "video_frame_features", "wasserstein_distance_pairs",
@@ -4530,15 +4534,21 @@ FROZEN = frozenset({
     # changed this round (run-length pre-aggregation, r13 verdict #3)
     # and holds an r14 window slot instead. They cycle back through
     # windows opportunistically (this round refreshes the r8 cohort).
+    # (cc_doubling_trade_graph, cc_incremental_trade and
+    # graph_all_metrics left in the r14 OPTIMIZATION phase — the
+    # aggregate-then-join hop rewrite of _cc_doubling_core/_sssp_core
+    # is a plan change; all three ride the triple-SF sweep now and sit
+    # in PENDING_VERDICT for the r15 window. markov_stationary_types
+    # left for the same reason — its redundant-pass removal is a plan
+    # change; a changed entry cannot hide in the freezer.)
     "agg_stats", "atkinson_index_by_segment", "bloom_prune_orders",
-    "cc_doubling_trade_graph", "cc_incremental_trade",
     "churn_retention_monthly", "cramers_v_type_decile",
     "cross_source_overlap", "dau_mau_stickiness", "dup_rate_by_source",
-    "event_ohlc", "forecast_backtest_mase", "graph_all_metrics",
+    "event_ohlc", "forecast_backtest_mase",
     "harmonic_closeness_suppliers", "hourly_value_percentiles",
     "kaplan_meier_interorder", "label_centroid_sim",
     "lift_curve_clicks_to_purchase", "lorenz_curve_deciles",
-    "mann_whitney_auc_pairs", "markov_stationary_types",
+    "mann_whitney_auc_pairs",
     "new_returning_weekly", "next_event_examples", "pii_scan",
     "q10_returned_items", "q17_small_quantity_revenue",
     "q3_shipping_priority", "q5_revenue_by_nation",
@@ -4565,6 +4575,28 @@ FROZEN = frozenset({
 PENDING_VERDICT: dict[str, int] = {
     "ann_lsh_neighbors": 14,
     "neardup_minhash_lsh": 14,
+    # r14 optimization phase, guide §2.4 (remove redundant passes):
+    # channel list / out_transitions re-derived from the checkpointed
+    # transition table instead of second windowed fact passes, tiny
+    # multi-branch frames checkpointed. Plan changes after the r14
+    # window was fixed — triple-SF-swept now, r15 window priority:
+    "markov_stationary_types": 14,
+    "markov_removal_attribution": 14,
+    # r14 optimization phase: the _cc_doubling_core hop / _sssp_core
+    # relaxation went aggregate-then-join (guide §2.3 — only the
+    # neighbor min-aggregate exchanges per round; identical values,
+    # A/B'd twice, graph_all_metrics 12.2-13.3 s -> 8.1-8.5 s at
+    # sf0.1). Plan change on every registry consumer of the two cores;
+    # all changed after the r14 window was fixed, so they ride the
+    # triple-SF sweep now and take r15 window priority:
+    "cc_doubling_trade_graph": 14,
+    "sssp_trade_graph": 14,
+    "graph_all_metrics": 14,
+    "supplier_communities": 14,
+    "supplier_communities_approx": 14,
+    "community_modularity_suppliers": 14,
+    "supplier_graph_suite": 14,
+    "cc_incremental_trade": 14,
 }
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

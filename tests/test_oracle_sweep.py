@@ -92,6 +92,25 @@ ROUND_CHANGED = [
     # lead-window fact pass behind rowtot. Plan change, oracle
     # unchanged:
     "markov_stationary_types",
+    # r14 optimization phase, guide §2.3 (shuffle fewer bytes): the
+    # _cc_doubling_core hop and the _sssp_core relaxation switched from
+    # union-then-aggregate to aggregate-then-join — only the neighbor
+    # min-aggregate exchanges per round; identical values (min over
+    # {l(n)} ∪ {l(m)} == least(l, min_m l(m)), left/full join per
+    # frontier semantics). A/B'd twice: graph_all_metrics (the two
+    # cores run concurrently there) 12.2-13.3 s -> 8.1-8.5 s at sf0.1;
+    # solo gears band-flat. _cc_minlabel_core deliberately KEPT on the
+    # union shape (solo A/B regressed 4.4 -> 5.0-5.7 s), so
+    # cc_trade_graph is NOT plan-changed. Changed entries — every
+    # registry consumer of the two cores:
+    "cc_doubling_trade_graph",
+    "sssp_trade_graph",
+    "graph_all_metrics",
+    "supplier_communities",
+    "supplier_communities_approx",
+    "community_modularity_suppliers",
+    "supplier_graph_suite",
+    "cc_incremental_trade",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

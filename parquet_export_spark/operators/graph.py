@@ -3264,8 +3264,11 @@ def ktruss_suppliers(
     pass removes nothing — peel only ever removes edges, so an
     unchanged count IS the fixpoint and every later round would be a
     full-cost no-op (the r11 fixed-6-round variant paid ~2x). The
-    ``n_rounds`` cap stays as the runaway bound, and one extra
-    support pass verifies the fixed point and RAISES if any
+    fixpoint round's own per-edge supports are kept and returned
+    (set-equality makes them the final values; re-deriving them paid
+    one extra wedge pass — optimization r14). The ``n_rounds`` cap
+    stays as the runaway bound; only when it is hit does one extra
+    support pass run to verify the fixed point, RAISING if any
     surviving edge is still under-supported — silent wrong answers
     are impossible. The oracle replays the full ``n_rounds`` as
     unrolled MATERIALIZED CTEs (the kcore recipe); rounds past the
@@ -3307,17 +3310,44 @@ def ktruss_suppliers(
     # count() on the eagerly-checkpointed set reads materialized
     # blocks — trivia next to the wedge join each round avoids.
     n_prev = e.count()
+    converged = False
+    es = None
     for _ in range(n_rounds):
-        e = (
+        # keep the sup column on the surviving set: when this pass
+        # removes nothing, e equals the set it was computed over, so
+        # these ARE the final per-edge supports — re-deriving them
+        # after the break re-ran the whole wedge join + expansion
+        # aggregate once more (optimization r14, guide §2.4 — remove
+        # passes; the extra long per edge in the checkpoint is noise
+        # next to a wedge pass).
+        es = (
             e.join(support(e), ["s1", "s2"], "left")
             .filter(F.coalesce("sup", F.lit(0)) >= F.lit(smin))
-            .select("s1", "s2")
+            .select(
+                "s1",
+                "s2",
+                F.coalesce("sup", F.lit(0)).cast("long").alias("sup"),
+            )
             .localCheckpoint()
         )
-        n_now = e.count()
+        e = es.select("s1", "s2")
+        n_now = es.count()
         if n_now == n_prev:
+            converged = True
             break  # fixpoint: this pass removed nothing (see docstring)
         n_prev = n_now
+    if converged:
+        # the fixpoint round's own supports stand for the final set
+        # (set-equality: the filter that built ``es`` already proved
+        # every kept edge >= smin, which is exactly what the old
+        # post-loop verify re-checked — the RAISE below was never
+        # reachable on this path)
+        final = es.select(
+            "s1", "s2", F.col("sup").alias("truss_support")
+        )
+        return final.orderBy("s1", "s2")
+    # round cap hit with edges still being removed: pay one fresh
+    # support pass over the final set, and verify loudly
     final = (
         e.join(support(e), ["s1", "s2"], "left")
         .select(

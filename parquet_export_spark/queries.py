@@ -4597,6 +4597,10 @@ PENDING_VERDICT: dict[str, int] = {
     "community_modularity_suppliers": 14,
     "supplier_graph_suite": 14,
     "cc_incremental_trade": 14,
+    # r14 optimization phase, guide §2.4: the adaptive peel keeps the
+    # fixpoint round's per-edge supports instead of re-deriving them
+    # with one more wedge pass after convergence. Plan change:
+    "ktruss_suppliers": 14,
 }
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -111,6 +111,14 @@ ROUND_CHANGED = [
     "community_modularity_suppliers",
     "supplier_graph_suite",
     "cc_incremental_trade",
+    # r14 optimization phase, guide §2.4 (remove passes): the k-truss
+    # adaptive peel now carries each round's per-edge supports on the
+    # checkpointed surviving set; at the fixpoint those ARE the final
+    # values (set-equality), so the post-loop support re-derivation —
+    # a full extra wedge join + expansion aggregate — runs only on the
+    # round-cap path. Plan change, oracle unchanged (the unrolled
+    # replay is hash-identical by the same monotonicity):
+    "ktruss_suppliers",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

@@ -1408,18 +1408,34 @@ def supplier_communities_approx_checked(
         ).alias("th_rank_ok"),
         (F.col("th_exact") == F.col("th_approx")).alias("th_equal"),
     )
-    lab_exact = supplier_communities(
-        t,
-        n_iter=n_iter,
-        strong=wth.filter(F.col("n") >= F.col("th_exact")).select("s1", "s2"),
-    )
-    lab_approx = supplier_communities(
-        t,
-        n_iter=n_iter,
-        strong=wth.filter(F.col("n") >= F.col("th_approx")).select(
-            "s1", "s2"
-        ),
-    )
+    # The two doubling chains materialize EAGERLY (per-round
+    # localCheckpoints), so built inline they run back-to-back with
+    # each round's short synchronous tail idling most cores. Submit
+    # them from driver threads so the rounds interleave — the
+    # supplier_graph_suite / graph_all_metrics overlap recipe (guide
+    # §2.6; optimization r14, isolated min-of-3: 5.3 s -> 3.9 s at
+    # sf0.1). Same frames, same per-chain plans; only the driver-side
+    # submission overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_exact = ex.submit(
+            supplier_communities,
+            t,
+            n_iter=n_iter,
+            strong=wth.filter(F.col("n") >= F.col("th_exact")).select(
+                "s1", "s2"
+            ),
+        )
+        f_approx = ex.submit(
+            supplier_communities,
+            t,
+            n_iter=n_iter,
+            strong=wth.filter(F.col("n") >= F.col("th_approx")).select(
+                "s1", "s2"
+            ),
+        )
+        lab_exact, lab_approx = f_exact.result(), f_approx.result()
     e, a = lab_exact.alias("e"), lab_approx.alias("a")
     mism = (
         e.join(a, F.col("e.supplier") == F.col("a.supplier"), "full")

@@ -1759,11 +1759,15 @@ def link_prediction_suppliers(
     Plan: the symmetric edge list wedge-joins with itself ON THE
     SHARED NEIGHBOR (one equi-join shuffle keyed by z) — cost
     Σ_z C(deg_z, 2), bounded by the projection's degree cap, never
-    an all-pairs product; existing edges leave by LEFT ANTI join on
-    the checkpointed pair list; one (u, v) aggregate; degree tables
-    join un-hinted (node-dimension sized — AQE broadcasts when they
-    fit). The top-k ranking is (ra_ppm, cn, u, v) — a total order
-    (pairs are unique), so LIMIT is deterministic cross-engine.
+    an all-pairs product. The neighbor degree rides the node-sized b
+    side INTO the wedge join (metadata attached before the explosion,
+    not probed against it), the (u, v) aggregate runs over the raw
+    wedges, and existing edges leave by LEFT ANTI join on the
+    candidate-pair aggregate (group-keyed filter — identical values
+    whether applied to wedges or to their groups); degree tables join
+    un-hinted (node-dimension sized — AQE broadcasts when they fit).
+    The top-k ranking is (ra_ppm, cn, u, v) — a total order (pairs
+    are unique), so LIMIT is deterministic cross-engine.
 
     Output: (s1, s2, cn, deg1, deg2, jaccard_ppm, ra_ppm), the topk
     highest-RA candidate links.
@@ -1785,16 +1789,26 @@ def link_prediction_suppliers(
     ).localCheckpoint()
     dz = deg.select(F.col("node").alias("z"), F.col("deg").alias("deg_z"))
     a = sym.select(F.col("u").alias("s1"), "z")
-    b = sym.select(F.col("u").alias("s2"), "z")
-    wedges = (
-        a.join(b, "z")
-        .filter(F.col("s1") < F.col("s2"))
+    # deg_z rides the NODE-sized b side into the wedge join instead of
+    # joining dz against the wedge-sized output (optimization r14,
+    # guide §2.3 — attach metadata before the explosion, not after:
+    # the same values arrive via a |sym|-row join instead of a
+    # Σ C(deg_z, 2)-row probe; the wedge shuffle carries one extra
+    # long on a node-sized side).
+    b = sym.join(dz, "z").select(F.col("u").alias("s2"), "z", "deg_z")
+    wedges = a.join(b, "z").filter(F.col("s1") < F.col("s2"))
+    # the adjacency anti-join moves AFTER the (s1, s2) aggregate
+    # (guide §2.4): group membership is keyed by the same (s1, s2) the
+    # anti-join removes, so filtering whole groups after aggregation
+    # is value-identical — and probes candidate-pair-count rows
+    # instead of every wedge row.
+    scored = (
+        wedges.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.expr("1000000 div deg_z")).cast("long").alias("ra_ppm"),
+        )
         .join(strong, ["s1", "s2"], "left_anti")
-        .join(dz, "z")
-    )
-    scored = wedges.groupBy("s1", "s2").agg(
-        F.count(F.lit(1)).cast("long").alias("cn"),
-        F.sum(F.expr("1000000 div deg_z")).cast("long").alias("ra_ppm"),
     )
     d1 = deg.select(F.col("node").alias("s1"), F.col("deg").alias("deg1"))
     d2 = deg.select(F.col("node").alias("s2"), F.col("deg").alias("deg2"))

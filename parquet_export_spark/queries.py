@@ -4505,7 +4505,9 @@ FROZEN = frozenset({
     # in the r14 OPTIMIZATION phase: the _sssp_core relaxation /
     # _cc_doubling_core hop went aggregate-then-join — plan changes, so
     # both ride the triple-SF sweep now and sit in PENDING_VERDICT for
-    # the r15 window.)
+    # the r15 window. link_prediction_suppliers left for the same
+    # reason — its neighbor degree now rides the node-sized wedge
+    # input and the adjacency anti-join moved above the aggregate.)
     "apdex_by_type", "autocorr_hourly_counts", "bpe_token_counts",
     "cc_trade_graph", "chi2_type_decile",
     "degree_distribution_suppliers",
@@ -4513,7 +4515,7 @@ FROZEN = frozenset({
     "feature_hash_vectors", "funnel_time_to_convert",
     "heavy_hitters_cms", "hhi_concentration_by_segment",
     "holt_linear_forecast", "join_anti", "join_inner", "join_semi",
-    "link_prediction_suppliers", "local_peaks_hourly",
+    "local_peaks_hourly",
     "lpa_communities_suppliers", "merge_upsert_orders",
     "multitouch_attribution", "nearest_event_join",
     "ngram_novelty_scores", "novelty_incremental",
@@ -4601,6 +4603,12 @@ PENDING_VERDICT: dict[str, int] = {
     # fixpoint round's per-edge supports instead of re-deriving them
     # with one more wedge pass after convergence. Plan change:
     "ktruss_suppliers": 14,
+    # r14 optimization phase, guide §2.3: deg_z attached to the
+    # node-sized wedge input instead of probed against the wedge
+    # output; adjacency anti-join moved above the (s1, s2) aggregate
+    # (group-keyed filter — value-identical). Plan change (12
+    # exchanges -> 10, both removed ones wedge-sized):
+    "link_prediction_suppliers": 14,
 }
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -119,6 +119,13 @@ ROUND_CHANGED = [
     # round-cap path. Plan change, oracle unchanged (the unrolled
     # replay is hash-identical by the same monotonicity):
     "ktruss_suppliers",
+    # r14 optimization phase, guide §2.3: the link-prediction wedge
+    # pipeline attaches deg_z to the node-sized b side before the
+    # explosion (was: a wedge-row probe join) and anti-joins adjacency
+    # AFTER the (s1, s2) aggregate (the anti key IS the group key, so
+    # filtering groups == filtering rows). 12 exchanges -> 10, the
+    # removed pair wedge-sized. Values identical; unfrozen to change:
+    "link_prediction_suppliers",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

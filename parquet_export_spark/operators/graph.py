@@ -376,6 +376,139 @@ def _sssp_core(e: DataFrame, n_iter: int) -> DataFrame:
     return dist.localCheckpoint()
 
 
+def _fused_metrics_core(
+    e2: DataFrame,
+    pr_iters: int = PAGERANK_ITERS,
+    cc_iters: int = CC_DOUBLE_ITERS,
+    sssp_iters: int = SSSP_ITERS,
+) -> DataFrame:
+    """PageRank + pointer-doubling CC + SSSP in ONE fused round loop
+    over a shared ``(src, dst, outdeg)`` edge cache; returns
+    ``(node, r, l, d)`` — exactly the frame the three separate cores
+    would produce joined on node (``d`` NULL for unreached nodes).
+
+    Optimization r14 (guide §2.4 — remove shuffles outright): the
+    three concurrent loops of the previous shape each paid their own
+    per-round edge join + neighbor aggregate + state exchange, i.e.
+    ~3x the exchanges for state frames that are all keyed by the SAME
+    node id. Fusing the state into one ``(node, r, l, d)`` row makes
+    each round exactly one edge join + ONE union-then-aggregate
+    exchange computing the PR contribution sum, the label min and the
+    distance min together with map-side partial aggregation (+ the
+    pointer-doubling self-join while CC rounds remain). Per-round
+    arithmetic is UNCHANGED column by column, so every value is
+    identical to the separate cores (pinned by a differential test on
+    synthetic graphs and the unchanged unrolled-CTE oracle):
+
+    - r: sum over the same per-edge ``r div outdeg`` multiset, same
+      int64 accumulation — the self row contributes NULL (sum skips
+      it) and the aggregate covers every node because the symmetrized
+      graph gives every node an in-edge;
+    - l: min over {self l} ∪ {neighbor l} == ``least(l, min_m l(m))``,
+      then the jump ``l'(l'(n))`` — the self-join carries (r, d);
+    - d: ``min`` skips NULLs, so unreached neighbors (``d+1`` of NULL)
+      contribute nothing and the self row reproduces the old frontier
+      full-outer cases; all-NULL groups stay NULL (unreached).
+
+    Rounds past ``cc_iters`` (CC converges in O(log d)) carry ``l``
+    through untouched and skip the jump. The per-round checkpoint is
+    load-bearing twice over: the jump references the hop frame on both
+    sides (2^k lineage without truncation) and it keeps the plan
+    constant-depth across rounds.
+    """
+    n_rounds = max(pr_iters, cc_iters, sssp_iters)
+    if pr_iters != n_rounds or sssp_iters != n_rounds:
+        # The union-aggregate round below derives r and d fresh every
+        # round (their carry rides the aggregate, not a join), so the
+        # fused core supports exactly the shape it is used in: PR and
+        # SSSP run every round, CC (O(log d) pointer doubling) may
+        # finish early — past cc_iters the neighbors contribute NULL
+        # labels so l is carried verbatim (ccd_{cc_iters} exactly,
+        # NEVER extra hop rounds, which would only be no-ops on
+        # already-converged graphs).
+        raise ValueError(
+            "fused core requires pr_iters == sssp_iters =="
+            f" max iteration count; got pr={pr_iters}"
+            f" cc={cc_iters} sssp={sssp_iters}"
+        )
+    nodes = e2.select(F.col("src").alias("node")).distinct()
+    if e2.count() > _pagerank_max_nodes():  # cheap bound first
+        n_nodes = nodes.count()
+        if n_nodes > _pagerank_max_nodes():
+            raise ValueError(
+                f"pagerank int64 overflow envelope exceeded: {n_nodes}"
+                f" nodes > {_pagerank_max_nodes()} safe maximum at"
+                f" SCALE={PAGERANK_SCALE} (ansi=false would wrap"
+                " silently). Lower PAGERANK_SCALE or lift the"
+                " accumulator to decimal(38,0) for graphs this large."
+            )
+    base = (15 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
+    src_row = e2.filter(F.col("src") % 2 == 1).agg(
+        F.min("src").alias("snode")
+    )
+    state = nodes.join(
+        F.broadcast(src_row), nodes["node"] == F.col("snode"), "left"
+    ).select(
+        "node",
+        F.lit(PAGERANK_SCALE).cast("long").alias("r"),
+        F.col("node").alias("l"),
+        F.when(F.col("snode").isNotNull(), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    for i in range(n_rounds):
+        do_cc = i < cc_iters
+        # union-then-aggregate round (the shape _cc_minlabel_core kept
+        # for solo use, A/B'd here too): the state's own row rides the
+        # SAME exchange as the neighbor contributions with a NULL PR
+        # contribution (sum skips NULLs; every node has an in-edge, so
+        # the sum never degenerates to NULL), and the single grouped
+        # aggregate does partial map-side sum/min on all three
+        # metrics. The join-then-merge variant (neighbor aggregate +
+        # node-sized state left-join) measured 8.5 s isolated vs this
+        # shape's 6.9-8.0 (median 7.7) at sf0.1 — the extra node join
+        # and its two exchanges cost more than the union's second
+        # state pass.
+        contrib = e2.join(state, e2["src"] == state["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("r div outdeg").alias("c"),
+            (
+                F.col("l") if do_cc else F.lit(None).cast("long")
+            ).alias("l"),
+            (F.col("d") + 1).alias("d"),
+        )
+        selfrow = state.select(
+            "node", F.lit(None).cast("long").alias("c"), "l", "d"
+        )
+        hop = (
+            contrib.unionByName(selfrow)
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{PAGERANK_DAMP_NUM} * sum(c) div"
+                        f" {PAGERANK_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+                F.min("l").alias("l"),
+                F.min("d").alias("d"),
+            )
+        ).localCheckpoint()
+        if do_cc:
+            jump = hop.select(
+                F.col("node").alias("jnode"), F.col("l").alias("jl")
+            )
+            state = hop.join(jump, hop["l"] == jump["jnode"]).select(
+                "node", "r", F.col("jl").alias("l"), "d"
+            )
+        else:
+            state = hop
+    return state.localCheckpoint()
+
+
 def _node_kind(col: str = "node"):
     return (
         F.when(F.col(col) % 2 == 0, F.lit("customer"))
@@ -486,44 +619,36 @@ def graph_all_metrics(
 
     - the edge build (orders |><| lineitem + distinct — the dominant
       cost at true scale) executes ONCE, materialized eagerly into the
-      persisted cache before the loops start, so no loop re-runs it
-      and concurrent first-touch never duplicates the cache fill;
-    - the three iteration loops run CONCURRENTLY (driver-side threads;
-      Spark's scheduler interleaves the independent job chains). Each
-      loop is a chain of short synchronous rounds whose per-round
-      scheduling gaps leave executors idle — overlapping the three
-      chains fills those gaps, which measured ~2.4x faster than
-      sequential composition at sf0.1 (SCALE.md), and on a busy
-      cluster turns three serialized barrier chains into one.
+      persisted cache before the loops start;
+    - the three iteration loops run FUSED (optimization r14, guide
+      §2.4): one ``(node, r, l, d)`` state frame, one edge join + ONE
+      neighbor aggregate per round computing the PR sum, CC min and
+      SSSP min together — the previous shape ran the three loops as
+      concurrent driver threads, which overlapped their scheduling
+      gaps but still paid ~3x the per-round exchanges for state
+      frames all keyed by the same node id (A/B median 8.5 -> 7.7 s
+      isolated at sf0.1 — and strictly fewer exchanged bytes at
+      cluster scale, where a busy cluster has no idle capacity for
+      the overlap to fill; see :func:`_fused_metrics_core` for the
+      value-identity argument, pinned by a differential test).
 
-    The three node-sized results join on the node id (the SSSP side
-    LEFT, so nodes unreachable from the source keep a NULL hop count
-    rather than vanishing). Benched at <= 0.6x the sum of the three
-    singles (tests pin the value-consistency contract; SCALE.md
-    records the measurement).
+    Nodes unreachable from the SSSP source keep a NULL hop count
+    rather than vanishing (``d`` is simply NULL in the fused state).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    # one cache serves all three: PageRank reads (src, dst, outdeg),
-    # CC/SSSP simply ignore the outdeg column — a second outdeg-less
-    # cache would double the edge storage for zero saved work.
+    # one cache serves all three metrics: PageRank reads
+    # (src, dst, outdeg), CC/SSSP simply ignore the outdeg column — a
+    # second outdeg-less cache would double the edge storage for zero
+    # saved work. Materialized eagerly inside _fused_metrics_core's
+    # overflow guard (e2.count()).
     e2 = _edge_cache(
         _trade_edges(t) if edges is None else edges, with_outdeg=True
     )
-    # materialize the cache in ONE job before fan-out: three loops
-    # first-touching an unfilled cache concurrently would each compute
-    # (parts of) the edge build.
-    e2.count()
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_pr = pool.submit(_pagerank_core, e2, PAGERANK_ITERS)
-        f_cc = pool.submit(_cc_doubling_core, e2, CC_DOUBLE_ITERS)
-        f_ss = pool.submit(_sssp_core, e2, SSSP_ITERS)
-        ranks, labels, dist = f_pr.result(), f_cc.result(), f_ss.result()
+    prof = _fused_metrics_core(
+        e2, PAGERANK_ITERS, CC_DOUBLE_ITERS, SSSP_ITERS
+    )
     e2.unpersist(blocking=False)
     return (
-        ranks.join(labels, "node")
-        .join(dist, "node", "left")
-        .select(
+        prof.select(
             F.col("node").alias("node_id"),
             _node_kind(),
             F.col("r").alias("rank_scaled"),

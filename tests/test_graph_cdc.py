@@ -377,6 +377,37 @@ def test_graph_all_metrics_consistent_with_singles(spark):
         assert kind == ("customer" if node % 2 == 0 else "supplier")
 
 
+def test_fused_metrics_core_matches_singles_on_long_path(spark):
+    """The r14 fused round loop must equal the three separate cores on
+    a graph where CC has provably NOT converged when its rounds run
+    out: a 150-node path (diameter 149 > the 2^6 - 1 = 63 doubling
+    horizon). This is the adversarial pin for the fused loop's label
+    freeze — rounds 7-8 run PR/SSSP only, and if they leaked even one
+    extra min-label hop into ``l`` the mid-convergence labels would
+    shift (on a converged graph the leak would be an invisible no-op).
+    The same path also exercises the NULL-distance lane: 8 SSSP rounds
+    from source node 1 reach only 9 nodes, so the fused ``d`` must be
+    NULL (not absent, not garbage) everywhere else."""
+    e2 = G._edge_cache(_path_graph(spark, 150), with_outdeg=True)
+    fused = {
+        r.node: (r.r, r.l, r.d)
+        for r in G._fused_metrics_core(e2, 8, 6, 8).collect()
+    }
+    pr = {r.node: r.r for r in G._pagerank_core(e2, 8).collect()}
+    cc = {r.node: r.l for r in G._cc_doubling_core(e2, 6).collect()}
+    ss = {r.node: r.d for r in G._sssp_core(e2, 8).collect()}
+    e2.unpersist(blocking=False)
+    assert set(fused) == set(range(150))
+    # mid-convergence guard: labels must NOT all be 0 yet
+    assert len(set(cc.values())) > 1
+    # unreached guard: the SSSP frame holds only nodes within 8 hops
+    assert len(ss) == 10  # nodes 0..9 (source 1 + 8 hops each way)
+    for node, (r, l, d) in fused.items():
+        assert r == pr[node]
+        assert l == cc[node]
+        assert d == ss.get(node)  # reached-only frame -> NULL carry
+
+
 def test_cc_incremental_equals_full_recompute(spark):
     """THE incremental-CC invariant: merging the batch through the
     contracted label graph must produce exactly the labels a full

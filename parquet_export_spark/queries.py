@@ -4609,6 +4609,12 @@ PENDING_VERDICT: dict[str, int] = {
     # (group-keyed filter — value-identical). Plan change (12
     # exchanges -> 10, both removed ones wedge-sized):
     "link_prediction_suppliers": 14,
+    # r14 optimization phase, guide §2.4 (remove per-round recompute):
+    # the peel loop's 1-row degree-quantile threshold became a
+    # localCheckpoint (commit 4388379). Plan change; session 1 left it
+    # unbooked — repaired by session 4 (it rides the triple-SF sweep
+    # now and takes r15 window priority):
+    "kcore_suppliers": 14,
 }
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

@@ -126,6 +126,19 @@ ROUND_CHANGED = [
     # filtering groups == filtering rows). 12 exchanges -> 10, the
     # removed pair wedge-sized. Values identical; unfrozen to change:
     "link_prediction_suppliers",
+    # r14 session-1 bookkeeping GAP, repaired by session 4:
+    # kcore_suppliers' plan changed in commit 4388379 (the 1-row
+    # degree-quantile threshold became a localCheckpoint instead of
+    # re-running the degree aggregate + percentile inside every peel
+    # round's alive filter) but the entry never entered this list. It
+    # rides the sweep now and sits in PENDING_VERDICT(14). (Session
+    # 4's projection-builder rewrite — _supplier_pair_weights' single
+    # c-clustered exchange — changes NO registered plan: every
+    # projected-graph entry probes the per-lake checkpointed artifact
+    # via _graph_probe, so the builder is upstream of every plan; its
+    # output is xxhash64-identical and the consumers were spot-swept
+    # once, not booked.)
+    "kcore_suppliers",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

@@ -1679,6 +1679,7 @@ def neardup_incremental_check(
     threshold: float = NEARDUP_INCR_THRESHOLD,
     n_bands: int = N_BANDS,
     n_hashes: int = N_HASHES,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Check a NEW document batch for near-duplicates against a lake's
     persisted MinHash artifact — the incremental shape 100 TB actually
@@ -1699,8 +1700,21 @@ def neardup_incremental_check(
     Output, one row per batch doc: the minimum-id lake match and its
     estimated Jaccard, the minimum-id smaller-keyed batch match, and
     ``keep`` (no lake match AND no smaller batch match).
+
+    ``batch_sigs``: optional precomputed ``(doc_id, sig)`` signatures
+    for exactly the batch documents (n_hashes lanes — the caller owns
+    the parameter match, same contract as the stored artifact). When
+    given, the check signs nothing at all: a caller that already holds
+    a corpus-wide signature frame (``neardup_incremental_checked``'s
+    single-signing shape) slices the batch rows out of it instead of
+    re-shingling the batch. Values are identical either way —
+    signatures are a pure per-document function.
     """
-    bsig = minhash_signatures(batch_docs, n_hashes).select("doc_id", "sig")
+    bsig = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(batch_docs, n_hashes)
+    ).select("doc_id", "sig")
     bbands = _band_rows(bsig, n_bands, n_hashes)
 
     def _est(sa, sb):
@@ -1849,20 +1863,42 @@ def neardup_incremental_checked(
 
     The keep/lake-match VALUES remain rows-only (engine-specific
     hashing); their quantitative quality bounds stay in pytest
-    (tests/test_extensions.py). Cost over the raw gear: one extra
-    whole-corpus signing + band self-join — the price of the in-plan
-    reference, paid only by this twin, never by the production check
-    path (which scans the stored artifact alone)."""
+    (tests/test_extensions.py). Cost over the raw gear: the band
+    self-join of the in-plan reference — paid only by this twin,
+    never by the production check path (which scans the stored
+    artifact alone).
+
+    Signing happens ONCE (r14 optimization, guide §2.4): the corpus
+    signature frame is localCheckpointed and the batch signatures,
+    the lake artifact AND the from-scratch reference are all filter
+    slices of it. Signatures are a pure per-document function
+    (fixed-seed shingle hashing, no corpus state), so a filtered
+    corpus signing is value-identical to signing the subset — the
+    same determinism contract ``agrees_full_recompute`` asserts.
+    Before the checkpoint the plan re-instantiated the signing
+    subtree per consumer branch (40 parquet scans / 15 signing
+    expressions / 76 exchanges at sf0.1 — the filtered variants
+    defeat ReusedExchange); the two earlier partial remedies
+    (artifact-only checkpoint, exchange-reuse hope) both measured
+    SLOWER and are recorded in OPTIMIZATION_r14.md."""
     docs = t["documents"].select("doc_id", "text")
     batch = docs.filter(F.col("doc_id") % batch_mod == 0)
-    lake = docs.filter(F.col("doc_id") % batch_mod != 0)
-    sigs, bands = lake_minhash_artifact(lake)
-    incr = neardup_incremental_check(batch, sigs, bands, threshold)
+    in_batch = F.col("doc_id") % batch_mod == 0
+    sig_all = (
+        minhash_signatures(docs).select("doc_id", "sig").localCheckpoint()
+    )
+    lake_sigs = sig_all.filter(~in_batch)
+    incr = neardup_incremental_check(
+        batch,
+        lake_sigs,
+        _band_rows(lake_sigs),
+        threshold,
+        batch_sigs=sig_all.filter(in_batch),
+    )
 
-    # from-scratch reference, entirely in-plan: sign the WHOLE corpus
-    # once, band it, estimate over candidate pairs, apply the same
-    # keeper rules with DataFrame ops.
-    sig_all = minhash_signatures(docs).select("doc_id", "sig")
+    # from-scratch reference, entirely in-plan: band the SAME corpus
+    # signing, estimate over candidate pairs, apply the same keeper
+    # rules with DataFrame ops.
     bands_all = _band_rows(sig_all)
     cand = (
         bands_all.alias("x")
@@ -1929,7 +1965,8 @@ def neardup_incremental_checked(
     )
     # exact-duplication ground truth (SQL-expressible, hashed):
     lake_hashes = (
-        lake.select(F.md5("text").alias("content_hash")).distinct()
+        docs.filter(~in_batch)
+        .select(F.md5("text").alias("content_hash")).distinct()
         .withColumn("in_lake", F.lit(True))
     )
     exact = (

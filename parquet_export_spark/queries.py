@@ -4615,6 +4615,12 @@ PENDING_VERDICT: dict[str, int] = {
     # unbooked — repaired by session 4 (it rides the triple-SF sweep
     # now and takes r15 window priority):
     "kcore_suppliers": 14,
+    # r14 optimization phase, session 5 (guide §2.4): the twin signs
+    # the corpus once (localCheckpointed slim signature frame); batch
+    # sigs, lake artifact and the from-scratch reference are filter
+    # slices of it. Plan change after the r14 window was fixed —
+    # triple-SF-swept now, r15 window priority:
+    "neardup_incremental": 14,
 }
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {

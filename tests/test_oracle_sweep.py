@@ -139,6 +139,16 @@ ROUND_CHANGED = [
     # output is xxhash64-identical and the consumers were spot-swept
     # once, not booked.)
     "kcore_suppliers",
+    # r14 optimization phase, session 5, guide §2.4 (remove redundant
+    # passes): the twin signs the corpus ONCE into a localCheckpointed
+    # (doc_id, sig) frame; the batch signatures, the lake artifact and
+    # the from-scratch reference are all filter slices of it (pure
+    # per-document hashing makes slice == re-sign). The old plan
+    # re-instantiated the signing subtree per consumer branch — 40
+    # parquet scans / ~15 signing expressions / 76 exchanges at sf0.1
+    # -> 8 / 0 / 52 plus one signing job at the checkpoint. Plan
+    # change, oracle unchanged:
+    "neardup_incremental",
 ]
 
 #: Previous round's list (r13), kept for the PENDING-tier bookkeeping in

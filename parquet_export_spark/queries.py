@@ -4342,47 +4342,47 @@ REGISTRY.update(
 # The partition is enforced by tests/test_freshness.py against the actual
 # CORRECTNESS_r*.json artifacts — the policy cannot silently drift.
 #
-# ROUND-14 WINDOW, per the r13 verdict's task #2 (pq_topk +
-# bpe_encode_corpus take the priority slots promised in
-# tests/test_oracle_sweep.py — once green, every oracle-bearing entry
-# that has ever existed holds a lifetime driver verdict, 297/297),
-# task #1 (label_pca's cap moved before the grouped-map shuffle — a
-# PLAN change, so its post-change verdict lands this round), task #3
-# (value_gini_by_type's run-length pre-aggregation — plan change),
-# task #4 (cogroup_user_funnel's derived bucket count — plan change)
-# and the advice items (semdedup_embedding's spine drawn from the
-# oracle's full-slice population; fuzzy_dedup_keep's convergence
-# boundary probe):
-#   (a) pq_topk and bpe_encode_corpus — their oracles were born AFTER
-#       the r13 window froze (r13 ROUND_CHANGED; triple-SF green
-#       since), the registry's last two oracle-bearing entries
-#       without a post-oracle driver verdict;
-#   (b) CHANGED this round, post-change verdicts (the ktruss/simhash
-#       precedent): label_pca (r13 verdict #1), semdedup_embedding
-#       (advice medium — spine population), value_gini_by_type (r13
-#       verdict #3), cogroup_user_funnel (r13 verdict #4, unfrozen to
-#       change), fuzzy_dedup_keep (advice — the exact-max_iter
-#       boundary probe in its CC loop);
-#   (c) 43 opportunistic FROZEN refreshes, oldest evidence first: the
-#       alphabetically-first 43 of the 47-entry r8-verdicted cohort
-#       (through target_encode_loo). They stay frozen — a refresh
-#       does not unfreeze.
+# ROUND-15 WINDOW, per the r14 verdict's task #1: the 16
+# PENDING_VERDICT(14) plan-changed entries take priority — the r14
+# optimization phase changed their plans AFTER the r14 window froze,
+# so their independent post-change driver verdicts land this round
+# (the in-repo triple-SF sweep has covered them on every pytest run
+# since the change):
+#   (a) the full PENDING_VERDICT(14) book — both certificate twins
+#       (ann_lsh_neighbors, neardup_minhash_lsh), both Markov gears,
+#       every consumer of the aggregate-then-join CC/SSSP hop
+#       (cc_doubling, sssp, graph_all_metrics, supplier_communities
+#       [_approx], community_modularity, supplier_graph_suite,
+#       cc_incremental_trade), ktruss, kcore, link_prediction and
+#       neardup_incremental — 16 slots;
+#   (b) the 4 remaining r8-verdicted FROZEN entries (the r14 rotation
+#       refreshed the alphabetically-first 43 of that 47-entry
+#       cohort; these close it out): unigram_freq_quality through
+#       winnowing_fingerprints;
+#   (c) this round's optimization targets (r14 verdict tasks #2/#3/#4/
+#       #6/#8): bpe_encode_corpus, knn_classify, spearman_corr_by_flag,
+#       weighted_median_price_by_segment, containment_join,
+#       remove_contained_docs, simjoin_prefix — any plan change they
+#       take this round gets its driver verdict in the same window
+#       (weighted_median_price_by_segment additionally ages past the
+#       3-round bar at this rotation and is NOT frozen, so the slot
+#       doubles as its freshness renewal);
+#   (d) 23 opportunistic FROZEN refreshes, oldest evidence first: the
+#       alphabetically-first 23 of the 46-entry r9-verdicted cohort
+#       (apdex_by_type through ngram_novelty_scores). They stay
+#       frozen — a refresh does not unfreeze.
 # Left OUTSIDE the window, each named by tier:
-#   - CHANGED (r14): tests/test_oracle_sweep.py ROUND_CHANGED — the
-#     window members of (b) plus both (a) entries (bpe_encode_corpus:
-#     the twin's half pass now slices the learned table instead of
-#     re-running the learner; pq_topk: its two tiny input frames are
-#     checkpointed so consumer branches stop re-running the corpus
-#     kernels), triple-SF-swept every pytest run.
-#   - PENDING: empty — every r13-changed entry is either r13-verdicted
-#     or holds a window slot above.
-#   - FROZEN: the names in FROZEN below (less the 43 refreshed in
-#     (c)), now including the 49-entry r10 cohort that ages past the
-#     3-round bar at this rotation (value_gini_by_type, the 50th,
-#     changed this round and holds a window slot instead) and LESS
-#     cogroup_user_funnel (changed this round — a changed entry
-#     cannot hide in the freezer; it re-freezes when it re-ages).
-#   - fresh (r11/r12/r13 verdicts, within the 3-round bar): the rest.
+#   - CHANGED (r15): tests/test_oracle_sweep.py ROUND_CHANGED —
+#     populated as this round's optimization work lands; entries
+#     changed this round that hold a window slot above get their
+#     post-change verdict directly, others enter PENDING_VERDICT(15).
+#   - PENDING: empty at rotation — all 16 r14-pending entries hold
+#     window slots above, draining the book.
+#   - FROZEN: the names in FROZEN below, now including the 38-entry
+#     r11-verdicted cohort that ages past the 3-round bar at this
+#     rotation (weighted_median_price_by_segment, the 39th, holds
+#     window slot (c) instead).
+#   - fresh (r12/r13/r14 verdicts, within the 3-round bar): the rest.
 #   - rows-only gears (no oracle by construction; pytest-bounded):
 #     ivf_topk, bpe_learn_merges (rows-only driver-checked r12) —
 #     2 total, both with docstring justifications the r13 verdict
@@ -4399,7 +4399,7 @@ REGISTRY.update(
 #: Bumped once per round, together with the window + ROUND_CHANGED
 #: rotation (tests/test_freshness.py pins it against the newest
 #: CORRECTNESS_r*.json artifact so it cannot go stale silently).
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 
 #: Rows-only entries holding a deliberate window slot this round (the
 #: driver records the weaker rows-only check for these — still a first
@@ -4410,34 +4410,43 @@ CURRENT_ROUND = 14
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 _VERDICT_PRIORITY = [
-    # (a) the last 2 oracle-bearing entries without a post-oracle
-    #     driver verdict (r13 verdict #2) — once green, 297/297:
-    "pq_topk", "bpe_encode_corpus",
-    # (b) changed this round — post-change verdicts (r13 verdict
-    #     #1/#3/#4 + the two advice fixes):
-    "label_pca", "semdedup_embedding", "value_gini_by_type",
-    "cogroup_user_funnel", "fuzzy_dedup_keep",
-    # (c) 43 opportunistic FROZEN refreshes, oldest evidence first —
-    #     the alphabetically-first 43 of the 47-entry r8 cohort (the
-    #     remaining 4, unigram_freq_quality through
-    #     winnowing_fingerprints, stay frozen with no deadline and
-    #     lead the r15 refresh queue):
-    "anomaly_suite_events", "array_collect_funcs",
-    "assortativity_trade_graph", "benford_first_digit", "bm25_scores",
-    "byte_histograms", "chunk_documents", "clustering_coeff_suppliers",
-    "collocations_pmi", "containment_join", "cosine_topk",
-    "decile_features_events", "decontaminate_train", "dedup_canonical",
-    "dedup_exact", "event_transition_matrix", "ewma_halflife_values",
-    "interarrival_gap_histogram", "ks_distance_pairs",
-    "lang_quality_summary", "lateral_explode_items", "mixture_weights",
-    "multimodal_features", "neardup_embedding",
-    "neardup_jaccard_blocked", "neardup_ngram_jaccard",
-    "pack_sequences", "pareto_frontier_orders", "pgm_image_features",
-    "phash_pgm_dedup", "q11_important_parts", "q6_forecast_revenue",
-    "quality_weighted_sample", "random_walks_suppliers",
-    "remove_contained_docs", "repetition_ratios", "retention_cohorts",
-    "scd2_user_state", "seasonal_decompose_hourly", "set_ops",
-    "sql_cohort_ltv", "stratified_sample", "target_encode_loo",
+    # (a) the 16 PENDING_VERDICT(14) plan-changed entries (r14 verdict
+    #     task #1) — their post-change driver verdicts land now:
+    "ann_lsh_neighbors", "neardup_minhash_lsh",
+    "markov_stationary_types", "markov_removal_attribution",
+    "cc_doubling_trade_graph", "sssp_trade_graph", "graph_all_metrics",
+    "supplier_communities", "supplier_communities_approx",
+    "community_modularity_suppliers", "supplier_graph_suite",
+    "cc_incremental_trade", "ktruss_suppliers",
+    "link_prediction_suppliers", "kcore_suppliers",
+    "neardup_incremental",
+    # (b) the 4 remaining r8-verdicted FROZEN entries — oldest
+    #     evidence in the fleet, closing out the r8 cohort refresh:
+    "unigram_freq_quality", "window_running_sum",
+    "window_topk_per_group", "winnowing_fingerprints",
+    # (c) this round's optimization targets (r14 verdict tasks
+    #     #2/#3/#4/#6/#8) — a plan change here gets its verdict in
+    #     the same window; weighted_median_price_by_segment also ages
+    #     past the 3-round bar at this rotation (r11 verdict, never
+    #     frozen), so its slot doubles as the freshness renewal:
+    "bpe_encode_corpus", "knn_classify", "spearman_corr_by_flag",
+    "weighted_median_price_by_segment", "containment_join",
+    "remove_contained_docs", "simjoin_prefix",
+    # (d) 23 opportunistic FROZEN refreshes, oldest evidence first —
+    #     the alphabetically-first 23 of the 46-entry r9 cohort (the
+    #     remaining 23, novelty_incremental through weekly_revenue_wow,
+    #     stay frozen with no deadline and lead the next refresh
+    #     queue):
+    "apdex_by_type", "autocorr_hourly_counts", "bpe_token_counts",
+    "cc_trade_graph", "chi2_type_decile",
+    "degree_distribution_suppliers", "dup_family_size_histogram",
+    "dup_spans", "fano_burstiness", "feature_hash_vectors",
+    "funnel_time_to_convert", "heavy_hitters_cms",
+    "hhi_concentration_by_segment", "holt_linear_forecast",
+    "join_anti", "join_inner", "join_semi", "local_peaks_hourly",
+    "lpa_communities_suppliers", "merge_upsert_orders",
+    "multitouch_attribution", "nearest_event_join",
+    "ngram_novelty_scores",
 ]
 
 #: FROZEN tier: unchanged >= 3 rounds, driver-green at least once,
@@ -4563,65 +4572,45 @@ FROZEN = frozenset({
     "tv_distance_pairs", "value_outliers", "vocab_coverage",
     "weekly_mix_drift", "window_range_frame", "winsorize_values",
     "zipf_slope_unigrams",
+    # r15 freeze cohort: 38 of the 39 r11-verdicted entries aged past
+    # the 3-round bar at this rotation — all unchanged since r11 (none
+    # in any ROUND_CHANGED since), all driver-green, all re-proven by
+    # the per-run pytest oracle compare. The 39th,
+    # weighted_median_price_by_segment, holds an r15 window slot
+    # instead (it is this round's examination target, r14 verdict
+    # task #6). They cycle back through windows opportunistically
+    # (this round refreshes the rest of the r8 cohort + the first
+    # half of the r9 cohort).
+    "agg_approx_distinct", "ann_lsh_buckets", "anova_oneway_types",
+    "approx_percentiles", "butterfly_pairs_trade",
+    "changepoint_scan_daily", "clamped_running_balance",
+    "conversion_ztest_by_click_tier",
+    "harmonic_closeness_exact2_suppliers", "hits_trade_graph",
+    "hll_rollup_users", "histogram_equidepth_approx",
+    "interval_overlap_join", "ivf_probe_incremental", "join_range",
+    "kendall_tau_qty_discount", "key_skew_report",
+    "leadlag_corr_types", "mann_kendall_trend_daily",
+    "pagerank_trade_graph", "pq_probe_incremental",
+    "prorate_discount_cents", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_counts",
+    "q18_large_orders_having", "q19_disjunctive_predicates",
+    "q20_heavy_suppliers", "q21_exclusive_return_suppliers",
+    "q2_min_balance_supplier", "runs_test_daily", "sessionize_batch",
+    "share_of_parent_rollup", "theil_sen_slope_daily",
+    "triangle_count_suppliers", "welch_ttest_pairs",
+    "wow_audience_overlap", "wow_mix_rate_decomposition",
 })
 
 #: PENDING tier: {entry: round its plan/oracle last changed}. The entry
 #: was triple-SF-swept in that round but its latest driver verdict
 #: predates the change; it must take a window slot within 3 rounds of
 #: the change (enforced by tests/test_freshness.py).
-#: r14: the registry-wide plan-node audit found two more twins whose
-#: multi-branch consumption re-ran corpus pipelines (the pq_topk /
-#: label_pca class); both got a bounded-frame checkpoint AFTER the r14
-#: window was fixed, so they ride the triple-SF sweep now and take r15
-#: window priority:
-PENDING_VERDICT: dict[str, int] = {
-    "ann_lsh_neighbors": 14,
-    "neardup_minhash_lsh": 14,
-    # r14 optimization phase, guide §2.4 (remove redundant passes):
-    # channel list / out_transitions re-derived from the checkpointed
-    # transition table instead of second windowed fact passes, tiny
-    # multi-branch frames checkpointed. Plan changes after the r14
-    # window was fixed — triple-SF-swept now, r15 window priority:
-    "markov_stationary_types": 14,
-    "markov_removal_attribution": 14,
-    # r14 optimization phase: the _cc_doubling_core hop / _sssp_core
-    # relaxation went aggregate-then-join (guide §2.3 — only the
-    # neighbor min-aggregate exchanges per round; identical values,
-    # A/B'd twice, graph_all_metrics 12.2-13.3 s -> 8.1-8.5 s at
-    # sf0.1). Plan change on every registry consumer of the two cores;
-    # all changed after the r14 window was fixed, so they ride the
-    # triple-SF sweep now and take r15 window priority:
-    "cc_doubling_trade_graph": 14,
-    "sssp_trade_graph": 14,
-    "graph_all_metrics": 14,
-    "supplier_communities": 14,
-    "supplier_communities_approx": 14,
-    "community_modularity_suppliers": 14,
-    "supplier_graph_suite": 14,
-    "cc_incremental_trade": 14,
-    # r14 optimization phase, guide §2.4: the adaptive peel keeps the
-    # fixpoint round's per-edge supports instead of re-deriving them
-    # with one more wedge pass after convergence. Plan change:
-    "ktruss_suppliers": 14,
-    # r14 optimization phase, guide §2.3: deg_z attached to the
-    # node-sized wedge input instead of probed against the wedge
-    # output; adjacency anti-join moved above the (s1, s2) aggregate
-    # (group-keyed filter — value-identical). Plan change (12
-    # exchanges -> 10, both removed ones wedge-sized):
-    "link_prediction_suppliers": 14,
-    # r14 optimization phase, guide §2.4 (remove per-round recompute):
-    # the peel loop's 1-row degree-quantile threshold became a
-    # localCheckpoint (commit 4388379). Plan change; session 1 left it
-    # unbooked — repaired by session 4 (it rides the triple-SF sweep
-    # now and takes r15 window priority):
-    "kcore_suppliers": 14,
-    # r14 optimization phase, session 5 (guide §2.4): the twin signs
-    # the corpus once (localCheckpointed slim signature frame); batch
-    # sigs, lake artifact and the from-scratch reference are filter
-    # slices of it. Plan change after the r14 window was fixed —
-    # triple-SF-swept now, r15 window priority:
-    "neardup_incremental": 14,
-}
+#: r15: EMPTY at rotation — all 16 r14-pending entries (both
+#: certificate twins, both Markov gears, the eight CC/SSSP-hop
+#: consumers, ktruss, kcore, link_prediction, neardup_incremental)
+#: hold r15 window slots, draining the book. Entries changed this
+#: round OUTSIDE the window enter here with round 15.
+PENDING_VERDICT: dict[str, int] = {}
 
 REGISTRY = {k: REGISTRY[k] for k in _VERDICT_PRIORITY} | {
     k: v for k, v in REGISTRY.items() if k not in _VERDICT_PRIORITY

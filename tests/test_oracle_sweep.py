@@ -33,136 +33,32 @@ from tests.oracle_harness import compare
 #: registry entries whose Spark plan or oracle text is new or changed
 #: in the CURRENT round — each swept at all three SFs every pytest run.
 ROUND_CHANGED = [
-    # round 14: populated as this round's work lands. Every entry added
-    # below is triple-SF-swept on each pytest run.
-    #
-    # r13 verdict #1: label_pca's group cap moved BEFORE the
-    # grouped-map shuffle (row_number window + filter upstream of
-    # FlatMapGroupsInPandas; n_vectors from a separate count join) —
-    # a PLAN change, oracle unchanged:
-    "label_pca",
-    # r13 advice (medium): the twin's slice spine now drawn from ALL
-    # embeddings (the oracle's population), cell-dependent contracts
-    # vacuously TRUE for slice vectors in over-cap cells:
-    "semdedup_embedding",
-    # r13 verdict #3: the hot-group fix implemented — exact
-    # (micro-value, count) pre-aggregation before the UDAF, Gini over
-    # run-lengths (support-bounded kernel input, identical ppb):
-    "value_gini_by_type",
-    # r13 verdict #4: n_buckets derived from a bounded count action
-    # (ceil(relevant/100k), parallelism floor) instead of fixed 64;
-    # output invariant under bucketing, oracle unchanged:
-    "cogroup_user_funnel",
-    # r13 advice: the exact-max_iter convergence boundary in the CC
-    # loop no longer raises a false positive (one extra no-change
-    # probe before the require_converged RuntimeError):
-    "fuzzy_dedup_keep",
-    # r14 perf: the twin's half-table pass now encodes against the
-    # learned table's first-half SLICE instead of re-running the
-    # iterative learner at n/2 (licensed by the pytest-pinned
-    # prefix-stability property; 15.0 s -> 10.3 s at sf0.1). Plan
-    # change on the registered twin; already holds window slot 2:
-    "bpe_encode_corpus",
-    # r14 perf: the twin's two n_queries*k-row input frames are
-    # localCheckpointed — each fed 2-3 plan branches, so every
-    # consumer re-ran the full corpus ADC/top-k kernels (12
-    # ArrowEvalPython nodes / 20 parquet scans -> 0 downstream).
-    # Plan change; already holds window slot 1:
-    "pq_topk",
-    # r14 perf, same class, found by the registry-wide plan-node
-    # audit: the ann twin's slice frame fed both self-join sides
-    # (14 kernel nodes -> 10), and the minhash twin's joined pair
-    # frame fed the recall aggregate AND the final select — each
-    # branch re-ran BOTH corpus pipelines (19 parquet scans -> 0
-    # downstream). Both checkpoint a bounded frame; plan changes on
-    # non-window entries, so both enter PENDING_VERDICT (r15 window
-    # priority):
-    "ann_lsh_neighbors",
-    "neardup_minhash_lsh",
-    # r14 optimization phase, guide §2.4 (remove passes): the removal-
-    # attribution channel list now derives from the checkpointed trans
-    # frame (its i-values are {__start__} ∪ channels by the journey
-    # grammar) instead of a second user-window fact pass, and the tiny
-    # conv frame is checkpointed so its two consumer branches stop
-    # re-running the n_iter sweep chain. Plan change, oracle unchanged:
-    "markov_removal_attribution",
-    # r14 optimization phase, same class: states checkpointed (fed r0
-    # AND the final join — two corpus-wide distincts), out_transitions
-    # re-read from the checkpointed trans instead of re-running the
-    # lead-window fact pass behind rowtot. Plan change, oracle
-    # unchanged:
-    "markov_stationary_types",
-    # r14 optimization phase, guide §2.3 (shuffle fewer bytes): the
-    # _cc_doubling_core hop and the _sssp_core relaxation switched from
-    # union-then-aggregate to aggregate-then-join — only the neighbor
-    # min-aggregate exchanges per round; identical values (min over
-    # {l(n)} ∪ {l(m)} == least(l, min_m l(m)), left/full join per
-    # frontier semantics). A/B'd twice: graph_all_metrics (the two
-    # cores run concurrently there) 12.2-13.3 s -> 8.1-8.5 s at sf0.1;
-    # solo gears band-flat. _cc_minlabel_core deliberately KEPT on the
-    # union shape (solo A/B regressed 4.4 -> 5.0-5.7 s), so
-    # cc_trade_graph is NOT plan-changed. Changed entries — every
-    # registry consumer of the two cores:
-    "cc_doubling_trade_graph",
-    "sssp_trade_graph",
-    "graph_all_metrics",
-    "supplier_communities",
-    "supplier_communities_approx",
-    "community_modularity_suppliers",
-    "supplier_graph_suite",
-    "cc_incremental_trade",
-    # r14 optimization phase, guide §2.4 (remove passes): the k-truss
-    # adaptive peel now carries each round's per-edge supports on the
-    # checkpointed surviving set; at the fixpoint those ARE the final
-    # values (set-equality), so the post-loop support re-derivation —
-    # a full extra wedge join + expansion aggregate — runs only on the
-    # round-cap path. Plan change, oracle unchanged (the unrolled
-    # replay is hash-identical by the same monotonicity):
-    "ktruss_suppliers",
-    # r14 optimization phase, guide §2.3: the link-prediction wedge
-    # pipeline attaches deg_z to the node-sized b side before the
-    # explosion (was: a wedge-row probe join) and anti-joins adjacency
-    # AFTER the (s1, s2) aggregate (the anti key IS the group key, so
-    # filtering groups == filtering rows). 12 exchanges -> 10, the
-    # removed pair wedge-sized. Values identical; unfrozen to change:
-    "link_prediction_suppliers",
-    # r14 session-1 bookkeeping GAP, repaired by session 4:
-    # kcore_suppliers' plan changed in commit 4388379 (the 1-row
-    # degree-quantile threshold became a localCheckpoint instead of
-    # re-running the degree aggregate + percentile inside every peel
-    # round's alive filter) but the entry never entered this list. It
-    # rides the sweep now and sits in PENDING_VERDICT(14). (Session
-    # 4's projection-builder rewrite — _supplier_pair_weights' single
-    # c-clustered exchange — changes NO registered plan: every
-    # projected-graph entry probes the per-lake checkpointed artifact
-    # via _graph_probe, so the builder is upstream of every plan; its
-    # output is xxhash64-identical and the consumers were spot-swept
-    # once, not booked.)
-    "kcore_suppliers",
-    # r14 optimization phase, session 5, guide §2.4 (remove redundant
-    # passes): the twin signs the corpus ONCE into a localCheckpointed
-    # (doc_id, sig) frame; the batch signatures, the lake artifact and
-    # the from-scratch reference are all filter slices of it (pure
-    # per-document hashing makes slice == re-sign). The old plan
-    # re-instantiated the signing subtree per consumer branch — 40
-    # parquet scans / ~15 signing expressions / 76 exchanges at sf0.1
-    # -> 8 / 0 / 52 plus one signing job at the checkpoint. Plan
-    # change, oracle unchanged:
-    "neardup_incremental",
+    # round 15: populated as this round's optimization work lands.
+    # Every entry added below is triple-SF-swept on each pytest run.
 ]
 
-#: Previous round's list (r13), kept for the PENDING-tier bookkeeping in
+#: Previous round's list (r14), kept for the PENDING-tier bookkeeping in
 #: tests/test_freshness.py. Deduplicated AT DEFINITION via dict.fromkeys
 #: (r10 advice: a doubled name re-runs sweep legs for nothing and
 #: corrupts bookkeeping counts) — the companion invariant test enforces
 #: no-duplicates on both lists every run.
 PREV_ROUND_CHANGED = list(dict.fromkeys([
-    # r12-verdict #1/#3/#4 work, all r13-verdicted green:
-    "neardup_simhash", "ann_lsh_neighbors", "semdedup_embedding",
-    "label_pca",
-    # post-r13-window oracle births — r13 triple-SF-swept, r14 window
-    # priority slots (their first post-oracle verdicts land now):
-    "pq_topk", "bpe_encode_corpus",
+    # r13-verdict/advice carryover fixes, all r14-verdicted green:
+    "label_pca", "semdedup_embedding", "value_gini_by_type",
+    "cogroup_user_funnel", "fuzzy_dedup_keep",
+    # r14 certificate-twin checkpoint work (bpe/pq_topk r14-verdicted;
+    # ann/minhash hold r15 window slots):
+    "bpe_encode_corpus", "pq_topk", "ann_lsh_neighbors",
+    "neardup_minhash_lsh",
+    # r14 optimization phase (all hold r15 window slots — their
+    # post-change driver verdicts land this round):
+    "markov_removal_attribution", "markov_stationary_types",
+    "cc_doubling_trade_graph", "sssp_trade_graph", "graph_all_metrics",
+    "supplier_communities", "supplier_communities_approx",
+    "community_modularity_suppliers", "supplier_graph_suite",
+    "cc_incremental_trade", "ktruss_suppliers",
+    "link_prediction_suppliers", "kcore_suppliers",
+    "neardup_incremental",
 ]))
 
 SF_DIRS = [

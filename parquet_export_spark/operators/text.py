@@ -913,6 +913,43 @@ def _bpe_merge_udf(a: str, b: str):
     return apply_merge
 
 
+def _bpe_merges_udf(merges: tuple[tuple[str, str], ...]):
+    """Batched merge kernel (optimization r15, guide §4): apply ALL
+    merges accumulated since the last checkpoint in rank order inside
+    ONE Arrow pass. Identical values to stacking one
+    :func:`_bpe_merge_udf` per merge — greedy left-to-right replacement
+    composed in rank order is exactly what the stacked kernels compute
+    — but each learner round pays ONE JVM->Python->JVM crossing instead
+    of one per un-checkpointed merge (the stacked shape re-crossed the
+    boundary up to 4x per round). ``merges`` is a frozen tuple copy for
+    the same lazy-serialization reason as the single-merge factory."""
+    from pyspark.sql.functions import pandas_udf
+
+    ms = tuple(merges)
+
+    @pandas_udf("array<string>")
+    def apply_merges(syms_s: pd.Series) -> pd.Series:
+        out = []
+        for syms in syms_s:
+            syms = list(syms)
+            for a, b in ms:
+                merged = a + b
+                res: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(syms)
+        return pd.Series(out)
+
+    return apply_merges
+
+
 def bpe_learn_merges(
     t: dict[str, DataFrame], n_merges: int = BPE_N_MERGES
 ) -> DataFrame:
@@ -944,13 +981,35 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    cur = words.select("freq", F.split("w", "").alias("syms")).localCheckpoint()
+    # Optimization r15 (guide §4 — fewer Python boundary crossings;
+    # §1.2 — the learner's wall is per-round job latency, measured
+    # 8.2 s of the twin's 8.1 s at sf0.1 while both encode passes
+    # together cost <1 s): merges since the last checkpoint accumulate
+    # in `pending` and each round applies them through ONE batched
+    # Arrow kernel instead of one stacked kernel per merge, and the
+    # every-4-rounds checkpoint is LAZY (eager=False) so its
+    # materialization rides the next round's collect instead of
+    # costing a separate job (values identical either way — the
+    # checkpoint only truncates lineage). Merge sequence unchanged:
+    # round r still scans the word table with merges 0..r-1 applied
+    # in rank order.
+    base = words.select(
+        "freq", F.split("w", "").alias("syms")
+    ).localCheckpoint(eager=False)
     pair_expr = F.expr(
         "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1),"
         " (a, b) -> struct(a, b))"
     )
     merges: list[tuple[int, str, str, int]] = []
+    pending: list[tuple[str, str]] = []
     for rank in range(n_merges):
+        cur = (
+            base
+            if not pending
+            else base.withColumn(
+                "syms", _bpe_merges_udf(tuple(pending))("syms")
+            )
+        )
         top = (
             cur.select("freq", F.explode(pair_expr).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -963,9 +1022,12 @@ def bpe_learn_merges(
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
         merges.append((rank, a, b, cnt))
-        cur = cur.withColumn("syms", _bpe_merge_udf(a, b)("syms"))
-        if (rank + 1) % 4 == 0:
-            cur = cur.localCheckpoint()
+        pending.append((a, b))
+        if len(pending) == 4:
+            base = base.withColumn(
+                "syms", _bpe_merges_udf(tuple(pending))("syms")
+            ).localCheckpoint(eager=False)
+            pending = []
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
@@ -1053,6 +1115,90 @@ def _bpe_token_counts(
     )
 
 
+def _bpe_token_counts_multi(
+    docs: DataFrame, merges: list[tuple[str, str]], cuts: list[int]
+) -> DataFrame:
+    """Multi-cut encode kernel (optimization r15, guide §2.4/§4): one
+    Arrow-batched corpus scan returning, per document, the BPE token
+    count after the first ``cuts[i]`` merges for EVERY cut, plus the
+    word/char/non-space spine columns — all from a single pass.
+
+    Value identity with running :func:`_bpe_token_counts` once per cut:
+    greedy rank-order application means the symbol state after ``k``
+    merges IS the encoding under the k-merge table (the same
+    prefix-stability property the twin's monotonicity certificate
+    rests on, pinned by tests' prefix-stability test), so snapshotting
+    ``len(syms)`` when ``k`` merges have been applied equals the
+    separate ``merges[:k]`` encode exactly. The separate-pass shape
+    paid one corpus scan + one Python boundary crossing PER CUT plus a
+    doc_id join to recombine them — at 100 TB the corpus passes are
+    the whole cost of the encode side.
+
+    ``cuts`` must be ascending and <= len(merges). Output column
+    ``tk`` is the per-cut count array, ``tk[i]`` for ``cuts[i]``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cut_list = list(cuts)
+    assert cut_list == sorted(cut_list) and cut_list[-1] <= len(merges)
+
+    @pandas_udf("array<int>")
+    def n_bpe_tokens_at(texts: pd.Series) -> pd.Series:
+        n_cuts = len(cut_list)
+        memo: dict[str, list[int]] = {}
+
+        def encode_lens(w: str) -> list[int]:
+            lens = memo.get(w)
+            if lens is not None:
+                return lens
+            syms = list(w)
+            lens = []
+            k = 0  # merges applied so far
+            for a, b in merges:
+                while len(lens) < n_cuts and cut_list[len(lens)] == k:
+                    lens.append(len(syms))
+                if len(syms) == 1:
+                    # a single symbol can never merge further; every
+                    # remaining cut reads 1
+                    break
+                ab = a + b
+                res: list[str] = []
+                i, m = 0, len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        res.append(ab)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+                k += 1
+            while len(lens) < n_cuts:
+                lens.append(len(syms))
+            memo[w] = lens
+            return lens
+
+        out = []
+        for text in texts:
+            totals = [0] * n_cuts
+            for w in text.split(" "):
+                if w:
+                    lens = encode_lens(w)
+                    for j in range(n_cuts):
+                        totals[j] += lens[j]
+            out.append(totals)
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+        .alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+        n_bpe_tokens_at(F.col("text")).alias("tk"),
+    )
+
+
 def bpe_encode_corpus_checked(
     t: dict[str, DataFrame], n_merges: int = BPE_N_MERGES
 ) -> DataFrame:
@@ -1081,44 +1227,43 @@ def bpe_encode_corpus_checked(
     - ``zero_iff_empty`` — a document encodes to zero tokens exactly
       when it has zero words.
 
-    Cost: one extra (half-table) corpus kernel pass + ONE bounded
-    merge-learn collect, paid by the certificate only. The learner
-    runs ONCE (round 14): the half pass encodes against the learned
+    Cost: ONE bounded merge-learn collect plus ONE fused corpus kernel
+    pass, paid by the certificate only. History: round 14 made the
+    learner run once (the half pass encodes against the learned
     table's first-half SLICE — licensed by the same prefix-stability
-    property the monotonicity argument already rests on — where it
-    previously re-ran the whole iterative learner at n/2 (the learner,
-    not the encode, dominated the twin's cost: 15.0 s -> the encode
-    passes alone)."""
+    property the monotonicity argument already rests on); round 15
+    fused the full and half encodes into one multi-cut kernel
+    (:func:`_bpe_token_counts_multi` — the half-table encoding IS the
+    full encoding's intermediate symbol state, so one pass snapshots
+    both) and moved the non-space count into the same select, turning
+    3 corpus scans + 2 doc_id joins into 1 scan + 0 joins."""
     merge_rows = bpe_learn_merges(t, n_merges).collect()
     merges = [
         (r.left, r.right)
         for r in sorted(merge_rows, key=lambda r: r.merge_rank)
     ]
-    docs = t["documents"]
-    full = _bpe_token_counts(docs, merges)
-    half = _bpe_token_counts(
-        docs, merges[: max(n_merges // 2, 0)]
-    ).select("doc_id", F.col("n_bpe_tokens").alias("half_tokens"))
-    nonspace = t["documents"].select(
-        "doc_id",
-        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+    # cuts clamp to the LEARNED table length: the learner stops early
+    # when no pair repeats, and the old separate passes sliced that
+    # shorter list implicitly (merges[:k] == merges when k >= len)
+    fused = _bpe_token_counts_multi(
+        t["documents"],
+        merges,
+        [min(max(n_merges // 2, 0), len(merges)), len(merges)],
     )
+    half_toks = F.col("tk").getItem(0)
+    full_toks = F.col("tk").getItem(1)
     return (
-        full.join(half, "doc_id")
-        .join(nonspace, "doc_id")
-        .select(
+        fused.select(
             "doc_id",
             "n_words",
             "n_chars",
             (
-                (F.col("n_words") <= F.col("n_bpe_tokens"))
-                & (F.col("n_bpe_tokens") <= F.col("n_nonspace"))
+                (F.col("n_words") <= full_toks)
+                & (full_toks <= F.col("n_nonspace"))
             ).alias("bounds_ok"),
-            (F.col("n_bpe_tokens") <= F.col("half_tokens")).alias(
-                "merge_monotone"
-            ),
+            (full_toks <= half_toks).alias("merge_monotone"),
             (
-                (F.col("n_words") == 0) == (F.col("n_bpe_tokens") == 0)
+                (F.col("n_words") == 0) == (full_toks == 0)
             ).alias("zero_iff_empty"),
         )
         .orderBy("doc_id")

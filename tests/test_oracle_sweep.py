@@ -35,6 +35,16 @@ from tests.oracle_harness import compare
 ROUND_CHANGED = [
     # round 15: populated as this round's optimization work lands.
     # Every entry added below is triple-SF-swept on each pytest run.
+    #
+    # r15 optimization (guide §2.4/§4, r14 verdict task #2): the twin's
+    # full and half encode passes fused into ONE multi-cut Arrow kernel
+    # (the half-table encoding is the full encoding's intermediate
+    # symbol state) with the non-space count in the same select — 3
+    # corpus scans + 2 doc_id joins -> 1 scan + 0 joins; the learner
+    # applies pending merges through one batched kernel per round and
+    # checkpoints lazily. Plan change, values and oracle unchanged;
+    # holds r15 window slot 21:
+    "bpe_encode_corpus",
 ]
 
 #: Previous round's list (r14), kept for the PENDING-tier bookkeeping in

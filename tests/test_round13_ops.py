@@ -554,6 +554,44 @@ def test_bpe_twin_fixture_contracts(spark, tables):
         assert r.bounds_ok and r.merge_monotone and r.zero_iff_empty, r.doc_id
 
 
+def test_bpe_multi_cut_kernel_matches_separate_passes(spark, tables):
+    """Optimization r15: the twin's fused multi-cut encode kernel
+    (one corpus pass snapshotting the symbol count at every cut) must
+    reproduce the separate single-cut passes EXACTLY — per document,
+    full table and half table both — on the fixture corpus. This is
+    the value-identity premise of the 3-scans-to-1 fusion."""
+    from parquet_export_spark.operators import text as T
+
+    n = T.BPE_N_MERGES
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            T.bpe_learn_merges(tables, n).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    fused = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_nonspace, list(r.tk))
+        for r in T._bpe_token_counts_multi(
+            tables["documents"], merges, [n // 2, n]
+        ).collect()
+    }
+    full = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in T._bpe_token_counts(tables["documents"], merges).collect()
+    }
+    half = {
+        r.doc_id: r.n_bpe_tokens
+        for r in T._bpe_token_counts(
+            tables["documents"], merges[: n // 2]
+        ).collect()
+    }
+    assert set(fused) == set(full) == set(half) and fused
+    for doc_id, (n_words, n_chars, _, tk) in fused.items():
+        assert tk == [half[doc_id], full[doc_id][2]], doc_id
+        assert (n_words, n_chars) == full[doc_id][:2], doc_id
+
+
 def test_bpe_learn_is_prefix_stable(spark, tables):
     """The monotonicity contract's soundness premise: learning n/2
     merges reproduces the first n/2 rows of the n-merge table
